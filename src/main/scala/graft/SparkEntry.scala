@@ -1,13 +1,526 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.util.Properties
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity}
+import graft.functions.{text, vectors}
+import graft.io.{ReadSql, WriteSql}
+import graft.ops.{MatchMerge, NaLocfPlusOne, Ops}
+import graft.streaming.EventStreams
+
+/** Driver contract: one entry per implemented operator (SURVEY.md §2 plus the
+  * training-data-pipeline extensions), each with a DuckDB oracle where the
+  * semantics are ANSI-SQL-expressible.
+  *
+  * Numeric-parity convention: any SUM over doubles goes through
+  * `CAST(x AS DECIMAL(18,k))` and the exact decimal sum is cast back to
+  * DOUBLE — identical bits on Spark and DuckDB regardless of partial-agg
+  * order, so hashes match without tolerance. Per-row double arithmetic is
+  * IEEE-identical and needs no such guard. Epoch seconds (BIGINT) stand in
+  * for raw timestamps in outputs.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
+    * nanos-since-epoch long (`spark.sql.legacy.parquet.nanosAsLong=true`,
+    * set in Verify/Bench sessions). Normalize to a microsecond TimestampType
+    * column; integer DIV avoids double-precision loss on ~1.7e18 nanos.
+    */
+  private def events(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStreams.normalizeTs(t(s, d, "events"))
+
+  /** Exact decimal-routed double sum (see class doc). */
+  private def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  private def epochSec(c: Column): Column = unix_timestamp(c.cast("timestamp"))
+
+  private def ts(lit0: String): Column = lit(lit0).cast("timestamp")
+
+  private val streamCounter = new AtomicInteger(0)
+
+  /** Flagship query on sf=0.001 (multi-join star-schema aggregation). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q04_region_revenue")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ------------------------------------------------------------------
+    // Delegated-SQL capability sweep (SURVEY.md §2.6): the relational
+    // surface the reference pushes to the remote DB inside `query`.
+    // ------------------------------------------------------------------
+    "q01_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q02_filter_pushdown" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .where(col("l_shipdate").cast("timestamp") >= ts("1998-01-01") &&
+          col("l_discount").between(0.02, 0.06) && col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q03_topk_revenue" -> ((s, d) => {
+      val c = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders").where(col("o_orderdate").cast("timestamp") < ts("1999-01-01"))
+      t(s, d, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q04_region_revenue" -> ((s, d) => {
+      val asia = t(s, d, "region").where(col("r_name") === "ASIA")
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "q05_running_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running",
+          sum(col("o_totalprice").cast("decimal(18,4)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("running"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "q06_intersect" -> ((s, d) => {
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")
+    }),
+
+    "q07_except" -> ((s, d) => {
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .except(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")
+    }),
+
+    "q08_rollup" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    "q09_semijoin" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    "q10_antijoin" -> ((s, d) => {
+      t(s, d, "orders")
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q11_having" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .where(col("n_orders") >= 5)
+        .orderBy("o_custkey")
+    }),
+
+    "q12_scalar_funcs" -> ((s, d) => {
+      t(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_up"),
+        substring(col("p_name"), 1, 8).as("name_pfx"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        when(col("p_size") < 10, "small").when(col("p_size") < 30, "mid")
+          .otherwise("big").as("size_class"),
+        round(col("p_retailprice") / 7.0, 3).as("price_div"))
+        .orderBy("p_partkey")
+    }),
+
+    "q13_date_funcs" -> ((s, d) => {
+      val od = col("o_orderdate").cast("timestamp")
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(od).cast("long").as("yr"),
+        month(od).cast("long").as("mo"),
+        quarter(od).cast("long").as("qtr"),
+        epochSec(date_trunc("month", od)).as("month_start_epoch"),
+        datediff(od.cast("date"), lit("1995-01-01").cast("date")).cast("long").as("days_since"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ------------------------------------------------------------------
+    // Reference parity operators (SURVEY.md §2.3-2.5)
+    // ------------------------------------------------------------------
+    "q14_matchmerge_inner" -> ((s, d) => {
+      MatchMerge(t(s, d, "lineitem"), t(s, d, "part"),
+        byX = Seq("l_partkey"), byY = Seq("p_partkey"),
+        addColumns = Seq("p_brand", "p_retailprice"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("p_brand"), col("p_retailprice"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q15_matchmerge_left" -> ((s, d) => {
+      MatchMerge(t(s, d, "orders"), t(s, d, "customer"),
+        byX = Seq("o_custkey"), byY = Seq("c_custkey"), allX = true,
+        addColumns = Seq("c_name", "c_mktsegment"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q16_recoder" -> ((s, d) => {
+      Ops.recodeCol(t(s, d, "lineitem"), "l_returnflag",
+        from = Seq("A", "R"), to = Seq("ACCEPTED", "RETURNED"))
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("flag")
+    }),
+
+    "q17_rename" -> ((s, d) => {
+      Ops.renameColumns(t(s, d, "region"),
+        from = Seq("r_regionkey", "r_name"), to = Seq("regionkey", "region_name"))
+        .orderBy("regionkey")
+    }),
+
+    "q18_factorise" -> ((s, d) => {
+      val nation = t(s, d, "nation")
+      val f = Ops.factorise(nation, cols = Seq("n_name"), ordered = true)
+      val levels = Ops.levelsOf(f, "n_name").getOrElse(Nil)
+      f.select(col("n_name").as("level")).distinct()
+        .withColumn("rnk", Ops.levelRank(col("level"), levels).cast("long"))
+        .orderBy("level")
+    }),
+
+    "q19_locf" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"),
+        when(pmod(col("event_id"), lit(5)).isin(1, 2), lit(null))
+          .otherwise(col("value")).as("x"))
+      NaLocfPlusOne(ev, orderCol = "event_id", valueCol = "x", outCol = "filled")
+        .select(col("event_id"), col("filled"))
+        .orderBy("event_id")
+    }),
+
+    // ------------------------------------------------------------------
+    // Training-data-pipeline extensions: dedup / similarity / text /
+    // multimodal / streaming
+    // ------------------------------------------------------------------
+    "q20_dedup_exact" -> ((s, d) => {
+      Dedup.exact(t(s, d, "documents"), cols = Seq("text"), idCol = "doc_id")
+        .select(col("doc_id"), col("dup_count"))
+        .orderBy("doc_id")
+    }),
+
+    "q21_dedup_minhash" -> ((s, d) => {
+      Dedup.minhashDedup(t(s, d, "documents"), "doc_id", "text", threshold = 0.6)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    "q22_dedup_simhash" -> ((s, d) => {
+      Dedup.simhash(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "q23_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        n = 5, threshold = 0.5)
+        .orderBy("id_l", "id_r")
+    }),
+
+    "q24_knn_bruteforce" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", queryIdCol = "vec_id", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q25_knn_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", queryIdCol = "vec_id",
+        dim = 64, k = 5, tables = 8, bits = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q26_token_stats" -> ((s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_m"))
+        .orderBy("doc_id")
+    }),
+
+    "q27_text_quality" -> ((s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        text.qualityScore(col("text")).as("quality"),
+        round(text.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(text.stopwordRatio(col("text")), 6).as("stopword_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    "q28_langid" -> ((s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"), text.langId(col("text")).as("lang_pred"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    "q29_fingerprint" -> ((s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        text.fingerprint(col("text")).as("fp"),
+        text.tokenSetFingerprint(col("text")).as("token_set_fp"))
+        .orderBy("doc_id")
+    }),
+
+    "q30_sessionize" -> ((s, d) => {
+      EventStreams.sessionizeBatch(events(s, d), gapMinutes = 30)
+        .orderBy("user_id", "session_id")
+    }),
+
+    "q31_window_tumbling" -> ((s, d) => {
+      EventStreams.tumblingWindowBatch(events(s, d), "1 hour")
+        .orderBy("wstart", "event_type")
+    }),
+
+    "q32_stream_tumbling" -> ((s, d) => {
+      val name = s"graft_stream_tw_${streamCounter.incrementAndGet()}"
+      EventStreams.tumblingWindowStreaming(s, s"$d/events.parquet", name, "1 hour")
+        .orderBy("wstart", "event_type")
+    }),
+
+    "q33_jdbc_roundtrip" -> ((s, d) => {
+      System.setProperty("derby.system.home", "/tmp/graft_derby")
+      val url = s"jdbc:derby:/tmp/graft_derby/rt_${System.nanoTime()};create=true"
+      WriteSql(t(s, d, "region"), url, "REGION_RT", overwrite = true, batchSize = 100)
+      ReadSql(s, url, "SELECT * FROM REGION_RT", fetchSize = 2)
+        .select(col("r_regionkey"), col("r_name"))
+        .orderBy("r_regionkey")
+    }),
+
+    "q34_multimodal" -> ((s, d) => {
+      val media = Multimodal.fakeMediaTable(t(s, d, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(media, featureDim = 8)
+        .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
+          size(col("features")).cast("long").as("feature_dim"))
+        .orderBy("media_id")
+    }),
+
+    "q35_sql_text" -> ((s, d) => {
+      // The reference's core capability: an arbitrary user SQL string
+      // answered by the engine (`R/ffsql.R:171-176`) — here Spark SQL itself.
+      t(s, d, "region").createOrReplaceTempView("region_v")
+      t(s, d, "nation").createOrReplaceTempView("nation_v")
+      s.sql("""
+        WITH n AS (SELECT n_regionkey, count(*) AS n_nations
+                   FROM nation_v GROUP BY n_regionkey)
+        SELECT r_name, n_nations FROM region_v
+        JOIN n ON r_regionkey = n_regionkey
+        ORDER BY r_name""")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_extendedprice * (1.0 - l_discount) AS net_price
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+           AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 10
+         ORDER BY l_orderkey, l_linenumber""",
+    "q03_topk_revenue" ->
+      """SELECT l_orderkey,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1999-01-01'
+         GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q04_region_revenue" ->
+      """SELECT n_name,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q05_running_window" ->
+      """SELECT o_custkey,
+         CAST(row_number() OVER w AS INTEGER) AS rn, o_orderkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, rn""",
+    "q06_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+         INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""",
+    "q07_except" ->
+      """SELECT c_nationkey AS nk FROM customer
+         EXCEPT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""",
+    "q08_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q09_semijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q10_antijoin" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+         ORDER BY o_orderkey""",
+    "q11_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+         FROM orders GROUP BY o_custkey HAVING count(*) >= 5
+         ORDER BY o_custkey""",
+    "q12_scalar_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_up,
+         substring(p_name, 1, 8) AS name_pfx,
+         CAST(length(p_name) AS BIGINT) AS name_len,
+         concat(p_brand, '#', p_type) AS brand_type,
+         CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'mid'
+              ELSE 'big' END AS size_class,
+         round(p_retailprice / 7.0, 3) AS price_div
+         FROM part ORDER BY p_partkey""",
+    "q13_date_funcs" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(month(o_orderdate) AS BIGINT) AS mo,
+         CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+         CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_start_epoch,
+         CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+         FROM orders ORDER BY o_orderkey""",
+    "q14_matchmerge_inner" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, p_brand, p_retailprice
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         ORDER BY l_orderkey, l_linenumber""",
+    "q15_matchmerge_left" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    "q16_recoder" ->
+      """SELECT CASE WHEN l_returnflag = 'A' THEN 'ACCEPTED'
+                     WHEN l_returnflag = 'R' THEN 'RETURNED'
+                     ELSE l_returnflag END AS flag, count(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY flag""",
+    "q17_rename" ->
+      """SELECT r_regionkey AS regionkey, r_name AS region_name
+         FROM region ORDER BY regionkey""",
+    "q18_factorise" ->
+      """SELECT n_name AS level,
+         CAST(row_number() OVER (ORDER BY n_name) AS BIGINT) AS rnk
+         FROM (SELECT DISTINCT n_name FROM nation) ORDER BY level""",
+    "q19_locf" ->
+      """WITH t AS (SELECT event_id,
+             CASE WHEN event_id % 5 IN (1,2) THEN NULL ELSE value END AS x
+             FROM events),
+         t2 AS (SELECT event_id, x,
+             sum(CASE WHEN x IS NULL THEN 1 ELSE 0 END) OVER w AS ix,
+             last_value(x IGNORE NULLS) OVER w AS locf
+             FROM t WINDOW w AS (ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         t3 AS (SELECT event_id, x, ix, locf,
+             max(CASE WHEN x IS NOT NULL THEN ix ELSE 0 END) OVER
+               (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+             FROM t2)
+         SELECT event_id, locf + (ix - cm) AS filled FROM t3 ORDER BY event_id""",
+    "q20_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+         FROM documents GROUP BY text ORDER BY doc_id""",
+    "q26_token_stats" ->
+      """SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars_m
+         FROM documents ORDER BY doc_id""",
+    "q30_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             FROM events),
+         f AS (SELECT *, CASE WHEN prev_ts IS NULL OR
+               CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+               THEN 1 ELSE 0 END AS new_session FROM e),
+         g AS (SELECT user_id, event_id, ts, value,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             FROM f)
+         SELECT user_id, session_id, count(*) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+         FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q31_window_tumbling" ->
+      """WITH b AS (SELECT
+           (CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 3600) AS wstart,
+           event_type, value FROM events)
+         SELECT wstart, event_type, count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+         FROM b GROUP BY wstart, event_type ORDER BY wstart, event_type""",
+    "q32_stream_tumbling" ->
+      """WITH b AS (SELECT
+           (CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 3600) AS wstart,
+           event_type, value FROM events)
+         SELECT wstart, event_type, count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+         FROM b GROUP BY wstart, event_type ORDER BY wstart, event_type""",
+    "q33_jdbc_roundtrip" ->
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+    "q34_multimodal" ->
+      """SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(8 AS BIGINT) AS feature_dim
+         FROM documents ORDER BY media_id""",
+    "q35_sql_text" ->
+      """WITH n AS (SELECT n_regionkey, count(*) AS n_nations
+                    FROM nation GROUP BY n_regionkey)
+         SELECT r_name, n_nations FROM region
+         JOIN n ON r_regionkey = n_regionkey
+         ORDER BY r_name""")
 }

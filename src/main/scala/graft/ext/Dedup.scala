@@ -1,0 +1,231 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{text, vectors}
+
+/** Corpus deduplication operators for large-scale training-data pipelines:
+  * exact, MinHash+LSH, SimHash, character-n-gram Jaccard, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design principles (100 TB target):
+  *  - NO cross joins: every candidate-pair generator is an equi-join on an
+  *    LSH bucket key (band hash / bit band / hyperplane bucket), so Spark
+  *    executes a shuffled hash join whose cost is bucket-local.
+  *  - signatures are computed via explode + map-side partial aggregation
+  *    (`groupBy(id).agg(min ...)`) — codegen-friendly, skew handled by AQE.
+  *  - degenerate buckets (a band shared by thousands of docs — the LSH
+  *    analog of stopwords) are dropped with a bounded-size guard before the
+  *    self-join, preventing quadratic blowup on skew.
+  *  - the "keep" policy is canonical-min-id: a document is dropped iff some
+  *    near-duplicate with a smaller id exists. Deterministic, one anti-join;
+  *    (no transitive closure — documented, matches common corpus-dedup
+  *    practice).
+  */
+object Dedup {
+
+  /** Exact dedup: one survivor (min id) per identical value of `cols`.
+    * Returns survivors with a `dup_count` of how many rows collapsed.
+    */
+  def exact(df: DataFrame, cols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(cols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  /** Word shingles of length `k` as a distinct array (short docs collapse to
+    * one whole-document shingle).
+    */
+  def wordShingles(c: Column, k: Int): Column = {
+    val toks = text.tokens(c)
+    array_distinct(
+      when(size(toks) < k, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(k))))))
+  }
+
+  /** MinHash signatures: `(idCol, sig_0 .. sig_{numHashes-1})`.
+    *
+    * One row per (doc, shingle) after explode, then ONE map-side-combinable
+    * aggregation computing all `numHashes` mins — this is the
+    * shuffle-minimal plan (a single groupBy on the id, partials on the map
+    * side), vs. numHashes passes or a per-row lambda over the whole array.
+    * Hash family: xxhash64 seeded by hash index (independent-ish
+    * permutation approximations).
+    */
+  def minhashSignature(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, shingleK: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(wordShingles(col(textCol), shingleK)).as("shingle"))
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"sig_$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over a MinHash signature: emit `(id, band, band_hash)`.
+    * Docs agreeing on all rows of any band share a bucket.
+    */
+  private def bandBuckets(
+      sig: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * r until (b + 1) * r).map(i => col(s"sig_$i")): _*).as("bh"))
+    }
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** Candidate pairs from bucket equi-join with a skew guard: buckets larger
+    * than `maxBucket` are dropped (degenerate-content protection — the same
+    * role stopword removal plays in text indexing).
+    */
+  private def bucketPairs(
+      buckets: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
+    val sized = buckets
+      .withColumn("bsz", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .where(col("bsz") <= maxBucket)
+      .drop("bsz")
+    val l = sized.select(col("band"), col("bh"), col(idCol).as("id_l"))
+    val r = sized.select(col("band"), col("bh"), col(idCol).as("id_r"))
+    l.join(r, Seq("band", "bh"))
+      .where(col("id_l") < col("id_r"))
+      .select("id_l", "id_r").distinct()
+  }
+
+  /** MinHash-LSH near-duplicate pairs, verified with EXACT Jaccard over the
+    * shingle sets. Returns `(id_l, id_r, jaccard)` with `jaccard >=
+    * threshold`, `id_l < id_r`.
+    */
+  def minhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
+      shingleK: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val sig = minhashSignature(df, idCol, textCol, numHashes, shingleK)
+    val cand = bucketPairs(bandBuckets(sig, idCol, numHashes, bands), idCol, maxBucket)
+    val sets = df.select(col(idCol),
+      wordShingles(col(textCol), shingleK).as("sh"))
+    cand
+      .join(sets.select(col(idCol).as("id_l"), col("sh").as("sh_l")), Seq("id_l"))
+      .join(sets.select(col(idCol).as("id_r"), col("sh").as("sh_r")), Seq("id_r"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
+          size(array_union(col("sh_l"), col("sh_r"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Survivors after MinHash dedup: drop any doc having a verified
+    * near-duplicate with a smaller id (canonical-min-id policy).
+    */
+  def minhashDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
+      shingleK: Int = 3): DataFrame = {
+    val drop = minhashPairs(df, idCol, textCol, threshold, numHashes, bands, shingleK)
+      .select(col("id_r").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** 64-bit SimHash per document: per-bit majority vote over token hashes.
+    * Computed via explode + 64 conditional-sum aggregations (one shuffle,
+    * map-side partials). Weighting: token multiplicity counts.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(text.tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"v_$b")
+    }
+    val voted = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val bits = (0 until 64).map { b =>
+      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    voted.select(col(idCol), bits.reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` bit flips. Candidates via
+    * 16-bit band equality (pigeonhole: hamming<=3 pairs share >=1 of 4
+    * bands), verified with `bit_count(xor)`.
+    */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val sh = simhash(df, idCol, textCol)
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bh"))
+    }
+    val buckets = sh.select(col(idCol), col("simhash"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("simhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val sized = buckets
+      .withColumn("bsz", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .where(col("bsz") <= maxBucket)
+    val l = sized.select(col("band"), col("bh"), col(idCol).as("id_l"), col("simhash").as("sh_l"))
+    val r = sized.select(col("band"), col("bh"), col(idCol).as("id_r"), col("simhash").as("sh_r"))
+    l.join(r, Seq("band", "bh"))
+      .where(col("id_l") < col("id_r"))
+      .withColumn("hamming", bit_count(col("sh_l").bitwiseXOR(col("sh_r"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_l", "id_r", "hamming").distinct()
+  }
+
+  /** Character-n-gram Jaccard near-dup pairs: MinHash-LSH candidates over
+    * char n-grams, verified with exact char-n-gram Jaccard. Robust to
+    * whitespace/token boundary edits where word shingles are not.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, threshold: Double = 0.8, numHashes: Int = 32,
+      bands: Int = 8, maxBucket: Int = 1000): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val grams = df.select(col(idCol),
+      array_distinct(text.charNgrams(norm, n)).as("g"))
+    val ex = grams.select(col(idCol), explode(col("g")).as("gram"))
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("gram"))).as(s"sig_$i"))
+    val sig = ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val cand = bucketPairs(bandBuckets(sig, idCol, numHashes, bands), idCol, maxBucket)
+    cand
+      .join(grams.select(col(idCol).as("id_l"), col("g").as("g_l")), Seq("id_l"))
+      .join(grams.select(col(idCol).as("id_r"), col("g").as("g_r")), Seq("id_r"))
+      .withColumn("jaccard",
+        size(array_intersect(col("g_l"), col("g_r"))).cast("double") /
+          size(array_union(col("g_l"), col("g_r"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
+    * (multiple independent tables for recall), exact cosine verification.
+    * Equi-join on bucket keys only — no cross join at any scale.
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double = 0.95, tables: Int = 4, bits: Int = 12,
+      maxBucket: Int = 2000): DataFrame = {
+    val bucketCols = (0 until tables).map { t =>
+      struct(lit(t).as("band"),
+        vectors.hyperplaneBucket(col(vecCol), dim, bits, seed = 0x9E3779B97F4A7C15L + t).as("bh"))
+    }
+    val buckets = df.select(col(idCol), col(vecCol),
+      explode(array(bucketCols: _*)).as("bb"))
+      .select(col(idCol), col(vecCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val sized = buckets
+      .withColumn("bsz", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .where(col("bsz") <= maxBucket)
+    val l = sized.select(col("band"), col("bh"), col(idCol).as("id_l"), col(vecCol).as("v_l"))
+    val r = sized.select(col("band"), col("bh"), col(idCol).as("id_r"), col(vecCol).as("v_r"))
+    l.join(r, Seq("band", "bh"))
+      .where(col("id_l") < col("id_r"))
+      .withColumn("cosine", vectors.cosine(col("v_l"), col("v_r")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_l"), col("id_r"), round(col("cosine"), 6).as("cosine"))
+      .distinct()
+  }
+}

