@@ -96,11 +96,11 @@ object Multimodal {
     */
   def frameSample(media: DataFrame, frames: Int = 4): DataFrame = {
     val len = length(col("payload"))
+    def cut(f: Int) = floor(len * f / frames).cast(IntegerType)
     val frameCols = (0 until frames).map { f =>
-      // chunk f covers [f*len/frames, (f+1)*len/frames)
-      val start = (len * f / frames) + 1
-      val flen = (len * (f + 1) / frames) - (len * f / frames)
-      xxhash64(col("payload").substr(start, flen)).as(s"frame_$f")
+      // chunk f covers byte range [f*len/frames, (f+1)*len/frames)
+      xxhash64(col("payload").substr(cut(f) + 1, cut(f + 1) - cut(f)))
+        .as(s"frame_$f")
     }
     media.select((col("media_id") +: frameCols).toIndexedSeq: _*)
       .select(col("media_id"),

@@ -31,7 +31,8 @@ object text {
     * a vocab. Deterministic; useful for token budget estimation.
     */
   def subwordCount(c: Column): Column =
-    size(filter(split(c, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
+    size(filter(split(c,
+      "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})"),
       t => length(trim(t)) > 0))
 
   def punctCount(c: Column): Column =

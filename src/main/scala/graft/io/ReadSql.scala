@@ -56,6 +56,7 @@ object ReadSql {
       upperBound: Long = 0L,
       numPartitions: Int = 0,
       verbose: Boolean = false): DataFrame = {
+    GraftDerbyDialect.ensureRegistered()
 
     def base(extra: Map[String, String]): DataFrame = {
       var r = spark.read.format("jdbc").option("url", url)
@@ -85,7 +86,7 @@ object ReadSql {
     }
     // Spark's JDBC partitioned read requires dbtable, not query.
     val srcOpt: Map[String, String] =
-      if (partOpts.nonEmpty) Map("dbtable" -> s"($query) graft_sub") else Map("query" -> query)
+      if (partOpts.nonEmpty) Map("dbtable" -> s"($query) AS graft_sub") else Map("query" -> query)
 
     val raw = base(srcOpt ++ partOpts + ("fetchsize" -> fetch.toString))
     val limited = if (nrows >= 0L) raw.limit(nrows.toInt) else raw

@@ -36,6 +36,7 @@ object WriteSql {
       batchSize: Int = 1000,
       numPartitions: Int = 0,
       orderedBy: Option[String] = None): Unit = {
+    GraftDerbyDialect.ensureRegistered()
     require(!(overwrite && append), "overwrite and append are exclusive")
     require(df.head(1).nonEmpty, "nothing to write: input has zero rows")
 

@@ -59,12 +59,14 @@ object MatchMerge {
       else y.columns.filterNot(byY.contains).toIndexedSeq
     addCols.foreach(c => require(y.columns.contains(c), s"column $c not in y"))
 
-    val yProj = y.select((byY ++ addCols).distinct.map(col): _*)
+    // backquote all name-based refs so column names may contain dots
+    def bq(n: String): Column = col(s"`$n`")
+    val yProj = y.select((byY ++ addCols).distinct.map(bq): _*)
 
     if (checkDuplicates) {
       // Reference guard `R/matchmerge.R:149-160`: error when the right key
       // has duplicates. One cheap agg job over the (bounded) right side.
-      val dup = yProj.groupBy(byY.map(col): _*).count()
+      val dup = yProj.groupBy(byY.map(bq): _*).count()
         .where(col("count") > 1).limit(1).collect()
       if (dup.nonEmpty)
         throw new IllegalArgumentException(
@@ -81,20 +83,22 @@ object MatchMerge {
     val xa = x.alias("mm_l")
     val yb = (if (broadcastRhs) broadcast(yRenamed) else yRenamed).alias("mm_r")
 
+    // backquotes let appended names contain dots (e.g. the reference's
+    // ".y"-suffixed columns) without being parsed as struct access
+    def lcol(n: String): Column = col(s"mm_l.`$n`")
+    def rcol(n: String): Column = col(s"mm_r.`$n`")
+
     val cond: Column =
       if (pasteCompat && byX.length > 1) {
         // Reference-exact: single string key via space concatenation
         // (`R/matchmerge.R:117,122`) — collision-prone, compat only.
-        concat_ws(" ", byX.map(c => col(s"mm_l.$c")): _*) ===
-          concat_ws(" ", byY.map(c => col(s"mm_r.$c")): _*)
+        concat_ws(" ", byX.map(lcol): _*) === concat_ws(" ", byY.map(rcol): _*)
       } else {
-        byX.zip(byY).map { case (a, b) => col(s"mm_l.$a") === col(s"mm_r.$b") }
-          .reduce(_ && _)
+        byX.zip(byY).map { case (a, b) => lcol(a) === rcol(b) }.reduce(_ && _)
       }
 
     val joined = xa.join(yb, cond, if (allX) "left" else "inner")
-    val out = x.columns.map(c => col(s"mm_l.$c")) ++
-      outNames.map { case (_, n) => col(s"mm_r.$n") }
+    val out = x.columns.map(lcol) ++ outNames.map { case (_, n) => rcol(n) }
     joined.select(out.toIndexedSeq: _*)
   }
 
@@ -111,7 +115,8 @@ object MatchMerge {
       as: String,
       allX: Boolean = false,
       checkDuplicates: Boolean = true): DataFrame = {
-    val y2 = y.select((byY :+ valueCol).map(col): _*).withColumnRenamed(valueCol, as)
+    val y2 = y.select((byY :+ valueCol).map(n => col(s"`$n`")): _*)
+      .withColumnRenamed(valueCol, as)
     apply(x, y2, byX, byY, allX = allX, addColumns = Seq(as),
       checkDuplicates = checkDuplicates)
   }

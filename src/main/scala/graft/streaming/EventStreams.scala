@@ -96,16 +96,24 @@ object EventStreams {
           .as("duration_sec"))
   }
 
-  private case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+  // NOTE: these must be public — Catalyst's generated (de)serializer code
+  // cannot access private nested case classes.
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
-  private case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   /** Output row of stateful sessionization. */
   case class Session(user_id: Long, session_start: Long, n_events: Long, sum_value: Double)
 
   /** Stateful streaming sessionization with `flatMapGroupsWithState`:
-    * event-time sessions closed by processing-time timeout. Demonstrates the
-    * custom-state surface (`KeyValueGroupedDataset`) on the same semantics
-    * as [[sessionizeBatch]].
+    * sessions accumulate in per-user state; a session is emitted when a later
+    * event arrives past the gap. Demonstrates the custom-state surface
+    * (`KeyValueGroupedDataset`) on the same semantics as [[sessionizeBatch]].
+    *
+    * Ordering contract: events must arrive per-user in event-time order
+    * ACROSS micro-batches (within a batch they are sorted here). Out-of-order
+    * arrivals older than the open session are merged into it rather than
+    * reordered — full reordering needs watermark-held buffering, which this
+    * operator deliberately trades away for O(1) state per user.
     */
   def sessionizeStateful(
       events: DataFrame, gapMinutes: Int = 30): DataFrame = {

@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class DedupSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and then " +
+    "runs far away into the deep green forest to hide from the loud hunters"
+  // doc 2 = doc 1 with one word changed (near-dup); doc 3 disjoint.
+  private def docs = Seq(
+    (1L, base),
+    (2L, base.replace("green", "blue")),
+    (3L, "completely different content about database engines and " +
+      "distributed query processing with columnar storage layouts here"),
+    (4L, base) // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts the collapsed group") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id")
+      .select("doc_id", "dup_count").orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("minhash pairs find near and exact dups, not the disjoint doc") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup, jaccard 1.0
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash dedup drops near-dups with larger ids (canonical-min policy)") {
+    val kept = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && kept.contains(3L))
+    assert(!kept.contains(4L))
+  }
+
+  test("simhash: near-identical docs within small hamming distance") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(4L)) == 0) // identical text, identical simhash
+    assert(ham(sh(1L), sh(2L)) <= 12) // one-word edit: close
+    assert(ham(sh(1L), sh(3L)) > 12) // disjoint: far
+  }
+
+  test("simhashPairs candidates via bit bands") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard pairs catch character-level near-dups") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 5, threshold = 0.5)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("embedding near-dup pairs via hyperplane LSH + cosine verify") {
+    val rng = new scala.util.Random(3)
+    val v1 = Array.fill(16)(rng.nextGaussian().toFloat)
+    val v2 = v1.map(x => x + 0.01f * rng.nextGaussian().toFloat) // near-dup
+    val v3 = Array.fill(16)(rng.nextGaussian().toFloat) // unrelated
+    val df = Seq((1L, v1.toSeq), (2L, v2.toSeq), (3L, v3.toSeq))
+      .toDF("id", "vec")
+    val pairs = Dedup.embeddingNearDupPairs(df, "id", "vec", dim = 16,
+      threshold = 0.99, tables = 6, bits = 6)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class MultimodalSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def media = Multimodal.fakeMediaTable(
+    Seq((1L, "hello world"), (2L, "a longer piece of fake media payload"),
+      (3L, "third")).toDF("id", "txt"), "id", "txt")
+
+  test("media table has the canonical schema") {
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "payload", "meta"))
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val m = media.where($"media_id" === 1L).select("meta.n_bytes").head()
+    assert(m.getLong(0) == "hello world".getBytes("UTF-8").length)
+  }
+
+  test("extractFeatures appends fixed-dim deterministic features") {
+    val f1 = Multimodal.extractFeatures(media, featureDim = 8, batchSize = 2)
+      .select("media_id", "features").orderBy("media_id")
+      .as[(Long, Seq[Float])].collect()
+    assert(f1.forall(_._2.length == 8))
+    val f2 = Multimodal.extractFeatures(media, featureDim = 8, batchSize = 64)
+      .select("media_id", "features").orderBy("media_id")
+      .as[(Long, Seq[Float])].collect()
+    assert(f1.toSeq == f2.toSeq) // batch size must not change results
+  }
+
+  test("stubDecode is deterministic and payload-sensitive") {
+    val a = Multimodal.stubDecode("abc".getBytes, 4).toSeq
+    val b = Multimodal.stubDecode("abc".getBytes, 4).toSeq
+    val c = Multimodal.stubDecode("abd".getBytes, 4).toSeq
+    assert(a == b && a != c)
+  }
+
+  test("frameSample emits one hash per frame chunk") {
+    val out = Multimodal.frameSample(media, frames = 4)
+      .select("media_id", "frame_hashes").as[(Long, Seq[Long])].collect()
+    assert(out.forall(_._2.length == 4))
+  }
+
+  test("planResize preserves aspect ratio and caps the long side") {
+    val out = Multimodal.planResize(media, maxSide = 16)
+      .select("width", "height", "target_width", "target_height").collect()
+    out.foreach { r =>
+      val (w, h, tw, th) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(math.max(tw, th) <= 17) // rounding slack of 1
+      val ar = w.toDouble / h
+      val tar = tw.toDouble / th
+      assert(math.abs(ar - tar) / ar < 0.15)
+    }
+  }
+}

@@ -1,0 +1,48 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class SimilaritySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(17)
+  // 3 well-separated clusters of 10 vectors each around random centroids
+  private lazy val clustered = {
+    val centroids = Seq.fill(3)(Array.fill(16)(rng.nextGaussian() * 5))
+    val rows = for {
+      (c, ci) <- centroids.zipWithIndex
+      j <- 0 until 10
+    } yield ((ci * 10 + j).toLong,
+      c.map(x => (x + 0.1 * rng.nextGaussian()).toFloat).toSeq, ci)
+    rows.toDF("vec_id", "embedding", "cluster")
+  }
+
+  test("brute-force top-k returns k in-cluster neighbors, ranked by cosine") {
+    val q = clustered.where($"vec_id" === 0L)
+    val out = Similarity.bruteForceTopK(clustered, q,
+      "vec_id", "embedding", "vec_id", k = 5)
+      .orderBy("rank").collect()
+    assert(out.length == 5)
+    // all neighbors of a cluster-0 query are cluster-0 vectors (ids 0..9)
+    assert(out.forall(_.getLong(1) < 10))
+    // ranks are 1..5 and cosine non-increasing
+    assert(out.map(_.getInt(3)).toSeq == Seq(1, 2, 3, 4, 5))
+    val cos = out.map(_.getDouble(2)).toSeq
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    assert(cos.head > 0.99) // same-cluster vectors are near-identical
+  }
+
+  test("LSH top-k achieves high recall vs brute force on clustered data") {
+    val queries = clustered.where($"vec_id" % 10 === 0L) // one per cluster
+    val exact = Similarity.bruteForceTopK(clustered, queries,
+      "vec_id", "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(clustered, queries,
+      "vec_id", "embedding", "vec_id", dim = 16, k = 5, tables = 8, bits = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+}

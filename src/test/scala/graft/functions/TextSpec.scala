@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class TextSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, s: String): T =
+    Seq(s).toDF("t").select(c.as("r")).collect().head.getAs[T]("r")
+
+  test("tokenCount: whitespace tokens, 0 for blank") {
+    assert(one[Int](text.tokenCount(col("t")), "a b  c") == 3)
+    assert(one[Int](text.tokenCount(col("t")), "   ") == 0)
+    assert(one[Int](text.tokenCount(col("t")), "") == 0)
+    assert(one[Int](text.tokenCount(col("t")), "one") == 1)
+  }
+
+  test("punct and digit ratios") {
+    assert(one[Double](text.punctRatio(col("t")), "ab,.") == 0.5)
+    assert(one[Double](text.digitRatio(col("t")), "a1b2") == 0.5)
+    assert(one[Double](text.punctRatio(col("t")), "") == 0.0)
+  }
+
+  test("langId picks the language with most stopword hits") {
+    assert(one[String](text.langId(col("t")),
+      "the cat is in the house and it was not there") == "en")
+    assert(one[String](text.langId(col("t")),
+      "der Hund ist nicht mit der Katze und auch nicht im Haus") == "de")
+    assert(one[String](text.langId(col("t")),
+      "le chat est dans la maison avec les enfants pour une heure") == "fr")
+    assert(one[String](text.langId(col("t")), "zzz qqq xxx") == "und")
+  }
+
+  test("fingerprint is whitespace-normalization invariant") {
+    val a = one[Long](text.fingerprint(col("t")), "Hello   World Foo")
+    val b = one[Long](text.fingerprint(col("t")), "hello world foo")
+    assert(a == b)
+    val c = one[Long](text.fingerprint(col("t")), "hello world bar")
+    assert(a != c)
+  }
+
+  test("tokenSetFingerprint is word-order invariant") {
+    val a = one[Long](text.tokenSetFingerprint(col("t")), "alpha beta gamma")
+    val b = one[Long](text.tokenSetFingerprint(col("t")), "gamma alpha beta")
+    assert(a == b)
+  }
+
+  test("qualityScore ranks clean prose above junk") {
+    val clean = "The researchers published their findings in the journal " +
+      "and the results were discussed widely in the community for weeks."
+    val junk = "@@@@ 1234 5678 #### !!!! 9999 %%%% 0000 &&&& ****"
+    val q1 = one[Double](text.qualityScore(col("t")), clean)
+    val q2 = one[Double](text.qualityScore(col("t")), junk)
+    assert(q1 > q2)
+    assert(q1 >= 0.0 && q1 <= 1.0 && q2 >= 0.0 && q2 <= 1.0)
+  }
+
+  test("subwordCount splits letter runs, digits, punctuation") {
+    assert(one[Int](text.subwordCount(col("t")), "hello world42!") == 4)
+  }
+
+  test("vectors: cosine/dot/norm basics") {
+    val df = Seq((Seq(1f, 0f, 0f), Seq(0f, 1f, 0f))).toDF("a", "b")
+    val r = df.select(
+      vectors.cosine(col("a"), col("b")).as("c"),
+      vectors.cosine(col("a"), col("a")).as("self"),
+      vectors.dot(col("a"), col("b")).as("d"),
+      vectors.norm(col("a")).as("n")).head()
+    assert(math.abs(r.getDouble(0)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 1.0)
+  }
+
+  test("hyperplaneBucket: identical vectors share buckets, deterministic") {
+    val df = Seq((1L, Seq(1f, 2f, 3f, 4f)), (2L, Seq(1f, 2f, 3f, 4f)))
+      .toDF("id", "v")
+    val b = df.select(vectors.hyperplaneBucket(col("v"), 4, 8, 42L).as("b"))
+      .as[Long].collect()
+    assert(b(0) == b(1))
+    assert(b(0) >= 0 && b(0) < 256)
+  }
+}

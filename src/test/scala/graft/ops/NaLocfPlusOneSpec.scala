@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class NaLocfPlusOneSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def run(xs: Seq[Option[Double]], partitions: Int): Seq[Option[Double]] = {
+    val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("ord", "x")
+    NaLocfPlusOne(df, "ord", "x", "filled", partitions)
+      .orderBy("ord").select("filled")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+  }
+
+  /** Driver-side re-implementation of the reference semantics
+    * (`R/utils.R:50-51`), leading nulls left as null.
+    */
+  private def oracle(xs: Seq[Option[Double]]): Seq[Option[Double]] = {
+    var last: Option[Double] = None
+    var run = 0L
+    xs.map {
+      case Some(v) => last = Some(v); run = 0; Some(v)
+      case None =>
+        run += 1
+        last.map(_ + run)
+    }
+  }
+
+  // Reference docstring example `R/utils.R:46-48`.
+  test("reference example: 2,NA,NA,4,5,2,NA -> 2,3,4,4,5,2,3") {
+    val in = Seq(Some(2d), None, None, Some(4d), Some(5d), Some(2d), None)
+    for (p <- Seq(1, 3, 7)) { // result invariant to partition count
+      assert(run(in, p) == Seq(2d, 3d, 4d, 4d, 5d, 2d, 3d).map(Some(_)), s"p=$p")
+    }
+  }
+
+  test("leading nulls remain null (documented divergence from the reference error)") {
+    val in = Seq(None, None, Some(1d), None)
+    assert(run(in, 2) == Seq(None, None, Some(1d), Some(2d)))
+  }
+
+  test("null-free input is identity") {
+    val in = Seq(1d, 2d, 3d, 4d).map(Some(_))
+    assert(run(in, 2) == in)
+  }
+
+  test("all-null input stays all null") {
+    assert(run(Seq(None, None, None), 2) == Seq(None, None, None))
+  }
+
+  test("null runs spanning partition boundaries carry correctly (property)") {
+    val rng = new scala.util.Random(5)
+    for (trial <- 1 to 5) {
+      val xs = Seq.fill(60)(if (rng.nextBoolean()) Some(rng.nextInt(50).toDouble) else None)
+      val exp = oracle(xs)
+      for (p <- Seq(1, 4, 9)) {
+        assert(run(xs, p) == exp, s"trial=$trial p=$p")
+      }
+    }
+  }
+}

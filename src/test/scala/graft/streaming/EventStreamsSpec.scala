@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class EventStreamsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, minute: Long, user: Long, typ: String, v: Double) =
+    (id, new Timestamp(1700000000000L + minute * 60000L), user, typ, v)
+
+  private def events = Seq(
+    ev(1, 0, 1, "click", 1.0), ev(2, 5, 1, "view", 2.0),
+    ev(3, 50, 1, "click", 3.0), // >30min gap: new session for user 1
+    ev(4, 0, 2, "click", 4.0), ev(5, 200, 2, "view", 5.0),
+    ev(6, 210, 2, "click", 6.0))
+    .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("sessionizeBatch splits on the inactivity gap") {
+    val out = EventStreams.sessionizeBatch(events, gapMinutes = 30)
+      .orderBy("user_id", "session_id")
+      .select("user_id", "session_id", "n_events", "sum_value")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 2L, 3.0), (1L, 2L, 1L, 3.0),
+      (2L, 1L, 1L, 4.0), (2L, 2L, 2L, 11.0)))
+  }
+
+  test("stateful streaming sessionization matches batch on closed sessions") {
+    // Two micro-batches: events arrive in ts order per user; sessions closed
+    // by a later event are emitted. The still-open final sessions stay in
+    // state (append-mode semantics) — compare only the closed ones.
+    // batches must respect per-user event-time order (operator contract);
+    // coalesce(1) keeps each batch a single file.
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    events.where($"event_id".isin(1, 2, 4)).coalesce(1).write.parquet(s"$dir/b1")
+
+    val schema = events.schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/b*/")
+    val q = EventStreams.sessionizeStateful(stream, gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_test").start()
+    q.processAllAvailable()
+    events.where($"event_id".isin(3, 5, 6)).coalesce(1).write.parquet(s"$dir/b2")
+    q.processAllAvailable()
+    q.stop()
+
+    val closed = spark.table("sess_test")
+      .select("user_id", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect().toSet
+    // user 1: session (2 events, 3.0) closed by event 3;
+    // user 2: session (1 event, 4.0) closed by event 5.
+    assert(closed.contains((1L, 2L, 3.0)))
+    assert(closed.contains((2L, 1L, 4.0)))
+  }
+
+  test("tumbling window batch/streaming parity on the sf0.001 fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = EventStreams.tumblingWindowBatch(
+      EventStreams.normalizeTs(spark.read.parquet(s"$dir/events.parquet")))
+      .orderBy("wstart", "event_type").collect().toSeq
+    val streamed = EventStreams.tumblingWindowStreaming(
+      spark, s"$dir/events.parquet", "tw_parity_test")
+      .orderBy("wstart", "event_type").collect().toSeq
+    assert(batch == streamed)
+  }
+}
