@@ -256,7 +256,7 @@ object SparkEntry {
 
     "q23_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
-        n = 5, threshold = 0.5)
+        n = 5, threshold = 0.8)
         .orderBy("id_l", "id_r")
     }),
 

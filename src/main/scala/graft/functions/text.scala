@@ -121,15 +121,17 @@ object text {
       .otherwise(transform(sequence(lit(1), length(c) - (k - 1)),
         i => c.substr(i, lit(k))))
 
-  /** Rolling-hash document fingerprint: min xxhash64 over character k-grams
-    * of the normalized text (lower-cased, whitespace collapsed). Two
-    * documents sharing their minimal k-gram hash are near-identical
-    * candidates — this is MinHash with one permutation, the cheapest
-    * content fingerprint that survives small edits.
+  /** Rolling-hash document fingerprint: min hash over character k-grams of
+    * the normalized text (lower-cased, whitespace collapsed). Two documents
+    * sharing their minimal k-gram hash are near-identical candidates — this
+    * is MinHash with one permutation, the cheapest content fingerprint that
+    * survives small edits. Gram hashing runs in the native single-pass
+    * expression ([[graft.expressions.GramHashExpressions]]) — the
+    * `transform(...substr...)` formulation is interpreted and ~20x slower.
     */
   def fingerprint(c: Column, k: Int = 16): Column = {
     val norm = regexp_replace(lower(trim(c)), "\\s+", " ")
-    array_min(transform(charNgrams(norm, k), g => xxhash64(g)))
+    array_min(graft.expressions.GramHashExpressions.charNgramHashSet(norm, k))
   }
 
   /** Order-insensitive content fingerprint: hash of the sorted distinct

@@ -58,8 +58,9 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("ngram jaccard pairs catch character-level near-dups") {
+    // bands=8 (r=4) widens the recall curve for this lower threshold
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      n = 5, threshold = 0.5)
+      n = 5, threshold = 0.5, bands = 8)
       .select("id_l", "id_r").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 4L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
