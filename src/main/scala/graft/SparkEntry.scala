@@ -123,9 +123,9 @@ object SparkEntry {
     }),
 
     "q07_except" -> ((s, d) => {
-      t(s, d, "customer").select(col("c_nationkey").as("nk"))
-        .except(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
-        .orderBy("nk")
+      t(s, d, "orders").select(col("o_orderkey").as("k"))
+        .except(t(s, d, "lineitem").select(col("l_orderkey").as("k")))
+        .orderBy("k")
     }),
 
     "q08_rollup" -> ((s, d) => {
@@ -339,6 +339,69 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q36_cube" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    "q37_percentile" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          min(col("l_quantity")).as("qmin"), max(col("l_quantity")).as("qmax"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q38_pivot" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("l_returnflag")
+    }),
+
+    "q39_window_funcs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q40_range_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // trailing-7-day revenue per customer: RANGE frame over epoch seconds
+      val base = t(s, d, "orders")
+        .withColumn("od_epoch", epochSec(col("o_orderdate")))
+      val w = Window.partitionBy("o_custkey").orderBy(col("od_epoch"))
+        .rangeBetween(-6L * 86400L, 0L)
+      base.select(
+        col("o_custkey"), col("o_orderkey"), col("od_epoch"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+          .cast("double").as("trailing_7d"))
+        .orderBy("o_custkey", "od_epoch", "o_orderkey")
+    }),
+
+    "q41_distinct_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
     "q35_sql_text" -> ((s, d) => {
       // The reference's core capability: an arbitrary user SQL string
       // answered by the engine (`R/ffsql.R:171-176`) — here Spark SQL itself.
@@ -401,8 +464,8 @@ object SparkEntry {
       """SELECT c_nationkey AS nk FROM customer
          INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""",
     "q07_except" ->
-      """SELECT c_nationkey AS nk FROM customer
-         EXCEPT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""",
+      """SELECT o_orderkey AS k FROM orders
+         EXCEPT SELECT l_orderkey AS k FROM lineitem ORDER BY k""",
     "q08_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
@@ -517,6 +580,47 @@ object SparkEntry {
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          CAST(8 AS BIGINT) AS feature_dim
          FROM documents ORDER BY media_id""",
+    "q36_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q37_percentile" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.5) AS p50,
+         quantile_cont(l_quantity, 0.9) AS p90,
+         min(l_quantity) AS qmin, max(l_quantity) AS qmax
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q38_pivot" ->
+      """SELECT l_returnflag,
+         count(*) FILTER (WHERE l_linestatus = 'F') AS "F",
+         count(*) FILTER (WHERE l_linestatus = 'O') AS "O"
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q39_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(rank() OVER w AS INTEGER) AS rnk,
+         CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+         CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+         lag(o_totalprice, 1) OVER w AS prev_price,
+         lead(o_totalprice, 1) OVER w AS next_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "q40_range_window" ->
+      """WITH b AS (SELECT o_custkey, o_orderkey,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS od_epoch, o_totalprice
+           FROM orders)
+         SELECT o_custkey, o_orderkey, od_epoch,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+             (PARTITION BY o_custkey ORDER BY od_epoch
+              RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d
+         FROM b ORDER BY o_custkey, od_epoch, o_orderkey""",
+    "q41_distinct_agg" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q35_sql_text" ->
       """WITH n AS (SELECT n_regionkey, count(*) AS n_nations
                     FROM nation GROUP BY n_regionkey)
