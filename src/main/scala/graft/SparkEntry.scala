@@ -339,6 +339,17 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q42_session_window" -> ((s, d) => {
+      // Native gap-session operator (session_window) — batch twin of the
+      // flatMapGroupsWithState sessionizer; gap semantics: diff >= gap splits.
+      events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("user_id"), unix_timestamp(col("sw.start")).as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")
+    }),
+
     "q36_cube" -> ((s, d) => {
       t(s, d, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
@@ -580,6 +591,19 @@ object SparkEntry {
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          CAST(8 AS BIGINT) AS feature_dim
          FROM documents ORDER BY media_id""",
+    "q42_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             FROM events),
+         f AS (SELECT *, CASE WHEN prev_ts IS NULL OR
+               epoch(ts) - epoch(prev_ts) >= 1800 THEN 1 ELSE 0 END AS ns FROM e),
+         g AS (SELECT user_id, ts, value,
+             CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+             FROM f)
+         SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+         FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "q36_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price

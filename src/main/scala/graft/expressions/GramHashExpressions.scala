@@ -130,10 +130,61 @@ object GramHashExpressions {
       copy(child = newChild)
   }
 
+  /** 64-bit SimHash of the document's token multiset: per-bit majority vote
+    * over token hashes (multiplicity-weighted), packed into a long. One tight
+    * pass per document — the composable alternative (explode + 64 conditional
+    * sums) shuffles every token and runs 64 aggregate columns.
+    */
+  case class SimHash64(child: Expression, seed: Long = 42L)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+
+    private def isTokenByte(b: Byte): Boolean =
+      (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+        (b >= '0' && b <= '9') || b < 0
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      val votes = new Array[Int](64)
+      val buf = new Array[Byte](bytes.length max 1)
+      var i = 0
+      while (i < bytes.length) {
+        if (isTokenByte(bytes(i))) {
+          var w = 0
+          while (i < bytes.length && isTokenByte(bytes(i))) {
+            val b = bytes(i)
+            buf(w) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+            w += 1; i += 1
+          }
+          val h = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, w, seed)
+          var bit = 0
+          while (bit < 64) {
+            if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+            bit += 1
+          }
+        } else i += 1
+      }
+      var out = 0L
+      var bit = 0
+      while (bit < 64) {
+        if (votes(bit) > 0) out |= (1L << bit)
+        bit += 1
+      }
+      java.lang.Long.valueOf(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Column wrappers. */
   def charNgramHashSet(c: Column, n: Int): Column =
     ColumnBridge.column(CharNgramHashSet(ColumnBridge.expression(c), n))
 
   def wordShingleHashSet(c: Column, k: Int): Column =
     ColumnBridge.column(WordShingleHashSet(ColumnBridge.expression(c), k))
+
+  def simhash64(c: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
 }

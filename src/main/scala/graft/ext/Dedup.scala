@@ -159,22 +159,13 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
-  /** 64-bit SimHash per document: per-bit majority vote over token hashes.
-    * Computed via explode + 64 conditional-sum aggregations (one shuffle,
-    * map-side partials). Weighting: token multiplicity counts.
+  /** 64-bit SimHash per document: per-bit majority vote over token hashes
+    * (multiplicity-weighted), computed by the native single-pass expression —
+    * no explode, no shuffle, one long per document out of the scan.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol), explode(text.tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"v_$b")
-    }
-    val voted = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val bits = (0 until 64).map { b =>
-      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    voted.select(col(idCol), bits.reduce(_ + _).as("simhash"))
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.expressions.GramHashExpressions.simhash64(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs within `maxHamming` bit flips. Candidates via
     * 16-bit band equality (pigeonhole: hamming<=3 pairs share >=1 of 4

@@ -51,6 +51,8 @@ object ReadSql {
       batchBytes: Long = 0L,
       transform: DataFrame => DataFrame = identity,
       appendTo: Option[DataFrame] = None,
+      levels: Map[String, Seq[String]] = Map.empty,
+      orderedFactors: Boolean = false,
       partitionColumn: Option[String] = None,
       lowerBound: Long = 0L,
       upperBound: Long = 0L,
@@ -92,13 +94,40 @@ object ReadSql {
     val limited = if (nrows >= 0L) raw.limit(nrows.toInt) else raw
     val transformed = transform(limited)
 
+    // `levels` override: force the dictionary of chosen string columns
+    // (`R/ffsql.R:191-200`), validated against column names (`:194-196`).
+    val badLevels = levels.keySet -- transformed.columns.toSet
+    require(badLevels.isEmpty, s"levels for unknown columns: ${badLevels.mkString(", ")}")
+    val withLevels =
+      if (levels.isEmpty) transformed
+      else graft.ops.Ops.factorise(transformed, cols = levels.keys.toSeq,
+        ordered = orderedFactors, levelsOverride = levels)
+
     val out = appendTo match {
-      case Some(existing) => existing.unionByName(transformed)
-      case None => transformed
+      case Some(existing) =>
+        // Append-time dictionary union (`R/ffsql.R:311-316`): per factor
+        // column, old levels first, then unseen new levels — first-seen order.
+        val factorCols = existing.columns.filter(c =>
+          graft.ops.Ops.levelsOf(existing, c).isDefined).toSeq
+        val merged = existing.unionByName(withLevels)
+        if (factorCols.isEmpty) merged
+        else {
+          val unioned = factorCols.map { c =>
+            val old = graft.ops.Ops.levelsOf(existing, c).get
+            val incoming = levels.getOrElse(c,
+              graft.ops.Ops.factorLevels(withLevels, c))
+            c -> (old ++ incoming.filterNot(old.contains))
+          }.toMap
+          graft.ops.Ops.factorise(merged, cols = factorCols,
+            ordered = orderedFactors, levelsOverride = unioned)
+        }
+      case None => withLevels
     }
     if (verbose) {
       // The reference's VERBOSE per-chunk wall-times (`R/ffsql.R:201-205`)
-      // map to Spark's task metrics; here we surface the plan.
+      // map to Spark task metrics; surface the effective chunking + plan.
+      println(s"[graft.io.ReadSql] fetchsize=$fetch nrows=$nrows partitions=" +
+        (if (partOpts.nonEmpty) numPartitions else 1))
       out.explain("formatted")
     }
     out

@@ -79,6 +79,28 @@ class ReadWriteSqlSpec extends AnyFunSuite with SparkSpec {
     assert(ReadSql(spark, url, "SELECT * FROM TESTDATA").count() == 2865)
   }
 
+  test("levels override + append-time dictionary union (R/ffsql.R:191-200,311-316)") {
+    import graft.ops.Ops
+    // force a dictionary on `a` that reverses the natural order
+    val custom = ('A' to 'Z').map(_.toString).reverse
+    val first = ReadSql(spark, url, "SELECT * FROM TESTDATA", nrows = 50,
+      levels = Map("a" -> custom))
+    assert(Ops.levelsOf(first, "a").contains(custom))
+    intercept[IllegalArgumentException] {
+      ReadSql(spark, url, "SELECT * FROM TESTDATA", levels = Map("zz" -> Seq("x")))
+    }
+    // append: dictionary union keeps old levels first, appends unseen ones
+    val base = Ops.factorise(
+      ReadSql(spark, url, "SELECT * FROM TESTDATA", nrows = 10),
+      cols = Seq("a"), levelsOverride = Map("a" -> Seq("A", "B")))
+    val appended = ReadSql(spark, url, "SELECT * FROM TESTDATA", nrows = 40,
+      appendTo = Some(base))
+    val lv = Ops.levelsOf(appended, "a").get
+    assert(lv.take(2) == Seq("A", "B")) // old levels first
+    assert(appended.count() == 50)
+    assert(lv.distinct == lv)
+  }
+
   test("ordered write: single sorted partition (parity mode, SURVEY §2.2)") {
     val df = Seq((3, "c"), (1, "a"), (2, "b")).toDF("k", "v")
     WriteSql(df, url, "ORDERED_T", overwrite = true, orderedBy = Some("k"))
