@@ -339,6 +339,16 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q43_sliding_window" -> ((s, d) => {
+      // sliding window: 2h length, 1h slide — every event lands in 2 windows
+      events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("wstart"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy("wstart", "event_type")
+    }),
+
     "q42_session_window" -> ((s, d) => {
       // Native gap-session operator (session_window) — batch twin of the
       // flatMapGroupsWithState sessionizer; gap semantics: diff >= gap splits.
@@ -591,6 +601,15 @@ object SparkEntry {
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          CAST(8 AS BIGINT) AS feature_dim
          FROM documents ORDER BY media_id""",
+    "q43_sliding_window" ->
+      """WITH fe AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type, value
+                     FROM events),
+         b AS (SELECT (es - es % 3600) AS wstart, event_type, value FROM fe
+               UNION ALL
+               SELECT (es - es % 3600) - 3600 AS wstart, event_type, value FROM fe)
+         SELECT wstart, event_type, count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+         FROM b GROUP BY wstart, event_type ORDER BY wstart, event_type""",
     "q42_session_window" ->
       """WITH e AS (SELECT user_id, event_id, ts, value,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

@@ -1,0 +1,38 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketing: pre-shuffle a table ONCE at write time so every later join or
+  * aggregation on the bucket key runs shuffle-free.
+  *
+  * At 100 TB the dominant cost of a fact-fact join is the exchange of both
+  * sides. Writing the fact tables bucketed by their join key (same bucket
+  * count both sides) lets Spark plan a SortMergeJoin with NO Exchange — the
+  * scan itself delivers co-partitioned data. This is the Spark-native form
+  * of the co-located layout the reference delegates to its backing database.
+  */
+object BucketedTables {
+
+  /** Write `df` as a bucketed managed table (parquet). */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int,
+      sortCol: Option[String] = None,
+      overwrite: Boolean = true): Unit = {
+    var w = df.write.format("parquet")
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .bucketBy(numBuckets, bucketCol)
+    sortCol.foreach(c => w = w.sortBy(c))
+    w.saveAsTable(table)
+  }
+
+  def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** True when the physical plan of `df` contains a shuffle exchange —
+    * the assertion target for co-located-join tests and plan audits.
+    */
+  def hasShuffleExchange(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+}

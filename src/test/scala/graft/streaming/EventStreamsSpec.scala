@@ -58,6 +58,27 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(closed.contains((2L, 1L, 4.0)))
   }
 
+  test("watermark drops late data in streaming windowed aggregation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
+    // batch 1: events up to minute 200
+    events.where($"event_id" =!= 4).coalesce(1).write.parquet(s"$dir/b1")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/b*/")
+    val agg = stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("update").format("memory")
+      .queryName("late_test").start()
+    q.processAllAvailable()
+    // batch 2: event 4 is at minute 0 — far behind the watermark
+    // (max seen 200min - 10min), so the stateful agg must drop it
+    events.where($"event_id" === 4).coalesce(1).write.parquet(s"$dir/b2")
+    q.processAllAvailable()
+    val dropped = q.lastProgress.stateOperators(0).numRowsDroppedByWatermark
+    q.stop()
+    assert(dropped == 1L, s"expected 1 late row dropped, got $dropped")
+  }
+
   test("tumbling window batch/streaming parity on the sf0.001 fixture") {
     val dir = "/root/testdata/sf0.001"
     val batch = EventStreams.tumblingWindowBatch(
