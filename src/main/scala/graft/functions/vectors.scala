@@ -18,12 +18,12 @@ object vectors {
   def norm(a: Column): Column =
     sqrt(aggregate(asDouble(a), lit(0.0), (acc, v) => acc + v * v))
 
-  /** Cosine similarity; 0.0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val nn = norm(a) * norm(b)
-    when(nn === 0.0, lit(0.0)).otherwise(d / nn)
-  }
+  /** Cosine similarity; 0.0 when either vector has zero norm. Runs in the
+    * native expression ([[graft.expressions.VectorExpressions]]) — the
+    * `zip_with`/`aggregate` form is interpreted per element.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.cosineSimilarity(a, b)
 
   /** L2-normalized copy of the vector (zero vector stays zero). */
   def l2Normalize(a: Column): Column = {
@@ -46,14 +46,8 @@ object vectors {
     */
   def hyperplaneBucket(vec: Column, dim: Int, bits: Int, seed: Long): Column = {
     val rng = new scala.util.Random(seed)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian()))
-    val bitCols = planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
-      val d = aggregate(zip_with(asDouble(vec), planeLit, (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v)
-      when(d >= 0.0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
+    val planes: Array[Array[Double]] =
+      Array.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
+    graft.expressions.VectorExpressions.hyperplaneSignBucket(vec, planes)
   }
 }

@@ -21,6 +21,20 @@ object BucketedTables {
       numBuckets: Int,
       sortCol: Option[String] = None,
       overwrite: Boolean = true): Unit = {
+    if (overwrite) {
+      val spark = df.sparkSession
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      // The in-memory catalog resets per JVM but the managed location does
+      // not; CTAS refuses a pre-existing location, so clear leftovers.
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val loc = new java.io.File(wh, table.toLowerCase(java.util.Locale.ROOT))
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
     var w = df.write.format("parquet")
       .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
       .bucketBy(numBuckets, bucketCol)
