@@ -74,7 +74,7 @@ object SparkEntry {
           col("l_discount").between(0.02, 0.06) && col("l_quantity") < 10)
         .select(col("l_orderkey"), col("l_linenumber"),
           (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "net_price")
     }),
 
     "q03_topk_revenue" -> ((s, d) => {
@@ -191,7 +191,7 @@ object SparkEntry {
         addColumns = Seq("p_brand", "p_retailprice"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("p_brand"), col("p_retailprice"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")
     }),
 
     "q15_matchmerge_left" -> ((s, d) => {
@@ -288,7 +288,8 @@ object SparkEntry {
         col("doc_id"),
         text.qualityScore(col("text")).as("quality"),
         round(text.punctRatio(col("text")), 6).as("punct_ratio"),
-        round(text.stopwordRatio(col("text")), 6).as("stopword_ratio"))
+        round(text.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        text.subwordCount(col("text")).cast("long").as("n_subwords"))
         .orderBy("doc_id")
     }),
 
@@ -423,6 +424,54 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "q44_ordinal" -> ((s, d) => {
+      // dense row ordinals over a deterministically ordered single partition
+      // — the ffdf implicit row order, driver-checkable
+      val sorted = t(s, d, "customer").orderBy("c_custkey").coalesce(1)
+      graft.ops.Ordinals.withRowOrdinal(sorted, "rowpos")
+        .select(col("c_custkey"), col("rowpos"))
+        .orderBy("c_custkey")
+    }),
+
+    "q45_approx_sketches" -> ((s, d) => {
+      // sketch aggregations: no DuckDB oracle (algorithm-specific values);
+      // rows-only check. Exactness-vs-sketch deltas are covered in tests.
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("n_orders_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q46_bucketed_join" -> ((s, d) => {
+      import graft.io.BucketedTables
+      // co-located join: both sides bucketed by the join key at write time;
+      // the join itself plans with no shuffle exchange
+      BucketedTables.writeBucketed(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        "graft_v_orders", "o_orderkey", 8, sortCol = Some("o_orderkey"))
+      BucketedTables.writeBucketed(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+        "graft_v_lineitem", "l_orderkey", 8, sortCol = Some("l_orderkey"))
+      BucketedTables.read(s, "graft_v_lineitem")
+        .join(BucketedTables.read(s, "graft_v_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+          col("l_quantity"), col("o_totalprice"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    }),
+
+    "q47_salted_join" -> ((s, d) => {
+      // skew-resistant salted join; result must equal the plain join
+      graft.ops.SkewJoin.salted(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey")),
+        t(s, d, "supplier").select(col("s_suppkey"), col("s_name")),
+        leftKeys = Seq("l_suppkey"), rightKeys = Seq("s_suppkey"), saltFactor = 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("s_name"))
+        .orderBy("l_orderkey", "l_linenumber", "s_name")
+    }),
+
     "q35_sql_text" -> ((s, d) => {
       // The reference's core capability: an arbitrary user SQL string
       // answered by the engine (`R/ffsql.R:171-176`) — here Spark SQL itself.
@@ -452,7 +501,7 @@ object SparkEntry {
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1998-01-01'
            AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 10
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, net_price""",
     "q03_topk_revenue" ->
       """SELECT l_orderkey,
          CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
@@ -525,7 +574,7 @@ object SparkEntry {
     "q14_matchmerge_inner" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, p_brand, p_retailprice
          FROM lineitem JOIN part ON l_partkey = p_partkey
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_partkey""",
     "q15_matchmerge_left" ->
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
          FROM orders LEFT JOIN customer ON o_custkey = c_custkey
@@ -601,6 +650,18 @@ object SparkEntry {
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          CAST(8 AS BIGINT) AS feature_dim
          FROM documents ORDER BY media_id""",
+    "q44_ordinal" ->
+      """SELECT c_custkey,
+         CAST(row_number() OVER (ORDER BY c_custkey) - 1 AS BIGINT) AS rowpos
+         FROM customer ORDER BY c_custkey""",
+    "q46_bucketed_join" ->
+      """SELECT l_orderkey, l_linenumber, o_custkey, l_quantity, o_totalprice
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         ORDER BY l_orderkey, l_linenumber, l_quantity""",
+    "q47_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, s_name
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         ORDER BY l_orderkey, l_linenumber, s_name""",
     "q43_sliding_window" ->
       """WITH fe AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type, value
                      FROM events),
