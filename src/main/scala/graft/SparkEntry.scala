@@ -424,6 +424,27 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "q48_locf_grouped" -> ((s, d) => {
+      // per-user LOCF+1 — window-partitioned, fully parallel (no total order)
+      val ev = events(s, d).select(col("user_id"), col("event_id"),
+        when(pmod(col("event_id"), lit(7)).isin(2, 3), lit(null))
+          .otherwise(col("value")).as("x"))
+      graft.ops.NaLocfPlusOne.byGroup(ev, Seq("user_id"), "event_id", "x", "filled")
+        .select(col("user_id"), col("event_id"), col("filled"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q49_multimodal_frames" -> ((s, d) => {
+      // frame-sampling + resize-planning plumbing; hash values are engine-
+      // specific -> rows-only check
+      val media = Multimodal.fakeMediaTable(t(s, d, "documents"), "doc_id", "text")
+      Multimodal.frameSample(media, frames = 4)
+        .join(Multimodal.planResize(media, maxSide = 256), Seq("media_id"))
+        .select(col("media_id"), size(col("frame_hashes")).cast("long").as("n_frames"),
+          col("target_width"), col("target_height"))
+        .orderBy("media_id")
+    }),
+
     "q44_ordinal" -> ((s, d) => {
       // dense row ordinals over a deterministically ordered single partition
       // — the ffdf implicit row order, driver-checkable
@@ -650,6 +671,23 @@ object SparkEntry {
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          CAST(8 AS BIGINT) AS feature_dim
          FROM documents ORDER BY media_id""",
+    "q48_locf_grouped" ->
+      """WITH t AS (SELECT user_id, event_id,
+             CASE WHEN event_id % 7 IN (2,3) THEN NULL ELSE value END AS x
+             FROM events),
+         t2 AS (SELECT user_id, event_id, x,
+             sum(CASE WHEN x IS NULL THEN 1 ELSE 0 END) OVER w AS ix,
+             last_value(x IGNORE NULLS) OVER w AS locf
+             FROM t WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         t3 AS (SELECT user_id, event_id, x, ix, locf,
+             max(CASE WHEN x IS NOT NULL THEN ix ELSE 0 END) OVER
+               (PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+             FROM t2)
+         SELECT user_id, event_id,
+           CASE WHEN x IS NOT NULL THEN x ELSE locf + (ix - cm) END AS filled
+         FROM t3 ORDER BY user_id, event_id""",
     "q44_ordinal" ->
       """SELECT c_custkey,
          CAST(row_number() OVER (ORDER BY c_custkey) - 1 AS BIGINT) AS rowpos

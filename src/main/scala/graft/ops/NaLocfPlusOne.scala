@@ -114,4 +114,30 @@ object NaLocfPlusOne {
     val outSchema = schema.add(outCol, DoubleType, nullable = true)
     spark.createDataFrame(outRdd, outSchema)
   }
+
+  /** Per-group LOCF+1: the same gap-fill within each group (e.g. per user,
+    * per sensor). Unlike the global variant, this needs NO custom two-pass
+    * machinery — a window partitioned by the group keys is already
+    * partition-parallel and codegen'd, because each group's order is local.
+    * This is the form a 100 TB pipeline should prefer whenever a grouping
+    * key exists.
+    *
+    * Same cumsum/cummax identity as the reference (`R/utils.R:50-51`):
+    * `filled = locf + ix - cummax(ix * notNull)`.
+    */
+  def byGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      outCol: String = "filled"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val v = col(valueCol).cast(DoubleType)
+    val ix = sum(when(v.isNull, 1L).otherwise(0L)).over(w)
+    val locf = last(v, ignoreNulls = true).over(w)
+    val cm = max(when(v.isNotNull, ix).otherwise(0L)).over(w)
+    df.withColumn(outCol, when(v.isNotNull, v).otherwise(locf + (ix - cm)))
+  }
 }

@@ -50,6 +50,25 @@ class NaLocfPlusOneSpec extends AnyFunSuite with SparkSpec {
     assert(run(Seq(None, None, None), 2) == Seq(None, None, None))
   }
 
+  test("byGroup: per-group LOCF+1 matches the per-sequence oracle") {
+    val rng = new scala.util.Random(23)
+    val rows = for {
+      g <- 0 until 5
+      i <- 0 until 30
+    } yield (g.toLong, i.toLong,
+      if (rng.nextBoolean()) Some(rng.nextInt(50).toDouble) else None)
+    val df = rows.toDF("g", "ord", "x")
+    val got = NaLocfPlusOne.byGroup(df, Seq("g"), "ord", "x")
+      .orderBy("g", "ord").select("g", "filled")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    val expected = rows.groupBy(_._1).view.mapValues(grp =>
+      oracle(grp.sortBy(_._2).map(_._3))).toMap
+    got.groupBy(_._1).foreach { case (g, vs) =>
+      assert(vs.map(_._2).toSeq == expected(g), s"group $g")
+    }
+  }
+
   test("null runs spanning partition boundaries carry correctly (property)") {
     val rng = new scala.util.Random(5)
     for (trial <- 1 to 5) {
