@@ -32,17 +32,6 @@ object Dedup {
     df.groupBy(cols.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
-  /** Word shingles of length `k` as a distinct array (short docs collapse to
-    * one whole-document shingle).
-    */
-  def wordShingles(c: Column, k: Int): Column = {
-    val toks = text.tokens(c)
-    array_distinct(
-      when(size(toks) < k, array(concat_ws(" ", toks)))
-        .otherwise(transform(sequence(lit(1), size(toks) - (k - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(k))))))
-  }
-
   /** All shingle/gram sets are sorted distinct long arrays produced by the
     * native expressions in [[graft.expressions.GramHashExpressions]] — the
     * interpreted higher-order-function formulation (`transform` + `substr` +
@@ -168,16 +157,24 @@ object Dedup {
       graft.expressions.GramHashExpressions.simhash64(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs within `maxHamming` bit flips. Candidates via
-    * 16-bit band equality (pigeonhole: hamming<=3 pairs share >=1 of 4
-    * bands), verified with `bit_count(xor)`.
+    * bit-band equality; by pigeonhole, `maxHamming` flips cannot touch all
+    * of `maxHamming + 1` bands, so the band count DERIVES from `maxHamming`
+    * — a fixed 4-band split would silently lose recall for maxHamming > 3.
+    * Verified with `bit_count(xor)`.
     */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      "maxHamming must be in [0, 31] (banding needs >=2-bit bands)")
     val sh = simhash(df, idCol, textCol)
-    val bandCols = (0 until 4).map { b =>
+    val nBands = maxHamming + 1
+    val width = 64 / nBands // last band absorbs the remainder
+    val bandCols = (0 until nBands).map { b =>
+      val w = if (b == nBands - 1) 64 - b * width else width
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bh"))
+        shiftright(col("simhash"), b * width).bitwiseAND(mask).as("bh"))
     }
     val buckets = sh.select(col(idCol), col("simhash"),
       explode(array(bandCols: _*)).as("bb"))

@@ -23,16 +23,20 @@ object Similarity {
   /** Exact top-k: for every row of `queries`, the `k` nearest `corpus` rows
     * by cosine. `queries` is broadcast — keep it bounded (the 100 TB-scale
     * contract: corpus huge, probe set small).
+    *
+    * `excludeSelf` filters neighbor_id == query_id; only set it when queries
+    * are drawn FROM the corpus under one id space — with distinct id spaces
+    * it would silently drop an unrelated corpus row per query.
     */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, excludeSelf: Boolean = true): DataFrame = {
     val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
       col(vecCol).as("q_vec")))
     val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .join(q) // broadcast nested loop; corpus never shuffles
-      .where(col("neighbor_id") =!= col("query_id"))
+      .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .withColumn("cosine", vectors.cosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -51,7 +55,8 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String, dim: Int,
-      k: Int = 10, tables: Int = 8, bits: Int = 8): DataFrame = {
+      k: Int = 10, tables: Int = 8, bits: Int = 8,
+      excludeSelf: Boolean = true): DataFrame = {
     def bucketed(df: DataFrame, id: String, out: String, vout: String): DataFrame = {
       val bs = (0 until tables).map { t =>
         struct(lit(t).as("tbl"),
@@ -65,7 +70,7 @@ object Similarity {
     val c = bucketed(corpus, idCol, "neighbor_id", "c_vec")
     val q = bucketed(queries, queryIdCol, "query_id", "q_vec")
     val cand = c.join(q, Seq("tbl", "bh"))
-      .where(col("neighbor_id") =!= col("query_id"))
+      .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select("query_id", "q_vec", "neighbor_id", "c_vec")
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", vectors.cosine(col("q_vec"), col("c_vec")))

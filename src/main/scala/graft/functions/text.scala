@@ -115,12 +115,6 @@ object text {
       digitPenalty * 0.15 + stop * 0.2, 6)
   }
 
-  /** Character k-grams of a string as an array (deterministic order). */
-  def charNgrams(c: Column, k: Int): Column =
-    when(length(c) < k, array(c))
-      .otherwise(transform(sequence(lit(1), length(c) - (k - 1)),
-        i => c.substr(i, lit(k))))
-
   /** Rolling-hash document fingerprint: min hash over character k-grams of
     * the normalized text (lower-cased, whitespace collapsed). Two documents
     * sharing their minimal k-gram hash are near-identical candidates — this

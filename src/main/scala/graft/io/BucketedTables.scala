@@ -23,17 +23,17 @@ object BucketedTables {
       overwrite: Boolean = true): Unit = {
     if (overwrite) {
       val spark = df.sparkSession
+      require(!table.contains("."),
+        "writeBucketed manages default-database tables; pass an unqualified name")
       spark.sql(s"DROP TABLE IF EXISTS `$table`")
       // The in-memory catalog resets per JVM but the managed location does
-      // not; CTAS refuses a pre-existing location, so clear leftovers.
-      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      val loc = new java.io.File(wh, table.toLowerCase(java.util.Locale.ROOT))
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(loc)
-      }
+      // not; CTAS refuses a pre-existing location, so clear leftovers via the
+      // Hadoop FileSystem API (works for file:, hdfs:, s3a: warehouses alike).
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(wh,
+        table.toLowerCase(java.util.Locale.ROOT))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
     }
     var w = df.write.format("parquet")
       .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)

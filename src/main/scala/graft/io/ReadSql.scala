@@ -91,6 +91,8 @@ object ReadSql {
       if (partOpts.nonEmpty) Map("dbtable" -> s"($query) AS graft_sub") else Map("query" -> query)
 
     val raw = base(srcOpt ++ partOpts + ("fetchsize" -> fetch.toString))
+    require(nrows <= Int.MaxValue,
+      s"nrows=$nrows exceeds Spark's Int limit cap; drop the cap or filter in SQL")
     val limited = if (nrows >= 0L) raw.limit(nrows.toInt) else raw
     val transformed = transform(limited)
 

@@ -35,10 +35,15 @@ object WriteSql {
       append: Boolean = false,
       batchSize: Int = 1000,
       numPartitions: Int = 0,
-      orderedBy: Option[String] = None): Unit = {
+      orderedBy: Option[String] = None,
+      requireNonEmpty: Boolean = true): Unit = {
     GraftDerbyDialect.ensureRegistered()
     require(!(overwrite && append), "overwrite and append are exclusive")
-    require(df.head(1).nonEmpty, "nothing to write: input has zero rows")
+    // Reference semantic `stopifnot(nrow(x) > 0)`. NOTE: this check runs the
+    // upstream plan once before the write runs it again — for an expensive
+    // pipeline either persist the input or pass requireNonEmpty = false.
+    if (requireNonEmpty)
+      require(df.head(1).nonEmpty, "nothing to write: input has zero rows")
 
     val arranged = orderedBy match {
       case Some(c) => df.orderBy(col(c)).coalesce(1)

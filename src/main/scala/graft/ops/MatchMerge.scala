@@ -73,9 +73,16 @@ object MatchMerge {
           "Key of y contains doubles: matchmerge requires a unique right-side key")
     }
 
-    // Rename appended y columns that collide with x columns (suffix rule).
-    val outNames: Seq[(String, String)] =
-      addCols.map(c => c -> (if (x.columns.contains(c)) c + suffix else c))
+    // Rename appended y columns that collide with x columns (suffix rule);
+    // re-apply the suffix until the name is free of BOTH x's columns and the
+    // names already assigned (x may itself contain e.g. "b" AND "b_y").
+    val taken = scala.collection.mutable.Set[String](x.columns.toIndexedSeq: _*)
+    val outNames: Seq[(String, String)] = addCols.map { c =>
+      var n = c
+      while (taken.contains(n)) n = n + suffix
+      taken += n
+      c -> n
+    }
     val yRenamed = outNames.foldLeft(yProj) { case (d, (o, n)) =>
       if (o != n) d.withColumnRenamed(o, n) else d
     }

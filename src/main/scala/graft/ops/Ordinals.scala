@@ -38,8 +38,8 @@ object Ordinals {
       base: DataFrame,
       extra: DataFrame,
       colName: String = "_rowpos"): DataFrame = {
-    val next = base.agg(org.apache.spark.sql.functions.max(col(colName)))
-      .head().getLong(0) + 1L
+    val maxRow = base.agg(org.apache.spark.sql.functions.max(col(colName))).head()
+    val next = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) + 1L
     base.unionByName(withRowOrdinal(extra, colName, next))
   }
 }

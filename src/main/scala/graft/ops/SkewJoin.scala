@@ -28,6 +28,13 @@ object SkewJoin {
       joinType: String = "inner"): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length)
     require(saltFactor > 1, "saltFactor must be > 1")
+    // Replicating the right side is only sound for join types that never
+    // emit an unmatched RIGHT row — a right/full outer would surface each
+    // unmatched right row once per salt replica.
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(allowed.contains(joinType.toLowerCase(java.util.Locale.ROOT).replace(" ", "_")),
+      s"salted join supports inner/left/left_semi/left_anti, not $joinType")
 
     val saltedLeft = left.withColumn("_salt",
       pmod(xxhash64(left.columns.map(c => col(s"`$c`")): _*), lit(saltFactor))

@@ -101,6 +101,14 @@ class ReadWriteSqlSpec extends AnyFunSuite with SparkSpec {
     assert(lv.distinct == lv)
   }
 
+  test("zero-row query returns an empty DataFrame WITH schema (divergence from reference, SURVEY §1.2)") {
+    val df = ReadSql(spark, url, "SELECT * FROM TESTDATA WHERE 1 = 0")
+    assert(df.columns.toSeq == Seq("a", "b", "c"))
+    assert(df.count() == 0)
+    // still composable: downstream ops work on the empty frame
+    assert(df.groupBy("a").count().count() == 0)
+  }
+
   test("ordered write: single sorted partition (parity mode, SURVEY §2.2)") {
     val df = Seq((3, "c"), (1, "a"), (2, "b")).toDF("k", "v")
     WriteSql(df, url, "ORDERED_T", overwrite = true, orderedBy = Some("k"))

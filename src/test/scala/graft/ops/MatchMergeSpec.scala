@@ -58,6 +58,14 @@ class MatchMergeSpec extends AnyFunSuite with SparkSpec {
     assert(out.columns.toSeq == Seq("idlhs", "a", "a_y"))
   }
 
+  test("suffix collision cascades when x already holds the suffixed name") {
+    val l = Seq((1, "v", "w")).toDF("idlhs", "b", "b_y")
+    val r = Seq((1, "rb")).toDF("idrhs", "b")
+    val out = MatchMerge(l, r, Seq("idlhs"), Seq("idrhs"))
+    assert(out.columns.toSeq == Seq("idlhs", "b", "b_y", "b_y_y"))
+    assert(out.columns.distinct.length == out.columns.length)
+  }
+
   test("multi-column key: true equi-join, not paste concatenation") {
     // the classic paste collision: ("a b", "c") vs ("a", "b c")
     val l = Seq(("a b", "c", 1), ("a", "b c", 2)).toDF("k1", "k2", "v")
@@ -67,6 +75,25 @@ class MatchMergeSpec extends AnyFunSuite with SparkSpec {
     val compat = MatchMerge(l, r, Seq("k1", "k2"), Seq("j1", "j2"),
       pasteCompat = true, checkDuplicates = false)
     assert(compat.count() == 2) // reference byte-behavior: both collide
+  }
+
+  test("empty sides behave: empty y -> inner empty / left all-null; empty x -> empty") {
+    val emptyRight = right.where(col("idrhs") < 0)
+    assert(MatchMerge(left, emptyRight, Seq("idlhs"), Seq("idrhs")).count() == 0)
+    val lo = MatchMerge(left, emptyRight, Seq("idlhs"), Seq("idrhs"), allX = true)
+    assert(lo.count() == 7 && lo.where(col("b").isNotNull).count() == 0)
+    val emptyLeft = left.where(col("idlhs") < 0)
+    assert(MatchMerge(emptyLeft, right, Seq("idlhs"), Seq("idrhs")).count() == 0)
+  }
+
+  test("null join keys never match (match() semantics: NA finds nothing)") {
+    val l = Seq((Some(1), "a"), (None, "b")).toDF("k", "v")
+    val r = Seq((Some(1), "x"), (None, "y")).toDF("k2", "w")
+    val inner = MatchMerge(l, r, Seq("k"), Seq("k2"))
+    assert(inner.count() == 1) // only the 1-1 match; null != null
+    val outer = MatchMerge(l, r, Seq("k"), Seq("k2"), allX = true)
+    assert(outer.count() == 2)
+    assert(outer.where(col("v") === "b").select("w").head().isNullAt(0))
   }
 
   test("left-join preserves LHS cardinality when RHS key unique (property)") {

@@ -25,6 +25,13 @@ class OrdinalsSpec extends AnyFunSuite with SparkSpec {
     assert(zs == Set(2L, 3L))
   }
 
+  test("appendWithOrdinal onto an empty base starts at zero") {
+    val emptyBase = Ordinals.withRowOrdinal(
+      Seq(("x", 1)).toDF("v", "n").where($"n" < 0))
+    val out = Ordinals.appendWithOrdinal(emptyBase, Seq(("y", 2)).toDF("v", "n"))
+    assert(out.select("_rowpos").as[Long].collect().toSeq == Seq(0L))
+  }
+
   test("ordinal preserves input order within original partitions") {
     val df = (1 to 50).map(i => Tuple1(i)).toDF("k").coalesce(1)
     val w = Ordinals.withRowOrdinal(df)
