@@ -424,6 +424,13 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "q50_correlate" -> ((s, d) => {
+      // per-user event correlation (click -> purchase within 60 min):
+      // the batch twin of the watermarked stream-stream join
+      EventStreams.correlate(events(s, d), events(s, d), "click", "purchase", 60)
+        .orderBy("user_id", "a_id", "b_id")
+    }),
+
     "q48_locf_grouped" -> ((s, d) => {
       // per-user LOCF+1 — window-partitioned, fully parallel (no total order)
       val ev = events(s, d).select(col("user_id"), col("event_id"),
@@ -671,6 +678,13 @@ object SparkEntry {
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          CAST(8 AS BIGINT) AS feature_dim
          FROM documents ORDER BY media_id""",
+    "q50_correlate" ->
+      """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+         CAST(floor(epoch(b.ts)) AS BIGINT) - CAST(floor(epoch(a.ts)) AS BIGINT) AS lag_sec
+         FROM events a JOIN events b ON a.user_id = b.user_id
+         WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+         ORDER BY 1, 2, 3""",
     "q48_locf_grouped" ->
       """WITH t AS (SELECT user_id, event_id,
              CASE WHEN event_id % 7 IN (2,3) THEN NULL ELSE value END AS x

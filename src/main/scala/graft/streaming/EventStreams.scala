@@ -29,6 +29,19 @@ object EventStreams {
       case _ => df.withColumn("ts", col("ts").cast("timestamp"))
     }
 
+  /** The file stream source requires a DIRECTORY; when given a single
+    * parquet file, stage a symlink to it inside a temp dir.
+    */
+  def stageStreamDir(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(p)) path
+    else {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
+      java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p.toAbsolutePath)
+      d.toString
+    }
+  }
+
   /** Batch twin: tumbling-window counts/sums per event_type. */
   def tumblingWindowBatch(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
     events
@@ -46,19 +59,8 @@ object EventStreams {
       spark: SparkSession, eventsPath: String, queryName: String,
       windowLen: String = "1 hour", watermark: String = "10 minutes"): DataFrame = {
     val schema = spark.read.parquet(eventsPath).schema
-    // The file stream source requires a DIRECTORY; when given a single
-    // parquet file, stage a symlink to it inside a temp dir.
-    val streamDir = {
-      val p = java.nio.file.Paths.get(eventsPath)
-      if (java.nio.file.Files.isDirectory(p)) eventsPath
-      else {
-        val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
-        java.nio.file.Files.createSymbolicLink(
-          d.resolve(p.getFileName), p.toAbsolutePath)
-        d.toString
-      }
-    }
-    val stream = normalizeTs(spark.readStream.schema(schema).parquet(streamDir))
+    val stream = normalizeTs(
+      spark.readStream.schema(schema).parquet(stageStreamDir(eventsPath)))
     val agg = stream
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
@@ -94,6 +96,35 @@ object EventStreams {
         round(sum(col("value")), 4).as("sum_value"),
         (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
           .as("duration_sec"))
+  }
+
+  /** Correlate two event types per user within a time bound — e.g. every
+    * purchase within `withinMinutes` after a click. Works identically on
+    * batch and streaming inputs; on streams this is a watermarked
+    * stream-stream inner join whose state is bounded by the watermark plus
+    * the time-range condition (Spark drops buffered rows older than
+    * watermark + within).
+    */
+  def correlate(
+      a: DataFrame, b: DataFrame,
+      typeA: String, typeB: String,
+      withinMinutes: Int = 60,
+      watermark: String = "10 minutes"): DataFrame = {
+    val isStreaming = a.isStreaming
+    def side(df: DataFrame, typ: String, pfx: String): DataFrame = {
+      val filtered = df.where(col("event_type") === typ)
+        .select(col("user_id").as(s"${pfx}_user"), col("ts").as(s"${pfx}_ts"),
+          col("event_id").as(s"${pfx}_id"), col("value").as(s"${pfx}_value"))
+      if (isStreaming) filtered.withWatermark(s"${pfx}_ts", watermark) else filtered
+    }
+    val l = side(a, typeA, "a")
+    val r = side(b, typeB, "b")
+    l.join(r,
+      col("a_user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("a_user").as("user_id"), col("a_id"), col("b_id"),
+        (unix_timestamp(col("b_ts")) - unix_timestamp(col("a_ts"))).as("lag_sec"))
   }
 
   // NOTE: these must be public — Catalyst's generated (de)serializer code

@@ -79,6 +79,27 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(dropped == 1L, s"expected 1 late row dropped, got $dropped")
   }
 
+  test("stream-stream correlate matches its batch twin on the sf0.001 fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = EventStreams.normalizeTs(
+      spark.read.parquet(s"$dir/events.parquet"))
+    val expected = EventStreams.correlate(
+      batchEvents, batchEvents, "click", "purchase", 60)
+      .orderBy("user_id", "a_id", "b_id").collect().toSeq
+
+    val stream = EventStreams.normalizeTs(
+      spark.readStream.schema(spark.read.parquet(s"$dir/events.parquet").schema)
+        .parquet(EventStreams.stageStreamDir(s"$dir/events.parquet")))
+    val q = EventStreams.correlate(stream, stream, "click", "purchase", 60)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("corr_test").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("corr_test")
+      .orderBy("user_id", "a_id", "b_id").collect().toSeq
+    assert(got == expected)
+    assert(expected.nonEmpty)
+  }
+
   test("tumbling window batch/streaming parity on the sf0.001 fixture") {
     val dir = "/root/testdata/sf0.001"
     val batch = EventStreams.tumblingWindowBatch(
