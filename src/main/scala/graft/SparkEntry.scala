@@ -275,6 +275,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q51_knn_ivf" -> ((s, d) => {
+      // IVF coarse-quantizer ANN: train k-means cells, probe nearest cells,
+      // exact rerank. Rows-only (centroid FP wobble is run-local).
+      val emb = t(s, d, "embeddings")
+      val model = graft.ext.Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 3)
+      graft.ext.Ivf.topK(model, emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", "vec_id", k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     "q26_token_stats" -> ((s, d) => {
       t(s, d, "documents").select(
         col("doc_id"),

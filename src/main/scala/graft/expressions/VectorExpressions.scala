@@ -83,6 +83,47 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Indices of the `nProbe` nearest centroids (by cosine) for a vector —
+    * the IVF coarse-quantizer assignment, one tight k x dim loop per row.
+    * Returns array<int> ordered nearest-first.
+    */
+  case class NearestCentroids(
+      child: Expression, centroids: Array[Array[Double]], nProbe: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(centroids.nonEmpty && nProbe >= 1)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "nearest_centroids"
+
+    private lazy val centroidNorms: Array[Double] =
+      centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = toDoubles(input.asInstanceOf[ArrayData], elemType(child.dataType))
+      val vn = math.sqrt(v.map(x => x * x).sum)
+      val sims = new Array[Double](centroids.length)
+      var c = 0
+      while (c < centroids.length) {
+        val cen = centroids(c)
+        val n = math.min(v.length, cen.length)
+        var d = 0.0; var i = 0
+        while (i < n) { d += v(i) * cen(i); i += 1 }
+        val denom = vn * centroidNorms(c)
+        sims(c) = if (denom == 0.0) -2.0 else d / denom
+        c += 1
+      }
+      val order = sims.indices.sortBy(i => (-sims(i), i)).take(nProbe)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        order.map(Int.box).toArray[Any])
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def nearestCentroids(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    ColumnBridge.column(
+      NearestCentroids(ColumnBridge.expression(vec), centroids, nProbe))
+
   def cosineSimilarity(a: Column, b: Column): Column =
     ColumnBridge.column(
       CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expressions.VectorExpressions
+import graft.functions.vectors
+
+/** IVF-style approximate nearest neighbor: a k-means coarse quantizer
+  * partitions the corpus into `k` cells; queries probe only the `nProbe`
+  * nearest cells and re-rank exactly inside them.
+  *
+  * Scale design: training touches the corpus `iters` times with map-side
+  * partial aggregation only (posexplode + groupBy(cluster, dim)); the model
+  * itself is k x dim doubles — driver-held and inlined into a native
+  * expression (no broadcast join). Search cost is |cell| * nProbe per query
+  * instead of |corpus|, and every stage is an equi-join on the cell id. This
+  * is the complementary scale path to hyperplane LSH
+  * ([[Similarity.lshTopK]]): IVF adapts to the data distribution, LSH is
+  * oblivious but trains for free.
+  *
+  * Determinism: centroid init picks the `k` corpus vectors with the smallest
+  * `xxhash64(id)` (a seeded pseudo-random but reproducible sample); Lloyd
+  * iterations use exact means (FP-order variation across runs is confined to
+  * last-bit centroid wobble).
+  */
+object Ivf {
+
+  /** Trained coarse quantizer: `centroids(i)` is cell i's center. */
+  final case class Model(centroids: Array[Array[Double]])
+
+  def train(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5): Model = {
+    require(k >= 1, "k must be >= 1")
+    val vecs = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+
+    // deterministic seeded init: k vectors with smallest hash(id)
+    var centroids: Array[Array[Double]] = vecs
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+
+    for (_ <- 0 until iters) {
+      val assigned = vecs.withColumn("cell",
+        VectorExpressions.nearestCentroids(col("v"), centroids, 1)(0))
+      // new centroid = per-dimension mean; posexplode + two-level groupBy is
+      // all map-side-combinable aggregation
+      val dims = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg("x").as("m"))
+        .collect()
+      val byCell = dims.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+          case None => centroids(c) // empty cell keeps its old center
+        }
+      }.toArray
+    }
+    Model(centroids)
+  }
+
+  /** Approximate top-k: assign corpus rows to their cell once, probe the
+    * `nProbe` nearest cells per query, exact cosine re-rank within them.
+    */
+  def topK(
+      model: Model,
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      k: Int = 10, nProbe: Int = 2, excludeSelf: Boolean = true): DataFrame = {
+    val cells = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"),
+      VectorExpressions.nearestCentroids(col(vecCol), model.centroids, 1)(0).as("cell"))
+    val probes = queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("q_vec"),
+      explode(VectorExpressions.nearestCentroids(
+        col(vecCol), model.centroids, nProbe)).as("cell"))
+    val cand = cells.join(probes, Seq("cell"))
+      .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", vectors.cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+}

@@ -34,6 +34,20 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(cos.head > 0.99) // same-cluster vectors are near-identical
   }
 
+  test("IVF top-k achieves high recall vs brute force on clustered data") {
+    val queries = clustered.where($"vec_id" % 10 === 0L)
+    val exact = Similarity.bruteForceTopK(clustered, queries,
+      "vec_id", "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val model = Ivf.train(clustered, "vec_id", "embedding", k = 6, iters = 4)
+    assert(model.centroids.length == 6 && model.centroids.head.length == 16)
+    val approx = Ivf.topK(model, clustered, queries,
+      "vec_id", "embedding", "vec_id", k = 5, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
   test("LSH top-k achieves high recall vs brute force on clustered data") {
     val queries = clustered.where($"vec_id" % 10 === 0L) // one per cluster
     val exact = Similarity.bruteForceTopK(clustered, queries,
