@@ -19,7 +19,9 @@ object text {
     * (`R/ffsql.R:186`).
     */
   def tokens(c: Column): Column =
-    filter(split(lower(c), "\\W+"), t => length(t) > 0)
+    // array_remove instead of a filter() lambda: the higher-order function
+    // runs interpreted, array_remove stays inside whole-stage codegen
+    array_remove(split(lower(c), "\\W+"), "")
 
   /** Whitespace token count (0 for empty/blank). */
   def tokenCount(c: Column): Column =
@@ -31,9 +33,9 @@ object text {
     * a vocab. Deterministic; useful for token budget estimation.
     */
   def subwordCount(c: Column): Column =
-    size(filter(split(c,
+    size(array_remove(transform(split(c,
       "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})"),
-      t => length(trim(t)) > 0))
+      t => trim(t)), ""))
 
   def punctCount(c: Column): Column =
     length(c) - length(regexp_replace(c, "\\p{Punct}", ""))
