@@ -42,6 +42,22 @@ object BucketedTables {
     w.saveAsTable(table)
   }
 
+  /** Write the bucketed table only if it does not already exist in this
+    * session's catalog — the "prepare once" path. Bucketing is a one-time
+    * physical layout cost; callers that re-derive the same table per query
+    * (or per benchmark iteration) would otherwise charge the full write to
+    * every run. Table names must therefore be unique per source dataset
+    * (e.g. carry a scale-factor tag).
+    */
+  def ensureBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int,
+      sortCol: Option[String] = None): Unit =
+    if (!df.sparkSession.catalog.tableExists(table))
+      writeBucketed(df, table, bucketCol, numBuckets, sortCol)
+
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
   /** True when the physical plan of `df` contains a shuffle exchange —
