@@ -316,6 +316,28 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q52_embed_neardup" -> ((s, d) => {
+      // Embedding-cosine near-dup over the corpus plus planted exact
+      // duplicates (id-shifted copy): identical vectors land in identical
+      // hyperplane buckets with probability 1, so LSH recall on the planted
+      // pairs is deterministic — the exact-cosine oracle must match exactly.
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.union(
+        emb.select((col("vec_id") + lit(100000L)).as("vec_id"), col("embedding")))
+      Dedup.embeddingNearDupPairs(planted, "vec_id", "embedding", dim = 64,
+        threshold = 0.95, tables = 4, bits = 12)
+        .orderBy("id_l", "id_r")
+    }),
+
+    "q53_recoder_numeric" -> ((s, d) => {
+      // type-generic recoder (reference `R/utils.R:24-32`): integer column
+      Ops.recodeCol(t(s, d, "lineitem"), "l_linenumber",
+        from = Seq(1, 2), to = Seq(101, 102))
+        .groupBy(col("l_linenumber").as("ln"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("ln")
+    }),
+
     "q26_token_stats" -> ((s, d) => {
       t(s, d, "documents").select(
         col("doc_id"),
@@ -341,10 +363,17 @@ object SparkEntry {
     }),
 
     "q29_fingerprint" -> ((s, d) => {
+      // Oracle-checkable fingerprint surface: the md5 token-set fingerprint
+      // reproduces bit-for-bit in any SQL engine. The xxhash64 fast path
+      // (text.tokenSetFingerprint) and the rolling-gram MinHash
+      // (text.fingerprint) share the token/gram semantics verified here and
+      // are asserted engine-side in TextSpec (no portable oracle for
+      // Spark-internal xxhash64).
       t(s, d, "documents").select(
         col("doc_id"),
-        text.fingerprint(col("text")).as("fp"),
-        text.tokenSetFingerprint(col("text")).as("token_set_fp"))
+        text.tokenSetFingerprintHex(col("text")).as("token_set_fp"),
+        size(array_distinct(text.tokens(col("text")))).cast("long")
+          .as("n_distinct_tokens"))
         .orderBy("doc_id")
     }),
 
@@ -385,7 +414,7 @@ object SparkEntry {
       // sliding window: 2h length, 1h slide — every event lands in 2 windows
       events(s, d)
         .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
         .select(unix_timestamp(col("w.start")).as("wstart"), col("event_type"),
           col("n_events"), col("sum_value"))
         .orderBy("wstart", "event_type")
@@ -396,7 +425,7 @@ object SparkEntry {
       // flatMapGroupsWithState sessionizer; gap semantics: diff >= gap splits.
       events(s, d)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
-        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
         .select(col("user_id"), unix_timestamp(col("sw.start")).as("session_start"),
           col("n_events"), col("sum_value"))
         .orderBy("user_id", "session_start")
@@ -675,6 +704,83 @@ object SparkEntry {
     "q20_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
          FROM documents GROUP BY text ORDER BY doc_id""",
+    // Exact cosine top-k is ANSI-expressible: DuckDB's
+    // list_cosine_similarity on DOUBLE[] accumulates in double like the
+    // native CosineSimilarity expression; ranks use the UNROUNDED score on
+    // both sides, output rounds to 6dp (Similarity.bruteForceTopK contract).
+    "q24_knn_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+         s AS (SELECT query_id, neighbor_id,
+                 list_cosine_similarity(qv, cv) AS cos_raw
+               FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         r AS (SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+               FROM s)
+         SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
+    "q27_text_quality" ->
+      """WITH base AS (SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+             length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_nonspace,
+             list_distinct(list_filter(regexp_split_to_array(lower(text), '\W+'),
+               x -> x <> '')) AS toks,
+             len(regexp_extract_all(regexp_replace(text, '\s+', ' ', 'g'),
+               '\p{L}+|\p{N}+|[^\p{L}\p{N} ]')) AS n_sub
+           FROM documents),
+         m AS (SELECT doc_id, n_sub,
+             CASE WHEN n_chars = 0 THEN 0.0
+                  ELSE CAST(n_punct AS DOUBLE) / n_chars END AS pr,
+             CASE WHEN n_chars = 0 THEN 0.0
+                  ELSE CAST(n_digit AS DOUBLE) / n_chars END AS dr,
+             CASE WHEN n_tok = 0 THEN 0.0
+                  ELSE CAST(n_nonspace AS DOUBLE) / n_tok END AS atl,
+             CAST(n_tok AS DOUBLE) AS tkd,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(toks,
+                    ['the','and','of','to','in','is','that','it','was','for',
+                     'with','are','this','not','have','from','they','which']))
+                    AS DOUBLE) / len(toks) END AS sr
+           FROM base)
+         SELECT doc_id,
+           round(least(tkd / 100.0, 1.0) * 0.25
+             + (CASE WHEN atl BETWEEN 2.5 AND 9.0 THEN 1.0 ELSE 0.3 END) * 0.2
+             + greatest(0.0, 1.0 - pr * 4.0) * 0.2
+             + greatest(0.0, 1.0 - dr * 4.0) * 0.15
+             + least(sr * 4.0, 1.0) * 0.2, 6) AS quality,
+           round(pr, 6) AS punct_ratio,
+           round(sr, 6) AS stopword_ratio,
+           CAST(n_sub AS BIGINT) AS n_subwords
+         FROM m ORDER BY doc_id""",
+    "q52_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+                    UNION ALL
+                    SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings),
+         p AS (SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+                 list_cosine_similarity(a.ev, b.ev) AS c
+               FROM e a JOIN e b ON a.vec_id < b.vec_id
+               WHERE list_cosine_similarity(a.ev, b.ev) >= 0.95)
+         SELECT id_l, id_r, round(c, 6) AS cosine FROM p ORDER BY id_l, id_r""",
+    "q53_recoder_numeric" ->
+      """SELECT CASE WHEN l_linenumber = 1 THEN 101
+                     WHEN l_linenumber = 2 THEN 102
+                     ELSE l_linenumber END AS ln, count(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY ln""",
+    "q29_fingerprint" ->
+      """WITH toks AS (SELECT doc_id,
+             list_sort(list_distinct(list_filter(
+               regexp_split_to_array(lower(text), '\W+'), x -> x <> ''))) AS tk
+           FROM documents)
+         SELECT doc_id, md5(array_to_string(tk, ' ')) AS token_set_fp,
+           CAST(len(tk) AS BIGINT) AS n_distinct_tokens
+         FROM toks ORDER BY doc_id""",
     "q26_token_stats" ->
       """SELECT doc_id,
          CAST(CASE WHEN trim(text) = '' THEN 0
@@ -693,7 +799,7 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
              FROM f)
          SELECT user_id, session_id, count(*) AS n_events,
-           round(sum(value), 4) AS sum_value,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
            CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
          FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""",
     "q31_window_tumbling" ->
@@ -701,14 +807,14 @@ object SparkEntry {
            (CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 3600) AS wstart,
            event_type, value FROM events)
          SELECT wstart, event_type, count(*) AS n_events,
-           round(sum(value), 4) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM b GROUP BY wstart, event_type ORDER BY wstart, event_type""",
     "q32_stream_tumbling" ->
       """WITH b AS (SELECT
            (CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 3600) AS wstart,
            event_type, value FROM events)
          SELECT wstart, event_type, count(*) AS n_events,
-           round(sum(value), 4) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM b GROUP BY wstart, event_type ORDER BY wstart, event_type""",
     "q33_jdbc_roundtrip" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
@@ -760,7 +866,7 @@ object SparkEntry {
                UNION ALL
                SELECT (es - es % 3600) - 3600 AS wstart, event_type, value FROM fe)
          SELECT wstart, event_type, count(*) AS n_events,
-           round(sum(value), 4) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM b GROUP BY wstart, event_type ORDER BY wstart, event_type""",
     "q42_session_window" ->
       """WITH e AS (SELECT user_id, event_id, ts, value,
@@ -773,7 +879,7 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
              FROM f)
          SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
-           count(*) AS n_events, round(sum(value), 4) AS sum_value
+           count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "q36_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -22,6 +22,14 @@ object VectorExpressions {
     case other => throw new IllegalArgumentException(s"unsupported element type $other")
   }
 
+  /** Mismatched vector dimensions are a caller bug (mixed embedding models,
+    * wrong `dim`); silently truncating to the shorter length returns a
+    * plausible-but-wrong similarity, so fail loudly instead.
+    */
+  private def requireSameDim(op: String, a: Int, b: Int): Unit =
+    if (a != b) throw new IllegalArgumentException(
+      s"$op: vector dimension mismatch ($a vs $b)")
+
   private def elemType(dt: DataType): DataType = dt match {
     case ArrayType(e, _) => e
     case other => throw new IllegalArgumentException(s"expected array, got $other")
@@ -36,7 +44,8 @@ object VectorExpressions {
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = toDoubles(l.asInstanceOf[ArrayData], elemType(left.dataType))
       val b = toDoubles(r.asInstanceOf[ArrayData], elemType(right.dataType))
-      val n = math.min(a.length, b.length)
+      requireSameDim(prettyName, a.length, b.length)
+      val n = a.length
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
@@ -69,7 +78,8 @@ object VectorExpressions {
       var p = 0
       while (p < planes.length) {
         val plane = planes(p)
-        val n = math.min(v.length, plane.length)
+        requireSameDim(prettyName, v.length, plane.length)
+        val n = v.length
         var d = 0.0
         var i = 0
         while (i < n) { d += v(i) * plane(i); i += 1 }
@@ -104,7 +114,8 @@ object VectorExpressions {
       var c = 0
       while (c < centroids.length) {
         val cen = centroids(c)
-        val n = math.min(v.length, cen.length)
+        requireSameDim(prettyName, v.length, cen.length)
+        val n = v.length
         var d = 0.0; var i = 0
         while (i < n) { d += v(i) * cen(i); i += 1 }
         val denom = vn * centroidNorms(c)

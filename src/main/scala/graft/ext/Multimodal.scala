@@ -96,7 +96,8 @@ object Multimodal {
     */
   def frameSample(media: DataFrame, frames: Int = 4): DataFrame = {
     val len = length(col("payload"))
-    def cut(f: Int) = floor(len * f / frames).cast(IntegerType)
+    // multiply in LONG: len * f overflows Int for payloads past ~2GiB/frames
+    def cut(f: Int) = floor(len.cast(LongType) * f / frames).cast(IntegerType)
     val frameCols = (0 until frames).map { f =>
       // chunk f covers byte range [f*len/frames, (f+1)*len/frames)
       xxhash64(col("payload").substr(cut(f) + 1, cut(f + 1) - cut(f)))

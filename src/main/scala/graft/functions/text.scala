@@ -28,14 +28,19 @@ object text {
     when(length(trim(c)) === 0, lit(0))
       .otherwise(size(split(trim(c), "\\s+")))
 
-  /** A BPE-ish subword count: word-piece regex split — letters runs, digit
+  /** A BPE-ish subword count: word-piece granularity — letter runs, digit
     * runs, single punctuation — approximating tokenizer granularity without
     * a vocab. Deterministic; useful for token budget estimation.
+    *
+    * Formulated as a single `regexp_extract_all` (codegen'd) rather than the
+    * equivalent lookaround-split + `transform(trim)` — that higher-order
+    * function runs interpreted per element and dominated q27's runtime. The
+    * alternation is also RE2-compatible, so the same pattern serves as its
+    * own differential-test oracle in DuckDB.
     */
   def subwordCount(c: Column): Column =
-    size(array_remove(transform(split(c,
-      "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})"),
-      t => trim(t)), ""))
+    size(regexp_extract_all(regexp_replace(c, "\\s+", " "),
+      lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N} ]"), lit(0)))
 
   def punctCount(c: Column): Column =
     length(c) - length(regexp_replace(c, "\\p{Punct}", ""))
@@ -135,4 +140,14 @@ object text {
     */
   def tokenSetFingerprint(c: Column): Column =
     xxhash64(concat_ws(" ", array_sort(array_distinct(tokens(c)))))
+
+  /** Cross-engine-checkable variant of [[tokenSetFingerprint]]: MD5 hex of
+    * the space-joined sorted distinct token set. The xxhash64 form is the
+    * fast path (8-byte key, no string materialization); this one exists so a
+    * differential oracle (any engine with `md5`) can reproduce the value
+    * bit-for-bit — same philosophy as the reference's SQL-vs-SQL tests
+    * (`R/ffsql.R:61-65`).
+    */
+  def tokenSetFingerprintHex(c: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(c)))))
 }

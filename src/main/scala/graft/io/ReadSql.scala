@@ -127,7 +127,9 @@ object ReadSql {
     }
     if (verbose) {
       // The reference's VERBOSE per-chunk wall-times (`R/ffsql.R:201-205`)
-      // map to Spark task metrics; surface the effective chunking + plan.
+      // map to per-action listener reports (rows + wall-time, [[Verbose]]);
+      // the effective chunking + plan print once, here.
+      Verbose.register(spark)
       println(s"[graft.io.ReadSql] fetchsize=$fetch nrows=$nrows partitions=" +
         (if (partOpts.nonEmpty) numPartitions else 1))
       out.explain("formatted")

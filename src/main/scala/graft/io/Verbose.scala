@@ -1,0 +1,51 @@
+package graft.io
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** VERBOSE-mode progress reporting — the Spark analog of the reference's
+  * per-chunk fetch lines (`R/ffsql.R:201-205`, `:299-303`: rows fetched +
+  * wall-time per batch).
+  *
+  * Spark has no sequential chunk loop to instrument; the unit of progress is
+  * the query execution. A [[QueryExecutionListener]] reports, per action:
+  * wall-time, rows scanned at the leaves (the "fetched" count — for a JDBC
+  * read this is the rows pulled over the connection), and rows returned by
+  * the root plan. Listener callbacks are delivered asynchronously on the
+  * listener bus — lines can trail the action that produced them.
+  */
+object Verbose {
+
+  final class Listener(sink: String => Unit) extends QueryExecutionListener {
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+      val scanned = qe.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+      val outRows = qe.executedPlan.metrics.get("numOutputRows")
+        .map(m => s", ${m.value} rows out").getOrElse("")
+      sink(f"[graft.verbose] $funcName: ${durationNs / 1e9}%.3f s, " +
+        s"$scanned rows scanned$outRows")
+    }
+    override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit =
+      sink(s"[graft.verbose] $funcName FAILED: ${ex.getMessage}")
+  }
+
+  private val registered = new ConcurrentHashMap[SparkSession, Listener]()
+
+  /** Register the verbose listener on the session (idempotent per session).
+    * Returns the listener so tests/tools can unregister it.
+    */
+  def register(spark: SparkSession, sink: String => Unit = Console.out.println): Listener =
+    registered.computeIfAbsent(spark, { s =>
+      val l = new Listener(sink)
+      s.listenerManager.register(l)
+      l
+    })
+
+  def unregister(spark: SparkSession): Unit = {
+    val l = registered.remove(spark)
+    if (l != null) spark.listenerManager.unregister(l)
+  }
+}

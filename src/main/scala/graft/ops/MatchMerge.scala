@@ -51,6 +51,9 @@ object MatchMerge {
       pasteCompat: Boolean = false): DataFrame = {
     require(byX.nonEmpty, "join keys required")
     require(byX.length == byY.length, "byX and byY should have the same length")
+    // the collision-rename loop appends `suffix` until the name is free —
+    // an empty suffix would never terminate
+    require(suffix.nonEmpty, "suffix must be non-empty")
     byX.foreach(c => require(x.columns.contains(c), s"column $c not in x"))
     byY.foreach(c => require(y.columns.contains(c), s"column $c not in y"))
 
@@ -107,6 +110,40 @@ object MatchMerge {
     val joined = xa.join(yb, cond, if (allX) "left" else "inner")
     val out = x.columns.map(lcol) ++ outNames.map { case (_, n) => rcol(n) }
     joined.select(out.toIndexedSeq: _*)
+  }
+
+  /** Computed-key mode — the reference's `by.iskey=FALSE` path
+    * (`R/matchmerge.R:127-134`), where `by.x`/`by.y` are key VECTORS computed
+    * by the caller rather than column names. The Spark analog takes arbitrary
+    * `Column` expressions per side (e.g. `lower(col("email"))`,
+    * `col("k1") * 1000 + col("k2")`).
+    *
+    * Implemented by projecting the expressions to temporary key columns and
+    * delegating to [[apply]] — same uniqueness guard, suffix rule, and
+    * broadcast plan; the temporary keys are dropped from the output.
+    * `addColumns` defaults to ALL of y's columns (with computed keys there
+    * are no name-keys to exclude, matching the reference's vector-key case).
+    */
+  def exprKeys(
+      x: DataFrame,
+      y: DataFrame,
+      byX: Seq[Column],
+      byY: Seq[Column],
+      allX: Boolean = false,
+      addColumns: Seq[String] = Nil,
+      suffix: String = "_y",
+      checkDuplicates: Boolean = true,
+      broadcastRhs: Boolean = true): DataFrame = {
+    require(byX.nonEmpty, "join keys required")
+    require(byX.length == byY.length, "byX and byY should have the same length")
+    val kx = byX.indices.map(i => s"__graft_mm_kx_$i")
+    val ky = byY.indices.map(i => s"__graft_mm_ky_$i")
+    val x2 = byX.zip(kx).foldLeft(x) { case (d, (c, n)) => d.withColumn(n, c) }
+    val y2 = byY.zip(ky).foldLeft(y) { case (d, (c, n)) => d.withColumn(n, c) }
+    val add = if (addColumns.nonEmpty) addColumns else y.columns.toIndexedSeq
+    apply(x2, y2, kx, ky, allX = allX, addColumns = add, suffix = suffix,
+      checkDuplicates = checkDuplicates, broadcastRhs = broadcastRhs)
+      .drop(kx: _*)
   }
 
   /** Vector-y mode of the reference (`R/matchmerge.R:99-106,175-178`): the

@@ -29,13 +29,15 @@ object Ops {
 
   /** Value-recode a column: values in `from` map to the corresponding `to`;
     * unseen values pass through unchanged (identity extension); null stays
-    * null. Reference: `R/utils.R:24-32` (identity extension `:25-30`,
-    * `to[match(x, from)]` probe `:31`).
+    * null. Type-generic like the reference — `from`/`to` accept any literal
+    * type (string, numeric, date, ...), matching `to[match(x, from)]` on an
+    * arbitrary vector. Reference: `R/utils.R:24-32` (identity extension
+    * `:25-30`, `match` probe `:31`).
     *
     * Implementation: a literal map + `element_at` + `coalesce` — a constant
     * hash lookup inside whole-stage codegen, no shuffle, no UDF.
     */
-  def recode(c: Column, from: Seq[String], to: Seq[String]): Column = {
+  def recode(c: Column, from: Seq[Any], to: Seq[Any]): Column = {
     require(from.length == to.length, "from and to should have the same length")
     if (from.isEmpty) c
     else {
@@ -45,7 +47,7 @@ object Ops {
   }
 
   /** recode, applied in place to a named column of a DataFrame. */
-  def recodeCol(df: DataFrame, colName: String, from: Seq[String], to: Seq[String]): DataFrame =
+  def recodeCol(df: DataFrame, colName: String, from: Seq[Any], to: Seq[Any]): DataFrame =
     df.withColumn(colName, recode(col(colName), from, to))
 
   /** Distinct dictionary ("levels") of a string column, sorted.
@@ -56,9 +58,17 @@ object Ops {
     * under any partitioning). The dictionary is assumed bounded (same
     * assumption the reference makes for factors).
     */
-  def factorLevels(df: DataFrame, colName: String): Seq[String] =
-    df.select(col(colName).cast(StringType)).where(col(colName).isNotNull)
-      .distinct().orderBy(colName).collect().map(_.getString(0)).toIndexedSeq
+  def factorLevels(df: DataFrame, colName: String, maxLevels: Int = 65536): Seq[String] = {
+    // The dictionary is collected to the driver, so an unbounded-cardinality
+    // column (ids, free text) must fail fast instead of OOMing the driver at
+    // scale: fetch maxLevels+1 and error if the extra row shows up.
+    val rows = df.select(col(colName).cast(StringType)).where(col(colName).isNotNull)
+      .distinct().orderBy(colName).limit(maxLevels + 1).collect()
+    require(rows.length <= maxLevels,
+      s"factorLevels('$colName'): over $maxLevels distinct values — not a " +
+        "factor-shaped column; raise maxLevels only for a truly bounded dictionary")
+    rows.map(_.getString(0)).toIndexedSeq
+  }
 
   /** Attach factor ("dictionary") semantics to string columns via column
     * metadata, without changing the physical type (Parquet/Tungsten already

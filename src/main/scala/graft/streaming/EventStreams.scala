@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
@@ -16,6 +16,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the complete input).
   */
 object EventStreams {
+
+  /** Exact decimal-routed double sum (repo-wide `dsum` convention): partial
+    * aggregation order over doubles is nondeterministic across core counts,
+    * so oracle-compared sums go through an exact DECIMAL accumulation and
+    * cast back — identical bits on any engine at any parallelism.
+    */
+  private def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
   /** Normalize the `ts` column to TimestampType. Parquet TIMESTAMP(NANOS) is
     * read as a nanos-since-epoch long (requires
@@ -46,7 +54,7 @@ object EventStreams {
   def tumblingWindowBatch(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
     events
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
       .select(unix_timestamp(col("w.start")).as("wstart"), col("event_type"),
         col("n_events"), col("sum_value"))
 
@@ -64,7 +72,7 @@ object EventStreams {
     val agg = stream
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
       .select(unix_timestamp(col("w.start")).as("wstart"), col("event_type"),
         col("n_events"), col("sum_value"))
     val q = agg.writeStream
@@ -93,7 +101,7 @@ object EventStreams {
       .withColumn("session_id", sum(col("new_session")).over(byUser))
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("sum_value"),
+        dsum(col("value")).as("sum_value"),
         (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
           .as("duration_sec"))
   }

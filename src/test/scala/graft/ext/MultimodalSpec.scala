@@ -42,6 +42,20 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(out.forall(_._2.length == 4))
   }
 
+  test("frameSample chunk bounds compute in long (no int overflow in len*f)") {
+    // With 3 frames over an 11-byte payload the cuts are 0,3,7,11; the long
+    // cast must not change small-payload results.
+    val out = Multimodal.frameSample(media, frames = 3)
+      .where($"media_id" === 1L).head()
+    assert(out.getSeq[Long](1).length == 3)
+    // chunks of "hello world" (len 11): "hel", "lo w", "orld"
+    import org.apache.spark.sql.functions.{col, xxhash64, lit}
+    val expected = Seq("hel", "lo w", "orld").map { s =>
+      spark.range(1).select(xxhash64(lit(s).cast("binary"))).head().getLong(0)
+    }
+    assert(out.getSeq[Long](1).toSeq == expected)
+  }
+
   test("planResize preserves aspect ratio and caps the long side") {
     val out = Multimodal.planResize(media, maxSide = 16)
       .select("width", "height", "target_width", "target_height").collect()

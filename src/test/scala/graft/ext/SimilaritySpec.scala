@@ -19,6 +19,23 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     rows.toDF("vec_id", "embedding", "cluster")
   }
 
+  test("dimension mismatch fails loudly instead of truncating") {
+    import org.apache.spark.sql.functions.col
+    val mixed = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      mixed.select(graft.functions.vectors.cosine(
+        col("embedding"), org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit(1.0),
+          org.apache.spark.sql.functions.lit(2.0),
+          org.apache.spark.sql.functions.lit(3.0)))).collect()
+    }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("dimension mismatch")))
+  }
+
   test("brute-force top-k returns k in-cluster neighbors, ranked by cosine") {
     val q = clustered.where($"vec_id" === 0L)
     val out = Similarity.bruteForceTopK(clustered, q,

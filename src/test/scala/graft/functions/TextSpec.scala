@@ -60,6 +60,20 @@ class TextSpec extends AnyFunSuite with SparkSpec {
 
   test("subwordCount splits letter runs, digits, punctuation") {
     assert(one[Int](text.subwordCount(col("t")), "hello world42!") == 4)
+    assert(one[Int](text.subwordCount(col("t")), "") == 0)
+    assert(one[Int](text.subwordCount(col("t")), "  \t ") == 0)
+    // mixed-boundary splits: abc|123|-|def -> 4
+    assert(one[Int](text.subwordCount(col("t")), "abc123-def") == 4)
+  }
+
+  test("tokenSetFingerprintHex equals md5 of the sorted distinct token set") {
+    val a = one[String](text.tokenSetFingerprintHex(col("t")), "beta alpha beta")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha beta".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(a == md)
+    // order invariant, like the xxhash64 fast path
+    val b = one[String](text.tokenSetFingerprintHex(col("t")), "alpha beta")
+    assert(a == b)
   }
 
   test("vectors: cosine/dot/norm basics") {

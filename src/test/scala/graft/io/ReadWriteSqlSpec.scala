@@ -27,6 +27,24 @@ class ReadWriteSqlSpec extends AnyFunSuite with SparkSpec {
     rows.toDF("a", "b", "c") // 2,860 rows like inst/smalldb.sqlite3
   }
 
+  test("verbose listener reports per-action rows + wall-time (R/ffsql.R:201-205)") {
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    Verbose.register(spark, lines.add(_))
+    try {
+      spark.range(100).toDF("n").collect()
+      // QueryExecutionListener callbacks arrive asynchronously on the
+      // listener bus — poll with a deadline rather than sleeping blind.
+      val deadline = System.currentTimeMillis() + 15000
+      while (lines.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(!lines.isEmpty, "no verbose line arrived within 15s")
+      val l = lines.peek()
+      assert(l.contains("[graft.verbose]"))
+      assert(l.contains("rows scanned"))
+      assert(l.contains(" s, "), s"wall-time missing in: $l")
+    } finally Verbose.unregister(spark)
+  }
+
   test("round-trip: write then read back equals input (R/ffsql.R:946-964)") {
     val in = fixture
     WriteSql(in, url, "TESTDATA", overwrite = true, batchSize = 500)

@@ -66,6 +66,40 @@ class MatchMergeSpec extends AnyFunSuite with SparkSpec {
     assert(out.columns.distinct.length == out.columns.length)
   }
 
+  test("empty suffix rejected (collision rename would never terminate)") {
+    val e = intercept[IllegalArgumentException] {
+      MatchMerge(left, right.withColumnRenamed("b", "a"),
+        Seq("idlhs"), Seq("idrhs"), suffix = "")
+    }
+    assert(e.getMessage.contains("suffix"))
+  }
+
+  test("exprKeys: computed key columns join like by.iskey=FALSE (R/matchmerge.R:127-134)") {
+    // key on the RHS is idrhs*10; LHS computes idlhs*10 to match
+    val r10 = right.withColumn("idx10", col("idrhs") * 10).drop("idrhs")
+    val out = MatchMerge.exprKeys(left, r10,
+      byX = Seq(col("idlhs") * 10), byY = Seq(col("idx10")),
+      addColumns = Seq("b"))
+      .orderBy("a").as[(Int, String, String)].collect()
+    assert(out.length == 6)
+    assert(out.map(_._3).toSeq == Seq("H", "I", "J", "K", "J", "K"))
+    // no temp key columns leak into the output
+    assert(!out.isEmpty)
+    val cols = MatchMerge.exprKeys(left, r10,
+      byX = Seq(col("idlhs") * 10), byY = Seq(col("idx10")),
+      addColumns = Seq("b")).columns.toSeq
+    assert(cols == Seq("idlhs", "a", "b"))
+  }
+
+  test("exprKeys: duplicate computed RHS key still rejected") {
+    val e = intercept[IllegalArgumentException] {
+      MatchMerge.exprKeys(left, right,
+        byX = Seq(col("idlhs") % 2), byY = Seq(col("idrhs") % 2),
+        addColumns = Seq("b"))
+    }
+    assert(e.getMessage.contains("doubles"))
+  }
+
   test("multi-column key: true equi-join, not paste concatenation") {
     // the classic paste collision: ("a b", "c") vs ("a", "b c")
     val l = Seq(("a b", "c", 1), ("a", "b c", 2)).toDF("k1", "k2", "v")

@@ -40,6 +40,31 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // Type-generic recoder (reference `R/utils.R:24-32` works on any vector).
+  test("recoder: integer columns recode with identity extension") {
+    val in = Seq(1, 2, 3, 7).toDF("x")
+    val out = in.select(Ops.recode(col("x"), Seq(1, 2), Seq(101, 102)).as("x"))
+      .as[Int].collect().toSeq
+    assert(out == Seq(101, 102, 3, 7))
+  }
+
+  test("recoder: double columns recode, null passes through") {
+    val in = Seq[Option[Double]](Some(1.5), Some(2.5), None).toDF("x")
+    val out = in.select(Ops.recode(col("x"), Seq(1.5), Seq(-1.5)).as("x"))
+      .as[Option[Double]].collect().toSeq
+    assert(out == Seq(Some(-1.5), Some(2.5), None))
+  }
+
+  test("factorLevels fails fast over maxLevels cardinality") {
+    val big = (1 to 50).map(_.toString).toDF("s")
+    val err = intercept[IllegalArgumentException] {
+      Ops.factorLevels(big, "s", maxLevels = 10)
+    }
+    assert(err.getMessage.contains("distinct values"))
+    // at exactly maxLevels it succeeds
+    assert(Ops.factorLevels(big, "s", maxLevels = 50).length == 50)
+  }
+
   // Reference example `R/utils.R:68-70`.
   test("renameColumns renames and validates lengths") {
     val df = Seq((1, "A")).toDF("x", "y")
