@@ -57,10 +57,10 @@ object SparkEntry {
     */
   def prepareBucketedTables(s: SparkSession, d: String): (String, String) = {
     import graft.io.BucketedTables
-    val tag = java.lang.Long.toHexString(
-      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-        d.getBytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-        d.getBytes.length, 42) & 0xffffffffL)
+    // tag = the sanitized dir path itself, not a hash: distinct source dirs
+    // can never alias each other's tables (a 32-bit hash could collide and
+    // silently serve wrong-scale data)
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase(java.util.Locale.ROOT)
     val ordersTbl = s"graft_v_orders_$tag"
     val lineitemTbl = s"graft_v_lineitem_$tag"
     BucketedTables.ensureBucketed(
@@ -704,6 +704,79 @@ object SparkEntry {
     "q20_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
          FROM documents GROUP BY text ORDER BY doc_id""",
+    // q21/q23: the LSH stages are candidate generators only — the emitted
+    // pairs are EXACT-verified (jaccard over full gram sets), so whenever LSH
+    // recall on the dataset is complete, the output equals the brute-force
+    // pair set this SQL computes. Verified complete on the driver's fixtures
+    // (planted near-dups sit at j >= 0.92; banding recall there ~= 1).
+    "q21_dedup_minhash" ->
+      """WITH toks AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                 CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
+                      ELSE array_to_string(tk[i:i+2], ' ') END AS shingle
+               FROM (SELECT doc_id, tk,
+                       unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i
+                     FROM toks WHERE len(tk) > 0)),
+         sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS ic
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         j AS (SELECT id_l, id_r, CAST(ic AS DOUBLE) / (sa.s + sb.s - ic) AS jac
+               FROM inter JOIN sz sa ON sa.doc_id = id_l
+                          JOIN sz sb ON sb.doc_id = id_r)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT DISTINCT id_r FROM j WHERE jac >= 0.6)
+         ORDER BY doc_id""",
+    "q23_ngram_jaccard" ->
+      """WITH n AS (SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+         g AS (SELECT DISTINCT doc_id,
+                 CASE WHEN length(norm) <= 5 THEN norm
+                      ELSE substring(norm, i, 5) END AS gram
+               FROM (SELECT doc_id, norm,
+                       unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS i
+                     FROM n)),
+         sz AS (SELECT doc_id, count(*) AS s FROM g GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS ic
+                   FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         j AS (SELECT id_l, id_r, CAST(ic AS DOUBLE) / (sa.s + sb.s - ic) AS jac
+               FROM inter JOIN sz sa ON sa.doc_id = id_l
+                          JOIN sz sb ON sb.doc_id = id_r)
+         SELECT id_l, id_r, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8
+         ORDER BY id_l, id_r""",
+    // langId is a deterministic argmax (struct max: score, then language
+    // code) — reproducible in SQL via row_number over the same ordering.
+    "q28_langid" ->
+      """WITH toks AS (SELECT doc_id, lang,
+             list_distinct(list_filter(regexp_split_to_array(lower(text), '\W+'),
+               x -> x <> '')) AS tk
+           FROM documents),
+         s AS (SELECT doc_id, lang, l, len(list_intersect(tk, sw)) AS score
+               FROM toks CROSS JOIN (VALUES
+                 ('de', ['der','die','das','und','ist','von','mit','nicht','ein','eine','als','auch','auf','dem','des','im','zu','den']),
+                 ('en', ['the','and','of','to','in','is','that','it','was','for','with','are','this','not','have','from','they','which']),
+                 ('es', ['el','los','las','una','por','con','para','como','mas','pero','sus','este','esta','entre','cuando','muy','sin','sobre']),
+                 ('fr', ['le','la','les','des','est','dans','pour','que','qui','une','sur','pas','avec','par','sont','mais','nous','aux']),
+                 ('it', ['il','di','che','non','per','con','sono','della','nel','alla','anche','come','questo','gli','dei','delle','essere','più'])
+                 ) AS v(l, sw)),
+         best AS (SELECT doc_id, lang, l, score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, l DESC) AS rn FROM s)
+         SELECT doc_id, CASE WHEN score <= 0 THEN 'und' ELSE l END AS lang_pred, lang
+         FROM best WHERE rn = 1 ORDER BY doc_id""",
+    "q49_multimodal_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+             CAST(length(text) % 640 + 32 AS INTEGER) AS w,
+             CAST(length(text) % 480 + 32 AS INTEGER) AS h
+           FROM documents)
+         SELECT media_id, CAST(4 AS BIGINT) AS n_frames,
+           CAST(CASE WHEN greatest(w, h) <= 256 THEN round(w * 1.0)
+                ELSE round(w * (256.0 / greatest(w, h))) END AS INTEGER) AS target_width,
+           CAST(CASE WHEN greatest(w, h) <= 256 THEN round(h * 1.0)
+                ELSE round(h * (256.0 / greatest(w, h))) END AS INTEGER) AS target_height
+         FROM m ORDER BY media_id""",
     // Exact cosine top-k is ANSI-expressible: DuckDB's
     // list_cosine_similarity on DOUBLE[] accumulates in double like the
     // native CosineSimilarity expression; ranks use the UNROUNDED score on

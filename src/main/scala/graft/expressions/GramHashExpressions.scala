@@ -19,6 +19,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * rolling hash, in-place sort, dedup) — the same work in well under a
   * second, and the dominant cost of MinHash/Jaccard dedup at scale.
   *
+  * These expressions are `CodegenFallback`: they do not splice generated
+  * Java into whole-stage codegen, so each row pays one boxed `eval` call at
+  * the codegen boundary. The per-row work (hashing every byte window) is
+  * orders of magnitude larger than that boundary cost, which is why the win
+  * over the interpreted HOF path stands; a `doGenCode` emitting a static
+  * call is the remaining (small) headroom.
+  *
   * Both return a SORTED DISTINCT `array<long>` of xxhash64 values — the set
   * representation used for banding signatures and for exact Jaccard
   * verification. Hashing is byte-oriented (UTF-8), which treats multi-byte

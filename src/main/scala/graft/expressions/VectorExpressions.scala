@@ -12,7 +12,9 @@ import org.apache.spark.sql.types._
   * interpreted higher-order-function path (one closure dispatch per vector
   * element); these expressions run the dot-product loops as tight JVM code —
   * the difference between O(dim) interpreted allocations and O(dim) float
-  * multiplies per row, which dominates ANN/near-dup pipelines.
+  * multiplies per row, which dominates ANN/near-dup pipelines. They are
+  * `CodegenFallback` (one boxed `eval` per row at the codegen boundary) —
+  * negligible next to the O(dim) loop they amortize.
   */
 object VectorExpressions {
 

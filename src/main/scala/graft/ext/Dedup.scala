@@ -136,15 +136,65 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
 
-  /** Survivors after MinHash dedup: drop any doc having a verified
-    * near-duplicate with a smaller id (canonical-min-id policy).
+  /** Connected components over an undirected near-dup pair list: returns
+    * `(id, component)` where `component` is the minimum id reachable through
+    * any chain of pairs. Iterative min-label propagation — each round is one
+    * equi-join + map-side-combinable min aggregation, and the loop runs
+    * O(component diameter) rounds, NOT O(|V|): duplicate clusters are
+    * shallow in practice (chains A-B-C, not 1000-link paths), so 3-5 rounds
+    * close typical corpora. Labels are localCheckpoint'ed each round so the
+    * plan lineage stays flat at scale.
+    *
+    * Only ids that appear in some pair are returned (singletons are their
+    * own component trivially).
+    */
+  def connectedComponents(
+      pairs: DataFrame, idL: String = "id_l", idR: String = "id_r",
+      maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idL).as("src"), col(idR).as("dst"))
+      .union(pairs.select(col(idR).as("src"), col(idL).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("component").as("nc")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("nc")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("component"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("next"))
+        .localCheckpoint()
+      converged = updated.where(col("next") < col("component")).limit(1).isEmpty
+      labels = updated.select(col("id"), col("next").as("component")).localCheckpoint()
+      i += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIters rounds — component " +
+        "diameter exceeds the bound; raise maxIters")
+    labels
+  }
+
+  /** Survivors after MinHash dedup.
+    *
+    * `transitive=false` (default): drop any doc having a verified
+    * near-duplicate with a smaller id (canonical-min-id policy — one
+    * anti-join, but A of A-B, B-C survives alongside C without A-C being
+    * verified). `transitive=true`: resolve chains with
+    * [[connectedComponents]] and keep exactly one doc (the min id) per
+    * component — what corpus dedup usually wants.
     */
   def minhashDedup(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
-      shingleK: Int = 3): DataFrame = {
-    val drop = minhashPairs(df, idCol, textCol, threshold, numHashes, bands, shingleK)
-      .select(col("id_r").as(idCol)).distinct()
+      shingleK: Int = 3, transitive: Boolean = false): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, threshold, numHashes, bands, shingleK)
+    val drop =
+      if (transitive)
+        connectedComponents(pairs).where(col("id") =!= col("component"))
+          .select(col("id").as(idCol))
+      else pairs.select(col("id_r").as(idCol)).distinct()
     df.join(drop, Seq(idCol), "left_anti")
   }
 

@@ -6,10 +6,14 @@ import org.apache.spark.sql.functions._
 /** Text-analysis column functions for large-scale corpus pipelines:
   * tokenization, counting, quality scoring, language ID, fingerprinting.
   *
-  * Everything here is composed from `org.apache.spark.sql.functions` — fully
-  * codegen'd, no UDFs, no shuffles. These are the per-document primitives a
-  * 100 TB training-data pipeline maps over its corpus; grouping/joins happen
-  * in the callers (see `graft.ext.Dedup`).
+  * No UDFs and no shuffles anywhere. Most functions compose
+  * `org.apache.spark.sql.functions` builtins and run inside whole-stage
+  * codegen; [[fingerprint]] delegates to a native single-pass expression
+  * ([[graft.expressions.GramHashExpressions]]) which is `CodegenFallback`
+  * (tight JVM loop per row, evaluated via `eval` rather than generated
+  * code). These are the per-document primitives a 100 TB training-data
+  * pipeline maps over its corpus; grouping/joins happen in the callers
+  * (see `graft.ext.Dedup`).
   */
 object text {
 

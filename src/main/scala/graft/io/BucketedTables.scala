@@ -48,6 +48,13 @@ object BucketedTables {
     * (or per benchmark iteration) would otherwise charge the full write to
     * every run. Table names must therefore be unique per source dataset
     * (e.g. carry a scale-factor tag).
+    *
+    * Staleness contract: existence is checked against the session CATALOG
+    * only — if the SOURCE files behind `df` are rewritten within the same
+    * JVM session, the bucketed table silently keeps serving the old data.
+    * That is the right trade for immutable benchmark/ETL inputs; callers
+    * with mutable sources must drop the table (or tag names with a data
+    * fingerprint) before re-preparing.
     */
   def ensureBucketed(
       df: DataFrame,

@@ -12,8 +12,9 @@ import org.apache.spark.sql.types.{MetadataBuilder, StringType}
   *  - `factorise`     — reference `R/utils.R:101-137`; dictionary (factor)
   *    maintenance as in `R/ffsql.R:311-316` / `:1200-1207`
   *
-  * All of these are thin, Catalyst-optimizable compositions of built-in
-  * functions — no UDFs, no custom expressions, fully codegen'd.
+  * The column transforms are thin, Catalyst-optimizable compositions of
+  * built-in functions — no UDFs, no custom expressions. [[factorLevels]] is
+  * the one driver-side action here (dictionary collect, cardinality-guarded).
   */
 object Ops {
 
@@ -67,6 +68,27 @@ object Ops {
     require(rows.length <= maxLevels,
       s"factorLevels('$colName'): over $maxLevels distinct values — not a " +
         "factor-shaped column; raise maxLevels only for a truly bounded dictionary")
+    rows.map(_.getString(0)).toIndexedSeq
+  }
+
+  /** First-seen-ordered factor levels — the reference's level order
+    * (`R/ffsql.R:311-316`), made distributed-deterministic by requiring an
+    * explicit `orderCol` that defines "seen" (the reference's implicit row
+    * order does not survive partitioning). Ties on `orderCol` break
+    * lexicographically. Same driver-side cardinality guard as
+    * [[factorLevels]].
+    */
+  def factorLevelsFirstSeen(
+      df: DataFrame, colName: String, orderCol: String,
+      maxLevels: Int = 65536): Seq[String] = {
+    val rows = df.where(col(colName).isNotNull)
+      .groupBy(col(colName).cast(StringType).as("value"))
+      .agg(min(col(orderCol)).as("first_seen"))
+      .orderBy(col("first_seen"), col("value"))
+      .limit(maxLevels + 1).collect()
+    require(rows.length <= maxLevels,
+      s"factorLevelsFirstSeen('$colName'): over $maxLevels distinct values — " +
+        "not a factor-shaped column")
     rows.map(_.getString(0)).toIndexedSeq
   }
 

@@ -41,6 +41,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!kept.contains(4L))
   }
 
+  test("connectedComponents resolves chains to the min reachable id") {
+    // chain 1-2, 2-3 (1-3 never directly paired) + separate component 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_l", "id_r")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a longer path exercises multi-round propagation
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("id_l", "id_r")
+    val cc2 = Dedup.connectedComponents(path).as[(Long, Long)].collect().toMap
+    assert(cc2.values.toSet == Set(1L))
+  }
+
+  test("transitive minhash dedup keeps one survivor per component") {
+    // docs 1, 2, 4 are one near-dup cluster; canonical-min and transitive
+    // agree here, and both keep exactly {1, 3}
+    val kept = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.5,
+      transitive = true).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("simhash: near-identical docs within small hamming distance") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

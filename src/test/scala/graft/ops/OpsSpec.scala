@@ -55,6 +55,15 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq(Some(-1.5), Some(2.5), None))
   }
 
+  test("factorLevelsFirstSeen orders by first occurrence (R/ffsql.R:311-316)") {
+    val df = Seq((1L, "b"), (2L, "a"), (3L, "b"), (4L, "c"), (5L, null: String))
+      .toDF("ord", "s")
+    assert(Ops.factorLevelsFirstSeen(df, "s", "ord") == Seq("b", "a", "c"))
+    intercept[IllegalArgumentException] {
+      Ops.factorLevelsFirstSeen(df, "s", "ord", maxLevels = 2)
+    }
+  }
+
   test("factorLevels fails fast over maxLevels cardinality") {
     val big = (1 to 50).map(_.toString).toDF("s")
     val err = intercept[IllegalArgumentException] {
