@@ -750,7 +750,7 @@ object SparkEntry {
     // code) — reproducible in SQL via row_number over the same ordering.
     "q28_langid" ->
       """WITH toks AS (SELECT doc_id, lang,
-             list_distinct(list_filter(regexp_split_to_array(lower(text), '\W+'),
+             list_distinct(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
                x -> x <> '')) AS tk
            FROM documents),
          s AS (SELECT doc_id, lang, l, len(list_intersect(tk, sw)) AS score
@@ -803,7 +803,7 @@ object SparkEntry {
              length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
              length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
              length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_nonspace,
-             list_distinct(list_filter(regexp_split_to_array(lower(text), '\W+'),
+             list_distinct(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
                x -> x <> '')) AS toks,
              len(regexp_extract_all(regexp_replace(text, '\s+', ' ', 'g'),
                '\p{L}+|\p{N}+|[^\p{L}\p{N} ]')) AS n_sub
@@ -849,7 +849,7 @@ object SparkEntry {
     "q29_fingerprint" ->
       """WITH toks AS (SELECT doc_id,
              list_sort(list_distinct(list_filter(
-               regexp_split_to_array(lower(text), '\W+'), x -> x <> ''))) AS tk
+               regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'), x -> x <> ''))) AS tk
            FROM documents)
          SELECT doc_id, md5(array_to_string(tk, ' ')) AS token_set_fp,
            CAST(len(tk) AS BIGINT) AS n_distinct_tokens

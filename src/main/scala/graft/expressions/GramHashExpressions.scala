@@ -1,12 +1,10 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
-import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for document shingling.
@@ -19,59 +17,35 @@ import org.apache.spark.unsafe.types.UTF8String
   * rolling hash, in-place sort, dedup) — the same work in well under a
   * second, and the dominant cost of MinHash/Jaccard dedup at scale.
   *
-  * These expressions are `CodegenFallback`: they do not splice generated
-  * Java into whole-stage codegen, so each row pays one boxed `eval` call at
-  * the codegen boundary. The per-row work (hashing every byte window) is
-  * orders of magnitude larger than that boundary cost, which is why the win
-  * over the interpreted HOF path stands; a `doGenCode` emitting a static
-  * call is the remaining (small) headroom.
+  * Codegen: `doGenCode` emits a direct static call into
+  * [[GramHashRuntime]], so the expressions participate in whole-stage
+  * codegen with no interpreted fallback and no row re-materialization; the
+  * interpreted `eval` path calls the same kernel, so the two cannot drift.
   *
-  * Both return a SORTED DISTINCT `array<long>` of xxhash64 values — the set
-  * representation used for banding signatures and for exact Jaccard
-  * verification. Hashing is byte-oriented (UTF-8), which treats multi-byte
-  * codepoints as opaque byte runs: deterministic and self-consistent, only
-  * the gram *boundaries* differ from codepoint-based shingling on non-ASCII
-  * text.
+  * The set-producing expressions return a SORTED DISTINCT `array<long>` of
+  * xxhash64 values — the set representation used for banding signatures and
+  * for exact Jaccard verification. Hashing is byte-oriented (UTF-8), which
+  * treats multi-byte codepoints as opaque byte runs: deterministic and
+  * self-consistent, only the gram *boundaries* differ from codepoint-based
+  * shingling on non-ASCII text.
   */
 object GramHashExpressions {
-
-  private def sortedDistinct(arr: Array[Long], n: Int): GenericArrayData = {
-    java.util.Arrays.sort(arr, 0, n)
-    var w = 0
-    var i = 0
-    while (i < n) {
-      if (w == 0 || arr(i) != arr(w - 1)) { arr(w) = arr(i); w += 1 }
-      i += 1
-    }
-    new GenericArrayData(java.util.Arrays.copyOf(arr, w))
-  }
 
   /** Sorted distinct xxhash64 of every `n`-byte window of the input string.
     * Strings shorter than `n` yield one whole-string hash.
     */
   case class CharNgramHashSet(child: Expression, n: Int, seed: Long = 42L)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(n > 0, "n must be positive")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "char_ngram_hash_set"
 
-    override def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[UTF8String]
-      val bytes = s.getBytes
-      if (bytes.length <= n) {
-        new GenericArrayData(Array(
-          XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, seed)))
-      } else {
-        val cnt = bytes.length - n + 1
-        val hashes = new Array[Long](cnt)
-        var i = 0
-        while (i < cnt) {
-          hashes(i) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + i, n, seed)
-          i += 1
-        }
-        sortedDistinct(hashes, cnt)
-      }
-    }
+    override def nullSafeEval(input: Any): Any =
+      GramHashRuntime.charNgramHashSet(input.asInstanceOf[UTF8String], n, seed)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.GramHashRuntime.charNgramHashSet($c, $n, ${seed}L);")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -86,52 +60,17 @@ object GramHashExpressions {
     * shingle over all tokens.
     */
   case class WordShingleHashSet(child: Expression, k: Int, seed: Long = 42L)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(k > 0, "k must be positive")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "word_shingle_hash_set"
 
-    private def isTokenByte(b: Byte): Boolean =
-      (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
-        (b >= '0' && b <= '9') || b < 0 // multi-byte UTF-8 continuation/lead
+    override def nullSafeEval(input: Any): Any =
+      GramHashRuntime.wordShingleHashSet(input.asInstanceOf[UTF8String], k, seed)
 
-    override def nullSafeEval(input: Any): Any = {
-      val bytes = input.asInstanceOf[UTF8String].getBytes
-      // tokenize + hash each token in one pass
-      val tokenHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
-      var i = 0
-      val buf = new Array[Byte](bytes.length max 1)
-      while (i < bytes.length) {
-        if (isTokenByte(bytes(i))) {
-          var w = 0
-          while (i < bytes.length && isTokenByte(bytes(i))) {
-            val b = bytes(i)
-            buf(w) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
-            w += 1; i += 1
-          }
-          tokenHashes += XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, w, seed)
-        } else i += 1
-      }
-      val nt = tokenHashes.length
-      if (nt == 0) return new GenericArrayData(Array.empty[Long])
-      if (nt < k) {
-        var h = seed
-        var j = 0
-        while (j < nt) { h = XXH64.hashLong(tokenHashes(j), h); j += 1 }
-        return new GenericArrayData(Array(h))
-      }
-      val cnt = nt - k + 1
-      val shingles = new Array[Long](cnt)
-      var p = 0
-      while (p < cnt) {
-        var h = seed
-        var j = 0
-        while (j < k) { h = XXH64.hashLong(tokenHashes(p + j), h); j += 1 }
-        shingles(p) = h
-        p += 1
-      }
-      sortedDistinct(shingles, cnt)
-    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.GramHashRuntime.wordShingleHashSet($c, $k, ${seed}L);")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -143,43 +82,17 @@ object GramHashExpressions {
     * sums) shuffles every token and runs 64 aggregate columns.
     */
   case class SimHash64(child: Expression, seed: Long = 42L)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash64"
 
-    private def isTokenByte(b: Byte): Boolean =
-      (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
-        (b >= '0' && b <= '9') || b < 0
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(
+        GramHashRuntime.simhash64(input.asInstanceOf[UTF8String], seed))
 
-    override def nullSafeEval(input: Any): Any = {
-      val bytes = input.asInstanceOf[UTF8String].getBytes
-      val votes = new Array[Int](64)
-      val buf = new Array[Byte](bytes.length max 1)
-      var i = 0
-      while (i < bytes.length) {
-        if (isTokenByte(bytes(i))) {
-          var w = 0
-          while (i < bytes.length && isTokenByte(bytes(i))) {
-            val b = bytes(i)
-            buf(w) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
-            w += 1; i += 1
-          }
-          val h = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, w, seed)
-          var bit = 0
-          while (bit < 64) {
-            if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
-            bit += 1
-          }
-        } else i += 1
-      }
-      var out = 0L
-      var bit = 0
-      while (bit < 64) {
-        if (votes(bit) > 0) out |= (1L << bit)
-        bit += 1
-      }
-      java.lang.Long.valueOf(out)
-    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.GramHashRuntime.simhash64($c, ${seed}L);")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)

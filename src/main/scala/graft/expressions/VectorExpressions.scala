@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -12,51 +12,35 @@ import org.apache.spark.sql.types._
   * interpreted higher-order-function path (one closure dispatch per vector
   * element); these expressions run the dot-product loops as tight JVM code —
   * the difference between O(dim) interpreted allocations and O(dim) float
-  * multiplies per row, which dominates ANN/near-dup pipelines. They are
-  * `CodegenFallback` (one boxed `eval` per row at the codegen boundary) —
-  * negligible next to the O(dim) loop they amortize.
+  * multiplies per row, which dominates ANN/near-dup pipelines. `doGenCode`
+  * emits a direct static call into [[VectorRuntime]], so they stay inside
+  * whole-stage codegen; the interpreted path shares the same kernels.
   */
 object VectorExpressions {
 
-  private def toDoubles(a: ArrayData, elem: DataType): Array[Double] = elem match {
-    case FloatType => a.toFloatArray().map(_.toDouble)
-    case DoubleType => a.toDoubleArray()
-    case other => throw new IllegalArgumentException(s"unsupported element type $other")
-  }
-
-  /** Mismatched vector dimensions are a caller bug (mixed embedding models,
-    * wrong `dim`); silently truncating to the shorter length returns a
-    * plausible-but-wrong similarity, so fail loudly instead.
-    */
-  private def requireSameDim(op: String, a: Int, b: Int): Unit =
-    if (a != b) throw new IllegalArgumentException(
-      s"$op: vector dimension mismatch ($a vs $b)")
-
-  private def elemType(dt: DataType): DataType = dt match {
-    case ArrayType(e, _) => e
-    case other => throw new IllegalArgumentException(s"expected array, got $other")
+  private def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"expected array<float|double>, got $other")
   }
 
   /** Cosine similarity of two same-length vectors; 0.0 on zero norm. */
   case class CosineSimilarity(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "cosine_similarity"
 
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = toDoubles(l.asInstanceOf[ArrayData], elemType(left.dataType))
-      val b = toDoubles(r.asInstanceOf[ArrayData], elemType(right.dataType))
-      requireSameDim(prettyName, a.length, b.length)
-      val n = a.length
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < n) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
-        i += 1
-      }
-      val denom = math.sqrt(na) * math.sqrt(nb)
-      java.lang.Double.valueOf(if (denom == 0.0) 0.0 else dot / denom)
-    }
+    private lazy val lFloat = isFloatArray(left.dataType)
+    private lazy val rFloat = isFloatArray(right.dataType)
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      java.lang.Double.valueOf(VectorRuntime.cosine(
+        l.asInstanceOf[ArrayData], lFloat, r.asInstanceOf[ArrayData], rFloat))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.expressions.VectorRuntime.cosine($a, $lFloat, $b, $rFloat);")
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
@@ -69,26 +53,21 @@ object VectorExpressions {
     * broadcast, no per-element lambda.
     */
   case class HyperplaneSignBucket(child: Expression, planes: Array[Array[Double]])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(planes.nonEmpty && planes.length <= 64, "1..64 planes")
     override def dataType: DataType = LongType
     override def prettyName: String = "hyperplane_sign_bucket"
 
-    override def nullSafeEval(input: Any): Any = {
-      val v = toDoubles(input.asInstanceOf[ArrayData], elemType(child.dataType))
-      var bucket = 0L
-      var p = 0
-      while (p < planes.length) {
-        val plane = planes(p)
-        requireSameDim(prettyName, v.length, plane.length)
-        val n = v.length
-        var d = 0.0
-        var i = 0
-        while (i < n) { d += v(i) * plane(i); i += 1 }
-        if (d >= 0.0) bucket |= (1L << p)
-        p += 1
-      }
-      java.lang.Long.valueOf(bucket)
+    private lazy val vFloat = isFloatArray(child.dataType)
+
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(VectorRuntime.hyperplaneBucket(
+        input.asInstanceOf[ArrayData], vFloat, planes))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.VectorRuntime.hyperplaneBucket($c, $vFloat, $planesRef);")
     }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -101,32 +80,25 @@ object VectorExpressions {
     */
   case class NearestCentroids(
       child: Expression, centroids: Array[Array[Double]], nProbe: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(centroids.nonEmpty && nProbe >= 1)
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def prettyName: String = "nearest_centroids"
 
+    private lazy val vFloat = isFloatArray(child.dataType)
     private lazy val centroidNorms: Array[Double] =
       centroids.map(c => math.sqrt(c.map(x => x * x).sum))
 
-    override def nullSafeEval(input: Any): Any = {
-      val v = toDoubles(input.asInstanceOf[ArrayData], elemType(child.dataType))
-      val vn = math.sqrt(v.map(x => x * x).sum)
-      val sims = new Array[Double](centroids.length)
-      var c = 0
-      while (c < centroids.length) {
-        val cen = centroids(c)
-        requireSameDim(prettyName, v.length, cen.length)
-        val n = v.length
-        var d = 0.0; var i = 0
-        while (i < n) { d += v(i) * cen(i); i += 1 }
-        val denom = vn * centroidNorms(c)
-        sims(c) = if (denom == 0.0) -2.0 else d / denom
-        c += 1
-      }
-      val order = sims.indices.sortBy(i => (-sims(i), i)).take(nProbe)
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        order.map(Int.box).toArray[Any])
+    override def nullSafeEval(input: Any): Any =
+      VectorRuntime.nearestCentroids(
+        input.asInstanceOf[ArrayData], vFloat, centroids, centroidNorms, nProbe)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val nRef = ctx.addReferenceObj("centroidNorms", centroidNorms, "double[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.VectorRuntime.nearestCentroids(" +
+          s"$c, $vFloat, $cRef, $nRef, $nProbe);")
     }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =

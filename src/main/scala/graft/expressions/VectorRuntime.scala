@@ -1,0 +1,85 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+/** Shared evaluation kernels for the vector expressions — called from both
+  * the interpreted path and generated code (static forwarders, see
+  * [[GramHashRuntime]]). `isFloat` flags are resolved once at plan time from
+  * the column types, so the per-row work is a branch-free primitive loop.
+  */
+object VectorRuntime {
+
+  private def toDoubles(a: ArrayData, isFloat: Boolean): Array[Double] =
+    if (isFloat) {
+      val f = a.toFloatArray()
+      val out = new Array[Double](f.length)
+      var i = 0
+      while (i < f.length) { out(i) = f(i).toDouble; i += 1 }
+      out
+    } else a.toDoubleArray()
+
+  /** Mismatched vector dimensions are a caller bug (mixed embedding models,
+    * wrong `dim`); silently truncating to the shorter length returns a
+    * plausible-but-wrong similarity, so fail loudly instead.
+    */
+  private def requireSameDim(op: String, a: Int, b: Int): Unit =
+    if (a != b) throw new IllegalArgumentException(
+      s"$op: vector dimension mismatch ($a vs $b)")
+
+  /** Cosine similarity; 0.0 on zero norm. */
+  def cosine(l: ArrayData, lFloat: Boolean, r: ArrayData, rFloat: Boolean): Double = {
+    val a = toDoubles(l, lFloat)
+    val b = toDoubles(r, rFloat)
+    requireSameDim("cosine_similarity", a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  /** Signed random-hyperplane bucket: bit p = sign of `v · planes(p)`. */
+  def hyperplaneBucket(input: ArrayData, isFloat: Boolean,
+      planes: Array[Array[Double]]): Long = {
+    val v = toDoubles(input, isFloat)
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      requireSameDim("hyperplane_sign_bucket", v.length, plane.length)
+      var d = 0.0
+      var i = 0
+      while (i < v.length) { d += v(i) * plane(i); i += 1 }
+      if (d >= 0.0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  /** Indices of the `nProbe` nearest centroids by cosine, nearest-first. */
+  def nearestCentroids(input: ArrayData, isFloat: Boolean,
+      centroids: Array[Array[Double]], centroidNorms: Array[Double],
+      nProbe: Int): ArrayData = {
+    val v = toDoubles(input, isFloat)
+    var vn2 = 0.0
+    var i = 0
+    while (i < v.length) { vn2 += v(i) * v(i); i += 1 }
+    val vn = math.sqrt(vn2)
+    val sims = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      requireSameDim("nearest_centroids", v.length, cen.length)
+      var d = 0.0; var j = 0
+      while (j < v.length) { d += v(j) * cen(j); j += 1 }
+      val denom = vn * centroidNorms(c)
+      sims(c) = if (denom == 0.0) -2.0 else d / denom
+      c += 1
+    }
+    val order = sims.indices.sortBy(i => (-sims(i), i)).take(nProbe)
+    new GenericArrayData(order.map(Int.box).toArray[Any])
+  }
+}

@@ -21,11 +21,15 @@ object text {
     * dropped). A deliberately simple, deterministic tokenizer — the same
     * role base-R string ops played inside the reference's `transFUN` hook
     * (`R/ffsql.R:186`).
+    *
+    * Word chars are `\p{L}\p{N}_` (Unicode letters/digits), not Java's
+    * ASCII-only `\w` — "über" is one token, not "ber". The explicit class is
+    * also RE2-compatible, so differential oracles match byte-for-byte.
     */
   def tokens(c: Column): Column =
     // array_remove instead of a filter() lambda: the higher-order function
     // runs interpreted, array_remove stays inside whole-stage codegen
-    array_remove(split(lower(c), "\\W+"), "")
+    array_remove(split(lower(c), "[^\\p{L}\\p{N}_]+"), "")
 
   /** Whitespace token count (0 for empty/blank). */
   def tokenCount(c: Column): Column =

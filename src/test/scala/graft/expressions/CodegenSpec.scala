@@ -1,0 +1,67 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** The native expressions implement `doGenCode` (static-call kernels) so
+  * projections using them stay inside whole-stage codegen. These tests run
+  * with codegen fallback DISABLED: if the generated Java failed to compile,
+  * the queries here would throw instead of silently degrading to the
+  * interpreted path.
+  */
+class CodegenSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def withStrictCodegen[T](f: => T): T = {
+    val old = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try f finally old match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  test("gram-hash expressions compile under strict whole-stage codegen") {
+    withStrictCodegen {
+      val df = Seq((1L, "the quick brown fox jumps 42 times"), (2L, "")).toDF("id", "t")
+      val out = df.select(
+        size(GramHashExpressions.charNgramHashSet(col("t"), 5)).as("ng"),
+        size(GramHashExpressions.wordShingleHashSet(col("t"), 3)).as("ws"),
+        GramHashExpressions.simhash64(col("t")).as("sh")).collect()
+      assert(out.length == 2)
+      assert(out(0).getInt(0) > 0 && out(0).getInt(1) > 0)
+    }
+  }
+
+  test("vector expressions compile under strict whole-stage codegen") {
+    withStrictCodegen {
+      val planes = Array.fill(8)(Array.fill(4)(0.5))
+      val df = Seq((Seq(1f, 2f, 3f, 4f), Seq(4f, 3f, 2f, 1f))).toDF("a", "b")
+      val out = df.select(
+        VectorExpressions.cosineSimilarity(col("a"), col("b")).as("c"),
+        VectorExpressions.hyperplaneSignBucket(col("a"), planes).as("h"),
+        VectorExpressions.nearestCentroids(col("a"),
+          Array(Array(1.0, 2.0, 3.0, 4.0), Array(-1.0, -2.0, -3.0, -4.0)), 1).as("nc"))
+        .collect()
+      assert(out.length == 1)
+      assert(out.head.getDouble(0) > 0.6)
+      assert(out.head.getSeq[Int](2) == Seq(0))
+    }
+  }
+
+  test("projection over native expressions plans inside WholeStageCodegen") {
+    // range source so the projection cannot constant-fold away; with the old
+    // CodegenFallback mixin this Project is EXCLUDED from codegen entirely
+    val df = spark.range(10)
+      .select(GramHashExpressions.simhash64(
+        concat(lit("doc "), col("id").cast("string"))).as("sh"))
+    val inCodegen = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(inCodegen.nonEmpty,
+      s"expected a WholeStageCodegen stage in:\n${df.queryExecution.executedPlan}")
+    assert(df.distinct().count() == 10)
+  }
+}

@@ -34,6 +34,12 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(one[String](text.langId(col("t")), "zzz qqq xxx") == "und")
   }
 
+  test("tokens are Unicode-aware: accented words stay whole") {
+    val toks = Seq("Über die Brücke, più o meno!").toDF("t")
+      .select(text.tokens(col("t")).as("r")).collect().head.getSeq[String](0)
+    assert(toks == Seq("über", "die", "brücke", "più", "o", "meno"))
+  }
+
   test("fingerprint is whitespace-normalization invariant") {
     val a = one[Long](text.fingerprint(col("t")), "Hello   World Foo")
     val b = one[Long](text.fingerprint(col("t")), "hello world foo")
