@@ -30,12 +30,24 @@ object Ivf {
   /** Trained coarse quantizer: `centroids(i)` is cell i's center. */
   final case class Model(centroids: Array[Array[Double]])
 
+  /** `maxTrainRows` caps the Lloyd-iteration input: the quantizer only needs
+    * a representative sample, and training on the full corpus would scan
+    * 100 TB `iters` times for no recall gain. The sample is a deterministic
+    * hash filter (same rows every run, no shuffle, no count-dependent
+    * randomness), and at <= maxTrainRows rows it is safely cached across
+    * iterations. Pass 0 to train on everything.
+    */
   def train(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int = 5): Model = {
+      k: Int, iters: Int = 5, maxTrainRows: Long = 1000000L): Model = {
     require(k >= 1, "k must be >= 1")
-    val vecs = corpus.select(col(idCol).as("id"),
+    val all = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
+    val n = all.count()
+    val vecs = (if (maxTrainRows > 0 && n > maxTrainRows) {
+      val bound = math.max(1L, maxTrainRows * 1000000L / n)
+      all.where(pmod(xxhash64(col("id")), lit(1000000L)) < bound)
+    } else all).cache()
 
     // deterministic seeded init: k vectors with smallest hash(id)
     var centroids: Array[Array[Double]] = vecs
@@ -62,6 +74,7 @@ object Ivf {
         }
       }.toArray
     }
+    vecs.unpersist()
     Model(centroids)
   }
 

@@ -65,6 +65,20 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("IVF training sample cap is deterministic and keeps k centroids") {
+    val m1 = Ivf.train(clustered, "vec_id", "embedding", k = 3, iters = 2,
+      maxTrainRows = 12)
+    val m2 = Ivf.train(clustered, "vec_id", "embedding", k = 3, iters = 2,
+      maxTrainRows = 12)
+    assert(m1.centroids.length == 3)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+    // sampled-model search still returns k ranked neighbors per query
+    val q = clustered.where($"vec_id" === 0L)
+    val out = Ivf.topK(m1, clustered, q, "vec_id", "embedding", "vec_id",
+      k = 5, nProbe = 2)
+    assert(out.count() == 5)
+  }
+
   test("LSH top-k achieves high recall vs brute force on clustered data") {
     val queries = clustered.where($"vec_id" % 10 === 0L) // one per cluster
     val exact = Similarity.bruteForceTopK(clustered, queries,
