@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions for the scale-critical queries: these lock
+  * in the 100 TB design properties (pushdown, broadcast, shuffle count) that
+  * row-level correctness checks cannot see. A plan regression here is a
+  * silent 10-100x cost at scale long before it is a wrong answer.
+  *
+  * Queries are EXECUTED before inspection so AQE's final plan (where
+  * broadcast decisions live) is what gets asserted, and the metadata string
+  * budget is raised so PushedFilters lists are not truncated mid-assertion.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filters and projection reach the parquet scan") {
+    val plan = finalPlan("q02_filter_pushdown")
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters in:\n$plan")
+    // the quantity predicate is scan-evaluable and must be pushed
+    assert(plan.contains("LessThan(l_quantity"), s"l_quantity filter not pushed:\n$plan")
+    // column pruning: a wide lineitem scan for a 5-column query must not
+    // read payload columns
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("l_shipinstruct"), s"unpruned scan:\n$plan")
+  }
+
+  test("q03/q04: dimension joins plan as broadcast hash joins") {
+    Seq("q03_topk_revenue", "q04_region_revenue").foreach { q =>
+      val plan = finalPlan(q)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: expected BroadcastHashJoin for the dimension side in:\n$plan")
+    }
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the shuffle") {
+    val plan = finalPlan("q01_pricing_summary")
+    // two HashAggregate layers around one exchange = partial + final
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg in:\n$plan")
+  }
+
+  test("q46: bucketed join runs with no hash shuffle exchange") {
+    SparkEntry.prepareBucketedTables(spark, sf)
+    val plan = finalPlan("q46_bucketed_join")
+    // only the final orderBy may range-shuffle; the JOIN itself must not
+    // hash-exchange either side
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join re-shuffled its inputs:\n$plan")
+  }
+}
