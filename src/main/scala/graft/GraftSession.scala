@@ -14,6 +14,8 @@ object GraftSession {
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // native functions callable from SQL strings (see GraftExtensions)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // events-style parquet TIMESTAMP(NANOS) columns read as nanos-longs;
       // see graft.streaming.EventStreams.normalizeTs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -338,6 +338,18 @@ object SparkEntry {
         .orderBy("ln")
     }),
 
+    "q54_sql_native_fn" -> ((s, d) => {
+      // The native expressions surfaced in SQL text via GraftExtensions —
+      // a reference user's SQL-string workflow calling an engine extension
+      // function, checked against DuckDB's built-in equivalent.
+      t(s, d, "embeddings").createOrReplaceTempView("embeddings_v")
+      s.sql("""
+        SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+               round(cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+        FROM embeddings_v a JOIN embeddings_v b ON a.vec_id + 1 = b.vec_id
+        ORDER BY id_l""")
+    }),
+
     "q26_token_stats" -> ((s, d) => {
       t(s, d, "documents").select(
         col("doc_id"),
@@ -841,6 +853,12 @@ object SparkEntry {
                FROM e a JOIN e b ON a.vec_id < b.vec_id
                WHERE list_cosine_similarity(a.ev, b.ev) >= 0.95)
          SELECT id_l, id_r, round(c, 6) AS cosine FROM p ORDER BY id_l, id_r""",
+    "q54_sql_native_fn" ->
+      """SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
+         ORDER BY id_l""",
     "q53_recoder_numeric" ->
       """SELECT CASE WHEN l_linenumber = 1 THEN 101
                      WHEN l_linenumber = 2 THEN 102

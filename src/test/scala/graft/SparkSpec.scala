@@ -3,22 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** One shared local session for all suites (sbt runs Test in one forked JVM;
-  * `Test / parallelExecution := false`).
+  * `Test / parallelExecution := false`). Built through [[GraftSession]] so
+  * tests exercise the library's recommended configuration — including the
+  * SQL function registration in [[GraftExtensions]].
   */
 object SparkSpec {
-  lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  lazy val spark: SparkSession = GraftSession.local(4, "graft-test")
 }
 
 trait SparkSpec {
