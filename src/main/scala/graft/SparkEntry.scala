@@ -399,6 +399,19 @@ object SparkEntry {
         .orderBy("wstart", "event_type")
     }),
 
+    "q55_stream_stateful_sessions" -> ((s, d) => {
+      // flatMapGroupsWithState sessionization over a real stream: Append
+      // mode emits sessions when closed, so the result is sessionizeBatch
+      // minus each user's final (open) session — SQL-expressible.
+      // Cost note: typed-state streaming pays encoder serde + state-store
+      // commits (~4x the windowed streaming agg, ~20x the batch twin q30);
+      // it exists for custom-state SEMANTICS — pipelines that can express
+      // their sessions as window functions should use the q30 path.
+      val name = s"graft_stream_ss_${streamCounter.incrementAndGet()}"
+      EventStreams.sessionizeStatefulStreaming(s, s"$d/events.parquet", name)
+        .orderBy("user_id", "session_start")
+    }),
+
     "q32_stream_tumbling" -> ((s, d) => {
       val name = s"graft_stream_tw_${streamCounter.incrementAndGet()}"
       EventStreams.tumblingWindowStreaming(s, s"$d/events.parquet", name, "1 hour")
@@ -909,6 +922,25 @@ object SparkEntry {
          FROM b GROUP BY wstart, event_type ORDER BY wstart, event_type""",
     "q33_jdbc_roundtrip" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+    "q55_stream_stateful_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             FROM events),
+         f AS (SELECT *, CASE WHEN prev_ts IS NULL OR
+               CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+               THEN 1 ELSE 0 END AS ns FROM e),
+         g AS (SELECT user_id, ts, value,
+             CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+             FROM f),
+         sess AS (SELECT user_id, sid,
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+           FROM g GROUP BY user_id, sid)
+         SELECT user_id, session_start, n_events, sum_value FROM sess
+         WHERE sid < (SELECT max(s2.sid) FROM sess s2 WHERE s2.user_id = sess.user_id)
+         ORDER BY user_id, session_start""",
     "q34_multimodal" ->
       """SELECT doc_id AS media_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

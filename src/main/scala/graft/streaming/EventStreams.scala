@@ -139,9 +139,24 @@ object EventStreams {
   // cannot access private nested case classes.
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
-  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  /** `sumScaled` is the exact DECIMAL(_,4) sum as an unscaled long — the
+    * stateful twin of the repo-wide `dsum` convention: accumulating raw
+    * doubles in state would make the emitted sum depend on FP addition
+    * order and break hash parity with a SQL oracle.
+    */
+  case class SessionState(start: Long, last: Long, n: Long, sumScaled: Long)
   /** Output row of stateful sessionization. */
   case class Session(user_id: Long, session_start: Long, n_events: Long, sum_value: Double)
+
+  /** Per-event DECIMAL(_,4) quantization, identical to Spark's
+    * `CAST(v AS DECIMAL(18,4))` (string-shortest-repr + HALF_UP).
+    */
+  private def scaled4(v: Double): Long =
+    java.math.BigDecimal.valueOf(v).setScale(4, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  private def unscaled4ToDouble(s: Long): Double =
+    java.math.BigDecimal.valueOf(s, 4).doubleValue()
 
   /** Stateful streaming sessionization with `flatMapGroupsWithState`:
     * sessions accumulate in per-user state; a session is emitted when a later
@@ -176,17 +191,42 @@ object EventStreams {
             val t = e.ts.getTime
             open match {
               case s :: rest if t - s.last <= gapMs =>
-                open = SessionState(s.start, t, s.n + 1, s.sum + e.value) :: rest
+                open = SessionState(s.start, t, s.n + 1,
+                  s.sumScaled + scaled4(e.value)) :: rest
               case s :: rest =>
-                closed += Session(userId, s.start / 1000, s.n, s.sum)
-                open = SessionState(t, t, 1, e.value) :: rest
+                closed += Session(userId, s.start / 1000, s.n,
+                  unscaled4ToDouble(s.sumScaled))
+                open = SessionState(t, t, 1, scaled4(e.value)) :: rest
               case Nil =>
-                open = SessionState(t, t, 1, e.value) :: Nil
+                open = SessionState(t, t, 1, scaled4(e.value)) :: Nil
             }
           }
           state.update(open)
           closed.iterator
       }
     sessions.toDF()
+  }
+
+  /** Drive [[sessionizeStateful]] over a real file stream into a memory
+    * sink (Append mode, AvailableNow). Append emits a session only when a
+    * later event CLOSES it, so the result is every session except each
+    * user's final (still-open) one — a deterministic, SQL-expressible
+    * subset of [[sessionizeBatch]], which is exactly what makes the custom
+    * stateful operator oracle-checkable.
+    */
+  def sessionizeStatefulStreaming(
+      spark: SparkSession, eventsPath: String, queryName: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema
+    val stream = normalizeTs(
+      spark.readStream.schema(schema).parquet(stageStreamDir(eventsPath)))
+    val q = sessionizeStateful(stream, gapMinutes).writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
   }
 }
