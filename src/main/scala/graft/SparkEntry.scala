@@ -350,6 +350,16 @@ object SparkEntry {
         ORDER BY id_l""")
     }),
 
+    "q56_dataset_split" -> ((s, d) => {
+      // deterministic content-hash train/val/test split (80/10/10): split
+      // follows the VALUE, so duplicate content can never straddle splits
+      graft.ext.Splits.byContentHash(t(s, d, "documents"), "text",
+        weights = Seq(0.8, 0.1, 0.1), labels = Seq("train", "val", "test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split")
+    }),
+
     "q26_token_stats" -> ((s, d) => {
       t(s, d, "documents").select(
         col("doc_id"),
@@ -872,6 +882,15 @@ object SparkEntry {
                                         CAST(b.embedding AS DOUBLE[])), 6) AS cosine
          FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
          ORDER BY id_l""",
+    // thresholds = round(cumweight * 2^32): 0.8 -> 3435973837, 0.9 -> 3865470566
+    "q56_dataset_split" ->
+      """WITH s AS (SELECT n_chars, CASE
+           WHEN CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) < 3435973837 THEN 'train'
+           WHEN CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) < 3865470566 THEN 'val'
+           ELSE 'test' END AS split
+         FROM documents)
+         SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM s GROUP BY split ORDER BY split""",
     "q53_recoder_numeric" ->
       """SELECT CASE WHEN l_linenumber = 1 THEN 101
                      WHEN l_linenumber = 2 THEN 102

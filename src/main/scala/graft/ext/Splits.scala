@@ -1,0 +1,46 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training-data pipelines
+  * (train/validation/test, mixture shards).
+  *
+  * Assignment is a pure function of the KEY VALUE (first 32 bits of its
+  * md5), not of row position, partitioning, or RNG state — so a document
+  * keeps its split across re-ingests, engine versions, and cluster sizes,
+  * and duplicate content always lands in the same split (no train/test
+  * leakage through near-identical rows sharing a key). md5 also exists in
+  * every SQL engine, so splits are reproducible for differential tests —
+  * unlike `randomSplit`, which is seed- AND partitioning-dependent.
+  *
+  * Scale: one codegen'd hash + integer compare per row; no shuffle, no RNG
+  * coordination, trivially parallel at any data size.
+  */
+object Splits {
+
+  /** Split-assignment column: `weights(i)` (need not sum to 1; normalized)
+    * of the key space maps to `labels(i)`. Bucket thresholds are exact
+    * 32-bit integers, so the comparison is FP-free.
+    */
+  def contentHashSplit(key: Column, weights: Seq[Double], labels: Seq[String]): Column = {
+    require(weights.length == labels.length && weights.nonEmpty,
+      "weights and labels must align and be non-empty")
+    require(weights.forall(_ > 0), "weights must be positive")
+    val total = weights.sum
+    val space = 1L << 32
+    // cumulative exact thresholds over [0, 2^32)
+    val thresholds = weights.scanLeft(0.0)(_ + _).tail
+      .map(c => math.min(space, math.round(c / total * space)))
+    val h = conv(substring(md5(key), 1, 8), 16, 10).cast("long")
+    labels.zip(thresholds).reverse.foldLeft(lit(labels.last): Column) {
+      case (acc, (label, t)) => when(h < t, label).otherwise(acc)
+    }
+  }
+
+  /** [[contentHashSplit]] applied as a new column. */
+  def byContentHash(
+      df: DataFrame, keyCol: String, weights: Seq[Double],
+      labels: Seq[String], outCol: String = "split"): DataFrame =
+    df.withColumn(outCol, contentHashSplit(col(keyCol), weights, labels))
+}
