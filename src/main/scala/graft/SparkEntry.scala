@@ -360,6 +360,27 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    "q57_sequence_packing" -> ((s, d) => {
+      // concat-then-chunk packing: per source, docs in doc_id order fill
+      // 2048-token packs; verify pack membership and per-pack totals
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens", text.tokenCount(col("text")).cast("long"))
+      graft.ext.Packing.concatChunk(docs, "n_tokens", "doc_id",
+        budget = 2048L, groupCols = Seq("source"))
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("source", "pack_id")
+    }),
+
+    "q58_mixture_sample" -> ((s, d) => {
+      // deterministic mixture resampling: 50/25/25 target over three
+      // sources; binding source kept whole, others hash-downsampled
+      graft.ext.Mixtures.sampleToMixture(t(s, d, "documents"), "source", "text",
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")
+    }),
+
     "q26_token_stats" -> ((s, d) => {
       t(s, d, "documents").select(
         col("doc_id"),
@@ -882,6 +903,30 @@ object SparkEntry {
                                         CAST(b.embedding AS DOUBLE[])), 6) AS cosine
          FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
          ORDER BY id_l""",
+    "q58_mixture_sample" ->
+      """WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.25)),
+         cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         j AS (SELECT c.source, c.n, w.wt FROM cnt c JOIN w ON c.source = w.source),
+         t AS (SELECT min(n / wt) AS total FROM j),
+         thr AS (SELECT source,
+             CAST(round(wt * (SELECT total FROM t) / n * 4294967296) AS BIGINT) AS th
+           FROM j)
+         SELECT d.source, count(*) AS n_kept
+         FROM documents d JOIN thr ON d.source = thr.source
+         WHERE CAST(concat('0x', substring(md5(d.text), 1, 8)) AS BIGINT) < th
+         GROUP BY d.source ORDER BY d.source""",
+    "q57_sequence_packing" ->
+      """WITH d AS (SELECT doc_id, source,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+         FROM documents),
+         o AS (SELECT source, n_tokens,
+           coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+         FROM d)
+         SELECT source, CAST(floor(start_off / 2048) AS BIGINT) AS pack_id,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         FROM o GROUP BY source, pack_id ORDER BY source, pack_id""",
     // thresholds = round(cumweight * 2^32): 0.8 -> 3435973837, 0.9 -> 3865470566
     "q56_dataset_split" ->
       """WITH s AS (SELECT n_chars, CASE

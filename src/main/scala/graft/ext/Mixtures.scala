@@ -1,0 +1,52 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mixture resampling for training-data pipelines: downsample sources so
+  * the surviving rows approach target mixture weights (e.g. 60% web, 30%
+  * code, 10% reference) without replacement and without an RNG.
+  *
+  * Rates: with per-source counts `n_s` and normalized targets `w_s`, the
+  * largest feasible total is `T = min_s(n_s / w_s)` (the binding source is
+  * kept whole); source s keeps `w_s * T` rows. Row selection is the same
+  * deterministic content-hash filter as [[Splits]] — keep iff the key's
+  * 32-bit md5 falls under `rate_s * 2^32` — so the sample is reproducible
+  * across runs/engines and consistent for duplicate content.
+  *
+  * Scale: one count-by-source aggregation (bounded by the number of
+  * sources), then a single codegen'd hash+compare pass — no shuffle of the
+  * data itself, no sampling coordination.
+  */
+object Mixtures {
+
+  /** Keep a deterministic subset of `df` whose source mix approaches
+    * `targetWeights` (missing sources are ignored; sources absent from the
+    * map are dropped). `keyCol` drives the hash selection.
+    */
+  def sampleToMixture(
+      df: DataFrame, sourceCol: String, keyCol: String,
+      targetWeights: Map[String, Double]): DataFrame = {
+    require(targetWeights.nonEmpty && targetWeights.values.forall(_ > 0),
+      "targetWeights must be non-empty and positive")
+    val wNorm = {
+      val tot = targetWeights.values.sum
+      targetWeights.map { case (s, w) => s -> w / tot }
+    }
+    val counts = df.groupBy(col(sourceCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = wNorm.filter { case (s, _) => counts.contains(s) }
+    require(present.nonEmpty, "no targetWeights source present in the data")
+    // binding source kept whole; thresholds exact over the 32-bit space
+    val total = present.map { case (s, w) => counts(s) / w }.min
+    val space = 1L << 32
+    val thresholds = present.map { case (s, w) =>
+      s -> math.min(space, math.round(w * total / counts(s) * space))
+    }
+    val h = conv(substring(md5(col(keyCol)), 1, 8), 16, 10).cast("long")
+    val threshold: Column = thresholds.foldLeft(lit(-1L): Column) {
+      case (acc, (s, t)) => when(col(sourceCol) === s, lit(t)).otherwise(acc)
+    }
+    df.where(h < threshold)
+  }
+}

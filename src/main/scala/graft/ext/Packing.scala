@@ -1,0 +1,40 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for pretraining pipelines: documents are conceptually
+  * concatenated in a deterministic order and the token stream is cut every
+  * `budget` tokens; a document's pack is the block containing its FIRST
+  * token. This is the concat-then-chunk packing LLM pretraining uses —
+  * a boundary-straddling document belongs to the pack it starts in, and a
+  * document longer than the budget spans blocks but is assigned exactly one
+  * pack. A pure window cumsum: deterministic, SQL-expressible, shuffle-once.
+  *
+  * Scale: packing runs per `groupCols` (shard/source/split), so the window
+  * is partition-parallel — the global-total-order variant has the same
+  * single-task bottleneck as any global sort and is deliberately not
+  * offered; callers wanting one global stream should pack per shard and
+  * treat (shard, pack) as the pack key.
+  */
+object Packing {
+
+  /** Adds `packCol`: 0-based pack index within each `groupCols` group,
+    * cutting every `budget` tokens in `orderCol` order (ties broken by the
+    * order column being unique — pass a unique id).
+    */
+  def concatChunk(
+      df: DataFrame, tokenCol: String, orderCol: String, budget: Long,
+      groupCols: Seq[String], packCol: String = "pack_id"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(groupCols.nonEmpty,
+      "groupCols required: global packing would funnel all rows through one task")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
+    // exclusive running sum = offset of the document's first token
+    val startOffset = coalesce(
+      sum(col(tokenCol)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    df.withColumn(packCol, floor(startOffset / budget).cast("long"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class PackingMixtureSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("concatChunk assigns packs by first-token block") {
+    // tokens 1000,1000,1000 with budget 2048: offsets 0,1000,2000 ->
+    // packs 0,0,0? no — 2000 < 2048 so third doc still pack 0; fourth at
+    // 3000 starts pack 1
+    val df = Seq((1L, "a", 1000L), (2L, "a", 1000L), (3L, "a", 1000L),
+      (4L, "a", 1000L), (5L, "b", 5000L), (6L, "b", 10L))
+      .toDF("id", "grp", "tok")
+    val out = Packing.concatChunk(df, "tok", "id", 2048L, Seq("grp"))
+      .select("id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 0L && out(2L) == 0L && out(3L) == 0L)
+    assert(out(4L) == 1L)
+    // oversized doc owns pack 0 of its group; next doc starts where the
+    // stream cursor is (5000 -> pack 2)
+    assert(out(5L) == 0L && out(6L) == 2L)
+  }
+
+  test("concatChunk rejects global (ungrouped) packing") {
+    val df = Seq((1L, 10L)).toDF("id", "tok")
+    intercept[IllegalArgumentException] {
+      Packing.concatChunk(df, "tok", "id", 100L, Nil)
+    }
+  }
+
+  test("sampleToMixture hits exact rates for binary-fraction weights") {
+    val rows = for (s <- Seq("a", "b"); i <- 1 to 400)
+      yield (s, s"$s-doc-$i")
+    val df = rows.toDF("source", "text")
+    val kept = Mixtures.sampleToMixture(df, "source", "text",
+      Map("a" -> 0.75, "b" -> 0.25))
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    // binding source is a (400/0.75 < 400/0.25): a kept whole,
+    // b targets 400/3 ~ 133 via hash threshold (tolerance: hash variance)
+    assert(kept("a") == 400L)
+    assert(kept("b") > 90L && kept("b") < 180L)
+    // deterministic: second run identical
+    val again = Mixtures.sampleToMixture(df, "source", "text",
+      Map("a" -> 0.75, "b" -> 0.25)).count()
+    assert(again == kept.values.sum)
+  }
+
+  test("sampleToMixture drops unlisted sources and validates weights") {
+    val df = Seq(("a", "x"), ("zzz", "y")).toDF("source", "text")
+    val out = Mixtures.sampleToMixture(df, "source", "text", Map("a" -> 1.0))
+    assert(out.select("source").as[String].collect().toSet == Set("a"))
+    intercept[IllegalArgumentException] {
+      Mixtures.sampleToMixture(df, "source", "text", Map.empty[String, Double])
+    }
+  }
+}
