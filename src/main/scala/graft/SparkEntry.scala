@@ -420,6 +420,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q59_asof_join" -> ((s, d) => {
+      // as-of join: each purchase matched to the user's latest at-or-before
+      // click within 1h (union + running last — one shuffle, no range join)
+      val ev = events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"), col("ts"))
+      graft.ops.AsOfJoin.lastPrior(purchases, clicks,
+        partitionCols = Seq("user_id"), timeCol = "ts",
+        refPayloadCols = Seq("c_id"), toleranceSec = Some(3600),
+        lagCol = Some("lag_us"))
+        .select(col("user_id"), col("p_id"), col("c_id"), col("lag_us"))
+        .orderBy("user_id", "p_id")
+    }),
+
     "q30_sessionize" -> ((s, d) => {
       EventStreams.sessionizeBatch(events(s, d), gapMinutes = 30)
         .orderBy("user_id", "session_id")
@@ -986,6 +1002,18 @@ object SparkEntry {
          FROM b GROUP BY wstart, event_type ORDER BY wstart, event_type""",
     "q33_jdbc_roundtrip" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+    "q59_asof_join" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id,
+             CAST(epoch_us(ts) AS BIGINT) AS pt
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, event_id AS c_id,
+             CAST(epoch_us(ts) AS BIGINT) AS ct
+           FROM events WHERE event_type = 'click')
+         SELECT p.user_id AS user_id, p_id,
+           CASE WHEN ct IS NOT NULL AND pt - ct <= 3600000000 THEN c_id END AS c_id,
+           CASE WHEN ct IS NOT NULL AND pt - ct <= 3600000000 THEN pt - ct END AS lag_us
+         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ct <= p.pt
+         ORDER BY p.user_id, p_id""",
     "q55_stream_stateful_sessions" ->
       """WITH e AS (SELECT user_id, event_id, ts, value,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
