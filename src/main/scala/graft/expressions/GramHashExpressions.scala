@@ -76,6 +76,41 @@ object GramHashExpressions {
       copy(child = newChild)
   }
 
+  /** MinHash signature (`numHashes` permutation minima) of a hashed gram
+    * set, one pass per row. Hash family is exactly the composable
+    * formulation's `xxhash64(lit(i), gram)` — per-permutation seed
+    * `XXH64.hashInt(i, 42)` chained into `hashLong` — so signatures (and
+    * therefore LSH candidate sets) are bit-identical to the explode +
+    * 64-column-min aggregation this replaces, at zero shuffle cost.
+    */
+  case class MinHashSignature(child: Expression, numHashes: Int, seed: Long = 42L)
+      extends UnaryExpression {
+    require(numHashes > 0, "numHashes must be positive")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "minhash_signature"
+
+    // one seed per permutation, shared by interpreted and generated paths
+    private lazy val seeds: Array[Long] =
+      Array.tabulate(numHashes)(i =>
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, seed))
+
+    override def nullSafeEval(input: Any): Any =
+      GramHashRuntime.minhashSignature(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], seeds)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val seedsRef = ctx.addReferenceObj("seeds", seeds, "long[]")
+      val code = nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = graft.expressions.GramHashRuntime.minhashSignature($c, $seedsRef);
+           |${ev.isNull} = (${ev.value} == null);""".stripMargin)
+      code
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** 64-bit SimHash of the document's token multiset: per-bit majority vote
     * over token hashes (multiplicity-weighted), packed into a long. One tight
     * pass per document — the composable alternative (explode + 64 conditional
@@ -107,4 +142,7 @@ object GramHashExpressions {
 
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+
+  def minhashSignature(c: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(c), numHashes))
 }

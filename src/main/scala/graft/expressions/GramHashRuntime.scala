@@ -95,6 +95,32 @@ object GramHashRuntime {
     sortedDistinct(shingles, cnt)
   }
 
+  /** MinHash signature over a hashed gram set: `out(i) = min_g
+    * hashLong(g, seeds(i))` — every permutation's min in ONE pass over the
+    * row's grams, no explode, no shuffle. Returns null for an empty gram
+    * set (the doc simply has no signature, matching the explode
+    * formulation where it produced no rows).
+    */
+  def minhashSignature(grams: ArrayData, seeds: Array[Long]): ArrayData = {
+    val g = grams.toLongArray()
+    if (g.length == 0) return null
+    val out = new Array[Long](seeds.length)
+    var i = 0
+    while (i < seeds.length) {
+      val s = seeds(i)
+      var m = Long.MaxValue
+      var j = 0
+      while (j < g.length) {
+        val h = XXH64.hashLong(g(j), s)
+        if (h < m) m = h
+        j += 1
+      }
+      out(i) = m
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash: per-bit majority vote over the token hash multiset. */
   def simhash64(s: UTF8String, seed: Long): Long = {
     val th = tokenHashes(s.getBytes, seed)

@@ -52,32 +52,33 @@ object Dedup {
       graft.expressions.GramHashExpressions.charNgramHashSet(
         regexp_replace(lower(trim(col(textCol))), "\\s+", " "), n).as("sh"))
 
-  /** MinHash signatures: `(idCol, sig_0 .. sig_{numHashes-1})`.
+  /** MinHash signatures: `(idCol, sig array<long>)`.
     *
-    * One row per (doc, shingle) after explode, then ONE map-side-combinable
-    * aggregation computing all `numHashes` mins — this is the
-    * shuffle-minimal plan (a single groupBy on the id, partials on the map
-    * side), vs. numHashes passes or a per-row lambda over the whole array.
-    * Hash family: xxhash64 seeded by hash index (independent-ish
-    * permutation approximations).
+    * All `numHashes` permutation minima are computed in ONE native-
+    * expression pass per row ([[graft.expressions.GramHashExpressions
+    * .MinHashSignature]]) — no explode, no shuffle, nothing materialized
+    * but one array per document. The previous explode + 64-column-min
+    * aggregation shuffled a partial-agg row per (doc, partition) and blew
+    * the scan up by |grams| rows; signature values are bit-identical
+    * (same hash family), so LSH candidate sets are unchanged.
     */
   def minhashSignature(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, shingleK: Int = 3): DataFrame =
     signatureOf(wordShingleSets(df, idCol, textCol, shingleK), idCol, numHashes)
 
-  /** MinHash signature from a hashed gram-set DataFrame `(id, sh)`: explode
-    * then ONE aggregation computing all mins (map-side partial combine).
+  /** MinHash signature from a hashed gram-set DataFrame `(id, sh)`: one
+    * projection; docs with empty gram sets have no signature (dropped,
+    * like the explode formulation produced no rows for them).
     */
-  private def signatureOf(sets: DataFrame, idCol: String, numHashes: Int): DataFrame = {
-    val ex = sets.select(col(idCol), explode(col("sh")).as("gh"))
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("gh"))).as(s"sig_$i"))
-    ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-  }
+  private def signatureOf(sets: DataFrame, idCol: String, numHashes: Int): DataFrame =
+    sets.select(col(idCol),
+      graft.expressions.GramHashExpressions
+        .minhashSignature(col("sh"), numHashes).as("sig"))
+      .where(col("sig").isNotNull)
 
-  /** LSH banding over a MinHash signature: emit `(id, band, band_hash)`.
-    * Docs agreeing on all rows of any band share a bucket.
+  /** LSH banding over a MinHash signature array: emit `(id, band,
+    * band_hash)`. Docs agreeing on all rows of any band share a bucket.
     */
   private def bandBuckets(
       sig: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
@@ -85,7 +86,8 @@ object Dedup {
     val r = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((b * r until (b + 1) * r).map(i => col(s"sig_$i")): _*).as("bh"))
+        xxhash64((b * r until (b + 1) * r)
+          .map(i => element_at(col("sig"), i + 1)): _*).as("bh"))
     }
     sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
