@@ -436,6 +436,17 @@ object SparkEntry {
         .orderBy("user_id", "p_id")
     }),
 
+    "q60_stream_dedup" -> ((s, d) => {
+      // watermarked streaming dedup over a stream carrying every event
+      // twice; survivors = the distinct source rows exactly
+      val name = s"graft_stream_dd_${streamCounter.incrementAndGet()}"
+      EventStreams.streamingDedup(s, s"$d/events.parquet", name,
+        keys = Seq("event_id"))
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_sec"), col("value"))
+        .orderBy("event_id")
+    }),
+
     "q30_sessionize" -> ((s, d) => {
       EventStreams.sessionizeBatch(events(s, d), gapMinutes = 30)
         .orderBy("user_id", "session_id")
@@ -1002,6 +1013,10 @@ object SparkEntry {
          FROM b GROUP BY wstart, event_type ORDER BY wstart, event_type""",
     "q33_jdbc_roundtrip" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+    "q60_stream_dedup" ->
+      """SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value
+         FROM events ORDER BY event_id""",
     "q59_asof_join" ->
       """WITH p AS (SELECT user_id, event_id AS p_id,
              CAST(epoch_us(ts) AS BIGINT) AS pt

@@ -85,6 +85,36 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Streaming deduplication: stage the source file TWICE so the stream
+    * genuinely carries every row duplicated, then drop duplicates on `keys`
+    * within the watermark (`dropDuplicatesWithinWatermark` — state is
+    * bounded by the watermark delay, unlike raw `dropDuplicates`, whose
+    * key set grows forever on an unbounded stream). Both copies of a row
+    * are identical, so the surviving set is deterministic: exactly the
+    * distinct source rows.
+    */
+  def streamingDedup(
+      spark: SparkSession, eventsPath: String, queryName: String,
+      keys: Seq[String], watermark: String = "10 minutes"): DataFrame = {
+    val p = java.nio.file.Paths.get(eventsPath).toAbsolutePath
+    val d = java.nio.file.Files.createTempDirectory("graft_dup_stream")
+    java.nio.file.Files.createSymbolicLink(d.resolve("copy_a.parquet"), p)
+    java.nio.file.Files.createSymbolicLink(d.resolve("copy_b.parquet"), p)
+    val schema = spark.read.parquet(eventsPath).schema
+    val stream = normalizeTs(spark.readStream.schema(schema).parquet(d.toString))
+    val q = stream
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Batch sessionization: a session breaks after `gapMinutes` of user
     * inactivity. Pure window functions (lag -> flag -> running sum), fully
     * SQL-expressible — the oracle twin of the stateful streaming version.
