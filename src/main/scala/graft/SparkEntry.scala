@@ -381,6 +381,19 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q61_bottomk_sketch" -> ((s, d) => {
+      // KMV bottom-k sketch per source via the custom TypedImperativeAggregate
+      // (bounded buffer, map-side combinable); exploded flat for the oracle
+      val h = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+      t(s, d, "documents")
+        .select(col("source"), h.as("hv"))
+        .groupBy(col("source"))
+        .agg(graft.expressions.BottomKAgg.bottomKHashes(col("hv"), 8).as("bk"))
+        .select(col("source"), posexplode(col("bk")).as(Seq("rn", "hv")))
+        .select(col("source"), (col("rn") + 1).cast("long").as("rn"), col("hv"))
+        .orderBy("source", "rn")
+    }),
+
     "q26_token_stats" -> ((s, d) => {
       t(s, d, "documents").select(
         col("doc_id"),
@@ -930,6 +943,14 @@ object SparkEntry {
                                         CAST(b.embedding AS DOUBLE[])), 6) AS cosine
          FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
          ORDER BY id_l""",
+    "q61_bottomk_sketch" ->
+      """WITH h AS (SELECT DISTINCT source,
+             CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) AS hv
+           FROM documents),
+         r AS (SELECT source, hv,
+             row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM h)
+         SELECT source, CAST(rn AS BIGINT) AS rn, hv FROM r WHERE rn <= 8
+         ORDER BY source, rn""",
     "q58_mixture_sample" ->
       """WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.25)),
          cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
