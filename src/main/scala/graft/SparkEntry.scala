@@ -57,10 +57,15 @@ object SparkEntry {
     */
   def prepareBucketedTables(s: SparkSession, d: String): (String, String) = {
     import graft.io.BucketedTables
-    // tag = the sanitized dir path itself, not a hash: distinct source dirs
-    // can never alias each other's tables (a 32-bit hash could collide and
-    // silently serve wrong-scale data)
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase(java.util.Locale.ROOT)
+    // tag = sanitized dir path (readable) + md5 prefix of the EXACT path:
+    // sanitization alone is lossy ("/sf0.1" and "/sf0_1" collapse), so the
+    // hash suffix keeps distinct source dirs from aliasing each other's
+    // tables and silently serving wrong-scale data
+    val sanitized = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase(java.util.Locale.ROOT)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
+    val tag = s"${sanitized}_$digest"
     val ordersTbl = s"graft_v_orders_$tag"
     val lineitemTbl = s"graft_v_lineitem_$tag"
     BucketedTables.ensureBucketed(

@@ -30,6 +30,13 @@ case class BottomKHashes(
   require(k > 0, "k must be positive")
 
   override def children: Seq[Expression] = child :: Nil
+  // analysis-time type check: without it a non-long child would pass
+  // resolution and ClassCastException on executors mid-job
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT column, got ${child.dataType.simpleString}")
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "bottom_k_hashes"

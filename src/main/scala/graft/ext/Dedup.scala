@@ -179,19 +179,38 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("component").as("nc")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("nc")).as("nmin"))
+      // ONE checkpoint per round; the convergence probe and the next round's
+      // labels are both cheap projections of it. The previous round's
+      // checkpoint is released once superseded — without this, maxIters
+      // checkpointed copies pile up in executor storage.
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("component"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("next"))
         .localCheckpoint()
       converged = updated.where(col("next") < col("component")).limit(1).isEmpty
-      labels = updated.select(col("id"), col("next").as("component")).localCheckpoint()
+      releaseLocalCheckpoint(labels)
+      labels = updated.select(col("id"), col("next").as("component"))
       i += 1
     }
     require(converged,
       s"connectedComponents did not converge in $maxIters rounds — component " +
         "diameter exceeds the bound; raise maxIters")
+    // the result only depends on the final round's checkpoint (which the
+    // caller now owns); the edge list can be released
+    releaseLocalCheckpoint(edges)
     labels
   }
+
+  /** Release the storage behind a `localCheckpoint`ed frame (or a pure
+    * projection of one). `Dataset.unpersist` cannot do this — it talks to
+    * the cache manager, and checkpoints live at the RDD level.
+    */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ =>
+    }
 
   /** Survivors after MinHash dedup.
     *

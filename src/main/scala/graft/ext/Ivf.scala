@@ -43,11 +43,18 @@ object Ivf {
     require(k >= 1, "k must be >= 1")
     val all = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val n = all.count()
-    val vecs = (if (maxTrainRows > 0 && n > maxTrainRows) {
-      val bound = math.max(1L, maxTrainRows * 1000000L / n)
-      all.where(pmod(xxhash64(col("id")), lit(1000000L)) < bound)
-    } else all).cache()
+    // Cache ONLY the sampled (bounded) training set; the "train on
+    // everything" path must not flood executor storage with the corpus,
+    // and skips the count scan entirely.
+    val granularity = 1L << 31 // cap holds up to n = maxTrainRows * 2^31
+    val vecs =
+      if (maxTrainRows > 0) {
+        val n = all.count()
+        if (n > maxTrainRows) {
+          val bound = math.max(1L, maxTrainRows * granularity / n)
+          all.where(pmod(xxhash64(col("id")), lit(granularity)) < bound).cache()
+        } else all.cache()
+      } else all
 
     // deterministic seeded init: k vectors with smallest hash(id)
     var centroids: Array[Array[Double]] = vecs
@@ -74,7 +81,7 @@ object Ivf {
         }
       }.toArray
     }
-    vecs.unpersist()
+    if (maxTrainRows > 0) vecs.unpersist()
     Model(centroids)
   }
 

@@ -57,7 +57,8 @@ object ReadSql {
       lowerBound: Long = 0L,
       upperBound: Long = 0L,
       numPartitions: Int = 0,
-      verbose: Boolean = false): DataFrame = {
+      verbose: Boolean = false,
+      maxFactorLevels: Int = 65536): DataFrame = {
     GraftDerbyDialect.ensureRegistered()
 
     def base(extra: Map[String, String]): DataFrame = {
@@ -117,7 +118,7 @@ object ReadSql {
           val unioned = factorCols.map { c =>
             val old = graft.ops.Ops.levelsOf(existing, c).get
             val incoming = levels.getOrElse(c,
-              graft.ops.Ops.factorLevels(withLevels, c))
+              graft.ops.Ops.factorLevels(withLevels, c, maxFactorLevels))
             c -> (old ++ incoming.filterNot(old.contains))
           }.toMap
           graft.ops.Ops.factorise(merged, cols = factorCols,

@@ -41,17 +41,18 @@ object AsOfJoin {
     require(refPayloadCols.nonEmpty, "refPayloadCols required")
     require(suffix.nonEmpty, "suffix must be non-empty")
 
-    def micros(df: DataFrame): Column = unix_micros(col(timeCol).cast("timestamp"))
+    // unresolved on purpose: binds to whichever side's select it lands in
+    val micros: Column = unix_micros(col(timeCol).cast("timestamp"))
 
     val probePay = struct(probe.columns.map(col).toIndexedSeq: _*)
-    val refPay = struct((refPayloadCols.map(col) :+ micros(ref).as("__ref_t")): _*)
+    val refPay = struct((refPayloadCols.map(col) :+ micros.as("__ref_t")): _*)
     val probePayType = probe.select(probePay).schema.head.dataType
     val refPayType = ref.select(refPay).schema.head.dataType.asInstanceOf[StructType]
 
     val key = partitionCols.map(col)
-    val refSide = ref.select((key :+ micros(ref).as("__t") :+ lit(0).as("__side")
+    val refSide = ref.select((key :+ micros.as("__t") :+ lit(0).as("__side")
       :+ lit(null).cast(probePayType).as("__p") :+ refPay.as("__r")): _*)
-    val probeSide = probe.select((key :+ micros(probe).as("__t") :+ lit(1).as("__side")
+    val probeSide = probe.select((key :+ micros.as("__t") :+ lit(1).as("__side")
       :+ probePay.as("__p") :+ lit(null).cast(refPayType).as("__r")): _*)
 
     val w = Window.partitionBy(key: _*).orderBy(col("__t"), col("__side"))

@@ -45,7 +45,10 @@ object EventStreams {
     if (java.nio.file.Files.isDirectory(p)) path
     else {
       val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
-      java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p.toAbsolutePath)
+      d.toFile.deleteOnExit()
+      val l = d.resolve(p.getFileName)
+      java.nio.file.Files.createSymbolicLink(l, p.toAbsolutePath)
+      l.toFile.deleteOnExit()
       d.toString
     }
   }
@@ -98,8 +101,26 @@ object EventStreams {
       keys: Seq[String], watermark: String = "10 minutes"): DataFrame = {
     val p = java.nio.file.Paths.get(eventsPath).toAbsolutePath
     val d = java.nio.file.Files.createTempDirectory("graft_dup_stream")
-    java.nio.file.Files.createSymbolicLink(d.resolve("copy_a.parquet"), p)
-    java.nio.file.Files.createSymbolicLink(d.resolve("copy_b.parquet"), p)
+    d.toFile.deleteOnExit()
+    // stage every data file twice: a single parquet file directly, or — for
+    // a directory-layout parquet dataset — each of its part files (the file
+    // source lists files, it does not recurse into symlinked subdirs)
+    val dataFiles: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(p).iterator().asScala
+          .filter(f => java.nio.file.Files.isRegularFile(f) &&
+            !f.getFileName.toString.startsWith("_") &&
+            !f.getFileName.toString.startsWith("."))
+          .toSeq
+      } else Seq(p)
+    dataFiles.zipWithIndex.foreach { case (f, i) =>
+      Seq("a", "b").foreach { side =>
+        val l = d.resolve(s"copy_${side}_$i.parquet")
+        java.nio.file.Files.createSymbolicLink(l, f)
+        l.toFile.deleteOnExit()
+      }
+    }
     val schema = spark.read.parquet(eventsPath).schema
     val stream = normalizeTs(spark.readStream.schema(schema).parquet(d.toString))
     val q = stream
