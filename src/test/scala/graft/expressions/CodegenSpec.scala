@@ -51,6 +51,26 @@ class CodegenSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("minhash signature expression equals the explode + xxhash64 formulation") {
+    // the one-pass expression claims bit-identical signatures to
+    // min(xxhash64(lit(i), gram)) per permutation — prove it on real text
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs and more words here"))
+      .toDF("id", "t")
+    val sets = docs.select(col("id"),
+      GramHashExpressions.wordShingleHashSet(col("t"), 3).as("sh"))
+    val fast = sets.select(col("id"),
+      GramHashExpressions.minhashSignature(col("sh"), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val slow = {
+      val ex = sets.select(col("id"), explode(col("sh")).as("gh"))
+      val aggs = (0 until 16).map(i => min(xxhash64(lit(i), col("gh"))).as(s"s$i"))
+      ex.groupBy("id").agg(aggs.head, aggs.tail: _*)
+        .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getLong(_)).toSeq).toMap
+    }
+    assert(fast == slow)
+  }
+
   test("projection over native expressions plans inside WholeStageCodegen") {
     // range source so the projection cannot constant-fold away; with the old
     // CodegenFallback mixin this Project is EXCLUDED from codegen entirely
