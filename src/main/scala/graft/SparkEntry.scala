@@ -399,6 +399,21 @@ object SparkEntry {
         .orderBy("source", "rn")
     }),
 
+    "q63_text_normalize" -> ((s, d) => {
+      // corpus-cleaning pass: control-strip + NFC normalize, md5-checked
+      // cross-engine (oracle runs its own nfc_normalize)
+      t(s, d, "documents").select(
+        col("doc_id"),
+        md5(text.normalizeNFC(text.stripControl(col("text")))).as("clean_md5"),
+        length(text.normalizeNFC(col("text"))).cast("long").as("n_chars_nfc"))
+        .orderBy("doc_id")
+    }),
+
+    "q62_profile" -> ((s, d) => {
+      // exact one-pass per-column profiling (nulls, distincts, min/max)
+      graft.ops.Profile(t(s, d, "documents")).orderBy("column")
+    }),
+
     "q26_token_stats" -> ((s, d) => {
       t(s, d, "documents").select(
         col("doc_id"),
@@ -948,6 +963,33 @@ object SparkEntry {
                                         CAST(b.embedding AS DOUBLE[])), 6) AS cosine
          FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
          ORDER BY id_l""",
+    "q63_text_normalize" ->
+      """SELECT doc_id,
+           md5(nfc_normalize(regexp_replace(text,
+             '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'))) AS clean_md5,
+           CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc
+         FROM documents ORDER BY doc_id""",
+    "q62_profile" ->
+      """WITH p AS (
+           SELECT 'doc_id' AS "column", count(*) AS n_rows,
+             count(*) FILTER (WHERE doc_id IS NULL) AS n_nulls,
+             count(DISTINCT doc_id) AS n_distinct,
+             CAST(min(doc_id) AS VARCHAR) AS min_value,
+             CAST(max(doc_id) AS VARCHAR) AS max_value FROM documents
+           UNION ALL
+           SELECT 'text', count(*), count(*) FILTER (WHERE text IS NULL),
+             count(DISTINCT text), min(text), max(text) FROM documents
+           UNION ALL
+           SELECT 'lang', count(*), count(*) FILTER (WHERE lang IS NULL),
+             count(DISTINCT lang), min(lang), max(lang) FROM documents
+           UNION ALL
+           SELECT 'source', count(*), count(*) FILTER (WHERE source IS NULL),
+             count(DISTINCT source), min(source), max(source) FROM documents
+           UNION ALL
+           SELECT 'n_chars', count(*), count(*) FILTER (WHERE n_chars IS NULL),
+             count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+             CAST(max(n_chars) AS VARCHAR) FROM documents)
+         SELECT * FROM p ORDER BY "column"""",
     "q61_bottomk_sketch" ->
       """WITH h AS (SELECT DISTINCT source,
              CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) AS hv

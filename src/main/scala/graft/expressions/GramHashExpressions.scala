@@ -133,6 +133,25 @@ object GramHashExpressions {
       copy(child = newChild)
   }
 
+  /** Unicode NFC normalization of a string column (see
+    * [[GramHashRuntime.nfcNormalize]]); `isNormalized` short-circuits the
+    * common ASCII case to a pass-through.
+    */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override def prettyName: String = "nfc_normalize"
+
+    override def nullSafeEval(input: Any): Any =
+      GramHashRuntime.nfcNormalize(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.GramHashRuntime.nfcNormalize($c);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Column wrappers. */
   def charNgramHashSet(c: Column, n: Int): Column =
     ColumnBridge.column(CharNgramHashSet(ColumnBridge.expression(c), n))
@@ -145,4 +164,7 @@ object GramHashExpressions {
 
   def minhashSignature(c: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(c), numHashes))
+
+  def nfcNormalize(c: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
 }

@@ -95,6 +95,17 @@ object GramHashRuntime {
     sortedDistinct(shingles, cnt)
   }
 
+  /** Unicode NFC normalization (canonical composition) — corpus-cleaning
+    * primitive; pass-through for ASCII, composes decomposed accents
+    * ("e" + U+0301 -> "é") so visually identical text hashes identically.
+    */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** MinHash signature over a hashed gram set: `out(i) = min_g
     * hashLong(g, seeds(i))` — every permutation's min in ONE pass over the
     * row's grams, no explode, no shuffle. Returns null for an empty gram

@@ -143,6 +143,31 @@ object text {
     array_min(graft.expressions.GramHashExpressions.charNgramHashSet(norm, k))
   }
 
+  /** Unicode NFC normalization (canonical composition): "e" + combining
+    * acute composes to "é", so visually identical text hashes/dedups
+    * identically. Native expression, ASCII fast-path.
+    */
+  def normalizeNFC(c: Column): Column =
+    graft.expressions.GramHashExpressions.nfcNormalize(c)
+
+  /** Crude HTML strip for scraped corpora: tags -> space, the five
+    * predefined entities decoded, whitespace recollapsed. Deliberately
+    * regex-only (deterministic, codegen'd) — not an HTML parser.
+    */
+  def stripHtml(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val entities = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&apos;" -> "'")
+    val decoded = entities.foldLeft(noTags) { case (acc, (e, ch)) =>
+      regexp_replace(acc, e, ch)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Drop control characters except tab/newline (corpus hygiene). */
+  def stripControl(c: Column): Column =
+    regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+
   /** Order-insensitive content fingerprint: hash of the sorted distinct
     * token set (bag-of-words identity).
     */

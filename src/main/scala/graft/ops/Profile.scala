@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact per-column profiling — the engine-side `summary()` an ETL user
+  * runs before trusting a new table: row count, null count, distinct count,
+  * min/max (as strings, so one schema fits every column type).
+  *
+  * One wide aggregation computes every column's stats in a SINGLE pass over
+  * the data (`count_distinct` for several columns plans as expand +
+  * partial aggregation — still one scan); the tall (column-per-row) shape
+  * comes from unpivoting the 1-row wide result, not from per-column jobs.
+  * `describe`/`summary` built-ins are approximate for quantiles and skip
+  * distinct counts; this is the exact, oracle-comparable variant.
+  */
+object Profile {
+
+  /** Profile `cols` (default: all columns) of `df`: one row per column with
+    * `(column, n_rows, n_nulls, n_distinct, min_value, max_value)`;
+    * min/max/distinct ignore nulls, string-rendered.
+    */
+  def apply(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val targets = if (cols.nonEmpty) cols else df.columns.toIndexedSeq
+    targets.foreach(c => require(df.columns.contains(c), s"column $c not found"))
+    val aggs = targets.flatMap { c =>
+      Seq(
+        count(when(col(c).isNull, 1)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    } :+ count(lit(1)).as("__rows")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = targets.map { c =>
+      struct(lit(c).as("column"), col("__rows").as("n_rows"),
+        col(s"__nn_$c").as("n_nulls"), col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_value"), col(s"__mx_$c").as("max_value"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+}

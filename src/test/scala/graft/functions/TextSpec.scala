@@ -34,6 +34,23 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(one[String](text.langId(col("t")), "zzz qqq xxx") == "und")
   }
 
+  test("normalizeNFC composes decomposed accents; ASCII passes through") {
+    val decomposed = "cafe\u0301" // e + combining acute
+    val composed = "caf\u00e9"
+    assert(decomposed != composed) // the fixture really is decomposed
+    assert(one[String](text.normalizeNFC(col("t")), decomposed) == composed)
+    assert(one[String](text.normalizeNFC(col("t")), "plain ascii") == "plain ascii")
+  }
+
+  test("stripHtml drops tags, decodes entities, collapses whitespace") {
+    val html = "<p>Hello <b>world</b> &amp; friends &lt;3</p>"
+    assert(one[String](text.stripHtml(col("t")), html) == "Hello world & friends <3")
+  }
+
+  test("stripControl removes control chars but keeps tab/newline") {
+    assert(one[String](text.stripControl(col("t")), "a\u0000b\u0007c\td\ne") == "abc\td\ne")
+  }
+
   test("tokens are Unicode-aware: accented words stay whole") {
     val toks = Seq("Über die Brücke, più o meno!").toDF("t")
       .select(text.tokens(col("t")).as("r")).collect().head.getSeq[String](0)
