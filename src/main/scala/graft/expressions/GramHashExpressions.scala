@@ -140,6 +140,11 @@ object GramHashExpressions {
   case class NfcNormalize(child: Expression) extends UnaryExpression {
     override def dataType: DataType = org.apache.spark.sql.types.StringType
     override def prettyName: String = "nfc_normalize"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == org.apache.spark.sql.types.StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a STRING column, got ${child.dataType.simpleString}")
 
     override def nullSafeEval(input: Any): Any =
       GramHashRuntime.nfcNormalize(input.asInstanceOf[UTF8String])

@@ -51,7 +51,10 @@ object Ivf {
       if (maxTrainRows > 0) {
         val n = all.count()
         if (n > maxTrainRows) {
-          val bound = math.max(1L, maxTrainRows * granularity / n)
+          // double-rounded keep fraction: the integer product
+          // maxTrainRows * granularity overflows Long for large caps
+          val bound = math.max(1L,
+            (maxTrainRows.toDouble / n * granularity).toLong)
           all.where(pmod(xxhash64(col("id")), lit(granularity)) < bound).cache()
         } else all.cache()
       } else all

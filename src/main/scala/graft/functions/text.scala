@@ -156,8 +156,10 @@ object text {
     */
   def stripHtml(c: Column): Column = {
     val noTags = regexp_replace(c, "<[^>]*>", " ")
-    val entities = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&apos;" -> "'")
+    // &amp; must decode LAST: doing it first would double-unescape nested
+    // entities ("&amp;lt;" means the literal text "&lt;", not "<")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&apos;" -> "'", "&amp;" -> "&")
     val decoded = entities.foldLeft(noTags) { case (acc, (e, ch)) =>
       regexp_replace(acc, e, ch)
     }

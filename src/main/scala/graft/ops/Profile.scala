@@ -23,18 +23,21 @@ object Profile {
   def apply(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
     val targets = if (cols.nonEmpty) cols else df.columns.toIndexedSeq
     targets.foreach(c => require(df.columns.contains(c), s"column $c not found"))
+    def bq(c: String) = col(s"`$c`")
     val aggs = targets.flatMap { c =>
       Seq(
-        count(when(col(c).isNull, 1)).as(s"__nn_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__mn_$c"),
-        max(col(c)).cast("string").as(s"__mx_$c"))
+        count(when(bq(c).isNull, 1)).as(s"__nn_$c"),
+        countDistinct(bq(c)).as(s"__nd_$c"),
+        min(bq(c)).cast("string").as(s"__mn_$c"),
+        max(bq(c)).cast("string").as(s"__mx_$c"))
     } :+ count(lit(1)).as("__rows")
     val wide = df.agg(aggs.head, aggs.tail: _*)
+    // backquotes: profiled column names may contain dots, which bare col()
+    // would parse as struct access on the alias
     val rows = targets.map { c =>
       struct(lit(c).as("column"), col("__rows").as("n_rows"),
-        col(s"__nn_$c").as("n_nulls"), col(s"__nd_$c").as("n_distinct"),
-        col(s"__mn_$c").as("min_value"), col(s"__mx_$c").as("max_value"))
+        col(s"`__nn_$c`").as("n_nulls"), col(s"`__nd_$c`").as("n_distinct"),
+        col(s"`__mn_$c`").as("min_value"), col(s"`__mx_$c`").as("max_value"))
     }
     wide.select(explode(array(rows: _*)).as("p")).select("p.*")
   }

@@ -108,12 +108,18 @@ object EventStreams {
     val dataFiles: Seq[java.nio.file.Path] =
       if (java.nio.file.Files.isDirectory(p)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(p).iterator().asScala
+        val listing = java.nio.file.Files.list(p)
+        try listing.iterator().asScala
           .filter(f => java.nio.file.Files.isRegularFile(f) &&
             !f.getFileName.toString.startsWith("_") &&
             !f.getFileName.toString.startsWith("."))
           .toSeq
+        finally listing.close()
       } else Seq(p)
+    // a Hive-partitioned layout (key=.../part-*.parquet) has no top-level
+    // data files; fail loudly rather than streaming zero rows
+    require(dataFiles.nonEmpty,
+      s"streamingDedup: no data files directly under $p (partitioned layouts unsupported)")
     dataFiles.zipWithIndex.foreach { case (f, i) =>
       Seq("a", "b").foreach { side =>
         val l = d.resolve(s"copy_${side}_$i.parquet")

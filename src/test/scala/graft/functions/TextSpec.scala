@@ -45,6 +45,8 @@ class TextSpec extends AnyFunSuite with SparkSpec {
   test("stripHtml drops tags, decodes entities, collapses whitespace") {
     val html = "<p>Hello <b>world</b> &amp; friends &lt;3</p>"
     assert(one[String](text.stripHtml(col("t")), html) == "Hello world & friends <3")
+    // nested entity: "&amp;lt;" is the literal text "&lt;" — no double decode
+    assert(one[String](text.stripHtml(col("t")), "5 &amp;lt; 6") == "5 &lt; 6")
   }
 
   test("stripControl removes control chars but keeps tab/newline") {

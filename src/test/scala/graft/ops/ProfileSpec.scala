@@ -26,4 +26,11 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
     assert(Profile(df, Seq("id")).count() == 1)
     intercept[IllegalArgumentException] { Profile(df, Seq("nope")) }
   }
+
+  test("column names containing dots profile fine") {
+    val dotted = df.withColumnRenamed("s", "a.b")
+    val p = Profile(dotted, Seq("a.b")).collect().head
+    assert(p.getString(0) == "a.b")
+    assert(p.getLong(2) == 1L) // one null
+  }
 }
