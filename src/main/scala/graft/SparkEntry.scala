@@ -285,6 +285,16 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    "q64_dedup_increment" -> ((s, d) => {
+      // incremental dedup: increment (doc_id >= 400) deduped against the
+      // standing corpus (doc_id < 400) plus itself; corpus never rescanned
+      val docs = t(s, d, "documents")
+      Dedup.minhashDedupAgainst(
+        docs.where(col("doc_id") >= 400), docs.where(col("doc_id") < 400),
+        "doc_id", "text", threshold = 0.6)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     "q22_dedup_simhash" -> ((s, d) => {
       Dedup.simhash(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")
@@ -843,6 +853,29 @@ object SparkEntry {
                           JOIN sz sb ON sb.doc_id = id_r)
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT DISTINCT id_r FROM j WHERE jac >= 0.6)
+         ORDER BY doc_id""",
+    // same brute-force pair CTE as q21; an increment row (id >= 400) drops
+    // iff some pair has it as the LARGER side with jaccard >= 0.6 — the
+    // partner is then either a corpus doc (< 400) or a smaller increment id
+    "q64_dedup_increment" ->
+      """WITH toks AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                 CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
+                      ELSE array_to_string(tk[i:i+2], ' ') END AS shingle
+               FROM (SELECT doc_id, tk,
+                       unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i
+                     FROM toks WHERE len(tk) > 0)),
+         sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS ic
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         j AS (SELECT id_l, id_r, CAST(ic AS DOUBLE) / (sa.s + sb.s - ic) AS jac
+               FROM inter JOIN sz sa ON sa.doc_id = id_l
+                          JOIN sz sb ON sb.doc_id = id_r)
+         SELECT doc_id FROM documents
+         WHERE doc_id >= 400 AND doc_id NOT IN
+           (SELECT DISTINCT id_r FROM j WHERE jac >= 0.6 AND id_r >= 400)
          ORDER BY doc_id""",
     "q23_ngram_jaccard" ->
       """WITH n AS (SELECT doc_id,

@@ -234,6 +234,44 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Incremental dedup — the daily-increment workflow: drop rows of
+    * `incoming` that near-duplicate (exact-verified jaccard >= threshold)
+    * ANY `corpus` row ("corpus wins" — the existing corpus is never
+    * touched), or an earlier-id row of `incoming` itself (canonical-min-id
+    * within the batch). Only the increment is scanned for candidates
+    * against bucketed corpus bands; nothing re-deduplicates the corpus.
+    * Degenerate buckets are guarded per side.
+    */
+  def minhashDedupAgainst(
+      incoming: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
+      shingleK: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val inSets = wordShingleSets(incoming, idCol, textCol, shingleK)
+    val coSets = wordShingleSets(corpus, idCol, textCol, shingleK)
+    val bIn = dropOversizedBuckets(
+      bandBuckets(signatureOf(inSets, idCol, numHashes), idCol, numHashes, bands), maxBucket)
+    val bCo = dropOversizedBuckets(
+      bandBuckets(signatureOf(coSets, idCol, numHashes), idCol, numHashes, bands), maxBucket)
+    val candCross = bIn.select(col("band"), col("bh"), col(idCol).as("id_l"))
+      .join(bCo.select(col("band"), col("bh"), col(idCol).as("id_r")), Seq("band", "bh"))
+      .select("id_l", "id_r").distinct()
+    val dropVsCorpus = candCross
+      .join(inSets.select(col(idCol).as("id_l"), col("sh").as("sh_l")), Seq("id_l"))
+      .join(coSets.select(col(idCol).as("id_r"), col("sh").as("sh_r")), Seq("id_r"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
+          size(array_union(col("sh_l"), col("sh_r"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_l").as(idCol))
+    val candIntra = bIn.select(col("band"), col("bh"), col(idCol).as("id_l"))
+      .join(bIn.select(col("band"), col("bh"), col(idCol).as("id_r")), Seq("band", "bh"))
+      .where(col("id_l") < col("id_r"))
+      .select("id_l", "id_r").distinct()
+    val dropIntra = verifyJaccard(candIntra, inSets, idCol, threshold)
+      .select(col("id_r").as(idCol))
+    incoming.join(dropVsCorpus.union(dropIntra).distinct(), Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash per document: per-bit majority vote over token hashes
     * (multiplicity-weighted), computed by the native single-pass expression —
     * no explode, no shuffle, one long per document out of the scan.

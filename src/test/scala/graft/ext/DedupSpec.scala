@@ -41,6 +41,21 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!kept.contains(4L))
   }
 
+  test("incremental dedup: corpus wins, intra-batch keeps min id") {
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base),                        // dup of corpus -> dropped
+      (11L, base.replace("green", "red")),// near-dup of corpus -> dropped
+      (12L, "a totally novel document about streaming engines and " +
+        "watermark semantics in distributed dataflow systems today"),
+      (13L, "a totally novel document about streaming engines and " +
+        "watermark semantics in distributed dataflow systems today") // dup of 12
+    ).toDF("doc_id", "text")
+    val kept = Dedup.minhashDedupAgainst(incoming, corpus, "doc_id", "text",
+      threshold = 0.5).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L))
+  }
+
   test("connectedComponents resolves chains to the min reachable id") {
     // chain 1-2, 2-3 (1-3 never directly paired) + separate component 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_l", "id_r")
