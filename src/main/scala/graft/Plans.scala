@@ -16,7 +16,9 @@ object Plans {
     val names =
       if (args.nonEmpty) args.toSeq
       else Seq("q02_filter_pushdown", "q03_topk_revenue", "q04_region_revenue",
-        "q14_matchmerge_inner", "q21_dedup_minhash", "q24_knn_bruteforce")
+        "q14_matchmerge_inner", "q21_dedup_minhash", "q24_knn_bruteforce",
+        "q52_embed_neardup", "q57_sequence_packing", "q59_asof_join",
+        "q64_dedup_increment")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
