@@ -419,6 +419,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q65_repetition" -> ((s, d) => {
+      // intra-document repetition quality signals (boilerplate/loop
+      // detection): duplicate-segment ratio + most-common-token ratio
+      t(s, d, "documents").select(
+        col("doc_id"),
+        round(text.duplicateSegmentRatio(col("text")), 6).as("dup_segment_ratio"),
+        round(text.maxTokenRatio(col("text")), 6).as("max_token_ratio"))
+        .orderBy("doc_id")
+    }),
+
     "q62_profile" -> ((s, d) => {
       // exact one-pass per-column profiling (nulls, distincts, min/max)
       graft.ops.Profile(t(s, d, "documents")).orderBy("column")
@@ -996,6 +1006,24 @@ object SparkEntry {
                                         CAST(b.embedding AS DOUBLE[])), 6) AS cosine
          FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
          ORDER BY id_l""",
+    "q65_repetition" ->
+      """WITH segs AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\. '), x -> x <> '') AS sg
+           FROM documents),
+         tok AS (SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents),
+         mult AS (SELECT doc_id, max(cnt) AS m, sum(cnt) AS n FROM (
+             SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY doc_id, tok)
+           GROUP BY doc_id)
+         SELECT s.doc_id,
+           round(CASE WHEN len(sg) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(sg)) AS DOUBLE) / len(sg) END, 6)
+             AS dup_segment_ratio,
+           round(CASE WHEN m IS NULL THEN 0.0
+             ELSE CAST(m AS DOUBLE) / n END, 6) AS max_token_ratio
+         FROM segs s LEFT JOIN mult ON s.doc_id = mult.doc_id
+         ORDER BY s.doc_id""",
     "q63_text_normalize" ->
       """SELECT doc_id,
            md5(nfc_normalize(regexp_replace(text,

@@ -133,6 +133,32 @@ object GramHashExpressions {
       copy(child = newChild)
   }
 
+  /** Highest single-token multiplicity (see
+    * [[GramHashRuntime.maxTokenMultiplicity]]); byte-level tokenizer shared
+    * with [[WordShingleHashSet]]/[[SimHash64]].
+    */
+  case class MaxTokenMultiplicity(child: Expression, seed: Long = 42L)
+      extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def prettyName: String = "max_token_multiplicity"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == org.apache.spark.sql.types.StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a STRING column, got ${child.dataType.simpleString}")
+
+    override def nullSafeEval(input: Any): Any =
+      Integer.valueOf(GramHashRuntime.maxTokenMultiplicity(
+        input.asInstanceOf[UTF8String], seed))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.GramHashRuntime.maxTokenMultiplicity($c, ${seed}L);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Unicode NFC normalization of a string column (see
     * [[GramHashRuntime.nfcNormalize]]); `isNormalized` short-circuits the
     * common ASCII case to a pass-through.
@@ -172,4 +198,7 @@ object GramHashExpressions {
 
   def nfcNormalize(c: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
+
+  def maxTokenMultiplicity(c: Column): Column =
+    ColumnBridge.column(MaxTokenMultiplicity(ColumnBridge.expression(c)))
 }

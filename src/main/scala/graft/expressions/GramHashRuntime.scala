@@ -132,6 +132,24 @@ object GramHashRuntime {
     new GenericArrayData(out)
   }
 
+  /** Highest multiplicity of any single token in the document (0 for no
+    * tokens) — the numerator of the most-common-word repetition ratio, a
+    * standard corpus quality signal. One pass: tokenize, hash, count.
+    */
+  def maxTokenMultiplicity(s: UTF8String, seed: Long): Int = {
+    val th = tokenHashes(s.getBytes, seed)
+    if (th.length == 0) return 0
+    val counts = new java.util.HashMap[java.lang.Long, Integer](th.length * 2)
+    var best = 0
+    var i = 0
+    while (i < th.length) {
+      val c = counts.merge(th(i), Integer.valueOf(1), (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best
+  }
+
   /** 64-bit SimHash: per-bit majority vote over the token hash multiset. */
   def simhash64(s: UTF8String, seed: Long): Long = {
     val th = tokenHashes(s.getBytes, seed)

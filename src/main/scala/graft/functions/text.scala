@@ -170,6 +170,31 @@ object text {
   def stripControl(c: Column): Column =
     regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
 
+  /** Intra-document repetition signals (Gopher/C4-style quality rules). */
+
+  /** Fraction of repeated segments after splitting on `sep` (regex):
+    * 1 - distinct/total; 0.0 for empty text. High values flag boilerplate
+    * and generation loops.
+    */
+  def duplicateSegmentRatio(c: Column, sep: String = "\\. "): Column = {
+    val segs = array_remove(split(c, sep), "")
+    val n = size(segs)
+    when(n === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(segs)).cast("double") / n)
+  }
+
+  /** Multiplicity of the most frequent token divided by token count; 0.0
+    * for empty text. Native one-pass expression (ASCII-alnum tokenizer
+    * shared with the shingling expressions).
+    */
+  def maxTokenRatio(c: Column): Column = {
+    val m = graft.expressions.GramHashExpressions.maxTokenMultiplicity(c)
+    // denominator uses the SAME tokenization as the numerator (ASCII-alnum
+    // runs) — mixing in the whitespace tokenizer could push the ratio past 1
+    val n = size(regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0)))
+    when(m === 0, lit(0.0)).otherwise(m.cast("double") / n)
+  }
+
   /** Order-insensitive content fingerprint: hash of the sorted distinct
     * token set (bag-of-words identity).
     */

@@ -53,6 +53,16 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(one[String](text.stripControl(col("t")), "a\u0000b\u0007c\td\ne") == "abc\td\ne")
   }
 
+  test("repetition signals: duplicate segments and dominant token") {
+    val looped = "the cat sat. the cat sat. the dog ran. "
+    assert(math.abs(one[Double](text.duplicateSegmentRatio(col("t")), looped)
+      - (1.0 - 2.0 / 3.0)) < 1e-12)
+    assert(one[Double](text.duplicateSegmentRatio(col("t")), "") == 0.0)
+    // "spam spam spam eggs": max multiplicity 3 of 4 tokens
+    assert(one[Double](text.maxTokenRatio(col("t")), "spam spam spam eggs") == 0.75)
+    assert(one[Double](text.maxTokenRatio(col("t")), "") == 0.0)
+  }
+
   test("tokens are Unicode-aware: accented words stay whole") {
     val toks = Seq("Über die Brücke, più o meno!").toDF("t")
       .select(text.tokens(col("t")).as("r")).collect().head.getSeq[String](0)
