@@ -306,6 +306,13 @@ object SparkEntry {
         .orderBy("id_l", "id_r")
     }),
 
+    "q66_embed_centroids" -> ((s, d) => {
+      // exact per-label mean embedding (class centroids), decimal-routed
+      Similarity.meanVectors(t(s, d, "embeddings"), Seq("label"), "embedding")
+        .select(col("label"), col("dim").cast("long").as("dim"), col("mean_v"))
+        .orderBy("label", "dim")
+    }),
+
     "q24_knn_bruteforce" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
@@ -936,6 +943,14 @@ object SparkEntry {
            CAST(CASE WHEN greatest(w, h) <= 256 THEN round(h * 1.0)
                 ELSE round(h * (256.0 / greatest(w, h))) END AS INTEGER) AS target_height
          FROM m ORDER BY media_id""",
+    "q66_embed_centroids" ->
+      """WITH e AS (SELECT label,
+             unnest(CAST(embedding AS DOUBLE[])) AS v,
+             unnest(generate_series(1, len(embedding))) AS dim
+           FROM embeddings)
+         SELECT label, CAST(dim AS BIGINT) AS dim,
+           CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mean_v
+         FROM e GROUP BY label, dim ORDER BY label, dim""",
     // Exact cosine top-k is ANSI-expressible: DuckDB's
     // list_cosine_similarity on DOUBLE[] accumulates in double like the
     // native CosineSimilarity expression; ranks use the UNROUNDED score on

@@ -46,6 +46,27 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** Exact per-group mean embedding (class centroids / topic vectors),
+    * flat shape `(groupCols..., dim, mean_v)` with 1-based dims. Per-dim
+    * sums route through DECIMAL (the repo-wide `dsum` convention), so group
+    * means are bit-reproducible at any parallelism and SQL-oracle-exact —
+    * a raw double sum would drift with partial-agg order. Scale stays well
+    * below double precision (~15 sig digits): at scale 14 the two engines'
+    * double->decimal rounding routes (shortest-string vs multiplicative)
+    * disagree in the last digit. posexplode +
+    * groupBy is all map-side-combinable aggregation.
+    */
+  def meanVectors(
+      df: DataFrame, groupCols: Seq[String], vecCol: String,
+      decimalScale: Int = 6): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols required")
+    val g = groupCols.map(col)
+    df.select((g :+ posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v"))): _*)
+      .groupBy((g :+ ((col("pos") + 1).as("dim"))): _*)
+      .agg((sum(col("v").cast(s"decimal(28,$decimalScale)")).cast("double") /
+        count(lit(1))).as("mean_v"))
+  }
+
   /** Approximate top-k via hyperplane LSH: queries and corpus are bucketed
     * with identical deterministic hyperplanes across `tables` independent
     * tables; candidates = bucket collisions in any table; exact cosine

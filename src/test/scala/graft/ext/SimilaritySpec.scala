@@ -19,6 +19,16 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     rows.toDF("vec_id", "embedding", "cluster")
   }
 
+  test("meanVectors: exact per-group dimension means, 1-based dims") {
+    val df = Seq(
+      ("a", Seq(1.0f, 3.0f)), ("a", Seq(3.0f, 5.0f)), ("b", Seq(10.0f, 0.0f)))
+      .toDF("g", "embedding")
+    val out = Similarity.meanVectors(df, Seq("g"), "embedding")
+      .orderBy("g", "dim")
+      .as[(String, Int, Double)].collect().toSeq
+    assert(out == Seq(("a", 1, 2.0), ("a", 2, 4.0), ("b", 1, 10.0), ("b", 2, 0.0)))
+  }
+
   test("dimension mismatch fails loudly instead of truncating") {
     import org.apache.spark.sql.functions.col
     val mixed = Seq(
