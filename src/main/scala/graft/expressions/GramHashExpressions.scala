@@ -133,14 +133,18 @@ object GramHashExpressions {
       copy(child = newChild)
   }
 
-  /** Highest single-token multiplicity (see
-    * [[GramHashRuntime.maxTokenMultiplicity]]); byte-level tokenizer shared
-    * with [[WordShingleHashSet]]/[[SimHash64]].
+  /** `(max_multiplicity, n_tokens)` struct from one tokenizer pass (see
+    * [[GramHashRuntime.tokenMultiplicityStats]]); byte-level tokenizer
+    * shared with [[WordShingleHashSet]]/[[SimHash64]].
     */
-  case class MaxTokenMultiplicity(child: Expression, seed: Long = 42L)
+  case class TokenMultiplicityStats(child: Expression, seed: Long = 42L)
       extends UnaryExpression {
-    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
-    override def prettyName: String = "max_token_multiplicity"
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("max_multiplicity",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    override def prettyName: String = "token_multiplicity_stats"
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       if (child.dataType == org.apache.spark.sql.types.StringType)
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
@@ -148,12 +152,11 @@ object GramHashExpressions {
         s"$prettyName requires a STRING column, got ${child.dataType.simpleString}")
 
     override def nullSafeEval(input: Any): Any =
-      Integer.valueOf(GramHashRuntime.maxTokenMultiplicity(
-        input.asInstanceOf[UTF8String], seed))
+      GramHashRuntime.tokenMultiplicityStats(input.asInstanceOf[UTF8String], seed)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.expressions.GramHashRuntime.maxTokenMultiplicity($c, ${seed}L);")
+        s"${ev.value} = graft.expressions.GramHashRuntime.tokenMultiplicityStats($c, ${seed}L);")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -199,6 +202,6 @@ object GramHashExpressions {
   def nfcNormalize(c: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
 
-  def maxTokenMultiplicity(c: Column): Column =
-    ColumnBridge.column(MaxTokenMultiplicity(ColumnBridge.expression(c)))
+  def tokenMultiplicityStats(c: Column): Column =
+    ColumnBridge.column(TokenMultiplicityStats(ColumnBridge.expression(c)))
 }

@@ -132,22 +132,25 @@ object GramHashRuntime {
     new GenericArrayData(out)
   }
 
-  /** Highest multiplicity of any single token in the document (0 for no
-    * tokens) — the numerator of the most-common-word repetition ratio, a
-    * standard corpus quality signal. One pass: tokenize, hash, count.
+  /** `(max single-token multiplicity, token count)` in one pass — numerator
+    * AND denominator of the most-common-word repetition ratio from the SAME
+    * tokenizer (mixing tokenizers yields >1 or divide-by-zero ratios on
+    * text where their token sets differ). Returns (0, 0) for no tokens.
     */
-  def maxTokenMultiplicity(s: UTF8String, seed: Long): Int = {
+  def tokenMultiplicityStats(s: UTF8String, seed: Long): org.apache.spark.sql.catalyst.InternalRow = {
     val th = tokenHashes(s.getBytes, seed)
-    if (th.length == 0) return 0
-    val counts = new java.util.HashMap[java.lang.Long, Integer](th.length * 2)
     var best = 0
-    var i = 0
-    while (i < th.length) {
-      val c = counts.merge(th(i), Integer.valueOf(1), (a, b) => a + b)
-      if (c > best) best = c
-      i += 1
+    if (th.length > 0) {
+      val counts = new java.util.HashMap[java.lang.Long, Integer](th.length * 2)
+      var i = 0
+      while (i < th.length) {
+        val c = counts.merge(th(i), Integer.valueOf(1), (a, b) => a + b)
+        if (c > best) best = c
+        i += 1
+      }
     }
-    best
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best, th.length))
   }
 
   /** 64-bit SimHash: per-bit majority vote over the token hash multiset. */

@@ -115,16 +115,21 @@ object Dedup {
       .where(col("__bsz") <= maxBucket)
       .drop("__bsz")
 
-  /** Candidate pairs from bucket equi-join with the skew guard. */
-  private def bucketPairs(
-      buckets: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
-    val sized = dropOversizedBuckets(buckets, maxBucket)
+  /** Ordered candidate pairs from a self-join of already-size-guarded
+    * buckets.
+    */
+  private def pairsFromSizedBuckets(sized: DataFrame, idCol: String): DataFrame = {
     val l = sized.select(col("band"), col("bh"), col(idCol).as("id_l"))
     val r = sized.select(col("band"), col("bh"), col(idCol).as("id_r"))
     l.join(r, Seq("band", "bh"))
       .where(col("id_l") < col("id_r"))
       .select("id_l", "id_r").distinct()
   }
+
+  /** Candidate pairs from bucket equi-join with the skew guard. */
+  private def bucketPairs(
+      buckets: DataFrame, idCol: String, maxBucket: Int): DataFrame =
+    pairsFromSizedBuckets(dropOversizedBuckets(buckets, maxBucket), idCol)
 
   /** MinHash-LSH near-duplicate pairs, verified with EXACT Jaccard over the
     * shingle sets. Returns `(id_l, id_r, jaccard)` with `jaccard >=
@@ -140,18 +145,26 @@ object Dedup {
     verifyJaccard(cand, sets, idCol, threshold)
   }
 
-  /** Exact Jaccard verification of candidate pairs against hashed gram sets. */
+  /** Exact Jaccard verification of candidate pairs; `id_l` resolves against
+    * `setsL`, `id_r` against `setsR` (the same frame for self-dedup, two
+    * frames for increment-vs-corpus).
+    */
   private def verifyJaccard(
-      cand: DataFrame, sets: DataFrame, idCol: String,
+      cand: DataFrame, setsL: DataFrame, setsR: DataFrame, idCol: String,
       threshold: Double): DataFrame =
     cand
-      .join(sets.select(col(idCol).as("id_l"), col("sh").as("sh_l")), Seq("id_l"))
-      .join(sets.select(col(idCol).as("id_r"), col("sh").as("sh_r")), Seq("id_r"))
+      .join(setsL.select(col(idCol).as("id_l"), col("sh").as("sh_l")), Seq("id_l"))
+      .join(setsR.select(col(idCol).as("id_r"), col("sh").as("sh_r")), Seq("id_r"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
           size(array_union(col("sh_l"), col("sh_r"))))
       .where(col("jaccard") >= threshold)
       .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
+
+  private def verifyJaccard(
+      cand: DataFrame, sets: DataFrame, idCol: String,
+      threshold: Double): DataFrame =
+    verifyJaccard(cand, sets, sets, idCol, threshold)
 
   /** Connected components over an undirected near-dup pair list: returns
     * `(id, component)` where `component` is the minimum id reachable through
@@ -234,43 +247,60 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Precomputed MinHash dedup state of a corpus: hashed shingle sets and
+    * size-guarded LSH band buckets. Compute ONCE per standing corpus and
+    * persist both frames (parquet) — the entire point of incremental dedup
+    * is that daily increments never re-shingle the corpus.
+    */
+  final case class MinhashState(sets: DataFrame, buckets: DataFrame)
+
+  /** Build (or rebuild) the dedup state for a document set. */
+  def minhashState(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      maxBucket: Int = 1000): MinhashState = {
+    val sets = wordShingleSets(df, idCol, textCol, shingleK)
+    val buckets = dropOversizedBuckets(
+      bandBuckets(signatureOf(sets, idCol, numHashes), idCol, numHashes, bands),
+      maxBucket)
+    MinhashState(sets, buckets)
+  }
+
   /** Incremental dedup — the daily-increment workflow: drop rows of
     * `incoming` that near-duplicate (exact-verified jaccard >= threshold)
-    * ANY `corpus` row ("corpus wins" — the existing corpus is never
+    * ANY corpus row ("corpus wins" — the existing corpus is never
     * touched), or an earlier-id row of `incoming` itself (canonical-min-id
-    * within the batch). Only the increment is scanned for candidates
-    * against bucketed corpus bands; nothing re-deduplicates the corpus.
-    * Degenerate buckets are guarded per side.
+    * within the batch). Only the increment's sets/buckets are computed
+    * here; the corpus side comes from `corpusState` — persist it once via
+    * [[minhashState]] and re-load per increment.
+    */
+  def minhashDedupAgainst(
+      incoming: DataFrame, corpusState: MinhashState, idCol: String,
+      textCol: String, threshold: Double, numHashes: Int, bands: Int,
+      shingleK: Int, maxBucket: Int): DataFrame = {
+    val inc = minhashState(incoming, idCol, textCol, numHashes, bands,
+      shingleK, maxBucket)
+    val candCross = inc.buckets.select(col("band"), col("bh"), col(idCol).as("id_l"))
+      .join(corpusState.buckets.select(col("band"), col("bh"), col(idCol).as("id_r")),
+        Seq("band", "bh"))
+      .select("id_l", "id_r").distinct()
+    val dropVsCorpus = verifyJaccard(candCross, inc.sets, corpusState.sets,
+      idCol, threshold).select(col("id_l").as(idCol))
+    val dropIntra = verifyJaccard(pairsFromSizedBuckets(inc.buckets, idCol),
+      inc.sets, idCol, threshold).select(col("id_r").as(idCol))
+    incoming.join(dropVsCorpus.union(dropIntra).distinct(), Seq(idCol), "left_anti")
+  }
+
+  /** Convenience overload computing the corpus state inline — fine for
+    * one-off runs; recurring increments should persist [[minhashState]].
     */
   def minhashDedupAgainst(
       incoming: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
-      shingleK: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val inSets = wordShingleSets(incoming, idCol, textCol, shingleK)
-    val coSets = wordShingleSets(corpus, idCol, textCol, shingleK)
-    val bIn = dropOversizedBuckets(
-      bandBuckets(signatureOf(inSets, idCol, numHashes), idCol, numHashes, bands), maxBucket)
-    val bCo = dropOversizedBuckets(
-      bandBuckets(signatureOf(coSets, idCol, numHashes), idCol, numHashes, bands), maxBucket)
-    val candCross = bIn.select(col("band"), col("bh"), col(idCol).as("id_l"))
-      .join(bCo.select(col("band"), col("bh"), col(idCol).as("id_r")), Seq("band", "bh"))
-      .select("id_l", "id_r").distinct()
-    val dropVsCorpus = candCross
-      .join(inSets.select(col(idCol).as("id_l"), col("sh").as("sh_l")), Seq("id_l"))
-      .join(coSets.select(col(idCol).as("id_r"), col("sh").as("sh_r")), Seq("id_r"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
-          size(array_union(col("sh_l"), col("sh_r"))))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_l").as(idCol))
-    val candIntra = bIn.select(col("band"), col("bh"), col(idCol).as("id_l"))
-      .join(bIn.select(col("band"), col("bh"), col(idCol).as("id_r")), Seq("band", "bh"))
-      .where(col("id_l") < col("id_r"))
-      .select("id_l", "id_r").distinct()
-    val dropIntra = verifyJaccard(candIntra, inSets, idCol, threshold)
-      .select(col("id_r").as(idCol))
-    incoming.join(dropVsCorpus.union(dropIntra).distinct(), Seq(idCol), "left_anti")
-  }
+      shingleK: Int = 3, maxBucket: Int = 1000): DataFrame =
+    minhashDedupAgainst(incoming,
+      minhashState(corpus, idCol, textCol, numHashes, bands, shingleK, maxBucket),
+      idCol, textCol, threshold, numHashes, bands, shingleK, maxBucket)
 
   /** 64-bit SimHash per document: per-bit majority vote over token hashes
     * (multiplicity-weighted), computed by the native single-pass expression —

@@ -188,11 +188,13 @@ object text {
     * shared with the shingling expressions).
     */
   def maxTokenRatio(c: Column): Column = {
-    val m = graft.expressions.GramHashExpressions.maxTokenMultiplicity(c)
-    // denominator uses the SAME tokenization as the numerator (ASCII-alnum
-    // runs) — mixing in the whitespace tokenizer could push the ratio past 1
-    val n = size(regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0)))
-    when(m === 0, lit(0.0)).otherwise(m.cast("double") / n)
+    // numerator and denominator come from ONE pass of ONE tokenizer — a
+    // mixed-tokenizer formulation yields >1 or divide-by-zero ratios on
+    // text where the token sets differ (e.g. non-ASCII words)
+    val stats = graft.expressions.GramHashExpressions.tokenMultiplicityStats(c)
+    val n = stats.getField("n_tokens")
+    when(n === 0, lit(0.0))
+      .otherwise(stats.getField("max_multiplicity").cast("double") / n)
   }
 
   /** Order-insensitive content fingerprint: hash of the sorted distinct
