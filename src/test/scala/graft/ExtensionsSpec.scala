@@ -20,6 +20,12 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getInt(3) == 3)
   }
 
+  test("DESCRIBE FUNCTION surfaces the registered usage text") {
+    val desc = spark.sql("DESCRIBE FUNCTION cosine_similarity")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("cosine_similarity(a, b)"), s"usage missing in:\n$desc")
+  }
+
   test("non-literal n is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT char_ngram_hash_set('abc', length('xy'))").head()
