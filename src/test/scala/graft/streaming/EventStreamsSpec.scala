@@ -110,4 +110,26 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       .orderBy("wstart", "event_type").collect().toSeq
     assert(batch == streamed)
   }
+
+  test("streamingDedup survivors = distinct source rows (doubled stream)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sd").toString
+    events.coalesce(1).write.parquet(s"$dir/src")
+    val out = EventStreams.streamingDedup(spark, s"$dir/src", "sd_test",
+      keys = Seq("event_id"))
+    assert(out.count() == events.count())
+    assert(out.select("event_id").as[Long].collect().toSet ==
+      events.select("event_id").as[Long].collect().toSet)
+  }
+
+  test("sessionizeStatefulStreaming emits all but each user's final session") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssd").toString
+    events.coalesce(1).write.parquet(s"$dir/src")
+    val closed = EventStreams.sessionizeStatefulStreaming(
+      spark, s"$dir/src", "sss_test")
+      .select("user_id", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect().toSet
+    // user 1: first session (2 events) closed by the 50-minute event;
+    // user 2: first session (1 event) closed at minute 200; finals open
+    assert(closed == Set((1L, 2L, 3.0), (2L, 1L, 4.0)))
+  }
 }
