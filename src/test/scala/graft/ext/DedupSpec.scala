@@ -69,6 +69,33 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(cc2.values.toSet == Set(1L))
   }
 
+  test("connectedComponents matches a union-find reference on random graphs") {
+    val rng = new scala.util.Random(23)
+    for (_ <- 1 to 5) {
+      val n = 30
+      val pairs = Seq.fill(25)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // driver-side union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(id => id -> {
+          // path-compress to the true min representative
+          var r = find(id.toInt)
+          while (parent(r) != r) r = parent(r)
+          r.toLong
+        }).toMap
+      val got = Dedup.connectedComponents(pairs.toDF("id_l", "id_r"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"mismatch for pairs $pairs")
+    }
+  }
+
   test("transitive minhash dedup keeps one survivor per component") {
     // docs 1, 2, 4 are one near-dup cluster; canonical-min and transitive
     // agree here, and both keep exactly {1, 3}

@@ -40,6 +40,28 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out(22L).isEmpty) // 9799s > 3600s
   }
 
+  test("matches a brute-force reference on random event sets") {
+    val rng = new scala.util.Random(31)
+    val probes = Seq.tabulate(60)(i =>
+      (rng.nextInt(4).toLong, 1000L + i, ts(rng.nextInt(500).toLong)))
+    val refs = Seq.tabulate(40)(i =>
+      (rng.nextInt(4).toLong, 2000L + i, ts(rng.nextInt(500).toLong)))
+    // brute force: latest ref with rt <= pt per user; ties by max c_id
+    // cannot occur (ref timestamps deduped per user below)
+    val refsDedup = refs.groupBy(r => (r._1, r._3.getTime))
+      .map(_._2.head).toSeq
+    val expected = probes.map { case (u, pid, pt) =>
+      val cands = refsDedup.filter(r => r._1 == u && !r._3.after(pt))
+      pid -> (if (cands.isEmpty) None
+              else Some(cands.maxBy(_._3.getTime)._2))
+    }.toMap
+    val got = AsOfJoin.lastPrior(
+      probes.toDF("user_id", "p_id", "t"), refsDedup.toDF("user_id", "c_id", "t"),
+      Seq("user_id"), "t", refPayloadCols = Seq("c_id"))
+      .select("p_id", "c_id").as[(Long, Option[Long])].collect().toMap
+    assert(got == expected)
+  }
+
   test("colliding payload names get the suffix") {
     val refWithClash = clicks.withColumnRenamed("c_id", "p_id")
     val cols = AsOfJoin.lastPrior(purchases, refWithClash, Seq("user_id"), "t",
