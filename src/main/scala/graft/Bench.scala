@@ -28,10 +28,15 @@ object Bench {
       // failure for a fast query
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 2-decimal seconds: per-query timings are noise below 10ms anyway, and
+    // the consumer captures only the LAST 2000 chars of output — full-
+    // precision doubles push the 66-query line past that window and truncate
+    // the JSON head (observed: BENCH_r03 "parsed": null)
+    def f(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

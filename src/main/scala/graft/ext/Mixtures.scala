@@ -33,8 +33,11 @@ object Mixtures {
       val tot = targetWeights.values.sum
       targetWeights.map { case (s, w) => s -> w / tot }
     }
-    val counts = df.groupBy(col(sourceCol)).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // cast to string so a non-string source column (int shard ids, enums)
+    // keys the same map the string targetWeights use; null-source rows have
+    // no target weight and are dropped below (threshold stays -1)
+    val counts = df.groupBy(col(sourceCol).cast("string").as("__src")).count()
+      .collect().flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1))).toMap
     val present = wNorm.filter { case (s, _) => counts.contains(s) }
     require(present.nonEmpty, "no targetWeights source present in the data")
     // binding source kept whole; thresholds exact over the 32-bit space
@@ -44,8 +47,10 @@ object Mixtures {
       s -> math.min(space, math.round(w * total / counts(s) * space))
     }
     val h = conv(substring(md5(col(keyCol)), 1, 8), 16, 10).cast("long")
+    // null-source rows fall through every branch to the -1 default and are
+    // dropped (h >= 0 always) — same fate as sources absent from the map
     val threshold: Column = thresholds.foldLeft(lit(-1L): Column) {
-      case (acc, (s, t)) => when(col(sourceCol) === s, lit(t)).otherwise(acc)
+      case (acc, (s, t)) => when(col(sourceCol).cast("string") === s, lit(t)).otherwise(acc)
     }
     df.where(h < threshold)
   }

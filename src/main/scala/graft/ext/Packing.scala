@@ -35,6 +35,14 @@ object Packing {
     val startOffset = coalesce(
       sum(col(tokenCol)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
       lit(0L))
-    df.withColumn(packCol, floor(startOffset / budget).cast("long"))
+    // LONG integral divide (`div`), not `floor(double/double)`: Column./ is
+    // double division, which silently rounds offsets past 2^53 — at odds
+    // with the operator's exactness contract
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    val packId = ColumnBridge.column(IntegralDivide(
+      ColumnBridge.expression(startOffset.cast("long")),
+      ColumnBridge.expression(lit(budget))))
+    df.withColumn(packCol, packId)
   }
 }

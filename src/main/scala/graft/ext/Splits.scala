@@ -33,9 +33,13 @@ object Splits {
     val thresholds = weights.scanLeft(0.0)(_ + _).tail
       .map(c => math.min(space, math.round(c / total * space)))
     val h = conv(substring(md5(key), 1, 8), 16, 10).cast("long")
-    labels.zip(thresholds).reverse.foldLeft(lit(labels.last): Column) {
+    val assigned = labels.zip(thresholds).reverse.foldLeft(lit(labels.last): Column) {
       case (acc, (label, t)) => when(h < t, label).otherwise(acc)
     }
+    // md5(NULL) is NULL, so every `h < t` is NULL and the fold's default
+    // would silently dump null-key rows into the LAST label; propagate the
+    // null instead so callers see the missing key
+    when(key.isNull, lit(null: String)).otherwise(assigned)
   }
 
   /** [[contentHashSplit]] applied as a new column. */

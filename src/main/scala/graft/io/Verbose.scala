@@ -1,7 +1,5 @@
 package graft.io
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.util.QueryExecutionListener
@@ -32,19 +30,29 @@ object Verbose {
       sink(s"[graft.verbose] $funcName FAILED: ${ex.getMessage}")
   }
 
-  private val registered = new ConcurrentHashMap[SparkSession, Listener]()
+  // weak keys: a session registered verbose but never unregistered must not
+  // be pinned for the process lifetime (the listener itself dies with the
+  // session's listener bus; only this bookkeeping entry would leak)
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Listener]())
 
   /** Register the verbose listener on the session (idempotent per session).
     * Returns the listener so tests/tools can unregister it.
     */
   def register(spark: SparkSession, sink: String => Unit = Console.out.println): Listener =
-    registered.computeIfAbsent(spark, { s =>
-      val l = new Listener(sink)
-      s.listenerManager.register(l)
-      l
-    })
+    registered.synchronized {
+      val existing = registered.get(spark)
+      if (existing != null) existing
+      else {
+        val l = new Listener(sink)
+        spark.listenerManager.register(l)
+        registered.put(spark, l)
+        l
+      }
+    }
 
-  def unregister(spark: SparkSession): Unit = {
+  def unregister(spark: SparkSession): Unit = registered.synchronized {
     val l = registered.remove(spark)
     if (l != null) spark.listenerManager.unregister(l)
   }
