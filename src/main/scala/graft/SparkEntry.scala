@@ -6,7 +6,7 @@ import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity}
+import graft.ext.{Decontaminate, Dedup, Multimodal, Similarity}
 import graft.functions.{text, vectors}
 import graft.io.{ReadSql, WriteSql}
 import graft.ops.{MatchMerge, NaLocfPlusOne, Ops}
@@ -296,8 +296,42 @@ object SparkEntry {
     }),
 
     "q22_dedup_simhash" -> ((s, d) => {
-      Dedup.simhash(t(s, d, "documents"), "doc_id", "text")
+      // portable md5-based variant so the bit-vote algorithm hash-matches a
+      // DuckDB oracle; the one-pass xxhash64 fast path (Dedup.simhash) and
+      // the hamming-banded pair generator stay engine-tested in DedupSpec
+      Dedup.simhashPortable(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    "q67_decontaminate" -> ((s, d) => {
+      // benchmark decontamination: every doc sharing an 8-token shingle with
+      // the "benchmark" subset (doc_id % 10 == 0) is dropped — including the
+      // benchmark docs themselves and their planted near-dups
+      val docs = t(s, d, "documents")
+      Decontaminate(docs, "doc_id", "text",
+        benchmark = docs.where(col("doc_id") % 10 === 0), benchTextCol = "text",
+        n = 8)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    "q68_scrub" -> ((s, d) => {
+      // PII scrub over deterministic synthetic PII (the fixture corpus has
+      // none): counts are taken on progressively redacted text so an email
+      // inside a URL never double-counts; md5 proves byte parity end-to-end
+      val synth = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail.example.com via https://data.example.org/d/"),
+        col("doc_id").cast("string"), lit(" end"))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        text.matchCount(synth, text.urlPattern).cast("long").as("n_urls"),
+        text.matchCount(text.redactUrls(synth), text.emailPattern)
+          .cast("long").as("n_emails"),
+        md5(text.scrubPII(synth)).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    }),
+
+    "q69_vocab_topk" -> ((s, d) => {
+      graft.ext.Vocab.topTokens(t(s, d, "documents"), "text", 100)
     }),
 
     "q23_ngram_jaccard" -> ((s, d) => {
@@ -1301,5 +1335,66 @@ object SparkEntry {
                     FROM nation GROUP BY n_regionkey)
          SELECT r_name, n_nations FROM region
          JOIN n ON r_regionkey = n_regionkey
-         ORDER BY r_name""")
+         ORDER BY r_name""",
+    // portable simhash: 60-bit md5 token hash, multiplicity-weighted bit
+    // votes, tie (vote sum 0) -> bit 0; tokenless docs -> 0 via LEFT JOIN
+    "q22_dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '')) AS tok
+           FROM documents),
+         h AS (SELECT doc_id,
+             CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) AS hv
+           FROM toks),
+         v AS (SELECT doc_id, b,
+             sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b)
+           GROUP BY doc_id, b),
+         s AS (SELECT doc_id,
+             sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sh
+           FROM v GROUP BY doc_id)
+         SELECT d.doc_id, CAST(coalesce(s.sh, 0) AS BIGINT) AS simhash
+         FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+         ORDER BY d.doc_id""",
+    // same 8-token shingle definition as the q21 3-shingle CTE; benchmark =
+    // doc_id % 10 == 0; any shared shingle contaminates
+    "q67_decontaminate" ->
+      """WITH toks AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                 CASE WHEN len(tk) < 8 THEN array_to_string(tk, ' ')
+                      ELSE array_to_string(tk[i:i+7], ' ') END AS shingle
+               FROM (SELECT doc_id, tk,
+                       unnest(generate_series(1, greatest(len(tk) - 7, 1))) AS i
+                     FROM toks WHERE len(tk) > 0)),
+         bs AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+         hit AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bs USING (shingle))
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+         ORDER BY doc_id""",
+    "q68_scrub" ->
+      """WITH s AS (SELECT doc_id,
+             concat(text, ' contact user', doc_id,
+               '@mail.example.com via https://data.example.org/d/', doc_id,
+               ' end') AS t
+           FROM documents),
+         r1 AS (SELECT doc_id, len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_urls,
+             regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g') AS t1
+           FROM s),
+         r2 AS (SELECT doc_id, n_urls,
+             len(regexp_extract_all(t1,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             regexp_replace(t1,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2
+           FROM r1)
+         SELECT doc_id, CAST(n_urls AS BIGINT) AS n_urls,
+           CAST(n_emails AS BIGINT) AS n_emails, md5(t2) AS scrubbed_md5
+         FROM r2 ORDER BY doc_id""",
+    "q69_vocab_topk" ->
+      """WITH tok AS (SELECT
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '')) AS token
+           FROM documents)
+         SELECT token, count(*) AS n FROM tok GROUP BY token
+         ORDER BY n DESC, token LIMIT 100""")
 }

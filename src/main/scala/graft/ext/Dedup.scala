@@ -310,6 +310,38 @@ object Dedup {
     df.select(col(idCol),
       graft.expressions.GramHashExpressions.simhash64(col(textCol)).as("simhash"))
 
+  /** Differential-testable SimHash: the same multiplicity-weighted bit-vote
+    * algorithm as [[simhash]], but over a PORTABLE token hash — the first 60
+    * bits of md5(token) — so any SQL engine with `md5` can reproduce the
+    * values bit-for-bit (the fast path's xxhash64 is Spark-internal). Docs
+    * with no tokens get simhash 0.
+    *
+    * Formulation: explode + 60 map-side-combinable vote sums + one final
+    * projection assembling the long — one shuffle of 60 narrow longs per
+    * (doc, partition). The fast path ([[simhash]], one-pass native
+    * expression, no explode/shuffle) remains the production choice; this
+    * variant exists for cross-engine verification of the ALGORITHM, the
+    * reference's own SQL-vs-SQL differential-test philosophy
+    * (`R/ffsql.R:61-65`).
+    */
+  def simhashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bits = 60 // 15 md5 hex chars: max 2^60-1 fits signed 64-bit in any engine
+    val tok = df.select(col(idCol),
+      explode(text.tokens(col(textCol))).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$b")
+    }
+    val agg = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val sim = (0 until bits).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.select(col(idCol))
+      .join(agg.select(col(idCol), sim.as("simhash")), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("simhash"), lit(0L)).as("simhash"))
+  }
+
   /** SimHash near-dup pairs within `maxHamming` bit flips. Candidates via
     * bit-band equality; by pigeonhole, `maxHamming` flips cannot touch all
     * of `maxHamming + 1` bands, so the band count DERIVES from `maxHamming`

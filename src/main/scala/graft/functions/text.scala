@@ -170,6 +170,29 @@ object text {
   def stripControl(c: Column): Column =
     regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
 
+  /** PII / link scrubbing for published training corpora. Patterns are
+    * deliberately simple and RE2-compatible (no lookaround, no backrefs) so
+    * the exact same regex serves as its own differential-test oracle in any
+    * SQL engine — and so behavior is auditable: what you see is the whole
+    * rule. Redaction order matters: URLs first (they may contain '@' and
+    * would otherwise be half-eaten by the email pass).
+    */
+  val urlPattern = "https?://[^\\s]+"
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Number of matches of `pattern` in the document (codegen'd). */
+  def matchCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  def redactUrls(c: Column, token: String = "<URL>"): Column =
+    regexp_replace(c, urlPattern, token)
+
+  def redactEmails(c: Column, token: String = "<EMAIL>"): Column =
+    regexp_replace(c, emailPattern, token)
+
+  /** URL-then-email redaction (see ordering note above). */
+  def scrubPII(c: Column): Column = redactEmails(redactUrls(c))
+
   /** Intra-document repetition signals (Gopher/C4-style quality rules). */
 
   /** Fraction of repeated segments after splitting on `sep` (regex):

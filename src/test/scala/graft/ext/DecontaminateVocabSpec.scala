@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.functions.text
+
+class DecontaminateVocabSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val bench = "alpha beta gamma delta epsilon zeta eta theta"
+
+  test("decontaminate drops docs sharing a benchmark shingle, keeps the rest") {
+    val docs = Seq(
+      (1L, s"intro words then $bench and a tail"), // contains the benchmark 8-gram
+      (2L, "alpha beta gamma unrelated delta epsilon zeta eta"), // reordered: no shared 4-shingle... but short doc
+      (3L, "completely disjoint content with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq(bench).toDF("text")
+    val kept = Decontaminate(docs, "doc_id", "text", benchmark, "text", n = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(1L), "doc embedding a benchmark 4-shingle must drop")
+    assert(kept.contains(3L), "disjoint doc must survive")
+  }
+
+  test("contaminationHits counts distinct shared shingles") {
+    val docs = Seq((1L, bench)).toDF("doc_id", "text")
+    val benchmark = Seq(bench).toDF("text")
+    // 8 tokens, shingle n=4 -> 5 shingles, all shared
+    val hits = Decontaminate.contaminationHits(docs, "doc_id", "text",
+      benchmark, "text", n = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(hits(1L) == 5L)
+  }
+
+  test("decontaminate of an empty/overlap-free corpus is the identity") {
+    val docs = Seq((1L, "only here"), (2L, "")).toDF("doc_id", "text")
+    val benchmark = Seq("nothing in common").toDF("text")
+    val kept = Decontaminate(docs, "doc_id", "text", benchmark, "text", n = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("topTokens orders by count desc then token, with exact counts") {
+    val docs = Seq(
+      (1L, "b b a a a c"),
+      (2L, "b c c a")
+    ).toDF("doc_id", "text")
+    val top = Vocab.topTokens(docs, "text", 2)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("a", 4L), ("b", 3L))) // c=3 loses the tie to b
+  }
+
+  test("scrub redacts URLs before emails and counts on redacted text") {
+    val df = Seq(
+      (1L, "mail me@x.org or see https://me@host.example/path ok"),
+      (2L, "no pii here")
+    ).toDF("id", "text")
+    val out = df.select(
+      col("id"),
+      text.matchCount(col("text"), text.urlPattern).as("n_urls"),
+      text.matchCount(text.redactUrls(col("text")), text.emailPattern).as("n_emails"),
+      text.scrubPII(col("text")).as("clean"))
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    // the URL containing '@' is ONE url, not an email
+    assert(out(0) == ((1L, 1, 1, "mail <EMAIL> or see <URL> ok")))
+    assert(out(1) == ((2L, 0, 0, "no pii here")))
+  }
+
+  test("portable simhash matches an independent JVM-side computation") {
+    val docs = Seq(
+      (1L, "the quick brown fox the quick"),
+      (2L, "")
+    ).toDF("doc_id", "text")
+    val got = Dedup.simhashPortable(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    // independent reimplementation: md5 via java.security, 60-bit prefix
+    def md5hash60(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val toks = Seq("the", "quick", "brown", "fox", "the", "quick")
+    val expected = (0 until 60).map { b =>
+      val vote = toks.map(t => if (((md5hash60(t) >> b) & 1L) == 1L) 1 else -1).sum
+      if (vote > 0) 1L << b else 0L
+    }.sum
+    assert(got(1L) == expected)
+    assert(got(2L) == 0L, "tokenless doc must get simhash 0, not be dropped")
+  }
+}
