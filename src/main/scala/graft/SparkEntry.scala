@@ -334,6 +334,19 @@ object SparkEntry {
       graft.ext.Vocab.topTokens(t(s, d, "documents"), "text", 100)
     }),
 
+    "q70_dedup_components" -> ((s, d) => {
+      // transitive near-dup clustering: every doc labeled with the min id
+      // reachable through verified minhash pairs (singletons label themselves)
+      val docs = t(s, d, "documents")
+      val cc = Dedup.connectedComponents(
+        Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.6))
+      docs.select(col("doc_id"))
+        .join(cc.select(col("id").as("doc_id"), col("component")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+        .orderBy("doc_id")
+    }),
+
     "q23_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
         n = 5, threshold = 0.8)
@@ -1396,5 +1409,32 @@ object SparkEntry {
                x -> x <> '')) AS token
            FROM documents)
          SELECT token, count(*) AS n FROM tok GROUP BY token
-         ORDER BY n DESC, token LIMIT 100""")
+         ORDER BY n DESC, token LIMIT 100""",
+    // q21's exact-pair CTE + recursive transitive closure; component = min
+    // reachable id (self included), singletons label themselves via LEFT JOIN
+    "q70_dedup_components" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                 CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
+                      ELSE array_to_string(tk[i:i+2], ' ') END AS shingle
+               FROM (SELECT doc_id, tk,
+                       unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i
+                     FROM toks WHERE len(tk) > 0)),
+         sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS ic
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         j AS (SELECT id_l, id_r, CAST(ic AS DOUBLE) / (sa.s + sb.s - ic) AS jac
+               FROM inter JOIN sz sa ON sa.doc_id = id_l
+                          JOIN sz sb ON sb.doc_id = id_r),
+         e AS (SELECT id_l AS a, id_r AS b FROM j WHERE jac >= 0.6
+               UNION SELECT id_r, id_l FROM j WHERE jac >= 0.6),
+         reach(a, b) AS (SELECT a, b FROM e
+               UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+                  FROM reach GROUP BY a)
+         SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+         FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         ORDER BY d.doc_id""")
 }

@@ -48,6 +48,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg in:\n$plan")
   }
 
+  test("q67: benchmark gram set broadcasts; training side never re-shuffles it") {
+    val plan = finalPlan("q67_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark gram join must broadcast, got:\n$plan")
+  }
+
+  test("q69: vocabulary count is partial-aggregated before its one shuffle") {
+    val plan = finalPlan("q69_vocab_topk")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no map-side combine before the vocab shuffle:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject, not a global sort:\n$plan")
+  }
+
   test("q46: bucketed join runs with no hash shuffle exchange") {
     SparkEntry.prepareBucketedTables(spark, sf)
     val plan = finalPlan("q46_bucketed_join")
