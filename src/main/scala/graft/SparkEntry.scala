@@ -722,14 +722,39 @@ object SparkEntry {
     }),
 
     "q45_approx_sketches" -> ((s, d) => {
-      // sketch aggregations: no DuckDB oracle (algorithm-specific values);
-      // rows-only check. Exactness-vs-sketch deltas are covered in tests.
-      t(s, d, "lineitem")
+      // approximate aggregations from DETERMINISTIC mergeable summaries, so
+      // the sketch VALUES hash-match a DuckDB oracle (HLL/t-digest internals
+      // are engine-specific; KMV + equi-width histograms are not):
+      // distinct-count estimate = (k-1)*2^32 / k-th smallest md5-32 hash
+      // (exact count when under k), p50 = midpoint of the first 1000-wide
+      // price bucket reaching half the cumulative count. Both are O(k)/
+      // O(buckets) state, map-side combinable — the scale properties that
+      // make sketches worth using, with none of the engine specificity.
+      import org.apache.spark.sql.expressions.Window
+      val k = 256
+      val li = t(s, d, "lineitem")
+      val h = conv(substring(md5(col("l_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+      val kmv = li
         .groupBy(col("l_returnflag"))
-        .agg(
-          approx_count_distinct(col("l_orderkey")).as("n_orders_approx"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"))
-        .orderBy("l_returnflag")
+        .agg(graft.expressions.BottomKAgg.bottomKHashes(h, k).as("bk"))
+        .select(col("l_returnflag"),
+          round(when(size(col("bk")) < k, size(col("bk")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+              element_at(col("bk"), k).cast("double")), 4).as("n_orders_kmv"))
+      val wcum = Window.partitionBy("l_returnflag").orderBy("bucket")
+      val wtot = Window.partitionBy("l_returnflag")
+      val med = li
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") / 1000).cast("long").as("bucket"))
+        .groupBy(col("l_returnflag"), col("bucket")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wcum))
+        .withColumn("tot", sum(col("c")).over(wtot))
+        .where(col("cum") * 2 >= col("tot"))
+        .groupBy(col("l_returnflag")).agg(min(col("bucket")).as("mb"))
+        .select(col("l_returnflag"),
+          (col("mb").cast("double") * 1000.0 + 500.0).as("p50_hist"))
+      kmv.join(med, Seq("l_returnflag")).orderBy("l_returnflag")
     }),
 
     "q46_bucketed_join" -> ((s, d) => {
@@ -894,6 +919,32 @@ object SparkEntry {
     "q20_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
          FROM documents GROUP BY text ORDER BY doc_id""",
+    "q45_approx_sketches" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag,
+             CAST(concat('0x', substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+           FROM lineitem),
+         r AS (SELECT l_returnflag, hv,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS nd
+           FROM h),
+         kmv AS (SELECT l_returnflag,
+             round(CASE WHEN max(nd) < 256 THEN CAST(max(nd) AS DOUBLE)
+                   ELSE 255.0 * 4294967296.0 /
+                     CAST(max(CASE WHEN rn = 256 THEN hv END) AS DOUBLE) END, 4)
+               AS n_orders_kmv
+           FROM r GROUP BY l_returnflag),
+         b AS (SELECT l_returnflag,
+             CAST(floor(l_extendedprice / 1000) AS BIGINT) AS bucket, count(*) AS c
+           FROM lineitem GROUP BY 1, 2),
+         cb AS (SELECT l_returnflag, bucket, c,
+             sum(c) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+             sum(c) OVER (PARTITION BY l_returnflag) AS tot FROM b),
+         med AS (SELECT l_returnflag, min(bucket) AS mb FROM cb
+                 WHERE 2 * cum >= tot GROUP BY l_returnflag)
+         SELECT k.l_returnflag, k.n_orders_kmv,
+           CAST(m.mb AS DOUBLE) * 1000.0 + 500.0 AS p50_hist
+         FROM kmv k JOIN med m USING (l_returnflag)
+         ORDER BY l_returnflag""",
     // q21/q23: the LSH stages are candidate generators only — the emitted
     // pairs are EXACT-verified (jaccard over full gram sets), so whenever LSH
     // recall on the dataset is complete, the output equals the brute-force
