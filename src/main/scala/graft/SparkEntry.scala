@@ -334,6 +334,21 @@ object SparkEntry {
       graft.ext.Vocab.topTokens(t(s, d, "documents"), "text", 100)
     }),
 
+    "q71_stream_corpus_dedup" -> ((s, d) => {
+      // continuous corpus ingestion: two deterministic micro-batches (cut at
+      // the median id), each deduped against the all-seen index — result is
+      // batch-boundary-invariant and equals the one-shot canonical-min dedup,
+      // so q21's oracle semantics gate the streaming path too
+      import graft.streaming.CorpusStreams
+      val docs = t(s, d, "documents")
+      val mid = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+      val staged = CorpusStreams.stageIdSlices(s, s"$d/documents.parquet",
+        "doc_id", cuts = Seq(mid))
+      CorpusStreams.corpusDedupStreaming(s, staged, "doc_id", "text",
+        threshold = 0.6)
+        .orderBy("doc_id")
+    }),
+
     "q70_dedup_components" -> ((s, d) => {
       // transitive near-dup clustering: every doc labeled with the min id
       // reachable through verified minhash pairs (singletons label themselves)
@@ -951,6 +966,27 @@ object SparkEntry {
     // pair set this SQL computes. Verified complete on the driver's fixtures
     // (planted near-dups sit at j >= 0.92; banding recall there ~= 1).
     "q21_dedup_minhash" ->
+      """WITH toks AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                 CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
+                      ELSE array_to_string(tk[i:i+2], ' ') END AS shingle
+               FROM (SELECT doc_id, tk,
+                       unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i
+                     FROM toks WHERE len(tk) > 0)),
+         sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS ic
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         j AS (SELECT id_l, id_r, CAST(ic AS DOUBLE) / (sa.s + sb.s - ic) AS jac
+               FROM inter JOIN sz sa ON sa.doc_id = id_l
+                          JOIN sz sb ON sb.doc_id = id_r)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT DISTINCT id_r FROM j WHERE jac >= 0.6)
+         ORDER BY doc_id""",
+    // identical semantics to q21 (the streaming path is batch-boundary-
+    // invariant by construction — see CorpusStreams): same oracle SQL
+    "q71_stream_corpus_dedup" ->
       """WITH toks AS (SELECT doc_id,
              regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
          sh AS (SELECT DISTINCT doc_id,

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.nio.file.attribute.FileTime
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ext.Dedup
+
+/** Continuous corpus ingestion with streaming near-duplicate removal: each
+  * micro-batch of documents is deduplicated against the standing corpus
+  * index (and itself) with [[Dedup.minhashDedupAgainst]], then the batch is
+  * added to the index — the streaming shape of the daily-increment workflow.
+  *
+  * Design invariant (batch-boundary invariance): the index accumulates the
+  * signatures of every SEEN document, survivors and dropped alike. Indexing
+  * only survivors would let content chains leak through batch boundaries
+  * (B dropped against A in batch 1; C, a near-dup of B but not of A, then
+  * survives batch 2) and would make the result depend on where the stream
+  * was cut. With all seen documents indexed, "drop x iff it pairs with any
+  * earlier-seen or smaller-id document" holds regardless of batching — the
+  * streamed result equals the one-shot canonical-min-id batch dedup, which
+  * is what makes this operator oracle-checkable at all.
+  *
+  * Scale: per batch, only the increment is shingled/signed (the index is
+  * never rescanned); index frames are localCheckpoint'ed so lineage stays
+  * flat over unbounded streams. A production deployment would persist the
+  * index to parquet between runs ([[Dedup.minhashState]] is designed for
+  * exactly that) and write survivors to a sink instead of collecting ids.
+  */
+object CorpusStreams {
+
+  /** Stage a parquet table as an ordered sequence of single-file batches cut
+    * at `cuts` (exclusive upper bounds) of `idCol`: batch i holds rows in
+    * [cuts(i-1), cuts(i)). File mod-times are set strictly increasing so the
+    * file stream source (which orders by timestamp) replays the batches
+    * deterministically.
+    */
+  def stageIdSlices(
+      spark: SparkSession, path: String, idCol: String,
+      cuts: Seq[Long]): String = {
+    require(cuts == cuts.sorted && cuts.distinct == cuts, "cuts must be strictly increasing")
+    val dir = Files.createTempDirectory("graft_corpus_stream")
+    dir.toFile.deleteOnExit()
+    val df = spark.read.parquet(path)
+    val bounds = (Long.MinValue +: cuts).zip(cuts :+ Long.MaxValue)
+    val base = System.currentTimeMillis()
+    bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val tmp = dir.resolve(s"w$i")
+      df.where(col(idCol) >= lo && col(idCol) < hi)
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = {
+        val listing = Files.list(tmp)
+        try {
+          import scala.jdk.CollectionConverters._
+          listing.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp"))
+        } finally listing.close()
+      }
+      val target = dir.resolve(f"batch_$i%04d.parquet")
+      Files.move(part, target)
+      deleteRecursively(tmp)
+      Files.setLastModifiedTime(target, FileTime.fromMillis(base + i * 2000L))
+      target.toFile.deleteOnExit()
+    }
+    dir.toString
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val listing = Files.walk(p)
+    try listing.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.delete)
+    finally listing.close()
+  }
+
+  /** Run the streaming dedup over a staged batch directory (one micro-batch
+    * per file, in mod-time order) and return the surviving document ids.
+    * The result equals `Dedup.minhashDedup` over the full input — asserted
+    * in `CorpusStreamsSpec` and, via q21's shared SQL oracle, in the
+    * correctness gate.
+    */
+  def corpusDedupStreaming(
+      spark: SparkSession, stagedDir: String, idCol: String, textCol: String,
+      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
+      shingleK: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val schema = spark.read.parquet(stagedDir).schema
+    var state: Option[Dedup.MinhashState] = None
+    val survivors = ArrayBuffer.empty[Long]
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val b = batch.persist()
+        try {
+          val kept = state match {
+            case Some(st) => Dedup.minhashDedupAgainst(b.toDF(), st, idCol,
+              textCol, threshold, numHashes, bands, shingleK, maxBucket)
+            case None => Dedup.minhashDedup(b.toDF(), idCol, textCol,
+              threshold, numHashes, bands, shingleK)
+          }
+          survivors ++= kept.select(col(idCol).cast("long"))
+            .collect().map(_.getLong(0))
+          // index ALL seen docs (see class doc); checkpoint eagerly — the
+          // batch frame is only valid inside this callback
+          val inc = Dedup.minhashState(b.toDF(), idCol, textCol, numHashes,
+            bands, shingleK, maxBucket)
+          val incCk = Dedup.MinhashState(
+            inc.sets.localCheckpoint(true), inc.buckets.localCheckpoint(true))
+          state = Some(state.fold(incCk) { st =>
+            Dedup.MinhashState(st.sets.union(incCk.sets),
+              st.buckets.union(incCk.buckets))
+          })
+        } finally b.unpersist()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import spark.implicits._
+    survivors.toSeq.toDF(idCol)
+  }
+}

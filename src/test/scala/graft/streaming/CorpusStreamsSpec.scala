@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.ext.Dedup
+
+class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+    "juliet kilo lima mike november oscar papa quebec romeo sierra tango " +
+    "uniform victor whiskey xray"
+  // B = base with one early word changed; C = B with one late word changed.
+  // At 3-shingles: j(A,B) ~ j(B,C) ~ 0.76 >= 0.7, j(A,C) ~ 0.57 < 0.7 —
+  // the chain case where survivor-only indexing would leak C through.
+  private val docA = base
+  private val docB = base.replace("charlie", "changed")
+  private val docC = docB.replace("victor", "different")
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cs_spec")
+    dir.toFile.deleteOnExit()
+    val p = s"$dir/docs"
+    rows.toDF("doc_id", "text").coalesce(1).write.parquet(p)
+    p
+  }
+
+  test("streamed survivors equal the one-shot batch dedup, chains included") {
+    val rows = Seq((1L, docA), (2L, docB), (3L, docC),
+      (4L, "an entirely unrelated document about storage engines and " +
+        "buffer pools with write ahead logging"))
+    val path = writeDocs(rows)
+    val batchResult = Dedup.minhashDedup(rows.toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    // cut so the chain straddles the boundary: {1,2} then {3,4}
+    val staged = CorpusStreams.stageIdSlices(spark, path, "doc_id", cuts = Seq(3L))
+    val streamed = CorpusStreams.corpusDedupStreaming(spark, staged,
+      "doc_id", "text", threshold = 0.7)
+      .as[Long].collect().toSet
+    assert(batchResult == Set(1L, 4L),
+      s"precondition: chain must collapse to its min id, got $batchResult")
+    assert(streamed == batchResult,
+      "streamed dedup must be batch-boundary-invariant: C pairs with the " +
+        "DROPPED doc B from the previous batch and must still be dropped")
+  }
+
+  test("an empty micro-batch is harmless") {
+    val rows = Seq((1L, docA), (2L, docB))
+    val path = writeDocs(rows)
+    // cut above every id: second slice is an empty file/batch
+    val staged = CorpusStreams.stageIdSlices(spark, path, "doc_id", cuts = Seq(100L))
+    val streamed = CorpusStreams.corpusDedupStreaming(spark, staged,
+      "doc_id", "text", threshold = 0.7)
+      .as[Long].collect().toSet
+    assert(streamed == Set(1L))
+  }
+}
