@@ -31,6 +31,30 @@ object GraftSession {
       SparkSession.builder().master(s"local[$cpus]").appName(appName), cpus)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    registerSqlMacros(s)
     s
+  }
+
+  /** SQL-string parity for the composed text functions: registered as SQL
+    * scalar UDFs whose bodies are GENERATED from the Column implementations
+    * (`expr.sql`), so the SQL surface cannot drift from the Scala one.
+    * (Native expressions go through GraftExtensions' function injection
+    * instead; composed Column trees cannot — a ColumnNode handed back from
+    * a registry builder stays unresolved and dies at codegen.)
+    */
+  def registerSqlMacros(s: SparkSession): Unit = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def sqlOf(f: Column => Column): String =
+      ColumnBridge.convertedExpression(f(col("s"))).sql
+    Seq(
+      ("scrub_pii", "STRING", sqlOf(graft.functions.text.scrubPII)),
+      ("token_count", "INT", sqlOf(graft.functions.text.tokenCount)),
+      ("quality_score", "DOUBLE", sqlOf(c => graft.functions.text.qualityScore(c))),
+      ("lang_id", "STRING", sqlOf(graft.functions.text.langId))
+    ).foreach { case (n, t, body) =>
+      s.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $n(s STRING) RETURNS $t RETURN $body")
+    }
   }
 }

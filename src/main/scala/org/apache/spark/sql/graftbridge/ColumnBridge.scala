@@ -12,4 +12,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column's node tree to a catalyst expression.
+    * [[expression]] wraps lazily in a `ColumnNodeExpression`, which is fine
+    * inside a plan (the analyzer unwraps it) but useless when the TEXT of
+    * the expression is needed (`.sql` renders the wrapper, not the tree) —
+    * e.g. to generate a SQL-UDF body from a Column implementation.
+    */
+  def convertedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -20,6 +20,18 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getInt(3) == 3)
   }
 
+  test("column-composition macros resolve in SQL text") {
+    val r = spark.sql("""
+      SELECT scrub_pii('see https://x.example/a or a@b.example now') AS sc,
+             token_count('one two  three') AS tc,
+             quality_score('a plain sentence with several common words in it') AS q,
+             lang_id('the cat and the dog are in the house') AS l""").head()
+    assert(r.getString(0) == "see <URL> or <EMAIL> now")
+    assert(r.getInt(1) == 3)
+    assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+    assert(r.getString(3) == "en")
+  }
+
   test("DESCRIBE FUNCTION surfaces the registered usage text") {
     val desc = spark.sql("DESCRIBE FUNCTION cosine_similarity")
       .collect().map(_.getString(0)).mkString("\n")
