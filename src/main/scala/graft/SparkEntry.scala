@@ -368,6 +368,18 @@ object SparkEntry {
         .orderBy("id_l", "id_r")
     }),
 
+    "q72_embed_quantize" -> ((s, d) => {
+      // int8 embedding compression: one-pass native quantization, exploded
+      // per-dimension so the DuckDB oracle hash-checks every code + scale
+      t(s, d, "embeddings")
+        .select(col("vec_id"), vectors.int8Quantize(col("embedding")).as("q"))
+        .select(col("vec_id"), col("q.scale").as("scale"),
+          posexplode(col("q.codes")).as(Seq("dim0", "code")))
+        .select(col("vec_id"), (col("dim0") + 1).cast("long").as("dim"),
+          col("code").cast("long").as("code"), col("scale"))
+        .orderBy("vec_id", "dim")
+    }),
+
     "q66_embed_centroids" -> ((s, d) => {
       // exact per-label mean embedding (class centroids), decimal-routed
       Similarity.meanVectors(t(s, d, "embeddings"), Seq("label"), "embedding")
@@ -1077,6 +1089,19 @@ object SparkEntry {
            CAST(CASE WHEN greatest(w, h) <= 256 THEN round(h * 1.0)
                 ELSE round(h * (256.0 / greatest(w, h))) END AS INTEGER) AS target_height
          FROM m ORDER BY media_id""",
+    // scale = max|v|/127 (double, fixed order), code = round-half-away-from-
+    // zero(v/scale) clamped; DuckDB round() is also half-away-from-zero
+    "q72_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+         x AS (SELECT vec_id, scale, unnest(v) AS val,
+             unnest(generate_series(1, len(v))) AS dim FROM s)
+         SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+           CAST(CASE WHEN scale = 0 THEN 0
+                ELSE greatest(-127, least(127, round(val / scale))) END AS BIGINT) AS code,
+           scale
+         FROM x ORDER BY vec_id, dim""",
     "q66_embed_centroids" ->
       """WITH e AS (SELECT label,
              unnest(CAST(embedding AS DOUBLE[])) AS v,

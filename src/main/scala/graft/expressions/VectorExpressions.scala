@@ -105,6 +105,33 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Symmetric int8 quantization of an embedding: `(scale DOUBLE, codes
+    * ARRAY<INT>)` — see [[VectorRuntime.int8Quantize]] for the exact,
+    * cross-engine-reproducible arithmetic. One pass per row, no explode.
+    */
+  case class Int8Quantize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("scale", DoubleType, nullable = false),
+      StructField("codes", ArrayType(IntegerType, containsNull = false),
+        nullable = false)))
+    override def prettyName: String = "int8_quantize"
+
+    private lazy val vFloat = isFloatArray(child.dataType)
+
+    override def nullSafeEval(input: Any): Any =
+      VectorRuntime.int8Quantize(input.asInstanceOf[ArrayData], vFloat)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.VectorRuntime.int8Quantize($c, $vFloat);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def int8Quantize(vec: Column): Column =
+    ColumnBridge.column(Int8Quantize(ColumnBridge.expression(vec)))
+
   def nearestCentroids(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
     ColumnBridge.column(
       NearestCentroids(ColumnBridge.expression(vec), centroids, nProbe))

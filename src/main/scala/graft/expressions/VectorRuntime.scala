@@ -59,6 +59,39 @@ object VectorRuntime {
     bucket
   }
 
+  /** Symmetric int8 quantization: scale = max|v| / 127, code_i =
+    * round-half-away-from-zero(v_i / scale) clamped to [-127, 127]; a zero
+    * vector gets scale 0 and all-zero codes. Every step is IEEE double math
+    * in a fixed order, so any SQL engine reproduces the codes bit-for-bit
+    * (`Math.round` is applied to the ABSOLUTE value precisely because its
+    * half-up tie break differs from SQL `round` for negatives).
+    * Returns (scale DOUBLE, codes ARRAY<INT>).
+    */
+  def int8Quantize(input: ArrayData, isFloat: Boolean):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val v = toDoubles(input, isFloat)
+    var maxAbs = 0.0
+    var i = 0
+    while (i < v.length) {
+      val a = math.abs(v(i)); if (a > maxAbs) maxAbs = a; i += 1
+    }
+    val scale = maxAbs / 127.0
+    val codes = new Array[Any](v.length)
+    i = 0
+    while (i < v.length) {
+      val c =
+        if (scale == 0.0) 0L
+        else {
+          val r = Math.round(math.abs(v(i)) / scale)
+          if (v(i) < 0) -r else r
+        }
+      codes(i) = Int.box(math.max(-127L, math.min(127L, c)).toInt)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      scale, new GenericArrayData(codes))
+  }
+
   /** Indices of the `nProbe` nearest centroids by cosine, nearest-first. */
   def nearestCentroids(input: ArrayData, isFloat: Boolean,
       centroids: Array[Array[Double]], centroidNorms: Array[Double],

@@ -36,6 +36,16 @@ object vectors {
     sqrt(aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v))
 
+  /** Symmetric int8 quantization: `(scale, codes)` with scale = max|v|/127
+    * and round-half-away-from-zero codes in [-127, 127] — the standard
+    * storage compression for embedding corpora (4x smaller than float32,
+    * reconstruction = code * scale). Native one-pass expression; the exact
+    * fixed-order double arithmetic is SQL-reproducible, so quantized codes
+    * can be differentially verified across engines.
+    */
+  def int8Quantize(a: Column): Column =
+    graft.expressions.VectorExpressions.int8Quantize(a)
+
   /** Signed random-hyperplane LSH bucket: k sign bits of dot products with
     * deterministic pseudo-random hyperplanes, packed into a long. Same
     * hyperplanes (seed, dim) on both sides of a join => cosine-similar

@@ -51,6 +51,25 @@ class CodegenSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("int8 quantization: exact codes under strict codegen, zero-vector safe") {
+    withStrictCodegen {
+      val df = Seq(
+        (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+        (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))
+      ).toDF("id", "v")
+      val out = df.select(col("id"),
+        VectorExpressions.int8Quantize(col("v")).as("q"))
+        .select(col("id"), col("q.scale"), col("q.codes"))
+        .orderBy("id").collect()
+      // scale = 1.0/127; codes = round(v * 127 / max|v|), half away from zero
+      assert(out(0).getDouble(1) == 1.0 / 127.0)
+      assert(out(0).getSeq[Int](2) == Seq(127, -64, 32, 0),
+        s"got ${out(0).getSeq[Int](2)}")
+      assert(out(1).getDouble(1) == 0.0)
+      assert(out(1).getSeq[Int](2) == Seq(0, 0, 0, 0))
+    }
+  }
+
   test("minhash signature expression equals the explode + xxhash64 formulation") {
     // the one-pass expression claims bit-identical signatures to
     // min(xxhash64(lit(i), gram)) per permutation — prove it on real text
