@@ -32,10 +32,15 @@ object Verbose {
 
   // weak keys: a session registered verbose but never unregistered must not
   // be pinned for the process lifetime (the listener itself dies with the
-  // session's listener bus; only this bookkeeping entry would leak)
+  // session's listener bus; only this bookkeeping entry would leak). The
+  // VALUE is held through a WeakReference too: a sink closure that captures
+  // the SparkSession would otherwise form a value→key strong path that
+  // defeats the weak key. The listener stays reachable while registered —
+  // the session's listenerManager holds it strongly — so the ref is only
+  // cleared once the session itself is collectable.
   private val registered =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, Listener]())
+      new java.util.WeakHashMap[SparkSession, java.lang.ref.WeakReference[Listener]]())
 
   /** Register the verbose listener on the session (idempotent per session).
     * Returns the listener so tests/tools can unregister it.
@@ -43,17 +48,19 @@ object Verbose {
   def register(spark: SparkSession, sink: String => Unit = Console.out.println): Listener =
     registered.synchronized {
       val existing = registered.get(spark)
-      if (existing != null) existing
+      val live = if (existing != null) existing.get else null
+      if (live != null) live
       else {
         val l = new Listener(sink)
         spark.listenerManager.register(l)
-        registered.put(spark, l)
+        registered.put(spark, new java.lang.ref.WeakReference(l))
         l
       }
     }
 
   def unregister(spark: SparkSession): Unit = registered.synchronized {
-    val l = registered.remove(spark)
+    val ref = registered.remove(spark)
+    val l = if (ref != null) ref.get else null
     if (l != null) spark.listenerManager.unregister(l)
   }
 }

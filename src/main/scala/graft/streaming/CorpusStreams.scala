@@ -88,9 +88,17 @@ object CorpusStreams {
   def corpusDedupStreaming(
       spark: SparkSession, stagedDir: String, idCol: String, textCol: String,
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
-      shingleK: Int = 3, maxBucket: Int = 1000): DataFrame = {
+      shingleK: Int = 3, maxBucket: Int = 1000,
+      checkpointEvery: Int = 8): DataFrame = {
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
     val schema = spark.read.parquet(stagedDir).schema
     var state: Option[Dedup.MinhashState] = None
+    var batchesSinceCheckpoint = 0
+    // mutated from the micro-batch thread, read from the caller thread after
+    // awaitTermination — synchronized explicitly rather than relying on the
+    // termination happens-before. Bounded only by corpus size: fine at the
+    // gate's scale; the production shape writes survivors to a sink per
+    // batch instead of collecting ids (see class doc).
     val survivors = ArrayBuffer.empty[Long]
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stagedDir)
@@ -104,8 +112,9 @@ object CorpusStreams {
             case None => Dedup.minhashDedup(b.toDF(), idCol, textCol,
               threshold, numHashes, bands, shingleK)
           }
-          survivors ++= kept.select(col(idCol).cast("long"))
+          val keptIds = kept.select(col(idCol).cast("long"))
             .collect().map(_.getLong(0))
+          survivors.synchronized { survivors ++= keptIds }
           // index ALL seen docs (see class doc); checkpoint eagerly — the
           // batch frame is only valid inside this callback
           val inc = Dedup.minhashState(b.toDF(), idCol, textCol, numHashes,
@@ -116,12 +125,22 @@ object CorpusStreams {
             Dedup.MinhashState(st.sets.union(incCk.sets),
               st.buckets.union(incCk.buckets))
           })
+          // the accumulated index is a left-deep union of checkpointed
+          // leaves; the UNION's plan depth still grows with batch count, so
+          // collapse it to a fresh pair of flat leaves every few batches —
+          // keeps per-batch analysis cost O(checkpointEvery), not O(#batches)
+          batchesSinceCheckpoint += 1
+          if (batchesSinceCheckpoint >= checkpointEvery) {
+            state = state.map(st => Dedup.MinhashState(
+              st.sets.localCheckpoint(true), st.buckets.localCheckpoint(true)))
+            batchesSinceCheckpoint = 0
+          }
         } finally b.unpersist()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     import spark.implicits._
-    survivors.toSeq.toDF(idCol)
+    survivors.synchronized(survivors.toSeq).toDF(idCol)
   }
 }

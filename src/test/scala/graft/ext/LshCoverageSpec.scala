@@ -20,11 +20,21 @@ import graft.functions.vectors
 class LshCoverageSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
-  private val sfDir = "/root/testdata/sf0.01"
-  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    .select(col("doc_id"), col("text"))
-  private def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    .select(col("vec_id"), col("embedding"))
+  // fixture root is machine-layout dependent — overridable, and the suite
+  // cancels (rather than fails) where the gate fixtures don't exist
+  private val sfDir = sys.env.getOrElse("SPARK_GRAFT_GATE_DIR",
+    sys.props.getOrElse("graft.gate.dir", "/root/testdata/sf0.01"))
+  private def fixturesPresent = new java.io.File(s"$sfDir/documents.parquet").exists()
+  private def docs = {
+    assume(fixturesPresent, s"gate fixtures not found under $sfDir — skipping")
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+  }
+  private def emb = {
+    assume(fixturesPresent, s"gate fixtures not found under $sfDir — skipping")
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+  }
 
   /** Exact all-pairs jaccard >= threshold over hashed gram sets `(doc_id,
     * sh)`, via gram-level equi-join (no cross join; fine at fixture scale).
