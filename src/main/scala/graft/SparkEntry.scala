@@ -810,6 +810,88 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "s_name")
     }),
 
+    // ------------------------------------------------------------------
+    // Round-5 additions: semi-structured columns, time-series resampling,
+    // interval joins, corpus statistics, sharded dataset assembly
+    // ------------------------------------------------------------------
+    "q73_json_extract" -> ((s, d) => {
+      // semi-structured props column: JSON path extraction stays codegen'd
+      // (GetJsonObject), the aggregation gets map-side partial combine
+      t(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("event_type")
+    }),
+
+    "q74_group_topk" -> ((s, d) => {
+      Ops.topKPerGroup(t(s, d, "orders"), Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
+        .select(col("o_custkey"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rnk")
+    }),
+
+    "q75_bigram_counts" -> ((s, d) => {
+      graft.ext.Vocab.topNgrams(t(s, d, "documents"), "doc_id", "text", n = 2, k = 100)
+        .orderBy(col("n").desc, col("ngram"))
+    }),
+
+    "q76_resample_locf" -> ((s, d) => {
+      graft.ops.Resample.locf(events(s, d), "user_id", "ts", "value",
+        bucketSeconds = 3600L)
+        .select(col("user_id"), col("bucket").as("h"), col("n_events"),
+          col("sum_value"))
+        .orderBy("user_id", "h")
+    }),
+
+    "q77_histogram" -> ((s, d) => {
+      graft.ops.Profile.histogram(t(s, d, "orders"), "o_totalprice",
+        width = 50000.0, maxBucket = 19)
+        .withColumnRenamed("sum_value", "sum_price")
+        .orderBy("bucket")
+    }),
+
+    "q78_quantile_trim" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ops.Profile.quantileTrim(docs, "n_tokens", 0.05, 0.95)
+        .orderBy("doc_id")
+    }),
+
+    "q79_tfidf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // nDocs is one bounded driver-side scalar (see tfidfTopTerms doc)
+      graft.ext.Vocab.tfidfTopTerms(docs, "doc_id", "text",
+        nDocs = docs.count(), k = 3)
+        .orderBy("doc_id", "rnk")
+    }),
+
+    "q80_session_range_join" -> ((s, d) => {
+      // points-to-containing-interval join as a bin-bucketed EQUI-join (no
+      // broadcast-nested-loop); intervals renamed so the common-lineage
+      // self-reference cannot alias attribute ids
+      val ev = events(s, d)
+      val sessions = EventStreams.sessionBounds(ev, gapMinutes = 30)
+        .select(col("user_id").as("s_user_id"), col("session_id"),
+          col("session_start"), col("session_end"))
+      val points = ev.select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("es"))
+      graft.ops.RangeJoin.bucketed(points, "es",
+        sessions, "session_start", "session_end",
+        keys = Seq("user_id" -> "s_user_id"), binSize = 3600L)
+        .select(col("event_id"), col("user_id"),
+          col("session_id").cast("long").as("session_id"))
+        .orderBy("event_id", "session_id")
+    }),
+
+    "q81_shard_assign" -> ((s, d) => {
+      graft.ext.Splits.shardAssign(t(s, d, "documents"), "text", "doc_id",
+        nShards = 8)
+        .select(col("doc_id"), col("shard"), col("ordinal"))
+        .orderBy("doc_id")
+    }),
+
     "q35_sql_text" -> ((s, d) => {
       // The reference's core capability: an arbitrary user SQL string
       // answered by the engine (`R/ffsql.R:171-176`) — here Spark SQL itself.
@@ -1548,5 +1630,101 @@ object SparkEntry {
                   FROM reach GROUP BY a)
          SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
-         ORDER BY d.doc_id""")
+         ORDER BY d.doc_id""",
+    "q73_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+         sum(CAST(props->>'k' AS BIGINT)) AS sum_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q74_group_topk" ->
+      """SELECT o_custkey, CAST(rn AS BIGINT) AS rnk, o_orderkey, o_totalprice
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rnk""",
+    "q75_bigram_counts" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '') AS t
+           FROM documents),
+         idx AS (SELECT doc_id, t,
+             unnest(generate_series(1, len(t) - 1)) AS i FROM tok)
+         SELECT t[i] || ' ' || t[i+1] AS ngram, count(*) AS n
+         FROM idx GROUP BY ngram ORDER BY n DESC, ngram LIMIT 100""",
+    // LOCF via the count-of-non-null grouping trick: each gap bucket joins
+    // the group of the last observed bucket, whose max is its single sum
+    "q76_resample_locf" ->
+      """WITH e AS (SELECT user_id,
+             CAST(floor(floor(epoch(ts))/3600) AS BIGINT) AS h, value FROM events),
+         b AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM e GROUP BY user_id),
+         grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS h FROM b),
+         agg AS (SELECT user_id, h, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+           FROM e GROUP BY user_id, h),
+         j AS (SELECT g.user_id, g.h, coalesce(a.n, 0) AS n_events, a.sv
+               FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.h = a.h),
+         k AS (SELECT *, count(sv) OVER (PARTITION BY user_id ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM j)
+         SELECT user_id, h, n_events,
+           max(sv) OVER (PARTITION BY user_id, grp) AS sum_value
+         FROM k ORDER BY user_id, h""",
+    "q77_histogram" ->
+      """SELECT CAST(least(greatest(floor(o_totalprice/50000.0), 0), 19) AS BIGINT) AS bucket,
+         count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY bucket ORDER BY bucket""",
+    "q78_quantile_trim" ->
+      """WITH n AS (SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+           FROM documents),
+         q AS (SELECT quantile_cont(n_tokens, 0.05) AS lo,
+                      quantile_cont(n_tokens, 0.95) AS hi FROM n)
+         SELECT doc_id, n_tokens FROM n, q
+         WHERE n_tokens >= lo AND n_tokens <= hi ORDER BY doc_id""",
+    // rational idf (nd+1)/(df+1): same per-document ranking as the log form,
+    // and exactly reproducible across engines (see Vocab.tfidfTopTerms)
+    "q79_tfidf" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+         dfq AS (SELECT token, count(*) AS df
+                 FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+         nq AS (SELECT count(*) AS nd FROM documents),
+         s AS (SELECT doc_id, token, tf,
+                 round(tf * (nd + 1.0) / (df + 1.0), 6) AS score
+               FROM tf JOIN dfq USING (token), nq),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, token) AS rn FROM s)
+         SELECT doc_id, CAST(rn AS BIGINT) AS rnk, token, score
+         FROM r WHERE rn <= 3 ORDER BY doc_id, rnk""",
+    // q30's session CTE, reduced to interval bounds + a containment join
+    "q80_session_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         f AS (SELECT *, CASE WHEN prev_ts IS NULL OR
+             CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+             THEN 1 ELSE 0 END AS new_session FROM e),
+         g AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f),
+         s AS (SELECT user_id, session_id,
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+             CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end
+           FROM g GROUP BY user_id, session_id)
+         SELECT ev.event_id, s.user_id, CAST(s.session_id AS BIGINT) AS session_id
+         FROM (SELECT event_id, user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events) ev
+         JOIN s ON ev.user_id = s.user_id
+           AND ev.es BETWEEN s.session_start AND s.session_end
+         ORDER BY event_id, session_id""",
+    "q81_shard_assign" ->
+      """WITH s AS (SELECT doc_id,
+             CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) % 8 AS shard
+           FROM documents)
+         SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS ordinal
+         FROM s ORDER BY doc_id""")
 }

@@ -47,4 +47,27 @@ object Splits {
       df: DataFrame, keyCol: String, weights: Seq[Double],
       labels: Seq[String], outCol: String = "split"): DataFrame =
     df.withColumn(outCol, contentHashSplit(col(keyCol), weights, labels))
+
+  /** Deterministic shard assignment for corpus writing: `shard` = first 32
+    * bits of `md5(keyCol)` mod `nShards` (duplicate content co-shards, the
+    * assignment survives re-ingests and engine changes), plus a dense
+    * within-shard `ordinal` ordered by `orderCol` — the (shard, position)
+    * pair a sharded training-data writer needs.
+    *
+    * Scale: the hash is one codegen'd expression; the ordinal is a
+    * row_number window partitioned by shard — one hash-partitioned shuffle
+    * into `nShards` groups. With the usual shard counts (2^7..2^12) each
+    * group is corpus/nShards rows; if a single shard must stay smaller,
+    * raise `nShards` — the assignment is mod-stable only in distribution,
+    * so pick the final shard count up front.
+    */
+  def shardAssign(
+      df: DataFrame, keyCol: String, orderCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(col(keyCol)), 1, 8), 16, 10).cast("long")
+    val w = Window.partitionBy("shard").orderBy(orderCol)
+    df.withColumn("shard", (h % nShards).cast("long"))
+      .withColumn("ordinal", row_number().over(w).cast("long"))
+  }
 }

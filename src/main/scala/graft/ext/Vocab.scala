@@ -33,4 +33,64 @@ object Vocab {
     require(k > 0, "k must be positive")
     tokenFrequencies(df, textCol).orderBy(col("n").desc, col("token")).limit(k)
   }
+
+  /** Global word-`n`-gram frequencies (space-joined token windows) — the LM
+    * diagnostic one level above [[tokenFrequencies]] (boilerplate phrase
+    * detection, contamination spotting, n-gram LM counts).
+    *
+    * Formulated as posexplode + `lead` windows rather than an array-zip
+    * lambda: higher-order functions evaluate interpreted per element, while
+    * this shape stays codegen'd end to end. The window partitions by
+    * document — maximally parallel — and the count aggregation gets map-side
+    * partial combine, so shuffle volume is bounded by distinct n-grams per
+    * partition.
+    */
+  def ngramFrequencies(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, "n must be >= 2 (use tokenFrequencies for unigrams)")
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol),
+      posexplode(text.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val parts = (0 until n).map(i => if (i == 0) col("tok") else lead(col("tok"), i).over(w))
+    tok.select(concat_ws(" ", parts: _*).as("ngram"),
+        parts.last.isNotNull.as("__complete"))
+      .where(col("__complete"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The `k` most frequent word n-grams, deterministically ordered. */
+  def topNgrams(df: DataFrame, idCol: String, textCol: String, n: Int, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    ngramFrequencies(df, idCol, textCol, n).orderBy(col("n").desc, col("ngram")).limit(k)
+  }
+
+  /** Per-document top-`k` characteristic terms by tf-idf. The idf factor is
+    * the RATIONAL form `(nDocs + 1) / (df + 1)` rather than its logarithm:
+    * log is monotone, so the per-document RANKING is identical, and the
+    * score stays exactly reproducible in any SQL engine (`ln` is libm-
+    * dependent in its last ulp; a×b/c over doubles is IEEE-bit-identical).
+    * Score is rounded to 6 dp; ties break on token ascending.
+    *
+    * `nDocs` is caller-supplied (one bounded scalar — typically
+    * `df.count()`) so the operator stays a pure plan. Scale: tf and df are
+    * each one map-side-combinable shuffle on token; the per-document top-k
+    * window partitions by document — no global sort anywhere.
+    */
+  def tfidfTopTerms(
+      df: DataFrame, idCol: String, textCol: String, nDocs: Long, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(nDocs > 0, "nDocs must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol), explode(text.tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tok.distinct().groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "token")
+      .withColumn("score",
+        round(col("tf") * (lit(nDocs.toDouble) + 1.0) / (col("df") + lit(1.0)), 6))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("token"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("token"), col("score"))
+  }
 }

@@ -144,4 +144,25 @@ object Ops {
     val pos = array_position(arr, c)
     when(pos === 0, lit(null)).otherwise(pos)
   }
+
+  /** Top-`k` rows per group by `orderCols` (make the order TOTAL — add a
+    * unique tiebreak column — or ranks are nondeterministic across runs).
+    * Adds a 1-based `rnk` column.
+    *
+    * Scale: one row_number window partitioned on the group keys — a single
+    * hash shuffle, per-group sort, maximally parallel. Spark has no
+    * per-group TakeOrdered physical operator; for tiny k over huge groups
+    * the window still sorts each whole group, which is the documented cost
+    * of the declarative form (AQE splits skewed partitions).
+    */
+  def topKPerGroup(
+      df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
+      k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
 }

@@ -41,4 +41,48 @@ object Profile {
     }
     wide.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /** Fixed-width histogram of numeric `colName`: bucket `i` covers
+    * `[i*width, (i+1)*width)`, values below 0 clamp into bucket 0 and values
+    * at or above `maxBucket*width` into the last bucket (open-ended tails —
+    * no row is ever dropped). Returns `(bucket, n, sum_value)` for NON-EMPTY
+    * buckets, sum decimal-routed for cross-engine parity.
+    *
+    * Scale: one codegen'd projection + one map-side-combinable aggregation
+    * on at most `maxBucket+1` keys — shuffle volume is O(buckets), not rows.
+    */
+  def histogram(
+      df: DataFrame, colName: String, width: Double, maxBucket: Int,
+      sumScale: Int = 4): DataFrame = {
+    require(width > 0, "width must be positive")
+    require(maxBucket > 0, "maxBucket must be positive")
+    val c = col(colName)
+    df.where(c.isNotNull)
+      .groupBy(least(greatest(floor(c / width), lit(0)), lit(maxBucket.toLong))
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(c.cast(s"decimal(18,$sumScale)")).cast("double").as("sum_value"))
+  }
+
+  /** Keep rows whose `colName` lies within the exact [`loQ`, `hiQ`]
+    * quantiles (linear interpolation, the `percentile`/`quantile_cont`
+    * convention) — the standard outlier trim before corpus statistics
+    * ("drop the shortest 5% and longest 5% of documents").
+    *
+    * Scale: thresholds come from ONE exact-percentile aggregation (sort-
+    * based partial agg, distributed), broadcast back as a 1-row frame — the
+    * filter itself is a codegen'd per-row compare. No global sort of the
+    * data and no driver-side collect of anything bigger than two doubles.
+    */
+  def quantileTrim(
+      df: DataFrame, colName: String, loQ: Double, hiQ: Double): DataFrame = {
+    require(0.0 <= loQ && loQ <= hiQ && hiQ <= 1.0, "need 0 <= loQ <= hiQ <= 1")
+    val c = col(colName)
+    val bounds = df.agg(
+      expr(s"percentile($colName, $loQ)").as("__lo"),
+      expr(s"percentile($colName, $hiQ)").as("__hi"))
+    df.crossJoin(broadcast(bounds))
+      .where(c >= col("__lo") && c <= col("__hi"))
+      .drop("__lo", "__hi")
+  }
 }

@@ -163,6 +163,26 @@ object EventStreams {
           .as("duration_sec"))
   }
 
+  /** Session INTERVALS from the same gap rule as [[sessionizeBatch]]:
+    * `(user_id, session_id, session_start, session_end)` with bounds as
+    * epoch seconds — the interval table an interval join (e.g.
+    * [[graft.ops.RangeJoin]]) consumes.
+    */
+  def sessionBounds(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(unix_timestamp(min(col("ts"))).as("session_start"),
+        unix_timestamp(max(col("ts"))).as("session_end"))
+  }
+
   /** Correlate two event types per user within a time bound — e.g. every
     * purchase within `withinMinutes` after a click. Works identically on
     * batch and streaming inputs; on streams this is a watermarked

@@ -89,4 +89,48 @@ class DecontaminateVocabSpec extends AnyFunSuite with SparkSpec {
     assert(got(1L) == expected)
     assert(got(2L) == 0L, "tokenless doc must get simhash 0, not be dropped")
   }
+
+  test("ngramFrequencies: bigrams never cross document boundaries") {
+    val docs = Seq((1L, "a b c"), (2L, "c a"), (3L, "solo")).toDF("doc_id", "text")
+    val got = Vocab.ngramFrequencies(docs, "doc_id", "text", n = 2)
+      .as[(String, Long)].collect().toMap
+    // "c a" exists only inside doc 2 — doc 1 ending in c and doc 2 starting
+    // with a must not fabricate another; doc 3 has no bigram at all
+    assert(got == Map("a b" -> 1L, "b c" -> 1L, "c a" -> 1L))
+  }
+
+  test("trigram counts and deterministic top ordering") {
+    val docs = Seq((1L, "x y z x y z"), (2L, "x y z")).toDF("doc_id", "text")
+    val top = Vocab.topNgrams(docs, "doc_id", "text", n = 3, k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("x y z", 3L), ("y z x" -> 1L)))
+  }
+
+  test("tfidfTopTerms ranks rare terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "common rare1 common"), (2L, "common rare2"), (3L, "common")
+    ).toDF("doc_id", "text")
+    val got = Vocab.tfidfTopTerms(docs, "doc_id", "text", nDocs = 3, k = 2)
+      .select("doc_id", "rnk", "token").as[(Long, Long, String)]
+      .collect().toSet
+    // rare terms: df=1 → score 2.0; common in doc1: tf=2, df=3 → 2.0;
+    // ties break on token asc ("common" < "rare1")
+    assert(got == Set((1L, 1L, "common"), (1L, 2L, "rare1"),
+      (2L, 1L, "rare2"), (2L, 2L, "common"), (3L, 1L, "common")))
+  }
+
+  test("shardAssign: duplicate content co-shards, ordinals dense per shard") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"),
+      (4L, "third")).toDF("doc_id", "text")
+    val out = Splits.shardAssign(docs, "text", "doc_id", nShards = 4)
+      .select("doc_id", "shard", "ordinal")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 == byId(2L)._2, "identical content must share a shard")
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        "ordinals must be dense 1..n within each shard")
+    }
+    assert(out.forall(r => r._2 >= 0 && r._2 < 4))
+  }
 }
