@@ -39,7 +39,11 @@ object Resample {
     val agg = e.groupBy(col(keyCol), col("bucket"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("__v").cast(s"decimal(18,$sumScale)")).cast("double").as("__sv"))
-    val grid = e.groupBy(col(keyCol))
+    // the grid derives from the BUCKET AGGREGATE, not the raw events: same
+    // min/max per key, but the second aggregation reads |keys × buckets|
+    // pre-aggregated rows (and reuses agg's shuffle) instead of rescanning
+    // the full input
+    val grid = agg.groupBy(col(keyCol))
       .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
       .select(col(keyCol), explode(sequence(col("lo"), col("hi"))).as("bucket"))
     val joined = grid.join(agg, Seq(keyCol, "bucket"), "left")
