@@ -892,6 +892,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q82_sample_exact" -> ((s, d) => {
+      graft.ext.Splits.sampleExact(t(s, d, "documents"), "text", "doc_id", n = 100)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    "q83_source_quota" -> ((s, d) => {
+      // per-domain quota cap (web-corpus curation): keep at most 10 docs per
+      // source, priority by content hash — deterministic, partition-invariant
+      Ops.topKPerGroup(t(s, d, "documents"), Seq("source"),
+        Seq(md5(col("text")).asc, col("doc_id").asc), k = 10)
+        .select(col("source"), col("rnk"), col("doc_id"))
+        .orderBy("source", "rnk")
+    }),
+
+    "q84_snapshot_diff" -> ((s, d) => {
+      // incremental-corpus audit: v_old = ids < 400, v_new = ids >= 100 with
+      // every 50th doc's text revised — exercises all four statuses
+      val docs = t(s, d, "documents")
+      val vOld = docs.where(col("doc_id") < 400)
+      val vNew = docs.where(col("doc_id") >= 100)
+        .withColumn("text",
+          when(col("doc_id") % 50 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      graft.ops.SnapshotDiff(vOld, vNew, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "q35_sql_text" -> ((s, d) => {
       // The reference's core capability: an arbitrary user SQL string
       // answered by the engine (`R/ffsql.R:171-176`) — here Spark SQL itself.
@@ -1726,5 +1754,29 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id, shard,
            CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS ordinal
-         FROM s ORDER BY doc_id""")
+         FROM s ORDER BY doc_id""",
+    "q82_sample_exact" ->
+      """SELECT doc_id, source FROM
+         (SELECT doc_id, source FROM documents
+          ORDER BY md5(text), doc_id LIMIT 100)
+         ORDER BY doc_id""",
+    "q83_source_quota" ->
+      """WITH r AS (SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(text), doc_id) AS rn
+           FROM documents)
+         SELECT source, CAST(rn AS BIGINT) AS rnk, doc_id
+         FROM r WHERE rn <= 10 ORDER BY source, rnk""",
+    "q84_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 400),
+         n AS (SELECT doc_id,
+             md5(CASE WHEN doc_id % 50 = 0 THEN text || ' v2' ELSE text END) AS h
+           FROM documents WHERE doc_id >= 100)
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.h IS NULL THEN 'added'
+                WHEN n.h IS NULL THEN 'removed'
+                WHEN o.h <> n.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+         ORDER BY doc_id""")
 }

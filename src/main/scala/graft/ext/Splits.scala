@@ -48,6 +48,23 @@ object Splits {
       labels: Seq[String], outCol: String = "split"): DataFrame =
     df.withColumn(outCol, contentHashSplit(col(keyCol), weights, labels))
 
+  /** Exactly-`n` deterministic uniform subsample: rank every row by
+    * `md5(keyCol)` (tie-broken by `tieCol` for non-unique keys) and keep the
+    * first `n` — the fixed-size eval-subset / spot-check primitive. Unlike
+    * `sample(fraction)`, the result has an exact size and is a pure function
+    * of content: stable across runs, partitionings, and engines.
+    *
+    * Scale: orderBy+limit plans as `TakeOrderedAndProject` — per-partition
+    * top-n heaps merged on one reducer holding only n rows; no global sort.
+    */
+  def sampleExact(df: DataFrame, keyCol: String, tieCol: String, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    df.withColumn("__h", md5(col(keyCol)))
+      .orderBy(col("__h"), col(tieCol))
+      .limit(n)
+      .drop("__h")
+  }
+
   /** Deterministic shard assignment for corpus writing: `shard` = first 32
     * bits of `md5(keyCol)` mod `nShards` (duplicate content co-shards, the
     * assignment survives re-ingests and engine changes), plus a dense

@@ -47,4 +47,15 @@ class SplitsSpec extends AnyFunSuite with SparkSpec {
       Splits.byContentHash(docs, "text", Seq(1.0, -0.1), Seq("a", "b"))
     }
   }
+
+  test("sampleExact returns exactly n content-stable rows as TakeOrdered") {
+    val a = Splits.sampleExact(docs, "text", "id", n = 50)
+    assert(a.count() == 50)
+    val b = Splits.sampleExact(docs.repartition(13), "text", "id", n = 50)
+    assert(a.select("id").as[Long].collect().sorted.toSeq ==
+      b.select("id").as[Long].collect().sorted.toSeq,
+      "sample must be partition-invariant")
+    assert(a.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "orderBy+limit must plan as per-partition top-n, not a global sort")
+  }
 }
