@@ -84,7 +84,10 @@ object Vocab {
     import org.apache.spark.sql.expressions.Window
     val tok = df.select(col(idCol), explode(text.tokens(col(textCol))).as("token"))
     val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = tok.distinct().groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // df derives from tf (one row per (doc, token) already) — the corpus is
+    // tokenized ONCE and the tf exchange is shared by both branches, instead
+    // of a second scan+explode+distinct over the full input
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, "token")
       .withColumn("score",
         round(col("tf") * (lit(nDocs.toDouble) + 1.0) / (col("df") + lit(1.0)), 6))

@@ -79,8 +79,8 @@ object Profile {
     require(0.0 <= loQ && loQ <= hiQ && hiQ <= 1.0, "need 0 <= loQ <= hiQ <= 1")
     val c = col(colName)
     val bounds = df.agg(
-      expr(s"percentile($colName, $loQ)").as("__lo"),
-      expr(s"percentile($colName, $hiQ)").as("__hi"))
+      percentile(c, lit(loQ)).as("__lo"),
+      percentile(c, lit(hiQ)).as("__hi"))
     df.crossJoin(broadcast(bounds))
       .where(c >= col("__lo") && c <= col("__hi"))
       .drop("__lo", "__hi")

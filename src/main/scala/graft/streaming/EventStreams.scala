@@ -142,11 +142,13 @@ object EventStreams {
     spark.table(queryName)
   }
 
-  /** Batch sessionization: a session breaks after `gapMinutes` of user
-    * inactivity. Pure window functions (lag -> flag -> running sum), fully
-    * SQL-expressible — the oracle twin of the stateful streaming version.
+  /** The ONE gap-rule session-id assignment (lag -> flag -> running sum)
+    * shared by [[sessionizeBatch]] and [[sessionBounds]] — a tweak to the
+    * gap predicate or tie-break ordering here changes both consumers
+    * together, so q30's sessions and q80's intervals cannot silently
+    * diverge.
     */
-  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+  private def withSessionIds(events: DataFrame, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val gapSec = gapMinutes * 60L
     events
@@ -156,32 +158,30 @@ object EventStreams {
           unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1)
           .otherwise(0))
       .withColumn("session_id", sum(col("new_session")).over(byUser))
+  }
+
+  /** Batch sessionization: a session breaks after `gapMinutes` of user
+    * inactivity. Pure window functions (lag -> flag -> running sum), fully
+    * SQL-expressible — the oracle twin of the stateful streaming version.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    withSessionIds(events, gapMinutes)
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         dsum(col("value")).as("sum_value"),
         (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
           .as("duration_sec"))
-  }
 
   /** Session INTERVALS from the same gap rule as [[sessionizeBatch]]:
     * `(user_id, session_id, session_start, session_end)` with bounds as
     * epoch seconds — the interval table an interval join (e.g.
     * [[graft.ops.RangeJoin]]) consumes.
     */
-  def sessionBounds(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val gapSec = gapMinutes * 60L
-    events
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-      .withColumn("new_session",
-        when(col("prev_ts").isNull ||
-          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1)
-          .otherwise(0))
-      .withColumn("session_id", sum(col("new_session")).over(byUser))
+  def sessionBounds(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    withSessionIds(events, gapMinutes)
       .groupBy(col("user_id"), col("session_id"))
       .agg(unix_timestamp(min(col("ts"))).as("session_start"),
         unix_timestamp(max(col("ts"))).as("session_end"))
-  }
 
   /** Correlate two event types per user within a time bound — e.g. every
     * purchase within `withinMinutes` after a click. Works identically on

@@ -24,17 +24,15 @@ class LshCoverageSpec extends AnyFunSuite with SparkSpec {
   // cancels (rather than fails) where the gate fixtures don't exist
   private val sfDir = sys.env.getOrElse("SPARK_GRAFT_GATE_DIR",
     sys.props.getOrElse("graft.gate.dir", "/root/testdata/sf0.01"))
-  private def fixturesPresent = new java.io.File(s"$sfDir/documents.parquet").exists()
-  private def docs = {
-    assume(fixturesPresent, s"gate fixtures not found under $sfDir — skipping")
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text"))
+  private def fixture(name: String): String = {
+    val path = s"$sfDir/$name"
+    assume(new java.io.File(path).exists(), s"gate fixture $path not found — skipping")
+    path
   }
-  private def emb = {
-    assume(fixturesPresent, s"gate fixtures not found under $sfDir — skipping")
-    spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
-  }
+  private def docs = spark.read.parquet(fixture("documents.parquet"))
+    .select(col("doc_id"), col("text"))
+  private def emb = spark.read.parquet(fixture("embeddings.parquet"))
+    .select(col("vec_id"), col("embedding"))
 
   /** Exact all-pairs jaccard >= threshold over hashed gram sets `(doc_id,
     * sh)`, via gram-level equi-join (no cross join; fine at fixture scale).

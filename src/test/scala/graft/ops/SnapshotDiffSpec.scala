@@ -17,12 +17,17 @@ class SnapshotDiffSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("join ships digests, not document bodies") {
-    val vOld = Seq((1L, "x" * 1000)).toDF("id", "text")
-    val vNew = Seq((1L, "x" * 1000)).toDF("id", "text")
-    val plan = SnapshotDiff(vOld, vNew, "id", "text")
-      .queryExecution.optimizedPlan.toString
-    assert(!plan.contains("text#") ||
-      plan.indexOf("md5") < plan.indexOf("Join"),
-      "md5 must be computed below the join")
+    // repartition blocks ConvertToLocalRelation from folding the projections
+    // away, so the optimized plan keeps a real Join whose inputs we can check
+    val vOld = Seq((1L, "x" * 1000)).toDF("id", "text").repartition(2)
+    val vNew = Seq((1L, "x" * 1000)).toDF("id", "text").repartition(2)
+    val plan = SnapshotDiff(vOld, vNew, "id", "text").queryExecution.optimizedPlan
+    val join = plan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.getOrElse(fail("no Join in optimized plan"))
+    join.children.foreach { side =>
+      assert(side.output.forall(_.name != "text"),
+        s"join input still carries the raw text column: ${side.output.map(_.name)}")
+    }
   }
 }
