@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: plans graft.plans.GroupTopK's logical node
+    // as the two-phase heap operator (partial -> exchange -> final)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupTopK.Strategy)
     ext.injectFunction((FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", "cosine_similarity(a, b) - cosine of two vectors"),
       (args: Seq[Expression]) => {

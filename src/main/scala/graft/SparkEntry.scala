@@ -826,8 +826,12 @@ object SparkEntry {
     }),
 
     "q74_group_topk" -> ((s, d) => {
-      Ops.topKPerGroup(t(s, d, "orders"), Seq("o_custkey"),
-        Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
+      // native two-phase heap operator (graft.plans.GroupTopK) — the window
+      // formulation (Ops.topKPerGroup) is its semantic twin and both are
+      // gated by this query's DuckDB oracle (equality also asserted in
+      // GroupTopKSpec)
+      graft.plans.GroupTopK(t(s, d, "orders"), Seq("o_custkey"),
+        Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 3)
         .select(col("o_custkey"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
         .orderBy("o_custkey", "rnk")
     }),

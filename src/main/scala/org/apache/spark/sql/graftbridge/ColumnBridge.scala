@@ -21,4 +21,14 @@ object ColumnBridge {
     */
   def convertedExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** `Dataset.ofRows` is `private[sql]`: the one constructor a library
+    * needs to hand a CUSTOM LogicalPlan to the session (analyzer, optimizer
+    * and planner then treat it like any built-in node).
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
