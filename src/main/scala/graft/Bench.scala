@@ -31,10 +31,13 @@ object Bench {
     // 2-decimal seconds: per-query timings are noise below 10ms anyway, and
     // the consumer captures only the LAST 2000 chars of output — full-
     // precision doubles push the 66-query line past that window and truncate
-    // the JSON head (observed: BENCH_r03 "parsed": null)
+    // the JSON head (observed: BENCH_r03 "parsed": null). Same reason the
+    // keys are the short qNN prefix: 84 full names are ~2100 chars of JSON,
+    // which would clip the line head again.
     def f(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) =>
+      s"\"" + k.takeWhile(_ != '_') + "\":" + f(v)
+    }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

@@ -49,7 +49,8 @@ object GroupTopK {
     */
   case class GroupTopKPlan(
       groupExprs: Seq[Attribute], order: Seq[SortOrder], k: Int,
-      rankAttr: Attribute, child: LogicalPlan) extends UnaryNode {
+      rankAttr: Attribute, maxPartialGroups: Int,
+      child: LogicalPlan) extends UnaryNode {
     override def output: Seq[Attribute] = child.output :+ rankAttr
     override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
       org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
@@ -62,17 +63,18 @@ object GroupTopK {
     */
   object Strategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case GroupTopKPlan(ge, so, k, rank, child) =>
-        val partial = GroupTopKExec(ge, so, k, rank, isFinal = false, planLater(child))
-        GroupTopKExec(ge, so, k, rank, isFinal = true, partial) :: Nil
+      case GroupTopKPlan(ge, so, k, rank, mpg, child) =>
+        val partial = GroupTopKExec(ge, so, k, rank, mpg,
+          isFinal = false, planLater(child))
+        GroupTopKExec(ge, so, k, rank, mpg, isFinal = true, partial) :: Nil
       case _ => Nil
     }
   }
 
   case class GroupTopKExec(
       groupExprs: Seq[Attribute], order: Seq[SortOrder], k: Int,
-      rankAttr: Attribute, isFinal: Boolean, child: SparkPlan)
-      extends UnaryExecNode {
+      rankAttr: Attribute, maxPartialGroups: Int, isFinal: Boolean,
+      child: SparkPlan) extends UnaryExecNode {
 
     override def output: Seq[Attribute] =
       if (isFinal) child.output :+ rankAttr else child.output
@@ -99,6 +101,7 @@ object GroupTopK {
       val kk = k
       val fin = isFinal
       val outAttrs = output
+      val mpg = maxPartialGroups
       child.execute().mapPartitions({ iter =>
         val groupProj = UnsafeProjection.create(ge, childOutput)
         val ordering = RowOrdering.create(so, childOutput)
@@ -106,8 +109,7 @@ object GroupTopK {
         // a candidate beating it evicts in O(log k)
         val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
         val reversed = ordering.reverse
-        while (iter.hasNext) {
-          val row = iter.next()
+        def insert(row: InternalRow): Unit = {
           val key = groupProj(row)
           var heap = heaps.get(key)
           if (heap == null) {
@@ -121,8 +123,33 @@ object GroupTopK {
         }
         import scala.jdk.CollectionConverters._
         if (!fin) {
-          heaps.values.iterator.asScala.flatMap(_.iterator.asScala)
+          // memory bound: at most maxPartialGroups k-heaps live at once — a
+          // partition with more distinct groups drains retained rows
+          // downstream and starts a fresh map (the partial phase merely gets
+          // less reductive; the final phase re-heaps whatever arrives), the
+          // same safety valve as partial aggregation's spill-to-next-phase
+          new Iterator[InternalRow] {
+            private var out: Iterator[InternalRow] = Iterator.empty
+            private def refill(): Unit = {
+              while (iter.hasNext && heaps.size < mpg) insert(iter.next())
+              if (!heaps.isEmpty) {
+                val drained = new java.util.ArrayList(heaps.values)
+                heaps.clear()
+                out = drained.iterator.asScala.flatMap(_.iterator.asScala)
+              }
+            }
+            override def hasNext: Boolean =
+              out.hasNext || { refill(); out.hasNext }
+            override def next(): InternalRow = {
+              if (!hasNext) throw new NoSuchElementException
+              out.next()
+            }
+          }
         } else {
+          // the final phase must hold every group of its partition at once
+          // (ranks are assigned per complete group) — that is <= k retained
+          // rows per group, the operator's OUTPUT size for this partition
+          while (iter.hasNext) insert(iter.next())
           val toUnsafe = UnsafeProjection.create(outAttrs, childOutput :+ rankAttr)
           val joined = new JoinedRow
           heaps.values.iterator.asScala.flatMap { heap =>
@@ -145,10 +172,12 @@ object GroupTopK {
     */
   def apply(
       df: DataFrame, groupCols: Seq[String], orderKeys: Seq[(String, Boolean)],
-      k: Int, rankName: String = "rnk"): DataFrame = {
+      k: Int, rankName: String = "rnk",
+      maxPartialGroups: Int = 1 << 17): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
     require(orderKeys.nonEmpty, "need at least one order key")
     require(k > 0, "k must be positive")
+    require(maxPartialGroups > 0, "maxPartialGroups must be positive")
     val analyzed = df.queryExecution.analyzed
     def attr(name: String): Attribute =
       analyzed.output.find(_.name == name).getOrElse(
@@ -160,6 +189,6 @@ object GroupTopK {
     }
     val rank = AttributeReference(rankName, LongType, nullable = false)()
     ColumnBridge.ofRows(df.sparkSession,
-      GroupTopKPlan(ge, so, k, rank, analyzed))
+      GroupTopKPlan(ge, so, k, rank, maxPartialGroups, analyzed))
   }
 }

@@ -59,4 +59,16 @@ class GroupTopKSpec extends AnyFunSuite with SparkSpec {
       GroupTopK(df, Seq("nope"), Seq("v" -> true), k = 1)
     }
   }
+
+  test("partial-phase group cap only reduces combining, never changes results") {
+    // maxPartialGroups = 1 forces a drain on every new group — the partial
+    // phase degenerates to a near-passthrough and the final phase must
+    // still produce exactly the unbounded answer
+    val capped = GroupTopK(df, Seq("g"), Seq("v" -> false, "id" -> true),
+      k = 4, maxPartialGroups = 1)
+      .select("g", "rnk", "id").as[(Long, Long, Long)].collect().toSet
+    val unbounded = GroupTopK(df, Seq("g"), Seq("v" -> false, "id" -> true), k = 4)
+      .select("g", "rnk", "id").as[(Long, Long, Long)].collect().toSet
+    assert(capped == unbounded)
+  }
 }
