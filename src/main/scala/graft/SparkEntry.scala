@@ -924,6 +924,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q85_segment_dedup" -> ((s, d) => {
+      // C4/Gopher-style boilerplate removal: drop every occurrence of an
+      // 8-word segment repeated anywhere in the corpus, reassemble in order
+      graft.ext.Dedup.segmentDedup(t(s, d, "documents"), "doc_id", "text",
+        width = 8, minCount = 2)
+        .orderBy("doc_id")
+    }),
+
+    "q86_mixture_temperature" -> ((s, d) => {
+      // p^alpha source rebalancing at alpha=0.5 (sqrt is correctly rounded,
+      // so weights are bit-identical across engines — see temperatureWeights)
+      graft.ext.Mixtures.temperatureWeights(t(s, d, "documents"), "source",
+        alpha = 0.5, budget = 10000L)
+        .orderBy("source")
+    }),
+
+    "q87_group_sample" -> ((s, d) => {
+      // deterministic per-group k-sample: order inside each group by a
+      // cross-engine content hash (md5) and keep the first k with the
+      // native heap operator — a reproducible reservoir sample per language
+      val docs = t(s, d, "documents")
+        .withColumn("hk", md5(col("doc_id").cast("string")))
+      graft.plans.GroupTopK(docs, Seq("lang"),
+        Seq("hk" -> true, "doc_id" -> true), k = 5)
+        .select(col("lang"), col("rnk"), col("doc_id"))
+        .orderBy("lang", "rnk")
+    }),
+
     "q35_sql_text" -> ((s, d) => {
       // The reference's core capability: an arbitrary user SQL string
       // answered by the engine (`R/ffsql.R:171-176`) — here Spark SQL itself.
@@ -1782,5 +1810,40 @@ object SparkEntry {
                 WHEN o.h <> n.h THEN 'changed'
                 ELSE 'unchanged' END AS status
          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+    // same greedy chunking regex as segmentDedup: (?:\S+ ?){1,8} behaves
+    // identically under Java regex and RE2 (no backtracking-dependent
+    // constructs)
+    "q85_segment_dedup" ->
+      """WITH segs AS (
+           SELECT doc_id, trim(s.seg) AS seg, s.i AS idx
+           FROM documents, LATERAL (
+             SELECT unnest(regexp_extract_all(text, '(?:\S+ ?){1,8}')) AS seg,
+                    generate_subscripts(regexp_extract_all(text, '(?:\S+ ?){1,8}'), 1) AS i) s
+           WHERE trim(s.seg) <> ''),
+         freq AS (SELECT seg FROM segs GROUP BY seg HAVING count(*) >= 2),
+         flagged AS (SELECT g.doc_id, g.idx, g.seg, f.seg IS NOT NULL AS dropped
+                     FROM segs g LEFT JOIN freq f USING (seg)),
+         agg AS (SELECT doc_id, count(*) AS n_total,
+                   count(*) FILTER (WHERE NOT dropped) AS n_kept,
+                   string_agg(seg, ' ' ORDER BY idx) FILTER (WHERE NOT dropped) AS clean_text
+                 FROM flagged GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+           coalesce(a.n_total, 0) AS n_total, coalesce(a.n_kept, 0) AS n_kept
+         FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""",
+    // sqrt (not pow) on both sides: IEEE-correctly-rounded, so the ratio
+    // and its round(,6) are bit-identical across engines
+    "q86_mixture_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         z AS (SELECT sum(sqrt(n)) AS z FROM c)
+         SELECT source, n, round(sqrt(n) / z, 6) AS weight,
+           CAST(round(10000 * sqrt(n) / z) AS BIGINT) AS alloc
+         FROM c, z ORDER BY source""",
+    "q87_group_sample" ->
+      """SELECT lang, CAST(rn AS BIGINT) AS rnk, doc_id
+         FROM (SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+               FROM documents)
+         WHERE rn <= 5 ORDER BY lang, rnk""")
 }

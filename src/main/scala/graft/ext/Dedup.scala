@@ -420,4 +420,59 @@ object Dedup {
       .select(col("id_l"), col("id_r"), round(col("cosine"), 6).as("cosine"))
       .distinct()
   }
+
+  /** Segment-level dedup — the "remove any line occurring >= N times in the
+    * corpus" pass of C4/Gopher-style pipelines, adapted to unpunctuated
+    * text: documents are chunked into runs of at most `width` whitespace-
+    * separated words by ONE greedy regex pass, every occurrence of a
+    * segment whose corpus-wide count reaches `minCount` is dropped, and the
+    * survivors are reassembled in document order.
+    *
+    * Returns `(idCol, clean_text, n_total, n_kept)` — one row per input
+    * document (fully-deduplicated documents survive with empty text, so
+    * downstream length filters see them).
+    *
+    * Scale: chunking is a codegen'd `regexp_extract_all` (no interpreted
+    * HOF lambdas — see the shingling note above); the count is one
+    * map-side-combinable aggregation keyed by the segment string; the
+    * frequent-segment set (tiny — it is the corpus' boilerplate) joins back
+    * as a left join AQE turns into a broadcast; reassembly is one
+    * per-document aggregation whose state is bounded by document length.
+    * No stage holds more than one segment row at a time per input word.
+    */
+  def segmentDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      width: Int = 8, minCount: Long = 2): DataFrame = {
+    require(width > 0, "width must be positive")
+    require(minCount > 1, "minCount must be at least 2 (1 would drop everything)")
+    // (?:\S+ ?){1,width}: greedy leftmost chunking, identical under Java
+    // regex and RE2 (no backtracking-dependent constructs) so a DuckDB
+    // oracle segments the same way
+    val segs = df
+      .select(col(idCol), posexplode(regexp_extract_all(
+        col(textCol), lit(s"(?:\\S+ ?){1,$width}"), lit(0))))
+      .select(col(idCol), col("pos").as("idx"), trim(col("col")).as("seg"))
+      .where(col("seg") =!= "")
+    val frequent = segs.groupBy(col("seg"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minCount)
+      .select(col("seg"), lit(true).as("__drop"))
+    val agg = segs.join(frequent, Seq("seg"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("__drop").isNull, 1)).as("n_kept"),
+        // collect_list skips nulls, so dropped segments vanish here; the
+        // struct sorts by idx first (unique per doc) = document order
+        array_join(
+          sort_array(collect_list(
+            when(col("__drop").isNull, struct(col("idx"), col("seg")))))
+            .getField("seg"), " ").as("clean_text"))
+    df.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_total"), lit(0L)).as("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

@@ -54,4 +54,39 @@ object Mixtures {
     }
     df.where(h < threshold)
   }
+
+  /** Temperature-scaled source weights — the `p^alpha` sampling of
+    * multilingual/multi-source LM training: with per-source counts `n_s`,
+    * weight `w_s = n_s^alpha / sum(n^alpha)` (alpha < 1 flattens the
+    * mixture toward low-resource sources), and an integer allocation of
+    * `budget` rows per source via `round(budget * w_s)`.
+    *
+    * Returns `(sourceCol, n, weight, alloc)` — one row per source.
+    *
+    * Scale: ONE map-side-combinable count aggregation; every subsequent
+    * operation runs on the aggregated frame (rows = #sources, which does
+    * not grow with data volume), joined to the 1-row normalizer by
+    * broadcast. Nothing per-document happens after the count.
+    *
+    * `alpha = 0.5` routes through `sqrt`, which IEEE 754 requires to be
+    * correctly rounded — bit-identical across engines, so the output is
+    * exactly oracle-able. General `pow` is only faithfully rounded and may
+    * differ in the last ulp between libm implementations.
+    */
+  def temperatureWeights(
+      df: DataFrame, sourceCol: String, alpha: Double,
+      budget: Long): DataFrame = {
+    require(alpha > 0, "alpha must be positive")
+    require(budget > 0, "budget must be positive")
+    def tempered(c: Column): Column =
+      if (alpha == 0.5) sqrt(c) else if (alpha == 1.0) c.cast("double")
+      else pow(c, alpha)
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+    val z = counts.agg(sum(tempered(col("n"))).as("__z"))
+    counts.crossJoin(broadcast(z))
+      .select(col(sourceCol), col("n"),
+        round(tempered(col("n")) / col("__z"), 6).as("weight"),
+        round(lit(budget) * tempered(col("n")) / col("__z"), 0)
+          .cast("long").as("alloc"))
+  }
 }

@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
   * No UDFs and no shuffles anywhere. Most functions compose
   * `org.apache.spark.sql.functions` builtins and run inside whole-stage
   * codegen; [[fingerprint]] delegates to a native single-pass expression
-  * ([[graft.expressions.GramHashExpressions]]) which is `CodegenFallback`
-  * (tight JVM loop per row, evaluated via `eval` rather than generated
-  * code). These are the per-document primitives a 100 TB training-data
+  * ([[graft.expressions.GramHashExpressions]]) whose `doGenCode` emits a
+  * static call into a shared kernel, so it stays inside whole-stage
+  * codegen too. These are the per-document primitives a 100 TB training-data
   * pipeline maps over its corpus; grouping/joins happen in the callers
   * (see `graft.ext.Dedup`).
   */

@@ -142,4 +142,33 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("segmentDedup drops repeated segments and keeps document order") {
+    // width=2 chunks: doc 1 = [a b, c d, e f]; doc 2 shares "a b" and
+    // "e f" but not "c d"; doc 3 = only repeated segments -> empty text
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b x y e f"),
+      (3L, "a b e f"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "doc_id", "text", width = 2, minCount = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "c d", 3L, 1L),
+      (2L, "x y", 3L, 1L),
+      (3L, "", 2L, 0L),
+      (4L, "", 0L, 0L)))
+  }
+
+  test("segmentDedup below-threshold corpus passes through reassembled") {
+    val df = Seq((1L, "one two three four five")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "doc_id", "text", width = 2, minCount = 2)
+      .as[(Long, String, Long, Long)].collect().head
+    assert(out == ((1L, "one two three four five", 3L, 3L)))
+    intercept[IllegalArgumentException] {
+      Dedup.segmentDedup(df, "doc_id", "text", width = 2, minCount = 1)
+    }
+  }
 }

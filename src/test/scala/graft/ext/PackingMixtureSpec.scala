@@ -56,4 +56,25 @@ class PackingMixtureSpec extends AnyFunSuite with SparkSpec {
       Mixtures.sampleToMixture(df, "source", "text", Map.empty[String, Double])
     }
   }
+
+  test("temperatureWeights flattens toward low-resource sources") {
+    val rows = Seq.fill(900)(("big", "x")) ++ Seq.fill(100)(("small", "y"))
+    val df = rows.toDF("source", "text")
+    val w = Mixtures.temperatureWeights(df, "source", alpha = 0.5,
+      budget = 1000L)
+      .select("source", "n", "weight", "alloc")
+      .as[(String, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // sqrt(900)=30, sqrt(100)=10 -> weights 0.75 / 0.25 exactly
+    assert(w("big") == (("big", 900L, 0.75, 750L)))
+    assert(w("small") == (("small", 100L, 0.25, 250L)))
+    // alpha=1 recovers the raw proportions
+    val raw = Mixtures.temperatureWeights(df, "source", alpha = 1.0,
+      budget = 1000L).select("source", "weight").as[(String, Double)]
+      .collect().toMap
+    assert(raw("big") == 0.9 && raw("small") == 0.1)
+    intercept[IllegalArgumentException] {
+      Mixtures.temperatureWeights(df, "source", alpha = 0.0, budget = 1000L)
+    }
+  }
 }
