@@ -1811,15 +1811,15 @@ object SparkEntry {
                 ELSE 'unchanged' END AS status
          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
          ORDER BY doc_id""",
-    // same greedy chunking regex as segmentDedup: (?:\S+ ?){1,8} behaves
-    // identically under Java regex and RE2 (no backtracking-dependent
-    // constructs)
+    // same greedy chunking regex as segmentDedup; the whitespace class is
+    // spelled out because Java and RE2 disagree on \S (see Dedup
+    // .segmentDedup) — with it, chunking is engine-identical
     "q85_segment_dedup" ->
       """WITH segs AS (
            SELECT doc_id, trim(s.seg) AS seg, s.i AS idx
            FROM documents, LATERAL (
-             SELECT unnest(regexp_extract_all(text, '(?:\S+ ?){1,8}')) AS seg,
-                    generate_subscripts(regexp_extract_all(text, '(?:\S+ ?){1,8}'), 1) AS i) s
+             SELECT unnest(regexp_extract_all(text, '(?:[^ \t\n\x0B\f\r]+ ?){1,8}')) AS seg,
+                    generate_subscripts(regexp_extract_all(text, '(?:[^ \t\n\x0B\f\r]+ ?){1,8}'), 1) AS i) s
            WHERE trim(s.seg) <> ''),
          freq AS (SELECT seg FROM segs GROUP BY seg HAVING count(*) >= 2),
          flagged AS (SELECT g.doc_id, g.idx, g.seg, f.seg IS NOT NULL AS dropped
@@ -1831,11 +1831,12 @@ object SparkEntry {
          SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
            coalesce(a.n_total, 0) AS n_total, coalesce(a.n_kept, 0) AS n_kept
          FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""",
-    // sqrt (not pow) on both sides: IEEE-correctly-rounded, so the ratio
-    // and its round(,6) are bit-identical across engines
+    // sqrt (not pow) on both sides: IEEE-correctly-rounded, so per-source
+    // terms are bit-identical across engines; the normalizer sum is
+    // decimal-routed (dsum convention) to kill merge-order dependence
     "q86_mixture_temperature" ->
       """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
-         z AS (SELECT sum(sqrt(n)) AS z FROM c)
+         z AS (SELECT CAST(sum(CAST(sqrt(n) AS DECIMAL(28,6))) AS DOUBLE) AS z FROM c)
          SELECT source, n, round(sqrt(n) / z, 6) AS weight,
            CAST(round(10000 * sqrt(n) / z) AS BIGINT) AS alloc
          FROM c, z ORDER BY source""",

@@ -433,46 +433,53 @@ object Dedup {
     * downstream length filters see them).
     *
     * Scale: chunking is a codegen'd `regexp_extract_all` (no interpreted
-    * HOF lambdas — see the shingling note above); the count is one
-    * map-side-combinable aggregation keyed by the segment string; the
-    * frequent-segment set (tiny — it is the corpus' boilerplate) joins back
-    * as a left join AQE turns into a broadcast; reassembly is one
-    * per-document aggregation whose state is bounded by document length.
-    * No stage holds more than one segment row at a time per input word.
+    * HOF lambdas — see the shingling note above). The corpus streams
+    * through the chunking scan twice — once into the map-side-combinable
+    * segment-count aggregation, once into the rebuild join — which is the
+    * scalable shape: the alternative single-evaluation plan (carry per-
+    * occurrence doc lists through the count aggregation) holds unbounded
+    * state for exactly the high-frequency segments this operator exists to
+    * remove. The frequent-segment set (tiny — it is the corpus'
+    * boilerplate) joins back as a left join AQE turns into a broadcast;
+    * reassembly is one per-document aggregation whose state is bounded by
+    * document length. Nothing is ever materialized corpus-wide.
     */
   def segmentDedup(
       df: DataFrame, idCol: String, textCol: String,
       width: Int = 8, minCount: Long = 2): DataFrame = {
     require(width > 0, "width must be positive")
     require(minCount > 1, "minCount must be at least 2 (1 would drop everything)")
-    // (?:\S+ ?){1,width}: greedy leftmost chunking, identical under Java
-    // regex and RE2 (no backtracking-dependent constructs) so a DuckDB
-    // oracle segments the same way
+    // greedy leftmost chunking. The whitespace class is spelled out because
+    // Java and RE2 disagree on \S (Java's excludes \x0B, RE2's includes
+    // it); with the explicit class the chunking is engine-identical, so a
+    // DuckDB oracle segments the same way (no backtracking-dependent
+    // constructs either).
+    val pattern = s"(?:[^ \\t\\n\\x0B\\f\\r]+ ?){1,$width}"
+    // posexplode_outer keeps zero-segment documents (empty/whitespace-only
+    // text) as a null-seg placeholder row, so every input id survives to
+    // the final aggregation — no third scan of df to restore them
     val segs = df
-      .select(col(idCol), posexplode(regexp_extract_all(
-        col(textCol), lit(s"(?:\\S+ ?){1,$width}"), lit(0))))
+      .select(col(idCol), posexplode_outer(regexp_extract_all(
+        col(textCol), lit(pattern), lit(0))))
       .select(col(idCol), col("pos").as("idx"), trim(col("col")).as("seg"))
-      .where(col("seg") =!= "")
-    val frequent = segs.groupBy(col("seg"))
+    val frequent = segs.where(col("seg").isNotNull)
+      .groupBy(col("seg"))
       .agg(count(lit(1)).as("__n"))
       .where(col("__n") >= minCount)
       .select(col("seg"), lit(true).as("__drop"))
-    val agg = segs.join(frequent, Seq("seg"), "left")
+    // null seg never equi-joins, so placeholder rows keep __drop = null
+    val keep = col("seg").isNotNull && col("__drop").isNull
+    segs.join(frequent, Seq("seg"), "left")
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_total"),
-        count(when(col("__drop").isNull, 1)).as("n_kept"),
-        // collect_list skips nulls, so dropped segments vanish here; the
-        // struct sorts by idx first (unique per doc) = document order
+        count(col("seg")).as("n_total"),
+        count(when(keep, 1)).as("n_kept"),
+        // collect_list skips nulls, so dropped segments and placeholders
+        // vanish here; the struct sorts by idx first (unique per doc) =
+        // document order
         array_join(
-          sort_array(collect_list(
-            when(col("__drop").isNull, struct(col("idx"), col("seg")))))
+          sort_array(collect_list(when(keep, struct(col("idx"), col("seg")))))
             .getField("seg"), " ").as("clean_text"))
-    df.select(col(idCol))
-      .join(agg, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_total"), lit(0L)).as("n_total"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .select(col(idCol), col("clean_text"), col("n_total"), col("n_kept"))
   }
 }

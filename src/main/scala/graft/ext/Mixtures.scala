@@ -71,7 +71,10 @@ object Mixtures {
     * `alpha = 0.5` routes through `sqrt`, which IEEE 754 requires to be
     * correctly rounded — bit-identical across engines, so the output is
     * exactly oracle-able. General `pow` is only faithfully rounded and may
-    * differ in the last ulp between libm implementations.
+    * differ in the last ulp between libm implementations. The normalizer
+    * `z = sum(n^alpha)` is summed as DECIMAL (the repo's `dsum`
+    * convention): a raw double sum is merge-order-dependent, so two runs —
+    * or two engines — could disagree by an ulp and flip a `round`.
     */
   def temperatureWeights(
       df: DataFrame, sourceCol: String, alpha: Double,
@@ -82,7 +85,8 @@ object Mixtures {
       if (alpha == 0.5) sqrt(c) else if (alpha == 1.0) c.cast("double")
       else pow(c, alpha)
     val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
-    val z = counts.agg(sum(tempered(col("n"))).as("__z"))
+    val z = counts.agg(
+      sum(tempered(col("n")).cast("decimal(28,6)")).cast("double").as("__z"))
     counts.crossJoin(broadcast(z))
       .select(col(sourceCol), col("n"),
         round(tempered(col("n")) / col("__z"), 6).as("weight"),

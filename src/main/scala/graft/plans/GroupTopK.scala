@@ -48,7 +48,7 @@ object GroupTopK {
     * preserves its exprId.
     */
   case class GroupTopKPlan(
-      groupExprs: Seq[Attribute], order: Seq[SortOrder], k: Int,
+      groupExprs: Seq[Expression], order: Seq[SortOrder], k: Int,
       rankAttr: Attribute, maxPartialGroups: Int,
       child: LogicalPlan) extends UnaryNode {
     override def output: Seq[Attribute] = child.output :+ rankAttr
@@ -72,7 +72,7 @@ object GroupTopK {
   }
 
   case class GroupTopKExec(
-      groupExprs: Seq[Attribute], order: Seq[SortOrder], k: Int,
+      groupExprs: Seq[Expression], order: Seq[SortOrder], k: Int,
       rankAttr: Attribute, maxPartialGroups: Int, isFinal: Boolean,
       child: SparkPlan) extends UnaryExecNode {
 
@@ -179,11 +179,25 @@ object GroupTopK {
     require(k > 0, "k must be positive")
     require(maxPartialGroups > 0, "maxPartialGroups must be positive")
     val analyzed = df.queryExecution.analyzed
-    def attr(name: String): Attribute =
-      analyzed.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $name not found in ${analyzed.output.map(_.name)}"))
-    val ge = groupCols.map(attr)
+    // session-conf resolver (case-insensitive by default), ambiguity
+    // fail-fast — the same resolution behavior as the window twin
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
+    def attr(name: String): Attribute = {
+      val matches = analyzed.output.filter(a => resolver(a.name, name))
+      if (matches.isEmpty) throw new IllegalArgumentException(
+        s"column $name not found in ${analyzed.output.map(_.name)}")
+      if (matches.size > 1) throw new IllegalArgumentException(
+        s"column $name is ambiguous (${matches.size} matches); " +
+          "disambiguate with a projection first")
+      matches.head
+    }
+    require(!analyzed.output.exists(a => resolver(a.name, rankName)),
+      s"rank column '$rankName' already exists; pass a different rankName")
+    // normalize float/double group keys (-0.0 == 0.0, canonical NaN) so
+    // heap-map keys AND the exchange's hash partitioning group exactly like
+    // built-in aggregates/windows, whose keys Catalyst's
+    // NormalizeFloatingNumbers rewrites (it never visits custom nodes)
+    val ge = groupCols.map(attr).map(ColumnBridge.normalizeFloats)
     val so = orderKeys.map { case (name, asc) =>
       SortOrder(attr(name), if (asc) Ascending else Descending)
     }

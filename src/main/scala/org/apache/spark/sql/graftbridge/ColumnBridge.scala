@@ -22,6 +22,14 @@ object ColumnBridge {
   def convertedExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** `NormalizeFloatingNumbers.normalize` is `private[sql]`: custom plan
+    * nodes must normalize their own float/double grouping keys (-0.0 ==
+    * 0.0, canonical NaN) because the optimizer rule only rewrites built-in
+    * Aggregate/Window/Join keys.
+    */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
   /** `Dataset.ofRows` is `private[sql]`: the one constructor a library
     * needs to hand a CUSTOM LogicalPlan to the session (analyzer, optimizer
     * and planner then treat it like any built-in node).

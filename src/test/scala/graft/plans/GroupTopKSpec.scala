@@ -71,4 +71,31 @@ class GroupTopKSpec extends AnyFunSuite with SparkSpec {
       .select("g", "rnk", "id").as[(Long, Long, Long)].collect().toSet
     assert(capped == unbounded)
   }
+
+  test("-0.0 and 0.0 group keys form one group, like normalized aggregates") {
+    // Catalyst's NormalizeFloatingNumbers never visits custom nodes, so the
+    // operator normalizes its own group keys; spread across partitions so
+    // the exchange's hash partitioning is exercised too
+    val zeros = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (-0.0, 4L))
+      .toDF("g", "id").repartition(4)
+    val native = GroupTopK(zeros, Seq("g"), Seq("id" -> true), k = 10)
+      .select("rnk", "id").as[(Long, Long)].collect().toSet
+    val window = Ops.topKPerGroup(zeros, Seq("g"), Seq(col("id").asc), k = 10)
+      .select("rnk", "id").as[(Long, Long)].collect().toSet
+    assert(native == window)
+    assert(native == Set((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)))
+  }
+
+  test("resolution: case-insensitive, ambiguity and rank collision fail fast") {
+    val out = GroupTopK(df, Seq("G"), Seq("V" -> false, "ID" -> true), k = 1)
+    assert(out.count() > 0)
+    intercept[IllegalArgumentException] { // ambiguous after a self-join shape
+      GroupTopK(df.select(col("g"), col("v").as("g"), col("id")),
+        Seq("g"), Seq("id" -> true), k = 1)
+    }
+    intercept[IllegalArgumentException] { // rank name already taken
+      GroupTopK(df.withColumn("rnk", lit(0L)), Seq("g"),
+        Seq("id" -> true), k = 1)
+    }
+  }
 }
