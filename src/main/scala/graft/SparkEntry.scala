@@ -42,6 +42,12 @@ object SparkEntry {
 
   private def epochSec(c: Column): Column = unix_timestamp(c.cast("timestamp"))
 
+  /** DuckDB list literal of a [[graft.functions.text.stopwords]] inventory
+    * — interpolated into oracle SQL so the lists can never drift.
+    */
+  private def swList(lang: String): String =
+    graft.functions.text.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
   private def ts(lit0: String): Column = lit(lit0).cast("timestamp")
 
   private val streamCounter = new AtomicInteger(0)
@@ -938,6 +944,30 @@ object SparkEntry {
       graft.ext.Mixtures.temperatureWeights(t(s, d, "documents"), "source",
         alpha = 0.5, budget = 10000L)
         .orderBy("source")
+    }),
+
+    "q88_quality_filter" -> ((s, d) => {
+      // Gopher-rules document filter: violation bitmask + keep flag, all
+      // signals one codegen'd pass (see text.gopherReasons for bit meanings)
+      val c = col("text")
+      val reasons = text.gopherReasons(c)
+      t(s, d, "documents").select(
+        col("doc_id"),
+        text.tokenCount(c).cast("long").as("n_tok"),
+        greatest(text.stopwords.keys.toSeq.sorted
+          .map(text.stopwordHits(c, _)): _*).cast("long").as("stop_hits"),
+        reasons.as("reasons"),
+        (reasons === 0).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    "q89_mixture_apply" -> ((s, d) => {
+      // q86's allocations actually applied: exactly alloc_s docs per
+      // source in deterministic hash order (GroupTopK + broadcast allocs)
+      graft.ext.Mixtures.applyTemperature(t(s, d, "documents"), "source",
+        "doc_id", alpha = 0.5, budget = 300L)
+        .select(col("source"), col("rnk"), col("doc_id"))
+        .orderBy("source", "rnk")
     }),
 
     "q87_group_sample" -> ((s, d) => {
@@ -1846,5 +1876,53 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY lang
                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
                FROM documents)
-         WHERE rn <= 5 ORDER BY lang, rnk""")
+         WHERE rn <= 5 ORDER BY lang, rnk""",
+    // stopword inventories interpolated from text.stopwords so the oracle
+    // can never drift from the engine's lists
+    "q88_quality_filter" ->
+      raw"""WITH base AS (SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+             length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_nonspace,
+             list_distinct(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '')) AS toks
+           FROM documents),
+         mult AS (SELECT doc_id, max(cnt) AS m, sum(cnt) AS n FROM (
+             SELECT doc_id, tok, count(*) AS cnt FROM (
+               SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+               FROM documents) GROUP BY doc_id, tok) GROUP BY doc_id),
+         sig AS (SELECT b.doc_id, b.n_tok,
+             CASE WHEN b.n_tok = 0 THEN 0.0
+                  ELSE CAST(b.n_nonspace AS DOUBLE) / b.n_tok END AS avg_len,
+             CASE WHEN b.n_chars = 0 THEN 0.0
+                  ELSE CAST(b.n_digit AS DOUBLE) / b.n_chars END AS dig_r,
+             greatest(
+               len(list_intersect(b.toks, ${swList("de")})),
+               len(list_intersect(b.toks, ${swList("en")})),
+               len(list_intersect(b.toks, ${swList("es")})),
+               len(list_intersect(b.toks, ${swList("fr")})),
+               len(list_intersect(b.toks, ${swList("it")}))) AS stop_hits,
+             CASE WHEN mult.m IS NULL THEN 0.0
+                  ELSE CAST(mult.m AS DOUBLE) / mult.n END AS max_share
+           FROM base b LEFT JOIN mult ON b.doc_id = mult.doc_id),
+         rs AS (SELECT doc_id, n_tok, stop_hits,
+             CAST(CASE WHEN n_tok < 20 OR n_tok > 100000 THEN 1 ELSE 0 END
+               + CASE WHEN avg_len < 3.0 OR avg_len > 10.0 THEN 2 ELSE 0 END
+               + CASE WHEN dig_r > 0.2 THEN 4 ELSE 0 END
+               + CASE WHEN stop_hits < 2 THEN 8 ELSE 0 END
+               + CASE WHEN max_share > 0.2 THEN 16 ELSE 0 END AS BIGINT) AS reasons
+           FROM sig)
+         SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(stop_hits AS BIGINT) AS stop_hits, reasons, reasons = 0 AS keep
+         FROM rs ORDER BY doc_id""",
+    "q89_mixture_apply" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         z AS (SELECT CAST(sum(CAST(sqrt(n) AS DECIMAL(28,6))) AS DOUBLE) AS z FROM c),
+         a AS (SELECT source, CAST(round(300 * sqrt(n) / z) AS BIGINT) AS alloc FROM c, z),
+         r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents)
+         SELECT r.source, CAST(rn AS BIGINT) AS rnk, doc_id
+         FROM r JOIN a USING (source) WHERE rn <= alloc ORDER BY source, rnk""")
 }

@@ -93,4 +93,33 @@ object Mixtures {
         round(lit(budget) * tempered(col("n")) / col("__z"), 0)
           .cast("long").as("alloc"))
   }
+
+  /** Materialize [[temperatureWeights]]: keep exactly `alloc_s` rows per
+    * source, chosen by deterministic content-hash order (md5 of `keyCol` —
+    * the same cross-engine hash as [[Splits]]), ranked 1..alloc_s in
+    * `rankName`.
+    *
+    * Scale: the allocation table is #sources rows (collected once, bounded)
+    * and broadcasts; row selection runs through the native
+    * [[graft.plans.GroupTopK]] heap operator with k = max allocation, so a
+    * giant source costs O(n log k) heap maintenance and the post-partial
+    * shuffle carries at most k rows per (source, partition) — never a full
+    * per-source sort. Requires [[graft.GraftExtensions]] on the session.
+    */
+  def applyTemperature(
+      df: DataFrame, sourceCol: String, keyCol: String, alpha: Double,
+      budget: Long, rankName: String = "rnk"): DataFrame = {
+    val allocs = temperatureWeights(df, sourceCol, alpha, budget)
+      .select(col(sourceCol), col("alloc"))
+    // bounded driver-side scalar: one row per source
+    val maxAlloc = allocs.agg(max(col("alloc"))).head().getLong(0)
+    require(maxAlloc > 0 && maxAlloc <= Int.MaxValue,
+      s"max per-source allocation $maxAlloc outside (0, Int.MaxValue]")
+    val hashed = df.withColumn("__hk", md5(col(keyCol).cast("string")))
+    graft.plans.GroupTopK(hashed, Seq(sourceCol),
+      Seq("__hk" -> true, keyCol -> true), k = maxAlloc.toInt, rankName)
+      .join(broadcast(allocs), Seq(sourceCol))
+      .where(col(rankName) <= col("alloc"))
+      .drop("__hk", "alloc")
+  }
 }

@@ -220,6 +220,38 @@ object text {
       .otherwise(stats.getField("max_multiplicity").cast("double") / n)
   }
 
+  /** Gopher-style document-quality rule bitmask (the document filters of
+    * Rae et al. 2021, adapted to unpunctuated multilingual corpora: the
+    * line/bullet/ellipsis rules need line structure this corpus lacks).
+    * Bit SET = rule VIOLATED:
+    *   1  token count outside [minTokens, maxTokens]
+    *   2  mean token length outside [minAvgLen, maxAvgLen]
+    *   4  digit-character ratio > maxDigitRatio
+    *   8  fewer than minStopwords distinct stopwords in EVERY language
+    *      inventory (multilingual analog of Gopher's English stop-set rule)
+    *   16 most-frequent-token share > maxTokenShare (repetition)
+    * A document passes the filter iff the bitmask is 0. Pure column
+    * composition over the signals above — codegen'd, no shuffle, one pass.
+    */
+  def gopherReasons(c: Column,
+      minTokens: Int = 20, maxTokens: Int = 100000,
+      minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
+      maxDigitRatio: Double = 0.2, minStopwords: Int = 2,
+      maxTokenShare: Double = 0.2): Column = {
+    val tc = tokenCount(c)
+    val al = avgTokenLen(c)
+    val hits = greatest(stopwords.keys.toSeq.sorted.map(stopwordHits(c, _)): _*)
+    val viol = Seq(
+      tc < minTokens || tc > maxTokens,
+      al < minAvgLen || al > maxAvgLen,
+      digitRatio(c) > maxDigitRatio,
+      hits < minStopwords,
+      maxTokenRatio(c) > maxTokenShare)
+    viol.zipWithIndex.map { case (v, i) =>
+      when(v, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _).cast("long")
+  }
+
   /** Order-insensitive content fingerprint: hash of the sorted distinct
     * token set (bag-of-words identity).
     */

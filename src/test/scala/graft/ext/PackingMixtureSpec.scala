@@ -77,4 +77,23 @@ class PackingMixtureSpec extends AnyFunSuite with SparkSpec {
       Mixtures.temperatureWeights(df, "source", alpha = 0.0, budget = 1000L)
     }
   }
+
+  test("applyTemperature keeps exactly alloc rows per source, ranked") {
+    val rows = (1 to 900).map(i => ("big", i.toLong)) ++
+      (901 to 1000).map(i => ("small", i.toLong))
+    val df = rows.toDF("source", "id")
+    // sqrt weights 0.75/0.25 at budget 100 -> allocs 75/25
+    val out = Mixtures.applyTemperature(df, "source", "id", alpha = 0.5,
+      budget = 100L)
+    val bySource = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySource == Map("big" -> 75L, "small" -> 25L))
+    // ranks are 1..alloc and the selection is deterministic
+    val ranks = out.where(col("source") === "small")
+      .select("rnk").as[Long].collect().sorted
+    assert(ranks.toSeq == (1L to 25L))
+    val again = Mixtures.applyTemperature(df, "source", "id", alpha = 0.5,
+      budget = 100L).select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+  }
 }

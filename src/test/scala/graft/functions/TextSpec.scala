@@ -111,6 +111,19 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(a == b)
   }
 
+  test("gopherReasons sets the violated-rule bits") {
+    // 30 English filler tokens: passes every rule
+    val good = (Seq.fill(6)("the and of that with") ).mkString(" ")
+    assert(one[Long](text.gopherReasons(col("t")), good) == 0L)
+    // short doc (bit 1) with no stopwords (bit 8) and one dominant token
+    // (bit 16): "zz" repeated — avg len 2 also trips bit 2
+    val bad = "zz zz zz zz zz"
+    assert(one[Long](text.gopherReasons(col("t")), bad) == (1L | 2L | 8L | 16L))
+    // digit soup trips the digit-ratio bit on an otherwise-keepable doc
+    val digits = (Seq.fill(6)("the and of that with9999999") ).mkString(" ")
+    assert((one[Long](text.gopherReasons(col("t")), digits) & 4L) == 4L)
+  }
+
   test("vectors: cosine/dot/norm basics") {
     val df = Seq((Seq(1f, 0f, 0f), Seq(0f, 1f, 0f))).toDF("a", "b")
     val r = df.select(
