@@ -946,11 +946,32 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q90_corpus_pipeline" -> ((s, d) => {
+      // the end-to-end corpus build a reference user runs as ONE declared
+      // plan: normalize -> quality-filter -> exact-dedup -> content-hash
+      // split -> per-split stats. Every stage is an already-oracled
+      // operator; Catalyst fuses the scan+normalize+filter into one pass
+      // and the whole pipeline is two shuffles (dedup group, final group).
+      val clean = t(s, d, "documents").select(col("doc_id"),
+        text.normalizeNFC(text.stripControl(col("text"))).as("text"))
+      val kept = clean.where(
+        text.gopherReasons(col("text"), minStopwords = 1) === 0)
+      val ded = graft.ext.Dedup.exact(kept, Seq("text"), "doc_id")
+      graft.ext.Splits.byContentHash(ded, "text",
+        weights = Seq(0.8, 0.1, 0.1), labels = Seq("train", "val", "test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(text.tokenCount(col("text")).cast("long")).as("sum_tokens"))
+        .orderBy("split")
+    }),
+
     "q88_quality_filter" -> ((s, d) => {
       // Gopher-rules document filter: violation bitmask + keep flag, all
-      // signals one codegen'd pass (see text.gopherReasons for bit meanings)
+      // signals one codegen'd pass (see text.gopherReasons for bit
+      // meanings). minStopwords=1: the inventories are 18 words/language —
+      // far smaller than Gopher's English stop-set, where >=2 is the rule
       val c = col("text")
-      val reasons = text.gopherReasons(c)
+      val reasons = text.gopherReasons(c, minStopwords = 1)
       t(s, d, "documents").select(
         col("doc_id"),
         text.tokenCount(c).cast("long").as("n_tok"),
@@ -1911,7 +1932,7 @@ object SparkEntry {
              CAST(CASE WHEN n_tok < 20 OR n_tok > 100000 THEN 1 ELSE 0 END
                + CASE WHEN avg_len < 3.0 OR avg_len > 10.0 THEN 2 ELSE 0 END
                + CASE WHEN dig_r > 0.2 THEN 4 ELSE 0 END
-               + CASE WHEN stop_hits < 2 THEN 8 ELSE 0 END
+               + CASE WHEN stop_hits < 1 THEN 8 ELSE 0 END
                + CASE WHEN max_share > 0.2 THEN 16 ELSE 0 END AS BIGINT) AS reasons
            FROM sig)
          SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
@@ -1924,5 +1945,52 @@ object SparkEntry {
          r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source
                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents)
          SELECT r.source, CAST(rn AS BIGINT) AS rnk, doc_id
-         FROM r JOIN a USING (source) WHERE rn <= alloc ORDER BY source, rnk""")
+         FROM r JOIN a USING (source) WHERE rn <= alloc ORDER BY source, rnk""",
+    // the q63 normalize, q88 filter, q20 dedup and q56 split CTEs chained
+    // on the cleaned text — the whole-pipeline differential test
+    "q90_corpus_pipeline" ->
+      raw"""WITH clean AS (SELECT doc_id,
+             nfc_normalize(regexp_replace(text,
+               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS text
+           FROM documents),
+         base AS (SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+             length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_nonspace,
+             list_distinct(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '')) AS toks
+           FROM clean),
+         mult AS (SELECT doc_id, max(cnt) AS m, sum(cnt) AS n FROM (
+             SELECT doc_id, tok, count(*) AS cnt FROM (
+               SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+               FROM clean) GROUP BY doc_id, tok) GROUP BY doc_id),
+         sig AS (SELECT b.doc_id, b.text, b.n_tok,
+             CASE WHEN b.n_tok = 0 THEN 0.0
+                  ELSE CAST(b.n_nonspace AS DOUBLE) / b.n_tok END AS avg_len,
+             CASE WHEN b.n_chars = 0 THEN 0.0
+                  ELSE CAST(b.n_digit AS DOUBLE) / b.n_chars END AS dig_r,
+             greatest(
+               len(list_intersect(b.toks, ${swList("de")})),
+               len(list_intersect(b.toks, ${swList("en")})),
+               len(list_intersect(b.toks, ${swList("es")})),
+               len(list_intersect(b.toks, ${swList("fr")})),
+               len(list_intersect(b.toks, ${swList("it")}))) AS stop_hits,
+             CASE WHEN mult.m IS NULL THEN 0.0
+                  ELSE CAST(mult.m AS DOUBLE) / mult.n END AS max_share
+           FROM base b LEFT JOIN mult ON b.doc_id = mult.doc_id),
+         kept AS (SELECT doc_id, text, n_tok FROM sig
+           WHERE NOT (n_tok < 20 OR n_tok > 100000)
+             AND NOT (avg_len < 3.0 OR avg_len > 10.0)
+             AND NOT (dig_r > 0.2) AND NOT (stop_hits < 1)
+             AND NOT (max_share > 0.2)),
+         ded AS (SELECT text, min(n_tok) AS n_tok FROM kept GROUP BY text),
+         spl AS (SELECT n_tok, CASE
+             WHEN CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) < 3435973837 THEN 'train'
+             WHEN CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) < 3865470566 THEN 'val'
+             ELSE 'test' END AS split
+           FROM ded)
+         SELECT split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+         FROM spl GROUP BY split ORDER BY split""")
 }
