@@ -18,7 +18,8 @@ object Plans {
       else Seq("q02_filter_pushdown", "q03_topk_revenue", "q04_region_revenue",
         "q14_matchmerge_inner", "q21_dedup_minhash", "q24_knn_bruteforce",
         "q52_embed_neardup", "q57_sequence_packing", "q59_asof_join",
-        "q64_dedup_increment")
+        "q64_dedup_increment", "q74_group_topk", "q85_segment_dedup",
+        "q89_mixture_apply", "q90_corpus_pipeline")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -162,6 +162,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       (4L, "", 0L, 0L)))
   }
 
+  test("segmentDedup reassembly identity: no frequent segments -> original text") {
+    // globally-unique words guarantee no segment repeats, so every document
+    // must round-trip exactly (modulo whitespace normalization)
+    val rnd = new scala.util.Random(11)
+    val docsIn = (1 to 40).map { i =>
+      val words = (0 until 1 + rnd.nextInt(30)).map(j => s"w${i}x$j")
+      (i.toLong, words.mkString(" "))
+    }
+    val out = Dedup.segmentDedup(docsIn.toDF("doc_id", "text"),
+      "doc_id", "text", width = 8, minCount = 2)
+      .orderBy("doc_id").select("clean_text").as[String].collect().toSeq
+    assert(out == docsIn.map(_._2))
+    // runs of whitespace delimit segments and reassembly single-spaces them
+    val multi = Seq((1L, "a  b\tc")).toDF("doc_id", "text")
+    val norm = Dedup.segmentDedup(multi, "doc_id", "text", width = 8, minCount = 2)
+      .select("clean_text").as[String].head()
+    assert(norm == "a b c")
+  }
+
   test("segmentDedup below-threshold corpus passes through reassembled") {
     val df = Seq((1L, "one two three four five")).toDF("doc_id", "text")
     val out = Dedup.segmentDedup(df, "doc_id", "text", width = 2, minCount = 2)
