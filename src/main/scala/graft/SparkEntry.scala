@@ -46,7 +46,8 @@ object SparkEntry {
     * — interpolated into oracle SQL so the lists can never drift.
     */
   private def swList(lang: String): String =
-    graft.functions.text.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    graft.functions.text.stopwords(lang)
+      .map(w => "'" + w.replace("'", "''") + "'").mkString("[", ", ", "]")
 
   private def ts(lit0: String): Column = lit(lit0).cast("timestamp")
 
@@ -966,19 +967,20 @@ object SparkEntry {
     }),
 
     "q88_quality_filter" -> ((s, d) => {
-      // Gopher-rules document filter: violation bitmask + keep flag, all
-      // signals one codegen'd pass (see text.gopherReasons for bit
-      // meanings). minStopwords=1: the inventories are 18 words/language —
-      // far smaller than Gopher's English stop-set, where >=2 is the rule
-      val c = col("text")
-      val reasons = text.gopherReasons(c, minStopwords = 1)
-      t(s, d, "documents").select(
-        col("doc_id"),
-        text.tokenCount(c).cast("long").as("n_tok"),
-        greatest(text.stopwords.keys.toSeq.sorted
-          .map(text.stopwordHits(c, _)): _*).cast("long").as("stop_hits"),
-        reasons.as("reasons"),
-        (reasons === 0).as("keep"))
+      // Gopher-rules document filter: violation bitmask + keep flag,
+      // displayed signals and bitmask from ONE gopherSignals struct (single
+      // expression tree — they cannot drift). minStopwords=1: the
+      // inventories are 18 words/language — far smaller than Gopher's
+      // English stop-set, where >=2 is the rule
+      val reasons = text.gopherReasonsOf(col("sig"), minStopwords = 1)
+      t(s, d, "documents")
+        .select(col("doc_id"), text.gopherSignals(col("text")).as("sig"))
+        .select(
+          col("doc_id"),
+          col("sig.n_tok").as("n_tok"),
+          col("sig.stop_hits").as("stop_hits"),
+          reasons.as("reasons"),
+          (reasons === 0).as("keep"))
         .orderBy("doc_id")
     }),
 

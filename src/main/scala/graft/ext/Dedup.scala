@@ -428,9 +428,10 @@ object Dedup {
     * segment whose corpus-wide count reaches `minCount` is dropped, and the
     * survivors are reassembled in document order.
     *
-    * Returns `(idCol, clean_text, n_total, n_kept)` — one row per input
-    * document (fully-deduplicated documents survive with empty text, so
-    * downstream length filters see them).
+    * Returns `(idCol, clean_text, n_total, n_kept)` — one row per distinct
+    * `idCol` (the id must uniquely identify documents; duplicate ids merge
+    * into one output row). Fully-deduplicated documents survive with empty
+    * text, so downstream length filters see them.
     *
     * Scale: chunking is a codegen'd `regexp_extract_all` (no interpreted
     * HOF lambdas — see the shingling note above). The corpus streams

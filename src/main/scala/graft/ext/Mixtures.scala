@@ -109,17 +109,26 @@ object Mixtures {
   def applyTemperature(
       df: DataFrame, sourceCol: String, keyCol: String, alpha: Double,
       budget: Long, rankName: String = "rnk"): DataFrame = {
-    val allocs = temperatureWeights(df, sourceCol, alpha, budget)
+    require(!df.columns.contains("__hk") && !df.columns.contains("__alloc"),
+      "input must not already have __hk/__alloc columns")
+    // the allocation table is one row per source — collect it ONCE (the
+    // heap size k must be a literal anyway) and rebroadcast the local rows,
+    // instead of paying the count aggregation twice
+    val tw = temperatureWeights(df, sourceCol, alpha, budget)
       .select(col(sourceCol), col("alloc"))
-    // bounded driver-side scalar: one row per source
-    val maxAlloc = allocs.agg(max(col("alloc"))).head().getLong(0)
+    val allocRows = tw.collect()
+    require(allocRows.nonEmpty, "no sources found (empty input?)")
+    val maxAlloc = allocRows.map(_.getLong(1)).max
     require(maxAlloc > 0 && maxAlloc <= Int.MaxValue,
       s"max per-source allocation $maxAlloc outside (0, Int.MaxValue]")
+    val allocs = df.sparkSession
+      .createDataFrame(java.util.Arrays.asList(allocRows: _*), tw.schema)
+      .withColumnRenamed("alloc", "__alloc")
     val hashed = df.withColumn("__hk", md5(col(keyCol).cast("string")))
     graft.plans.GroupTopK(hashed, Seq(sourceCol),
       Seq("__hk" -> true, keyCol -> true), k = maxAlloc.toInt, rankName)
       .join(broadcast(allocs), Seq(sourceCol))
-      .where(col(rankName) <= col("alloc"))
-      .drop("__hk", "alloc")
+      .where(col(rankName) <= col("__alloc"))
+      .drop("__hk", "__alloc")
   }
 }

@@ -220,6 +220,19 @@ object text {
       .otherwise(stats.getField("max_multiplicity").cast("double") / n)
   }
 
+  /** The five quality signals [[gopherReasons]] thresholds, as ONE struct
+    * column so callers displaying signals next to the bitmask evaluate a
+    * single expression tree (`n_tok`, `avg_len`, `dig_r`, `stop_hits`,
+    * `max_share`). Every field is null iff the text is null.
+    */
+  def gopherSignals(c: Column): Column = struct(
+    tokenCount(c).cast("long").as("n_tok"),
+    avgTokenLen(c).as("avg_len"),
+    digitRatio(c).as("dig_r"),
+    greatest(stopwords.keys.toSeq.sorted.map(stopwordHits(c, _)): _*)
+      .cast("long").as("stop_hits"),
+    maxTokenRatio(c).as("max_share"))
+
   /** Gopher-style document-quality rule bitmask (the document filters of
     * Rae et al. 2021, adapted to unpunctuated multilingual corpora: the
     * line/bullet/ellipsis rules need line structure this corpus lacks).
@@ -230,27 +243,37 @@ object text {
     *   8  fewer than minStopwords distinct stopwords in EVERY language
     *      inventory (multilingual analog of Gopher's English stop-set rule)
     *   16 most-frequent-token share > maxTokenShare (repetition)
-    * A document passes the filter iff the bitmask is 0. Pure column
-    * composition over the signals above — codegen'd, no shuffle, one pass.
+    * A document passes the filter iff the bitmask is 0. NULL text violates
+    * every rule (all bits set) — a quality filter must never pass a
+    * document it could not inspect. Pure column composition over
+    * [[gopherSignals]] — codegen'd, no shuffle, one pass.
     */
-  def gopherReasons(c: Column,
+  def gopherReasonsOf(sig: Column,
       minTokens: Int = 20, maxTokens: Int = 100000,
       minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
       maxDigitRatio: Double = 0.2, minStopwords: Int = 2,
       maxTokenShare: Double = 0.2): Column = {
-    val tc = tokenCount(c)
-    val al = avgTokenLen(c)
-    val hits = greatest(stopwords.keys.toSeq.sorted.map(stopwordHits(c, _)): _*)
     val viol = Seq(
-      tc < minTokens || tc > maxTokens,
-      al < minAvgLen || al > maxAvgLen,
-      digitRatio(c) > maxDigitRatio,
-      hits < minStopwords,
-      maxTokenRatio(c) > maxTokenShare)
-    viol.zipWithIndex.map { case (v, i) =>
+      sig.getField("n_tok") < minTokens || sig.getField("n_tok") > maxTokens,
+      sig.getField("avg_len") < minAvgLen || sig.getField("avg_len") > maxAvgLen,
+      sig.getField("dig_r") > maxDigitRatio,
+      sig.getField("stop_hits") < minStopwords,
+      sig.getField("max_share") > maxTokenShare)
+    val allBits = (1L << viol.length) - 1
+    val bits = viol.zipWithIndex.map { case (v, i) =>
       when(v, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _).cast("long")
+    }.reduce(_ + _)
+    when(sig.getField("n_tok").isNull, lit(allBits)).otherwise(bits).cast("long")
   }
+
+  /** [[gopherReasonsOf]] over [[gopherSignals]] of `c`. */
+  def gopherReasons(c: Column,
+      minTokens: Int = 20, maxTokens: Int = 100000,
+      minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
+      maxDigitRatio: Double = 0.2, minStopwords: Int = 2,
+      maxTokenShare: Double = 0.2): Column =
+    gopherReasonsOf(gopherSignals(c), minTokens, maxTokens, minAvgLen,
+      maxAvgLen, maxDigitRatio, minStopwords, maxTokenShare)
 
   /** Order-insensitive content fingerprint: hash of the sorted distinct
     * token set (bag-of-words identity).

@@ -122,6 +122,11 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     // digit soup trips the digit-ratio bit on an otherwise-keepable doc
     val digits = (Seq.fill(6)("the and of that with9999999") ).mkString(" ")
     assert((one[Long](text.gopherReasons(col("t")), digits) & 4L) == 4L)
+    // null text violates every rule — the filter must not pass what it
+    // cannot inspect
+    val nullReasons = Seq(Option.empty[String]).toDF("t")
+      .select(text.gopherReasons(col("t"))).as[Long].head()
+    assert(nullReasons == 31L)
   }
 
   test("vectors: cosine/dot/norm basics") {
