@@ -59,5 +59,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "simhash64(s) takes 1 argument")
         GramHashExpressions.SimHash64(args.head)
       }))
+    // the one-pass stats struct underlies every composed text signal, so
+    // the SQL macro bodies GraftSession generates from them reference it
+    ext.injectFunction((FunctionIdentifier("char_class_stats"),
+      info("char_class_stats",
+        "char_class_stats(s) - one-pass char-class count struct"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "char_class_stats(s) takes 1 argument")
+        GramHashExpressions.CharClassStats(args.head)
+      }))
   }
 }

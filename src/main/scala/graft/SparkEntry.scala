@@ -1325,8 +1325,7 @@ object SparkEntry {
          ORDER BY query_id, rank""",
     "q27_text_quality" ->
       """WITH base AS (SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+             len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tok,
              length(text) AS n_chars,
              length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
              length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
@@ -1442,8 +1441,7 @@ object SparkEntry {
          GROUP BY d.source ORDER BY d.source""",
     "q57_sequence_packing" ->
       """WITH d AS (SELECT doc_id, source,
-           CAST(CASE WHEN trim(text) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+           CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
          FROM documents),
          o AS (SELECT source, n_tokens,
            coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -1476,8 +1474,7 @@ object SparkEntry {
          FROM toks ORDER BY doc_id""",
     "q26_token_stats" ->
       """SELECT doc_id,
-         CAST(CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
          CAST(length(text) AS BIGINT) AS n_chars_m
          FROM documents ORDER BY doc_id""",
     "q30_sessionize" ->
@@ -1787,8 +1784,7 @@ object SparkEntry {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
          FROM orders GROUP BY bucket ORDER BY bucket""",
     "q78_quantile_trim" ->
-      """WITH n AS (SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0
-             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+      """WITH n AS (SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
            FROM documents),
          q AS (SELECT quantile_cont(n_tokens, 0.05) AS lo,
                       quantile_cont(n_tokens, 0.95) AS hi FROM n)
@@ -1904,8 +1900,7 @@ object SparkEntry {
     // can never drift from the engine's lists
     "q88_quality_filter" ->
       raw"""WITH base AS (SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+             len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tok,
              length(text) AS n_chars,
              length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
              length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_nonspace,
@@ -1956,8 +1951,7 @@ object SparkEntry {
                '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS text
            FROM documents),
          base AS (SELECT doc_id, text,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+             len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tok,
              length(text) AS n_chars,
              length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
              length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_nonspace,

@@ -186,6 +186,33 @@ object GramHashExpressions {
       copy(child = newChild)
   }
 
+  /** One-pass char-class statistics struct (see
+    * [[GramHashRuntime.charClassStats]]) — the single-scan replacement for
+    * the five regex passes the composable text-quality signals cost.
+    */
+  case class CharClassStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(
+      Seq("n_chars", "n_tokens", "n_nonws", "n_punct", "n_digit", "n_upper",
+        "n_subwords").map(f => org.apache.spark.sql.types.StructField(
+        f, org.apache.spark.sql.types.IntegerType, nullable = false)))
+    override def prettyName: String = "char_class_stats"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == org.apache.spark.sql.types.StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a STRING column, got ${child.dataType.simpleString}")
+
+    override def nullSafeEval(input: Any): Any =
+      GramHashRuntime.charClassStats(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.GramHashRuntime.charClassStats($c);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Column wrappers. */
   def charNgramHashSet(c: Column, n: Int): Column =
     ColumnBridge.column(CharNgramHashSet(ColumnBridge.expression(c), n))
@@ -204,4 +231,7 @@ object GramHashExpressions {
 
   def tokenMultiplicityStats(c: Column): Column =
     ColumnBridge.column(TokenMultiplicityStats(ColumnBridge.expression(c)))
+
+  def charClassStats(c: Column): Column =
+    ColumnBridge.column(CharClassStats(ColumnBridge.expression(c)))
 }

@@ -175,4 +175,78 @@ object GramHashRuntime {
     }
     out
   }
+
+  // ASCII whitespace exactly as Java regex \s: [ \t\n\x0B\f\r]
+  @inline private def isAsciiWs(cp: Int): Boolean =
+    cp == ' ' || (cp >= '\t' && cp <= '\r') // 0x09-0x0D covers \t\n\x0B\f\r
+
+  // POSIX/Java \p{Punct}: the 32 ASCII punctuation chars
+  @inline private def isAsciiPunct(cp: Int): Boolean =
+    (cp >= '!' && cp <= '/') || (cp >= ':' && cp <= '@') ||
+      (cp >= '[' && cp <= '`') || (cp >= '{' && cp <= '~')
+
+  // Java regex \p{N}: Unicode categories Nd, Nl, No
+  @inline private def isUnicodeNumber(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+      t == Character.OTHER_NUMBER
+  }
+
+  /** One code-point pass over a string computing every char-class count the
+    * text-quality signals need — replaces five separate regex passes
+    * (punct/digit/upper `regexp_replace` diffs, whitespace `split`, and the
+    * subword `regexp_extract_all`) with a single scan and NO allocation.
+    *
+    * Fields (all `int`): `n_chars` code points (== Spark `length`);
+    * `n_tokens` maximal runs of non-ASCII-whitespace (== `size(split(trim,
+    * '\s+'))` on non-blank input, 0 on blank); `n_nonws` non-whitespace
+    * code points; `n_punct` ASCII `\p{Punct}`; `n_digit` `[0-9]`;
+    * `n_upper` `[A-Z]`; `n_subwords` `\p{L}+|\p{N}+|[^\p{L}\p{N} ]` matches
+    * after whitespace collapse — each class definition is exactly the Java
+    * regex the composable formulation used, asserted by parity tests.
+    */
+  def charClassStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = s.getBytes
+    var i = 0
+    var nChars = 0; var nTokens = 0; var nNonWs = 0
+    var nPunct = 0; var nDigit = 0; var nUpper = 0; var nSub = 0
+    // token / subword run states: 0 = none/separator, 1 = letter run,
+    // 2 = number run (an "other" char both counts itself and breaks runs)
+    var inToken = false
+    var runState = 0
+    while (i < b.length) {
+      var cp = b(i) & 0xFF
+      var width = 1
+      if (cp < 0x80) ()
+      else if ((cp & 0xE0) == 0xC0 && i + 1 < b.length) {
+        cp = ((cp & 0x1F) << 6) | (b(i + 1) & 0x3F); width = 2
+      } else if ((cp & 0xF0) == 0xE0 && i + 2 < b.length) {
+        cp = ((cp & 0x0F) << 12) | ((b(i + 1) & 0x3F) << 6) | (b(i + 2) & 0x3F)
+        width = 3
+      } else if ((cp & 0xF8) == 0xF0 && i + 3 < b.length) {
+        cp = ((cp & 0x07) << 18) | ((b(i + 1) & 0x3F) << 12) |
+          ((b(i + 2) & 0x3F) << 6) | (b(i + 3) & 0x3F)
+        width = 4
+      }
+      nChars += 1
+      if (isAsciiWs(cp)) { inToken = false; runState = 0 }
+      else {
+        nNonWs += 1
+        if (!inToken) { nTokens += 1; inToken = true }
+        if (cp < 0x80) {
+          if (isAsciiPunct(cp)) nPunct += 1
+          if (cp >= '0' && cp <= '9') nDigit += 1
+          if (cp >= 'A' && cp <= 'Z') nUpper += 1
+        }
+        if (Character.isLetter(cp)) {
+          if (runState != 1) { nSub += 1; runState = 1 }
+        } else if (isUnicodeNumber(cp)) {
+          if (runState != 2) { nSub += 1; runState = 2 }
+        } else { nSub += 1; runState = 0 }
+      }
+      i += width
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nChars, nTokens, nNonWs, nPunct, nDigit, nUpper, nSub))
+  }
 }

@@ -31,44 +31,52 @@ object text {
     // runs interpreted, array_remove stays inside whole-stage codegen
     array_remove(split(lower(c), "[^\\p{L}\\p{N}_]+"), "")
 
+  /** One-pass char-class statistics struct (`n_chars`, `n_tokens`,
+    * `n_nonws`, `n_punct`, `n_digit`, `n_upper`, `n_subwords`) — the native
+    * single-scan expression every count/ratio signal below derives from.
+    * The composable formulation paid five separate regex passes per
+    * document (the dominant cost of the quality queries); parity with
+    * those exact Java-regex semantics is asserted in `TextSpec` and by the
+    * unchanged DuckDB oracles. Catalyst's subexpression elimination
+    * evaluates ONE stats struct per row no matter how many signals a
+    * projection uses.
+    */
+  def textStats(c: Column): Column =
+    graft.expressions.GramHashExpressions.charClassStats(c)
+
   /** Whitespace token count (0 for empty/blank). */
-  def tokenCount(c: Column): Column =
-    when(length(trim(c)) === 0, lit(0))
-      .otherwise(size(split(trim(c), "\\s+")))
+  def tokenCount(c: Column): Column = textStats(c).getField("n_tokens")
 
   /** A BPE-ish subword count: word-piece granularity — letter runs, digit
     * runs, single punctuation — approximating tokenizer granularity without
-    * a vocab. Deterministic; useful for token budget estimation.
-    *
-    * Formulated as a single `regexp_extract_all` (codegen'd) rather than the
-    * equivalent lookaround-split + `transform(trim)` — that higher-order
-    * function runs interpreted per element and dominated q27's runtime. The
-    * alternation is also RE2-compatible, so the same pattern serves as its
-    * own differential-test oracle in DuckDB.
+    * a vocab (`\p{L}+|\p{N}+|[^\p{L}\p{N} ]` after whitespace collapse).
+    * Deterministic; useful for token budget estimation.
     */
-  def subwordCount(c: Column): Column =
-    size(regexp_extract_all(regexp_replace(c, "\\s+", " "),
-      lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N} ]"), lit(0)))
+  def subwordCount(c: Column): Column = textStats(c).getField("n_subwords")
 
-  def punctCount(c: Column): Column =
-    length(c) - length(regexp_replace(c, "\\p{Punct}", ""))
+  def punctCount(c: Column): Column = textStats(c).getField("n_punct")
 
-  def digitRatio(c: Column): Column =
-    when(length(c) === 0, lit(0.0))
-      .otherwise((length(c) - length(regexp_replace(c, "[0-9]", ""))).cast("double") / length(c))
+  private def ratioOf(num: Column, den: Column): Column =
+    when(den === 0, lit(0.0)).otherwise(num.cast("double") / den)
 
-  def punctRatio(c: Column): Column =
-    when(length(c) === 0, lit(0.0))
-      .otherwise(punctCount(c).cast("double") / length(c))
+  def digitRatio(c: Column): Column = {
+    val s = textStats(c)
+    ratioOf(s.getField("n_digit"), s.getField("n_chars"))
+  }
 
-  def upperRatio(c: Column): Column =
-    when(length(c) === 0, lit(0.0))
-      .otherwise((length(c) - length(regexp_replace(c, "[A-Z]", ""))).cast("double") / length(c))
+  def punctRatio(c: Column): Column = {
+    val s = textStats(c)
+    ratioOf(s.getField("n_punct"), s.getField("n_chars"))
+  }
+
+  def upperRatio(c: Column): Column = {
+    val s = textStats(c)
+    ratioOf(s.getField("n_upper"), s.getField("n_chars"))
+  }
 
   def avgTokenLen(c: Column): Column = {
-    val tc = tokenCount(c)
-    when(tc === 0, lit(0.0))
-      .otherwise(length(regexp_replace(trim(c), "\\s+", "")).cast("double") / tc)
+    val s = textStats(c)
+    ratioOf(s.getField("n_nonws"), s.getField("n_tokens"))
   }
 
   /** Small stopword inventories for the n-gram-free language-ID heuristic.

@@ -111,6 +111,32 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(a == b)
   }
 
+  test("textStats matches the composable regex formulations exactly") {
+    val tricky = Seq(
+      "", " ", "  \t\n ", "plain words here", "a  b\tc", " lead and trail ",
+      "ab-cd 12x 'quote'!", "MiXeD CASE 42 Upper", "naïve café über",
+      "日本語 テスト 123", "a b", "emoji 😀 ok", "x" * 500,
+      "num1num 123abc ...", "päx—dash", "\t", "a b\t", "Ⅻ ① ５")
+    val df = tricky.toDF("t")
+    val c = col("t")
+    val legacy = df.select(
+      size(array_remove(split(c, "\\s+"), "")).as("tc"),
+      size(regexp_extract_all(regexp_replace(c, "\\s+", " "),
+        lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N} ]"), lit(0))).as("sw"),
+      (length(c) - length(regexp_replace(c, "\\p{Punct}", ""))).as("np"),
+      (length(c) - length(regexp_replace(c, "[0-9]", ""))).as("nd"),
+      (length(c) - length(regexp_replace(c, "[A-Z]", ""))).as("nu"),
+      length(regexp_replace(c, "\\s", "")).as("nonws"),
+      length(c).as("nc")).collect()
+    val native = df.select(text.textStats(c).as("s")).select(
+      col("s.n_tokens"), col("s.n_subwords"), col("s.n_punct"),
+      col("s.n_digit"), col("s.n_upper"), col("s.n_nonws"),
+      col("s.n_chars")).collect()
+    legacy.zip(native).zip(tricky).foreach { case ((l, n), t) =>
+      assert(l.toSeq == n.toSeq, s"mismatch for ${t.take(30)}")
+    }
+  }
+
   test("gopherReasons sets the violated-rule bits") {
     // 30 English filler tokens: passes every rule
     val good = (Seq.fill(6)("the and of that with") ).mkString(" ")
