@@ -35,6 +35,19 @@ class CodegenSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("char-class stats compile under strict whole-stage codegen") {
+    withStrictCodegen {
+      val df = Seq("The quick brown fox, 42 times!", "", " \t ").toDF("t")
+      val out = df.select(GramHashExpressions.charClassStats(col("t")).as("s"))
+        .select(col("s.n_tokens"), col("s.n_punct"), col("s.n_digit"),
+          col("s.n_upper"), col("s.n_subwords")).collect()
+      assert(out(0).getInt(0) == 6 && out(0).getInt(1) == 2)
+      assert(out(0).getInt(2) == 2 && out(0).getInt(3) == 1)
+      assert(out(1).toSeq == Seq(0, 0, 0, 0, 0))
+      assert(out(2).toSeq == Seq(0, 0, 0, 0, 0))
+    }
+  }
+
   test("vector expressions compile under strict whole-stage codegen") {
     withStrictCodegen {
       val planes = Array.fill(8)(Array.fill(4)(0.5))
