@@ -19,7 +19,8 @@ object Plans {
         "q14_matchmerge_inner", "q21_dedup_minhash", "q24_knn_bruteforce",
         "q52_embed_neardup", "q57_sequence_packing", "q59_asof_join",
         "q64_dedup_increment", "q74_group_topk", "q85_segment_dedup",
-        "q89_mixture_apply", "q90_corpus_pipeline")
+        "q89_mixture_apply", "q90_corpus_pipeline", "q91_cdc_merge",
+        "q93_bloom_join")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -1005,6 +1005,98 @@ object SparkEntry {
         .orderBy("lang", "rnk")
     }),
 
+    "q91_cdc_merge" -> ((s, d) => {
+      // CDC upsert-apply: snapshot = orders with key % 7 != 0; changelog =
+      // inserts (the held-out keys), two update generations (seq 2 overrides
+      // seq 1 on half the updated keys) and deletes. Latest (seq, op) per
+      // key wins; the snapshot side never shuffles (broadcast anti join).
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val snap = o.where(col("o_orderkey") % 7 =!= 0)
+      def ch(src: DataFrame, seq: Long, op: String,
+          ck: Column, tp: Column): DataFrame =
+        src.select(col("o_orderkey"), lit(seq).as("seq"), lit(op).as("op"),
+          ck.as("o_custkey"), tp.as("o_totalprice"))
+      val changes =
+        ch(o.where(col("o_orderkey") % 7 === 0), 1, "I",
+          col("o_custkey"), col("o_totalprice"))
+        .unionByName(ch(snap.where(col("o_orderkey") % 10 === 3), 1, "U",
+          col("o_custkey"), col("o_totalprice") + 1000.0))
+        .unionByName(ch(snap.where(col("o_orderkey") % 20 === 3), 2, "U",
+          col("o_custkey"), col("o_totalprice") + 2000.0))
+        .unionByName(ch(snap.where(col("o_orderkey") % 10 === 7), 1, "D",
+          lit(null).cast("long"), lit(null).cast("double")))
+      graft.ops.ChangeApply(snap, changes, "o_orderkey", "seq", "op")
+        .orderBy("o_orderkey")
+    }),
+
+    "q92_posting_lists" -> ((s, d) => {
+      // inverted index: df >= 5 terms with their first-20 posting lists —
+      // bounded per-token state (KMV buffer), never a full collect_set
+      graft.ext.Vocab.postingLists(t(s, d, "documents"), "doc_id", "text",
+        minDf = 5, maxPostings = 20)
+        .orderBy("token")
+    }),
+
+    "q93_bloom_join" -> ((s, d) => {
+      // semi join with a Bloom prefilter on the fact side: a kilobyte
+      // sketch of the qualifying order keys probes inside codegen BEFORE
+      // the lineitem shuffle; the exact semi join afterwards removes false
+      // positives, so the answer is exactly the plain semi join
+      val urgent = t(s, d, "orders").where(
+        col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000.0)
+      graft.ops.BloomJoin.semi(t(s, d, "lineitem"), "l_orderkey",
+          urgent, "o_orderkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q94_stream_correlate" -> ((s, d) => {
+      // q50's click->purchase attribution driven as a REAL watermarked
+      // stream-stream join (both sides readStream); inner-join Append emits
+      // every match on a finite stream, so q50's SQL oracle gates the
+      // streaming path too
+      val name = s"graft_stream_corr_${streamCounter.incrementAndGet()}"
+      EventStreams.correlateStreaming(s, s"$d/events.parquet", name,
+          "click", "purchase", withinMinutes = 60)
+        .orderBy("user_id", "a_id", "b_id")
+    }),
+
+    "q95_zorder" -> ((s, d) => {
+      // Morton z-values over (custkey, price decile): the 2-D data-skipping
+      // layout key; zbucket = the top bits = the file-grain cluster id.
+      // Oracle SQL is GENERATED from the same step table (ZOrder.zValue16Sql)
+      val x = col("o_custkey") % 65536
+      val y = floor(col("o_totalprice") / lit(10.0)).cast("long") % 65536
+      t(s, d, "orders")
+        .select(col("o_orderkey"), graft.ops.ZOrder.zValue16(x, y).as("zval"))
+        .withColumn("zbucket", shiftright(col("zval"), 24))
+        .orderBy("o_orderkey")
+    }),
+
+    "q96_csv_roundtrip" -> ((s, d) => {
+      // lossless text-format interchange: documents (incl. the free-text
+      // column) through RFC-4180 CSV and back; oracle = the source table,
+      // so any quoting/escaping loss breaks the hash
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      graft.io.TextTables.csvRoundTrip(docs,
+          graft.io.TextTables.scratchDir("csv_rt", d))
+        .orderBy("doc_id")
+    }),
+
+    "q97_jsonl_roundtrip" -> ((s, d) => {
+      // events (timestamps + doubles) through JSON Lines and back;
+      // double round-trips via shortest-repr, timestamp via ISO-8601
+      val ev = events(s, d).select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      graft.io.TextTables.jsonlRoundTrip(ev,
+          graft.io.TextTables.scratchDir("jsonl_rt", d))
+        .select(col("event_id"), epochSec(col("ts")).as("es"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    }),
+
     "q35_sql_text" -> ((s, d) => {
       // The reference's core capability: an arbitrary user SQL string
       // answered by the engine (`R/ffsql.R:171-176`) — here Spark SQL itself.
@@ -1988,5 +2080,63 @@ object SparkEntry {
              ELSE 'test' END AS split
            FROM ded)
          SELECT split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
-         FROM spl GROUP BY split ORDER BY split""")
+         FROM spl GROUP BY split ORDER BY split""",
+    "q91_cdc_merge" ->
+      """WITH snap AS (SELECT o_orderkey, o_custkey, o_totalprice
+             FROM orders WHERE o_orderkey % 7 <> 0),
+         ch AS (
+           SELECT o_orderkey, 1 AS seq, 'I' AS op, o_custkey, o_totalprice
+             FROM orders WHERE o_orderkey % 7 = 0
+           UNION ALL
+           SELECT o_orderkey, 1, 'U', o_custkey, o_totalprice + 1000.0
+             FROM snap WHERE o_orderkey % 10 = 3
+           UNION ALL
+           SELECT o_orderkey, 2, 'U', o_custkey, o_totalprice + 2000.0
+             FROM snap WHERE o_orderkey % 20 = 3
+           UNION ALL
+           SELECT o_orderkey, 1, 'D', NULL, NULL
+             FROM snap WHERE o_orderkey % 10 = 7),
+         w AS (SELECT *, row_number() OVER
+             (PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) AS rn FROM ch)
+         SELECT o_orderkey, o_custkey, o_totalprice FROM snap
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ch)
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_totalprice FROM w
+         WHERE rn = 1 AND op <> 'D'
+         ORDER BY o_orderkey""",
+    "q92_posting_lists" ->
+      """WITH pairs AS (SELECT DISTINCT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '')) AS token
+           FROM documents),
+         agg AS (SELECT token, count(*) AS df_docs,
+             array_to_string(list_transform(list_sort(list(doc_id))[1:20],
+               x -> x::VARCHAR), ',') AS postings
+           FROM pairs GROUP BY token)
+         SELECT token, df_docs, postings FROM agg
+         WHERE df_docs >= 5 ORDER BY token""",
+    "q93_bloom_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+           WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0)
+         ORDER BY l_orderkey, l_linenumber""",
+    "q94_stream_correlate" ->
+      """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+         CAST(floor(epoch(b.ts)) AS BIGINT) - CAST(floor(epoch(a.ts)) AS BIGINT) AS lag_sec
+         FROM events a JOIN events b ON a.user_id = b.user_id
+         WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+         ORDER BY 1, 2, 3""",
+    "q95_zorder" -> {
+      val z = graft.ops.ZOrder.zValue16Sql(
+        "o_custkey % 65536", "CAST(floor(o_totalprice / 10.0) AS BIGINT) % 65536")
+      s"""SELECT o_orderkey, zval, (zval >> 24) AS zbucket
+          FROM (SELECT o_orderkey, $z AS zval FROM orders)
+          ORDER BY o_orderkey"""
+    },
+    "q96_csv_roundtrip" ->
+      """SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id""",
+    "q97_jsonl_roundtrip" ->
+      """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         user_id, event_type, value FROM events ORDER BY event_id""")
 }

@@ -65,6 +65,36 @@ object Vocab {
     ngramFrequencies(df, idCol, textCol, n).orderBy(col("n").desc, col("ngram")).limit(k)
   }
 
+  /** Inverted index: per token, its document frequency and a posting list of
+    * the first `maxPostings` doc ids (ascending) as a comma-joined string —
+    * the retrieval-side artifact a corpus pipeline materializes for
+    * contamination lookups and term-level debugging.
+    *
+    * Scale: (doc, token) pairs are deduplicated in one shuffle with partial
+    * aggregation; the per-token phase then aggregates with a BOUNDED
+    * accumulator — [[graft.expressions.BottomKAgg]]'s k-minimum-values
+    * buffer — so a stopword's posting list costs O(maxPostings) state and
+    * shuffle, never its full document set (collect_set would OOM on the
+    * head of the Zipf curve at corpus scale). Ids must be non-negative
+    * (ascending-k = first-k needs the sign-free order).
+    */
+  def postingLists(
+      df: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 1L, maxPostings: Int = 100): DataFrame = {
+    require(maxPostings > 0, "maxPostings must be positive")
+    val pairs = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(text.tokens(col(textCol))).as("token"))
+      .distinct()
+    pairs.groupBy(col("token"))
+      .agg(count(lit(1)).as("df_docs"),
+        graft.expressions.BottomKAgg.bottomKHashes(col("doc_id"), maxPostings)
+          .as("__bk"))
+      .where(col("df_docs") >= minDf)
+      .select(col("token"), col("df_docs"),
+        array_join(col("__bk").cast("array<string>"), ",").as("postings"))
+  }
+
   /** Per-document top-`k` characteristic terms by tf-idf. The idf factor is
     * the RATIONAL form `(nDocs + 1) / (df + 1)` rather than its logarithm:
     * log is monotone, so the per-document RANKING is identical, and the

@@ -212,6 +212,31 @@ object EventStreams {
         (unix_timestamp(col("b_ts")) - unix_timestamp(col("a_ts"))).as("lag_sec"))
   }
 
+  /** Drive [[correlate]] as a real watermarked STREAM-STREAM inner join
+    * (both sides `readStream`) into a memory sink. Inner joins in Append
+    * mode emit each match as soon as both rows have arrived — the watermark
+    * plus the join's time-range bound only limit how long unmatched rows
+    * stay buffered (state eviction), so on a finite AvailableNow stream the
+    * result equals the batch twin exactly.
+    */
+  def correlateStreaming(
+      spark: SparkSession, eventsPath: String, queryName: String,
+      typeA: String, typeB: String, withinMinutes: Int = 60,
+      watermark: String = "10 minutes"): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema
+    def stream() = normalizeTs(
+      spark.readStream.schema(schema).parquet(stageStreamDir(eventsPath)))
+    val q = correlate(stream(), stream(), typeA, typeB, withinMinutes, watermark)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   // NOTE: these must be public — Catalyst's generated (de)serializer code
   // cannot access private nested case classes.
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

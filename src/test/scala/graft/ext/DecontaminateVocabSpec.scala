@@ -52,6 +52,18 @@ class DecontaminateVocabSpec extends AnyFunSuite with SparkSpec {
     assert(top == Seq(("a", 4L), ("b", 3L))) // c=3 loses the tie to b
   }
 
+  test("postingLists: sorted capped postings, distinct doc counts, minDf cut") {
+    val docs = Seq(
+      (30L, "apple banana apple"), // dup token in one doc counts once
+      (10L, "apple cherry"),
+      (20L, "apple banana")
+    ).toDF("doc_id", "text")
+    val got = Vocab.postingLists(docs, "doc_id", "text", minDf = 2, maxPostings = 2)
+      .orderBy("token").as[(String, Long, String)].collect().toSeq
+    // df counts ALL docs; postings capped at the 2 smallest ids, ascending
+    assert(got == Seq(("apple", 3L, "10,20"), ("banana", 2L, "20,30")))
+  }
+
   test("scrub redacts URLs before emails and counts on redacted text") {
     val df = Seq(
       (1L, "mail me@x.org or see https://me@host.example/path ok"),

@@ -1,0 +1,61 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class TextTablesSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // the gnarly cases a text dump must survive: separators, quotes, newlines,
+  // unicode, empty string, null
+  private def fixture = Seq(
+    (1L, "plain"),
+    (2L, "comma, inside"),
+    (3L, "quote \" inside"),
+    (4L, "both \", and\nnewline"),
+    (5L, "unicode: café 日本語 😀"),
+    (6L, ""),
+    (7L, null)
+  ).toDF("id", "text")
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("CSV round trip is lossless including quotes, newlines and unicode") {
+    val back = TextTables.csvRoundTrip(fixture, tmp("graft_csv_spec"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    val exp = fixture.orderBy("id").as[(Long, String)].collect().toSeq
+    // CSV cannot distinguish null from empty string (both serialize to an
+    // empty field) — the one documented lossy case; everything else exact
+    val normalize = (s: Seq[(Long, String)]) =>
+      s.map { case (i, t) => (i, if (t == null) "" else t) }
+    assert(normalize(back) == normalize(exp))
+  }
+
+  test("JSONL round trip is lossless including null vs empty string") {
+    val back = TextTables.jsonlRoundTrip(fixture, tmp("graft_jsonl_spec"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    val exp = fixture.orderBy("id").as[(Long, String)].collect().toSeq
+    assert(back == exp)
+  }
+
+  test("JSONL round trip preserves timestamps to the microsecond and doubles bit-exactly") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 10:11:12.123456"), 0.1 + 0.2),
+      (2L, java.sql.Timestamp.valueOf("1999-12-31 23:59:59.999999"), math.Pi)
+    ).toDF("id", "ts", "v")
+    val back = TextTables.jsonlRoundTrip(df, tmp("graft_jsonl_ts"))
+      .orderBy("id").as[(Long, java.sql.Timestamp, Double)].collect().toSeq
+    val exp = df.orderBy("id").as[(Long, java.sql.Timestamp, Double)].collect().toSeq
+    assert(back == exp)
+  }
+
+  test("scratchDir is deterministic per source dir and distinct across dirs") {
+    val a = TextTables.scratchDir("x", "/data/sf0.1")
+    assert(a == TextTables.scratchDir("x", "/data/sf0.1"))
+    assert(a != TextTables.scratchDir("x", "/data/sf0.01"))
+  }
+}

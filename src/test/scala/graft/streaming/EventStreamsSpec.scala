@@ -79,6 +79,20 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(dropped == 1L, s"expected 1 late row dropped, got $dropped")
   }
 
+  test("correlateStreaming driver (dual readStream -> memory sink) matches the batch twin") {
+    val path = sys.props.getOrElse("graft.fixture.dir", "/root/testdata/sf0.001") + "/events.parquet"
+    assume(new java.io.File(path).exists(), s"fixture $path not found — skipping")
+    val batch = EventStreams.correlate(
+      EventStreams.normalizeTs(spark.read.parquet(path)),
+      EventStreams.normalizeTs(spark.read.parquet(path)),
+      "click", "purchase", 60)
+      .orderBy("user_id", "a_id", "b_id").collect().toSeq
+    val streamed = EventStreams.correlateStreaming(
+      spark, path, "graft_spec_corr_drv", "click", "purchase", 60)
+      .orderBy("user_id", "a_id", "b_id").collect().toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("stream-stream correlate matches its batch twin on the sf0.001 fixture") {
     val dir = "/root/testdata/sf0.001"
     val batchEvents = EventStreams.normalizeTs(
