@@ -1097,6 +1097,18 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q98_knn_lsh_portable" -> ((s, d) => {
+      // LSH ANN with a FULL hash oracle: Rademacher planes from MD5
+      // (portablePlanes) make buckets — hence candidates, hence the top-k —
+      // bit-identical in any engine; the oracle SQL below interpolates the
+      // same planes. q25 stays the seeded-PRNG production variant.
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopKPortable(emb, emb.where(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", queryIdCol = "vec_id",
+        dim = 64, k = 5, tables = 4, bits = 8)
+        .orderBy("query_id", "rank")
+    }),
+
     "q35_sql_text" -> ((s, d) => {
       // The reference's core capability: an arbitrary user SQL string
       // answered by the engine (`R/ffsql.R:171-176`) — here Spark SQL itself.
@@ -2136,6 +2148,40 @@ object SparkEntry {
     },
     "q96_csv_roundtrip" ->
       """SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id""",
+    // planes interpolated from Similarity.portablePlanes — the SAME ±1
+    // matrix the Spark plan uses, so buckets/candidates/top-k cannot drift
+    "q98_knn_lsh_portable" -> {
+      val tables = 4; val bits = 8
+      val planes = graft.ext.Similarity.portablePlanes(tables, bits, 64)
+      def planeList(t: Int, b: Int): String =
+        planes(t)(b).map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]")
+      def bucketExpr(t: Int): String =
+        (0 until bits).map(b =>
+          s"(CASE WHEN list_dot_product(v, ${planeList(t, b)}) >= 0 THEN '1' ELSE '0' END)")
+          .mkString(" || ")
+      val perTable = (0 until tables).map(t =>
+        s"SELECT vec_id, v, $t AS tbl, ${bucketExpr(t)} AS bh FROM e")
+        .mkString("\n UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         b AS ($perTable),
+         q AS (SELECT vec_id AS query_id, tbl, bh FROM b WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, tbl, bh FROM b),
+         cand AS (SELECT DISTINCT query_id, neighbor_id
+           FROM q JOIN c ON q.tbl = c.tbl AND q.bh = c.bh
+           WHERE neighbor_id <> query_id),
+         s AS (SELECT query_id, neighbor_id,
+             list_cosine_similarity(eq.v, ec.v) AS cos_raw
+           FROM cand
+           JOIN e eq ON eq.vec_id = query_id
+           JOIN e ec ON ec.vec_id = neighbor_id),
+         r AS (SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+           FROM s)
+         SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+         ORDER BY query_id, rank"""
+    },
     "q97_jsonl_roundtrip" ->
       """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
          user_id, event_type, value FROM events ORDER BY event_id""")

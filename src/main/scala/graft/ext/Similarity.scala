@@ -67,6 +67,62 @@ object Similarity {
         count(lit(1))).as("mean_v"))
   }
 
+  /** Deterministic Rademacher (±1) hyperplanes for [[lshTopKPortable]]:
+    * sign(t,b,i) = low bit of the first MD5 byte of "t:b:i". MD5 is
+    * engine-independent, so ANY engine (or an interpolated literal table)
+    * reproduces the exact same planes — unlike seeded PRNG planes, which tie
+    * the buckets to one generator implementation.
+    */
+  def portablePlanes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(tables, bits, dim) { (t, b, i) =>
+      md.reset()
+      val h = md.digest(s"$t:$b:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if ((h(0) & 1) == 1) 1.0 else -1.0
+    }
+  }
+
+  /** [[lshTopK]] with FULLY CROSS-ENGINE-REPRODUCIBLE buckets: Rademacher
+    * planes from [[portablePlanes]], projection = the sequential
+    * left-to-right double dot product (both Spark's `aggregate` fold and
+    * SQL engines' list dot evaluate in index order, so the bits — and
+    * therefore the candidate sets and the final top-k — are bit-identical),
+    * bucket key = the bit string. This makes an LSH ANN query verifiable by
+    * a differential SQL oracle, not just recall-tested.
+    */
+  def lshTopKPortable(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String, dim: Int,
+      k: Int = 10, tables: Int = 4, bits: Int = 8,
+      excludeSelf: Boolean = true): DataFrame = {
+    val planes = portablePlanes(tables, bits, dim)
+    def bucketOf(t: Int): org.apache.spark.sql.Column =
+      concat((0 until bits).map { b =>
+        when(vectors.dot(col(vecCol), typedLit(planes(t)(b).toSeq)) >= 0.0,
+          lit("1")).otherwise(lit("0"))
+      }: _*)
+    def bucketed(df: DataFrame, id: String, out: String, vout: String): DataFrame = {
+      val bs = (0 until tables).map(t =>
+        struct(lit(t).as("tbl"), bucketOf(t).as("bh")))
+      df.select(col(id).as(out), col(vecCol).as(vout),
+        explode(array(bs: _*)).as("bb"))
+        .select(col(out), col(vout), col("bb.tbl").as("tbl"), col("bb.bh").as("bh"))
+    }
+    val c = bucketed(corpus, idCol, "neighbor_id", "c_vec")
+    val q = bucketed(queries, queryIdCol, "query_id", "q_vec")
+    val cand = c.join(q, Seq("tbl", "bh"))
+      .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .select("query_id", "q_vec", "neighbor_id", "c_vec")
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", vectors.cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
   /** Approximate top-k via hyperplane LSH: queries and corpus are bucketed
     * with identical deterministic hyperplanes across `tables` independent
     * tables; candidates = bucket collisions in any table; exact cosine

@@ -100,4 +100,56 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.8, s"recall=$recall")
   }
+
+  test("portablePlanes is deterministic, ±1-valued, and table/bit-distinct") {
+    val a = Similarity.portablePlanes(3, 4, 16)
+    val b = Similarity.portablePlanes(3, 4, 16)
+    assert(a.map(_.map(_.toSeq).toSeq).toSeq == b.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(a.flatten.flatten.forall(v => v == 1.0 || v == -1.0))
+    // different (table, bit) slots give different planes (no degenerate reuse)
+    val distinct = a.flatten.map(_.toSeq).toSet
+    assert(distinct.size == 12)
+  }
+
+  test("portable LSH buckets match an independent JVM-side sign computation") {
+    val planes = Similarity.portablePlanes(2, 4, 16)
+    val vecs = clustered.limit(5)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    // reference: sequential left-to-right double fold, same as vectors.dot
+    def bucketRef(v: Array[Float], t: Int): String =
+      (0 until 4).map { b =>
+        var acc = 0.0
+        for (i <- 0 until 16) acc += v(i).toDouble * planes(t)(b)(i)
+        if (acc >= 0.0) "1" else "0"
+      }.mkString
+    val got = Similarity.lshTopKPortable(clustered, clustered.limit(5),
+      "vec_id", "embedding", "vec_id", dim = 16, k = 3, tables = 2, bits = 4)
+    assert(got.count() > 0) // pipeline runs end to end
+    // check the bucket expression itself against the reference
+    import org.apache.spark.sql.functions.{col, concat, lit, typedLit, when}
+    def bucketCol(t: Int) = concat((0 until 4).map { b =>
+      when(graft.functions.vectors.dot(col("embedding"),
+        typedLit(planes(t)(b).toSeq)) >= 0.0, lit("1")).otherwise(lit("0"))
+    }: _*)
+    val byId = clustered.limit(5)
+      .select($"vec_id", bucketCol(0), bucketCol(1))
+      .as[(Long, String, String)].collect()
+    byId.foreach { case (id, b0, b1) =>
+      val v = vecs.find(_._1 == id).get._2
+      assert(b0 == bucketRef(v, 0), s"id=$id table 0")
+      assert(b1 == bucketRef(v, 1), s"id=$id table 1")
+    }
+  }
+
+  test("portable LSH top-k achieves high recall vs brute force on clustered data") {
+    val queries = clustered.where($"vec_id" % 10 === 0L)
+    val exact = Similarity.bruteForceTopK(clustered, queries,
+      "vec_id", "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopKPortable(clustered, queries,
+      "vec_id", "embedding", "vec_id", dim = 16, k = 5, tables = 8, bits = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
 }
