@@ -1057,8 +1057,11 @@ object SparkEntry {
       // every match on a finite stream, so q50's SQL oracle gates the
       // streaming path too
       val name = s"graft_stream_corr_${streamCounter.incrementAndGet()}"
+      // userMod=4: a deterministic quarter of the users — the stream-stream
+      // join's per-row state traffic is the cost driver, and the sliced
+      // query exercises identical machinery
       EventStreams.correlateStreaming(s, s"$d/events.parquet", name,
-          "click", "purchase", withinMinutes = 60)
+          "click", "purchase", withinMinutes = 60, userMod = 4L)
         .orderBy("user_id", "a_id", "b_id")
     }),
 
@@ -1107,6 +1110,37 @@ object SparkEntry {
         idCol = "vec_id", vecCol = "embedding", queryIdCol = "vec_id",
         dim = 64, k = 5, tables = 4, bits = 8)
         .orderBy("query_id", "rank")
+    }),
+
+    "q99_unpivot" -> ((s, d) => {
+      // wide->long melt (Dataset.unpivot — Spark's native UNPIVOT): the
+      // delegated-SQL surface's reshaping op, inverse of q38's pivot
+      t(s, d, "lineitem").where(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          variableColumnName = "metric", valueColumnName = "val")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    }),
+
+    "q100_grouping_sets" -> ((s, d) => {
+      // explicit GROUPING SETS with grouping() disambiguation of the
+      // all-rows NULL vs a genuine NULL key — completes the q08/q36
+      // rollup/cube family
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority), ())
+        ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+                 o_orderpriority NULLS FIRST""")
     }),
 
     "q35_sql_text" -> ((s, d) => {
@@ -2137,6 +2171,7 @@ object SparkEntry {
          CAST(floor(epoch(b.ts)) AS BIGINT) - CAST(floor(epoch(a.ts)) AS BIGINT) AS lag_sec
          FROM events a JOIN events b ON a.user_id = b.user_id
          WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+           AND a.user_id % 4 = 0
            AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
          ORDER BY 1, 2, 3""",
     "q95_zorder" -> {
@@ -2184,5 +2219,27 @@ object SparkEntry {
     },
     "q97_jsonl_roundtrip" ->
       """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
-         user_id, event_type, value FROM events ORDER BY event_id""")
+         user_id, event_type, value FROM events ORDER BY event_id""",
+    // UNION ALL melt: portable across engines (DuckDB's UNPIVOT keyword
+    // would also work, but the long form pins column naming exactly)
+    "q99_unpivot" ->
+      """WITH src AS (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+           FROM lineitem WHERE l_orderkey < 100)
+         SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM src
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src
+         ORDER BY l_orderkey, l_linenumber, metric""",
+    "q100_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+         CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+         count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                 (o_orderstatus, o_orderpriority), ())
+         ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+                  o_orderpriority NULLS FIRST""")
 }

@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   * 'D' removes the row, 'I'/'U' replace it (upsert — an 'I' for an existing
   * key behaves like 'U', matching SQL MERGE). Keys without changes pass
   * through. `(key, seq)` pairs should be unique; ties break on `opCol`
-  * descending so the result is deterministic regardless.
+  * descending so the result is deterministic regardless. Keys and ops must
+  * be non-null: a null op compares as neither 'D' nor not-'D' and its row
+  * is dropped (SQL three-valued filter semantics), and null keys join
+  * nothing in the anti-join step.
   *
   * Scale (the 100 TB shape: snapshot >> daily changelog):
   *   - latest-change-per-key runs on the native [[graft.plans.GroupTopK]]

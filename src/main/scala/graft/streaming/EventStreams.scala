@@ -222,10 +222,16 @@ object EventStreams {
   def correlateStreaming(
       spark: SparkSession, eventsPath: String, queryName: String,
       typeA: String, typeB: String, withinMinutes: Int = 60,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      userMod: Long = 1L): DataFrame = {
     val schema = spark.read.parquet(eventsPath).schema
-    def stream() = normalizeTs(
-      spark.readStream.schema(schema).parquet(stageStreamDir(eventsPath)))
+    // userMod > 1 bounds join state to a deterministic 1/userMod user slice
+    // — same machinery, proportionally less per-row state-store traffic
+    def stream() = {
+      val s0 = normalizeTs(
+        spark.readStream.schema(schema).parquet(stageStreamDir(eventsPath)))
+      if (userMod > 1L) s0.where(pmod(col("user_id"), lit(userMod)) === 0L) else s0
+    }
     val q = correlate(stream(), stream(), typeA, typeB, withinMinutes, watermark)
       .writeStream
       .outputMode(OutputMode.Append())
