@@ -1143,6 +1143,24 @@ object SparkEntry {
                  o_orderpriority NULLS FIRST""")
     }),
 
+    "q101_partition_pruning" -> ((s, d) => {
+      // Hive-partitioned layout + partition pruning — THE scan optimization
+      // at 100 TB: the o_orderstatus predicate becomes a PartitionFilter,
+      // so non-matching partition DIRECTORIES are never listed or read
+      // (PlanAuditSpec asserts the plan shape). Layout write happens once
+      // per scratch dir; later invocations plan straight against it.
+      val dir = graft.io.TextTables.scratchDir("part_orders", d)
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        t(s, d, "orders").write.mode("overwrite")
+          .partitionBy("o_orderstatus").parquet(dir)
+      }
+      s.read.parquet(dir)
+        .where(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q35_sql_text" -> ((s, d) => {
       // The reference's core capability: an arbitrary user SQL string
       // answered by the engine (`R/ffsql.R:171-176`) — here Spark SQL itself.
@@ -2231,6 +2249,11 @@ object SparkEntry {
          UNION ALL
          SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src
          ORDER BY l_orderkey, l_linenumber, metric""",
+    "q101_partition_pruning" ->
+      """SELECT o_orderpriority, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM orders WHERE o_orderstatus = 'F'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q100_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
          CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,

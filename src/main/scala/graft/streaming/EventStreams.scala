@@ -37,6 +37,21 @@ object EventStreams {
       case _ => df.withColumn("ts", col("ts").cast("timestamp"))
     }
 
+  /** Drain a finished memory-sink table into a local DataFrame and DROP the
+    * sink's temp view. The memory sink already holds its rows on the driver;
+    * draining adds nothing, but dropping the view releases them when the
+    * caller is done — without this, every streaming query in a long session
+    * pins its full result on the driver forever (a 100-query battery
+    * accumulates them all).
+    */
+  private def drainMemorySink(spark: SparkSession, name: String): DataFrame = {
+    val t = spark.table(name)
+    val rows = t.collect()
+    val schema = t.schema
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** The file stream source requires a DIRECTORY; when given a single
     * parquet file, stage a symlink to it inside a temp dir.
     */
@@ -85,7 +100,7 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(queryName)
+    drainMemorySink(spark, queryName)
   }
 
   /** Streaming deduplication: stage the source file TWICE so the stream
@@ -139,7 +154,7 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(queryName)
+    drainMemorySink(spark, queryName)
   }
 
   /** The ONE gap-rule session-id assignment (lag -> flag -> running sum)
@@ -240,7 +255,7 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(queryName)
+    drainMemorySink(spark, queryName)
   }
 
   // NOTE: these must be public — Catalyst's generated (de)serializer code
@@ -335,6 +350,6 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(queryName)
+    drainMemorySink(spark, queryName)
   }
 }

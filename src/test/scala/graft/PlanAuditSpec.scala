@@ -70,4 +70,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed join re-shuffled its inputs:\n$plan")
   }
+
+  test("q101: the status predicate prunes partitions at the scan") {
+    val plan = finalPlan("q101_partition_pruning")
+    // the predicate must be a partition filter on the directory layout ...
+    val pfIdx = plan.indexOf("PartitionFilters")
+    assert(pfIdx >= 0 && plan.substring(pfIdx).takeWhile(_ != ']')
+      .contains("o_orderstatus"), s"no partition filter in:\n$plan")
+    // ... not a row-level pushed filter (the column is not in the files)
+    assert(!plan.contains("PushedFilters: [IsNotNull(o_orderstatus)"),
+      s"status filtered row-level instead of partition-level:\n$plan")
+  }
+
+  test("q93: the bloom probe filters the fact scan stage, below the join") {
+    val plan = finalPlan("q93_bloom_join")
+    val probeIdx = plan.indexOf("might_contain")
+    val joinIdx = plan.indexOf("Join")
+    assert(probeIdx >= 0, s"no bloom probe in:\n$plan")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"probe not below the join:\n$plan")
+  }
 }
