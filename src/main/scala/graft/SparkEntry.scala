@@ -1161,6 +1161,24 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    "q102_incremental_agg" -> ((s, d) => {
+      // materialized-view maintenance: per-priority order stats refreshed
+      // from row deltas only (base NEVER rescanned). The oracle recomputes
+      // from scratch — decimal-routed delta arithmetic makes refresh equal
+      // recompute bit-exactly, which is the whole point of the operator
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
+      val base = orders.where(col("o_orderkey") % 50 =!= 0)
+      val aggOld = base.groupBy("g").agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(27,4)")).cast("double").as("sum_value"))
+      val changedOld = base.where(col("o_orderkey") % 97 === 0)
+      val changedNew = changedOld.withColumn("v", col("v") + 500.0)
+      val inserts = orders.where(col("o_orderkey") % 50 === 0)
+      graft.ops.IncrementalAgg.refresh(aggOld, changedOld,
+          changedNew.unionByName(inserts), Seq("g"), "v")
+        .orderBy("g")
+    }),
+
     "q35_sql_text" -> ((s, d) => {
       // The reference's core capability: an arbitrary user SQL string
       // answered by the engine (`R/ffsql.R:171-176`) — here Spark SQL itself.
@@ -2249,6 +2267,19 @@ object SparkEntry {
          UNION ALL
          SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src
          ORDER BY l_orderkey, l_linenumber, metric""",
+    // full recompute over the post-delta table — the refresh path must
+    // match it bit-exactly (decimal-routed delta arithmetic)
+    "q102_incremental_agg" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority AS g, o_totalprice AS v
+             FROM orders),
+         base AS (SELECT * FROM o WHERE o_orderkey % 50 <> 0),
+         newt AS (
+           SELECT g, v FROM base WHERE o_orderkey % 97 <> 0
+           UNION ALL SELECT g, v + 500.0 FROM base WHERE o_orderkey % 97 = 0
+           UNION ALL SELECT g, v FROM o WHERE o_orderkey % 50 = 0)
+         SELECT g, count(*) AS n,
+           CAST(sum(CAST(v AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
+         FROM newt GROUP BY g ORDER BY g""",
     "q101_partition_pruning" ->
       """SELECT o_orderpriority, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
