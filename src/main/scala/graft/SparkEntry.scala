@@ -1149,7 +1149,10 @@ object SparkEntry {
       // so non-matching partition DIRECTORIES are never listed or read
       // (PlanAuditSpec asserts the plan shape). Layout write happens once
       // per scratch dir; later invocations plan straight against it.
-      val dir = graft.io.TextTables.scratchDir("part_orders", d)
+      // fingerprint salt: a regenerated orders.parquet at the same path gets
+      // a fresh scratch dir instead of silently serving the stale layout
+      val dir = graft.io.TextTables.scratchDir("part_orders", d,
+        graft.io.TextTables.sourceFingerprint(s"$d/orders.parquet"))
       if (!new java.io.File(dir, "_SUCCESS").exists()) {
         t(s, d, "orders").write.mode("overwrite")
           .partitionBy("o_orderstatus").parquet(dir)

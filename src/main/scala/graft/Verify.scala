@@ -12,6 +12,10 @@ object Verify {
       Runtime.getRuntime.availableProcessors.toString)
     val spark = GraftSession.local(cpus.toInt, "graft-verify")
     new java.io.File(outDir).mkdirs()
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — a typo here would " +
+        "otherwise run zero queries and report a vacuous green gate")
     def selected[A](m: Map[String, A]): Map[String, A] =
       if (only.isEmpty) m else m.view.filterKeys(only).toMap
     selected(SparkEntry.queries).foreach { case (name, fn) =>

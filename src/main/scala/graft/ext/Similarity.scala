@@ -95,6 +95,12 @@ object Similarity {
       idCol: String, vecCol: String, queryIdCol: String, dim: Int,
       k: Int = 10, tables: Int = 4, bits: Int = 8,
       excludeSelf: Boolean = true): DataFrame = {
+    // fail fast on a dim mismatch: zip_with null-pads, a null dot product
+    // makes every bucket bit "0", and the LSH silently degenerates into a
+    // full queries x corpus candidate set — an O(n*q) blowup, not an error
+    val sampled = corpus.select(size(col(vecCol))).limit(1).collect()
+    require(sampled.isEmpty || sampled(0).getInt(0) == dim,
+      s"lshTopKPortable: dim=$dim but $vecCol has ${sampled(0).getInt(0)} elements")
     val planes = portablePlanes(tables, bits, dim)
     def bucketOf(t: Int): org.apache.spark.sql.Column =
       concat((0 until bits).map { b =>

@@ -54,8 +54,12 @@ object BloomJoin {
       expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
     val n = if (expectedItems > 0) expectedItems else math.max(1L, small.count())
     val bf = buildFilter(small, smallKey, n, fpp)
+    // rename the build key to a fresh name: an unqualified smallKey === bigKey
+    // condition is ambiguous whenever the two sides share the column name —
+    // the COMMON semi-join shape. (No distinct: semi-join semantics already
+    // ignore duplicate build rows; a pre-dedup would just add a shuffle.)
+    val k = s"__bj_${smallKey}"
     big.where(mightContain(bf, col(bigKey)))
-      .join(small.select(col(smallKey)).distinct(),
-        col(bigKey) === col(smallKey), "left_semi")
+      .join(small.select(col(smallKey).as(k)), col(bigKey) === col(k), "left_semi")
   }
 }

@@ -29,6 +29,11 @@ import org.apache.spark.sql.functions._
   *     upserts are unioned on. Set `broadcastKeys = false` when the touched
   *     key set is too large to broadcast — the anti join then degrades to a
   *     shuffle join, which AQE may still convert back.
+  *
+  * The latest-change subtree feeds two consumers (broadcast keys + upsert
+  * union), so Spark evaluates the CHANGELOG pipeline twice — bounded by the
+  * delta size, never the snapshot. Persist `changes` upstream if computing
+  * it is expensive.
   */
 object ChangeApply {
 

@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   * actually be in the base table with the recorded values, `added` rows are
   * the incoming versions (an update contributes its old image to `removed`
   * and its new image to `added`). Groups whose count reaches zero drop out;
-  * brand-new groups appear.
+  * brand-new groups appear. `valueCol` must be NON-NULL — a NULL delta value
+  * fails loudly at execution (SQL's sum-of-all-NULL-group-is-NULL cannot be
+  * maintained from `(n, sum)` alone, and quietly coalescing it to 0 would
+  * break the bit-identical-recompute contract the first time it happened).
   */
 object IncrementalAgg {
 
@@ -36,9 +39,14 @@ object IncrementalAgg {
     require(aggOld.columns.contains(nCol) && aggOld.columns.contains(sumCol),
       s"aggOld must carry $nCol and $sumCol")
     val dec = s"decimal(27,$scale)"
+    // per-row null guard, codegen'd — no extra validation job
+    val guarded = when(col(valueCol).isNull,
+      raise_error(lit(s"IncrementalAgg: NULL $valueCol in a delta row — " +
+        "the (n, sum) state cannot represent all-NULL groups")))
+      .otherwise(col(valueCol).cast(dec))
     def deltaOf(df: DataFrame, n: String, s: String): DataFrame =
       df.groupBy(groupCols.map(col): _*)
-        .agg(count(lit(1)).as(n), sum(col(valueCol).cast(dec)).as(s))
+        .agg(count(lit(1)).as(n), sum(guarded).as(s))
     val minus = deltaOf(removed, "__n_rm", "__s_rm")
     val plus = deltaOf(added, "__n_ad", "__s_ad")
     def z(c: String) = coalesce(col(c), lit(0))

@@ -24,15 +24,13 @@ class TextTablesSpec extends AnyFunSuite with SparkSpec {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
-  test("CSV round trip is lossless including quotes, newlines and unicode") {
+  test("CSV round trip is lossless including quotes, newlines, unicode AND null vs empty") {
     val back = TextTables.csvRoundTrip(fixture, tmp("graft_csv_spec"))
       .orderBy("id").as[(Long, String)].collect().toSeq
     val exp = fixture.orderBy("id").as[(Long, String)].collect().toSeq
-    // CSV cannot distinguish null from empty string (both serialize to an
-    // empty field) — the one documented lossy case; everything else exact
-    val normalize = (s: Seq[(Long, String)]) =>
-      s.map { case (i, t) => (i, if (t == null) "" else t) }
-    assert(normalize(back) == normalize(exp))
+    // the nullValue sentinel + emptyValue options keep NULL distinct from ""
+    // (bare CSV collapses both into an empty field)
+    assert(back == exp)
   }
 
   test("JSONL round trip is lossless including null vs empty string") {
