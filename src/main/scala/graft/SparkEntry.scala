@@ -1182,6 +1182,40 @@ object SparkEntry {
         .orderBy("g")
     }),
 
+    "q103_stream_matview" -> ((s, d) => {
+      // streaming materialized view: per-priority order stats maintained
+      // incrementally over a 3-batch stream — the final state must equal
+      // the one-shot aggregate (q102's delta arithmetic, streaming face)
+      import graft.streaming.{CorpusStreams, MaterializedAgg}
+      val orders = t(s, d, "orders")
+      val mid = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val staged = CorpusStreams.stageIdSlices(s, s"$d/orders.parquet",
+        "o_orderkey", Seq(mid / 3, 2 * mid / 3))
+      MaterializedAgg.streamingRefresh(s, staged,
+          Seq("o_orderpriority"), "o_totalprice")
+        .orderBy("o_orderpriority")
+    }),
+
+    "q104_schema_evolution" -> ((s, d) => {
+      // parquet schema evolution (the reference's append-path widening,
+      // §1.2, done the Spark way): files with an old 2-column schema and a
+      // new 3-column schema in one dataset; mergeSchema unions them,
+      // null-filling the column the old files lack
+      val dir = graft.io.TextTables.scratchDir("schema_evo", d,
+        graft.io.TextTables.sourceFingerprint(s"$d/orders.parquet"))
+      if (!new java.io.File(dir).exists()) {
+        val o = t(s, d, "orders")
+        o.where(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$dir/v1")
+        o.where(col("o_orderkey") % 2 =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$dir/v2")
+      }
+      s.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+        .orderBy("o_orderkey")
+    }),
+
     "q35_sql_text" -> ((s, d) => {
       // The reference's core capability: an arbitrary user SQL string
       // answered by the engine (`R/ffsql.R:171-176`) — here Spark SQL itself.
@@ -2283,6 +2317,17 @@ object SparkEntry {
          SELECT g, count(*) AS n,
            CAST(sum(CAST(v AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
          FROM newt GROUP BY g ORDER BY g""",
+    // the recompute oracle: the incrementally maintained view must equal
+    // the one-shot aggregate bit-exactly
+    "q103_stream_matview" ->
+      """SELECT o_orderpriority, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q104_schema_evolution" ->
+      """SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderpriority END
+             AS o_orderpriority
+         FROM orders ORDER BY o_orderkey""",
     "q101_partition_pruning" ->
       """SELECT o_orderpriority, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
