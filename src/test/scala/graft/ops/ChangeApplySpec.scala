@@ -58,6 +58,36 @@ class ChangeApplySpec extends AnyFunSuite with SparkSpec {
     assert(a == b)
   }
 
+  test("randomized changelogs match an in-memory model (5 seeds)") {
+    for (seed <- 1 to 5) {
+      val rng = new scala.util.Random(seed)
+      val snapRows = (1L to 40L).map(k => (k, s"t$k", k * 1.5))
+      // random changelog: up to 3 generations per touched key
+      val changes = (1L to 60L).filter(_ => rng.nextBoolean()).flatMap { k =>
+        (1 to 1 + rng.nextInt(3)).map { seq =>
+          val op = rng.nextInt(3) match {
+            case 0 => "I"; case 1 => "U"; case 2 => "D"
+          }
+          (k, seq.toLong, op, s"c$k-$seq", k * 10.0 + seq)
+        }
+      }
+      // model: latest (seq, op) per key wins; D deletes, I/U upserts
+      val model = scala.collection.mutable.Map(
+        snapRows.map(r => r._1 -> (r._2, r._3)): _*)
+      changes.groupBy(_._1).foreach { case (k, chs) =>
+        val (_, _, op, tag, v) = chs.maxBy(c => (c._2, c._3))
+        if (op == "D") model.remove(k) else model(k) = (tag, v)
+      }
+      val got = ChangeApply(
+        snapRows.toDF("id", "tag", "v"),
+        changes.toDF("id", "seq", "op", "tag", "v"),
+        "id", "seq", "op")
+        .as[(Long, String, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got == model.toMap, s"seed=$seed")
+    }
+  }
+
   test("rejects changelogs missing snapshot columns and clashing seq/op names") {
     val bad = Seq((1L, 1L, "U")).toDF("id", "seq", "op") // no tag/v payload
     intercept[IllegalArgumentException] {
