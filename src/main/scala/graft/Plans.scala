@@ -20,7 +20,8 @@ object Plans {
         "q52_embed_neardup", "q57_sequence_packing", "q59_asof_join",
         "q64_dedup_increment", "q74_group_topk", "q85_segment_dedup",
         "q89_mixture_apply", "q90_corpus_pipeline", "q91_cdc_merge",
-        "q93_bloom_join")
+        "q93_bloom_join", "q98_knn_lsh_portable", "q101_partition_pruning",
+        "q102_incremental_agg")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
