@@ -14,20 +14,30 @@ object Bench {
     try SparkEntry.queries("q12_scalar_funcs")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def timed(name: String): Double = {
       val t0 = System.nanoTime()
       // noop sink forces full evaluation of every output column — count()
       // would let Catalyst prune the projections we mean to measure.
       val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
       // failures record -1.0 so the JSON consumer cannot mistake a fast
       // failure for a fast query
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    // Load canary: the same already-warm trivial query timed immediately
+    // before and after the battery. Its plan never changes mid-run, so a
+    // large last/first ratio can only mean external host load arrived while
+    // the battery ran — it marks THIS artifact as contaminated (round-5's
+    // 2558s-vs-183s incident) rather than a code regression.
+    val canaryFirst = timed("q12_scalar_funcs")
+    val results = SparkEntry.queries.map { case (name, _) => name -> timed(name) }
+    val canaryLast = timed("q12_scalar_funcs")
+    val loadVar =
+      if (canaryFirst > 0 && canaryLast > 0) canaryLast / canaryFirst else -1.0
     // 2-decimal seconds: per-query timings are noise below 10ms anyway, and
     // the consumer captures only the LAST 2000 chars of output — full-
     // precision doubles push the 66-query line past that window and truncate
@@ -39,7 +49,7 @@ object Bench {
       s"\"" + k.takeWhile(_ != '_') + "\":" + f(v)
     }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","canary_first":${f(canaryFirst)},"canary_last":${f(canaryLast)},"load_variance":${f(loadVar)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1954,7 +1954,7 @@ object SparkEntry {
          ORDER BY d.doc_id""",
     "q73_json_extract" ->
       """SELECT event_type, count(*) AS n,
-         sum(CAST(props->>'k' AS BIGINT)) AS sum_k
+         CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q74_group_topk" ->
       """SELECT o_custkey, CAST(rn AS BIGINT) AS rnk, o_orderkey, o_totalprice

@@ -115,10 +115,18 @@ object ReadSql {
         val merged = existing.unionByName(withLevels)
         if (factorCols.isEmpty) merged
         else {
+          // Unseen new levels are appended in FIRST-SEEN order of the
+          // incoming rows (`R/ffsql.R:311-316`), not lexicographically:
+          // stamp the incoming frame with a dense row ordinal once (the
+          // reference's implicit ffdf row order made explicit) and rank
+          // each new level by the first row it appears on.
+          lazy val stamped = graft.ops.Ordinals.withRowOrdinal(
+            withLevels, "_graft_seen").localCheckpoint(true)
           val unioned = factorCols.map { c =>
             val old = graft.ops.Ops.levelsOf(existing, c).get
             val incoming = levels.getOrElse(c,
-              graft.ops.Ops.factorLevels(withLevels, c, maxFactorLevels))
+              graft.ops.Ops.factorLevelsFirstSeen(
+                stamped, c, "_graft_seen", maxFactorLevels))
             c -> (old ++ incoming.filterNot(old.contains))
           }.toMap
           graft.ops.Ops.factorise(merged, cols = factorCols,

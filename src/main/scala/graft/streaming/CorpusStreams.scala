@@ -3,8 +3,6 @@ package graft.streaming
 import java.nio.file.{Files, Path, Paths}
 import java.nio.file.attribute.FileTime
 
-import scala.collection.mutable.ArrayBuffer
-
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -28,9 +26,12 @@ import graft.ext.Dedup
   *
   * Scale: per batch, only the increment is shingled/signed (the index is
   * never rescanned); index frames are localCheckpoint'ed so lineage stays
-  * flat over unbounded streams. A production deployment would persist the
-  * index to parquet between runs ([[Dedup.minhashState]] is designed for
-  * exactly that) and write survivors to a sink instead of collecting ids.
+  * flat over unbounded streams; survivors are written to a parquet file
+  * sink per batch (a distributed executor-side write — ids never pass
+  * through the driver), so the only driver-side state is the index
+  * DataFrame handles. A production deployment would additionally persist
+  * the index to parquet between runs ([[Dedup.minhashState]] is designed
+  * for exactly that).
   */
 object CorpusStreams {
 
@@ -84,22 +85,27 @@ object CorpusStreams {
     * The result equals `Dedup.minhashDedup` over the full input — asserted
     * in `CorpusStreamsSpec` and, via q21's shared SQL oracle, in the
     * correctness gate.
+    *
+    * Survivor ids are appended to a parquet sink per batch and the returned
+    * DataFrame reads that sink back — no per-document state ever lives on
+    * the driver, so the operator's driver footprint is O(1) in corpus size.
+    * `sinkDir` defaults to a session-temp directory; pass a durable path to
+    * keep the survivor log across runs.
     */
   def corpusDedupStreaming(
       spark: SparkSession, stagedDir: String, idCol: String, textCol: String,
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
       shingleK: Int = 3, maxBucket: Int = 1000,
-      checkpointEvery: Int = 8): DataFrame = {
+      checkpointEvery: Int = 8, sinkDir: Option[String] = None): DataFrame = {
     require(checkpointEvery > 0, "checkpointEvery must be positive")
     val schema = spark.read.parquet(stagedDir).schema
     var state: Option[Dedup.MinhashState] = None
     var batchesSinceCheckpoint = 0
-    // mutated from the micro-batch thread, read from the caller thread after
-    // awaitTermination — synchronized explicitly rather than relying on the
-    // termination happens-before. Bounded only by corpus size: fine at the
-    // gate's scale; the production shape writes survivors to a sink per
-    // batch instead of collecting ids (see class doc).
-    val survivors = ArrayBuffer.empty[Long]
+    val sink = sinkDir.getOrElse {
+      val d = Files.createTempDirectory("graft_corpus_survivors")
+      d.toFile.deleteOnExit()
+      d.toString
+    }
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stagedDir)
     val q = stream.writeStream
@@ -112,9 +118,9 @@ object CorpusStreams {
             case None => Dedup.minhashDedup(b.toDF(), idCol, textCol,
               threshold, numHashes, bands, shingleK)
           }
-          val keptIds = kept.select(col(idCol).cast("long"))
-            .collect().map(_.getLong(0))
-          survivors.synchronized { survivors ++= keptIds }
+          // executor-side append; survivor ids never touch the driver
+          kept.select(col(idCol).cast("long").as(idCol))
+            .write.mode("append").parquet(sink)
           // index ALL seen docs (see class doc); checkpoint eagerly — the
           // batch frame is only valid inside this callback
           val inc = Dedup.minhashState(b.toDF(), idCol, textCol, numHashes,
@@ -140,7 +146,6 @@ object CorpusStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    import spark.implicits._
-    survivors.synchronized(survivors.toSeq).toDF(idCol)
+    spark.read.parquet(sink)
   }
 }

@@ -119,6 +119,20 @@ class ReadWriteSqlSpec extends AnyFunSuite with SparkSpec {
     assert(lv.distinct == lv)
   }
 
+  test("append-time dictionary union appends unseen levels in FIRST-SEEN row order (R/ffsql.R:311-316)") {
+    import graft.ops.Ops
+    // row order Z, M, A (with a duplicate Z): lexicographic union would give
+    // A, M, Z — the reference appends in order of first appearance.
+    val t = Seq((1, "Z"), (2, "M"), (3, "A"), (4, "Z")).toDF("pos", "a")
+    WriteSql(t, url, "ORDER_LEVELS", overwrite = true)
+    val base = Ops.factorise(
+      ReadSql(spark, url, "SELECT * FROM ORDER_LEVELS WHERE \"pos\" < 0"),
+      cols = Seq("a"), levelsOverride = Map("a" -> Seq("Q")))
+    val appended = ReadSql(spark, url,
+      "SELECT * FROM ORDER_LEVELS ORDER BY \"pos\"", appendTo = Some(base))
+    assert(Ops.levelsOf(appended, "a").contains(Seq("Q", "Z", "M", "A")))
+  }
+
   test("zero-row query returns an empty DataFrame WITH schema (divergence from reference, SURVEY §1.2)") {
     val df = ReadSql(spark, url, "SELECT * FROM TESTDATA WHERE 1 = 0")
     assert(df.columns.toSeq == Seq("a", "b", "c"))
