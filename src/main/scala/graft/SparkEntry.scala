@@ -627,9 +627,14 @@ object SparkEntry {
     }),
 
     "q34_multimodal" -> ((s, d) => {
-      val media = Multimodal.fakeMediaTable(t(s, d, "documents"), "doc_id", "text")
-      Multimodal.extractFeatures(media, featureDim = 8)
+      // REAL codec round trip: text -> PNG bytes (javax.imageio encode) ->
+      // decode + full-raster scan. Dims/fill are pure functions of the
+      // source byte length, so DuckDB can predict what a correct decode
+      // returns without ever seeing the PNG.
+      val media = Multimodal.encodePngMediaTable(t(s, d, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(Multimodal.decodeImages(media), featureDim = 8)
         .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
+          col("width"), col("height"), col("mean_gray"),
           size(col("features")).cast("long").as("feature_dim"))
         .orderBy("media_id")
     }),
@@ -1757,6 +1762,9 @@ object SparkEntry {
     "q34_multimodal" ->
       """SELECT doc_id AS media_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width,
+         CAST(octet_length(encode(text)) % 48 + 16 AS INTEGER) AS height,
+         CAST(octet_length(encode(text)) % 256 AS BIGINT) AS mean_gray,
          CAST(8 AS BIGINT) AS feature_dim
          FROM documents ORDER BY media_id""",
     "q50_correlate" ->

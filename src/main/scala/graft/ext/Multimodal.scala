@@ -8,18 +8,20 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, and run batch-shaped
   * decode/feature-extract/resize/frame-sample passes over them.
   *
-  * The Spark-side plumbing here is REAL and tested: schema contract,
-  * partition-parallel batched iteration (`mapPartitions` over fixed-size
-  * batches — the JVM analog of an arrow-batched pandas UDF), deterministic
-  * output shapes. The actual codec step is a clearly marked STUB
-  * ([[stubDecode]]) because no image/audio libraries exist in this
-  * environment; swap `stubDecode` for a real decoder and nothing else
-  * changes.
+  * The codec is REAL: payloads are PNG-encoded and PNG-decoded with
+  * `javax.imageio` (pure JVM, no external libraries), pixel by pixel, on
+  * the executors. The Spark-side plumbing is the arrow-batch shape:
+  * partition-parallel `mapPartitions` over fixed-size batches, payload
+  * bytes never on the driver, peak task memory bounded by the batch.
+  * Feature extraction is embarrassingly parallel, so the only cluster
+  * concern is input splittability (store media in Parquet binary columns
+  * or many mid-size files, not one giant blob file).
   *
-  * Scale notes: payload bytes never hit the driver; batches bound peak
-  * memory per task; feature extraction is embarrassingly parallel, so the
-  * only cluster concern is input splittability (store media in Parquet
-  * binary columns or many mid-size files, not one giant blob file).
+  * Oracle strategy: [[encodePngMediaTable]] builds images whose dimensions
+  * and uniform fill value are pure functions of the source text's UTF-8
+  * byte length, so an external SQL engine can predict exactly what a
+  * CORRECT decode must return — the round trip proves real bytes went
+  * through a real codec.
   */
 object Multimodal {
 
@@ -48,41 +50,125 @@ object Multimodal {
         (length(col(textCol)) % 480 + 32).cast(IntegerType).as("height"),
         length(col(textCol).cast(BinaryType)).cast(LongType).as("n_bytes")).as("meta"))
 
-  /** STUB decoder ??? — stands in for image/audio decode (no codec libs in
-    * this container). Deterministic fake: derives `featureDim` floats from a
-    * rolling hash of the payload bytes. Replace with a real decoder
-    * (e.g. javax.imageio / ffmpeg bindings) without touching the plumbing.
+  /** Encode one REAL PNG per row with `javax.imageio`: a TYPE_BYTE_GRAY
+    * image whose width/height/uniform fill are deterministic functions of
+    * the source text's UTF-8 byte length `n` (width = n%64+16,
+    * height = n%48+16, gray = n%256). `meta.n_bytes` records the SOURCE
+    * byte length (the encoded PNG size is codec-internal).
     */
-  def stubDecode(payload: Array[Byte], featureDim: Int): Array[Float] = {
-    val out = new Array[Float](featureDim)
-    var h = 1125899906842597L // deterministic rolling hash
-    var i = 0
-    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-    var j = 0
-    while (j < featureDim) {
-      h = h * 6364136223846793005L + 1442695040888963407L
-      out(j) = ((h >>> 16).toInt.toFloat / Int.MaxValue.toFloat)
-      j += 1
+  def encodePngMediaTable(
+      df: DataFrame, idCol: String, textCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val src = df.select(col(idCol).cast(LongType).as("media_id"),
+      col(textCol).cast(StringType).as("text"))
+    val rdd = src.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          if (r.isNullAt(1)) Row(r.getLong(0), null, null)
+          else {
+            val n = r.getString(1)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+            val w = n % 64 + 16; val h = n % 48 + 16; val gray = n % 256
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { raster.setSample(x, y, 0, gray); x += 1 }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            Row(r.getLong(0), bos.toByteArray,
+              Row("image/png", w, h, n.toLong))
+          }
+        }
+      }
     }
-    out
+    spark.createDataFrame(rdd, mediaSchema)
   }
 
-  /** Batched feature extraction: partition-parallel, processing rows in
-    * fixed-size batches (the arrow-batch shape). Appends
-    * `features array<float>`.
+  /** REAL image decode via `javax.imageio`, batch-shaped: appends the
+    * decoded `width`/`height` and `mean_gray` (floor of the average of
+    * band-0 samples over EVERY pixel — exact for uniform fills). Null or
+    * undecodable payloads yield nulls.
+    */
+  def decodeImages(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val schema = media.schema
+      .add("width", IntegerType, nullable = true)
+      .add("height", IntegerType, nullable = true)
+      .add("mean_gray", LongType, nullable = true)
+    val pIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val extra: Seq[Any] =
+            if (r.isNullAt(pIdx)) Seq(null, null, null)
+            else {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](pIdx)))
+              if (img == null) Seq(null, null, null)
+              else {
+                val w = img.getWidth; val h = img.getHeight
+                val raster = img.getRaster
+                var sum = 0L; var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+                  y += 1
+                }
+                // Seq[Any] explicitly: Seq(Int, Int, Long) would otherwise
+                // widen every element to Long and break the INT fields
+                Seq[Any](w, h, sum / (w.toLong * h))
+              }
+            }
+          Row.fromSeq(r.toSeq ++ extra)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Batched feature extraction: decodes the image (`javax.imageio`) and
+    * samples `featureDim` evenly spaced pixels (row-major), normalized to
+    * [0,1]. Appends `features array<float>`; null/undecodable payloads get
+    * null features.
     */
   def extractFeatures(media: DataFrame, featureDim: Int = 8, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
     val schema = media.schema.add("features", ArrayType(FloatType), nullable = true)
     val pIdx = media.schema.fieldIndex("payload")
     val rdd = media.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
       it.grouped(batchSize).flatMap { batch =>
-        // batch-shaped hook: a real decoder would decode the whole batch at
-        // once (vectorized codec / GPU inference); the stub maps per row.
+        // batch-shaped hook: a vectorized codec / GPU featurizer would take
+        // the whole batch at once; ImageIO decodes per row.
         batch.map { r =>
-          val feats =
+          val feats: Array[Float] =
             if (r.isNullAt(pIdx)) null
-            else stubDecode(r.getAs[Array[Byte]](pIdx), featureDim)
+            else {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](pIdx)))
+              if (img == null) null
+              else {
+                val w = img.getWidth; val h = img.getHeight
+                val raster = img.getRaster
+                val total = w.toLong * h
+                val out = new Array[Float](featureDim)
+                var j = 0
+                while (j < featureDim) {
+                  val p = (j * total / featureDim).toInt
+                  out(j) = raster.getSample(p % w, p / w, 0) / 255f
+                  j += 1
+                }
+                out
+              }
+            }
           Row.fromSeq(r.toSeq :+ feats)
         }
       }

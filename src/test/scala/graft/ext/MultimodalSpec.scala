@@ -18,22 +18,44 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(m.getLong(0) == "hello world".getBytes("UTF-8").length)
   }
 
-  test("extractFeatures appends fixed-dim deterministic features") {
-    val f1 = Multimodal.extractFeatures(media, featureDim = 8, batchSize = 2)
+  private def pngMedia = Multimodal.encodePngMediaTable(
+    Seq((1L, "hello world"), (2L, "a longer piece of fake media payload"),
+      (3L, "third")).toDF("id", "txt"), "id", "txt")
+
+  test("PNG round trip: decode recovers the encoded dims and fill exactly") {
+    val out = Multimodal.decodeImages(pngMedia)
+      .select("media_id", "width", "height", "mean_gray", "meta.n_bytes")
+      .orderBy("media_id")
+      .as[(Long, Int, Int, Long, Long)].collect()
+    for ((_, w, h, gray, n) <- out) {
+      assert(w == n % 64 + 16 && h == n % 48 + 16,
+        "decoded dims must equal the deterministic encode formula")
+      assert(gray == n % 256, "full-raster mean must equal the uniform fill")
+    }
+    // the payload is a genuine PNG (magic bytes), not the source text
+    val payload = pngMedia.orderBy("media_id").select("payload")
+      .head().getAs[Array[Byte]](0)
+    assert(payload.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+  }
+
+  test("extractFeatures decodes and samples fixed-dim pixel features") {
+    val f1 = Multimodal.extractFeatures(pngMedia, featureDim = 8, batchSize = 2)
       .select("media_id", "features").orderBy("media_id")
       .as[(Long, Seq[Float])].collect()
     assert(f1.forall(_._2.length == 8))
-    val f2 = Multimodal.extractFeatures(media, featureDim = 8, batchSize = 64)
+    // uniform-fill image: every sampled pixel equals gray/255
+    val n = "hello world".getBytes("UTF-8").length
+    assert(f1.head._2.forall(v => math.abs(v - (n % 256) / 255f) < 1e-6))
+    val f2 = Multimodal.extractFeatures(pngMedia, featureDim = 8, batchSize = 64)
       .select("media_id", "features").orderBy("media_id")
       .as[(Long, Seq[Float])].collect()
     assert(f1.toSeq == f2.toSeq) // batch size must not change results
   }
 
-  test("stubDecode is deterministic and payload-sensitive") {
-    val a = Multimodal.stubDecode("abc".getBytes, 4).toSeq
-    val b = Multimodal.stubDecode("abc".getBytes, 4).toSeq
-    val c = Multimodal.stubDecode("abd".getBytes, 4).toSeq
-    assert(a == b && a != c)
+  test("undecodable payloads yield null decode columns, not failures") {
+    val out = Multimodal.decodeImages(media) // raw UTF-8 bytes, not an image
+      .select("media_id", "width").orderBy("media_id").collect()
+    assert(out.length == 3 && out.forall(_.isNullAt(1)))
   }
 
   test("frameSample emits one hash per frame chunk") {
