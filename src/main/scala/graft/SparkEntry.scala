@@ -1208,7 +1208,11 @@ object SparkEntry {
       // null-filling the column the old files lack
       val dir = graft.io.TextTables.scratchDir("schema_evo", d,
         graft.io.TextTables.sourceFingerprint(s"$d/orders.parquet"))
-      if (!new java.io.File(dir).exists()) {
+      // gate on BOTH _SUCCESS markers (q101's pattern): a crash between the
+      // v1 and v2 writes must not leave a partial layout that later runs
+      // serve forever
+      if (!new java.io.File(s"$dir/v1", "_SUCCESS").exists() ||
+          !new java.io.File(s"$dir/v2", "_SUCCESS").exists()) {
         val o = t(s, d, "orders")
         o.where(col("o_orderkey") % 2 === 0)
           .select(col("o_orderkey"), col("o_totalprice"))

@@ -100,7 +100,11 @@ object Similarity {
     // full queries x corpus candidate set — an O(n*q) blowup, not an error
     val sampled = corpus.select(size(col(vecCol))).limit(1).collect()
     require(sampled.isEmpty || sampled(0).getInt(0) == dim,
-      s"lshTopKPortable: dim=$dim but $vecCol has ${sampled(0).getInt(0)} elements")
+      s"lshTopKPortable: dim=$dim but corpus $vecCol has ${sampled(0).getInt(0)} elements")
+    // the queries side degenerates the same way — guard both
+    val qSampled = queries.select(size(col(vecCol))).limit(1).collect()
+    require(qSampled.isEmpty || qSampled(0).getInt(0) == dim,
+      s"lshTopKPortable: dim=$dim but queries $vecCol has ${qSampled(0).getInt(0)} elements")
     val planes = portablePlanes(tables, bits, dim)
     def bucketOf(t: Int): org.apache.spark.sql.Column =
       concat((0 until bits).map { b =>

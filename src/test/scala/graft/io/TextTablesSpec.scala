@@ -33,6 +33,20 @@ class TextTablesSpec extends AnyFunSuite with SparkSpec {
     assert(back == exp)
   }
 
+  test("CSV sentinel exclusion: a literal \\N value reads back as NULL (documented); JSONL keeps it") {
+    // Spark's CSV parser compares nullValue against the UNQUOTED token, so a
+    // string whose value is exactly the \N sentinel cannot survive the CSV
+    // round trip — the documented exclusion in csvRoundTrip's contract.
+    val tricky = Seq((1L, "\\N"), (2L, null: String)).toDF("id", "text")
+    val csv = TextTables.csvRoundTrip(tricky, tmp("graft_csv_sentinel"))
+      .orderBy("id").collect()
+    assert(csv(0).isNullAt(1) && csv(1).isNullAt(1))
+    // the JSONL path has no in-band marker and round-trips it losslessly
+    val jsonl = TextTables.jsonlRoundTrip(tricky, tmp("graft_jsonl_sentinel"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(jsonl == Seq((1L, "\\N"), (2L, null)))
+  }
+
   test("JSONL round trip is lossless including null vs empty string") {
     val back = TextTables.jsonlRoundTrip(fixture, tmp("graft_jsonl_spec"))
       .orderBy("id").as[(Long, String)].collect().toSeq
