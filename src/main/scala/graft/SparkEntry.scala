@@ -626,6 +626,20 @@ object SparkEntry {
         .orderBy("r_regionkey")
     }),
 
+    "q105_jdbc_partitioned" -> ((s, d) => {
+      // the PARALLEL scan path (ReadSql partitionColumn/numPartitions —
+      // N executor connections over disjoint key ranges) must return the
+      // same rows as the serial path; oracled against the source table
+      System.setProperty("derby.system.home", "/tmp/graft_derby")
+      val url = s"jdbc:derby:/tmp/graft_derby/pt_${System.nanoTime()};create=true"
+      WriteSql(t(s, d, "nation"), url, "NATION_PT", overwrite = true, batchSize = 100)
+      ReadSql(s, url, "SELECT * FROM NATION_PT",
+          partitionColumn = Some("\"n_nationkey\""),
+          lowerBound = 0L, upperBound = 25L, numPartitions = 4)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
     "q34_multimodal" -> ((s, d) => {
       // REAL codec round trip: text -> PNG bytes (javax.imageio encode) ->
       // decode + full-raster scan. Dims/fill are pure functions of the
@@ -1062,11 +1076,13 @@ object SparkEntry {
       // every match on a finite stream, so q50's SQL oracle gates the
       // streaming path too
       val name = s"graft_stream_corr_${streamCounter.incrementAndGet()}"
-      // userMod=4: a deterministic quarter of the users — the stream-stream
-      // join's per-row state traffic is the cost driver, and the sliced
-      // query exercises identical machinery
+      // userMod=8: a deterministic eighth of the users — the stream-stream
+      // join's per-row state traffic is a cost driver, and the sliced
+      // query exercises identical machinery. shufflePartitions=8 bounds the
+      // other driver, the 4-stores-per-partition-per-batch fixed overhead.
       EventStreams.correlateStreaming(s, s"$d/events.parquet", name,
-          "click", "purchase", withinMinutes = 60, userMod = 4L)
+          "click", "purchase", withinMinutes = 60, userMod = 8L,
+          shufflePartitions = Some(8))
         .orderBy("user_id", "a_id", "b_id")
     }),
 
@@ -1728,6 +1744,8 @@ object SparkEntry {
          FROM b GROUP BY wstart, event_type ORDER BY wstart, event_type""",
     "q33_jdbc_roundtrip" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+    "q105_jdbc_partitioned" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
     "q60_stream_dedup" ->
       """SELECT event_id, user_id,
            CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value
@@ -2256,7 +2274,7 @@ object SparkEntry {
          CAST(floor(epoch(b.ts)) AS BIGINT) - CAST(floor(epoch(a.ts)) AS BIGINT) AS lag_sec
          FROM events a JOIN events b ON a.user_id = b.user_id
          WHERE a.event_type = 'click' AND b.event_type = 'purchase'
-           AND a.user_id % 4 = 0
+           AND a.user_id % 8 = 0 AND b.user_id % 8 = 0
            AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
          ORDER BY 1, 2, 3""",
     "q95_zorder" -> {

@@ -238,7 +238,8 @@ object EventStreams {
       spark: SparkSession, eventsPath: String, queryName: String,
       typeA: String, typeB: String, withinMinutes: Int = 60,
       watermark: String = "10 minutes",
-      userMod: Long = 1L): DataFrame = {
+      userMod: Long = 1L,
+      shufflePartitions: Option[Int] = None): DataFrame = {
     val schema = spark.read.parquet(eventsPath).schema
     // userMod > 1 bounds join state to a deterministic 1/userMod user slice
     // — same machinery, proportionally less per-row state-store traffic
@@ -247,14 +248,26 @@ object EventStreams {
         spark.readStream.schema(schema).parquet(stageStreamDir(eventsPath)))
       if (userMod > 1L) s0.where(pmod(col("user_id"), lit(userMod)) === 0L) else s0
     }
-    val q = correlate(stream(), stream(), typeA, typeB, withinMinutes, watermark)
-      .writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // A stream-stream join runs FOUR state stores per shuffle partition per
+    // micro-batch; that per-store open/commit cost, not row volume, is the
+    // fixed overhead on a small slice. The state partition count is frozen
+    // from spark.sql.shuffle.partitions at the query's first run, so bound
+    // it here (results are unaffected — only state parallelism changes) and
+    // restore the session value after. Queries in this engine run
+    // sequentially per session, so the temporary conf swap cannot race.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    shufflePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val q = correlate(stream(), stream(), typeA, typeB, withinMinutes, watermark)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
     drainMemorySink(spark, queryName)
   }
 
