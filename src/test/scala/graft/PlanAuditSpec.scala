@@ -82,6 +82,40 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"status filtered row-level instead of partition-level:\n$plan")
   }
 
+  test("ChangeApply broadcastKeys=false: the anti join survives as a shuffle join with identical results") {
+    import org.apache.spark.sql.functions._
+    // the large-changelog path: when the touched key set cannot broadcast,
+    // the snapshot anti join must degrade to a SHUFFLE join, not fail or
+    // silently still broadcast. Pin autoBroadcastJoinThreshold=-1 so AQE
+    // cannot convert it back and the asserted shape is deterministic.
+    val snapshot = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    val changes = snapshot.where(col("o_orderkey") % 5 === 0)
+      .withColumn("seq", lit(1L))
+      .withColumn("op", when(col("o_orderkey") % 10 === 0, "D").otherwise("U"))
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    val (shufflePlan, shuffleRows) =
+      try {
+        spark.conf.set(key, "-1")
+        val df = graft.ops.ChangeApply(snapshot, changes,
+          "o_orderkey", "seq", "op", broadcastKeys = false)
+        val rows = df.orderBy("o_orderkey").collect().toSeq
+        (df.queryExecution.executedPlan.toString, rows)
+      } finally spark.conf.set(key, prev)
+    assert(!shufflePlan.contains("BroadcastHashJoin"),
+      s"broadcastKeys=false still broadcast the touched keys:\n$shufflePlan")
+    assert(shufflePlan.contains("SortMergeJoin") || shufflePlan.contains("ShuffledHashJoin"),
+      s"no shuffle anti join in:\n$shufflePlan")
+    assert(shufflePlan.contains("LeftAnti"), s"anti join missing in:\n$shufflePlan")
+    val broadcastRows = graft.ops.ChangeApply(snapshot, changes,
+      "o_orderkey", "seq", "op", broadcastKeys = true)
+      .orderBy("o_orderkey").collect().toSeq
+    assert(shuffleRows == broadcastRows,
+      "shuffle and broadcast anti-join paths must return identical results")
+  }
+
   test("q93: the bloom probe filters the fact scan stage, below the join") {
     val plan = finalPlan("q93_bloom_join")
     val probeIdx = plan.indexOf("might_contain")
