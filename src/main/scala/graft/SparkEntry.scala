@@ -348,11 +348,11 @@ object SparkEntry {
       // so q21's oracle semantics gate the streaming path too
       import graft.streaming.CorpusStreams
       val docs = t(s, d, "documents")
-      val mid = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
       val staged = CorpusStreams.stageIdSlices(s, s"$d/documents.parquet",
         "doc_id", cuts = Seq(mid))
       CorpusStreams.corpusDedupStreaming(s, staged, "doc_id", "text",
-        threshold = 0.6)
+        threshold = 0.6, shufflePartitions = Some(8))
         .orderBy("doc_id")
     }),
 
@@ -582,7 +582,7 @@ object SparkEntry {
       // twice; survivors = the distinct source rows exactly
       val name = s"graft_stream_dd_${streamCounter.incrementAndGet()}"
       EventStreams.streamingDedup(s, s"$d/events.parquet", name,
-        keys = Seq("event_id"))
+        keys = Seq("event_id"), shufflePartitions = Some(8))
         .select(col("event_id"), col("user_id"),
           unix_timestamp(col("ts")).as("ts_sec"), col("value"))
         .orderBy("event_id")
@@ -607,13 +607,15 @@ object SparkEntry {
       // it exists for custom-state SEMANTICS — pipelines that can express
       // their sessions as window functions should use the q30 path.
       val name = s"graft_stream_ss_${streamCounter.incrementAndGet()}"
-      EventStreams.sessionizeStatefulStreaming(s, s"$d/events.parquet", name)
+      EventStreams.sessionizeStatefulStreaming(s, s"$d/events.parquet", name,
+          shufflePartitions = Some(8))
         .orderBy("user_id", "session_start")
     }),
 
     "q32_stream_tumbling" -> ((s, d) => {
       val name = s"graft_stream_tw_${streamCounter.incrementAndGet()}"
-      EventStreams.tumblingWindowStreaming(s, s"$d/events.parquet", name, "1 hour")
+      EventStreams.tumblingWindowStreaming(s, s"$d/events.parquet", name, "1 hour",
+          shufflePartitions = Some(8))
         .orderBy("wstart", "event_type")
     }),
 
@@ -1213,7 +1215,7 @@ object SparkEntry {
       val staged = CorpusStreams.stageIdSlices(s, s"$d/orders.parquet",
         "o_orderkey", Seq(mid / 3, 2 * mid / 3))
       MaterializedAgg.streamingRefresh(s, staged,
-          Seq("o_orderpriority"), "o_totalprice")
+          Seq("o_orderpriority"), "o_totalprice", shufflePartitions = Some(8))
         .orderBy("o_orderpriority")
     }),
 

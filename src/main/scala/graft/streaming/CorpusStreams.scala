@@ -96,7 +96,8 @@ object CorpusStreams {
       spark: SparkSession, stagedDir: String, idCol: String, textCol: String,
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
       shingleK: Int = 3, maxBucket: Int = 1000,
-      checkpointEvery: Int = 8, sinkDir: Option[String] = None): DataFrame = {
+      checkpointEvery: Int = 8, sinkDir: Option[String] = None,
+      shufflePartitions: Option[Int] = None): DataFrame = {
     require(checkpointEvery > 0, "checkpointEvery must be positive")
     val schema = spark.read.parquet(stagedDir).schema
     var state: Option[Dedup.MinhashState] = None
@@ -108,44 +109,46 @@ object CorpusStreams {
     }
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stagedDir)
-    val q = stream.writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val b = batch.persist()
-        try {
-          val kept = state match {
-            case Some(st) => Dedup.minhashDedupAgainst(b.toDF(), st, idCol,
-              textCol, threshold, numHashes, bands, shingleK, maxBucket)
-            case None => Dedup.minhashDedup(b.toDF(), idCol, textCol,
-              threshold, numHashes, bands, shingleK)
-          }
-          // executor-side append; survivor ids never touch the driver
-          kept.select(col(idCol).cast("long").as(idCol))
-            .write.mode("append").parquet(sink)
-          // index ALL seen docs (see class doc); checkpoint eagerly — the
-          // batch frame is only valid inside this callback
-          val inc = Dedup.minhashState(b.toDF(), idCol, textCol, numHashes,
-            bands, shingleK, maxBucket)
-          val incCk = Dedup.MinhashState(
-            inc.sets.localCheckpoint(true), inc.buckets.localCheckpoint(true))
-          state = Some(state.fold(incCk) { st =>
-            Dedup.MinhashState(st.sets.union(incCk.sets),
-              st.buckets.union(incCk.buckets))
-          })
-          // the accumulated index is a left-deep union of checkpointed
-          // leaves; the UNION's plan depth still grows with batch count, so
-          // collapse it to a fresh pair of flat leaves every few batches —
-          // keeps per-batch analysis cost O(checkpointEvery), not O(#batches)
-          batchesSinceCheckpoint += 1
-          if (batchesSinceCheckpoint >= checkpointEvery) {
-            state = state.map(st => Dedup.MinhashState(
-              st.sets.localCheckpoint(true), st.buckets.localCheckpoint(true)))
-            batchesSinceCheckpoint = 0
-          }
-        } finally b.unpersist()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    EventStreams.withStatePartitions(spark, shufflePartitions) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          val b = batch.persist()
+          try {
+            val kept = state match {
+              case Some(st) => Dedup.minhashDedupAgainst(b.toDF(), st, idCol,
+                textCol, threshold, numHashes, bands, shingleK, maxBucket)
+              case None => Dedup.minhashDedup(b.toDF(), idCol, textCol,
+                threshold, numHashes, bands, shingleK)
+            }
+            // executor-side append; survivor ids never touch the driver
+            kept.select(col(idCol).cast("long").as(idCol))
+              .write.mode("append").parquet(sink)
+            // index ALL seen docs (see class doc); checkpoint eagerly — the
+            // batch frame is only valid inside this callback
+            val inc = Dedup.minhashState(b.toDF(), idCol, textCol, numHashes,
+              bands, shingleK, maxBucket)
+            val incCk = Dedup.MinhashState(
+              inc.sets.localCheckpoint(true), inc.buckets.localCheckpoint(true))
+            state = Some(state.fold(incCk) { st =>
+              Dedup.MinhashState(st.sets.union(incCk.sets),
+                st.buckets.union(incCk.buckets))
+            })
+            // the accumulated index is a left-deep union of checkpointed
+            // leaves; the UNION's plan depth still grows with batch count, so
+            // collapse it to a fresh pair of flat leaves every few batches —
+            // keeps per-batch analysis cost O(checkpointEvery), not O(#batches)
+            batchesSinceCheckpoint += 1
+            if (batchesSinceCheckpoint >= checkpointEvery) {
+              state = state.map(st => Dedup.MinhashState(
+                st.sets.localCheckpoint(true), st.buckets.localCheckpoint(true)))
+              batchesSinceCheckpoint = 0
+            }
+          } finally b.unpersist()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(sink)
   }
 }

@@ -37,6 +37,26 @@ object EventStreams {
       case _ => df.withColumn("ts", col("ts").cast("timestamp"))
     }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` bounded to `n` (restored
+    * after). Stateful streaming cost is dominated by per-store fixed
+    * overhead — each micro-batch opens/commits one state store per shuffle
+    * partition (FOUR per partition for a stream-stream join), and the state
+    * partition count freezes from this conf at the query's first run.
+    * Results are unaffected (state partitioning never changes semantics;
+    * oracle-compared sums are decimal-routed, so partial-agg order is moot).
+    * Queries in this engine run sequentially per session, so the temporary
+    * swap cannot race a concurrent query.
+    */
+  private[streaming] def withStatePartitions[T](
+      spark: SparkSession, n: Option[Int])(body: => T): T = n match {
+    case None => body
+    case Some(v) =>
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, v.toString)
+      try body finally spark.conf.set(key, prev)
+  }
+
   /** Drain a finished memory-sink table into a local DataFrame and DROP the
     * sink's temp view. The memory sink already holds its rows on the driver;
     * draining adds nothing, but dropping the view releases them when the
@@ -83,7 +103,8 @@ object EventStreams {
     */
   def tumblingWindowStreaming(
       spark: SparkSession, eventsPath: String, queryName: String,
-      windowLen: String = "1 hour", watermark: String = "10 minutes"): DataFrame = {
+      windowLen: String = "1 hour", watermark: String = "10 minutes",
+      shufflePartitions: Option[Int] = None): DataFrame = {
     val schema = spark.read.parquet(eventsPath).schema
     val stream = normalizeTs(
       spark.readStream.schema(schema).parquet(stageStreamDir(eventsPath)))
@@ -93,13 +114,15 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
       .select(unix_timestamp(col("w.start")).as("wstart"), col("event_type"),
         col("n_events"), col("sum_value"))
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete())
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, shufflePartitions) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     drainMemorySink(spark, queryName)
   }
 
@@ -113,7 +136,8 @@ object EventStreams {
     */
   def streamingDedup(
       spark: SparkSession, eventsPath: String, queryName: String,
-      keys: Seq[String], watermark: String = "10 minutes"): DataFrame = {
+      keys: Seq[String], watermark: String = "10 minutes",
+      shufflePartitions: Option[Int] = None): DataFrame = {
     val p = java.nio.file.Paths.get(eventsPath).toAbsolutePath
     val d = java.nio.file.Files.createTempDirectory("graft_dup_stream")
     d.toFile.deleteOnExit()
@@ -144,16 +168,18 @@ object EventStreams {
     }
     val schema = spark.read.parquet(eventsPath).schema
     val stream = normalizeTs(spark.readStream.schema(schema).parquet(d.toString))
-    val q = stream
-      .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark(keys)
-      .writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, shufflePartitions) {
+      val q = stream
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     drainMemorySink(spark, queryName)
   }
 
@@ -249,16 +275,8 @@ object EventStreams {
       if (userMod > 1L) s0.where(pmod(col("user_id"), lit(userMod)) === 0L) else s0
     }
     // A stream-stream join runs FOUR state stores per shuffle partition per
-    // micro-batch; that per-store open/commit cost, not row volume, is the
-    // fixed overhead on a small slice. The state partition count is frozen
-    // from spark.sql.shuffle.partitions at the query's first run, so bound
-    // it here (results are unaffected — only state parallelism changes) and
-    // restore the session value after. Queries in this engine run
-    // sequentially per session, so the temporary conf swap cannot race.
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    shufflePartitions.foreach(n => spark.conf.set(key, n.toString))
-    try {
+    // micro-batch, so this query benefits most from bounding them.
+    withStatePartitions(spark, shufflePartitions) {
       val q = correlate(stream(), stream(), typeA, typeB, withinMinutes, watermark)
         .writeStream
         .outputMode(OutputMode.Append())
@@ -267,7 +285,7 @@ object EventStreams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set(key, prev)
+    }
     drainMemorySink(spark, queryName)
   }
 
@@ -352,17 +370,20 @@ object EventStreams {
     */
   def sessionizeStatefulStreaming(
       spark: SparkSession, eventsPath: String, queryName: String,
-      gapMinutes: Int = 30): DataFrame = {
+      gapMinutes: Int = 30,
+      shufflePartitions: Option[Int] = None): DataFrame = {
     val schema = spark.read.parquet(eventsPath).schema
     val stream = normalizeTs(
       spark.readStream.schema(schema).parquet(stageStreamDir(eventsPath)))
-    val q = sessionizeStateful(stream, gapMinutes).writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, shufflePartitions) {
+      val q = sessionizeStateful(stream, gapMinutes).writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     drainMemorySink(spark, queryName)
   }
 }

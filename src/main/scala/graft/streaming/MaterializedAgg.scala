@@ -26,33 +26,38 @@ object MaterializedAgg {
       spark: SparkSession, stagedDir: String,
       groupCols: Seq[String], valueCol: String,
       nCol: String = "n", sumCol: String = "sum_value",
-      scale: Int = 4): DataFrame = {
+      scale: Int = 4,
+      shufflePartitions: Option[Int] = None): DataFrame = {
     val schema = spark.read.parquet(stagedDir).schema
     var state: Option[DataFrame] = None
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
-      .writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val added = batch.toDF()
-        val next = state match {
-          case None =>
-            added.groupBy(groupCols.map(col): _*)
-              .agg(count(lit(1)).as(nCol),
-                sum(col(valueCol).cast(s"decimal(27,$scale)"))
-                  .cast("double").as(sumCol))
-          case Some(st) =>
-            // append-only stream: no removals; an upstream CDC feed would
-            // route its delete/old-image rows through `removed` instead
-            val removed = spark.createDataFrame(
-              java.util.Collections.emptyList[Row](), added.schema)
-            IncrementalAgg.refresh(st, removed, added, groupCols, valueCol,
-              nCol, sumCol, scale)
+    // bounding partitions here shrinks the per-batch groups-sized shuffle
+    // AND the localCheckpoint'ed state materialization (tasks per batch)
+    EventStreams.withStatePartitions(spark, shufflePartitions) {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+        .writeStream
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          val added = batch.toDF()
+          val next = state match {
+            case None =>
+              added.groupBy(groupCols.map(col): _*)
+                .agg(count(lit(1)).as(nCol),
+                  sum(col(valueCol).cast(s"decimal(27,$scale)"))
+                    .cast("double").as(sumCol))
+            case Some(st) =>
+              // append-only stream: no removals; an upstream CDC feed would
+              // route its delete/old-image rows through `removed` instead
+              val removed = spark.createDataFrame(
+                java.util.Collections.emptyList[Row](), added.schema)
+              IncrementalAgg.refresh(st, removed, added, groupCols, valueCol,
+                nCol, sumCol, scale)
+          }
+          state = Some(next.localCheckpoint(true))
         }
-        state = Some(next.localCheckpoint(true))
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     state.getOrElse(
       throw new IllegalStateException(s"no micro-batches arrived from $stagedDir"))
   }
