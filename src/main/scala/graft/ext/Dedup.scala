@@ -266,6 +266,32 @@ object Dedup {
     MinhashState(sets, buckets)
   }
 
+  /** Persist a [[MinhashState]] to `dir` (parquet `sets/` + `buckets/`) —
+    * the between-runs half of the incremental-dedup contract. Both frames
+    * are localCheckpoint'ed first, so saving into the SAME directory the
+    * state was loaded from is safe (the lazy plans would otherwise still be
+    * reading the files being overwritten).
+    */
+  def saveMinhashState(state: MinhashState, dir: String): Unit = {
+    val sets = state.sets.localCheckpoint(true)
+    val buckets = state.buckets.localCheckpoint(true)
+    sets.write.mode("overwrite").parquet(s"$dir/sets")
+    buckets.write.mode("overwrite").parquet(s"$dir/buckets")
+  }
+
+  /** Load a [[MinhashState]] previously written by [[saveMinhashState]].
+    * Returns None when no complete state exists at `dir` (both `_SUCCESS`
+    * markers required — a partial save is never served).
+    */
+  def loadMinhashState(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Option[MinhashState] = {
+    val ok = Seq("sets", "buckets").forall(p =>
+      new java.io.File(s"$dir/$p", "_SUCCESS").exists())
+    if (!ok) None
+    else Some(MinhashState(
+      spark.read.parquet(s"$dir/sets"), spark.read.parquet(s"$dir/buckets")))
+  }
+
   /** Incremental dedup — the daily-increment workflow: drop rows of
     * `incoming` that near-duplicate (exact-verified jaccard >= threshold)
     * ANY corpus row ("corpus wins" — the existing corpus is never

@@ -91,16 +91,25 @@ object CorpusStreams {
     * the driver, so the operator's driver footprint is O(1) in corpus size.
     * `sinkDir` defaults to a session-temp directory; pass a durable path to
     * keep the survivor log across runs.
+    *
+    * `stateDir` makes the run RESUMABLE: the index loads from a prior
+    * [[Dedup.saveMinhashState]] at start (absent/partial state = fresh
+    * start) and saves back at termination, so a later invocation dedups its
+    * batches against everything every earlier run saw — the restartable
+    * daily-ingest shape, asserted batch-boundary-invariant in
+    * `CorpusStreamsSpec`.
     */
   def corpusDedupStreaming(
       spark: SparkSession, stagedDir: String, idCol: String, textCol: String,
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
       shingleK: Int = 3, maxBucket: Int = 1000,
       checkpointEvery: Int = 8, sinkDir: Option[String] = None,
-      shufflePartitions: Option[Int] = None): DataFrame = {
+      shufflePartitions: Option[Int] = None,
+      stateDir: Option[String] = None): DataFrame = {
     require(checkpointEvery > 0, "checkpointEvery must be positive")
     val schema = spark.read.parquet(stagedDir).schema
-    var state: Option[Dedup.MinhashState] = None
+    var state: Option[Dedup.MinhashState] =
+      stateDir.flatMap(Dedup.loadMinhashState(spark, _))
     var batchesSinceCheckpoint = 0
     val sink = sinkDir.getOrElse {
       val d = Files.createTempDirectory("graft_corpus_survivors")
@@ -149,6 +158,7 @@ object CorpusStreams {
         .start()
       q.awaitTermination()
     }
+    for (dir <- stateDir; st <- state) Dedup.saveMinhashState(st, dir)
     spark.read.parquet(sink)
   }
 }

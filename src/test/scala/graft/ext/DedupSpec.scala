@@ -56,6 +56,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(kept == Set(12L))
   }
 
+  test("minhash state survives a parquet save/load round trip") {
+    val corpus = docs.where($"doc_id" <= 2)
+    val incoming = docs.where($"doc_id" >= 3) // 4 dups corpus doc 1
+    val inline = Dedup.minhashDedupAgainst(incoming, corpus,
+      "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_state").toString
+    assert(Dedup.loadMinhashState(spark, dir).isEmpty, "no state yet -> None")
+    Dedup.saveMinhashState(
+      Dedup.minhashState(corpus, "doc_id", "text"), dir)
+    val loaded = Dedup.loadMinhashState(spark, dir)
+      .getOrElse(fail("saved state not loadable"))
+    val viaLoaded = Dedup.minhashDedupAgainst(incoming, loaded, "doc_id",
+      "text", threshold = 0.5, numHashes = 64, bands = 16, shingleK = 3,
+      maxBucket = 1000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaLoaded == inline && inline == Set(3L))
+  }
+
   test("connectedComponents resolves chains to the min reachable id") {
     // chain 1-2, 2-3 (1-3 never directly paired) + separate component 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_l", "id_r")

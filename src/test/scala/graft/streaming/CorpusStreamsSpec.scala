@@ -47,6 +47,30 @@ class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
         "DROPPED doc B from the previous batch and must still be dropped")
   }
 
+  test("stateDir resume: two separate runs equal the one-shot dedup (restartable ingest)") {
+    val rows = Seq((1L, docA), (2L, docB), (3L, docC),
+      (4L, "an entirely unrelated document about storage engines and " +
+        "buffer pools with write ahead logging"))
+    val oneShot = Dedup.minhashDedup(rows.toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_cs_state").toString
+    // run 1 ingests {1,2}; run 2 is a NEW invocation (fresh staged dir)
+    // ingesting {3,4} — it must see run 1's corpus only through stateDir.
+    // The chain (3 dups 2, not 1) proves the reloaded index carries ALL
+    // seen docs, not just run 1's survivors.
+    val run1 = CorpusStreams.corpusDedupStreaming(spark,
+      CorpusStreams.stageIdSlices(spark, writeDocs(rows.take(2)), "doc_id", Seq(2L)),
+      "doc_id", "text", threshold = 0.7, stateDir = Some(stateDir))
+      .as[Long].collect().toSet
+    val run2 = CorpusStreams.corpusDedupStreaming(spark,
+      CorpusStreams.stageIdSlices(spark, writeDocs(rows.drop(2)), "doc_id", Seq(4L)),
+      "doc_id", "text", threshold = 0.7, stateDir = Some(stateDir))
+      .as[Long].collect().toSet
+    assert((run1 ++ run2) == oneShot,
+      s"resumed runs ($run1 ++ $run2) must equal the one-shot result $oneShot")
+  }
+
   test("an empty micro-batch is harmless") {
     val rows = Seq((1L, docA), (2L, docB))
     val path = writeDocs(rows)
