@@ -633,7 +633,10 @@ object SparkEntry {
       // N executor connections over disjoint key ranges) must return the
       // same rows as the serial path; oracled against the source table
       System.setProperty("derby.system.home", "/tmp/graft_derby")
-      val url = s"jdbc:derby:/tmp/graft_derby/pt_${System.nanoTime()};create=true"
+      // deterministic DB path (unlike q33's fresh-per-call): overwrite=true
+      // makes the write idempotent, so repeated gate/bench runs reuse one
+      // directory instead of accumulating dead pt_<nano> DBs under /tmp
+      val url = "jdbc:derby:/tmp/graft_derby/pt_fixed;create=true"
       WriteSql(t(s, d, "nation"), url, "NATION_PT", overwrite = true, batchSize = 100)
       ReadSql(s, url, "SELECT * FROM NATION_PT",
           partitionColumn = Some("\"n_nationkey\""),
@@ -648,7 +651,7 @@ object SparkEntry {
       // source byte length, so DuckDB can predict what a correct decode
       // returns without ever seeing the PNG.
       val media = Multimodal.encodePngMediaTable(t(s, d, "documents"), "doc_id", "text")
-      Multimodal.extractFeatures(Multimodal.decodeImages(media), featureDim = 8)
+      Multimodal.decodeImages(media, featureDim = Some(8))
         .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
           col("width"), col("height"), col("mean_gray"),
           size(col("features")).cast("long").as("feature_dim"))

@@ -266,30 +266,61 @@ object Dedup {
     MinhashState(sets, buckets)
   }
 
+  /** The signature parameters a persisted [[MinhashState]] was built with.
+    * Buckets/signatures from different parameters never collide correctly,
+    * so a resume MUST run with the same values — the manifest makes a
+    * mismatch fail fast instead of silently passing every duplicate.
+    */
+  final case class MinhashParams(numHashes: Int, bands: Int, shingleK: Int) {
+    def encoded: String = s"numHashes=$numHashes;bands=$bands;shingleK=$shingleK"
+  }
+
+  private val stateManifest = "_GRAFT_STATE"
+
   /** Persist a [[MinhashState]] to `dir` (parquet `sets/` + `buckets/`) —
     * the between-runs half of the incremental-dedup contract. Both frames
     * are localCheckpoint'ed first, so saving into the SAME directory the
     * state was loaded from is safe (the lazy plans would otherwise still be
-    * reading the files being overwritten).
+    * reading the files being overwritten). The save is crash-safe: the
+    * manifest (carrying `params`) is deleted before the writes and recreated
+    * only after BOTH succeed, so a crash between the two parquet writes
+    * leaves no manifest and the torn pair is never served.
     */
-  def saveMinhashState(state: MinhashState, dir: String): Unit = {
+  def saveMinhashState(
+      state: MinhashState, dir: String, params: MinhashParams): Unit = {
     val sets = state.sets.localCheckpoint(true)
     val buckets = state.buckets.localCheckpoint(true)
+    val manifest = new java.io.File(dir, stateManifest)
+    manifest.delete() // invalidate any previous state before touching it
     sets.write.mode("overwrite").parquet(s"$dir/sets")
     buckets.write.mode("overwrite").parquet(s"$dir/buckets")
+    java.nio.file.Files.write(manifest.toPath,
+      params.encoded.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Load a [[MinhashState]] previously written by [[saveMinhashState]].
-    * Returns None when no complete state exists at `dir` (both `_SUCCESS`
-    * markers required — a partial save is never served).
+    * Returns None when no complete state exists at `dir` (manifest + both
+    * `_SUCCESS` markers required — a partial or torn save is never served).
+    * Fails loudly when the stored parameters differ from `expect`.
     */
   def loadMinhashState(
-      spark: org.apache.spark.sql.SparkSession, dir: String): Option[MinhashState] = {
-    val ok = Seq("sets", "buckets").forall(p =>
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      expect: MinhashParams): Option[MinhashState] = {
+    val manifest = new java.io.File(dir, stateManifest)
+    val ok = manifest.exists() && Seq("sets", "buckets").forall(p =>
       new java.io.File(s"$dir/$p", "_SUCCESS").exists())
     if (!ok) None
-    else Some(MinhashState(
-      spark.read.parquet(s"$dir/sets"), spark.read.parquet(s"$dir/buckets")))
+    else {
+      val stored = new String(
+        java.nio.file.Files.readAllBytes(manifest.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      require(stored == expect.encoded,
+        s"minhash state at $dir was built with [$stored] but this run uses " +
+          s"[${expect.encoded}] — buckets would never match; rebuild the " +
+          "state or pass the original parameters")
+      Some(MinhashState(
+        spark.read.parquet(s"$dir/sets"), spark.read.parquet(s"$dir/buckets")))
+    }
   }
 
   /** Incremental dedup — the daily-increment workflow: drop rows of

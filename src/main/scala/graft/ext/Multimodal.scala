@@ -91,41 +91,75 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  /** Decode, or null: `ImageIO.read` returns null when no reader claims the
+    * bytes, and THROWS when a claimed image is corrupt mid-stream (e.g. a
+    * truncated IDAT behind a valid PNG magic) — one rotted payload must
+    * yield a null row, not fail the whole job.
+    */
+  private def decodeOrNull(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    catch { case _: java.io.IOException | _: RuntimeException => null }
+
+  /** `featureDim` evenly spaced band-0 samples (row-major), normalized to
+    * [0,1]. Pixel ordinals stay Long until split into (x, y) — `w*h` can
+    * exceed Int range for stitched/satellite media.
+    */
+  private def sampleFeatures(
+      img: java.awt.image.BufferedImage, featureDim: Int): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight
+    val raster = img.getRaster
+    val total = w.toLong * h
+    val out = new Array[Float](featureDim)
+    var j = 0
+    while (j < featureDim) {
+      val p = j * total / featureDim
+      out(j) = raster.getSample((p % w).toInt, (p / w).toInt, 0) / 255f
+      j += 1
+    }
+    out
+  }
+
   /** REAL image decode via `javax.imageio`, batch-shaped: appends the
     * decoded `width`/`height` and `mean_gray` (floor of the average of
     * band-0 samples over EVERY pixel — exact for uniform fills). Null or
-    * undecodable payloads yield nulls.
+    * undecodable payloads yield nulls. With `featureDim` set, also appends
+    * `features` sampled from the SAME decoded raster — one decode pass for
+    * both outputs (composing [[extractFeatures]] after this would decode
+    * every payload twice).
     */
-  def decodeImages(media: DataFrame, batchSize: Int = 64): DataFrame = {
+  def decodeImages(
+      media: DataFrame, batchSize: Int = 64,
+      featureDim: Option[Int] = None): DataFrame = {
     val spark = media.sparkSession
-    val schema = media.schema
+    val base = media.schema
       .add("width", IntegerType, nullable = true)
       .add("height", IntegerType, nullable = true)
       .add("mean_gray", LongType, nullable = true)
+    val schema = featureDim.fold(base)(_ =>
+      base.add("features", ArrayType(FloatType), nullable = true))
     val pIdx = media.schema.fieldIndex("payload")
     val rdd = media.rdd.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
+          val img =
+            if (r.isNullAt(pIdx)) null
+            else decodeOrNull(r.getAs[Array[Byte]](pIdx))
           val extra: Seq[Any] =
-            if (r.isNullAt(pIdx)) Seq(null, null, null)
+            if (img == null) Seq(null, null, null) ++ featureDim.map(_ => null)
             else {
-              val img = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](pIdx)))
-              if (img == null) Seq(null, null, null)
-              else {
-                val w = img.getWidth; val h = img.getHeight
-                val raster = img.getRaster
-                var sum = 0L; var y = 0
-                while (y < h) {
-                  var x = 0
-                  while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
-                  y += 1
-                }
-                // Seq[Any] explicitly: Seq(Int, Int, Long) would otherwise
-                // widen every element to Long and break the INT fields
-                Seq[Any](w, h, sum / (w.toLong * h))
+              val w = img.getWidth; val h = img.getHeight
+              val raster = img.getRaster
+              var sum = 0L; var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+                y += 1
               }
+              // Seq[Any] explicitly: Seq(Int, Int, Long) would otherwise
+              // widen every element to Long and break the INT fields
+              Seq[Any](w, h, sum / (w.toLong * h)) ++
+                featureDim.map(d => sampleFeatures(img, d))
             }
           Row.fromSeq(r.toSeq ++ extra)
         }
@@ -135,9 +169,10 @@ object Multimodal {
   }
 
   /** Batched feature extraction: decodes the image (`javax.imageio`) and
-    * samples `featureDim` evenly spaced pixels (row-major), normalized to
-    * [0,1]. Appends `features array<float>`; null/undecodable payloads get
-    * null features.
+    * samples `featureDim` evenly spaced pixels via [[sampleFeatures]].
+    * Appends `features array<float>`; null/undecodable payloads get null
+    * features. Needing dims/mean too? Use `decodeImages(featureDim=...)`
+    * — it shares one decode pass.
     */
   def extractFeatures(media: DataFrame, featureDim: Int = 8, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
@@ -152,22 +187,8 @@ object Multimodal {
           val feats: Array[Float] =
             if (r.isNullAt(pIdx)) null
             else {
-              val img = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](pIdx)))
-              if (img == null) null
-              else {
-                val w = img.getWidth; val h = img.getHeight
-                val raster = img.getRaster
-                val total = w.toLong * h
-                val out = new Array[Float](featureDim)
-                var j = 0
-                while (j < featureDim) {
-                  val p = (j * total / featureDim).toInt
-                  out(j) = raster.getSample(p % w, p / w, 0) / 255f
-                  j += 1
-                }
-                out
-              }
+              val img = decodeOrNull(r.getAs[Array[Byte]](pIdx))
+              if (img == null) null else sampleFeatures(img, featureDim)
             }
           Row.fromSeq(r.toSeq :+ feats)
         }

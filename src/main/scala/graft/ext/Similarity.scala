@@ -98,13 +98,17 @@ object Similarity {
     // fail fast on a dim mismatch: zip_with null-pads, a null dot product
     // makes every bucket bit "0", and the LSH silently degenerates into a
     // full queries x corpus candidate set — an O(n*q) blowup, not an error
-    val sampled = corpus.select(size(col(vecCol))).limit(1).collect()
-    require(sampled.isEmpty || sampled(0).getInt(0) == dim,
-      s"lshTopKPortable: dim=$dim but corpus $vecCol has ${sampled(0).getInt(0)} elements")
+    // sample a NON-NULL vector from each side (size(NULL) is NULL — reading
+    // it would NPE inside the guard instead of raising the intended message)
+    def sampledDim(df: DataFrame, side: String): Unit = {
+      val s = df.where(col(vecCol).isNotNull)
+        .select(size(col(vecCol))).limit(1).collect()
+      require(s.isEmpty || s(0).getInt(0) == dim,
+        s"lshTopKPortable: dim=$dim but $side $vecCol has ${s(0).getInt(0)} elements")
+    }
+    sampledDim(corpus, "corpus")
     // the queries side degenerates the same way — guard both
-    val qSampled = queries.select(size(col(vecCol))).limit(1).collect()
-    require(qSampled.isEmpty || qSampled(0).getInt(0) == dim,
-      s"lshTopKPortable: dim=$dim but queries $vecCol has ${qSampled(0).getInt(0)} elements")
+    sampledDim(queries, "queries")
     val planes = portablePlanes(tables, bits, dim)
     def bucketOf(t: Int): org.apache.spark.sql.Column =
       concat((0 until bits).map { b =>

@@ -108,8 +108,15 @@ object CorpusStreams {
       stateDir: Option[String] = None): DataFrame = {
     require(checkpointEvery > 0, "checkpointEvery must be positive")
     val schema = spark.read.parquet(stagedDir).schema
-    var state: Option[Dedup.MinhashState] =
-      stateDir.flatMap(Dedup.loadMinhashState(spark, _))
+    val params = Dedup.MinhashParams(numHashes, bands, shingleK)
+    // `state` is written from the micro-batch thread and read from the
+    // caller thread after awaitTermination — synchronize on `stateLock`
+    // explicitly rather than relying on the termination happens-before
+    // (same standard the survivor buffer used before it moved to the sink).
+    val stateLock = new Object
+    var state: Option[Dedup.MinhashState] = stateLock.synchronized {
+      stateDir.flatMap(Dedup.loadMinhashState(spark, _, params))
+    }
     var batchesSinceCheckpoint = 0
     val sink = sinkDir.getOrElse {
       val d = Files.createTempDirectory("graft_corpus_survivors")
@@ -122,7 +129,7 @@ object CorpusStreams {
       val q = stream.writeStream
         .foreachBatch { (batch: Dataset[Row], _: Long) =>
           val b = batch.persist()
-          try {
+          try stateLock.synchronized {
             val kept = state match {
               case Some(st) => Dedup.minhashDedupAgainst(b.toDF(), st, idCol,
                 textCol, threshold, numHashes, bands, shingleK, maxBucket)
@@ -158,7 +165,9 @@ object CorpusStreams {
         .start()
       q.awaitTermination()
     }
-    for (dir <- stateDir; st <- state) Dedup.saveMinhashState(st, dir)
+    stateLock.synchronized {
+      for (dir <- stateDir; st <- state) Dedup.saveMinhashState(st, dir, params)
+    }
     spark.read.parquet(sink)
   }
 }

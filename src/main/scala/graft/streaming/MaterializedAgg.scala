@@ -29,6 +29,10 @@ object MaterializedAgg {
       scale: Int = 4,
       shufflePartitions: Option[Int] = None): DataFrame = {
     val schema = spark.read.parquet(stagedDir).schema
+    // written from the micro-batch thread, read from the caller thread after
+    // awaitTermination — synchronized explicitly rather than relying on the
+    // termination happens-before
+    val stateLock = new Object
     var state: Option[DataFrame] = None
     // bounding partitions here shrinks the per-batch groups-sized shuffle
     // AND the localCheckpoint'ed state materialization (tasks per batch)
@@ -36,7 +40,7 @@ object MaterializedAgg {
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(stagedDir)
         .writeStream
-        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        .foreachBatch { (batch: Dataset[Row], _: Long) => stateLock.synchronized {
           val added = batch.toDF()
           val next = state match {
             case None =>
@@ -53,12 +57,12 @@ object MaterializedAgg {
                 nCol, sumCol, scale)
           }
           state = Some(next.localCheckpoint(true))
-        }
+        }}
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     }
-    state.getOrElse(
+    stateLock.synchronized(state).getOrElse(
       throw new IllegalStateException(s"no micro-batches arrived from $stagedDir"))
   }
 }

@@ -63,10 +63,16 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       "doc_id", "text", threshold = 0.5)
       .select("doc_id").as[Long].collect().toSet
     val dir = java.nio.file.Files.createTempDirectory("graft_mh_state").toString
-    assert(Dedup.loadMinhashState(spark, dir).isEmpty, "no state yet -> None")
+    val params = Dedup.MinhashParams(64, 16, 3)
+    assert(Dedup.loadMinhashState(spark, dir, params).isEmpty, "no state yet -> None")
     Dedup.saveMinhashState(
-      Dedup.minhashState(corpus, "doc_id", "text"), dir)
-    val loaded = Dedup.loadMinhashState(spark, dir)
+      Dedup.minhashState(corpus, "doc_id", "text"), dir, params)
+    // a resume with different signature parameters must fail fast, not
+    // silently produce buckets that never match
+    intercept[IllegalArgumentException] {
+      Dedup.loadMinhashState(spark, dir, Dedup.MinhashParams(64, 8, 3))
+    }
+    val loaded = Dedup.loadMinhashState(spark, dir, params)
       .getOrElse(fail("saved state not loadable"))
     val viaLoaded = Dedup.minhashDedupAgainst(incoming, loaded, "doc_id",
       "text", threshold = 0.5, numHashes = 64, bands = 16, shingleK = 3,

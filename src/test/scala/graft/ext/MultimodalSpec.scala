@@ -58,6 +58,34 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(out.length == 3 && out.forall(_.isNullAt(1)))
   }
 
+  test("a CORRUPT png (valid magic, truncated body) yields nulls, not a failed job") {
+    // ImageIO.read THROWS on this shape (a reader claims the bytes, then
+    // hits the truncation) — must surface as a null row
+    val whole = pngMedia.where($"media_id" === 1L)
+      .select("payload").head().getAs[Array[Byte]](0)
+    val truncated = whole.take(whole.length / 2)
+    val rows = Seq((1L, whole), (2L, truncated))
+      .toDF("media_id", "payload")
+    val out = Multimodal.decodeImages(rows, featureDim = Some(4))
+      .select("media_id", "width", "features").orderBy("media_id").collect()
+    assert(!out(0).isNullAt(1) && !out(0).isNullAt(2), "intact png decodes")
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2), "corrupt png -> nulls")
+    val feats = Multimodal.extractFeatures(rows, featureDim = 4)
+      .select("media_id", "features").orderBy("media_id").collect()
+    assert(!feats(0).isNullAt(1) && feats(1).isNullAt(1))
+  }
+
+  test("decodeImages(featureDim=...) matches the two-pass decode+extract output") {
+    val onePass = Multimodal.decodeImages(pngMedia, featureDim = Some(8))
+      .select("media_id", "width", "height", "mean_gray", "features")
+      .orderBy("media_id").collect().toSeq
+    val twoPass = Multimodal.extractFeatures(
+        Multimodal.decodeImages(pngMedia), featureDim = 8)
+      .select("media_id", "width", "height", "mean_gray", "features")
+      .orderBy("media_id").collect().toSeq
+    assert(onePass == twoPass)
+  }
+
   test("frameSample emits one hash per frame chunk") {
     val out = Multimodal.frameSample(media, frames = 4)
       .select("media_id", "frame_hashes").as[(Long, Seq[Long])].collect()
