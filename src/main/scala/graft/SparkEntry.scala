@@ -1246,6 +1246,27 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q106_compaction" -> ((s, d) => {
+      // small-files maintenance: fragment documents into 64 tiny files (the
+      // accumulated-appends shape), compact to ~4 range-clustered files,
+      // prove content identity against the SOURCE table. md5(text) keeps
+      // the oracle row narrow while hashing every payload byte.
+      import graft.io.{Compaction, TextTables}
+      val salt = TextTables.sourceFingerprint(s"$d/documents.parquet")
+      val frag = TextTables.scratchDir("compact_in", d, salt)
+      if (!new java.io.File(frag, "_SUCCESS").exists()) {
+        s.read.parquet(s"$d/documents.parquet")
+          .repartition(64).write.mode("overwrite").parquet(frag)
+      }
+      val out = TextTables.scratchDir("compact_out", d, salt)
+      val target = math.max(1L, (Compaction.dataBytes(s, frag) + 3) / 4)
+      Compaction.compact(s, frag, out, targetFileBytes = target,
+          clusterBy = Seq("doc_id"))
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "q35_sql_text" -> ((s, d) => {
       // The reference's core capability: an arbitrary user SQL string
       // answered by the engine (`R/ffsql.R:171-176`) — here Spark SQL itself.
@@ -1751,6 +1772,9 @@ object SparkEntry {
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
     "q105_jdbc_partitioned" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
+    "q106_compaction" ->
+      """SELECT doc_id, md5(text) AS h, lang, source, n_chars
+         FROM documents ORDER BY doc_id""",
     "q60_stream_dedup" ->
       """SELECT event_id, user_id,
            CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value

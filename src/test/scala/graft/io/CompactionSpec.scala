@@ -1,0 +1,61 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class CompactionSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def fragmented(files: Int, rows: Int): String = {
+    val dir = Files.createTempDirectory("graft_compact_in").toString
+    spark.range(rows).select(col("id"),
+        concat(lit("payload-"), col("id")).as("text"))
+      .repartition(files).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("compaction reduces file count to ceil(bytes/target) and preserves content exactly") {
+    val in = fragmented(files = 32, rows = 10000)
+    assert(Compaction.dataFileCount(spark, in) == 32)
+    val out = Files.createTempDirectory("graft_compact_out").toString
+    val total = Compaction.dataBytes(spark, in)
+    val compacted = Compaction.compact(spark, in, out,
+      targetFileBytes = (total + 3) / 4)
+    val n = Compaction.dataFileCount(spark, out)
+    assert(n <= 8 && n >= 1, s"expected ~4 files, got $n")
+    // content identity, not just counts
+    val a = spark.read.parquet(in)
+    assert(compacted.except(a).count() == 0 && a.except(compacted).count() == 0)
+    assert(compacted.count() == 10000)
+  }
+
+  test("clusterBy range-clusters: per-file id ranges are disjoint") {
+    val in = fragmented(files = 16, rows = 10000)
+    val out = Files.createTempDirectory("graft_compact_cl").toString
+    val total = Compaction.dataBytes(spark, in)
+    Compaction.compact(spark, in, out, targetFileBytes = (total + 3) / 4,
+      clusterBy = Seq("id"))
+    // min/max id per physical file must not overlap — that disjointness is
+    // what makes parquet min/max skipping effective on the cluster key
+    val ranges = spark.read.parquet(out)
+      .select(col("id"), input_file_name().as("f"))
+      .groupBy("f").agg(min("id").as("lo"), max("id").as("hi"))
+      .orderBy("lo").as[(String, Long, Long)].collect()
+    assert(ranges.length >= 2, "need >=2 files to check disjointness")
+    ranges.sliding(2).foreach { case Array((_, _, hi1), (_, lo2, _)) =>
+      assert(hi1 < lo2, s"file ranges overlap: hi=$hi1 vs next lo=$lo2")
+    }
+  }
+
+  test("a dataset already below target compacts to one file") {
+    val in = fragmented(files = 8, rows = 100)
+    val out = Files.createTempDirectory("graft_compact_one").toString
+    Compaction.compact(spark, in, out, targetFileBytes = 1L << 30)
+    assert(Compaction.dataFileCount(spark, out) == 1)
+    assert(spark.read.parquet(out).count() == 100)
+  }
+}
