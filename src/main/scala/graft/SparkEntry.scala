@@ -375,6 +375,14 @@ object SparkEntry {
         .orderBy("id_l", "id_r")
     }),
 
+    "q107_exact_substring" -> ((s, d) => {
+      // exact-substring dedup pairs (Lee et al. 2021): docs sharing a
+      // 12-token exact run, joined on the window string itself
+      Dedup.exactSubstringPairs(t(s, d, "documents"), "doc_id", "text",
+        windowTokens = 12)
+        .orderBy("id_l", "id_r")
+    }),
+
     "q72_embed_quantize" -> ((s, d) => {
       // int8 embedding compression: one-pass native quantization, exploded
       // per-dimension so the DuckDB oracle hash-checks every code + scale
@@ -1775,6 +1783,21 @@ object SparkEntry {
     "q106_compaction" ->
       """SELECT doc_id, md5(text) AS h, lang, source, n_chars
          FROM documents ORDER BY doc_id""",
+    "q107_exact_substring" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '') AS t
+           FROM documents),
+         idx AS (SELECT doc_id, t,
+             unnest(generate_series(1, len(t) - 11)) AS i FROM tok),
+         w AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+11], ' ') AS win
+               FROM idx),
+         sized AS (SELECT doc_id, win FROM
+             (SELECT doc_id, win, count(*) OVER (PARTITION BY win) AS c FROM w)
+           WHERE c <= 1000)
+         SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS n_windows
+         FROM sized a JOIN sized b ON a.win = b.win AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q60_stream_dedup" ->
       """SELECT event_id, user_id,
            CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value

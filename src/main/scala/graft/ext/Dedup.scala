@@ -359,6 +359,47 @@ object Dedup {
       minhashState(corpus, idCol, textCol, numHashes, bands, shingleK, maxBucket),
       idCol, textCol, threshold, numHashes, bands, shingleK, maxBucket)
 
+  /** Exact-substring overlap pairs — the exact-match counterpart of
+    * [[minhashPairs]] (the dedup mode of Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): pairs of documents
+    * sharing at least one exact run of `windowTokens` consecutive tokens,
+    * with the count of distinct shared windows. Returns
+    * `(id_l, id_r, n_windows)`, `id_l < id_r`.
+    *
+    * Matching equi-joins on the window STRING itself, so there are no
+    * hash-collision false positives (Spark hashes the string for the
+    * shuffle anyway). Windows shared by more than `maxBucket` documents
+    * (ubiquitous boilerplate) are dropped before the self-join — the same
+    * degenerate-bucket guard as the LSH path, and the reason no stage is
+    * all-pairs: work is bounded by sum(group²) over guarded window groups.
+    */
+  def exactSubstringPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 8, maxBucket: Int = 1000): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol),
+      posexplode(graft.functions.text.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val parts = (0 until windowTokens).map(i =>
+      if (i == 0) col("tok") else lead(col("tok"), i).over(w))
+    // the last lead is null exactly for the incomplete tail windows
+    val wins = tok
+      .select(col(idCol), concat_ws(" ", parts: _*).as("win"),
+        parts.last.isNotNull.as("__complete"))
+      .where(col("__complete"))
+      .select(col(idCol), col("win"))
+      .distinct()
+    val sized = wins
+      .withColumn("__wsz", count(lit(1)).over(Window.partitionBy("win")))
+      .where(col("__wsz") <= maxBucket)
+      .drop("__wsz")
+    sized.as("a").join(sized.as("b"),
+        col("a.win") === col("b.win") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_l"), col(s"b.$idCol").as("id_r"))
+      .agg(count(lit(1)).as("n_windows"))
+  }
+
   /** 64-bit SimHash per document: per-bit majority vote over token hashes
     * (multiplicity-weighted), computed by the native single-pass expression —
     * no explode, no shuffle, one long per document out of the scan.

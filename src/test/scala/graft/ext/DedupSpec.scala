@@ -145,6 +145,34 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("exactSubstringPairs finds shared token runs; boilerplate guard drops hot windows") {
+    // footer is 8 tokens: it contains NO 9-token window, but plenty of
+    // 5-token windows shared by every doc
+    val boiler = "this footer appears on every page of site"
+    val d = Seq(
+      (1L, s"unique alpha text one two three four five six seven eight nine. $boiler"),
+      (2L, s"other words then one two three four five six seven eight nine end. $boiler"),
+      (3L, s"nothing in common with anything here at all whatsoever truly. $boiler"),
+      (4L, s"fully distinct content that shares no run with any other doc. $boiler")
+    ).toDF("doc_id", "text")
+    // window=9: only the 9-token run shared by 1 and 2 matches (windows
+    // straddling text+footer differ per doc)
+    val pairs = Dedup.exactSubstringPairs(d, "doc_id", "text", windowTokens = 9)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"expected only (1,2), got $pairs")
+    // window=5: the footer's 5-token windows live in all 4 docs — with the
+    // guard above that size every pair matches through the footer, with it
+    // at 3 only the genuine shared run survives
+    val unguarded = Dedup.exactSubstringPairs(d, "doc_id", "text",
+      windowTokens = 5, maxBucket = 4)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(unguarded.size == 6, s"all 6 pairs match via the footer, got $unguarded")
+    val guarded = Dedup.exactSubstringPairs(d, "doc_id", "text",
+      windowTokens = 5, maxBucket = 3)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(guarded == Set((1L, 2L)), s"guard must drop the footer, got $guarded")
+  }
+
   test("ngram jaccard pairs catch character-level near-dups") {
     // bands=8 (r=4) widens the recall curve for this lower threshold
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
