@@ -88,6 +88,45 @@ object Ivf {
     Model(centroids)
   }
 
+  /** Persist a trained quantizer: one line per centroid, comma-separated
+    * `java.lang.Double.toString` values (shortest exact representation —
+    * parses back bit-identically), written through the Hadoop FileSystem so
+    * the same call works on local disk, HDFS and object stores. Train the
+    * quantizer ONCE per corpus generation and reuse it for every increment:
+    * reusing the model is what keeps incremental ANN results comparable
+    * across runs (fresh training moves every cell boundary).
+    */
+  def saveModel(
+      spark: org.apache.spark.sql.SparkSession, model: Model,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try {
+      val text = model.centroids
+        .map(_.mkString(",")).mkString("", "\n", "\n")
+      out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+  }
+
+  /** Load a quantizer written by [[saveModel]] — bit-identical centroids. */
+  def loadModel(
+      spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val bytes =
+      try org.apache.commons.io.IOUtils.toByteArray(in)
+      finally in.close()
+    val centroids = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty)
+      .map(_.split(",").map(java.lang.Double.parseDouble))
+    require(centroids.nonEmpty, s"no centroids in $path")
+    require(centroids.map(_.length).distinct.length == 1,
+      s"ragged centroid dims in $path")
+    Model(centroids)
+  }
+
   /** Approximate top-k: assign corpus rows to their cell once, probe the
     * `nProbe` nearest cells per query, exact cosine re-rank within them.
     */

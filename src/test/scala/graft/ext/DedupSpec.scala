@@ -173,6 +173,35 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(guarded == Set((1L, 2L)), s"guard must drop the footer, got $guarded")
   }
 
+  test("exactSubstringPairs matches a brute-force model on seeded random corpora") {
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox", "golf", "hotel")
+    val k = 3; val maxBucket = 5
+    val corpus = (1L to 30L).map { id =>
+      id -> Seq.fill(5 + rnd.nextInt(26))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    // brute-force model: per-doc distinct k-windows, hot windows dropped,
+    // pair counts by set intersection
+    val winsByDoc = corpus.map { case (id, text) =>
+      id -> text.split(" ").sliding(k).filter(_.length == k)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    val hot = winsByDoc.values.flatten.groupBy(identity)
+      .collect { case (w, occ) if occ.size > maxBucket => w }.toSet
+    val expected = (for {
+      (a, wa) <- winsByDoc.toSeq; (b, wb) <- winsByDoc.toSeq if a < b
+      shared = (wa & wb) -- hot if shared.nonEmpty
+    } yield (a, b) -> shared.size.toLong).toMap
+    val got = Dedup.exactSubstringPairs(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", windowTokens = k, maxBucket = maxBucket)
+      .select("id_l", "id_r", "n_windows")
+      .as[(Long, Long, Long)].collect()
+      .map { case (l, r, n) => (l, r) -> n }.toMap
+    assert(got == expected,
+      s"engine/model diverge: only-engine=${got.keySet -- expected.keySet}, " +
+        s"only-model=${expected.keySet -- got.keySet}")
+  }
+
   test("ngram jaccard pairs catch character-level near-dups") {
     // bands=8 (r=4) widens the recall curve for this lower threshold
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",

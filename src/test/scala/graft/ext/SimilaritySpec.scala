@@ -89,6 +89,23 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out.count() == 5)
   }
 
+  test("IVF model save/load round-trips bit-identically and searches identically") {
+    val model = Ivf.train(clustered, "vec_id", "embedding", k = 4, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf")
+      .resolve("quantizer.txt").toString
+    Ivf.saveModel(spark, model, path)
+    val loaded = Ivf.loadModel(spark, path)
+    // Double.toString round-trips exactly — the centroids must be BIT-equal
+    assert(loaded.centroids.map(_.toSeq).toSeq ==
+      model.centroids.map(_.toSeq).toSeq)
+    val q = clustered.where($"vec_id" === 0L)
+    val a = Ivf.topK(model, clustered, q, "vec_id", "embedding", "vec_id",
+      k = 5, nProbe = 2).orderBy("rank").collect().toSeq
+    val b = Ivf.topK(loaded, clustered, q, "vec_id", "embedding", "vec_id",
+      k = 5, nProbe = 2).orderBy("rank").collect().toSeq
+    assert(a == b)
+  }
+
   test("LSH top-k achieves high recall vs brute force on clustered data") {
     val queries = clustered.where($"vec_id" % 10 === 0L) // one per cluster
     val exact = Similarity.bruteForceTopK(clustered, queries,
