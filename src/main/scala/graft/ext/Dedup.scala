@@ -366,16 +366,22 @@ object Dedup {
     * with the count of distinct shared windows. Returns
     * `(id_l, id_r, n_windows)`, `id_l < id_r`.
     *
-    * Matching equi-joins on the window STRING itself, so there are no
-    * hash-collision false positives (Spark hashes the string for the
-    * shuffle anyway). Windows shared by more than `maxBucket` documents
-    * (ubiquitous boilerplate) are dropped before the self-join — the same
+    * Matching equi-joins on the window STRING itself by default, so there
+    * are no hash-collision false positives — the oracle-exact mode.
+    * `hashWindows = true` is the 100 TB mode: windows collapse to an
+    * xxhash64 long before the distinct/join, cutting shuffle volume by
+    * roughly the window byte width (~10x for 12-token windows) at a
+    * collision false-positive risk of ~pairs/2^64 (even at 10^12 windows
+    * that is ~0.03 expected spurious window matches corpus-wide).
+    * Windows shared by more than `maxBucket` documents (ubiquitous
+    * boilerplate) are dropped before the self-join — the same
     * degenerate-bucket guard as the LSH path, and the reason no stage is
     * all-pairs: work is bounded by sum(group²) over guarded window groups.
     */
   def exactSubstringPairs(
       df: DataFrame, idCol: String, textCol: String,
-      windowTokens: Int = 8, maxBucket: Int = 1000): DataFrame = {
+      windowTokens: Int = 8, maxBucket: Int = 1000,
+      hashWindows: Boolean = false): DataFrame = {
     require(windowTokens >= 2, "windowTokens must be >= 2")
     import org.apache.spark.sql.expressions.Window
     val tok = df.select(col(idCol),
@@ -384,8 +390,10 @@ object Dedup {
     val parts = (0 until windowTokens).map(i =>
       if (i == 0) col("tok") else lead(col("tok"), i).over(w))
     // the last lead is null exactly for the incomplete tail windows
+    val winExpr = concat_ws(" ", parts: _*)
     val wins = tok
-      .select(col(idCol), concat_ws(" ", parts: _*).as("win"),
+      .select(col(idCol),
+        (if (hashWindows) xxhash64(winExpr) else winExpr).as("win"),
         parts.last.isNotNull.as("__complete"))
       .where(col("__complete"))
       .select(col(idCol), col("win"))

@@ -200,6 +200,15 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got == expected,
       s"engine/model diverge: only-engine=${got.keySet -- expected.keySet}, " +
         s"only-model=${expected.keySet -- got.keySet}")
+    // the hashed 100TB mode must agree on this corpus (collisions are
+    // ~pairs/2^64 — impossible at test scale)
+    val hashed = Dedup.exactSubstringPairs(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", windowTokens = k, maxBucket = maxBucket,
+        hashWindows = true)
+      .select("id_l", "id_r", "n_windows")
+      .as[(Long, Long, Long)].collect()
+      .map { case (l, r, n) => (l, r) -> n }.toMap
+    assert(hashed == expected)
   }
 
   test("ngram jaccard pairs catch character-level near-dups") {
