@@ -116,6 +116,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "shuffle and broadcast anti-join paths must return identical results")
   }
 
+  test("q107: exact-substring matching is an equi-join with partial agg — never all-pairs") {
+    val plan = finalPlan("q107_exact_substring")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"window matching degenerated to an all-pairs join:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"pair counting lacks map-side partial aggregation:\n$plan")
+  }
+
   test("q93: the bloom probe filters the fact scan stage, below the join") {
     val plan = finalPlan("q93_bloom_join")
     val probeIdx = plan.indexOf("might_contain")
