@@ -1254,6 +1254,21 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q108_expectations" -> ((s, d) => {
+      // declared data-quality gate: every row tagged with the rules it
+      // fails (rule order), one codegen'd pass, no shuffle
+      import graft.ops.Expectations
+      import graft.ops.Expectations.Rule
+      Expectations.check(events(s, d), Seq(
+          Rule("value_le_300", col("value") <= 300),
+          Rule("known_type",
+            col("event_type").isin("click", "view", "purchase", "signup")),
+          Rule("user_present", col("user_id").isNotNull)))
+        .select(col("event_id"),
+          concat_ws(",", col("violations")).as("violations"))
+        .orderBy("event_id")
+    }),
+
     "q106_compaction" -> ((s, d) => {
       // small-files maintenance: fragment documents into 64 tiny files (the
       // accumulated-appends shape), compact to ~4 range-clustered files,
@@ -1783,6 +1798,16 @@ object SparkEntry {
     "q106_compaction" ->
       """SELECT doc_id, md5(text) AS h, lang, source, n_chars
          FROM documents ORDER BY doc_id""",
+    "q108_expectations" ->
+      """SELECT event_id, concat_ws(',',
+           CASE WHEN NOT coalesce(value <= 300, false)
+                THEN 'value_le_300' END,
+           CASE WHEN NOT coalesce(
+                  event_type IN ('click','view','purchase','signup'), false)
+                THEN 'known_type' END,
+           CASE WHEN NOT coalesce(user_id IS NOT NULL, false)
+                THEN 'user_present' END) AS violations
+         FROM events ORDER BY event_id""",
     "q107_exact_substring" ->
       """WITH tok AS (SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
