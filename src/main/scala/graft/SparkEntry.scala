@@ -1269,6 +1269,27 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q109_orphan_keys" -> ((s, d) => {
+      // referential-integrity audit under a dimension-snapshot cut: fact
+      // rows whose order arrived after the snapshot are orphans — one LEFT
+      // ANTI equi-join, then per-key counts (the quarantine artifact)
+      import graft.ops.Expectations
+      Expectations.orphans(
+          t(s, d, "lineitem"),
+          t(s, d, "orders").where(col("o_orderdate") < lit("1997-01-01")),
+          keys = Seq("l_orderkey" -> "o_orderkey"))
+        .orderBy("l_orderkey")
+    }),
+
+    "q110_dup_keys" -> ((s, d) => {
+      // candidate-key audit: prove (lang, source) is NOT a key of documents
+      // by listing the violating tuples with multiplicities — one map-side-
+      // combinable aggregation
+      import graft.ops.Expectations
+      Expectations.duplicateKeys(t(s, d, "documents"), Seq("lang", "source"))
+        .orderBy("lang", "source")
+    }),
+
     "q106_compaction" -> ((s, d) => {
       // small-files maintenance: fragment documents into 64 tiny files (the
       // accumulated-appends shape), compact to ~4 range-clustered files,
@@ -1808,6 +1829,15 @@ object SparkEntry {
            CASE WHEN NOT coalesce(user_id IS NOT NULL, false)
                 THEN 'user_present' END) AS violations
          FROM events ORDER BY event_id""",
+    "q109_orphan_keys" ->
+      """SELECT l_orderkey, count(*) AS n_rows FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_orderkey = l.l_orderkey
+             AND o.o_orderdate < DATE '1997-01-01')
+         GROUP BY 1 ORDER BY 1""",
+    "q110_dup_keys" ->
+      """SELECT lang, source, count(*) AS n_rows FROM documents
+         GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY 1, 2""",
     "q107_exact_substring" ->
       """WITH tok AS (SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),

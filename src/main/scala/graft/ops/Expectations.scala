@@ -48,4 +48,39 @@ object Expectations {
     (checked.where(size(col(outCol)) === 0).drop(outCol),
       checked.where(size(col(outCol)) > 0))
   }
+
+  /** Referential-integrity audit: child key tuples with no matching parent
+    * row, one output row per orphan KEY with its child row count (the audit
+    * artifact a pipeline quarantines on), not the raw orphan rows. `keys`
+    * maps child column -> parent column.
+    *
+    * A NULL child key is an orphan (it matches no parent under `=`),
+    * consistent with [[Rule]]'s null-is-violation stance — SQL's permissive
+    * NULL-FK convention would let null-ridden rows slide through the gate.
+    *
+    * Scale: one LEFT ANTI equi-join — Catalyst broadcasts the parent side
+    * when small (the dimension-snapshot case), else shuffles both sides on
+    * the key; the groupBy then reuses the join's clustering. Never a
+    * cartesian.
+    */
+  def orphans(child: DataFrame, parent: DataFrame,
+      keys: Seq[(String, String)], countCol: String = "n_rows"): DataFrame = {
+    require(keys.nonEmpty, "at least one key pair required")
+    val cond = keys.map { case (c, p) => child(c) === parent(p) }.reduce(_ && _)
+    child.join(parent, cond, "left_anti")
+      .groupBy(keys.map { case (c, _) => col(c) }: _*)
+      .agg(count(lit(1)).as(countCol))
+  }
+
+  /** Candidate-key audit: key tuples appearing more than once, with their
+    * multiplicities — empty result proves the claimed key IS a key. One
+    * map-side-combinable aggregation; the HAVING filter runs post-merge.
+    */
+  def duplicateKeys(df: DataFrame, keys: Seq[String],
+      countCol: String = "n_rows"): DataFrame = {
+    require(keys.nonEmpty, "at least one key column required")
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as(countCol))
+      .where(col(countCol) > 1)
+  }
 }

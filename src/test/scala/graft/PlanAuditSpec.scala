@@ -124,6 +124,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"pair counting lacks map-side partial aggregation:\n$plan")
   }
 
+  test("q109: the orphan audit broadcasts the dimension snapshot under a LEFT ANTI join") {
+    val plan = finalPlan("q109_orphan_keys")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"orphan audit did not broadcast-anti-join the snapshot:\n$plan")
+    // the date cut must reach the orders scan, not filter post-join
+    assert(plan.contains("o_orderdate"), s"snapshot cut missing:\n$plan")
+  }
+
   test("q93: the bloom probe filters the fact scan stage, below the join") {
     val plan = finalPlan("q93_bloom_join")
     val probeIdx = plan.indexOf("might_contain")

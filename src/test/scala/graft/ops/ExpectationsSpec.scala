@@ -48,4 +48,35 @@ class ExpectationsSpec extends AnyFunSuite with SparkSpec {
     val plan = Expectations.check(rows, rules).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"expectations check shuffled:\n$plan")
   }
+
+  test("orphans reports child keys missing from the parent, with row counts; NULL key = orphan") {
+    val child = Seq((1L, "a"), (1L, "b"), (2L, "c"), (9L, "d"))
+      .toDF("fk", "payload")
+      .union(Seq((None: Option[Long], "e")).toDF("fk", "payload"))
+    val parent = Seq((1L, "one"), (3L, "three")).toDF("pk", "name")
+    val out = Expectations.orphans(child, parent, Seq("fk" -> "pk"))
+      .orderBy(asc_nulls_first("fk"))
+      .as[(Option[Long], Long)].collect().toSeq
+    assert(out == Seq((None, 1L), (Some(2L), 1L), (Some(9L), 1L)))
+  }
+
+  test("orphans on a composite key matches only full-tuple equality") {
+    val child = Seq((1L, "x", 10), (1L, "y", 20), (2L, "x", 30))
+      .toDF("k1", "k2", "v")
+    val parent = Seq((1L, "x"), (2L, "y")).toDF("p1", "p2")
+    val out = Expectations.orphans(child, parent,
+        Seq("k1" -> "p1", "k2" -> "p2"))
+      .orderBy("k1", "k2").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "y", 1L), (2L, "x", 1L)))
+  }
+
+  test("duplicateKeys lists violating tuples with multiplicities; a true key yields nothing") {
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (1L, "a"))
+      .toDF("k", "s")
+    val dups = Expectations.duplicateKeys(df, Seq("k", "s"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(dups == Seq((1L, "a", 3L)))
+    assert(Expectations.duplicateKeys(df.distinct(), Seq("k", "s")).isEmpty)
+    intercept[IllegalArgumentException] { Expectations.duplicateKeys(df, Nil) }
+  }
 }
