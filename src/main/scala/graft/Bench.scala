@@ -28,16 +28,24 @@ object Bench {
       // failure for a fast query
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    // Load canary: the same already-warm trivial query timed immediately
-    // before and after the battery. Its plan never changes mid-run, so a
-    // large last/first ratio can only mean external host load arrived while
-    // the battery ran — it marks THIS artifact as contaminated (round-5's
-    // 2558s-vs-183s incident) rather than a code regression.
-    val canaryFirst = timed("q12_scalar_funcs")
-    val results = SparkEntry.queries.map { case (name, _) => name -> timed(name) }
-    val canaryLast = timed("q12_scalar_funcs")
+    // Load canary: the same already-warm trivial query timed before the
+    // battery, after it, AND every 20 queries in between. Its plan never
+    // changes mid-run, so a large max/min ratio across the samples can only
+    // mean external host load arrived while the battery ran — it marks THIS
+    // artifact as contaminated (round-5's 2558s-vs-183s incident; a round-6
+    // run showed 2.4x total inflation with CLEAN endpoints, which is why the
+    // canary samples mid-battery too) rather than a code regression.
+    val canaries = scala.collection.mutable.ArrayBuffer(timed("q12_scalar_funcs"))
+    val results = SparkEntry.queries.zipWithIndex.map { case ((name, _), i) =>
+      if (i > 0 && i % 20 == 0) canaries += timed("q12_scalar_funcs")
+      name -> timed(name)
+    }
+    canaries += timed("q12_scalar_funcs")
+    val (canaryFirst, canaryLast) = (canaries.head, canaries.last)
+    val valid = canaries.filter(_ > 0)
     val loadVar =
-      if (canaryFirst > 0 && canaryLast > 0) canaryLast / canaryFirst else -1.0
+      if (valid.nonEmpty && valid.size == canaries.size) valid.max / valid.min
+      else -1.0
     // 2-decimal seconds: per-query timings are noise below 10ms anyway, and
     // the consumer captures only the LAST 2000 chars of output — full-
     // precision doubles push the 66-query line past that window and truncate
@@ -48,7 +56,7 @@ object Bench {
     val qs = results.map { case (k, v) =>
       s"\"" + k.takeWhile(_ != '_') + "\":" + f(v)
     }.mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","canary_first":${f(canaryFirst)},"canary_last":${f(canaryLast)},"load_variance":${f(loadVar)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
