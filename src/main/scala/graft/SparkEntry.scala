@@ -1290,6 +1290,23 @@ object SparkEntry {
         .orderBy("lang", "source")
     }),
 
+    "q111_chunking" -> ((s, d) => {
+      // context-window chunking: long documents sliced into 128-token
+      // windows every 64 tokens (50% overlap) — row-local, codegen'd,
+      // no shuffle before the ordering; md5-of-chunk keeps the oracle
+      // row narrow while hashing every token
+      import graft.ext.Packing
+      import graft.functions.text
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), text.tokens(col("text")).as("toks"))
+      Packing.slidingChunks(docs, "toks", Seq("doc_id"), size = 128, stride = 64)
+        .select(col("doc_id"),
+          col("chunk_idx").cast("long").as("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("h"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "q106_compaction" -> ((s, d) => {
       // small-files maintenance: fragment documents into 64 tiny files (the
       // accumulated-appends shape), compact to ~4 range-clustered files,
@@ -1838,6 +1855,18 @@ object SparkEntry {
     "q110_dup_keys" ->
       """SELECT lang, source, count(*) AS n_rows FROM documents
          GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY 1, 2""",
+    "q111_chunking" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '') AS t
+           FROM documents),
+         starts AS (SELECT doc_id, t,
+             unnest(generate_series(0, len(t) - 1, 64)) AS st
+           FROM tok WHERE len(t) > 0)
+         SELECT doc_id, CAST(st // 64 AS BIGINT) AS chunk_idx,
+           CAST(len(t[st+1 : least(st+128, len(t))]) AS BIGINT) AS n_tokens,
+           md5(array_to_string(t[st+1 : least(st+128, len(t))], ' ')) AS h
+         FROM starts ORDER BY doc_id, chunk_idx""",
     "q107_exact_substring" ->
       """WITH tok AS (SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),

@@ -45,4 +45,38 @@ object Packing {
       ColumnBridge.expression(lit(budget))))
     df.withColumn(packCol, packId)
   }
+
+  /** Sliding-window chunking: one output row per context-window chunk of a
+    * token-array column — windows of `size` tokens starting every `stride`
+    * tokens (stride < size = overlapping chunks, the usual
+    * long-document-into-context-window shape). The final window may be
+    * shorter than `size`; every token appears in at least one chunk; rows
+    * with empty token arrays produce no chunks. This is the OTHER packing
+    * convention from [[concatChunk]]: chunking splits one long document
+    * into many training rows, packing merges many short ones into a block.
+    *
+    * Output: the id columns plus `chunk_idx` (0-based) and `chunk`
+    * (the token slice).
+    *
+    * Scale: row-local — `sequence` + `posexplode` + `slice` are all
+    * codegen'd, no shuffle, no UDF; output size is rows x ceil(n/stride),
+    * the same blow-up any chunker pays. Composable with any tokenizer that
+    * yields an array column ([[graft.functions.text.tokens]] for the
+    * shared-oracle one).
+    */
+  def slidingChunks(
+      df: DataFrame, tokensCol: String, idCols: Seq[String],
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0, "size must be positive")
+    require(stride > 0 && stride <= size,
+      "stride must be in [1, size]: stride > size would drop tokens")
+    // the `size` param shadows functions.size for the array-length call
+    import org.apache.spark.sql.functions.{size => arrayLen}
+    val n = arrayLen(col(tokensCol))
+    df.where(n > 0)
+      .select((idCols.map(col) :+ col(tokensCol)) :+
+        posexplode(sequence(lit(0), n - 1, lit(stride))).as(Seq("chunk_idx", "start")): _*)
+      .withColumn("chunk", slice(col(tokensCol), col("start") + 1, lit(size)))
+      .drop("start", tokensCol)
+  }
 }

@@ -31,6 +31,40 @@ class PackingMixtureSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("slidingChunks windows every stride tokens, clamps the tail, skips empties") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i")), // 10 tokens, size 4 stride 3
+      (2L, Seq("a")),                   // single token -> one chunk
+      (3L, Seq.empty[String])           // empty -> no chunks
+    ).toDF("id", "toks")
+    val out = Packing.slidingChunks(df, "toks", Seq("id"), size = 4, stride = 3)
+      .orderBy("id", "chunk_idx")
+      .as[(Long, Int, Seq[String])].collect().toSeq
+    // starts 0,3,6,9 -> [t1..t4],[t4..t7],[t7..t10],[t10]
+    assert(out == Seq(
+      (1L, 0, Seq("t1", "t2", "t3", "t4")),
+      (1L, 1, Seq("t4", "t5", "t6", "t7")),
+      (1L, 2, Seq("t7", "t8", "t9", "t10")),
+      (1L, 3, Seq("t10")),
+      (2L, 0, Seq("a"))))
+    // every token covered at least once (stride <= size contract)
+    val covered = out.filter(_._1 == 1L).flatMap(_._3).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+  }
+
+  test("slidingChunks validates size and stride; plan is shuffle-free") {
+    val df = Seq((1L, Seq("a", "b"))).toDF("id", "toks")
+    intercept[IllegalArgumentException] {
+      Packing.slidingChunks(df, "toks", Seq("id"), size = 0, stride = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.slidingChunks(df, "toks", Seq("id"), size = 4, stride = 5)
+    }
+    val plan = Packing.slidingChunks(df, "toks", Seq("id"), 4, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking shuffled:\n$plan")
+  }
+
   test("sampleToMixture hits exact rates for binary-fraction weights") {
     val rows = for (s <- Seq("a", "b"); i <- 1 to 400)
       yield (s, s"$s-doc-$i")
