@@ -1290,6 +1290,22 @@ object SparkEntry {
         .orderBy("lang", "source")
     }),
 
+    "q112_quarantine_stats" -> ((s, d) => {
+      // the monitoring artifact a quality gate emits: per-rule violation
+      // counts over the quarantined rows — check tags row-locally, then one
+      // explode + map-side-combinable count
+      import graft.ops.Expectations
+      import graft.ops.Expectations.Rule
+      Expectations.check(events(s, d), Seq(
+          Rule("value_le_300", col("value") <= 300),
+          Rule("known_type",
+            col("event_type").isin("click", "view", "purchase", "signup")),
+          Rule("user_present", col("user_id").isNotNull)))
+        .select(explode(col("violations")).as("rule"))
+        .groupBy("rule").agg(count(lit(1)).as("n_rows"))
+        .orderBy("rule")
+    }),
+
     "q111_chunking" -> ((s, d) => {
       // context-window chunking: long documents sliced into 128-token
       // windows every 64 tokens (50% overlap) — row-local, codegen'd,
@@ -1855,6 +1871,16 @@ object SparkEntry {
     "q110_dup_keys" ->
       """SELECT lang, source, count(*) AS n_rows FROM documents
          GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY 1, 2""",
+    "q112_quarantine_stats" ->
+      """SELECT rule, n_rows FROM (
+           SELECT 'value_le_300' AS rule, count(*) AS n_rows FROM events
+             WHERE NOT coalesce(value <= 300, false)
+           UNION ALL SELECT 'known_type', count(*) FROM events
+             WHERE NOT coalesce(
+               event_type IN ('click','view','purchase','signup'), false)
+           UNION ALL SELECT 'user_present', count(*) FROM events
+             WHERE NOT coalesce(user_id IS NOT NULL, false))
+         WHERE n_rows > 0 ORDER BY rule""",
     "q111_chunking" ->
       """WITH tok AS (SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
