@@ -1290,6 +1290,28 @@ object SparkEntry {
         .orderBy("lang", "source")
     }),
 
+    "q113_stream_quality" -> ((s, d) => {
+      // always-on ingest quality gate: two deterministic micro-batches (cut
+      // at the median event id), each tagged row-locally and routed to
+      // pass/quarantine parquet sinks. Row-local tagging commutes with
+      // micro-batching, so q108's batch oracle semantics gate the streaming
+      // path too (restricted to the quarantined rows).
+      import graft.ops.Expectations.Rule
+      import graft.streaming.{CorpusStreams, QualityStreams}
+      val mid = t(s, d, "events").agg(max(col("event_id"))).head().getLong(0) / 2
+      val staged = CorpusStreams.stageIdSlices(s, s"$d/events.parquet",
+        "event_id", cuts = Seq(mid))
+      val (_, quarantine) = QualityStreams.gateStreaming(s, staged, Seq(
+          Rule("value_le_300", col("value") <= 300),
+          Rule("known_type",
+            col("event_type").isin("click", "view", "purchase", "signup")),
+          Rule("user_present", col("user_id").isNotNull)),
+        shufflePartitions = Some(8))
+      quarantine.select(col("event_id"),
+          concat_ws(",", col("violations")).as("violations"))
+        .orderBy("event_id")
+    }),
+
     "q112_quarantine_stats" -> ((s, d) => {
       // the monitoring artifact a quality gate emits: per-rule violation
       // counts over the quarantined rows — check tags row-locally, then one
@@ -1871,6 +1893,18 @@ object SparkEntry {
     "q110_dup_keys" ->
       """SELECT lang, source, count(*) AS n_rows FROM documents
          GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY 1, 2""",
+    "q113_stream_quality" ->
+      """SELECT event_id, violations FROM (
+           SELECT event_id, concat_ws(',',
+             CASE WHEN NOT coalesce(value <= 300, false)
+                  THEN 'value_le_300' END,
+             CASE WHEN NOT coalesce(
+                    event_type IN ('click','view','purchase','signup'), false)
+                  THEN 'known_type' END,
+             CASE WHEN NOT coalesce(user_id IS NOT NULL, false)
+                  THEN 'user_present' END) AS violations
+           FROM events)
+         WHERE violations <> '' ORDER BY event_id""",
     "q112_quarantine_stats" ->
       """SELECT rule, n_rows FROM (
            SELECT 'value_le_300' AS rule, count(*) AS n_rows FROM events
