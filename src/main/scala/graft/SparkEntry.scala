@@ -1290,6 +1290,19 @@ object SparkEntry {
         .orderBy("lang", "source")
     }),
 
+    "q114_budget_select" -> ((s, d) => {
+      // corpus selection under a global cost budget: best-scored docs kept
+      // while the running cost fits (inclusive prefix rule). Two-pass
+      // range-partitioned cumsum — the naive global window would collapse
+      // 100 TB onto one task.
+      import graft.ext.Selection
+      Selection.budgetSelect(t(s, d, "documents"),
+          scoreCol = "n_chars", costCol = "n_chars", tieCol = "doc_id",
+          budget = 100000L)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "q113_stream_quality" -> ((s, d) => {
       // always-on ingest quality gate: two deterministic micro-batches (cut
       // at the median event id), each tagged row-locally and routed to
@@ -1893,6 +1906,12 @@ object SparkEntry {
     "q110_dup_keys" ->
       """SELECT lang, source, count(*) AS n_rows FROM documents
          GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY 1, 2""",
+    "q114_budget_select" ->
+      """SELECT doc_id, n_chars FROM (
+           SELECT doc_id, n_chars,
+             sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id) AS cum
+           FROM documents)
+         WHERE cum <= 100000 ORDER BY doc_id""",
     "q113_stream_quality" ->
       """SELECT event_id, violations FROM (
            SELECT event_id, concat_ws(',',
