@@ -1303,6 +1303,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q115_budget_by_source" -> ((s, d) => {
+      // per-source budget selection: the partition-parallel window form —
+      // the one to prefer at scale whenever a grouping key exists
+      import graft.ext.Selection
+      Selection.budgetSelectByGroup(t(s, d, "documents"), Seq("source"),
+          scoreCol = "n_chars", costCol = "n_chars", tieCol = "doc_id",
+          budgetPerGroup = 2000L)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "q113_stream_quality" -> ((s, d) => {
       // always-on ingest quality gate: two deterministic micro-batches (cut
       // at the median event id), each tagged row-locally and routed to
@@ -1912,6 +1923,13 @@ object SparkEntry {
              sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id) AS cum
            FROM documents)
          WHERE cum <= 100000 ORDER BY doc_id""",
+    "q115_budget_by_source" ->
+      """SELECT doc_id, source, n_chars FROM (
+           SELECT doc_id, source, n_chars,
+             sum(n_chars) OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS cum
+           FROM documents)
+         WHERE cum <= 2000 ORDER BY doc_id""",
     "q113_stream_quality" ->
       """SELECT event_id, violations FROM (
            SELECT event_id, concat_ws(',',

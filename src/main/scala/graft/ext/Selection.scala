@@ -94,4 +94,27 @@ object Selection {
       }
     spark.createDataFrame(outRdd, schema)
   }
+
+  /** Per-group budget selection: the same greedy-prefix rule within each
+    * group (per source, language, domain...), each group's budget
+    * independent. Unlike the global form this needs NO two-pass machinery —
+    * a window partitioned by the group keys is already partition-parallel
+    * and codegen'd, because each group's order is local. Prefer this form
+    * at 100 TB whenever a grouping key exists (the same guidance as
+    * [[graft.ops.NaLocfPlusOne.byGroup]]).
+    */
+  def budgetSelectByGroup(
+      df: DataFrame, groupCols: Seq[String], scoreCol: String,
+      costCol: String, tieCol: String, budgetPerGroup: Long): DataFrame = {
+    require(groupCols.nonEmpty,
+      "groupCols required: use budgetSelect for the global form")
+    require(budgetPerGroup >= 0, "budget must be non-negative")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    val cum = "__graft_cum"
+    df.withColumn(cum, sum(col(costCol).cast("long")).over(w))
+      .where(col(cum) <= budgetPerGroup)
+      .drop(cum)
+  }
 }

@@ -39,6 +39,21 @@ class SelectionSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("budgetSelectByGroup applies the budget independently per group") {
+    val df = Seq(
+      ("a", 1L, 9.0, 4L), ("a", 2L, 8.0, 4L), ("a", 3L, 7.0, 4L),
+      ("b", 4L, 1.0, 5L), ("b", 5L, 2.0, 5L)
+    ).toDF("src", "id", "score", "cost")
+    val got = Selection
+      .budgetSelectByGroup(df, Seq("src"), "score", "cost", "id", 9L)
+      .select("id").as[Long].collect().sorted.toSeq
+    // a: 4+4 fits, third overflows; b: best-scored is id 5, then id 4 fits too (5+5>9 -> only id 5)
+    assert(got == Seq(1L, 2L, 5L))
+    assert(df.columns.toSeq ==
+      Selection.budgetSelectByGroup(df, Seq("src"), "score", "cost", "id", 9L)
+        .columns.toSeq)
+  }
+
   test("negative cost and negative budget fail loudly") {
     intercept[IllegalArgumentException] {
       Selection.budgetSelect(fixture, "score", "cost", "id", -1L)
