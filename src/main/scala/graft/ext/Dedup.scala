@@ -383,23 +383,29 @@ object Dedup {
       windowTokens: Int = 8, maxBucket: Int = 1000,
       hashWindows: Boolean = false): DataFrame = {
     require(windowTokens >= 2, "windowTokens must be >= 2")
-    import org.apache.spark.sql.expressions.Window
-    val tok = df.select(col(idCol),
-      posexplode(graft.functions.text.tokens(col(textCol))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(idCol).orderBy("pos")
-    val parts = (0 until windowTokens).map(i =>
-      if (i == 0) col("tok") else lead(col("tok"), i).over(w))
-    // the last lead is null exactly for the incomplete tail windows
-    val winExpr = concat_ws(" ", parts: _*)
-    val wins = tok
+    // Window generation is ROW-LOCAL: each document's token array yields its
+    // complete windows via sequence + posexplode + slice — all codegen'd, no
+    // shuffle. (The previous formulation ran lead().over(partitionBy(id)),
+    // which shuffled+sorted the entire exploded token stream — at corpus
+    // scale an avoidable exchange the size of the token count.) The only
+    // shuffles left are the ones the algorithm requires: the per-window
+    // distinct/sizing and the candidate equi-join.
+    import org.apache.spark.sql.functions.{size => arrayLen}
+    val toks = df.select(col(idCol),
+        graft.functions.text.tokens(col(textCol)).as("__toks"))
+      .where(arrayLen(col("__toks")) >= windowTokens)
+    val winExpr =
+      concat_ws(" ", slice(col("__toks"), col("__start") + 1, lit(windowTokens)))
+    val wins = toks
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), arrayLen(col("__toks")) - windowTokens, lit(1)))
+          .as(Seq("__i", "__start")))
       .select(col(idCol),
-        (if (hashWindows) xxhash64(winExpr) else winExpr).as("win"),
-        parts.last.isNotNull.as("__complete"))
-      .where(col("__complete"))
-      .select(col(idCol), col("win"))
+        (if (hashWindows) xxhash64(winExpr) else winExpr).as("win"))
       .distinct()
     val sized = wins
-      .withColumn("__wsz", count(lit(1)).over(Window.partitionBy("win")))
+      .withColumn("__wsz", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("win")))
       .where(col("__wsz") <= maxBucket)
       .drop("__wsz")
     sized.as("a").join(sized.as("b"),

@@ -38,23 +38,24 @@ object Vocab {
     * diagnostic one level above [[tokenFrequencies]] (boilerplate phrase
     * detection, contamination spotting, n-gram LM counts).
     *
-    * Formulated as posexplode + `lead` windows rather than an array-zip
-    * lambda: higher-order functions evaluate interpreted per element, while
-    * this shape stays codegen'd end to end. The window partitions by
-    * document — maximally parallel — and the count aggregation gets map-side
-    * partial combine, so shuffle volume is bounded by distinct n-grams per
-    * partition.
+    * Window generation is ROW-LOCAL: sequence + posexplode + slice over each
+    * document's token array, all codegen'd, no lambda and no shuffle — the
+    * same shape as [[Packing.slidingChunks]]. (A lead().over(partitionBy(id))
+    * formulation would shuffle+sort the whole exploded token stream just to
+    * assemble windows that are a per-row computation.) The ONE shuffle is
+    * the count aggregation, with map-side partial combine, so exchange
+    * volume is bounded by distinct n-grams per partition.
     */
   def ngramFrequencies(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 2, "n must be >= 2 (use tokenFrequencies for unigrams)")
-    import org.apache.spark.sql.expressions.Window
-    val tok = df.select(col(idCol),
-      posexplode(text.tokens(col(textCol))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(idCol).orderBy("pos")
-    val parts = (0 until n).map(i => if (i == 0) col("tok") else lead(col("tok"), i).over(w))
-    tok.select(concat_ws(" ", parts: _*).as("ngram"),
-        parts.last.isNotNull.as("__complete"))
-      .where(col("__complete"))
+    import org.apache.spark.sql.functions.{size => arrayLen}
+    df.select(text.tokens(col(textCol)).as("__toks"))
+      .where(arrayLen(col("__toks")) >= n)
+      .select(col("__toks"),
+        posexplode(sequence(lit(0), arrayLen(col("__toks")) - n, lit(1)))
+          .as(Seq("__i", "__start")))
+      .select(concat_ws(" ",
+        slice(col("__toks"), col("__start") + 1, lit(n))).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("n"))
   }

@@ -124,6 +124,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"pair counting lacks map-side partial aggregation:\n$plan")
   }
 
+  test("q107/q75: token-window generation is row-local — no per-document Window shuffle") {
+    // The n-token windows are assembled from each document's token array via
+    // sequence+posexplode+slice (the Packing.slidingChunks shape). A
+    // lead().over(partitionBy(id)) formulation would shuffle+sort the entire
+    // exploded token stream — at corpus scale an avoidable exchange the size
+    // of the token count. Locked: no lead() anywhere, and for the ngram
+    // counter no Window physical node at all (q107 legitimately keeps one
+    // Window, the maxBucket sizing over the *distinct window* stream, which
+    // is orders of magnitude smaller than the token stream).
+    val substr = finalPlan("q107_exact_substring")
+    assert(!substr.contains("lead("),
+      s"q107 window build regressed to a per-doc lead() shuffle:\n$substr")
+    val ngram = finalPlan("q75_bigram_counts")
+    assert(!ngram.contains("lead("),
+      s"q75 ngram build regressed to a per-doc lead() shuffle:\n$ngram")
+    assert(!ngram.contains("Window"),
+      s"q75 must contain no Window operator (row-local build + one agg):\n$ngram")
+  }
+
   test("q109: the orphan audit broadcasts the dimension snapshot under a LEFT ANTI join") {
     val plan = finalPlan("q109_orphan_keys")
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
