@@ -1,6 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Canary max/min ratio above which a battery run is host-load
+    * contaminated (the repo's documented noise threshold): the canary's plan
+    * never changes mid-run, so only external load can stretch it.
+    */
+  private val NoiseThreshold = 3.0
+  private val MaxAttempts = 3
+
+  private case class Attempt(
+      results: Seq[(String, Double)],
+      canaryFirst: Double, canaryLast: Double,
+      loadVariance: Double, total: Double)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -32,20 +44,40 @@ object Bench {
     // battery, after it, AND every 20 queries in between. Its plan never
     // changes mid-run, so a large max/min ratio across the samples can only
     // mean external host load arrived while the battery ran — it marks THIS
-    // artifact as contaminated (round-5's 2558s-vs-183s incident; a round-6
+    // attempt as contaminated (round-5's 2558s-vs-183s incident; a round-6
     // run showed 2.4x total inflation with CLEAN endpoints, which is why the
     // canary samples mid-battery too) rather than a code regression.
-    val canaries = scala.collection.mutable.ArrayBuffer(timed("q12_scalar_funcs"))
-    val results = SparkEntry.queries.zipWithIndex.map { case ((name, _), i) =>
-      if (i > 0 && i % 20 == 0) canaries += timed("q12_scalar_funcs")
-      name -> timed(name)
+    def runBattery(): Attempt = {
+      val canaries = scala.collection.mutable.ArrayBuffer(timed("q12_scalar_funcs"))
+      val results = SparkEntry.queries.zipWithIndex.map { case ((name, _), i) =>
+        if (i > 0 && i % 20 == 0) canaries += timed("q12_scalar_funcs")
+        name -> timed(name)
+      }.toSeq
+      canaries += timed("q12_scalar_funcs")
+      val valid = canaries.filter(_ > 0)
+      val loadVar =
+        if (valid.nonEmpty && valid.size == canaries.size) valid.max / valid.min
+        else -1.0
+      val total = results.collect { case (_, v) if v >= 0 => v }.sum
+      Attempt(results, canaries.head, canaries.last, loadVar, total)
     }
-    canaries += timed("q12_scalar_funcs")
-    val (canaryFirst, canaryLast) = (canaries.head, canaries.last)
-    val valid = canaries.filter(_ > 0)
-    val loadVar =
-      if (valid.nonEmpty && valid.size == canaries.size) valid.max / valid.min
-      else -1.0
+    // Contaminated-attempt retry: a poisoned measurement must never become
+    // the round's artifact just because it ran first. Re-run the battery
+    // while the canary flags external load, up to MaxAttempts, then emit the
+    // LEAST-contaminated attempt (all attempts' variance+total go to stderr
+    // and into the JSON so the retry history is auditable). loadVariance<0
+    // means the canary itself failed — a code problem retries cannot fix.
+    val attempts = scala.collection.mutable.ArrayBuffer(runBattery())
+    while (attempts.size < MaxAttempts && attempts.last.loadVariance > NoiseThreshold) {
+      System.err.println(f"[bench] attempt ${attempts.size} contaminated: " +
+        f"load_variance ${attempts.last.loadVariance}%.2f > $NoiseThreshold (total ${attempts.last.total}%.1f s) — retrying")
+      attempts += runBattery()
+    }
+    val chosen = attempts.minBy(a => if (a.loadVariance < 0) Double.MaxValue else a.loadVariance)
+    attempts.zipWithIndex.foreach { case (a, i) =>
+      System.err.println(f"[bench] attempt ${i + 1}: total ${a.total}%.2f s, load_variance ${a.loadVariance}%.2f" +
+        (if (a eq chosen) " (chosen)" else ""))
+    }
     // 2-decimal seconds: per-query timings are noise below 10ms anyway, and
     // the consumer captures only the LAST 2000 chars of output — full-
     // precision doubles push the 66-query line past that window and truncate
@@ -53,11 +85,11 @@ object Bench {
     // keys are the short qNN prefix: 84 full names are ~2100 chars of JSON,
     // which would clip the line head again.
     def f(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-    val qs = results.map { case (k, v) =>
+    val qs = chosen.results.map { case (k, v) =>
       s"\"" + k.takeWhile(_ != '_') + "\":" + f(v)
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","canary_first":${f(canaryFirst)},"canary_last":${f(canaryLast)},"load_variance":${f(loadVar)},"queries":$qs,"sf":"$sfDir"}""")
+    val attemptVars = attempts.map(a => f(a.loadVariance)).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f(chosen.total)},"unit":"sec","canary_first":${f(chosen.canaryFirst)},"canary_last":${f(chosen.canaryLast)},"load_variance":${f(chosen.loadVariance)},"attempt":${attempts.indexOf(chosen) + 1},"attempt_variances":$attemptVars,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
