@@ -383,6 +383,20 @@ object SparkEntry {
         .orderBy("id_l", "id_r")
     }),
 
+    "q116_exact_substring_apply" -> ((s, d) => {
+      // the APPLY step of exact-substring dedup: cleaned text under the
+      // keep-first contract (min doc id claims each 12-token window; higher
+      // ids lose every covered token). No pair stage at all — one window
+      // min-agg + equi-join back, then row-local span union + rebuild.
+      // md5(clean_text) keeps the oracle row narrow while hashing every
+      // surviving byte.
+      Dedup.exactSubstringDedup(t(s, d, "documents"), "doc_id", "text",
+          windowTokens = 12)
+        .select(col("doc_id"), md5(col("clean_text")).as("h"),
+          col("n_total"), col("n_kept"))
+        .orderBy("doc_id")
+    }),
+
     "q72_embed_quantize" -> ((s, d) => {
       // int8 embedding compression: one-pass native quantization, exploded
       // per-dimension so the DuckDB oracle hash-checks every code + scale
@@ -1979,6 +1993,34 @@ object SparkEntry {
          SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS n_windows
          FROM sized a JOIN sized b ON a.win = b.win AND a.doc_id < b.doc_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q116_exact_substring_apply" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '') AS t
+           FROM documents),
+         w AS (SELECT doc_id, i, array_to_string(t[i:i+11], ' ') AS win
+               FROM (SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - 11)) AS i FROM tok)),
+         keeper AS (SELECT win, min(doc_id) AS k FROM w GROUP BY 1),
+         dup AS (SELECT w.doc_id, w.i FROM w
+                 JOIN keeper ON w.win = keeper.win WHERE w.doc_id > keeper.k),
+         cov AS (SELECT DISTINCT doc_id,
+                   unnest(generate_series(i, i + 11)) AS p FROM dup),
+         pos AS (SELECT doc_id, t[p] AS tok, p
+                 FROM (SELECT doc_id, t,
+                         unnest(generate_series(1, len(t))) AS p FROM tok)),
+         kept AS (SELECT pos.doc_id, pos.p, pos.tok
+                  FROM pos LEFT JOIN cov
+                    ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+                  WHERE cov.p IS NULL),
+         agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+                        count(*) AS nk
+                 FROM kept GROUP BY doc_id)
+         SELECT tok.doc_id, md5(coalesce(agg.clean_text, '')) AS h,
+           CAST(coalesce(len(tok.t), 0) AS BIGINT) AS n_total,
+           CAST(coalesce(agg.nk, 0) AS BIGINT) AS n_kept
+         FROM tok LEFT JOIN agg ON tok.doc_id = agg.doc_id
+         ORDER BY tok.doc_id""",
     "q60_stream_dedup" ->
       """SELECT event_id, user_id,
            CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value

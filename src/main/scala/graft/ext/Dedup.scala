@@ -414,6 +414,69 @@ object Dedup {
       .agg(count(lit(1)).as("n_windows"))
   }
 
+  /** The APPLY step of exact-substring dedup (the output of Lee et al. 2021
+    * "Deduplicating Training Data Makes Language Models Better" §3.2 —
+    * cleaned TEXT, not candidate pairs; [[exactSubstringPairs]] is the
+    * diagnostic view of the same window match).
+    *
+    * Keep-first contract: every `windowTokens`-token window is claimed by
+    * the minimum doc id containing it; in every HIGHER-id document, all
+    * token positions covered by any claimed window are removed, and the
+    * surviving tokens are rejoined with single spaces. The keeper document
+    * keeps all its occurrences (including internal repetitions — this
+    * operator removes cross-document duplication; [[segmentDedup]] handles
+    * corpus-frequent boilerplate). Deterministic: no RNG, no ties (min id
+    * is unique per window).
+    *
+    * Returns `(idCol, clean_text, n_total, n_kept)` — one row per input
+    * row, [[segmentDedup]]'s contract: fully-deduplicated documents survive
+    * with empty text so downstream length filters see them.
+    *
+    * Scale: this path never forms document PAIRS at all — the window claim
+    * is one map-side-combinable `groupBy(win).agg(min(id))` and one
+    * equi-join back, so cost is linear in window count with no quadratic
+    * stage and no `maxBucket` guard needed (a window shared by a million
+    * docs still aggregates to one keeper row). Window generation is the
+    * row-local sequence+slice build (no token-stream shuffle, see
+    * [[exactSubstringPairs]]); coverage union and text rebuild are
+    * row-local array ops — `array_except` is hash-set backed, so rebuild is
+    * O(tokens + matches·window) per document, not O(tokens·matches).
+    */
+  def exactSubstringDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    import org.apache.spark.sql.functions.{size => arrayLen}
+    val toks = df.select(col(idCol),
+      graft.functions.text.tokens(col(textCol)).as("__toks"))
+    val wins = toks
+      .where(arrayLen(col("__toks")) >= windowTokens)
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), arrayLen(col("__toks")) - windowTokens, lit(1)))
+          .as(Seq("__i", "__start")))
+      .select(col(idCol), col("__start"),
+        concat_ws(" ",
+          slice(col("__toks"), col("__start") + 1, lit(windowTokens))).as("win"))
+    val keeper = wins.groupBy(col("win")).agg(min(col(idCol)).as("__keeper"))
+    val starts = wins.join(keeper, "win")
+      .where(col(idCol) > col("__keeper"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__start")).as("__starts"))
+    val covered = array_distinct(flatten(transform(col("__starts"),
+      s => sequence(s, s + windowTokens - 1))))
+    val keptPos = when(coalesce(arrayLen(col("__toks")), lit(0)) === 0,
+        array().cast("array<int>"))
+      .otherwise(array_except(
+        sequence(lit(0), arrayLen(col("__toks")) - 1, lit(1)),
+        coalesce(covered, array().cast("array<int>"))))
+    toks.join(starts, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(transform(keptPos,
+          p => element_at(col("__toks"), p + 1)), " ").as("clean_text"),
+        coalesce(arrayLen(col("__toks")), lit(0)).cast("long").as("n_total"),
+        arrayLen(keptPos).cast("long").as("n_kept"))
+  }
+
   /** 64-bit SimHash per document: per-bit majority vote over token hashes
     * (multiplicity-weighted), computed by the native single-pass expression —
     * no explode, no shuffle, one long per document out of the scan.

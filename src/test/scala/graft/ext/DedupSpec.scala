@@ -211,6 +211,64 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(hashed == expected)
   }
 
+  test("exactSubstringDedup removes claimed spans from higher ids, keeps the keeper intact") {
+    val run = "one two three four five six seven eight"  // 8 tokens
+    val d = Seq(
+      (1L, s"keeper prefix $run keeper suffix"),
+      (2L, s"thief leading words $run thief trailing words"),
+      (3L, run),                                 // fully duplicated -> empty
+      (4L, "nothing shared with anyone here")    // shorter than any window
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringDedup(d, "doc_id", "text", windowTokens = 8)
+      .select("doc_id", "clean_text", "n_total", "n_kept")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 1 claims the run: untouched
+    assert(out(1L)._2 == s"keeper prefix $run keeper suffix")
+    assert(out(1L)._3 == out(1L)._4)
+    // doc 2 loses exactly the 8 claimed tokens
+    assert(out(2L)._2 == "thief leading words thief trailing words",
+      s"got '${out(2L)._2}'")
+    assert(out(2L)._3 == 14 && out(2L)._4 == 6)
+    // doc 3 is nothing but the claimed run: survives as an EMPTY row
+    assert(out(3L)._2 == "" && out(3L)._3 == 8 && out(3L)._4 == 0)
+    // doc 4 has no 8-token window in common: untouched
+    assert(out(4L)._2 == "nothing shared with anyone here" && out(4L)._4 == 5)
+  }
+
+  test("exactSubstringDedup matches a reference model on seeded random corpora") {
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox", "golf", "hotel")
+    val k = 3
+    val corpus = (1L to 40L).map { id =>
+      id -> Seq.fill(3 + rnd.nextInt(28))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    // reference model: each k-window claimed by its min doc id; every
+    // covered position in a higher-id doc is dropped; survivors rejoined
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toVector }.toMap
+    val keeper = scala.collection.mutable.Map.empty[String, Long]
+    for ((id, ts) <- toks.toSeq.sortBy(_._1); w <- ts.sliding(k) if w.length == k) {
+      val s = w.mkString(" ")
+      keeper(s) = math.min(id, keeper.getOrElse(s, Long.MaxValue))
+    }
+    val expected = toks.map { case (id, ts) =>
+      val covered = (0 to ts.length - k)
+        .filter(i => keeper(ts.slice(i, i + k).mkString(" ")) < id)
+        .flatMap(i => i until i + k).toSet
+      val kept = ts.indices.filterNot(covered)
+      id -> ((kept.map(ts).mkString(" "), ts.length.toLong, kept.size.toLong))
+    }
+    val got = Dedup.exactSubstringDedup(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", windowTokens = k)
+      .select("doc_id", "clean_text", "n_total", "n_kept")
+      .as[(Long, String, Long, Long)].collect()
+      .map { case (id, c, t, kk) => id -> ((c, t, kk)) }.toMap
+    assert(got.keySet == expected.keySet)
+    val diverging = expected.keys.filter(id => got(id) != expected(id)).toSeq.sorted
+    assert(diverging.isEmpty,
+      diverging.take(3).map(id => s"doc $id: engine=${got(id)} model=${expected(id)}")
+        .mkString("; "))
+  }
+
   test("ngram jaccard pairs catch character-level near-dups") {
     // bands=8 (r=4) widens the recall curve for this lower threshold
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
