@@ -1039,6 +1039,19 @@ object SparkEntry {
         .orderBy("source", "rnk")
     }),
 
+    "q117_mixture_upsample" -> ((s, d) => {
+      // the upsampling regime of temperature mixing: budget 1200 exceeds
+      // sf0.01's corpus size, so every source's allocation exceeds its row
+      // count and the shortfall is delivered by epoch repetition (full
+      // epochs for all rows + a hash-order prefix for the remainder) —
+      // exactly alloc_s rows out per source
+      graft.ext.Mixtures.applyTemperature(t(s, d, "documents"), "source",
+          "doc_id", alpha = 0.5, budget = 1200L, upsample = true)
+        .select(col("source"), col("rnk"),
+          col("epoch").cast("long").as("epoch"), col("doc_id"))
+        .orderBy("source", "rnk", "epoch")
+    }),
+
     "q87_group_sample" -> ((s, d) => {
       // deterministic per-group k-sample: order inside each group by a
       // cross-engine content hash (md5) and keep the first k with the
@@ -2459,6 +2472,20 @@ object SparkEntry {
                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents)
          SELECT r.source, CAST(rn AS BIGINT) AS rnk, doc_id
          FROM r JOIN a USING (source) WHERE rn <= alloc ORDER BY source, rnk""",
+    "q117_mixture_upsample" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         z AS (SELECT CAST(sum(CAST(sqrt(n) AS DECIMAL(28,6))) AS DOUBLE) AS z FROM c),
+         a AS (SELECT source, n, CAST(round(1200 * sqrt(n) / z) AS BIGINT) AS alloc FROM c, z),
+         r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents),
+         e AS (SELECT r.source, r.doc_id, CAST(rn AS BIGINT) AS rnk,
+                 (alloc // n) + CASE WHEN rn <= alloc % n THEN 1 ELSE 0 END AS eps
+               FROM r JOIN a USING (source)),
+         x AS (SELECT source, rnk, doc_id,
+                 unnest(generate_series(0, eps - 1)) AS epoch
+               FROM e WHERE eps > 0)
+         SELECT source, rnk, CAST(epoch AS BIGINT) AS epoch, doc_id
+         FROM x ORDER BY source, rnk, epoch""",
     // the q63 normalize, q88 filter, q20 dedup and q56 split CTEs chained
     // on the cleaned text — the whole-pipeline differential test
     "q90_corpus_pipeline" ->

@@ -99,36 +99,70 @@ object Mixtures {
     * the same cross-engine hash as [[Splits]]), ranked 1..alloc_s in
     * `rankName`.
     *
+    * Repetition contract (`upsample = true`): a source whose allocation
+    * EXCEEDS its size — the main practical use of alpha < 1, where a
+    * low-resource source is boosted above its row count — delivers its
+    * shortfall by epoch-style repetition, the standard practice for
+    * low-resource LM sources: every row appears `floor(alloc/n)` times and
+    * the hash-order-first `alloc mod n` rows once more, tagged 0-based in
+    * `epochName`, so exactly `alloc_s` rows come out per source and the
+    * partial final epoch is a deterministic hash-order prefix (no RNG, no
+    * engine dependence). Downsampled sources are unchanged by the flag
+    * (every kept row is epoch 0). With `upsample = false` (the default,
+    * and the pre-existing behavior) over-allocated sources silently
+    * deliver only their `n_s` rows and no epoch column is added.
+    *
     * Scale: the allocation table is #sources rows (collected once, bounded)
     * and broadcasts; row selection runs through the native
     * [[graft.plans.GroupTopK]] heap operator with k = max allocation, so a
     * giant source costs O(n log k) heap maintenance and the post-partial
     * shuffle carries at most k rows per (source, partition) — never a full
-    * per-source sort. Requires [[graft.GraftExtensions]] on the session.
+    * per-source sort. The epoch expansion is a row-local explode AFTER the
+    * top-k (output rows = sum of allocations, never more). Requires
+    * [[graft.GraftExtensions]] on the session.
     */
   def applyTemperature(
       df: DataFrame, sourceCol: String, keyCol: String, alpha: Double,
-      budget: Long, rankName: String = "rnk"): DataFrame = {
-    require(!df.columns.contains("__hk") && !df.columns.contains("__alloc"),
-      "input must not already have __hk/__alloc columns")
+      budget: Long, rankName: String = "rnk", upsample: Boolean = false,
+      epochName: String = "epoch"): DataFrame = {
+    require(!df.columns.contains("__hk") && !df.columns.contains("__alloc") &&
+        !df.columns.contains("__n"),
+      "input must not already have __hk/__alloc/__n columns")
     // the allocation table is one row per source — collect it ONCE (the
     // heap size k must be a literal anyway) and rebroadcast the local rows,
     // instead of paying the count aggregation twice
     val tw = temperatureWeights(df, sourceCol, alpha, budget)
-      .select(col(sourceCol), col("alloc"))
+      .select(col(sourceCol), col("n"), col("alloc"))
     val allocRows = tw.collect()
     require(allocRows.nonEmpty, "no sources found (empty input?)")
-    val maxAlloc = allocRows.map(_.getLong(1)).max
+    val maxAlloc = allocRows.map(_.getLong(2)).max
     require(maxAlloc > 0 && maxAlloc <= Int.MaxValue,
       s"max per-source allocation $maxAlloc outside (0, Int.MaxValue]")
     val allocs = df.sparkSession
       .createDataFrame(java.util.Arrays.asList(allocRows: _*), tw.schema)
-      .withColumnRenamed("alloc", "__alloc")
+      .withColumnRenamed("n", "__n").withColumnRenamed("alloc", "__alloc")
     val hashed = df.withColumn("__hk", md5(col(keyCol).cast("string")))
-    graft.plans.GroupTopK(hashed, Seq(sourceCol),
+    val ranked = graft.plans.GroupTopK(hashed, Seq(sourceCol),
       Seq("__hk" -> true, keyCol -> true), k = maxAlloc.toInt, rankName)
       .join(broadcast(allocs), Seq(sourceCol))
-      .where(col(rankName) <= col("__alloc"))
-      .drop("__hk", "__alloc")
+    if (!upsample)
+      ranked.where(col(rankName) <= col("__alloc"))
+        .drop("__hk", "__alloc", "__n")
+    else {
+      // per-row epoch count: full epochs floor(alloc/n) for everyone, plus
+      // one for the hash-order-first (alloc mod n) rows. Downsampled
+      // sources land on 0-or-1 via the same formula (floor = 0, remainder
+      // = alloc), so one expression covers both regimes and per-source
+      // output is exactly alloc. The long/long `/` would be double
+      // division; `div` keeps it integral and exact.
+      val eRow = (expr("__alloc div __n") +
+        when(col(rankName) <= col("__alloc") % col("__n"), lit(1L))
+          .otherwise(lit(0L))).cast("int")
+      ranked.withColumn("__epochs", eRow)
+        .where(col("__epochs") > 0)
+        .withColumn(epochName,
+          explode(sequence(lit(0), col("__epochs") - 1, lit(1))))
+        .drop("__hk", "__alloc", "__n", "__epochs")
+    }
   }
 }

@@ -130,4 +130,44 @@ class PackingMixtureSpec extends AnyFunSuite with SparkSpec {
       budget = 100L).select("id").as[Long].collect().toSet
     assert(again == out.select("id").as[Long].collect().toSet)
   }
+
+  test("applyTemperature upsample=true delivers over-allocations by epoch repetition") {
+    // sqrt weights 0.75/0.25 at budget 400 -> allocs 300/100: big (900
+    // rows) downsamples to 300, small (100 rows) is allocated exactly its
+    // size; budget 800 -> allocs 600/200: small must UPsample 2x
+    val rows = (1 to 900).map(i => ("big", i.toLong)) ++
+      (901 to 1000).map(i => ("small", i.toLong))
+    val df = rows.toDF("source", "id")
+    val out = Mixtures.applyTemperature(df, "source", "id", alpha = 0.5,
+      budget = 800L, upsample = true)
+    val bySource = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySource == Map("big" -> 600L, "small" -> 200L),
+      s"per-source output must equal alloc exactly, got $bySource")
+    // small: alloc 200 over 100 rows = 2 full epochs, empty remainder —
+    // every row appears exactly at epochs 0 and 1
+    val smallEpochs = out.where(col("source") === "small")
+      .groupBy("id").agg(sort_array(collect_list(col("epoch"))).as("es"))
+      .select("es").as[Seq[Int]].collect()
+    assert(smallEpochs.length == 100 && smallEpochs.forall(_ == Seq(0, 1)))
+    // big: alloc 600 < 900 rows — plain downsample, all epoch 0, ranks 1..600
+    val big = out.where(col("source") === "big")
+    assert(big.where(col("epoch") =!= 0).count() == 0)
+    assert(big.select("rnk").as[Long].collect().sorted.toSeq == (1L to 600L))
+    // a PARTIAL final epoch truncates in hash order: alloc 250 over 100
+    // rows = 2 full epochs + the 50 hash-first rows once more
+    val partial = Mixtures.applyTemperature(
+      rows.filter(_._1 == "small").toDF("source", "id"), "source", "id",
+      alpha = 0.5, budget = 250L, upsample = true)
+    assert(partial.count() == 250)
+    val thirds = partial.where(col("epoch") === 2)
+      .select("rnk").as[Long].collect().sorted
+    assert(thirds.toSeq == (1L to 50L),
+      s"partial epoch must be the hash-order prefix, got ${thirds.take(5).toSeq}...")
+    // default remains the pre-existing behavior: no epoch column, min(alloc, n)
+    val legacy = Mixtures.applyTemperature(df, "source", "id", alpha = 0.5,
+      budget = 800L)
+    assert(!legacy.columns.contains("epoch"))
+    assert(legacy.where(col("source") === "small").count() == 100)
+  }
 }
