@@ -105,7 +105,8 @@ object CorpusStreams {
       shingleK: Int = 3, maxBucket: Int = 1000,
       checkpointEvery: Int = 8, sinkDir: Option[String] = None,
       shufflePartitions: Option[Int] = None,
-      stateDir: Option[String] = None): DataFrame = {
+      stateDir: Option[String] = None,
+      rocksdbState: Boolean = false): DataFrame = {
     require(checkpointEvery > 0, "checkpointEvery must be positive")
     val schema = spark.read.parquet(stagedDir).schema
     val params = Dedup.MinhashParams(numHashes, bands, shingleK)
@@ -125,7 +126,7 @@ object CorpusStreams {
     }
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stagedDir)
-    EventStreams.withStatePartitions(spark, shufflePartitions) {
+    EventStreams.withStatePartitions(spark, shufflePartitions, rocksdbState) {
       val q = stream.writeStream
         .foreachBatch { (batch: Dataset[Row], _: Long) =>
           val b = batch.persist()

@@ -37,6 +37,19 @@ object EventStreams {
       case _ => df.withColumn("ts", col("ts").cast("timestamp"))
     }
 
+  /** The RocksDB state store provider that ships with Spark — the
+    * production choice for large stateful streams: state lives off-heap /
+    * on-disk per executor instead of as JVM-heap HDFS-backed maps, so state
+    * size is bounded by local disk not executor memory, and changelog
+    * checkpointing ships deltas rather than full snapshots. At THIS repo's
+    * test scale the micro-batch floor is store open/commit overhead, not
+    * state size, so RocksDB is surfaced as an opt-in (`rocksdbState`) on
+    * every streaming driver rather than the default — at 100 TB with
+    * millions of keys per partition it is the setting to flip first.
+    */
+  private[streaming] val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** Run `body` with `spark.sql.shuffle.partitions` bounded to `n` (restored
     * after). Stateful streaming cost is dominated by per-store fixed
     * overhead — each micro-batch opens/commits one state store per shuffle
@@ -46,15 +59,30 @@ object EventStreams {
     * oracle-compared sums are decimal-routed, so partial-agg order is moot).
     * Queries in this engine run sequentially per session, so the temporary
     * swap cannot race a concurrent query.
+    *
+    * `rocksdb = true` additionally pins the state store provider to
+    * [[RocksDbProvider]] for queries STARTED inside `body` (the provider,
+    * like the partition count, freezes from conf at first run; restored
+    * after). Provider choice never affects results — only where state
+    * bytes live — and the streaming specs assert streamed == batch under
+    * both providers.
     */
   private[streaming] def withStatePartitions[T](
-      spark: SparkSession, n: Option[Int])(body: => T): T = n match {
-    case None => body
-    case Some(v) =>
-      val key = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.get(key)
-      spark.conf.set(key, v.toString)
-      try body finally spark.conf.set(key, prev)
+      spark: SparkSession, n: Option[Int], rocksdb: Boolean = false)(body: => T): T = {
+    val confs =
+      n.map("spark.sql.shuffle.partitions" -> _.toString).toSeq ++
+        (if (rocksdb)
+          Seq("spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider)
+        else Nil)
+    if (confs.isEmpty) body
+    else {
+      val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
   }
 
   /** Drain a finished memory-sink table into a local DataFrame and DROP the
@@ -104,7 +132,8 @@ object EventStreams {
   def tumblingWindowStreaming(
       spark: SparkSession, eventsPath: String, queryName: String,
       windowLen: String = "1 hour", watermark: String = "10 minutes",
-      shufflePartitions: Option[Int] = None): DataFrame = {
+      shufflePartitions: Option[Int] = None,
+      rocksdbState: Boolean = false): DataFrame = {
     val schema = spark.read.parquet(eventsPath).schema
     val stream = normalizeTs(
       spark.readStream.schema(schema).parquet(stageStreamDir(eventsPath)))
@@ -114,7 +143,7 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
       .select(unix_timestamp(col("w.start")).as("wstart"), col("event_type"),
         col("n_events"), col("sum_value"))
-    withStatePartitions(spark, shufflePartitions) {
+    withStatePartitions(spark, shufflePartitions, rocksdbState) {
       val q = agg.writeStream
         .outputMode(OutputMode.Complete())
         .format("memory")
@@ -137,7 +166,8 @@ object EventStreams {
   def streamingDedup(
       spark: SparkSession, eventsPath: String, queryName: String,
       keys: Seq[String], watermark: String = "10 minutes",
-      shufflePartitions: Option[Int] = None): DataFrame = {
+      shufflePartitions: Option[Int] = None,
+      rocksdbState: Boolean = false): DataFrame = {
     val p = java.nio.file.Paths.get(eventsPath).toAbsolutePath
     val d = java.nio.file.Files.createTempDirectory("graft_dup_stream")
     d.toFile.deleteOnExit()
@@ -168,7 +198,7 @@ object EventStreams {
     }
     val schema = spark.read.parquet(eventsPath).schema
     val stream = normalizeTs(spark.readStream.schema(schema).parquet(d.toString))
-    withStatePartitions(spark, shufflePartitions) {
+    withStatePartitions(spark, shufflePartitions, rocksdbState) {
       val q = stream
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(keys)
@@ -265,7 +295,8 @@ object EventStreams {
       typeA: String, typeB: String, withinMinutes: Int = 60,
       watermark: String = "10 minutes",
       userMod: Long = 1L,
-      shufflePartitions: Option[Int] = None): DataFrame = {
+      shufflePartitions: Option[Int] = None,
+      rocksdbState: Boolean = false): DataFrame = {
     val schema = spark.read.parquet(eventsPath).schema
     // userMod > 1 bounds join state to a deterministic 1/userMod user slice
     // — same machinery, proportionally less per-row state-store traffic
@@ -276,7 +307,7 @@ object EventStreams {
     }
     // A stream-stream join runs FOUR state stores per shuffle partition per
     // micro-batch, so this query benefits most from bounding them.
-    withStatePartitions(spark, shufflePartitions) {
+    withStatePartitions(spark, shufflePartitions, rocksdbState) {
       val q = correlate(stream(), stream(), typeA, typeB, withinMinutes, watermark)
         .writeStream
         .outputMode(OutputMode.Append())
@@ -371,11 +402,12 @@ object EventStreams {
   def sessionizeStatefulStreaming(
       spark: SparkSession, eventsPath: String, queryName: String,
       gapMinutes: Int = 30,
-      shufflePartitions: Option[Int] = None): DataFrame = {
+      shufflePartitions: Option[Int] = None,
+      rocksdbState: Boolean = false): DataFrame = {
     val schema = spark.read.parquet(eventsPath).schema
     val stream = normalizeTs(
       spark.readStream.schema(schema).parquet(stageStreamDir(eventsPath)))
-    withStatePartitions(spark, shufflePartitions) {
+    withStatePartitions(spark, shufflePartitions, rocksdbState) {
       val q = sessionizeStateful(stream, gapMinutes).writeStream
         .outputMode(OutputMode.Append())
         .format("memory")

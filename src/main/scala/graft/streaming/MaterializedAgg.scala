@@ -27,7 +27,8 @@ object MaterializedAgg {
       groupCols: Seq[String], valueCol: String,
       nCol: String = "n", sumCol: String = "sum_value",
       scale: Int = 4,
-      shufflePartitions: Option[Int] = None): DataFrame = {
+      shufflePartitions: Option[Int] = None,
+      rocksdbState: Boolean = false): DataFrame = {
     val schema = spark.read.parquet(stagedDir).schema
     // written from the micro-batch thread, read from the caller thread after
     // awaitTermination — synchronized explicitly rather than relying on the
@@ -36,7 +37,7 @@ object MaterializedAgg {
     var state: Option[DataFrame] = None
     // bounding partitions here shrinks the per-batch groups-sized shuffle
     // AND the localCheckpoint'ed state materialization (tasks per batch)
-    EventStreams.withStatePartitions(spark, shufflePartitions) {
+    EventStreams.withStatePartitions(spark, shufflePartitions, rocksdbState) {
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(stagedDir)
         .writeStream

@@ -31,7 +31,8 @@ object QualityStreams {
     */
   def gateStreaming(spark: SparkSession, stagedDir: String,
       rules: Seq[Expectations.Rule],
-      shufflePartitions: Option[Int] = None): (DataFrame, DataFrame) = {
+      shufflePartitions: Option[Int] = None,
+      rocksdbState: Boolean = false): (DataFrame, DataFrame) = {
     val schema = spark.read.parquet(stagedDir).schema
     def sink(prefix: String): String = {
       val d = Files.createTempDirectory(prefix)
@@ -42,7 +43,7 @@ object QualityStreams {
     val quarDir = sink("graft_gate_quarantine")
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stagedDir)
-    EventStreams.withStatePartitions(spark, shufflePartitions) {
+    EventStreams.withStatePartitions(spark, shufflePartitions, rocksdbState) {
       val q = stream.writeStream
         .foreachBatch { (batch: Dataset[Row], _: Long) =>
           val b = batch.persist()

@@ -125,6 +125,24 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(batch == streamed)
   }
 
+  test("rocksdbState=true: RocksDB-backed state, identical results, conf restored") {
+    val dir = "/root/testdata/sf0.001"
+    // provider choice moves state bytes, never results: RocksDB-backed
+    // streaming must equal the batch twin bit for bit
+    val batch = EventStreams.tumblingWindowBatch(
+      EventStreams.normalizeTs(spark.read.parquet(s"$dir/events.parquet")))
+      .orderBy("wstart", "event_type").collect().toSeq
+    val streamed = EventStreams.tumblingWindowStreaming(
+      spark, s"$dir/events.parquet", "tw_rocksdb_test",
+      shufflePartitions = Some(4), rocksdbState = true)
+      .orderBy("wstart", "event_type").collect().toSeq
+    assert(batch == streamed)
+    // the swap is scoped: neither conf leaks past the driver call
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    assert(!spark.conf.getOption(key).contains(EventStreams.RocksDbProvider),
+      "provider conf leaked out of withStatePartitions")
+  }
+
   test("streamingDedup survivors = distinct source rows (doubled stream)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sd").toString
     events.coalesce(1).write.parquet(s"$dir/src")
