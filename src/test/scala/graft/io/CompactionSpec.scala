@@ -51,6 +51,47 @@ class CompactionSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("partitionBy keeps the Hive layout, targets files per partition, pruning survives") {
+    // hot/cold skew: status A ~10x the bytes of B/C
+    val in = Files.createTempDirectory("graft_compact_part_in").toString
+    spark.range(11000).select(col("id"),
+        when(col("id") < 10000, "A").otherwise(when(col("id") < 10500, "B")
+          .otherwise("C")).as("status"),
+        concat(lit("payload-"), col("id")).as("text"))
+      .repartition(16).write.partitionBy("status").mode("overwrite").parquet(in)
+    // the fragmented input wrote ~16 files per partition value
+    assert(Compaction.dataFileCount(spark, in) > 30)
+    val out = Files.createTempDirectory("graft_compact_part_out").toString
+    val aBytes = Compaction.partitionBytes(spark, in)("status=A")
+    // target = A/4: the hot partition should land ~4 files, cold ones 1 each
+    val compacted = Compaction.compact(spark, in, out,
+      targetFileBytes = (aBytes + 3) / 4, partitionBy = Seq("status"))
+    // layout preserved: key=value directories on the output
+    Seq("A", "B", "C").foreach { v =>
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(out, s"status=$v")), s"missing status=$v dir")
+    }
+    // per-partition-value file targeting, not a global round-robin (which
+    // would write a sliver of every value from every task)
+    val perDir = Seq("A", "B", "C").map(v =>
+      v -> Compaction.dataFileCount(spark, s"$out/status=$v")).toMap
+    assert(perDir("B") == 1 && perDir("C") == 1,
+      s"cold partitions must compact to one file, got $perDir")
+    assert(perDir("A") >= 2 && perDir("A") <= 8,
+      s"hot partition should split toward ~4 right-sized files, got $perDir")
+    // content identity
+    val a = spark.read.parquet(in)
+    assert(compacted.except(a).count() == 0 && a.except(compacted).count() == 0)
+    // partition pruning still works on the compacted copy — the property
+    // flattening silently destroyed before partitionBy existed
+    val pruned = compacted.where(col("status") === "B")
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    val pfIdx = plan.indexOf("PartitionFilters")
+    assert(pfIdx >= 0 && plan.substring(pfIdx).takeWhile(_ != ']').contains("status"),
+      s"no partition filter on compacted output:\n$plan")
+  }
+
   test("a dataset already below target compacts to one file") {
     val in = fragmented(files = 8, rows = 100)
     val out = Files.createTempDirectory("graft_compact_one").toString
