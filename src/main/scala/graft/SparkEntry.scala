@@ -441,6 +441,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q118_knn_ivf_portable" -> ((s, d) => {
+      // IVF ANN under a FULL hash oracle: the portable seed quantizer
+      // (centroids = 8 smallest-md5(id) corpus vectors, no iteration) is
+      // reproducible in DuckDB SQL, so cell assignment, nProbe probing and
+      // the exact re-rank are all differentially tested. q51 stays the
+      // trained (recall-asserted) production variant.
+      val emb = t(s, d, "embeddings")
+      val model = graft.ext.Ivf.portableSeedModel(emb, "vec_id", "embedding", k = 8)
+      graft.ext.Ivf.topK(model, emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", "vec_id", k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     "q52_embed_neardup" -> ((s, d) => {
       // Embedding-cosine near-dup over the corpus plus planted exact
       // duplicates (id-shifted copy): identical vectors land in identical
@@ -2622,6 +2635,42 @@ object SparkEntry {
          SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
          ORDER BY query_id, rank"""
     },
+    // the engine's cell assignment (cosine argmax, centroid-index ties) and
+    // re-rank replicated in SQL over the md5-seeded portable quantizer;
+    // list_cosine_similarity's bit-parity with vectors.cosine is already
+    // proven by q98's rank-on-raw-cosine hash match
+    "q118_knn_ivf_portable" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         seeds AS (SELECT v AS c_vec, rn - 1 AS cell FROM
+             (SELECT v, row_number() OVER
+                (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM e)
+           WHERE rn <= 8),
+         asg AS (SELECT vec_id, cell FROM (
+             SELECT e.vec_id, s.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, s.c_vec) DESC, s.cell) AS rn
+             FROM e CROSS JOIN seeds s)
+           WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, cell FROM (
+             SELECT e.vec_id, s.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, s.c_vec) DESC, s.cell) AS rn
+             FROM e CROSS JOIN seeds s WHERE e.vec_id < 10)
+           WHERE rn <= 2),
+         cand AS (SELECT DISTINCT query_id, a.vec_id AS neighbor_id
+           FROM probes p JOIN asg a ON p.cell = a.cell
+           WHERE a.vec_id <> p.query_id),
+         sc AS (SELECT query_id, neighbor_id,
+             list_cosine_similarity(eq.v, ec.v) AS cos_raw
+           FROM cand
+           JOIN e eq ON eq.vec_id = query_id
+           JOIN e ec ON ec.vec_id = neighbor_id),
+         r AS (SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+           FROM sc)
+         SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
     "q97_jsonl_roundtrip" ->
       """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
          user_id, event_type, value FROM events ORDER BY event_id""",

@@ -88,6 +88,29 @@ object Ivf {
     Model(centroids)
   }
 
+  /** Differential-testable quantizer: centroids are simply the `k` corpus
+    * vectors with the smallest `md5(CAST(id AS string))` (ties by id) — no
+    * Lloyd iteration, so the whole model is reproducible from the data in
+    * ANY engine with `md5` (the same portability trick as
+    * [[Similarity.portablePlanes]], but data-dependent), and [[topK]] over
+    * it is fully hash-oracle-able. Recall is below a trained quantizer's
+    * (seed cells don't adapt to density); [[train]] stays the production
+    * path, this is the oracle twin that proves the IVF MACHINERY — cell
+    * assignment, nProbe probing, exact re-rank — end to end.
+    */
+  def portableSeedModel(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int): Model = {
+    require(k >= 1, "k must be >= 1")
+    val seeds = corpus
+      .select(col(vecCol).cast("array<double>").as("v"), col(idCol).as("id"))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seeds.length == k, s"corpus has fewer than $k rows")
+    Model(seeds)
+  }
+
   /** Persist a trained quantizer: one line per centroid, comma-separated
     * `java.lang.Double.toString` values (shortest exact representation —
     * parses back bit-identically), written through the Hadoop FileSystem so

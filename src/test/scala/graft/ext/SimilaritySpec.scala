@@ -89,6 +89,21 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out.count() == 5)
   }
 
+  test("portableSeedModel: deterministic md5-seeded centroids drawn from the corpus") {
+    val m1 = Ivf.portableSeedModel(clustered, "vec_id", "embedding", k = 4)
+    val m2 = Ivf.portableSeedModel(clustered, "vec_id", "embedding", k = 4)
+    assert(m1.centroids.length == 4)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+    // every seed centroid IS a corpus vector (no iteration moved it)
+    val corpusVecs = clustered.select($"embedding".cast("array<double>"))
+      .as[Seq[Double]].collect().map(_.toSeq).toSet
+    assert(m1.centroids.forall(c => corpusVecs.contains(c.toSeq)))
+    // and the machinery over it still returns k ranked rows per query
+    val q = clustered.where($"vec_id" === 0L)
+    assert(Ivf.topK(m1, clustered, q, "vec_id", "embedding", "vec_id",
+      k = 5, nProbe = 2).count() == 5)
+  }
+
   test("IVF model save/load round-trips bit-identically and searches identically") {
     val model = Ivf.train(clustered, "vec_id", "embedding", k = 4, iters = 2)
     val path = java.nio.file.Files.createTempDirectory("graft_ivf")
