@@ -1365,13 +1365,13 @@ object SparkEntry {
       val mid = t(s, d, "events").agg(max(col("event_id"))).head().getLong(0) / 2
       val staged = CorpusStreams.stageIdSlices(s, s"$d/events.parquet",
         "event_id", cuts = Seq(mid))
-      val (_, quarantine) = QualityStreams.gateStreaming(s, staged, Seq(
+      val gate = QualityStreams.gateStreaming(s, staged, Seq(
           Rule("value_le_300", col("value") <= 300),
           Rule("known_type",
             col("event_type").isin("click", "view", "purchase", "signup")),
           Rule("user_present", col("user_id").isNotNull)),
         shufflePartitions = Some(8))
-      quarantine.select(col("event_id"),
+      gate.quarantine.select(col("event_id"),
           concat_ws(",", col("violations")).as("violations"))
         .orderBy("event_id")
     }),

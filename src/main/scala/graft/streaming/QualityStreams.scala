@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
 
@@ -23,16 +24,34 @@ import graft.ops.Expectations
   */
 object QualityStreams {
 
+  /** A finished gate run: the two routed sides plus the monitoring
+    * artifact — cumulative per-rule violation row counts (every declared
+    * rule present, zero included), the same numbers q112 computes batch-side
+    * from the quarantine tags.
+    */
+  final case class GateResult(pass: DataFrame, quarantine: DataFrame,
+      ruleViolations: Map[String, Long])
+
   /** Drive the gate over `stagedDir` (a directory of parquet files, one
     * micro-batch each), appending clean rows to a pass sink and violating
     * rows (plus `violations: array<string>`) to a quarantine sink; returns
-    * (pass, quarantine) read back with explicit schemas, so an all-clean or
-    * all-bad stream still yields a well-typed empty side.
+    * the sinks read back with explicit schemas (so an all-clean or all-bad
+    * stream still yields a well-typed empty side) plus per-rule violation
+    * counts.
+    *
+    * Metrics are accumulated per micro-batch from the SAME persisted batch
+    * the sink writes read — one row-local count aggregation over cached
+    * data, no source re-read and no shuffle, updated live as batches
+    * commit (a monitor can read the map mid-run under its lock). This is
+    * deliberately NOT `Dataset.observe`: the foreachBatch body runs TWO
+    * actions over the cached batch, and CollectMetrics accumulation under
+    * re-execution would double-count; the explicit aggregation is exact by
+    * construction.
     */
   def gateStreaming(spark: SparkSession, stagedDir: String,
       rules: Seq[Expectations.Rule],
       shufflePartitions: Option[Int] = None,
-      rocksdbState: Boolean = false): (DataFrame, DataFrame) = {
+      rocksdbState: Boolean = false): GateResult = {
     val schema = spark.read.parquet(stagedDir).schema
     def sink(prefix: String): String = {
       val d = Files.createTempDirectory(prefix)
@@ -41,6 +60,17 @@ object QualityStreams {
     }
     val passDir = sink("graft_gate_pass")
     val quarDir = sink("graft_gate_quarantine")
+    // violated = NOT coalesce(pred, false): the same null-is-violation
+    // semantics as Expectations.check, so these counts can never drift
+    // from the quarantine tags
+    val perRule = rules.map(r =>
+      count(when(!coalesce(r.predicate, lit(false)), 1)).as(r.name))
+    // written from the micro-batch thread, read from the caller thread
+    // after awaitTermination (and legitimately readable mid-run) — lock
+    // rather than rely on the termination happens-before
+    val metricsLock = new Object
+    val ruleCounts = scala.collection.mutable.Map.empty[String, Long]
+    rules.foreach(r => ruleCounts(r.name) = 0L)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stagedDir)
     EventStreams.withStatePartitions(spark, shufflePartitions, rocksdbState) {
@@ -51,6 +81,12 @@ object QualityStreams {
             val (pass, quarantine) = Expectations.split(b.toDF(), rules)
             pass.write.mode("append").parquet(passDir)
             quarantine.write.mode("append").parquet(quarDir)
+            val m = b.agg(perRule.head, perRule.tail: _*).head()
+            metricsLock.synchronized {
+              rules.zipWithIndex.foreach { case (r, i) =>
+                ruleCounts(r.name) += m.getLong(i)
+              }
+            }
           } finally b.unpersist()
         }
         .trigger(Trigger.AvailableNow())
@@ -59,7 +95,9 @@ object QualityStreams {
     }
     val quarSchema = StructType(schema.fields :+
       StructField("violations", ArrayType(StringType, containsNull = true)))
-    (spark.read.schema(schema).parquet(passDir),
-      spark.read.schema(quarSchema).parquet(quarDir))
+    GateResult(
+      spark.read.schema(schema).parquet(passDir),
+      spark.read.schema(quarSchema).parquet(quarDir),
+      metricsLock.synchronized(ruleCounts.toMap))
   }
 }

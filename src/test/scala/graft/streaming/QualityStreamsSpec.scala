@@ -36,15 +36,22 @@ class QualityStreamsSpec extends AnyFunSuite with SparkSpec {
     val expectedQuar = bQuar
       .select(col("id"), concat_ws(",", col("violations")).as("v"))
       .as[(Long, String)].collect().sortBy(_._1).toSeq
+    // the batch-side monitoring numbers (q112 shape): rows per violated rule
+    val expectedCounts = rules.map(_.name).map { r =>
+      r -> bQuar.where(array_contains(col("violations"), r)).count()
+    }.toMap
     for (cuts <- Seq(Seq(4L), Seq(2L, 5L))) {
-      val (pass, quar) =
-        QualityStreams.gateStreaming(spark, staged(cuts), rules,
-          shufflePartitions = Some(4))
-      assert(pass.select("id").as[Long].collect().sorted.toSeq == expectedPass,
+      val gate = QualityStreams.gateStreaming(spark, staged(cuts), rules,
+        shufflePartitions = Some(4))
+      assert(gate.pass.select("id").as[Long].collect().sorted.toSeq == expectedPass,
         s"pass side diverged for cuts $cuts")
-      val got = quar.select(col("id"), concat_ws(",", col("violations")).as("v"))
+      val got = gate.quarantine
+        .select(col("id"), concat_ws(",", col("violations")).as("v"))
         .as[(Long, String)].collect().sortBy(_._1).toSeq
       assert(got == expectedQuar, s"quarantine side diverged for cuts $cuts")
+      // streamed per-rule counts equal the batch gate's, at any batch cut
+      assert(gate.ruleViolations == expectedCounts,
+        s"streamed metrics diverged for cuts $cuts: ${gate.ruleViolations}")
     }
   }
 
@@ -54,9 +61,11 @@ class QualityStreamsSpec extends AnyFunSuite with SparkSpec {
     fixture.where(col("id") === 1L || col("id") === 5L)
       .write.mode("overwrite").parquet(s"$dir/src")
     val stagedDir = CorpusStreams.stageIdSlices(spark, s"$dir/src", "id", Seq(3L))
-    val (pass, quar) = QualityStreams.gateStreaming(spark, stagedDir, rules)
-    assert(pass.count() == 2)
-    assert(quar.isEmpty)
-    assert(quar.columns.toSeq == Seq("id", "value", "typ", "violations"))
+    val gate = QualityStreams.gateStreaming(spark, stagedDir, rules)
+    assert(gate.pass.count() == 2)
+    assert(gate.quarantine.isEmpty)
+    assert(gate.quarantine.columns.toSeq == Seq("id", "value", "typ", "violations"))
+    // every declared rule reports, zeros included
+    assert(gate.ruleViolations == Map("value_ok" -> 0L, "type_ok" -> 0L))
   }
 }
