@@ -370,9 +370,21 @@ object Dedup {
     * are no hash-collision false positives — the oracle-exact mode.
     * `hashWindows = true` is the 100 TB mode: windows collapse to an
     * xxhash64 long before the distinct/join, cutting shuffle volume by
-    * roughly the window byte width (~10x for 12-token windows) at a
-    * collision false-positive risk of ~pairs/2^64 (even at 10^12 windows
-    * that is ~0.03 expected spurious window matches corpus-wide).
+    * roughly the window byte width (~10x for 12-token windows).
+    *
+    * Collision bound (birthday over W distinct windows corpus-wide):
+    * expected hash-equal pairs of DIFFERENT windows ~ W^2 / 2^65 — ~1.4 at
+    * W = 10^10, ~2.7e4 at W = 10^12. Each such collision inflates ONE
+    * document pair's `n_windows` by one (or fabricates a pair at
+    * n_windows = 1), spread across the ~|docs|^2/2 possible pairs, and a
+    * collision can only ADD matches, never remove a genuine one. So an
+    * `n_windows >= 2` threshold absorbs essentially all of it: a spurious
+    * pair needs >= 2 INDEPENDENT collisions landing on the same document
+    * pair, expected ~ (W^2/2^65)^2 / pairs — vanishing even at 10^12
+    * windows (~7e8/|pairs|, i.e. ~1e-9 for a trillion-window corpus's
+    * ~1e18 pairs). Behavior under collisions is pinned by a spec that
+    * injects a deliberately colliding hash (`DedupSpec`).
+    *
     * Windows shared by more than `maxBucket` documents (ubiquitous
     * boilerplate) are dropped before the self-join — the same
     * degenerate-bucket guard as the LSH path, and the reason no stage is
@@ -381,7 +393,18 @@ object Dedup {
   def exactSubstringPairs(
       df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int = 8, maxBucket: Int = 1000,
-      hashWindows: Boolean = false): DataFrame = {
+      hashWindows: Boolean = false): DataFrame =
+    exactSubstringPairsImpl(df, idCol, textCol, windowTokens, maxBucket,
+      if (hashWindows) Some(xxhash64(_)) else None)
+
+  /** [[exactSubstringPairs]] with an injectable window-collapse hash —
+    * `private[ext]` so the collision-behavior spec can force collisions
+    * (a real xxhash64 collision cannot be synthesized in a test).
+    */
+  private[ext] def exactSubstringPairsImpl(
+      df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, maxBucket: Int,
+      collapse: Option[Column => Column]): DataFrame = {
     require(windowTokens >= 2, "windowTokens must be >= 2")
     // Window generation is ROW-LOCAL: each document's token array yields its
     // complete windows via sequence + posexplode + slice — all codegen'd, no
@@ -401,7 +424,7 @@ object Dedup {
         posexplode(sequence(lit(0), arrayLen(col("__toks")) - windowTokens, lit(1)))
           .as(Seq("__i", "__start")))
       .select(col(idCol),
-        (if (hashWindows) xxhash64(winExpr) else winExpr).as("win"))
+        collapse.fold(winExpr)(h => h(winExpr)).as("win"))
       .distinct()
     val sized = wins
       .withColumn("__wsz", count(lit(1))

@@ -211,6 +211,49 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(hashed == expected)
   }
 
+  test("hashWindows collisions only ADD matches and are absorbed by an n_windows threshold") {
+    // A real xxhash64 collision cannot be synthesized, so inject a
+    // deliberately colliding collapse (hash mod 8) through the private hook
+    // and pin the contract the scaladoc's birthday bound relies on:
+    // collisions inflate n_windows / fabricate low-count pairs but never
+    // remove a genuine match, so thresholding n_windows filters them.
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val d = Seq(
+      (1L, s"first document carries the shared run $run inside it"),
+      (2L, s"second one too $run with other trailing words here"),
+      (3L, "completely unrelated content about gardening and weather patterns"),
+      (4L, "another distinct text concerning musical instruments and tempo"),
+      (5L, "a fifth document on sailing navigation and coastal charts")
+    ).toDF("doc_id", "text")
+    val k = 4
+    def toPairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_l", "id_r", "n_windows")
+        .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val exact = toPairs(Dedup.exactSubstringPairs(d, "doc_id", "text",
+      windowTokens = k))
+    // the 9-token run yields 6 shared 4-token windows for (1,2) and
+    // nothing else
+    assert(exact == Map((1L, 2L) -> 6L), s"got $exact")
+    val collided = toPairs(Dedup.exactSubstringPairsImpl(d, "doc_id", "text",
+      windowTokens = k, maxBucket = 1000,
+      collapse = Some(c => pmod(xxhash64(c), lit(64)))))
+    // collisions are additive: every genuine pair survives with at least
+    // its true count, and the mod-64 collapse does fabricate matches
+    assert(collided.keySet.contains((1L, 2L)))
+    assert(collided((1L, 2L)) >= 6L)
+    assert(collided.exists { case (p, _) => p != ((1L, 2L)) },
+      "mod-64 collapse should fabricate spurious pairs in this fixture")
+    // the absorption claim: spurious pairs ride on few collisions, the
+    // genuine pair's count towers over them — thresholding recovers truth
+    val maxSpurious = collided.collect {
+      case (p, n) if p != ((1L, 2L)) => n
+    }.max
+    assert(maxSpurious < 6L,
+      s"spurious counts ($maxSpurious) should sit below the genuine 6")
+    val thresholded = collided.filter { case (_, n) => n > maxSpurious }
+    assert(thresholded.keySet == Set((1L, 2L)))
+  }
+
   test("exactSubstringDedup removes claimed spans from higher ids, keeps the keeper intact") {
     val run = "one two three four five six seven eight"  // 8 tokens
     val d = Seq(
