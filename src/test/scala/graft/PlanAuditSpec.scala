@@ -151,6 +151,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("o_orderdate"), s"snapshot cut missing:\n$plan")
   }
 
+  test("q116: the apply step never forms document pairs — min-agg + equi-join only") {
+    val plan = finalPlan("q116_exact_substring_apply")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"window claim degenerated to an all-pairs join:\n$plan")
+    // the window keeper claim must partial-aggregate before its shuffle
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"keeper min-agg lacks map-side combine:\n$plan")
+    assert(!plan.contains("lead("),
+      s"window build regressed to a per-doc lead() shuffle:\n$plan")
+  }
+
+  test("q118: portable IVF probes via equi-join on the cell id, never all-pairs") {
+    val plan = finalPlan("q118_knn_ivf_portable")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"cell probe degenerated to an all-pairs join:\n$plan")
+  }
+
   test("q93: the bloom probe filters the fact scan stage, below the join") {
     val plan = finalPlan("q93_bloom_join")
     val probeIdx = plan.indexOf("might_contain")
