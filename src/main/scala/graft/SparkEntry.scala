@@ -510,6 +510,23 @@ object SparkEntry {
         .orderBy("source", "pack_id")
     }),
 
+    "q119_packed_blocks" -> ((s, d) => {
+      // the materialized pretraining sample: per source, docs (each closed
+      // by an <eos> separator) concatenated in doc_id order and cut into
+      // 512-token blocks that CROSS document boundaries — q57 indexes the
+      // packs, this emits their exact contents. md5-of-block keeps the
+      // oracle row narrow while hashing every token in every block.
+      import org.apache.spark.sql.functions.{size => arrayLen}
+      val docs = t(s, d, "documents")
+        .select(col("source"), col("doc_id"), text.tokens(col("text")).as("toks"))
+      graft.ext.Packing.materializeBlocks(docs, "toks", "doc_id",
+          budget = 512, groupCols = Seq("source"), sepToken = Some("<eos>"))
+        .select(col("source"), col("block_id"),
+          arrayLen(col("tokens")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("tokens"))).as("h"))
+        .orderBy("source", "block_id")
+    }),
+
     "q58_mixture_sample" -> ((s, d) => {
       // deterministic mixture resampling: 50/25/25 target over three
       // sources; binding source kept whole, others hash-downsampled
@@ -1875,6 +1892,30 @@ object SparkEntry {
          SELECT source, CAST(floor(start_off / 2048) AS BIGINT) AS pack_id,
            count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          FROM o GROUP BY source, pack_id ORDER BY source, pack_id""",
+    "q119_packed_blocks" ->
+      raw"""WITH tok AS (SELECT source, doc_id,
+             list_append(list_filter(
+               regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> ''), '<eos>') AS t
+           FROM documents),
+         o AS (SELECT source, doc_id, t, CAST(len(t) AS BIGINT) AS n,
+             CAST(coalesce(sum(len(t)) OVER (PARTITION BY source
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS st
+           FROM tok WHERE len(t) > 0),
+         sp AS (SELECT source, t, n, st,
+             unnest(generate_series(st // 512, (st + n - 1) // 512)) AS b
+           FROM o),
+         pieces AS (SELECT source, b, st,
+             t[greatest(0, b*512 - st) + 1 : least(n, (b+1)*512 - st)] AS piece
+           FROM sp),
+         blocks AS (SELECT source, b AS block_id,
+             string_agg(array_to_string(piece, ' '), ' ' ORDER BY st) AS txt,
+             sum(len(piece)) AS nt
+           FROM pieces GROUP BY source, b)
+         SELECT source, CAST(block_id AS BIGINT) AS block_id,
+           CAST(nt AS BIGINT) AS n_tokens, md5(txt) AS h
+         FROM blocks ORDER BY source, block_id""",
     // thresholds = round(cumweight * 2^32): 0.8 -> 3435973837, 0.9 -> 3865470566
     "q56_dataset_split" ->
       """WITH s AS (SELECT n_chars, CASE

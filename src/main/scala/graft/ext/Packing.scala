@@ -46,6 +46,66 @@ object Packing {
     df.withColumn(packCol, packId)
   }
 
+  /** Materialize the actual fixed-length training blocks [[concatChunk]]
+    * only indexes: per group, documents' token arrays (each followed by
+    * `sepToken`, the EOS-between-docs convention, when given) are
+    * conceptually concatenated in `orderCol` order and cut every `budget`
+    * tokens; one output row per block with its exact token content —
+    * blocks CROSS document boundaries, the GPT-style pretraining sample
+    * shape. The final block of a group may be shorter than `budget`; every
+    * other block is exactly `budget` tokens.
+    *
+    * Output: `groupCols`, `block_id` (0-based), `tokens` (array).
+    *
+    * Scale: the only per-token-volume shuffles are the two the shape
+    * requires — the per-group window that assigns each document its global
+    * token offset (partition-parallel across groups, like [[concatChunk]]
+    * it refuses global packing), and the per-block reassembly aggregation
+    * whose state is bounded by `budget` tokens per block. Everything
+    * between is row-local: a document explodes into only the blocks it
+    * intersects (`ceil(n/budget) + 1` rows, NOT one row per token) and
+    * each intersection is one codegen'd `slice`. Block indices go through
+    * integral `div`, not double division (exact past 2^53).
+    */
+  def materializeBlocks(
+      df: DataFrame, tokensCol: String, orderCol: String, budget: Int,
+      groupCols: Seq[String], sepToken: Option[String] = None): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(groupCols.nonEmpty,
+      "groupCols required: global packing would funnel all rows through one task")
+    import org.apache.spark.sql.functions.{size => arrayLen}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    def idiv(a: Column, b: Long): Column = ColumnBridge.column(
+      IntegralDivide(ColumnBridge.expression(a), ColumnBridge.expression(lit(b))))
+    val toks = sepToken.fold(col(tokensCol))(s =>
+      concat(col(tokensCol), array(lit(s))))
+    val base = df
+      .select(groupCols.map(col) :+ col(orderCol).as("__ord") :+ toks.as("__t"): _*)
+      .where(arrayLen(col("__t")) > 0)
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__ord"))
+    val start = coalesce(
+      sum(arrayLen(col("__t")).cast("long"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val spanned = base
+      .withColumn("__start", start)
+      .withColumn("__n", arrayLen(col("__t")).cast("long"))
+      .withColumn("block_id", explode(sequence(
+        idiv(col("__start"), budget),
+        idiv(col("__start") + col("__n") - 1, budget), lit(1L))))
+      .withColumn("__from",
+        greatest(lit(0L), col("block_id") * budget - col("__start")))
+      .withColumn("__upto",
+        least(col("__n"), (col("block_id") + 1) * budget - col("__start")))
+      .withColumn("__piece", slice(col("__t"),
+        (col("__from") + 1).cast("int"), (col("__upto") - col("__from")).cast("int")))
+    spanned
+      .groupBy(groupCols.map(col) :+ col("block_id"): _*)
+      .agg(flatten(sort_array(collect_list(
+          struct(col("__start"), col("__piece")))).getField("__piece"))
+        .as("tokens"))
+  }
+
   /** Sliding-window chunking: one output row per context-window chunk of a
     * token-array column — windows of `size` tokens starting every `stride`
     * tokens (stride < size = overlapping chunks, the usual

@@ -112,6 +112,35 @@ class PackingMixtureSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("materializeBlocks: exact budget blocks crossing doc boundaries, concat identity") {
+    val docs = Seq(
+      ("a", 1L, (1 to 7).map(i => s"a$i")),   // + eos = 8 tokens
+      ("a", 2L, (1 to 10).map(i => s"b$i")),  // + eos = 11 -> crosses blocks
+      ("a", 3L, (1 to 2).map(i => s"c$i")),   // + eos = 3
+      ("b", 9L, (1 to 4).map(i => s"z$i"))    // + eos = 5, own group
+    ).toDF("src", "doc_id", "toks")
+    val out = Packing.materializeBlocks(docs, "toks", "doc_id", budget = 6,
+        groupCols = Seq("src"), sepToken = Some("<eos>"))
+      .orderBy("src", "block_id")
+      .as[(String, Long, Seq[String])].collect()
+    // group a: 22 tokens -> blocks of 6,6,6,4; group b: 5 -> one block of 5
+    assert(out.map(r => (r._1, r._2, r._3.length)).toSeq ==
+      Seq(("a", 0L, 6), ("a", 1L, 6), ("a", 2L, 6), ("a", 3L, 4), ("b", 0L, 5)))
+    // concatenation identity: blocks reassemble the doc-order token stream
+    val aStream = out.filter(_._1 == "a").sortBy(_._2).flatMap(_._3).toSeq
+    val expected = (1 to 7).map(i => s"a$i") ++ Seq("<eos>") ++
+      (1 to 10).map(i => s"b$i") ++ Seq("<eos>") ++
+      (1 to 2).map(i => s"c$i") ++ Seq("<eos>")
+    assert(aStream == expected)
+    // doc 2 (11 tokens from offset 8) straddles blocks 1 and 2 intact
+    assert(aStream.slice(8, 19) == (1 to 10).map(i => s"b$i") ++ Seq("<eos>"))
+    // without a separator the stream is just the raw concatenation
+    val plain = Packing.materializeBlocks(docs.where(col("src") === "a"),
+        "toks", "doc_id", budget = 100, groupCols = Seq("src"))
+      .as[(String, Long, Seq[String])].collect()
+    assert(plain.map(_._3.length).sum == 19)
+  }
+
   test("applyTemperature keeps exactly alloc rows per source, ranked") {
     val rows = (1 to 900).map(i => ("big", i.toLong)) ++
       (901 to 1000).map(i => ("small", i.toLong))
