@@ -397,6 +397,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q120_substring_dedup_incr" -> ((s, d) => {
+      // incremental apply: the lower-id half is the standing corpus (its
+      // window index built once, corpus never re-tokenized); the upper half
+      // arrives as a batch and loses every span the corpus already holds
+      // plus batch-internal keep-first claims. Because corpus ids precede
+      // batch ids, the result EQUALS the one-shot q116 restricted to the
+      // batch — which is exactly what the oracle SQL states.
+      val docs = t(s, d, "documents")
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val idx = Dedup.exactSubstringWindows(docs.where(col("doc_id") <= mid),
+        "doc_id", "text", windowTokens = 12)
+      Dedup.exactSubstringDedupAgainst(docs.where(col("doc_id") > mid), idx,
+          "doc_id", "text", windowTokens = 12)
+        .select(col("doc_id"), md5(col("clean_text")).as("h"),
+          col("n_total"), col("n_kept"))
+        .orderBy("doc_id")
+    }),
+
     "q72_embed_quantize" -> ((s, d) => {
       // int8 embedding compression: one-pass native quantization, exploded
       // per-dimension so the DuckDB oracle hash-checks every code + scale
@@ -2087,6 +2105,37 @@ object SparkEntry {
            CAST(coalesce(len(tok.t), 0) AS BIGINT) AS n_total,
            CAST(coalesce(agg.nk, 0) AS BIGINT) AS n_kept
          FROM tok LEFT JOIN agg ON tok.doc_id = agg.doc_id
+         ORDER BY tok.doc_id""",
+    // corpus ids precede batch ids, so the incremental apply equals the
+    // one-shot keep-first dedup (q116's oracle) restricted to the batch
+    "q120_substring_dedup_incr" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '') AS t
+           FROM documents),
+         w AS (SELECT doc_id, i, array_to_string(t[i:i+11], ' ') AS win
+               FROM (SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - 11)) AS i FROM tok)),
+         keeper AS (SELECT win, min(doc_id) AS k FROM w GROUP BY 1),
+         dup AS (SELECT w.doc_id, w.i FROM w
+                 JOIN keeper ON w.win = keeper.win WHERE w.doc_id > keeper.k),
+         cov AS (SELECT DISTINCT doc_id,
+                   unnest(generate_series(i, i + 11)) AS p FROM dup),
+         pos AS (SELECT doc_id, t[p] AS tok, p
+                 FROM (SELECT doc_id, t,
+                         unnest(generate_series(1, len(t))) AS p FROM tok)),
+         kept AS (SELECT pos.doc_id, pos.p, pos.tok
+                  FROM pos LEFT JOIN cov
+                    ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+                  WHERE cov.p IS NULL),
+         agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+                        count(*) AS nk
+                 FROM kept GROUP BY doc_id)
+         SELECT tok.doc_id, md5(coalesce(agg.clean_text, '')) AS h,
+           CAST(coalesce(len(tok.t), 0) AS BIGINT) AS n_total,
+           CAST(coalesce(agg.nk, 0) AS BIGINT) AS n_kept
+         FROM tok LEFT JOIN agg ON tok.doc_id = agg.doc_id
+         WHERE tok.doc_id > (SELECT max(doc_id) // 2 FROM documents)
          ORDER BY tok.doc_id""",
     "q60_stream_dedup" ->
       """SELECT event_id, user_id,

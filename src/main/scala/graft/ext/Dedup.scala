@@ -469,10 +469,75 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int = 8): DataFrame = {
     require(windowTokens >= 2, "windowTokens must be >= 2")
+    val toks = tokenized(df, idCol, textCol)
+    val wins = windowStarts(toks, idCol, windowTokens)
+    val keeper = wins.groupBy(col("win")).agg(min(col(idCol)).as("__keeper"))
+    val starts = wins.join(keeper, "win")
+      .where(col(idCol) > col("__keeper"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__start")).as("__starts"))
+    rebuildWithoutSpans(toks, starts, idCol, windowTokens)
+  }
+
+  /** The standing-corpus window index for [[exactSubstringDedupAgainst]]:
+    * the distinct `windowTokens`-token windows of `df` as one `win` string
+    * column. Persist it like any table (parquet) and union new batches'
+    * windows in — the corpus is never re-tokenized on later increments
+    * (the substring analog of [[minhashState]]).
+    */
+  def exactSubstringWindows(
+      df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    windowStarts(tokenized(df, idCol, textCol), idCol, windowTokens)
+      .select(col("win")).distinct()
+  }
+
+  /** Incremental APPLY: clean an incoming batch against a STANDING corpus —
+    * every span of `incoming` covered by a window already in
+    * `corpusWindows` (see [[exactSubstringWindows]]) is removed (the corpus
+    * always wins), and windows new in this batch follow the intra-batch
+    * keep-first rule (min incoming id claims them). EXACTLY equivalent to
+    * running [[exactSubstringDedup]] over corpus-union-batch and keeping
+    * the batch rows, whenever corpus ids precede batch ids — the
+    * equivalence a spec asserts — but the corpus is never re-tokenized:
+    * increment cost is batch windows + one semi-join against the index.
+    * Same output contract and same no-pair-stage scale shape as
+    * [[exactSubstringDedup]].
+    */
+  def exactSubstringDedupAgainst(
+      incoming: DataFrame, corpusWindows: DataFrame,
+      idCol: String, textCol: String, windowTokens: Int = 8): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    require(corpusWindows.columns.contains("win"),
+      "corpusWindows must have a 'win' column (exactSubstringWindows output)")
+    val toks = tokenized(incoming, idCol, textCol)
+    val wins = windowStarts(toks, idCol, windowTokens)
+    // corpus-claimed occurrences: semi-join against the standing index
+    val corpusHit = wins.join(corpusWindows.select("win"), Seq("win"), "left_semi")
+      .select(col(idCol), col("__start"))
+    // batch-internal keep-first on windows the corpus does NOT hold
+    val fresh = wins.join(corpusWindows.select("win"), Seq("win"), "left_anti")
+    val keeper = fresh.groupBy(col("win")).agg(min(col(idCol)).as("__keeper"))
+    val batchHit = fresh.join(keeper, "win")
+      .where(col(idCol) > col("__keeper"))
+      .select(col(idCol), col("__start"))
+    val starts = corpusHit.union(batchHit)
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__start")).as("__starts"))
+    rebuildWithoutSpans(toks, starts, idCol, windowTokens)
+  }
+
+  private def tokenized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), graft.functions.text.tokens(col(textCol)).as("__toks"))
+
+  /** Row-local window generation over [[tokenized]] output:
+    * `(idCol, __start, win)` — one row per window OCCURRENCE.
+    */
+  private def windowStarts(
+      toks: DataFrame, idCol: String, windowTokens: Int): DataFrame = {
     import org.apache.spark.sql.functions.{size => arrayLen}
-    val toks = df.select(col(idCol),
-      graft.functions.text.tokens(col(textCol)).as("__toks"))
-    val wins = toks
+    toks
       .where(arrayLen(col("__toks")) >= windowTokens)
       .select(col(idCol), col("__toks"),
         posexplode(sequence(lit(0), arrayLen(col("__toks")) - windowTokens, lit(1)))
@@ -480,11 +545,17 @@ object Dedup {
       .select(col(idCol), col("__start"),
         concat_ws(" ",
           slice(col("__toks"), col("__start") + 1, lit(windowTokens))).as("win"))
-    val keeper = wins.groupBy(col("win")).agg(min(col(idCol)).as("__keeper"))
-    val starts = wins.join(keeper, "win")
-      .where(col(idCol) > col("__keeper"))
-      .groupBy(col(idCol))
-      .agg(collect_set(col("__start")).as("__starts"))
+  }
+
+  /** Rebuild text from `toks` minus the `windowTokens`-wide spans at
+    * `__starts` (per-id start arrays): the shared apply-step tail —
+    * row-local span union (`array_except` is hash-set backed) and token
+    * rejoin, `(idCol, clean_text, n_total, n_kept)` out.
+    */
+  private def rebuildWithoutSpans(
+      toks: DataFrame, starts: DataFrame, idCol: String,
+      windowTokens: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{size => arrayLen}
     val covered = array_distinct(flatten(transform(col("__starts"),
       s => sequence(s, s + windowTokens - 1))))
     val keptPos = when(coalesce(arrayLen(col("__toks")), lit(0)) === 0,

@@ -278,6 +278,40 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(out(4L)._2 == "nothing shared with anyone here" && out(4L)._4 == 5)
   }
 
+  test("exactSubstringDedupAgainst: incremental chain equals the one-shot run") {
+    // three arrival slices with ascending ids; each batch cleans against
+    // the windows of everything before it, and the index unions forward —
+    // the result must equal the one-shot keep-first dedup restricted to
+    // each slice (the contract that makes increments trustworthy)
+    val rnd = new scala.util.Random(20260815L)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox")
+    val k = 3
+    val corpus = (1L to 45L).map { id =>
+      id -> Seq.fill(3 + rnd.nextInt(22))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val all = corpus.toDF("doc_id", "text")
+    val oneShot = Dedup.exactSubstringDedup(all, "doc_id", "text", windowTokens = k)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    val slices = Seq(1L to 15L, 16L to 30L, 31L to 45L)
+      .map(r => all.where(col("doc_id").between(r.head, r.last)))
+    var idx = Dedup.exactSubstringWindows(slices.head, "doc_id", "text", k)
+    for (batch <- slices.tail) {
+      val cleaned = Dedup.exactSubstringDedupAgainst(batch, idx,
+          "doc_id", "text", windowTokens = k)
+        .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+      cleaned.foreach { case (id, txt) =>
+        assert(txt == oneShot(id), s"doc $id diverged from one-shot")
+      }
+      idx = idx.union(Dedup.exactSubstringWindows(batch, "doc_id", "text", k))
+        .distinct()
+    }
+    // the first slice is the founding corpus: one-shot must keep it intact
+    // only where intra-slice duplication says so — cross-check via direct run
+    val firstClean = Dedup.exactSubstringDedup(slices.head, "doc_id", "text", k)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    firstClean.foreach { case (id, txt) => assert(txt == oneShot(id)) }
+  }
+
   test("exactSubstringDedup matches a reference model on seeded random corpora") {
     val rnd = new scala.util.Random(20260814L)
     val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox", "golf", "hotel")
