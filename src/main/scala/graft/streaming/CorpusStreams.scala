@@ -98,6 +98,12 @@ object CorpusStreams {
     * batches against everything every earlier run saw — the restartable
     * daily-ingest shape, asserted batch-boundary-invariant in
     * `CorpusStreamsSpec`.
+    *
+    * `checkpointDir` adds SOURCE-progress resumability on top: Spark's
+    * streaming checkpoint records which staged files each committed batch
+    * consumed, so a restarted run (same staged dir + checkpoint + sinkDir +
+    * stateDir) skips everything already committed instead of re-deduping
+    * it — pass all three for the full restart story.
     */
   def corpusDedupStreaming(
       spark: SparkSession, stagedDir: String, idCol: String, textCol: String,
@@ -106,7 +112,8 @@ object CorpusStreams {
       checkpointEvery: Int = 8, sinkDir: Option[String] = None,
       shufflePartitions: Option[Int] = None,
       stateDir: Option[String] = None,
-      rocksdbState: Boolean = false): DataFrame = {
+      rocksdbState: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(checkpointEvery > 0, "checkpointEvery must be positive")
     val schema = spark.read.parquet(stagedDir).schema
     val params = Dedup.MinhashParams(numHashes, bands, shingleK)
@@ -163,8 +170,10 @@ object CorpusStreams {
           } finally b.unpersist()
         }
         .trigger(Trigger.AvailableNow())
+      val started = checkpointDir
+        .fold(q)(d => q.option("checkpointLocation", d))
         .start()
-      q.awaitTermination()
+      started.awaitTermination()
     }
     stateLock.synchronized {
       for (dir <- stateDir; st <- state) Dedup.saveMinhashState(st, dir, params)

@@ -48,18 +48,34 @@ object QualityStreams {
     * re-execution would double-count; the explicit aggregation is exact by
     * construction.
     */
+  /** `passDir`/`quarantineDir`/`checkpointDir`: pass all three to make the
+    * gate RESUMABLE — the checkpoint records which source files each
+    * committed micro-batch consumed, so a restarted gate (same staged dir,
+    * same checkpoint) processes only files that arrived since the last
+    * commit and appends to the same sinks with no duplication; fresh temp
+    * directories (the default) give the one-shot behavior. Note
+    * `ruleViolations` counts THIS run's batches only — a monitor of a
+    * resumed gate aggregates across runs itself.
+    */
   def gateStreaming(spark: SparkSession, stagedDir: String,
       rules: Seq[Expectations.Rule],
       shufflePartitions: Option[Int] = None,
-      rocksdbState: Boolean = false): GateResult = {
+      rocksdbState: Boolean = false,
+      passDir: Option[String] = None,
+      quarantineDir: Option[String] = None,
+      checkpointDir: Option[String] = None): GateResult = {
     val schema = spark.read.parquet(stagedDir).schema
     def sink(prefix: String): String = {
       val d = Files.createTempDirectory(prefix)
       d.toFile.deleteOnExit()
       d.toString
     }
-    val passDir = sink("graft_gate_pass")
-    val quarDir = sink("graft_gate_quarantine")
+    val passSink = passDir.getOrElse(sink("graft_gate_pass"))
+    val quarSink = quarantineDir.getOrElse(sink("graft_gate_quarantine"))
+    // caller-provided sinks may not exist yet (first run of a resumable
+    // gate) — the read-back below requires the directory to be present
+    Seq(passSink, quarSink).foreach(d =>
+      Files.createDirectories(java.nio.file.Paths.get(d)))
     // violated = NOT coalesce(pred, false): the same null-is-violation
     // semantics as Expectations.check, so these counts can never drift
     // from the quarantine tags
@@ -74,13 +90,13 @@ object QualityStreams {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stagedDir)
     EventStreams.withStatePartitions(spark, shufflePartitions, rocksdbState) {
-      val q = stream.writeStream
+      val writer = stream.writeStream
         .foreachBatch { (batch: Dataset[Row], _: Long) =>
           val b = batch.persist()
           try {
             val (pass, quarantine) = Expectations.split(b.toDF(), rules)
-            pass.write.mode("append").parquet(passDir)
-            quarantine.write.mode("append").parquet(quarDir)
+            pass.write.mode("append").parquet(passSink)
+            quarantine.write.mode("append").parquet(quarSink)
             val m = b.agg(perRule.head, perRule.tail: _*).head()
             metricsLock.synchronized {
               rules.zipWithIndex.foreach { case (r, i) =>
@@ -90,14 +106,16 @@ object QualityStreams {
           } finally b.unpersist()
         }
         .trigger(Trigger.AvailableNow())
+      val q = checkpointDir
+        .fold(writer)(d => writer.option("checkpointLocation", d))
         .start()
       q.awaitTermination()
     }
     val quarSchema = StructType(schema.fields :+
       StructField("violations", ArrayType(StringType, containsNull = true)))
     GateResult(
-      spark.read.schema(schema).parquet(passDir),
-      spark.read.schema(quarSchema).parquet(quarDir),
+      spark.read.schema(schema).parquet(passSink),
+      spark.read.schema(quarSchema).parquet(quarSink),
       metricsLock.synchronized(ruleCounts.toMap))
   }
 }

@@ -168,6 +168,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"cell probe degenerated to an all-pairs join:\n$plan")
   }
 
+  test("q119/q120: block packing and incremental apply keep their scale shapes") {
+    // q119: no per-token explode (documents explode only into the blocks
+    // they intersect), reassembly partial-aggregates, nothing cartesian
+    val blocks = finalPlan("q119_packed_blocks")
+    assert(!blocks.contains("CartesianProduct") &&
+      !blocks.contains("BroadcastNestedLoopJoin"), s"q119 all-pairs:\n$blocks")
+    assert(!blocks.contains("lead("), s"q119 lead() shuffle:\n$blocks")
+    // q120: the standing-index probe is semi/anti equi-joins, never a pair
+    // stage or a nested loop
+    val incr = finalPlan("q120_substring_dedup_incr")
+    assert(!incr.contains("CartesianProduct") &&
+      !incr.contains("BroadcastNestedLoopJoin"), s"q120 all-pairs:\n$incr")
+    assert(incr.contains("LeftSemi") && incr.contains("LeftAnti"),
+      s"q120 must probe the index via semi+anti joins:\n$incr")
+  }
+
   test("q93: the bloom probe filters the fact scan stage, below the join") {
     val plan = finalPlan("q93_bloom_join")
     val probeIdx = plan.indexOf("might_contain")

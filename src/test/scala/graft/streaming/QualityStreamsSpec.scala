@@ -55,6 +55,44 @@ class QualityStreamsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("checkpointed gate resumes: only newly-arrived files process, sinks don't duplicate") {
+    val base = java.nio.file.Files.createTempDirectory("graft_gate_resume")
+    base.toFile.deleteOnExit()
+    val staged = base.resolve("staged"); java.nio.file.Files.createDirectories(staged)
+    val pass = base.resolve("pass").toString
+    val quar = base.resolve("quar").toString
+    val ckpt = base.resolve("ckpt").toString
+    // the file source lists FILES: write each arrival to a scratch dir and
+    // move its single part file into the staged dir flat
+    def stage(name: String, ids: Seq[Long]): Unit = {
+      val scratch = base.resolve(s"scratch_$name")
+      fixture.where(col("id").isin(ids: _*)).coalesce(1)
+        .write.mode("overwrite").parquet(scratch.toString)
+      val part = java.nio.file.Files.list(scratch).iterator()
+      val f = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(f, staged.resolve(s"$name.parquet"))
+    }
+    def runGate() = QualityStreams.gateStreaming(spark, staged.toString, rules,
+      passDir = Some(pass), quarantineDir = Some(quar), checkpointDir = Some(ckpt))
+    // day 1: ids 1-3 arrive (1 passes; 2,3 quarantine)
+    stage("day1", Seq(1L, 2L, 3L))
+    val g1 = runGate()
+    assert(g1.pass.select("id").as[Long].collect().toSet == Set(1L))
+    assert(g1.ruleViolations == Map("value_ok" -> 1L, "type_ok" -> 1L))
+    // day 2: ids 4-6 arrive; the restarted gate must process ONLY them —
+    // day 1's rows appear in the sinks exactly once
+    stage("day2", Seq(4L, 5L, 6L))
+    val g2 = runGate()
+    assert(g2.pass.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 5L),
+      "resume duplicated or dropped pass rows")
+    assert(g2.quarantine.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L, 4L, 6L), "resume duplicated or dropped quarantine rows")
+    // per-run metrics cover only this run's batches (documented contract):
+    // id 4 fails both rules (null value + weird type), id 6 fails value_ok
+    assert(g2.ruleViolations == Map("value_ok" -> 2L, "type_ok" -> 1L))
+  }
+
   test("an all-clean stream yields a well-typed empty quarantine side") {
     val dir = java.nio.file.Files.createTempDirectory("graft_gate_clean")
     dir.toFile.deleteOnExit()
