@@ -321,6 +321,19 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    "q121_contamination_spans" -> ((s, d) => {
+      // span-level leakage report: which benchmark example (doc_id % 10 == 0
+      // subset) escaped into which training doc, with span count and the
+      // earliest 0-based token offset — q67 decides drops, this shows the
+      // eval owner the evidence
+      val docs = t(s, d, "documents")
+      Decontaminate.contaminationSpans(docs, "doc_id", "text",
+          benchmark = docs.where(col("doc_id") % 10 === 0)
+            .select(col("doc_id").as("bench_id"), col("text")),
+          benchIdCol = "bench_id", benchTextCol = "text", n = 8)
+        .orderBy("doc_id", "bench_id")
+    }),
+
     "q68_scrub" -> ((s, d) => {
       // PII scrub over deterministic synthetic PII (the fixture corpus has
       // none): counts are taken on progressively redacted text so an email
@@ -2321,6 +2334,22 @@ object SparkEntry {
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM hit)
          ORDER BY doc_id""",
+    "q121_contamination_spans" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '') AS t
+           FROM documents),
+         w AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS win
+               FROM (SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - 7)) AS i FROM tok)),
+         b AS (SELECT DISTINCT doc_id AS bench_id, win FROM w
+               WHERE doc_id % 10 = 0),
+         hits AS (SELECT w.doc_id, b.bench_id, w.i
+                  FROM w JOIN b USING (win) WHERE w.doc_id <> b.bench_id)
+         SELECT doc_id, bench_id, count(*) AS n_spans,
+           CAST(min(i) - 1 AS BIGINT) AS first_start
+         FROM hits GROUP BY doc_id, bench_id
+         ORDER BY doc_id, bench_id""",
     "q68_scrub" ->
       """WITH s AS (SELECT doc_id,
              concat(text, ' contact user', doc_id,

@@ -53,6 +53,46 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** SPAN-level contamination report: which benchmark EXAMPLE leaks into
+    * which training document, and where — `(idCol, benchIdCol, n_spans,
+    * first_start)`, one row per contaminated (document, example) pair with
+    * the count of matching `n`-token window occurrences in the document and
+    * the 0-based token offset of the earliest one. [[contaminationHits]]
+    * answers "drop this doc?"; this answers the eval owner's question
+    * "which benchmark item escaped, and show me the span". Self-pairs
+    * (a benchmark doc matching its own example) are excluded.
+    *
+    * Uses full `n`-token windows over [[graft.functions.text.tokens]] (the
+    * row-local sequence+slice build shared with the exact-substring
+    * family) — documents shorter than `n` tokens produce no spans; leakage
+    * of whole short texts is exact dedup's job, not a span report's.
+    *
+    * Scale: benchmark windows collapse to a DISTINCT (example, window) set
+    * (bounded by the benchmark, broadcast when small); the training side
+    * streams through the one row-local window build + equi-join; the
+    * per-pair aggregation is map-side combinable. No all-pairs stage.
+    */
+  def contaminationSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 13, broadcastBenchmark: Boolean = true): DataFrame = {
+    require(n >= 2, "window length must be >= 2")
+    require(benchIdCol != idCol,
+      s"benchIdCol must differ from idCol ('$idCol') — alias the benchmark id")
+    val docWins = Dedup.windowStarts(
+      Dedup.tokenized(docs, idCol, textCol), idCol, n)
+    val benchWins = Dedup.windowStarts(
+      Dedup.tokenized(benchmark.select(col(benchIdCol).as("__bid"),
+        col(benchTextCol)), "__bid", benchTextCol), "__bid", n)
+      .select(col("__bid"), col("win")).distinct()
+    val bench = if (broadcastBenchmark) broadcast(benchWins) else benchWins
+    docWins.join(bench, Seq("win"))
+      .where(col(idCol) =!= col("__bid"))
+      .groupBy(col(idCol), col("__bid").as(benchIdCol))
+      .agg(count(lit(1)).as("n_spans"),
+        min(col("__start")).cast("long").as("first_start"))
+  }
+
   /** Survivors: training documents sharing fewer than `minHits` distinct
     * word-`n`-shingles with the benchmark set (default: any single shared
     * shingle contaminates).

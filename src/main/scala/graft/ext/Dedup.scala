@@ -528,13 +528,13 @@ object Dedup {
     rebuildWithoutSpans(toks, starts, idCol, windowTokens)
   }
 
-  private def tokenized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  private[ext] def tokenized(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), graft.functions.text.tokens(col(textCol)).as("__toks"))
 
   /** Row-local window generation over [[tokenized]] output:
     * `(idCol, __start, win)` — one row per window OCCURRENCE.
     */
-  private def windowStarts(
+  private[ext] def windowStarts(
       toks: DataFrame, idCol: String, windowTokens: Int): DataFrame = {
     import org.apache.spark.sql.functions.{size => arrayLen}
     toks

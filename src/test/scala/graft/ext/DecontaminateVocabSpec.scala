@@ -34,6 +34,28 @@ class DecontaminateVocabSpec extends AnyFunSuite with SparkSpec {
     assert(hits(1L) == 5L)
   }
 
+  test("contaminationSpans reports (doc, example) pairs with span counts and offsets") {
+    val docs = Seq(
+      (1L, s"two lead tokens $bench trailing words here"),   // bench at offset 3
+      (2L, s"$bench immediately then later again $bench"),   // twice: offsets 0 and 13
+      (3L, "no overlap with any benchmark example content at all")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((100L, bench), (200L, "utterly different example text"))
+      .toDF("bench_id", "text")
+    val spans = Decontaminate.contaminationSpans(docs, "doc_id", "text",
+        benchmark, "bench_id", "text", n = 8)
+      .orderBy("doc_id", "bench_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // the 8-token example matches as ONE full window per occurrence
+    assert(spans == Seq((1L, 100L, 1L, 3L), (2L, 100L, 2L, 0L)),
+      s"got $spans")
+    // aliasing guard: same-named id columns must be rejected loudly
+    intercept[IllegalArgumentException] {
+      Decontaminate.contaminationSpans(docs, "doc_id", "text",
+        docs, "doc_id", "text", n = 8)
+    }
+  }
+
   test("decontaminate of an empty/overlap-free corpus is the identity") {
     val docs = Seq((1L, "only here"), (2L, "")).toDF("doc_id", "text")
     val benchmark = Seq("nothing in common").toDF("text")
