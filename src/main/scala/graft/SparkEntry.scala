@@ -741,6 +741,22 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q122_multimodal_resize" -> ((s, d) => {
+      // REAL resize through the codec twice: gradient PNG (pixel =
+      // (n+x+y)%256) -> decode -> exact integer-mapped NN downscale to
+      // maxSide 24 -> re-encode -> decode + full-raster scan. The oracle
+      // recomputes every resized pixel in SQL, so the resample GEOMETRY
+      // (not just plumbing) is differentially tested.
+      val media = Multimodal.encodePngMediaTable(
+        t(s, d, "documents").where(col("doc_id") < 200 && col("text").isNotNull),
+        "doc_id", "text", gradient = true)
+      Multimodal.decodeImages(Multimodal.resizeImages(media, maxSide = 24))
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("mean_gray"))
+        .orderBy("media_id")
+    }),
+
     "q43_sliding_window" -> ((s, d) => {
       // sliding window: 2h length, 1h slide — every event lands in 2 windows
       events(s, d)
@@ -2193,6 +2209,34 @@ object SparkEntry {
          CAST(octet_length(encode(text)) % 256 AS BIGINT) AS mean_gray,
          CAST(8 AS BIGINT) AS feature_dim
          FROM documents ORDER BY media_id""",
+    // every resized pixel recomputed in SQL: nearest-neighbor source pixel
+    // is (x*w div tw, y*h div th), gradient value (n+sx+sy)%256, mean =
+    // integer-floor of the pixel sum — exactly the engine's raster loop
+    "q122_multimodal_resize" ->
+      """WITH src AS (SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS n
+           FROM documents WHERE doc_id < 200 AND text IS NOT NULL),
+         dims AS (SELECT media_id, n, n % 64 + 16 AS w, n % 48 + 16 AS h
+                  FROM src),
+         t AS (SELECT media_id, n, w, h,
+             CASE WHEN greatest(w, h) <= 24 THEN w
+                  ELSE greatest(1, CAST(round(w * 24.0 / greatest(w, h)) AS INTEGER))
+             END AS tw,
+             CASE WHEN greatest(w, h) <= 24 THEN h
+                  ELSE greatest(1, CAST(round(h * 24.0 / greatest(w, h)) AS INTEGER))
+             END AS th
+           FROM dims),
+         px AS (SELECT media_id, n, w, h, tw, th,
+                  unnest(generate_series(0, tw - 1)) AS x FROM t),
+         pxy AS (SELECT media_id, n, w, h, tw, th, x,
+                   unnest(generate_series(0, th - 1)) AS y FROM px),
+         s AS (SELECT media_id, tw, th,
+                 sum((n + (x * w // tw) + (y * h // th)) % 256) AS tot
+               FROM pxy GROUP BY 1, 2, 3)
+         SELECT media_id, CAST(tw AS BIGINT) AS width,
+           CAST(th AS BIGINT) AS height,
+           CAST(tot // (tw * th) AS BIGINT) AS mean_gray
+         FROM s ORDER BY media_id""",
     "q50_correlate" ->
       """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
          CAST(floor(epoch(b.ts)) AS BIGINT) - CAST(floor(epoch(a.ts)) AS BIGINT) AS lag_sec

@@ -51,14 +51,16 @@ object Multimodal {
         length(col(textCol).cast(BinaryType)).cast(LongType).as("n_bytes")).as("meta"))
 
   /** Encode one REAL PNG per row with `javax.imageio`: a TYPE_BYTE_GRAY
-    * image whose width/height/uniform fill are deterministic functions of
-    * the source text's UTF-8 byte length `n` (width = n%64+16,
-    * height = n%48+16, gray = n%256). `meta.n_bytes` records the SOURCE
-    * byte length (the encoded PNG size is codec-internal).
+    * image whose width/height/fill are deterministic functions of the
+    * source text's UTF-8 byte length `n` (width = n%64+16,
+    * height = n%48+16; uniform gray = n%256, or with `gradient = true`
+    * pixel(x,y) = (n+x+y)%256 — a non-uniform pattern that makes resample
+    * GEOMETRY oracle-checkable, not just plumbing). `meta.n_bytes` records
+    * the SOURCE byte length (the encoded PNG size is codec-internal).
     */
   def encodePngMediaTable(
       df: DataFrame, idCol: String, textCol: String,
-      batchSize: Int = 64): DataFrame = {
+      batchSize: Int = 64, gradient: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val src = df.select(col(idCol).cast(LongType).as("media_id"),
       col(textCol).cast(StringType).as("text"))
@@ -77,7 +79,11 @@ object Multimodal {
             var y = 0
             while (y < h) {
               var x = 0
-              while (x < w) { raster.setSample(x, y, 0, gray); x += 1 }
+              while (x < w) {
+                raster.setSample(x, y, 0,
+                  if (gradient) (n + x + y) % 256 else gray)
+                x += 1
+              }
               y += 1
             }
             val bos = new java.io.ByteArrayOutputStream()
@@ -213,6 +219,67 @@ object Multimodal {
     media.select((col("media_id") +: frameCols).toIndexedSeq: _*)
       .select(col("media_id"),
         array((0 until frames).map(f => col(s"frame_$f")): _*).as("frame_hashes"))
+  }
+
+  /** REAL nearest-neighbor resize through the codec, batch-shaped: decode
+    * each payload, downscale so the longer side is at most `maxSide`
+    * (aspect preserved, [[planResize]]'s rule; images already small pass
+    * through at original size), and RE-ENCODE as PNG — output rows have
+    * the same media-table schema, so [[decodeImages]]/[[extractFeatures]]
+    * compose downstream. Null/undecodable payloads yield null payload+meta
+    * rows, not job failure.
+    *
+    * The resample mapping is EXACT integer arithmetic — source pixel
+    * `(x*w div tw, y*h div th)` — implemented as an explicit raster loop
+    * rather than AWT's opaque scalers precisely so an external oracle can
+    * reproduce every output pixel (q122 predicts the resized mean over a
+    * gradient image in SQL). Same scale posture as [[decodeImages]]:
+    * batched `mapPartitions`, one decode+encode per row, nothing on the
+    * driver.
+    */
+  def resizeImages(
+      media: DataFrame, maxSide: Int, batchSize: Int = 64): DataFrame = {
+    require(maxSide > 0, "maxSide must be positive")
+    val spark = media.sparkSession
+    val pIdx = media.schema.fieldIndex("payload")
+    val idIdx = media.schema.fieldIndex("media_id")
+    val rdd = media.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val img =
+            if (r.isNullAt(pIdx)) null
+            else decodeOrNull(r.getAs[Array[Byte]](pIdx))
+          if (img == null) Row(r.getLong(idIdx), null, null)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val m = math.max(w, h)
+            val (tw, th) =
+              if (m <= maxSide) (w, h)
+              else (math.max(1, math.round(w * maxSide.toDouble / m).toInt),
+                math.max(1, math.round(h * maxSide.toDouble / m).toInt))
+            val out = new java.awt.image.BufferedImage(
+              tw, th, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val src = img.getRaster; val dst = out.getRaster
+            var y = 0
+            while (y < th) {
+              val sy = (y.toLong * h / th).toInt
+              var x = 0
+              while (x < tw) {
+                dst.setSample(x, y, 0, src.getSample((x.toLong * w / tw).toInt, sy, 0))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Row(r.getLong(idIdx), bos.toByteArray,
+              Row("image/png", tw, th, bos.size.toLong))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
   }
 
   /** Metadata-only "resize" plan: computes target dimensions preserving

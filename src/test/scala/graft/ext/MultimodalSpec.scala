@@ -86,6 +86,32 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(onePass == twoPass)
   }
 
+  test("resizeImages: exact NN geometry, pass-through under maxSide, null on corrupt") {
+    // gradient image so resample geometry is observable, not just dims
+    val grad = Multimodal.encodePngMediaTable(
+      Seq((1L, "a longer piece of fake media payload")).toDF("id", "txt"),
+      "id", "txt", gradient = true)
+    val n = "a longer piece of fake media payload".getBytes("UTF-8").length
+    val (w, h) = (n % 64 + 16, n % 48 + 16)
+    val m = math.max(w, h)
+    val (tw, th) = (math.round(w * 8.0 / m).toInt, math.round(h * 8.0 / m).toInt)
+    val out = Multimodal.decodeImages(Multimodal.resizeImages(grad, maxSide = 8))
+      .select("width", "height", "mean_gray").head()
+    assert((out.getInt(0), out.getInt(1)) == ((tw, th)))
+    // model the exact raster loop: NN source pixel (x*w div tw, y*h div th)
+    val expectedSum = (for { y <- 0 until th; x <- 0 until tw }
+      yield (n + (x * w / tw) + (y * h / th)) % 256).map(_.toLong).sum
+    assert(out.getLong(2) == expectedSum / (tw * th))
+    // small images pass through at original size
+    val small = Multimodal.decodeImages(Multimodal.resizeImages(grad, maxSide = 100))
+      .select("width", "height").head()
+    assert((small.getInt(0), small.getInt(1)) == ((w, h)))
+    // corrupt payloads resize to null rows, not job failure
+    val bad = Seq((9L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    val nulls = Multimodal.resizeImages(bad, maxSide = 8).collect()
+    assert(nulls.length == 1 && nulls.head.isNullAt(1) && nulls.head.isNullAt(2))
+  }
+
   test("frameSample emits one hash per frame chunk") {
     val out = Multimodal.frameSample(media, frames = 4)
       .select("media_id", "frame_hashes").as[(Long, Seq[Long])].collect()
