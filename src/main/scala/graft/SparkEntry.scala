@@ -757,6 +757,22 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q123_multimodal_audio" -> ((s, d) => {
+      // REAL audio codec round trip (javax.sound.sampled): deterministic
+      // 16-bit PCM -> WAV encode -> decode + full-frame amplitude scan.
+      // Every decoded sample is a pure function of the source byte length,
+      // so the oracle predicts frames, duration and mean |amplitude|
+      // without parsing a WAV.
+      val media = Multimodal.encodeWavMediaTable(
+        t(s, d, "documents").where(col("doc_id") < 200 && col("text").isNotNull),
+        "doc_id", "text")
+      Multimodal.decodeAudio(media)
+        .select(col("media_id"), col("n_samples"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("duration_ms"), col("mean_amp"))
+        .orderBy("media_id")
+    }),
+
     "q43_sliding_window" -> ((s, d) => {
       // sliding window: 2h length, 1h slide — every event lands in 2 windows
       events(s, d)
@@ -2237,6 +2253,21 @@ object SparkEntry {
            CAST(th AS BIGINT) AS height,
            CAST(tot // (tw * th) AS BIGINT) AS mean_gray
          FROM s ORDER BY media_id""",
+    "q123_multimodal_audio" ->
+      """WITH src AS (SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS n
+           FROM documents WHERE doc_id < 200 AND text IS NOT NULL),
+         d AS (SELECT media_id, n, n % 1000 + 100 AS num FROM src),
+         sm AS (SELECT media_id, num,
+                  sum(abs(((n + i) % 65536) - 32768)) AS tot
+                FROM (SELECT media_id, n, num,
+                        unnest(generate_series(0, num - 1)) AS i FROM d)
+                GROUP BY 1, 2)
+         SELECT media_id, CAST(num AS BIGINT) AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(num * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(tot // num AS BIGINT) AS mean_amp
+         FROM sm ORDER BY media_id""",
     "q50_correlate" ->
       """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
          CAST(floor(epoch(b.ts)) AS BIGINT) - CAST(floor(epoch(a.ts)) AS BIGINT) AS lag_sec

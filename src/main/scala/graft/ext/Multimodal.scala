@@ -282,6 +282,112 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  /** Encode one REAL WAV per row with `javax.sound.sampled` (pure JDK, the
+    * audio twin of [[encodePngMediaTable]]): PCM_SIGNED 16-bit mono at
+    * 8 kHz, sample count and values deterministic functions of the source
+    * text's UTF-8 byte length `n` (`numSamples = n%1000 + 100`,
+    * `sample(i) = ((n + i) % 65536) - 32768`, little-endian) — so an
+    * external oracle can predict every decoded sample without parsing a
+    * WAV. `meta.width` carries the sample count, `meta.height` the sample
+    * rate (the media schema is deliberately modality-generic).
+    */
+  def encodeWavMediaTable(
+      df: DataFrame, idCol: String, textCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val src = df.select(col(idCol).cast(LongType).as("media_id"),
+      col(textCol).cast(StringType).as("text"))
+    val rdd = src.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          if (r.isNullAt(1)) Row(r.getLong(0), null, null)
+          else {
+            val n = r.getString(1)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+            val num = n % 1000 + 100
+            val pcm = new Array[Byte](num * 2)
+            var i = 0
+            while (i < num) {
+              val s = ((n + i) % 65536) - 32768
+              pcm(2 * i) = (s & 0xff).toByte        // little-endian int16
+              pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+              i += 1
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, num.toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            Row(r.getLong(0), bos.toByteArray, Row("audio/wav", num, 8000, n.toLong))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** REAL audio decode via `javax.sound.sampled`, batch-shaped: appends
+    * `n_samples`, `sample_rate` (Hz, rounded), `duration_ms` (integer
+    * floor) and `mean_amp` (integer-floor mean of |sample| over every
+    * frame — band-0 for multi-channel audio). Null or unparseable payloads
+    * yield null columns, not job failure — the [[decodeImages]] posture.
+    * Only PCM_SIGNED 16-bit little-endian payloads are scanned (what
+    * [[encodeWavMediaTable]] writes and most raw-speech corpora carry);
+    * other encodings decode header-only (amplitude null).
+    */
+  def decodeAudio(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val schema = media.schema
+      .add("n_samples", LongType, nullable = true)
+      .add("sample_rate", IntegerType, nullable = true)
+      .add("duration_ms", LongType, nullable = true)
+      .add("mean_amp", LongType, nullable = true)
+    val pIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val extra: Seq[Any] =
+            if (r.isNullAt(pIdx)) Seq(null, null, null, null)
+            else {
+              try {
+                val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                  new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](pIdx)))
+                try {
+                  val fmt = ais.getFormat
+                  val frames = ais.getFrameLength
+                  val rate = math.round(fmt.getSampleRate)
+                  val durMs = frames * 1000L / rate
+                  val amp: Any =
+                    if (fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+                      fmt.getEncoding ==
+                        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                      frames > 0) {
+                      val bytes = ais.readAllBytes()
+                      val ch = fmt.getChannels
+                      var sum = 0L; var i = 0
+                      while (i < frames) {
+                        val off = i * 2 * ch // band 0 of frame i
+                        val s = ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+                        sum += math.abs(s.toLong)
+                        i += 1
+                      }
+                      sum / frames
+                    } else null
+                  Seq[Any](frames, rate, durMs, amp)
+                } finally ais.close()
+              } catch {
+                case _: javax.sound.sampled.UnsupportedAudioFileException |
+                     _: java.io.IOException => Seq(null, null, null, null)
+              }
+            }
+          Row.fromSeq(r.toSeq ++ extra)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Metadata-only "resize" plan: computes target dimensions preserving
     * aspect ratio, without decoding — the catalog pass a media pipeline runs
     * before scheduling decode work.

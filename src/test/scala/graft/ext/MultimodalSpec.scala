@@ -112,6 +112,29 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(nulls.length == 1 && nulls.head.isNullAt(1) && nulls.head.isNullAt(2))
   }
 
+  test("WAV round trip: decode recovers frames, rate, duration and exact mean amplitude") {
+    val wav = Multimodal.encodeWavMediaTable(
+      Seq((1L, "hello world")).toDF("id", "txt"), "id", "txt")
+    // the payload is a genuine RIFF/WAVE container
+    val payload = wav.select("payload").head().getAs[Array[Byte]](0)
+    assert(new String(payload.take(4), "US-ASCII") == "RIFF")
+    assert(new String(payload.slice(8, 12), "US-ASCII") == "WAVE")
+    val n = "hello world".getBytes("UTF-8").length
+    val num = n % 1000 + 100
+    val out = Multimodal.decodeAudio(wav)
+      .select("n_samples", "sample_rate", "duration_ms", "mean_amp").head()
+    assert(out.getLong(0) == num && out.getInt(1) == 8000)
+    assert(out.getLong(2) == num * 1000L / 8000)
+    // model the sample formula independently
+    val expected = (0 until num).map(i =>
+      math.abs(((n + i) % 65536) - 32768).toLong).sum / num
+    assert(out.getLong(3) == expected)
+    // non-audio payloads decode to null columns, not failures
+    val bad = Multimodal.decodeAudio(
+      Seq((9L, Array[Byte](1, 2, 3, 4))).toDF("media_id", "payload")).head()
+    assert(bad.isNullAt(2) && bad.isNullAt(5))
+  }
+
   test("frameSample emits one hash per frame chunk") {
     val out = Multimodal.frameSample(media, frames = 4)
       .select("media_id", "frame_hashes").as[(Long, Seq[Long])].collect()
