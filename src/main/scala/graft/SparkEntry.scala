@@ -334,6 +334,21 @@ object SparkEntry {
         .orderBy("doc_id", "bench_id")
     }),
 
+    "q124_html_extract" -> ((s, d) => {
+      // main-text extraction from scraped HTML: wrap each doc in a
+      // deterministic synthetic page (q68's synthesis pattern), strip tags,
+      // decode entities in the documented order, recollapse whitespace —
+      // md5 + token count put every output byte under the oracle
+      val page = concat(
+        lit("<html><body><h1>Doc </h1><p class=\"main\">"), col("text"),
+        lit(" &amp; more</p><br/></body></html>"))
+      t(s, d, "documents")
+        .select(col("doc_id"), text.stripHtml(page).as("clean"))
+        .select(col("doc_id"), md5(col("clean")).as("h"),
+          text.tokenCount(col("clean")).cast("long").as("n_tok"))
+        .orderBy("doc_id")
+    }),
+
     "q68_scrub" -> ((s, d) => {
       // PII scrub over deterministic synthetic PII (the fixture corpus has
       // none): counts are taken on progressively redacted text so an email
@@ -2425,6 +2440,23 @@ object SparkEntry {
            CAST(min(i) - 1 AS BIGINT) AS first_start
          FROM hits GROUP BY doc_id, bench_id
          ORDER BY doc_id, bench_id""",
+    "q124_html_extract" ->
+      raw"""WITH h AS (SELECT doc_id,
+             concat('<html><body><h1>Doc </h1><p class="main">', text,
+               ' &amp; more</p><br/></body></html>') AS t
+           FROM documents),
+         s1 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM h),
+         s2 AS (SELECT doc_id,
+             replace(replace(replace(replace(replace(t,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&apos;', ''''), '&amp;', '&') AS t
+           FROM s1),
+         s3 AS (SELECT doc_id,
+             trim(regexp_replace(t, '\s+', ' ', 'g')) AS t FROM s2)
+         SELECT doc_id, md5(t) AS h,
+           CAST(len(list_filter(regexp_split_to_array(t, '\s+'),
+             x -> x <> '')) AS BIGINT) AS n_tok
+         FROM s3 ORDER BY doc_id""",
     "q68_scrub" ->
       """WITH s AS (SELECT doc_id,
              concat(text, ' contact user', doc_id,
