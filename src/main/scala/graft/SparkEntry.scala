@@ -321,6 +321,17 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    "q125_oov_rate" -> ((s, d) => {
+      // vocabulary coverage: per-doc token occurrences outside the corpus'
+      // own top-100 vocab — the tokenizer-fit metric run before committing
+      // to a vocab; explode + broadcast vocab join + combinable count
+      val docs = t(s, d, "documents")
+      val vocab = graft.ext.Vocab.topTokens(docs, "text", k = 100)
+        .select("token")
+      graft.ext.Vocab.oovStats(docs, "doc_id", "text", vocab)
+        .orderBy("doc_id")
+    }),
+
     "q121_contamination_spans" -> ((s, d) => {
       // span-level leakage report: which benchmark example (doc_id % 10 == 0
       // subset) escaped into which training doc, with span count and the
@@ -2424,6 +2435,25 @@ object SparkEntry {
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM hit)
          ORDER BY doc_id""",
+    "q125_oov_rate" ->
+      """WITH vocab AS (SELECT token FROM (
+             SELECT unnest(list_filter(
+                 regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+                 x -> x <> '')) AS token
+             FROM documents)
+           GROUP BY token ORDER BY count(*) DESC, token LIMIT 100),
+         dt AS (SELECT doc_id, unnest(list_filter(
+                 regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+                 x -> x <> '')) AS token
+               FROM documents),
+         agg AS (SELECT dt.doc_id, count(*) AS n_tokens,
+             sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+           FROM dt LEFT JOIN vocab v ON dt.token = v.token
+           GROUP BY dt.doc_id)
+         SELECT d.doc_id, CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(agg.n_oov, 0) AS BIGINT) AS n_oov
+         FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+         ORDER BY d.doc_id""",
     "q121_contamination_spans" ->
       """WITH tok AS (SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),

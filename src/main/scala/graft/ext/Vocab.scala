@@ -66,6 +66,30 @@ object Vocab {
     ngramFrequencies(df, idCol, textCol, n).orderBy(col("n").desc, col("ngram")).limit(k)
   }
 
+  /** Per-document vocabulary coverage — the tokenizer-fit metric corpus
+    * selection runs before committing to a vocab: `(idCol, n_tokens,
+    * n_oov)` counting token OCCURRENCES outside `vocab` (a one-column
+    * `token` frame, e.g. [[topTokens]] output). Zero-token documents
+    * report (0, 0).
+    *
+    * Scale: one explode + equi-join against the vocab (broadcast when
+    * small — the typical 30-250k-entry tokenizer vocab) + one map-side-
+    * combinable per-document count; never an interpreted per-token
+    * `array_contains` scan (O(tokens x vocab) per row).
+    */
+  def oovStats(
+      df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    require(vocab.columns.contains("token"),
+      "vocab must have a 'token' column (topTokens output shape)")
+    val inVocab = vocab.select(col("token"), lit(true).as("__in")).distinct()
+    df.select(col(idCol), explode_outer(text.tokens(col(textCol))).as("token"))
+      .join(broadcast(inVocab), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("token")).as("n_tokens"),
+        count(when(col("token").isNotNull && col("__in").isNull, 1)).as("n_oov"))
+  }
+
   /** Inverted index: per token, its document frequency and a posting list of
     * the first `maxPostings` doc ids (ascending) as a comma-joined string —
     * the retrieval-side artifact a corpus pipeline materializes for

@@ -64,6 +64,22 @@ class DecontaminateVocabSpec extends AnyFunSuite with SparkSpec {
     assert(kept == Set(1L, 2L))
   }
 
+  test("oovStats counts occurrences outside the vocab; empty docs report zeros") {
+    val docs = Seq(
+      (1L, "aa bb aa cc"),      // cc + second aa occurrence still counts
+      (2L, "aa aa aa"),         // fully in-vocab
+      (3L, ""),                 // zero tokens
+      (4L, "zz yy xx")          // fully OOV
+    ).toDF("doc_id", "text")
+    val vocab = Seq("aa", "bb").toDF("token")
+    val out = Vocab.oovStats(docs, "doc_id", "text", vocab)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 4L, 1L), (2L, 3L, 0L), (3L, 0L, 0L), (4L, 3L, 3L)))
+    intercept[IllegalArgumentException] {
+      Vocab.oovStats(docs, "doc_id", "text", docs)
+    }
+  }
+
   test("topTokens orders by count desc then token, with exact counts") {
     val docs = Seq(
       (1L, "b b a a a c"),
