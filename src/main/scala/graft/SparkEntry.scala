@@ -1069,6 +1069,35 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q127_url_dedup" -> ((s, d) => {
+      // crawl-level dedup by canonical URL (CCNet/RefinedWeb convention):
+      // messy synthetic URLs derived from doc fields (case noise, www,
+      // default ports, fragments, adjacent tracking params) — pages whose
+      // canonical forms coincide merge keep-first. Canonicalization is
+      // codegen'd regex-only; dedup is one map-side-combinable groupBy.
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 3 === 0, lit("HTTP")).when(id % 3 === 1, lit("https"))
+          .otherwise(lit("HtTpS")),
+        lit("://"),
+        when(id % 2 === 0, lit("WWW.")).otherwise(lit("")),
+        upper(col("source")), lit(".Example.COM"),
+        when(id % 3 =!= 0 && id % 5 === 0, lit(":443"))
+          .when(id % 3 === 0 && id % 5 === 0, lit(":80"))
+          .when(id % 11 === 0, lit(":8080")).otherwise(lit("")),
+        lit("/Path/"), (id % 40).cast("string"),
+        when(id % 7 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&id="), (id % 13).cast("string"),
+        when(id % 4 === 0, lit("&utm_campaign=x&gclid=abc")).otherwise(lit("")),
+        when(id % 6 === 0, lit("#sec-2")).otherwise(lit("")))
+      t(s, d, "documents")
+        .select(id, text.canonicalizeUrl(url).as("url"))
+        .groupBy(col("url"))
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_pages"))
+        .select(col("doc_id"), col("url"), col("n_pages"))
+        .orderBy("doc_id")
+    }),
+
     "q81_shard_assign" -> ((s, d) => {
       graft.ext.Splits.shardAssign(t(s, d, "documents"), "text", "doc_id",
         nShards = 8)
@@ -2744,6 +2773,44 @@ object SparkEntry {
            CAST(count(CASE WHEN dn > 1 THEN 1 END) AS BIGINT) AS n_dup_docs
          FROM rs JOIN dup USING (h)
          GROUP BY source ORDER BY source""",
+    // regex constants (tracking params) interpolated from text.canonicalizeUrl's
+    // shared patterns; DuckDB regexp_replace needs the explicit 'g' flag where
+    // Spark is global by default
+    "q127_url_dedup" ->
+      raw"""WITH u AS (SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN 'HTTP'
+                   WHEN doc_id % 3 = 1 THEN 'https' ELSE 'HtTpS' END)
+             || '://'
+             || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+             || upper(source) || '.Example.COM'
+             || (CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 = 0 THEN ':443'
+                      WHEN doc_id % 3 = 0 AND doc_id % 5 = 0 THEN ':80'
+                      WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
+             || '/Path/' || CAST(doc_id % 40 AS VARCHAR)
+             || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+             || '?utm_source=feed&id=' || CAST(doc_id % 13 AS VARCHAR)
+             || (CASE WHEN doc_id % 4 = 0 THEN '&utm_campaign=x&gclid=abc' ELSE '' END)
+             || (CASE WHEN doc_id % 6 = 0 THEN '#sec-2' ELSE '' END) AS url
+           FROM documents),
+         p AS (SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth0,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+           FROM u),
+         q AS (SELECT doc_id, scheme,
+             regexp_replace(
+               CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$$', '')
+                    WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$$', '')
+                    ELSE auth0 END, '^www\.', '') AS host,
+             regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/$$', '') AS path,
+             regexp_replace(regexp_replace('&' || regexp_extract(rest, '^[^?]*\?(.*)$$', 1),
+               '&(${text.urlTrackingParams})=[^&]*', '', 'g'), '^&', '') AS query
+           FROM p),
+         c AS (SELECT doc_id, scheme || '://' || host || path ||
+             (CASE WHEN query = '' THEN '' ELSE '?' || query END) AS url
+           FROM q)
+         SELECT min(doc_id) AS doc_id, url, count(*) AS n_pages
+         FROM c GROUP BY url ORDER BY doc_id""",
     // stopword inventories interpolated from text.stopwords so the oracle
     // can never drift from the engine's lists
     "q88_quality_filter" ->

@@ -201,6 +201,49 @@ object text {
   /** URL-then-email redaction (see ordering note above). */
   def scrubPII(c: Column): Column = redactEmails(redactUrls(c))
 
+  /** Query parameters that never change page identity (analytics noise) —
+    * stripped by [[canonicalizeUrl]]. Interpolated into oracle SQL so the
+    * engine and the oracle can never drift.
+    */
+  val urlTrackingParams = "utm_[A-Za-z0-9_]*|fbclid|gclid"
+
+  /** URL canonicalization for crawl-level dedup (the CCNet/RefinedWeb
+    * convention: pages are "the same" when their canonical URLs match):
+    * scheme and host lowercased, default port for the scheme dropped,
+    * leading `www.` dropped, fragment dropped, tracking query parameters
+    * ([[urlTrackingParams]]) removed, a single trailing `/` on the path
+    * dropped. Query parameter ORDER is preserved — this is normalization,
+    * not semantic reordering. Non-URL strings (no `scheme://`) pass
+    * through unchanged so the function is safe on dirty columns.
+    *
+    * Deliberately regex-only and RE2-compatible (no lookaround, no group
+    * references in replacements — Java `$1` vs DuckDB `\1` would break
+    * oracle parity), so the exact same patterns serve as their own
+    * differential-test oracle in any SQL engine. Codegen'd end-to-end.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth0 = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val auth = when(scheme === "http", regexp_replace(auth0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth0, ":443$", ""))
+      .otherwise(auth0)
+    val host = regexp_replace(auth, "^www\\.", "")
+    // path + query with the fragment cut off; empty for fragment-only URLs
+    val rest = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/$", "")
+    // "&"-prefix trick: prepending "&" makes EVERY param (including the
+    // first) match the one global "&name=value" removal — no iteration
+    // needed for runs of adjacent tracking params
+    val query0 = regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
+    val query = regexp_replace(
+      regexp_replace(concat(lit("&"), query0),
+        s"&($urlTrackingParams)=[^&]*", ""),
+      "^&", "")
+    when(scheme === "", u).otherwise(concat(
+      scheme, lit("://"), host, path,
+      when(query === "", lit("")).otherwise(concat(lit("?"), query))))
+  }
+
   /** Intra-document repetition signals (Gopher/C4-style quality rules). */
 
   /** Fraction of repeated segments after splitting on `sep` (regex):

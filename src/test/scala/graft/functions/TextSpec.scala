@@ -34,6 +34,27 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(one[String](text.langId(col("t")), "zzz qqq xxx") == "und")
   }
 
+  test("canonicalizeUrl: case/www/default-port/fragment/tracking noise folds") {
+    def canon(s: String): String =
+      one[String](text.canonicalizeUrl(col("t")), s)
+    assert(canon("HTTPS://WWW.Example.COM:443/A/b/?utm_source=x&id=1&gclid=z#frag")
+      == "https://example.com/A/b?id=1")
+    // adjacent tracking params, including a leading one, all strip
+    assert(canon("http://a.com/p?utm_a=1&utm_b=2&q=3") == "http://a.com/p?q=3")
+    assert(canon("http://a.com/p?utm_a=1&utm_b=2") == "http://a.com/p")
+    // non-default port survives; default port for the OTHER scheme survives
+    assert(canon("http://a.com:8080/x") == "http://a.com:8080/x")
+    assert(canon("http://a.com:443/x") == "http://a.com:443/x")
+    assert(canon("https://a.com:443/x") == "https://a.com/x")
+    // root slash and bare host are the same page
+    assert(canon("https://a.com/") == "https://a.com")
+    assert(canon("https://a.com") == "https://a.com")
+    // path case is SIGNIFICANT (only scheme+host lowercase)
+    assert(canon("https://a.com/Path") == "https://a.com/Path")
+    // non-URL strings pass through untouched
+    assert(canon("not a url") == "not a url")
+  }
+
   test("normalizeNFC composes decomposed accents; ASCII passes through") {
     val decomposed = "cafe\u0301" // e + combining acute
     val composed = "caf\u00e9"
