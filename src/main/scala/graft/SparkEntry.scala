@@ -511,6 +511,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q129_semdedup" -> ((s, d) => {
+      // SemDeDup under a FULL hash oracle: portable seed quantizer (16
+      // cells) + planted exact duplicates (every 10th vector re-id'd) that
+      // MUST drop (cos = 1, identical vectors share a cell by determinism
+      // of the argmax); natural near-dups above 0.95 drop too.
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.union(
+        emb.where(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + lit(100000L)).as("vec_id"), col("embedding")))
+      val model = graft.ext.Ivf.portableSeedModel(planted, "vec_id", "embedding", k = 16)
+      Dedup.semDedup(planted, "vec_id", "embedding", model, threshold = 0.95)
+        .orderBy("vec_id")
+    }),
+
     "q52_embed_neardup" -> ((s, d) => {
       // Embedding-cosine near-dup over the corpus plus planted exact
       // duplicates (id-shifted copy): identical vectors land in identical
@@ -1927,6 +1941,31 @@ object SparkEntry {
            round(sr, 6) AS stopword_ratio,
            CAST(n_sub AS BIGINT) AS n_subwords
          FROM m ORDER BY doc_id""",
+    // seed/assignment CTEs mirror q118's proven quantizer parity; dropped =
+    // any smaller-id cell-mate at cosine >= 0.95 (canonical-min-id)
+    "q129_semdedup" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         e AS (SELECT * FROM e0
+               UNION ALL
+               SELECT vec_id + 100000, v FROM e0 WHERE vec_id % 10 = 0),
+         seeds AS (SELECT v AS c_vec, rn - 1 AS cell FROM
+             (SELECT v, row_number() OVER
+                (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM e)
+           WHERE rn <= 16),
+         asg AS (SELECT vec_id, cell FROM (
+             SELECT e.vec_id, s.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, s.c_vec) DESC, s.cell) AS rn
+             FROM e CROSS JOIN seeds s)
+           WHERE rn = 1),
+         dropped AS (SELECT DISTINCT r.vec_id
+           FROM asg l JOIN asg r ON l.cell = r.cell AND l.vec_id < r.vec_id
+           JOIN e el ON el.vec_id = l.vec_id
+           JOIN e er ON er.vec_id = r.vec_id
+           WHERE list_cosine_similarity(el.v, er.v) >= 0.95)
+         SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell FROM asg a
+         WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+         ORDER BY a.vec_id""",
     "q52_embed_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
                     UNION ALL

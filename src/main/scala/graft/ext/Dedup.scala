@@ -690,6 +690,40 @@ object Dedup {
       .distinct()
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * clustering embeddings and dropping, within each cluster, every
+    * document whose cosine similarity to a smaller-id cluster member
+    * reaches `threshold`. Returns the KEPT rows as `(idCol, cell)`.
+    *
+    * Retention diverges from the paper deliberately: canonical-min-id (the
+    * repo-wide dedup contract above) instead of the paper's
+    * least-similar-to-centroid representative — the kept-set SIZE and the
+    * threshold graph are the algorithm; which member survives is policy.
+    *
+    * Scale: candidate pairs come from an equi-join on the cell id — never
+    * corpus-wide all-pairs. Within-cell pairing is O(sum c_i^2) BY DESIGN;
+    * the paper's k controls cell size (pick k ~ N / target_cell_size, the
+    * paper uses k = 11k cells for LAION-440M). With
+    * [[Ivf.portableSeedModel]] the quantizer is reproducible in any engine
+    * with md5, so the whole operator sits under a full hash oracle
+    * (q129); [[Ivf.train]] is the density-adaptive production path.
+    */
+  def semDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      model: Ivf.Model, threshold: Double = 0.95): DataFrame = {
+    val asg = corpus.select(col(idCol), col(vecCol),
+      graft.expressions.VectorExpressions
+        .nearestCentroids(col(vecCol), model.centroids, 1)(0).as("cell"))
+    val l = asg.select(col("cell"), col(idCol).as("id_l"), col(vecCol).as("v_l"))
+    val r = asg.select(col("cell"), col(idCol).as("id_r"), col(vecCol).as("v_r"))
+    val dropped = l.join(r, Seq("cell"))
+      .where(col("id_l") < col("id_r"))
+      .where(vectors.cosine(col("v_l"), col("v_r")) >= threshold)
+      .select(col("id_r").as(idCol)).distinct()
+    asg.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell").cast("long").as("cell"))
+  }
+
   /** Segment-level dedup — the "remove any line occurring >= N times in the
     * corpus" pass of C4/Gopher-style pipelines, adapted to unpunctuated
     * text: documents are chunked into runs of at most `width` whitespace-

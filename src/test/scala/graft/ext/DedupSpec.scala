@@ -407,6 +407,29 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(norm == "a b c")
   }
 
+  test("semDedup: within-cell near-dups drop keep-first, cross-cell survive") {
+    // two well-separated directions -> two cells under a 2-seed quantizer;
+    // ids 1/2/3 are mutual near-dups in one cell (only min id survives),
+    // id 10 is a near-dup of nothing, id 20 sits in the other cell
+    val rows = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0.999f, 0.01f, 0f, 0f)),
+      (3L, Seq(0.998f, 0.02f, 0f, 0f)),
+      (10L, Seq(0.7f, 0.7f, 0f, 0f)),   // same cell, cosine ~0.71 < 0.95
+      (20L, Seq(0f, 0f, 1f, 0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val model = Ivf.portableSeedModel(df, "vec_id", "embedding", k = 2)
+    val kept = Dedup.semDedup(df, "vec_id", "embedding", model, threshold = 0.95)
+      .orderBy("vec_id").select("vec_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L, 10L, 20L))
+    // exact duplicates of a kept id always drop regardless of cell shape
+    val planted = df.union(Seq((99L, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding"))
+    val kept2 = Dedup.semDedup(planted, "vec_id", "embedding",
+        Ivf.portableSeedModel(planted, "vec_id", "embedding", k = 2), threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(!kept2.contains(99L) && kept2.contains(1L))
+  }
+
   test("segmentDedup below-threshold corpus passes through reassembled") {
     val df = Seq((1L, "one two three four five")).toDF("doc_id", "text")
     val out = Dedup.segmentDedup(df, "doc_id", "text", width = 2, minCount = 2)
