@@ -1083,6 +1083,22 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q128_quality_classifier" -> ((s, d) => {
+      // fastText-shape quantized classifier applied entirely map-side: the
+      // deterministic weight table stands in for an exported model (any
+      // (bucket -> int weight) export drops in unchanged); scoring is exact
+      // integer math, so the SCORE column itself sits under the hash
+      // oracle, not just the keep/drop decision.
+      val weights = Array.tabulate(4096)(b =>
+        (((b.toLong * 2654435761L) % 1024L) - 512L).toInt)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          text.hashedLinearScore(col("text"), weights, bias = 32L).as("score"))
+        .withColumn("label",
+          when(col("score") >= 0, lit("keep")).otherwise(lit("drop")))
+        .orderBy("doc_id")
+    }),
+
     "q127_url_dedup" -> ((s, d) => {
       // crawl-level dedup by canonical URL (CCNet/RefinedWeb convention):
       // messy synthetic URLs derived from doc fields (case noise, www,
@@ -2812,6 +2828,21 @@ object SparkEntry {
            CAST(count(CASE WHEN dn > 1 THEN 1 END) AS BIGINT) AS n_dup_docs
          FROM rs JOIN dup USING (h)
          GROUP BY source ORDER BY source""",
+    // weight formula mirrors the Scala table: w(b) = (b*2654435761) % 1024 - 512
+    // over md5-prefix buckets mod 4096; empty token lists coalesce to 0
+    "q128_quality_classifier" ->
+      raw"""WITH toks AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         sc AS (SELECT doc_id,
+             CAST(32 + coalesce(list_sum(list_transform(tk, t ->
+               ((CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT) % 4096)
+                 * 2654435761) % 1024 - 512)), 0) AS BIGINT) AS score
+           FROM toks)
+         SELECT doc_id, score,
+           CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS label
+         FROM sc ORDER BY doc_id""",
     // regex constants (tracking params) interpolated from text.canonicalizeUrl's
     // shared patterns; DuckDB regexp_replace needs the explicit 'g' flag where
     // Spark is global by default

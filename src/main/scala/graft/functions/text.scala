@@ -244,6 +244,31 @@ object text {
       when(query === "", lit("")).otherwise(concat(lit("?"), query))))
   }
 
+  /** Quantized hashed-feature linear text classifier — the fastText
+    * architecture (Joulin et al. 2016) at inference time: each token hashes
+    * into one of `weights.length` buckets, the document score is the sum of
+    * the bucket weights plus `bias`, and the decision is the score's sign.
+    * `weights` is an exported, integer-quantized model (int weights are the
+    * standard int8-quantization shape), so scoring is EXACT integer math —
+    * no float drift, fully hash-oracle-able in any engine with md5.
+    *
+    * Scale: the model rides along as ONE array literal (a 2M-bucket int8
+    * fastText head is ~2 MB — well under task-binary size), and the whole
+    * score is a row-local codegen'd `transform`+`aggregate` fold: zero
+    * shuffle, zero join, applied entirely map-side at any corpus size.
+    * The bucket hash is the corpus-wide md5-prefix idiom (q56's split
+    * hash), portable to the oracle via `CAST(concat('0x', ...) AS BIGINT)`.
+    */
+  def hashedLinearScore(c: Column, weights: Array[Int], bias: Long = 0L): Column = {
+    require(weights.nonEmpty, "empty weight table")
+    val toks = filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+    def bucket(t: Column): Column =
+      (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % weights.length).cast("int")
+    aggregate(
+      transform(toks, t => element_at(lit(weights), bucket(t) + 1).cast("long")),
+      lit(bias), (acc, w) => acc + w)
+  }
+
   /** Intra-document repetition signals (Gopher/C4-style quality rules). */
 
   /** Fraction of repeated segments after splitting on `sep` (regex):

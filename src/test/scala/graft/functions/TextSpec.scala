@@ -34,6 +34,23 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(one[String](text.langId(col("t")), "zzz qqq xxx") == "und")
   }
 
+  test("hashedLinearScore: bias on empty, exact integer fold, case-folded") {
+    val w = Array.tabulate(64)(b => b - 32)
+    def bucketOf(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(8), 16) % w.length).toInt
+    }
+    def score(s: String): Long =
+      one[Long](text.hashedLinearScore(col("t"), w, bias = 7L), s)
+    assert(score("") == 7L)
+    assert(score("   ") == 7L)
+    val expected = 7L + 2L * w(bucketOf("tok")) + w(bucketOf("other"))
+    assert(score("tok tok other") == expected)
+    // tokenizer lowercases and strips non-alnum before hashing
+    assert(score("TOK, tok! OTHER?") == expected)
+  }
+
   test("canonicalizeUrl: case/www/default-port/fragment/tracking noise folds") {
     def canon(s: String): String =
       one[String](text.canonicalizeUrl(col("t")), s)
