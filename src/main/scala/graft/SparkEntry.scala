@@ -1083,6 +1083,15 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q130_distinct_estimate" -> ((s, d) => {
+      // KMV cardinality estimate per source next to the exact count — the
+      // estimator is pure integer math over the q61 sketch, so the whole
+      // row (including the ESTIMATE) sits under the hash oracle
+      graft.ext.Sketches.kmvDistinctCount(
+        t(s, d, "documents"), Seq("source"), "text", k = 16)
+        .orderBy("source")
+    }),
+
     "q128_quality_classifier" -> ((s, d) => {
       // fastText-shape quantized classifier applied entirely map-side: the
       // deterministic weight table stands in for an exported model (any
@@ -2828,6 +2837,24 @@ object SparkEntry {
            CAST(count(CASE WHEN dn > 1 THEN 1 END) AS BIGINT) AS n_dup_docs
          FROM rs JOIN dup USING (h)
          GROUP BY source ORDER BY source""",
+    // KMV replica: k-th smallest distinct md5-prefix hash per source;
+    // (k-1)*2^32 // h_(k) in BIGINT floor division, exact-sketch fallback
+    "q130_distinct_estimate" ->
+      """WITH hv AS (SELECT DISTINCT source,
+             CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) AS hv
+           FROM documents),
+         r AS (SELECT source, hv,
+             row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+           FROM hv),
+         st AS (SELECT source, count(*) AS nd,
+             max(CASE WHEN rn = 16 THEN hv END) AS kth
+           FROM r GROUP BY source),
+         ex AS (SELECT source, count(DISTINCT text) AS n_exact
+           FROM documents GROUP BY source)
+         SELECT s.source, CAST(e.n_exact AS BIGINT) AS n_exact,
+           CAST(CASE WHEN s.nd < 16 THEN s.nd
+                     ELSE (15 * 4294967296) // s.kth END AS BIGINT) AS n_est
+         FROM st s JOIN ex e USING (source) ORDER BY source""",
     // weight formula mirrors the Scala table: w(b) = (b*2654435761) % 1024 - 512
     // over md5-prefix buckets mod 4096; empty token lists coalesce to 0
     "q128_quality_classifier" ->
