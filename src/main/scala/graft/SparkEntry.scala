@@ -1083,6 +1083,24 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q131_intradoc_dedup" -> ((s, d) => {
+      // generation-loop cleanup: every 3rd doc gets its text repeated
+      // (simulating a looped generation / boilerplate refrain), then the
+      // row-local first-occurrence segment dedup must restore one copy;
+      // zero shuffle — the whole transform is a codegen'd projection
+      val looped = t(s, d, "documents").where(col("text").isNotNull)
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(". "), col("text")))
+            .otherwise(col("text")))
+      val segs = filter(split(col("text"), "\\. "), x => x =!= "")
+      looped.select(col("doc_id"),
+        text.dropRepeatedSegments(col("text")).as("clean_text"),
+        size(segs).cast("long").as("n_total"),
+        size(array_distinct(segs)).cast("long").as("n_kept"))
+        .orderBy("doc_id")
+    }),
+
     "q130_distinct_estimate" -> ((s, d) => {
       // KMV cardinality estimate per source next to the exact count — the
       // estimator is pure integer math over the q61 sketch, so the whole
@@ -2837,6 +2855,21 @@ object SparkEntry {
            CAST(count(CASE WHEN dn > 1 THEN 1 END) AS BIGINT) AS n_dup_docs
          FROM rs JOIN dup USING (h)
          GROUP BY source ORDER BY source""",
+    // first-occurrence filter via the index lambda (list_position(sg,x)=i);
+    // Spark's array_distinct preserves first-occurrence order by contract
+    "q131_intradoc_dedup" ->
+      raw"""WITH d0 AS (SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || '. ' || text ELSE text END AS text
+           FROM documents WHERE text IS NOT NULL),
+         s AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\. '), x -> x <> '') AS sg
+           FROM d0),
+         dd AS (SELECT doc_id, sg,
+             list_filter(sg, (x, i) -> list_position(sg, x) = i) AS u
+           FROM s)
+         SELECT doc_id, array_to_string(u, '. ') AS clean_text,
+           CAST(len(sg) AS BIGINT) AS n_total, CAST(len(u) AS BIGINT) AS n_kept
+         FROM dd ORDER BY doc_id""",
     // KMV replica: k-th smallest distinct md5-prefix hash per source;
     // (k-1)*2^32 // h_(k) in BIGINT floor division, exact-sketch fallback
     "q130_distinct_estimate" ->

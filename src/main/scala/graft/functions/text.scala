@@ -269,6 +269,19 @@ object text {
       lit(bias), (acc, w) => acc + w)
   }
 
+  /** Intra-document repeated-segment REMOVAL (the fix for what
+    * [[duplicateSegmentRatio]] only measures): split on `sep`, keep the
+    * FIRST occurrence of each segment in document order, rejoin with
+    * `joiner`. Kills generation loops and per-page boilerplate refrains
+    * without any corpus-wide state — entirely row-local (`split` +
+    * `array_distinct`, which preserves first-occurrence order, + rejoin),
+    * zero shuffle, codegen'd; the corpus-wide counterpart is
+    * [[graft.ext.Dedup.segmentDedup]].
+    */
+  def dropRepeatedSegments(
+      c: Column, sep: String = "\\. ", joiner: String = ". "): Column =
+    array_join(array_distinct(filter(split(c, sep), s => s =!= "")), joiner)
+
   /** Intra-document repetition signals (Gopher/C4-style quality rules). */
 
   /** Fraction of repeated segments after splitting on `sep` (regex):

@@ -34,6 +34,17 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(one[String](text.langId(col("t")), "zzz qqq xxx") == "und")
   }
 
+  test("dropRepeatedSegments keeps first occurrence in document order") {
+    def clean(s: String): String =
+      one[String](text.dropRepeatedSegments(col("t")), s)
+    assert(clean("a b. c d. a b. e") == "a b. c d. e")
+    assert(clean("x. x. x") == "x")
+    assert(clean("no repeats here") == "no repeats here")
+    assert(clean("") == "")
+    // later duplicates vanish but first-seen ORDER is preserved
+    assert(clean("b. a. b. a. c") == "b. a. c")
+  }
+
   test("hashedLinearScore: bias on empty, exact integer fold, case-folded") {
     val w = Array.tabulate(64)(b => b - 32)
     def bucketOf(tok: String): Int = {
