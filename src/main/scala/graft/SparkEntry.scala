@@ -1083,6 +1083,23 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q132_domain_blocklist" -> ((s, d) => {
+      // crawl blocklist with parent-domain semantics: blocking
+      // src3.example.com also blocks cdn.src3.example.com; the whole check
+      // is a row-local suffix expansion against one array literal
+      val id = col("doc_id")
+      val url = concat(lit("https://"),
+        when(id % 4 === 0, lit("cdn.")).otherwise(lit("")),
+        col("source"),
+        when(id % 2 === 0, lit(".example.com")).otherwise(lit(".example.org")),
+        lit("/p/"), (id % 100).cast("string"))
+      val bl = Seq("src3.example.com", "src7.example.org", "example.net")
+      t(s, d, "documents")
+        .select(id, text.hostOf(url).as("host"),
+          text.domainBlocked(url, bl).cast("int").cast("long").as("blocked"))
+        .orderBy("doc_id")
+    }),
+
     "q131_intradoc_dedup" -> ((s, d) => {
       // generation-loop cleanup: every 3rd doc gets its text repeated
       // (simulating a looped generation / boilerplate refrain), then the
@@ -2855,6 +2872,28 @@ object SparkEntry {
            CAST(count(CASE WHEN dn > 1 THEN 1 END) AS BIGINT) AS n_dup_docs
          FROM rs JOIN dup USING (h)
          GROUP BY source ORDER BY source""",
+    // suffix expansion mirrors text.domainBlocked: every dot-suffix of the
+    // host probed against the same blocklist literal
+    "q132_domain_blocklist" ->
+      """WITH u AS (SELECT doc_id,
+             'https://' || (CASE WHEN doc_id % 4 = 0 THEN 'cdn.' ELSE '' END)
+             || source
+             || (CASE WHEN doc_id % 2 = 0 THEN '.example.com' ELSE '.example.org' END)
+             || '/p/' || CAST(doc_id % 100 AS VARCHAR) AS url
+           FROM documents),
+         h AS (SELECT doc_id,
+             regexp_replace(lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', '') AS host
+           FROM u),
+         sfx AS (SELECT doc_id, host,
+             list_transform(range(1, len(string_split(host, '.')) + 1),
+               i -> array_to_string(string_split(host, '.')[i:], '.')) AS sufs
+           FROM h)
+         SELECT doc_id, host,
+           CAST(CASE WHEN list_has_any(sufs,
+             ['src3.example.com', 'src7.example.org', 'example.net'])
+             THEN 1 ELSE 0 END AS BIGINT) AS blocked
+         FROM sfx ORDER BY doc_id""",
     // first-occurrence filter via the index lambda (list_position(sg,x)=i);
     // Spark's array_distinct preserves first-occurrence order by contract
     "q131_intradoc_dedup" ->

@@ -244,6 +244,31 @@ object text {
       when(query === "", lit("")).otherwise(concat(lit("?"), query))))
   }
 
+  /** Lowercased host (authority minus any port) of a URL; `""` for
+    * strings with no `scheme://`. Shares [[canonicalizeUrl]]'s regexes.
+    */
+  def hostOf(u: Column): Column =
+    regexp_replace(
+      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+      ":[0-9]+$", "")
+
+  /** True iff the URL's host or ANY parent domain (dot-suffix) appears in
+    * `blocklist` — the standard crawl-filter semantics where blocking
+    * `example.com` also blocks `cdn.sub.example.com`. Row-local: the
+    * suffix set is built with `sequence`+`slice` and probed against the
+    * blocklist as ONE array literal — zero shuffle, zero join, applied
+    * map-side at any corpus size. For blocklists too large for a literal
+    * (millions of domains), explode the suffixes and broadcast-anti-join
+    * instead; the suffix-expansion trick is the same.
+    */
+  def domainBlocked(u: Column, blocklist: Seq[String]): Column = {
+    require(blocklist.nonEmpty, "empty blocklist")
+    val parts = split(hostOf(u), "\\.")
+    val sufs = transform(sequence(lit(1), size(parts)),
+      i => array_join(slice(parts, i, size(parts)), "."))
+    arrays_overlap(sufs, lit(blocklist.toArray))
+  }
+
   /** Quantized hashed-feature linear text classifier — the fastText
     * architecture (Joulin et al. 2016) at inference time: each token hashes
     * into one of `weights.length` buckets, the document score is the sum of

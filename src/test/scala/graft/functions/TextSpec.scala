@@ -34,6 +34,19 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(one[String](text.langId(col("t")), "zzz qqq xxx") == "und")
   }
 
+  test("domainBlocked: parent-domain suffix semantics, port-stripped host") {
+    val bl = Seq("blocked.com", "bad.example.org")
+    def blocked(u: String): Boolean =
+      one[Boolean](text.domainBlocked(col("t"), bl), u)
+    assert(blocked("https://blocked.com/x"))
+    assert(blocked("https://cdn.sub.blocked.com/x"))       // parent suffix
+    assert(blocked("http://WWW.Bad.Example.ORG:8080/y"))   // case + port
+    assert(!blocked("https://notblocked.com/x"))
+    assert(!blocked("https://blocked.com.evil.net/x"))     // suffix, not substring
+    assert(!blocked("no url here"))
+    assert(one[String](text.hostOf(col("t")), "https://A.B.C:9090/z") == "a.b.c")
+  }
+
   test("dropRepeatedSegments keeps first occurrence in document order") {
     def clean(s: String): String =
       one[String](text.dropRepeatedSegments(col("t")), s)
