@@ -1083,6 +1083,20 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q133_line_filter" -> ((s, d) => {
+      // C4 rule-based line filtering: segments under 3 words drop, the
+      // rest reassemble in order — one codegen'd row-local projection
+      val segs = filter(split(col("text"), "\\. "), x => x =!= "")
+      val kept = filter(segs,
+        seg => size(filter(split(seg, " "), w => w =!= "")) >= 3)
+      t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          text.filterShortSegments(col("text"), minWords = 3).as("clean_text"),
+          size(segs).cast("long").as("n_total"),
+          size(kept).cast("long").as("n_kept"))
+        .orderBy("doc_id")
+    }),
+
     "q132_domain_blocklist" -> ((s, d) => {
       // crawl blocklist with parent-domain semantics: blocking
       // src3.example.com also blocks cdn.src3.example.com; the whole check
@@ -2872,6 +2886,18 @@ object SparkEntry {
            CAST(count(CASE WHEN dn > 1 THEN 1 END) AS BIGINT) AS n_dup_docs
          FROM rs JOIN dup USING (h)
          GROUP BY source ORDER BY source""",
+    // nested lambda replicates filterShortSegments' word-count rule
+    "q133_line_filter" ->
+      raw"""WITH s AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\. '), x -> x <> '') AS sg
+           FROM documents WHERE text IS NOT NULL),
+         k AS (SELECT doc_id, sg,
+             list_filter(sg, x ->
+               len(list_filter(string_split(x, ' '), w -> w <> '')) >= 3) AS u
+           FROM s)
+         SELECT doc_id, array_to_string(u, '. ') AS clean_text,
+           CAST(len(sg) AS BIGINT) AS n_total, CAST(len(u) AS BIGINT) AS n_kept
+         FROM k ORDER BY doc_id""",
     // suffix expansion mirrors text.domainBlocked: every dot-suffix of the
     // host probed against the same blocklist literal
     "q132_domain_blocklist" ->

@@ -307,6 +307,21 @@ object text {
       c: Column, sep: String = "\\. ", joiner: String = ". "): Column =
     array_join(array_distinct(filter(split(c, sep), s => s =!= "")), joiner)
 
+  /** C4-style line filtering: drop segments with fewer than `minWords`
+    * whitespace words (menu items, nav crumbs, cookie banners), keep the
+    * rest in document order, rejoin. Row-local nested-lambda projection —
+    * zero shuffle, like [[dropRepeatedSegments]]; the two compose into the
+    * standard "clean page text" pass.
+    */
+  def filterShortSegments(
+      c: Column, minWords: Int = 3,
+      sep: String = "\\. ", joiner: String = ". "): Column = {
+    val segs = filter(split(c, sep), s => s =!= "")
+    array_join(
+      filter(segs, s => size(filter(split(s, " "), w => w =!= "")) >= minWords),
+      joiner)
+  }
+
   /** Intra-document repetition signals (Gopher/C4-style quality rules). */
 
   /** Fraction of repeated segments after splitting on `sep` (regex):

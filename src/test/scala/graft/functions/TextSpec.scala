@@ -47,6 +47,17 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(one[String](text.hostOf(col("t")), "https://A.B.C:9090/z") == "a.b.c")
   }
 
+  test("filterShortSegments drops sub-minWords segments, keeps order") {
+    def clean(s: String): String =
+      one[String](text.filterShortSegments(col("t"), minWords = 3), s)
+    assert(clean("click here. this one has words. menu. another real sentence here")
+      == "this one has words. another real sentence here")
+    assert(clean("a. b. c") == "")
+    assert(clean("exactly three words") == "exactly three words")
+    // runs of spaces don't fake extra words
+    assert(clean("two  words") == "")
+  }
+
   test("dropRepeatedSegments keeps first occurrence in document order") {
     def clean(s: String): String =
       one[String](text.dropRepeatedSegments(col("t")), s)
