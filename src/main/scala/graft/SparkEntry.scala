@@ -1083,6 +1083,17 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q134_dsir_select" -> ((s, d) => {
+      // DSIR selection: target = English docs, raw = the full corpus;
+      // quantized integer log-odds make the whole score column (and the
+      // top-200 cut) hash-exact in any engine
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+      val scores = graft.ext.Dsir.importanceScores(
+        docs, docs.where(col("lang") === "en"), "doc_id", "text")
+      graft.ext.Dsir.selectTopK(scores, "doc_id", k = 200)
+        .orderBy("doc_id")
+    }),
+
     "q133_line_filter" -> ((s, d) => {
       // C4 rule-based line filtering: segments under 3 words drop, the
       // rest reassemble in order — one codegen'd row-local projection
@@ -2886,6 +2897,37 @@ object SparkEntry {
            CAST(count(CASE WHEN dn > 1 THEN 1 END) AS BIGINT) AS n_dup_docs
          FROM rs JOIN dup USING (h)
          GROUP BY source ORDER BY source""",
+    // quantized log-odds: floor(1000*ln((tc+1)/(sc+1))) — a 1-ulp ln
+    // disagreement cannot flip floor (needs the product within ~1e-12 of
+    // an integer), so the integer scores are engine-exact
+    "q134_dsir_select" ->
+      raw"""WITH d AS (SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS tk
+           FROM documents WHERE text IS NOT NULL),
+         f AS (SELECT doc_id, lang,
+             list_concat(tk,
+               list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS ft
+           FROM d),
+         fx AS (SELECT doc_id, lang,
+             CAST(concat('0x', substring(md5(unnest(ft)), 1, 8)) AS BIGINT) % 4096
+               AS bucket
+           FROM f),
+         raw_c AS (SELECT bucket, count(*) AS n_raw FROM fx GROUP BY bucket),
+         tgt_c AS (SELECT bucket, count(*) AS n_tgt FROM fx WHERE lang = 'en'
+           GROUP BY bucket),
+         model AS (SELECT r.bucket,
+             CAST(floor(1000.0 * ln(CAST(coalesce(t.n_tgt, 0) + 1 AS DOUBLE)
+               / CAST(r.n_raw + 1 AS DOUBLE))) AS BIGINT) AS qllr
+           FROM raw_c r LEFT JOIN tgt_c t ON r.bucket = t.bucket),
+         sc AS (SELECT fx.doc_id, CAST(sum(m.qllr) AS BIGINT) AS score
+           FROM fx JOIN model m ON fx.bucket = m.bucket GROUP BY fx.doc_id),
+         full_sc AS (SELECT d.doc_id, coalesce(sc.score, 0) AS score
+           FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+         top AS (SELECT doc_id, score FROM full_sc
+           ORDER BY score DESC, doc_id LIMIT 200)
+         SELECT doc_id, CAST(score AS BIGINT) AS score FROM top
+         ORDER BY doc_id""",
     // nested lambda replicates filterShortSegments' word-count rule
     "q133_line_filter" ->
       raw"""WITH s AS (SELECT doc_id,

@@ -1,0 +1,34 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class DsirSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("importanceScores ranks target-like docs above off-target docs") {
+    // two disjoint vocabularies; target = the "english" half. Every
+    // english doc must outscore every german doc, featureless text is 0.
+    val en = (1L to 10L).map(i => (i, s"the quick brown fox number $i jumps over"))
+    val de = (21L to 30L).map(i => (i, s"der schnelle braune fuchs nummer $i springt"))
+    val corpus = (en ++ de :+ ((99L, "!!! ???"))).toDF("doc_id", "text")
+    val target = corpus.where(col("doc_id") <= 10)
+    val scores = Dsir.importanceScores(corpus, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores(99L) == 0L) // no [a-z0-9] features at all
+    val minEn = (1L to 10L).map(scores).min
+    val maxDe = (21L to 30L).map(scores).max
+    assert(minEn > maxDe, s"minEn=$minEn maxDe=$maxDe")
+    // the top-10 cut is exactly the 10 best (score desc, id asc) — and
+    // never contains an off-target doc (they all sit far below zero)
+    val expected = scores.toSeq.sortBy { case (id, sc2) => (-sc2, id) }
+      .take(10).map(_._1).toSet
+    val top = Dsir.selectTopK(
+      Dsir.importanceScores(corpus, target, "doc_id", "text"), "doc_id", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(top == expected)
+    assert(top.intersect((21L to 30L).toSet).isEmpty)
+  }
+}
