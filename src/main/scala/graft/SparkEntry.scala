@@ -1083,6 +1083,26 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q135_source_overlap" -> ((s, d) => {
+      // cross-source duplication matrix (the data-card companion q126
+      // summarizes per-source): distinct (text-hash, source) pairs
+      // self-joined on the hash — every 7th doc mirrored into a '-m'
+      // (7 is coprime with the source cycle, so every source overlaps)
+      // source so the matrix is non-trivial. One shuffle on the hash.
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("text"), col("source"))
+      val mirrored = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(100000L)).as("doc_id"), col("text"),
+          concat(col("source"), lit("-m")).as("source"))
+      val hs = docs.union(mirrored)
+        .select(md5(col("text")).as("h"), col("source")).distinct()
+      hs.as("a").join(hs.as("b"), Seq("h"))
+        .where(col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("source_a", "source_b")
+    }),
+
     "q134_dsir_select" -> ((s, d) => {
       // DSIR selection: target = English docs, raw = the full corpus;
       // quantized integer log-odds make the whole score column (and the
@@ -1402,6 +1422,18 @@ object SparkEntry {
       graft.io.TextTables.csvRoundTrip(docs,
           graft.io.TextTables.scratchDir("csv_rt", d))
         .orderBy("doc_id")
+    }),
+
+    "q136_orc_roundtrip" -> ((s, d) => {
+      // events through ORC and back — the columnar interchange face;
+      // byte-lossless, so the oracle is the source table
+      val ev = events(s, d).select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      graft.io.TextTables.orcRoundTrip(ev,
+          graft.io.TextTables.scratchDir("orc_rt", d))
+        .select(col("event_id"), epochSec(col("ts")).as("es"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
     }),
 
     "q97_jsonl_roundtrip" -> ((s, d) => {
@@ -2897,6 +2929,17 @@ object SparkEntry {
            CAST(count(CASE WHEN dn > 1 THEN 1 END) AS BIGINT) AS n_dup_docs
          FROM rs JOIN dup USING (h)
          GROUP BY source ORDER BY source""",
+    "q135_source_overlap" ->
+      """WITH all0 AS (SELECT doc_id, text, source FROM documents
+             WHERE text IS NOT NULL
+           UNION ALL
+           SELECT doc_id + 100000, text, source || '-m' FROM documents
+             WHERE text IS NOT NULL AND doc_id % 7 = 0),
+         h AS (SELECT DISTINCT md5(text) AS h, source FROM all0)
+         SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+         FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY source_a, source_b""",
     // quantized log-odds: floor(1000*ln((tc+1)/(sc+1))) — a 1-ulp ln
     // disagreement cannot flip floor (needs the product within ~1e-12 of
     // an integer), so the integer scores are engine-exact
@@ -3282,6 +3325,9 @@ object SparkEntry {
          SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
          ORDER BY query_id, rank""",
     "q97_jsonl_roundtrip" ->
+      """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         user_id, event_type, value FROM events ORDER BY event_id""",
+    "q136_orc_roundtrip" ->
       """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
          user_id, event_type, value FROM events ORDER BY event_id""",
     // UNION ALL melt: portable across engines (DuckDB's UNPIVOT keyword

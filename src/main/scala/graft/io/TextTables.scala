@@ -54,6 +54,18 @@ object TextTables {
       .option("timestampFormat", tsFmt).json(path)
   }
 
+  /** Columnar-interchange round trip through ORC (Spark's native
+    * reader/writer — no extra dependency): schema-preserving and lossless
+    * for every type in the battery, including microsecond timestamps and
+    * doubles, so the oracle is the SOURCE table itself. The third
+    * interchange face next to CSV (lossy corners documented above) and
+    * JSONL (lossless text).
+    */
+  def orcRoundTrip(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").orc(path)
+    df.sparkSession.read.schema(df.schema).orc(path)
+  }
+
   /** Deterministic scratch dir for a round-trip artifact, keyed by the
     * source dir so scale factors never alias. `salt` folds extra identity
     * into the key — e.g. the source file's (size, mtime) for consumers that

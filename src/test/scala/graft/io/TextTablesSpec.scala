@@ -54,6 +54,21 @@ class TextTablesSpec extends AnyFunSuite with SparkSpec {
     assert(back == exp)
   }
 
+  test("ORC round trip is lossless: null vs empty, microsecond ts, doubles") {
+    val back = TextTables.orcRoundTrip(fixture, tmp("graft_orc_spec"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    val exp = fixture.orderBy("id").as[(Long, String)].collect().toSeq
+    assert(back == exp)
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 10:11:12.123456"), 0.1 + 0.2),
+      (2L, java.sql.Timestamp.valueOf("1999-12-31 23:59:59.999999"), math.Pi)
+    ).toDF("id", "ts", "v")
+    val back2 = TextTables.orcRoundTrip(df, tmp("graft_orc_ts"))
+      .orderBy("id").as[(Long, java.sql.Timestamp, Double)].collect().toSeq
+    val exp2 = df.orderBy("id").as[(Long, java.sql.Timestamp, Double)].collect().toSeq
+    assert(back2 == exp2)
+  }
+
   test("JSONL round trip preserves timestamps to the microsecond and doubles bit-exactly") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-03-01 10:11:12.123456"), 0.1 + 0.2),
