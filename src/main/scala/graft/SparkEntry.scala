@@ -511,6 +511,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q137_semdedup_incr" -> ((s, d) => {
+      // incremental semantic dedup: standing corpus = ids < 400 (with the
+      // generation's frozen seed quantizer); increment = ids >= 400 plus
+      // planted copies of corpus vectors (every 20th, re-id'd) that MUST
+      // drop against the corpus without the corpus re-pairing itself
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = emb.where(col("vec_id") < 400)
+      val incoming = emb.where(col("vec_id") >= 400).union(
+        corpus.where(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + lit(200000L)).as("vec_id"), col("embedding")))
+      val model = graft.ext.Ivf.portableSeedModel(corpus, "vec_id", "embedding", k = 16)
+      Dedup.semDedupIncremental(corpus, incoming, "vec_id", "embedding",
+        model, threshold = 0.95)
+        .orderBy("vec_id")
+    }),
+
     "q129_semdedup" -> ((s, d) => {
       // SemDeDup under a FULL hash oracle: portable seed quantizer (16
       // cells) + planted exact duplicates (every 10th vector re-id'd) that
@@ -2058,6 +2074,41 @@ object SparkEntry {
            round(sr, 6) AS stopword_ratio,
            CAST(n_sub AS BIGINT) AS n_subwords
          FROM m ORDER BY doc_id""",
+    // corpus seeds only (the generation's frozen model); increment checked
+    // vs corpus cell-mates then vs smaller-id increment cell-mates
+    "q137_semdedup_incr" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         corp AS (SELECT * FROM e WHERE vec_id < 400),
+         inc AS (SELECT vec_id, v FROM e WHERE vec_id >= 400
+                 UNION ALL
+                 SELECT vec_id + 200000, v FROM e
+                 WHERE vec_id < 400 AND vec_id % 20 = 0),
+         seeds AS (SELECT v AS c_vec, rn - 1 AS cell FROM
+             (SELECT v, row_number() OVER
+                (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM corp)
+           WHERE rn <= 16),
+         asgc AS (SELECT vec_id, v, cell FROM (
+             SELECT c.vec_id, c.v, s.cell,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY list_cosine_similarity(c.v, s.c_vec) DESC, s.cell) AS rn
+             FROM corp c CROSS JOIN seeds s)
+           WHERE rn = 1),
+         asgi AS (SELECT vec_id, v, cell FROM (
+             SELECT i.vec_id, i.v, s.cell,
+               row_number() OVER (PARTITION BY i.vec_id
+                 ORDER BY list_cosine_similarity(i.v, s.c_vec) DESC, s.cell) AS rn
+             FROM inc i CROSS JOIN seeds s)
+           WHERE rn = 1),
+         dropc AS (SELECT DISTINCT i.vec_id
+           FROM asgi i JOIN asgc c ON i.cell = c.cell
+           WHERE list_cosine_similarity(i.v, c.v) >= 0.95),
+         drops AS (SELECT DISTINCT r.vec_id
+           FROM asgi l JOIN asgi r ON l.cell = r.cell AND l.vec_id < r.vec_id
+           WHERE list_cosine_similarity(l.v, r.v) >= 0.95)
+         SELECT i.vec_id, CAST(i.cell AS BIGINT) AS cell FROM asgi i
+         WHERE i.vec_id NOT IN (SELECT vec_id FROM dropc
+                                UNION SELECT vec_id FROM drops)
+         ORDER BY i.vec_id""",
     // seed/assignment CTEs mirror q118's proven quantizer parity; dropped =
     // any smaller-id cell-mate at cosine >= 0.95 (canonical-min-id)
     "q129_semdedup" ->

@@ -724,6 +724,39 @@ object Dedup {
       .select(col(idCol), col("cell").cast("long").as("cell"))
   }
 
+  /** Incremental [[semDedup]]: `incoming` documents are dropped when they
+    * are semantic near-dups of the STANDING corpus (the already-kept set)
+    * or of a smaller-id incoming row in the same cell. The corpus is never
+    * re-paired against itself — per-increment cost is
+    * O(|incoming| x cell-mates), the same contract as the minhash and
+    * exact-substring incremental faces (q64/q120).
+    *
+    * Train (or seed) the quantizer ONCE per corpus generation and reuse it
+    * for every increment — re-fitting moves every cell boundary and
+    * silently changes which pairs are ever compared
+    * ([[Ivf.saveModel]]/[[Ivf.loadModel]] persist it bit-identically).
+    */
+  def semDedupIncremental(
+      corpus: DataFrame, incoming: DataFrame, idCol: String, vecCol: String,
+      model: Ivf.Model, threshold: Double = 0.95): DataFrame = {
+    def assign(df: DataFrame) = df.select(col(idCol), col(vecCol),
+      graft.expressions.VectorExpressions
+        .nearestCentroids(col(vecCol), model.centroids, 1)(0).as("cell"))
+    val corp = assign(corpus).select(col("cell"), col(vecCol).as("v_c"))
+    val inc = assign(incoming)
+    val vsCorpus = inc.join(corp, Seq("cell"))
+      .where(vectors.cosine(col(vecCol), col("v_c")) >= threshold)
+      .select(col(idCol)).distinct()
+    val l = inc.select(col("cell"), col(idCol).as("id_l"), col(vecCol).as("v_l"))
+    val r = inc.select(col("cell"), col(idCol).as("id_r"), col(vecCol).as("v_r"))
+    val vsSelf = l.join(r, Seq("cell"))
+      .where(col("id_l") < col("id_r"))
+      .where(vectors.cosine(col("v_l"), col("v_r")) >= threshold)
+      .select(col("id_r").as(idCol)).distinct()
+    inc.join(vsCorpus.union(vsSelf).distinct(), Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell").cast("long").as("cell"))
+  }
+
   /** Segment-level dedup — the "remove any line occurring >= N times in the
     * corpus" pass of C4/Gopher-style pipelines, adapted to unpunctuated
     * text: documents are chunked into runs of at most `width` whitespace-

@@ -430,6 +430,23 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!kept2.contains(99L) && kept2.contains(1L))
   }
 
+  test("semDedupIncremental: drops vs corpus and vs earlier increment only") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val incoming = Seq(
+      (10L, Seq(1f, 0f, 0f, 0f)),    // dup of corpus 1 -> drops
+      (11L, Seq(0f, 1f, 0f, 0f)),    // novel -> kept
+      (12L, Seq(0f, 1f, 0f, 0f)),    // dup of incoming 11 -> drops
+      (13L, Seq(0.7f, 0.7f, 0f, 0f)) // near nothing at 0.95 -> kept
+    ).toDF("vec_id", "embedding")
+    val model = Ivf.portableSeedModel(corpus, "vec_id", "embedding", k = 2)
+    val kept = Dedup.semDedupIncremental(corpus, incoming, "vec_id",
+        "embedding", model, threshold = 0.95)
+      .orderBy("vec_id").select("vec_id").as[Long].collect().toSeq
+    assert(kept == Seq(11L, 13L))
+  }
+
   test("segmentDedup below-threshold corpus passes through reassembled") {
     val df = Seq((1L, "one two three four five")).toDF("doc_id", "text")
     val out = Dedup.segmentDedup(df, "doc_id", "text", width = 2, minCount = 2)
