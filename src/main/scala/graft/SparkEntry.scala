@@ -1120,12 +1120,28 @@ object SparkEntry {
     }),
 
     "q134_dsir_select" -> ((s, d) => {
-      // DSIR selection: target = English docs, raw = the full corpus;
+      // DSIR selection, md5-PORTABLE twin on a bounded slice (ids < 1500):
       // quantized integer log-odds make the whole score column (and the
-      // top-200 cut) hash-exact in any engine
-      val docs = t(s, d, "documents").where(col("text").isNotNull)
+      // top-200 cut) hash-exact in any engine. The md5-per-feature cost is
+      // what the bound caps; q138 is the native full-corpus production face.
+      val docs = t(s, d, "documents")
+        .where(col("text").isNotNull && col("doc_id") < 1500)
       val scores = graft.ext.Dsir.importanceScores(
         docs, docs.where(col("lang") === "en"), "doc_id", "text")
+      graft.ext.Dsir.selectTopK(scores, "doc_id", k = 200)
+        .orderBy("doc_id")
+    }),
+
+    "q138_dsir_native" -> ((s, d) => {
+      // production DSIR: the same pipeline over the FULL corpus through the
+      // one-pass native feature expression (no per-feature md5/string
+      // work). Different hash family -> engine-specific scores, so this is
+      // the recall-asserted sibling (DsirSpec), not a SQL-oracled row; the
+      // md5 twin q134 keeps the differential gate on the machinery.
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+      val scores = graft.ext.Dsir.importanceScores(
+        docs, docs.where(col("lang") === "en"), "doc_id", "text",
+        native = true)
       graft.ext.Dsir.selectTopK(scores, "doc_id", k = 200)
         .orderBy("doc_id")
     }),
@@ -2998,7 +3014,7 @@ object SparkEntry {
       raw"""WITH d AS (SELECT doc_id, lang,
              list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                x -> x <> '') AS tk
-           FROM documents WHERE text IS NOT NULL),
+           FROM documents WHERE text IS NOT NULL AND doc_id < 1500),
          f AS (SELECT doc_id, lang,
              list_concat(tk,
                list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS ft

@@ -213,6 +213,27 @@ object GramHashExpressions {
       copy(child = newChild)
   }
 
+  /** Unigram+bigram bucket ids (multiset, document order) for hashed-
+    * feature models — see [[GramHashRuntime.ngramFeatureBuckets]].
+    */
+  case class NgramFeatureBuckets(child: Expression, buckets: Int, seed: Long = 42L)
+      extends UnaryExpression {
+    require(buckets > 0, "buckets must be positive")
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+    override def prettyName: String = "ngram_feature_buckets"
+
+    override def nullSafeEval(input: Any): Any =
+      GramHashRuntime.ngramFeatureBuckets(input.asInstanceOf[UTF8String], buckets, seed)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.GramHashRuntime.ngramFeatureBuckets($c, $buckets, ${seed}L);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Column wrappers. */
   def charNgramHashSet(c: Column, n: Int): Column =
     ColumnBridge.column(CharNgramHashSet(ColumnBridge.expression(c), n))
@@ -222,6 +243,9 @@ object GramHashExpressions {
 
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+
+  def ngramFeatureBuckets(c: Column, buckets: Int): Column =
+    ColumnBridge.column(NgramFeatureBuckets(ColumnBridge.expression(c), buckets))
 
   def minhashSignature(c: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(c), numHashes))

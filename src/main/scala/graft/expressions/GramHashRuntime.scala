@@ -95,6 +95,31 @@ object GramHashRuntime {
     sortedDistinct(shingles, cnt)
   }
 
+  /** Unigram + bigram feature BUCKETS (multiset, document order) — the
+    * DSIR hashed feature map in one native pass: token hashes once, then
+    * each unigram and each adjacent-pair chain hash reduced mod `buckets`.
+    * NOT deduplicated (importance scores weight by multiplicity), which is
+    * what separates this from [[wordShingleHashSet]].
+    */
+  def ngramFeatureBuckets(s: UTF8String, buckets: Int, seed: Long): ArrayData = {
+    val th = tokenHashes(s.getBytes, seed)
+    val nt = th.length
+    if (nt == 0) return new GenericArrayData(Array.empty[Int])
+    val out = new Array[Int](nt + (nt - 1))
+    var i = 0
+    while (i < nt) {
+      out(i) = (((th(i) % buckets) + buckets) % buckets).toInt
+      i += 1
+    }
+    var j = 0
+    while (j < nt - 1) {
+      val h = XXH64.hashLong(th(j + 1), th(j))
+      out(nt + j) = (((h % buckets) + buckets) % buckets).toInt
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Unicode NFC normalization (canonical composition) — corpus-cleaning
     * primitive; pass-through for ASCII, composes decomposed accents
     * ("e" + U+0301 -> "é") so visually identical text hashes identically.

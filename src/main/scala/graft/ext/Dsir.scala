@@ -19,17 +19,18 @@ import org.apache.spark.sql.functions._
   *  - selection is deterministic top-k by (score, id) rather than Gumbel
   *    resampling — reproducible across runs and engines.
   *
-  * Scale: two bounded aggregations (`buckets` rows each), one broadcast
-  * join of the quantized model onto the exploded feature stream, one
-  * map-side-combinable per-doc sum, and a distributed TakeOrdered top-k.
-  * The model is `buckets` rows — it never grows with the corpus.
+  * Scale: two bounded count aggregations (`buckets` output rows each), a
+  * bounded O(buckets) model collect, then scoring as ONE row-local fold
+  * over the model as an array literal — no scoring join or shuffle at
+  * all — and a distributed TakeOrdered top-k. The model is `buckets`
+  * rows — it never grows with the corpus.
   */
 object Dsir {
 
   /** Hashed unigram+bigram feature buckets of a document (the paper's
     * feature map), as an int array — row-local, codegen'd. The bucket
     * hash is the corpus-wide md5-prefix idiom, reproducible in any SQL
-    * engine.
+    * engine; [[nativeFeatures]] is the production twin.
     */
   def hashedFeatures(c: Column, buckets: Int): Column = {
     val toks = filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
@@ -43,29 +44,53 @@ object Dsir {
       (conv(substring(md5(f), 1, 8), 16, 10).cast("long") % buckets).cast("int"))
   }
 
+  /** Production feature map: the same unigram+bigram multiset through ONE
+    * native codegen'd pass ([[graft.expressions.GramHashRuntime.ngramFeatureBuckets]])
+    * — no per-feature string materialization or md5, ~10x cheaper than
+    * [[hashedFeatures]] on long documents. Different hash family, so it is
+    * spec-tested (not SQL-oracled); the md5 twin keeps the differential
+    * gate — the q51/q98 native/portable pattern.
+    */
+  def nativeFeatures(c: Column, buckets: Int): Column =
+    graft.expressions.GramHashExpressions.ngramFeatureBuckets(c, buckets)
+
   /** `(idCol, score)` for every `corpus` row with non-null text: the
     * integer importance score under the quantized hashed log-odds model
     * fit on `target` vs `corpus`. Featureless documents (empty or
-    * non-ASCII-tokenizable text) score 0 — the model is indifferent.
+    * non-ASCII-tokenizable text) score 0 — the empty fold.
+    *
+    * Two corpus passes, no scoring shuffle: pass 1 aggregates bucket
+    * counts (map-side combinable, `buckets` output rows), the quantized
+    * model is collected to the driver — O(buckets) longs, a BOUNDED
+    * collect independent of corpus size — and pass 2 scores every row
+    * with a row-local `transform`+`aggregate` fold over the model as ONE
+    * array literal (the [[graft.functions.text.hashedLinearScore]] shape).
+    * Unseen buckets keep weight 0 = floor(scale*ln((0+1)/(0+1))).
     */
   def importanceScores(
       corpus: DataFrame, target: DataFrame, idCol: String, textCol: String,
-      buckets: Int = 4096, scale: Int = 1000): DataFrame = {
-    def feats(df: DataFrame) = df
-      .select(col(idCol), explode(hashedFeatures(col(textCol), buckets)).as("bucket"))
-    val raw = feats(corpus).groupBy("bucket").agg(count(lit(1)).as("n_raw"))
-    val tgt = feats(target).groupBy("bucket").agg(count(lit(1)).as("n_tgt"))
-    val model = raw.join(tgt, Seq("bucket"), "left")
-      .na.fill(0L, Seq("n_tgt"))
-      .select(col("bucket"),
-        floor(lit(scale.toDouble) * log(
-          (col("n_tgt") + 1).cast("double") / (col("n_raw") + 1).cast("double")))
-          .cast("long").as("qllr"))
-    val scored = feats(corpus)
-      .join(broadcast(model), Seq("bucket"))
-      .groupBy(col(idCol)).agg(sum(col("qllr")).as("score"))
-    corpus.select(col(idCol)).join(scored, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("score"), lit(0L)).as("score"))
+      buckets: Int = 4096, scale: Int = 1000,
+      native: Boolean = false): DataFrame = {
+    val feats =
+      if (native) nativeFeatures(col(textCol), buckets)
+      else hashedFeatures(col(textCol), buckets)
+    def counts(df: DataFrame, out: String) = df
+      .select(explode(feats).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(out))
+    val qarr = new Array[Long](buckets)
+    counts(corpus, "n_raw")
+      .join(counts(target, "n_tgt"), Seq("bucket"), "full")
+      .na.fill(0L, Seq("n_raw", "n_tgt"))
+      .collect()
+      .foreach { r =>
+        val (b, sc2, tc) = (r.getInt(0), r.getLong(1), r.getLong(2))
+        qarr(b) = math.floor(
+          scale.toDouble * math.log((tc + 1).toDouble / (sc2 + 1).toDouble)).toLong
+      }
+    val score = aggregate(
+      transform(feats, f => element_at(lit(qarr), f + 1)),
+      lit(0L), (acc, w) => acc + w)
+    corpus.select(col(idCol), score.as("score"))
   }
 
   /** Deterministic top-k selection: highest score wins, ties to the

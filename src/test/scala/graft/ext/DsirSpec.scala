@@ -30,5 +30,24 @@ class DsirSpec extends AnyFunSuite with SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(top == expected)
     assert(top.intersect((21L to 30L).toSet).isEmpty)
+
+    // the native (production) feature path must separate just as cleanly
+    val nScores = Dsir.importanceScores(corpus, target, "doc_id", "text",
+        native = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nScores(99L) == 0L)
+    assert((1L to 10L).map(nScores).min > (21L to 30L).map(nScores).max)
+  }
+
+  test("native feature map: 2n-1 multiset features, bucket range, repetition") {
+    val feats = Seq("one two three", "one one", "x", "")
+      .toDF("t")
+      .select(Dsir.nativeFeatures(col("t"), 64).as("f"))
+      .as[Seq[Int]].collect().toSeq
+    assert(feats(0).length == 5 && feats(1).length == 3 && feats(2).length == 1)
+    assert(feats(3).isEmpty)
+    assert(feats.flatten.forall(b => b >= 0 && b < 64))
+    // "one one": both unigram instances hash to the SAME bucket (multiset)
+    assert(feats(1)(0) == feats(1)(1))
   }
 }
