@@ -184,6 +184,38 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"q120 must probe the index via semi+anti joins:\n$incr")
   }
 
+  test("q128/q131/q132/q133: row-local text ops plan with zero Exchange") {
+    // the classifier score, intra-doc dedup, blocklist check and line
+    // filter are all literal-backed projections: any Exchange here means
+    // a model/blocklist join or window snuck in
+    Seq("q128_quality_classifier", "q131_intradoc_dedup",
+      "q132_domain_blocklist", "q133_line_filter").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      // ignore the final presentation orderBy's range-partition exchange:
+      // assert on the plan BELOW the top-level Sort
+      val plan = df.queryExecution.executedPlan.toString
+      val body = plan.split("\n").dropWhile(l => !l.contains("Sort "))
+        .drop(1).mkString("\n")
+      assert(!body.contains("Exchange hashpartitioning"),
+        s"$q: unexpected hash exchange below the presentation sort:\n$plan")
+      assert(!body.contains("Join"), s"$q: unexpected join:\n$plan")
+    }
+  }
+
+  test("q134/q138: DSIR scoring is a literal-array fold — no join, no scoring shuffle") {
+    Seq("q134_dsir_select", "q138_dsir_native").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"),
+        s"$q: the collected-model design must not join the model:\n$plan")
+      // TakeOrderedAndProject = distributed top-k, not a global sort
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q: selection should be TakeOrdered, got:\n$plan")
+    }
+  }
+
   test("q93: the bloom probe filters the fact scan stage, below the join") {
     val plan = finalPlan("q93_bloom_join")
     val probeIdx = plan.indexOf("might_contain")
