@@ -395,6 +395,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q139_dedup_keep_best" -> ((s, d) => {
+      // retention POLICY knob on transitive near-dup clusters: keep the
+      // LONGEST member (token count desc, id asc) instead of min-id — the
+      // practical policy when a group holds trimmed/boilerplate variants
+      // of one page. Representative choice rides the GroupTopK heap
+      // operator (k=1), so the policy costs no extra shuffle.
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+      val cc = Dedup.connectedComponents(
+        Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.6))
+      val labeled = docs
+        .select(col("doc_id"), text.tokenCount(col("text")).cast("long").as("n_tok"))
+        .join(cc.select(col("id").as("doc_id"), col("component")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+      val sizes = labeled.groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"))
+      Ops.topKPerGroup(labeled, Seq("component"),
+          Seq(col("n_tok").desc, col("doc_id").asc), k = 1)
+        .join(sizes, Seq("component"))
+        .select(col("component"), col("doc_id"), col("n_tok"), col("n_members"))
+        .orderBy("component")
+    }),
+
     "q70_dedup_components" -> ((s, d) => {
       // transitive near-dup clustering: every doc labeled with the min id
       // reachable through verified minhash pairs (singletons label themselves)
@@ -2799,6 +2822,42 @@ object SparkEntry {
          SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
          ORDER BY d.doc_id""",
+    // q70's component CTEs + per-component keep-longest representative
+    "q139_dedup_keep_best" ->
+      raw"""WITH RECURSIVE toks AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                 CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
+                      ELSE array_to_string(tk[i:i+2], ' ') END AS shingle
+               FROM (SELECT doc_id, tk,
+                       unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i
+                     FROM toks WHERE len(tk) > 0)),
+         sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS ic
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         j AS (SELECT id_l, id_r, CAST(ic AS DOUBLE) / (sa.s + sb.s - ic) AS jac
+               FROM inter JOIN sz sa ON sa.doc_id = id_l
+                          JOIN sz sb ON sb.doc_id = id_r),
+         e AS (SELECT id_l AS a, id_r AS b FROM j WHERE jac >= 0.6
+               UNION SELECT id_r, id_l FROM j WHERE jac >= 0.6),
+         reach(a, b) AS (SELECT a, b FROM e
+               UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+                  FROM reach GROUP BY a),
+         lab AS (SELECT d.doc_id,
+             len(list_filter(regexp_split_to_array(d.text, '\s+'), x -> x <> '')) AS n_tok,
+             coalesce(c.component, d.doc_id) AS component
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+           WHERE d.text IS NOT NULL),
+         sizes AS (SELECT component, count(*) AS n_members FROM lab GROUP BY component),
+         r AS (SELECT component, doc_id, n_tok,
+             row_number() OVER (PARTITION BY component
+               ORDER BY n_tok DESC, doc_id) AS rn FROM lab)
+         SELECT r.component, r.doc_id, CAST(r.n_tok AS BIGINT) AS n_tok,
+           CAST(s.n_members AS BIGINT) AS n_members
+         FROM r JOIN sizes s USING (component) WHERE rn = 1
+         ORDER BY r.component""",
     "q73_json_extract" ->
       """SELECT event_type, count(*) AS n,
          CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
