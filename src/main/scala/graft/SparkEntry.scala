@@ -1323,6 +1323,43 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q140_curation_pipeline" -> ((s, d) => {
+      // the round-7 curation stack as ONE declared plan: domain blocklist
+      // -> line filter -> intra-doc dedup -> quantized classifier gate ->
+      // canonical-URL dedup (keep-first) -> per-source rollup. Catalyst
+      // fuses every row-local stage into the scan projection; the whole
+      // pipeline is two hash shuffles (URL-dedup group, final source
+      // group) plus a survivor-id join that AQE broadcasts at bench scale
+      // and degrades to a clean shuffle join at full scale.
+      val id = col("doc_id")
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+      val url = concat(lit("https://"),
+        when(id % 4 === 0, lit("cdn.")).otherwise(lit("")),
+        col("source"),
+        when(id % 2 === 0, lit(".example.com")).otherwise(lit(".example.org")),
+        lit("/p/"), (id % 100).cast("string"),
+        lit("?utm_source=x&id="), (id % 25).cast("string"),
+        when(id % 6 === 0, lit("#frag")).otherwise(lit("")))
+      val bl = Seq("src3.example.com", "src7.example.org")
+      val weights = Array.tabulate(4096)(b =>
+        (((b.toLong * 2654435761L) % 1024L) - 512L).toInt)
+      val staged = docs
+        .withColumn("url", url)
+        .where(!text.domainBlocked(col("url"), bl))
+        .withColumn("clean", text.dropRepeatedSegments(
+          text.filterShortSegments(col("text"), minWords = 3)))
+        .where(text.hashedLinearScore(col("clean"), weights, bias = 32L) >= 0)
+        .withColumn("curl", text.canonicalizeUrl(col("url")))
+      val kept = staged.groupBy(col("curl"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .join(staged.select(col("doc_id"), col("clean"), col("source")),
+          Seq("doc_id"))
+      kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(text.tokenCount(col("clean")).cast("long")).as("sum_tokens"))
+        .orderBy("source")
+    }),
+
     "q90_corpus_pipeline" -> ((s, d) => {
       // the end-to-end corpus build a reference user runs as ONE declared
       // plan: normalize -> quality-filter -> exact-dedup -> content-hash
@@ -3055,6 +3092,65 @@ object SparkEntry {
            CAST(count(CASE WHEN dn > 1 THEN 1 END) AS BIGINT) AS n_dup_docs
          FROM rs JOIN dup USING (h)
          GROUP BY source ORDER BY source""",
+    // the composed CTE chain of the q132/q133/q131/q128/q127 oracles —
+    // every stage fragment is individually proven by its own query
+    "q140_curation_pipeline" ->
+      raw"""WITH d0 AS (SELECT doc_id, text, source,
+             'https://' || (CASE WHEN doc_id % 4 = 0 THEN 'cdn.' ELSE '' END)
+             || source
+             || (CASE WHEN doc_id % 2 = 0 THEN '.example.com' ELSE '.example.org' END)
+             || '/p/' || CAST(doc_id % 100 AS VARCHAR)
+             || '?utm_source=x&id=' || CAST(doc_id % 25 AS VARCHAR)
+             || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+           FROM documents WHERE text IS NOT NULL),
+         hb AS (SELECT *, regexp_replace(lower(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$$', '') AS host
+           FROM d0),
+         nb AS (SELECT * FROM hb WHERE NOT list_has_any(
+             list_transform(range(1, len(string_split(host, '.')) + 1),
+               i -> array_to_string(string_split(host, '.')[i:], '.')),
+             ['src3.example.com', 'src7.example.org'])),
+         lf AS (SELECT doc_id, source, url,
+             array_to_string(list_filter(
+               list_filter(regexp_split_to_array(text, '\. '), x -> x <> ''),
+               x -> len(list_filter(string_split(x, ' '), w -> w <> '')) >= 3),
+               '. ') AS t1
+           FROM nb),
+         sg AS (SELECT doc_id, source, url,
+             list_filter(regexp_split_to_array(t1, '\. '), x -> x <> '') AS segs
+           FROM lf),
+         idd AS (SELECT doc_id, source, url,
+             array_to_string(list_filter(segs,
+               (x, i) -> list_position(segs, x) = i), '. ') AS clean
+           FROM sg),
+         cls AS (SELECT doc_id, source, url, clean FROM (
+             SELECT *, 32 + coalesce(list_sum(list_transform(
+                 list_filter(regexp_split_to_array(lower(clean), '[^a-z0-9]+'),
+                   x -> x <> ''),
+                 t -> ((CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT) % 4096)
+                   * 2654435761) % 1024 - 512)), 0) AS score
+             FROM idd)
+           WHERE score >= 0),
+         cu AS (SELECT doc_id, source, clean,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_replace(lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':443$$', '') AS auth0,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+           FROM cls),
+         cc AS (SELECT doc_id, source, clean, scheme || '://'
+             || regexp_replace(auth0, '^www\.', '')
+             || regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/$$', '')
+             || (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS curl
+           FROM (SELECT *, regexp_replace(regexp_replace(
+               '&' || regexp_extract(rest, '^[^?]*\?(.*)$$', 1),
+               '&(${text.urlTrackingParams})=[^&]*', '', 'g'), '^&', '') AS q2
+             FROM cu)),
+         ded AS (SELECT min(doc_id) AS doc_id FROM cc GROUP BY curl),
+         kept AS (SELECT c.source, c.clean FROM cc c JOIN ded ON c.doc_id = ded.doc_id)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(len(list_filter(regexp_split_to_array(clean, '\s+'),
+             x -> x <> ''))) AS BIGINT) AS sum_tokens
+         FROM kept GROUP BY source ORDER BY source""",
     "q135_source_overlap" ->
       """WITH all0 AS (SELECT doc_id, text, source FROM documents
              WHERE text IS NOT NULL
