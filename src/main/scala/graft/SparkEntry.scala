@@ -1323,6 +1323,23 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q141_sampled_quantiles" -> ((s, d) => {
+      // bounded-cost percentile estimation: a 25% DETERMINISTIC content
+      // sample (md5 threshold — no RNG, any engine reproduces the exact
+      // rows) feeds within-sample exact quantiles; the full-corpus
+      // quantile sits alongside to quantify sampling error. The sample
+      // bound is what makes per-group percentile cost corpus-independent.
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("source"),
+          text.tokenCount(col("text")).cast("long").as("n_tok"),
+          conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long").as("h"))
+      docs.groupBy(col("source")).agg(
+        expr("percentile(n_tok, 0.5)").as("p50_exact"),
+        expr("percentile(if(h < 1073741824, n_tok, null), 0.5)").as("p50_sampled"),
+        count(when(col("h") < 1073741824L, 1)).as("n_sampled"))
+        .orderBy("source")
+    }),
+
     "q140_curation_pipeline" -> ((s, d) => {
       // the round-7 curation stack as ONE declared plan: domain blocklist
       // -> line filter -> intra-doc dedup -> quantized classifier gate ->
@@ -3092,6 +3109,16 @@ object SparkEntry {
            CAST(count(CASE WHEN dn > 1 THEN 1 END) AS BIGINT) AS n_dup_docs
          FROM rs JOIN dup USING (h)
          GROUP BY source ORDER BY source""",
+    "q141_sampled_quantiles" ->
+      raw"""WITH b AS (SELECT source,
+             len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tok,
+             CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) AS h
+           FROM documents WHERE text IS NOT NULL)
+         SELECT source,
+           quantile_cont(n_tok, 0.5) AS p50_exact,
+           quantile_cont(CASE WHEN h < 1073741824 THEN n_tok END, 0.5) AS p50_sampled,
+           CAST(count(CASE WHEN h < 1073741824 THEN 1 END) AS BIGINT) AS n_sampled
+         FROM b GROUP BY source ORDER BY source""",
     // the composed CTE chain of the q132/q133/q131/q128/q127 oracles —
     // every stage fragment is individually proven by its own query
     "q140_curation_pipeline" ->
