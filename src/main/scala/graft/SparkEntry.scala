@@ -1114,6 +1114,18 @@ object SparkEntry {
         .orderBy("event_id", "session_id")
     }),
 
+    "q142_stream_data_card" -> ((s, d) => {
+      // live drift monitoring: the per-source card maintained over a
+      // 3-batch document stream; the additive counters make the final
+      // state equal the one-shot card by construction (dup membership is
+      // NOT additive and is deliberately absent — see CardStreams)
+      import graft.streaming.{CardStreams, CorpusStreams}
+      val staged = CorpusStreams.stageIdSlices(s, s"$d/documents.parquet",
+        "doc_id", Seq(150L, 300L))
+      CardStreams.streamingDataCard(s, staged, shufflePartitions = Some(8))
+        .orderBy("source")
+    }),
+
     "q126_data_card" -> ((s, d) => {
       // the per-source release artifact: volume, quality pass count (the
       // same gopherReasons expression q88 gates with) and corpus-wide
@@ -3067,6 +3079,46 @@ object SparkEntry {
                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
                FROM documents)
          WHERE rn <= 5 ORDER BY lang, rnk""",
+    // the q126 chain minus the (non-additive) dup column: the streamed
+    // card's counters are batch-additive, so the one-shot SQL is its oracle
+    "q142_stream_data_card" ->
+      raw"""WITH base AS (SELECT doc_id, source,
+             len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tok,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+             length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_nonspace,
+             list_distinct(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '')) AS toks
+           FROM documents),
+         mult AS (SELECT doc_id, max(cnt) AS m, sum(cnt) AS n FROM (
+             SELECT doc_id, tok, count(*) AS cnt FROM (
+               SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+               FROM documents) GROUP BY doc_id, tok) GROUP BY doc_id),
+         sig AS (SELECT b.doc_id, b.source, b.n_tok,
+             CASE WHEN b.n_tok = 0 THEN 0.0
+                  ELSE CAST(b.n_nonspace AS DOUBLE) / b.n_tok END AS avg_len,
+             CASE WHEN b.n_chars = 0 THEN 0.0
+                  ELSE CAST(b.n_digit AS DOUBLE) / b.n_chars END AS dig_r,
+             greatest(
+               len(list_intersect(b.toks, ${swList("de")})),
+               len(list_intersect(b.toks, ${swList("en")})),
+               len(list_intersect(b.toks, ${swList("es")})),
+               len(list_intersect(b.toks, ${swList("fr")})),
+               len(list_intersect(b.toks, ${swList("it")}))) AS stop_hits,
+             CASE WHEN mult.m IS NULL THEN 0.0
+                  ELSE CAST(mult.m AS DOUBLE) / mult.n END AS max_share
+           FROM base b LEFT JOIN mult ON b.doc_id = mult.doc_id),
+         rs AS (SELECT source, n_tok,
+             CASE WHEN n_tok < 20 OR n_tok > 100000 THEN 1 ELSE 0 END
+               + CASE WHEN avg_len < 3.0 OR avg_len > 10.0 THEN 1 ELSE 0 END
+               + CASE WHEN dig_r > 0.2 THEN 1 ELSE 0 END
+               + CASE WHEN stop_hits < 1 THEN 1 ELSE 0 END
+               + CASE WHEN max_share > 0.2 THEN 1 ELSE 0 END AS reasons
+           FROM sig)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(count(CASE WHEN reasons = 0 THEN 1 END) AS BIGINT) AS n_quality_pass
+         FROM rs GROUP BY source ORDER BY source""",
     // q88's gopher replication grouped per source + corpus-wide dup join
     "q126_data_card" ->
       raw"""WITH base AS (SELECT doc_id, source, md5(text) AS h,
