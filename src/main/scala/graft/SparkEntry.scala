@@ -51,7 +51,54 @@ object SparkEntry {
 
   private def ts(lit0: String): Column = lit(lit0).cast("timestamp")
 
+  /** Shared q143/q144 SCD2 changelog fixture over pre-selected orders
+    * columns: generation 1 inserts every key, 2 and 3 are update waves on
+    * overlapping key slices, 4 deletes every 10th-mod-7 key. `gens`
+    * selects which generations to emit (q144 splits history vs delta).
+    */
+  private def scd2Changelog(o: DataFrame, gens: Seq[Long]): DataFrame = {
+    def ch(src: DataFrame, seq: Long, op: String,
+        ck: Column, tp: Column): DataFrame =
+      src.select(col("o_orderkey"), lit(seq).as("seq"), lit(op).as("op"),
+        ck.as("o_custkey"), tp.as("o_totalprice"))
+    val byGen: Map[Long, DataFrame] = Map(
+      1L -> ch(o, 1L, "I", col("o_custkey"), col("o_totalprice")),
+      2L -> ch(o.where(col("o_orderkey") % 10 === 3), 2L, "U",
+        col("o_custkey"), col("o_totalprice") + 1000.0),
+      3L -> ch(o.where(col("o_orderkey") % 20 === 3), 3L, "U",
+        col("o_custkey"), col("o_totalprice") + 2000.0),
+      4L -> ch(o.where(col("o_orderkey") % 10 === 7), 4L, "D",
+        lit(null).cast("long"), lit(null).cast("double")))
+    gens.map(byGen).reduce(_ unionByName _)
+  }
+
   private val streamCounter = new AtomicInteger(0)
+
+  /** DuckDB full rebuild of the q143/q144 SCD2 fixture: the window-lead
+    * formulation over the complete 4-generation changelog. q144's
+    * incremental merge is oracled against this SAME rebuild — incremental
+    * == full history is the operator's contract.
+    */
+  private val scd2RebuildSql: String =
+    """WITH ch AS (
+         SELECT o_orderkey, 1 AS seq, 'I' AS op, o_custkey, o_totalprice
+           FROM orders
+         UNION ALL
+         SELECT o_orderkey, 2, 'U', o_custkey, o_totalprice + 1000.0
+           FROM orders WHERE o_orderkey % 10 = 3
+         UNION ALL
+         SELECT o_orderkey, 3, 'U', o_custkey, o_totalprice + 2000.0
+           FROM orders WHERE o_orderkey % 20 = 3
+         UNION ALL
+         SELECT o_orderkey, 4, 'D', NULL, NULL
+           FROM orders WHERE o_orderkey % 10 = 7),
+       v AS (SELECT *, lead(seq) OVER
+           (PARTITION BY o_orderkey ORDER BY seq ASC, op DESC) AS valid_to
+         FROM ch)
+       SELECT o_orderkey, o_custkey, o_totalprice, seq AS valid_from,
+              valid_to, CAST(valid_to IS NULL AS INT) AS is_current
+       FROM v WHERE op <> 'D'
+       ORDER BY o_orderkey, valid_from"""
 
   /** Flagship query on sf=0.001 (multi-join star-schema aggregation). */
   def entry(spark: SparkSession): DataFrame =
@@ -1124,6 +1171,32 @@ object SparkEntry {
         "doc_id", Seq(150L, 300L))
       CardStreams.streamingDataCard(s, staged, shufflePartitions = Some(8))
         .orderBy("source")
+    }),
+
+    "q143_scd2_history" -> ((s, d) => {
+      // SCD Type-2 dimension build: a 4-generation changelog (insert-all,
+      // two update waves, a delete wave) becomes effective-dated version
+      // rows; one changelog shuffle (the per-key ordering window)
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.ops.Scd2.buildHistory(scd2Changelog(o, Seq(1L, 2L, 3L, 4L)),
+          "o_orderkey", "seq", "op")
+        .orderBy("o_orderkey", "valid_from")
+    }),
+
+    "q144_scd2_incremental" -> ((s, d) => {
+      // incremental SCD2 merge: history from generations 1-2, delta =
+      // generations 3-4; result must be bit-identical to a full rebuild
+      // (the oracle IS the rebuild). History never shuffles: the touched
+      // keys' close-seqs arrive by broadcast join, only the delta pays
+      // the window shuffle.
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val hist = graft.ops.Scd2.buildHistory(
+        scd2Changelog(o, Seq(1L, 2L)), "o_orderkey", "seq", "op")
+      graft.ops.Scd2.applyDelta(hist, scd2Changelog(o, Seq(3L, 4L)),
+          "o_orderkey", "seq", "op")
+        .orderBy("o_orderkey", "valid_from")
     }),
 
     "q126_data_card" -> ((s, d) => {
@@ -3081,6 +3154,11 @@ object SparkEntry {
          WHERE rn <= 5 ORDER BY lang, rnk""",
     // the q126 chain minus the (non-additive) dup column: the streamed
     // card's counters are batch-additive, so the one-shot SQL is its oracle
+    "q143_scd2_history" -> scd2RebuildSql,
+
+    // the incremental merge must equal the full rebuild — same oracle
+    "q144_scd2_incremental" -> scd2RebuildSql,
+
     "q142_stream_data_card" ->
       raw"""WITH base AS (SELECT doc_id, source,
              len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tok,
