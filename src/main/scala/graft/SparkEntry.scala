@@ -1199,6 +1199,28 @@ object SparkEntry {
         .orderBy("o_orderkey", "valid_from")
     }),
 
+    "q145_cms_estimate" -> ((s, d) => {
+      // Count-Min frequency estimates for probe supplier keys next to the
+      // exact counts: the sketch build's partial agg IS the map-side
+      // sketch (<= 4*w rows per partition pre-shuffle), the probe joins
+      // the 4*w-row sketch by broadcast; integer-only so the estimate
+      // itself hash-matches the oracle's SQL rebuild of the same sketch
+      import graft.ext.Sketches
+      val w = 1024
+      val li = t(s, d, "lineitem")
+      val sketch = Sketches.cmsSketch(li, "l_suppkey", w)
+      val probes = t(s, d, "supplier")
+        .where(col("s_suppkey") % 10 === 0)
+        .select(col("s_suppkey").as("l_suppkey"))
+      val exact = li.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_exact"))
+      Sketches.cmsEstimate(sketch, probes, "l_suppkey", w)
+        .join(exact, Seq("l_suppkey"), "left")
+        .select(col("l_suppkey"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"), col("n_est"))
+        .orderBy("l_suppkey")
+    }),
+
     "q126_data_card" -> ((s, d) => {
       // the per-source release artifact: volume, quality pass count (the
       // same gopherReasons expression q88 gates with) and corpus-wide
@@ -3154,6 +3176,26 @@ object SparkEntry {
          WHERE rn <= 5 ORDER BY lang, rnk""",
     // the q126 chain minus the (non-additive) dup column: the streamed
     // card's counters are batch-additive, so the one-shot SQL is its oracle
+    "q145_cms_estimate" ->
+      """WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+         b AS (SELECT j,
+             CAST(concat('0x', substring(md5(CAST(l_suppkey AS VARCHAR)),
+               j * 8 + 1, 8)) AS BIGINT) % 1024 AS bucket
+           FROM lineitem, js),
+         sk AS (SELECT j, bucket, count(*) AS cnt FROM b GROUP BY j, bucket),
+         pr AS (SELECT s_suppkey AS k FROM supplier WHERE s_suppkey % 10 = 0),
+         pb AS (SELECT k, j,
+             CAST(concat('0x', substring(md5(CAST(k AS VARCHAR)),
+               j * 8 + 1, 8)) AS BIGINT) % 1024 AS bucket
+           FROM pr, js),
+         est AS (SELECT k, min(coalesce(cnt, 0)) AS n_est
+           FROM pb LEFT JOIN sk USING (j, bucket) GROUP BY k),
+         ex AS (SELECT l_suppkey AS k, count(*) AS n
+           FROM lineitem GROUP BY l_suppkey)
+         SELECT e.k AS l_suppkey, CAST(coalesce(x.n, 0) AS BIGINT) AS n_exact,
+           CAST(e.n_est AS BIGINT) AS n_est
+         FROM est e LEFT JOIN ex x USING (k) ORDER BY l_suppkey""",
+
     "q143_scd2_history" -> scd2RebuildSql,
 
     // the incremental merge must equal the full rebuild — same oracle

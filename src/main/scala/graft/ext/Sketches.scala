@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sketch-derived corpus statistics. The underlying KMV ("k minimum
@@ -25,6 +25,51 @@ object Sketches {
     * drop it (`withExact = false`) and the whole statistic is one bounded
     * map-side-combinable aggregation — the point of carrying a sketch.
     */
+  /** Count-Min sketch row-local bucket positions: ONE md5 per value, its
+    * 32 hex chars sliced into four independent 32-bit hashes, each mod
+    * `w` — d is fixed at 4 (error prob e^-4 ~ 1.8%), reproducible in any
+    * engine with md5 + substring (the corpus-wide portable-hash idiom).
+    */
+  def cmsBuckets(c: Column, w: Int): Column = {
+    val h = md5(c.cast("string"))
+    transform(sequence(lit(0), lit(3)), j =>
+      (conv(h.substr(j * lit(8) + 1, lit(8)), 16, 10).cast("long") % w)
+        .cast("int"))
+  }
+
+  /** Build the Count-Min sketch of `valueCol` as a `(j, bucket, cnt)`
+    * frame (4*w rows; absent cells are zero). Cormode & Muthukrishnan
+    * 2005: est(x) = min_j cnt[j][bucket_j(x)] >= true(x), and
+    * est(x) <= true(x) + 2N/w with probability >= 1 - e^-4 per probe.
+    *
+    * Scale: posexplode + count IS the fixed-size sketch build — hash
+    * partial aggregation bounds pre-shuffle state at 4*w rows per
+    * partition (the map-side sketch), the exchange carries at most 4*w
+    * rows per partition, and everything stays in whole-stage codegen. No
+    * custom aggregate needed: Catalyst's partial agg is the sketch merge.
+    */
+  def cmsSketch(df: DataFrame, valueCol: String, w: Int): DataFrame = {
+    require(w > 0, "w must be positive")
+    df.where(col(valueCol).isNotNull)
+      .select(posexplode(cmsBuckets(col(valueCol), w)).as(Seq("j", "bucket")))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Estimate each probe value's frequency from a [[cmsSketch]] frame:
+    * `(valueCol, n_est)`. The sketch is 4*w rows — broadcast; a probe
+    * cell missing from the sketch counts 0 (min over the 4 rows).
+    */
+  def cmsEstimate(
+      sketch: DataFrame, probes: DataFrame, valueCol: String,
+      w: Int): DataFrame =
+    probes
+      .select(col(valueCol),
+        posexplode(cmsBuckets(col(valueCol), w)).as(Seq("j", "bucket")))
+      .join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .groupBy(col(valueCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
+
   def kmvDistinctCount(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
       k: Int = 16, withExact: Boolean = true): DataFrame = {

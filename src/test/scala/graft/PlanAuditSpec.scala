@@ -216,6 +216,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q145: CMS build partial-aggregates (map-side sketch); probe joins broadcast") {
+    val plan = finalPlan("q145_cms_estimate")
+    // partial + final HashAggregate around the sketch exchange = the
+    // pre-shuffle state is the <= 4*w-cell map-side sketch, never rows
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no map-side sketch combine in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 4*w-row sketch must broadcast to the probes:\n$plan")
+  }
+
+  test("q144: incremental SCD2 closes history by broadcast join — history never shuffles") {
+    val plan = finalPlan("q144_scd2_incremental")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"close-seq join must broadcast in:\n$plan")
+  }
+
   test("q93: the bloom probe filters the fact scan stage, below the join") {
     val plan = finalPlan("q93_bloom_join")
     val probeIdx = plan.indexOf("might_contain")

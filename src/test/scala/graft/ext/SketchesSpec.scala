@@ -27,4 +27,42 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
       withExact = false).columns.toSeq
     assert(cols == Seq("g", "n_est"))
   }
+
+  test("cmsSketch/cmsEstimate: overestimate-only, exact when w is roomy") {
+    // 3 values with known counts; w=512 >> 3 distinct values means
+    // collisions across all four rows are overwhelmingly unlikely, and
+    // this fixture is deterministic — assert exact recovery
+    val data = (Seq.fill(100)("alpha") ++ Seq.fill(37)("beta") ++
+      Seq.fill(3)("gamma")).toDF("v")
+    val sk = Sketches.cmsSketch(data, "v", w = 512)
+    val probes = Seq("alpha", "beta", "gamma", "absent").toDF("v")
+    val got = Sketches.cmsEstimate(sk, probes, "v", w = 512)
+      .as[(String, Long)].collect().toMap
+    assert(got("alpha") == 100L && got("beta") == 37L && got("gamma") == 3L)
+    assert(got("absent") == 0L) // its cells may be empty -> coalesce(0)
+
+    // CMS NEVER underestimates, whatever w: with w=2 everything collides
+    // into two buckets per row, estimates still >= true counts
+    val tiny = Sketches.cmsEstimate(Sketches.cmsSketch(data, "v", w = 2),
+      probes, "v", w = 2).as[(String, Long)].collect().toMap
+    assert(tiny("alpha") >= 100L && tiny("beta") >= 37L &&
+      tiny("gamma") >= 3L && tiny("absent") >= 0L)
+    assert(tiny.values.forall(_ <= 140L)) // bounded by total mass
+  }
+
+  test("cmsSketch: partition-count invariant, 4*w-bounded output") {
+    val data = (1 to 1000).map(i => s"k${i % 17}").toDF("v")
+    val a = Sketches.cmsSketch(data.repartition(1), "v", w = 64)
+      .orderBy("j", "bucket").collect().toSeq
+    val b = Sketches.cmsSketch(data.repartition(13), "v", w = 64)
+      .orderBy("j", "bucket").collect().toSeq
+    assert(a == b)
+    assert(a.size <= 4 * 64)
+    // null values are excluded, not hashed
+    val withNull = (data.as[String].collect().toSeq :+ (null: String))
+      .toDF("v")
+    assert(Sketches.cmsSketch(withNull, "v", w = 64)
+      .agg(org.apache.spark.sql.functions.sum("cnt")).as[Long].head ==
+      4L * 1000)
+  }
 }
