@@ -1221,6 +1221,25 @@ object SparkEntry {
         .orderBy("l_suppkey")
     }),
 
+    "q146_fuzzy_join" -> ((s, d) => {
+      // SymSpell-blocked fuzzy linkage: supplier names vs a copy with one
+      // deterministically-deleted character; the equi-join on deletion
+      // variants finds every distance<=1 pair (incl. cross matches like
+      // ...001 vs ...011) without an all-pairs stage — the oracle states
+      // the same result AS the brute-force cross join
+      val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_name"))
+      val pos = (col("s_suppkey") % length(col("s_name"))) + 1
+      val pert = sup.select(
+        (col("s_suppkey") + 100000L).as("p_suppkey"),
+        concat(col("s_name").substr(lit(1), pos - 1),
+          col("s_name").substr(pos + 1, length(col("s_name"))))
+          .as("p_name"))
+      graft.ops.FuzzyJoin.symspellJoin(
+          sup, "s_suppkey", "s_name", pert, "p_suppkey", "p_name",
+          maxBlock = 1 << 20)
+        .orderBy("s_suppkey", "p_suppkey")
+    }),
+
     "q126_data_card" -> ((s, d) => {
       // the per-source release artifact: volume, quality pass count (the
       // same gopherReasons expression q88 gates with) and corpus-wide
@@ -3176,6 +3195,18 @@ object SparkEntry {
          WHERE rn <= 5 ORDER BY lang, rnk""",
     // the q126 chain minus the (non-additive) dup column: the streamed
     // card's counters are batch-additive, so the one-shot SQL is its oracle
+    "q146_fuzzy_join" ->
+      """WITH pert AS (SELECT s_suppkey + 100000 AS p_suppkey,
+             substr(s_name, 1, pos - 1) || substr(s_name, pos + 1) AS p_name
+           FROM (SELECT s_suppkey, s_name,
+               CAST(s_suppkey % length(s_name) + 1 AS INT) AS pos
+             FROM supplier))
+         SELECT s.s_suppkey, s.s_name, p.p_suppkey, p.p_name,
+           levenshtein(s.s_name, p.p_name) AS edit_distance
+         FROM supplier s CROSS JOIN pert p
+         WHERE levenshtein(s.s_name, p.p_name) <= 1
+         ORDER BY s.s_suppkey, p.p_suppkey""",
+
     "q145_cms_estimate" ->
       """WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
          b AS (SELECT j,

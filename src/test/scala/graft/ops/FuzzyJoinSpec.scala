@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class FuzzyJoinSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def link(
+      l: Seq[(Long, String)], r: Seq[(Long, String)],
+      maxBlock: Int = 1000): Set[(Long, Long, Int)] =
+    FuzzyJoin.symspellJoin(
+        l.toDF("lid", "lv"), "lid", "lv",
+        r.toDF("rid", "rv"), "rid", "rv", maxBlock)
+      .select($"lid", $"rid", $"edit_distance")
+      .as[(Long, Long, Int)].collect().toSet
+
+  test("finds exact, substitution, insertion and deletion matches") {
+    val got = link(
+      Seq((1L, "kitten"), (2L, "apple"), (3L, "zz")),
+      Seq((10L, "kitten"),   // distance 0
+          (11L, "kittan"),   // substitution
+          (12L, "kitteen"),  // insertion
+          (13L, "kittn"),    // deletion
+          (14L, "mitten"),   // substitution at pos 1
+          (15L, "banana")))  // no match
+    assert(got == Set(
+      (1L, 10L, 0), (1L, 11L, 1), (1L, 12L, 1), (1L, 13L, 1), (1L, 14L, 1)))
+  }
+
+  test("shared-variant false positives are verified away (ab vs ba)") {
+    // "ab" and "ba" share deletion variants {a, b} but sit at distance 2
+    assert(link(Seq((1L, "ab")), Seq((2L, "ba"))).isEmpty)
+  }
+
+  test("single chars match through the empty-string variant; nulls drop") {
+    val got = link(Seq((1L, "a"), (2L, null)), Seq((3L, "b"), (4L, "a")))
+    assert(got == Set((1L, 3L, 1), (1L, 4L, 0)))
+  }
+
+  test("maxBlock caps a hot variant block from both sides") {
+    // 30x30 identical values share every variant: blocks of 900 pairs
+    // exceed maxBlock=100 and the pairs are dropped (documented recall
+    // trade); a quiet value still matches
+    val l = (1L to 30L).map(i => (i, "hot")) :+ (99L, "quiet")
+    val r = (101L to 130L).map(i => (i, "hot")) :+ (199L, "quiet")
+    val got = link(l, r, maxBlock = 100)
+    assert(got == Set((99L, 199L, 0)))
+  }
+
+  test("equals the brute-force distance<=1 join on a randomized corpus") {
+    val rnd = new scala.util.Random(7)
+    val words = (1L to 60L).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(4))(('a' + rnd.nextInt(3)).toChar).mkString)
+    }
+    val l = words
+    val r = words.map { case (i, w) => (i + 1000L, w.reverse) }
+    val brute = l.toDF("lid", "lv").crossJoin(r.toDF("rid", "rv"))
+      .where(levenshtein($"lv", $"rv") <= 1)
+      .select($"lid", $"rid", levenshtein($"lv", $"rv").as("d"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(link(l, r, maxBlock = 1 << 20) == brute)
+  }
+}
