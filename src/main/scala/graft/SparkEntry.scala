@@ -1240,6 +1240,20 @@ object SparkEntry {
         .orderBy("s_suppkey", "p_suppkey")
     }),
 
+    "q147_stream_enrich" -> ((s, d) => {
+      // stream-static enrichment: the event stream broadcast-joins the
+      // customer dimension per micro-batch (no stream shuffle, no join
+      // state — the only state is the |segments|-row aggregation);
+      // facts without a dimension row keep flowing as 'UNKNOWN'
+      val name = s"graft_stream_enrich_${streamCounter.incrementAndGet()}"
+      val dim = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      EventStreams.enrichStreaming(s, s"$d/events.parquet", dim,
+          "user_id", "c_custkey", "c_mktsegment", name,
+          shufflePartitions = Some(8))
+        .orderBy("segment")
+    }),
+
     "q126_data_card" -> ((s, d) => {
       // the per-source release artifact: volume, quality pass count (the
       // same gopherReasons expression q88 gates with) and corpus-wide
@@ -3195,6 +3209,13 @@ object SparkEntry {
          WHERE rn <= 5 ORDER BY lang, rnk""",
     // the q126 chain minus the (non-additive) dup column: the streamed
     // card's counters are batch-additive, so the one-shot SQL is its oracle
+    "q147_stream_enrich" ->
+      """SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+           count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1 ORDER BY 1""",
+
     "q146_fuzzy_join" ->
       """WITH pert AS (SELECT s_suppkey + 100000 AS p_suppkey,
              substr(s_name, 1, pos - 1) || substr(s_name, pos + 1) AS p_name

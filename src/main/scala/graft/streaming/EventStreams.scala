@@ -116,6 +116,55 @@ object EventStreams {
     }
   }
 
+  /** Batch twin of [[enrichStreaming]]: events left-join a BROADCAST
+    * dimension slice, aggregated per dimension segment (events without a
+    * dimension row land in 'UNKNOWN' — enrichment must never drop facts).
+    */
+  def enrichBatch(
+      events: DataFrame, dim: DataFrame, eventKey: String, dimKey: String,
+      segCol: String): DataFrame =
+    events
+      .join(broadcast(dim.select(col(dimKey), col(segCol))),
+        events(eventKey) === dim(dimKey), "left")
+      .groupBy(coalesce(col(segCol), lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+
+  /** Stream-static enrichment: the event stream joins a STATIC dimension
+    * frame inside each micro-batch — the broadcast hash join adds no
+    * stream shuffle and no state; the only stateful operator is the
+    * segment aggregation, whose state is |segments| rows. At 100 TB/day
+    * this is the canonical "enrich facts with a warehouse dimension on
+    * the way in" shape: the dimension is re-resolved per micro-batch, so
+    * a slowly-changing dimension picks up updates between batches without
+    * restarts (contrast stream-stream joins, q94, which pay watermarked
+    * state on both sides). Counts and decimal-routed sums are
+    * batch-additive, so streaming == batch by construction.
+    */
+  def enrichStreaming(
+      spark: SparkSession, eventsPath: String, dim: DataFrame,
+      eventKey: String, dimKey: String, segCol: String, queryName: String,
+      shufflePartitions: Option[Int] = None,
+      rocksdbState: Boolean = false): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema
+    val stream = normalizeTs(
+      spark.readStream.schema(schema).parquet(stageStreamDir(eventsPath)))
+    val agg = stream
+      .join(broadcast(dim.select(col(dimKey), col(segCol))),
+        stream(eventKey) === dim(dimKey), "left")
+      .groupBy(coalesce(col(segCol), lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    withStatePartitions(spark, shufflePartitions, rocksdbState) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainMemorySink(spark, queryName)
+  }
+
   /** Batch twin: tumbling-window counts/sums per event_type. */
   def tumblingWindowBatch(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
     events

@@ -125,6 +125,33 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(batch == streamed)
   }
 
+  test("stream-static enrichment matches batch; unmatched facts keep flowing") {
+    val dir = "/root/testdata/sf0.001"
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val batch = EventStreams.enrichBatch(
+      EventStreams.normalizeTs(spark.read.parquet(s"$dir/events.parquet")),
+      dim, "user_id", "c_custkey", "c_mktsegment")
+      .orderBy("segment").collect().toSeq
+    val streamed = EventStreams.enrichStreaming(
+      spark, s"$dir/events.parquet", dim,
+      "user_id", "c_custkey", "c_mktsegment", "enrich_parity_test")
+      .orderBy("segment").collect().toSeq
+    assert(batch == streamed)
+    // facts must be conserved: the segment totals sum to the event count
+    val total = batch.map(_.getLong(1)).sum
+    assert(total == spark.read.parquet(s"$dir/events.parquet").count())
+    // a dimension with holes routes unmatched facts to UNKNOWN — and the
+    // streamed totals still conserve every event
+    val holes = dim.where(col("c_custkey") % 2 === 0)
+    val gapped = EventStreams.enrichStreaming(
+      spark, s"$dir/events.parquet", holes,
+      "user_id", "c_custkey", "c_mktsegment", "enrich_gap_test")
+      .orderBy("segment").collect().toSeq
+    assert(gapped.exists(_.getString(0) == "UNKNOWN"))
+    assert(gapped.map(_.getLong(1)).sum == total)
+  }
+
   test("rocksdbState=true: RocksDB-backed state, identical results, conf restored") {
     val dir = "/root/testdata/sf0.001"
     // provider choice moves state bytes, never results: RocksDB-backed
