@@ -1254,6 +1254,19 @@ object SparkEntry {
         .orderBy("segment")
     }),
 
+    "q148_stream_distinct" -> ((s, d) => {
+      // distinct users per event type over a stream: exact countDistinct
+      // is unsupported in streaming aggregation (state = the whole
+      // distinct set); the KMV sketch's k-longs-per-group state streams,
+      // its merge is associative, and the integer estimate hash-matches
+      // the oracle's SQL rebuild of the same sketch
+      val name = s"graft_stream_kmv_${streamCounter.incrementAndGet()}"
+      EventStreams.distinctEstimateStreaming(s, s"$d/events.parquet",
+          "event_type", "user_id", name, k = 16,
+          shufflePartitions = Some(8))
+        .orderBy("event_type")
+    }),
+
     "q126_data_card" -> ((s, d) => {
       // the per-source release artifact: volume, quality pass count (the
       // same gopherReasons expression q88 gates with) and corpus-wide
@@ -3209,6 +3222,22 @@ object SparkEntry {
          WHERE rn <= 5 ORDER BY lang, rnk""",
     // the q126 chain minus the (non-additive) dup column: the streamed
     // card's counters are batch-additive, so the one-shot SQL is its oracle
+    "q148_stream_distinct" ->
+      """WITH hv AS (SELECT DISTINCT event_type,
+             CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+               AS BIGINT) AS hv
+           FROM events),
+         r AS (SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+           FROM hv),
+         st AS (SELECT event_type, count(*) AS nd,
+             max(CASE WHEN rn = 16 THEN hv END) AS kth
+           FROM r GROUP BY event_type)
+         SELECT event_type,
+           CAST(CASE WHEN nd < 16 THEN nd
+                     ELSE (15 * 4294967296) // kth END AS BIGINT) AS n_est
+         FROM st ORDER BY event_type""",
+
     "q147_stream_enrich" ->
       """SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
            count(*) AS n_events,

@@ -70,13 +70,23 @@ object Sketches {
       .groupBy(col(valueCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
 
+  /** The portable KMV hash of a value (md5 32-bit prefix, any engine). */
+  private[graft] def kmvHash(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Bar-Yossef estimate over a sketch column NAMED `bk` (all-integer —
+    * `div`, not float division, so it hash-matches SQL engines).
+    */
+  private[graft] def kmvEstimate(k: Int): Column =
+    when(size(col("bk")) < k, size(col("bk")).cast("long"))
+      .otherwise(expr(s"CAST(${(k - 1).toLong * 4294967296L} div element_at(bk, $k) AS BIGINT)"))
+
   def kmvDistinctCount(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
       k: Int = 16, withExact: Boolean = true): DataFrame = {
     require(k >= 3, "k must be >= 3 (estimator needs k-1 >= 2)")
-    val h = conv(substring(md5(col(valueCol)), 1, 8), 16, 10).cast("long")
-    val est = when(size(col("bk")) < k, size(col("bk")).cast("long"))
-      .otherwise(expr(s"CAST(${(k - 1).toLong * 4294967296L} div element_at(bk, $k) AS BIGINT)"))
+    val h = kmvHash(col(valueCol))
+    val est = kmvEstimate(k)
     val aggs =
       if (withExact)
         Seq(countDistinct(col(valueCol)).as("n_exact"),

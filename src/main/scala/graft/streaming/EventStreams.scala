@@ -165,6 +165,42 @@ object EventStreams {
     drainMemorySink(spark, queryName)
   }
 
+  /** Streaming approximate distinct count per group — the KMV sketch is
+    * THE way to count distinct on a stream: exact `countDistinct` is
+    * unsupported in streaming aggregation (its state would be the full
+    * distinct set), while the BottomKAgg buffer is k longs per group,
+    * state-store-friendly, and its merge is associative+commutative — so
+    * the streamed sketch equals the batch sketch BIT-FOR-BIT and the
+    * all-integer estimate inherits [[graft.ext.Sketches.kmvDistinctCount]]'s
+    * oracle parity (q148). Output: `(groupCol, n_est)`.
+    */
+  def distinctEstimateStreaming(
+      spark: SparkSession, eventsPath: String, groupCol: String,
+      valueCol: String, queryName: String, k: Int = 16,
+      shufflePartitions: Option[Int] = None,
+      rocksdbState: Boolean = false): DataFrame = {
+    import graft.ext.Sketches
+    val schema = spark.read.parquet(eventsPath).schema
+    val stream = normalizeTs(
+      spark.readStream.schema(schema).parquet(stageStreamDir(eventsPath)))
+    val agg = stream
+      .groupBy(col(groupCol))
+      .agg(graft.expressions.BottomKAgg
+        .bottomKHashes(Sketches.kmvHash(col(valueCol)), k).as("bk"))
+    withStatePartitions(spark, shufflePartitions, rocksdbState) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainMemorySink(spark, queryName)
+      .withColumn("n_est", Sketches.kmvEstimate(k))
+      .select(col(groupCol), col("n_est"))
+  }
+
   /** Batch twin: tumbling-window counts/sums per event_type. */
   def tumblingWindowBatch(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
     events

@@ -152,6 +152,29 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(gapped.map(_.getLong(1)).sum == total)
   }
 
+  test("streaming KMV distinct == batch sketch estimate; exact below k") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventStreams.distinctEstimateStreaming(
+      spark, s"$dir/events.parquet", "event_type", "user_id",
+      "kmv_stream_test", k = 16)
+      .orderBy("event_type").as[(String, Long)].collect().toSeq
+    val batch = graft.ext.Sketches.kmvDistinctCount(
+      EventStreams.normalizeTs(spark.read.parquet(s"$dir/events.parquet")),
+      Seq("event_type"), "user_id", k = 16, withExact = false)
+      .orderBy("event_type").as[(String, Long)].collect().toSeq
+    assert(streamed == batch) // associative merge: stream == batch sketch
+    // with k above the true cardinality the sketch is exact
+    val exact = EventStreams.normalizeTs(
+      spark.read.parquet(s"$dir/events.parquet"))
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .orderBy("event_type").as[(String, Long)].collect().toSeq
+    val roomy = EventStreams.distinctEstimateStreaming(
+      spark, s"$dir/events.parquet", "event_type", "user_id",
+      "kmv_stream_roomy_test", k = 5000)
+      .orderBy("event_type").as[(String, Long)].collect().toSeq
+    assert(roomy == exact)
+  }
+
   test("rocksdbState=true: RocksDB-backed state, identical results, conf restored") {
     val dir = "/root/testdata/sf0.001"
     // provider choice moves state bytes, never results: RocksDB-backed
