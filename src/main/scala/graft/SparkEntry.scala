@@ -1267,6 +1267,27 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "q149_cms_native" -> ((s, d) => {
+      // production twin of q145: seeded-xxhash64 buckets, no per-row md5
+      // string materialization — different hash family, so no SQL oracle
+      // (the q138 pattern); guarantees are spec-asserted and the exact
+      // audit column here still exposes any gross break
+      import graft.ext.Sketches
+      val w = 1024
+      val li = t(s, d, "lineitem")
+      val sketch = Sketches.cmsSketch(li, "l_suppkey", w, native = true)
+      val probes = t(s, d, "supplier")
+        .where(col("s_suppkey") % 10 === 0)
+        .select(col("s_suppkey").as("l_suppkey"))
+      val exact = li.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_exact"))
+      Sketches.cmsEstimate(sketch, probes, "l_suppkey", w, native = true)
+        .join(exact, Seq("l_suppkey"), "left")
+        .select(col("l_suppkey"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"), col("n_est"))
+        .orderBy("l_suppkey")
+    }),
+
     "q126_data_card" -> ((s, d) => {
       // the per-source release artifact: volume, quality pass count (the
       // same gopherReasons expression q88 gates with) and corpus-wide

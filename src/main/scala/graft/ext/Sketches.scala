@@ -37,10 +37,21 @@ object Sketches {
         .cast("int"))
   }
 
+  /** Production twin of [[cmsBuckets]]: four seeded `xxhash64` rows —
+    * no string materialization, no md5, stays in codegen. Different hash
+    * family, so it is spec-tested rather than SQL-oracled; the md5 twin
+    * keeps the differential gate (the q134/q138 native/portable pattern).
+    */
+  def cmsBucketsNative(c: Column, w: Int): Column =
+    transform(sequence(lit(0), lit(3)), j =>
+      pmod(xxhash64(c, j), lit(w.toLong)).cast("int"))
+
   /** Build the Count-Min sketch of `valueCol` as a `(j, bucket, cnt)`
     * frame (4*w rows; absent cells are zero). Cormode & Muthukrishnan
     * 2005: est(x) = min_j cnt[j][bucket_j(x)] >= true(x), and
     * est(x) <= true(x) + 2N/w with probability >= 1 - e^-4 per probe.
+    * `native = true` swaps the portable md5 bucket hash for the seeded
+    * xxhash64 twin (build and probe must agree on the flag).
     *
     * Scale: posexplode + count IS the fixed-size sketch build — hash
     * partial aggregation bounds pre-shuffle state at 4*w rows per
@@ -48,10 +59,15 @@ object Sketches {
     * rows per partition, and everything stays in whole-stage codegen. No
     * custom aggregate needed: Catalyst's partial agg is the sketch merge.
     */
-  def cmsSketch(df: DataFrame, valueCol: String, w: Int): DataFrame = {
+  def cmsSketch(
+      df: DataFrame, valueCol: String, w: Int,
+      native: Boolean = false): DataFrame = {
     require(w > 0, "w must be positive")
+    val buckets =
+      if (native) cmsBucketsNative(col(valueCol), w)
+      else cmsBuckets(col(valueCol), w)
     df.where(col(valueCol).isNotNull)
-      .select(posexplode(cmsBuckets(col(valueCol), w)).as(Seq("j", "bucket")))
+      .select(posexplode(buckets).as(Seq("j", "bucket")))
       .groupBy(col("j"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -62,13 +78,17 @@ object Sketches {
     */
   def cmsEstimate(
       sketch: DataFrame, probes: DataFrame, valueCol: String,
-      w: Int): DataFrame =
+      w: Int, native: Boolean = false): DataFrame = {
+    val buckets =
+      if (native) cmsBucketsNative(col(valueCol), w)
+      else cmsBuckets(col(valueCol), w)
     probes
       .select(col(valueCol),
-        posexplode(cmsBuckets(col(valueCol), w)).as(Seq("j", "bucket")))
+        posexplode(buckets).as(Seq("j", "bucket")))
       .join(broadcast(sketch), Seq("j", "bucket"), "left")
       .groupBy(col(valueCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
+  }
 
   /** The portable KMV hash of a value (md5 32-bit prefix, any engine). */
   private[graft] def kmvHash(c: Column): Column =

@@ -50,6 +50,22 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(tiny.values.forall(_ <= 140L)) // bounded by total mass
   }
 
+  test("native CMS twin: same guarantees, same exact recovery at roomy w") {
+    val data = (Seq.fill(100)("alpha") ++ Seq.fill(37)("beta") ++
+      Seq.fill(3)("gamma")).toDF("v")
+    val probes = Seq("alpha", "beta", "gamma", "absent").toDF("v")
+    val sk = Sketches.cmsSketch(data, "v", w = 512, native = true)
+    val got = Sketches.cmsEstimate(sk, probes, "v", w = 512, native = true)
+      .as[(String, Long)].collect().toMap
+    assert(got("alpha") == 100L && got("beta") == 37L &&
+      got("gamma") == 3L && got("absent") == 0L)
+    // never underestimates even when everything collides
+    val tiny = Sketches.cmsEstimate(
+      Sketches.cmsSketch(data, "v", w = 2, native = true),
+      probes, "v", w = 2, native = true).as[(String, Long)].collect().toMap
+    assert(tiny("alpha") >= 100L && tiny("beta") >= 37L && tiny("gamma") >= 3L)
+  }
+
   test("cmsSketch: partition-count invariant, 4*w-bounded output") {
     val data = (1 to 1000).map(i => s"k${i % 17}").toDF("v")
     val a = Sketches.cmsSketch(data.repartition(1), "v", w = 64)
