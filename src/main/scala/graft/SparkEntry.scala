@@ -1288,6 +1288,24 @@ object SparkEntry {
         .orderBy("l_suppkey")
     }),
 
+    "q150_correlation" -> ((s, d) => {
+      // deterministic Pearson matrix: Spark's corr() is merge-order-
+      // dependent float accumulation; this routes the five raw moments
+      // through exact decimal sums (products taken IN decimal) and
+      // derives corr as a per-group double scalar — bit-stable across
+      // partitionings and engines, one pass, one combinable agg
+      // the operator emits full-precision doubles; the oracle comparison
+      // rounds to 6 dp (house convention, see cosine/ratio oracles)
+      // because the DECIMAL(38,8)->DOUBLE cast of the raw moments is
+      // correctly rounded in Spark but not in DuckDB — an oracle-side
+      // artifact at the 16th significant digit, not an engine defect
+      graft.ops.Profile.correlationMatrix(t(s, d, "lineitem"),
+          Seq("l_returnflag"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .withColumn("corr", round(col("corr"), 6))
+        .orderBy("l_returnflag", "col_x", "col_y")
+    }),
+
     "q126_data_card" -> ((s, d) => {
       // the per-source release artifact: volume, quality pass count (the
       // same gopherReasons expression q88 gates with) and corpus-wide
@@ -3243,6 +3261,55 @@ object SparkEntry {
          WHERE rn <= 5 ORDER BY lang, rnk""",
     // the q126 chain minus the (non-additive) dup column: the streamed
     // card's counters are batch-additive, so the one-shot SQL is its oracle
+    "q150_correlation" ->
+      """WITH r AS (SELECT l_returnflag,
+           CAST(l_quantity AS DECIMAL(18,4)) AS q,
+           CAST(l_extendedprice AS DECIMAL(18,4)) AS e,
+           CAST(l_discount AS DECIMAL(18,4)) AS dd,
+           -- widen one product operand so DuckDB multiplies in hugeint
+           -- (DECIMAL(37,8) result, same exact value as Spark's)
+           CAST(CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(19,4)) AS qw,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(19,4)) AS ew,
+           CAST(CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(19,4)) AS dw
+         FROM lineitem),
+         a AS (SELECT l_returnflag, count(*) AS n,
+           CAST(sum(q) AS DOUBLE) AS s_q,
+           CAST(sum(e) AS DOUBLE) AS s_e,
+           CAST(sum(dd) AS DOUBLE) AS s_d,
+           CAST(sum(qw * q) AS DOUBLE) AS ss_q,
+           CAST(sum(ew * e) AS DOUBLE) AS ss_e,
+           CAST(sum(dw * dd) AS DOUBLE) AS ss_d,
+           CAST(sum(qw * e) AS DOUBLE) AS sp_qe,
+           CAST(sum(qw * dd) AS DOUBLE) AS sp_qd,
+           CAST(sum(ew * dd) AS DOUBLE) AS sp_ed
+         FROM r GROUP BY l_returnflag)
+         SELECT l_returnflag, col_x, col_y, n, round(corr, 6) AS corr FROM (
+           SELECT l_returnflag, 'l_quantity' AS col_x,
+             'l_extendedprice' AS col_y, n,
+             CASE WHEN sqrt((CAST(n AS DOUBLE) * ss_q - s_q * s_q) *
+                            (CAST(n AS DOUBLE) * ss_e - s_e * s_e)) > 0
+               THEN (CAST(n AS DOUBLE) * sp_qe - s_q * s_e) /
+                 sqrt((CAST(n AS DOUBLE) * ss_q - s_q * s_q) *
+                      (CAST(n AS DOUBLE) * ss_e - s_e * s_e)) END AS corr
+           FROM a
+           UNION ALL
+           SELECT l_returnflag, 'l_quantity', 'l_discount', n,
+             CASE WHEN sqrt((CAST(n AS DOUBLE) * ss_q - s_q * s_q) *
+                            (CAST(n AS DOUBLE) * ss_d - s_d * s_d)) > 0
+               THEN (CAST(n AS DOUBLE) * sp_qd - s_q * s_d) /
+                 sqrt((CAST(n AS DOUBLE) * ss_q - s_q * s_q) *
+                      (CAST(n AS DOUBLE) * ss_d - s_d * s_d)) END
+           FROM a
+           UNION ALL
+           SELECT l_returnflag, 'l_extendedprice', 'l_discount', n,
+             CASE WHEN sqrt((CAST(n AS DOUBLE) * ss_e - s_e * s_e) *
+                            (CAST(n AS DOUBLE) * ss_d - s_d * s_d)) > 0
+               THEN (CAST(n AS DOUBLE) * sp_ed - s_e * s_d) /
+                 sqrt((CAST(n AS DOUBLE) * ss_e - s_e * s_e) *
+                      (CAST(n AS DOUBLE) * ss_d - s_d * s_d)) END
+           FROM a)
+         ORDER BY l_returnflag, col_x, col_y""",
+
     "q148_stream_distinct" ->
       """WITH hv AS (SELECT DISTINCT event_type,
              CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 8))

@@ -74,6 +74,56 @@ object Profile {
     * filter itself is a codegen'd per-row compare. No global sort of the
     * data and no driver-side collect of anything bigger than two doubles.
     */
+  /** Deterministic Pearson correlation for every pair of `valueCols`,
+    * optionally per group: `(groupCols..., col_x, col_y, n, corr)`.
+    *
+    * Spark's `corr` aggregate accumulates co-moments in floating point,
+    * so its value depends on partitioning and merge order — it cannot be
+    * hash-compared across runs, let alone engines. This formulation
+    * routes the five raw sums (x, y, xy, x^2, y^2) through EXACT decimal
+    * aggregation — products taken in decimal, so no double-rounds-to-
+    * decimal boundary cases — and derives
+    * `(n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))` in double
+    * as a per-group SCALAR: every step is order-independent, making the
+    * result bit-stable across partitionings and engines (q150's oracle
+    * replays the identical expression in DuckDB). A zero-variance side
+    * yields null (0/0), never NaN-by-accident.
+    *
+    * Scale: ONE pass, one map-side-combinable aggregation per group;
+    * the pair expansion is column-wise (no row explosion) and the tall
+    * output shape is a union of |pairs| projections of the same
+    * aggregated frame, so the scan and shuffle happen once.
+    */
+  def correlationMatrix(
+      df: DataFrame, groupCols: Seq[String], valueCols: Seq[String],
+      sumScale: Int = 4): DataFrame = {
+    require(valueCols.size >= 2, "need at least two value columns")
+    valueCols.foreach(c =>
+      require(df.columns.contains(c), s"column $c not found"))
+    def dec(c: String) = col(c).cast(s"decimal(18,$sumScale)")
+    val pairs = for {
+      i <- valueCols.indices; j <- valueCols.indices if i < j
+    } yield (valueCols(i), valueCols(j))
+    val aggs = count(lit(1)).as("__n") +:
+      (valueCols.flatMap(c => Seq(
+        sum(dec(c)).cast("double").as(s"__s_$c"),
+        sum(dec(c) * dec(c)).cast("double").as(s"__ss_$c"))) ++
+       pairs.map { case (x, y) =>
+         sum(dec(x) * dec(y)).cast("double").as(s"__sp_${x}__$y") })
+    val g = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val n = col("__n").cast("double")
+    val out = pairs.map { case (x, y) =>
+      val (sx, sy) = (col(s"__s_$x"), col(s"__s_$y"))
+      val (sxx, syy, sxy) =
+        (col(s"__ss_$x"), col(s"__ss_$y"), col(s"__sp_${x}__$y"))
+      val den = sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      g.select(groupCols.map(col) ++ Seq(
+        lit(x).as("col_x"), lit(y).as("col_y"), col("__n").as("n"),
+        when(den > 0.0, (n * sxy - sx * sy) / den).as("corr")): _*)
+    }
+    out.reduce(_ unionByName _)
+  }
+
   def quantileTrim(
       df: DataFrame, colName: String, loQ: Double, hiQ: Double): DataFrame = {
     require(0.0 <= loQ && loQ <= hiQ && hiQ <= 1.0, "need 0 <= loQ <= hiQ <= 1")

@@ -33,4 +33,36 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
     assert(p.getString(0) == "a.b")
     assert(p.getLong(2) == 1L) // one null
   }
+
+  test("correlationMatrix: known values, zero-variance null, partition-stable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // y = 2x exactly -> corr 1; z = -x -> corr -1 with x; c constant
+    val rows = (1 to 40).map(i => (i.toDouble, 2.0 * i, -i.toDouble, 5.0))
+    val d = rows.toDF("x", "y", "z", "c")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Profile.correlationMatrix(df, Nil, Seq("x", "y", "z", "c"))
+        .collect().map(r =>
+          (r.getString(0), r.getString(1)) -> Option(r.get(3))).toMap
+    val got = m(d)
+    assert(got(("x", "y")).get == 1.0)
+    assert(got(("x", "z")).get == -1.0)
+    assert(got(("y", "z")).get == -1.0)
+    assert(got(("x", "c")).isEmpty) // zero variance -> null, never NaN
+    // bit-stable across partitionings (the reason this exists: Spark's
+    // corr() is merge-order-dependent)
+    val a = Profile.correlationMatrix(d.repartition(1), Nil,
+      Seq("x", "y", "z")).orderBy("col_x", "col_y")
+      .collect().map(_.get(3)).toSeq
+    val b = Profile.correlationMatrix(d.repartition(11), Nil,
+      Seq("x", "y", "z")).orderBy("col_x", "col_y")
+      .collect().map(_.get(3)).toSeq
+    assert(a == b)
+    // grouped: per-group n and a sane in-range corr
+    val g = Profile.correlationMatrix(
+      d.withColumn("grp", col("x") > 20.0), Seq("grp"), Seq("x", "y"))
+      .collect().map(r => r.getBoolean(0) -> (r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(g(true) == ((20L, 1.0)) && g(false) == ((20L, 1.0)))
+  }
 }
