@@ -3272,41 +3272,52 @@ object SparkEntry {
            CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(19,4)) AS ew,
            CAST(CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(19,4)) AS dw
          FROM lineitem),
-         a AS (SELECT l_returnflag, count(*) AS n,
-           CAST(sum(q) AS DOUBLE) AS s_q,
-           CAST(sum(e) AS DOUBLE) AS s_e,
-           CAST(sum(dd) AS DOUBLE) AS s_d,
-           CAST(sum(qw * q) AS DOUBLE) AS ss_q,
-           CAST(sum(ew * e) AS DOUBLE) AS ss_e,
-           CAST(sum(dw * dd) AS DOUBLE) AS ss_d,
-           CAST(sum(qw * e) AS DOUBLE) AS sp_qe,
-           CAST(sum(qw * dd) AS DOUBLE) AS sp_qd,
-           CAST(sum(ew * dd) AS DOUBLE) AS sp_ed
+         -- pairwise-complete: each pair's moments restricted (FILTER) to
+         -- rows where BOTH its columns are non-null, mirroring the
+         -- operator's per-pair conditional aggregates
+         a AS (SELECT l_returnflag,
+           count(*) FILTER (WHERE q IS NOT NULL AND e IS NOT NULL) AS n_qe,
+           CAST(sum(q) FILTER (WHERE q IS NOT NULL AND e IS NOT NULL) AS DOUBLE) AS sx_qe,
+           CAST(sum(e) FILTER (WHERE q IS NOT NULL AND e IS NOT NULL) AS DOUBLE) AS sy_qe,
+           CAST(sum(qw * q) FILTER (WHERE q IS NOT NULL AND e IS NOT NULL) AS DOUBLE) AS sxx_qe,
+           CAST(sum(ew * e) FILTER (WHERE q IS NOT NULL AND e IS NOT NULL) AS DOUBLE) AS syy_qe,
+           CAST(sum(qw * e) FILTER (WHERE q IS NOT NULL AND e IS NOT NULL) AS DOUBLE) AS sxy_qe,
+           count(*) FILTER (WHERE q IS NOT NULL AND dd IS NOT NULL) AS n_qd,
+           CAST(sum(q) FILTER (WHERE q IS NOT NULL AND dd IS NOT NULL) AS DOUBLE) AS sx_qd,
+           CAST(sum(dd) FILTER (WHERE q IS NOT NULL AND dd IS NOT NULL) AS DOUBLE) AS sy_qd,
+           CAST(sum(qw * q) FILTER (WHERE q IS NOT NULL AND dd IS NOT NULL) AS DOUBLE) AS sxx_qd,
+           CAST(sum(dw * dd) FILTER (WHERE q IS NOT NULL AND dd IS NOT NULL) AS DOUBLE) AS syy_qd,
+           CAST(sum(qw * dd) FILTER (WHERE q IS NOT NULL AND dd IS NOT NULL) AS DOUBLE) AS sxy_qd,
+           count(*) FILTER (WHERE e IS NOT NULL AND dd IS NOT NULL) AS n_ed,
+           CAST(sum(e) FILTER (WHERE e IS NOT NULL AND dd IS NOT NULL) AS DOUBLE) AS sx_ed,
+           CAST(sum(dd) FILTER (WHERE e IS NOT NULL AND dd IS NOT NULL) AS DOUBLE) AS sy_ed,
+           CAST(sum(ew * e) FILTER (WHERE e IS NOT NULL AND dd IS NOT NULL) AS DOUBLE) AS sxx_ed,
+           CAST(sum(dw * dd) FILTER (WHERE e IS NOT NULL AND dd IS NOT NULL) AS DOUBLE) AS syy_ed,
+           CAST(sum(ew * dd) FILTER (WHERE e IS NOT NULL AND dd IS NOT NULL) AS DOUBLE) AS sxy_ed
          FROM r GROUP BY l_returnflag)
          SELECT l_returnflag, col_x, col_y, n, round(corr, 6) AS corr FROM (
-           SELECT l_returnflag, 'l_quantity' AS col_x,
-             'l_extendedprice' AS col_y, n,
-             CASE WHEN sqrt((CAST(n AS DOUBLE) * ss_q - s_q * s_q) *
-                            (CAST(n AS DOUBLE) * ss_e - s_e * s_e)) > 0
-               THEN (CAST(n AS DOUBLE) * sp_qe - s_q * s_e) /
-                 sqrt((CAST(n AS DOUBLE) * ss_q - s_q * s_q) *
-                      (CAST(n AS DOUBLE) * ss_e - s_e * s_e)) END AS corr
+           SELECT l_returnflag, 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n_qe AS n,
+             CASE WHEN sqrt((CAST(n_qe AS DOUBLE) * sxx_qe - sx_qe * sx_qe) *
+                            (CAST(n_qe AS DOUBLE) * syy_qe - sy_qe * sy_qe)) > 0
+               THEN (CAST(n_qe AS DOUBLE) * sxy_qe - sx_qe * sy_qe) /
+                 sqrt((CAST(n_qe AS DOUBLE) * sxx_qe - sx_qe * sx_qe) *
+                            (CAST(n_qe AS DOUBLE) * syy_qe - sy_qe * sy_qe)) END AS corr
            FROM a
            UNION ALL
-           SELECT l_returnflag, 'l_quantity', 'l_discount', n,
-             CASE WHEN sqrt((CAST(n AS DOUBLE) * ss_q - s_q * s_q) *
-                            (CAST(n AS DOUBLE) * ss_d - s_d * s_d)) > 0
-               THEN (CAST(n AS DOUBLE) * sp_qd - s_q * s_d) /
-                 sqrt((CAST(n AS DOUBLE) * ss_q - s_q * s_q) *
-                      (CAST(n AS DOUBLE) * ss_d - s_d * s_d)) END
+           SELECT l_returnflag, 'l_quantity', 'l_discount', n_qd,
+             CASE WHEN sqrt((CAST(n_qd AS DOUBLE) * sxx_qd - sx_qd * sx_qd) *
+                            (CAST(n_qd AS DOUBLE) * syy_qd - sy_qd * sy_qd)) > 0
+               THEN (CAST(n_qd AS DOUBLE) * sxy_qd - sx_qd * sy_qd) /
+                 sqrt((CAST(n_qd AS DOUBLE) * sxx_qd - sx_qd * sx_qd) *
+                            (CAST(n_qd AS DOUBLE) * syy_qd - sy_qd * sy_qd)) END
            FROM a
            UNION ALL
-           SELECT l_returnflag, 'l_extendedprice', 'l_discount', n,
-             CASE WHEN sqrt((CAST(n AS DOUBLE) * ss_e - s_e * s_e) *
-                            (CAST(n AS DOUBLE) * ss_d - s_d * s_d)) > 0
-               THEN (CAST(n AS DOUBLE) * sp_ed - s_e * s_d) /
-                 sqrt((CAST(n AS DOUBLE) * ss_e - s_e * s_e) *
-                      (CAST(n AS DOUBLE) * ss_d - s_d * s_d)) END
+           SELECT l_returnflag, 'l_extendedprice', 'l_discount', n_ed,
+             CASE WHEN sqrt((CAST(n_ed AS DOUBLE) * sxx_ed - sx_ed * sx_ed) *
+                            (CAST(n_ed AS DOUBLE) * syy_ed - sy_ed * sy_ed)) > 0
+               THEN (CAST(n_ed AS DOUBLE) * sxy_ed - sx_ed * sy_ed) /
+                 sqrt((CAST(n_ed AS DOUBLE) * sxx_ed - sx_ed * sx_ed) *
+                            (CAST(n_ed AS DOUBLE) * syy_ed - sy_ed * sy_ed)) END
            FROM a)
          ORDER BY l_returnflag, col_x, col_y""",
 

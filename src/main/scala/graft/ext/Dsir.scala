@@ -90,7 +90,9 @@ object Dsir {
     val score = aggregate(
       transform(feats, f => element_at(lit(qarr), f + 1)),
       lit(0L), (acc, w) => acc + w)
-    corpus.select(col(idCol), score.as("score"))
+    // doc contract: output restricted to non-null text (a null text row
+    // would otherwise surface a NULL score — transform over null is null)
+    corpus.where(col(textCol).isNotNull).select(col(idCol), score.as("score"))
   }
 
   /** Deterministic top-k selection: highest score wins, ties to the

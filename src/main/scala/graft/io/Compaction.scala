@@ -141,9 +141,9 @@ object Compaction {
       val totalTasks = perLeaf.values.sum
       import spark.implicits._
       // \u0001 separator: not produced by escapePathName, keys cannot collide
-      val filesDf = perLeaf.toSeq.map { case (vs, n) => (vs.mkString(""), n) }
+      val filesDf = perLeaf.toSeq.map { case (vs, n) => (vs.mkString("\u0001"), n) }
         .toDF("__pv", "__nf")
-      val pvExpr = concat_ws("",
+      val pvExpr = concat_ws("\u0001",
         partitionBy.map(c => col(c).cast("string")): _*)
       // salt = row hash mod the leaf's own file count: deterministic, and
       // each (partition value, salt) combo lands in one shuffle target, so

@@ -42,8 +42,11 @@ object FuzzyJoin {
 
   /** Distance-(<=1) pairs `(leftId, leftVal, rightId, rightVal,
     * edit_distance)` between `left(idL, valL)` and `right(idR, valR)`.
-    * Null or empty strings never match (an empty string's only variant is
-    * itself; nulls are dropped at explode).
+    * Null or EMPTY strings never match: nulls are filtered before the
+    * variant explode, and empties are filtered too — without the filter an
+    * empty string's deletion variant set is {""}, which every 1-char string
+    * also generates, so "" would match "a" at distance 1 against the
+    * contract.
     */
   def symspellJoin(
       left: DataFrame, idL: String, valL: String,
@@ -52,7 +55,7 @@ object FuzzyJoin {
     require(idL != idR, "left and right id columns must have distinct names")
     def side(df: DataFrame, id: String, v: String): DataFrame =
       df.select(col(id), col(v))
-        .where(col(v).isNotNull)
+        .where(col(v).isNotNull && length(col(v)) > 0)
         .select(col(id), col(v),
           explode(delVariants(col(v))).as("__fz_variant"))
     val lv = side(left, idL, valL)

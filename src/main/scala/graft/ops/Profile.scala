@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Exact per-column profiling — the engine-side `summary()` an ETL user
@@ -74,8 +74,12 @@ object Profile {
     * filter itself is a codegen'd per-row compare. No global sort of the
     * data and no driver-side collect of anything bigger than two doubles.
     */
-  /** Deterministic Pearson correlation for every pair of `valueCols`,
-    * optionally per group: `(groupCols..., col_x, col_y, n, corr)`.
+  /** Deterministic PAIRWISE-COMPLETE Pearson correlation for every pair
+    * of `valueCols`, optionally per group:
+    * `(groupCols..., col_x, col_y, n, corr)`. Each pair's statistics use
+    * exactly the rows where BOTH columns are non-null (the standard
+    * `pairwise.complete.obs` convention), so `n` is per-pair; a pair with
+    * zero complete rows or zero variance yields null.
     *
     * Spark's `corr` aggregate accumulates co-moments in floating point,
     * so its value depends on partitioning and merge order — it cannot be
@@ -86,13 +90,20 @@ object Profile {
     * `(n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))` in double
     * as a per-group SCALAR: every step is order-independent, making the
     * result bit-stable across partitionings and engines (q150's oracle
-    * replays the identical expression in DuckDB). A zero-variance side
-    * yields null (0/0), never NaN-by-accident.
+    * replays the identical expression in DuckDB, FILTER clauses included).
     *
-    * Scale: ONE pass, one map-side-combinable aggregation per group;
-    * the pair expansion is column-wise (no row explosion) and the tall
-    * output shape is a union of |pairs| projections of the same
-    * aggregated frame, so the scan and shuffle happen once.
+    * Input domain: values are cast to `decimal(18, sumScale)`, so
+    * magnitudes must stay below `10^(18-sumScale)` (1e14 at the default
+    * scale) — larger values null out under non-ANSI cast and would be
+    * silently excluded; widen `sumScale` down (or pre-scale the column)
+    * for astronomical magnitudes.
+    *
+    * Scale: ONE pass, one map-side-combinable aggregation per group —
+    * 6·|pairs| conditional moment columns, all codegen'd. The tall output
+    * shape is a row-local `explode` of |pairs| structs over that single
+    * aggregated frame: one plan branch, one Exchange, single-scan by
+    * construction (not by optimizer exchange-reuse) — locked by
+    * PlanAuditSpec.
     */
   def correlationMatrix(
       df: DataFrame, groupCols: Seq[String], valueCols: Seq[String],
@@ -104,24 +115,32 @@ object Profile {
     val pairs = for {
       i <- valueCols.indices; j <- valueCols.indices if i < j
     } yield (valueCols(i), valueCols(j))
-    val aggs = count(lit(1)).as("__n") +:
-      (valueCols.flatMap(c => Seq(
-        sum(dec(c)).cast("double").as(s"__s_$c"),
-        sum(dec(c) * dec(c)).cast("double").as(s"__ss_$c"))) ++
-       pairs.map { case (x, y) =>
-         sum(dec(x) * dec(y)).cast("double").as(s"__sp_${x}__$y") })
-    val g = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    val n = col("__n").cast("double")
-    val out = pairs.map { case (x, y) =>
-      val (sx, sy) = (col(s"__s_$x"), col(s"__s_$y"))
-      val (sxx, syy, sxy) =
-        (col(s"__ss_$x"), col(s"__ss_$y"), col(s"__sp_${x}__$y"))
-      val den = sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-      g.select(groupCols.map(col) ++ Seq(
-        lit(x).as("col_x"), lit(y).as("col_y"), col("__n").as("n"),
-        when(den > 0.0, (n * sxy - sx * sy) / den).as("corr")): _*)
+    val aggs = pairs.flatMap { case (x, y) =>
+      val both = col(x).isNotNull && col(y).isNotNull
+      def s(e: Column, nm: String) =
+        sum(when(both, e)).cast("double").as(nm)
+      Seq(
+        count(when(both, 1)).as(s"__n_${x}__$y"),
+        s(dec(x), s"__sx_${x}__$y"), s(dec(y), s"__sy_${x}__$y"),
+        s(dec(x) * dec(x), s"__sxx_${x}__$y"),
+        s(dec(y) * dec(y), s"__syy_${x}__$y"),
+        s(dec(x) * dec(y), s"__sxy_${x}__$y"))
     }
-    out.reduce(_ unionByName _)
+    val g = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (x, y) =>
+      val n = col(s"__n_${x}__$y").cast("double")
+      val (sx, sy) = (col(s"__sx_${x}__$y"), col(s"__sy_${x}__$y"))
+      val (sxx, syy, sxy) = (col(s"__sxx_${x}__$y"),
+        col(s"__syy_${x}__$y"), col(s"__sxy_${x}__$y"))
+      val den = sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      struct(lit(x).as("col_x"), lit(y).as("col_y"),
+        col(s"__n_${x}__$y").as("n"),
+        when(den > 0.0, (n * sxy - sx * sy) / den).as("corr"))
+    }
+    g.select(groupCols.map(col) :+ explode(array(rows: _*)).as("__p"): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("__p.col_x").as("col_x"), col("__p.col_y").as("col_y"),
+        col("__p.n").as("n"), col("__p.corr").as("corr")): _*)
   }
 
   def quantileTrim(

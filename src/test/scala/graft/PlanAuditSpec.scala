@@ -232,6 +232,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"close-seq join must broadcast in:\n$plan")
   }
 
+  test("q150: correlation matrix is single-scan by construction — one hash exchange") {
+    // the pair expansion is a row-local explode of structs over ONE
+    // aggregated frame: exactly one hash exchange (the groupBy shuffle)
+    // may appear. The former |pairs|-branch union depended on optimizer
+    // ReuseExchange for its single scan; this locks it structurally.
+    val plan = finalPlan("q150_correlation")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"q150 must have exactly one hash exchange, found $hashExchanges:\n$plan")
+    assert(!plan.contains("Union"),
+      s"q150 must not union per-pair branches:\n$plan")
+  }
+
   test("q93: the bloom probe filters the fact scan stage, below the join") {
     val plan = finalPlan("q93_bloom_join")
     val probeIdx = plan.indexOf("might_contain")

@@ -39,6 +39,17 @@ class DsirSpec extends AnyFunSuite with SparkSpec {
     assert((1L to 10L).map(nScores).min > (21L to 30L).map(nScores).max)
   }
 
+  test("null-text rows are excluded from the score output (doc contract)") {
+    val corpus = Seq((1L, "the quick fox"), (2L, null), (3L, ""))
+      .toDF("doc_id", "text")
+    val target = corpus.where(col("doc_id") === 1)
+    val got = Dsir.importanceScores(corpus, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // null text dropped (not surfaced as a NULL score); empty text scores 0
+    assert(got.keySet == Set(1L, 3L))
+    assert(got(3L) == 0L)
+  }
+
   test("native feature map: 2n-1 multiset features, bucket range, repetition") {
     val feats = Seq("one two three", "one one", "x", "")
       .toDF("t")

@@ -92,6 +92,31 @@ class CompactionSpec extends AnyFunSuite with SparkSpec {
       s"no partition filter on compacted output:\n$plan")
   }
 
+  test("multi-column partitionBy: colliding concatenations stay distinct (separator) and no row duplicates") {
+    // ("ab","c") and ("a","bc") concatenate identically without a
+    // separator — if the __pv join key collided, filesDf would hold
+    // duplicate keys and the broadcast left join would DUPLICATE every
+    // data row in those partitions. The  separator keeps the
+    // tuples apart; this pins row-exact output on exactly that shape.
+    val in = Files.createTempDirectory("graft_compact_mc_in").toString
+    spark.range(2000).select(col("id"),
+        when(col("id") % 2 === 0, "ab").otherwise("a").as("k1"),
+        when(col("id") % 2 === 0, "c").otherwise("bc").as("k2"),
+        concat(lit("payload-"), col("id")).as("text"))
+      .repartition(8).write.partitionBy("k1", "k2").mode("overwrite").parquet(in)
+    val out = Files.createTempDirectory("graft_compact_mc_out").toString
+    val compacted = Compaction.compact(spark, in, out,
+      targetFileBytes = 1L << 30, partitionBy = Seq("k1", "k2"))
+    assert(compacted.count() == 2000,
+      "collided __pv keys would duplicate rows through the left join")
+    val a = spark.read.parquet(in)
+    assert(compacted.except(a).count() == 0 && a.except(compacted).count() == 0)
+    Seq(("ab", "c"), ("a", "bc")).foreach { case (v1, v2) =>
+      assert(Compaction.dataFileCount(spark, s"$out/k1=$v1/k2=$v2") == 1,
+        s"partition k1=$v1/k2=$v2 should compact to one file")
+    }
+  }
+
   test("a dataset already below target compacts to one file") {
     val in = fragmented(files = 8, rows = 100)
     val out = Files.createTempDirectory("graft_compact_one").toString

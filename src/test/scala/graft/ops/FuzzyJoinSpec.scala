@@ -40,6 +40,13 @@ class FuzzyJoinSpec extends AnyFunSuite with SparkSpec {
     assert(got == Set((1L, 3L, 1), (1L, 4L, 0)))
   }
 
+  test("empty strings never match — not even 1-char strings at distance 1") {
+    // without the length>0 filter, ""'s variant set {""} intersects every
+    // 1-char string's variants, so "" would match "a" against the contract
+    val got = link(Seq((1L, ""), (2L, "a")), Seq((3L, ""), (4L, "a")))
+    assert(got == Set((2L, 4L, 0)))
+  }
+
   test("maxBlock caps a hot variant block from both sides") {
     // 30x30 identical values share every variant: blocks of 900 pairs
     // exceed maxBlock=100 and the pairs are dropped (documented recall

@@ -65,4 +65,22 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
       .toMap
     assert(g(true) == ((20L, 1.0)) && g(false) == ((20L, 1.0)))
   }
+
+  test("correlationMatrix: pairwise-complete — nulls only shrink the pairs they touch") {
+    import spark.implicits._
+    // z is null on half the rows; (x,y) must use ALL 40 rows while
+    // (x,z)/(y,z) use the 20 complete ones — the pre-fix code counted
+    // every row in n but summed only non-null values, silently skewing
+    // corr on any data with nulls
+    val rows = (1 to 40).map(i => (i.toDouble, 2.0 * i,
+      if (i % 2 == 0) Some(3.0 * i) else None))
+    val d = rows.toDF("x", "y", "z")
+    val got = Profile.correlationMatrix(d, Nil, Seq("x", "y", "z"))
+      .collect().map(r =>
+        (r.getString(0), r.getString(1)) -> ((r.getLong(2), Option(r.get(3)))))
+      .toMap
+    assert(got(("x", "y")) == ((40L, Some(1.0))))
+    assert(got(("x", "z"))._1 == 20L && got(("x", "z"))._2.get == 1.0)
+    assert(got(("y", "z"))._1 == 20L && got(("y", "z"))._2.get == 1.0)
+  }
 }
