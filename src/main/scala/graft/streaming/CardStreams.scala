@@ -1,5 +1,8 @@
 package graft.streaming
 
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -21,10 +24,62 @@ import graft.functions.text
   * counters for live drift monitoring; the batch card stays the release
   * artifact.
   *
+  * Restart contract: with `checkpointDir` set, the counters are PERSISTED
+  * beside the checkpoint (`<checkpointDir>/card_state`, the
+  * [[graft.ext.Dedup.saveMinhashState]] manifest pattern) after every
+  * batch and reloaded on start, tagged with the last applied batchId. A
+  * restarted run therefore resumes BOTH the source offsets (from the
+  * checkpoint) and the counters (from the state dir) — and because a
+  * replayed micro-batch arrives with its original batchId, the
+  * `batchId <= lastApplied` guard skips re-applying a batch whose counts
+  * were persisted before the crash. Every crash window is covered:
+  * before persist → batch replays and re-applies; after persist but
+  * before the offset commit → batch replays and is SKIPPED; after the
+  * commit → batch neither replays nor needs to. Exactly-once counters,
+  * by construction. Without `checkpointDir` the card is single-run
+  * in-memory state, as before.
+  *
   * Scale: state is |sources| rows, localCheckpoint'ed per batch to keep
-  * lineage flat over unbounded streams (the [[MaterializedAgg]] contract).
+  * lineage flat over unbounded streams (the [[MaterializedAgg]] contract);
+  * the persisted copy is one groups-sized parquet write per batch.
   */
 object CardStreams {
+
+  private val cardDirName = "card"
+  private val manifestName = "card_manifest"
+
+  /** (loaded card, last applied batchId); (None, -1) when no complete
+    * persisted state exists — manifest + `_SUCCESS` required, so a torn
+    * save is never served (the loadMinhashState contract).
+    */
+  private def loadCardState(
+      spark: SparkSession, stateDir: java.io.File): (Option[DataFrame], Long) = {
+    val manifest = new java.io.File(stateDir, manifestName)
+    val card = new java.io.File(stateDir, cardDirName)
+    if (!manifest.exists() || !new java.io.File(card, "_SUCCESS").exists())
+      (None, -1L)
+    else {
+      val lastApplied =
+        new String(Files.readAllBytes(manifest.toPath), UTF_8).trim.toLong
+      (Some(spark.read.parquet(card.toString)), lastApplied)
+    }
+  }
+
+  /** Crash-safe save: invalidate the manifest, overwrite the card parquet,
+    * recreate the manifest carrying `batchId` only after the write
+    * succeeds. `next` must already be materialized (localCheckpoint) —
+    * the overwrite clobbers the files a previously-loaded lazy state
+    * would still be reading.
+    */
+  private def saveCardState(
+      next: DataFrame, stateDir: java.io.File, batchId: Long): Unit = {
+    stateDir.mkdirs()
+    val manifest = new java.io.File(stateDir, manifestName)
+    manifest.delete()
+    next.write.mode("overwrite")
+      .parquet(new java.io.File(stateDir, cardDirName).toString)
+    Files.write(manifest.toPath, batchId.toString.getBytes(UTF_8))
+  }
 
   def streamingDataCard(
       spark: SparkSession, stagedDir: String,
@@ -42,31 +97,42 @@ object CardStreams {
         count(when(
           text.gopherReasons(col(textCol), minStopwords = minStopwords) === 0,
           1)).as("n_quality_pass"))
+    val stateDir = checkpointDir.map(d => new java.io.File(d, "card_state"))
     // written from the micro-batch thread, read by the caller after
     // awaitTermination (and legitimately readable mid-run by a monitor)
     val stateLock = new Object
-    var state: Option[DataFrame] = None
+    val (loaded, loadedBatch) = stateDir
+      .map(loadCardState(spark, _)).getOrElse((None, -1L))
+    var state: Option[DataFrame] = loaded
+    var lastApplied: Long = loadedBatch
     EventStreams.withStatePartitions(spark, shufflePartitions, rocksdbState) {
       val writer = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(stagedDir)
         .writeStream
-        .foreachBatch { (batch: Dataset[Row], _: Long) => stateLock.synchronized {
-          val delta = cardOf(batch.toDF())
-          val next = state match {
-            case None => delta
-            case Some(st) =>
-              st.select(col(groupCol), col("n_docs").as("a_docs"),
-                  col("sum_tokens").as("a_tok"), col("n_quality_pass").as("a_pass"))
-                .join(delta, Seq(groupCol), "full")
-                .select(col(groupCol),
-                  (coalesce(col("a_docs"), lit(0L))
-                    + coalesce(col("n_docs"), lit(0L))).as("n_docs"),
-                  (coalesce(col("a_tok"), lit(0L))
-                    + coalesce(col("sum_tokens"), lit(0L))).as("sum_tokens"),
-                  (coalesce(col("a_pass"), lit(0L))
-                    + coalesce(col("n_quality_pass"), lit(0L))).as("n_quality_pass"))
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) => stateLock.synchronized {
+          // a replayed batch (crash between persist and offset commit)
+          // is already inside the persisted counters: skip it
+          if (batchId > lastApplied) {
+            val delta = cardOf(batch.toDF())
+            val next = state match {
+              case None => delta
+              case Some(st) =>
+                st.select(col(groupCol), col("n_docs").as("a_docs"),
+                    col("sum_tokens").as("a_tok"), col("n_quality_pass").as("a_pass"))
+                  .join(delta, Seq(groupCol), "full")
+                  .select(col(groupCol),
+                    (coalesce(col("a_docs"), lit(0L))
+                      + coalesce(col("n_docs"), lit(0L))).as("n_docs"),
+                    (coalesce(col("a_tok"), lit(0L))
+                      + coalesce(col("sum_tokens"), lit(0L))).as("sum_tokens"),
+                    (coalesce(col("a_pass"), lit(0L))
+                      + coalesce(col("n_quality_pass"), lit(0L))).as("n_quality_pass"))
+            }
+            val materialized = next.localCheckpoint(true)
+            stateDir.foreach(saveCardState(materialized, _, batchId))
+            state = Some(materialized)
+            lastApplied = batchId
           }
-          state = Some(next.localCheckpoint(true))
         }}
         .trigger(Trigger.AvailableNow())
       val q = checkpointDir
@@ -74,6 +140,8 @@ object CardStreams {
         .start()
       q.awaitTermination()
     }
+    // a restarted run where every batch was already committed sees zero
+    // new micro-batches — the reloaded state IS the answer
     stateLock.synchronized(state).getOrElse(
       throw new IllegalStateException(s"no micro-batches arrived from $stagedDir"))
   }
