@@ -100,6 +100,57 @@ object SparkEntry {
        FROM v WHERE op <> 'D'
        ORDER BY o_orderkey, valid_from"""
 
+  /** q151/q152's frozen BPE merge list — a tiny hand-written vocab whose
+    * chains (the, scan, row, order) exercise multi-level merges and rank
+    * priority over the documents corpus. Production use learns this with
+    * [[graft.ext.Bpe.learnMerges]]; the oracle needs it FROZEN so the
+    * DuckDB replay can interpolate it as a MAP literal.
+    */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    ("a", "n"), ("t", "h"), ("th", "e"), ("s", "c"), ("sc", "an"),
+    ("r", "o"), ("ro", "w"), ("e", "r"), ("o", "r"), ("or", "d"),
+    ("ord", "er"))
+
+  /** DuckDB replay of the greedy BPE encode (BpeRuntime contract): the
+    * merge loop — lowest-ranked adjacent pair, leftmost occurrence, one
+    * merge per step — as a recursive CTE over the corpus's DISTINCT words
+    * (identical words encode once and join back). Yields CTEs `words`
+    * (doc_id, source, wi, word) and `fin` (word, syms, nt).
+    */
+  private val bpeEncCte: String = {
+    val mapLit = bpeMerges.zipWithIndex
+      .map { case ((l, r), i) => (s"'$l $r'", i.toString) }
+      .unzip match { case (ks, vs) =>
+        s"MAP([${ks.mkString(", ")}], [${vs.mkString(", ")}])" }
+    raw"""warr AS (SELECT doc_id, source,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS arr
+       FROM documents WHERE text IS NOT NULL),
+     words AS (SELECT doc_id, source, wi, arr[wi] AS word
+       FROM (SELECT doc_id, source, arr,
+           unnest(generate_series(1, len(arr))) AS wi FROM warr)),
+     enc AS (
+       SELECT word,
+         list_transform(generate_series(1, length(word)), i -> word[i:i]) AS syms
+       FROM (SELECT DISTINCT word FROM words)
+       UNION ALL
+       SELECT word,
+         list_slice(syms, 1, p - 1) || [syms[p] || syms[p+1]]
+           || list_slice(syms, p + 2, len(syms)) AS syms
+       FROM (
+         SELECT word, syms, list_aggregate(rk, 'min') AS mr,
+           list_position(rk, list_aggregate(rk, 'min')) AS p
+         FROM (
+           SELECT word, syms,
+             list_transform(generate_series(1, len(syms) - 1),
+               i -> coalesce(map_extract($mapLit,
+                 syms[i] || ' ' || syms[i+1])[1], 1000000)) AS rk
+           FROM enc))
+       WHERE mr < 1000000),
+     fin AS (SELECT word, arg_min(syms, len(syms)) AS syms,
+         min(len(syms)) AS nt
+       FROM enc GROUP BY word)"""
+  }
+
   /** Flagship query on sf=0.001 (multi-join star-schema aggregation). */
   def entry(spark: SparkSession): DataFrame =
     queries("q04_region_revenue")(spark, "/root/testdata/sf0.001")
@@ -1304,6 +1355,37 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount"))
         .withColumn("corr", round(col("corr"), 6))
         .orderBy("l_returnflag", "col_x", "col_y")
+    }),
+
+    "q151_bpe_count" -> ((s, d) => {
+      // tokenizer-EXACT token accounting: greedy BPE encode under the
+      // frozen merge list as ONE native codegen'd expression — no join,
+      // no UDF, no shuffle before the presentation sort. The oracle
+      // replays the merge loop as a DuckDB recursive CTE over distinct
+      // words (BpeRuntime's documented one-merge-per-step contract).
+      t(s, d, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          text.bpeTokenCount(col("text"), bpeMerges).cast("long").as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
+    "q152_bpe_blocks" -> ((s, d) => {
+      // q119's pretraining blocks re-gated in TOKENIZER tokens: the same
+      // materializeBlocks operator fed bpeTokens instead of whitespace
+      // tokens — token budgets now mean what the training run means.
+      // md5-of-block hashes every BPE token in every block.
+      import org.apache.spark.sql.functions.{size => arrayLen}
+      val docs = t(s, d, "documents")
+        .where(col("text").isNotNull)
+        .select(col("source"), col("doc_id"),
+          text.bpeTokens(col("text"), bpeMerges).as("toks"))
+      graft.ext.Packing.materializeBlocks(docs, "toks", "doc_id",
+          budget = 256, groupCols = Seq("source"), sepToken = Some("<eos>"))
+        .select(col("source"), col("block_id"),
+          arrayLen(col("tokens")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("tokens"))).as("h"))
+        .orderBy("source", "block_id")
     }),
 
     "q126_data_card" -> ((s, d) => {
@@ -3320,6 +3402,45 @@ object SparkEntry {
                             (CAST(n_ed AS DOUBLE) * syy_ed - sy_ed * sy_ed)) END
            FROM a)
          ORDER BY l_returnflag, col_x, col_y""",
+
+    "q151_bpe_count" ->
+      s"""WITH RECURSIVE
+         $bpeEncCte,
+         agg AS (SELECT w.doc_id, sum(f.nt) AS s
+           FROM words w JOIN fin f USING (word) GROUP BY w.doc_id)
+         SELECT d.doc_id, CAST(coalesce(a.s, 0) AS BIGINT) AS n_bpe
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         WHERE d.text IS NOT NULL
+         ORDER BY doc_id""",
+
+    "q152_bpe_blocks" ->
+      s"""WITH RECURSIVE
+         $bpeEncCte,
+         doctok AS (SELECT d.doc_id, d.source,
+             list_append(coalesce(a.toks, CAST([] AS VARCHAR[])), '<eos>') AS t
+           FROM documents d LEFT JOIN
+             (SELECT w.doc_id, flatten(list(f.syms ORDER BY w.wi)) AS toks
+              FROM words w JOIN fin f USING (word) GROUP BY w.doc_id) a
+           USING (doc_id)
+           WHERE d.text IS NOT NULL),
+         o AS (SELECT source, doc_id, t, CAST(len(t) AS BIGINT) AS n,
+             CAST(coalesce(sum(len(t)) OVER (PARTITION BY source
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS st
+           FROM doctok WHERE len(t) > 0),
+         sp AS (SELECT source, t, n, st,
+             unnest(generate_series(st // 256, (st + n - 1) // 256)) AS b
+           FROM o),
+         pieces AS (SELECT source, b, st,
+             t[greatest(0, b*256 - st) + 1 : least(n, (b+1)*256 - st)] AS piece
+           FROM sp),
+         blocks AS (SELECT source, b AS block_id,
+             string_agg(array_to_string(piece, ' '), ' ' ORDER BY st) AS txt,
+             sum(len(piece)) AS nt
+           FROM pieces GROUP BY source, b)
+         SELECT source, CAST(block_id AS BIGINT) AS block_id,
+           CAST(nt AS BIGINT) AS n_tokens, md5(txt) AS h
+         FROM blocks ORDER BY source, block_id""",
 
     "q148_stream_distinct" ->
       """WITH hv AS (SELECT DISTINCT event_type,

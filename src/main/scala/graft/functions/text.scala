@@ -47,6 +47,21 @@ object text {
   /** Whitespace token count (0 for empty/blank). */
   def tokenCount(c: Column): Column = textStats(c).getField("n_tokens")
 
+  /** Tokenizer-EXACT token array: greedy BPE encode under a frozen merge
+    * list (native expression, [[graft.expressions.BpeRuntime]] contract).
+    * Learn merges with [[graft.ext.Bpe.learnMerges]]. Where [[tokenCount]]
+    * approximates by whitespace (2-3x off on code/CJK), this counts what a
+    * real tokenizer would emit.
+    */
+  def bpeTokens(c: Column, merges: Seq[(String, String)]): Column =
+    graft.expressions.BpeExpressions.bpeTokens(c, merges)
+
+  /** Exact BPE token count under a frozen merge list — the counting twin
+    * of [[bpeTokens]] (no array materialized).
+    */
+  def bpeTokenCount(c: Column, merges: Seq[(String, String)]): Column =
+    graft.expressions.BpeExpressions.bpeTokenCount(c, merges)
+
   /** A BPE-ish subword count: word-piece granularity — letter runs, digit
     * runs, single punctuation — approximating tokenizer granularity without
     * a vocab (`\p{L}+|\p{N}+|[^\p{L}\p{N} ]` after whitespace collapse).

@@ -188,8 +188,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // the classifier score, intra-doc dedup, blocklist check and line
     // filter are all literal-backed projections: any Exchange here means
     // a model/blocklist join or window snuck in
+    // q151: the BPE encode must ride as one reference-object projection —
+    // a vocab JOIN or UDF fallback would show up as an exchange here
     Seq("q128_quality_classifier", "q131_intradoc_dedup",
-      "q132_domain_blocklist", "q133_line_filter").foreach { q =>
+      "q132_domain_blocklist", "q133_line_filter", "q151_bpe_count").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
       // ignore the final presentation orderBy's range-partition exchange:
@@ -237,12 +239,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // aggregated frame: exactly one hash exchange (the groupBy shuffle)
     // may appear. The former |pairs|-branch union depended on optimizer
     // ReuseExchange for its single scan; this locks it structurally.
-    val plan = finalPlan("q150_correlation")
+    val full = finalPlan("q150_correlation")
+    // count in the FINAL adaptive plan only — the "Initial Plan" echo AQE
+    // appends repeats every node and would double-count
+    val plan = full.split("== Initial Plan ==").head
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(hashExchanges == 1,
-      s"q150 must have exactly one hash exchange, found $hashExchanges:\n$plan")
+      s"q150 must have exactly one hash exchange, found $hashExchanges:\n$full")
     assert(!plan.contains("Union"),
-      s"q150 must not union per-pair branches:\n$plan")
+      s"q150 must not union per-pair branches:\n$full")
   }
 
   test("q93: the bloom probe filters the fact scan stage, below the join") {
