@@ -1291,6 +1291,27 @@ object SparkEntry {
         .orderBy("s_suppkey", "p_suppkey")
     }),
 
+    "q153_fuzzy_join2" -> ((s, d) => {
+      // SymSpell at its standard radius: maxEdits=2 (2-deletion
+      // neighborhoods BOTH sides, length-difference prune before the
+      // levenshtein verify). Names carry two deterministic deletions; the
+      // oracle states the result AS the brute-force distance<=2 cross join
+      // — the blocking-completeness guarantee, now at radius 2.
+      val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_name"))
+      val pos1 = (col("s_suppkey") % length(col("s_name"))) + 1
+      val pert = sup
+        .withColumn("n1", concat(col("s_name").substr(lit(1), pos1 - 1),
+          col("s_name").substr(pos1 + 1, length(col("s_name")))))
+        .withColumn("pos2", (col("s_suppkey") * 7) % length(col("n1")) + 1)
+        .select((col("s_suppkey") + 100000L).as("p_suppkey"),
+          concat(col("n1").substr(lit(1), col("pos2") - 1),
+            col("n1").substr(col("pos2") + 1, length(col("n1")))).as("p_name"))
+      graft.ops.FuzzyJoin.symspellJoin(
+          sup, "s_suppkey", "s_name", pert, "p_suppkey", "p_name",
+          maxEdits = 2, maxBlock = 1 << 20)
+        .orderBy("s_suppkey", "p_suppkey")
+    }),
+
     "q147_stream_enrich" -> ((s, d) => {
       // stream-static enrichment: the event stream broadcast-joins the
       // customer dimension per micro-batch (no stream shuffle, no join
@@ -3475,6 +3496,23 @@ object SparkEntry {
            levenshtein(s.s_name, p.p_name) AS edit_distance
          FROM supplier s CROSS JOIN pert p
          WHERE levenshtein(s.s_name, p.p_name) <= 1
+         ORDER BY s.s_suppkey, p.p_suppkey""",
+
+    "q153_fuzzy_join2" ->
+      """WITH p1 AS (SELECT s_suppkey,
+             substr(s_name, 1, pos - 1) || substr(s_name, pos + 1) AS n1
+           FROM (SELECT s_suppkey, s_name,
+               CAST(s_suppkey % length(s_name) + 1 AS INT) AS pos
+             FROM supplier)),
+         pert AS (SELECT s_suppkey + 100000 AS p_suppkey,
+             substr(n1, 1, pos2 - 1) || substr(n1, pos2 + 1) AS p_name
+           FROM (SELECT s_suppkey, n1,
+               CAST((s_suppkey * 7) % length(n1) + 1 AS INT) AS pos2
+             FROM p1))
+         SELECT s.s_suppkey, s.s_name, p.p_suppkey, p.p_name,
+           levenshtein(s.s_name, p.p_name) AS edit_distance
+         FROM supplier s CROSS JOIN pert p
+         WHERE levenshtein(s.s_name, p.p_name) <= 2
          ORDER BY s.s_suppkey, p.p_suppkey""",
 
     "q145_cms_estimate" ->

@@ -10,10 +10,11 @@ class FuzzyJoinSpec extends AnyFunSuite with SparkSpec {
 
   private def link(
       l: Seq[(Long, String)], r: Seq[(Long, String)],
-      maxBlock: Int = 1000): Set[(Long, Long, Int)] =
+      maxBlock: Int = 1000, maxEdits: Int = 1): Set[(Long, Long, Int)] =
     FuzzyJoin.symspellJoin(
         l.toDF("lid", "lv"), "lid", "lv",
-        r.toDF("rid", "rv"), "rid", "rv", maxBlock)
+        r.toDF("rid", "rv"), "rid", "rv",
+        maxEdits = maxEdits, maxBlock = maxBlock)
       .select($"lid", $"rid", $"edit_distance")
       .as[(Long, Long, Int)].collect().toSet
 
@@ -69,5 +70,45 @@ class FuzzyJoinSpec extends AnyFunSuite with SparkSpec {
       .select($"lid", $"rid", levenshtein($"lv", $"rv").as("d"))
       .as[(Long, Long, Int)].collect().toSet
     assert(link(l, r, maxBlock = 1 << 20) == brute)
+  }
+
+  test("maxEdits=2: equals the brute-force distance<=2 join on a randomized corpus") {
+    // small alphabet + short words = dense distance-2 neighborhoods, the
+    // hard case for blocking completeness (substitution+substitution,
+    // insert+delete, transposition-as-two-subs all occur)
+    val rnd = new scala.util.Random(11)
+    val words = (1L to 50L).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(4))(('a' + rnd.nextInt(3)).toChar).mkString)
+    }
+    val l = words
+    val r = words.map { case (i, w) => (i + 1000L, w.reverse) }
+    val brute = l.toDF("lid", "lv").crossJoin(r.toDF("rid", "rv"))
+      .where(levenshtein($"lv", $"rv") <= 2)
+      .select($"lid", $"rid", levenshtein($"lv", $"rv").as("d"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(link(l, r, maxBlock = 1 << 20, maxEdits = 2) == brute)
+    // the d<=1 subset is unchanged by widening the radius
+    val d1 = brute.filter(_._3 <= 1)
+    assert(link(l, r, maxBlock = 1 << 20, maxEdits = 1) == d1)
+  }
+
+  test("maxEdits=2 finds two-substitution and insert+delete pairs d=1 misses") {
+    val got2 = link(Seq((1L, "kitten")), Seq((2L, "mutten"), (3L, "kittens!"),
+      (4L, "ktiten")), maxEdits = 2)
+    // mutten: 2 substitutions; ktiten: transposition = 2 edits here;
+    // kittens!: 2 insertions
+    assert(got2 == Set((1L, 2L, 2), (1L, 3L, 2), (1L, 4L, 2)))
+    assert(link(Seq((1L, "kitten")), Seq((2L, "mutten")), maxEdits = 1).isEmpty)
+  }
+
+  test("maxEdits=2: maxBlock still caps hot variant blocks from both sides") {
+    val l = (1L to 30L).map(i => (i, "hot")) :+ (99L, "quiet")
+    val r = (101L to 130L).map(i => (i, "hot")) :+ (199L, "quiet")
+    assert(link(l, r, maxBlock = 100, maxEdits = 2) == Set((99L, 199L, 0)))
+  }
+
+  test("maxEdits outside 1..2 is rejected") {
+    intercept[IllegalArgumentException](link(Seq((1L, "a")), Seq((2L, "b")), maxEdits = 3))
+    intercept[IllegalArgumentException](link(Seq((1L, "a")), Seq((2L, "b")), maxEdits = 0))
   }
 }
