@@ -118,4 +118,41 @@ object Sketches {
       (if (withExact) Seq(col("n_exact")) else Nil) :+ col("n_est")
     out.select(keep: _*)
   }
+
+  /** Per-group quantile estimates from the bounded
+    * [[graft.expressions.BottomKSample]] sketch:
+    * `(groupCols..., q, n_sample, est)` for each requested quantile.
+    *
+    * `hashKey` must be row-unique (an id, not the value) so the k
+    * smallest [[kmvHash]]es form a uniform row sample; `est` is the
+    * NEAREST-RANK-LOWER element `sample[floor(q * (n-1))]` of the
+    * value-sorted sample — an exact element pick, no interpolation, so
+    * the estimate is bit-identical to the SQL rebuild
+    * (`row_number() OVER (ORDER BY hv, v) <= k`, then the same element
+    * pick — q154). Sampling error on the quantile RANK is the binomial
+    * O(sqrt(q(1-q)/k)) (property-tested in QuantileSketchSpec).
+    *
+    * Scale: ONE map-side-combinable aggregation whose state and shuffle
+    * are O(k) pairs per (group, partition) — the bounded replacement for
+    * exact `percentile`, which shuffles every value (q37). The 100 TB
+    * per-group profiling statistic the exact aggregate cannot provide.
+    */
+  def quantileSketch(
+      df: DataFrame, groupCols: Seq[String], hashKey: Column,
+      valueCol: String, k: Int, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "quantiles must be within [0, 1]")
+    val sample = graft.expressions.BottomKSample.bottomKSample(
+      kmvHash(hashKey), col(valueCol).cast("double"), k)
+    df.where(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sample.as("__vals"))
+      .select(groupCols.map(col) :+
+        explode(array(qs.map(lit): _*)).as("q") :+ col("__vals"): _*)
+      .select(groupCols.map(col) ++ Seq(col("q"),
+        size(col("__vals")).cast("long").as("n_sample"),
+        element_at(col("__vals"),
+          floor(col("q") * (size(col("__vals")) - 1)).cast("int") + 1)
+          .as("est")): _*)
+  }
 }
