@@ -1312,6 +1312,20 @@ object SparkEntry {
         .orderBy("s_suppkey", "p_suppkey")
     }),
 
+    "q154_quantile_sketch" -> ((s, d) => {
+      // per-group quantile estimates from the bounded bottom-k-by-hash
+      // sample: O(k) state per group, ONE map-side-combinable aggregation
+      // — the scalable stand-in for exact percentile (q37), whose state is
+      // every value. The sample is a SET function of the group (merge-order
+      // independent), so the ESTIMATES themselves sit under the hash
+      // oracle: the SQL replays the identical k-smallest-(hash, value)
+      // slice and the identical nearest-rank-lower element pick.
+      graft.ext.Sketches.quantileSketch(
+        t(s, d, "documents"), Seq("source"), col("doc_id"), "n_chars",
+        k = 64, qs = Seq(0.25, 0.5, 0.75, 0.9))
+        .orderBy("source", "q")
+    }),
+
     "q147_stream_enrich" -> ((s, d) => {
       // stream-static enrichment: the event stream broadcast-joins the
       // customer dimension per micro-batch (no stream shuffle, no join
@@ -3514,6 +3528,30 @@ object SparkEntry {
          FROM supplier s CROSS JOIN pert p
          WHERE levenshtein(s.s_name, p.p_name) <= 2
          ORDER BY s.s_suppkey, p.p_suppkey""",
+
+    // bottom-k-by-hash quantile sketch replica: the k smallest
+    // (md5-prefix hash, value) pairs per source are the sample; the
+    // estimate is the nearest-rank-lower element sample[floor(q*(n-1))]
+    // of the value-sorted sample — the exact slice + element pick the
+    // engine computes, so estimates hash-match bit-for-bit
+    "q154_quantile_sketch" ->
+      """WITH h AS (SELECT source,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) AS hv,
+             CAST(n_chars AS DOUBLE) AS v
+           FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+         r AS (SELECT source, hv, v,
+             row_number() OVER (PARTITION BY source ORDER BY hv, v) AS rn
+           FROM h),
+         srt AS (SELECT source, v,
+             row_number() OVER (PARTITION BY source ORDER BY v) AS vr,
+             count(*) OVER (PARTITION BY source) AS n
+           FROM r WHERE rn <= 64),
+         qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS q)
+         SELECT s.source, qs.q, CAST(s.n AS BIGINT) AS n_sample, s.v AS est
+         FROM srt s CROSS JOIN qs
+         WHERE s.vr = CAST(floor(qs.q * (s.n - 1)) AS INT) + 1
+         ORDER BY source, q""",
 
     "q145_cms_estimate" ->
       """WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),

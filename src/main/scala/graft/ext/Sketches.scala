@@ -144,7 +144,9 @@ object Sketches {
       "quantiles must be within [0, 1]")
     val sample = graft.expressions.BottomKSample.bottomKSample(
       kmvHash(hashKey), col(valueCol).cast("double"), k)
-    df.where(col(valueCol).isNotNull)
+    // hashKey nulls must go too: a group whose keys are ALL null would
+    // otherwise produce an empty sample and element_at(..., 1) would throw
+    df.where(col(valueCol).isNotNull && hashKey.isNotNull)
       .groupBy(groupCols.map(col): _*)
       .agg(sample.as("__vals"))
       .select(groupCols.map(col) :+

@@ -90,7 +90,6 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
 
   test("duplicate and whitespace-bearing merge pairs are rejected") {
     intercept[IllegalArgumentException] {
-      enc("x") // force evaluation with a bad list
       Seq("x").toDF("t")
         .select(Bpe.tokens(col("t"), Seq(("a", "b"), ("a", "b"))))
         .collect()
