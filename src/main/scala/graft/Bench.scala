@@ -8,15 +8,71 @@ object Bench {
   private val NoiseThreshold = 3.0
   private val MaxAttempts = 3
 
+  /** Per-query inflation flag vs the previous round's artifact: a query
+    * above this multiple of its prior time is either a real regression or
+    * (the round-8 incident) host contention the endpoint canary missed —
+    * lv 1.99 passed while untouched mid-weight queries ran up to 5.8x
+    * slow. Either way the artifact must say so, and a flagged attempt
+    * retries like the lv gate.
+    */
+  private val InflationThreshold = 2.5
+  // sub-300ms queries whipsaw 2.5x on scheduler jitter alone — only flag
+  // queries whose prior time was substantial enough to trust the ratio
+  private val InflationFloorSec = 0.3
+
   private case class Attempt(
       results: Seq[(String, Double)],
       canaryFirst: Double, canaryLast: Double,
-      loadVariance: Double, total: Double)
+      loadVariance: Double, total: Double, inflated: Seq[String])
+
+  /** Per-query PRIOR FLOOR (short qNN keys): the minimum time each query
+    * achieved across the newest three BENCH_r*.json artifacts in the
+    * working directory (the driver writes them at the repo root). The min
+    * matters: a single prior artifact can itself be contaminated (round 8
+    * was), which would mask inflation in the next round. Hand-rolled
+    * extraction of the flat "queries" object — no JSON library on the
+    * runtime classpath, and the shape is machine-written on this
+    * program's own contract.
+    */
+  private def priorTimes(): Map[String, Double] = {
+    val dir = new java.io.File(".")
+    val arts = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+      .sortBy(f => -f.getName.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
+      .take(3)
+    val perArtifact = arts.toSeq.map { art =>
+      try {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(art.toPath), "UTF-8")
+        val qs = txt.indexOf("\"queries\":{")
+        if (qs < 0) Map.empty[String, Double]
+        else {
+          val body = txt.substring(qs + 11, txt.indexOf('}', qs))
+          body.split(',').flatMap { kv =>
+            kv.split(':') match {
+              case Array(k, v) =>
+                try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
+                catch { case _: NumberFormatException => None }
+              case _ => None
+            }
+          }.toMap
+        }
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    }
+    perArtifact.flatten.groupMapReduce(_._1)(_._2)(math.min)
+      .filter(_._2 > 0)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
+    // optional args restrict the battery to the named queries — the dev
+    // loop for timing ONE query without paying the full battery (the
+    // emitted JSON is then a partial artifact: "partial":true)
+    val only = args.toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     val spark = GraftSession.local(cpus.toInt, "graft-bench")
     // One-time physical layout (bucketed-table writes) must not be charged
     // to a timed query; q46 then plans straight against the existing tables.
@@ -47,9 +103,13 @@ object Bench {
     // attempt as contaminated (round-5's 2558s-vs-183s incident; a round-6
     // run showed 2.4x total inflation with CLEAN endpoints, which is why the
     // canary samples mid-battery too) rather than a code regression.
+    val prior = priorTimes()
     def runBattery(): Attempt = {
       val canaries = scala.collection.mutable.ArrayBuffer(timed("q12_scalar_funcs"))
-      val results = SparkEntry.queries.zipWithIndex.map { case ((name, _), i) =>
+      val battery =
+        if (only.isEmpty) SparkEntry.queries
+        else SparkEntry.queries.view.filterKeys(only).toMap
+      val results = battery.zipWithIndex.map { case ((name, _), i) =>
         if (i > 0 && i % 20 == 0) canaries += timed("q12_scalar_funcs")
         name -> timed(name)
       }.toSeq
@@ -59,7 +119,20 @@ object Bench {
         if (valid.nonEmpty && valid.size == canaries.size) valid.max / valid.min
         else -1.0
       val total = results.collect { case (_, v) if v >= 0 => v }.sum
-      Attempt(results, canaries.head, canaries.last, loadVar, total)
+      // cross-artifact self-check (the round-8 failure mode): any query
+      // at > InflationThreshold x its previous-round time is flagged.
+      // Bench cannot know which queries THIS round's code touched, so the
+      // list may legitimately name a real regression — the point is the
+      // artifact can never again silently absorb a 5.8x-inflated timing.
+      val inflated = results.collect {
+        case (name, v) if v > 0 =>
+          val short = name.takeWhile(_ != '_')
+          prior.get(short) match {
+            case Some(p) if p >= InflationFloorSec && v > p * InflationThreshold => Some(short)
+            case _ => None
+          }
+      }.flatten
+      Attempt(results, canaries.head, canaries.last, loadVar, total, inflated)
     }
     // Contaminated-attempt retry: a poisoned measurement must never become
     // the round's artifact just because it ran first. Re-run the battery
@@ -68,12 +141,19 @@ object Bench {
     // and into the JSON so the retry history is auditable). loadVariance<0
     // means the canary itself failed — a code problem retries cannot fix.
     val attempts = scala.collection.mutable.ArrayBuffer(runBattery())
-    while (attempts.size < MaxAttempts && attempts.last.loadVariance > NoiseThreshold) {
-      System.err.println(f"[bench] attempt ${attempts.size} contaminated: " +
-        f"load_variance ${attempts.last.loadVariance}%.2f > $NoiseThreshold (total ${attempts.last.total}%.1f s) — retrying")
+    def suspect(a: Attempt) = a.loadVariance > NoiseThreshold || a.inflated.nonEmpty
+    while (attempts.size < MaxAttempts && suspect(attempts.last)) {
+      val a = attempts.last
+      System.err.println(f"[bench] attempt ${attempts.size} suspect: " +
+        f"load_variance ${a.loadVariance}%.2f (gate $NoiseThreshold), " +
+        s"inflated vs prior round: [${a.inflated.mkString(",")}] " +
+        f"(total ${a.total}%.1f s) — retrying")
       attempts += runBattery()
     }
-    val chosen = attempts.minBy(a => if (a.loadVariance < 0) Double.MaxValue else a.loadVariance)
+    // fewest cross-artifact flags wins; loadVariance breaks ties (a real
+    // regression flags every attempt equally and the annotation survives)
+    val chosen = attempts.minBy(a =>
+      (a.inflated.size, if (a.loadVariance < 0) Double.MaxValue else a.loadVariance))
     attempts.zipWithIndex.foreach { case (a, i) =>
       System.err.println(f"[bench] attempt ${i + 1}: total ${a.total}%.2f s, load_variance ${a.loadVariance}%.2f" +
         (if (a eq chosen) " (chosen)" else ""))
@@ -89,7 +169,9 @@ object Bench {
       s"\"" + k.takeWhile(_ != '_') + "\":" + f(v)
     }.mkString("{", ",", "}")
     val attemptVars = attempts.map(a => f(a.loadVariance)).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f(chosen.total)},"unit":"sec","canary_first":${f(chosen.canaryFirst)},"canary_last":${f(chosen.canaryLast)},"load_variance":${f(chosen.loadVariance)},"attempt":${attempts.indexOf(chosen) + 1},"attempt_variances":$attemptVars,"queries":$qs,"sf":"$sfDir"}""")
+    val inflatedJson = chosen.inflated.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val partial = if (only.nonEmpty) "\"partial\":true," else ""
+    println(s"""{"metric":"total","value":${f(chosen.total)},"unit":"sec",$partial"canary_first":${f(chosen.canaryFirst)},"canary_last":${f(chosen.canaryLast)},"load_variance":${f(chosen.loadVariance)},"attempt":${attempts.indexOf(chosen) + 1},"attempt_variances":$attemptVars,"inflated":$inflatedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -94,16 +94,25 @@ object Profile {
     *
     * Input domain: values are cast to `decimal(18, sumScale)`, so
     * magnitudes must stay below `10^(18-sumScale)` (1e14 at the default
-    * scale) — larger values null out under non-ANSI cast and would be
-    * silently excluded; widen `sumScale` down (or pre-scale the column)
-    * for astronomical magnitudes.
+    * scale) — larger values null out under non-ANSI cast, and a row whose
+    * cast nulled is treated as incomplete for every pair that column
+    * touches (consistent: `n` always counts exactly the rows the moments
+    * summed); widen `sumScale` down (or pre-scale the column) for
+    * astronomical magnitudes.
     *
-    * Scale: ONE pass, one map-side-combinable aggregation per group —
-    * 6·|pairs| conditional moment columns, all codegen'd. The tall output
-    * shape is a row-local `explode` of |pairs| structs over that single
-    * aggregated frame: one plan branch, one Exchange, single-scan by
-    * construction (not by optimizer exchange-reuse) — locked by
-    * PlanAuditSpec.
+    * Scale: ONE pass, one map-side-combinable aggregation, TALL from the
+    * start — each row explodes into |pairs| structs keyed by a pair
+    * ordinal, and the aggregation is six plain moment sums over
+    * `(groupCols..., pair)`. The wide alternative (6·|pairs| conditional
+    * agg columns) generates O(|pairs|) codegen that at 3 value columns
+    * already took a two-digit-second janino compile and at 20 would not
+    * compile at all; here generated code size is CONSTANT in |pairs|.
+    * Each column's decimal square is computed once per row and shared
+    * across its pairs (|cols| + |pairs| multiplies per row, not
+    * 3·|pairs|), the cross product null-propagates with no branch, and
+    * the pair key is an int (names rejoined from a literal array after
+    * the agg). Still one plan branch, one Exchange, single-scan by
+    * construction — locked by PlanAuditSpec.
     */
   def correlationMatrix(
       df: DataFrame, groupCols: Seq[String], valueCols: Seq[String],
@@ -111,36 +120,46 @@ object Profile {
     require(valueCols.size >= 2, "need at least two value columns")
     valueCols.foreach(c =>
       require(df.columns.contains(c), s"column $c not found"))
-    def dec(c: String) = col(c).cast(s"decimal(18,$sumScale)")
     val pairs = for {
       i <- valueCols.indices; j <- valueCols.indices if i < j
-    } yield (valueCols(i), valueCols(j))
-    val aggs = pairs.flatMap { case (x, y) =>
-      val both = col(x).isNotNull && col(y).isNotNull
-      def s(e: Column, nm: String) =
-        sum(when(both, e)).cast("double").as(nm)
-      Seq(
-        count(when(both, 1)).as(s"__n_${x}__$y"),
-        s(dec(x), s"__sx_${x}__$y"), s(dec(y), s"__sy_${x}__$y"),
-        s(dec(x) * dec(x), s"__sxx_${x}__$y"),
-        s(dec(y) * dec(y), s"__syy_${x}__$y"),
-        s(dec(x) * dec(y), s"__sxy_${x}__$y"))
+    } yield (i, j)
+    def d(i: Int) = col(s"__d$i")
+    def sq(i: Int) = col(s"__s$i")
+    // stage 1: cast once per column; stage 2: square once per column
+    // (shared by every pair that column appears in)
+    val casted = df.select(groupCols.map(col) ++
+      valueCols.zipWithIndex.map { case (c, i) =>
+        col(c).cast(s"decimal(18,$sumScale)").as(s"__d$i") }: _*)
+    val squared = casted.select(col("*") +:
+      valueCols.indices.map(i => (d(i) * d(i)).as(s"__s$i")): _*)
+    val pairStructs = pairs.zipWithIndex.map { case ((i, j), p) =>
+      val both = d(i).isNotNull && d(j).isNotNull
+      struct(lit(p).as("pi"),
+        when(both, d(i)).as("x"), when(both, d(j)).as("y"),
+        when(both, sq(i)).as("xx"), when(both, sq(j)).as("yy"),
+        (d(i) * d(j)).as("xy")) // null when either side is — no branch
     }
-    val g = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    val rows = pairs.map { case (x, y) =>
-      val n = col(s"__n_${x}__$y").cast("double")
-      val (sx, sy) = (col(s"__sx_${x}__$y"), col(s"__sy_${x}__$y"))
-      val (sxx, syy, sxy) = (col(s"__sxx_${x}__$y"),
-        col(s"__syy_${x}__$y"), col(s"__sxy_${x}__$y"))
-      val den = sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-      struct(lit(x).as("col_x"), lit(y).as("col_y"),
-        col(s"__n_${x}__$y").as("n"),
-        when(den > 0.0, (n * sxy - sx * sy) / den).as("corr"))
-    }
-    g.select(groupCols.map(col) :+ explode(array(rows: _*)).as("__p"): _*)
-      .select(groupCols.map(col) ++ Seq(
-        col("__p.col_x").as("col_x"), col("__p.col_y").as("col_y"),
-        col("__p.n").as("n"), col("__p.corr").as("corr")): _*)
+    val g = squared
+      .select(groupCols.map(col) :+
+        explode(array(pairStructs: _*)).as("__p"): _*)
+      .groupBy(groupCols.map(col) :+ col("__p.pi").as("pi"): _*)
+      .agg(count(col("__p.x")).as("n"),
+        sum(col("__p.x")).cast("double").as("sx"),
+        sum(col("__p.y")).cast("double").as("sy"),
+        sum(col("__p.xx")).cast("double").as("sxx"),
+        sum(col("__p.yy")).cast("double").as("syy"),
+        sum(col("__p.xy")).cast("double").as("sxy"))
+    val n = col("n").cast("double")
+    val den = sqrt((n * col("sxx") - col("sx") * col("sx")) *
+      (n * col("syy") - col("sy") * col("sy")))
+    val nameX = array(pairs.map { case (i, _) => lit(valueCols(i)) }: _*)
+    val nameY = array(pairs.map { case (_, j) => lit(valueCols(j)) }: _*)
+    g.select(groupCols.map(col) ++ Seq(
+      element_at(nameX, col("pi") + 1).as("col_x"),
+      element_at(nameY, col("pi") + 1).as("col_y"),
+      col("n"),
+      when(den > 0.0,
+        (n * col("sxy") - col("sx") * col("sy")) / den).as("corr")): _*)
   }
 
   def quantileTrim(
