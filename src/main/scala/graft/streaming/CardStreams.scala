@@ -25,8 +25,8 @@ import graft.functions.text
   * artifact.
   *
   * Restart contract: with `checkpointDir` set, the counters are PERSISTED
-  * beside the checkpoint (`<checkpointDir>/card_state`, the
-  * [[graft.ext.Dedup.saveMinhashState]] manifest pattern) after every
+  * beside the checkpoint (`<checkpointDir>/card_state`, batch-versioned
+  * directories behind an atomically-swapped manifest) after every
   * batch and reloaded on start, tagged with the last applied batchId. A
   * restarted run therefore resumes BOTH the source offsets (from the
   * checkpoint) and the counters (from the state dir) — and because a
@@ -48,37 +48,65 @@ object CardStreams {
   private val cardDirName = "card"
   private val manifestName = "card_manifest"
 
-  /** (loaded card, last applied batchId); (None, -1) when no complete
-    * persisted state exists — manifest + `_SUCCESS` required, so a torn
-    * save is never served (the loadMinhashState contract).
+  private def versionDir(stateDir: java.io.File, batchId: Long) =
+    new java.io.File(stateDir, s"${cardDirName}_$batchId")
+
+  /** (loaded card, last applied batchId); (None, -1) when no persisted
+    * state exists. The manifest names the batch whose `card_<batchId>`
+    * directory is current; because the manifest is only ever swapped
+    * atomically AFTER that directory is fully written, a manifest that
+    * exists always points at a complete card (`_SUCCESS` is still
+    * required, defensively).
     */
   private def loadCardState(
       spark: SparkSession, stateDir: java.io.File): (Option[DataFrame], Long) = {
     val manifest = new java.io.File(stateDir, manifestName)
-    val card = new java.io.File(stateDir, cardDirName)
-    if (!manifest.exists() || !new java.io.File(card, "_SUCCESS").exists())
-      (None, -1L)
+    if (!manifest.exists()) (None, -1L)
     else {
       val lastApplied =
         new String(Files.readAllBytes(manifest.toPath), UTF_8).trim.toLong
-      (Some(spark.read.parquet(card.toString)), lastApplied)
+      val card = versionDir(stateDir, lastApplied)
+      if (!new java.io.File(card, "_SUCCESS").exists()) (None, -1L)
+      else (Some(spark.read.parquet(card.toString)), lastApplied)
     }
   }
 
-  /** Crash-safe save: invalidate the manifest, overwrite the card parquet,
-    * recreate the manifest carrying `batchId` only after the write
-    * succeeds. `next` must already be materialized (localCheckpoint) —
-    * the overwrite clobbers the files a previously-loaded lazy state
-    * would still be reading.
+  /** Crash-safe save with NO lossy window: write the card to a fresh
+    * batch-versioned directory, then atomically swap the manifest to
+    * point at it, then garbage-collect superseded versions. A crash at
+    * any instant leaves the manifest pointing at a complete older card —
+    * the in-place-overwrite scheme this replaces had a window (manifest
+    * deleted, card half-overwritten) where restart loaded (None, -1)
+    * while the stream's committed offsets never replayed the lost
+    * batches: silent total counter loss. `next` must already be
+    * materialized (localCheckpoint) so this write never reads the
+    * directory it is about to supersede.
     */
   private def saveCardState(
       next: DataFrame, stateDir: java.io.File, batchId: Long): Unit = {
     stateDir.mkdirs()
-    val manifest = new java.io.File(stateDir, manifestName)
-    manifest.delete()
-    next.write.mode("overwrite")
-      .parquet(new java.io.File(stateDir, cardDirName).toString)
-    Files.write(manifest.toPath, batchId.toString.getBytes(UTF_8))
+    val dir = versionDir(stateDir, batchId)
+    next.write.mode("overwrite").parquet(dir.toString)
+    val manifest = new java.io.File(stateDir, manifestName).toPath
+    val tmp = new java.io.File(stateDir, manifestName + ".tmp").toPath
+    Files.write(tmp, batchId.toString.getBytes(UTF_8))
+    try Files.move(tmp, manifest,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(tmp, manifest,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // only after the commit: drop every older card_<id> version
+    Option(stateDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(cardDirName + "_")
+        && f.getName != dir.getName)
+      .foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
   }
 
   def streamingDataCard(

@@ -74,4 +74,41 @@ class CardStreamsSpec extends AnyFunSuite with SparkSpec {
       .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(run3 == batch, s"no-new-data rerun must serve the persisted card, got $run3")
   }
+
+  test("crash mid-save: a torn new version never loses the committed card") {
+    // the round-8 advisory: the old in-place save had a window (manifest
+    // deleted, card parquet half-overwritten) where a crash silently
+    // zeroed all counters while committed offsets never replayed. The
+    // versioned scheme must serve the PREVIOUS complete card whenever the
+    // newest version directory is torn. Simulate the exact crash instant:
+    // after run 1 commits its card, plant a half-written newer version
+    // (parquet dir without _SUCCESS, no manifest swap — a crash between
+    // the data write and the manifest commit).
+    import java.nio.file.{Files => JFiles, Paths}
+    val batch = Report.dataCard(fixture, Seq("source"), "text")
+      .select("source", "n_docs", "sum_tokens", "n_quality_pass")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val stagedDir = staged(Seq(3L))
+    val ckpt = JFiles.createTempDirectory("graft_card_ckpt2").toString
+    val parked = JFiles.createTempDirectory("graft_card_parked2")
+    val slice1 = Paths.get(stagedDir, "batch_0001.parquet")
+    JFiles.move(slice1, parked.resolve("batch_0001.parquet"))
+    val run1 = CardStreams.streamingDataCard(spark, stagedDir,
+        shufflePartitions = Some(4), checkpointDir = Some(ckpt))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run1.map(_._1) == Seq("a"), s"precondition failed: $run1")
+    // the torn next version: data file but NO _SUCCESS, manifest untouched
+    val stateDir = Paths.get(ckpt, "card_state")
+    val torn = stateDir.resolve("card_99")
+    JFiles.createDirectories(torn)
+    JFiles.write(torn.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+    JFiles.move(parked.resolve("batch_0001.parquet"), slice1)
+    val run2 = CardStreams.streamingDataCard(spark, stagedDir,
+        shufflePartitions = Some(4), checkpointDir = Some(ckpt))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run2 == batch,
+      s"torn version must not shadow the committed card; want $batch got $run2")
+    // and the torn orphan was garbage-collected by the next commit
+    assert(!JFiles.exists(torn), "superseded/orphan versions must be GC'd")
+  }
 }
