@@ -1312,6 +1312,22 @@ object SparkEntry {
         .orderBy("s_suppkey", "p_suppkey")
     }),
 
+    "q155_fuzzy_cap_audit" -> ((s, d) => {
+      // cap telemetry as data: the variants the maxBlock stop-gram guard
+      // would drop from a self-linkage on market segment (5 values x ~300
+      // rows each — every variant block is quadratic-hot). The audit is
+      // the join's own guard aggregation surfaced instead of silently
+      // anti-joined away; the oracle replays the deletion neighborhood
+      // and the n_l*n_r > maxBlock cut in SQL
+      val c = t(s, d, "customer")
+      graft.ops.FuzzyJoin.symspellJoinAudit(
+          c, "c_custkey", "c_mktsegment",
+          c.withColumnRenamed("c_custkey", "c_custkey_r"),
+          "c_custkey_r", "c_mktsegment",
+          maxEdits = 1, maxBlock = 1000)
+        .orderBy("variant")
+    }),
+
     "q154_quantile_sketch" -> ((s, d) => {
       // per-group quantile estimates from the bounded bottom-k-by-hash
       // sample: O(k) state per group, ONE map-side-combinable aggregation
@@ -3528,6 +3544,24 @@ object SparkEntry {
          FROM supplier s CROSS JOIN pert p
          WHERE levenshtein(s.s_name, p.p_name) <= 2
          ORDER BY s.s_suppkey, p.p_suppkey""",
+
+    // deletion-neighborhood replay: per id the DISTINCT variants (the
+    // string itself + each single-char deletion), per-variant counts on
+    // each side, then the same n_l * n_r > maxBlock cut the guard makes
+    "q155_fuzzy_cap_audit" ->
+      """WITH l AS (SELECT c_custkey AS id, c_mktsegment AS v FROM customer
+             WHERE c_mktsegment IS NOT NULL AND len(c_mktsegment) > 0),
+         vars AS (SELECT DISTINCT id, variant FROM (
+           SELECT id, v AS variant FROM l
+           UNION ALL
+           SELECT id, substr(v, 1, CAST(i AS INT) - 1)
+                   || substr(v, CAST(i AS INT) + 1) AS variant
+           FROM l, unnest(generate_series(1, len(v))) AS t(i)
+         )),
+         cnt AS (SELECT variant, count(*) AS n FROM vars GROUP BY 1)
+         SELECT variant, n AS n_left, n AS n_right,
+           n * n AS candidates_dropped
+         FROM cnt WHERE n * n > 1000 ORDER BY variant""",
 
     // bottom-k-by-hash quantile sketch replica: the k smallest
     // (md5-prefix hash, value) pairs per source are the sample; the

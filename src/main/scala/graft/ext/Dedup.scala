@@ -131,6 +131,28 @@ object Dedup {
       buckets: DataFrame, idCol: String, maxBucket: Int): DataFrame =
     pairsFromSizedBuckets(dropOversizedBuckets(buckets, maxBucket), idCol)
 
+  /** Cap telemetry for the `maxBucket` skew guard: the (band, bh) buckets
+    * the minhash family's [[dropOversizedBuckets]] silently removes under
+    * the SAME parameters, as `(band, bh, bucket_size, pairs_dropped)`
+    * with `pairs_dropped = size*(size-1)/2` (the candidate pairs that
+    * bucket would have emitted). Empty output = the cap cost nothing on
+    * this corpus; a 100 TB run inspects this BEFORE trusting recall.
+    * One bounded aggregation over the banding — no self-join, so the
+    * audit is strictly cheaper than the dedup it audits.
+    */
+  def bucketCapAudit(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val sig = minhashSignature(df, idCol, textCol, numHashes, shingleK)
+    bandBuckets(sig, idCol, numHashes, bands)
+      .groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .where(col("bucket_size") > maxBucket)
+      .withColumn("pairs_dropped",
+        (col("bucket_size") * (col("bucket_size") - 1) / 2).cast("long"))
+  }
+
   /** MinHash-LSH near-duplicate pairs, verified with EXACT Jaccard over the
     * shingle sets. Returns `(id_l, id_r, jaccard)` with `jaccard >=
     * threshold`, `id_l < id_r`.

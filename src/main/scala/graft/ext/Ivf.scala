@@ -88,6 +88,33 @@ object Ivf {
     Model(centroids)
   }
 
+  /** Cap telemetry for `maxTrainRows`: one row
+    * `(n_total, n_trained, kept_fraction)` describing exactly the
+    * training sample [[train]] would use under the same cap — the same
+    * deterministic hash filter, so `n_trained` counts the actual rows,
+    * not an expectation. `n_total == n_trained` = the cap cost nothing;
+    * otherwise the quantizer fitted on `kept_fraction` of the corpus
+    * (recall depends on the sample being representative, which a 100 TB
+    * run verifies here rather than assumes).
+    */
+  def trainCapAudit(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      maxTrainRows: Long = 1000000L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val all = corpus.select(col(idCol).as("id"))
+    val granularity = 1L << 31
+    val n = all.count()
+    val trained =
+      if (maxTrainRows > 0 && n > maxTrainRows) {
+        val bound = math.max(1L,
+          (maxTrainRows.toDouble / n * granularity).toLong)
+        all.where(pmod(xxhash64(col("id")), lit(granularity)) < bound).count()
+      } else n
+    Seq((n, trained, if (n == 0) 1.0 else trained.toDouble / n))
+      .toDF("n_total", "n_trained", "kept_fraction")
+  }
+
   /** Differential-testable quantizer: centroids are simply the `k` corpus
     * vectors with the smallest `md5(CAST(id AS string))` (ties by id) — no
     * Lloyd iteration, so the whole model is reproducible from the data in

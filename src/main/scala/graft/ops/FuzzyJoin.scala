@@ -60,6 +60,43 @@ object FuzzyJoin {
     array_distinct(all)
   }
 
+  /** Variants whose left-count x right-count candidate volume exceeds
+    * `maxBlock`: `(__fz_variant, __n_l, __n_r)`.
+    */
+  private def hotVariants(
+      lv: DataFrame, rv: DataFrame, maxBlock: Int): DataFrame =
+    lv.groupBy(col("__fz_variant")).agg(count(lit(1)).as("__n_l"))
+      .join(rv.groupBy(col("__fz_variant")).agg(count(lit(1)).as("__n_r")),
+        Seq("__fz_variant"))
+      .where(col("__n_l") * col("__n_r") > maxBlock)
+
+  /** Cap telemetry for the `maxBlock` stop-gram guard: the variants
+    * [[symspellJoin]] drops under the SAME parameters, as
+    * `(variant, n_left, n_right, candidates_dropped)` —
+    * `candidates_dropped` is the candidate volume that block would have
+    * joined (an upper bound on missed matches through it; a true pair
+    * sharing a SURVIVING variant is still found). Empty output = the cap
+    * cost nothing. The audit is the join's own guard aggregation
+    * returned instead of anti-joined away — strictly cheaper than the
+    * join it audits.
+    */
+  def symspellJoinAudit(
+      left: DataFrame, idL: String, valL: String,
+      right: DataFrame, idR: String, valR: String,
+      maxEdits: Int = 1,
+      maxBlock: Int = 1000): DataFrame = {
+    require(maxEdits == 1 || maxEdits == 2, "maxEdits must be 1 or 2")
+    def side(df: DataFrame, id: String, v: String): DataFrame =
+      df.select(col(id), col(v))
+        .where(col(v).isNotNull && length(col(v)) > 0)
+        .select(col(id),
+          explode(delVariants(col(v), maxEdits)).as("__fz_variant"))
+    hotVariants(side(left, idL, valL), side(right, idR, valR), maxBlock)
+      .select(col("__fz_variant").as("variant"),
+        col("__n_l").as("n_left"), col("__n_r").as("n_right"),
+        (col("__n_l") * col("__n_r")).as("candidates_dropped"))
+  }
+
   /** Distance-(<=maxEdits) pairs `(leftId, leftVal, rightId, rightVal,
     * edit_distance)` between `left(idL, valL)` and `right(idR, valR)`.
     * `maxEdits` must be 1 or 2 (2 is the SymSpell standard for dirty-key
@@ -86,11 +123,7 @@ object FuzzyJoin {
     val rv = side(right, idR, valR)
     // stop-gram cap: variants whose total membership exceeds maxBlock
     // are dropped before the join (bounded agg, broadcast to both sides)
-    val hot = lv.groupBy(col("__fz_variant")).agg(count(lit(1)).as("__n_l"))
-      .join(rv.groupBy(col("__fz_variant")).agg(count(lit(1)).as("__n_r")),
-        Seq("__fz_variant"))
-      .where(col("__n_l") * col("__n_r") > maxBlock)
-      .select(col("__fz_variant"))
+    val hot = hotVariants(lv, rv, maxBlock).select(col("__fz_variant"))
     val cand = lv.join(broadcast(hot), Seq("__fz_variant"), "left_anti")
       .join(rv.join(broadcast(hot), Seq("__fz_variant"), "left_anti"),
         Seq("__fz_variant"))

@@ -456,4 +456,28 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       Dedup.segmentDedup(df, "doc_id", "text", width = 2, minCount = 1)
     }
   }
+
+  test("bucketCapAudit surfaces exactly what the maxBucket guard drops") {
+    // synthetic hot key: 12 identical docs share every band bucket (16
+    // bands), 2 distinct docs sit alone — with maxBucket = 8 the audit
+    // must name 16 buckets of size 12, each worth 12*11/2 dropped pairs
+    val docs = ((1L to 12L).map(i =>
+      (i, "the same boilerplate footer text appears on every page")) ++
+      Seq((21L, "a genuinely unique document about alpine botany"),
+        (22L, "another unique document entirely about deep sea mining")))
+      .toDF("doc_id", "text")
+    val audit = Dedup.bucketCapAudit(docs, "doc_id", "text", maxBucket = 8)
+      .select("bucket_size", "pairs_dropped")
+      .as[(Long, Long)].collect().toSeq
+    assert(audit.size == 16 && audit.forall(_ == ((12L, 66L))), s"got $audit")
+    // consistency: under the same cap the pairs those buckets carried are
+    // gone from the join...
+    assert(Dedup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.5, maxBucket = 8).isEmpty)
+    // ...and with the cap above the hot size the audit is empty and the
+    // pairs come back
+    assert(Dedup.bucketCapAudit(docs, "doc_id", "text", maxBucket = 12).isEmpty)
+    assert(Dedup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.5, maxBucket = 12).count() == 66L)
+  }
 }

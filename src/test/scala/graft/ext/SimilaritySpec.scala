@@ -89,6 +89,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out.count() == 5)
   }
 
+  test("trainCapAudit reports the exact deterministic training sample") {
+    val n = clustered.count()
+    // cap below the corpus: n_trained must equal the count of rows the
+    // train() hash filter keeps — replicate it independently here
+    val cap = 12L
+    val granularity = 1L << 31
+    val bound = math.max(1L, (cap.toDouble / n * granularity).toLong)
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    val expected = clustered.where(
+      pmod(xxhash64($"vec_id"), lit(granularity)) < bound).count()
+    val got = Ivf.trainCapAudit(clustered, "vec_id", "embedding", cap)
+      .as[(Long, Long, Double)].collect().head
+    assert(got._1 == n && got._2 == expected && got._3 == expected.toDouble / n,
+      s"got $got")
+    assert(got._2 > 0 && got._2 < n, "cap must actually bite in this fixture")
+    // cap off (0) and cap above n: nothing dropped, fraction exactly 1
+    assert(Ivf.trainCapAudit(clustered, "vec_id", "embedding", 0L)
+      .as[(Long, Long, Double)].collect().head == ((n, n, 1.0)))
+    assert(Ivf.trainCapAudit(clustered, "vec_id", "embedding", n + 5)
+      .as[(Long, Long, Double)].collect().head == ((n, n, 1.0)))
+  }
+
   test("portableSeedModel: deterministic md5-seeded centroids drawn from the corpus") {
     val m1 = Ivf.portableSeedModel(clustered, "vec_id", "embedding", k = 4)
     val m2 = Ivf.portableSeedModel(clustered, "vec_id", "embedding", k = 4)

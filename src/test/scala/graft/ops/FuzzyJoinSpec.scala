@@ -111,4 +111,27 @@ class FuzzyJoinSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](link(Seq((1L, "a")), Seq((2L, "b")), maxEdits = 3))
     intercept[IllegalArgumentException](link(Seq((1L, "a")), Seq((2L, "b")), maxEdits = 0))
   }
+
+  test("symspellJoinAudit surfaces exactly what the maxBlock cap drops") {
+    // synthetic hot key: 30x30 "hot" would emit 900 candidates through the
+    // exact-string variant — over a cap of 100 — while "quiet" survives
+    val l = ((1L to 30L).map(i => (i, "hot")) :+ (99L, "quiet")).toDF("lid", "lv")
+    val r = ((101L to 130L).map(i => (i, "hot")) :+ (199L, "quiet")).toDF("rid", "rv")
+    val audit = FuzzyJoin.symspellJoinAudit(
+        l, "lid", "lv", r, "rid", "rv", maxEdits = 1, maxBlock = 100)
+      .as[(String, Long, Long, Long)].collect().toSet
+    // every variant of "hot" (itself + 3 deletions) is a 30x30 block;
+    // no "quiet" variant appears
+    assert(audit == Set("hot", "ot", "ht", "ho").map(v => (v, 30L, 30L, 900L)),
+      s"got $audit")
+    // and the join under the same cap indeed dropped those matches
+    assert(link(
+      (1L to 30L).map(i => (i, "hot")) :+ (99L, "quiet"),
+      (101L to 130L).map(i => (i, "hot")) :+ (199L, "quiet"),
+      maxBlock = 100) == Set((99L, 199L, 0)))
+    // a cap the data never hits audits empty
+    assert(FuzzyJoin.symspellJoinAudit(
+      l, "lid", "lv", r, "rid", "rv", maxEdits = 1, maxBlock = 1000)
+      .isEmpty)
+  }
 }
