@@ -41,21 +41,30 @@ object BpeExpressions {
     m
   }
 
+  /** Shared word-encode memo size: the Zipf head of any natural corpus
+    * fits well inside 64k distinct words; `memoEntries = 0` disables
+    * caching (every word re-encodes — the differential-test mode).
+    */
+  val DefaultMemoEntries: Int = 1 << 16
+
   /** BPE token array (`array<string>`) of the input under `merges`. */
-  case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+  case class BpeEncode(child: Expression, merges: Seq[(String, String)],
+      memoEntries: Int = DefaultMemoEntries)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "bpe_encode"
 
-    @transient private lazy val ranks = buildRanks(merges)
+    @transient private lazy val memo =
+      new BpeMemo(buildRanks(merges), memoEntries)
 
     override def nullSafeEval(input: Any): Any =
-      BpeRuntime.bpeTokens(input.asInstanceOf[UTF8String], ranks)
+      BpeRuntime.bpeTokens(input.asInstanceOf[UTF8String], memo)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val ranksRef = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+      val memoRef = ctx.addReferenceObj("bpeMemo", memo,
+        "graft.expressions.BpeMemo")
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.expressions.BpeRuntime.bpeTokens($c, $ranksRef);")
+        s"${ev.value} = graft.expressions.BpeRuntime.bpeTokens($c, $memoRef);")
     }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -65,30 +74,39 @@ object BpeExpressions {
   /** Exact BPE token count (`int`) of the input under `merges` — the
     * counting twin of [[BpeEncode]], no token array materialized.
     */
-  case class BpeCount(child: Expression, merges: Seq[(String, String)])
+  case class BpeCount(child: Expression, merges: Seq[(String, String)],
+      memoEntries: Int = DefaultMemoEntries)
       extends UnaryExpression {
     override def dataType: DataType = IntegerType
     override def prettyName: String = "bpe_count"
 
-    @transient private lazy val ranks = buildRanks(merges)
+    @transient private lazy val memo =
+      new BpeMemo(buildRanks(merges), memoEntries)
 
     override def nullSafeEval(input: Any): Any =
-      BpeRuntime.bpeTokenCount(input.asInstanceOf[UTF8String], ranks)
+      BpeRuntime.bpeTokenCount(input.asInstanceOf[UTF8String], memo)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val ranksRef = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+      val memoRef = ctx.addReferenceObj("bpeMemo", memo,
+        "graft.expressions.BpeMemo")
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.expressions.BpeRuntime.bpeTokenCount($c, $ranksRef);")
+        s"${ev.value} = graft.expressions.BpeRuntime.bpeTokenCount($c, $memoRef);")
     }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
 
-  /** Column wrappers. */
-  def bpeTokens(c: Column, merges: Seq[(String, String)]): Column =
-    ColumnBridge.column(BpeEncode(ColumnBridge.expression(c), merges))
+  /** Column wrappers. `memoEntries` sizes the shared word-encode memo
+    * (0 = off; results are identical either way, spec-asserted).
+    */
+  def bpeTokens(c: Column, merges: Seq[(String, String)],
+      memoEntries: Int = DefaultMemoEntries): Column =
+    ColumnBridge.column(
+      BpeEncode(ColumnBridge.expression(c), merges, memoEntries))
 
-  def bpeTokenCount(c: Column, merges: Seq[(String, String)]): Column =
-    ColumnBridge.column(BpeCount(ColumnBridge.expression(c), merges))
+  def bpeTokenCount(c: Column, merges: Seq[(String, String)],
+      memoEntries: Int = DefaultMemoEntries): Column =
+    ColumnBridge.column(
+      BpeCount(ColumnBridge.expression(c), merges, memoEntries))
 }

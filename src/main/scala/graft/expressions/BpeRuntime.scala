@@ -71,8 +71,7 @@ object BpeRuntime {
     c == ' ' || (c >= '\t' && c <= '\r')
 
   /** BPE token array of a document (all words' symbols in document order). */
-  def bpeTokens(
-      s: UTF8String, ranks: java.util.HashMap[String, Integer]): ArrayData = {
+  def bpeTokens(s: UTF8String, memo: BpeMemo): ArrayData = {
     val str = s.toString
     val out = new scala.collection.mutable.ArrayBuffer[Any](64)
     var i = 0
@@ -81,7 +80,7 @@ object BpeRuntime {
       else {
         val start = i
         while (i < str.length && !isWs(str.charAt(i))) i += 1
-        val toks = encodeWord(str.substring(start, i), ranks)
+        val toks = memo.encode(str.substring(start, i))
         var k = 0
         while (k < toks.length) { out += UTF8String.fromString(toks(k)); k += 1 }
       }
@@ -90,8 +89,7 @@ object BpeRuntime {
   }
 
   /** Exact BPE token count — same loop, no token materialization. */
-  def bpeTokenCount(
-      s: UTF8String, ranks: java.util.HashMap[String, Integer]): Int = {
+  def bpeTokenCount(s: UTF8String, memo: BpeMemo): Int = {
     val str = s.toString
     var n = 0
     var i = 0
@@ -100,9 +98,37 @@ object BpeRuntime {
       else {
         val start = i
         while (i < str.length && !isWs(str.charAt(i))) i += 1
-        n += encodeWord(str.substring(start, i), ranks).length
+        n += memo.encode(str.substring(start, i)).length
       }
     }
     n
+  }
+}
+
+/** Word-level encode memo. Corpora are Zipfian: the head few thousand
+  * words cover most token mass, so most [[BpeRuntime.encodeWord]] calls
+  * recompute an already-seen word — the memo makes the common case one
+  * hash lookup. The instance rides into generated code as ONE reference
+  * object shared by every task of the plan in an executor JVM (the
+  * `addReferenceObj` contract), hence the ConcurrentHashMap; entries are
+  * pure functions of the word under a frozen merge table, so cross-thread
+  * sharing only ever saves work. Insertion stops at `maxEntries` (the
+  * Zipf head is cached, the long tail computes) — the size check races
+  * benignly by a handful of entries. Top-level class so generated Java
+  * can name it directly.
+  */
+final class BpeMemo(
+    ranks: java.util.HashMap[String, Integer], maxEntries: Int)
+    extends Serializable {
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+  def encode(word: String): Array[String] = {
+    val hit = cache.get(word)
+    if (hit != null) hit
+    else {
+      val enc = BpeRuntime.encodeWord(word, ranks)
+      if (cache.size < maxEntries) cache.put(word, enc)
+      enc
+    }
   }
 }

@@ -106,4 +106,29 @@ object Bpe {
     */
   def tokenCount(c: Column, merges: Seq[(String, String)]): Column =
     BpeExpressions.bpeTokenCount(c, merges)
+
+  /** Parse a published `merges.txt` (the GPT-2 / HuggingFace BPE release
+    * format: optional `#version` header, one `left right` pair per line,
+    * rank = line order) so real tokenizer vocabularies drop straight into
+    * [[tokens]]/[[tokenCount]]. Comment (`#...`) and blank lines are
+    * skipped; a line without exactly two space-separated fields fails
+    * loudly — silently mis-splitting a vocab would shift every rank
+    * after it.
+    */
+  def parseMergesText(lines: IterableOnce[String]): Seq[(String, String)] =
+    lines.iterator.zipWithIndex.flatMap { case (raw, ln) =>
+      val line = raw.stripLineEnd
+      if (line.isEmpty || line.startsWith("#")) None
+      else line.split(" ", -1) match {
+        case Array(l, r) if l.nonEmpty && r.nonEmpty => Some((l, r))
+        case _ => throw new IllegalArgumentException(
+          s"merges.txt line ${ln + 1} is not 'left right': '$line'")
+      }
+    }.toSeq
+
+  /** [[parseMergesText]] over a file path. */
+  def readMergesFile(path: String): Seq[(String, String)] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try parseMergesText(src.getLines()) finally src.close()
+  }
 }

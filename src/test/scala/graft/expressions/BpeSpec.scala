@@ -100,4 +100,35 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
         .collect()
     }
   }
+
+  test("word memo on/off encodes identically (Zipfian repeats included)") {
+    // heavy repetition (the memo's hot path) + singletons (the cold path)
+    val docs = (1 to 50).map(_ => "the scan order the row") ++
+      Seq("query window sort", "the", "unseen singleton tokens here")
+    val df = docs.toDF("t")
+    def run(entries: Int) = df.select(
+        BpeExpressions.bpeTokens(col("t"), merges, entries).as("toks"),
+        BpeExpressions.bpeTokenCount(col("t"), merges, entries).as("n"))
+      .as[(Seq[String], Int)].collect().toSeq
+    val on = run(1 << 16)
+    val off = run(0)
+    assert(on == off)
+    assert(on.forall { case (toks, n) => toks.size == n })
+    // a memo smaller than the distinct-word count still agrees (cap path)
+    assert(run(2) == off)
+  }
+
+  test("parseMergesText reads the published merges.txt format") {
+    val lines = Seq("#version: 0.2", "", "t h", "th e", "s c")
+    assert(Bpe.parseMergesText(lines) == Seq(("t", "h"), ("th", "e"), ("s", "c")))
+    // rank order must follow line order when encoding
+    val viaText = Seq("the").toDF("t")
+      .select(Bpe.tokens(col("t"), Bpe.parseMergesText(lines)).as("x"))
+      .as[Seq[String]].collect().head
+    assert(viaText == Seq("the"))
+    intercept[IllegalArgumentException] {
+      Bpe.parseMergesText(Seq("t h", "malformed line with extras"))
+    }
+    intercept[IllegalArgumentException](Bpe.parseMergesText(Seq("lonely")))
+  }
 }
