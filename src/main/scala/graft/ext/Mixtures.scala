@@ -78,13 +78,18 @@ object Mixtures {
     */
   def temperatureWeights(
       df: DataFrame, sourceCol: String, alpha: Double,
-      budget: Long): DataFrame = {
+      budget: Long, mass: Option[Column] = None): DataFrame = {
     require(alpha > 0, "alpha must be positive")
     require(budget > 0, "budget must be positive")
     def tempered(c: Column): Column =
       if (alpha == 0.5) sqrt(c) else if (alpha == 1.0) c.cast("double")
       else pow(c, alpha)
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+    // `mass` swaps the size currency: None = rows; Some(c) = sum(c) —
+    // pass a token-count expression (e.g. text.bpeTokenCount) and n,
+    // weight and alloc all become token-denominated, still ONE
+    // map-side-combinable aggregation
+    val counts = df.groupBy(col(sourceCol)).agg(
+      mass.fold(count(lit(1)))(m => sum(m.cast("long"))).as("n"))
     val z = counts.agg(
       sum(tempered(col("n")).cast("decimal(28,6)")).cast("double").as("__z"))
     counts.crossJoin(broadcast(z))

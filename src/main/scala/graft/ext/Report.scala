@@ -27,11 +27,20 @@ object Report {
     * and the final group aggregation (map-side combinable; #groups rows).
     * Quality and token signals are the codegen'd one-pass expressions
     * ([[graft.functions.text.gopherReasons]]/[[graft.functions.text.tokenCount]]).
+    *
+    * `tokenCounter` swaps the token accounting: the default is the
+    * whitespace [[graft.functions.text.tokenCount]]; pass
+    * `Some(text.bpeTokenCount(col(textCol), merges))` (or any int
+    * expression over the row) and `sum_tokens` becomes tokenizer-exact —
+    * the card then reports the same token currency the training run
+    * spends (q156 oracles this end-to-end).
     */
   def dataCard(
       df: DataFrame, groupCols: Seq[String], textCol: String,
-      minStopwords: Int = 1): DataFrame = {
+      minStopwords: Int = 1,
+      tokenCounter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column required")
+    val tokens = tokenCounter.getOrElse(text.tokenCount(col(textCol)))
     val dupSizes = df.select(md5(col(textCol)).as("__h"))
       .groupBy("__h").agg(count(lit(1)).as("__dn"))
     df.withColumn("__h", md5(col(textCol)))
@@ -39,7 +48,7 @@ object Report {
       .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(text.tokenCount(col(textCol)).cast("long")).as("sum_tokens"),
+        sum(tokens.cast("long")).as("sum_tokens"),
         count(when(
             text.gopherReasons(col(textCol), minStopwords = minStopwords) === 0,
             1)).as("n_quality_pass"),

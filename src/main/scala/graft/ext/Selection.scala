@@ -27,7 +27,11 @@ object Selection {
 
   /** @param df       input (one row per selectable unit)
     * @param scoreCol  ranking column, higher = better (any orderable type)
-    * @param costCol   per-row cost (cast to long, must be non-negative)
+    * @param costCol   per-row cost (cast to long, must be non-negative) —
+    *                  the pluggable token currency: materialize whitespace
+    *                  `text.tokenCount` or tokenizer-exact
+    *                  `text.bpeTokenCount` into this column and the budget
+    *                  spends real tokens (the q156 card contract)
     * @param tieCol    unique tiebreak column (ascending) — makes the global
     *                  order, and therefore the selected set, deterministic
     * @param budget    total cost budget (inclusive prefix rule)

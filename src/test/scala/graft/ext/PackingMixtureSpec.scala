@@ -112,6 +112,22 @@ class PackingMixtureSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("temperatureWeights mass option re-denominates n in tokens") {
+    // token currency: big has 900 rows x 1 token, small 100 rows x 80
+    // tokens -> token masses 900 vs 8000; the ROW count would invert the
+    // mixture, the token mass must drive it
+    val rows = Seq.fill(900)(("big", "x")) ++
+      Seq.fill(100)(("small", Seq.fill(80)("y").mkString(" ")))
+    val df = rows.toDF("source", "text")
+    val w = Mixtures.temperatureWeights(df, "source", alpha = 1.0,
+        budget = 1000L,
+        mass = Some(graft.functions.text.tokenCount(col("text"))))
+      .select("source", "n", "alloc").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(w("big") == (("big", 900L, 101L)))     // 900/8900 of budget
+    assert(w("small") == (("small", 8000L, 899L)))
+  }
+
   test("materializeBlocks: exact budget blocks crossing doc boundaries, concat identity") {
     val docs = Seq(
       ("a", 1L, (1 to 7).map(i => s"a$i")),   // + eos = 8 tokens
