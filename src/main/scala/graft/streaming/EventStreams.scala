@@ -61,18 +61,25 @@ object EventStreams {
     * swap cannot race a concurrent query.
     *
     * `rocksdb = true` additionally pins the state store provider to
-    * [[RocksDbProvider]] for queries STARTED inside `body` (the provider,
-    * like the partition count, freezes from conf at first run; restored
-    * after). Provider choice never affects results — only where state
-    * bytes live — and the streaming specs assert streamed == batch under
-    * both providers.
+    * [[RocksDbProvider]] WITH changelog checkpointing for queries STARTED
+    * inside `body` (the provider, like the partition count, freezes from
+    * conf at first run; restored after). Changelog checkpointing is the
+    * production pairing the provider's scaladoc describes — each commit
+    * ships the batch's delta instead of a full state snapshot, which is
+    * where the at-volume win lives (measured by [[StateBench]]; Spark
+    * leaves it off by default only for pre-3.5 checkpoint compatibility).
+    * Provider choice never affects results — only where state bytes
+    * live — and the streaming specs assert streamed == batch under both
+    * providers.
     */
   private[streaming] def withStatePartitions[T](
       spark: SparkSession, n: Option[Int], rocksdb: Boolean = false)(body: => T): T = {
     val confs =
       n.map("spark.sql.shuffle.partitions" -> _.toString).toSeq ++
         (if (rocksdb)
-          Seq("spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider)
+          Seq("spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider,
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+              -> "true")
         else Nil)
     if (confs.isEmpty) body
     else {
