@@ -34,30 +34,48 @@ object Bench {
     * runtime classpath, and the shape is machine-written on this
     * program's own contract.
     */
-  private def priorTimes(): Map[String, Double] = {
-    val dir = new java.io.File(".")
+  /** Extract the flat `"queries"` object from one artifact's raw text.
+    *
+    * The driver's artifacts carry the bench line in two real shapes, and
+    * the extraction must handle BOTH (the round-9 verdict found the
+    * previous literal `"queries":{` search matched neither, silently
+    * no-opping the gate):
+    *   - escaped inside the `"tail"` string — `\"queries\":{\"q01\":1.42,...`
+    *   - pretty-printed in the `"parsed"` block — `"queries": {` with
+    *     whitespace/newlines between entries.
+    * Unescaping `\"` first and locating the key with a whitespace-tolerant
+    * regex covers both; the object body itself is flat (no nested braces),
+    * so the first `}` after the match closes it.
+    */
+  private[graft] def parseQueries(txt: String): Map[String, Double] = {
+    val un = txt.replace("\\\"", "\"")
+    val m = java.util.regex.Pattern.compile("\"queries\"\\s*:\\s*\\{").matcher(un)
+    if (!m.find()) Map.empty
+    else {
+      val start = m.end()
+      val close = un.indexOf('}', start)
+      // a truncated tail can clip the closing brace; parse what survives
+      val body = if (close < 0) un.substring(start) else un.substring(start, close)
+      body.split(',').flatMap { kv =>
+        kv.split(':') match {
+          case Array(k, v) =>
+            try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
+            catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+      }.toMap
+    }
+  }
+
+  private[graft] def priorTimes(dir: java.io.File = new java.io.File(".")): Map[String, Double] = {
     val arts = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
       .sortBy(f => -f.getName.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
       .take(3)
     val perArtifact = arts.toSeq.map { art =>
-      try {
-        val txt = new String(
-          java.nio.file.Files.readAllBytes(art.toPath), "UTF-8")
-        val qs = txt.indexOf("\"queries\":{")
-        if (qs < 0) Map.empty[String, Double]
-        else {
-          val body = txt.substring(qs + 11, txt.indexOf('}', qs))
-          body.split(',').flatMap { kv =>
-            kv.split(':') match {
-              case Array(k, v) =>
-                try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
-                catch { case _: NumberFormatException => None }
-              case _ => None
-            }
-          }.toMap
-        }
-      } catch { case _: Throwable => Map.empty[String, Double] }
+      try parseQueries(new String(
+        java.nio.file.Files.readAllBytes(art.toPath), "UTF-8"))
+      catch { case _: Throwable => Map.empty[String, Double] }
     }
     perArtifact.flatten.groupMapReduce(_._1)(_._2)(math.min)
       .filter(_._2 > 0)

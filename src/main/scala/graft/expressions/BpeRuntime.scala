@@ -108,14 +108,17 @@ object BpeRuntime {
 /** Word-level encode memo. Corpora are Zipfian: the head few thousand
   * words cover most token mass, so most [[BpeRuntime.encodeWord]] calls
   * recompute an already-seen word — the memo makes the common case one
-  * hash lookup. The instance rides into generated code as ONE reference
-  * object shared by every task of the plan in an executor JVM (the
-  * `addReferenceObj` contract), hence the ConcurrentHashMap; entries are
-  * pure functions of the word under a frozen merge table, so cross-thread
-  * sharing only ever saves work. Insertion stops at `maxEntries` (the
-  * Zipf head is cached, the long tail computes) — the size check races
-  * benignly by a handful of entries. Top-level class so generated Java
-  * can name it directly.
+  * hash lookup. The instance rides into generated code via
+  * `addReferenceObj`; Spark serializes the references array into the task
+  * binary and deserializes it PER TASK, so each task holds its own
+  * BpeMemo (memoization still pays off within a task — one task scans
+  * many rows). The ConcurrentHashMap is kept as cheap insurance in case a
+  * runtime ever does share the instance across threads; entries are pure
+  * functions of the word under a frozen merge table, so sharing could
+  * only ever save work. Insertion stops at `maxEntries` (the Zipf head is
+  * cached, the long tail computes) — the size check races benignly by a
+  * handful of entries. Top-level class so generated Java can name it
+  * directly.
   */
 final class BpeMemo(
     ranks: java.util.HashMap[String, Integer], maxEntries: Int)

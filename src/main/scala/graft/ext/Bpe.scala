@@ -110,15 +110,19 @@ object Bpe {
   /** Parse a published `merges.txt` (the GPT-2 / HuggingFace BPE release
     * format: optional `#version` header, one `left right` pair per line,
     * rank = line order) so real tokenizer vocabularies drop straight into
-    * [[tokens]]/[[tokenCount]]. Comment (`#...`) and blank lines are
-    * skipped; a line without exactly two space-separated fields fails
-    * loudly — silently mis-splitting a vocab would shift every rank
-    * after it.
+    * [[tokens]]/[[tokenCount]]. Only the leading `#version` header and
+    * blank lines are non-data: `#` is a legitimate merge symbol (GPT-2's
+    * own vocab contains the line `# #`, which builds the `##` token), so
+    * treating every `#`-prefixed line as a comment would silently drop
+    * real merges and shift the tokenization of exactly the published
+    * vocabularies this function exists for. A line without exactly two
+    * space-separated fields fails loudly — silently mis-splitting a vocab
+    * would shift every rank after it.
     */
   def parseMergesText(lines: IterableOnce[String]): Seq[(String, String)] =
     lines.iterator.zipWithIndex.flatMap { case (raw, ln) =>
       val line = raw.stripLineEnd
-      if (line.isEmpty || line.startsWith("#")) None
+      if (line.isEmpty || (ln == 0 && line.startsWith("#version"))) None
       else line.split(" ", -1) match {
         case Array(l, r) if l.nonEmpty && r.nonEmpty => Some((l, r))
         case _ => throw new IllegalArgumentException(

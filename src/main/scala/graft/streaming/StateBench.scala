@@ -35,30 +35,35 @@ object StateBench {
     import spark.implicits._
 
     val base = java.nio.file.Files.createTempDirectory("graft_state_bench")
-    val inDir = java.nio.file.Files.createDirectory(
-      java.nio.file.Paths.get(s"$base/in"))
     // every batch file carries every key once -> after batch 1 the store
     // holds `keys` rows and every later batch rewrites all of them.
     // Single FILE per micro-batch (the stageIdSlices convention): write a
     // 1-part dir, hoist the part file, drop the dir.
-    (0 until batches).foreach { b =>
-      val tmp = s"$base/tmp_$b"
-      spark.range(keys).select(col("id").as("k"), lit(1L).as("v"))
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file in $tmp"))
-      java.nio.file.Files.move(part.toPath,
-        inDir.resolve(f"batch_$b%04d.parquet"))
+    def makeInput(name: String, nKeys: Long, nBatches: Int): String = {
+      val inDir = java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(s"$base/$name"))
+      (0 until nBatches).foreach { b =>
+        val tmp = s"$base/tmp_${name}_$b"
+        spark.range(nKeys).select(col("id").as("k"), lit(1L).as("v"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file in $tmp"))
+        java.nio.file.Files.move(part.toPath,
+          inDir.resolve(f"batch_$b%04d.parquet"))
+      }
+      inDir.toString
     }
-    val schema = spark.read.parquet(inDir.toString).schema
+    val inDir = makeInput("in", keys, batches)
+    val warmDir = makeInput("warm", 1000L, 1)
+    val schema = spark.read.parquet(inDir).schema
 
-    def run(rocksdb: Boolean): Double = {
+    def run(rocksdb: Boolean, dir: String): Double = {
       val ckpt = java.nio.file.Files.createTempDirectory("graft_state_ckpt")
       val t0 = System.nanoTime()
       EventStreams.withStatePartitions(spark, Some(parts), rocksdb) {
         val q = spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .option("maxFilesPerTrigger", 1).parquet(dir)
           .groupBy(col("k")).agg(sum(col("v")).as("s"))
           .writeStream
           .outputMode(OutputMode.Update())
@@ -73,10 +78,14 @@ object StateBench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warm both paths once at tiny scale to pay codegen/classloading
-    // outside the timed runs (the Bench warmup rule)
-    val hdfs = run(rocksdb = false)
-    val rocks = run(rocksdb = true)
+    // warm BOTH providers once at tiny scale so session init, codegen,
+    // classloading and each provider's first store open are paid outside
+    // the timed runs (the Bench warmup rule) — without this the first
+    // timed leg eats those one-time costs and the comparison is biased.
+    run(rocksdb = false, warmDir)
+    run(rocksdb = true, warmDir)
+    val hdfs = run(rocksdb = false, inDir)
+    val rocks = run(rocksdb = true, inDir)
     def f(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     println(s"""{"metric":"state_bench","keys":$keys,"partitions":$parts,"batches":$batches,"hdfs_sec":${f(hdfs)},"rocksdb_sec":${f(rocks)}}""")
     spark.stop()

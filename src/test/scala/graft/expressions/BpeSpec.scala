@@ -121,6 +121,15 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
   test("parseMergesText reads the published merges.txt format") {
     val lines = Seq("#version: 0.2", "", "t h", "th e", "s c")
     assert(Bpe.parseMergesText(lines) == Seq(("t", "h"), ("th", "e"), ("s", "c")))
+    // '#' is a merge symbol, not a comment marker: GPT-2's vocab contains
+    // the line "# #" (building the "##" token) — it must parse as data;
+    // only the leading #version header is non-data
+    assert(Bpe.parseMergesText(Seq("#version: 0.2", "# #", "## #")) ==
+      Seq(("#", "#"), ("##", "#")))
+    // a #version line NOT at the head is two space-separated fields like
+    // any other line — it parses as data rather than silently vanishing
+    assert(Bpe.parseMergesText(Seq("t h", "#version: 0.2")) ==
+      Seq(("t", "h"), ("#version:", "0.2")))
     // rank order must follow line order when encoding
     val viaText = Seq("the").toDF("t")
       .select(Bpe.tokens(col("t"), Bpe.parseMergesText(lines)).as("x"))
