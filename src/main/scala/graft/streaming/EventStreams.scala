@@ -41,11 +41,18 @@ object EventStreams {
     * production choice for large stateful streams: state lives off-heap /
     * on-disk per executor instead of as JVM-heap HDFS-backed maps, so state
     * size is bounded by local disk not executor memory, and changelog
-    * checkpointing ships deltas rather than full snapshots. At THIS repo's
-    * test scale the micro-batch floor is store open/commit overhead, not
-    * state size, so RocksDB is surfaced as an opt-in (`rocksdbState`) on
-    * every streaming driver rather than the default — at 100 TB with
-    * millions of keys per partition it is the setting to flip first.
+    * checkpointing ships deltas rather than full snapshots.
+    *
+    * Measured by [[StateBench]] (this box, local[32], changelog
+    * checkpointing on, warmed, every batch rewriting every key):
+    * 1e5 keys/state-partition -> HDFS 4.77 s vs RocksDB 6.37 s;
+    * 4e5 keys/partition -> 12.70 s vs 24.20 s. While state FITS IN HEAP
+    * the default heap-map provider wins (mutating an in-memory map beats
+    * RocksDB's native write + compaction path), which is why `rocksdbState`
+    * is an opt-in on every streaming driver rather than the default. The
+    * crossover is a memory bound, not a speed curve: at 100 TB with
+    * state larger than executor heap the heap provider OOMs and RocksDB
+    * (disk-bounded, delta-checkpointed) is the setting to flip first.
     */
   private[streaming] val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -65,9 +72,10 @@ object EventStreams {
     * inside `body` (the provider, like the partition count, freezes from
     * conf at first run; restored after). Changelog checkpointing is the
     * production pairing the provider's scaladoc describes — each commit
-    * ships the batch's delta instead of a full state snapshot, which is
-    * where the at-volume win lives (measured by [[StateBench]]; Spark
+    * ships the batch's delta instead of a full state snapshot (Spark
     * leaves it off by default only for pre-3.5 checkpoint compatibility).
+    * [[StateBench]] measures the pairing; see [[RocksDbProvider]] for the
+    * recorded numbers and when flipping the knob actually pays.
     * Provider choice never affects results — only where state bytes
     * live — and the streaming specs assert streamed == batch under both
     * providers.
