@@ -1342,6 +1342,31 @@ object SparkEntry {
         .orderBy("source", "q")
     }),
 
+    "q160_quantile_interp" -> ((s, d) => {
+      // q154's sketch under the percentile/quantile_cont convention
+      // (q37): linear interpolation between the two bracketing sample
+      // elements at p = q*(n-1), upper index clamped. Same bounded
+      // aggregation; the oracle replays the identical bracketing picks
+      // and the identical IEEE double arithmetic (house 6-dp round).
+      graft.ext.Sketches.quantileSketch(
+        t(s, d, "documents"), Seq("source"), col("doc_id"), "n_chars",
+        k = 64, qs = Seq(0.25, 0.5, 0.75, 0.9), interpolate = true)
+        .orderBy("source", "q")
+    }),
+
+    "q159_lsh_cap_audit" -> ((s, d) => {
+      // the LSH-bucket cap telemetry under a FULL hash oracle: the
+      // portable md5 minhash family (q22/q98 pattern) makes every bucket
+      // size SQL-rebuildable. maxBucket=1 surfaces every pair-generating
+      // bucket, so the audit's arithmetic is exercised on real buckets
+      // rather than an empty pass (production uses maxBucket~1000; the
+      // cap is a parameter, the telemetry shape is what's gated here).
+      graft.ext.Dedup.bucketCapAuditPortable(
+          t(s, d, "documents"), "doc_id", "text",
+          numHashes = 8, bands = 4, shingleK = 3, maxBucket = 1)
+        .orderBy("band", "bh")
+    }),
+
     "q147_stream_enrich" -> ((s, d) => {
       // stream-static enrichment: the event stream broadcast-joins the
       // customer dimension per micro-batch (no stream shuffle, no join
@@ -1455,6 +1480,35 @@ object SparkEntry {
       graft.ext.Report.dataCard(t(s, d, "documents"), Seq("source"), "text",
           tokenCounter = Some(text.bpeTokenCount(col("text"), bpeMerges)))
         .orderBy("source")
+    }),
+
+    "q157_mixture_bpe" -> ((s, d) => {
+      // q86's temperature mixture RE-DENOMINATED in tokenizer-exact BPE
+      // tokens (the `mass` knob): n, weight and alloc all become
+      // token-denominated, so the allocation means what the training run
+      // means. Still ONE map-side-combinable aggregation — the token
+      // count is a native expression inside the same agg, no new shuffle.
+      graft.ext.Mixtures.temperatureWeights(
+          t(s, d, "documents").where(col("text").isNotNull), "source",
+          alpha = 0.5, budget = 10000L,
+          mass = Some(text.bpeTokenCount(col("text"), bpeMerges)))
+        .orderBy("source")
+    }),
+
+    "q158_budget_bpe" -> ((s, d) => {
+      // q114's global budget selection SPENDING tokenizer-exact BPE
+      // tokens: the cost column is materialized bpeTokenCount, so the
+      // 50k budget is a real token budget. Same two-pass range-
+      // partitioned cumsum — the cost currency is pluggable by design.
+      import graft.ext.Selection
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+        .withColumn("n_bpe",
+          text.bpeTokenCount(col("text"), bpeMerges).cast("long"))
+      Selection.budgetSelect(docs,
+          scoreCol = "n_chars", costCol = "n_bpe", tieCol = "doc_id",
+          budget = 50000L)
+        .select(col("doc_id"), col("n_chars"), col("n_bpe"))
+        .orderBy("doc_id")
     }),
 
     "q135_source_overlap" -> ((s, d) => {
@@ -3474,6 +3528,39 @@ object SparkEntry {
          WHERE d.text IS NOT NULL
          ORDER BY doc_id""",
 
+    // q86's sqrt/decimal-normalizer chain with the per-source mass
+    // re-denominated in BPE tokens via the q151 recursive encode replay
+    "q157_mixture_bpe" ->
+      s"""WITH RECURSIVE
+         $bpeEncCte,
+         dmass AS (SELECT w.doc_id, w.source, sum(f.nt) AS m
+           FROM words w JOIN fin f USING (word) GROUP BY w.doc_id, w.source),
+         c AS (SELECT source, CAST(sum(m) AS BIGINT) AS n
+           FROM dmass GROUP BY source),
+         z AS (SELECT CAST(sum(CAST(sqrt(n) AS DECIMAL(28,6))) AS DOUBLE) AS z
+           FROM c)
+         SELECT source, n, round(sqrt(n) / z, 6) AS weight,
+           CAST(round(10000 * sqrt(n) / z) AS BIGINT) AS alloc
+         FROM c, z ORDER BY source""",
+
+    // q114's inclusive greedy-prefix rule with the cost column swapped to
+    // the BPE token count (RANGE == ROWS here: doc_id makes the order
+    // total, so the window sum is unambiguous)
+    "q158_budget_bpe" ->
+      s"""WITH RECURSIVE
+         $bpeEncCte,
+         m AS (SELECT w.doc_id, sum(f.nt) AS nb
+           FROM words w JOIN fin f USING (word) GROUP BY w.doc_id),
+         dd AS (SELECT d.doc_id, d.n_chars,
+             CAST(coalesce(m.nb, 0) AS BIGINT) AS n_bpe
+           FROM documents d LEFT JOIN m USING (doc_id)
+           WHERE d.text IS NOT NULL),
+         r AS (SELECT doc_id, n_chars, n_bpe,
+             sum(n_bpe) OVER (ORDER BY n_chars DESC, doc_id ASC) AS cum
+           FROM dd)
+         SELECT doc_id, n_chars, n_bpe FROM r WHERE cum <= 50000
+         ORDER BY doc_id""",
+
     "q152_bpe_blocks" ->
       s"""WITH RECURSIVE
          $bpeEncCte,
@@ -3596,6 +3683,69 @@ object SparkEntry {
          FROM srt s CROSS JOIN qs
          WHERE s.vr = CAST(floor(qs.q * (s.n - 1)) AS INT) + 1
          ORDER BY source, q""",
+
+    // q154's slice with the quantile_cont pick: both bracketing elements
+    // at p = q*(n-1) joined in, linear interpolation in IEEE double with
+    // the house 6-dp round; upper index clamped at n (q=1.0 / frac=0)
+    "q160_quantile_interp" ->
+      """WITH h AS (SELECT source,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) AS hv,
+             CAST(n_chars AS DOUBLE) AS v
+           FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+         r AS (SELECT source, hv, v,
+             row_number() OVER (PARTITION BY source ORDER BY hv, v) AS rn
+           FROM h),
+         srt AS (SELECT source, v,
+             row_number() OVER (PARTITION BY source ORDER BY v) AS vr,
+             count(*) OVER (PARTITION BY source) AS n
+           FROM r WHERE rn <= 64),
+         qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q),
+         pos AS (SELECT g.source, g.n, qs.q, qs.q * (g.n - 1) AS p
+           FROM (SELECT DISTINCT source, n FROM srt) g CROSS JOIN qs)
+         SELECT p.source, p.q AS q, CAST(p.n AS BIGINT) AS n_sample,
+           round(l.v + (p.p - floor(p.p)) * (u.v - l.v), 6) AS est
+         FROM pos p
+         JOIN srt l ON l.source = p.source
+           AND l.vr = CAST(floor(p.p) AS INT) + 1
+         JOIN srt u ON u.source = p.source
+           AND u.vr = least(CAST(floor(p.p) AS INT) + 2, CAST(p.n AS INT))
+         ORDER BY p.source, p.q""",
+
+    // the portable-md5 minhash/banding replay: permutation i of a shingle
+    // = first 60 bits of md5(i ':' shingle), band key = md5 over the
+    // comma-joined signature slice — bucket sizes rebuilt bit-for-bit
+    "q159_lsh_cap_audit" ->
+      raw"""WITH toks AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+           FROM documents WHERE text IS NOT NULL),
+         sh AS (SELECT DISTINCT doc_id,
+             tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+           FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+                 FROM toks WHERE len(tk) >= 3)),
+         hs AS (SELECT doc_id, g.i AS perm,
+             min(CAST(concat('0x', substring(md5(CAST(g.i AS VARCHAR) || ':' || s), 1, 15)) AS BIGINT)) AS mh
+           FROM sh CROSS JOIN generate_series(0, 7) g(i)
+           GROUP BY doc_id, g.i),
+         sigp AS (SELECT doc_id,
+             max(CASE WHEN perm = 0 THEN mh END) AS s0,
+             max(CASE WHEN perm = 1 THEN mh END) AS s1,
+             max(CASE WHEN perm = 2 THEN mh END) AS s2,
+             max(CASE WHEN perm = 3 THEN mh END) AS s3,
+             max(CASE WHEN perm = 4 THEN mh END) AS s4,
+             max(CASE WHEN perm = 5 THEN mh END) AS s5,
+             max(CASE WHEN perm = 6 THEN mh END) AS s6,
+             max(CASE WHEN perm = 7 THEN mh END) AS s7
+           FROM hs GROUP BY doc_id),
+         bk AS (
+           SELECT 0 AS band, CAST(concat('0x', substring(md5(CAST(s0 AS VARCHAR) || ',' || CAST(s1 AS VARCHAR)), 1, 15)) AS BIGINT) AS bh FROM sigp
+           UNION ALL SELECT 1, CAST(concat('0x', substring(md5(CAST(s2 AS VARCHAR) || ',' || CAST(s3 AS VARCHAR)), 1, 15)) AS BIGINT) FROM sigp
+           UNION ALL SELECT 2, CAST(concat('0x', substring(md5(CAST(s4 AS VARCHAR) || ',' || CAST(s5 AS VARCHAR)), 1, 15)) AS BIGINT) FROM sigp
+           UNION ALL SELECT 3, CAST(concat('0x', substring(md5(CAST(s6 AS VARCHAR) || ',' || CAST(s7 AS VARCHAR)), 1, 15)) AS BIGINT) FROM sigp)
+         SELECT band, bh, count(*) AS bucket_size,
+           (count(*) * (count(*) - 1)) // 2 AS pairs_dropped
+         FROM bk GROUP BY band, bh HAVING count(*) > 1
+         ORDER BY band, bh""",
 
     "q145_cms_estimate" ->
       """WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),

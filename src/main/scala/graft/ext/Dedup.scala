@@ -153,6 +153,58 @@ object Dedup {
         (col("bucket_size") * (col("bucket_size") - 1) / 2).cast("long"))
   }
 
+  /** Differential-testable twin of [[bucketCapAudit]]: the same
+    * shingle -> minhash -> band -> bucket-size pipeline over a PORTABLE
+    * md5 hash family — permutation i of a shingle is the first 60 bits of
+    * `md5(i ':' shingle)`, the band key the first 60 bits of md5 over the
+    * comma-joined signature slice — so any SQL engine with `md5` rebuilds
+    * every bucket size bit-for-bit and the cap telemetry itself sits
+    * under the differential gate (the q22 `simhashPortable` /
+    * q134-vs-q138 pattern; the production [[bucketCapAudit]]'s
+    * xxhash64/native-minhash family is Spark-internal). Tokenization is
+    * the house `\s+`-split-drop-empties contract (the q151 BPE
+    * convention), shingles are the k-token windows joined by one space,
+    * distinct per doc.
+    *
+    * Same shape and guarantees as the production audit: one bounded
+    * aggregation over the banding, `pairs_dropped = s(s-1)/2`, empty
+    * output = the cap cost nothing. The md5 family is the measured-cost
+    * portable twin, not the production path.
+    */
+  def bucketCapAuditPortable(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, bands: Int = 4, shingleK: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def h60(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val sh = df.where(col(textCol).isNotNull)
+      .select(col(idCol), array_remove(split(col(textCol), "\\s+"), "").as("tk"))
+      .where(size(col("tk")) >= shingleK)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(tk) - $shingleK), " +
+          s"i -> concat_ws(' ', slice(tk, i + 1, $shingleK)))")).as("s"))
+      .distinct()
+    val mins = (0 until numHashes).map { i =>
+      min(h60(concat_ws(":", lit(i), col("s")))).as(s"s$i")
+    }
+    val sig = sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        h60(concat_ws(",",
+          (b * r until (b + 1) * r).map(i => col(s"s$i").cast("string")): _*))
+          .as("bh"))
+    }
+    sig.select(explode(array(bandCols: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .where(col("bucket_size") > maxBucket)
+      .withColumn("pairs_dropped",
+        (col("bucket_size") * (col("bucket_size") - 1) / 2).cast("long"))
+  }
+
   /** MinHash-LSH near-duplicate pairs, verified with EXACT Jaccard over the
     * shingle sets. Returns `(id_l, id_r, jaccard)` with `jaccard >=
     * threshold`, `id_l < id_r`.

@@ -132,6 +132,15 @@ object Sketches {
     * pick — q154). Sampling error on the quantile RANK is the binomial
     * O(sqrt(q(1-q)/k)) (property-tested in QuantileSketchSpec).
     *
+    * `interpolate = true` switches the pick to the `percentile` /
+    * `quantile_cont` convention users expect from q37: linear
+    * interpolation between the two bracketing sample elements at
+    * position `p = q * (n-1)` — `v[floor(p)] + (p - floor(p)) *
+    * (v[floor(p)+1] - v[floor(p)])`, upper index clamped at n. Still
+    * SQL-replayable: per-row double math is IEEE-identical across
+    * engines (house float-parity note), with the house 6-dp round on the
+    * derived value (q160).
+    *
     * Scale: ONE map-side-combinable aggregation whose state and shuffle
     * are O(k) pairs per (group, partition) — the bounded replacement for
     * exact `percentile`, which shuffles every value (q37). The 100 TB
@@ -139,11 +148,23 @@ object Sketches {
     */
   def quantileSketch(
       df: DataFrame, groupCols: Seq[String], hashKey: Column,
-      valueCol: String, k: Int, qs: Seq[Double]): DataFrame = {
+      valueCol: String, k: Int, qs: Seq[Double],
+      interpolate: Boolean = false): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       "quantiles must be within [0, 1]")
     val sample = graft.expressions.BottomKSample.bottomKSample(
       kmvHash(hashKey), col(valueCol).cast("double"), k)
+    val n = size(col("__vals"))
+    val est =
+      if (!interpolate)
+        element_at(col("__vals"), floor(col("q") * (n - 1)).cast("int") + 1)
+      else {
+        val p = col("q") * (n - 1)
+        val lo = floor(p).cast("int")
+        val vl = element_at(col("__vals"), lo + 1)
+        val vu = element_at(col("__vals"), least(lo + 2, n))
+        round(vl + (p - floor(p)) * (vu - vl), 6)
+      }
     // hashKey nulls must go too: a group whose keys are ALL null would
     // otherwise produce an empty sample and element_at(..., 1) would throw
     df.where(col(valueCol).isNotNull && hashKey.isNotNull)
@@ -152,9 +173,6 @@ object Sketches {
       .select(groupCols.map(col) :+
         explode(array(qs.map(lit): _*)).as("q") :+ col("__vals"): _*)
       .select(groupCols.map(col) ++ Seq(col("q"),
-        size(col("__vals")).cast("long").as("n_sample"),
-        element_at(col("__vals"),
-          floor(col("q") * (size(col("__vals")) - 1)).cast("int") + 1)
-          .as("est")): _*)
+        n.cast("long").as("n_sample"), est.as("est")): _*)
   }
 }

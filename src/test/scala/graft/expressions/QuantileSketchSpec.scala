@@ -93,6 +93,53 @@ class QuantileSketchSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq(("a", 1L, 1.0)))
   }
 
+  test("interpolate = true is the percentile/quantile_cont convention when the group fits in k") {
+    val vals = Seq(10.0, 20.0, 30.0, 40.0, 50.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      .toDF("g", "id", "v")
+    val qs = Seq(0.0, 0.125, 0.25, 0.5, 0.9, 1.0)
+    val got = Sketches.quantileSketch(df, Seq("g"), col("id"), "v",
+      k = 64, qs = qs, interpolate = true)
+      .orderBy("q").select("q", "est").as[(Double, Double)].collect().toSeq
+    // n=5, p=q*4: 0.125 -> 15 (halfway 10..20), 0.9 -> 46 (0.6 into 40..50);
+    // integer positions and the endpoints are exact element picks
+    assert(got == Seq((0.0, 10.0), (0.125, 15.0), (0.25, 20.0), (0.5, 30.0),
+      (0.9, 46.0), (1.0, 50.0)))
+    // the convention claim itself: equals Spark's exact percentile here
+    val pc = df.agg(expr(
+      "percentile(v, array(0.0D, 0.125D, 0.25D, 0.5D, 0.9D, 1.0D))"))
+      .as[Seq[Double]].collect().head
+    assert(got.map(_._2) == pc)
+  }
+
+  test("interpolated estimate always sits within the bracketing sample elements") {
+    val n = 5000
+    val rng = new scala.util.Random(11)
+    val vals = Array.fill(n)(rng.nextDouble() * 1000.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      .toSeq.toDF("g", "id", "v").repartition(8)
+    val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    val plain = Sketches.quantileSketch(df, Seq("g"), col("id"), "v", 128, qs)
+      .select("q", "est").as[(Double, Double)].collect().toMap
+    val interp = Sketches.quantileSketch(df, Seq("g"), col("id"), "v", 128, qs,
+      interpolate = true)
+      .select("q", "est").as[(Double, Double)].collect().toMap
+    // nearest-rank-lower is the interpolation's lower bracket, so the
+    // interpolated value can never fall below it — and the binomial
+    // rank-error bound transfers (the bracketing elements are at most one
+    // sample rank apart)
+    qs.foreach { q =>
+      assert(interp(q) >= plain(q), s"q=$q interp ${interp(q)} < lower ${plain(q)}")
+    }
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      val trueRank = sorted.count(_ <= interp(q)).toDouble / n
+      val bound = 4.0 * math.sqrt(q * (1 - q) / 128) + 1.0 / 128
+      assert(math.abs(trueRank - q) <= bound,
+        s"q=$q est=${interp(q)} trueRank=$trueRank bound=$bound")
+    }
+  }
+
   test("binomial rank-error bound: |trueRank(est) - q| <= 4*sqrt(q(1-q)/k)") {
     // 20k rows, known uniform distribution; k=256 sample. The estimate's
     // TRUE rank must sit within 4 binomial standard errors of q — the

@@ -480,4 +480,26 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.minhashPairs(docs, "doc_id", "text",
       threshold = 0.5, maxBucket = 12).count() == 66L)
   }
+
+  test("bucketCapAuditPortable: same telemetry contract under the md5 family") {
+    // 9 identical docs share all 4 portable bands; 2 distinct docs sit
+    // alone — with maxBucket = 4 the audit names 4 buckets of size 9
+    val docs = ((1L to 9L).map(i =>
+      (i, "the same boilerplate footer text appears on every page")) ++
+      Seq((21L, "a genuinely unique document about alpine botany"),
+        (22L, "another unique document entirely about deep sea mining")))
+      .toDF("doc_id", "text")
+    val audit = Dedup.bucketCapAuditPortable(docs, "doc_id", "text",
+        numHashes = 8, bands = 4, maxBucket = 4)
+      .select("bucket_size", "pairs_dropped")
+      .as[(Long, Long)].collect().toSeq
+    assert(audit.size == 4 && audit.forall(_ == ((9L, 36L))), s"got $audit")
+    // above the hot size the audit is empty (the cap cost nothing)
+    assert(Dedup.bucketCapAuditPortable(docs, "doc_id", "text",
+      numHashes = 8, bands = 4, maxBucket = 9).isEmpty)
+    // docs under shingleK tokens have no shingles and produce no buckets
+    val tiny = Seq((1L, "too short"), (2L, "too short")).toDF("doc_id", "text")
+    assert(Dedup.bucketCapAuditPortable(tiny, "doc_id", "text",
+      numHashes = 8, bands = 4, maxBucket = 1).isEmpty)
+  }
 }
