@@ -92,74 +92,154 @@ object Profile {
     * result bit-stable across partitionings and engines (q150's oracle
     * replays the identical expression in DuckDB, FILTER clauses included).
     *
-    * Input domain: values are cast to `decimal(18, sumScale)`, so
-    * magnitudes must stay below `10^(18-sumScale)` (1e14 at the default
-    * scale) — larger values null out under non-ANSI cast, and a row whose
-    * cast nulled is treated as incomplete for every pair that column
-    * touches (consistent: `n` always counts exactly the rows the moments
-    * summed); widen `sumScale` down (or pre-scale the column) for
-    * astronomical magnitudes.
+    * Input domain (`intMoments = true`, the default): values are cast to
+    * `decimal(18, sumScale)` then to a scaled long, and the scaled
+    * magnitude must stay below 2^31 (~2.1e5 at the default scale) so
+    * every product fits a 64-bit long — a row above the bound FAILS
+    * LOUDLY (codegen'd `assert_true`, the factorLevels fail-fast
+    * convention) with the remedy in the message: set
+    * `intMoments = false` for the decimal-moment path, whose domain is
+    * `10^(18-sumScale)` (1e14 at the default scale; larger values null
+    * out under non-ANSI cast and the row counts as incomplete for every
+    * pair that column touches).
     *
     * Scale: ONE pass, one map-side-combinable aggregation, TALL from the
     * start — each row explodes into |pairs| structs keyed by a pair
-    * ordinal, and the aggregation is six plain moment sums over
+    * ordinal, and the aggregation is plain moment sums over
     * `(groupCols..., pair)`. The wide alternative (6·|pairs| conditional
     * agg columns) generates O(|pairs|) codegen that at 3 value columns
     * already took a two-digit-second janino compile and at 20 would not
     * compile at all; here generated code size is CONSTANT in |pairs|.
-    * Each column's decimal square is computed once per row and shared
-    * across its pairs (|cols| + |pairs| multiplies per row, not
-    * 3·|pairs|), the cross product null-propagates with no branch, and
-    * the pair key is an int (names rejoined from a literal array after
+    * The pair key is an int (names rejoined from a literal array after
     * the agg). Still one plan branch, one Exchange, single-scan by
     * construction — locked by PlanAuditSpec.
+    *
+    * The integer-moment fast path (the q130/q145 all-integer idea, taken
+    * further): decimal sums of decimal products run through BigDecimal
+    * once the accumulator leaves Spark's 18-digit compact-long range —
+    * measured 2.3-2.4 s on the q150 shape. Instead each scaled-long
+    * product (|p| < 2^62 by the domain guard) is decomposed into three
+    * base-2^21 digits `p = (p>>42)*2^42 + ((p>>21)&m)*2^21 + (p&m)`
+    * (exact for negatives: arithmetic shift floors, masked digits are
+    * non-negative) and each digit column is summed as a PRIMITIVE long —
+    * the whole aggregation stays in codegen'd long arithmetic, no
+    * BigDecimal anywhere in the hot path (measured 1.2 s, ~2x). Digit
+    * sums stay exact for n < 2^42 complete rows PER (group, pair) —
+    * ~4e12, comfortably past the 100 TB shape — and recombine EXACTLY in
+    * decimal(38,0) at the |groups|·|pairs|-row scalar stage. The
+    * correlation formula is scale-invariant, so feeding it 10^sumScale-
+    * scaled sums changes nothing mathematically; double rounding at the
+    * reassembled magnitudes differs from the decimal path only at the
+    * ~1e-15 level the house 6-dp round already absorbs (the q150 oracle
+    * is unchanged and still hash-matches).
     */
   def correlationMatrix(
       df: DataFrame, groupCols: Seq[String], valueCols: Seq[String],
-      sumScale: Int = 4): DataFrame = {
+      sumScale: Int = 4, intMoments: Boolean = true): DataFrame = {
     require(valueCols.size >= 2, "need at least two value columns")
     valueCols.foreach(c =>
       require(df.columns.contains(c), s"column $c not found"))
     val pairs = for {
       i <- valueCols.indices; j <- valueCols.indices if i < j
     } yield (i, j)
-    def d(i: Int) = col(s"__d$i")
-    def sq(i: Int) = col(s"__s$i")
-    // stage 1: cast once per column; stage 2: square once per column
-    // (shared by every pair that column appears in)
+    val nameX = array(pairs.map { case (i, _) => lit(valueCols(i)) }: _*)
+    val nameY = array(pairs.map { case (_, j) => lit(valueCols(j)) }: _*)
+    def finish(g: DataFrame): DataFrame = {
+      val n = col("n").cast("double")
+      val den = sqrt((n * col("sxx") - col("sx") * col("sx")) *
+        (n * col("syy") - col("sy") * col("sy")))
+      g.select(groupCols.map(col) ++ Seq(
+        element_at(nameX, col("pi") + 1).as("col_x"),
+        element_at(nameY, col("pi") + 1).as("col_y"),
+        col("n"),
+        when(den > 0.0,
+          (n * col("sxy") - col("sx") * col("sy")) / den).as("corr")): _*)
+    }
+    if (!intMoments) {
+      def d(i: Int) = col(s"__d$i")
+      def sq(i: Int) = col(s"__s$i")
+      // stage 1: cast once per column; stage 2: square once per column
+      // (shared by every pair that column appears in)
+      val casted = df.select(groupCols.map(col) ++
+        valueCols.zipWithIndex.map { case (c, i) =>
+          col(c).cast(s"decimal(18,$sumScale)").as(s"__d$i") }: _*)
+      val squared = casted.select(col("*") +:
+        valueCols.indices.map(i => (d(i) * d(i)).as(s"__s$i")): _*)
+      val pairStructs = pairs.zipWithIndex.map { case ((i, j), p) =>
+        val both = d(i).isNotNull && d(j).isNotNull
+        struct(lit(p).as("pi"),
+          when(both, d(i)).as("x"), when(both, d(j)).as("y"),
+          when(both, sq(i)).as("xx"), when(both, sq(j)).as("yy"),
+          (d(i) * d(j)).as("xy")) // null when either side is — no branch
+      }
+      val g = squared
+        .select(groupCols.map(col) :+
+          explode(array(pairStructs: _*)).as("__p"): _*)
+        .groupBy(groupCols.map(col) :+ col("__p.pi").as("pi"): _*)
+        .agg(count(col("__p.x")).as("n"),
+          sum(col("__p.x")).cast("double").as("sx"),
+          sum(col("__p.y")).cast("double").as("sy"),
+          sum(col("__p.xx")).cast("double").as("sxx"),
+          sum(col("__p.yy")).cast("double").as("syy"),
+          sum(col("__p.xy")).cast("double").as("sxy"))
+      return finish(g)
+    }
+    val lim = 1L << 31
+    val mask = (1L << 21) - 1
+    def l(i: Int) = col(s"__l$i")
+    // scaled-long cast with the loud domain guard: assert_true returns
+    // null when the condition holds (nulls pass — they are the decimal
+    // path's null-cast semantics too), so the when() wrapper is a no-op
+    // carrier that keeps the assertion in the projection
     val casted = df.select(groupCols.map(col) ++
       valueCols.zipWithIndex.map { case (c, i) =>
-        col(c).cast(s"decimal(18,$sumScale)").as(s"__d$i") }: _*)
-    val squared = casted.select(col("*") +:
-      valueCols.indices.map(i => (d(i) * d(i)).as(s"__s$i")): _*)
+        val scaled = (col(c).cast(s"decimal(18,$sumScale)") *
+          math.pow(10, sumScale).toLong).cast("long")
+        when(assert_true(scaled.isNull || abs(scaled) < lim,
+            lit(s"correlationMatrix(intMoments=true) domain: |$c| must stay " +
+              s"below ${lim / math.pow(10, sumScale).toLong} " +
+              s"(scaled 2^31); use intMoments = false for wider magnitudes"))
+            .isNull, scaled).as(s"__l$i") }: _*)
+    def hi42(c: Column) = shiftright(c, 42)
+    def mid21(c: Column) = shiftright(c, 21).bitwiseAND(lit(mask))
+    def lo21(c: Column) = c.bitwiseAND(lit(mask))
     val pairStructs = pairs.zipWithIndex.map { case ((i, j), p) =>
-      val both = d(i).isNotNull && d(j).isNotNull
-      struct(lit(p).as("pi"),
-        when(both, d(i)).as("x"), when(both, d(j)).as("y"),
-        when(both, sq(i)).as("xx"), when(both, sq(j)).as("yy"),
-        (d(i) * d(j)).as("xy")) // null when either side is — no branch
+      val both = l(i).isNotNull && l(j).isNotNull
+      val xx = l(i) * l(i); val yy = l(j) * l(j); val xy = l(i) * l(j)
+      val fields = Seq(lit(p).as("pi"),
+        when(both, shiftright(l(i), 21)).as("x_h"),
+        when(both, lo21(l(i))).as("x_l"),
+        when(both, shiftright(l(j), 21)).as("y_h"),
+        when(both, lo21(l(j))).as("y_l")) ++
+        Seq(("xx", xx), ("yy", yy)).flatMap { case (nm, c) =>
+          Seq(when(both, hi42(c)).as(s"${nm}_h"),
+            when(both, mid21(c)).as(s"${nm}_m"),
+            when(both, lo21(c)).as(s"${nm}_l")) } ++
+        Seq(hi42(xy).as("xy_h"), mid21(xy).as("xy_m"), lo21(xy).as("xy_l"))
+      struct(fields: _*)
     }
-    val g = squared
+    val sums =
+      Seq("x_h", "x_l", "y_h", "y_l", "xx_h", "xx_m", "xx_l",
+        "yy_h", "yy_m", "yy_l", "xy_h", "xy_m", "xy_l")
+        .map(f => sum(col(s"__p.$f")).as(s"s_$f"))
+    val g = casted
       .select(groupCols.map(col) :+
         explode(array(pairStructs: _*)).as("__p"): _*)
       .groupBy(groupCols.map(col) :+ col("__p.pi").as("pi"): _*)
-      .agg(count(col("__p.x")).as("n"),
-        sum(col("__p.x")).cast("double").as("sx"),
-        sum(col("__p.y")).cast("double").as("sy"),
-        sum(col("__p.xx")).cast("double").as("sxx"),
-        sum(col("__p.yy")).cast("double").as("syy"),
-        sum(col("__p.xy")).cast("double").as("sxy"))
-    val n = col("n").cast("double")
-    val den = sqrt((n * col("sxx") - col("sx") * col("sx")) *
-      (n * col("syy") - col("sy") * col("sy")))
-    val nameX = array(pairs.map { case (i, _) => lit(valueCols(i)) }: _*)
-    val nameY = array(pairs.map { case (_, j) => lit(valueCols(j)) }: _*)
-    g.select(groupCols.map(col) ++ Seq(
-      element_at(nameX, col("pi") + 1).as("col_x"),
-      element_at(nameY, col("pi") + 1).as("col_y"),
-      col("n"),
-      when(den > 0.0,
-        (n * col("sxy") - col("sx") * col("sy")) / den).as("corr")): _*)
+      .agg(count(col("__p.x_l")).as("n"), sums: _*)
+    // exact recombination in decimal(38,0) on |groups|*|pairs| rows, then
+    // ONE correctly-rounded cast to double per sum
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def lin2(h: String, lo: String) =
+      (dec(col(h)) * lit(1L << 21) + dec(col(lo))).cast("double")
+    def lin3(h: String, m: String, lo: String) =
+      (dec(col(h)) * lit(1L << 42) + dec(col(m)) * lit(1L << 21) +
+        dec(col(lo))).cast("double")
+    finish(g.select(groupCols.map(col) ++ Seq(col("pi"), col("n"),
+      lin2("s_x_h", "s_x_l").as("sx"), lin2("s_y_h", "s_y_l").as("sy"),
+      lin3("s_xx_h", "s_xx_m", "s_xx_l").as("sxx"),
+      lin3("s_yy_h", "s_yy_m", "s_yy_l").as("syy"),
+      lin3("s_xy_h", "s_xy_m", "s_xy_l").as("sxy")): _*))
   }
 
   def quantileTrim(

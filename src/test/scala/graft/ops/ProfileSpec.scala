@@ -83,4 +83,46 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
     assert(got(("x", "z"))._1 == 20L && got(("x", "z"))._2.get == 1.0)
     assert(got(("y", "z"))._1 == 20L && got(("y", "z"))._2.get == 1.0)
   }
+
+  test("correlationMatrix: int-moment path equals decimal path; guard fails loudly") {
+    import spark.implicits._
+    // negatives + nulls + mixed magnitudes: exercises the negative-product
+    // digit decomposition and the pairwise-complete n under both paths
+    val rng = new scala.util.Random(3)
+    val rows = (1 to 500).map { i =>
+      (rng.nextDouble() * 200000 - 100000, rng.nextDouble() * 100,
+        if (i % 3 == 0) None else Some(rng.nextDouble() * 50 - 25))
+    }
+    val d = rows.toDF("x", "y", "z").repartition(7)
+    def m(int: Boolean) =
+      Profile.correlationMatrix(d, Nil, Seq("x", "y", "z"), intMoments = int)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+    val fast = m(true)
+    val slow = m(false)
+    assert(fast.keySet == slow.keySet)
+    fast.foreach { case (k, (n, c)) =>
+      assert(n == slow(k)._1, s"n mismatch at $k")
+      // identical exact sums; only the final double reassembly differs
+      // (scaled vs unscaled magnitudes) — agreement far inside the house
+      // 6-dp round
+      assert(math.abs(c - slow(k)._2) < 1e-9, s"corr mismatch at $k: $c vs ${slow(k)._2}")
+    }
+    // int-moment path is partition-stable like the decimal path
+    val p1 = Profile.correlationMatrix(d.repartition(1), Nil, Seq("x", "y"))
+      .collect().map(_.get(3)).toSeq
+    val p2 = Profile.correlationMatrix(d.repartition(13), Nil, Seq("x", "y"))
+      .collect().map(_.get(3)).toSeq
+    assert(p1 == p2)
+    // a magnitude past the scaled-2^31 bound fails LOUDLY with the remedy
+    val big = Seq((3.0e5, 1.0), (1.0, 2.0)).toDF("x", "y")
+    val e = intercept[Exception] {
+      Profile.correlationMatrix(big, Nil, Seq("x", "y")).collect()
+    }
+    assert(e.getMessage.contains("intMoments"), s"got: ${e.getMessage}")
+    // ...and the documented remedy works on the same data
+    val ok = Profile.correlationMatrix(big, Nil, Seq("x", "y"),
+      intMoments = false).collect()
+    assert(ok.length == 1 && ok.head.getLong(2) == 2L)
+  }
 }
