@@ -1536,8 +1536,19 @@ object SparkEntry {
       // quantized integer log-odds make the whole score column (and the
       // top-200 cut) hash-exact in any engine. The md5-per-feature cost is
       // what the bound caps; q138 is the native full-corpus production face.
+      // The slice is ONE parquet file = one scan task, which serialized
+      // every md5 onto a single core (profiled: the 3 feature passes were
+      // ~2.9 s EACH single-threaded, and the query's floor tracked host
+      // load 1:1 — the r9 4.1->6.2 s drift). The 1500-row repartition is
+      // a ~1 MB shuffle that fans the CPU-bound hashing across the
+      // cluster; results are unchanged (row-local features, order-
+      // independent integer aggregation).
+      // explicit partition count: AQE would coalesce a count-less
+      // repartition of ~1 MB straight back to one partition
+      val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val docs = t(s, d, "documents")
         .where(col("text").isNotNull && col("doc_id") < 1500)
+        .repartition(nPart, col("doc_id"))
       val scores = graft.ext.Dsir.importanceScores(
         docs, docs.where(col("lang") === "en"), "doc_id", "text")
       graft.ext.Dsir.selectTopK(scores, "doc_id", k = 200)
