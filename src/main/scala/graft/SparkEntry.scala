@@ -1258,7 +1258,13 @@ object SparkEntry {
       // itself hash-matches the oracle's SQL rebuild of the same sketch
       import graft.ext.Sketches
       val w = 1024
-      val li = t(s, d, "lineitem")
+      // the q134 single-row-group fix: lineitem is one scan task at bench
+      // shape, serializing 600k portable md5s onto one core; an explicit-
+      // count repartition fans the CPU-bound build out (results unchanged
+      // — the sketch is an order-independent count aggregation). At scale
+      // the scan has real splits and the repartition stays proportional.
+      val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val li = t(s, d, "lineitem").repartition(nPart, col("l_suppkey"))
       val sketch = Sketches.cmsSketch(li, "l_suppkey", w)
       val probes = t(s, d, "supplier")
         .where(col("s_suppkey") % 10 === 0)
@@ -1401,7 +1407,10 @@ object SparkEntry {
       // audit column here still exposes any gross break
       import graft.ext.Sketches
       val w = 1024
-      val li = t(s, d, "lineitem")
+      // same single-row-group fan-out as q145 (xxhash64 is cheap, but the
+      // 2.4M-row posexplode + partial agg was still one task)
+      val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val li = t(s, d, "lineitem").repartition(nPart, col("l_suppkey"))
       val sketch = Sketches.cmsSketch(li, "l_suppkey", w, native = true)
       val probes = t(s, d, "supplier")
         .where(col("s_suppkey") % 10 === 0)
