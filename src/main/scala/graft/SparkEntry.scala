@@ -28,6 +28,23 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Bench-shape scan fan-out. The driver's tables are single-row-group
+    * parquet files, so every scan is ONE task and a query whose expensive
+    * work is row-local BEFORE its first exchange (gram hashing, window
+    * generation, portable md5) serializes that work onto one core — and
+    * its measured floor then tracks host load 1:1 (the q134 diagnosis).
+    * An explicit-count repartition (AQE would coalesce a count-less one
+    * of ~1 MB back to a single partition) spreads the CPU-bound stage;
+    * call sites pick a key the downstream plan can reuse for co-located
+    * joins/aggs. Results are unchanged for the row-local + order-
+    * independent-aggregation shapes this is applied to. At production
+    * scale the scan has real splits and this narrow shuffle stays
+    * proportional to the slice it fans out.
+    */
+  private def fanOut(s: SparkSession, df: DataFrame, key: String): DataFrame =
+    df.repartition(
+      s.conf.get("spark.sql.shuffle.partitions", "32").toInt, col(key))
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
     * nanos-since-epoch long (`spark.sql.legacy.parquet.nanosAsLong=true`,
     * set in Verify/Bench sessions). Normalize to a microsecond TimestampType
@@ -386,7 +403,9 @@ object SparkEntry {
     }),
 
     "q21_dedup_minhash" -> ((s, d) => {
-      Dedup.minhashDedup(t(s, d, "documents"), "doc_id", "text", threshold = 0.6)
+      // fanOut: shingle hashing + signatures are row-local pre-exchange
+      Dedup.minhashDedup(fanOut(s, t(s, d, "documents"), "doc_id"),
+          "doc_id", "text", threshold = 0.6)
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
@@ -499,7 +518,8 @@ object SparkEntry {
       // practical policy when a group holds trimmed/boilerplate variants
       // of one page. Representative choice rides the GroupTopK heap
       // operator (k=1), so the policy costs no extra shuffle.
-      val docs = t(s, d, "documents").where(col("text").isNotNull)
+      val docs = fanOut(s,
+        t(s, d, "documents").where(col("text").isNotNull), "doc_id")
       val cc = Dedup.connectedComponents(
         Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.6))
       val labeled = docs
@@ -519,7 +539,7 @@ object SparkEntry {
     "q70_dedup_components" -> ((s, d) => {
       // transitive near-dup clustering: every doc labeled with the min id
       // reachable through verified minhash pairs (singletons label themselves)
-      val docs = t(s, d, "documents")
+      val docs = fanOut(s, t(s, d, "documents"), "doc_id")
       val cc = Dedup.connectedComponents(
         Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.6))
       docs.select(col("doc_id"))
@@ -530,16 +550,16 @@ object SparkEntry {
     }),
 
     "q23_ngram_jaccard" -> ((s, d) => {
-      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
-        n = 5, threshold = 0.8)
+      Dedup.ngramJaccardPairs(fanOut(s, t(s, d, "documents"), "doc_id"),
+          "doc_id", "text", n = 5, threshold = 0.8)
         .orderBy("id_l", "id_r")
     }),
 
     "q107_exact_substring" -> ((s, d) => {
       // exact-substring dedup pairs (Lee et al. 2021): docs sharing a
       // 12-token exact run, joined on the window string itself
-      Dedup.exactSubstringPairs(t(s, d, "documents"), "doc_id", "text",
-        windowTokens = 12)
+      Dedup.exactSubstringPairs(fanOut(s, t(s, d, "documents"), "doc_id"),
+          "doc_id", "text", windowTokens = 12)
         .orderBy("id_l", "id_r")
     }),
 
@@ -550,8 +570,8 @@ object SparkEntry {
       // min-agg + equi-join back, then row-local span union + rebuild.
       // md5(clean_text) keeps the oracle row narrow while hashing every
       // surviving byte.
-      Dedup.exactSubstringDedup(t(s, d, "documents"), "doc_id", "text",
-          windowTokens = 12)
+      Dedup.exactSubstringDedup(fanOut(s, t(s, d, "documents"), "doc_id"),
+          "doc_id", "text", windowTokens = 12)
         .select(col("doc_id"), md5(col("clean_text")).as("h"),
           col("n_total"), col("n_kept"))
         .orderBy("doc_id")
@@ -564,7 +584,7 @@ object SparkEntry {
       // plus batch-internal keep-first claims. Because corpus ids precede
       // batch ids, the result EQUALS the one-shot q116 restricted to the
       // batch — which is exactly what the oracle SQL states.
-      val docs = t(s, d, "documents")
+      val docs = fanOut(s, t(s, d, "documents"), "doc_id")
       val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
       val idx = Dedup.exactSubstringWindows(docs.where(col("doc_id") <= mid),
         "doc_id", "text", windowTokens = 12)
@@ -1258,13 +1278,9 @@ object SparkEntry {
       // itself hash-matches the oracle's SQL rebuild of the same sketch
       import graft.ext.Sketches
       val w = 1024
-      // the q134 single-row-group fix: lineitem is one scan task at bench
-      // shape, serializing 600k portable md5s onto one core; an explicit-
-      // count repartition fans the CPU-bound build out (results unchanged
-      // — the sketch is an order-independent count aggregation). At scale
-      // the scan has real splits and the repartition stays proportional.
-      val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      val li = t(s, d, "lineitem").repartition(nPart, col("l_suppkey"))
+      // fanOut: 600k portable md5s were one scan task; the suppkey
+      // partitioning also co-locates the exact-count aggregation
+      val li = fanOut(s, t(s, d, "lineitem"), "l_suppkey")
       val sketch = Sketches.cmsSketch(li, "l_suppkey", w)
       val probes = t(s, d, "supplier")
         .where(col("s_suppkey") % 10 === 0)
@@ -1407,10 +1423,9 @@ object SparkEntry {
       // audit column here still exposes any gross break
       import graft.ext.Sketches
       val w = 1024
-      // same single-row-group fan-out as q145 (xxhash64 is cheap, but the
-      // 2.4M-row posexplode + partial agg was still one task)
-      val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      val li = t(s, d, "lineitem").repartition(nPart, col("l_suppkey"))
+      // same fanOut as q145 (xxhash64 is cheap, but the 2.4M-row
+      // posexplode + partial agg was still one task)
+      val li = fanOut(s, t(s, d, "lineitem"), "l_suppkey")
       val sketch = Sketches.cmsSketch(li, "l_suppkey", w, native = true)
       val probes = t(s, d, "supplier")
         .where(col("s_suppkey") % 10 === 0)
@@ -1545,19 +1560,11 @@ object SparkEntry {
       // quantized integer log-odds make the whole score column (and the
       // top-200 cut) hash-exact in any engine. The md5-per-feature cost is
       // what the bound caps; q138 is the native full-corpus production face.
-      // The slice is ONE parquet file = one scan task, which serialized
-      // every md5 onto a single core (profiled: the 3 feature passes were
-      // ~2.9 s EACH single-threaded, and the query's floor tracked host
-      // load 1:1 — the r9 4.1->6.2 s drift). The 1500-row repartition is
-      // a ~1 MB shuffle that fans the CPU-bound hashing across the
-      // cluster; results are unchanged (row-local features, order-
-      // independent integer aggregation).
-      // explicit partition count: AQE would coalesce a count-less
-      // repartition of ~1 MB straight back to one partition
-      val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      val docs = t(s, d, "documents")
-        .where(col("text").isNotNull && col("doc_id") < 1500)
-        .repartition(nPart, col("doc_id"))
+      // fanOut (see helper): the 3 md5 feature passes were ~2.9 s EACH on
+      // the single scan task, and the floor tracked host load 1:1 (the
+      // r9 4.1->6.2 s drift)
+      val docs = fanOut(s, t(s, d, "documents")
+        .where(col("text").isNotNull && col("doc_id") < 1500), "doc_id")
       val scores = graft.ext.Dsir.importanceScores(
         docs, docs.where(col("lang") === "en"), "doc_id", "text")
       graft.ext.Dsir.selectTopK(scores, "doc_id", k = 200)
