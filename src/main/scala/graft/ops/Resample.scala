@@ -39,21 +39,26 @@ object Resample {
     val agg = e.groupBy(col(keyCol), col("bucket"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("__v").cast(s"decimal(18,$sumScale)")).cast("double").as("__sv"))
-    // the grid derives from the BUCKET AGGREGATE, not the raw events: same
-    // min/max per key, but the second aggregation reads |keys × buckets|
-    // pre-aggregated rows (and reuses agg's shuffle) instead of rescanning
-    // the full input
-    val grid = agg.groupBy(col(keyCol))
-      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
-      .select(col(keyCol), explode(sequence(col("lo"), col("hi"))).as("bucket"))
-    val joined = grid.join(agg, Seq(keyCol, "bucket"), "left")
-      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
-    // LOCF: the first bucket per key always has events (lo = min observed
-    // bucket), so last(ignoreNulls) never leaves a leading null
+    // The LOCF *is* the gap explode: each aggregated (key, bucket) row
+    // knows the next observed bucket via lead(), so it emits its own
+    // bucket plus every gap bucket up to (next - 1) — the carried sum is
+    // constant across that range by definition of LOCF, and gap rows take
+    // n_events = 0. This produces the identical grid to a generated
+    // sequence joined back (first bucket per key is observed, so no
+    // leading null exists), but the plan is the agg exchange plus ONE
+    // per-key window over |keys x observed buckets| pre-aggregated rows —
+    // no grid join, no second window pass over the materialized grid.
     val w = Window.partitionBy(keyCol).orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    joined
-      .withColumn("sum_value", last(col("__sv"), ignoreNulls = true).over(w))
-      .drop("__sv")
+    agg
+      .withColumn("__next", lead(col("bucket"), 1).over(w))
+      .withColumnRenamed("bucket", "__ob")
+      .withColumnRenamed("n_events", "__ne")
+      .select(col(keyCol), col("__ob"), col("__ne"), col("__sv"),
+        explode(sequence(col("__ob"),
+          coalesce(col("__next") - 1, col("__ob")))).as("bucket"))
+      .select(col(keyCol), col("bucket"),
+        when(col("bucket") === col("__ob"), col("__ne"))
+          .otherwise(lit(0L)).as("n_events"),
+        col("__sv").as("sum_value"))
   }
 }
