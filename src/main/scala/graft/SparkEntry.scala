@@ -1384,7 +1384,7 @@ object SparkEntry {
       // rather than an empty pass (production uses maxBucket~1000; the
       // cap is a parameter, the telemetry shape is what's gated here).
       graft.ext.Dedup.bucketCapAuditPortable(
-          t(s, d, "documents"), "doc_id", "text",
+          fanOut(s, t(s, d, "documents"), "doc_id"), "doc_id", "text",
           numHashes = 8, bands = 4, shingleK = 3, maxBucket = 1)
         .orderBy("band", "bh")
     }),
@@ -3739,9 +3739,10 @@ object SparkEntry {
            AND u.vr = least(CAST(floor(p.p) AS INT) + 2, CAST(p.n AS INT))
          ORDER BY p.source, p.q""",
 
-    // the portable-md5 minhash/banding replay: permutation i of a shingle
-    // = first 60 bits of md5(i ':' shingle), band key = md5 over the
-    // comma-joined signature slice — bucket sizes rebuilt bit-for-bit
+    // the portable-md5 minhash/banding replay: permutations 2g/2g+1 of a
+    // shingle = the [1,15]/[16,30] 60-bit slices of md5(g ':' shingle),
+    // band key = md5 over the comma-joined signature slice — bucket
+    // sizes rebuilt bit-for-bit
     "q159_lsh_cap_audit" ->
       raw"""WITH toks AS (SELECT doc_id,
              list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
@@ -3751,7 +3752,8 @@ object SparkEntry {
            FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
                  FROM toks WHERE len(tk) >= 3)),
          hs AS (SELECT doc_id, g.i AS perm,
-             min(CAST(concat('0x', substring(md5(CAST(g.i AS VARCHAR) || ':' || s), 1, 15)) AS BIGINT)) AS mh
+             min(CAST(concat('0x', substring(md5(CAST(g.i // 2 AS VARCHAR) || ':' || s),
+               CASE WHEN g.i % 2 = 0 THEN 1 ELSE 16 END, 15)) AS BIGINT)) AS mh
            FROM sh CROSS JOIN generate_series(0, 7) g(i)
            GROUP BY doc_id, g.i),
          sigp AS (SELECT doc_id,

@@ -155,8 +155,9 @@ object Dedup {
 
   /** Differential-testable twin of [[bucketCapAudit]]: the same
     * shingle -> minhash -> band -> bucket-size pipeline over a PORTABLE
-    * md5 hash family — permutation i of a shingle is the first 60 bits of
-    * `md5(i ':' shingle)`, the band key the first 60 bits of md5 over the
+    * md5 hash family — permutations 2g/2g+1 of a shingle are the
+    * chars-[1,15] and [16,30] 60-bit slices of `md5(g ':' shingle)`, the
+    * band key the first 60 bits of md5 over the
     * comma-joined signature slice — so any SQL engine with `md5` rebuilds
     * every bucket size bit-for-bit and the cap telemetry itself sits
     * under the differential gate (the q22 `simhashPortable` /
@@ -176,20 +177,35 @@ object Dedup {
       numHashes: Int = 8, bands: Int = 4, shingleK: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(numHashes % 2 == 0, "numHashes must be even (two 60-bit " +
+      "permutation slices come from each 32-hex md5 digest)")
     val r = numHashes / bands
     def h60(c: Column): Column =
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    // no distinct over the shingle stream: a duplicate shingle cannot
+    // change any per-permutation MIN, and the distinct would shuffle the
+    // full exploded string stream — without it the min aggregation
+    // partial-aggregates map-side and only (doc, numHashes mins) partials
+    // cross the wire (the oracle keeps its DISTINCT; min over multiset ==
+    // min over set)
     val sh = df.where(col(textCol).isNotNull)
       .select(col(idCol), array_remove(split(col(textCol), "\\s+"), "").as("tk"))
       .where(size(col("tk")) >= shingleK)
       .select(col(idCol), explode(expr(
         s"transform(sequence(0, size(tk) - $shingleK), " +
           s"i -> concat_ws(' ', slice(tk, i + 1, $shingleK)))")).as("s"))
-      .distinct()
-    val mins = (0 until numHashes).map { i =>
-      min(h60(concat_ws(":", lit(i), col("s")))).as(s"s$i")
-    }
-    val sig = sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    // permutations 2g and 2g+1 are the [1,15] and [16,30] 60-bit slices of
+    // ONE digest md5(g ':' shingle) — half the md5 calls of a digest per
+    // permutation, computed in a projection so codegen CSE shares each
+    // digest between its two slices
+    val hashed = sh.select(col(idCol) +:
+      (0 until numHashes / 2).flatMap { g =>
+        val m = md5(concat_ws(":", lit(g), col("s")))
+        Seq(conv(substring(m, 1, 15), 16, 10).cast("long").as(s"h${2 * g}"),
+          conv(substring(m, 16, 15), 16, 10).cast("long").as(s"h${2 * g + 1}"))
+      }: _*)
+    val mins = (0 until numHashes).map(i => min(col(s"h$i")).as(s"s$i"))
+    val sig = hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         h60(concat_ws(",",
