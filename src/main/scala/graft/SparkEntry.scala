@@ -1416,6 +1416,20 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "q161_stream_quantile" -> ((s, d) => {
+      // q154's bounded quantile sketch on a STREAM (the q148 argument
+      // applied to quantiles): exact streaming percentile would hold
+      // every value in the state store; the bottom-k-by-hash sample is k
+      // (hash, value) pairs per group with an associative merge, so the
+      // streamed sample — and therefore every estimate — is bit-identical
+      // to the batch sketch and sits under the same hash oracle
+      val name = s"graft_stream_qsk_${streamCounter.incrementAndGet()}"
+      EventStreams.quantileEstimateStreaming(s, s"$d/events.parquet",
+          "event_type", "event_id", "value", name, k = 64,
+          qs = Seq(0.25, 0.5, 0.75, 0.9), shufflePartitions = Some(8))
+        .orderBy("event_type", "q")
+    }),
+
     "q149_cms_native" -> ((s, d) => {
       // production twin of q145: seeded-xxhash64 buckets, no per-row md5
       // string materialization — different hash family, so no SQL oracle
@@ -3632,6 +3646,27 @@ object SparkEntry {
            CAST(CASE WHEN nd < 16 THEN nd
                      ELSE (15 * 4294967296) // kth END AS BIGINT) AS n_est
          FROM st ORDER BY event_type""",
+
+    // q154's sketch replica over the event stream's group/key/value —
+    // streamed == batch bit-for-bit, so ONE SQL rebuild gates both
+    "q161_stream_quantile" ->
+      """WITH h AS (SELECT event_type,
+             CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+               AS BIGINT) AS hv,
+             CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+         r AS (SELECT event_type, hv, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv, v) AS rn
+           FROM h),
+         srt AS (SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS vr,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM r WHERE rn <= 64),
+         qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS q)
+         SELECT s.event_type, qs.q, CAST(s.n AS BIGINT) AS n_sample, s.v AS est
+         FROM srt s CROSS JOIN qs
+         WHERE s.vr = CAST(floor(qs.q * (s.n - 1)) AS INT) + 1
+         ORDER BY event_type, q""",
 
     "q147_stream_enrich" ->
       """SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,

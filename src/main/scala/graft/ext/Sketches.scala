@@ -150,10 +150,29 @@ object Sketches {
       df: DataFrame, groupCols: Seq[String], hashKey: Column,
       valueCol: String, k: Int, qs: Seq[Double],
       interpolate: Boolean = false): DataFrame = {
-    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
-      "quantiles must be within [0, 1]")
     val sample = graft.expressions.BottomKSample.bottomKSample(
       kmvHash(hashKey), col(valueCol).cast("double"), k)
+    // hashKey nulls must go too: a group whose keys are ALL null would
+    // otherwise produce an empty sample and element_at(..., 1) would throw
+    quantilePicks(
+      df.where(col(valueCol).isNotNull && hashKey.isNotNull)
+        .groupBy(groupCols.map(col): _*)
+        .agg(sample.as("__vals")),
+      groupCols, qs, interpolate)
+  }
+
+  /** The quantile pick over a frame holding a value-sorted sample array in
+    * `__vals`: one output row per (group, q) — shared by the batch
+    * [[quantileSketch]] and the streaming
+    * [[graft.streaming.EventStreams.quantileEstimateStreaming]] face (the
+    * sample is a set function of the group, so batch and streamed sketches
+    * are bit-identical and both sit under the same SQL oracle).
+    */
+  private[graft] def quantilePicks(
+      grouped: DataFrame, groupCols: Seq[String], qs: Seq[Double],
+      interpolate: Boolean): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "quantiles must be within [0, 1]")
     val n = size(col("__vals"))
     val est =
       if (!interpolate)
@@ -165,11 +184,7 @@ object Sketches {
         val vu = element_at(col("__vals"), least(lo + 2, n))
         round(vl + (p - floor(p)) * (vu - vl), 6)
       }
-    // hashKey nulls must go too: a group whose keys are ALL null would
-    // otherwise produce an empty sample and element_at(..., 1) would throw
-    df.where(col(valueCol).isNotNull && hashKey.isNotNull)
-      .groupBy(groupCols.map(col): _*)
-      .agg(sample.as("__vals"))
+    grouped
       .select(groupCols.map(col) :+
         explode(array(qs.map(lit): _*)).as("q") :+ col("__vals"): _*)
       .select(groupCols.map(col) ++ Seq(col("q"),

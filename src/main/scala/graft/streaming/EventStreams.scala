@@ -216,6 +216,44 @@ object EventStreams {
       .select(col(groupCol), col("n_est"))
   }
 
+  /** Streaming per-group quantile estimates — the q148 KMV argument,
+    * applied to quantiles: exact streaming `percentile` would keep every
+    * value in the state store, while the [[graft.expressions
+    * .BottomKSample]] buffer is k (hash, value) pairs per group with an
+    * associative+commutative merge, so the streamed sample equals the
+    * batch sample BIT-FOR-BIT and the estimates inherit
+    * [[graft.ext.Sketches.quantileSketch]]'s oracle parity (q154/q160).
+    * Output: `(groupCol, q, n_sample, est)` — one row per quantile.
+    */
+  def quantileEstimateStreaming(
+      spark: SparkSession, eventsPath: String, groupCol: String,
+      hashKeyCol: String, valueCol: String, queryName: String,
+      k: Int, qs: Seq[Double], interpolate: Boolean = false,
+      shufflePartitions: Option[Int] = None,
+      rocksdbState: Boolean = false): DataFrame = {
+    import graft.ext.Sketches
+    val schema = spark.read.parquet(eventsPath).schema
+    val stream = normalizeTs(
+      spark.readStream.schema(schema).parquet(stageStreamDir(eventsPath)))
+    val agg = stream
+      .where(col(valueCol).isNotNull && col(hashKeyCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(graft.expressions.BottomKSample.bottomKSample(
+        Sketches.kmvHash(col(hashKeyCol)), col(valueCol).cast("double"), k)
+        .as("__vals"))
+    withStatePartitions(spark, shufflePartitions, rocksdbState) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Sketches.quantilePicks(
+      drainMemorySink(spark, queryName), Seq(groupCol), qs, interpolate)
+  }
+
   /** Batch twin: tumbling-window counts/sums per event_type. */
   def tumblingWindowBatch(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
     events

@@ -175,6 +175,28 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(roomy == exact)
   }
 
+  test("streaming quantile sketch == batch sketch estimates, incl. interpolation") {
+    val dir = "/root/testdata/sf0.001"
+    val qs = Seq(0.25, 0.5, 0.9)
+    def batchDf = EventStreams.normalizeTs(
+      spark.read.parquet(s"$dir/events.parquet"))
+    Seq(false, true).foreach { interp =>
+      val streamed = EventStreams.quantileEstimateStreaming(
+        spark, s"$dir/events.parquet", "event_type", "event_id", "value",
+        s"qsk_stream_test_$interp", k = 32, qs = qs, interpolate = interp)
+        .orderBy("event_type", "q")
+        .as[(String, Double, Long, Double)].collect().toSeq
+      val batch = graft.ext.Sketches.quantileSketch(
+        batchDf, Seq("event_type"), col("event_id"), "value",
+        k = 32, qs = qs, interpolate = interp)
+        .orderBy("event_type", "q")
+        .as[(String, Double, Long, Double)].collect().toSeq
+      // associative sample merge: the streamed sketch IS the batch sketch
+      assert(streamed == batch, s"interpolate=$interp")
+      assert(streamed.nonEmpty && streamed.forall(_._3 == 32L))
+    }
+  }
+
   test("rocksdbState=true: RocksDB-backed state, identical results, conf restored") {
     val dir = "/root/testdata/sf0.001"
     // provider choice moves state bytes, never results: RocksDB-backed
