@@ -423,7 +423,8 @@ object SparkEntry {
       // portable md5-based variant so the bit-vote algorithm hash-matches a
       // DuckDB oracle; the one-pass xxhash64 fast path (Dedup.simhash) and
       // the hamming-banded pair generator stay engine-tested in DedupSpec
-      Dedup.simhashPortable(t(s, d, "documents"), "doc_id", "text")
+      Dedup.simhashPortable(fanOut(s, t(s, d, "documents"), "doc_id"),
+          "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -454,7 +455,7 @@ object SparkEntry {
       // subset) escaped into which training doc, with span count and the
       // earliest 0-based token offset — q67 decides drops, this shows the
       // eval owner the evidence
-      val docs = t(s, d, "documents")
+      val docs = fanOut(s, t(s, d, "documents"), "doc_id")
       Decontaminate.contaminationSpans(docs, "doc_id", "text",
           benchmark = docs.where(col("doc_id") % 10 === 0)
             .select(col("doc_id").as("bench_id"), col("text")),
@@ -811,7 +812,9 @@ object SparkEntry {
     }),
 
     "q27_text_quality" -> ((s, d) => {
-      t(s, d, "documents").select(
+      // fanOut: four text-statistic expressions over the whole corpus in
+      // one row-local projection — all on the single scan task otherwise
+      fanOut(s, t(s, d, "documents"), "doc_id").select(
         col("doc_id"),
         text.qualityScore(col("text")).as("quality"),
         round(text.punctRatio(col("text")), 6).as("punct_ratio"),
@@ -1207,7 +1210,7 @@ object SparkEntry {
     }),
 
     "q79_tfidf" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      val docs = fanOut(s, t(s, d, "documents"), "doc_id")
       // nDocs is one bounded driver-side scalar (see tfidfTopTerms doc)
       graft.ext.Vocab.tfidfTopTerms(docs, "doc_id", "text",
         nDocs = docs.count(), k = 3)
@@ -1505,8 +1508,11 @@ object SparkEntry {
     "q126_data_card" -> ((s, d) => {
       // the per-source release artifact: volume, quality pass count (the
       // same gopherReasons expression q88 gates with) and corpus-wide
-      // exact-duplicate membership — the card cannot drift from the gates
-      graft.ext.Report.dataCard(t(s, d, "documents"), Seq("source"), "text")
+      // exact-duplicate membership — the card cannot drift from the gates.
+      // fanOut: the gopher/token expressions run in the card's partial
+      // aggregation, i.e. on the single scan task without it
+      graft.ext.Report.dataCard(fanOut(s, t(s, d, "documents"), "doc_id"),
+          Seq("source"), "text")
         .orderBy("source")
     }),
 
@@ -1515,7 +1521,8 @@ object SparkEntry {
       // (the pluggable-counter contract: sum_tokens now spends the same
       // currency the training run does; every other column unchanged).
       // One extra native expression in the aggregation — no new shuffle.
-      graft.ext.Report.dataCard(t(s, d, "documents"), Seq("source"), "text",
+      graft.ext.Report.dataCard(fanOut(s, t(s, d, "documents"), "doc_id"),
+          Seq("source"), "text",
           tokenCounter = Some(text.bpeTokenCount(col("text"), bpeMerges)))
         .orderBy("source")
     }),
