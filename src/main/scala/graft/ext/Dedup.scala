@@ -356,6 +356,53 @@ object Dedup {
     MinhashState(sets, buckets)
   }
 
+  /** [[minhashState]] with both frames eagerly `localCheckpoint`'ed and
+    * the buckets DERIVED from the already-checkpointed sets — exactly one
+    * shingle/signature pass over `df` no matter how many consumers read
+    * the frames afterwards. The streaming-ingest shape: the same
+    * checkpointed pair serves the intra-batch verify, the corpus-probe
+    * banding AND the accumulating index, where the lazy [[minhashState]]
+    * would re-execute its feature pass per action (measured: three
+    * passes per micro-batch in the q71 driver before this existed).
+    */
+  def minhashStateCheckpointed(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      maxBucket: Int = 1000): MinhashState = {
+    val sets = wordShingleSets(df, idCol, textCol, shingleK)
+      .localCheckpoint(true)
+    val buckets = dropOversizedBuckets(
+      bandBuckets(signatureOf(sets, idCol, numHashes), idCol, numHashes, bands),
+      maxBucket).localCheckpoint(true)
+    MinhashState(sets, buckets)
+  }
+
+  /** Dedup `incoming` given its PRECOMPUTED state (one feature pass,
+    * shared with indexing — see [[minhashStateCheckpointed]]) against an
+    * optional standing corpus: canonical keep-first, identical results to
+    * [[minhashDedup]] (corpusState = None) / [[minhashDedupAgainst]]
+    * (corpusState = Some) — asserted in DedupSpec.
+    */
+  def minhashDedupWithState(
+      incoming: DataFrame, incState: MinhashState,
+      corpusState: Option[MinhashState], idCol: String,
+      threshold: Double): DataFrame = {
+    val dropIntra = verifyJaccard(
+      pairsFromSizedBuckets(incState.buckets, idCol), incState.sets, idCol,
+      threshold).select(col("id_r").as(idCol))
+    val drop = corpusState.fold(dropIntra) { cs =>
+      val candCross = incState.buckets
+        .select(col("band"), col("bh"), col(idCol).as("id_l"))
+        .join(cs.buckets.select(col("band"), col("bh"), col(idCol).as("id_r")),
+          Seq("band", "bh"))
+        .select("id_l", "id_r").distinct()
+      verifyJaccard(candCross, incState.sets, cs.sets, idCol, threshold)
+        .select(col("id_l").as(idCol))
+        .union(dropIntra)
+    }
+    incoming.join(drop.distinct(), Seq(idCol), "left_anti")
+  }
+
   /** The signature parameters a persisted [[MinhashState]] was built with.
     * Buckets/signatures from different parameters never collide correctly,
     * so a resume MUST run with the same values — the manifest makes a

@@ -138,21 +138,18 @@ object CorpusStreams {
         .foreachBatch { (batch: Dataset[Row], _: Long) =>
           val b = batch.persist()
           try stateLock.synchronized {
-            val kept = state match {
-              case Some(st) => Dedup.minhashDedupAgainst(b.toDF(), st, idCol,
-                textCol, threshold, numHashes, bands, shingleK, maxBucket)
-              case None => Dedup.minhashDedup(b.toDF(), idCol, textCol,
-                threshold, numHashes, bands, shingleK)
-            }
+            // ONE feature pass per batch: the eagerly-checkpointed state
+            // serves the dedup verify, the corpus probe AND the index
+            // (checkpointing is also required anyway — the batch frame is
+            // only valid inside this callback)
+            val incCk = Dedup.minhashStateCheckpointed(b.toDF(), idCol,
+              textCol, numHashes, bands, shingleK, maxBucket)
+            val kept = Dedup.minhashDedupWithState(b.toDF(), incCk, state,
+              idCol, threshold)
             // executor-side append; survivor ids never touch the driver
             kept.select(col(idCol).cast("long").as(idCol))
               .write.mode("append").parquet(sink)
-            // index ALL seen docs (see class doc); checkpoint eagerly — the
-            // batch frame is only valid inside this callback
-            val inc = Dedup.minhashState(b.toDF(), idCol, textCol, numHashes,
-              bands, shingleK, maxBucket)
-            val incCk = Dedup.MinhashState(
-              inc.sets.localCheckpoint(true), inc.buckets.localCheckpoint(true))
+            // index ALL seen docs (see class doc)
             state = Some(state.fold(incCk) { st =>
               Dedup.MinhashState(st.sets.union(incCk.sets),
                 st.buckets.union(incCk.buckets))

@@ -481,6 +481,28 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       threshold = 0.5, maxBucket = 12).count() == 66L)
   }
 
+  test("minhashDedupWithState equals the lazy dedup paths (one feature pass)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val mid = 250L
+    val corpus = docs.where(col("doc_id") <= mid)
+    val inc = docs.where(col("doc_id") > mid)
+    // fresh-batch path == minhashDedup
+    val freshState = Dedup.minhashStateCheckpointed(corpus, "doc_id", "text")
+    val freshGot = Dedup.minhashDedupWithState(corpus, freshState, None,
+      "doc_id", threshold = 0.6).select("doc_id").as[Long].collect().sorted
+    val freshWant = Dedup.minhashDedup(corpus, "doc_id", "text",
+      threshold = 0.6).select("doc_id").as[Long].collect().sorted
+    assert(freshGot.toSeq == freshWant.toSeq)
+    // against-corpus path == minhashDedupAgainst
+    val incState = Dedup.minhashStateCheckpointed(inc, "doc_id", "text")
+    val gotAgainst = Dedup.minhashDedupWithState(inc, incState,
+      Some(freshState), "doc_id", threshold = 0.6)
+      .select("doc_id").as[Long].collect().sorted
+    val wantAgainst = Dedup.minhashDedupAgainst(inc, corpus, "doc_id", "text",
+      threshold = 0.6).select("doc_id").as[Long].collect().sorted
+    assert(gotAgainst.toSeq == wantAgainst.toSeq)
+  }
+
   test("bucketCapAuditPortable: same telemetry contract under the md5 family") {
     // 9 identical docs share all 4 portable bands; 2 distinct docs sit
     // alone — with maxBucket = 4 the audit names 4 buckets of size 9
