@@ -128,6 +128,22 @@ object SparkEntry {
     ("r", "o"), ("ro", "w"), ("e", "r"), ("o", "r"), ("or", "d"),
     ("ord", "er"))
 
+  /** WordPiece piece vocabulary for q163 — covers the corpus's head words
+    * with deliberate longest-match cases ("join" whole-word beats
+    * "jo"+"##in"; "sc" beats "s" on "scan") and leaves the tail to
+    * `[UNK]`, so every branch of the greedy scan is exercised.
+    */
+  private val wpVocab: Seq[String] = Seq(
+    "a", "the", "t", "##he", "##able", "join", "jo", "##in", "win",
+    "##dow", "st", "##ream", "b", "##atch", "cust", "##omer", "s", "sc",
+    "##an", "##can", "##ort", "me", "##rge", "fi", "##lter", "da", "##ta")
+
+  /** DuckDB list literal of [[wpVocab]] — interpolated into the q163
+    * oracle so the piece list can never drift from the Spark side.
+    */
+  private val wpVocabLit: String =
+    wpVocab.map(p => s"'$p'").mkString("[", ", ", "]")
+
   /** DuckDB replay of the greedy BPE encode (BpeRuntime contract): the
     * merge loop — lowest-ranked adjacent pair, leftmost occurrence, one
     * merge per step — as a recursive CTE over the corpus's DISTINCT words
@@ -1433,6 +1449,21 @@ object SparkEntry {
         .orderBy("event_type", "q")
     }),
 
+    "q162_heavy_hitters" -> ((s, d) => {
+      // exact frequent vocabulary WITHOUT a full groupBy(token): the full
+      // aggregation's exchange carries every distinct token (the vocabulary
+      // — millions at corpus scale); the Misra-Gries candidate pass
+      // shuffles <= k counters per partition and the recount aggregates
+      // <= k groups, so both exchanges stay O(k) no matter the vocabulary
+      // size. Exactness is the MG superset guarantee + recount (see
+      // HeavyHitters.frequentItems) — the oracle replays the full groupBy
+      val toks = fanOut(s, t(s, d, "documents"), "doc_id")
+        .select(explode(text.tokens(col("text"))).as("token"))
+      graft.ext.HeavyHitters.frequentItems(toks, col("token"),
+          minShare = 0.003, k = 1024, itemName = "token")
+        .orderBy("token")
+    }),
+
     "q149_cms_native" -> ((s, d) => {
       // production twin of q145: seeded-xxhash64 buckets, no per-row md5
       // string materialization — different hash family, so no SQL oracle
@@ -1484,6 +1515,20 @@ object SparkEntry {
         .where(col("text").isNotNull)
         .select(col("doc_id"),
           text.bpeTokenCount(col("text"), bpeMerges).cast("long").as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
+    "q163_wordpiece_count" -> ((s, d) => {
+      // the SECOND tokenizer family: BERT-style vocabularies ship as
+      // piece lists, not merge lists, and encode by greedy longest-match
+      // with ## continuations — one native codegen'd expression (the
+      // q151 design), oracle-replayed as a DuckDB recursive CTE whose
+      // per-step longest match is a correlated max over the vocab
+      t(s, d, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          text.wordpieceTokenCount(col("text"), wpVocab)
+            .cast("long").as("n_wp"))
         .orderBy("doc_id")
     }),
 
@@ -3576,6 +3621,44 @@ object SparkEntry {
          WHERE d.text IS NOT NULL
          ORDER BY doc_id""",
 
+    // greedy longest-match replay (WordPieceRuntime contract): per
+    // DISTINCT word, each recursive step advances past the longest vocab
+    // piece matching at `pos` (continuations match through the '##'
+    // prefix); no match, or a word over 100 code points, dies to ONE
+    // [UNK] token. The per-step longest match is a correlated max over
+    // the vocab — the argmax without grouping in the recursive term.
+    "q163_wordpiece_count" ->
+      s"""WITH RECURSIVE
+         warr AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS arr
+           FROM documents WHERE text IS NOT NULL),
+         words AS (SELECT doc_id, unnest(arr) AS word FROM warr),
+         dw AS (SELECT DISTINCT word FROM words),
+         wpv(p) AS (SELECT unnest($wpVocabLit)),
+         step(word, pos, n, dead) AS (
+           SELECT word, 1, 0, len(word) > 100 FROM dw
+           UNION ALL
+           SELECT word,
+             CASE WHEN l IS NULL THEN pos ELSE pos + l END,
+             CASE WHEN l IS NULL THEN n ELSE n + 1 END,
+             l IS NULL
+           FROM (SELECT s.word AS word, s.pos AS pos, s.n AS n,
+               (SELECT max(CASE WHEN s.pos = 1 THEN len(v.p) ELSE len(v.p) - 2 END)
+                FROM wpv v
+                WHERE CASE WHEN s.pos = 1
+                  THEN v.p = substr(s.word, 1, len(v.p))
+                  ELSE v.p LIKE '##%'
+                   AND substr(v.p, 3) = substr(s.word, s.pos, len(v.p) - 2) END) AS l
+             FROM step s WHERE NOT s.dead AND s.pos <= len(s.word))),
+         fin AS (SELECT word, CASE WHEN bool_or(dead) THEN 1 ELSE max(n) END AS nt
+           FROM step GROUP BY word),
+         agg AS (SELECT w.doc_id, sum(f.nt) AS s
+           FROM words w JOIN fin f USING (word) GROUP BY w.doc_id)
+         SELECT d.doc_id, CAST(coalesce(a.s, 0) AS BIGINT) AS n_wp
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         WHERE d.text IS NOT NULL
+         ORDER BY doc_id""",
+
     // q86's sqrt/decimal-normalizer chain with the per-source mass
     // re-denominated in BPE tokens via the q151 recursive encode replay
     "q157_mixture_bpe" ->
@@ -3674,6 +3757,18 @@ object SparkEntry {
          FROM srt s CROSS JOIN qs
          WHERE s.vr = CAST(floor(qs.q * (s.n - 1)) AS INT) + 1
          ORDER BY event_type, q""",
+
+    // full-vocabulary groupBy + HAVING — exactly what the two-bounded-pass
+    // MG-candidate + recount answer must equal (same tokenization as q69)
+    "q162_heavy_hitters" ->
+      """WITH tok AS (SELECT
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '')) AS token
+           FROM documents)
+         SELECT token, count(*) AS cnt FROM tok
+         GROUP BY token
+         HAVING count(*) > (SELECT count(*) FROM tok) * 0.003
+         ORDER BY token""",
 
     "q147_stream_enrich" ->
       """SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,

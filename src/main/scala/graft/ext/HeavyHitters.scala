@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.MisraGriesAgg
+
+/** Exact heavy hitters over ultra-high-cardinality columns without a full
+  * `groupBy(item)`: a bounded Misra-Gries candidate pass, then an exact
+  * recount restricted to the <= k candidates.
+  *
+  * Reference analog: none — `ETLUtils` delegates frequency tables to SQL
+  * `GROUP BY` (`/root/reference/R/ffsql.R:108`), which is exactly what
+  * stops scaling when the item domain does (token vocabularies, URLs,
+  * user ids at 100 TB: the exchange carries every distinct item). Here
+  * pass 1 shuffles at most k counters per partition and pass 2 aggregates
+  * at most k groups.
+  */
+object HeavyHitters {
+
+  /** All items of `itemCol` with frequency strictly greater than
+    * `n * minShare` (n = non-null row count), with their EXACT counts:
+    * `(item, cnt)`.
+    *
+    * Two passes, both bounded:
+    *  1. one aggregation computes the MG summary (<= k counters/partition
+    *     shuffled) and n; the candidate set collected to the driver is
+    *     <= k items — the same O(k) driver boundary as the IVF training
+    *     sample / model-fit collects documented elsewhere;
+    *  2. a codegen'd `InSet` filter keeps candidate rows only, and the
+    *     recount `groupBy` has at most k groups — its exchange is k rows.
+    *
+    * Exactness: MG guarantees every item with true count > n/(k+1) keeps a
+    * positive counter (merge-order independent), so with k+1 >= 1/minShare
+    * the candidate set is a superset of the answer and the recount filter
+    * `cnt > n*minShare` makes the result EQUAL to the full-groupBy answer
+    * — which is what the DuckDB oracle replays (q162). Choose k ~ 2x
+    * 1/minShare: the guarantee needs 1x, the slack halves the error mass.
+    */
+  def frequentItems(
+      df: DataFrame, itemCol: Column, minShare: Double,
+      k: Int = 512, itemName: String = "item"): DataFrame = {
+    require(minShare > 0 && minShare < 1, "minShare must be in (0, 1)")
+    require((k + 1) * minShare >= 1.0,
+      s"k=$k cannot guarantee share $minShare: need k+1 >= ${1 / minShare}")
+    val spark = df.sparkSession
+    val first = df
+      .agg(
+        MisraGriesAgg.misraGriesSummary(itemCol, k).as("mg"),
+        count(itemCol).as("n"))
+      .select(map_keys(col("mg")).as("cands"), col("n"))
+      .head() // bounded: one row, <= k strings
+    val n = first.getLong(1)
+    val cands = first.getSeq[String](0)
+    if (n == 0 || cands.isEmpty) {
+      return spark.range(0)
+        .select(lit("").as(itemName), lit(0L).as("cnt")).where(lit(false))
+    }
+    // floor threshold: cnt > n*minShare  <=>  cnt >= floor(n*minShare)+1,
+    // kept in long math so the comparison is exact (no double drift)
+    val thresh = math.floor(n * minShare).toLong
+    df.where(itemCol.isin(cands: _*)) // >10 values => codegen'd InSet
+      .groupBy(itemCol.as(itemName))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > thresh)
+  }
+}

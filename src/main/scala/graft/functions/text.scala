@@ -62,6 +62,22 @@ object text {
   def bpeTokenCount(c: Column, merges: Seq[(String, String)]): Column =
     graft.expressions.BpeExpressions.bpeTokenCount(c, merges)
 
+  /** WordPiece token array under a frozen PIECE vocabulary (BERT-style
+    * greedy longest-match with `##` continuations,
+    * [[graft.expressions.WordPieceRuntime]] contract) — the second
+    * tokenizer family: BPE vocabs ship as merge lists, WordPiece vocabs
+    * as piece lists (`vocab.txt`), and both now plug into the same
+    * token-denominated operators.
+    */
+  def wordpieceTokens(c: Column, vocab: Seq[String]): Column =
+    graft.expressions.WordPieceExpressions.wordpieceTokens(c, vocab)
+
+  /** Exact WordPiece token count — the counting twin of
+    * [[wordpieceTokens]] (no array materialized).
+    */
+  def wordpieceTokenCount(c: Column, vocab: Seq[String]): Column =
+    graft.expressions.WordPieceExpressions.wordpieceTokenCount(c, vocab)
+
   /** A BPE-ish subword count: word-piece granularity — letter runs, digit
     * runs, single punctuation — approximating tokenizer granularity without
     * a vocab (`\p{L}+|\p{N}+|[^\p{L}\p{N} ]` after whitespace collapse).
