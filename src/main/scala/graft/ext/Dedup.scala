@@ -608,8 +608,14 @@ object Dedup {
     require(windowTokens >= 2, "windowTokens must be >= 2")
     val toks = tokenized(df, idCol, textCol)
     val wins = windowStarts(toks, idCol, windowTokens)
-    val keeper = wins.groupBy(col("win")).agg(min(col(idCol)).as("__keeper"))
-    val starts = wins.join(keeper, "win")
+    // keep-first as ONE window pass: min(id) over (partition by win) then
+    // filter id > min. The groupBy(win) + join-back formulation shuffled
+    // the full window-occurrence frame TWICE on the 12-token win strings
+    // (the largest intermediate of the whole operator); the window
+    // function computes the keeper in the same exchange it reads.
+    val keepWin = org.apache.spark.sql.expressions.Window.partitionBy("win")
+    val starts = wins
+      .withColumn("__keeper", min(col(idCol)).over(keepWin))
       .where(col(idCol) > col("__keeper"))
       .groupBy(col(idCol))
       .agg(collect_set(col("__start")).as("__starts"))
@@ -653,7 +659,12 @@ object Dedup {
     // corpus-claimed occurrences: semi-join against the standing index
     val corpusHit = wins.join(corpusWindows.select("win"), Seq("win"), "left_semi")
       .select(col(idCol), col("__start"))
-    // batch-internal keep-first on windows the corpus does NOT hold
+    // batch-internal keep-first on windows the corpus does NOT hold.
+    // Deliberately NOT the window-min rewrite exactSubstringDedup uses:
+    // the anti-join already partitioned `fresh` by win, so the groupBy +
+    // join-back both reuse that exchange (zero new shuffles, hash agg
+    // only), while a window function would add a full sort of the
+    // occurrence frame by the 12-token win strings — measured slower.
     val fresh = wins.join(corpusWindows.select("win"), Seq("win"), "left_anti")
     val keeper = fresh.groupBy(col("win")).agg(min(col(idCol)).as("__keeper"))
     val batchHit = fresh.join(keeper, "win")
