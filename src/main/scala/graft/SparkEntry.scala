@@ -144,6 +144,40 @@ object SparkEntry {
   private val wpVocabLit: String =
     wpVocab.map(p => s"'$p'").mkString("[", ", ", "]")
 
+  /** DuckDB replay of the greedy WordPiece encode (WordPieceRuntime
+    * contract): per DISTINCT word, each recursive step advances past the
+    * longest vocab piece matching at `pos` (continuations match through
+    * the '##' prefix) — the longest match computed as a correlated max
+    * over the vocab, the argmax without grouping in the recursive term.
+    * No match, or a word over 100 code points, dies to ONE [UNK] token.
+    * Yields CTEs `words` (doc_id, word) and `fin` (word, nt) — the
+    * WordPiece twin of [[bpeEncCte]], shared by q163/q165.
+    */
+  private val wpEncCte: String =
+    s"""warr AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS arr
+         FROM documents WHERE text IS NOT NULL),
+       words AS (SELECT doc_id, unnest(arr) AS word FROM warr),
+       dw AS (SELECT DISTINCT word FROM words),
+       wpv(p) AS (SELECT unnest($wpVocabLit)),
+       step(word, pos, n, dead) AS (
+         SELECT word, 1, 0, len(word) > 100 FROM dw
+         UNION ALL
+         SELECT word,
+           CASE WHEN l IS NULL THEN pos ELSE pos + l END,
+           CASE WHEN l IS NULL THEN n ELSE n + 1 END,
+           l IS NULL
+         FROM (SELECT s.word AS word, s.pos AS pos, s.n AS n,
+             (SELECT max(CASE WHEN s.pos = 1 THEN len(v.p) ELSE len(v.p) - 2 END)
+              FROM wpv v
+              WHERE CASE WHEN s.pos = 1
+                THEN v.p = substr(s.word, 1, len(v.p))
+                ELSE v.p LIKE '##%'
+                 AND substr(v.p, 3) = substr(s.word, s.pos, len(v.p) - 2) END) AS l
+           FROM step s WHERE NOT s.dead AND s.pos <= len(s.word))),
+       fin AS (SELECT word, CASE WHEN bool_or(dead) THEN 1 ELSE max(n) END AS nt
+         FROM step GROUP BY word)"""
+
   /** DuckDB replay of the greedy BPE encode (BpeRuntime contract): the
     * merge loop — lowest-ranked adjacent pair, leftmost occurrence, one
     * merge per step — as a recursive CTE over the corpus's DISTINCT words
@@ -1462,6 +1496,40 @@ object SparkEntry {
       graft.ext.HeavyHitters.frequentItems(toks, col("token"),
           minShare = 0.003, k = 1024, itemName = "token")
         .orderBy("token")
+    }),
+
+    "q164_stream_heavy_hitters" -> ((s, d) => {
+      // q162's candidate pass as a Complete-mode streaming aggregation
+      // over two deterministic micro-batches (the q71 staging): MG state
+      // is <= k counters where an exact streaming count would hold the
+      // whole vocabulary; the recount makes streamed == batch exactly,
+      // so q162's oracle gates this path verbatim
+      import graft.streaming.CorpusStreams
+      val docs = t(s, d, "documents")
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val staged = CorpusStreams.stageIdSlices(s, s"$d/documents.parquet",
+        "doc_id", cuts = Seq(mid))
+      val name = s"graft_stream_hh_${streamCounter.incrementAndGet()}"
+      CorpusStreams.heavyHittersStreaming(s, staged, "text",
+          minShare = 0.003, k = 1024, queryName = name,
+          shufflePartitions = Some(8))
+        .orderBy("token")
+    }),
+
+    "q165_budget_wordpiece" -> ((s, d) => {
+      // q158's token budget re-denominated in the SECOND tokenizer
+      // family: the cost column is materialized wordpieceTokenCount, so
+      // one budget operator spends whichever currency the training run
+      // uses — merges.txt BPE or vocab.txt WordPiece
+      import graft.ext.Selection
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+        .withColumn("n_wp",
+          text.wordpieceTokenCount(col("text"), wpVocab).cast("long"))
+      Selection.budgetSelect(docs,
+          scoreCol = "n_chars", costCol = "n_wp", tieCol = "doc_id",
+          budget = 50000L)
+        .select(col("doc_id"), col("n_chars"), col("n_wp"))
+        .orderBy("doc_id")
     }),
 
     "q149_cms_native" -> ((s, d) => {
@@ -3621,42 +3689,32 @@ object SparkEntry {
          WHERE d.text IS NOT NULL
          ORDER BY doc_id""",
 
-    // greedy longest-match replay (WordPieceRuntime contract): per
-    // DISTINCT word, each recursive step advances past the longest vocab
-    // piece matching at `pos` (continuations match through the '##'
-    // prefix); no match, or a word over 100 code points, dies to ONE
-    // [UNK] token. The per-step longest match is a correlated max over
-    // the vocab — the argmax without grouping in the recursive term.
+    // the wpEncCte greedy longest-match replay, summed per document
     "q163_wordpiece_count" ->
       s"""WITH RECURSIVE
-         warr AS (SELECT doc_id,
-             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS arr
-           FROM documents WHERE text IS NOT NULL),
-         words AS (SELECT doc_id, unnest(arr) AS word FROM warr),
-         dw AS (SELECT DISTINCT word FROM words),
-         wpv(p) AS (SELECT unnest($wpVocabLit)),
-         step(word, pos, n, dead) AS (
-           SELECT word, 1, 0, len(word) > 100 FROM dw
-           UNION ALL
-           SELECT word,
-             CASE WHEN l IS NULL THEN pos ELSE pos + l END,
-             CASE WHEN l IS NULL THEN n ELSE n + 1 END,
-             l IS NULL
-           FROM (SELECT s.word AS word, s.pos AS pos, s.n AS n,
-               (SELECT max(CASE WHEN s.pos = 1 THEN len(v.p) ELSE len(v.p) - 2 END)
-                FROM wpv v
-                WHERE CASE WHEN s.pos = 1
-                  THEN v.p = substr(s.word, 1, len(v.p))
-                  ELSE v.p LIKE '##%'
-                   AND substr(v.p, 3) = substr(s.word, s.pos, len(v.p) - 2) END) AS l
-             FROM step s WHERE NOT s.dead AND s.pos <= len(s.word))),
-         fin AS (SELECT word, CASE WHEN bool_or(dead) THEN 1 ELSE max(n) END AS nt
-           FROM step GROUP BY word),
+         $wpEncCte,
          agg AS (SELECT w.doc_id, sum(f.nt) AS s
            FROM words w JOIN fin f USING (word) GROUP BY w.doc_id)
          SELECT d.doc_id, CAST(coalesce(a.s, 0) AS BIGINT) AS n_wp
          FROM documents d LEFT JOIN agg a USING (doc_id)
          WHERE d.text IS NOT NULL
+         ORDER BY doc_id""",
+
+    // q158's inclusive greedy-prefix rule with the cost column swapped to
+    // the WordPiece token count via the wpEncCte replay
+    "q165_budget_wordpiece" ->
+      s"""WITH RECURSIVE
+         $wpEncCte,
+         m AS (SELECT w.doc_id, sum(f.nt) AS nw
+           FROM words w JOIN fin f USING (word) GROUP BY w.doc_id),
+         dd AS (SELECT d.doc_id, d.n_chars,
+             CAST(coalesce(m.nw, 0) AS BIGINT) AS n_wp
+           FROM documents d LEFT JOIN m USING (doc_id)
+           WHERE d.text IS NOT NULL),
+         r AS (SELECT doc_id, n_chars, n_wp,
+             sum(n_wp) OVER (ORDER BY n_chars DESC, doc_id ASC) AS cum
+           FROM dd)
+         SELECT doc_id, n_chars, n_wp FROM r WHERE cum <= 50000
          ORDER BY doc_id""",
 
     // q86's sqrt/decimal-normalizer chain with the per-source mass
@@ -3761,6 +3819,19 @@ object SparkEntry {
     // full-vocabulary groupBy + HAVING — exactly what the two-bounded-pass
     // MG-candidate + recount answer must equal (same tokenization as q69)
     "q162_heavy_hitters" ->
+      """WITH tok AS (SELECT
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '')) AS token
+           FROM documents)
+         SELECT token, count(*) AS cnt FROM tok
+         GROUP BY token
+         HAVING count(*) > (SELECT count(*) FROM tok) * 0.003
+         ORDER BY token""",
+
+    // the streamed candidate pass recounts to the same exact answer as
+    // the batch operator (MG superset holds under any merge order), so
+    // q162's full-groupBy oracle gates the streaming path verbatim
+    "q164_stream_heavy_hitters" ->
       """WITH tok AS (SELECT
              unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
                x -> x <> '')) AS token

@@ -40,20 +40,34 @@ object HeavyHitters {
   def frequentItems(
       df: DataFrame, itemCol: Column, minShare: Double,
       k: Int = 512, itemName: String = "item"): DataFrame = {
-    require(minShare > 0 && minShare < 1, "minShare must be in (0, 1)")
-    require((k + 1) * minShare >= 1.0,
-      s"k=$k cannot guarantee share $minShare: need k+1 >= ${1 / minShare}")
-    val spark = df.sparkSession
+    requireGuarantee(minShare, k)
     val first = df
       .agg(
         MisraGriesAgg.misraGriesSummary(itemCol, k).as("mg"),
         count(itemCol).as("n"))
       .select(map_keys(col("mg")).as("cands"), col("n"))
       .head() // bounded: one row, <= k strings
-    val n = first.getLong(1)
-    val cands = first.getSeq[String](0)
+    recountExact(df, itemCol, first.getSeq[String](0), first.getLong(1),
+      minShare, itemName)
+  }
+
+  private[graft] def requireGuarantee(minShare: Double, k: Int): Unit = {
+    require(minShare > 0 && minShare < 1, "minShare must be in (0, 1)")
+    require((k + 1) * minShare >= 1.0,
+      s"k=$k cannot guarantee share $minShare: need k+1 >= ${1 / minShare}")
+  }
+
+  /** The exact-recount second pass, shared by the batch operator above and
+    * the streaming candidate pass
+    * ([[graft.streaming.CorpusStreams.heavyHittersStreaming]]): any MG
+    * candidate superset yields the same exact answer, which is why the
+    * streamed and batch faces sit under ONE oracle.
+    */
+  private[graft] def recountExact(
+      df: DataFrame, itemCol: Column, cands: Seq[String], n: Long,
+      minShare: Double, itemName: String): DataFrame = {
     if (n == 0 || cands.isEmpty) {
-      return spark.range(0)
+      return df.sparkSession.range(0)
         .select(lit("").as(itemName), lit(0L).as("cnt")).where(lit(false))
     }
     // floor threshold: cnt > n*minShare  <=>  cnt >= floor(n*minShare)+1,

@@ -177,4 +177,56 @@ object CorpusStreams {
     }
     spark.read.parquet(sink)
   }
+
+  /** Streaming face of [[graft.ext.HeavyHitters.frequentItems]] over a
+    * staged document stream (the q161 argument applied to frequent items):
+    * an exact streaming token count per item would hold the whole
+    * vocabulary in the state store; the Misra-Gries summary is <= k
+    * counters with an associative, bounded merge, so the candidate pass
+    * runs as a Complete-mode streaming aggregation whose state is O(k).
+    * The exact recount then runs once, batch, over the same staged corpus.
+    *
+    * The MG candidate SET can differ from the batch pass's (merge order
+    * differs across micro-batches) — the SUPERSET guarantee is what's
+    * order-invariant, and the recount filters both sets to the same exact
+    * answer, so the streamed result EQUALS the batch operator's and sits
+    * under the same SQL oracle (q162/q164).
+    */
+  def heavyHittersStreaming(
+      spark: SparkSession, stagedDir: String, textCol: String,
+      minShare: Double, k: Int, queryName: String,
+      itemName: String = "token",
+      shufflePartitions: Option[Int] = None,
+      rocksdbState: Boolean = false): DataFrame = {
+    import graft.ext.HeavyHitters
+    HeavyHitters.requireGuarantee(minShare, k)
+    val schema = spark.read.parquet(stagedDir).schema
+    def tokens(df: DataFrame): DataFrame = df.select(
+      explode(graft.functions.text.tokens(col(textCol))).as(itemName))
+    val stream = tokens(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir))
+    val agg = stream.agg(
+      graft.expressions.MisraGriesAgg.misraGriesSummary(col(itemName), k)
+        .as("mg"),
+      count(col(itemName)).as("n"))
+    EventStreams.withStatePartitions(spark, shufflePartitions, rocksdbState) {
+      val q = agg.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // bounded: at most one row, <= k strings (empty when zero batches ran)
+    val first = spark.table(queryName)
+      .select(map_keys(col("mg")).as("cands"), col("n"))
+      .collect().headOption
+    spark.catalog.dropTempView(queryName)
+    HeavyHitters.recountExact(tokens(spark.read.parquet(stagedDir)),
+      col(itemName),
+      first.map(_.getSeq[String](0)).getOrElse(Nil),
+      first.map(_.getLong(1)).getOrElse(0L),
+      minShare, itemName)
+  }
 }

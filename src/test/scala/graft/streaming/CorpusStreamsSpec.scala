@@ -81,4 +81,26 @@ class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
       .as[Long].collect().toSet
     assert(streamed == Set(1L))
   }
+
+  test("streamed heavy hitters equal the batch operator across batch cuts") {
+    // zipf-ish corpus: token-i appears ~60/i times across the docs
+    val words = (1 to 30).flatMap(i => Seq.fill(60 / i)(s"tok$i"))
+    val rows = scala.util.Random.shuffle(words).grouped(25).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+    val path = writeDocs(rows)
+    val batch = graft.ext.HeavyHitters.frequentItems(
+      rows.toDF("doc_id", "text")
+        .select(explode(graft.functions.text.tokens(col("text"))).as("token")),
+      col("token"), minShare = 0.05, k = 64, itemName = "token")
+      .as[(String, Long)].collect().toMap
+    assert(batch.nonEmpty) // the fixture must actually have heavy hitters
+    for (cuts <- Seq(Seq(3L), Seq(2L, 5L))) {
+      val staged = CorpusStreams.stageIdSlices(spark, path, "doc_id", cuts)
+      val streamed = CorpusStreams.heavyHittersStreaming(spark, staged,
+        "text", minShare = 0.05, k = 64,
+        queryName = s"hh_spec_${cuts.size}", shufflePartitions = Some(4))
+        .as[(String, Long)].collect().toMap
+      assert(streamed == batch, s"cuts=$cuts")
+    }
+  }
 }
