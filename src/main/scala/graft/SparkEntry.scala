@@ -1516,6 +1516,20 @@ object SparkEntry {
         .orderBy("token")
     }),
 
+    "q166_heavy_hitters_by_source" -> ((s, d) => {
+      // per-DOMAIN frequent tokens (the boilerplate-detection shape):
+      // one MG summary per source, candidates + per-group thresholds as
+      // a broadcast frame — NO driver collect, so group cardinality can
+      // grow to thousands of domains; recount aggregates candidate
+      // occurrences only
+      val toks = fanOut(s, t(s, d, "documents"), "doc_id")
+        .select(col("source"),
+          explode(text.tokens(col("text"))).as("token"))
+      graft.ext.HeavyHitters.frequentItemsByGroup(toks, Seq("source"),
+          col("token"), minShare = 0.004, k = 1024, itemName = "token")
+        .orderBy("source", "token")
+    }),
+
     "q165_budget_wordpiece" -> ((s, d) => {
       // q158's token budget re-denominated in the SECOND tokenizer
       // family: the cost column is materialized wordpieceTokenCount, so
@@ -3827,6 +3841,20 @@ object SparkEntry {
          GROUP BY token
          HAVING count(*) > (SELECT count(*) FROM tok) * 0.003
          ORDER BY token""",
+
+    // per-group replay: count within source, threshold = that source's
+    // token mass — the grouped twin of q162's HAVING
+    "q166_heavy_hitters_by_source" ->
+      """WITH tok AS (SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '')) AS token
+           FROM documents),
+         n AS (SELECT source, count(*) AS n FROM tok GROUP BY source)
+         SELECT t.source, t.token, count(*) AS cnt
+         FROM tok t JOIN n ON t.source = n.source
+         GROUP BY t.source, t.token, n.n
+         HAVING count(*) > n.n * 0.004
+         ORDER BY t.source, t.token""",
 
     // the streamed candidate pass recounts to the same exact answer as
     // the batch operator (MG superset holds under any merge order), so

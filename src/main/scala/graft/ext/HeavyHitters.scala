@@ -51,6 +51,42 @@ object HeavyHitters {
       minShare, itemName)
   }
 
+  /** Per-group exact heavy hitters: all items whose frequency WITHIN
+    * their group exceeds `groupCount * minShare`, with exact counts —
+    * `(groupCols..., item, cnt)`. The per-domain boilerplate-token shape:
+    * one MG summary per group bounds pass-1 shuffle at k counters per
+    * (group, partition).
+    *
+    * Unlike [[frequentItems]] nothing is collected to the driver: the
+    * candidate frame `(group, item, threshold)` — at most k rows per
+    * group — broadcasts into the recount join, and the recount groupBy
+    * aggregates candidate occurrences only. Groups must therefore be
+    * broadcast-bounded (sources, languages, shards — thousands, not
+    * millions); the threshold stays in the same IEEE double
+    * `n * minShare` the SQL oracle computes, floored to long so the
+    * final integer comparison is exact.
+    */
+  def frequentItemsByGroup(
+      df: DataFrame, groupCols: Seq[String], itemCol: Column,
+      minShare: Double, k: Int = 512, itemName: String = "item"): DataFrame = {
+    requireGuarantee(minShare, k)
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val cands = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        MisraGriesAgg.misraGriesSummary(itemCol, k).as("__mg"),
+        count(itemCol).as("__n"))
+      .select(groupCols.map(col) :+
+        explode(map_keys(col("__mg"))).as(itemName) :+
+        floor(col("__n") * lit(minShare)).cast("long").as("__thresh"): _*)
+    df.select(groupCols.map(col) :+ itemCol.as(itemName): _*)
+      .join(broadcast(cands), groupCols :+ itemName)
+      .groupBy((groupCols :+ itemName :+ "__thresh").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > col("__thresh"))
+      .drop("__thresh")
+  }
+
   private[graft] def requireGuarantee(minShare: Double, k: Int): Unit = {
     require(minShare > 0 && minShare < 1, "minShare must be in (0, 1)")
     require((k + 1) * minShare >= 1.0,

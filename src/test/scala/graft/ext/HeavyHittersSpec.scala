@@ -69,6 +69,24 @@ class HeavyHittersSpec extends AnyFunSuite with SparkSpec {
     assert(!got.keySet.exists(_ == null))
   }
 
+  test("frequentItemsByGroup equals the per-group groupBy answer") {
+    // two groups with DIFFERENT zipf tails: thresholds are per-group
+    val rows = zipf.map(("g1", _)) ++
+      (1 to 40).flatMap(i => Seq.fill(500 / i)(s"x-$i")).map(("g2", _))
+    val df = scala.util.Random.shuffle(rows).toDF("g", "v").repartition(9)
+    val got = HeavyHitters.frequentItemsByGroup(df, Seq("g"), col("v"),
+      minShare = 0.02, k = 128, itemName = "v")
+      .as[(String, String, Long)].collect()
+      .map { case (g, v, c) => (g, v) -> c }.toMap
+    val want = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter { case ((g, _), c) =>
+        c > rows.count(_._1 == g) * 0.02
+      }
+    assert(got == want)
+    // both groups must actually contribute rows for the test to mean much
+    assert(got.keySet.map(_._1) == Set("g1", "g2"))
+  }
+
   test("k too small for the share is rejected loudly") {
     val df = zipf.toDF("v")
     val e = intercept[IllegalArgumentException] {
