@@ -1,0 +1,122 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.text
+
+/** Bigram language-model quality scoring — the CCNet-style filter family
+  * (Wenzek et al. 2020, arXiv:1911.00359): score each document by how
+  * well a reference corpus's n-gram statistics predict it, then gate or
+  * bucket on the score. The reference has no text operators (text work is
+  * delegated to `transFUN`, `/root/reference/R/ffsql.R:186`); this is the
+  * LLM-pipeline extension's perplexity-proxy filter.
+  *
+  * Determinism contract: the FIT is exact integer counting with a
+  * deterministic top-`maxBigrams` cut (count desc, then bigram asc); the
+  * SCORE's joins and sums are exact integers, so `(n_pairs, n_hit,
+  * sum_bi, sum_uni)` hash-match any engine (q167's oracle). The log-prob
+  * itself is a per-pair transcendental — NOT hash-stable across engines'
+  * libm — so `avg_logp` is computed from those exact integers in one
+  * documented formula (Laplace-smoothed stupid bigram model) and is
+  * spec-asserted, never SQL-oracled. Downstream gating composes on either
+  * currency.
+  *
+  * Scale: fit = two map-side-combinable count aggregations (exchange
+  * bounded by distinct grams per partition) + a TakeOrdered cut at
+  * `maxBigrams`; score = row-local pair explode, two BROADCAST joins
+  * against the (bounded) model, one groupBy(doc) re-aggregation — no
+  * all-pairs anything, no driver collect.
+  */
+object NgramLm {
+
+  /** Fitted model: exact unigram counts (the full vocabulary — bounded by
+    * distinct tokens) and the top-`maxBigrams` bigram counts under the
+    * deterministic cut. `vocabSize` rides along for smoothing.
+    */
+  case class BigramModel(unigrams: DataFrame, bigrams: DataFrame,
+      vocabSize: Long)
+
+  /** Row-local exploded bigram occurrences `(w1, w2)` of `textCol` —
+    * sequence + posexplode over each document's token array, the
+    * [[Vocab.ngramFrequencies]] shape (no shuffle before aggregation).
+    */
+  private def bigramOccurrences(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{size => arrayLen}
+    df.select(text.tokens(col(textCol)).as("__toks"))
+      .where(arrayLen(col("__toks")) >= 2)
+      .select(col("__toks"),
+        posexplode(sequence(lit(0), arrayLen(col("__toks")) - 2, lit(1)))
+          .as(Seq("__i", "__start")))
+      .select(
+        element_at(col("__toks"), col("__start") + 1).as("w1"),
+        element_at(col("__toks"), col("__start") + 2).as("w2"))
+  }
+
+  /** Fit on a reference corpus. `maxBigrams` is the model-size cap (the
+    * documented silent-cap pattern: the cut is top-(count desc, w1 asc,
+    * w2 asc), so the kept set is deterministic and SQL-replayable).
+    */
+  def fit(df: DataFrame, textCol: String, maxBigrams: Int): BigramModel = {
+    require(maxBigrams > 0, "maxBigrams must be positive")
+    val uni = df
+      .select(explode(text.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_uni"))
+    val bi = bigramOccurrences(df, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_bi"))
+      .orderBy(col("c_bi").desc, col("w1").asc, col("w2").asc)
+      .limit(maxBigrams) // TakeOrdered: bounded, never a full sort spill
+    val v = uni.count()
+    BigramModel(uni, bi, v)
+  }
+
+  /** Score documents against a fitted model: one row per document with
+    * the EXACT sufficient statistics and the smoothed score —
+    * `(idCol, n_pairs, n_hit, sum_bi, sum_uni, avg_logp)`:
+    *  - `n_pairs`: adjacent token pairs in the document;
+    *  - `n_hit`: pairs present in the model's bigram table;
+    *  - `sum_bi` / `sum_uni`: total reference counts of the document's
+    *    pairs (absent pair or unseen first word counts 0);
+    *  - `avg_logp`: mean over pairs of
+    *    `ln((c_bi + 1) / (c_uni + vocabSize))` — Laplace-smoothed bigram
+    *    log-likelihood; higher = more reference-like. Documents with
+    *    fewer than two tokens have no pairs and emit NO row.
+    *
+    * The integer columns are what the correctness gate oracles; the sums
+    * that feed `avg_logp` route through DECIMAL so the emitted double is
+    * partition-order independent.
+    */
+  def score(
+      df: DataFrame, idCol: String, textCol: String,
+      model: BigramModel): DataFrame = {
+    import org.apache.spark.sql.functions.{size => arrayLen}
+    val pairs = df
+      .select(col(idCol), text.tokens(col(textCol)).as("__toks"))
+      .where(arrayLen(col("__toks")) >= 2)
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), arrayLen(col("__toks")) - 2, lit(1)))
+          .as(Seq("__i", "__start")))
+      .select(col(idCol),
+        element_at(col("__toks"), col("__start") + 1).as("w1"),
+        element_at(col("__toks"), col("__start") + 2).as("w2"))
+    val scored = pairs
+      .join(broadcast(model.bigrams), Seq("w1", "w2"), "left")
+      .join(broadcast(model.unigrams.withColumnRenamed("w", "w1")),
+        Seq("w1"), "left")
+      .select(col(idCol),
+        coalesce(col("c_bi"), lit(0L)).as("__cb"),
+        coalesce(col("c_uni"), lit(0L)).as("__cu"))
+    scored
+      .withColumn("__logp",
+        log((col("__cb") + 1).cast("double") /
+          (col("__cu") + model.vocabSize).cast("double"))
+          .cast("decimal(28,12)"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("__cb") > 0, 1L).otherwise(0L)).as("n_hit"),
+        sum(col("__cb")).as("sum_bi"),
+        sum(col("__cu")).as("sum_uni"),
+        (sum(col("__logp")) / count(lit(1))).cast("double").as("avg_logp"))
+  }
+}
