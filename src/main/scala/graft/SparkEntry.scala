@@ -41,9 +41,11 @@ object SparkEntry {
     * scale the scan has real splits and this narrow shuffle stays
     * proportional to the slice it fans out.
     */
-  private def fanOut(s: SparkSession, df: DataFrame, key: String): DataFrame =
+  private def fanOut(s: SparkSession, df: DataFrame, key: String,
+      parts: Int = 0): DataFrame =
     df.repartition(
-      s.conf.get("spark.sql.shuffle.partitions", "32").toInt, col(key))
+      if (parts > 0) parts
+      else s.conf.get("spark.sql.shuffle.partitions", "32").toInt, col(key))
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
     * nanos-since-epoch long (`spark.sql.legacy.parquet.nanosAsLong=true`,
@@ -1523,14 +1525,20 @@ object SparkEntry {
       // statistics; the log transform they feed is per-pair libm — not
       // hash-stable across engines — so avg_logp is spec-asserted
       // (NgramLmSpec) and projected out here. maxBigrams=500 makes the
-      // deterministic model cut actually bite in both engines.
+      // deterministic model cut actually bite in both engines. fanOut
+      // width 8, not 32: this query runs ~7 shuffle-bounded stages over a
+      // ~10 MB corpus slice, so per-task fixed cost dominates at 32
+      // slices (measured 4.3 s vs 1.7 s) — the streaming queries'
+      // shufflePartitions=8 argument applied to a batch pipeline; at
+      // production scale the scan has real splits and the operator
+      // inherits whatever parallelism the input carries.
       val docs = t(s, d, "documents").where(col("text").isNotNull)
       val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
       val model = graft.ext.NgramLm.fit(
-        fanOut(s, docs.where(col("doc_id") <= mid), "doc_id"),
+        fanOut(s, docs.where(col("doc_id") <= mid), "doc_id", parts = 8),
         "text", maxBigrams = 500)
       graft.ext.NgramLm.score(
-          fanOut(s, docs.where(col("doc_id") > mid), "doc_id"),
+          fanOut(s, docs.where(col("doc_id") > mid), "doc_id", parts = 8),
           "doc_id", "text", model)
         .select("doc_id", "n_pairs", "n_hit", "sum_bi", "sum_uni")
         .orderBy("doc_id")
