@@ -705,6 +705,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q168_knn_pq" -> ((s, d) => {
+      // PQ/ADC ANN under a FULL hash oracle: seed codebooks (16 smallest-
+      // md5 corpus vectors sub-sliced into 8 subspaces), codes and ADC
+      // scores all evaluate in fixed nested order, so the SQL replay is
+      // bit-exact (0.0 measured drift) — the memory-bounded third leg
+      // next to brute force (q24) and IVF (q118/q51): candidates are 8
+      // ints each and score via 8 table lookups, never a dim-float loop
+      val emb = t(s, d, "embeddings")
+      val model = graft.ext.Pq.portableSeedCodebooks(emb, "vec_id",
+        "embedding", m = 8, c = 16)
+      graft.ext.Pq.adcTopK(model, emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", "vec_id", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     "q137_semdedup_incr" -> ((s, d) => {
       // incremental semantic dedup: standing corpus = ids < 400 (with the
       // generation's frozen seed quantizer); increment = ids >= 400 plus
@@ -4663,6 +4678,41 @@ object SparkEntry {
     // re-rank replicated in SQL over the md5-seeded portable quantizer;
     // list_cosine_similarity's bit-parity with vectors.cosine is already
     // proven by q98's rank-on-raw-cosine hash match
+    // PQ replay: seed codebooks = sub-slices of the 16 smallest-md5
+    // vectors; sub-distances as nested-order list comprehensions, codes
+    // via per-(vector, subspace) argmin, ADC totals as
+    // list_sum(list(... ORDER BY j)) — every sum in the same sequential
+    // order the native kernel uses, so raw doubles match bit-exactly
+    "q168_knn_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         seeds AS (SELECT v AS sv, rn - 1 AS cell FROM
+             (SELECT v, row_number() OVER
+                (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM e)
+           WHERE rn <= 16),
+         js AS (SELECT unnest(generate_series(0, 7)) AS j),
+         cw AS (SELECT js.j, s.cell, s.sv[js.j*8 + 1 : js.j*8 + 8] AS w
+           FROM seeds s CROSS JOIN js),
+         sd AS (SELECT e.vec_id, c.j, c.cell,
+             list_sum([ (e.v[c.j*8 + d] - c.w[d]) * (e.v[c.j*8 + d] - c.w[d])
+                        for d in generate_series(1, 8) ]) AS sdist
+           FROM e CROSS JOIN cw c),
+         codes AS (SELECT vec_id, j, cell AS code FROM (
+             SELECT vec_id, j, cell, row_number() OVER
+               (PARTITION BY vec_id, j ORDER BY sdist ASC, cell ASC) AS rn
+             FROM sd)
+           WHERE rn = 1),
+         adc AS (SELECT s.vec_id AS query_id, n.vec_id AS neighbor_id,
+             list_sum(list(s.sdist ORDER BY s.j)) AS dist
+           FROM codes n JOIN sd s ON s.j = n.j AND s.cell = n.code
+           WHERE s.vec_id < 10 AND n.vec_id <> s.vec_id
+           GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id, round(dist, 6) AS adc_dist,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS rank
+           FROM adc)
+         SELECT query_id, neighbor_id, adc_dist, rank FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
+
     "q118_knn_ivf_portable" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          seeds AS (SELECT v AS c_vec, rn - 1 AS cell FROM

@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expressions.PqExpressions
+
+/** Product-quantization ANN (Jégou et al. 2011) — the memory-bounded
+  * third leg of the similarity-search family: brute force is exact but
+  * O(dim) floats per candidate, IVF prunes candidates but still stores
+  * full vectors, PQ stores each candidate as `m` SMALL INTS (m bytes at
+  * c <= 256) and scores it with m table lookups. At 100 TB of embeddings
+  * the encoded corpus is dim*4/m times smaller than the float corpus —
+  * the difference between an index that fits executor memory and one
+  * that doesn't — and the scan-side cost per (query, candidate) drops
+  * from a dim-length float loop to m reads of a query-local table.
+  *
+  * Determinism: codebooks are the [[Ivf.portableSeedModel]] convention
+  * (the c corpus vectors with the smallest (md5(id), id), sub-sliced per
+  * subspace — no iteration), and every distance is evaluated in a fixed
+  * nested order (see [[graft.expressions.PqRuntime]]), so codes, ADC
+  * scores and ranks all hash-match a SQL replay bit-exactly (q168) —
+  * 0.0 drift measured against DuckDB over the battery corpus.
+  */
+object Pq {
+
+  /** `codebooks(j)(cell)` = codeword `cell` of subspace `j`. */
+  final case class Model(codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def c: Int = codebooks(0).length
+    def subDim: Int = codebooks(0)(0).length
+  }
+
+  /** Deterministic seed codebooks: the `c` corpus vectors with the
+    * smallest `(md5(id), id)` (the q118 portable-quantizer convention),
+    * each sliced into `m` sub-vectors. `dim` must divide evenly into `m`
+    * subspaces. A k-means refinement would adapt codewords to the data at
+    * the cost of SQL replayability — the IVF trained/portable twin
+    * argument (q51/q118) applies unchanged.
+    */
+  def portableSeedCodebooks(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, c: Int): Model = {
+    require(m >= 1, "m must be >= 1")
+    require(c >= 1, "c must be >= 1")
+    val seeds = corpus
+      .select(col(vecCol).cast("array<double>").as("v"), col(idCol).as("id"))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(c)
+      .collect() // bounded: c rows
+      .map(_.getSeq[Double](0).toArray)
+    require(seeds.length == c, s"corpus has fewer than $c rows")
+    val dim = seeds(0).length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sd = dim / m
+    Model(Array.tabulate(m)(j => seeds.map(_.slice(j * sd, (j + 1) * sd))))
+  }
+
+  /** Encode a corpus: `(idCol, codes array<int>)` — the persistable PQ
+    * index (m ints per vector; write it as parquet like any table).
+    */
+  def encode(
+      model: Model, df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol),
+      PqExpressions.pqEncode(col(vecCol), model.codebooks).as("codes"))
+
+  /** ADC top-k: `(query_id, neighbor_id, adc_dist, rank)` — rank 1 =
+    * smallest approximate distance, ties to the smaller neighbor id.
+    *
+    * Plan shape: candidates encode (or arrive pre-encoded via
+    * `codesDf`) and NEVER shuffle; queries broadcast with their distance
+    * tables already materialized (one table per query row, computed
+    * once); the scan side pays m table reads per pair; the only
+    * exchange is the per-query top-k window — the [[Similarity
+    * .bruteForceTopK]] shape with the float loop swapped for lookups.
+    */
+  def adcTopK(
+      model: Model, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      k: Int = 10, excludeSelf: Boolean = true,
+      codesDf: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val codes = codesDf.getOrElse(encode(model, corpus, idCol, vecCol))
+      .select(col(idCol).as("neighbor_id"), col("codes").as("__codes"))
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("query_id"),
+      PqExpressions.pqDistTable(col(vecCol), model.codebooks).as("__dtab")))
+    val scored = codes
+      .join(q)
+      .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("__dist",
+        PqExpressions.pqAdcScore(col("__dtab"), col("__codes"), model.c))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("__dist"), 6).as("adc_dist"), col("rank"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class PqSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // m=2 subspaces x subDim=2; codebook j holds two codewords each
+  private val cb: Array[Array[Array[Double]]] = Array(
+    Array(Array(0.0, 0.0), Array(10.0, 10.0)),
+    Array(Array(0.0, 5.0), Array(5.0, 0.0)))
+  private val model = Pq.Model(cb)
+
+  test("encode picks the nearest codeword per subspace, ties to index 0") {
+    val df = Seq(
+      (1L, Seq(1.0, 1.0, 0.0, 4.0)), // sub0 -> cw0, sub1 -> cw0
+      (2L, Seq(9.0, 9.0, 4.0, 1.0)), // sub0 -> cw1, sub1 -> cw1
+      (3L, Seq(5.0, 5.0, 2.5, 2.5))) // both EQUIDISTANT -> ties to 0
+      .toDF("vec_id", "embedding")
+    val got = Pq.encode(model, df, "vec_id", "embedding")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got(1L) == Seq(0, 0))
+    assert(got(2L) == Seq(1, 1))
+    assert(got(3L) == Seq(0, 0))
+  }
+
+  test("ADC distance equals L2^2 to the reconstructed (decoded) vector") {
+    val corpus = Seq((1L, Seq(1.0, 1.0, 0.0, 4.0)), (2L, Seq(9.0, 9.0, 4.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((7L, Seq(2.0, 3.0, 1.0, 1.0))).toDF("vec_id", "embedding")
+    val got = Pq.adcTopK(model, corpus, queries, "vec_id", "embedding",
+      "vec_id", k = 2).as[(Long, Long, Double, Int)].collect()
+      .map(r => r._2 -> r._3).toMap
+    def l2sq(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val q = Seq(2.0, 3.0, 1.0, 1.0)
+    // doc1 decodes to cw0|cw0 = (0,0,0,5); doc2 to cw1|cw1 = (10,10,5,0)
+    assert(math.abs(got(1L) - l2sq(q, Seq(0, 0, 0, 5))) < 1e-9)
+    assert(math.abs(got(2L) - l2sq(q, Seq(10, 10, 5, 0))) < 1e-9)
+  }
+
+  test("pre-encoded corpus (codesDf) gives identical results") {
+    val corpus = Seq((1L, Seq(1.0, 1.0, 0.0, 4.0)), (2L, Seq(9.0, 9.0, 4.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((7L, Seq(2.0, 3.0, 1.0, 1.0))).toDF("vec_id", "embedding")
+    val direct = Pq.adcTopK(model, corpus, queries, "vec_id", "embedding",
+      "vec_id", k = 2).as[(Long, Long, Double, Int)].collect().toSet
+    val pre = Pq.encode(model, corpus, "vec_id", "embedding")
+    val viaIndex = Pq.adcTopK(model, corpus, queries, "vec_id", "embedding",
+      "vec_id", k = 2, codesDf = Some(pre))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(direct == viaIndex)
+  }
+
+  test("seed codebooks: deterministic, sliced, and dim-checked") {
+    val emb = (1 to 40).map { i =>
+      (i.toLong, (0 until 8).map(d => (i * 31 + d * 7 % 13).toDouble))
+    }.toDF("vec_id", "embedding")
+    val m1 = Pq.portableSeedCodebooks(emb, "vec_id", "embedding", m = 4, c = 8)
+    val m2 = Pq.portableSeedCodebooks(emb, "vec_id", "embedding", m = 4, c = 8)
+    assert(m1.m == 4 && m1.c == 8 && m1.subDim == 2)
+    assert(m1.codebooks.flatten.flatten.toSeq == m2.codebooks.flatten.flatten.toSeq)
+    val e = intercept[IllegalArgumentException] {
+      Pq.portableSeedCodebooks(emb, "vec_id", "embedding", m = 3, c = 8)
+    }
+    assert(e.getMessage.contains("divide"))
+  }
+
+  test("recall sanity on clustered data: PQ top-1 finds the true cluster") {
+    // 4 well-separated clusters; queries are cluster members — the
+    // nearest neighbor by ADC must come from the same cluster
+    val pts = for (cl <- 0 until 4; i <- 0 until 25) yield {
+      val base = cl * 100.0
+      ((cl * 25 + i).toLong,
+        (0 until 8).map(d => base + (i * 13 + d * 5) % 7 * 0.1))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val model8 = Pq.portableSeedCodebooks(df, "vec_id", "embedding", m = 4, c = 16)
+    val top1 = Pq.adcTopK(model8, df, df.where(col("vec_id") % 25 === 3),
+      "vec_id", "embedding", "vec_id", k = 1)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(top1.nonEmpty)
+    top1.foreach { case (q, n, _, _) =>
+      assert(q / 25 == n / 25, s"query $q matched cross-cluster neighbor $n")
+    }
+  }
+
+  test("a wrong-dimension vector fails loudly, not silently") {
+    val df = Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Pq.encode(model, df, "vec_id", "embedding").collect()
+    }
+    assert(e.getMessage != null)
+  }
+}
