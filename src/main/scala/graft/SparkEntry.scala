@@ -720,6 +720,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q169_knn_ivfpq" -> ((s, d) => {
+      // the production ANN architecture (FAISS IVFADC) as a COMPOSITION
+      // of the two oracled components: q118's portable coarse quantizer
+      // prunes to nProbe cells, q168's fixed-order ADC scores the
+      // survivors — candidates carry (cell, codes), never floats, and
+      // the probe join is a broadcast equi-join on the cell id
+      val emb = t(s, d, "embeddings")
+      val coarse = graft.ext.Ivf.portableSeedModel(emb, "vec_id",
+        "embedding", k = 8)
+      val pq = graft.ext.Pq.portableSeedCodebooks(emb, "vec_id",
+        "embedding", m = 8, c = 16)
+      graft.ext.Pq.ivfAdcTopK(coarse, pq, emb,
+          emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", "vec_id", k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     "q137_semdedup_incr" -> ((s, d) => {
       // incremental semantic dedup: standing corpus = ids < 400 (with the
       // generation's frozen seed quantizer); increment = ids >= 400 plus
@@ -4705,6 +4722,58 @@ object SparkEntry {
              list_sum(list(s.sdist ORDER BY s.j)) AS dist
            FROM codes n JOIN sd s ON s.j = n.j AND s.cell = n.code
            WHERE s.vec_id < 10 AND n.vec_id <> s.vec_id
+           GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id, round(dist, 6) AS adc_dist,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS rank
+           FROM adc)
+         SELECT query_id, neighbor_id, adc_dist, rank FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
+
+    // the q118 probing CTEs + the q168 ADC CTEs, joined: candidates come
+    // from the probed cells only, scores stay the fixed-order ADC sums
+    "q169_knn_ivfpq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         ivfseeds AS (SELECT v AS c_vec, rn - 1 AS icell FROM
+             (SELECT v, row_number() OVER
+                (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM e)
+           WHERE rn <= 8),
+         asg AS (SELECT vec_id, icell FROM (
+             SELECT e.vec_id, s.icell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, s.c_vec) DESC, s.icell) AS rn
+             FROM e CROSS JOIN ivfseeds s)
+           WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, icell FROM (
+             SELECT e.vec_id, s.icell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, s.c_vec) DESC, s.icell) AS rn
+             FROM e CROSS JOIN ivfseeds s WHERE e.vec_id < 10)
+           WHERE rn <= 2),
+         cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+           FROM probes p JOIN asg a ON p.icell = a.icell
+           WHERE a.vec_id <> p.query_id),
+         pqseeds AS (SELECT v AS sv, rn - 1 AS cell FROM
+             (SELECT v, row_number() OVER
+                (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM e)
+           WHERE rn <= 16),
+         js AS (SELECT unnest(generate_series(0, 7)) AS j),
+         cw AS (SELECT js.j, s.cell, s.sv[js.j*8 + 1 : js.j*8 + 8] AS w
+           FROM pqseeds s CROSS JOIN js),
+         sd AS (SELECT e.vec_id, c.j, c.cell,
+             list_sum([ (e.v[c.j*8 + d] - c.w[d]) * (e.v[c.j*8 + d] - c.w[d])
+                        for d in generate_series(1, 8) ]) AS sdist
+           FROM e CROSS JOIN cw c),
+         codes AS (SELECT vec_id, j, cell AS code FROM (
+             SELECT vec_id, j, cell, row_number() OVER
+               (PARTITION BY vec_id, j ORDER BY sdist ASC, cell ASC) AS rn
+             FROM sd)
+           WHERE rn = 1),
+         adc AS (SELECT c.query_id, c.neighbor_id,
+             list_sum(list(s.sdist ORDER BY s.j)) AS dist
+           FROM cand c
+           JOIN codes n ON n.vec_id = c.neighbor_id
+           JOIN sd s ON s.vec_id = c.query_id AND s.j = n.j AND s.cell = n.code
            GROUP BY 1, 2),
          r AS (SELECT query_id, neighbor_id, round(dist, 6) AS adc_dist,
              CAST(row_number() OVER (PARTITION BY query_id

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.expressions.PqExpressions
+import graft.expressions.{PqExpressions, VectorExpressions}
 
 /** Product-quantization ANN (Jégou et al. 2011) — the memory-bounded
   * third leg of the similarity-search family: brute force is exact but
@@ -91,6 +91,48 @@ object Pq {
       .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .withColumn("__dist",
         PqExpressions.pqAdcScore(col("__dtab"), col("__codes"), model.c))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("__dist"), 6).as("adc_dist"), col("rank"))
+  }
+
+  /** IVF + PQ — the production ANN architecture (FAISS's IVFADC): the
+    * coarse quantizer prunes candidates to the `nProbe` nearest cells,
+    * PQ codes score the survivors. Composes the two oracled components
+    * unchanged: cell assignment is [[Ivf]]'s cosine convention, scoring
+    * is [[adcTopK]]'s fixed-order ADC, so the whole path stays under one
+    * SQL replay (q169).
+    *
+    * Plan shape: the candidate side carries `(cell, codes)` — one int +
+    * m small ints per vector, never the floats — and the probe join is a
+    * broadcast EQUI-join on the cell id (candidates never shuffle; each
+    * candidate has exactly one cell, so no post-join dedup is needed).
+    * Search cost drops from |corpus| pairs (q168) to |probed cells| —
+    * the two levers (candidate pruning, per-pair cost) multiply.
+    */
+  def ivfAdcTopK(
+      coarse: Ivf.Model, pq: Model, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      k: Int = 10, nProbe: Int = 2, excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(nProbe >= 1, "nProbe must be >= 1")
+    val cells = corpus.select(col(idCol).as("neighbor_id"),
+      element_at(VectorExpressions.nearestCentroids(
+        col(vecCol), coarse.centroids, 1), 1).as("__cell"),
+      PqExpressions.pqEncode(col(vecCol), pq.codebooks).as("__codes"))
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("query_id"),
+      PqExpressions.pqDistTable(col(vecCol), pq.codebooks).as("__dtab"),
+      explode(VectorExpressions.nearestCentroids(
+        col(vecCol), coarse.centroids, nProbe)).as("__cell")))
+    val scored = cells
+      .join(q, "__cell")
+      .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("__dist",
+        PqExpressions.pqAdcScore(col("__dtab"), col("__codes"), pq.c))
     val w = Window.partitionBy("query_id")
       .orderBy(col("__dist").asc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -88,6 +88,36 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ivfAdcTopK with every cell probed equals flat adcTopK") {
+    val pts = for (cl <- 0 until 4; i <- 0 until 25) yield {
+      val base = cl * 100.0
+      ((cl * 25 + i).toLong,
+        (0 until 8).map(d => base + (i * 13 + d * 5) % 7 * 0.1))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val coarse = Ivf.portableSeedModel(df, "vec_id", "embedding", k = 4)
+    val pq = Pq.portableSeedCodebooks(df, "vec_id", "embedding", m = 4, c = 16)
+    val queries = df.where(col("vec_id") % 25 === 3)
+    val flat = Pq.adcTopK(pq, df, queries, "vec_id", "embedding", "vec_id", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // nProbe = all cells: pruning removes nothing, results must be equal
+    val full = Pq.ivfAdcTopK(coarse, pq, df, queries, "vec_id", "embedding",
+      "vec_id", k = 3, nProbe = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full == flat)
+    // nProbe = 1 returns a SUBSET of candidates with identical scores
+    val pruned = Pq.ivfAdcTopK(coarse, pq, df, queries, "vec_id", "embedding",
+      "vec_id", k = 3, nProbe = 1)
+      .as[(Long, Long, Double, Int)].collect()
+    val flatScores = flat.map(r => (r._1, r._2) -> r._3).toMap ++
+      Pq.adcTopK(pq, df, queries, "vec_id", "embedding", "vec_id", k = 1000)
+        .as[(Long, Long, Double, Int)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    pruned.foreach { case (q, n, dist, _) =>
+      assert(flatScores((q, n)) == dist, s"score drift for ($q, $n)")
+    }
+  }
+
   test("a wrong-dimension vector fails loudly, not silently") {
     val df = Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
     val e = intercept[Exception] {
