@@ -57,6 +57,57 @@ object Pq {
     Model(Array.tabulate(m)(j => seeds.map(_.slice(j * sd, (j + 1) * sd))))
   }
 
+  /** Persist codebooks: one line per (subspace, codeword) as
+    * `j;cell;v1,v2,...` with `java.lang.Double.toString` values (shortest
+    * exact representation — parses back bit-identically), through the
+    * Hadoop FileSystem like [[Ivf.saveModel]]. Freeze codebooks once per
+    * corpus generation: PQ codes are only comparable under the codebooks
+    * that produced them, so an incremental encode MUST load, never
+    * retrain (the [[Ivf]] model-reuse argument, but stricter — a moved
+    * codeword silently reinterprets every stored code).
+    */
+  def saveCodebooks(
+      spark: org.apache.spark.sql.SparkSession, model: Model,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try {
+      val sb = new StringBuilder
+      for (j <- 0 until model.m; cell <- 0 until model.c) {
+        sb.append(j).append(';').append(cell).append(';')
+          .append(model.codebooks(j)(cell).mkString(",")).append('\n')
+      }
+      out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+  }
+
+  /** Load codebooks written by [[saveCodebooks]] — bit-identical. */
+  def loadCodebooks(
+      spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val bytes =
+      try org.apache.commons.io.IOUtils.toByteArray(in)
+      finally in.close()
+    val rows = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty)
+      .map { line =>
+        val Array(j, cell, vs) = line.split(";", 3)
+        (j.toInt, cell.toInt, vs.split(",").map(java.lang.Double.parseDouble))
+      }
+    require(rows.nonEmpty, s"no codebooks in $path")
+    val m = rows.map(_._1).max + 1
+    val c = rows.map(_._2).max + 1
+    require(rows.length == m * c, s"incomplete codebook grid in $path")
+    val byKey = rows.map(r => (r._1, r._2) -> r._3).toMap
+    val cb = Array.tabulate(m)(j => Array.tabulate(c)(cell => byKey((j, cell))))
+    require(cb.flatten.map(_.length).distinct.length == 1,
+      s"ragged codeword dims in $path")
+    Model(cb)
+  }
+
   /** Encode a corpus: `(idCol, codes array<int>)` — the persistable PQ
     * index (m ints per vector; write it as parquet like any table).
     */

@@ -250,6 +250,51 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"q150 must not union per-pair branches:\n$full")
   }
 
+  test("q168/q169: the PQ candidate side never shuffles; probes broadcast") {
+    // flat ADC: queries (with their distance tables) broadcast into a
+    // nested-loop scan of the codes; the candidate side must carry NO
+    // hash exchange before the join — only the top-k window may shuffle
+    val pq = finalPlan("q168_knn_pq").split("== Initial Plan ==").head
+    assert(pq.contains("BroadcastNestedLoopJoin"),
+      s"q168 queries must broadcast into the codes scan:\n$pq")
+    val joinIdx = pq.indexOf("BroadcastNestedLoopJoin")
+    val windowShuffleIdx = pq.indexOf("Exchange hashpartitioning")
+    assert(windowShuffleIdx < joinIdx,
+      s"q168 shuffled the candidate side below the join:\n$pq")
+    // IVFPQ: the probe join must be a broadcast EQUI-join on the cell id
+    val ivfpq = finalPlan("q169_knn_ivfpq").split("== Initial Plan ==").head
+    assert(ivfpq.contains("BroadcastHashJoin"),
+      s"q169 cell-probe join must be a broadcast hash join:\n$ivfpq")
+    assert(!ivfpq.contains("CartesianProduct"),
+      s"q169 degenerated to all-pairs:\n$ivfpq")
+  }
+
+  test("q162: both heavy-hitter passes partial-aggregate before their shuffle") {
+    val plan = finalPlan("q162_heavy_hitters").split("== Initial Plan ==").head
+    // pass 2 (the recount) is the executed plan here: an InSet filter on
+    // the scan side and partial + final aggregation around one exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2 ||
+      "ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"recount lacks map-side combine:\n$plan")
+    assert(!plan.contains("Join"),
+      s"the recount must filter with InSet, never join the candidates:\n$plan")
+  }
+
+  test("q166: the per-group recount joins the broadcast candidate frame") {
+    val plan = finalPlan("q166_heavy_hitters_by_source")
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"grouped recount must broadcast the candidate frame:\n$plan")
+  }
+
+  test("q167: the LM model broadcasts into the scoring joins") {
+    val plan = finalPlan("q167_ngram_lm").split("== Initial Plan ==").head
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"both model joins (bigram, unigram) must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a model join fell back to sort-merge (model side shuffled):\n$plan")
+  }
+
   test("q93: the bloom probe filters the fact scan stage, below the join") {
     val plan = finalPlan("q93_bloom_join")
     val probeIdx = plan.indexOf("might_contain")

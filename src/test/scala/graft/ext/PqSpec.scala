@@ -118,6 +118,23 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("codebooks round-trip bit-identically through save/load") {
+    val emb = (1 to 40).map { i =>
+      (i.toLong, (0 until 8).map(d => i * 0.37 + d * 1.13))
+    }.toDF("vec_id", "embedding")
+    val m = Pq.portableSeedCodebooks(emb, "vec_id", "embedding", m = 4, c = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_spec")
+    dir.toFile.deleteOnExit()
+    val path = s"$dir/codebooks.txt"
+    Pq.saveCodebooks(spark, m, path)
+    val loaded = Pq.loadCodebooks(spark, path)
+    assert(loaded.m == m.m && loaded.c == m.c && loaded.subDim == m.subDim)
+    for (j <- 0 until m.m; cell <- 0 until m.c)
+      assert(java.util.Arrays.equals(
+        loaded.codebooks(j)(cell), m.codebooks(j)(cell)),
+        s"codeword ($j, $cell) drifted through the round trip")
+  }
+
   test("a wrong-dimension vector fails loudly, not silently") {
     val df = Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
     val e = intercept[Exception] {
