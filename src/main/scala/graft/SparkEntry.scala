@@ -611,7 +611,7 @@ object SparkEntry {
     "q107_exact_substring" -> ((s, d) => {
       // exact-substring dedup pairs (Lee et al. 2021): docs sharing a
       // 12-token exact run, joined on the window string itself
-      Dedup.exactSubstringPairs(fanOut(s, t(s, d, "documents"), "doc_id"),
+      Dedup.exactSubstringPairs(fanOut(s, t(s, d, "documents"), "doc_id", parts = 8),
           "doc_id", "text", windowTokens = 12)
         .orderBy("id_l", "id_r")
     }),
@@ -623,7 +623,7 @@ object SparkEntry {
       // min-agg + equi-join back, then row-local span union + rebuild.
       // md5(clean_text) keeps the oracle row narrow while hashing every
       // surviving byte.
-      Dedup.exactSubstringDedup(fanOut(s, t(s, d, "documents"), "doc_id"),
+      Dedup.exactSubstringDedup(fanOut(s, t(s, d, "documents"), "doc_id", parts = 8),
           "doc_id", "text", windowTokens = 12)
         .select(col("doc_id"), md5(col("clean_text")).as("h"),
           col("n_total"), col("n_kept"))
@@ -637,7 +637,7 @@ object SparkEntry {
       // plus batch-internal keep-first claims. Because corpus ids precede
       // batch ids, the result EQUALS the one-shot q116 restricted to the
       // batch — which is exactly what the oracle SQL states.
-      val docs = fanOut(s, t(s, d, "documents"), "doc_id")
+      val docs = fanOut(s, t(s, d, "documents"), "doc_id", parts = 8)
       val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
       val idx = Dedup.exactSubstringWindows(docs.where(col("doc_id") <= mid),
         "doc_id", "text", windowTokens = 12)
