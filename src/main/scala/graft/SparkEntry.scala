@@ -1550,6 +1550,35 @@ object SparkEntry {
         .orderBy("token")
     }),
 
+    "q170_stream_lm_score" -> ((s, d) => {
+      // the ingest-time LM filter: q167's frozen reference model scoring
+      // a STREAM of arriving batches inside foreachBatch — a document's
+      // pairs live wholly in its row, so per-batch scoring is exact with
+      // zero cross-batch state and the streamed frame equals the batch
+      // score bit-for-bit: q167's oracle gates this path verbatim
+      import graft.streaming.CorpusStreams
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val model = graft.ext.NgramLm.fit(
+        fanOut(s, docs.where(col("doc_id") <= mid), "doc_id", parts = 8),
+        "text", maxBigrams = 500)
+      // stage the UPPER half as two deterministic micro-batches
+      val hiPath = {
+        val dir = java.nio.file.Files.createTempDirectory("graft_lm_hi")
+        dir.toFile.deleteOnExit()
+        docs.where(col("doc_id") > mid).write.mode("overwrite")
+          .parquet(s"$dir/hi")
+        s"$dir/hi"
+      }
+      val cut = mid + (docs.agg(max(col("doc_id"))).head().getLong(0) - mid) / 2
+      val staged = CorpusStreams.stageIdSlices(s, hiPath, "doc_id",
+        cuts = Seq(cut))
+      CorpusStreams.lmScoreStreaming(s, staged, "doc_id", "text", model,
+          shufflePartitions = Some(8))
+        .select("doc_id", "n_pairs", "n_hit", "sum_bi", "sum_uni")
+        .orderBy("doc_id")
+    }),
+
     "q167_ngram_lm" -> ((s, d) => {
       // CCNet-style LM quality filter: fit a Laplace-smoothed bigram
       // model on the lower-id half (the reference corpus), score the
@@ -3901,6 +3930,42 @@ object SparkEntry {
          GROUP BY token
          HAVING count(*) > (SELECT count(*) FROM tok) * 0.003
          ORDER BY token""",
+
+    // streamed == batch by construction (per-doc stats are row-local),
+    // so the q167 replay gates the streaming path verbatim
+    "q170_stream_lm_score" ->
+      """WITH mid AS (SELECT max(doc_id) // 2 AS m FROM documents
+             WHERE text IS NOT NULL),
+         rtok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '') AS tk
+           FROM documents, mid WHERE text IS NOT NULL AND doc_id <= mid.m),
+         uni AS (SELECT w, count(*) AS c_uni
+           FROM (SELECT unnest(tk) AS w FROM rtok) GROUP BY w),
+         rbi AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+           FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+                 FROM rtok WHERE len(tk) >= 2)),
+         bi AS (SELECT w1, w2, c_bi FROM (
+             SELECT w1, w2, count(*) AS c_bi,
+               row_number() OVER (ORDER BY count(*) DESC, w1 ASC, w2 ASC) AS rn
+             FROM rbi GROUP BY w1, w2) WHERE rn <= 500),
+         ttok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '') AS tk
+           FROM documents, mid WHERE text IS NOT NULL AND doc_id > mid.m),
+         tp AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+           FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+                 FROM ttok WHERE len(tk) >= 2)),
+         j AS (SELECT p.doc_id, coalesce(b.c_bi, 0) AS cb,
+             coalesce(u.c_uni, 0) AS cu
+           FROM tp p
+           LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+           LEFT JOIN uni u ON p.w1 = u.w)
+         SELECT doc_id, count(*) AS n_pairs,
+           CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST(sum(cb) AS BIGINT) AS sum_bi,
+           CAST(sum(cu) AS BIGINT) AS sum_uni
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
 
     // bigram-model replay: reference counts, the same deterministic
     // top-500 cut (count desc, bigram asc), then exact integer sums over

@@ -178,6 +178,44 @@ object CorpusStreams {
     spark.read.parquet(sink)
   }
 
+  /** Streaming face of [[graft.ext.NgramLm.score]]: score each arriving
+    * micro-batch of documents against a FROZEN reference model inside
+    * `foreachBatch` (a document's pairs are wholly contained in its row,
+    * so per-batch batch-scoring is exact — no cross-batch state at all,
+    * unlike the dedup stream above), appending results to a parquet sink
+    * executor-side. Batch-boundary invariant by construction: per-doc
+    * statistics depend on nothing outside the doc, so the streamed frame
+    * EQUALS [[graft.ext.NgramLm.score]] over the full input and q167's
+    * oracle gates this path verbatim (q170). The ingest-time quality-
+    * filter shape: fit once on a curated reference, gate every arriving
+    * crawl batch against it.
+    */
+  def lmScoreStreaming(
+      spark: SparkSession, stagedDir: String, idCol: String, textCol: String,
+      model: graft.ext.NgramLm.BigramModel,
+      sinkDir: Option[String] = None,
+      shufflePartitions: Option[Int] = None): DataFrame = {
+    val schema = spark.read.parquet(stagedDir).schema
+    val sink = sinkDir.getOrElse {
+      val d = Files.createTempDirectory("graft_lm_scores")
+      d.toFile.deleteOnExit()
+      d.toString
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+    EventStreams.withStatePartitions(spark, shufflePartitions) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          graft.ext.NgramLm.score(batch.toDF(), idCol, textCol, model)
+            .write.mode("append").parquet(sink)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(sink)
+  }
+
   /** Streaming face of [[graft.ext.HeavyHitters.frequentItems]] over a
     * staged document stream (the q161 argument applied to frequent items):
     * an exact streaming token count per item would hold the whole

@@ -82,6 +82,26 @@ class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == Set(1L))
   }
 
+  test("streamed LM scoring equals the batch score for any batch cut") {
+    import graft.ext.NgramLm
+    val ref = Seq((1L, "a b a b c a")).toDF("doc_id", "text")
+    val model = NgramLm.fit(ref, "text", maxBigrams = 100)
+    val target = (10 to 29).map(i => (i.toLong, s"a b c x$i a b")).toSeq
+    val path = writeDocs(target)
+    val batchScore = NgramLm.score(target.toDF("doc_id", "text"),
+      "doc_id", "text", model)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    for (cuts <- Seq(Seq(15L), Seq(12L, 24L))) {
+      val staged = CorpusStreams.stageIdSlices(spark, path, "doc_id", cuts)
+      val streamed = CorpusStreams.lmScoreStreaming(spark, staged,
+        "doc_id", "text", model, shufflePartitions = Some(4))
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+      assert(streamed == batchScore, s"cuts=$cuts")
+    }
+  }
+
   test("streamed heavy hitters equal the batch operator across batch cuts") {
     // zipf-ish corpus: token-i appears ~60/i times across the docs
     val words = (1 to 30).flatMap(i => Seq.fill(60 / i)(s"tok$i"))
