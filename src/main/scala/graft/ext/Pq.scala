@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expressions.{PqExpressions, VectorExpressions}
@@ -142,13 +141,21 @@ object Pq {
       .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .withColumn("__dist",
         PqExpressions.pqAdcScore(col("__dtab"), col("__codes"), model.c))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("__dist").asc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("__dist"), 6).as("adc_dist"), col("rank"))
+    topKRank(scored, k)
   }
+
+  /** Per-query top-k on the GroupTopK heap operator: every query is ONE
+    * hot group holding the whole candidate set, exactly the shape where
+    * the heap's O(n log k) beats the window form's per-partition full
+    * sort — and the exchange carries at most k rows per (query,
+    * partition) instead of every scored pair. (query, dist, neighbor) is
+    * a total order, so ranks are deterministic.
+    */
+  private def topKRank(scored: DataFrame, k: Int): DataFrame =
+    graft.plans.GroupTopK(scored, Seq("query_id"),
+        Seq(("__dist", true), ("neighbor_id", true)), k, rankName = "rank")
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("__dist"), 6).as("adc_dist"), col("rank").cast("int").as("rank"))
 
   /** IVF + PQ — the production ANN architecture (FAISS's IVFADC): the
     * coarse quantizer prunes candidates to the `nProbe` nearest cells,
@@ -184,11 +191,6 @@ object Pq {
       .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .withColumn("__dist",
         PqExpressions.pqAdcScore(col("__dtab"), col("__codes"), pq.c))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("__dist").asc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("__dist"), 6).as("adc_dist"), col("rank"))
+    topKRank(scored, k)
   }
 }
