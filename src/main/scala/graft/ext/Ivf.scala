@@ -196,11 +196,12 @@ object Ivf {
       .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", vectors.cosine(col("q_vec"), col("c_vec")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    // per-query top-k on the GroupTopK heap (the Similarity.cosineTopKRank
+    // argument): one hot group per query, exchange <= k rows per partition
+    graft.plans.GroupTopK(cand, Seq("query_id"),
+        Seq(("cosine", false), ("neighbor_id", true)), k, rankName = "rank")
       .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank"))
+        round(col("cosine"), 6).as("cosine"),
+        col("rank").cast("int").as("rank"))
   }
 }

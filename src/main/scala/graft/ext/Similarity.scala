@@ -28,6 +28,21 @@ object Similarity {
     * are drawn FROM the corpus under one id space — with distinct id spaces
     * it would silently drop an unrelated corpus row per query.
     */
+  /** Shared per-query top-k tail on the GroupTopK heap operator: each
+    * query is ONE hot group holding its whole candidate set — the heap's
+    * O(n log k) beats the window form's per-partition full sort there,
+    * and the exchange carries at most k rows per (query, partition)
+    * instead of every scored candidate. (cosine desc, neighbor asc) is a
+    * total order, so ranks are deterministic; output schema and rounding
+    * are unchanged, so every oracle gates as before.
+    */
+  private def cosineTopKRank(scored: DataFrame, k: Int): DataFrame =
+    graft.plans.GroupTopK(scored, Seq("query_id"),
+        Seq(("cosine", false), ("neighbor_id", true)), k, rankName = "rank")
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"),
+        col("rank").cast("int").as("rank"))
+
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String,
@@ -38,12 +53,7 @@ object Similarity {
       .join(q) // broadcast nested loop; corpus never shuffles
       .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .withColumn("cosine", vectors.cosine(col("q_vec"), col("c_vec")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank"))
+    cosineTopKRank(scored, k)
   }
 
   /** Exact per-group mean embedding (class centroids / topic vectors),
@@ -129,12 +139,7 @@ object Similarity {
       .select("query_id", "q_vec", "neighbor_id", "c_vec")
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", vectors.cosine(col("q_vec"), col("c_vec")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank"))
+    cosineTopKRank(cand, k)
   }
 
   /** Approximate top-k via hyperplane LSH: queries and corpus are bucketed
@@ -165,11 +170,6 @@ object Similarity {
       .select("query_id", "q_vec", "neighbor_id", "c_vec")
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", vectors.cosine(col("q_vec"), col("c_vec")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank"))
+    cosineTopKRank(cand, k)
   }
 }
