@@ -146,6 +146,59 @@ object SparkEntry {
   private val wpVocabLit: String =
     wpVocab.map(p => s"'$p'").mkString("[", ", ", "]")
 
+  /** Shared q167/q170 oracle: the bigram-model replay (reference
+    * counts, the deterministic top-500 cut, exact integer sums over the
+    * target half's pair stream). Per-doc stats are row-local, so the
+    * batch filter and its streamed face assert ONE string.
+    */
+  private val lmStatsOracle: String =
+    """WITH mid AS (SELECT max(doc_id) // 2 AS m FROM documents
+             WHERE text IS NOT NULL),
+         rtok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '') AS tk
+           FROM documents, mid WHERE text IS NOT NULL AND doc_id <= mid.m),
+         uni AS (SELECT w, count(*) AS c_uni
+           FROM (SELECT unnest(tk) AS w FROM rtok) GROUP BY w),
+         rbi AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+           FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+                 FROM rtok WHERE len(tk) >= 2)),
+         bi AS (SELECT w1, w2, c_bi FROM (
+             SELECT w1, w2, count(*) AS c_bi,
+               row_number() OVER (ORDER BY count(*) DESC, w1 ASC, w2 ASC) AS rn
+             FROM rbi GROUP BY w1, w2) WHERE rn <= 500),
+         ttok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '') AS tk
+           FROM documents, mid WHERE text IS NOT NULL AND doc_id > mid.m),
+         tp AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+           FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+                 FROM ttok WHERE len(tk) >= 2)),
+         j AS (SELECT p.doc_id, coalesce(b.c_bi, 0) AS cb,
+             coalesce(u.c_uni, 0) AS cu
+           FROM tp p
+           LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+           LEFT JOIN uni u ON p.w1 = u.w)
+         SELECT doc_id, count(*) AS n_pairs,
+           CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST(sum(cb) AS BIGINT) AS sum_bi,
+           CAST(sum(cu) AS BIGINT) AS sum_uni
+         FROM j GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Shared q162/q164 oracle: the full-vocabulary groupBy + HAVING the
+    * two-bounded-pass answer must equal — ONE string, so the batch and
+    * streamed heavy-hitter faces can never assert different things.
+    */
+  private val hhTokenOracle: String =
+    """WITH tok AS (SELECT
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '')) AS token
+           FROM documents)
+         SELECT token, count(*) AS cnt FROM tok
+         GROUP BY token
+         HAVING count(*) > (SELECT count(*) FROM tok) * 0.003
+         ORDER BY token"""
+
   /** DuckDB replay of the greedy WordPiece encode (WordPieceRuntime
     * contract): per DISTINCT word, each recursive step advances past the
     * longest vocab piece matching at `pos` (continuations match through
@@ -1558,7 +1611,8 @@ object SparkEntry {
       // score bit-for-bit: q167's oracle gates this path verbatim
       import graft.streaming.CorpusStreams
       val docs = t(s, d, "documents").where(col("text").isNotNull)
-      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val mid = mx / 2
       val model = graft.ext.NgramLm.fit(
         fanOut(s, docs.where(col("doc_id") <= mid), "doc_id", parts = 8),
         "text", maxBigrams = 500)
@@ -1570,7 +1624,7 @@ object SparkEntry {
           .parquet(s"$dir/hi")
         s"$dir/hi"
       }
-      val cut = mid + (docs.agg(max(col("doc_id"))).head().getLong(0) - mid) / 2
+      val cut = mid + (mx - mid) / 2
       val staged = CorpusStreams.stageIdSlices(s, hiPath, "doc_id",
         cuts = Seq(cut))
       CorpusStreams.lmScoreStreaming(s, staged, "doc_id", "text", model,
@@ -3921,88 +3975,16 @@ object SparkEntry {
 
     // full-vocabulary groupBy + HAVING — exactly what the two-bounded-pass
     // MG-candidate + recount answer must equal (same tokenization as q69)
-    "q162_heavy_hitters" ->
-      """WITH tok AS (SELECT
-             unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
-               x -> x <> '')) AS token
-           FROM documents)
-         SELECT token, count(*) AS cnt FROM tok
-         GROUP BY token
-         HAVING count(*) > (SELECT count(*) FROM tok) * 0.003
-         ORDER BY token""",
+    "q162_heavy_hitters" -> hhTokenOracle,
 
     // streamed == batch by construction (per-doc stats are row-local),
     // so the q167 replay gates the streaming path verbatim
-    "q170_stream_lm_score" ->
-      """WITH mid AS (SELECT max(doc_id) // 2 AS m FROM documents
-             WHERE text IS NOT NULL),
-         rtok AS (SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
-               x -> x <> '') AS tk
-           FROM documents, mid WHERE text IS NOT NULL AND doc_id <= mid.m),
-         uni AS (SELECT w, count(*) AS c_uni
-           FROM (SELECT unnest(tk) AS w FROM rtok) GROUP BY w),
-         rbi AS (SELECT tk[i] AS w1, tk[i+1] AS w2
-           FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
-                 FROM rtok WHERE len(tk) >= 2)),
-         bi AS (SELECT w1, w2, c_bi FROM (
-             SELECT w1, w2, count(*) AS c_bi,
-               row_number() OVER (ORDER BY count(*) DESC, w1 ASC, w2 ASC) AS rn
-             FROM rbi GROUP BY w1, w2) WHERE rn <= 500),
-         ttok AS (SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
-               x -> x <> '') AS tk
-           FROM documents, mid WHERE text IS NOT NULL AND doc_id > mid.m),
-         tp AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
-           FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
-                 FROM ttok WHERE len(tk) >= 2)),
-         j AS (SELECT p.doc_id, coalesce(b.c_bi, 0) AS cb,
-             coalesce(u.c_uni, 0) AS cu
-           FROM tp p
-           LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
-           LEFT JOIN uni u ON p.w1 = u.w)
-         SELECT doc_id, count(*) AS n_pairs,
-           CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-           CAST(sum(cb) AS BIGINT) AS sum_bi,
-           CAST(sum(cu) AS BIGINT) AS sum_uni
-         FROM j GROUP BY doc_id ORDER BY doc_id""",
+    "q170_stream_lm_score" -> lmStatsOracle,
 
     // bigram-model replay: reference counts, the same deterministic
     // top-500 cut (count desc, bigram asc), then exact integer sums over
     // the target half's pair stream
-    "q167_ngram_lm" ->
-      """WITH mid AS (SELECT max(doc_id) // 2 AS m FROM documents
-             WHERE text IS NOT NULL),
-         rtok AS (SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
-               x -> x <> '') AS tk
-           FROM documents, mid WHERE text IS NOT NULL AND doc_id <= mid.m),
-         uni AS (SELECT w, count(*) AS c_uni
-           FROM (SELECT unnest(tk) AS w FROM rtok) GROUP BY w),
-         rbi AS (SELECT tk[i] AS w1, tk[i+1] AS w2
-           FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
-                 FROM rtok WHERE len(tk) >= 2)),
-         bi AS (SELECT w1, w2, c_bi FROM (
-             SELECT w1, w2, count(*) AS c_bi,
-               row_number() OVER (ORDER BY count(*) DESC, w1 ASC, w2 ASC) AS rn
-             FROM rbi GROUP BY w1, w2) WHERE rn <= 500),
-         ttok AS (SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
-               x -> x <> '') AS tk
-           FROM documents, mid WHERE text IS NOT NULL AND doc_id > mid.m),
-         tp AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
-           FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
-                 FROM ttok WHERE len(tk) >= 2)),
-         j AS (SELECT p.doc_id, coalesce(b.c_bi, 0) AS cb,
-             coalesce(u.c_uni, 0) AS cu
-           FROM tp p
-           LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
-           LEFT JOIN uni u ON p.w1 = u.w)
-         SELECT doc_id, count(*) AS n_pairs,
-           CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-           CAST(sum(cb) AS BIGINT) AS sum_bi,
-           CAST(sum(cu) AS BIGINT) AS sum_uni
-         FROM j GROUP BY doc_id ORDER BY doc_id""",
+    "q167_ngram_lm" -> lmStatsOracle,
 
     // per-group replay: count within source, threshold = that source's
     // token mass — the grouped twin of q162's HAVING
@@ -4021,15 +4003,7 @@ object SparkEntry {
     // the streamed candidate pass recounts to the same exact answer as
     // the batch operator (MG superset holds under any merge order), so
     // q162's full-groupBy oracle gates the streaming path verbatim
-    "q164_stream_heavy_hitters" ->
-      """WITH tok AS (SELECT
-             unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
-               x -> x <> '')) AS token
-           FROM documents)
-         SELECT token, count(*) AS cnt FROM tok
-         GROUP BY token
-         HAVING count(*) > (SELECT count(*) FROM tok) * 0.003
-         ORDER BY token""",
+    "q164_stream_heavy_hitters" -> hhTokenOracle,
 
     "q147_stream_enrich" ->
       """SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,

@@ -8,7 +8,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * contract: one kernel, two callers, no drift).
   *
   * Encode semantics (the documented, oracle-replayable contract):
-  *  - pre-tokens are maximal runs of non-ASCII-whitespace (`\s+` split,
+  *  - pre-tokens are maximal runs of non-whitespace (RE2-`\s+` split,
   *    empties dropped) — case-SENSITIVE, unlike the hashed-feature ops:
   *    real tokenizer vocabs are case-sensitive, and the SQL replay
   *    (`regexp_split_to_array(text, '\s+')`) matches exactly;
@@ -66,9 +66,13 @@ object BpeRuntime {
     out
   }
 
-  // ASCII whitespace exactly as regex \s: [ \t\n\x0B\f\r]
-  @inline private def isWs(c: Char): Boolean =
-    c == ' ' || (c >= '\t' && c <= '\r')
+  // ASCII whitespace exactly as RE2/DuckDB regex \s: [ \t\n\f\r] — the
+  // oracle replays the split with regexp_split_to_array(text, '\s+'),
+  // and RE2's \s EXCLUDES vertical tab \x0B (Java's \s includes it), so
+  // the kernel must too or \v-containing documents tokenize differently
+  // in the two engines
+  @inline private[expressions] def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
   /** BPE token array of a document (all words' symbols in document order). */
   def bpeTokens(s: UTF8String, memo: BpeMemo): ArrayData = {

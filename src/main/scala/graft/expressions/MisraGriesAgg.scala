@@ -122,6 +122,9 @@ case class MisraGriesSummary(
     new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(cnts))
   }
 
+  // length-prefixed raw UTF-8, not writeUTF: writeUTF throws on items
+  // whose encoding exceeds 64 KiB, which a general-purpose string
+  // aggregate (URLs, concatenated keys) must survive
   override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
@@ -129,7 +132,9 @@ case class MisraGriesSummary(
     val it = buf.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey)
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length)
+      out.write(kb)
       out.writeLong(e.getValue)
     }
     out.flush()
@@ -141,7 +146,13 @@ case class MisraGriesSummary(
     val n = in.readInt()
     val buf = createAggregationBuffer()
     var i = 0
-    while (i < n) { buf.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     buf
   }
 

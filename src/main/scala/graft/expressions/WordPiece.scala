@@ -68,8 +68,8 @@ object WordPieceRuntime {
     res
   }
 
-  @inline private def isWs(c: Char): Boolean =
-    c == ' ' || (c >= '\t' && c <= '\r')
+  // RE2 \s (no vertical tab) — see [[BpeRuntime.isWs]]
+  @inline private def isWs(c: Char): Boolean = BpeRuntime.isWs(c)
 
   /** WordPiece token array of a document (all words' pieces in order). */
   def wpTokens(s: UTF8String, table: WordPieceTable): ArrayData = {
@@ -116,17 +116,20 @@ final class WordPieceTable(
     val unk: String,
     val maxWordChars: Int,
     maxMemoEntries: Int) extends Serializable {
-  /** Longest piece in code points, continuation prefix excluded — bounds
-    * the longest-match scan so a huge word costs O(L * maxPieceCp), not
-    * O(L^2).
+  /** Longest piece in code points, FULL length (continuation prefix
+    * included) — bounds the longest-match scan so a huge word costs
+    * O(L * maxPieceCp), not O(L^2). Full length, not body length: at
+    * position 0 the candidate is the raw prefix, so a literal
+    * `##`-prefixed word start must be able to match a `##`-prefixed
+    * piece at its full length (body length would cap the scan two code
+    * points short and misencode such words as [UNK]).
     */
   val maxPieceCp: Int = {
     var m = 1
     val it = vocab.iterator()
     while (it.hasNext) {
       val p = it.next()
-      val body = if (p.startsWith("##")) p.substring(2) else p
-      m = math.max(m, body.codePointCount(0, body.length))
+      m = math.max(m, p.codePointCount(0, p.length))
     }
     m
   }

@@ -31,7 +31,7 @@ import graft.expressions.BpeExpressions
 object Bpe {
 
   /** Learn `numMerges` merges from `df(textCol)`'s word histogram.
-    * Pre-tokenization matches the encode contract: `\s+` split, empties
+    * Pre-tokenization matches the encode contract: RE2-`\s+` split, empties
     * dropped, case-sensitive, one initial symbol per code point.
     */
   def learnMerges(
@@ -39,8 +39,11 @@ object Bpe {
       maxWords: Int = 65536): Seq[(String, String)] = {
     require(numMerges >= 0, "numMerges must be >= 0")
     require(maxWords > 0, "maxWords must be positive")
+    // the explicit class, not \s+: Java's \s includes vertical tab \x0B,
+    // the encode kernel and the RE2-replayed oracles exclude it (see
+    // BpeRuntime.isWs) — the learner must split exactly like the encoder
     val hist: Array[(Array[String], Long)] = df
-      .select(explode(array_remove(split(col(textCol), "\\s+"), "")).as("w"))
+      .select(explode(array_remove(split(col(textCol), "[ \\t\\n\\f\\r]+"), "")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w").asc)
       .limit(maxWords) // bounded driver collect, top slice deterministic

@@ -79,12 +79,21 @@ object HeavyHitters {
       .select(groupCols.map(col) :+
         explode(map_keys(col("__mg"))).as(itemName) :+
         floor(col("__n") * lit(minShare)).cast("long").as("__thresh"): _*)
-    df.select(groupCols.map(col) :+ itemCol.as(itemName): _*)
-      .join(broadcast(cands), groupCols :+ itemName)
-      .groupBy((groupCols :+ itemName :+ "__thresh").map(col): _*)
+    // null-SAFE equality on the group keys: groupBy keeps a NULL group,
+    // so the recount join must match it too — a plain equi-join would
+    // silently drop every null-keyed group's heavy hitters. Items are
+    // never null (both passes skip them), so the item leg stays ===.
+    val left = df.select(groupCols.map(col) :+ itemCol.as(itemName): _*)
+    val right = broadcast(
+      cands.toDF(cands.columns.map("__r_" + _): _*))
+    val cond = groupCols
+      .map(g => left(g) <=> right(s"__r_$g"))
+      .reduce(_ && _) && left(itemName) === right(s"__r_$itemName")
+    left.join(right, cond)
+      .groupBy((groupCols :+ itemName).map(left(_)) :+ col("__r___thresh"): _*)
       .agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") > col("__thresh"))
-      .drop("__thresh")
+      .where(col("cnt") > col("__r___thresh"))
+      .drop("__r___thresh")
   }
 
   private[graft] def requireGuarantee(minShare: Double, k: Int): Unit = {

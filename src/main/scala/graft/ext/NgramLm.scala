@@ -57,13 +57,11 @@ object NgramLm {
   def fit(df: DataFrame, textCol: String, maxBigrams: Int): BigramModel = {
     import org.apache.spark.sql.functions.{size => arrayLen}
     require(maxBigrams > 0, "maxBigrams must be positive")
+    // posexplode of the token array itself yields (position, w1) — no
+    // per-row index array to build; only w2 needs an element_at
     val counts = df.select(text.tokens(col(textCol)).as("__toks"))
-      .where(arrayLen(col("__toks")) >= 1)
-      .select(col("__toks"),
-        posexplode(sequence(lit(0), arrayLen(col("__toks")) - 1, lit(1)))
-          .as(Seq("__i", "__p")))
-      .select(
-        element_at(col("__toks"), col("__p") + 1).as("w1"),
+      .select(col("__toks"), posexplode(col("__toks")).as(Seq("__p", "w1")))
+      .select(col("w1"),
         when(col("__p") < arrayLen(col("__toks")) - 1,
           element_at(col("__toks"), col("__p") + 2)).as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
@@ -101,13 +99,11 @@ object NgramLm {
     import org.apache.spark.sql.functions.{size => arrayLen}
     val pairs = df
       .select(col(idCol), text.tokens(col(textCol)).as("__toks"))
-      .where(arrayLen(col("__toks")) >= 2)
       .select(col(idCol), col("__toks"),
-        posexplode(sequence(lit(0), arrayLen(col("__toks")) - 2, lit(1)))
-          .as(Seq("__i", "__start")))
-      .select(col(idCol),
-        element_at(col("__toks"), col("__start") + 1).as("w1"),
-        element_at(col("__toks"), col("__start") + 2).as("w2"))
+        posexplode(col("__toks")).as(Seq("__p", "w1")))
+      .where(col("__p") < arrayLen(col("__toks")) - 1)
+      .select(col(idCol), col("w1"),
+        element_at(col("__toks"), col("__p") + 2).as("w2"))
     val scored = pairs
       .join(broadcast(model.bigrams), Seq("w1", "w2"), "left")
       .join(broadcast(model.unigrams.withColumnRenamed("w", "w1")),

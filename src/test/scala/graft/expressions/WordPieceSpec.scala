@@ -62,6 +62,23 @@ class WordPieceSpec extends AnyFunSuite with SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("a literal ##-prefixed word start matches a ##-piece at full length") {
+    // the scan cap must be the FULL piece length: '##dow' is 5 code
+    // points, its body 3 — a body-length cap would never try it at pos 0
+    val v = Seq("##dow", "##an")
+    val out = Seq("##dowan").toDF("t")
+      .select(WordPiece.tokens(col("t"), v).as("x"))
+      .as[Seq[String]].collect().head
+    assert(out == Seq("##dow", "##an"))
+  }
+
+  test("vertical tab is NOT a word separator (RE2 \\s contract)") {
+    // the oracles split with RE2 \s+, which excludes U+000B - so must
+    // the kernel: a VT-joined 'the<VT>join' is ONE unmatchable word
+    assert(enc("the\u000Bjoin") == Seq("[UNK]"))
+    assert(enc("the join") == Seq("the", "join"))
+  }
+
   test("matching is per code point, never inside a surrogate pair") {
     // U+1F600 is two UTF-16 chars; a vocab of its halves must not match
     val emoji = "😀"

@@ -87,6 +87,31 @@ class HeavyHittersSpec extends AnyFunSuite with SparkSpec {
     assert(got.keySet.map(_._1) == Set("g1", "g2"))
   }
 
+  test("frequentItemsByGroup keeps a NULL group (null-safe recount join)") {
+    val rows = zipf.map(v => (Option("g1"), v)) ++
+      (1 to 10).flatMap(i => Seq.fill(200 / i)(s"n-$i"))
+        .map(v => (Option.empty[String], v))
+    val df = scala.util.Random.shuffle(rows).toDF("g", "v").repartition(7)
+    val got = HeavyHitters.frequentItemsByGroup(df, Seq("g"), col("v"),
+      minShare = 0.05, k = 64, itemName = "v")
+      .as[(Option[String], String, Long)].collect()
+      .map { case (g, v, c) => (g, v) -> c }.toMap
+    val want = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter { case ((g, _), c) => c > rows.count(_._1 == g) * 0.05 }
+    assert(got == want)
+    assert(got.keySet.exists(_._1.isEmpty), "the NULL group must survive")
+  }
+
+  test("MG items longer than 64 KiB survive buffer serialization") {
+    // writeUTF would throw on these; the length-prefixed form must not
+    val big = "x" * 70000
+    val df = (Seq.fill(50)(big) ++ (1 to 30).map(i => s"small-$i"))
+      .toDF("v").repartition(5)
+    val got = HeavyHitters.frequentItems(df, col("v"), minShare = 0.3, k = 16)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(big -> 50L))
+  }
+
   test("k too small for the share is rejected loudly") {
     val df = zipf.toDF("v")
     val e = intercept[IllegalArgumentException] {
