@@ -185,6 +185,59 @@ object SparkEntry {
            CAST(sum(cu) AS BIGINT) AS sum_uni
          FROM j GROUP BY doc_id ORDER BY doc_id"""
 
+  /** The token-denominated data-card replay, parameterized on the
+    * tokenizer's encode CTE (`words`/`fin` contract): ONE body, so the
+    * BPE (q156) and WordPiece (q171) cards can never assert different
+    * card semantics — only a different token currency.
+    */
+  private def cardTokensOracle(encCte: String): String =
+    raw"""WITH RECURSIVE
+         $encCte,
+         ntok AS (SELECT w.doc_id, sum(f.nt) AS s
+           FROM words w JOIN fin f USING (word) GROUP BY w.doc_id),
+         nb AS (SELECT d.doc_id, coalesce(n.s, 0) AS n_bpe
+           FROM documents d LEFT JOIN ntok n USING (doc_id)),
+         base AS (SELECT doc_id, source, md5(text) AS h,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+             length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_nonspace,
+             len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tok,
+             list_distinct(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '')) AS toks
+           FROM documents),
+         mult AS (SELECT doc_id, max(cnt) AS m, sum(cnt) AS n FROM (
+             SELECT doc_id, tok, count(*) AS cnt FROM (
+               SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+               FROM documents) GROUP BY doc_id, tok) GROUP BY doc_id),
+         sig AS (SELECT b.doc_id, b.source, b.h, b.n_tok,
+             CASE WHEN b.n_tok = 0 THEN 0.0
+                  ELSE CAST(b.n_nonspace AS DOUBLE) / b.n_tok END AS avg_len,
+             CASE WHEN b.n_chars = 0 THEN 0.0
+                  ELSE CAST(b.n_digit AS DOUBLE) / b.n_chars END AS dig_r,
+             greatest(
+               len(list_intersect(b.toks, ${swList("de")})),
+               len(list_intersect(b.toks, ${swList("en")})),
+               len(list_intersect(b.toks, ${swList("es")})),
+               len(list_intersect(b.toks, ${swList("fr")})),
+               len(list_intersect(b.toks, ${swList("it")}))) AS stop_hits,
+             CASE WHEN mult.m IS NULL THEN 0.0
+                  ELSE CAST(mult.m AS DOUBLE) / mult.n END AS max_share
+           FROM base b LEFT JOIN mult ON b.doc_id = mult.doc_id),
+         rs AS (SELECT doc_id, source, h,
+             CASE WHEN n_tok < 20 OR n_tok > 100000 THEN 1 ELSE 0 END
+               + CASE WHEN avg_len < 3.0 OR avg_len > 10.0 THEN 1 ELSE 0 END
+               + CASE WHEN dig_r > 0.2 THEN 1 ELSE 0 END
+               + CASE WHEN stop_hits < 1 THEN 1 ELSE 0 END
+               + CASE WHEN max_share > 0.2 THEN 1 ELSE 0 END AS reasons
+           FROM sig),
+         dup AS (SELECT md5(text) AS h, count(*) AS dn FROM documents GROUP BY 1)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(nb.n_bpe) AS BIGINT) AS sum_tokens,
+           CAST(count(CASE WHEN reasons = 0 THEN 1 END) AS BIGINT) AS n_quality_pass,
+           CAST(count(CASE WHEN dn > 1 THEN 1 END) AS BIGINT) AS n_dup_docs
+         FROM rs JOIN dup USING (h) JOIN nb USING (doc_id)
+         GROUP BY source ORDER BY source"""
+
   /** Shared q162/q164 oracle: the full-vocabulary groupBy + HAVING the
     * two-bounded-pass answer must equal — ONE string, so the batch and
     * streamed heavy-hitter faces can never assert different things.
@@ -1794,6 +1847,17 @@ object SparkEntry {
       graft.ext.Report.dataCard(fanOut(s, t(s, d, "documents"), "doc_id"),
           Seq("source"), "text",
           tokenCounter = Some(text.bpeTokenCount(col("text"), bpeMerges)))
+        .orderBy("source")
+    }),
+
+    "q171_card_wordpiece" -> ((s, d) => {
+      // the q156 card in the SECOND tokenizer family's currency: same
+      // operator, same oracle body (cardTokensOracle), the counter
+      // swapped to WordPiece — the pluggable-counter contract closed
+      // across card + mixtures + budgets for BOTH vocab formats
+      graft.ext.Report.dataCard(fanOut(s, t(s, d, "documents"), "doc_id"),
+          Seq("source"), "text",
+          tokenCounter = Some(text.wordpieceTokenCount(col("text"), wpVocab)))
         .orderBy("source")
     }),
 
@@ -4255,53 +4319,10 @@ object SparkEntry {
          GROUP BY source ORDER BY source""",
     // q126's card oracle with sum_tokens re-denominated in the BPE replay
     // (the recursive encode CTE q151 uses), every other column identical
-    "q156_card_bpe" ->
-      raw"""WITH RECURSIVE
-         $bpeEncCte,
-         ntok AS (SELECT w.doc_id, sum(f.nt) AS s
-           FROM words w JOIN fin f USING (word) GROUP BY w.doc_id),
-         nb AS (SELECT d.doc_id, coalesce(n.s, 0) AS n_bpe
-           FROM documents d LEFT JOIN ntok n USING (doc_id)),
-         base AS (SELECT doc_id, source, md5(text) AS h,
-             length(text) AS n_chars,
-             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
-             length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_nonspace,
-             len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tok,
-             list_distinct(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
-               x -> x <> '')) AS toks
-           FROM documents),
-         mult AS (SELECT doc_id, max(cnt) AS m, sum(cnt) AS n FROM (
-             SELECT doc_id, tok, count(*) AS cnt FROM (
-               SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
-               FROM documents) GROUP BY doc_id, tok) GROUP BY doc_id),
-         sig AS (SELECT b.doc_id, b.source, b.h, b.n_tok,
-             CASE WHEN b.n_tok = 0 THEN 0.0
-                  ELSE CAST(b.n_nonspace AS DOUBLE) / b.n_tok END AS avg_len,
-             CASE WHEN b.n_chars = 0 THEN 0.0
-                  ELSE CAST(b.n_digit AS DOUBLE) / b.n_chars END AS dig_r,
-             greatest(
-               len(list_intersect(b.toks, ${swList("de")})),
-               len(list_intersect(b.toks, ${swList("en")})),
-               len(list_intersect(b.toks, ${swList("es")})),
-               len(list_intersect(b.toks, ${swList("fr")})),
-               len(list_intersect(b.toks, ${swList("it")}))) AS stop_hits,
-             CASE WHEN mult.m IS NULL THEN 0.0
-                  ELSE CAST(mult.m AS DOUBLE) / mult.n END AS max_share
-           FROM base b LEFT JOIN mult ON b.doc_id = mult.doc_id),
-         rs AS (SELECT doc_id, source, h,
-             CASE WHEN n_tok < 20 OR n_tok > 100000 THEN 1 ELSE 0 END
-               + CASE WHEN avg_len < 3.0 OR avg_len > 10.0 THEN 1 ELSE 0 END
-               + CASE WHEN dig_r > 0.2 THEN 1 ELSE 0 END
-               + CASE WHEN stop_hits < 1 THEN 1 ELSE 0 END
-               + CASE WHEN max_share > 0.2 THEN 1 ELSE 0 END AS reasons
-           FROM sig),
-         dup AS (SELECT md5(text) AS h, count(*) AS dn FROM documents GROUP BY 1)
-         SELECT source, count(*) AS n_docs,
-           CAST(sum(nb.n_bpe) AS BIGINT) AS sum_tokens,
-           CAST(count(CASE WHEN reasons = 0 THEN 1 END) AS BIGINT) AS n_quality_pass,
-           CAST(count(CASE WHEN dn > 1 THEN 1 END) AS BIGINT) AS n_dup_docs
-         FROM rs JOIN dup USING (h) JOIN nb USING (doc_id)
-         GROUP BY source ORDER BY source""",
+    "q156_card_bpe" -> cardTokensOracle(bpeEncCte),
+
+    // the identical card, token currency swapped to the WordPiece replay
+    "q171_card_wordpiece" -> cardTokensOracle(wpEncCte),
     "q141_sampled_quantiles" ->
       raw"""WITH b AS (SELECT source,
              len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tok,
