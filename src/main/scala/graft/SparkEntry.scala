@@ -286,6 +286,88 @@ object SparkEntry {
        fin AS (SELECT word, CASE WHEN bool_or(dead) THEN 1 ELSE max(n) END AS nt
          FROM step GROUP BY word)"""
 
+  /** q172/q173's frozen unigram-LM vocabulary — SCORED pieces (piece ->
+    * integer cost, the [[graft.ext.Unigram.parseVocabTsv]] fixed-point
+    * scaling) engineered so the corpus exercises every Viterbi branch:
+    * merge/stream/window split CHEAPER than their whole-word piece
+    * (optimal beats greedy), customer/batch whole-word wins, the/row win
+    * on the fewer-tokens tie-break, scan ties at (cost, count) both ways,
+    * and f/j/q/v/x/z have no single-cp piece (per-cp `<unk>` fallback at
+    * cost [[uniUnkCost]]). Production use ingests a published `.vocab`
+    * TSV; the oracle needs it FROZEN to interpolate as list literals.
+    */
+  private val uniVocab: Seq[(String, Long)] = Seq(
+    "a" -> 2L, "b" -> 3L, "c" -> 3L, "d" -> 3L, "e" -> 2L, "g" -> 3L,
+    "h" -> 3L, "i" -> 3L, "k" -> 4L, "l" -> 3L, "m" -> 3L, "n" -> 3L,
+    "o" -> 2L, "p" -> 3L, "r" -> 3L, "s" -> 2L, "t" -> 2L, "u" -> 4L,
+    "w" -> 4L, "y" -> 5L,
+    "join" -> 4L, "scan" -> 9L, "sc" -> 2L, "an" -> 3L, "can" -> 3L,
+    "the" -> 7L, "row" -> 5L, "ro" -> 2L, "ow" -> 2L,
+    "merge" -> 9L, "mer" -> 3L, "ge" -> 3L,
+    "stream" -> 6L, "st" -> 2L, "ream" -> 3L,
+    "window" -> 7L, "win" -> 3L, "dow" -> 3L,
+    "customer" -> 8L, "cust" -> 4L, "omer" -> 5L,
+    "batch" -> 6L, "bat" -> 4L, "ch" -> 3L,
+    "val" -> 4L, "ue" -> 4L, "fil" -> 5L, "ter" -> 4L, "qu" -> 6L)
+
+  private val uniUnkCost = 12L
+
+  /** DuckDB replay of the Viterbi unigram encode (UnigramRuntime
+    * contract): per DISTINCT word, `spans`/`subc` pre-score every
+    * (start, length<=maxPieceCp) substring against the vocab (single-cp
+    * misses fall back to the unk composite; longer misses are
+    * infeasible), then the recursive `step` carries the WHOLE dp array
+    * as a list, appending `dp[pos+1] = min(dp[start] + pc)` over the
+    * pieces ending at pos+1 — shortest-path DP as a recursive CTE, the
+    * argmin a correlated aggregate like [[wpEncCte]]'s argmax. The
+    * composite radix (cost * 2^20 + n_pieces) decomposes at the end
+    * with integer div/mod. Yields CTEs `words` (doc_id, word) and
+    * `fin` (word, nt, cost) — the scored-piece twin of [[wpEncCte]],
+    * shared by q172/q173.
+    */
+  private val uniEncCte: String = {
+    val S = graft.expressions.UnigramRuntime.TokenScale
+    val maxL = uniVocab.map(p => p._1.codePointCount(0, p._1.length)).max
+    val cap = 1000
+    val pLit = uniVocab.map(p => s"'${p._1}'").mkString("[", ", ", "]")
+    val cLit = uniVocab.map(_._2.toString).mkString("[", ", ", "]")
+    raw"""warr AS (SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS arr
+       FROM documents WHERE text IS NOT NULL),
+     words AS (SELECT doc_id, unnest(arr) AS word FROM warr),
+     dw AS (SELECT DISTINCT word FROM words),
+     uv AS (SELECT unnest($pLit) AS p, unnest($cLit) AS c),
+     spans AS (
+       SELECT d.word, ps.s AS start, ls.l AS l,
+         substr(d.word, ps.s, ls.l) AS sub
+       FROM dw d,
+         LATERAL (SELECT unnest(generate_series(1, len(d.word))) AS s) ps,
+         LATERAL (SELECT unnest(generate_series(1,
+             least($maxL, len(d.word) - ps.s + 1))) AS l) ls
+       WHERE len(d.word) <= $cap),
+     subc AS (
+       SELECT sp.word, sp.start, sp.l,
+         coalesce(v.comp, CASE WHEN sp.l = 1 THEN $uniUnkCost*$S+1 END) AS pc
+       FROM spans sp
+       LEFT JOIN (SELECT p, c * $S + 1 AS comp FROM uv) v ON v.p = sp.sub),
+     step(word, pos, dp) AS (
+       SELECT word, 0, [CAST(0 AS BIGINT)] FROM dw WHERE len(word) <= $cap
+       UNION ALL
+       SELECT s.word, s.pos + 1, s.dp || [(
+           SELECT min(s.dp[c.start] + c.pc)
+           FROM subc c
+           WHERE c.word = s.word AND c.start + c.l = s.pos + 2
+             AND c.pc IS NOT NULL)]
+       FROM step s WHERE s.pos < len(s.word)),
+     fin AS (
+       SELECT word, CAST(1 AS BIGINT) AS nt,
+         CAST($uniUnkCost AS BIGINT) AS cost
+       FROM dw WHERE len(word) > $cap
+       UNION ALL
+       SELECT word, dp[len(word) + 1] % $S, dp[len(word) + 1] // $S
+       FROM step WHERE pos = len(word))"""
+  }
+
   /** DuckDB replay of the greedy BPE encode (BpeRuntime contract): the
     * merge loop — lowest-ranked adjacent pair, leftmost occurrence, one
     * merge per step — as a recursive CTE over the corpus's DISTINCT words
@@ -1858,6 +1940,37 @@ object SparkEntry {
       graft.ext.Report.dataCard(fanOut(s, t(s, d, "documents"), "doc_id"),
           Seq("source"), "text",
           tokenCounter = Some(text.wordpieceTokenCount(col("text"), wpVocab)))
+        .orderBy("source")
+    }),
+
+    "q172_unigram_stats" -> ((s, d) => {
+      // the THIRD tokenizer family: SentencePiece-style unigram-LM vocabs
+      // ship SCORED pieces and encode by the globally OPTIMAL (Viterbi)
+      // segmentation, not a greedy scan — one native codegen'd expression
+      // whose integer composite (cost * 2^20 + n_pieces, the fixed-point
+      // stand-in for max log-prob with ties to fewer tokens) the oracle
+      // replays as a dp-array-carrying recursive CTE. Both the count AND
+      // the optimized model cost are gated, per document.
+      t(s, d, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          text.unigramStats(col("text"), uniVocab, unkCost = uniUnkCost)
+            .as("st"))
+        .select(col("doc_id"),
+          col("st.n_tokens").cast("long").as("n_uni"),
+          col("st.cost").as("cost"))
+        .orderBy("doc_id")
+    }),
+
+    "q173_card_unigram" -> ((s, d) => {
+      // the q156/q171 card in the THIRD tokenizer family's currency: same
+      // operator, same oracle body (cardTokensOracle), the counter swapped
+      // to the unigram Viterbi count — all three vocab formats (merge
+      // list, piece list, scored pieces) now spend through one contract
+      graft.ext.Report.dataCard(fanOut(s, t(s, d, "documents"), "doc_id"),
+          Seq("source"), "text",
+          tokenCounter = Some(text.unigramTokenCount(col("text"), uniVocab,
+            unkCost = uniUnkCost)))
         .orderBy("source")
     }),
 
@@ -4323,6 +4436,21 @@ object SparkEntry {
 
     // the identical card, token currency swapped to the WordPiece replay
     "q171_card_wordpiece" -> cardTokensOracle(wpEncCte),
+
+    // the uniEncCte Viterbi replay: per-word (count, cost) joined back
+    // to documents and summed — null-text docs excluded like q151/q163
+    "q172_unigram_stats" ->
+      s"""WITH RECURSIVE
+         $uniEncCte,
+         agg AS (SELECT w.doc_id, sum(f.nt) AS n, sum(f.cost) AS c
+           FROM words w JOIN fin f USING (word) GROUP BY w.doc_id)
+         SELECT d.doc_id, CAST(coalesce(a.n, 0) AS BIGINT) AS n_uni,
+           CAST(coalesce(a.c, 0) AS BIGINT) AS cost
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         WHERE d.text IS NOT NULL
+         ORDER BY doc_id""",
+
+    "q173_card_unigram" -> cardTokensOracle(uniEncCte),
     "q141_sampled_quantiles" ->
       raw"""WITH b AS (SELECT source,
              len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tok,

@@ -78,6 +78,31 @@ object text {
   def wordpieceTokenCount(c: Column, vocab: Seq[String]): Column =
     graft.expressions.WordPieceExpressions.wordpieceTokenCount(c, vocab)
 
+  /** Unigram-LM token array under a frozen SCORED vocabulary
+    * (SentencePiece-style Viterbi-optimal segmentation over integer
+    * costs, [[graft.expressions.UnigramRuntime]] contract) — the third
+    * tokenizer family: where BPE replays merges and WordPiece greedily
+    * longest-matches, unigram picks the globally cheapest segmentation.
+    */
+  def unigramTokens(c: Column, vocab: Seq[(String, Long)],
+      unk: String = "<unk>", unkCost: Long = 1L << 19): Column =
+    graft.expressions.UnigramExpressions.unigramTokens(c, vocab, unk, unkCost)
+
+  /** Exact unigram `struct<n_tokens, cost>` — count plus the total model
+    * cost the Viterbi minimized (no array materialized).
+    */
+  def unigramStats(c: Column, vocab: Seq[(String, Long)],
+      unk: String = "<unk>", unkCost: Long = 1L << 19): Column =
+    graft.expressions.UnigramExpressions.unigramStats(c, vocab, unk, unkCost)
+
+  /** Exact unigram token count — `unigramStats(...).n_tokens`, the
+    * pluggable-counter shape the card/mixture/budget operators take.
+    */
+  def unigramTokenCount(c: Column, vocab: Seq[(String, Long)],
+      unk: String = "<unk>", unkCost: Long = 1L << 19): Column =
+    graft.expressions.UnigramExpressions.unigramStats(c, vocab, unk, unkCost)
+      .getField("n_tokens")
+
   /** A BPE-ish subword count: word-piece granularity — letter runs, digit
     * runs, single punctuation — approximating tokenizer granularity without
     * a vocab (`\p{L}+|\p{N}+|[^\p{L}\p{N} ]` after whitespace collapse).
