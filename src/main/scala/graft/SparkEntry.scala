@@ -1962,6 +1962,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q174_split_by_cluster" -> ((s, d) => {
+      // LEAKAGE-SAFE train/val/test split: the split key is the near-dup
+      // CLUSTER id (q70's verified-minhash components), not the document
+      // — near-identical docs can never straddle the split boundary and
+      // leak eval content into training. Content-hash splitting (q56)
+      // only co-assigns byte-identical rows; this is the near-dup-aware
+      // upgrade a real pretraining pipeline ships.
+      val docs = fanOut(s, t(s, d, "documents"), "doc_id")
+      val cc = Dedup.connectedComponents(
+        Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.6))
+      val labeled = docs.select(col("doc_id"))
+        .join(cc.select(col("id").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+      graft.ext.Splits.byClusterHash(labeled, "component",
+          weights = Seq(0.8, 0.1, 0.1), labels = Seq("train", "val", "test"))
+        .orderBy("doc_id")
+    }),
+
     "q173_card_unigram" -> ((s, d) => {
       // the q156/q171 card in the THIRD tokenizer family's currency: same
       // operator, same oracle body (cardTokensOracle), the counter swapped
@@ -4451,6 +4471,38 @@ object SparkEntry {
          ORDER BY doc_id""",
 
     "q173_card_unigram" -> cardTokensOracle(uniEncCte),
+
+    // q70's component CTEs + the q56 md5-threshold split applied to the
+    // COMPONENT id (stringified) — same exact 32-bit thresholds
+    "q174_split_by_cluster" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                 CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
+                      ELSE array_to_string(tk[i:i+2], ' ') END AS shingle
+               FROM (SELECT doc_id, tk,
+                       unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i
+                     FROM toks WHERE len(tk) > 0)),
+         sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS ic
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         j AS (SELECT id_l, id_r, CAST(ic AS DOUBLE) / (sa.s + sb.s - ic) AS jac
+               FROM inter JOIN sz sa ON sa.doc_id = id_l
+                          JOIN sz sb ON sb.doc_id = id_r),
+         e AS (SELECT id_l AS a, id_r AS b FROM j WHERE jac >= 0.6
+               UNION SELECT id_r, id_l FROM j WHERE jac >= 0.6),
+         reach(a, b) AS (SELECT a, b FROM e
+               UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+                  FROM reach GROUP BY a),
+         lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+                 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+         SELECT doc_id, component, CASE
+           WHEN CAST(concat('0x', substring(md5(CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) < 3435973837 THEN 'train'
+           WHEN CAST(concat('0x', substring(md5(CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) < 3865470566 THEN 'val'
+           ELSE 'test' END AS split
+         FROM lab ORDER BY doc_id""",
     "q141_sampled_quantiles" ->
       raw"""WITH b AS (SELECT source,
              len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tok,

@@ -48,6 +48,27 @@ object Splits {
       labels: Seq[String], outCol: String = "split"): DataFrame =
     df.withColumn(outCol, contentHashSplit(col(keyCol), weights, labels))
 
+  /** Cluster-keyed split: assignment is a pure function of the CLUSTER
+    * id, not of the row — so every member of a near-duplicate cluster
+    * lands in the SAME split. [[byContentHash]] already co-assigns
+    * byte-identical content; this closes the remaining train/test
+    * leakage hole, NEAR-identical rows (one word changed, boilerplate
+    * stripped) straddling the split boundary and leaking eval content
+    * into training. `clusterCol` is typically the component id from
+    * `Dedup.connectedComponents` over verified near-dup pairs, with
+    * singletons labeled by their own id.
+    *
+    * Scale: one codegen'd hash + integer compare per row on top of
+    * whatever produced the cluster ids — no extra shuffle; the split
+    * stays stable across re-ingests as long as cluster ids are (which
+    * min-id component labeling guarantees for unchanged content).
+    */
+  def byClusterHash(
+      df: DataFrame, clusterCol: String, weights: Seq[Double],
+      labels: Seq[String], outCol: String = "split"): DataFrame =
+    df.withColumn(outCol,
+      contentHashSplit(col(clusterCol).cast("string"), weights, labels))
+
   /** Exactly-`n` deterministic uniform subsample: rank every row by
     * `md5(keyCol)` (tie-broken by `tieCol` for non-unique keys) and keep the
     * first `n` — the fixed-size eval-subset / spot-check primitive. Unlike

@@ -39,6 +39,34 @@ class SplitsSpec extends AnyFunSuite with SparkSpec {
     assert(bad == 0L)
   }
 
+  test("byClusterHash co-assigns every member of a cluster (near-dup leakage)") {
+    // rows 1..1000 in 100 clusters of 10: content differs per row, so a
+    // content-hash split WOULD scatter cluster members; the cluster key
+    // must not
+    val clustered = docs.withColumn("cluster", (col("id") % 100).cast("long"))
+    val out = Splits.byClusterHash(clustered, "cluster",
+      Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+    val straddling = out.groupBy("cluster")
+      .agg(countDistinct("split").as("n")).where(col("n") > 1).count()
+    assert(straddling == 0L)
+    // and the assignment equals byContentHash on the stringified key —
+    // one hash convention, engine-replayable either way
+    val viaContent = Splits.byContentHash(
+      clustered.withColumn("ck", col("cluster").cast("string")), "ck",
+      Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val viaCluster = out.select("id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(viaCluster == viaContent)
+    // null cluster ids propagate as null splits, not a silent bucket
+    val withNull = clustered.withColumn("cluster",
+      when(col("id") === 1L, lit(null: java.lang.Long)).otherwise(col("cluster")))
+    val n = Splits.byClusterHash(withNull, "cluster",
+      Seq(0.5, 0.5), Seq("a", "b")).where(col("id") === 1L)
+      .select("split").collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("weights validate") {
     intercept[IllegalArgumentException] {
       Splits.byContentHash(docs, "text", Seq(0.8), Seq("a", "b"))
