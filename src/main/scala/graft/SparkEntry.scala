@@ -1962,6 +1962,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q175_waterfill_alloc" -> ((s, d) => {
+      // data-constrained mixture allocation (the epochs-cap waterfill):
+      // budget tokens distributed proportionally to per-source mass, but
+      // no source beyond its cap (here 1-3 "epochs" of its own mass, by
+      // source index); surplus redistributes among the uncapped until the
+      // water level settles. Exact BigInt walk over the per-source frame
+      // (O(#sources), the applyTemperature bounded-collect pattern); the
+      // oracle replays the walk with window cumsums + the frozen frontier
+      // level. The 50000 budget saturates the 1x and 2x plateaus and cuts
+      // the 3x plateau at the level — every branch exercised.
+      val m = t(s, d, "documents").where(col("text").isNotNull)
+        .groupBy("source")
+        .agg(sum(text.tokenCount(col("text")).cast("long")).as("mass"))
+      val pc = m.withColumn("cap",
+        (lit(1) + substring(col("source"), 4, 10).cast("int") % 3)
+          .cast("long") * col("mass"))
+      graft.ext.Mixtures.capWaterfill(pc, "source", "mass", "cap",
+          budget = 50000L)
+        .select(col("source"), col("mass"), col("cap"), col("alloc"))
+        .orderBy("source")
+    }),
+
     "q174_split_by_cluster" -> ((s, d) => {
       // LEAKAGE-SAFE train/val/test split: the split key is the near-dup
       // CLUSTER id (q70's verified-minhash components), not the document
@@ -4471,6 +4493,36 @@ object SparkEntry {
          ORDER BY doc_id""",
 
     "q173_card_unigram" -> cardTokensOracle(uniEncCte),
+
+    // the waterfill walk as window cumsums: a source saturates iff
+    // cap*wrem <= brem*mass under the cap/mass-ascending order; the
+    // prefix-AND freezes the frontier row, whose (brem, wrem) is the
+    // water level every later source drinks from (integer // floor)
+    "q175_waterfill_alloc" ->
+      raw"""WITH m AS (SELECT source,
+           CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS BIGINT) AS mass
+         FROM documents WHERE text IS NOT NULL GROUP BY source),
+        pc AS (SELECT source, mass,
+           (1 + CAST(substr(source, 4, 10) AS INT) % 3) * mass AS cap FROM m),
+        ord AS (SELECT source, mass, cap,
+           coalesce(sum(cap) OVER (ORDER BY cap * 1.0 / mass, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cprev,
+           sum(mass) OVER (ORDER BY cap * 1.0 / mass, source
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS wrem
+         FROM pc),
+        f AS (SELECT source, mass, cap, cprev, wrem,
+           CASE WHEN cap * wrem <= (50000 - cprev) * mass THEN 1 ELSE 0 END AS sat
+         FROM ord),
+        g AS (SELECT *, min(sat) OVER (ORDER BY cap * 1.0 / mass, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS satpfx FROM f)
+        SELECT source, mass, cap,
+          CASE WHEN satpfx = 1 THEN cap
+               ELSE least(cap, mass * coalesce((SELECT 50000 - cprev FROM g
+                   WHERE satpfx = 0
+                   ORDER BY cap * 1.0 / mass, source LIMIT 1), 0)
+                 // coalesce((SELECT wrem FROM g WHERE satpfx = 0
+                   ORDER BY cap * 1.0 / mass, source LIMIT 1), 1)) END AS alloc
+        FROM g ORDER BY source""",
 
     // q70's component CTEs + the q56 md5-threshold split applied to the
     // COMPONENT id (stringified) — same exact 32-bit thresholds

@@ -99,6 +99,77 @@ object Mixtures {
           .cast("long").as("alloc"))
   }
 
+  /** Capped proportional allocation with surplus redistribution — the
+    * "waterfill" a data-constrained training run needs (Muennighoff et
+    * al. 2023, arXiv:2305.16264: repeating a source beyond ~4 epochs
+    * stops paying, so every source gets a hard cap): allocate `budget`
+    * tokens across sources proportionally to `massCol`, but no source
+    * beyond `capCol`; the surplus a capped source cannot absorb is
+    * redistributed proportionally among the uncapped — recursively,
+    * until nothing saturates. The classic exact solution: sort by
+    * `cap/mass` ascending and walk; a source saturates iff its ratio is
+    * at most the running `remaining_budget / remaining_mass`, and the
+    * first non-saturating source freezes the water level `λ`; everyone
+    * after gets `floor(mass * λ)`.
+    *
+    * Every comparison and division is EXACT BigInt arithmetic (rational
+    * compares by cross-multiplication, floors by integer division) — no
+    * double ever enters, so the allocation is bit-reproducible and
+    * SQL-replayable at any magnitude (token masses at the 100 TB scale
+    * overflow an i64 product; BigInt does not care). Equal-ratio ties
+    * are walk-order-independent (the level never drops below a ratio it
+    * already passed), broken deterministically by the key's string form.
+    *
+    * Input is the per-source summary frame (one row per source — e.g.
+    * the output of [[temperatureWeights]] with a cap column added), NOT
+    * the corpus: the walk is O(#sources) on the driver, the
+    * [[applyTemperature]] bounded-collect pattern. Returns the input
+    * columns plus `allocName`. Guarantees: `alloc <= cap` everywhere,
+    * `sum(alloc) <= budget`, and `sum(alloc)` is the maximum achievable
+    * under the caps (up to the per-source floors).
+    */
+  def capWaterfill(
+      perSource: DataFrame, keyCol: String, massCol: String, capCol: String,
+      budget: Long, allocName: String = "alloc"): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val rows = perSource.select(
+        col(keyCol).cast("string"), col(massCol).cast("long"),
+        col(capCol).cast("long"))
+      .collect().map { r =>
+        require(!r.isNullAt(0), s"$keyCol must be non-null")
+        require(!r.isNullAt(1) && r.getLong(1) > 0,
+          s"$massCol must be positive for source '${r.getString(0)}'")
+        require(!r.isNullAt(2) && r.getLong(2) >= 0,
+          s"$capCol must be non-negative for source '${r.getString(0)}'")
+        (r.getString(0), r.getLong(1), r.getLong(2))
+      }
+    require(rows.nonEmpty, "no sources found (empty input?)")
+    require(rows.map(_._1).distinct.length == rows.length,
+      s"$keyCol must be unique per row (aggregate to one row per source first)")
+    // exact rational sort: cap_i/mass_i < cap_j/mass_j by cross-multiply
+    val sorted = rows.sortWith { case ((ka, ma, ca), (kb, mb, cb)) =>
+      val cmp = (BigInt(ca) * mb).compare(BigInt(cb) * ma)
+      if (cmp != 0) cmp < 0 else ka < kb
+    }
+    var b = BigInt(budget)
+    var w = sorted.map(x => BigInt(x._2)).sum
+    var level: Option[(BigInt, BigInt)] = None // frozen (B*, W*) at frontier
+    val alloc = sorted.map { case (k, m, c) =>
+      k -> (level match {
+        case Some((bs, ws)) => (BigInt(m) * bs / ws).toLong.min(c)
+        case None =>
+          if (BigInt(c) * w <= b * m) { b -= c; w -= m; c }
+          else { level = Some((b, w)); (BigInt(m) * b / w).toLong.min(c) }
+      })
+    }.toMap
+    val allocDf = perSource.sparkSession
+      .createDataFrame(alloc.toSeq.map(x => (x._1, x._2)))
+      .toDF("__wf_key", allocName)
+    perSource.join(broadcast(allocDf),
+        col(keyCol).cast("string") === col("__wf_key"), "left")
+      .drop("__wf_key")
+  }
+
   /** Materialize [[temperatureWeights]]: keep exactly `alloc_s` rows per
     * source, chosen by deterministic content-hash order (md5 of `keyCol` —
     * the same cross-engine hash as [[Splits]]), ranked 1..alloc_s in

@@ -112,6 +112,61 @@ class PackingMixtureSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("capWaterfill: caps bind, surplus redistributes, level is exact") {
+    // masses 100/100/100, caps 50/150/1000, budget 240:
+    // ratios 0.5/1.5/10 -> a saturates (B=190, W=200 after), then the
+    // level freezes at 190/200 = 0.95 < b's ratio 1.5, so b and c both
+    // drink the level: floor(100 * 190/200) = 95 each; total exactly 240
+    val df = Seq(("a", 100L, 50L), ("b", 100L, 150L), ("c", 100L, 1000L))
+      .toDF("source", "mass", "cap")
+    val out = Mixtures.capWaterfill(df, "source", "mass", "cap", budget = 240L)
+      .select("source", "alloc").as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 50L, "b" -> 95L, "c" -> 95L))
+    // budget above the cap sum: everyone gets exactly their cap
+    val all = Mixtures.capWaterfill(df, "source", "mass", "cap", budget = 5000L)
+      .select("source", "alloc").as[(String, Long)].collect().toMap
+    assert(all == Map("a" -> 50L, "b" -> 150L, "c" -> 1000L))
+    // budget below every cap share: pure proportional floor, no cap binds
+    val low = Mixtures.capWaterfill(df, "source", "mass", "cap", budget = 90L)
+      .select("source", "alloc").as[(String, Long)].collect().toMap
+    assert(low == Map("a" -> 30L, "b" -> 30L, "c" -> 30L))
+  }
+
+  test("capWaterfill is exact beyond i64 products (100 TB token masses)") {
+    // masses ~2.5e13 tokens: cap*massSum and mass*budget overflow Long
+    // multiplication; the BigInt walk must not care
+    val m = 25_000_000_000_000L
+    val df = Seq(("a", m, m), ("b", m, 4 * m), ("c", m, 4 * m))
+      .toDF("source", "mass", "cap")
+    val budget = 6 * m
+    val out = Mixtures.capWaterfill(df, "source", "mass", "cap", budget)
+      .select("source", "alloc").as[(String, Long)].collect().toMap
+    // a saturates at 1 epoch; b and c split the rest: 2.5 epochs each
+    assert(out("a") == m)
+    assert(out("b") == 5 * m / 2 && out("c") == 5 * m / 2)
+    assert(out.values.sum <= budget)
+  }
+
+  test("capWaterfill validates inputs loudly") {
+    val ok = Seq(("a", 10L, 5L)).toDF("source", "mass", "cap")
+    intercept[IllegalArgumentException] {
+      Mixtures.capWaterfill(ok, "source", "mass", "cap", budget = -1L)
+    }
+    intercept[IllegalArgumentException] {
+      Mixtures.capWaterfill(Seq(("a", 0L, 5L)).toDF("source", "mass", "cap"),
+        "source", "mass", "cap", budget = 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Mixtures.capWaterfill(Seq(("a", 10L, -5L)).toDF("source", "mass", "cap"),
+        "source", "mass", "cap", budget = 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Mixtures.capWaterfill(
+        Seq(("a", 10L, 5L), ("a", 20L, 5L)).toDF("source", "mass", "cap"),
+        "source", "mass", "cap", budget = 10L)
+    }
+  }
+
   test("temperatureWeights mass option re-denominates n in tokens") {
     // token currency: big has 900 rows x 1 token, small 100 rows x 80
     // tokens -> token masses 900 vs 8000; the ROW count would invert the
