@@ -1962,6 +1962,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q176_nextfit_pack" -> ((s, d) => {
+      // doc-boundary-preserving packing (next-fit): the instruction-tuning
+      // convention where a document is never split across training
+      // sequences — the complement of q57's concat-then-chunk. Budget 90
+      // vs 10-99-token docs exercises the oversize-doc-gets-own-bin
+      // branch inside the gate, not just in specs. Oracle replays the
+      // sequential fill recurrence as a row-at-a-time recursive CTE.
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          text.tokenCount(col("text")).cast("long").as("n_tok"))
+      graft.ext.Packing.nextFitPack(docs, "n_tok", "doc_id", budget = 90L,
+          groupCols = Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tok"), col("bin_id"))
+        .orderBy("doc_id")
+    }),
+
     "q175_waterfill_alloc" -> ((s, d) => {
       // data-constrained mixture allocation (the epochs-cap waterfill):
       // budget tokens distributed proportionally to per-source mass, but
@@ -4493,6 +4509,26 @@ object SparkEntry {
          ORDER BY doc_id""",
 
     "q173_card_unigram" -> cardTokensOracle(uniEncCte),
+
+    // the next-fit fill recurrence (reset on overflow — not a cumsum)
+    // replayed row-at-a-time: rank docs per source, recurse rn -> rn+1
+    // carrying (fill, bin); an oversize doc overflows into its own bin
+    // by the same CASE with no special-casing
+    "q176_nextfit_pack" ->
+      raw"""WITH RECURSIVE d0 AS (SELECT source, doc_id,
+           len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tok,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         FROM documents WHERE text IS NOT NULL),
+        walk(source, rn, doc_id, n_tok, fill, bin) AS (
+          SELECT source, rn, doc_id, n_tok, n_tok, CAST(0 AS BIGINT)
+          FROM d0 WHERE rn = 1
+          UNION ALL
+          SELECT d.source, d.rn, d.doc_id, d.n_tok,
+            CASE WHEN w.fill + d.n_tok > 90 THEN d.n_tok ELSE w.fill + d.n_tok END,
+            CASE WHEN w.fill + d.n_tok > 90 THEN w.bin + 1 ELSE w.bin END
+          FROM walk w JOIN d0 d ON d.source = w.source AND d.rn = w.rn + 1)
+        SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok, bin AS bin_id
+        FROM walk ORDER BY doc_id""",
 
     // the waterfill walk as window cumsums: a source saturates iff
     // cap*wrem <= brem*mass under the cap/mass-ascending order; the

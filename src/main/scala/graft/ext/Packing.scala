@@ -106,6 +106,67 @@ object Packing {
         .as("tokens"))
   }
 
+  /** Doc-boundary-preserving packing — the OTHER convention from
+    * [[concatChunk]]: next-fit bin packing in deterministic `orderCol`
+    * order. Documents are never split; a document that does not fit the
+    * current bin's remaining space closes the bin and opens the next
+    * one. This is the no-cross-document-attention packing
+    * instruction-tuning / T5-style pipelines use (every bin is padded to
+    * `budget`, so `budget - fill` is the padding waste this operator
+    * lets you account for); [[concatChunk]] is the GPT-style stream cut
+    * that splits documents instead. A document LARGER than the budget
+    * gets a bin of its own (fill > budget — flag or truncate downstream;
+    * silently splitting it would violate the boundary contract).
+    *
+    * Adds `binCol`: 0-based bin index within each `groupCols` group.
+    * Null token counts pack as 0 (the `sum`-skips-nulls convention of
+    * [[concatChunk]]).
+    *
+    * Scale: the fill state is a true sequential recurrence (a window
+    * cumsum cannot express the reset), so this is one of the repo's
+    * justified `mapPartitions` sites: ONE hash shuffle on `groupCols`
+    * co-locates each group, an in-partition sort orders it, and a single
+    * streamed pass per partition carries (group, fill, bin) — parallel
+    * across groups, O(rows) within, no state beyond three scalars. Like
+    * [[concatChunk]] it refuses global packing: one group = one task.
+    */
+  def nextFitPack(
+      df: DataFrame, tokenCol: String, orderCol: String, budget: Long,
+      groupCols: Seq[String], binCol: String = "bin_id"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(groupCols.nonEmpty,
+      "groupCols required: global packing would funnel all rows through one task")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val sorted = df.repartition(groupCols.map(col): _*)
+      .sortWithinPartitions(groupCols.map(col) :+ col(orderCol): _*)
+    val schema = sorted.schema.add(binCol, LongType, nullable = false)
+    val gIdx = groupCols.map(sorted.schema.fieldIndex)
+    val tIdx = sorted.schema.fieldIndex(tokenCol)
+    val outRdd = sorted.rdd.mapPartitions { it =>
+      var key: Seq[Any] = null
+      var fill = 0L
+      var bin = 0L
+      it.map { r =>
+        val n = r.get(tIdx) match {
+          case null => 0L
+          case x: Number =>
+            val v = x.longValue()
+            require(v >= 0, s"negative $tokenCol: $v")
+            v
+          case x => throw new IllegalArgumentException(
+            s"non-numeric $tokenCol: $x")
+        }
+        val k = gIdx.map(r.get)
+        if (key == null || k != key) { key = k; bin = 0L; fill = n }
+        else if (fill + n > budget) { bin += 1; fill = n }
+        else fill += n
+        Row.fromSeq(r.toSeq :+ bin)
+      }
+    }
+    df.sparkSession.createDataFrame(outRdd, schema)
+  }
+
   /** Sliding-window chunking: one output row per context-window chunk of a
     * token-array column — windows of `size` tokens starting every `stride`
     * tokens (stride < size = overlapping chunks, the usual

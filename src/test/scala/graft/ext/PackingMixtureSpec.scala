@@ -65,6 +65,58 @@ class PackingMixtureSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"), s"chunking shuffled:\n$plan")
   }
 
+  test("nextFitPack: boundaries preserved, oversize isolated, resets per group") {
+    // g1 docs: 40,30,40,90,120,10 with budget 100:
+    //   bin0 = 40+30 (40+30+40=110 > 100), bin1 = 40, bin2 = 90 (90+120
+    //   overflows), bin3 = 120 ALONE (oversize), bin4 = 10
+    val rows = Seq(
+      ("g1", 1L, 40L), ("g1", 2L, 30L), ("g1", 3L, 40L), ("g1", 4L, 90L),
+      ("g1", 5L, 120L), ("g1", 6L, 10L),
+      ("g2", 1L, 60L), ("g2", 2L, 60L))
+    val df = rows.toDF("g", "ord", "n")
+    val out = Packing.nextFitPack(df, "n", "ord", budget = 100L, Seq("g"))
+      .select("g", "ord", "bin_id").as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out(("g1", 1L)) == 0L && out(("g1", 2L)) == 0L)
+    assert(out(("g1", 3L)) == 1L)
+    assert(out(("g1", 4L)) == 2L)
+    assert(out(("g1", 5L)) == 3L) // oversize doc alone
+    assert(out(("g1", 6L)) == 4L)
+    // bin counter resets for g2; 60+60 > 100 splits them
+    assert(out(("g2", 1L)) == 0L && out(("g2", 2L)) == 1L)
+    // invariant: no multi-doc bin exceeds the budget
+    val fills = Packing.nextFitPack(df, "n", "ord", budget = 100L, Seq("g"))
+      .groupBy("g", "bin_id")
+      .agg(sum("n").as("fill"), count(lit(1)).as("c"))
+      .where(col("fill") > 100 && col("c") > 1).count()
+    assert(fills == 0L)
+    // result is partition-count invariant (the shuffle co-locates groups)
+    val rep = Packing.nextFitPack(df.repartition(7), "n", "ord",
+      budget = 100L, Seq("g"))
+      .select("g", "ord", "bin_id").as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(rep == out)
+  }
+
+  test("nextFitPack: null tokens pack as zero; validation is loud") {
+    val df = Seq(("g", 1L, Some(50L)), ("g", 2L, None), ("g", 3L, Some(60L)))
+      .toDF("g", "ord", "n")
+    val out = Packing.nextFitPack(df, "n", "ord", budget = 100L, Seq("g"))
+      .select("ord", "bin_id").as[(Long, Long)].collect().toMap
+    // null = 0 tokens: 50+0 fits bin0, 60 overflows to bin1
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+    intercept[IllegalArgumentException] {
+      Packing.nextFitPack(df, "n", "ord", budget = 0L, Seq("g"))
+    }
+    intercept[IllegalArgumentException] {
+      Packing.nextFitPack(df, "n", "ord", budget = 10L, Seq.empty)
+    }
+    val neg = Seq(("g", 1L, -5L)).toDF("g", "ord", "n")
+    assertThrows[Exception] {
+      Packing.nextFitPack(neg, "n", "ord", budget = 10L, Seq("g")).collect()
+    }
+  }
+
   test("sampleToMixture hits exact rates for binary-fraction weights") {
     val rows = for (s <- Seq("a", "b"); i <- 1 to 400)
       yield (s, s"$s-doc-$i")
