@@ -312,6 +312,18 @@ object SparkEntry {
 
   private val uniUnkCost = 12L
 
+  /** q177's frozen blocklist — overlapping on purpose: `scan` is a
+    * substring of `slow scan` (fail-link output), `the` of `the join`,
+    * bigrams span the whitespace the tokenizer families split on, and
+    * `zzz` never occurs (the all-miss path).
+    */
+  private val blockPhrases: Seq[String] = Seq(
+    "slow scan", "scan", "the join", "the", "big batch", "fast merge",
+    "customer table", "window stream", "zzz")
+
+  private val blockPhrasesLit: String =
+    blockPhrases.map(p => s"'$p'").mkString("[", ", ", "]")
+
   /** DuckDB replay of the Viterbi unigram encode (UnigramRuntime
     * contract): per DISTINCT word, `spans`/`subc` pre-score every
     * (start, length<=maxPieceCp) substring against the vocab (single-cp
@@ -1959,6 +1971,20 @@ object SparkEntry {
         .select(col("doc_id"),
           col("st.n_tokens").cast("long").as("n_uni"),
           col("st.cost").as("cost"))
+        .orderBy("doc_id")
+    }),
+
+    "q177_phrase_blocklist" -> ((s, d) => {
+      // banned-phrase filtering at blocklist scale: distinct phrases
+      // present per doc, counted in ONE Aho-Corasick pass (a native
+      // reference-object expression) instead of |blocklist| contains
+      // scans. The list deliberately overlaps (scan inside slow scan,
+      // single words inside bigrams) to exercise fail-link outputs; the
+      // oracle is the naive per-phrase contains — semantics, not cost
+      t(s, d, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          text.phraseHits(col("text"), blockPhrases).cast("long").as("n_hits"))
         .orderBy("doc_id")
     }),
 
@@ -4509,6 +4535,15 @@ object SparkEntry {
          ORDER BY doc_id""",
 
     "q173_card_unigram" -> cardTokensOracle(uniEncCte),
+
+    // the naive contains replay of the Aho-Corasick pass: a phrase hits
+    // iff it is a plain substring, counted once per distinct phrase
+    "q177_phrase_blocklist" ->
+      s"""SELECT doc_id,
+           CAST(len(list_filter($blockPhrasesLit,
+             p -> contains(text, p))) AS BIGINT) AS n_hits
+         FROM documents WHERE text IS NOT NULL
+         ORDER BY doc_id""",
 
     // the next-fit fill recurrence (reset on overflow — not a cumsum)
     // replayed row-at-a-time: rank docs per source, recurse rn -> rn+1

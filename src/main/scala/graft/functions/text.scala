@@ -103,6 +103,15 @@ object text {
     graft.expressions.UnigramExpressions.unigramStats(c, vocab, unk, unkCost)
       .getField("n_tokens")
 
+  /** Distinct banned-phrase hits in ONE Aho-Corasick pass (case-sensitive
+    * substring semantics — exactly SQL `contains`; O(|text|) however
+    * large the blocklist, where per-phrase `contains` is
+    * O(|phrases| * |text|)). `phraseHits(c, ps) === 0` is the keep gate;
+    * the count doubles as a severity score.
+    */
+  def phraseHits(c: Column, phrases: Seq[String]): Column =
+    graft.expressions.PhraseMatchExpressions.phraseHits(c, phrases)
+
   /** A BPE-ish subword count: word-piece granularity — letter runs, digit
     * runs, single punctuation — approximating tokenizer granularity without
     * a vocab (`\p{L}+|\p{N}+|[^\p{L}\p{N} ]` after whitespace collapse).

@@ -190,8 +190,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // a model/blocklist join or window snuck in
     // q151: the BPE encode must ride as one reference-object projection —
     // a vocab JOIN or UDF fallback would show up as an exchange here
+    // q172: the unigram Viterbi encode is the same reference-object
+    // projection contract — the scored vocab must never become a join
     Seq("q128_quality_classifier", "q131_intradoc_dedup",
-      "q132_domain_blocklist", "q133_line_filter", "q151_bpe_count").foreach { q =>
+      "q132_domain_blocklist", "q133_line_filter", "q151_bpe_count",
+      "q172_unigram_stats").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
       // ignore the final presentation orderBy's range-partition exchange:
