@@ -34,7 +34,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `unk` symbol at `unkCost` — every word is segmentable, consecutive
   *    unknown code points each emit one `unk` (no fusing; divergence from
   *    SentencePiece's `fuse_unk` default is deliberate: per-cp unks keep
-  *    the count replayable without list-state in SQL);
+  *    the count replayable without list-state in SQL). A COVERED code
+  *    point is conversely never unk, even when `unkCost` is cheaper than
+  *    its piece (the SentencePiece rule: unk is for out-of-vocabulary
+  *    content, not a pricing alternative) — so adding a 1-cp piece can
+  *    legitimately RAISE a word's optimum (property-tested as such);
   *  - a word longer than `maxWordChars` code points encodes as ONE `unk`
   *    (the [[WordPieceRuntime]] cap convention — a DP-cost guard, not a
   *    model choice);

@@ -89,11 +89,25 @@ object UnigramProps extends Properties("UnigramRuntime") {
         UnigramRuntime.encodeWord(w, t).pieces.toSeq
     }
 
-  property("adding a piece never makes the optimum WORSE") =
-    Prop.forAll(vocabGen, wordGen, unkGen, pieceGen) { (v, w, u, extra) =>
+  // NOTE deliberately scoped to multi-cp pieces: a 1-cp piece is NOT
+  // monotone, because a covered code point is never unk (the documented
+  // SentencePiece-matching rule) — adding ("a", 50) when unkCost=3
+  // forcibly reprices every bare 'a' from 3 to 50
+  property("adding a MULTI-CP piece never makes the optimum WORSE") =
+    Prop.forAll(vocabGen, wordGen, unkGen,
+      Gen.choose(2, 3).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+        .flatMap(p => Gen.choose(0L, 50L).map((p, _)))) { (v, w, u, extra) =>
       val base = UnigramRuntime.encodeWord(w, table(v, u)).comp
       val vv = if (v.exists(_._1 == extra._1)) v else v :+ extra
       UnigramRuntime.encodeWord(w, table(vv, u)).comp <= base
+    }
+
+  property("a covered code point is never unk — even when unk would be cheaper") =
+    Prop.forAll(Gen.choose(0L, 50L), Gen.choose(0L, 50L)) { (pieceCost, u) =>
+      val t = table(Seq("a" -> pieceCost), u)
+      val e = UnigramRuntime.encodeWord("a", t)
+      e.pieces.toSeq == Seq("a") && e.comp == pieceCost * S + 1
     }
 
   property("words over maxWordChars are ONE unk at unkComp") =
