@@ -252,6 +252,24 @@ object SparkEntry {
          HAVING count(*) > (SELECT count(*) FROM tok) * 0.003
          ORDER BY token"""
 
+  /** Shared q178/q179 oracle: the HLL register frame rebuilt from the same
+    * portable md5 hash — `register = h mod 64`, `rho = 55 - bitlength
+    * (h div 64)` (suffix 0 ⇒ 55) — ONE string, so the batch and streamed
+    * sketch faces can never assert different things (the register max is
+    * order-insensitive, so streamed == batch bit-for-bit with no recount).
+    */
+  private val hllRegOracle: String =
+    """WITH h AS (SELECT event_type,
+             CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS hv
+           FROM events WHERE user_id IS NOT NULL),
+         rr AS (SELECT event_type, CAST(hv % 64 AS INT) AS register,
+             CASE WHEN hv // 64 = 0 THEN 55
+                  ELSE 55 - length(bin(hv // 64)) END AS rho
+           FROM h)
+         SELECT event_type, register, CAST(max(rho) AS INT) AS max_rho
+         FROM rr GROUP BY 1, 2 ORDER BY event_type, register"""
+
   /** DuckDB replay of the greedy WordPiece encode (WordPieceRuntime
     * contract): per DISTINCT word, each recursive step advances past the
     * longest vocab piece matching at `pos` (continuations match through
@@ -1972,6 +1990,36 @@ object SparkEntry {
           col("st.n_tokens").cast("long").as("n_uni"),
           col("st.cost").as("cost"))
         .orderBy("doc_id")
+    }),
+
+    "q178_hll_registers" -> ((s, d) => {
+      // distinct users per event type as a HyperLogLog sketch: Catalyst's
+      // hash partial agg IS the register merge (<= 64 integer rows per
+      // (group, partition) pre-shuffle where exact countDistinct shuffles
+      // every distinct user) — the oracle rebuilds the ENTIRE register
+      // frame from the same portable md5, so the sketch itself sits under
+      // the hash gate, not a summary of it; the float estimator over
+      // these registers is spec-asserted (SketchesSpec, q167 split)
+      graft.ext.Sketches.hllRegisters(
+          events(s, d), Seq("event_type"), "user_id", p = 6)
+        .orderBy("event_type", "register")
+    }),
+
+    "q179_stream_hll" -> ((s, d) => {
+      // q178's sketch over a STREAM of arriving batches: register max is
+      // associative + order-insensitive, so the Complete-mode streamed
+      // frame is bit-identical to the batch build wherever the stream is
+      // cut — q178's oracle gates this path verbatim (state = the <= 64
+      // rows per group where exact streaming distinct holds every user)
+      import graft.streaming.CorpusStreams
+      val ev = events(s, d)
+      val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+      val staged = CorpusStreams.stageIdSlices(s, s"$d/events.parquet",
+        "event_id", cuts = Seq(mid))
+      val name = s"graft_stream_hll_${streamCounter.incrementAndGet()}"
+      CorpusStreams.hllRegistersStreaming(s, staged, "event_type", "user_id",
+          name, p = 6, shufflePartitions = Some(8))
+        .orderBy("event_type", "register")
     }),
 
     "q177_phrase_blocklist" -> ((s, d) => {
@@ -4538,6 +4586,11 @@ object SparkEntry {
 
     // the naive contains replay of the Aho-Corasick pass: a phrase hits
     // iff it is a plain substring, counted once per distinct phrase
+    // ONE shared register-frame replay for both sketch faces — streamed ==
+    // batch by construction (order-insensitive max), no recount needed
+    "q178_hll_registers" -> hllRegOracle,
+    "q179_stream_hll" -> hllRegOracle,
+
     "q177_phrase_blocklist" ->
       s"""SELECT doc_id,
            CAST(len(list_filter($blockPhrasesLit,

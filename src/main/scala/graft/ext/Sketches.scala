@@ -94,6 +94,80 @@ object Sketches {
   private[graft] def kmvHash(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
 
+  /** The portable HLL hash: md5 60-bit prefix (15 hex chars — the widest
+    * slice that stays a positive signed BIGINT in every engine, the q70
+    * band-hash idiom). p low-order bits index the register; the remaining
+    * 60-p bits feed the leading-zero rank.
+    */
+  private[graft] def hllHash(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Per-group HyperLogLog register maxima (Flajolet et al. 2007):
+    * `(groupCols..., register, max_rho)`, one row per NON-EMPTY register
+    * (absent registers are zero), `register = h mod 2^p`,
+    * `rho = (60-p) + 1 - bitlength(h div 2^p)` — the 1-based position of
+    * the first set bit in the suffix field (suffix 0 ⇒ `(60-p)+1`).
+    *
+    * All integer math: `bitlength` is `length(bin(x))` in both Spark and
+    * DuckDB, so the ENTIRE sketch (not just a summary of it) sits under
+    * the hash oracle — the same registers any engine rebuilds from md5.
+    * The float estimator stays out of the oracled frame and is
+    * spec-asserted instead ([[hllEstimate]], the q167 split of exact
+    * sufficient statistics vs libm-derived score).
+    *
+    * Scale: `max` is associative and order-insensitive, so Catalyst's
+    * hash partial aggregation IS the sketch merge — pre-shuffle state and
+    * exchange traffic are bounded at 2^p rows per (group, partition)
+    * regardless of input cardinality (the CMS argument, q145), and the
+    * whole build stays in whole-stage codegen. Merging sketches of two
+    * corpora is `unionByName` + the same groupBy/max. Against KMV (q130):
+    * same O(1) state, but HLL's standard error 1.04/sqrt(m) costs 6 bits
+    * per register vs KMV's 64 bits per sample slot — the cheaper sketch
+    * when distinct counts are the only question.
+    */
+  def hllRegisters(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    val m = 1 << p
+    val h = hllHash(col(valueCol))
+    val width = 60 - p
+    val rest = shiftrightunsigned(h, p)
+    val rho = when(rest === 0, lit(width + 1))
+      .otherwise(lit(width + 1) - length(bin(rest)))
+    df.where(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ pmod(h, lit(m.toLong)).cast("int").as("register")
+        :+ rho.cast("int").as("rho"): _*)
+      .groupBy(groupCols.map(col) :+ col("register"): _*)
+      .agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** Distinct-count estimates from a [[hllRegisters]] frame:
+    * `(groupCols..., n_est)`. Raw estimate `alpha_m * m^2 / sum(2^-rho_j)`
+    * (empty registers contribute 2^0 = 1 each); small-range correction
+    * switches to linear counting `m * ln(m / V)` when the raw estimate is
+    * below 2.5m and V > 0 registers are empty — the published two-regime
+    * estimator. Double math ⇒ spec-asserted (SketchesSpec), not oracled;
+    * the oracled artifact is the register frame itself.
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String], p: Int = 6): DataFrame = {
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val zeros = lit(m) - count(lit(1))
+    val invSum = sum(pow(lit(2.0), -col("max_rho"))) + zeros.cast("double")
+    val raw = lit(alpha * m.toLong * m) / invSum
+    val est = when(raw <= lit(2.5 * m) && zeros > 0,
+        lit(m.toDouble) * log(lit(m).cast("double") / zeros.cast("double")))
+      .otherwise(raw)
+    registers.groupBy(groupCols.map(col): _*)
+      .agg(round(est, 2).as("n_est"))
+  }
+
   /** Bar-Yossef estimate over a sketch column NAMED `bk` (all-integer —
     * `div`, not float division, so it hash-matches SQL engines).
     */

@@ -267,4 +267,34 @@ object CorpusStreams {
       first.map(_.getLong(1)).getOrElse(0L),
       minShare, itemName)
   }
+
+  /** [[graft.ext.Sketches.hllRegisters]] over a STREAM of arriving batches:
+    * the register maximum is an associative, order-insensitive set function
+    * of the input, so the Complete-mode streamed sketch is bit-identical to
+    * the batch build no matter where the stream is cut — q178's SQL oracle
+    * gates this path verbatim (the q162/q164 recount argument, without even
+    * needing a recount). State is the register frame itself: at most
+    * groups * 2^p integer rows in the store, where an exact streaming
+    * distinct-count would hold every distinct value seen.
+    */
+  def hllRegistersStreaming(
+      spark: SparkSession, stagedDir: String, groupCol: String,
+      valueCol: String, queryName: String, p: Int = 6,
+      shufflePartitions: Option[Int] = None,
+      rocksdbState: Boolean = false): DataFrame = {
+    val schema = spark.read.parquet(stagedDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+    val agg = graft.ext.Sketches.hllRegisters(stream, Seq(groupCol), valueCol, p)
+    EventStreams.withStatePartitions(spark, shufflePartitions, rocksdbState) {
+      val q = agg.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    EventStreams.drainMemorySink(spark, queryName)
+  }
 }

@@ -107,7 +107,7 @@ object EventStreams {
     * pins its full result on the driver forever (a 100-query battery
     * accumulates them all).
     */
-  private def drainMemorySink(spark: SparkSession, name: String): DataFrame = {
+  private[streaming] def drainMemorySink(spark: SparkSession, name: String): DataFrame = {
     val t = spark.table(name)
     val rows = t.collect()
     val schema = t.schema

@@ -81,4 +81,48 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("cnt")).as[Long].head ==
       4L * 1000)
   }
+
+  test("hllRegisters: bounded, partition-invariant, merge = union + re-max") {
+    val data = (1 to 5000).map(i => ("g", s"value-$i")).toDF("g", "v")
+    val full = Sketches.hllRegisters(data, Seq("g"), "v")
+      .orderBy("register").collect().toSeq
+    assert(full.size <= 64)
+    // rho bounds for the 60-bit hash with p=6: [1, 55]
+    assert(full.forall { r =>
+      val rho = r.getInt(2); rho >= 1 && rho <= 55
+    })
+    // partition-count invariance (the partial agg IS the merge)
+    val re = Sketches.hllRegisters(data.repartition(13), Seq("g"), "v")
+      .orderBy("register").collect().toSeq
+    assert(re == full)
+    // sketch of A union B == merge (union + same groupBy/max) of the
+    // half-corpus sketches — the cross-corpus merge contract
+    val (a, b) = (1 to 5000).map(i => ("g", s"value-$i")).partition(_._2.hashCode % 2 == 0)
+    val merged = Sketches.hllRegisters(a.toDF("g", "v"), Seq("g"), "v")
+      .unionByName(Sketches.hllRegisters(b.toDF("g", "v"), Seq("g"), "v"))
+      .groupBy("g", "register")
+      .agg(org.apache.spark.sql.functions.max("max_rho").as("max_rho"))
+      .orderBy("register").collect().toSeq
+    assert(merged == full)
+  }
+
+  test("hllEstimate: two-regime accuracy vs exact distinct counts") {
+    // m=64 -> standard error 1.04/sqrt(64) = 13%; assert a loose 3-sigma
+    // band per cardinality (deterministic fixtures, not flaky). 40 hits
+    // linear counting (zeros present), 20000 the raw estimator.
+    for (n <- Seq(40, 500, 5000, 20000)) {
+      val df = (1 to n).map(i => ("g", s"item-$i-$n")).toDF("g", "v")
+      val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(df, Seq("g"), "v"), Seq("g"))
+        .as[(String, Double)].head()._2
+      assert(math.abs(est - n) < 0.4 * n,
+        s"n=$n est=$est outside 40% band")
+    }
+    // a group with every register empty never reaches the frame (no rows
+    // in -> no rows out); a single-value group estimates ~1
+    val one = Sketches.hllEstimate(
+      Sketches.hllRegisters(Seq(("g", "x")).toDF("g", "v"), Seq("g"), "v"),
+      Seq("g")).as[(String, Double)].head()._2
+    assert(one >= 1.0 && one < 2.5, s"single-value estimate $one")
+  }
 }
