@@ -342,6 +342,17 @@ object SparkEntry {
   private val blockPhrasesLit: String =
     blockPhrases.map(p => s"'$p'").mkString("[", ", ", "]")
 
+  /** q180's frozen mixture weights (source -> integer weight, lowest
+    * terms): the four weight classes 1..4 over the 20 sources, lcm 12 —
+    * ONE definition interpolated into both the Scala map and the oracle's
+    * VALUES literal so they can never drift.
+    */
+  private val interleaveWeights: Map[String, Long] =
+    (0 until 20).map(i => s"src$i" -> (1L + i % 4)).toMap
+
+  private val interleaveWeightsLit: String = interleaveWeights.toSeq.sorted
+    .map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+
   /** DuckDB replay of the Viterbi unigram encode (UnigramRuntime
     * contract): per DISTINCT word, `spans`/`subc` pre-score every
     * (start, length<=maxPieceCp) substring against the vocab (single-cp
@@ -1990,6 +2001,20 @@ object SparkEntry {
           col("st.n_tokens").cast("long").as("n_uni"),
           col("st.cost").as("cost"))
         .orderBy("doc_id")
+    }),
+
+    "q180_mixture_interleave" -> ((s, d) => {
+      // the training ORDER of a weighted mixture, materialized: stride
+      // scheduling over sources means every output prefix holds source
+      // shares within one row of the 1:2:3:4 weight classes — guaranteed,
+      // not in-expectation-under-an-RNG; all-integer virtual time, so the
+      // whole schedule (positions included) sits under the hash oracle.
+      // doc_id is the within-source order here; a content-hash key would
+      // make it a deterministic shuffle (see strideInterleave scaladoc)
+      graft.ext.Mixtures.strideInterleave(
+          t(s, d, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id", interleaveWeights)
+        .orderBy("pos")
     }),
 
     "q178_hll_registers" -> ((s, d) => {
@@ -4590,6 +4615,18 @@ object SparkEntry {
     // batch by construction (order-insensitive max), no recount needed
     "q178_hll_registers" -> hllRegOracle,
     "q179_stream_hll" -> hllRegOracle,
+
+    // stride scheduling replayed verbatim: per-source rank -> scaled
+    // virtual time (2*rn-1)*(lcm/w) in exact BIGINT -> global order
+    "q180_mixture_interleave" ->
+      s"""WITH w AS (SELECT * FROM (VALUES $interleaveWeightsLit) AS t(source, wt)),
+         r AS (SELECT d.doc_id, d.source, w.wt,
+             row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS rn
+           FROM documents d JOIN w USING (source)),
+         o AS (SELECT doc_id, source, (2*rn - 1) * (12 // wt) AS ord FROM r)
+         SELECT doc_id, source,
+           row_number() OVER (ORDER BY ord, source, doc_id) AS pos
+         FROM o ORDER BY pos""",
 
     "q177_phrase_blocklist" ->
       s"""SELECT doc_id,

@@ -170,6 +170,63 @@ object Mixtures {
       .drop("__wf_key")
   }
 
+  /** Materialize the TRAINING ORDER of a weighted mixture as a
+    * deterministic low-discrepancy interleave — stride scheduling
+    * (Waldspurger & Weihl, OSDI 1995) over sources: source s with integer
+    * weight `w_s` emits its i-th row (in `keyCol` order) at virtual time
+    * `(i - 1/2) / w_s`, and the schedule is all rows sorted by that time.
+    * Every prefix of the output then holds source shares within one row
+    * of the target weights — the "don't front-load one source" property an
+    * epoch shuffle only delivers in expectation, here guaranteed, with no
+    * RNG and no engine dependence.
+    *
+    * All integer math: times are scaled by `2 * lcm(weights)` to
+    * `ord = (2i - 1) * (L / w_s)` (exact BIGINT), so the schedule is
+    * SQL-replayable and sits under the hash oracle (q180). Ties (two
+    * sources on the same tick) break by (source, key). Sources absent
+    * from `weights` are dropped — the [[sampleToMixture]] contract. A
+    * source that runs out of rows simply stops appearing (the
+    * data-constrained tail; pair with [[capWaterfill]] to budget it).
+    * Within-source order is `keyCol` ascending — pass a content-hash
+    * column as the key to get a deterministic shuffle, or a curriculum
+    * score to get ordered sampling.
+    *
+    * Scale: one per-source window for the rank (the single data shuffle;
+    * a skewed giant source would swap this for the [[graft.ops.Ordinals]]
+    * two-pass), then a range sort on `ord` — the sort IS the deliverable
+    * (a total training order) and range partitioning spreads it; the
+    * ordinal stamp is the partition-parallel [[graft.ops.Ordinals]] pass,
+    * never a single-partition window. `lcm(weights)` is capped at 2^20 so
+    * `ord` stays exact past 4e12 rows per source — express weights in
+    * lowest terms.
+    */
+  def strideInterleave(
+      df: DataFrame, sourceCol: String, keyCol: String,
+      weights: Map[String, Long], posName: String = "pos"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    require(!df.columns.contains("__rn") && !df.columns.contains("__ord"),
+      "input must not already have __rn/__ord columns")
+    val L = weights.values.map(BigInt(_))
+      .foldLeft(BigInt(1))((a, b) => a * b / a.gcd(b))
+    require(L <= (1L << 20),
+      s"lcm of weights is $L (cap 2^20) — express weights in lowest terms")
+    val stride = weights.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, w)) =>
+        when(col(sourceCol).cast("string") === s, lit((L / w).toLong))
+          .otherwise(acc)
+    }
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col(keyCol))
+    val ordered = df
+      .where(col(sourceCol).cast("string").isin(weights.keys.toSeq: _*))
+      .withColumn("__rn", row_number().over(win).cast("long"))
+      .withColumn("__ord", (lit(2L) * col("__rn") - 1L) * stride)
+      .orderBy(col("__ord"), col(sourceCol), col(keyCol))
+    graft.ops.Ordinals.withRowOrdinal(ordered, posName, startAt = 1L)
+      .drop("__rn", "__ord")
+  }
+
   /** Materialize [[temperatureWeights]]: keep exactly `alloc_s` rows per
     * source, chosen by deterministic content-hash order (md5 of `keyCol` —
     * the same cross-engine hash as [[Splits]]), ranked 1..alloc_s in

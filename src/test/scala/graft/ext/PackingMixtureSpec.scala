@@ -322,4 +322,54 @@ class PackingMixtureSpec extends AnyFunSuite with SparkSpec {
     assert(!legacy.columns.contains("epoch"))
     assert(legacy.where(col("source") === "small").count() == 100)
   }
+
+  test("strideInterleave: prefix shares within one row of the weights") {
+    // a:2, b:1 with row counts IN the 2:1 ratio (40/20), so neither source
+    // exhausts early and the comb runs the full schedule
+    val df = (1 to 60).map(i => (i.toLong, if (i % 3 == 0) "b" else "a"))
+      .toDF("id", "src")
+    val out = Mixtures.strideInterleave(df, "src", "id",
+      Map("a" -> 2L, "b" -> 1L))
+      .orderBy("pos").select("src").as[String].collect().toSeq
+    assert(out.take(9) == Seq("a", "b", "a", "a", "b", "a", "a", "b", "a"))
+    // low-discrepancy guarantee: every prefix is within 1 row per source
+    // of the target share (the property an epoch shuffle lacks)
+    val shares = Map("a" -> 2.0 / 3, "b" -> 1.0 / 3)
+    out.indices.foreach { i =>
+      val prefix = out.take(i + 1)
+      shares.foreach { case (s, sh) =>
+        val got = prefix.count(_ == s)
+        assert(math.abs(got - sh * prefix.size) <= 1.0,
+          s"prefix ${i + 1}: source $s count $got vs target ${sh * prefix.size}")
+      }
+    }
+  }
+
+  test("strideInterleave: partition-invariant; unmapped sources dropped; tail") {
+    val df = (1 to 40).map(i =>
+      (i.toLong, Seq("a", "b", "c")(i % 3))).toDF("id", "src")
+    val w = Map("a" -> 3L, "b" -> 1L)
+    val one = Mixtures.strideInterleave(df.repartition(1), "src", "id", w)
+      .orderBy("pos").collect().toSeq
+    val many = Mixtures.strideInterleave(df.repartition(7), "src", "id", w)
+      .orderBy("pos").collect().toSeq
+    assert(one == many)
+    // source c has no weight -> dropped entirely
+    assert(one.forall(_.getString(1) != "c"))
+    // positions are dense 1..n
+    assert(one.map(_.getLong(2)) == (1L to one.size))
+    // data-constrained tail: a 3:1 mixture where a runs out early ends in
+    // a pure-b tail, never an error
+    val tiny = (Seq((1L, "a")) ++ (2 to 12).map(i => (i.toLong, "b")))
+      .toDF("id", "src")
+    val tail = Mixtures.strideInterleave(tiny, "src", "id", w)
+      .orderBy("pos").select("src").as[String].collect().toSeq
+    assert(tail.count(_ == "a") == 1 && tail.count(_ == "b") == 11)
+    assert(tail.drop(2).forall(_ == "b"))
+    // lcm cap refuses silently-overflowing weights
+    intercept[IllegalArgumentException] {
+      Mixtures.strideInterleave(df, "src", "id",
+        Map("a" -> 1048573L, "b" -> 1048571L))
+    }
+  }
 }
