@@ -2003,6 +2003,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q181_priority_sample" -> ((s, d) => {
+      // priority sampling: 100 docs weighted by token count, supporting
+      // unbiased per-slice token-total estimates (sum(est_weight) over any
+      // subset ~ that subset's true token mass; spec-asserted). Integer
+      // priorities from the portable md5 draw, so sample membership, tau
+      // and every estimate hash-match the SQL replay — ONE GroupTopK heap
+      // pass, never a global sort
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          text.tokenCount(col("text")).cast("long").as("n_tok"))
+      graft.ext.Selection.prioritySample(docs, "doc_id", "n_tok", k = 100)
+        .orderBy("doc_id")
+    }),
+
     "q180_mixture_interleave" -> ((s, d) => {
       // the training ORDER of a weighted mixture, materialized: stride
       // scheduling over sources means every output prefix holds source
@@ -4615,6 +4629,27 @@ object SparkEntry {
     // batch by construction (order-insensitive max), no recount needed
     "q178_hll_registers" -> hllRegOracle,
     "q179_stream_hll" -> hllRegOracle,
+
+    // the Duffield-Lund-Thorup scheme replayed verbatim: integer priority
+    // (w * 2^32) // u, rank by (priority DESC, id), tau = rank k+1,
+    // est = max(w, tau) — all BIGINT, no float anywhere
+    "q181_priority_sample" ->
+      raw"""WITH d0 AS (SELECT doc_id, source,
+           CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+             AS BIGINT) AS n_tok
+         FROM documents WHERE text IS NOT NULL),
+        p AS (SELECT doc_id, source, n_tok,
+            CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) + 1 AS u
+          FROM d0 WHERE n_tok > 0),
+        q AS (SELECT doc_id, source, n_tok, (n_tok * 4294967296) // u AS pr FROM p),
+        r AS (SELECT doc_id, source, n_tok, pr,
+            row_number() OVER (ORDER BY pr DESC, doc_id) AS rn FROM q),
+        tau AS (SELECT max(CASE WHEN rn = 101 THEN pr END) AS t FROM r)
+        SELECT r.doc_id, r.source, r.n_tok,
+          CASE WHEN tau.t IS NULL THEN r.n_tok ELSE greatest(r.n_tok, tau.t) END
+            AS est_weight
+        FROM r, tau WHERE rn <= 100 ORDER BY doc_id""",
 
     // stride scheduling replayed verbatim: per-source rank -> scaled
     // virtual time (2*rn-1)*(lcm/w) in exact BIGINT -> global order

@@ -121,4 +121,57 @@ object Selection {
       .where(col(cum) <= budgetPerGroup)
       .drop(cum)
   }
+
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 2007): a weight-aware
+    * sample of k rows that supports UNBIASED subset-sum estimation — the
+    * survey-statistics answer to "estimate per-slice token totals from a
+    * small audited sample". Each row draws priority `q = w / u` with
+    * `u ~ U(0,1]`; the k largest priorities are the sample, the (k+1)-th
+    * is the threshold `tau`, and `est = max(w, tau)` per sampled row makes
+    * `sum(est)` over ANY subset an unbiased estimate of that subset's true
+    * weight sum (heavy rows enter with probability 1 and keep their exact
+    * weight).
+    *
+    * Determinism + oracle: `u` is the portable md5 32-bit hash of `keyCol`
+    * shifted to [1, 2^32] (the [[Splits]] hash — no RNG, reproducible
+    * across engines) and the priority is the INTEGER `(w * 2^32) div u`
+    * (>= w always, exact for `w < 2^30`), so sample membership, `tau` and
+    * every estimate are integer-exact and the whole output sits under the
+    * hash oracle (q181). Rows with null or non-positive weight are
+    * excluded (they contribute nothing to any subset sum).
+    *
+    * Scale: ONE [[graft.plans.GroupTopK]] heap pass over a single hot
+    * group (the operator's designed worst case): O(n log k) per partition,
+    * <= k+1 rows per partition on the exchange — never a global sort. The
+    * returned frame carries `estName`; `sum(estName)` grouped any way is
+    * the estimator.
+    */
+  def prioritySample(
+      df: DataFrame, keyCol: String, weightCol: String, k: Int,
+      estName: String = "est_weight"): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(!df.columns.exists(Set("__u", "__q", "__g", "__tau", "__rnk")),
+      "input must not already have __u/__q/__g/__tau/__rnk columns")
+    val u = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") + lit(1L)
+    val withQ = df
+      .where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__u", u)
+      .withColumn("__q",
+        expr(s"(CAST(`$weightCol` AS BIGINT) * 4294967296) div __u"))
+      .withColumn("__g", lit(0))
+    val top = graft.plans.GroupTopK(withQ, Seq("__g"),
+      Seq("__q" -> false, keyCol -> true), k + 1, "__rnk")
+    // tau = the (k+1)-th priority; the aggregate keeps this ONE row (null
+    // when the input has <= k rows, in which case every row keeps its
+    // exact weight — the sample IS the population)
+    val tau = top.where(col("__rnk") === k + 1)
+      .agg(max(col("__q")).as("__tau"))
+    top.where(col("__rnk") <= k)
+      .crossJoin(broadcast(tau))
+      .withColumn(estName,
+        when(col("__tau").isNull, col(weightCol).cast("long"))
+          .otherwise(greatest(col(weightCol).cast("long"), col("__tau"))))
+      .drop("__u", "__q", "__g", "__tau", "__rnk")
+  }
 }

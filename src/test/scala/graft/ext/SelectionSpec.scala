@@ -64,4 +64,42 @@ class SelectionSpec extends AnyFunSuite with SparkSpec {
     }
     assert(ex.getMessage != null)
   }
+
+  test("prioritySample: unbiased subset-sum estimator, exact below k") {
+    // skewed weights (a few heavy rows) — the regime the scheme exists for
+    val docs = (1 to 1000).map { i =>
+      (i.toLong, if (i % 97 == 0) 5000L else (i % 50 + 1).toLong)
+    }.toDF("id", "w")
+    val trueSum = docs.agg(sum("w")).as[Long].head()
+    val est = Selection.prioritySample(docs, "id", "w", k = 150)
+      .agg(sum("est_weight")).as[Long].head()
+    // one deterministic draw of a k=150 estimator; 20% is ~3x its relative
+    // std dev on this fixture (not flaky: the md5 draw never changes)
+    assert(math.abs(est - trueSum) < 0.2 * trueSum,
+      s"estimate $est vs true $trueSum")
+    // heavy rows enter with probability 1 and keep their exact weight
+    val heavy = Selection.prioritySample(docs, "id", "w", k = 150)
+      .where(col("w") === 5000L)
+    assert(heavy.count() == 10)
+    assert(heavy.where(col("est_weight") === 5000L).count() == 10)
+
+    // k >= n: the sample IS the population, estimates are exact weights
+    val all = Selection.prioritySample(docs, "id", "w", k = 2000)
+    assert(all.count() == docs.where(col("w") > 0).count())
+    assert(all.where(col("est_weight") =!= col("w")).count() == 0)
+  }
+
+  test("prioritySample: deterministic, partition-invariant, drops w<=0") {
+    val docs = (1 to 300).map(i => (i.toLong, (i % 20).toLong))
+      .toDF("id", "w") // ids with i%20==0 have weight 0 -> excluded
+    val a = Selection.prioritySample(docs.repartition(1), "id", "w", 40)
+      .orderBy("id").collect().toSeq
+    val b = Selection.prioritySample(docs.repartition(11), "id", "w", 40)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+    assert(a.size == 40)
+    assert(a.forall(_.getLong(1) > 0))
+    // est_weight >= w for every sampled row (tau floors the light rows)
+    assert(a.forall(r => r.getLong(2) >= r.getLong(1)))
+  }
 }
