@@ -342,6 +342,17 @@ object SparkEntry {
   private val blockPhrasesLit: String =
     blockPhrases.map(p => s"'$p'").mkString("[", ", ", "]")
 
+  /** q182's frozen retrieval queries — multi-term (the regime where BM25's
+    * score SUM matters), mixing common terms (`the`, `table`) with rarer
+    * ones so idf separation is exercised; `vector` appears in few docs.
+    */
+  private val bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "customer join window", 2L -> "stream batch merge",
+    3L -> "the vector table")
+
+  private val bm25QueriesLit: String = bm25Queries
+    .map { case (i, q) => s"($i, '$q')" }.mkString(", ")
+
   /** q180's frozen mixture weights (source -> integer weight, lowest
     * terms): the four weight classes 1..4 over the 20 sources, lcm 12 —
     * ONE definition interpolated into both the Scala map and the oracle's
@@ -2001,6 +2012,24 @@ object SparkEntry {
           col("st.n_tokens").cast("long").as("n_uni"),
           col("st.cost").as("cost"))
         .orderBy("doc_id")
+    }),
+
+    "q182_bm25_search" -> ((s, d) => {
+      // BM25 top-10 per query with the rational-idf reproducibility
+      // contract (see Vocab.bm25Search): per-term scores are per-row IEEE
+      // doubles rounded to 6 dp, totals are decimal sums — every rank AND
+      // score hash-matches the SQL replay; nothing after the tf shuffle
+      // is proportional to corpus size (query-term broadcasts), ranking
+      // on the GroupTopK heap
+      val docs = fanOut(s, t(s, d, "documents"), "doc_id")
+        .where(col("text").isNotNull)
+      val nDocs = docs.count()
+      val dlSum = docs
+        .agg(sum(size(text.tokens(col("text"))).cast("long"))).head().getLong(0)
+      val qdf = s.createDataFrame(bm25Queries).toDF("query_id", "qtext")
+      graft.ext.Vocab.bm25Search(docs, "doc_id", "text",
+          qdf, "query_id", "qtext", nDocs, dlSum, k = 10)
+        .orderBy("query_id", "rnk")
     }),
 
     "q181_priority_sample" -> ((s, d) => {
@@ -4629,6 +4658,41 @@ object SparkEntry {
     // batch by construction (order-insensitive max), no recount needed
     "q178_hll_registers" -> hllRegOracle,
     "q179_stream_hll" -> hllRegOracle,
+
+    // BM25 replay: same tokenization as q162, rational idf (N+1)/(df+0.5),
+    // per-term double math in the IDENTICAL evaluation order, 6-dp round,
+    // decimal total — scores and ranks both exact
+    "q182_bm25_search" ->
+      raw"""WITH d0 AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+             x -> x <> '') AS arr
+         FROM documents WHERE text IS NOT NULL),
+        st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(len(arr)) AS DOUBLE) AS dls FROM d0),
+        tok AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS dl,
+            unnest(arr) AS token FROM d0),
+        tf AS (SELECT doc_id, token, dl, count(*) AS tf
+          FROM tok GROUP BY 1, 2, 3),
+        qq AS (SELECT * FROM (VALUES $bm25QueriesLit) AS t(query_id, qtext)),
+        qt AS (SELECT DISTINCT query_id,
+            unnest(list_filter(regexp_split_to_array(lower(qtext), '[^\p{L}\p{N}_]+'),
+              x -> x <> '')) AS token
+          FROM qq),
+        dfq AS (SELECT token, count(*) AS df FROM tf
+          WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY 1),
+        sc AS (SELECT qt.query_id, tf.doc_id,
+            CAST(round((st.n + 1.0) / (dfq.df + 0.5) *
+              (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 +
+                0.75 * tf.dl * st.n / st.dls))), 6) AS DECIMAL(18,6)) AS ts
+          FROM qt JOIN tf USING (token) JOIN dfq USING (token) CROSS JOIN st),
+        tot AS (SELECT query_id, doc_id, CAST(sum(ts) AS DOUBLE) AS score
+          FROM sc GROUP BY 1, 2),
+        r AS (SELECT query_id, doc_id, score,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS rnk
+          FROM tot)
+        SELECT CAST(query_id AS BIGINT) AS query_id, rnk, doc_id, score
+        FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
 
     // the Duffield-Lund-Thorup scheme replayed verbatim: integer priority
     // (w * 2^32) // u, rank by (priority DESC, id), tau = rank k+1,

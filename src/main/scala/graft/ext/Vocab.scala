@@ -151,4 +151,74 @@ object Vocab {
       .where(col("rnk") <= k)
       .select(col(idCol), col("rnk"), col("token"), col("score"))
   }
+
+  /** BM25 ranked retrieval (Robertson & Walker 1994) of the top `k`
+    * documents per query: `(queryId, rnk, docId, score)` with
+    * `score = sum over matching terms of idf_t * tf*(k1+1) /
+    * (tf + k1*(1 - b + b*dl/avgdl))`.
+    *
+    * Reproducibility contract (the [[tfidfTopTerms]] idf argument, extended
+    * to a SUM): the idf factor is the RATIONAL `(nDocs + 1) / (df + 0.5)`
+    * rather than its logarithm — `ln` is libm-dependent in its last ulp,
+    * and unlike the single-term tf-idf rank, a SUM of logs is not
+    * monotone-recoverable — so each per-term score is pure per-row IEEE
+    * double arithmetic (bit-identical in any engine), rounded to 6 dp, and
+    * the per-document total is a DECIMAL sum of those rounded terms (exact,
+    * merge-order-independent — the house dsum convention). Sample membership,
+    * every score and every rank therefore hash-match the SQL replay (q182).
+    * Rational idf weights rare terms more steeply than the log form — a
+    * documented scoring variant, not an approximation of it.
+    *
+    * Scale: `dl` is row-local (`size(tokens)` before any shuffle — never a
+    * per-doc re-aggregation); the (doc, term) tf aggregation is THE data
+    * shuffle; the tiny query-term frame broadcasts into it twice (once to
+    * restrict candidates, once to count per-term df over restricted rows),
+    * so nothing downstream of tf is proportional to corpus size — only to
+    * rows matching a query term. Per-query ranking runs on the
+    * [[graft.plans.GroupTopK]] heap (each query one hot group, <= k rows
+    * per (query, partition) on the exchange), never a window sort.
+    * `nDocs`/`dlSum` are caller-supplied bounded scalars (typically one
+    * count/sum aggregation) so the operator stays a pure plan.
+    */
+  def bm25Search(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      nDocs: Long, dlSum: Long, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(nDocs > 0 && dlSum > 0, "nDocs and dlSum must be positive")
+    require(k1 > 0 && b >= 0 && b <= 1, "need k1 > 0 and b in [0, 1]")
+    val toks = text.tokens(col(textCol))
+    // dl rides the explode as a row-local column — computed once per doc
+    // BEFORE the shuffle, never re-aggregated from the token pairs
+    val tok = docs.select(col(idCol).as("doc_id"),
+      size(toks).cast("long").as("dl"), explode(toks).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+      explode(text.tokens(col(queryTextCol))).as("token")).distinct()
+    val qtokens = qterms.select("token").distinct()
+    // per-term df over ONLY query terms: the broadcast restriction keeps
+    // the df aggregation's exchange proportional to matching rows, not to
+    // the vocabulary
+    val dfq = tf.join(broadcast(qtokens), "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val cand = tf.join(broadcast(qterms), "token")
+      .join(broadcast(dfq), "token")
+    // per-term score: all per-row IEEE double ops (bit-identical in any
+    // engine), rounded to 6 dp; the sum routes through DECIMAL so the
+    // total is exact and merge-order-independent
+    val idf = (lit(nDocs.toDouble) + 1.0) / (col("df") + lit(0.5))
+    val sat = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+        lit(b) * col("dl") * lit(nDocs.toDouble) / lit(dlSum.toDouble)))
+    val scored = cand
+      .withColumn("__term_score", round(idf * sat, 6).cast("decimal(18,6)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__term_score")).cast("double").as("score"))
+    graft.plans.GroupTopK(scored, Seq("query_id"),
+        Seq("score" -> false, "doc_id" -> true), k, "rnk")
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("doc_id"), col("score"))
+  }
 }

@@ -183,4 +183,33 @@ class DecontaminateVocabSpec extends AnyFunSuite with SparkSpec {
     }
     assert(out.forall(r => r._2 >= 0 && r._2 < 4))
   }
+
+  test("bm25Search: coverage beats repetition, tf saturates, dl normalizes") {
+    val docs = Seq(
+      (1L, "alpha beta"),                    // both query terms once, short
+      (2L, "alpha alpha alpha alpha"),       // one term repeated (saturation)
+      (3L, "alpha filler filler filler filler filler filler filler"), // long
+      (4L, "filler gamma")                   // no query term
+    ).toDF("doc_id", "text")
+    val q = Seq((1L, "alpha beta")).toDF("query_id", "qtext")
+    val dlSum = 2L + 4L + 8L + 2L
+    val got = Vocab.bm25Search(docs, "doc_id", "text", q, "query_id", "qtext",
+        nDocs = 4L, dlSum = dlSum, k = 10)
+      .orderBy("rnk").select("doc_id").as[Long].collect().toSeq
+    // doc1 matches BOTH terms (beta df=1 is steeply idf-weighted) -> first;
+    // doc2's repeated alpha saturates past doc3's long-doc-penalized one;
+    // doc4 never scores
+    assert(got == Seq(1L, 2L, 3L))
+
+    // partition invariance of ranks AND scores (decimal-routed sum)
+    val a = Vocab.bm25Search(docs.repartition(1), "doc_id", "text",
+      q, "query_id", "qtext", 4L, dlSum, 10).orderBy("rnk").collect().toSeq
+    val b = Vocab.bm25Search(docs.repartition(7), "doc_id", "text",
+      q, "query_id", "qtext", 4L, dlSum, 10).orderBy("rnk").collect().toSeq
+    assert(a == b)
+
+    // k bounds the per-query result
+    assert(Vocab.bm25Search(docs, "doc_id", "text", q, "query_id", "qtext",
+      4L, dlSum, k = 2).count() == 2)
+  }
 }
