@@ -2023,9 +2023,11 @@ object SparkEntry {
       // on the GroupTopK heap
       val docs = fanOut(s, t(s, d, "documents"), "doc_id")
         .where(col("text").isNotNull)
-      val nDocs = docs.count()
-      val dlSum = docs
-        .agg(sum(size(text.tokens(col("text"))).cast("long"))).head().getLong(0)
+      // both corpus scalars in ONE action (row-local tokenize, no explode)
+      val stats = docs
+        .agg(count(lit(1)), sum(size(text.tokens(col("text"))).cast("long")))
+        .head()
+      val (nDocs, dlSum) = (stats.getLong(0), stats.getLong(1))
       val qdf = s.createDataFrame(bm25Queries).toDF("query_id", "qtext")
       graft.ext.Vocab.bm25Search(docs, "doc_id", "text",
           qdf, "query_id", "qtext", nDocs, dlSum, k = 10)

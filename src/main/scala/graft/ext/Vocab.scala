@@ -170,15 +170,17 @@ object Vocab {
     * documented scoring variant, not an approximation of it.
     *
     * Scale: `dl` is row-local (`size(tokens)` before any shuffle — never a
-    * per-doc re-aggregation); the (doc, term) tf aggregation is THE data
-    * shuffle; the tiny query-term frame broadcasts into it twice (once to
-    * restrict candidates, once to count per-term df over restricted rows),
-    * so nothing downstream of tf is proportional to corpus size — only to
-    * rows matching a query term. Per-query ranking runs on the
+    * per-doc re-aggregation), and the token stream is restricted by the
+    * broadcast query-term set BEFORE any aggregation — the corpus is
+    * scanned ONCE and no full-vocabulary tf/df shuffle ever exists: every
+    * exchange carries only rows matching some query term. df comes from a
+    * count window over the restricted tf (partitioned by token — bounded
+    * by the match set; a stopword-heavy query is the skew case and belongs
+    * behind a stopword filter). Per-query ranking runs on the
     * [[graft.plans.GroupTopK]] heap (each query one hot group, <= k rows
     * per (query, partition) on the exchange), never a window sort.
     * `nDocs`/`dlSum` are caller-supplied bounded scalars (typically one
-    * count/sum aggregation) so the operator stays a pure plan.
+    * row-local count/sum aggregation) so the operator stays a pure plan.
     */
   def bm25Search(
       docs: DataFrame, idCol: String, textCol: String,
@@ -193,18 +195,21 @@ object Vocab {
     // BEFORE the shuffle, never re-aggregated from the token pairs
     val tok = docs.select(col(idCol).as("doc_id"),
       size(toks).cast("long").as("dl"), explode(toks).as("token"))
-    val tf = tok.groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     val qterms = queries.select(col(queryIdCol).as("query_id"),
       explode(text.tokens(col(queryTextCol))).as("token")).distinct()
     val qtokens = qterms.select("token").distinct()
-    // per-term df over ONLY query terms: the broadcast restriction keeps
-    // the df aggregation's exchange proportional to matching rows, not to
-    // the vocabulary
-    val dfq = tf.join(broadcast(qtokens), "token")
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val cand = tf.join(broadcast(qterms), "token")
-      .join(broadcast(dfq), "token")
+    // restrict BEFORE aggregating: one corpus scan, and every exchange
+    // from here on carries only rows matching some query term — a full-
+    // vocabulary tf or df shuffle never exists in the plan
+    val tf = tok.join(broadcast(qtokens), "token")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    // df = how many docs carry the term = a count window over the
+    // restricted tf (one row per (doc, term) already) — no second branch
+    // re-reading the corpus
+    val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
+    val cand = tf.withColumn("df", count(lit(1)).over(wdf))
+      .join(broadcast(qterms), "token")
     // per-term score: all per-row IEEE double ops (bit-identical in any
     // engine), rounded to 6 dp; the sum routes through DECIMAL so the
     // total is exact and merge-order-independent
