@@ -2014,6 +2014,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q183_novelty" -> ((s, d) => {
+      // novelty screen: docs outside the reference tenth (doc_id % 10)
+      // scored by the share of their distinct 8-token shingles unseen in
+      // the reference — the synthetic-data "is it new text?" metric; one
+      // scan per corpus, broadcast reference gram set, and the gram HASH
+      // never reaches the output so the oracle replays string shingles
+      // (the q67 convention)
+      val docs = fanOut(s, t(s, d, "documents"), "doc_id")
+      graft.ext.Decontaminate.noveltyScores(
+          docs.where(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          reference = docs.where(col("doc_id") % 10 === 0),
+          refTextCol = "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
     "q182_bm25_search" -> ((s, d) => {
       // BM25 top-10 per query with the rational-idf reproducibility
       // contract (see Vocab.bm25Search): per-term scores are per-row IEEE
@@ -4660,6 +4675,27 @@ object SparkEntry {
     // batch by construction (order-insensitive max), no recount needed
     "q178_hll_registers" -> hllRegOracle,
     "q179_stream_hll" -> hllRegOracle,
+
+    // q67's string-shingle replay aimed at counting instead of dropping:
+    // per-doc distinct 8-token shingles, membership in the reference
+    // tenth's gram set, 6-dp double ratio
+    "q183_novelty" ->
+      """WITH toks AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                 CASE WHEN len(tk) < 8 THEN array_to_string(tk, ' ')
+                      ELSE array_to_string(tk[i:i+7], ' ') END AS shingle
+               FROM (SELECT doc_id, tk,
+                       unnest(generate_series(1, greatest(len(tk) - 7, 1))) AS i
+                     FROM toks WHERE len(tk) > 0)),
+         bs AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+         d AS (SELECT sh.doc_id, count(*) AS n_grams,
+                 count(bs.shingle) AS n_seen
+               FROM sh LEFT JOIN bs USING (shingle)
+               WHERE sh.doc_id % 10 <> 0 GROUP BY sh.doc_id)
+         SELECT doc_id, n_grams, n_seen,
+           round((n_grams - n_seen) / n_grams, 6) AS novelty
+         FROM d ORDER BY doc_id""",
 
     // BM25 replay: same tokenization as q162, rational idf (N+1)/(df+0.5),
     // per-term double math in the IDENTICAL evaluation order, 6-dp round,

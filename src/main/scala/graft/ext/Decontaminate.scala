@@ -93,6 +93,44 @@ object Decontaminate {
         min(col("__start")).cast("long").as("first_start"))
   }
 
+  /** Per-document NOVELTY against a reference corpus: `(idCol, n_grams,
+    * n_seen, novelty)` where `n_grams` is the document's distinct
+    * word-`n`-shingle count, `n_seen` how many of those appear anywhere in
+    * the reference, and `novelty = (n_grams - n_seen) / n_grams` (6-dp
+    * rounded per-row double — IEEE-identical in any engine). The standard
+    * question for synthetic/augmented data ("is this actually new text or
+    * a re-chunk of what we already have?") and the memorization screen for
+    * model-generated corpora — [[contaminationHits]]'s machinery pointed
+    * at measurement instead of removal.
+    *
+    * Documents with no shingles (empty after tokenization) are absent from
+    * the output — there is nothing to score. The reference side collapses
+    * to its DISTINCT gram-hash set exactly as in [[contaminationHits]]
+    * (broadcast while it fits; `broadcastReference = false` degrades to a
+    * shuffled equi-join); the document side is one explode + left
+    * broadcast join + map-side-combinable count — one scan per corpus, no
+    * all-pairs stage.
+    */
+  def noveltyScores(
+      docs: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String, n: Int = 13,
+      broadcastReference: Boolean = true): DataFrame = {
+    require(n > 0, "shingle length must be positive")
+    val refGrams = reference
+      .select(graft.expressions.GramHashExpressions
+        .wordShingleHashSet(col(refTextCol), n).as("sh"))
+      .select(explode(col("sh")).as("g")).distinct()
+      .withColumn("__seen", lit(1))
+    val ref = if (broadcastReference) broadcast(refGrams) else refGrams
+    shingles(docs, idCol, textCol, n)
+      .select(col(idCol), explode(col("sh")).as("g"))
+      .join(ref, Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), count(col("__seen")).as("n_seen"))
+      .withColumn("novelty",
+        round((col("n_grams") - col("n_seen")) / col("n_grams"), 6))
+  }
+
   /** Survivors: training documents sharing fewer than `minHits` distinct
     * word-`n`-shingles with the benchmark set (default: any single shared
     * shingle contaminates).

@@ -184,6 +184,26 @@ class DecontaminateVocabSpec extends AnyFunSuite with SparkSpec {
     assert(out.forall(r => r._2 >= 0 && r._2 < 4))
   }
 
+  test("noveltyScores: copy scores 0, fresh text 1, empties absent") {
+    val ref = Seq((100L, "one two three four five six")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "one two three four five six"),        // verbatim copy -> 0
+      (2L, "alpha beta gamma delta epsilon zeta"), // fully new -> 1
+      (3L, ""),                                    // no grams -> absent
+      (4L, "one two three four five six alpha beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.noveltyScores(docs, "doc_id", "text",
+        ref, "text", n = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 4L))
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._4 == 0.0)
+    assert(byId(2L)._4 == 1.0)
+    // doc 4: 10 trigrams, 4 seen (the windows inside the copied prefix)
+    assert(byId(4L)._2 == 10L && byId(4L)._3 == 4L)
+    assert(byId(4L)._4 == 0.6)
+  }
+
   test("bm25Search: coverage beats repetition, tf saturates, dl normalizes") {
     val docs = Seq(
       (1L, "alpha beta"),                    // both query terms once, short
