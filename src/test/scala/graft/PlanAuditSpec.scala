@@ -306,4 +306,41 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(joinIdx >= 0 && probeIdx > joinIdx,
       s"probe not below the join:\n$plan")
   }
+
+  test("q178: the HLL build partial-aggregates (register merge IS the agg)") {
+    val plan = finalPlan("q178_hll_registers")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no map-side register merge before the shuffle:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("q181/q182: ranking runs on the GroupTopK heap, never a window sort") {
+    Seq("q181_priority_sample", "q182_bm25_search").foreach { q =>
+      val plan = finalPlan(q)
+      assert(plan.contains("GroupTopK"), s"$q: no GroupTopK heap in:\n$plan")
+      assert(!plan.contains("row_number"),
+        s"$q: ranking fell back to a row_number window:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: cartesian product in:\n$plan")
+    }
+    // q181 is window-free outright; q182's one Window is the df count over
+    // the broadcast-restricted tf (bounded by the query-term match set),
+    // never a ranking sort over scored pairs
+    assert(!finalPlan("q181_priority_sample").contains("Window"))
+  }
+
+  test("q182: query-term restriction broadcasts; no full-vocabulary shuffle") {
+    val plan = finalPlan("q182_bm25_search")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"query-term and qterm-detail joins must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a query-term join fell back to sort-merge:\n$plan")
+  }
+
+  test("q183: the reference gram set broadcasts into the novelty join") {
+    val plan = finalPlan("q183_novelty")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"reference gram join must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
