@@ -342,6 +342,31 @@ object SparkEntry {
   private val blockPhrasesLit: String =
     blockPhrases.map(p => s"'$p'").mkString("[", ", ", "]")
 
+  /** Shared q183/q184 oracle — q67's string-shingle replay aimed at
+    * counting instead of dropping: per-doc distinct 8-token shingles,
+    * membership in the reference tenth's gram set, 6-dp double ratio. ONE
+    * string, so the batch and streamed novelty faces can never assert
+    * different things (scores are row-local given the static reference, so
+    * streamed == batch verbatim).
+    */
+  private val noveltyOracle: String =
+    """WITH toks AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                 CASE WHEN len(tk) < 8 THEN array_to_string(tk, ' ')
+                      ELSE array_to_string(tk[i:i+7], ' ') END AS shingle
+               FROM (SELECT doc_id, tk,
+                       unnest(generate_series(1, greatest(len(tk) - 7, 1))) AS i
+                     FROM toks WHERE len(tk) > 0)),
+         bs AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+         d AS (SELECT sh.doc_id, count(*) AS n_grams,
+                 count(bs.shingle) AS n_seen
+               FROM sh LEFT JOIN bs USING (shingle)
+               WHERE sh.doc_id % 10 <> 0 GROUP BY sh.doc_id)
+         SELECT doc_id, n_grams, n_seen,
+           round((n_grams - n_seen) / n_grams, 6) AS novelty
+         FROM d ORDER BY doc_id"""
+
   /** q182's frozen retrieval queries — multi-term (the regime where BM25's
     * score SUM matters), mixing common terms (`the`, `table`) with rarer
     * ones so idf separation is exercised; `vector` appears in few docs.
@@ -2011,6 +2036,24 @@ object SparkEntry {
         .select(col("doc_id"),
           col("st.n_tokens").cast("long").as("n_uni"),
           col("st.cost").as("cost"))
+        .orderBy("doc_id")
+    }),
+
+    "q184_stream_novelty" -> ((s, d) => {
+      // q183's novelty screen at INGEST time: arriving batches scored in
+      // foreachBatch against the standing reference gram set. Scores are
+      // row-local given the broadcast set, so streamed == batch verbatim
+      // under q183's oracle wherever the stream is cut (the refs riding
+      // the staged slices are scored then excluded, exactly as in batch)
+      import graft.streaming.CorpusStreams
+      val docs = t(s, d, "documents")
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val staged = CorpusStreams.stageIdSlices(s, s"$d/documents.parquet",
+        "doc_id", cuts = Seq(mid))
+      CorpusStreams.noveltyScoresStreaming(s, staged, "doc_id", "text",
+          reference = docs.where(col("doc_id") % 10 === 0),
+          refTextCol = "text", n = 8, shufflePartitions = Some(8))
+        .where(col("doc_id") % 10 =!= 0)
         .orderBy("doc_id")
     }),
 
@@ -4676,26 +4719,12 @@ object SparkEntry {
     "q178_hll_registers" -> hllRegOracle,
     "q179_stream_hll" -> hllRegOracle,
 
-    // q67's string-shingle replay aimed at counting instead of dropping:
-    // per-doc distinct 8-token shingles, membership in the reference
-    // tenth's gram set, 6-dp double ratio
-    "q183_novelty" ->
-      """WITH toks AS (SELECT doc_id,
-             regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
-         sh AS (SELECT DISTINCT doc_id,
-                 CASE WHEN len(tk) < 8 THEN array_to_string(tk, ' ')
-                      ELSE array_to_string(tk[i:i+7], ' ') END AS shingle
-               FROM (SELECT doc_id, tk,
-                       unnest(generate_series(1, greatest(len(tk) - 7, 1))) AS i
-                     FROM toks WHERE len(tk) > 0)),
-         bs AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
-         d AS (SELECT sh.doc_id, count(*) AS n_grams,
-                 count(bs.shingle) AS n_seen
-               FROM sh LEFT JOIN bs USING (shingle)
-               WHERE sh.doc_id % 10 <> 0 GROUP BY sh.doc_id)
-         SELECT doc_id, n_grams, n_seen,
-           round((n_grams - n_seen) / n_grams, 6) AS novelty
-         FROM d ORDER BY doc_id""",
+    // streamed == batch by construction (row-local scores against the
+    // static broadcast set), so the q183 replay gates the streaming path
+    // verbatim — the shared-string convention (q162/q164, q167/q170)
+    "q184_stream_novelty" -> noveltyOracle,
+
+    "q183_novelty" -> noveltyOracle,
 
     // BM25 replay: same tokenization as q162, rational idf (N+1)/(df+0.5),
     // per-term double math in the IDENTICAL evaluation order, 6-dp round,

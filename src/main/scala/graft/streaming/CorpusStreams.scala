@@ -268,6 +268,44 @@ object CorpusStreams {
       minShare, itemName)
   }
 
+  /** [[graft.ext.Decontaminate.noveltyScores]] over a STREAM of arriving
+    * batches against a STANDING reference corpus — the ingest-time screen
+    * ("is today's crawl actually new text?"): each micro-batch is scored
+    * inside foreachBatch and appended to a parquet sink. A document's score
+    * is row-local given the broadcast reference gram set, so the streamed
+    * frame equals the batch operator's wherever the stream is cut — q183's
+    * SQL oracle gates this path verbatim (the q167/q170 argument). The
+    * reference frame is resolved once per batch; a production deployment
+    * would localCheckpoint it to keep lineage flat (corpusDedupStreaming's
+    * pattern) if it grows with the stream — here it is static by contract.
+    */
+  def noveltyScoresStreaming(
+      spark: SparkSession, stagedDir: String, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String, n: Int = 13,
+      sinkDir: Option[String] = None,
+      shufflePartitions: Option[Int] = None): DataFrame = {
+    val schema = spark.read.parquet(stagedDir).schema
+    val sink = sinkDir.getOrElse {
+      val d = Files.createTempDirectory("graft_novelty_scores")
+      d.toFile.deleteOnExit()
+      d.toString
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+    EventStreams.withStatePartitions(spark, shufflePartitions) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          graft.ext.Decontaminate.noveltyScores(
+              batch.toDF(), idCol, textCol, reference, refTextCol, n)
+            .write.mode("append").parquet(sink)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(sink)
+  }
+
   /** [[graft.ext.Sketches.hllRegisters]] over a STREAM of arriving batches:
     * the register maximum is an associative, order-insensitive set function
     * of the input, so the Complete-mode streamed sketch is bit-identical to
