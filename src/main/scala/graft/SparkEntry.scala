@@ -2039,6 +2039,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q185_token_drift" -> ((s, d) => {
+      // corpus-monitoring drift report: top-50 tokens by two-sample
+      // chi-square contribution between the en slice and the rest —
+      // chi-square deliberately (no logarithm), so counts AND scores are
+      // exact under the hash oracle where a KL/JSD would be libm-bound;
+      // two combinable count shuffles, broadcast totals, heap top-k
+      val docs = fanOut(s, t(s, d, "documents"), "doc_id")
+        .where(col("text").isNotNull)
+      graft.ext.Report.tokenDrift(
+          docs.where(col("lang") === "en"),
+          docs.where(col("lang") =!= "en"), "text", k = 50)
+        .orderBy(col("chi2_term").desc, col("token"))
+    }),
+
     "q184_stream_novelty" -> ((s, d) => {
       // q183's novelty screen at INGEST time: arriving batches scored in
       // foreachBatch against the standing reference gram set. Scores are
@@ -4723,6 +4737,32 @@ object SparkEntry {
     // static broadcast set), so the q183 replay gates the streaming path
     // verbatim — the shared-string convention (q162/q164, q167/q170)
     "q184_stream_novelty" -> noveltyOracle,
+
+    // two-sample chi-square replay: exact counts, homogeneity expectations
+    // and per-token terms in the IDENTICAL double evaluation order
+    "q185_token_drift" ->
+      raw"""WITH tk AS (SELECT lang,
+           unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+             x -> x <> '')) AS token
+         FROM documents WHERE text IS NOT NULL),
+        ca AS (SELECT token, count(*) AS n_a FROM tk WHERE lang = 'en' GROUP BY 1),
+        cb AS (SELECT token, count(*) AS n_b FROM tk WHERE lang <> 'en' GROUP BY 1),
+        j AS (SELECT coalesce(ca.token, cb.token) AS token,
+            coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+          FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+        t AS (SELECT CAST(sum(n_a) AS DOUBLE) AS na,
+            CAST(sum(n_b) AS DOUBLE) AS nb FROM j),
+        e AS (SELECT token, n_a, n_b,
+            CAST(n_a + n_b AS DOUBLE) * na / (na + nb) AS ea,
+            CAST(n_a + n_b AS DOUBLE) * nb / (na + nb) AS eb
+          FROM j, t),
+        s AS (SELECT token, n_a, n_b,
+            round((CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea) / ea +
+                  (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb) / eb,
+              6) AS chi2_term
+          FROM e)
+        SELECT token, n_a, n_b, chi2_term FROM s
+        ORDER BY chi2_term DESC, token LIMIT 50""",
 
     "q183_novelty" -> noveltyOracle,
 

@@ -54,4 +54,52 @@ object Report {
             1)).as("n_quality_pass"),
         count(when(col("__dn") > 1, 1)).as("n_dup_docs"))
   }
+
+  /** Token-distribution DRIFT between two corpus slices — the monitoring
+    * question "did yesterday's crawl change vocabulary?" answered as the
+    * top-`k` drifted tokens by two-sample chi-square contribution:
+    * `(token, n_a, n_b, chi2_term)` with
+    * `chi2_term = (a - eA)^2/eA + (b - eB)^2/eB` under the homogeneity
+    * expectation `eX = (a + b) * NX / (NA + NB)`. Chi-square (not KL/JSD)
+    * deliberately: it needs no logarithm, so every term is per-row IEEE
+    * double arithmetic over exact integer counts, rounded to 6 dp —
+    * counts AND scores hash-match the SQL replay (q185); a JSD built on
+    * these same counts would be libm-bound and spec-only (the q167
+    * split). Tokens absent from one side contribute their full one-sided
+    * term (a = 0 or b = 0 is the interesting drift case, never dropped).
+    *
+    * Scale: one map-side-combinable count aggregation per side (the two
+    * vocabulary shuffles ARE the operator), a full outer join on token —
+    * co-partitioned with the counts it joins — a broadcast of the 1-row
+    * totals frame, and a per-partition-heap global top-k
+    * (`TakeOrderedAndProject`), never a full sort.
+    */
+  def tokenDrift(
+      corpusA: DataFrame, corpusB: DataFrame, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    def counts(df: DataFrame, name: String) = df
+      .select(explode(text.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as(name))
+    val joined = counts(corpusA, "n_a")
+      .join(counts(corpusB, "n_b"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = joined.agg(
+      sum(col("n_a")).as("__na"), sum(col("n_b")).as("__nb"))
+    val na = col("__na").cast("double")
+    val nb = col("__nb").cast("double")
+    val n = na + nb
+    val ab = (col("n_a") + col("n_b")).cast("double")
+    val eA = ab * na / n
+    val eB = ab * nb / n
+    val da = col("n_a").cast("double") - eA
+    val db = col("n_b").cast("double") - eB
+    joined.crossJoin(broadcast(totals))
+      .withColumn("chi2_term", round(da * da / eA + db * db / eB, 6))
+      .select(col("token"), col("n_a"), col("n_b"), col("chi2_term"))
+      .orderBy(col("chi2_term").desc, col("token"))
+      .limit(k)
+  }
 }

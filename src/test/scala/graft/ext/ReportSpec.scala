@@ -34,4 +34,33 @@ class ReportSpec extends AnyFunSuite with SparkSpec {
       Report.dataCard(d, Nil, "text")
     }
   }
+
+  test("tokenDrift: hand-computed chi-square, one-sided tokens kept, invariant") {
+    // A: 3x shared + 1x only_a; B: 1x shared + 3x only_b -> NA = NB = 4
+    val a = Seq("shared shared shared only_a").toDF("text")
+    val b = Seq("shared only_b only_b only_b").toDF("text")
+    val got = Report.tokenDrift(a, b, "text", k = 10)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // shared: a=3,b=1, e=2 each -> 1/2 + 1/2 = 1.0
+    assert(got("shared") == (("shared", 3L, 1L, 1.0)))
+    // only_a: a=1,b=0, eA=eB=0.5 -> 0.25/0.5 + 0.25/0.5 = 1.0 (one-sided
+    // tokens are the interesting drift case and must survive the join)
+    assert(got("only_a") == (("only_a", 1L, 0L, 1.0)))
+    assert(got("only_b") == (("only_b", 0L, 3L, 3.0)))
+
+    // identical slices -> zero drift everywhere
+    val same = Report.tokenDrift(a, a, "text", 10)
+      .as[(String, Long, Long, Double)].collect()
+    assert(same.forall(_._4 == 0.0))
+
+    // partition invariance and the k bound
+    val big = (1 to 400).map(i => s"tok${i % 37} filler").toDF("text")
+    val x = Report.tokenDrift(big.repartition(1), a, "text", 5)
+      .collect().toSeq
+    val y = Report.tokenDrift(big.repartition(13), a, "text", 5)
+      .collect().toSeq
+    assert(x == y)
+    assert(x.size == 5)
+  }
 }
