@@ -2039,6 +2039,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q186_distinct_ngrams" -> ((s, d) => {
+      // distinct-1/distinct-2 diversity per source — the synthetic-data
+      // repetitiveness screen: a template-stamped source collapses in
+      // distinct-2 first; row-local gram builds, one two-level combinable
+      // aggregation, ratios exact under the hash oracle
+      graft.ext.Vocab.distinctNgramRatios(
+          fanOut(s, t(s, d, "documents"), "doc_id")
+            .where(col("text").isNotNull),
+          Seq("source"), "text", ns = Seq(1, 2))
+        .orderBy("source", "n")
+    }),
+
     "q185_token_drift" -> ((s, d) => {
       // corpus-monitoring drift report: top-50 tokens by two-sample
       // chi-square contribution between the en slice and the rest —
@@ -4737,6 +4749,27 @@ object SparkEntry {
     // static broadcast set), so the q183 replay gates the streaming path
     // verbatim — the shared-string convention (q162/q164, q167/q170)
     "q184_stream_novelty" -> noveltyOracle,
+
+    // unigram + bigram branches unioned, two-level count replay, double
+    // ratio — the q75 gram build convention with a ' ' joiner
+    "q186_distinct_ngrams" ->
+      raw"""WITH tk AS (SELECT source,
+           list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+             x -> x <> '') AS arr
+         FROM documents WHERE text IS NOT NULL),
+        u AS (SELECT source, 1 AS n, unnest(arr) AS g FROM tk WHERE len(arr) >= 1),
+        b AS (SELECT source, 2 AS n, arr[i] || ' ' || arr[i + 1] AS g
+          FROM (SELECT source, arr,
+              unnest(generate_series(1, len(arr) - 1)) AS i
+            FROM tk WHERE len(arr) >= 2)),
+        al AS (SELECT * FROM u UNION ALL SELECT * FROM b),
+        c AS (SELECT source, n, g, count(*) AS c FROM al GROUP BY 1, 2, 3),
+        f AS (SELECT source, n, CAST(sum(c) AS BIGINT) AS n_total,
+            count(*) AS n_distinct
+          FROM c GROUP BY 1, 2)
+        SELECT source, n, n_total, n_distinct,
+          round(n_distinct / n_total, 6) AS distinct_ratio
+        FROM f ORDER BY source, n""",
 
     // two-sample chi-square replay: exact counts, homogeneity expectations
     // and per-token terms in the IDENTICAL double evaluation order

@@ -60,6 +60,51 @@ object Vocab {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Per-group distinct-n diversity ratios (Li et al. 2016's distinct-1/
+    * distinct-2, the standard repetitiveness screen for synthetic and
+    * model-generated corpora): for each `n` in `ns`,
+    * `(groupCols..., n, n_total, n_distinct, distinct_ratio)` where
+    * `distinct_ratio = n_distinct / n_total` (6-dp per-row double). A
+    * template-stamped source shows a collapsing distinct-2 long before a
+    * human reads it.
+    *
+    * Scale: one branch per requested `n` (each a row-local window build —
+    * the [[ngramFrequencies]] argument), unioned into ONE two-level
+    * aggregation: (group, n, gram) counts with map-side combine, then the
+    * #groups x #ns summary. The gram-level exchange is vocabulary-bounded
+    * per group — the exact metric's floor; when only an estimate is
+    * needed at 100 TB, [[Sketches.kmvDistinctCount]]/[[Sketches.hllRegisters]]
+    * bound the distinct side instead.
+    */
+  def distinctNgramRatios(
+      df: DataFrame, groupCols: Seq[String], textCol: String,
+      ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be non-empty, all >= 1")
+    require(ns.distinct == ns, "ns must be distinct")
+    import org.apache.spark.sql.functions.{size => arrayLen}
+    val toks = df.select(groupCols.map(col) :+
+      text.tokens(col(textCol)).as("__toks"): _*)
+    val grams = ns.map { n =>
+      val base = toks.where(arrayLen(col("__toks")) >= n)
+      val g =
+        if (n == 1) base.select(groupCols.map(col) :+
+          explode(col("__toks")).as("g"): _*)
+        else base
+          .select(groupCols.map(col) :+ col("__toks") :+
+            posexplode(sequence(lit(0), arrayLen(col("__toks")) - n, lit(1)))
+              .as(Seq("__i", "__start")): _*)
+          .select(groupCols.map(col) :+ concat_ws(" ",
+            slice(col("__toks"), col("__start") + 1, lit(n))).as("g"): _*)
+      g.withColumn("n", lit(n))
+    }.reduce(_ unionByName _)
+    grams
+      .groupBy(groupCols.map(col) ++ Seq(col("n"), col("g")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(groupCols.map(col) :+ col("n"): _*)
+      .agg(sum(col("__c")).as("n_total"), count(lit(1)).as("n_distinct"))
+      .withColumn("distinct_ratio", round(col("n_distinct") / col("n_total"), 6))
+  }
+
   /** The `k` most frequent word n-grams, deterministically ordered. */
   def topNgrams(df: DataFrame, idCol: String, textCol: String, n: Int, k: Int): DataFrame = {
     require(k > 0, "k must be positive")

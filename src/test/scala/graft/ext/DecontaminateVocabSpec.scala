@@ -184,6 +184,32 @@ class DecontaminateVocabSpec extends AnyFunSuite with SparkSpec {
     assert(out.forall(r => r._2 >= 0 && r._2 < 4))
   }
 
+  test("distinctNgramRatios: template collapse shows in distinct-2 first") {
+    val docs = Seq(
+      ("fresh", "alpha beta gamma delta"),     // all grams unique
+      ("fresh", "epsilon zeta eta theta"),
+      ("stamp", "click here to win"),          // the same template stamped
+      ("stamp", "click here to win")
+    ).toDF("source", "text")
+    val got = Vocab.distinctNgramRatios(docs, Seq("source"), "text", Seq(1, 2))
+      .as[(String, Int, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got(("fresh", 1)) == (("fresh", 1, 8L, 8L, 1.0)))
+    assert(got(("fresh", 2)) == (("fresh", 2, 6L, 6L, 1.0)))
+    assert(got(("stamp", 1)) == (("stamp", 1, 8L, 4L, 0.5)))
+    assert(got(("stamp", 2)) == (("stamp", 2, 6L, 3L, 0.5)))
+    // partition invariance
+    val a = Vocab.distinctNgramRatios(docs.repartition(1), Seq("source"),
+      "text", Seq(2)).collect().toSet
+    val b = Vocab.distinctNgramRatios(docs.repartition(7), Seq("source"),
+      "text", Seq(2)).collect().toSet
+    assert(a == b)
+    // docs shorter than n contribute nothing to that n's row
+    val short = Seq(("s", "one")).toDF("source", "text")
+    assert(Vocab.distinctNgramRatios(short, Seq("source"), "text", Seq(2))
+      .count() == 0)
+  }
+
   test("noveltyScores: copy scores 0, fresh text 1, empties absent") {
     val ref = Seq((100L, "one two three four five six")).toDF("doc_id", "text")
     val docs = Seq(
