@@ -367,6 +367,36 @@ object SparkEntry {
            round((n_grams - n_seen) / n_grams, 6) AS novelty
          FROM d ORDER BY doc_id"""
 
+  /** Shared q185/q187 oracle — two-sample chi-square replay: exact counts,
+    * homogeneity expectations and per-token terms in the IDENTICAL double
+    * evaluation order. ONE string, so the batch and streaming drift faces
+    * can never assert different things (token counts are order-insensitive,
+    * so streamed == batch verbatim).
+    */
+  private val tokenDriftOracle: String =
+    raw"""WITH tk AS (SELECT lang,
+           unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+             x -> x <> '')) AS token
+         FROM documents WHERE text IS NOT NULL),
+        ca AS (SELECT token, count(*) AS n_a FROM tk WHERE lang = 'en' GROUP BY 1),
+        cb AS (SELECT token, count(*) AS n_b FROM tk WHERE lang <> 'en' GROUP BY 1),
+        j AS (SELECT coalesce(ca.token, cb.token) AS token,
+            coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+          FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+        t AS (SELECT CAST(sum(n_a) AS DOUBLE) AS na,
+            CAST(sum(n_b) AS DOUBLE) AS nb FROM j),
+        e AS (SELECT token, n_a, n_b,
+            CAST(n_a + n_b AS DOUBLE) * na / (na + nb) AS ea,
+            CAST(n_a + n_b AS DOUBLE) * nb / (na + nb) AS eb
+          FROM j, t),
+        s AS (SELECT token, n_a, n_b,
+            round((CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea) / ea +
+                  (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb) / eb,
+              6) AS chi2_term
+          FROM e)
+        SELECT token, n_a, n_b, chi2_term FROM s
+        ORDER BY chi2_term DESC, token LIMIT 50"""
+
   /** q182's frozen retrieval queries — multi-term (the regime where BM25's
     * score SUM matters), mixing common terms (`the`, `table`) with rarer
     * ones so idf separation is exercised; `vector` appears in few docs.
@@ -2037,6 +2067,26 @@ object SparkEntry {
           col("st.n_tokens").cast("long").as("n_uni"),
           col("st.cost").as("cost"))
         .orderBy("doc_id")
+    }),
+
+    "q187_stream_drift" -> ((s, d) => {
+      // q185's drift report with the candidate slice ARRIVING as a stream
+      // against the frozen en baseline: Complete-mode token counts are
+      // order-insensitive, so the accumulated frame — and the chi-square
+      // ranking over it — is bit-identical to batch wherever the stream
+      // is cut; q185's oracle gates this verbatim
+      import graft.streaming.CorpusStreams
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val staged = CorpusStreams.stageIdSlices(s, s"$d/documents.parquet",
+        "doc_id", cuts = Seq(mid))
+      val name = s"graft_stream_drift_${streamCounter.incrementAndGet()}"
+      CorpusStreams.tokenDriftStreaming(s, staged, "text",
+          baseline = docs.where(col("lang") === "en"),
+          baselineTextCol = "text", k = 50, queryName = name,
+          streamFilter = Some(col("text").isNotNull && col("lang") =!= "en"),
+          shufflePartitions = Some(8))
+        .orderBy(col("chi2_term").desc, col("token"))
     }),
 
     "q186_distinct_ngrams" -> ((s, d) => {
@@ -4750,6 +4800,10 @@ object SparkEntry {
     // verbatim — the shared-string convention (q162/q164, q167/q170)
     "q184_stream_novelty" -> noveltyOracle,
 
+    // streamed == batch by construction (order-insensitive counts), so
+    // the q185 replay gates the streaming monitoring path verbatim
+    "q187_stream_drift" -> tokenDriftOracle,
+
     // unigram + bigram branches unioned, two-level count replay, double
     // ratio — the q75 gram build convention with a ' ' joiner
     "q186_distinct_ngrams" ->
@@ -4771,31 +4825,7 @@ object SparkEntry {
           round(n_distinct / n_total, 6) AS distinct_ratio
         FROM f ORDER BY source, n""",
 
-    // two-sample chi-square replay: exact counts, homogeneity expectations
-    // and per-token terms in the IDENTICAL double evaluation order
-    "q185_token_drift" ->
-      raw"""WITH tk AS (SELECT lang,
-           unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
-             x -> x <> '')) AS token
-         FROM documents WHERE text IS NOT NULL),
-        ca AS (SELECT token, count(*) AS n_a FROM tk WHERE lang = 'en' GROUP BY 1),
-        cb AS (SELECT token, count(*) AS n_b FROM tk WHERE lang <> 'en' GROUP BY 1),
-        j AS (SELECT coalesce(ca.token, cb.token) AS token,
-            coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
-          FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
-        t AS (SELECT CAST(sum(n_a) AS DOUBLE) AS na,
-            CAST(sum(n_b) AS DOUBLE) AS nb FROM j),
-        e AS (SELECT token, n_a, n_b,
-            CAST(n_a + n_b AS DOUBLE) * na / (na + nb) AS ea,
-            CAST(n_a + n_b AS DOUBLE) * nb / (na + nb) AS eb
-          FROM j, t),
-        s AS (SELECT token, n_a, n_b,
-            round((CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea) / ea +
-                  (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb) / eb,
-              6) AS chi2_term
-          FROM e)
-        SELECT token, n_a, n_b, chi2_term FROM s
-        ORDER BY chi2_term DESC, token LIMIT 50""",
+    "q185_token_drift" -> tokenDriftOracle,
 
     "q183_novelty" -> noveltyOracle,
 

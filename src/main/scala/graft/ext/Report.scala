@@ -77,12 +77,25 @@ object Report {
   def tokenDrift(
       corpusA: DataFrame, corpusB: DataFrame, textCol: String,
       k: Int): DataFrame = {
-    require(k > 0, "k must be positive")
     def counts(df: DataFrame, name: String) = df
       .select(explode(text.tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as(name))
-    val joined = counts(corpusA, "n_a")
-      .join(counts(corpusB, "n_b"), Seq("token"), "full_outer")
+    tokenDriftFromCounts(counts(corpusA, "n_a"), counts(corpusB, "n_b"), k)
+  }
+
+  /** [[tokenDrift]] over PRE-AGGREGATED count frames `(token, n_a)` /
+    * `(token, n_b)` — the entry point when one side's counts already exist
+    * (a frozen baseline vocabulary table, a streaming Complete-mode count
+    * aggregation, a prior card run). Token counting is order-insensitive,
+    * so counts accumulated any way — including across micro-batches —
+    * yield the identical drift frame (q187 streams through here under
+    * q185's oracle verbatim).
+    */
+  def tokenDriftFromCounts(
+      countsA: DataFrame, countsB: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val joined = countsA
+      .join(countsB, Seq("token"), "full_outer")
       .select(col("token"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))

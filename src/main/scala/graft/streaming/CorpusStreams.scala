@@ -306,6 +306,49 @@ object CorpusStreams {
     spark.read.parquet(sink)
   }
 
+  /** [[graft.ext.Report.tokenDrift]] with the CANDIDATE side arriving as a
+    * stream — the deployment shape of corpus monitoring ("does the
+    * arriving crawl drift from the frozen baseline?"): the stream's token
+    * counts run as a Complete-mode aggregation (counting is
+    * order-insensitive, so the accumulated counts — and therefore the
+    * drift frame — are bit-identical to the batch operator's wherever the
+    * stream is cut; q185's oracle gates this path verbatim), then the
+    * chi-square ranking runs once over the drained counts against the
+    * static baseline. State is the stream's token-count frame — the same
+    * vocabulary bound as the batch shuffle, the honest floor for an exact
+    * per-token report (bound it with the MG candidate pass q162-style
+    * when only the top drifts matter).
+    */
+  def tokenDriftStreaming(
+      spark: SparkSession, stagedDir: String, textCol: String,
+      baseline: DataFrame, baselineTextCol: String, k: Int,
+      queryName: String, streamFilter: Option[org.apache.spark.sql.Column] = None,
+      shufflePartitions: Option[Int] = None,
+      rocksdbState: Boolean = false): DataFrame = {
+    import graft.functions.text
+    val schema = spark.read.parquet(stagedDir).schema
+    val stream0 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+    val stream = streamFilter.fold(stream0)(stream0.where)
+    val agg = stream
+      .select(explode(text.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_b"))
+    EventStreams.withStatePartitions(spark, shufflePartitions, rocksdbState) {
+      val q = agg.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val streamedCounts = EventStreams.drainMemorySink(spark, queryName)
+    val baseCounts = baseline
+      .select(explode(text.tokens(col(baselineTextCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_a"))
+    graft.ext.Report.tokenDriftFromCounts(baseCounts, streamedCounts, k)
+  }
+
   /** [[graft.ext.Sketches.hllRegisters]] over a STREAM of arriving batches:
     * the register maximum is an associative, order-insensitive set function
     * of the input, so the Complete-mode streamed sketch is bit-identical to
