@@ -2069,6 +2069,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q188_embedding_drift" -> ((s, d) => {
+      // feature drift for the vector side: per-dimension centroid shift
+      // between the even and odd vec_id slices — float components route
+      // through decimal(20,8) sums (raw float sums are merge-order-
+      // dependent), means and d2 are per-row IEEE doubles, so the whole
+      // frame is oracle-exact; exchanges carry 64 rows per partition
+      val emb = t(s, d, "embeddings")
+      graft.ext.Report.embeddingDrift(
+          emb.where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") % 2 === 1), "embedding", dims = 64)
+        .orderBy("dim")
+    }),
+
     "q187_stream_drift" -> ((s, d) => {
       // q185's drift report with the candidate slice ARRIVING as a stream
       // against the frozen en baseline: Complete-mode token counts are
@@ -4803,6 +4816,25 @@ object SparkEntry {
     // streamed == batch by construction (order-insensitive counts), so
     // the q185 replay gates the streaming monitoring path verbatim
     "q187_stream_drift" -> tokenDriftOracle,
+
+    // decimal-routed per-dim sums (float cast rounds the same exact binary
+    // value in both engines), double means in identical evaluation order;
+    // posexplode dim is 0-based -> i - 1
+    "q188_embedding_drift" ->
+      """WITH ex AS (SELECT vec_id, i - 1 AS dim,
+             CAST(embedding[i] AS DECIMAL(20,8)) AS v
+           FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         a AS (SELECT dim, sum(v) AS sa, count(*) AS na
+           FROM ex WHERE vec_id % 2 = 0 GROUP BY 1),
+         b AS (SELECT dim, sum(v) AS sb, count(*) AS nb
+           FROM ex WHERE vec_id % 2 = 1 GROUP BY 1),
+         m AS (SELECT dim, CAST(sa AS DOUBLE) / na AS ma,
+             CAST(sb AS DOUBLE) / nb AS mb
+           FROM a JOIN b USING (dim))
+         SELECT CAST(dim AS INT) AS dim, round(ma, 6) AS mean_a,
+           round(mb, 6) AS mean_b, round((ma - mb) * (ma - mb), 6) AS d2
+         FROM m ORDER BY dim""",
 
     // unigram + bigram branches unioned, two-level count replay, double
     // ratio — the q75 gram build convention with a ' ' joiner

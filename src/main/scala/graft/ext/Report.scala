@@ -83,6 +83,42 @@ object Report {
     tokenDriftFromCounts(counts(corpusA, "n_a"), counts(corpusB, "n_b"), k)
   }
 
+  /** Per-dimension EMBEDDING centroid drift between two slices — feature
+    * drift for vector pipelines ("did the encoder or the corpus move?"):
+    * `(dim, mean_a, mean_b, d2)` with `d2 = (mean_a - mean_b)^2`; summing
+    * `d2` gives the squared euclidean centroid distance, and the per-dim
+    * frame says WHICH dimensions moved.
+    *
+    * Float parity: each component is cast `float -> decimal(20,8)` (both
+    * engines round the same exact binary value) and summed as DECIMAL — a
+    * raw float/double sum across rows is merge-order-dependent and would
+    * hash-drift; the means and `d2` are then per-row IEEE doubles rounded
+    * to 6 dp, so the whole frame sits under the hash oracle (q188).
+    * Vectors of the wrong length are excluded (they would silently skew
+    * the dimensions they do carry).
+    *
+    * Scale: one posexplode + map-side-combinable decimal sum per side —
+    * exchanges carry `dims` rows per partition; the join is dims x dims
+    * tiny.
+    */
+  def embeddingDrift(
+      sliceA: DataFrame, sliceB: DataFrame, vecCol: String,
+      dims: Int): DataFrame = {
+    require(dims > 0, "dims must be positive")
+    def sums(df: DataFrame, nm: String) = df
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .select(posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .groupBy(col("dim"))
+      .agg(sum(col("__v").cast("decimal(20,8)")).as(s"__s_$nm"),
+        count(lit(1)).as(s"__n_$nm"))
+    val ma = col("__s_a").cast("double") / col("__n_a")
+    val mb = col("__s_b").cast("double") / col("__n_b")
+    sums(sliceA, "a").join(sums(sliceB, "b"), Seq("dim"))
+      .select(col("dim"),
+        round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+        round((ma - mb) * (ma - mb), 6).as("d2"))
+  }
+
   /** [[tokenDrift]] over PRE-AGGREGATED count frames `(token, n_a)` /
     * `(token, n_b)` — the entry point when one side's counts already exist
     * (a frozen baseline vocabulary table, a streaming Complete-mode count

@@ -35,6 +35,36 @@ class ReportSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("embeddingDrift: zero on identical slices, exact shift, bad rows out") {
+    val a = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((3L, Seq(2.0f, 2.0f)), (4L, Seq(4.0f, 8.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Report.embeddingDrift(a, b, "embedding", dims = 2)
+      .orderBy("dim").as[(Int, Double, Double, Double)].collect().toSeq
+    // centroids: a = (2, 3), b = (3, 5) -> d2 = (1, 4)
+    assert(got == Seq((0, 2.0, 3.0, 1.0), (1, 3.0, 5.0, 4.0)))
+
+    val same = Report.embeddingDrift(a, a, "embedding", 2)
+      .as[(Int, Double, Double, Double)].collect()
+    assert(same.forall(_._4 == 0.0))
+
+    // wrong-length and null vectors are excluded, not dimension-skewed
+    val dirty = a.union(Seq((9L, Seq(100.0f)), (10L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding"))
+    assert(Report.embeddingDrift(dirty, b, "embedding", 2)
+      .orderBy("dim").as[(Int, Double, Double, Double)].collect().toSeq == got)
+
+    // partition invariance of the decimal-routed sums
+    val big = (1 to 500).map(i => (i.toLong, Seq(i * 0.001f, 1.0f / i)))
+      .toDF("vec_id", "embedding")
+    val x = Report.embeddingDrift(big.repartition(1), b, "embedding", 2)
+      .orderBy("dim").collect().toSeq
+    val y = Report.embeddingDrift(big.repartition(13), b, "embedding", 2)
+      .orderBy("dim").collect().toSeq
+    assert(x == y)
+  }
+
   test("tokenDrift: hand-computed chi-square, one-sided tokens kept, invariant") {
     // A: 3x shared + 1x only_a; B: 1x shared + 3x only_b -> NA = NB = 4
     val a = Seq("shared shared shared only_a").toDF("text")
