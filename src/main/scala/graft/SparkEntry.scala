@@ -2082,6 +2082,30 @@ object SparkEntry {
         .orderBy("dim")
     }),
 
+    "q189_funnel" -> ((s, d) => {
+      // strictly-ordered funnel over each user's (ts, event_id) sequence:
+      // one user-window pass chains the stage reach minima, the per-user
+      // flags aggregate on the SAME user key (no second exchange), the
+      // 4-stage summary is a 1-row frame exploded tall
+      graft.ops.Behavior.funnel(events(s, d),
+          Seq("signup", "view", "click", "purchase"))
+        .orderBy("stage_idx")
+    }),
+
+    "q190_cohort_retention" -> ((s, d) => {
+      // weekly cohort x offset retention; epoch-aligned integer weeks so
+      // no engine week-start convention is involved
+      graft.ops.Behavior.cohortRetention(events(s, d))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    "q191_event_transitions" -> ((s, d) => {
+      // first-order Markov transition matrix of the event stream; one lag
+      // window + a |types|^2-key count, probabilities exact integer ratios
+      graft.ops.Behavior.transitions(events(s, d))
+        .orderBy("prev_type", "next_type")
+    }),
+
     "q187_stream_drift" -> ((s, d) => {
       // q185's drift report with the candidate slice ARRIVING as a stream
       // against the frozen en baseline: Complete-mode token counts are
@@ -4815,6 +4839,70 @@ object SparkEntry {
 
     // streamed == batch by construction (order-insensitive counts), so
     // the q185 replay gates the streaming monitoring path verbatim
+    // the same chained strictly-before window mins: an event advances a
+    // stage only if the previous stage's running min over ROWS UNBOUNDED
+    // PRECEDING .. 1 PRECEDING (the strict prefix in (ts, event_id) order)
+    // is non-null; count(col) = count of non-null reach timestamps
+    "q189_funnel" ->
+      """WITH s0 AS (SELECT user_id, event_id, ts, event_type,
+             CASE WHEN event_type = 'signup' THEN ts END AS q0 FROM events),
+         p0 AS (SELECT *, min(q0) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pp0 FROM s0),
+         s1 AS (SELECT *, CASE WHEN event_type = 'view' AND pp0 IS NOT NULL
+             THEN ts END AS q1 FROM p0),
+         p1 AS (SELECT *, min(q1) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pp1 FROM s1),
+         s2 AS (SELECT *, CASE WHEN event_type = 'click' AND pp1 IS NOT NULL
+             THEN ts END AS q2 FROM p1),
+         p2 AS (SELECT *, min(q2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pp2 FROM s2),
+         s3 AS (SELECT *, CASE WHEN event_type = 'purchase' AND pp2 IS NOT NULL
+             THEN ts END AS q3 FROM p2),
+         u AS (SELECT user_id, min(q0) AS r0, min(q1) AS r1, min(q2) AS r2,
+             min(q3) AS r3 FROM s3 GROUP BY 1),
+         c AS (SELECT count(r0) AS n0, count(r1) AS n1, count(r2) AS n2,
+             count(r3) AS n3 FROM u)
+         SELECT * FROM (
+           SELECT CAST(0 AS INT) AS stage_idx, 'signup' AS stage, n0 AS n_users,
+             round(CAST(n0 AS DOUBLE) / n0, 6) AS conv_from_first,
+             round(CAST(n0 AS DOUBLE) / n0, 6) AS conv_from_prev FROM c
+           UNION ALL
+           SELECT CAST(1 AS INT), 'view', n1,
+             round(CAST(n1 AS DOUBLE) / n0, 6),
+             round(CAST(n1 AS DOUBLE) / n0, 6) FROM c
+           UNION ALL
+           SELECT CAST(2 AS INT), 'click', n2,
+             round(CAST(n2 AS DOUBLE) / n0, 6),
+             round(CAST(n2 AS DOUBLE) / n1, 6) FROM c
+           UNION ALL
+           SELECT CAST(3 AS INT), 'purchase', n3,
+             round(CAST(n3 AS DOUBLE) / n0, 6),
+             round(CAST(n3 AS DOUBLE) / n2, 6) FROM c)
+         ORDER BY stage_idx""",
+
+    "q190_cohort_retention" ->
+      """WITH wk AS (SELECT user_id AS u,
+             CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w FROM events),
+         m AS (SELECT u, w, min(w) OVER (PARTITION BY u) AS cohort_week FROM wk),
+         dd AS (SELECT DISTINCT u, cohort_week, w - cohort_week AS week_offset FROM m),
+         c AS (SELECT cohort_week, week_offset, count(*) AS n_users
+             FROM dd GROUP BY 1, 2),
+         f AS (SELECT *, max(CASE WHEN week_offset = 0 THEN n_users END)
+             OVER (PARTITION BY cohort_week) AS base FROM c)
+         SELECT cohort_week, week_offset, n_users,
+           round(CAST(n_users AS DOUBLE) / base, 6) AS retention
+         FROM f ORDER BY cohort_week, week_offset""",
+
+    "q191_event_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type FROM events),
+         c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+             FROM e WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type, next_type, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS prob
+         FROM c ORDER BY prev_type, next_type""",
+
     "q187_stream_drift" -> tokenDriftOracle,
 
     // decimal-routed per-dim sums (float cast rounds the same exact binary

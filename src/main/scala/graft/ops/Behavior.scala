@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-behavior analytics over an immutable event log — the funnel /
+  * cohort / transition reports a product pipeline runs nightly over the
+  * same `(user, ts, type)` shape the reference's chunked DB reads feed
+  * (`/root/reference/R/ffsql.R:108` reads exactly such logs; the reference
+  * stops at loading them — these are the queries users load them FOR).
+  *
+  * Scale notes (all three): the only real shuffle is the per-user hash
+  * exchange; every downstream aggregation either reuses that partitioning
+  * (groupBy on the window's partition key plans with NO second exchange)
+  * or reduces to a tiny stage-count/cohort-count frame. Nothing here is
+  * proportional to users x stages on the wire — per-event work is one
+  * sorted pass inside the user partition.
+  */
+object Behavior {
+
+  /** Strictly-ordered funnel: for each prefix of `stages`, how many users
+    * completed it IN ORDER — an event counts for stage k only if some
+    * qualifying stage-(k-1) event happened strictly earlier in the user's
+    * total event order `(ts, event_id)`. Ties in `ts` are broken by
+    * `event_id`, so the result is deterministic and replayable in any
+    * engine with the same window spec.
+    *
+    * Returns one row per stage: `(stage_idx, stage, n_users,
+    * conv_from_first, conv_from_prev)`, conversions rounded to 6 dp.
+    *
+    * One user-partition window pass computes every stage's
+    * "reached-strictly-before" running minimum (chained conditional mins
+    * over the same `(partitionBy user, orderBy ts, id)` spec — one sort,
+    * one exchange); the per-user reach flags then aggregate on the SAME
+    * user key (no second exchange) and the stage summary is a 1-row
+    * frame exploded tall, the [[Profile]] shape.
+    */
+  def funnel(
+      events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    require(stages.distinct.size == stages.size, "stages must be distinct")
+    val ord = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    // __qK = this event's ts if it advances stage K (right type AND stage
+    // K-1 already reached strictly before); __pK = earliest qualifying
+    // stage-K ts strictly before the current row (the chain carrier).
+    var cur = events
+    stages.zipWithIndex.foreach { case (st, k) =>
+      val qualifies =
+        if (k == 0) col(typeCol) === lit(st)
+        else col(typeCol) === lit(st) && col(s"__p${k - 1}").isNotNull
+      cur = cur.withColumn(s"__q$k", when(qualifies, col(tsCol)))
+      if (k < stages.size - 1)
+        cur = cur.withColumn(s"__p$k", min(col(s"__q$k")).over(before))
+    }
+    val perUser = cur.groupBy(col(userCol))
+      .agg(min(col("__q0")).as("__r0"),
+        stages.indices.drop(1).map(k => min(col(s"__q$k")).as(s"__r$k")): _*)
+    val counts = perUser.agg(
+      count(when(col("__r0").isNotNull, 1)).as("__n0"),
+      stages.indices.drop(1)
+        .map(k => count(when(col(s"__r$k").isNotNull, 1)).as(s"__n$k")): _*)
+    val tall = stages.zipWithIndex.map { case (st, k) =>
+      struct(lit(k).cast("int").as("stage_idx"), lit(st).as("stage"),
+        col(s"__n$k").as("n_users"),
+        round(col(s"__n$k").cast("double") / col("__n0"), 6)
+          .as("conv_from_first"),
+        round(col(s"__n$k").cast("double") /
+          col(s"__n${math.max(k - 1, 0)}"), 6).as("conv_from_prev"))
+    }
+    counts.select(explode(array(tall: _*)).as("f")).select("f.*")
+  }
+
+  /** Weekly cohort retention: users grouped by the epoch-aligned week of
+    * their first event (`floor(epoch_sec / 604800)` — integer weeks, no
+    * engine-specific week-start convention), counted as retained in every
+    * later week they appear in. Returns `(cohort_week, week_offset,
+    * n_users, retention)` with retention = n / cohort size at offset 0,
+    * rounded to 6 dp.
+    *
+    * First-week is a per-user window min (one user exchange), the
+    * `(user, offset)` de-dup is a distinct whose dominant key is the same
+    * user hash, and the final count aggregates a frame bounded by
+    * cohorts x weeks — tiny. The offset-0 denominator joins back by a
+    * single-column window over that tiny frame, never over events.
+    */
+  def cohortRetention(
+      events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val week = (unix_timestamp(col(tsCol)) / lit(604800L)).cast("long")
+    val perUserWeek = events
+      .select(col(userCol).as("u"), week.as("w"))
+      .withColumn("cohort_week", min(col("w")).over(Window.partitionBy(col("u"))))
+      .select(col("u"), col("cohort_week"), (col("w") - col("cohort_week")).as("week_offset"))
+      .distinct()
+    val counts = perUserWeek.groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val base = Window.partitionBy(col("cohort_week"))
+    counts
+      .withColumn("retention",
+        round(col("n_users").cast("double") /
+          max(when(col("week_offset") === 0, col("n_users"))).over(base), 6))
+  }
+
+  /** First-order Markov transition report: counts and row-normalized
+    * probabilities of `prev_type -> next_type` over each user's event
+    * sequence in `(ts, event_id)` order. Returns `(prev_type, next_type,
+    * n, prob)`, prob rounded to 6 dp; a user's first event has no
+    * predecessor and contributes nothing.
+    *
+    * One lag window on the user exchange, then a map-side-combinable
+    * count on at most |types|^2 keys; the row normalizer is a window over
+    * that tiny frame.
+    */
+  def transitions(
+      events: DataFrame, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val ord = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(typeCol), col(tsCol), col(idCol))
+      .withColumn("prev_type", lag(col(typeCol), 1).over(ord))
+      .where(col("prev_type").isNotNull)
+    val counts = pairs.groupBy(col("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.withColumn("prob",
+      round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))), 6))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class BehaviorSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  // user 1 completes a->b->c in order; user 2 does b before a (b must not
+  // count) then a, then c WITHOUT a middle b after a (c must not count);
+  // user 3 only a; user 4 has a and b at the SAME ts — event_id breaks the
+  // tie, so b (higher id) sees a strictly before it and counts.
+  private def ev = Seq(
+    (1L, 1L, "a", 10L), (2L, 1L, "b", 20L), (3L, 1L, "c", 30L),
+    (4L, 2L, "b", 5L), (5L, 2L, "a", 10L), (6L, 2L, "c", 20L),
+    (7L, 3L, "a", 10L),
+    (8L, 4L, "a", 40L), (9L, 4L, "b", 40L)
+  ).map { case (id, u, t, s) => (id, u, t, ts(s)) }
+    .toDF("event_id", "user_id", "event_type", "ts")
+
+  test("funnel: strict ordering, ties broken by event_id") {
+    val out = Behavior.funnel(ev, Seq("a", "b", "c"))
+      .orderBy("stage_idx")
+      .select($"stage", $"n_users", $"conv_from_first", $"conv_from_prev")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    // a: users 1,2,3,4; b in order: 1 (b after a) and 4 (tie, id-after);
+    // user 2's b precedes its a. c in order: only user 1.
+    assert(out == Seq(
+      ("a", 4L, 1.0, 1.0),
+      ("b", 2L, 0.5, 0.5),
+      ("c", 1L, 0.25, 0.5)))
+  }
+
+  test("funnel: single stage degenerates to reach count") {
+    val out = Behavior.funnel(ev, Seq("c")).select($"n_users")
+      .as[Long].collect().toSeq
+    assert(out == Seq(2L)) // users 1 and 2 have a c event
+  }
+
+  test("cohortRetention: epoch-week cohorts and offsets") {
+    val wk = 604800L
+    val e = Seq(
+      (1L, 1L, wk * 100 + 5), (2L, 1L, wk * 101 + 6), (3L, 1L, wk * 103),
+      (4L, 2L, wk * 101 + 1), (5L, 2L, wk * 101 + 2),
+      (6L, 3L, wk * 100), (7L, 3L, wk * 101 - 1) // same week, offset 0 only
+    ).map { case (id, u, s) => (id, u, "x", ts(s)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Behavior.cohortRetention(e)
+      .orderBy("cohort_week", "week_offset")
+      .select($"cohort_week", $"week_offset", $"n_users", $"retention")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (100L, 0L, 2L, 1.0), (100L, 1L, 1L, 0.5), (100L, 3L, 1L, 0.5),
+      (101L, 0L, 1L, 1.0)))
+  }
+
+  test("transitions: per-user lag pairs, row-normalized probabilities") {
+    val out = Behavior.transitions(ev)
+      .orderBy("prev_type", "next_type")
+      .select($"prev_type", $"next_type", $"n", $"prob")
+      .as[(String, String, Long, Double)].collect().toSeq
+    // user1: a->b, b->c; user2: b->a, a->c; user3: none; user4: a->b
+    assert(out == Seq(
+      ("a", "b", 2L, 0.666667), ("a", "c", 1L, 0.333333),
+      ("b", "a", 1L, 0.5), ("b", "c", 1L, 0.5)))
+  }
+
+  test("funnel plan: exactly one exchange up to the per-user aggregate") {
+    val perUserPlan = Behavior.funnel(ev, Seq("a", "b", "c"))
+      .queryExecution.executedPlan.toString
+    // window pass + same-key reaggregation must share one user-hash
+    // exchange; the stage summary adds only a single-partition exchange
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(perUserPlan).size
+    assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$perUserPlan")
+  }
+}
