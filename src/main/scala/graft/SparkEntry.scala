@@ -2106,6 +2106,18 @@ object SparkEntry {
         .orderBy("prev_type", "next_type")
     }),
 
+    "q192_trend_ols" -> ((s, d) => {
+      // per-type OLS trend of event value over the hour index from a fixed
+      // origin: exact decimal sufficient statistics, one O(groups) shuffle,
+      // coefficients a fixed IEEE double tree over the exact sums
+      val ev = events(s, d).select(col("event_type"),
+        ((unix_timestamp(col("ts")) - lit(1704067200L)) / lit(3600L))
+          .cast("long").as("hour_idx"),
+        col("value"))
+      graft.ops.Profile.trendOls(ev, Seq("event_type"), "hour_idx", "value")
+        .orderBy("event_type")
+    }),
+
     "q187_stream_drift" -> ((s, d) => {
       // q185's drift report with the candidate slice ARRIVING as a stream
       // against the frozen en baseline: Complete-mode token counts are
@@ -4902,6 +4914,33 @@ object SparkEntry {
          SELECT prev_type, next_type, n,
            round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS prob
          FROM c ORDER BY prev_type, next_type""",
+
+    // exact decimal sums -> double closed form, the identical expression
+    // tree on both engines (see Profile.trendOls exactness contract)
+    "q192_trend_ols" ->
+      """WITH e AS (SELECT event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) // 3600 AS x,
+             value AS y FROM events),
+         g AS (SELECT event_type, count(*) AS n,
+             sum(CAST(x AS DECIMAL(18,4))) AS sx,
+             sum(CAST(y AS DECIMAL(18,4))) AS sy,
+             sum(CAST(x AS DECIMAL(18,4)) * CAST(x AS DECIMAL(18,4))) AS sxx,
+             sum(CAST(y AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4))) AS syy,
+             sum(CAST(x AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4))) AS sxy
+           FROM e WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1),
+         dd AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+             CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+             CAST(sxy AS DOUBLE) AS sxyd FROM g),
+         f AS (SELECT event_type, n, nd, sxd, syd,
+             (nd * sxyd - sxd * syd) AS covn,
+             (nd * sxxd - sxd * sxd) AS varxn,
+             (nd * syyd - syd * syd) AS varyn FROM dd)
+         SELECT event_type, n,
+           round(covn / varxn, 6) AS slope,
+           round((syd - (covn / varxn) * sxd) / nd, 6) AS intercept,
+           round((covn * covn) / (varxn * varyn), 6) AS r2
+         FROM f ORDER BY event_type""",
 
     "q187_stream_drift" -> tokenDriftOracle,
 

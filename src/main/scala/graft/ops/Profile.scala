@@ -242,6 +242,50 @@ object Profile {
       lin3("s_xy_h", "s_xy_m", "s_xy_l").as("sxy")): _*))
   }
 
+  /** Per-group simple OLS fit `y = intercept + slope*x`: returns one row
+    * per group with `(groupCols..., n, slope, intercept, r2)`, the fit
+    * coefficients rounded to 6 dp — the "is this metric drifting over
+    * time" trend report run per source/type/segment.
+    *
+    * Exactness contract: the five sufficient-statistic sums route through
+    * `decimal(18,scale)` (products `decimal(37, 2*scale)`, sums
+    * `decimal(38, 2*scale)`), so they are EXACT and merge-order-free; the
+    * closed-form slope/intercept/r2 is then a fixed tree of per-row IEEE
+    * double ops over those exact sums — bit-reproducible in any engine
+    * that replays the same tree. Inputs must satisfy `|x|,|y| < 1e14`
+    * (decimal(18,4) domain); with 38-digit headroom the sums stay exact
+    * past 1e12 rows per group at |x*y| <= 1e12 — the 100 TB envelope for
+    * bounded metrics like hour indexes and event values.
+    *
+    * Scale: ONE map-side-combinable aggregation (six partial sums per
+    * group), shuffle volume O(groups); the coefficient math runs on the
+    * already-tiny group frame. Rows with a null x or y are excluded
+    * (pairwise-complete, the [[correlationMatrix]] convention).
+    */
+  def trendOls(
+      df: DataFrame, groupCols: Seq[String], xCol: String, yCol: String,
+      scale: Int = 4): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val xd = col(xCol).cast(s"decimal(18,$scale)")
+    val yd = col(yCol).cast(s"decimal(18,$scale)")
+    val g = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(xd).as("__sx"), sum(yd).as("__sy"),
+        sum(xd * xd).as("__sxx"), sum(yd * yd).as("__syy"),
+        sum(xd * yd).as("__sxy"))
+    def d(c: String) = col(c).cast("double")
+    val n = col("n").cast("double")
+    val covn = n * d("__sxy") - d("__sx") * d("__sy")
+    val varxn = n * d("__sxx") - d("__sx") * d("__sx")
+    val varyn = n * d("__syy") - d("__sy") * d("__sy")
+    val slope = covn / varxn
+    g.select(groupCols.map(col) ++ Seq(col("n"),
+      round(slope, 6).as("slope"),
+      round((d("__sy") - slope * d("__sx")) / n, 6).as("intercept"),
+      round((covn * covn) / (varxn * varyn), 6).as("r2")): _*)
+  }
+
   def quantileTrim(
       df: DataFrame, colName: String, loQ: Double, hiQ: Double): DataFrame = {
     require(0.0 <= loQ && loQ <= hiQ && hiQ <= 1.0, "need 0 <= loQ <= hiQ <= 1")

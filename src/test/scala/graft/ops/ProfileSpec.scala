@@ -125,4 +125,26 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
       intMoments = false).collect()
     assert(ok.length == 1 && ok.head.getLong(2) == 2L)
   }
+
+  test("trendOls: closed-form fit per group, nulls pairwise-excluded") {
+    val d = Seq(
+      // group a: perfect line y = 1 + 2x
+      ("a", Some(0.0), Some(1.0)), ("a", Some(1.0), Some(3.0)),
+      ("a", Some(2.0), Some(5.0)),
+      // group b: (0,0),(1,1),(2,1) -> slope .5, intercept 1/6, r2 .75
+      ("b", Some(0.0), Some(0.0)), ("b", Some(1.0), Some(1.0)),
+      ("b", Some(2.0), Some(1.0)),
+      // null on either side drops the row
+      ("b", None, Some(9.0)), ("b", Some(9.0), None)
+    ).toDF("g", "x", "y")
+    val out = Profile.trendOls(d, Seq("g"), "x", "y").orderBy("g")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      ("a", 3L, 2.0, 1.0, 1.0),
+      ("b", 3L, 0.5, 0.166667, 0.75)))
+    // partition-count invariance: exact decimal sums merge in any order
+    val p13 = Profile.trendOls(d.repartition(13), Seq("g"), "x", "y")
+      .orderBy("g").as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(p13 == out)
+  }
 }
