@@ -2106,6 +2106,27 @@ object SparkEntry {
         .orderBy("prev_type", "next_type")
     }),
 
+    "q193_winnow_pairs" -> ((s, d) => {
+      // winnowing (MOSS) text-reuse screen, PORTABLE twin: md5 gram
+      // hashes + windowed min + postings self-join under the ubiquity
+      // cap, every stage replayed by the oracle; the production path is
+      // the one-pass native kernel (portable = false, WinnowSpec)
+      Dedup.winnowCandidatePairs(
+          fanOut(s, t(s, d, "documents"), "doc_id"), "doc_id", "text",
+          k = 7, w = 5, maxPostings = 20, minShared = 8, portable = true)
+        .orderBy("id_l", "id_r")
+    }),
+
+    "q194_sparse_cosine" -> ((s, d) => {
+      // inverted-index all-pairs tf cosine: postings equi-join under the
+      // df cap (join fan-out <= maxDf * |postings|), integer dots, one
+      // IEEE double tree for the score, deterministic rounded-score top-k
+      Similarity.sparseCosineTopK(
+          fanOut(s, t(s, d, "documents"), "doc_id"), "doc_id", "text",
+          k = 10, maxDf = 100)
+        .orderBy(col("cosine").desc, col("id_l"), col("id_r"))
+    }),
+
     "q192_trend_ols" -> ((s, d) => {
       // per-type OLS trend of event value over the hour index from a fixed
       // origin: exact decimal sufficient statistics, one O(groups) shuffle,
@@ -4914,6 +4935,56 @@ object SparkEntry {
          SELECT prev_type, next_type, n,
            round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS prob
          FROM c ORDER BY prev_type, next_type""",
+
+    // full winnowing replay: positional 7-grams, 60-bit md5 prefix hash,
+    // min over ROWS CURRENT..4 FOLLOWING, window count = greatest(ng-4,1),
+    // distinct fps, <=20-posting ubiquity cut, >=8-shared pair filter
+    "q193_winnow_pairs" ->
+      raw"""WITH n AS (SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+           FROM documents WHERE text IS NOT NULL),
+         b AS (SELECT doc_id, norm, greatest(length(norm) - 6, 1) AS ng FROM n),
+         p AS (SELECT doc_id, ng, i,
+             CAST(concat('0x', substring(md5(substring(norm, i, 7)), 1, 15))
+               AS BIGINT) AS h
+           FROM (SELECT doc_id, norm, ng,
+                   unnest(generate_series(1, ng)) AS i FROM b)),
+         wm AS (SELECT doc_id, ng, i, min(h) OVER (PARTITION BY doc_id
+             ORDER BY i ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp FROM p),
+         sel AS (SELECT DISTINCT doc_id, fp FROM wm
+           WHERE i <= greatest(ng - 4, 1)),
+         keep AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 20),
+         pr AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS shared
+           FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           WHERE a.fp IN (SELECT fp FROM keep)
+           GROUP BY 1, 2)
+         SELECT id_l, id_r, shared FROM pr WHERE shared >= 8
+         ORDER BY id_l, id_r""",
+
+    // postings replay: tf, df <= 100 cut, integer dot over kept terms,
+    // full-term norms, one double tree, rounded-score + id top-10
+    "q194_sparse_cosine" ->
+      raw"""WITH tok AS (SELECT doc_id AS doc,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '')) AS term
+           FROM documents WHERE text IS NOT NULL),
+         tf AS (SELECT doc, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         keep AS (SELECT term FROM tf GROUP BY term
+           HAVING count(*) <= 100 AND count(*) >= 2),
+         bounded AS (SELECT * FROM tf WHERE term IN (SELECT term FROM keep)),
+         norms AS (SELECT doc, CAST(sum(tf * tf) AS BIGINT) AS n2
+           FROM tf GROUP BY doc),
+         dots AS (SELECT a.doc AS id_l, b.doc AS id_r,
+             CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+           FROM bounded a JOIN bounded b
+             ON a.term = b.term AND a.doc < b.doc GROUP BY 1, 2),
+         c AS (SELECT id_l, id_r, dot,
+             round(CAST(dot AS DOUBLE) /
+               sqrt(CAST(nl.n2 AS DOUBLE) * CAST(nr.n2 AS DOUBLE)), 6) AS cosine
+           FROM dots JOIN norms nl ON nl.doc = id_l
+                     JOIN norms nr ON nr.doc = id_r)
+         SELECT id_l, id_r, dot, cosine FROM c
+         ORDER BY cosine DESC, id_l, id_r LIMIT 10""",
 
     // exact decimal sums -> double closed form, the identical expression
     // tree on both engines (see Profile.trendOls exactness contract)

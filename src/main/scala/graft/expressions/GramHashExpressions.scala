@@ -234,9 +234,34 @@ object GramHashExpressions {
       copy(child = newChild)
   }
 
+  /** Sorted distinct winnowing fingerprints (window-min gram hashes, the
+    * MOSS scheme) — see [[GramHashRuntime.winnowFingerprintSet]] for the
+    * guarantee and the deque kernel.
+    */
+  case class WinnowFingerprintSet(child: Expression, n: Int, w: Int, seed: Long = 42L)
+      extends UnaryExpression {
+    require(n > 0, "n must be positive")
+    require(w > 0, "w must be positive")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "winnow_fingerprint_set"
+
+    override def nullSafeEval(input: Any): Any =
+      GramHashRuntime.winnowFingerprintSet(input.asInstanceOf[UTF8String], n, w, seed)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.GramHashRuntime.winnowFingerprintSet($c, $n, $w, ${seed}L);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Column wrappers. */
   def charNgramHashSet(c: Column, n: Int): Column =
     ColumnBridge.column(CharNgramHashSet(ColumnBridge.expression(c), n))
+
+  def winnowFingerprintSet(c: Column, n: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprintSet(ColumnBridge.expression(c), n, w))
 
   def wordShingleHashSet(c: Column, k: Int): Column =
     ColumnBridge.column(WordShingleHashSet(ColumnBridge.expression(c), k))

@@ -44,6 +44,51 @@ object GramHashRuntime {
     }
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS local fingerprinting scheme): the sorted distinct MINIMA of
+    * every `w`-window over the positional `n`-byte-gram hash sequence.
+    * Guarantee: two documents sharing any substring of at least
+    * `n + w - 1` bytes share at least one fingerprint. Strings shorter
+    * than `n` yield the whole-string hash; gram sequences shorter than
+    * `w` yield one fingerprint (the global min) — no document is ever
+    * fingerprint-free.
+    *
+    * One pass: positional gram hashes (NOT deduped — winnowing needs the
+    * sequence), then sliding-window minima via a monotonic index deque
+    * (amortized O(1) per gram, independent of `w`), then sort+dedup of
+    * the ~len/w selected values.
+    */
+  def winnowFingerprintSet(s: UTF8String, n: Int, w: Int, seed: Long): ArrayData = {
+    val bytes = s.getBytes
+    if (bytes.length <= n) {
+      return new GenericArrayData(Array(
+        XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, seed)))
+    }
+    val cnt = bytes.length - n + 1
+    val hashes = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      hashes(i) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + i, n, seed)
+      i += 1
+    }
+    val out = new Array[Long](math.max(cnt - w + 1, 1))
+    val dq = new Array[Int](cnt) // monotonic index deque: dq[head..tail)
+    var head = 0
+    var tail = 0
+    var outN = 0
+    i = 0
+    while (i < cnt) {
+      while (tail > head && hashes(dq(tail - 1)) >= hashes(i)) tail -= 1
+      dq(tail) = i
+      tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) { out(outN) = hashes(dq(head)); outN += 1 }
+      i += 1
+    }
+    if (outN == 0) { out(0) = hashes(dq(head)); outN = 1 } // cnt < w
+    sortedDistinct(out, outN)
+  }
+
   private def isTokenByte(b: Byte): Boolean =
     (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
       (b >= '0' && b <= '9') || b < 0 // multi-byte UTF-8 continuation/lead

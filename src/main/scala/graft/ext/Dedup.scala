@@ -719,6 +719,84 @@ object Dedup {
         arrayLen(keptPos).cast("long").as("n_kept"))
   }
 
+  /** Winnowing fingerprints per document (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — MOSS): distinct window-min char-gram hashes over the
+    * whitespace-normalized text. Two documents sharing any substring of
+    * `k + w - 1`+ chars share a fingerprint — the plagiarism-detection
+    * selection rule, ~1/w of the gram hashes, position-robust where
+    * head-sampling is not. Returns `(idCol, fp)`.
+    *
+    * Row-local: the native expression does grams + deque window-min +
+    * dedup in ONE pass per document ([[graft.expressions.GramHashRuntime
+    * .winnowFingerprintSet]]); nothing is exploded until the already
+    * ~len/w-sized fingerprint set leaves the scan.
+    */
+  def winnowFingerprints(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 7, w: Int = 5): DataFrame =
+    df.where(col(textCol).isNotNull).select(col(idCol),
+      explode(graft.expressions.GramHashExpressions.winnowFingerprintSet(
+        regexp_replace(lower(trim(col(textCol))), "\\s+", " "), k, w)).as("fp"))
+
+  /** Differential-testable winnowing: the same normalize / positional-gram
+    * / window-min / distinct pipeline over the PORTABLE gram hash (md5
+    * 60-bit prefix) — explode + windowed min instead of the one-pass
+    * native kernel, every operator replayable in any SQL engine (the
+    * [[simhashPortable]] convention). Exists to put the ALGORITHM under
+    * the cross-engine oracle; [[winnowFingerprints]] is the production
+    * path.
+    */
+  def winnowFingerprintsPortable(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 7, w: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val base = df.where(col(textCol).isNotNull)
+      .select(col(idCol), norm.as("__norm"))
+      .withColumn("__ng", greatest(length(col("__norm")) - (k - 1), lit(1)))
+    val pos = base
+      .select(col(idCol), col("__norm"), col("__ng"),
+        explode(sequence(lit(1), col("__ng"))).as("__i"))
+      .withColumn("__h",
+        conv(substring(md5(col("__norm").substr(col("__i"), lit(k))), 1, 15),
+          16, 10).cast("long"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("__i"))
+      .rowsBetween(Window.currentRow, w - 1)
+    pos.withColumn("fp", min(col("__h")).over(win))
+      .where(col("__i") <= greatest(col("__ng") - (w - 1), lit(1)))
+      .select(col(idCol), col("fp")).distinct()
+  }
+
+  /** Winnowing candidate pairs: documents sharing at least `minShared`
+    * fingerprints, with the shared count — the near-copy screen for
+    * text reuse / plagiarism at corpus scale. Fingerprints appearing in
+    * more than `maxPostings` documents (boilerplate fragments — the
+    * fingerprint analog of stopwords) are dropped BEFORE the self-join,
+    * bounding the per-fingerprint fan-out at `maxPostings^2`; total join
+    * output is then <= maxPostings * |postings| — linear in the corpus.
+    * Singleton fingerprints are also pruned (they cannot form a pair —
+    * output-neutral, halves the join input).
+    */
+  def winnowCandidatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 7, w: Int = 5, maxPostings: Int = 50, minShared: Int = 2,
+      portable: Boolean = false): DataFrame = {
+    require(maxPostings >= 2, "maxPostings must be at least 2")
+    require(minShared >= 1, "minShared must be at least 1")
+    val fps =
+      if (portable) winnowFingerprintsPortable(df, idCol, textCol, k, w)
+      else winnowFingerprints(df, idCol, textCol, k, w)
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxPostings && col("__n") >= 2)
+      .select(col("fp"))
+    val bounded = fps.join(keep, Seq("fp"), "leftsemi")
+    val l = bounded.select(col("fp"), col(idCol).as("id_l"))
+    val r = bounded.select(col("fp"), col(idCol).as("id_r"))
+    l.join(r, Seq("fp")).where(col("id_l") < col("id_r"))
+      .groupBy(col("id_l"), col("id_r")).agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   /** 64-bit SimHash per document: per-bit majority vote over token hashes
     * (multiplicity-weighted), computed by the native single-pass expression —
     * no explode, no shuffle, one long per document out of the scan.

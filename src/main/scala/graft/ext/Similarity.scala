@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.vectors
+import graft.functions.{text, vectors}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -171,5 +171,51 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", vectors.cosine(col("q_vec"), col("c_vec")))
     cosineTopKRank(cand, k)
+  }
+
+  /** Sparse text cosine via an INVERTED INDEX: the k globally most
+    * term-similar document pairs under raw-term-frequency cosine, computed
+    * as a postings self-join — the classic all-pairs similarity shape
+    * (one equi-join per shared term, NEVER doc x doc). Returns
+    * `(id_l, id_r, dot, cosine)` with cosine rounded to 6 dp.
+    *
+    * Terms with document frequency above `maxDf` (stop-like terms — the
+    * overwhelming share of join fan-out and of nothing-in-common pairs)
+    * are EXCLUDED from the dot product; norms keep every term, so the
+    * score is the true-norm cosine of the pruned dot — the standard
+    * stop-pruned formulation, replayable exactly in SQL. Join output is
+    * bounded by `maxDf * |postings|` — linear in the corpus at fixed
+    * `maxDf`. Singleton terms (df = 1) cannot contribute to any pair and
+    * are pruned output-neutrally.
+    *
+    * Exactness: tf and dot are integer sums; cosine is one fixed tree of
+    * IEEE double ops (`dot / sqrt(n2_l * n2_r)`) over exact integers —
+    * bit-reproducible cross-engine. Ordering is on the ROUNDED cosine
+    * with `(id_l, id_r)` tie-break, so the top-k cut is deterministic.
+    */
+  def sparseCosineTopK(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 10, maxDf: Int = 100): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(maxDf >= 2, "maxDf must be at least 2")
+    val tf = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"), explode(text.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val keep = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf && col("__df") >= 2)
+      .select(col("term"))
+    val bounded = tf.join(keep, Seq("term"), "leftsemi")
+    val norms = tf.groupBy(col("doc")).agg(sum(col("tf") * col("tf")).as("n2"))
+    val l = bounded.select(col("term"), col("doc").as("id_l"), col("tf").as("tf_l"))
+    val r = bounded.select(col("term"), col("doc").as("id_r"), col("tf").as("tf_r"))
+    l.join(r, Seq("term")).where(col("id_l") < col("id_r"))
+      .groupBy(col("id_l"), col("id_r"))
+      .agg(sum(col("tf_l") * col("tf_r")).as("dot"))
+      .join(norms.select(col("doc").as("id_l"), col("n2").as("__n2l")), Seq("id_l"))
+      .join(norms.select(col("doc").as("id_r"), col("n2").as("__n2r")), Seq("id_r"))
+      .withColumn("cosine", round(col("dot").cast("double") /
+        sqrt(col("__n2l").cast("double") * col("__n2r").cast("double")), 6))
+      .orderBy(col("cosine").desc, col("id_l"), col("id_r")).limit(k)
+      .select(col("id_l"), col("id_r"), col("dot"), col("cosine"))
   }
 }

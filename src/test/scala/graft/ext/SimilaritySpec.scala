@@ -206,4 +206,21 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.8, s"recall=$recall")
   }
+
+  test("sparseCosineTopK: known dots, full-term norms, df cap excludes stop terms") {
+    val docs = Seq(
+      (1L, "the alpha beta alpha"), // tf a:2 b:1 the:1, n2 = 6
+      (2L, "the alpha beta"),       // tf a:1 b:1 the:1, n2 = 3
+      (3L, "the zeta zeta zeta")    // tf z:3 the:1,     n2 = 10
+    ).toDF("doc_id", "text")
+    // maxDf = 2: 'the' (df 3) is capped out of dots, 'zeta' (df 1) is a
+    // singleton; only alpha/beta survive -> the only pair is (1,2) with
+    // dot 2*1 + 1*1 = 3; norms keep EVERY term
+    val out = Similarity.sparseCosineTopK(docs, "doc_id", "text",
+        k = 10, maxDf = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val expected = BigDecimal(3.0 / math.sqrt(6.0 * 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Seq((1L, 2L, 3L, expected)))
+  }
 }
