@@ -373,6 +373,20 @@ object SparkEntry {
     * can never assert different things (token counts are order-insensitive,
     * so streamed == batch verbatim).
     */
+  /** Shared by q191 (batch lag window) and q195 (stateful streaming twin —
+    * the carried last-event state makes the streamed pairs exactly the
+    * batch lag pairs, so one replay gates both).
+    */
+  private val transitionsOracle: String =
+    """WITH e AS (SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type FROM events),
+       c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+           FROM e WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+       SELECT prev_type, next_type, n,
+         round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS prob
+       FROM c ORDER BY prev_type, next_type"""
+
   private val tokenDriftOracle: String =
     raw"""WITH tk AS (SELECT lang,
            unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
@@ -2104,6 +2118,28 @@ object SparkEntry {
       // window + a |types|^2-key count, probabilities exact integer ratios
       graft.ops.Behavior.transitions(events(s, d))
         .orderBy("prev_type", "next_type")
+    }),
+
+    "q195_stream_transitions" -> ((s, d) => {
+      // q191 with the log ARRIVING as an event-id-sliced stream: the
+      // carried last-event-per-user state (O(users), one record each)
+      // splices sequences across micro-batches, so the emitted pairs are
+      // exactly the batch lag pairs and q191's oracle gates this verbatim
+      import graft.streaming.CorpusStreams
+      val mx = events(s, d).agg(max(col("event_id"))).head().getLong(0)
+      val staged = CorpusStreams.stageIdSlices(s, s"$d/events.parquet",
+        "event_id", cuts = Seq(mx / 3, 2 * mx / 3))
+      val name = s"graft_stream_trans_${streamCounter.incrementAndGet()}"
+      EventStreams.transitionsStatefulStreaming(s, staged, name,
+          shufflePartitions = Some(8))
+        .orderBy("prev_type", "next_type")
+    }),
+
+    "q196_mad_outliers" -> ((s, d) => {
+      // robust median/MAD outlier screen per event type: three bounded
+      // group aggregations, broadcast stat joins, 3-sigma-equivalent cut
+      graft.ops.Behavior.madOutliers(events(s, d), Seq("event_type"), "value")
+        .orderBy("event_type")
     }),
 
     "q193_winnow_pairs" -> ((s, d) => {
@@ -4926,15 +4962,29 @@ object SparkEntry {
            round(CAST(n_users AS DOUBLE) / base, 6) AS retention
          FROM f ORDER BY cohort_week, week_offset""",
 
-    "q191_event_transitions" ->
-      """WITH e AS (SELECT user_id, event_type, ts, event_id,
-             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS prev_type FROM events),
-         c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
-             FROM e WHERE prev_type IS NOT NULL GROUP BY 1, 2)
-         SELECT prev_type, next_type, n,
-           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS prob
-         FROM c ORDER BY prev_type, next_type""",
+    "q191_event_transitions" -> transitionsOracle,
+
+    "q195_stream_transitions" -> transitionsOracle,
+
+    // three-pass replay: quantile_cont median, MAD over absolute
+    // deviations, then the 3-sigma-equivalent robust cut — percentile and
+    // quantile_cont share the interpolated convention (the q37 precedent)
+    "q196_mad_outliers" ->
+      """WITH e AS (SELECT event_type, value FROM events
+           WHERE value IS NOT NULL),
+         med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM e GROUP BY 1),
+         dev AS (SELECT e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS ad
+           FROM e JOIN med m USING (event_type)),
+         mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+           FROM dev GROUP BY 1),
+         sc AS (SELECT d.event_type, d.ad, d.med, m2.mad
+           FROM dev d JOIN mad m2 USING (event_type))
+         SELECT event_type, count(*) AS n, round(max(med), 6) AS median,
+           round(max(mad), 6) AS mad,
+           count(CASE WHEN ad > 3.0 * 1.4826 * mad THEN 1 END) AS n_outliers
+         FROM sc GROUP BY event_type ORDER BY event_type""",
 
     // full winnowing replay: positional 7-grams, 60-bit md5 prefix hash,
     // min over ROWS CURRENT..4 FOLLOWING, window count = greatest(ng-4,1),

@@ -105,6 +105,45 @@ object Behavior {
           max(when(col("week_offset") === 0, col("n_users"))).over(base), 6))
   }
 
+  /** Robust per-group outlier report: exact median and MAD (median
+    * absolute deviation), and the count of values beyond
+    * `cutoff * 1.4826 * MAD` of the median (1.4826 = the normal-
+    * consistency constant, so `cutoff` reads in sigma units). The
+    * median/MAD rule survives the very outliers a mean/stddev z-score is
+    * skewed by — the standard robust screen for metric monitoring.
+    * Returns `(groupCols..., n, median, mad, n_outliers)`, median/mad
+    * rounded to 6 dp.
+    *
+    * Three passes over the input (median, MAD, outlier count), each ONE
+    * map-side-combinable-or-percentile aggregation on O(groups) keys,
+    * with the tiny per-group stats joined back by broadcast — no events-
+    * sized shuffle beyond the three group exchanges. Exact `percentile`
+    * holds a group's values in the aggregation buffer; for sketch-bounded
+    * state at extreme group sizes use the [[graft.ext.Sketches]] quantile
+    * path instead (the q37-vs-q154 tradeoff).
+    */
+  def madOutliers(
+      df: DataFrame, groupCols: Seq[String], valCol: String,
+      cutoff: Double = 3.0): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(cutoff > 0, "cutoff must be positive")
+    val v = col(valCol)
+    val base = df.where(v.isNotNull)
+    val med = base.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valCol, 0.5)").as("__med"))
+    val dev = base.join(broadcast(med), groupCols)
+      .withColumn("__ad", abs(v - col("__med")))
+    val mad = dev.groupBy(groupCols.map(col): _*)
+      .agg(expr("percentile(__ad, 0.5)").as("__mad"))
+    dev.join(broadcast(mad), groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        round(max(col("__med")), 6).as("median"),
+        round(max(col("__mad")), 6).as("mad"),
+        count(when(col("__ad") > lit(cutoff) * lit(1.4826) * col("__mad"), 1))
+          .as("n_outliers"))
+  }
+
   /** First-order Markov transition report: counts and row-normalized
     * probabilities of `prev_type -> next_type` over each user's event
     * sequence in `(ts, event_id)` order. Returns `(prev_type, next_type,

@@ -458,10 +458,81 @@ object EventStreams {
     drainMemorySink(spark, queryName)
   }
 
+  /** Stateful streaming twin of [[graft.ops.Behavior.transitions]]: one
+    * `(prev_type, next_type)` row per event that has a predecessor in its
+    * user's `(ts, event_id)` order, with the LAST event per user carried
+    * across micro-batches as state — O(users) state, each entry one small
+    * record, never a buffer of events.
+    *
+    * Exactness contract: within a batch the group's events are sorted by
+    * `(ts, event_id)`; across batches the carried last-event state splices
+    * the sequences. Provided each user's events arrive batch-ordered by
+    * `(ts, event_id)` — true for event-id-sliced staging of a time-ordered
+    * log — every emitted pair is exactly the batch `lag` pair, so the
+    * aggregated counts are bit-identical to the batch operator and sit
+    * under its oracle verbatim.
+    */
+  def transitionsStateful(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("event_id").cast("long"), col("ts"),
+      col("user_id").cast("long"), col("event_type"), col("value").cast("double"))
+      .as[Ev]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEv, TransPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, evs: Iterator[Ev], state: GroupState[LastEv]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var last = state.getOption
+            val out = List.newBuilder[TransPair]
+            sorted.foreach { e =>
+              last.foreach(l => out += TransPair(l.event_type, e.event_type))
+              last = Some(LastEv(e.ts.getTime, e.event_id, e.event_type))
+            }
+            state.update(last.get)
+            out.result().iterator
+          }
+      }.toDF()
+  }
+
+  /** Drive [[transitionsStateful]] over a staged multi-batch file stream
+    * and aggregate the emitted pairs to the batch operator's
+    * `(prev_type, next_type, n, prob)` frame.
+    */
+  def transitionsStatefulStreaming(
+      spark: SparkSession, stagedDir: String, queryName: String,
+      shufflePartitions: Option[Int] = None,
+      rocksdbState: Boolean = false): DataFrame = {
+    val schema = spark.read.parquet(stagedDir).schema
+    val stream = normalizeTs(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir))
+    withStatePartitions(spark, shufflePartitions, rocksdbState) {
+      val q = transitionsStateful(stream).writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val pairs = drainMemorySink(spark, queryName)
+    pairs.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob",
+        round(col("n").cast("double") / sum(col("n"))
+          .over(Window.partitionBy(col("prev_type"))), 6))
+  }
+
   // NOTE: these must be public — Catalyst's generated (de)serializer code
   // cannot access private nested case classes.
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
+  /** Carried last event per user for [[transitionsStateful]]. */
+  case class LastEv(ts: Long, event_id: Long, event_type: String)
+  /** One emitted transition. */
+  case class TransPair(prev_type: String, next_type: String)
   /** `sumScaled` is the exact DECIMAL(_,4) sum as an unscaled long — the
     * stateful twin of the repo-wide `dsum` convention: accumulating raw
     * doubles in state would make the emitted sum depend on FP addition

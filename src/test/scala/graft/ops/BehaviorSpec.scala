@@ -70,6 +70,18 @@ class BehaviorSpec extends AnyFunSuite with SparkSpec {
       ("b", "a", 1L, 0.5), ("b", "c", 1L, 0.5)))
   }
 
+  test("madOutliers: exact median/MAD per group, robust cut counts") {
+    // group g: values 1..9 plus an extreme 1000 -> median 5.5 (interpolated
+    // over 10 values), ad = |x-5.5| in {4.5,3.5,...,0.5, 994.5}, MAD =
+    // median(0.5..4.5, 994.5) = 2.5; cut = 3*1.4826*2.5 = 11.1195 ->
+    // only 1000 is an outlier. The z-score would have been wrecked by it.
+    val d = ((1 to 9).map(_.toDouble) :+ 1000.0).map(("g", _))
+      .toDF("grp", "v")
+    val out = Behavior.madOutliers(d, Seq("grp"), "v")
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    assert(out == Seq(("g", 10L, 5.5, 2.5, 1L)))
+  }
+
   test("funnel plan: exactly one exchange up to the per-user aggregate") {
     val perUserPlan = Behavior.funnel(ev, Seq("a", "b", "c"))
       .queryExecution.executedPlan.toString

@@ -58,6 +58,29 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(closed.contains((2L, 1L, 4.0)))
   }
 
+  test("stateful streaming transitions splice sequences across micro-batches") {
+    // split MID-user-sequence: user 1's click->view pair is in b1, its
+    // view->click pair crosses the batch boundary (the carried state path)
+    val dir = java.nio.file.Files.createTempDirectory("graft_trans").toString
+    events.where($"event_id".isin(1, 2, 4)).coalesce(1).write.parquet(s"$dir/b1")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/b*/")
+    val q = EventStreams.transitionsStateful(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("trans_test").start()
+    q.processAllAvailable()
+    events.where($"event_id".isin(3, 5, 6)).coalesce(1).write.parquet(s"$dir/b2")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("trans_test")
+      .groupBy("prev_type", "next_type").count()
+      .as[(String, String, Long)].collect().toSet
+    val batch = graft.ops.Behavior.transitions(events)
+      .select($"prev_type", $"next_type", $"n")
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch == Set(("click", "view", 2L), ("view", "click", 2L)))
+  }
+
   test("watermark drops late data in streaming windowed aggregation") {
     val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
     // batch 1: events up to minute 200
