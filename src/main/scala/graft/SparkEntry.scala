@@ -2126,12 +2126,14 @@ object SparkEntry {
       // splices sequences across micro-batches, so the emitted pairs are
       // exactly the batch lag pairs and q191's oracle gates this verbatim
       import graft.streaming.CorpusStreams
+      // one mid-log cut: two micro-batches are exactly what exercises the
+      // cross-batch state splice; more slices only re-pay staging writes
       val mx = events(s, d).agg(max(col("event_id"))).head().getLong(0)
       val staged = CorpusStreams.stageIdSlices(s, s"$d/events.parquet",
-        "event_id", cuts = Seq(mx / 3, 2 * mx / 3))
+        "event_id", cuts = Seq(mx / 2))
       val name = s"graft_stream_trans_${streamCounter.incrementAndGet()}"
       EventStreams.transitionsStatefulStreaming(s, staged, name,
-          shufflePartitions = Some(8))
+          shufflePartitions = Some(4))
         .orderBy("prev_type", "next_type")
     }),
 

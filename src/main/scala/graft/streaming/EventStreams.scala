@@ -475,24 +475,35 @@ object EventStreams {
   def transitionsStateful(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val typed = events.select(col("event_id").cast("long"), col("ts"),
-      col("user_id").cast("long"), col("event_type"), col("value").cast("double"))
-      .as[Ev]
+    // narrow serde: epoch-micros long instead of Timestamp, no payload
+    // columns — the per-event encoder cost is the operator's floor
+    val typed = events.select(col("event_id").cast("long"),
+      unix_micros(col("ts")).as("ts_us"), col("user_id").cast("long"),
+      col("event_type"))
+      .as[EvLite]
     typed.groupByKey(_.user_id)
-      .flatMapGroupsWithState[LastEv, TransPair](
+      .flatMapGroupsWithState[LastEv, TransCount](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: Long, evs: Iterator[Ev], state: GroupState[LastEv]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        (_: Long, evs: Iterator[EvLite], state: GroupState[LastEv]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
           if (sorted.isEmpty) Iterator.empty
           else {
             var last = state.getOption
-            val out = List.newBuilder[TransPair]
+            // pre-aggregate per (group, batch): the emitted frame is
+            // <= |types|^2 rows per user-batch instead of one row per
+            // transition — the combine that cuts sink serde to noise;
+            // summing the partials downstream is count-additive, so the
+            // final frame is unchanged
+            val out = scala.collection.mutable.HashMap.empty[(String, String), Long]
             sorted.foreach { e =>
-              last.foreach(l => out += TransPair(l.event_type, e.event_type))
-              last = Some(LastEv(e.ts.getTime, e.event_id, e.event_type))
+              last.foreach { l =>
+                val k = (l.event_type, e.event_type)
+                out.update(k, out.getOrElse(k, 0L) + 1L)
+              }
+              last = Some(LastEv(e.ts_us, e.event_id, e.event_type))
             }
             state.update(last.get)
-            out.result().iterator
+            out.iterator.map { case ((p, n), c) => TransCount(p, n, c) }
           }
       }.toDF()
   }
@@ -519,7 +530,7 @@ object EventStreams {
     }
     val pairs = drainMemorySink(spark, queryName)
     pairs.groupBy(col("prev_type"), col("next_type"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("n"))
       .withColumn("prob",
         round(col("n").cast("double") / sum(col("n"))
           .over(Window.partitionBy(col("prev_type"))), 6))
@@ -529,10 +540,12 @@ object EventStreams {
   // cannot access private nested case classes.
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
+  /** Narrow input row for [[transitionsStateful]] (epoch micros, no payload). */
+  case class EvLite(event_id: Long, ts_us: Long, user_id: Long, event_type: String)
   /** Carried last event per user for [[transitionsStateful]]. */
   case class LastEv(ts: Long, event_id: Long, event_type: String)
-  /** One emitted transition. */
-  case class TransPair(prev_type: String, next_type: String)
+  /** Per-(user, batch) transition partial count. */
+  case class TransCount(prev_type: String, next_type: String, n: Long)
   /** `sumScaled` is the exact DECIMAL(_,4) sum as an unscaled long — the
     * stateful twin of the repo-wide `dsum` convention: accumulating raw
     * doubles in state would make the emitted sum depend on FP addition

@@ -343,4 +343,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"reference gram join must broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q193/q194: pair generation is fingerprint/term equi-joins — never doc x doc") {
+    Seq("q193_winnow_pairs", "q194_sparse_cosine").foreach { q =>
+      val plan = finalPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: cartesian in:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: nested-loop join in:\n$plan")
+    }
+  }
+
+  test("q190/q192/q196: event reports aggregate with map-side combine") {
+    Seq("q190_cohort_retention", "q192_trend_ols").foreach { q =>
+      val plan = finalPlan(q)
+      assert("HashAggregate".r.findAllIn(plan).size >= 2,
+        s"$q: no partial aggregation in:\n$plan")
+    }
+    // the MAD screen's per-group stats come back by broadcast — the events
+    // side must never shuffle for the stat joins
+    val mad = finalPlan("q196_mad_outliers")
+    assert("BroadcastHashJoin".r.findAllIn(mad).size >= 2,
+      s"q196: median/MAD joins must broadcast:\n$mad")
+    assert(!mad.contains("SortMergeJoin"),
+      s"q196: a stat join fell back to sort-merge:\n$mad")
+  }
 }

@@ -72,7 +72,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     q.processAllAvailable()
     q.stop()
     val streamed = spark.table("trans_test")
-      .groupBy("prev_type", "next_type").count()
+      .groupBy("prev_type", "next_type").agg(sum($"n").as("n"))
       .as[(String, String, Long)].collect().toSet
     val batch = graft.ops.Behavior.transitions(events)
       .select($"prev_type", $"next_type", $"n")
