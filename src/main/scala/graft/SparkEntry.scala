@@ -373,6 +373,47 @@ object SparkEntry {
     * can never assert different things (token counts are order-insensitive,
     * so streamed == batch verbatim).
     */
+  /** Shared by q189 (batch chained-window funnel) and q198 (stateful
+    * streaming twin — the carried stage-reach bitmap makes streamed stage
+    * counts equal the batch rule exactly, so one replay gates both).
+    */
+  private val funnelOracle: String =
+    """WITH s0 AS (SELECT user_id, event_id, ts, event_type,
+             CASE WHEN event_type = 'signup' THEN ts END AS q0 FROM events),
+         p0 AS (SELECT *, min(q0) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pp0 FROM s0),
+         s1 AS (SELECT *, CASE WHEN event_type = 'view' AND pp0 IS NOT NULL
+             THEN ts END AS q1 FROM p0),
+         p1 AS (SELECT *, min(q1) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pp1 FROM s1),
+         s2 AS (SELECT *, CASE WHEN event_type = 'click' AND pp1 IS NOT NULL
+             THEN ts END AS q2 FROM p1),
+         p2 AS (SELECT *, min(q2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pp2 FROM s2),
+         s3 AS (SELECT *, CASE WHEN event_type = 'purchase' AND pp2 IS NOT NULL
+             THEN ts END AS q3 FROM p2),
+         u AS (SELECT user_id, min(q0) AS r0, min(q1) AS r1, min(q2) AS r2,
+             min(q3) AS r3 FROM s3 GROUP BY 1),
+         c AS (SELECT count(r0) AS n0, count(r1) AS n1, count(r2) AS n2,
+             count(r3) AS n3 FROM u)
+         SELECT * FROM (
+           SELECT CAST(0 AS INT) AS stage_idx, 'signup' AS stage, n0 AS n_users,
+             round(CAST(n0 AS DOUBLE) / n0, 6) AS conv_from_first,
+             round(CAST(n0 AS DOUBLE) / n0, 6) AS conv_from_prev FROM c
+           UNION ALL
+           SELECT CAST(1 AS INT), 'view', n1,
+             round(CAST(n1 AS DOUBLE) / n0, 6),
+             round(CAST(n1 AS DOUBLE) / n0, 6) FROM c
+           UNION ALL
+           SELECT CAST(2 AS INT), 'click', n2,
+             round(CAST(n2 AS DOUBLE) / n0, 6),
+             round(CAST(n2 AS DOUBLE) / n1, 6) FROM c
+           UNION ALL
+           SELECT CAST(3 AS INT), 'purchase', n3,
+             round(CAST(n3 AS DOUBLE) / n0, 6),
+             round(CAST(n3 AS DOUBLE) / n2, 6) FROM c)
+         ORDER BY stage_idx"""
+
   /** Shared by q191 (batch lag window) and q195 (stateful streaming twin —
     * the carried last-event state makes the streamed pairs exactly the
     * batch lag pairs, so one replay gates both).
@@ -2142,6 +2183,46 @@ object SparkEntry {
       // group aggregations, broadcast stat joins, 3-sigma-equivalent cut
       graft.ops.Behavior.madOutliers(events(s, d), Seq("event_type"), "value")
         .orderBy("event_type")
+    }),
+
+    "q197_interval_overlap" -> ((s, d) => {
+      // interval x interval overlap as a bin-bucketed EQUI-join, each pair
+      // emitted once in its intersection's first bin (no pair-explosion
+      // distinct): where do a user's view sessions overlap click sessions
+      val ev = events(s, d)
+      def bounds(typ: String, p: String) =
+        EventStreams.sessionBounds(ev.where(col("event_type") === typ),
+            gapMinutes = 480)
+          .select(col("user_id").as(s"${p}_user"),
+            col("session_id").cast("long").as(s"${p}_sid"),
+            col("session_start").as(s"${p}_start"),
+            col("session_end").as(s"${p}_end"))
+      graft.ops.RangeJoin.overlapBucketed(
+          bounds("view", "v"), "v_start", "v_end",
+          bounds("click", "c"), "c_start", "c_end",
+          keys = Seq("v_user" -> "c_user"), binSize = 3600L)
+        .select(col("v_user").as("user_id"), col("v_sid"), col("c_sid"),
+          greatest(col("v_start"), col("c_start")).as("overlap_start"),
+          least(col("v_end"), col("c_end")).as("overlap_end"),
+          (least(col("v_end"), col("c_end")) -
+            greatest(col("v_start"), col("c_start"))).as("overlap_sec"))
+        .orderBy("user_id", "v_sid", "c_sid")
+    }),
+
+    "q198_stream_funnel" -> ((s, d) => {
+      // q189 with the log ARRIVING as a stream: the carried stage-reach
+      // bitmap (O(users) state) makes streamed per-stage counts
+      // bit-identical to the batch chained-window rule — q189's oracle
+      // gates this verbatim
+      import graft.streaming.CorpusStreams
+      val mx = events(s, d).agg(max(col("event_id"))).head().getLong(0)
+      val staged = CorpusStreams.stageIdSlices(s, s"$d/events.parquet",
+        "event_id", cuts = Seq(mx / 2))
+      val name = s"graft_stream_funnel_${streamCounter.incrementAndGet()}"
+      EventStreams.funnelStatefulStreaming(s, staged, name,
+          Seq("signup", "view", "click", "purchase"),
+          shufflePartitions = Some(4))
+        .orderBy("stage_idx")
     }),
 
     "q193_winnow_pairs" -> ((s, d) => {
@@ -4914,42 +4995,9 @@ object SparkEntry {
     // stage only if the previous stage's running min over ROWS UNBOUNDED
     // PRECEDING .. 1 PRECEDING (the strict prefix in (ts, event_id) order)
     // is non-null; count(col) = count of non-null reach timestamps
-    "q189_funnel" ->
-      """WITH s0 AS (SELECT user_id, event_id, ts, event_type,
-             CASE WHEN event_type = 'signup' THEN ts END AS q0 FROM events),
-         p0 AS (SELECT *, min(q0) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pp0 FROM s0),
-         s1 AS (SELECT *, CASE WHEN event_type = 'view' AND pp0 IS NOT NULL
-             THEN ts END AS q1 FROM p0),
-         p1 AS (SELECT *, min(q1) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pp1 FROM s1),
-         s2 AS (SELECT *, CASE WHEN event_type = 'click' AND pp1 IS NOT NULL
-             THEN ts END AS q2 FROM p1),
-         p2 AS (SELECT *, min(q2) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pp2 FROM s2),
-         s3 AS (SELECT *, CASE WHEN event_type = 'purchase' AND pp2 IS NOT NULL
-             THEN ts END AS q3 FROM p2),
-         u AS (SELECT user_id, min(q0) AS r0, min(q1) AS r1, min(q2) AS r2,
-             min(q3) AS r3 FROM s3 GROUP BY 1),
-         c AS (SELECT count(r0) AS n0, count(r1) AS n1, count(r2) AS n2,
-             count(r3) AS n3 FROM u)
-         SELECT * FROM (
-           SELECT CAST(0 AS INT) AS stage_idx, 'signup' AS stage, n0 AS n_users,
-             round(CAST(n0 AS DOUBLE) / n0, 6) AS conv_from_first,
-             round(CAST(n0 AS DOUBLE) / n0, 6) AS conv_from_prev FROM c
-           UNION ALL
-           SELECT CAST(1 AS INT), 'view', n1,
-             round(CAST(n1 AS DOUBLE) / n0, 6),
-             round(CAST(n1 AS DOUBLE) / n0, 6) FROM c
-           UNION ALL
-           SELECT CAST(2 AS INT), 'click', n2,
-             round(CAST(n2 AS DOUBLE) / n0, 6),
-             round(CAST(n2 AS DOUBLE) / n1, 6) FROM c
-           UNION ALL
-           SELECT CAST(3 AS INT), 'purchase', n3,
-             round(CAST(n3 AS DOUBLE) / n0, 6),
-             round(CAST(n3 AS DOUBLE) / n2, 6) FROM c)
-         ORDER BY stage_idx""",
+    "q189_funnel" -> funnelOracle,
+
+    "q198_stream_funnel" -> funnelOracle,
 
     "q190_cohort_retention" ->
       """WITH wk AS (SELECT user_id AS u,
@@ -4967,6 +5015,36 @@ object SparkEntry {
     "q191_event_transitions" -> transitionsOracle,
 
     "q195_stream_transitions" -> transitionsOracle,
+
+    // per-type 480-min-gap activity sessions (the q30 session CTE shape),
+    // then the inclusive-overlap join per user
+    "q197_interval_overlap" ->
+      """WITH se AS (SELECT event_type, user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY event_type, user_id
+               ORDER BY ts, event_id) AS prev_ts
+           FROM events WHERE event_type IN ('view', 'click')),
+         f AS (SELECT *, CASE WHEN prev_ts IS NULL OR
+             CAST(floor(epoch(ts)) AS BIGINT) -
+               CAST(floor(epoch(prev_ts)) AS BIGINT) > 28800
+             THEN 1 ELSE 0 END AS ns FROM se),
+         g AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY event_type, user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS sid FROM f),
+         b AS (SELECT event_type, user_id, sid,
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS s_start,
+             CAST(floor(epoch(max(ts))) AS BIGINT) AS s_end
+           FROM g GROUP BY 1, 2, 3)
+         SELECT v.user_id AS user_id, v.sid AS v_sid, c.sid AS c_sid,
+           greatest(v.s_start, c.s_start) AS overlap_start,
+           least(v.s_end, c.s_end) AS overlap_end,
+           least(v.s_end, c.s_end) - greatest(v.s_start, c.s_start)
+             AS overlap_sec
+         FROM (SELECT * FROM b WHERE event_type = 'view') v
+         JOIN (SELECT * FROM b WHERE event_type = 'click') c
+           ON v.user_id = c.user_id
+             AND v.s_start <= c.s_end AND c.s_start <= v.s_end
+         ORDER BY 1, 2, 3""",
 
     // three-pass replay: quantile_cont median, MAD over absolute
     // deviations, then the 3-sigma-equivalent robust cut — percentile and

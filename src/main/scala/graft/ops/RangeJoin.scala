@@ -46,4 +46,42 @@ object RangeJoin {
     keys.foldLeft(joined) { case (d, (_, ik)) => d.drop(binnedIvs(ik)) }
       .drop("__bin")
   }
+
+  /** Interval-OVERLAP equi-join: every pair of rows whose inclusive
+    * `[lo, hi]` epoch-long intervals intersect, matching `keys` exactly —
+    * the interval analog of [[bucketed]], same anti-quadratic trick. Both
+    * sides explode to the fixed-width bins they cover and join on
+    * `(keys, bin)`; an overlapping pair shares every bin its intersection
+    * covers, so the join emits ONLY in the intersection's FIRST bin
+    * (`floor(max(lo_l, lo_r) / binSize)`) — each pair appears exactly
+    * once, no post-join distinct over a pair explosion.
+    *
+    * Column names must be disjoint across the two inputs (rename before
+    * calling, as with any self-join lineage). Scale: shuffle is the
+    * equi-join's hash exchange; each side grows by span/binSize copies
+    * per row, and a bin's cost is (left-in-bin x right-in-bin) PER KEY —
+    * keep a real equi-key (or salt with [[SkewJoin]]) when many intervals
+    * of one key cover the same bin.
+    */
+  def overlapBucketed(
+      left: DataFrame, lLo: String, lHi: String,
+      right: DataFrame, rLo: String, rHi: String,
+      keys: Seq[(String, String)], binSize: Long): DataFrame = {
+    require(binSize > 0, "binSize must be positive")
+    def binned(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.withColumn("__bin",
+        explode(sequence(floor(col(lo) / binSize).cast("long"),
+          floor(col(hi) / binSize).cast("long"))))
+    val bl = binned(left, lLo, lHi)
+    val br = binned(right, rLo, rHi)
+    val cond = keys.foldLeft(bl("__bin") === br("__bin")) {
+      case (acc, (lk, rk)) => acc && bl(lk) === br(rk)
+    }
+    val joined = bl.join(br, cond)
+      .where(col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
+        bl("__bin") === floor(greatest(col(lLo), col(rLo)) / binSize).cast("long"))
+      .drop(br("__bin"))
+    keys.foldLeft(joined) { case (d, (_, rk)) => d.drop(br(rk)) }
+      .drop("__bin")
+  }
 }

@@ -536,6 +536,91 @@ object EventStreams {
           .over(Window.partitionBy(col("prev_type"))), 6))
   }
 
+  /** Stateful streaming twin of [[graft.ops.Behavior.funnel]]: per user,
+    * carry which funnel stages are reached (a fixed |stages|-bit state —
+    * O(users) total) and emit `(user_id, stage_idx)` the first time each
+    * stage completes IN ORDER. Greedy sequential advance equals the batch
+    * chained-window rule: processing a user's events in `(ts, event_id)`
+    * order, "stage k-1 already reached" is exactly "a qualifying stage-
+    * (k-1) event exists strictly earlier", and the first advancing event
+    * is the minimum — so per-stage user counts are bit-identical to batch
+    * and q189's oracle gates the streamed result verbatim (same arrival-
+    * order contract as [[transitionsStateful]]).
+    */
+  def funnelStateful(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      "stages must be non-empty and distinct")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    val nStages = stages.size
+    val typed = events.select(col("event_id").cast("long"),
+      unix_micros(col("ts")).as("ts_us"), col("user_id").cast("long"),
+      col("event_type")).as[EvLite]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelReach, StageReach](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[EvLite], state: GroupState[FunnelReach]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val reached = state.getOption.map(_.reached.toArray)
+              .getOrElse(Array.fill(nStages)(false))
+            val out = List.newBuilder[StageReach]
+            sorted.foreach { e =>
+              stageIdx.get(e.event_type).foreach { k =>
+                if (!reached(k) && (k == 0 || reached(k - 1))) {
+                  reached(k) = true
+                  out += StageReach(uid, k)
+                }
+              }
+            }
+            state.update(FunnelReach(reached.toSeq))
+            out.result().iterator
+          }
+      }.toDF()
+  }
+
+  /** Drive [[funnelStateful]] over a staged multi-batch stream and
+    * assemble the batch operator's `(stage_idx, stage, n_users,
+    * conv_from_first, conv_from_prev)` frame from the emitted reaches
+    * (the ratio windows run over the |stages|-row frame — trivially
+    * single-partition).
+    */
+  def funnelStatefulStreaming(
+      spark: SparkSession, stagedDir: String, queryName: String,
+      stages: Seq[String],
+      shufflePartitions: Option[Int] = None,
+      rocksdbState: Boolean = false): DataFrame = {
+    val schema = spark.read.parquet(stagedDir).schema
+    val stream = normalizeTs(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir))
+    withStatePartitions(spark, shufflePartitions, rocksdbState) {
+      val q = funnelStateful(stream, stages).writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    import spark.implicits._
+    val counts = drainMemorySink(spark, queryName)
+      .groupBy(col("stage_idx")).agg(count(lit(1)).as("n_users"))
+    val stageDf = stages.zipWithIndex
+      .map { case (st, k) => (k, st) }.toDF("stage_idx", "stage")
+    val full = Window.orderBy("stage_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ord = Window.orderBy("stage_idx")
+    stageDf.join(counts, Seq("stage_idx"), "left")
+      .na.fill(0L, Seq("n_users"))
+      .withColumn("__n0", max(when(col("stage_idx") === 0, col("n_users"))).over(full))
+      .withColumn("__np", coalesce(lag(col("n_users"), 1).over(ord), col("n_users")))
+      .select(col("stage_idx"), col("stage"), col("n_users"),
+        round(col("n_users").cast("double") / col("__n0"), 6).as("conv_from_first"),
+        round(col("n_users").cast("double") / col("__np"), 6).as("conv_from_prev"))
+  }
+
   // NOTE: these must be public — Catalyst's generated (de)serializer code
   // cannot access private nested case classes.
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -546,6 +631,10 @@ object EventStreams {
   case class LastEv(ts: Long, event_id: Long, event_type: String)
   /** Per-(user, batch) transition partial count. */
   case class TransCount(prev_type: String, next_type: String, n: Long)
+  /** Carried stage-reach bitmap per user for [[funnelStateful]]. */
+  case class FunnelReach(reached: Seq[Boolean])
+  /** One emitted in-order stage completion. */
+  case class StageReach(user_id: Long, stage_idx: Int)
   /** `sumScaled` is the exact DECIMAL(_,4) sum as an unscaled long — the
     * stateful twin of the repo-wide `dsum` convention: accumulating raw
     * doubles in state would make the emitted sum depend on FP addition

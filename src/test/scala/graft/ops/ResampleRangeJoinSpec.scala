@@ -68,6 +68,29 @@ class ResampleRangeJoinSpec extends AnyFunSuite with SparkSpec {
     assert(!out.columns.contains("ik") && !out.columns.contains("__bin"))
   }
 
+  test("overlap join: each intersecting pair exactly once, inclusive bounds, keyed") {
+    val l = Seq(
+      (1L, 1L, 100L, 450L),  // spans bins 1-4: overlaps r1 (once!), r2 touch
+      (2L, 1L, 500L, 600L),  // disjoint from r1/r2, overlaps r3
+      (3L, 2L, 100L, 450L)   // same span, OTHER key: only r4 matches
+    ).toDF("l_id", "lk", "l_lo", "l_hi")
+    val r = Seq(
+      (10L, 1L, 150L, 400L), // inside l1 across 3 shared bins
+      (20L, 1L, 450L, 470L), // touches l1 at exactly 450 (inclusive)
+      (30L, 1L, 580L, 900L),
+      (40L, 2L, 440L, 800L)
+    ).toDF("r_id", "rk", "r_lo", "r_hi")
+    val out = RangeJoin.overlapBucketed(l, "l_lo", "l_hi", r, "r_lo", "r_hi",
+      keys = Seq("lk" -> "rk"), binSize = 100L)
+      .select("l_id", "r_id").as[(Long, Long)].collect().sorted
+    assert(out.toSeq == Seq((1L, 10L), (1L, 20L), (2L, 30L), (3L, 40L)))
+    // brute-force cross-check on the same data: identical pair set
+    val brute = l.join(r, col("lk") === col("rk") &&
+        col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().sorted
+    assert(out.toSeq == brute.toSeq)
+  }
+
   test("topKPerGroup: dense 1-based ranks, groups smaller than k kept whole") {
     val df = Seq((1L, 30.0, "a"), (1L, 20.0, "b"), (1L, 10.0, "c"),
       (2L, 5.0, "d")).toDF("g", "v", "tag")

@@ -81,6 +81,29 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(batch == Set(("click", "view", 2L), ("view", "click", 2L)))
   }
 
+  test("stateful streaming funnel: stage reach carried across batches equals batch") {
+    // click -> view funnel: user 1 completes it ACROSS the batch split
+    // (click in b1, view in b2 — the carried-bitmap path); user 2
+    // completes within b1
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    events.where($"event_id".isin(1, 4, 5)).coalesce(1).write.parquet(s"$dir/b1")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/b*/")
+    val q = EventStreams.funnelStateful(stream, Seq("click", "view"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_test").start()
+    q.processAllAvailable()
+    events.where($"event_id".isin(2, 3, 6)).coalesce(1).write.parquet(s"$dir/b2")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("funnel_test")
+      .groupBy("stage_idx").count()
+      .as[(Int, Long)].collect().toMap
+    val batch = graft.ops.Behavior.funnel(events, Seq("click", "view"))
+      .select($"stage_idx", $"n_users").as[(Int, Long)].collect().toMap
+    assert(streamed == batch)
+    assert(batch == Map(0 -> 2L, 1 -> 2L)) // both users complete in order
+  }
+
   test("watermark drops late data in streaming windowed aggregation") {
     val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
     // batch 1: events up to minute 200
