@@ -2178,6 +2178,16 @@ object SparkEntry {
         .orderBy("prev_type", "next_type")
     }),
 
+    "q199_allpairs_jaccard" -> ((s, d) => {
+      // EXACT set-similarity self-join at 0.9 token Jaccard via prefix
+      // filtering: zero false negatives (contrast the q21/q23 MinHash
+      // recall curve); candidates come only from rare-token prefixes,
+      // verification is row-local array_intersect on candidate pairs
+      Dedup.allPairsJaccard(fanOut(s, t(s, d, "documents"), "doc_id"),
+          "doc_id", "text", threshold = 0.9)
+        .orderBy("id_l", "id_r")
+    }),
+
     "q196_mad_outliers" -> ((s, d) => {
       // robust median/MAD outlier screen per event type: three bounded
       // group aggregations, broadcast stat joins, 3-sigma-equivalent cut
@@ -5015,6 +5025,33 @@ object SparkEntry {
     "q191_event_transitions" -> transitionsOracle,
 
     "q195_stream_transitions" -> transitionsOracle,
+
+    // naive exact replay: distinct 3-word-shingle sets, full pair
+    // intersection counts, the identical double ratio and threshold —
+    // the prefix filter must lose NOTHING for this to hash-match
+    "q199_allpairs_jaccard" ->
+      raw"""WITH tk AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '') AS arr
+           FROM documents WHERE text IS NOT NULL),
+         shl AS (SELECT doc_id, CASE WHEN len(arr) < 3
+             THEN [array_to_string(arr, ' ')]
+             ELSE list_transform(generate_series(1, len(arr) - 2),
+               i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]) END AS sh
+           FROM tk),
+         tok AS (SELECT DISTINCT doc_id,
+             CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) AS token
+           FROM (SELECT doc_id, unnest(sh) AS g FROM shl)),
+         sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS ic
+           FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         j AS (SELECT id_l, id_r,
+             CAST(ic AS DOUBLE) / (sa.s + sb.s - ic) AS jac
+           FROM inter JOIN sz sa ON sa.doc_id = id_l
+                      JOIN sz sb ON sb.doc_id = id_r)
+         SELECT id_l, id_r, round(jac, 6) AS jaccard FROM j
+         WHERE jac >= 0.9 ORDER BY id_l, id_r""",
 
     // per-type 480-min-gap activity sessions (the q30 session CTE shape),
     // then the inclusive-overlap join per user

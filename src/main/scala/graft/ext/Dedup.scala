@@ -719,6 +719,130 @@ object Dedup {
         arrayLen(keptPos).cast("long").as("n_kept"))
   }
 
+  /** EXACT all-pairs token-Jaccard join at `threshold` via prefix
+    * filtering (Bayardo/Chaudhuri AllPairs, the Vernica et al. SIGMOD'10
+    * distributed formulation) — the exact complement to the MinHash-LSH
+    * family: zero false negatives by construction, no banding recall
+    * curve. Returns `(id_l, id_r, jaccard)` rounded to 6 dp.
+    *
+    * Completeness: tokens are globally ordered by (df, token) — rarest
+    * first; each document joins only its PREFIX of `|X| - ceil(t|X|) + 1`
+    * tokens. For any pair with `jaccard >= t` the overlap `o` satisfies
+    * `o >= ceil(t|A|)` and `o >= ceil(t|B|)`, and the globally-smallest
+    * shared token must sit inside BOTH prefixes (if it were past A's
+    * prefix, the `>= |A| - ceil(t|A|) + 1` elements before it would all be
+    * non-shared, forcing `o < ceil(t|A|)` — contradiction). So the prefix
+    * equi-join loses nothing, and rare-token prefixes keep per-token
+    * fan-out small exactly because prefixes hold each document's LOWEST-df
+    * tokens. A length prune (`t|A| <= |B|`, symmetric) cuts candidates
+    * before verification; verification is row-local `array_intersect`
+    * over the two token arrays carried by equi-joins.
+    */
+  def allPairsJaccard(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.6, shingleK: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    require(shingleK >= 1, "shingleK must be at least 1")
+    // set elements are shingleK-word shingles, not bare tokens: a small
+    // vocabulary makes every token common (prefix filtering needs RARE
+    // elements to exist), while shingles stay diverse on any corpus —
+    // the same reason minhash ([[wordShingleSets]]) shingles. Fewer than
+    // shingleK tokens -> one whole-document shingle. Window build is the
+    // codegen-safe explode(sequence)+slice+concat_ws shape
+    // ([[graft.ext.Vocab.ngramFrequencies]]) — a transform() lambda here
+    // runs interpreted and dominates the whole join.
+    val base = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"), text.tokens(col(textCol)).as("__toks"))
+    val shingled = base.where(size(col("__toks")) >= shingleK)
+      .select(col("doc"), col("__toks"),
+        explode(sequence(lit(0), size(col("__toks")) - shingleK)).as("__st"))
+      .select(col("doc"), concat_ws(" ",
+        slice(col("__toks"), col("__st") + 1, lit(shingleK))).as("token"))
+    val shorts = base.where(size(col("__toks")) < shingleK)
+      .select(col("doc"), array_join(col("__toks"), " ").as("token"))
+    // shingle strings are heavy join keys and heavy array payloads; the
+    // portable 60-bit md5 hash shrinks every downstream shuffle, sort and
+    // intersect to longs. The ORACLE applies the same hash, so parity is
+    // exact by construction (a collision would merge the same elements on
+    // both sides); collision odds at 2^60 are ~|shingles|^2 / 2^61.
+    // collect_set dedups map-side INSIDE the one per-doc aggregation —
+    // no separate distinct pass; sort_array(long) gives the deterministic
+    // set representation the cluster groupBy keys on
+    val docs = shingled.unionByName(shorts)
+      .select(col("doc"),
+        conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("token"))
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_set(col("token"))).as("toks"))
+    // COLLAPSE identical token sets before any pair work: template-stamped
+    // corpora put hundreds of documents on one token set, and a cluster of
+    // size s would inject s^2 copies of the same rare tokens into the
+    // prefix join. Grouping by the set makes each ONE row in candidate
+    // generation — the cluster quadratic survives only where it is the
+    // contract: enumerating the output pairs. Members sorted for ordered
+    // expansion.
+    val clusters = docs.groupBy(col("toks"))
+      .agg(sort_array(collect_list(col("doc"))).as("members"))
+      .select(col("toks"), col("members"),
+        col("members").getItem(0).as("rep"), size(col("toks")).as("sz"),
+        (size(col("toks")) - ceil(lit(threshold) * size(col("toks"))) + 1)
+          .cast("int").as("__pl"))
+      // six downstream branches consume this frame (within-pairs, df
+      // build, ordering, both verify sides); without materialization each
+      // re-runs the whole corpus scan+shingle+collect pipeline — measured
+      // 1.5x the query. localCheckpoint keeps it distributed (one block
+      // per partition, |distinct sets| rows — the collapsed frame, not
+      // the corpus) and is dropped by the ContextCleaner with the plan.
+      .localCheckpoint()
+    // within-cluster pairs: identical sets, jaccard exactly 1.0
+    val within = clusters.where(size(col("members")) >= 2)
+      .select(explode(col("members")).as("id_l"), col("members"))
+      .select(col("id_l"), explode(col("members")).as("id_r"))
+      .where(col("id_l") < col("id_r"))
+      .select(col("id_l"), col("id_r"), lit(1.0).as("jaccard"))
+    // element frequencies and the rarest-first prefix ordering are
+    // computed over DISTINCT SETS (reps), not documents — set-level df is
+    // what prefix selectivity needs (a 10k-doc template cluster must not
+    // make its tokens look common), and the frame is |reps| x |set| rows,
+    // tiny next to the corpus (AQE broadcasts the df attach on its own —
+    // an explicit hint here defeats ReusedExchange across the branches
+    // that share the cluster frame, recomputing the whole upstream)
+    val repTok = clusters.select(col("rep"), col("sz"), explode(col("toks")).as("token"))
+    val dfreq = repTok.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    val ordered = repTok.join(dfreq, Seq("token"))
+      .groupBy(col("rep"))
+      .agg(transform(array_sort(collect_list(struct(col("__df"), col("token")))),
+        e => e.getField("token")).as("otoks"))
+    // cross-cluster: AllPairs prefix filtering over one row per DISTINCT set
+    val prefix = clusters.select(col("rep"), col("sz"), col("__pl"))
+      .join(ordered, Seq("rep"))
+      .select(col("rep"), col("sz"),
+        explode(slice(col("otoks"), lit(1), col("__pl"))).as("token"))
+    val cand = prefix.select(col("token"), col("rep").as("rl"), col("sz").as("__szl"))
+      .join(prefix.select(col("token"), col("rep").as("rr"), col("sz").as("__szr")),
+        Seq("token"))
+      .where(col("rl") < col("rr") &&
+        lit(threshold) * col("__szl") <= col("__szr") &&
+        lit(threshold) * col("__szr") <= col("__szl"))
+      .select(col("rl"), col("rr")).distinct()
+    val side = clusters.select(col("rep"), col("toks"), col("members"))
+    val cross = cand
+      .join(side.select(col("rep").as("rl"), col("toks").as("__tl"),
+        col("members").as("__ml")), Seq("rl"))
+      .join(side.select(col("rep").as("rr"), col("toks").as("__tr"),
+        col("members").as("__mr")), Seq("rr"))
+      .withColumn("__ic", size(array_intersect(col("__tl"), col("__tr"))))
+      .withColumn("__jac", col("__ic").cast("double") /
+        (size(col("__tl")) + size(col("__tr")) - col("__ic")))
+      .where(col("__jac") >= threshold)
+      .select(explode(col("__ml")).as("a"), col("__mr"), col("__jac"))
+      .select(col("a"), explode(col("__mr")).as("b"), col("__jac"))
+      .select(least(col("a"), col("b")).as("id_l"),
+        greatest(col("a"), col("b")).as("id_r"), col("__jac").as("jaccard"))
+    within.unionByName(
+      cross.select(col("id_l"), col("id_r"), col("jaccard")))
+      .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Winnowing fingerprints per document (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — MOSS): distinct window-min char-gram hashes over the
     * whitespace-normalized text. Two documents sharing any substring of

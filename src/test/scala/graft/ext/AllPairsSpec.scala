@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class AllPairsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // shingleK = 1 keeps hand-computation tractable: sets are word sets
+  private def jacPairs(docs: Seq[(Long, String)], t: Double) =
+    Dedup.allPairsJaccard(docs.toDF("doc_id", "text"), "doc_id", "text",
+        threshold = t, shingleK = 1)
+      .orderBy("id_l", "id_r")
+      .as[(Long, Long, Double)].collect().toSeq
+
+  test("exact pairs at threshold; identical sets collapse to jaccard 1.0") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "b a c d"),        // identical sets -> 1.0
+      (3L, "a b c x"),                          // jac vs 1: 3/5 = 0.6; vs 5: 4/5
+      (4L, "p q r s t"),                        // disjoint-ish
+      (5L, "a b c d x")                         // jac vs 1: 4/5 = 0.8
+    )
+    assert(jacPairs(docs, 0.75) ==
+      Seq((1L, 2L, 1.0), (1L, 5L, 0.8), (2L, 5L, 0.8), (3L, 5L, 0.8)))
+    val at06 = jacPairs(docs, 0.6)
+    assert(at06.contains((1L, 3L, 0.6)) && at06.contains((2L, 3L, 0.6)))
+  }
+
+  test("prefix filter is complete: equals brute force on random corpora") {
+    val rnd = new scala.util.Random(41)
+    val vocab = ('a' to 'z').map(_.toString)
+    val docs = (1L to 120L).map { id =>
+      // clustered around 12 templates with small edits -> real near-dups
+      val template = new scala.util.Random(id % 12).shuffle(vocab).take(8)
+      val edited = template.filter(_ => rnd.nextInt(10) > 0) ++
+        (if (rnd.nextBoolean()) Seq(vocab(rnd.nextInt(26))) else Nil)
+      (id, edited.distinct.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val fast = jacPairs(docs, 0.7).map { case (l, r, j) => (l, r) }.toSet
+    // brute force over token sets
+    val tok = df.select($"doc_id", explode(graft.functions.text.tokens($"text")).as("t")).distinct()
+    val brute = tok.as("a").join(tok.as("b"),
+        $"a.t" === $"b.t" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("l"), $"b.doc_id".as("r")).agg(count(lit(1)).as("ic"))
+      .join(tok.groupBy($"doc_id".as("l")).agg(count(lit(1)).as("sl")), Seq("l"))
+      .join(tok.groupBy($"doc_id".as("r")).agg(count(lit(1)).as("sr")), Seq("r"))
+      .where($"ic".cast("double") / ($"sl" + $"sr" - $"ic") >= 0.7)
+      .select($"l", $"r").as[(Long, Long)].collect().toSet
+    assert(fast == brute, s"missing=${brute -- fast} extra=${fast -- brute}")
+    assert(brute.nonEmpty) // the fixture must actually exercise the join
+  }
+
+  test("short documents fall back to a whole-document shingle") {
+    val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "hello there x"))
+    val out = Dedup.allPairsJaccard(docs.toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.9, shingleK = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 1.0))) // same 2-token doc -> same single shingle
+  }
+}
