@@ -2188,6 +2188,31 @@ object SparkEntry {
         .orderBy("id_l", "id_r")
     }),
 
+    "q200_kmv_overlap" -> ((s, d) => {
+      // cross-corpus overlap estimate from two O(k) bottom-k sketches:
+      // "how much of slice B is already in slice A" without a join of the
+      // corpora; estimates exact below k distinct values, md5-portable
+      val docs = t(s, d, "documents")
+      graft.ext.Sketches.kmvOverlap(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "text", k = 64)
+    }),
+
+    "q201_rolling_active" -> ((s, d) => {
+      // sliding 7-day distinct users per day: distinct (user, day) frame
+      // explodes into the 7 windows it serves — never a range self-join
+      graft.ops.Behavior.rollingActive(events(s, d), windowDays = 7)
+        .orderBy("window_day")
+    }),
+
+    "q202_quantile_bins" -> ((s, d) => {
+      // exact equal-frequency deciles of document length per language:
+      // rank-based ntile with a deterministic tie-break, one exchange
+      graft.ops.Profile.quantileBins(t(s, d, "documents"),
+          Seq("lang"), "n_chars", n = 10, tieCol = "doc_id")
+        .orderBy("lang", "bin")
+    }),
+
     "q196_mad_outliers" -> ((s, d) => {
       // robust median/MAD outlier screen per event type: three bounded
       // group aggregations, broadcast stat joins, 3-sigma-equivalent cut
@@ -5052,6 +5077,60 @@ object SparkEntry {
                       JOIN sz sb ON sb.doc_id = id_r)
          SELECT id_l, id_r, round(jac, 6) AS jaccard FROM j
          WHERE jac >= 0.9 ORDER BY id_l, id_r""",
+
+    // full KMV replay: per-side bottom-64 of the md5 32-bit prefix,
+    // union sketch re-ranked, the q130 (k-1)*2^32 div kth estimator,
+    // jaccard = shared fraction of the union sketch (rounded BEFORE the
+    // intersection product, as the engine computes it)
+    "q200_kmv_overlap" ->
+      """WITH ha AS (SELECT DISTINCT
+             CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) AS hv
+           FROM documents WHERE doc_id % 2 = 0),
+         hb AS (SELECT DISTINCT
+             CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) AS hv
+           FROM documents WHERE doc_id % 2 = 1),
+         sa AS (SELECT hv FROM
+           (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM ha)
+           WHERE rn <= 64),
+         sb AS (SELECT hv FROM
+           (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM hb)
+           WHERE rn <= 64),
+         sm AS (SELECT hv, rn FROM
+           (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM
+             (SELECT hv FROM sa UNION SELECT hv FROM sb))
+           WHERE rn <= 64),
+         st AS (SELECT
+           (SELECT count(*) FROM sa) AS na,
+           (SELECT count(*) FROM sb) AS nb,
+           (SELECT count(*) FROM sm) AS msz,
+           (SELECT max(CASE WHEN rn = 64 THEN hv END) FROM sm) AS kth,
+           (SELECT count(*) FROM sm WHERE hv IN (SELECT hv FROM sa)
+              AND hv IN (SELECT hv FROM sb)) AS shared)
+         SELECT CAST(na AS BIGINT) AS n_a_sample, CAST(nb AS BIGINT) AS n_b_sample,
+           CAST(CASE WHEN msz < 64 THEN msz
+                ELSE (63 * 4294967296) // kth END AS BIGINT) AS union_est,
+           round(CAST(shared AS DOUBLE) / msz, 6) AS jaccard_est,
+           round(round(CAST(shared AS DOUBLE) / msz, 6) *
+             CAST(CASE WHEN msz < 64 THEN msz
+                  ELSE (63 * 4294967296) // kth END AS BIGINT), 2) AS inter_est
+         FROM st""",
+
+    "q201_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d FROM events),
+         w AS (SELECT DISTINCT user_id, d + i AS window_day
+           FROM ud, unnest(generate_series(0, 6)) AS t(i))
+         SELECT window_day, count(*) AS n_active FROM w
+         GROUP BY 1 ORDER BY 1""",
+
+    "q202_quantile_bins" ->
+      """WITH b AS (SELECT lang, n_chars,
+             CAST(ntile(10) OVER (PARTITION BY lang
+               ORDER BY n_chars, doc_id) AS INT) AS bin
+           FROM documents WHERE n_chars IS NOT NULL)
+         SELECT lang, bin, count(*) AS n, min(n_chars) AS lo,
+           max(n_chars) AS hi
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // per-type 480-min-gap activity sessions (the q30 session CTE shape),
     // then the inclusive-overlap join per user

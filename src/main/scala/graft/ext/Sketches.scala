@@ -264,4 +264,45 @@ object Sketches {
       .select(groupCols.map(col) ++ Seq(col("q"),
         n.cast("long").as("n_sample"), est.as("est")): _*)
   }
+
+  /** KMV set-OVERLAP estimate between two corpora's distinct `valueCol`
+    * sets (Beyer et al. 2007): each side reduces to its k smallest
+    * portable hashes, the union sketch is the k smallest of the merged
+    * samples, and `jaccard_est = |union sketch ∩ both sides| / |union
+    * sketch|` — the classic KMV Jaccard estimator, with
+    * `union_est` from the union sketch's kth value and
+    * `inter_est = jaccard_est * union_est`. Returns ONE row:
+    * `(n_a_sample, n_b_sample, union_est, jaccard_est, inter_est)`.
+    *
+    * The cross-corpus dedup-planning question ("how much of B have we
+    * already got in A?") answered with two O(k) aggregations — each side
+    * is one map-side-combinable bottom-k pass, the merge is row-local
+    * array math on a 1x1 crossJoin of the two single-row sketches. Below
+    * k distinct values the estimates are exact. Same [[kmvHash]] family
+    * as q130, so any engine with md5 replays every value bit-for-bit.
+    */
+  def kmvOverlap(
+      a: DataFrame, b: DataFrame, valueCol: String, k: Int = 64): DataFrame = {
+    require(k >= 3, "k must be >= 3 (estimator needs k-1 >= 2)")
+    def sketch(df: DataFrame, out: String): DataFrame =
+      df.agg(graft.expressions.BottomKAgg
+        .bottomKHashes(kmvHash(col(valueCol)), k).as(out))
+    val merged = slice(array_sort(array_union(col("bka"), col("bkb"))), 1, k)
+    val one = sketch(a, "bka").crossJoin(sketch(b, "bkb"))
+      .withColumn("__m", merged)
+      .withColumn("__msz", size(col("__m")))
+      .withColumn("__shared",
+        size(array_intersect(col("__m"),
+          array_intersect(col("bka"), col("bkb")))))
+      .withColumn("union_est",
+        when(col("__msz") < k, col("__msz").cast("long"))
+          .otherwise(expr(
+            s"CAST(${(k - 1).toLong * 4294967296L} div element_at(__m, $k) AS BIGINT)")))
+      .withColumn("jaccard_est",
+        round(col("__shared").cast("double") / col("__msz"), 6))
+    one.select(size(col("bka")).cast("long").as("n_a_sample"),
+      size(col("bkb")).cast("long").as("n_b_sample"),
+      col("union_est"), col("jaccard_est"),
+      round(col("jaccard_est") * col("union_est"), 2).as("inter_est"))
+  }
 }

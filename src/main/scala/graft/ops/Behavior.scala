@@ -105,6 +105,30 @@ object Behavior {
           max(when(col("week_offset") === 0, col("n_users"))).over(base), 6))
   }
 
+  /** Rolling `windowDays`-day active users: for every epoch day `w`,
+    * the number of distinct users active in `[w - windowDays + 1, w]` —
+    * the sliding-window distinct (WAU/MAU) report. Returns
+    * `(window_day, n_active)` for every window a user activity touches.
+    *
+    * The anti-pattern here is a per-day distinct over a range self-join;
+    * the scale shape is: distinct `(user, day)` (one exchange, map-side
+    * combined), explode each activity day into the `windowDays` windows
+    * it serves (bounded x`windowDays` growth of the ALREADY-distinct
+    * frame, not of events), de-dup `(user, window)`, count per window.
+    */
+  def rollingActive(
+      events: DataFrame, windowDays: Int = 7,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(windowDays >= 1, "windowDays must be at least 1")
+    val day = (unix_timestamp(col(tsCol)) / lit(86400L)).cast("long")
+    events.select(col(userCol).as("u"), day.as("d")).distinct()
+      .select(col("u"),
+        explode(sequence(col("d"), col("d") + (windowDays - 1))).as("window_day"))
+      .distinct()
+      .groupBy(col("window_day"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Robust per-group outlier report: exact median and MAD (median
     * absolute deviation), and the count of values beyond
     * `cutoff * 1.4826 * MAD` of the median (1.4826 = the normal-

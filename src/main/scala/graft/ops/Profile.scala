@@ -286,6 +286,31 @@ object Profile {
       round((covn * covn) / (varxn * varyn), 6).as("r2")): _*)
   }
 
+  /** Equal-frequency binning: assign every row its `n`-quantile bucket of
+    * `valCol` within its group (rank-based `ntile`, ties broken by
+    * `tieCol` for a deterministic total order) and report per-bin
+    * `(groupCols..., bin, n, lo, hi)` — the feature-engineering
+    * discretizer and the exact equi-depth histogram.
+    *
+    * One window exchange on the group key; the per-bin aggregation reuses
+    * that partitioning (bin is a refinement of the group hash), so the
+    * whole report is a single shuffle. `ntile` is rank arithmetic — no
+    * value interpolation — so results are engine-exact by construction.
+    */
+  def quantileBins(
+      df: DataFrame, groupCols: Seq[String], valCol: String, n: Int,
+      tieCol: String): DataFrame = {
+    require(n >= 2, "n must be at least 2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valCol), col(tieCol))
+    df.where(col(valCol).isNotNull)
+      .withColumn("bin", ntile(n).over(w))
+      .groupBy(groupCols.map(col) :+ col("bin"): _*)
+      .agg(count(lit(1)).as("n"),
+        min(col(valCol)).as("lo"), max(col(valCol)).as("hi"))
+  }
+
   def quantileTrim(
       df: DataFrame, colName: String, loQ: Double, hiQ: Double): DataFrame = {
     require(0.0 <= loQ && loQ <= hiQ && hiQ <= 1.0, "need 0 <= loQ <= hiQ <= 1")

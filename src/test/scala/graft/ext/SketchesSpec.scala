@@ -125,4 +125,30 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
       Seq("g")).as[(String, Double)].head()._2
     assert(one >= 1.0 && one < 2.5, s"single-value estimate $one")
   }
+
+  test("kmvOverlap: exact below k; estimate within KMV error above") {
+    // |A|=10, |B|=10, |A∩B|=5, |A∪B|=15 — all below k=64, so exact
+    val a = (1 to 10).map(i => s"v$i").toDF("v")
+    val b = (6 to 15).map(i => s"v$i").toDF("v")
+    val (na, nb, u, j, i) = Sketches.kmvOverlap(a, b, "v", k = 64)
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert((na, nb, u) == (10L, 10L, 15L))
+    assert(j == BigDecimal(5.0 / 15).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(i == 5.0)
+    // above k: 2000 vs 2000 with 1000 shared -> jaccard 1/3, union 3000
+    val bigA = (1 to 2000).map(i0 => s"x$i0").toDF("v")
+    val bigB = (1001 to 3000).map(i0 => s"x$i0").toDF("v")
+    val (_, _, u2, j2, _) = Sketches.kmvOverlap(bigA, bigB, "v", k = 256)
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(math.abs(u2 - 3000.0) / 3000.0 < 0.25, s"union_est $u2")
+    assert(math.abs(j2 - 1.0 / 3) < 0.15, s"jaccard_est $j2")
+  }
+
+  test("kmvOverlap is partition-count invariant (deterministic sketches)") {
+    val a = (1 to 500).map(i => s"a$i").toDF("v")
+    val b = (250 to 750).map(i => s"a$i").toDF("v")
+    val r1 = Sketches.kmvOverlap(a.repartition(1), b.repartition(1), "v").collect()
+    val r13 = Sketches.kmvOverlap(a.repartition(13), b.repartition(7), "v").collect()
+    assert(r1.toSeq == r13.toSeq)
+  }
 }

@@ -82,6 +82,32 @@ class BehaviorSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq(("g", 10L, 5.5, 2.5, 1L)))
   }
 
+  test("rollingActive: sliding-window distinct users, windows clip nothing") {
+    val day = 86400L
+    val e = Seq(
+      (1L, 1L, day * 10 + 5), (2L, 1L, day * 10 + 9),  // u1 day 10 (dup collapses)
+      (3L, 1L, day * 12),                              // u1 day 12
+      (4L, 2L, day * 13)                               // u2 day 13
+    ).map { case (id, u, s) => (id, u, "x", ts(s)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Behavior.rollingActive(e, windowDays = 3)
+      .orderBy("window_day")
+      .as[(Long, Long)].collect().toSeq
+    // u1 serves windows 10-12 (day10) and 12-14 (day12) -> 10,11,12,13,14
+    // u2 serves windows 13,14,15
+    assert(out == Seq((10L, 1L), (11L, 1L), (12L, 1L), (13L, 2L),
+      (14L, 2L), (15L, 1L)))
+  }
+
+  test("quantileBins: equal-frequency bins with deterministic tie-break") {
+    val d = (1 to 10).map(i => ("g", i.toLong, i.toLong))
+      .toDF("grp", "v", "id")
+    val out = Profile.quantileBins(d, Seq("grp"), "v", n = 2, tieCol = "id")
+      .orderBy("bin")
+      .as[(String, Int, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("g", 1, 5L, 1L, 5L), ("g", 2, 5L, 6L, 10L)))
+  }
+
   test("funnel plan: exactly one exchange up to the per-user aggregate") {
     val perUserPlan = Behavior.funnel(ev, Seq("a", "b", "c"))
       .queryExecution.executedPlan.toString
