@@ -2213,6 +2213,27 @@ object SparkEntry {
         .orderBy("lang", "bin")
     }),
 
+    "q203_embedding_outliers" -> ((s, d) => {
+      // mislabel screen: per label, the k vectors FARTHEST from their own
+      // label centroid (lowest cosine). Decimal-exact centroid means, one
+      // broadcast join, ranking on the GroupTopK heap — never a window
+      // sort over the scored corpus
+      val emb = t(s, d, "embeddings")
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64)
+      val cent = Similarity.meanVectors(emb, Seq("label"), "embedding")
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean_v")))),
+          e => e.getField("mean_v")).as("centroid"))
+      val scored = emb.join(broadcast(cent), Seq("label"))
+        .select(col("label"), col("vec_id"),
+          vectors.cosine(col("embedding"), col("centroid")).as("cos_raw"))
+      graft.plans.GroupTopK(scored, Seq("label"),
+          Seq(("cos_raw", true), ("vec_id", true)), k = 5, rankName = "rnk")
+        .select(col("label"), col("rnk").cast("int").as("rnk"), col("vec_id"),
+          round(col("cos_raw"), 6).as("cosine"))
+        .orderBy("label", "rnk")
+    }),
+
     "q196_mad_outliers" -> ((s, d) => {
       // robust median/MAD outlier screen per event type: three bounded
       // group aggregations, broadcast stat joins, 3-sigma-equivalent cut
@@ -5077,6 +5098,27 @@ object SparkEntry {
                       JOIN sz sb ON sb.doc_id = id_r)
          SELECT id_l, id_r, round(jac, 6) AS jaccard FROM j
          WHERE jac >= 0.9 ORDER BY id_l, id_r""",
+
+    // q188's decimal-exact per-dim means assembled into a centroid list,
+    // q24's list_cosine_similarity parity, deterministic asc-cosine ranks
+    "q203_embedding_outliers" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         ex AS (SELECT vec_id, label, i AS dim,
+             CAST(v[i] AS DECIMAL(28,6)) AS c
+           FROM e, unnest(generate_series(1, 64)) AS t(i)),
+         cm AS (SELECT label, dim, CAST(sum(c) AS DOUBLE) / count(*) AS m
+           FROM ex GROUP BY 1, 2),
+         cent AS (SELECT label, list(m ORDER BY dim) AS centroid
+           FROM cm GROUP BY 1),
+         sc AS (SELECT e.vec_id, e.label,
+             list_cosine_similarity(e.v, c.centroid) AS cos_raw
+           FROM e JOIN cent c USING (label)),
+         r AS (SELECT label, vec_id, cos_raw,
+             CAST(row_number() OVER (PARTITION BY label
+               ORDER BY cos_raw, vec_id) AS INT) AS rnk FROM sc)
+         SELECT label, rnk, vec_id, round(cos_raw, 6) AS cosine
+         FROM r WHERE rnk <= 5 ORDER BY label, rnk""",
 
     // full KMV replay: per-side bottom-64 of the md5 32-bit prefix,
     // union sketch re-ranked, the q130 (k-1)*2^32 div kth estimator,

@@ -353,6 +353,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q203: centroid broadcast + GroupTopK heap, no window sort over scores") {
+    val plan = finalPlan("q203_embedding_outliers")
+    assert(plan.contains("GroupTopK"), s"no heap rank in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroid join must broadcast:\n$plan")
+    assert(!plan.contains("row_number"), s"window-sort fallback in:\n$plan")
+  }
+
   test("q190/q192/q196: event reports aggregate with map-side combine") {
     Seq("q190_cohort_retention", "q192_trend_ols").foreach { q =>
       val plan = finalPlan(q)
