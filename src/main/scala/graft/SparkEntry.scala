@@ -2234,6 +2234,15 @@ object SparkEntry {
         .orderBy("label", "rnk")
     }),
 
+    "q204_cusum_changepoint" -> ((s, d) => {
+      // level-shift detection per event type: decimal-exact daily totals,
+      // CUSUM peak with a deterministic argmax; the windows run on the
+      // (type, day) frame, never on events
+      graft.ops.Behavior.cusumChangePoint(events(s, d),
+          Seq("event_type"), "value")
+        .orderBy("event_type")
+    }),
+
     "q196_mad_outliers" -> ((s, d) => {
       // robust median/MAD outlier screen per event type: three bounded
       // group aggregations, broadcast stat joins, 3-sigma-equivalent cut
@@ -5098,6 +5107,31 @@ object SparkEntry {
                       JOIN sz sb ON sb.doc_id = id_r)
          SELECT id_l, id_r, round(jac, 6) AS jaccard FROM j
          WHERE jac >= 0.9 ORDER BY id_l, id_r""",
+
+    // decimal daily sums + decimal running cumulative; S from the exact
+    // pieces in one double expression; argmax replayed with the same
+    // (|S| desc, day) ordering
+    "q204_cusum_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+             sum(CAST(value AS DECIMAL(18,4))) AS x
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         w AS (SELECT event_type, d, x,
+             sum(x) OVER (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS i,
+             sum(x) OVER (PARTITION BY event_type) AS tot,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM daily),
+         sc AS (SELECT event_type, d, n,
+             CAST(tot AS DOUBLE) / n AS mean,
+             CAST(cum AS DOUBLE) - i * (CAST(tot AS DOUBLE) / n) AS s
+           FROM w),
+         r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY abs(s) DESC, d) AS rn FROM sc)
+         SELECT event_type, CAST(n AS BIGINT) AS n_days, d AS change_day,
+           round(s, 6) AS s_at_change, round(mean, 6) AS daily_mean
+         FROM r WHERE rn = 1 ORDER BY event_type""",
 
     // q188's decimal-exact per-dim means assembled into a centroid list,
     // q24's list_cosine_similarity parity, deterministic asc-cosine ranks

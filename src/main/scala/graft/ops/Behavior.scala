@@ -129,6 +129,50 @@ object Behavior {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** CUSUM change-point report per group: over the daily totals of
+    * `valCol`, the day where the cumulative deviation from the group mean
+    * `S_i = sum_{j<=i}(x_j) - i * mean` peaks in magnitude — the classic
+    * level-shift detector for metric monitoring. Returns one row per
+    * group: `(groupCols..., n_days, change_day, s_at_change, daily_mean)`
+    * with doubles rounded to 6 dp.
+    *
+    * Exactness: daily totals and their running cumulative are DECIMAL
+    * (merge-order-free); `S_i` is one fixed double expression over the
+    * exact cumulative, the exact total and the integer day index —
+    * engine-reproducible, including the argmax (|S| desc, day tie-break).
+    * Scale: one events-sized aggregation down to (group, day); every
+    * window runs on that tiny daily frame.
+    */
+  def cusumChangePoint(
+      events: DataFrame, groupCols: Seq[String], valCol: String,
+      tsCol: String = "ts", scale: Int = 4): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val day = (unix_timestamp(col(tsCol)) / lit(86400L)).cast("long")
+    val daily = events.where(col(valCol).isNotNull)
+      .groupBy(g :+ day.as("d"): _*)
+      .agg(sum(col(valCol).cast(s"decimal(18,$scale)")).as("x"))
+    val wOrd = Window.partitionBy(g: _*).orderBy(col("d"))
+    val wAll = Window.partitionBy(g: _*)
+      .orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val scored = daily
+      .withColumn("__cum", sum(col("x")).over(wOrd))
+      .withColumn("__i", row_number().over(wOrd))
+      .withColumn("__tot", sum(col("x")).over(wAll))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__mean", col("__tot").cast("double") / col("__n"))
+      .withColumn("__s",
+        col("__cum").cast("double") - col("__i") * col("__mean"))
+    val ranked = scored.withColumn("__rn",
+      row_number().over(Window.partitionBy(g: _*)
+        .orderBy(abs(col("__s")).desc, col("d"))))
+    ranked.where(col("__rn") === 1)
+      .select(g ++ Seq(col("__n").as("n_days"), col("d").as("change_day"),
+        round(col("__s"), 6).as("s_at_change"),
+        round(col("__mean"), 6).as("daily_mean")): _*)
+  }
+
   /** Robust per-group outlier report: exact median and MAD (median
     * absolute deviation), and the count of values beyond
     * `cutoff * 1.4826 * MAD` of the median (1.4826 = the normal-

@@ -108,6 +108,18 @@ class BehaviorSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq(("g", 1, 5L, 1L, 5L), ("g", 2, 5L, 6L, 10L)))
   }
 
+  test("cusumChangePoint: finds the level shift at the regime boundary") {
+    val day = 86400L
+    // days 1-5 at 1.0/day, days 6-10 at 5.0/day -> mean 3, S bottoms at
+    // -10 on day 5 (the last pre-shift day)
+    val e = (1 to 10).map { d =>
+      (d.toLong, 1L, "x", ts(day * d + 100), if (d <= 5) 1.0 else 5.0)
+    }.toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = Behavior.cusumChangePoint(e, Seq("event_type"), "value")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(("x", 10L, 5L, -10.0, 3.0)))
+  }
+
   test("funnel plan: exactly one exchange up to the per-user aggregate") {
     val perUserPlan = Behavior.funnel(ev, Seq("a", "b", "c"))
       .queryExecution.executedPlan.toString
