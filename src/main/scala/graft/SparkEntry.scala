@@ -2234,6 +2234,14 @@ object SparkEntry {
         .orderBy("label", "rnk")
     }),
 
+    "q205_session_lift" -> ((s, d) => {
+      // market-basket lift between event types over behavioral sessions:
+      // per-session self-join on the distinct (session, type) frame
+      // (<= |types| rows each), type totals broadcast, exact ratios
+      graft.ops.Behavior.sessionLift(events(s, d), gapMinutes = 30)
+        .orderBy("type_a", "type_b")
+    }),
+
     "q204_cusum_changepoint" -> ((s, d) => {
       // level-shift detection per event type: decimal-exact daily totals,
       // CUSUM peak with a deterministic argmax; the windows run on the
@@ -5107,6 +5115,34 @@ object SparkEntry {
                       JOIN sz sb ON sb.doc_id = id_r)
          SELECT id_l, id_r, round(jac, 6) AS jaccard FROM j
          WHERE jac >= 0.9 ORDER BY id_l, id_r""",
+
+    // the q30 session CTE -> distinct (session, type) -> pair join; lift
+    // as the same exact integer ratio, rounded once
+    "q205_session_lift" ->
+      """WITH e AS (SELECT user_id, event_id, ts, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         f AS (SELECT *, CASE WHEN prev_ts IS NULL OR
+             CAST(floor(epoch(ts)) AS BIGINT) -
+               CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+             THEN 1 ELSE 0 END AS ns FROM e),
+         g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f),
+         st AS (SELECT DISTINCT user_id, sid, event_type FROM g),
+         tot AS (SELECT count(*) AS n FROM
+           (SELECT DISTINCT user_id, sid FROM st)),
+         tc AS (SELECT event_type, count(*) AS nt FROM st GROUP BY 1),
+         pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_ab
+           FROM st a JOIN st b ON a.user_id = b.user_id AND a.sid = b.sid
+             AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT type_a, type_b, n_ab,
+           round(CAST(n_ab AS DOUBLE) * tot.n / (ta.nt * tb.nt), 6) AS lift
+         FROM pr JOIN tc ta ON ta.event_type = type_a
+                 JOIN tc tb ON tb.event_type = type_b, tot
+         ORDER BY type_a, type_b""",
 
     // decimal daily sums + decimal running cumulative; S from the exact
     // pieces in one double expression; argmax replayed with the same

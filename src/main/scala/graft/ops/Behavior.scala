@@ -129,6 +129,47 @@ object Behavior {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Session-level co-occurrence LIFT between event types — the
+    * market-basket report over behavioral sessions:
+    * `lift(a,b) = P(a,b) / (P(a) P(b))` with probabilities over sessions,
+    * computed as the exact integer ratio `n_ab * N / (n_a * n_b)` (no
+    * logs, so the whole frame is engine-exact). Returns
+    * `(type_a, type_b, n_ab, lift)` for `type_a < type_b`, lift rounded
+    * to 6 dp.
+    *
+    * Sessions come from the same gap rule as the q30 family
+    * ([[graft.streaming.EventStreams.withSessionIds]]), so lift and
+    * sessionization can never diverge. The self-join is per session on
+    * the DISTINCT (session, type) frame — at most |types| rows per
+    * session — and the type totals broadcast back into the
+    * |types|^2-row pair frame.
+    */
+  def sessionLift(
+      events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val st = graft.streaming.EventStreams.withSessionIds(events, gapMinutes)
+      .select(col("user_id"), col("session_id"), col("event_type"))
+      .distinct()
+    val total = st.select(col("user_id"), col("session_id")).distinct()
+      .agg(count(lit(1)).as("__N"))
+    val typeCounts = st.groupBy(col("event_type")).agg(count(lit(1)).as("__nt"))
+    val pairs = st.select(col("user_id"), col("session_id"),
+        col("event_type").as("type_a"))
+      .join(st.select(col("user_id"), col("session_id"),
+        col("event_type").as("type_b")), Seq("user_id", "session_id"))
+      .where(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(typeCounts.select(col("event_type").as("type_a"),
+        col("__nt").as("__na"))), Seq("type_a"))
+      .join(broadcast(typeCounts.select(col("event_type").as("type_b"),
+        col("__nt").as("__nb"))), Seq("type_b"))
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        round(col("n_ab").cast("double") * col("__N") /
+          (col("__na") * col("__nb")), 6).as("lift"))
+  }
+
   /** CUSUM change-point report per group: over the daily totals of
     * `valCol`, the day where the cumulative deviation from the group mean
     * `S_i = sum_{j<=i}(x_j) - i * mean` peaks in magnitude — the classic

@@ -357,7 +357,7 @@ object EventStreams {
     * together, so q30's sessions and q80's intervals cannot silently
     * diverge.
     */
-  private def withSessionIds(events: DataFrame, gapMinutes: Int): DataFrame = {
+  private[graft] def withSessionIds(events: DataFrame, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val gapSec = gapMinutes * 60L
     events

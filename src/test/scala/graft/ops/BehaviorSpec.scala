@@ -120,6 +120,20 @@ class BehaviorSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq(("x", 10L, 5L, -10.0, 3.0)))
   }
 
+  test("sessionLift: exact co-occurrence ratios over gap sessions") {
+    // two users, one session each (all within the 30-min gap):
+    // s1 = {a, b}, s2 = {a}; N=2, n_a=2, n_b=1, n_ab=1
+    // lift(a,b) = 1*2/(2*1) = 1.0
+    val e = Seq(
+      (1L, 1L, "a", 0L), (2L, 1L, "b", 60L),
+      (3L, 2L, "a", 0L), (4L, 2L, "a", 120L) // dup type collapses
+    ).map { case (id, u, t0, s0) => (id, u, t0, ts(s0)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Behavior.sessionLift(e)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out == Seq(("a", "b", 1L, 1.0)))
+  }
+
   test("funnel plan: exactly one exchange up to the per-user aggregate") {
     val perUserPlan = Behavior.funnel(ev, Seq("a", "b", "c"))
       .queryExecution.executedPlan.toString
