@@ -373,6 +373,19 @@ object SparkEntry {
     * can never assert different things (token counts are order-insensitive,
     * so streamed == batch verbatim).
     */
+  /** Shared by q201 (batch sliding-window distinct) and q206 (stateful
+    * streaming twin — each (user, window) is emitted exactly once from
+    * carried state, a pure dedup, so one replay gates both under any
+    * batch split).
+    */
+  private val rollingActiveOracle: String =
+    """WITH ud AS (SELECT DISTINCT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d FROM events),
+       w AS (SELECT DISTINCT user_id, d + i AS window_day
+         FROM ud, unnest(generate_series(0, 6)) AS t(i))
+       SELECT window_day, count(*) AS n_active FROM w
+       GROUP BY 1 ORDER BY 1"""
+
   /** Shared by q189 (batch chained-window funnel) and q198 (stateful
     * streaming twin — the carried stage-reach bitmap makes streamed stage
     * counts equal the batch rule exactly, so one replay gates both).
@@ -2240,6 +2253,20 @@ object SparkEntry {
       // (<= |types| rows each), type totals broadcast, exact ratios
       graft.ops.Behavior.sessionLift(events(s, d), gapMinutes = 30)
         .orderBy("type_a", "type_b")
+    }),
+
+    "q206_stream_rolling_active" -> ((s, d) => {
+      // q201 with the log ARRIVING as a stream: per-user seen-window state
+      // emits each (user, window) once — pure dedup semantics, no arrival
+      // -order contract, so q201's oracle gates any batch split verbatim
+      import graft.streaming.CorpusStreams
+      val mx = events(s, d).agg(max(col("event_id"))).head().getLong(0)
+      val staged = CorpusStreams.stageIdSlices(s, s"$d/events.parquet",
+        "event_id", cuts = Seq(mx / 2))
+      val name = s"graft_stream_wau_${streamCounter.incrementAndGet()}"
+      EventStreams.rollingActiveStreaming(s, staged, name, windowDays = 7,
+          shufflePartitions = Some(4))
+        .orderBy("window_day")
     }),
 
     "q204_cusum_changepoint" -> ((s, d) => {
@@ -5227,13 +5254,9 @@ object SparkEntry {
                   ELSE (63 * 4294967296) // kth END AS BIGINT), 2) AS inter_est
          FROM st""",
 
-    "q201_rolling_active" ->
-      """WITH ud AS (SELECT DISTINCT user_id,
-             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d FROM events),
-         w AS (SELECT DISTINCT user_id, d + i AS window_day
-           FROM ud, unnest(generate_series(0, 6)) AS t(i))
-         SELECT window_day, count(*) AS n_active FROM w
-         GROUP BY 1 ORDER BY 1""",
+    "q206_stream_rolling_active" -> rollingActiveOracle,
+
+    "q201_rolling_active" -> rollingActiveOracle,
 
     "q202_quantile_bins" ->
       """WITH b AS (SELECT lang, n_chars,

@@ -621,6 +621,65 @@ object EventStreams {
         round(col("n_users").cast("double") / col("__np"), 6).as("conv_from_prev"))
   }
 
+  /** Stateful streaming twin of [[graft.ops.Behavior.rollingActive]]: per
+    * user, carry the set of window-days already counted and emit each
+    * `(user, window_day)` exactly once — pure dedup semantics, so unlike
+    * the funnel/transition twins this needs NO arrival-order contract:
+    * any batch split of any permutation yields the batch result. State is
+    * O(users x active windows) longs, the same frame the batch operator
+    * de-dups.
+    */
+  def rollingActiveStateful(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be at least 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("event_id").cast("long"),
+      unix_micros(col("ts")).as("ts_us"), col("user_id").cast("long"),
+      col("event_type")).as[EvLite]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeenWindows, WindowHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[EvLite], state: GroupState[SeenWindows]) =>
+          val seen = scala.collection.mutable.Set[Long](
+            state.getOption.map(_.wds).getOrElse(Nil): _*)
+          val out = List.newBuilder[WindowHit]
+          evs.foreach { e =>
+            val d = e.ts_us / 86400000000L
+            var w = d
+            while (w < d + windowDays) {
+              if (seen.add(w)) out += WindowHit(uid, w)
+              w += 1
+            }
+          }
+          state.update(SeenWindows(seen.toSeq))
+          out.result().iterator
+      }.toDF()
+  }
+
+  /** Drive [[rollingActiveStateful]] over a staged stream and count the
+    * emitted hits per window — bit-identical to the batch operator.
+    */
+  def rollingActiveStreaming(
+      spark: SparkSession, stagedDir: String, queryName: String,
+      windowDays: Int = 7,
+      shufflePartitions: Option[Int] = None,
+      rocksdbState: Boolean = false): DataFrame = {
+    val schema = spark.read.parquet(stagedDir).schema
+    val stream = normalizeTs(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir))
+    withStatePartitions(spark, shufflePartitions, rocksdbState) {
+      val q = rollingActiveStateful(stream, windowDays).writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainMemorySink(spark, queryName)
+      .groupBy(col("window_day")).agg(count(lit(1)).as("n_active"))
+  }
+
   // NOTE: these must be public — Catalyst's generated (de)serializer code
   // cannot access private nested case classes.
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -633,6 +692,10 @@ object EventStreams {
   case class TransCount(prev_type: String, next_type: String, n: Long)
   /** Carried stage-reach bitmap per user for [[funnelStateful]]. */
   case class FunnelReach(reached: Seq[Boolean])
+  /** Carried counted window-days per user for [[rollingActiveStateful]]. */
+  case class SeenWindows(wds: Seq[Long])
+  /** One emitted first-activity-in-window hit. */
+  case class WindowHit(user_id: Long, window_day: Long)
   /** One emitted in-order stage completion. */
   case class StageReach(user_id: Long, stage_idx: Int)
   /** `sumScaled` is the exact DECIMAL(_,4) sum as an unscaled long — the

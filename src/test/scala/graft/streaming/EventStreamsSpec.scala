@@ -104,6 +104,27 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(batch == Map(0 -> 2L, 1 -> 2L)) // both users complete in order
   }
 
+  test("stateful streaming rolling-active dedups (user, window) across batches") {
+    // user 1 active day X in BOTH batches: the carried seen-set must not
+    // double count its windows; day X+2 adds only the new windows
+    val dir = java.nio.file.Files.createTempDirectory("graft_wau").toString
+    events.where($"event_id".isin(1, 2, 4)).coalesce(1).write.parquet(s"$dir/b1")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/b*/")
+    val q = EventStreams.rollingActiveStateful(stream, windowDays = 3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wau_test").start()
+    q.processAllAvailable()
+    events.where($"event_id".isin(3, 5, 6)).coalesce(1).write.parquet(s"$dir/b2")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("wau_test")
+      .groupBy("window_day").count()
+      .as[(Long, Long)].collect().toMap
+    val batch = graft.ops.Behavior.rollingActive(events, windowDays = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == batch)
+  }
+
   test("watermark drops late data in streaming windowed aggregation") {
     val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
     // batch 1: events up to minute 200
