@@ -2269,6 +2269,23 @@ object SparkEntry {
         .orderBy("window_day")
     }),
 
+    "q207_token_cooccurrence" -> ((s, d) => {
+      // skip-gram co-occurrence pairs with log-free lift: row-local pair
+      // generation (position explode + fixed-offset element_at), tiny-
+      // frame normalizers, exact ratios
+      graft.ext.Vocab.cooccurrenceLift(
+          fanOut(s, t(s, d, "documents"), "doc_id"), "text",
+          window = 3, topK = 20)
+    }),
+
+    "q208_k_anonymity" -> ((s, d) => {
+      // privacy release audit: quasi-identifier combos re-identifiable to
+      // fewer than k individuals; one bounded aggregation
+      graft.ops.Expectations.kAnonymityAudit(t(s, d, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 30)
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
     "q204_cusum_changepoint" -> ((s, d) => {
       // level-shift detection per event type: decimal-exact daily totals,
       // CUSUM peak with a deterministic argmax; the windows run on the
@@ -5142,6 +5159,37 @@ object SparkEntry {
                       JOIN sz sb ON sb.doc_id = id_r)
          SELECT id_l, id_r, round(jac, 6) AS jaccard FROM j
          WHERE jac >= 0.9 ORDER BY id_l, id_r""",
+
+    // identical pair build: positions x offsets 1..3 clipped at the array
+    // end, unordered pair key, the same fixed division tree
+    "q207_token_cooccurrence" ->
+      raw"""WITH tk AS (SELECT
+             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '') AS arr
+           FROM documents WHERE text IS NOT NULL),
+         pos AS (SELECT arr, i FROM
+           (SELECT arr, unnest(generate_series(1, len(arr))) AS i FROM tk)),
+         pr AS (SELECT least(arr[i], arr[i + j]) AS t_a,
+             greatest(arr[i], arr[i + j]) AS t_b
+           FROM (SELECT arr, i, unnest(generate_series(1, 3)) AS j FROM pos)
+           WHERE i + j <= len(arr)),
+         cnt AS (SELECT t_a, t_b, count(*) AS n_ab FROM pr GROUP BY 1, 2),
+         uni AS (SELECT t, count(*) AS n FROM
+           (SELECT unnest(arr) AS t FROM tk) GROUP BY 1),
+         tot AS (SELECT
+           (SELECT CAST(sum(n_ab) AS BIGINT) FROM cnt) AS w,
+           (SELECT CAST(sum(n) AS BIGINT) FROM uni) AS u)
+         SELECT t_a, t_b, n_ab,
+           round((CAST(n_ab AS DOUBLE) / w) /
+             ((CAST(na.n AS DOUBLE) / u) * (CAST(nb.n AS DOUBLE) / u)), 6)
+             AS lift
+         FROM cnt JOIN uni na ON na.t = t_a JOIN uni nb ON nb.t = t_b, tot
+         ORDER BY n_ab DESC, t_a, t_b LIMIT 20""",
+
+    "q208_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n
+         FROM customer GROUP BY 1, 2 HAVING count(*) < 30
+         ORDER BY c_nationkey, c_mktsegment""",
 
     // the q30 session CTE -> distinct (session, type) -> pair join; lift
     // as the same exact integer ratio, rounded once

@@ -271,4 +271,51 @@ object Vocab {
       .select(col("query_id"), col("rnk").cast("long").as("rnk"),
         col("doc_id"), col("score"))
   }
+
+  /** Token co-occurrence association within a ±`window` token distance —
+    * the skip-gram pair counts embedding training consumes, reported with
+    * LIFT instead of PMI (no logarithm, so counts, totals and the ratio
+    * are all engine-exact): `lift = (n_ab/W) / ((n_a/U)(n_b/U))` with `W`
+    * total pairs and `U` total tokens. Returns the `topK` unordered pairs
+    * by count: `(t_a, t_b, n_ab, lift)`, lift rounded to 6 dp.
+    *
+    * Pair generation is ROW-LOCAL (position explode + `element_at` at
+    * fixed offsets — the [[ngramFrequencies]] codegen shape, no lambda,
+    * no per-document window shuffle); both normalizers are sums over the
+    * ALREADY-AGGREGATED tiny frames (pair counts / unigram counts), so
+    * nothing rescans the corpus. The division tree is fixed and per-row,
+    * never an integer product that could overflow at corpus scale.
+    */
+  def cooccurrenceLift(
+      df: DataFrame, textCol: String, window: Int = 3,
+      topK: Int = 20): DataFrame = {
+    require(window >= 1, "window must be at least 1")
+    require(topK >= 1, "topK must be at least 1")
+    val base = df.where(col(textCol).isNotNull)
+      .select(text.tokens(col(textCol)).as("__toks"))
+    val pos = base.select(col("__toks"),
+      posexplode(col("__toks")).as(Seq("__p", "a")))
+    val partners = (1 to window).map(j =>
+      try_element_at(col("__toks"), col("__p") + 1 + j)) // null past the end (ANSI-safe)
+    val pairs = pos.select(col("a"), explode(array(partners: _*)).as("b"))
+      .where(col("b").isNotNull)
+      .select(least(col("a"), col("b")).as("t_a"),
+        greatest(col("a"), col("b")).as("t_b"))
+    val counts = pairs.groupBy(col("t_a"), col("t_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val uni = base.select(explode(col("__toks")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("__n"))
+    val w = counts.agg(sum(col("n_ab")).as("__W"))
+    val u = uni.agg(sum(col("__n")).as("__U"))
+    counts
+      .join(uni.select(col("t").as("t_a"), col("__n").as("__na")), Seq("t_a"))
+      .join(uni.select(col("t").as("t_b"), col("__n").as("__nb")), Seq("t_b"))
+      .crossJoin(broadcast(w)).crossJoin(broadcast(u))
+      .select(col("t_a"), col("t_b"), col("n_ab"),
+        round((col("n_ab").cast("double") / col("__W")) /
+          ((col("__na").cast("double") / col("__U")) *
+            (col("__nb").cast("double") / col("__U"))), 6).as("lift"))
+      .orderBy(col("n_ab").desc, col("t_a"), col("t_b"))
+      .limit(topK)
+  }
 }

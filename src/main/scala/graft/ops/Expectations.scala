@@ -76,6 +76,21 @@ object Expectations {
     * multiplicities — empty result proves the claimed key IS a key. One
     * map-side-combinable aggregation; the HAVING filter runs post-merge.
     */
+  /** k-anonymity audit over quasi-identifier columns: every combination
+    * whose row count is below `k` — the groups a privacy review must
+    * suppress or generalize before release (each is re-identifiable to
+    * fewer than k individuals). Returns `(quasiCols..., n)` for the
+    * violating combos only; an empty result certifies k-anonymity.
+    * One map-side-combinable aggregation, shuffle O(distinct combos).
+    */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, "k must be at least 2")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") < k)
+  }
+
   def duplicateKeys(df: DataFrame, keys: Seq[String],
       countCol: String = "n_rows"): DataFrame = {
     require(keys.nonEmpty, "at least one key column required")

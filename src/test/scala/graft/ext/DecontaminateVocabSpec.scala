@@ -258,4 +258,20 @@ class DecontaminateVocabSpec extends AnyFunSuite with SparkSpec {
     assert(Vocab.bm25Search(docs, "doc_id", "text", q, "query_id", "qtext",
       4L, dlSum, k = 2).count() == 2)
   }
+
+  test("cooccurrenceLift: exact pair counts and lift ratios") {
+    import spark.implicits._
+    // one doc "a b c", window 2: pairs (a,b),(a,c),(b,c) once each;
+    // U = 3 tokens, W = 3 pairs, every unigram count 1 ->
+    // lift = (1/3) / ((1/3)*(1/3)) = 3.0
+    val out = Vocab.cooccurrenceLift(Seq("a b c").toDF("text"), "text",
+        window = 2, topK = 10)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(out == Set(("a", "b", 1L, 3.0), ("a", "c", 1L, 3.0), ("b", "c", 1L, 3.0)))
+    // window 1 drops the distance-2 (a,c) pair
+    val w1 = Vocab.cooccurrenceLift(Seq("a b c").toDF("text"), "text",
+        window = 1, topK = 10)
+      .select($"t_a", $"t_b").as[(String, String)].collect().toSet
+    assert(w1 == Set(("a", "b"), ("b", "c")))
+  }
 }

@@ -79,4 +79,15 @@ class ExpectationsSpec extends AnyFunSuite with SparkSpec {
     assert(Expectations.duplicateKeys(df.distinct(), Seq("k", "s")).isEmpty)
     intercept[IllegalArgumentException] { Expectations.duplicateKeys(df, Nil) }
   }
+
+  test("kAnonymityAudit flags only combos below k") {
+    val d = (Seq.fill(5)(("US", "A")) ++ Seq.fill(2)(("US", "B")) ++
+      Seq.fill(1)(("DE", "A"))).toDF("country", "seg")
+    val out = Expectations.kAnonymityAudit(d, Seq("country", "seg"), k = 3)
+      .orderBy("country", "seg")
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(("DE", "A", 1L), ("US", "B", 2L)))
+    assert(Expectations.kAnonymityAudit(d, Seq("country", "seg"), k = 2)
+      .count() == 1)
+  }
 }
