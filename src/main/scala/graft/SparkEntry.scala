@@ -373,6 +373,32 @@ object SparkEntry {
     * can never assert different things (token counts are order-insensitive,
     * so streamed == batch verbatim).
     */
+  /** Shared by q204 (batch CUSUM) and q209 (streamed monitor — the daily
+    * decimal totals are additive, so the Complete-mode frame equals batch
+    * under any stream cut and one replay gates both).
+    */
+  private val cusumOracle: String =
+    """WITH daily AS (SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+             sum(CAST(value AS DECIMAL(18,4))) AS x
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         w AS (SELECT event_type, d, x,
+             sum(x) OVER (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS i,
+             sum(x) OVER (PARTITION BY event_type) AS tot,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM daily),
+         sc AS (SELECT event_type, d, n,
+             CAST(tot AS DOUBLE) / n AS mean,
+             CAST(cum AS DOUBLE) - i * (CAST(tot AS DOUBLE) / n) AS s
+           FROM w),
+         r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY abs(s) DESC, d) AS rn FROM sc)
+         SELECT event_type, CAST(n AS BIGINT) AS n_days, d AS change_day,
+           round(s, 6) AS s_at_change, round(mean, 6) AS daily_mean
+         FROM r WHERE rn = 1 ORDER BY event_type"""
+
   /** Shared by q201 (batch sliding-window distinct) and q206 (stateful
     * streaming twin — each (user, window) is emitted exactly once from
     * carried state, a pure dedup, so one replay gates both under any
@@ -2245,6 +2271,20 @@ object SparkEntry {
         .select(col("label"), col("rnk").cast("int").as("rnk"), col("vec_id"),
           round(col("cos_raw"), 6).as("cosine"))
         .orderBy("label", "rnk")
+    }),
+
+    "q209_stream_cusum" -> ((s, d) => {
+      // q204 with the log ARRIVING as a stream: daily decimal totals are
+      // additive, so the Complete-mode frame — and the CUSUM peak over
+      // it — is bit-identical to batch wherever the stream is cut
+      import graft.streaming.CorpusStreams
+      val mx = events(s, d).agg(max(col("event_id"))).head().getLong(0)
+      val staged = CorpusStreams.stageIdSlices(s, s"$d/events.parquet",
+        "event_id", cuts = Seq(mx / 2))
+      val name = s"graft_stream_cusum_${streamCounter.incrementAndGet()}"
+      EventStreams.cusumStreaming(s, staged, name,
+          Seq("event_type"), "value", shufflePartitions = Some(4))
+        .orderBy("event_type")
     }),
 
     "q205_session_lift" -> ((s, d) => {
@@ -5222,27 +5262,9 @@ object SparkEntry {
     // decimal daily sums + decimal running cumulative; S from the exact
     // pieces in one double expression; argmax replayed with the same
     // (|S| desc, day) ordering
-    "q204_cusum_changepoint" ->
-      """WITH daily AS (SELECT event_type,
-             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
-             sum(CAST(value AS DECIMAL(18,4))) AS x
-           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
-         w AS (SELECT event_type, d, x,
-             sum(x) OVER (PARTITION BY event_type ORDER BY d
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-             row_number() OVER (PARTITION BY event_type ORDER BY d) AS i,
-             sum(x) OVER (PARTITION BY event_type) AS tot,
-             count(*) OVER (PARTITION BY event_type) AS n
-           FROM daily),
-         sc AS (SELECT event_type, d, n,
-             CAST(tot AS DOUBLE) / n AS mean,
-             CAST(cum AS DOUBLE) - i * (CAST(tot AS DOUBLE) / n) AS s
-           FROM w),
-         r AS (SELECT *, row_number() OVER (PARTITION BY event_type
-             ORDER BY abs(s) DESC, d) AS rn FROM sc)
-         SELECT event_type, CAST(n AS BIGINT) AS n_days, d AS change_day,
-           round(s, 6) AS s_at_change, round(mean, 6) AS daily_mean
-         FROM r WHERE rn = 1 ORDER BY event_type""",
+    "q204_cusum_changepoint" -> cusumOracle,
+
+    "q209_stream_cusum" -> cusumOracle,
 
     // q188's decimal-exact per-dim means assembled into a centroid list,
     // q24's list_cosine_similarity parity, deterministic asc-cosine ranks

@@ -186,13 +186,30 @@ object Behavior {
     */
   def cusumChangePoint(
       events: DataFrame, groupCols: Seq[String], valCol: String,
+      tsCol: String = "ts", scale: Int = 4): DataFrame =
+    cusumFromDaily(dailyTotals(events, groupCols, valCol, tsCol, scale),
+      groupCols)
+
+  /** Decimal-exact daily totals of `valCol` per group — additive, so a
+    * Complete-mode streaming aggregation accumulates the SAME frame (the
+    * q209 streamed-monitor path).
+    */
+  def dailyTotals(
+      events: DataFrame, groupCols: Seq[String], valCol: String,
       tsCol: String = "ts", scale: Int = 4): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
-    val g = groupCols.map(col)
     val day = (unix_timestamp(col(tsCol)) / lit(86400L)).cast("long")
-    val daily = events.where(col(valCol).isNotNull)
-      .groupBy(g :+ day.as("d"): _*)
+    events.where(col(valCol).isNotNull)
+      .groupBy(groupCols.map(col) :+ day.as("d"): _*)
       .agg(sum(col(valCol).cast(s"decimal(18,$scale)")).as("x"))
+  }
+
+  /** The CUSUM scoring half of [[cusumChangePoint]] over a `(groupCols...,
+    * d, x)` daily frame (batch-built or streamed): windows run on this
+    * tiny frame only.
+    */
+  def cusumFromDaily(daily: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
     val wOrd = Window.partitionBy(g: _*).orderBy(col("d"))
     val wAll = Window.partitionBy(g: _*)
       .orderBy(col("d"))

@@ -680,6 +680,34 @@ object EventStreams {
       .groupBy(col("window_day")).agg(count(lit(1)).as("n_active"))
   }
 
+  /** Streamed CUSUM level-shift monitor: the decimal daily totals are ONE
+    * Complete-mode aggregation — additive and order-insensitive, so the
+    * accumulated frame equals the batch [[graft.ops.Behavior.dailyTotals]]
+    * wherever the stream is cut — and the CUSUM scoring/argmax runs on
+    * the drained (group, day) frame. The batch q204 oracle gates the
+    * streamed monitor verbatim; state is bounded by groups x days.
+    */
+  def cusumStreaming(
+      spark: SparkSession, stagedDir: String, queryName: String,
+      groupCols: Seq[String], valCol: String,
+      shufflePartitions: Option[Int] = None,
+      rocksdbState: Boolean = false): DataFrame = {
+    val schema = spark.read.parquet(stagedDir).schema
+    val stream = normalizeTs(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir))
+    val daily = graft.ops.Behavior.dailyTotals(stream, groupCols, valCol)
+    withStatePartitions(spark, shufflePartitions, rocksdbState) {
+      val q = daily.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.ops.Behavior.cusumFromDaily(drainMemorySink(spark, queryName), groupCols)
+  }
+
   // NOTE: these must be public — Catalyst's generated (de)serializer code
   // cannot access private nested case classes.
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
