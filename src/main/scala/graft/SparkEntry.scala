@@ -2287,6 +2287,27 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "q210_interpolate_gaps" -> ((s, d) => {
+      // linear-interpolation gap fill (the LOCF flagship's time-series
+      // sibling): daily decimal totals thinned to a deterministic sparse
+      // pattern (day % 3 == 0), re-gridded over each type's full day
+      // range, nulls interpolated between neighbors — two ignore-nulls
+      // windows on one group exchange
+      val daily = graft.ops.Behavior.dailyTotals(events(s, d),
+          Seq("event_type"), "value")
+        .select(col("event_type"), col("d"), col("x").cast("double").as("v"))
+      val sparse = daily.where(col("d") % 3 === 0)
+      val grid = daily.groupBy(col("event_type"))
+        .agg(min(col("d")).as("__lo"), max(col("d")).as("__hi"))
+        .select(col("event_type"),
+          explode(sequence(col("__lo"), col("__hi"))).as("d"))
+      graft.ops.NaLocfPlusOne.interpolateByGroup(
+          grid.join(sparse, Seq("event_type", "d"), "left"),
+          Seq("event_type"), "d", "v")
+        .select(col("event_type"), col("d"), col("filled"))
+        .orderBy("event_type", "d")
+    }),
+
     "q205_session_lift" -> ((s, d) => {
       // market-basket lift between event types over behavioral sessions:
       // per-session self-join on the distinct (session, type) frame
@@ -5230,6 +5251,43 @@ object SparkEntry {
       """SELECT c_nationkey, c_mktsegment, count(*) AS n
          FROM customer GROUP BY 1, 2 HAVING count(*) < 30
          ORDER BY c_nationkey, c_mktsegment""",
+
+    // same sparse pattern, same grid, the same neighbor windows (IGNORE
+    // NULLS running last / reversed first) and one fixed interp tree
+    "q210_interpolate_gaps" ->
+      """WITH daily AS (SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         sparse AS (SELECT * FROM daily WHERE d % 3 = 0),
+         bounds AS (SELECT event_type, min(d) AS lo, max(d) AS hi
+           FROM daily GROUP BY 1),
+         grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS d
+           FROM bounds),
+         sp AS (SELECT g.event_type, g.d, s.v
+           FROM grid g LEFT JOIN sparse s USING (event_type, d)),
+         w AS (SELECT event_type, d, v,
+             last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS po,
+             last_value(v IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS no,
+             first_value(v IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+           FROM sp)
+         SELECT event_type, d, round(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL AND nv IS NULL THEN NULL
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * CAST(d - po AS DOUBLE) /
+               CAST(no - po AS DOUBLE) END, 6) AS filled
+         FROM w ORDER BY event_type, d""",
 
     // the q30 session CTE -> distinct (session, type) -> pair join; lift
     // as the same exact integer ratio, rounded once

@@ -140,4 +140,48 @@ object NaLocfPlusOne {
     val cm = max(when(v.isNotNull, ix).otherwise(0L)).over(w)
     df.withColumn(outCol, when(v.isNotNull, v).otherwise(locf + (ix - cm)))
   }
+
+  /** Linear-interpolation gap fill per group — the time-series sibling of
+    * the reference's LOCF family: each null gets
+    * `prev + (next - prev) * (ord - prev_ord) / (next_ord - prev_ord)`
+    * between its nearest non-null neighbors in `orderCol` order; leading
+    * nulls backfill from the first value, trailing nulls carry the last
+    * (LOCF), all-null groups stay null. One fixed IEEE double tree over
+    * the neighbor values and integer positions — engine-exact.
+    *
+    * Two ignore-nulls window passes on ONE group exchange (running last /
+    * reversed-frame first of the `(ord, value)` pair); no self-join, no
+    * explode. For an UNGROUPED total-order fill at 100 TB use the
+    * range-partitioned two-pass architecture of [[apply]] — this is the
+    * per-series (bounded-partition) variant, the shape metric series
+    * actually have.
+    */
+  def interpolateByGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      outCol: String = "filled",
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val v = col(valueCol).cast(DoubleType)
+    val pair = when(v.isNotNull, struct(col(orderCol).as("o"), v.as("v")))
+    val wPrev = Window.partitionBy(g: _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(g: _*).orderBy(col(orderCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prev = last(pair, ignoreNulls = true).over(wPrev)
+    val next = first(pair, ignoreNulls = true).over(wNext)
+    val interp = prev.getField("v") +
+      (next.getField("v") - prev.getField("v")) *
+        (col(orderCol) - prev.getField("o")).cast(DoubleType) /
+        (next.getField("o") - prev.getField("o")).cast(DoubleType)
+    df.withColumn(outCol, round(
+      when(v.isNotNull, v)
+        .when(prev.isNull && next.isNull, lit(null).cast(DoubleType))
+        .when(prev.isNull, next.getField("v"))
+        .when(next.isNull, prev.getField("v"))
+        .otherwise(interp), roundTo))
+  }
 }

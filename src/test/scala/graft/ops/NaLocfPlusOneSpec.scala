@@ -79,4 +79,29 @@ class NaLocfPlusOneSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("interpolateByGroup: linear between neighbors, edge fills, all-null stays null") {
+    import spark.implicits._
+    val d = Seq(
+      // group a: 10 at ord 0, 40 at ord 3 -> 20, 30 between; trailing LOCF
+      ("a", 0L, Some(10.0)), ("a", 1L, None), ("a", 2L, None),
+      ("a", 3L, Some(40.0)), ("a", 4L, None),
+      // group b: leading null backfills; uneven spacing interpolates by ord
+      ("b", 0L, None), ("b", 1L, Some(6.0)), ("b", 4L, Some(12.0)),
+      ("b", 2L, None),
+      // group c: all null
+      ("c", 0L, None), ("c", 1L, None)
+    ).map { case (g, o, v) => (g, o, v.map(Double.box).orNull.asInstanceOf[java.lang.Double]) }
+      .toDF("g", "o", "v")
+    val out = NaLocfPlusOne.interpolateByGroup(d, Seq("g"), "o", "v")
+      .orderBy("g", "o")
+      .select($"g", $"o", $"filled").as[(String, Long, Option[Double])]
+      .collect().toSeq
+    assert(out == Seq(
+      ("a", 0L, Some(10.0)), ("a", 1L, Some(20.0)), ("a", 2L, Some(30.0)),
+      ("a", 3L, Some(40.0)), ("a", 4L, Some(40.0)),
+      ("b", 0L, Some(6.0)), ("b", 1L, Some(6.0)), ("b", 2L, Some(8.0)),
+      ("b", 4L, Some(12.0)),
+      ("c", 0L, None), ("c", 1L, None)))
+  }
 }
