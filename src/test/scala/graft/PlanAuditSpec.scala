@@ -361,6 +361,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("row_number"), s"window-sort fallback in:\n$plan")
   }
 
+  test("q199/q205/q207: pair joins are equi-joins, normalizers never rescan") {
+    // the single-ROW scalar attaches (total-session / total-pair counts)
+    // legitimately plan as broadcast nested loops; what must never appear
+    // is a cartesian over data-sized frames — and q199 has no scalar
+    // attach at all, so any nested loop there is a real pair explosion
+    Seq("q199_allpairs_jaccard", "q205_session_lift",
+        "q207_token_cooccurrence").foreach { q =>
+      val plan = finalPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: cartesian in:\n$plan")
+    }
+    assert(!finalPlan("q199_allpairs_jaccard").contains("BroadcastNestedLoopJoin"),
+      "q199: nested-loop join")
+  }
+
   test("q190/q192/q196: event reports aggregate with map-side combine") {
     Seq("q190_cohort_retention", "q192_trend_ols").foreach { q =>
       val plan = finalPlan(q)
