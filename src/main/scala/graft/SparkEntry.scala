@@ -2308,6 +2308,21 @@ object SparkEntry {
         .orderBy("event_type", "d")
     }),
 
+    "q211_funnel_latency" -> ((s, d) => {
+      // stage-to-stage conversion latency over the q189 reach-time pass:
+      // decimal-exact means, interpolated medians, one user exchange
+      graft.ops.Behavior.funnelLatency(events(s, d),
+          Seq("signup", "view", "click", "purchase"))
+        .orderBy("from_stage", "to_stage")
+    }),
+
+    "q212_rate_anomalies" -> ((s, d) => {
+      // bot screen: users with a superhuman single-minute burst; one
+      // (user, minute) aggregation, struct-max peak, no event-level window
+      graft.ops.Behavior.rateAnomalies(events(s, d), threshold = 1)
+        .orderBy("user_id")
+    }),
+
     "q205_session_lift" -> ((s, d) => {
       // market-basket lift between event types over behavioral sessions:
       // per-session self-join on the distinct (session, type) frame
@@ -5288,6 +5303,52 @@ object SparkEntry {
              ELSE pv + (nv - pv) * CAST(d - po AS DOUBLE) /
                CAST(no - po AS DOUBLE) END, 6) AS filled
          FROM w ORDER BY event_type, d""",
+
+    // the q189 chain, then per-transition duration branches with the
+    // decimal mean and quantile_cont median (the q37 convention)
+    "q211_funnel_latency" ->
+      """WITH s0 AS (SELECT user_id, event_id, ts, event_type,
+             CASE WHEN event_type = 'signup' THEN ts END AS q0 FROM events),
+         p0 AS (SELECT *, min(q0) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pp0 FROM s0),
+         s1 AS (SELECT *, CASE WHEN event_type = 'view' AND pp0 IS NOT NULL
+             THEN ts END AS q1 FROM p0),
+         p1 AS (SELECT *, min(q1) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pp1 FROM s1),
+         s2 AS (SELECT *, CASE WHEN event_type = 'click' AND pp1 IS NOT NULL
+             THEN ts END AS q2 FROM p1),
+         p2 AS (SELECT *, min(q2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pp2 FROM s2),
+         s3 AS (SELECT *, CASE WHEN event_type = 'purchase' AND pp2 IS NOT NULL
+             THEN ts END AS q3 FROM p2),
+         u AS (SELECT user_id, min(q0) AS r0, min(q1) AS r1, min(q2) AS r2,
+             min(q3) AS r3 FROM s3 GROUP BY 1),
+         d AS (
+           SELECT 'signup' AS from_stage, 'view' AS to_stage,
+             CAST(floor(epoch(r1)) AS BIGINT) - CAST(floor(epoch(r0)) AS BIGINT) AS dur
+           FROM u WHERE r1 IS NOT NULL
+           UNION ALL
+           SELECT 'view', 'click',
+             CAST(floor(epoch(r2)) AS BIGINT) - CAST(floor(epoch(r1)) AS BIGINT)
+           FROM u WHERE r2 IS NOT NULL
+           UNION ALL
+           SELECT 'click', 'purchase',
+             CAST(floor(epoch(r3)) AS BIGINT) - CAST(floor(epoch(r2)) AS BIGINT)
+           FROM u WHERE r3 IS NOT NULL)
+         SELECT from_stage, to_stage, count(*) AS n_users,
+           round(CAST(sum(CAST(dur AS DECIMAL(18,0))) AS DOUBLE) / count(*), 6)
+             AS mean_sec,
+           round(quantile_cont(dur, 0.5), 6) AS p50_sec
+         FROM d GROUP BY 1, 2 ORDER BY from_stage, to_stage""",
+
+    "q212_rate_anomalies" ->
+      """WITH m AS (SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY n DESC, minute) AS rn FROM m)
+         SELECT user_id, minute AS peak_minute, n AS n_peak
+         FROM r WHERE rn = 1 AND n > 1 ORDER BY user_id""",
 
     // the q30 session CTE -> distinct (session, type) -> pair join; lift
     // as the same exact integer ratio, rounded once

@@ -40,6 +40,30 @@ object Behavior {
       events: DataFrame, stages: Seq[String],
       userCol: String = "user_id", typeCol: String = "event_type",
       tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    val perUser = funnelReachTimes(events, stages, userCol, typeCol, tsCol, idCol)
+    val counts = perUser.agg(
+      count(when(col("__r0").isNotNull, 1)).as("__n0"),
+      stages.indices.drop(1)
+        .map(k => count(when(col(s"__r$k").isNotNull, 1)).as(s"__n$k")): _*)
+    val tall = stages.zipWithIndex.map { case (st, k) =>
+      struct(lit(k).cast("int").as("stage_idx"), lit(st).as("stage"),
+        col(s"__n$k").as("n_users"),
+        round(col(s"__n$k").cast("double") / col("__n0"), 6)
+          .as("conv_from_first"),
+        round(col(s"__n$k").cast("double") /
+          col(s"__n${math.max(k - 1, 0)}"), 6).as("conv_from_prev"))
+    }
+    counts.select(explode(array(tall: _*)).as("f")).select("f.*")
+  }
+
+  /** Per-user earliest IN-ORDER reach timestamp of each stage
+    * (`(userCol, __r0..__rN)`, null = never reached in order) — the
+    * chained strictly-before window minima shared by [[funnel]] and
+    * [[funnelLatency]].
+    */
+  private def funnelReachTimes(
+      events: DataFrame, stages: Seq[String], userCol: String,
+      typeCol: String, tsCol: String, idCol: String): DataFrame = {
     require(stages.nonEmpty, "need at least one funnel stage")
     require(stages.distinct.size == stages.size, "stages must be distinct")
     val ord = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
@@ -56,22 +80,37 @@ object Behavior {
       if (k < stages.size - 1)
         cur = cur.withColumn(s"__p$k", min(col(s"__q$k")).over(before))
     }
-    val perUser = cur.groupBy(col(userCol))
+    cur.groupBy(col(userCol))
       .agg(min(col("__q0")).as("__r0"),
         stages.indices.drop(1).map(k => min(col(s"__q$k")).as(s"__r$k")): _*)
-    val counts = perUser.agg(
-      count(when(col("__r0").isNotNull, 1)).as("__n0"),
-      stages.indices.drop(1)
-        .map(k => count(when(col(s"__r$k").isNotNull, 1)).as(s"__n$k")): _*)
-    val tall = stages.zipWithIndex.map { case (st, k) =>
-      struct(lit(k).cast("int").as("stage_idx"), lit(st).as("stage"),
-        col(s"__n$k").as("n_users"),
-        round(col(s"__n$k").cast("double") / col("__n0"), 6)
-          .as("conv_from_first"),
-        round(col(s"__n$k").cast("double") /
-          col(s"__n${math.max(k - 1, 0)}"), 6).as("conv_from_prev"))
+  }
+
+  /** Stage-to-stage conversion LATENCY: for users who completed stage k
+    * in order, the seconds between their stage k-1 and stage k reach
+    * times — count, decimal-exact mean and interpolated median per
+    * transition: `(from_stage, to_stage, n_users, mean_sec, p50_sec)`,
+    * doubles rounded to 6 dp. Shares [[funnel]]'s reach-time pass (one
+    * user exchange); the latency aggregation is |stages|-1 branches over
+    * the per-user frame.
+    */
+  def funnelLatency(
+      events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(stages.size >= 2, "latency needs at least two stages")
+    val perUser = funnelReachTimes(events, stages, userCol, typeCol, tsCol, idCol)
+    val branches = (1 until stages.size).map { k =>
+      perUser.where(col(s"__r$k").isNotNull)
+        .select(lit(stages(k - 1)).as("from_stage"), lit(stages(k)).as("to_stage"),
+          (unix_timestamp(col(s"__r$k")) - unix_timestamp(col(s"__r${k - 1}")))
+            .as("__dur"))
     }
-    counts.select(explode(array(tall: _*)).as("f")).select("f.*")
+    branches.reduce(_ unionByName _)
+      .groupBy(col("from_stage"), col("to_stage"))
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("__dur").cast("decimal(18,0)")).cast("double") /
+          count(lit(1)), 6).as("mean_sec"),
+        round(expr("percentile(__dur, 0.5)"), 6).as("p50_sec"))
   }
 
   /** Weekly cohort retention: users grouped by the epoch-aligned week of
@@ -229,6 +268,30 @@ object Behavior {
       .select(g ++ Seq(col("__n").as("n_days"), col("d").as("change_day"),
         round(col("__s"), 6).as("s_at_change"),
         round(col("__mean"), 6).as("daily_mean")): _*)
+  }
+
+  /** Superhuman-rate screen over behavioral logs: users whose busiest
+    * single minute holds more than `threshold` events — the cheap bot /
+    * instrumentation-bug signal every log pipeline runs before trusting
+    * per-user metrics. Returns `(userCol, peak_minute, n_peak)` for
+    * offenders, peak chosen deterministically (highest count, then
+    * earliest minute).
+    *
+    * One (user, minute) aggregation (map-side combined), then a per-user
+    * struct-max on that already-collapsed frame — no window over events.
+    */
+  def rateAnomalies(
+      events: DataFrame, threshold: Long,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(threshold >= 1, "threshold must be at least 1")
+    val minute = (unix_timestamp(col(tsCol)) / lit(60L)).cast("long")
+    events.groupBy(col(userCol), minute.as("minute"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(userCol))
+      .agg(max(struct(col("n"), (-col("minute")).as("negm"))).as("__pk"))
+      .select(col(userCol),
+        (-col("__pk.negm")).as("peak_minute"), col("__pk.n").as("n_peak"))
+      .where(col("n_peak") > threshold)
   }
 
   /** Robust per-group outlier report: exact median and MAD (median

@@ -134,6 +134,26 @@ class BehaviorSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq(("a", "b", 1L, 1.0)))
   }
 
+  test("funnelLatency: durations only for in-order completions") {
+    // user 1 completes a->b in 10s; user 2's b precedes its a (no duration);
+    // user 4's tie-broken b completes at 0s
+    val out = Behavior.funnelLatency(ev, Seq("a", "b"))
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(("a", "b", 2L, 5.0, 5.0))) // durations 10 and 0
+  }
+
+  test("rateAnomalies: deterministic peak, threshold strict") {
+    val e = Seq(
+      (1L, 1L, "x", 0L), (2L, 1L, "x", 10L), (3L, 1L, "x", 30L), // 3 in minute 0
+      (4L, 1L, "x", 65L), (5L, 2L, "x", 0L), (6L, 2L, "x", 120L) // u2 max 1
+    ).map { case (id, u, t0, s0) => (id, u, t0, ts(s0)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Behavior.rateAnomalies(e, threshold = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 0L, 3L)))
+    assert(Behavior.rateAnomalies(e, threshold = 3).isEmpty)
+  }
+
   test("funnel plan: exactly one exchange up to the per-user aggregate") {
     val perUserPlan = Behavior.funnel(ev, Seq("a", "b", "c"))
       .queryExecution.executedPlan.toString
