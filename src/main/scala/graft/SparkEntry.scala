@@ -2308,6 +2308,13 @@ object SparkEntry {
         .orderBy("event_type", "d")
     }),
 
+    "q213_bounce_rate" -> ((s, d) => {
+      // daily single-event-session share over the q30 gap sessions; exact
+      // integer ratios, one aggregation over the (user, session) frame
+      graft.ops.Behavior.bounceRate(events(s, d), gapMinutes = 30)
+        .orderBy("day")
+    }),
+
     "q211_funnel_latency" -> ((s, d) => {
       // stage-to-stage conversion latency over the q189 reach-time pass:
       // decimal-exact means, interpolated medians, one user exchange
@@ -5303,6 +5310,29 @@ object SparkEntry {
              ELSE pv + (nv - pv) * CAST(d - po AS DOUBLE) /
                CAST(no - po AS DOUBLE) END, 6) AS filled
          FROM w ORDER BY event_type, d""",
+
+    // q30's session CTE aggregated to (session, n, start day), then the
+    // exact daily bounce ratio
+    "q213_bounce_rate" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         f AS (SELECT *, CASE WHEN prev_ts IS NULL OR
+             CAST(floor(epoch(ts)) AS BIGINT) -
+               CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+             THEN 1 ELSE 0 END AS ns FROM e),
+         g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f),
+         sess AS (SELECT user_id, sid, count(*) AS n,
+             CAST(floor(epoch(min(ts))) AS BIGINT) // 86400 AS day
+           FROM g GROUP BY 1, 2),
+         agg AS (SELECT day, count(*) AS n_sessions,
+             count(CASE WHEN n = 1 THEN 1 END) AS n_bounce
+           FROM sess GROUP BY 1)
+         SELECT day, n_sessions, n_bounce,
+           round(CAST(n_bounce AS DOUBLE) / n_sessions, 6) AS bounce_rate
+         FROM agg ORDER BY day""",
 
     // the q189 chain, then per-transition duration branches with the
     // decimal mean and quantile_cont median (the q37 convention)

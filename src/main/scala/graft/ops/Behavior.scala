@@ -270,6 +270,26 @@ object Behavior {
         round(col("__mean"), 6).as("daily_mean")): _*)
   }
 
+  /** Daily bounce rate: of the sessions STARTING each epoch day, the
+    * share that contain exactly one event. Returns `(day, n_sessions,
+    * n_bounce, bounce_rate)` with the rate an exact integer ratio rounded
+    * to 6 dp. Sessions come from the shared q30 gap rule; the summary is
+    * one aggregation over the (user, session) frame.
+    */
+  def bounceRate(
+      events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val sessions = graft.streaming.EventStreams
+      .withSessionIds(events, gapMinutes)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("__n"),
+        (unix_timestamp(min(col("ts"))) / lit(86400L)).cast("long").as("day"))
+    sessions.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count(when(col("__n") === 1, 1)).as("n_bounce"))
+      .withColumn("bounce_rate",
+        round(col("n_bounce").cast("double") / col("n_sessions"), 6))
+  }
+
   /** Superhuman-rate screen over behavioral logs: users whose busiest
     * single minute holds more than `threshold` events — the cheap bot /
     * instrumentation-bug signal every log pipeline runs before trusting

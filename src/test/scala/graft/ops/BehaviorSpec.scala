@@ -154,6 +154,19 @@ class BehaviorSpec extends AnyFunSuite with SparkSpec {
     assert(Behavior.rateAnomalies(e, threshold = 3).isEmpty)
   }
 
+  test("bounceRate: single-event sessions per start day, exact ratio") {
+    val day = 86400L
+    val e = Seq(
+      (1L, 1L, day * 5 + 10), (2L, 1L, day * 5 + 70),   // u1: 2-event session day 5
+      (3L, 2L, day * 5 + 10),                            // u2: bounce day 5
+      (4L, 3L, day * 6)                                  // u3: bounce day 6
+    ).map { case (id, u, s0) => (id, u, "x", ts(s0)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Behavior.bounceRate(e).orderBy("day")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((5L, 2L, 1L, 0.5), (6L, 1L, 1L, 1.0)))
+  }
+
   test("funnel plan: exactly one exchange up to the per-user aggregate") {
     val perUserPlan = Behavior.funnel(ev, Seq("a", "b", "c"))
       .queryExecution.executedPlan.toString
