@@ -2308,6 +2308,17 @@ object SparkEntry {
         .orderBy("event_type", "d")
     }),
 
+    "q214_ab_test" -> ((s, d) => {
+      // experiment readout: user_id-parity variants, conversion = a
+      // high-value purchase (rare enough that neither side saturates),
+      // exact counts + one fixed double tree for the two-proportion z
+      graft.ops.Behavior.abTest(
+        events(s, d).withColumn("variant",
+          when(col("user_id") % 2 === 0, "control").otherwise("treatment")),
+        "variant",
+        conversion = col("event_type") === "purchase" && col("value") >= 48.0)
+    }),
+
     "q213_bounce_rate" -> ((s, d) => {
       // daily single-event-session share over the q30 gap sessions; exact
       // integer ratios, one aggregation over the (user, session) frame
@@ -5310,6 +5321,36 @@ object SparkEntry {
              ELSE pv + (nv - pv) * CAST(d - po AS DOUBLE) /
                CAST(no - po AS DOUBLE) END, 6) AS filled
          FROM w ORDER BY event_type, d""",
+
+    // per-user conversion flags, per-variant counts, the identical pooled
+    // two-proportion z tree over the exact integers
+    "q214_ab_test" ->
+      """WITH pu AS (SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS v,
+             max(CASE WHEN event_type = 'purchase' AND value >= 48.0
+               THEN 1 ELSE 0 END) AS c
+           FROM events GROUP BY 1, 2),
+         bv AS (SELECT v, count(*) AS n, CAST(sum(c) AS BIGINT) AS k
+           FROM pu GROUP BY 1),
+         w AS (SELECT
+             max(CASE WHEN v = 'control' THEN v END) AS variant_a,
+             max(CASE WHEN v = 'control' THEN n END) AS n_a,
+             max(CASE WHEN v = 'control' THEN k END) AS conv_a,
+             max(CASE WHEN v = 'treatment' THEN v END) AS variant_b,
+             max(CASE WHEN v = 'treatment' THEN n END) AS n_b,
+             max(CASE WHEN v = 'treatment' THEN k END) AS conv_b
+           FROM bv),
+         t AS (SELECT *, CAST(conv_a AS DOUBLE) / n_a AS pa,
+             CAST(conv_b AS DOUBLE) / n_b AS pb,
+             CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pp
+           FROM w)
+         SELECT variant_a, n_a, conv_a, round(pa, 6) AS p_a,
+           variant_b, n_b, conv_b, round(pb, 6) AS p_b,
+           round(pa - pb, 6) AS p_diff,
+           CASE WHEN pp * (1.0 - pp) = 0 THEN NULL
+             ELSE round((pa - pb) / sqrt(pp * (1.0 - pp) *
+               (1.0 / n_a + 1.0 / n_b)), 6) END AS z_score
+         FROM t""",
 
     // q30's session CTE aggregated to (session, n, start day), then the
     // exact daily bounce ratio

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -268,6 +268,58 @@ object Behavior {
       .select(g ++ Seq(col("__n").as("n_days"), col("d").as("change_day"),
         round(col("__s"), 6).as("s_at_change"),
         round(col("__mean"), 6).as("daily_mean")): _*)
+  }
+
+  /** Two-variant A/B conversion readout: users split by `variantCol`
+    * (exactly two values expected), conversion = the share of users with
+    * at least one event satisfying the `conversion` predicate, and the
+    * two-proportion z statistic
+    * `(p_a - p_b) / sqrt(p(1-p)(1/n_a + 1/n_b))` with pooled `p` — the
+    * standard experiment significance readout. Returns ONE row:
+    * `(variant_a, n_a, conv_a, p_a, variant_b, n_b, conv_b, p_b,
+    * p_diff, z_score)`, doubles rounded to 6 dp.
+    *
+    * Exactness: every count is an integer aggregate; the z statistic is
+    * one fixed IEEE double tree over them — engine-reproducible, no
+    * statistics library involved. One per-user aggregation (map-side
+    * combined) and a two-row pivot; nothing else touches events.
+    */
+  def abTest(
+      events: DataFrame, variantCol: String, conversion: Column,
+      userCol: String = "user_id"): DataFrame = {
+    val perUser = events.groupBy(col(userCol), col(variantCol).as("__v"))
+      .agg(max(when(conversion, 1L).otherwise(0L)).as("__c"))
+    val byVariant = perUser.groupBy(col("__v"))
+      .agg(count(lit(1)).as("__n"), sum(col("__c")).as("__k"))
+    // bounded driver-side pivot: one row per DISTINCT VARIANT (and a
+    // fail-fast if the split column doesn't have exactly two)
+    val two = byVariant.orderBy(col("__v")).collect()
+    require(two.length == 2, s"abTest needs exactly two variants, got ${two.length}")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val (va, na, ka) = (two(0).get(0).toString, two(0).getLong(1), two(0).getLong(2))
+    val (vb, nb, kb) = (two(1).get(0).toString, two(1).getLong(1), two(1).getLong(2))
+    // the z tree runs ON THE ENGINE over the literal counts so the double
+    // expression is the same Catalyst evaluation the oracle replays
+    Seq((va, na, ka, vb, nb, kb))
+      .toDF("variant_a", "n_a", "conv_a", "variant_b", "n_b", "conv_b")
+      .withColumn("p_a", col("conv_a").cast("double") / col("n_a"))
+      .withColumn("p_b", col("conv_b").cast("double") / col("n_b"))
+      .withColumn("__p",
+        (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b")))
+      .withColumn("p_diff", round(col("p_a") - col("p_b"), 6))
+      // degenerate experiment (pooled p of 0 or 1): the z statistic is
+      // undefined — report null rather than divide by a zero sqrt (which
+      // ANSI mode correctly refuses to do silently)
+      .withColumn("z_score",
+        when(col("__p") * (lit(1.0) - col("__p")) === 0.0,
+          lit(null).cast("double"))
+          .otherwise(round((col("p_a") - col("p_b")) /
+            sqrt(col("__p") * (lit(1.0) - col("__p")) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6)))
+      .select(col("variant_a"), col("n_a"), col("conv_a"), round(col("p_a"), 6).as("p_a"),
+        col("variant_b"), col("n_b"), col("conv_b"), round(col("p_b"), 6).as("p_b"),
+        col("p_diff"), col("z_score"))
   }
 
   /** Daily bounce rate: of the sessions STARTING each epoch day, the

@@ -2,6 +2,7 @@ package graft.ops
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.when
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
@@ -165,6 +166,30 @@ class BehaviorSpec extends AnyFunSuite with SparkSpec {
     val out = Behavior.bounceRate(e).orderBy("day")
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(out == Seq((5L, 2L, 1L, 0.5), (6L, 1L, 1L, 1.0)))
+  }
+
+  test("abTest: exact counts and the two-proportion z over them") {
+    // control (even users 2,4): both convert (2/2); treatment (1,3): 1 of 2
+    val e = Seq(
+      (1L, 1L, "view", 0L), (2L, 1L, "purchase", 10L),
+      (3L, 2L, "purchase", 0L), (4L, 3L, "view", 0L),
+      (5L, 4L, "purchase", 0L), (6L, 4L, "view", 10L)
+    ).map { case (id, u, t0, s0) => (id, u, t0, ts(s0)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("variant",
+        when($"user_id" % 2 === 0, "control").otherwise("treatment"))
+    val out = Behavior.abTest(e, "variant",
+      org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .as[(String, Long, Long, Double, String, Long, Long, Double, Double, Double)]
+      .collect().head
+    val (va, na, ka, pa, vb, nb, kb, pb, diff, z) = out
+    assert((va, na, ka, pa) == ("control", 2L, 2L, 1.0))
+    assert((vb, nb, kb, pb) == ("treatment", 2L, 1L, 0.5))
+    assert(diff == 0.5)
+    // pooled p = 3/4; z = 0.5 / sqrt(0.75*0.25*(1))
+    val expZ = BigDecimal(0.5 / math.sqrt(0.75 * 0.25 * (0.5 + 0.5)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(z == expZ)
   }
 
   test("funnel plan: exactly one exchange up to the per-user aggregate") {
