@@ -2308,6 +2308,12 @@ object SparkEntry {
         .orderBy("event_type", "d")
     }),
 
+    "q215_top_paths" -> ((s, d) => {
+      // most common first-3-event-type sequences: one user window
+      // truncated to 3 rows/user, a fixed conditional pivot, a tiny count
+      graft.ops.Behavior.topPaths(events(s, d), k = 3, topK = 10)
+    }),
+
     "q214_ab_test" -> ((s, d) => {
       // experiment readout: user_id-parity variants, conversion = a
       // high-value purchase (rare enough that neither side saturates),
@@ -5321,6 +5327,19 @@ object SparkEntry {
              ELSE pv + (nv - pv) * CAST(d - po AS DOUBLE) /
                CAST(no - po AS DOUBLE) END, 6) AS filled
          FROM w ORDER BY event_type, d""",
+
+    "q215_top_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn FROM events),
+         p AS (SELECT user_id,
+             max(CASE WHEN rn = 1 THEN event_type END) AS p1,
+             max(CASE WHEN rn = 2 THEN event_type END) AS p2,
+             max(CASE WHEN rn = 3 THEN event_type END) AS p3
+           FROM r WHERE rn <= 3 GROUP BY 1),
+         c AS (SELECT concat_ws(' > ', p1, p2, p3) AS path, count(*) AS n
+           FROM p GROUP BY 1)
+         SELECT path, n FROM c ORDER BY n DESC, path LIMIT 10""",
 
     // per-user conversion flags, per-variant counts, the identical pooled
     // two-proportion z tree over the exact integers

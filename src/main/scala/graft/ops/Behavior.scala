@@ -322,6 +322,32 @@ object Behavior {
         col("p_diff"), col("z_score"))
   }
 
+  /** Top onboarding paths: the `topK` most common sequences of each
+    * user's FIRST `k` event types (in `(ts, event_id)` order), joined
+    * with `" > "` — the "how do users actually start" report. Users with
+    * fewer than `k` events contribute their shorter path. Returns
+    * `(path, n)` ordered by count desc, path asc.
+    *
+    * One user-window pass truncated to `k` rows per user, then a
+    * fixed-width conditional pivot (`max(when(rn = i))` — codegen, no
+    * per-user array building) and a paths-sized count.
+    */
+  def topPaths(
+      events: DataFrame, k: Int = 3, topK: Int = 10,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(k >= 1 && topK >= 1, "k and topK must be positive")
+    val ord = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val firstK = events.withColumn("__rn", row_number().over(ord))
+      .where(col("__rn") <= k)
+    val slots = (1 to k).map(i =>
+      max(when(col("__rn") === i, col(typeCol))).as(s"__p$i"))
+    firstK.groupBy(col(userCol)).agg(slots.head, slots.tail: _*)
+      .select(concat_ws(" > ", (1 to k).map(i => col(s"__p$i")): _*).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(topK)
+  }
+
   /** Daily bounce rate: of the sessions STARTING each epoch day, the
     * share that contain exactly one event. Returns `(day, n_sessions,
     * n_bounce, bounce_rate)` with the rate an exact integer ratio rounded

@@ -168,6 +168,14 @@ class BehaviorSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq((5L, 2L, 1L, 0.5), (6L, 1L, 1L, 1.0)))
   }
 
+  test("topPaths: first-k type sequences, short users keep short paths") {
+    // fixture ev: u1 a,b,c; u2 b,a,c; u3 a; u4 a,b (tie by id)
+    val out = Behavior.topPaths(ev, k = 3, topK = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", 1L), ("a > b", 1L), ("a > b > c", 1L), ("b > a > c", 1L)))
+  }
+
   test("abTest: exact counts and the two-proportion z over them") {
     // control (even users 2,4): both convert (2/2); treatment (1,3): 1 of 2
     val e = Seq(
