@@ -2314,6 +2314,15 @@ object SparkEntry {
       graft.ops.Behavior.topPaths(events(s, d), k = 3, topK = 10)
     }),
 
+    "q216_dup_triangles" -> ((s, d) => {
+      // graph-shape diagnostic of the exact near-dup pair graph: triangle
+      // census with degree-ordered orientation (wedge fan-out bounded by
+      // oriented out-degree, O(sqrt(m)) — the hub explosion goes away)
+      graft.ext.DupGraph.triangleCensus(
+        Dedup.allPairsJaccard(fanOut(s, t(s, d, "documents"), "doc_id"),
+          "doc_id", "text", threshold = 0.9))
+    }),
+
     "q214_ab_test" -> ((s, d) => {
       // experiment readout: user_id-parity variants, conversion = a
       // high-value purchase (rare enough that neither side saturates),
@@ -5327,6 +5336,46 @@ object SparkEntry {
              ELSE pv + (nv - pv) * CAST(d - po AS DOUBLE) /
                CAST(no - po AS DOUBLE) END, 6) AS filled
          FROM w ORDER BY event_type, d""",
+
+    // the q199 naive pair replay, then the a<b<c triangle join (edges
+    // normalized ascending, so the ordered triple join counts each
+    // triangle once — the oracle needs no degree orientation)
+    "q216_dup_triangles" ->
+      raw"""WITH tk AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '') AS arr
+           FROM documents WHERE text IS NOT NULL),
+         shl AS (SELECT doc_id, CASE WHEN len(arr) < 3
+             THEN [array_to_string(arr, ' ')]
+             ELSE list_transform(generate_series(1, len(arr) - 2),
+               i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]) END AS sh
+           FROM tk),
+         tok AS (SELECT DISTINCT doc_id,
+             CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) AS token
+           FROM (SELECT doc_id, unnest(sh) AS g FROM shl)),
+         sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS ic
+           FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         j AS (SELECT id_l, id_r,
+             CAST(ic AS DOUBLE) / (sa.s + sb.s - ic) AS jac
+           FROM inter JOIN sz sa ON sa.doc_id = id_l
+                      JOIN sz sb ON sb.doc_id = id_r)
+         , e AS (SELECT id_l AS a, id_r AS b FROM j WHERE jac >= 0.9),
+         deg AS (SELECT v, count(*) AS d FROM
+           (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY 1),
+         tri AS (SELECT count(*) AS t FROM e e1
+           JOIN e e2 ON e2.a = e1.b
+           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         st AS (SELECT
+           (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           (SELECT CAST(sum(d * (d - 1)) // 2 AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT t FROM tri) AS n_triangles)
+         SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges = 0 THEN NULL
+             ELSE round(3.0 * n_triangles / n_wedges, 6) END AS clustering
+         FROM st""",
 
     "q215_top_paths" ->
       """WITH r AS (SELECT user_id, event_type,
