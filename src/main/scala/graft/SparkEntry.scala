@@ -2315,11 +2315,14 @@ object SparkEntry {
     }),
 
     "q216_dup_triangles" -> ((s, d) => {
-      // graph-shape diagnostic of the exact near-dup pair graph: triangle
-      // census with degree-ordered orientation (wedge fan-out bounded by
-      // oriented out-degree, O(sqrt(m)) — the hub explosion goes away)
+      // graph-shape diagnostic of the exact near-dup pair graph (the en
+      // slice — the full 0.9 graph at sf0.1 holds ~1M edges of template
+      // cliques and the census is a per-slice diagnostic, not a corpus
+      // pass): degree-ordered orientation bounds wedge fan-out by the
+      // oriented out-degree, O(sqrt(m)) — no hub explosion
       graft.ext.DupGraph.triangleCensus(
-        Dedup.allPairsJaccard(fanOut(s, t(s, d, "documents"), "doc_id"),
+        Dedup.allPairsJaccard(
+          fanOut(s, t(s, d, "documents").where(col("lang") === "en"), "doc_id"),
           "doc_id", "text", threshold = 0.9))
     }),
 
@@ -5344,7 +5347,7 @@ object SparkEntry {
       raw"""WITH tk AS (SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
                x -> x <> '') AS arr
-           FROM documents WHERE text IS NOT NULL),
+           FROM documents WHERE text IS NOT NULL AND lang = 'en'),
          shl AS (SELECT doc_id, CASE WHEN len(arr) < 3
              THEN [array_to_string(arr, ' ')]
              ELSE list_transform(generate_series(1, len(arr) - 2),

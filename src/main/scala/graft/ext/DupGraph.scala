@@ -26,6 +26,14 @@ object DupGraph {
     * hub explosion goes away. Wedge and closing joins are plain
     * equi-joins; wedge totals come from the degree frame, not from
     * materializing wedges.
+    *
+    * Cost floor: an EXACT census must touch every closed wedge once, and
+    * a template clique of s documents holds C(s,3) of them — on
+    * clique-heavy dup graphs the census is triangle-output-bound no
+    * matter the orientation. When that becomes hot, the next step is the
+    * [[Dedup.allPairsJaccard]] trick one level up: collapse
+    * identical-neighborhood nodes into weighted cluster vertices and
+    * count within/between-cluster triples in closed form.
     */
   def triangleCensus(
       pairs: DataFrame, idL: String = "id_l", idR: String = "id_r"): DataFrame = {
