@@ -2314,6 +2314,15 @@ object SparkEntry {
       graft.ops.Behavior.topPaths(events(s, d), k = 3, topK = 10)
     }),
 
+    "q217_percentile_rank" -> ((s, d) => {
+      // scale-free per-language length normalization: rank arithmetic
+      // only (percent_rank, ties share a rank), one group exchange
+      graft.ops.Profile.percentRankNormalize(
+          t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          Seq("lang"), "n_chars")
+        .orderBy("doc_id")
+    }),
+
     "q216_dup_triangles" -> ((s, d) => {
       // graph-shape diagnostic of the exact near-dup pair graph (the en
       // slice — the full 0.9 graph at sf0.1 holds ~1M edges of template
@@ -5339,6 +5348,12 @@ object SparkEntry {
              ELSE pv + (nv - pv) * CAST(d - po AS DOUBLE) /
                CAST(no - po AS DOUBLE) END, 6) AS filled
          FROM w ORDER BY event_type, d""",
+
+    "q217_percentile_rank" ->
+      """SELECT doc_id, lang, n_chars,
+           round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars), 6)
+             AS pct_rank
+         FROM documents WHERE n_chars IS NOT NULL ORDER BY doc_id""",
 
     // the q199 naive pair replay, then the a<b<c triangle join (edges
     // normalized ascending, so the ordered triple join counts each

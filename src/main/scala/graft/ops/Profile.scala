@@ -311,6 +311,23 @@ object Profile {
         min(col(valCol)).as("lo"), max(col(valCol)).as("hi"))
   }
 
+  /** Percentile-rank normalization within groups: each row's `valCol`
+    * mapped to `(rank - 1) / (n - 1)` (SQL `percent_rank`, ties share a
+    * rank) — the scale-free feature normalization that survives outliers
+    * and arbitrary score distributions. Appends `pct_rank` rounded to
+    * 6 dp (0.0 for single-row groups, the SQL convention). One group
+    * exchange; rank arithmetic only, no value interpolation — exact in
+    * any engine.
+    */
+  def percentRankNormalize(
+      df: DataFrame, groupCols: Seq[String], valCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valCol))
+    df.where(col(valCol).isNotNull)
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+  }
+
   def quantileTrim(
       df: DataFrame, colName: String, loQ: Double, hiQ: Double): DataFrame = {
     require(0.0 <= loQ && loQ <= hiQ && hiQ <= 1.0, "need 0 <= loQ <= hiQ <= 1")

@@ -100,6 +100,18 @@ class BehaviorSpec extends AnyFunSuite with SparkSpec {
       (14L, 2L), (15L, 1L)))
   }
 
+  test("percentRankNormalize: rank-based, ties share a rank, single row -> 0") {
+    val d = Seq(("g", 10L), ("g", 20L), ("g", 20L), ("g", 40L), ("h", 5L))
+      .toDF("grp", "v")
+    val out = Profile.percentRankNormalize(d, Seq("grp"), "v")
+      .orderBy("grp", "v")
+      .as[(String, Long, Double)].collect().toSeq
+    // ranks in g over 4 rows: 10->0/3, 20->1/3 (both), 40->3/3
+    assert(out == Seq(
+      ("g", 10L, 0.0), ("g", 20L, 0.333333), ("g", 20L, 0.333333),
+      ("g", 40L, 1.0), ("h", 5L, 0.0)))
+  }
+
   test("quantileBins: equal-frequency bins with deterministic tie-break") {
     val d = (1 to 10).map(i => ("g", i.toLong, i.toLong))
       .toDF("grp", "v", "id")
