@@ -2323,6 +2323,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q218_session_funnel" -> ((s, d) => {
+      // the q189 funnel scoped to SESSIONS: stages must complete in order
+      // within one gap session — the composite (user, session) key drives
+      // the same chained-window machinery; counts are sessions, not users
+      val withSess = graft.streaming.EventStreams
+        .sessionKeyed(events(s, d), gapMinutes = 30)
+      graft.ops.Behavior.funnel(withSess,
+          Seq("view", "click", "purchase"), userCol = "session_key")
+        .orderBy("stage_idx")
+    }),
+
     "q216_dup_triangles" -> ((s, d) => {
       // graph-shape diagnostic of the exact near-dup pair graph (the en
       // slice — the full 0.9 graph at sf0.1 holds ~1M edges of template
@@ -5348,6 +5359,47 @@ object SparkEntry {
              ELSE pv + (nv - pv) * CAST(d - po AS DOUBLE) /
                CAST(no - po AS DOUBLE) END, 6) AS filled
          FROM w ORDER BY event_type, d""",
+
+    // q30's session CTE builds the composite key; then the q189 chain
+    // partitioned by it, with session counts in the tall summary
+    "q218_session_funnel" ->
+      """WITH e0 AS (SELECT user_id, event_id, ts, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         f0 AS (SELECT *, CASE WHEN prev_ts IS NULL OR
+             CAST(floor(epoch(ts)) AS BIGINT) -
+               CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+             THEN 1 ELSE 0 END AS ns FROM e0),
+         g0 AS (SELECT *, concat(user_id, '#', CAST(sum(ns) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
+               AS sk FROM f0),
+         s0 AS (SELECT sk, event_id, ts, event_type,
+             CASE WHEN event_type = 'view' THEN ts END AS q0 FROM g0),
+         p0 AS (SELECT *, min(q0) OVER (PARTITION BY sk ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pp0 FROM s0),
+         s1 AS (SELECT *, CASE WHEN event_type = 'click' AND pp0 IS NOT NULL
+             THEN ts END AS q1 FROM p0),
+         p1 AS (SELECT *, min(q1) OVER (PARTITION BY sk ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pp1 FROM s1),
+         s2 AS (SELECT *, CASE WHEN event_type = 'purchase' AND pp1 IS NOT NULL
+             THEN ts END AS q2 FROM p1),
+         u AS (SELECT sk, min(q0) AS r0, min(q1) AS r1, min(q2) AS r2
+           FROM s2 GROUP BY 1),
+         c AS (SELECT count(r0) AS n0, count(r1) AS n1, count(r2) AS n2 FROM u)
+         SELECT * FROM (
+           SELECT CAST(0 AS INT) AS stage_idx, 'view' AS stage, n0 AS n_users,
+             round(CAST(n0 AS DOUBLE) / n0, 6) AS conv_from_first,
+             round(CAST(n0 AS DOUBLE) / n0, 6) AS conv_from_prev FROM c
+           UNION ALL
+           SELECT CAST(1 AS INT), 'click', n1,
+             round(CAST(n1 AS DOUBLE) / n0, 6),
+             round(CAST(n1 AS DOUBLE) / n0, 6) FROM c
+           UNION ALL
+           SELECT CAST(2 AS INT), 'purchase', n2,
+             round(CAST(n2 AS DOUBLE) / n0, 6),
+             round(CAST(n2 AS DOUBLE) / n1, 6) FROM c)
+         ORDER BY stage_idx""",
 
     "q217_percentile_rank" ->
       """SELECT doc_id, lang, n_chars,

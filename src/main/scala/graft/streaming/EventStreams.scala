@@ -369,6 +369,17 @@ object EventStreams {
       .withColumn("session_id", sum(col("new_session")).over(byUser))
   }
 
+  /** Events annotated with a composite `session_key` string
+    * (`user_id#session_id` under the shared gap rule) — the partition key
+    * that scopes any per-user operator (funnel, transitions) to single
+    * sessions instead of lifetimes.
+    */
+  def sessionKeyed(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    withSessionIds(events, gapMinutes)
+      .withColumn("session_key",
+        concat_ws("#", col("user_id"), col("session_id").cast("long")))
+      .drop("prev_ts", "new_session", "session_id")
+
   /** Batch sessionization: a session breaks after `gapMinutes` of user
     * inactivity. Pure window functions (lag -> flag -> running sum), fully
     * SQL-expressible — the oracle twin of the stateful streaming version.
