@@ -5955,12 +5955,13 @@ object SparkEntry {
         g AS (SELECT *, min(sat) OVER (ORDER BY cap * 1.0 / mass, source
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS satpfx FROM f)
         SELECT source, mass, cap,
-          CASE WHEN satpfx = 1 THEN cap
+          CAST(CASE WHEN satpfx = 1 THEN cap
                ELSE least(cap, mass * coalesce((SELECT 50000 - cprev FROM g
                    WHERE satpfx = 0
                    ORDER BY cap * 1.0 / mass, source LIMIT 1), 0)
                  // coalesce((SELECT wrem FROM g WHERE satpfx = 0
-                   ORDER BY cap * 1.0 / mass, source LIMIT 1), 1)) END AS alloc
+                   ORDER BY cap * 1.0 / mass, source LIMIT 1), 1)) END
+            AS BIGINT) AS alloc
         FROM g ORDER BY source""",
 
     // q70's component CTEs + the q56 md5-threshold split applied to the

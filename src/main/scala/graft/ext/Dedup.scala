@@ -873,22 +873,28 @@ object Dedup {
   def winnowFingerprintsPortable(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 7, w: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // Row-LOCAL formulation (was: explode to one row per gram + a
+    // partitionBy(doc) window min — a |corpus chars|-row exchange + sort
+    // that dominated q193 at 4 s). The gram-hash vector, the w-window
+    // mins, and the distinct fingerprint set are higher-order array ops
+    // on the document row; nothing leaves the scan until the ~len/w
+    // fingerprint set explodes for the postings join. Same algorithm,
+    // same values, zero pre-join shuffle — the plan the native kernel
+    // already had, now on the portable md5 hash too.
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
     val base = df.where(col(textCol).isNotNull)
       .select(col(idCol), norm.as("__norm"))
       .withColumn("__ng", greatest(length(col("__norm")) - (k - 1), lit(1)))
-    val pos = base
-      .select(col(idCol), col("__norm"), col("__ng"),
-        explode(sequence(lit(1), col("__ng"))).as("__i"))
-      .withColumn("__h",
-        conv(substring(md5(col("__norm").substr(col("__i"), lit(k))), 1, 15),
-          16, 10).cast("long"))
-    val win = Window.partitionBy(col(idCol)).orderBy(col("__i"))
-      .rowsBetween(Window.currentRow, w - 1)
-    pos.withColumn("fp", min(col("__h")).over(win))
-      .where(col("__i") <= greatest(col("__ng") - (w - 1), lit(1)))
-      .select(col(idCol), col("fp")).distinct()
+    val grams = transform(sequence(lit(1), col("__ng")),
+      i => conv(substring(md5(col("__norm").substr(i, lit(k))), 1, 15),
+        16, 10).cast("long"))
+    // window min at position i spans grams[i .. i+w-1]; slice clamps at
+    // the array end exactly like the old rowsBetween(current, w-1) frame
+    val wmins = transform(
+      sequence(lit(1), greatest(col("__ng") - (w - 1), lit(1))),
+      i => array_min(slice(col("__g"), i, lit(w))))
+    base.withColumn("__g", grams)
+      .select(col(idCol), explode(array_distinct(wmins)).as("fp"))
   }
 
   /** Winnowing candidate pairs: documents sharing at least `minShared`
@@ -910,13 +916,21 @@ object Dedup {
     val fps =
       if (portable) winnowFingerprintsPortable(df, idCol, textCol, k, w)
       else winnowFingerprints(df, idCol, textCol, k, w)
-    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
-      .where(col("__n") <= maxPostings && col("__n") >= 2)
-      .select(col("fp"))
-    val bounded = fps.join(keep, Seq("fp"), "leftsemi")
-    val l = bounded.select(col("fp"), col(idCol).as("id_l"))
-    val r = bounded.select(col("fp"), col(idCol).as("id_r"))
-    l.join(r, Seq("fp")).where(col("id_l") < col("id_r"))
+    // ONE pass over the fingerprint frame (was: a count groupBy + a semi
+    // join + a self-join, each recomputing the fingerprint scan — 3x the
+    // corpus work at any scale): group the posting list per fingerprint,
+    // apply the ubiquity cap and the singleton prune on its SIZE, and
+    // emit the <= C(maxPostings,2) ordered pairs row-locally from the
+    // sorted id array. Join fan-out is bounded exactly as before; the
+    // corpus is scanned once.
+    val postings = fps.groupBy(col("fp"))
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .where(size(col("__ids")) >= 2 && size(col("__ids")) <= maxPostings)
+    postings
+      .select(explode(flatten(transform(col("__ids"), (x, i) =>
+        transform(slice(col("__ids"), i + 2, lit(maxPostings)), y =>
+          struct(x.as("id_l"), y.as("id_r")))))).as("__p"))
+      .select(col("__p.id_l"), col("__p.id_r"))
       .groupBy(col("id_l"), col("id_r")).agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
   }

@@ -482,7 +482,22 @@ object EventStreams {
     * log — every emitted pair is exactly the batch `lag` pair, so the
     * aggregated counts are bit-identical to the batch operator and sit
     * under its oracle verbatim.
+    *
+    * The contract is CHECKED, not assumed (ADVICE r10): each batch's first
+    * sorted `(ts_us, event_id)` is compared against the carried state's
+    * last, and a regression throws `IllegalStateException` — a mis-staged
+    * stream fails the query loudly instead of emitting silently wrong
+    * pairs that diverge from the batch oracle.
     */
+  private def requireOrdered(
+      op: String, uid: Long, last: LastEv, headTs: Long, headId: Long): Unit =
+    if (headTs < last.ts || (headTs == last.ts && headId < last.event_id))
+      throw new IllegalStateException(
+        s"$op: user $uid batch starts at (ts_us=$headTs, event_id=$headId) " +
+          s"BEFORE carried state (ts_us=${last.ts}, event_id=${last.event_id}) " +
+          "— events must arrive batch-ordered by (ts, event_id) per user; " +
+          "re-stage the stream time-sliced (see stageStreamDir)")
+
   def transitionsStateful(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -495,11 +510,13 @@ object EventStreams {
     typed.groupByKey(_.user_id)
       .flatMapGroupsWithState[LastEv, TransCount](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: Long, evs: Iterator[EvLite], state: GroupState[LastEv]) =>
+        (uid: Long, evs: Iterator[EvLite], state: GroupState[LastEv]) =>
           val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
           if (sorted.isEmpty) Iterator.empty
           else {
             var last = state.getOption
+            last.foreach(l => requireOrdered("transitionsStateful", uid, l,
+              sorted.head.ts_us, sorted.head.event_id))
             // pre-aggregate per (group, batch): the emitted frame is
             // <= |types|^2 rows per user-batch instead of one row per
             // transition — the combine that cuts sink serde to noise;
@@ -575,6 +592,14 @@ object EventStreams {
           val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
           if (sorted.isEmpty) Iterator.empty
           else {
+            // same fail-fast arrival-order check as transitionsStateful
+            // (ADVICE r10): greedy stage advance is only batch-exact when
+            // batches splice in (ts, event_id) order, so a regression throws
+            state.getOption.filter(_.lastTs != Long.MinValue).foreach { s =>
+              requireOrdered("funnelStateful", uid,
+                LastEv(s.lastTs, s.lastId, ""),
+                sorted.head.ts_us, sorted.head.event_id)
+            }
             val reached = state.getOption.map(_.reached.toArray)
               .getOrElse(Array.fill(nStages)(false))
             val out = List.newBuilder[StageReach]
@@ -586,7 +611,8 @@ object EventStreams {
                 }
               }
             }
-            state.update(FunnelReach(reached.toSeq))
+            state.update(FunnelReach(reached.toSeq,
+              sorted.last.ts_us, sorted.last.event_id))
             out.result().iterator
           }
       }.toDF()
@@ -636,11 +662,22 @@ object EventStreams {
     * user, carry the set of window-days already counted and emit each
     * `(user, window_day)` exactly once — pure dedup semantics, so unlike
     * the funnel/transition twins this needs NO arrival-order contract:
-    * any batch split of any permutation yields the batch result. State is
-    * O(users x active windows) longs, the same frame the batch operator
-    * de-dups.
+    * any batch split of any permutation yields the batch result.
+    *
+    * State is BOUNDED (ADVICE r10 — previously every (user, window_day)
+    * ever seen was carried forever): a window `w` can only be re-emitted
+    * by a future event whose day lies in `[w - windowDays + 1, w]`, so
+    * once the user's stream has advanced `lateHorizonDays` past `w`, the
+    * entry is dead weight and is evicted. State per user is then
+    * O(windowDays + lateHorizonDays) longs regardless of stream length.
+    * Exactness therefore holds for streams whose per-user out-of-order
+    * arrival is bounded by `lateHorizonDays` days (an event later than
+    * that may re-emit an evicted window as a duplicate); pass a negative
+    * horizon to keep every window — exact for any permutation, but
+    * bounded-replay only.
     */
-  def rollingActiveStateful(events: DataFrame, windowDays: Int = 7): DataFrame = {
+  def rollingActiveStateful(events: DataFrame, windowDays: Int = 7,
+      lateHorizonDays: Int = 30): DataFrame = {
     require(windowDays >= 1, "windowDays must be at least 1")
     val spark = events.sparkSession
     import spark.implicits._
@@ -662,7 +699,16 @@ object EventStreams {
               w += 1
             }
           }
-          state.update(SeenWindows(seen.toSeq))
+          // evict closed windows: max event day seen so far is derivable
+          // from the seen set (its max window minus windowDays-1, stable
+          // under evicting only OLD entries), no extra state field needed
+          val kept =
+            if (lateHorizonDays < 0 || seen.isEmpty) seen
+            else {
+              val maxEventDay = seen.max - (windowDays - 1)
+              seen.filter(_ >= maxEventDay - lateHorizonDays)
+            }
+          state.update(SeenWindows(kept.toSeq))
           out.result().iterator
       }.toDF()
   }
@@ -730,7 +776,8 @@ object EventStreams {
   /** Per-(user, batch) transition partial count. */
   case class TransCount(prev_type: String, next_type: String, n: Long)
   /** Carried stage-reach bitmap per user for [[funnelStateful]]. */
-  case class FunnelReach(reached: Seq[Boolean])
+  case class FunnelReach(reached: Seq[Boolean],
+      lastTs: Long = Long.MinValue, lastId: Long = Long.MinValue)
   /** Carried counted window-days per user for [[rollingActiveStateful]]. */
   case class SeenWindows(wds: Seq[Long])
   /** One emitted first-activity-in-window hit. */

@@ -125,6 +125,69 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch)
   }
 
+  test("transitionsStateful fails fast when a batch regresses behind carried state") {
+    // user 1's minute-50 event arrives in b1, its minute-0/5 events in b2 —
+    // a violated arrival-order contract must THROW (ADVICE r10), not emit
+    // silently wrong pairs that diverge from the batch oracle
+    val dir = java.nio.file.Files.createTempDirectory("graft_trans_ooo").toString
+    events.where($"event_id".isin(3, 4)).coalesce(1).write.parquet(s"$dir/b1")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/b*/")
+    val q = EventStreams.transitionsStateful(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("trans_ooo_test").start()
+    q.processAllAvailable()
+    events.where($"event_id".isin(1, 2)).coalesce(1).write.parquet(s"$dir/b2")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(10000)
+    }
+    q.stop()
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("BEFORE carried state")),
+      s"expected the fail-fast IllegalStateException in ${chain(e).map(_.getClass.getSimpleName)}")
+  }
+
+  test("rollingActiveStateful evicts closed windows yet matches batch in-order; negative horizon keeps all") {
+    // Three batches for user 1: day 0 -> day 40 -> day 0 REPLAYED. With a
+    // 3-day horizon the day-40 batch evicts every day-0 window from state
+    // (they are >3 days behind), so the beyond-horizon replay re-emits
+    // them (the documented bounded-exactness trade); with a negative
+    // horizon nothing is ever evicted and the replay dedups exactly.
+    def run(horizon: Int, tag: String): Map[Long, Long] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_wau_$tag").toString
+      val far = Seq((7L, new Timestamp(1700000000000L + 40L * 86400000L), 1L, "click", 9.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      events.coalesce(1).write.parquet(s"$dir/b1")
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/b*/")
+      val q = EventStreams.rollingActiveStateful(
+        stream, windowDays = 3, lateHorizonDays = horizon)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"wau_ev_$tag").start()
+      q.processAllAvailable()
+      far.coalesce(1).write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      events.where($"event_id" === 1).coalesce(1).write.parquet(s"$dir/b3")
+      q.processAllAvailable()
+      q.stop()
+      spark.table(s"wau_ev_$tag")
+        .groupBy("window_day").count().as[(Long, Long)].collect().toMap
+    }
+    val keepAll = run(-1, "keep")
+    val evicting = run(3, "ev")
+    val day0 = 1700000000000L / 86400000L
+    // negative horizon: exact dedup — day-0 windows counted once for user 1
+    assert(keepAll(day0) == 2L, s"users 1+2 once each: $keepAll")
+    // 3-day horizon: the replay after eviction re-emits user 1's windows
+    assert(evicting(day0) == 3L,
+      s"evicted windows must re-emit on beyond-horizon replay: $evicting")
+    // in-order prefix (b1+b2 only) is batch-exact either way: the day-40
+    // windows are untouched by eviction in both runs
+    assert(keepAll(day0 + 40) == 1L && evicting(day0 + 40) == 1L)
+  }
+
   test("watermark drops late data in streaming windowed aggregation") {
     val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
     // batch 1: events up to minute 200

@@ -21,6 +21,47 @@ def canon(df):
     return df
 
 
+# DuckDB type pairs that hash identically at the driver despite differing
+# names — filled ONLY with pairs empirically proven driver-green in
+# CORRECTNESS_r10.json (q143/q144 INTEGER-vs-BIGINT, q146/q153 the reverse,
+# q154/q161 DECIMAL(3,2)-vs-DOUBLE all hash_match=true there): pandas
+# renders every signed-int width as the same int value and small decimals
+# as float64, so the driver's value hash cannot tell them apart. HUGEINT
+# is NOT here — it lands as float (1435.0 vs 1435) and fails the driver
+# (q73 round 5, q175 round 10), which is exactly what this check exists
+# to catch locally.
+INT_FAMILY = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+TYPE_COMPAT = {("DECIMAL(3,2)", "DOUBLE")}
+
+
+def types_compat(a, b):
+    if a == b:
+        return True
+    if a in INT_FAMILY and b in INT_FAMILY:
+        return True
+    return (a, b) in TYPE_COMPAT
+
+
+def type_mismatches(con, sql, parquet_glob):
+    """Strict oracle-vs-engine type check (judge round-10 item 3).
+
+    DuckDB silently promotes e.g. sum(BIGINT) to HUGEINT and integer
+    division of DECIMAL to DOUBLE; values then compare equal under the
+    tolerant cell_eq but the driver's hash (which sees the dtype) does
+    not. Compare the DuckDB-reported result types of the oracle query
+    against the engine parquet's types, column-name matched.
+    """
+    orel = con.sql(sql)
+    grel = con.sql(f"SELECT * FROM '{parquet_glob}'")
+    otypes = dict(zip(orel.columns, [str(t) for t in orel.types]))
+    gtypes = dict(zip(grel.columns, [str(t) for t in grel.types]))
+    bad = []
+    for c in sorted(set(otypes) & set(gtypes)):
+        if not types_compat(otypes[c], gtypes[c]):
+            bad.append((c, otypes[c], gtypes[c]))
+    return bad
+
+
 def cell_eq(a, b):
     if a is None and b is None:
         return True
@@ -47,6 +88,17 @@ def main(sf_dir, out_dir):
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
+            n_fail += 1
+            continue
+        try:
+            tbad = type_mismatches(con, sql, f"{out_dir}/{name}/*.parquet")
+        except Exception as e:
+            print(f"FAIL {name}: type-check exception {e}")
+            n_fail += 1
+            continue
+        if tbad:
+            for c, ot, gt in tbad:
+                print(f"FAIL {name}: col {c} type oracle={ot} engine={gt}")
             n_fail += 1
             continue
         if list(exp.columns) != list(got.columns):
