@@ -184,16 +184,20 @@ object Vocab {
     import org.apache.spark.sql.expressions.Window
     val tok = df.select(col(idCol), explode(text.tokens(col(textCol))).as("token"))
     val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-    // df derives from tf (one row per (doc, token) already) — the corpus is
-    // tokenized ONCE and the tf exchange is shared by both branches, instead
-    // of a second scan+explode+distinct over the full input
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(dfreq, "token")
+    // df as a COUNT WINDOW over the token partition of tf (the bm25Search
+    // formulation): the corpus is tokenized once and tf is consumed once —
+    // the previous tf-groupBy-join shape recomputed the tokenize+tf pass
+    // for each join side (Catalyst shares no common subtrees), which was
+    // q79's 2x. An unordered count window sorts nothing.
+    val wdf = Window.partitionBy(col("token"))
+    val scored = tf.withColumn("df", count(lit(1)).over(wdf))
       .withColumn("score",
         round(col("tf") * (lit(nDocs.toDouble) + 1.0) / (col("df") + lit(1.0)), 6))
-    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("token"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= k)
+    // per-doc ranking on the GroupTopK heap: <= k rows per (doc,
+    // partition) reach the exchange, no per-doc window sort
+    graft.plans.GroupTopK(
+      scored.select(col(idCol), col("token"), col("score")),
+      Seq(idCol), Seq(("score", false), ("token", true)), k)
       .select(col(idCol), col("rnk"), col("token"), col("score"))
   }
 
