@@ -373,6 +373,99 @@ object SparkEntry {
     * can never assert different things (token counts are order-insensitive,
     * so streamed == batch verbatim).
     */
+  /** q222 oracle generator: the UNROLLED decimal fixed-point PageRank
+    * iterates ([[graft.ext.Graph.pageRank]] contract — per-row double
+    * ops rounded to 12 dp, cross-row sums exact DECIMAL(28,12), dangling
+    * mass leaks). Generated, not hand-copied, so the iterate shape can
+    * never drift between rounds. `(1.0 - 0.85)` stays UNevaluated in the
+    * SQL text: Scala would fold it to 0.15000000000000002 the same way,
+    * but only if both engines run the identical double expression tree.
+    */
+  private def pageRankOracle(iters: Int): String = {
+    val head =
+      """WITH e AS (SELECT DISTINCT source AS src,
+             'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst
+           FROM documents
+           WHERE source <> 'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         deg AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY 1),
+         base AS (SELECT node, coalesce(out_deg, CAST(0 AS BIGINT)) AS out_deg
+                  FROM nodes LEFT JOIN deg USING (node)),
+         nn AS (SELECT count(*) AS n FROM base),
+         r0 AS (SELECT node, CAST(round(1.0 / n, 12) AS DECIMAL(28,12)) AS rank
+                FROM base CROSS JOIN nn)"""
+    val its = (1 to iters).map { i =>
+      s"""         c$i AS (SELECT e.dst AS node,
+             sum(CAST(round(CAST(r.rank AS DOUBLE) / b.out_deg, 12)
+               AS DECIMAL(28,12))) AS inr
+           FROM e JOIN r${i - 1} r ON r.node = e.src
+                  JOIN base b ON b.node = e.src
+           GROUP BY 1),
+         r$i AS (SELECT b.node,
+             CAST(round((1.0 - 0.85) / nn.n +
+               0.85 * coalesce(CAST(c$i.inr AS DOUBLE), 0.0), 12)
+               AS DECIMAL(28,12)) AS rank
+           FROM base b CROSS JOIN nn LEFT JOIN c$i ON c$i.node = b.node)"""
+    }.mkString(",\n")
+    s"""$head,
+$its
+         SELECT b.node AS node, b.out_deg, CAST(r$iters.rank AS DOUBLE) AS rank
+         FROM base b JOIN r$iters ON r$iters.node = b.node ORDER BY b.node"""
+  }
+
+  /** q223 oracle generator: the unrolled Lloyd rounds of
+    * [[graft.ext.Clustering]] — md5-seeded centroids, rounded-distance
+    * argmin with cluster-id ties, DECIMAL(18,9) coordinate sums divided
+    * per-row in double and rounded to 6 dp. `iters` mean-update rounds,
+    * then a final assignment carrying the rounded distance feeds the
+    * report. (Contract: no cluster empties at this k/iters — the engine
+    * keeps a dead cluster's previous centroid, which SQL cannot express.)
+    */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    val head =
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv, label
+                     FROM embeddings),
+         seed AS (SELECT vv, row_number() OVER
+             (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM v),
+         c0 AS (SELECT CAST(rn - 1 AS INTEGER) AS c, vv AS cv
+                FROM seed WHERE rn <= $k)"""
+    def assignCte(name: String, cents: String, carryDist: Boolean) = {
+      val dcol = if (carryDist) ", d" else ""
+      s"""         $name AS (SELECT vec_id, vv, label, c$dcol FROM (
+             SELECT v.vec_id, v.vv, v.label, $cents.c,
+               round(list_distance(v.vv, $cents.cv), 6) AS d,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY round(list_distance(v.vv, $cents.cv), 6), $cents.c) AS arn
+             FROM v CROSS JOIN $cents) WHERE arn = 1)"""
+    }
+    def meansCte(i: Int) =
+      s"""         m$i AS (SELECT c, i,
+             round(CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS m
+           FROM (SELECT c, unnest(vv) AS x,
+                   unnest(range(1, len(vv) + 1)) AS i FROM a$i)
+           GROUP BY c, i),
+         c$i AS (SELECT c, list(m ORDER BY i) AS cv FROM m$i GROUP BY c)"""
+    val rounds = (1 to iters).map { i =>
+      assignCte(s"a$i", s"c${i - 1}", carryDist = false) + ",\n" + meansCte(i)
+    }.mkString(",\n")
+    val fin = assignCte("af", s"c$iters", carryDist = true)
+    s"""$head,
+$rounds,
+$fin,
+         rep AS (SELECT c AS cluster, count(*) AS n_members,
+             round(CAST(sum(CAST(d AS DECIMAL(18,6))) AS DOUBLE), 6) AS inertia
+           FROM af GROUP BY 1),
+         lab AS (SELECT c AS cluster, label, count(*) AS ln
+                 FROM af GROUP BY 1, 2),
+         top AS (SELECT cluster, label AS top_label, ln FROM (
+             SELECT cluster, label, ln, row_number() OVER
+               (PARTITION BY cluster ORDER BY ln DESC, label) AS r FROM lab)
+           WHERE r = 1)
+         SELECT rep.cluster, rep.n_members, rep.inertia, top.top_label,
+           round(CAST(top.ln AS DOUBLE) / rep.n_members, 6) AS label_share
+         FROM rep JOIN top USING (cluster) ORDER BY cluster"""
+  }
+
   /** Shared by q204 (batch CUSUM) and q209 (streamed monitor — the daily
     * decimal totals are additive, so the Complete-mode frame equals batch
     * under any stream cut and one replay gates both).
@@ -2332,6 +2425,72 @@ object SparkEntry {
       graft.ops.Behavior.funnel(withSess,
           Seq("view", "click", "purchase"), userCol = "session_key")
         .orderBy("stage_idx")
+    }),
+
+    "q219_domain_cap" -> ((s, d) => {
+      // over-representation cap (C4/RefinedWeb "no domain dominates"):
+      // keep <= 10 docs per source in deterministic (md5(id), id) order —
+      // GroupTopK heap, O(cap) shuffle rows per (source, partition)
+      graft.ext.Selection.capPerGroup(
+          t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+          "source", "doc_id", cap = 10)
+        .orderBy("source", "pick")
+    }),
+
+    "q220_ewma_smooth" -> ((s, d) => {
+      // alpha=1/2 EWMA per event type over the decimal-exact daily
+      // totals: halving is an exponent shift, so the recursion's only
+      // rounding is one IEEE add per step — bit-reproducible in any
+      // engine that replays the same fold order
+      val daily = graft.ops.Behavior.dailyTotals(events(s, d),
+          Seq("event_type"), "value")
+        .select(col("event_type"), col("d"), col("x").cast("double").as("x"))
+      graft.ops.Profile.ewmaHalf(daily, Seq("event_type"), "d", "x")
+        .orderBy("event_type", "d")
+    }),
+
+    "q221_weekday_residuals" -> ((s, d) => {
+      // day-of-week seasonal screen: count-scaled residual against the
+      // same-weekday baseline (n_wd*x - sum_wd, exact decimal — no mean
+      // division), one broadcast stat join on the tiny daily frame
+      val daily = graft.ops.Behavior.dailyTotals(events(s, d),
+          Seq("event_type"), "value")
+        .select(col("event_type"), col("d").as("day"),
+          col("x").cast("double").as("x"))
+      graft.ops.Profile.weekdayResiduals(daily, Seq("event_type"), "day", "x")
+        .orderBy("event_type", "day")
+    }),
+
+    "q222_host_pagerank" -> ((s, d) => {
+      // host-graph authority prior (the CommonCrawl/RefinedWeb curation
+      // signal): 5 damped rounds of decimal fixed-point PageRank over a
+      // deterministic synthetic outlink graph between sources; every
+      // division/damping step is per-row double rounded to 12 dp, every
+      // cross-row sum exact decimal — the oracle replays the iterates
+      val links = t(s, d, "documents").select(col("source").as("src"),
+          concat(lit("src"),
+            ((col("doc_id") * 7 + 3) % 20).cast("string")).as("dst"))
+        .where(col("src") =!= col("dst"))
+      graft.ext.Graph.pageRank(links, "src", "dst", iters = 5)
+        .orderBy("node")
+    }),
+
+    "q223_topic_clusters" -> ((s, d) => {
+      // user-facing k-means topic report (vs Ivf's internal quantizer):
+      // md5-seeded centroids, 2 fixed Lloyd rounds with rounded-distance
+      // argmin (ulp-proof ties on cluster id), exact-decimal coordinate
+      // means; report = sizes + decimal inertia + modal label
+      graft.ext.Clustering.report(t(s, d, "embeddings"),
+          "vec_id", "embedding", "label", k = 4, iters = 2)
+        .orderBy("cluster")
+    }),
+
+    "q224_lexical_diversity" -> ((s, d) => {
+      // per-source type/token counts + division-free diversity (ppm TTR
+      // via integer div, Gini-Simpson as exact pair counts): template-spam
+      // sources show high repeat probability regardless of per-doc quality
+      graft.ext.Vocab.lexicalDiversity(t(s, d, "documents"), "source", "text")
+        .orderBy("source")
     }),
 
     "q216_dup_triangles" -> ((s, d) => {
@@ -5406,6 +5565,71 @@ object SparkEntry {
            round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars), 6)
              AS pct_rank
          FROM documents WHERE n_chars IS NOT NULL ORDER BY doc_id""",
+
+    "q219_domain_cap" ->
+      """WITH h AS (SELECT doc_id, source, n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+         r AS (SELECT doc_id, source, n_chars,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY hh, doc_id)
+               AS BIGINT) AS pick FROM h)
+         SELECT doc_id, source, n_chars, pick FROM r
+         WHERE pick <= 10 ORDER BY source, pick""",
+
+    // recursive CTE replays the exact (x_t + s_(t-1))/2 halving chain —
+    // division by two is an exponent shift, so both engines round only
+    // the per-step IEEE addition, identically
+    "q220_ewma_smooth" ->
+      """WITH RECURSIVE daily AS (SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         o AS (SELECT event_type, d, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+           FROM daily),
+         r AS (SELECT event_type, d, x, rn, x AS ewma FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.event_type, o.d, o.x, o.rn, (o.x + r.ewma) / 2
+           FROM o JOIN r ON o.event_type = r.event_type AND o.rn = r.rn + 1)
+         SELECT event_type, d, x, ewma FROM r ORDER BY event_type, d""",
+
+    // count-scaled weekday residual: n_wd*x - sum_wd stays exact decimal
+    // (no mean division), epoch day 0 is a Thursday hence the +4 shift
+    "q221_weekday_residuals" ->
+      """WITH daily AS (SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             sum(CAST(value AS DECIMAL(18,4))) AS xdec
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         p AS (SELECT event_type, day, CAST(xdec AS DOUBLE) AS x, xdec,
+             (day + 4) % 7 AS wd FROM daily),
+         b AS (SELECT event_type, wd, count(*) AS n_wd, sum(xdec) AS swd
+           FROM p GROUP BY 1, 2)
+         SELECT p.event_type, p.day, p.x, p.wd, b.n_wd,
+           CAST(b.n_wd * p.xdec - b.swd AS DOUBLE) AS scaled_resid
+         FROM p JOIN b USING (event_type, wd) ORDER BY event_type, day""",
+
+    "q222_host_pagerank" -> pageRankOracle(5),
+
+    "q223_topic_clusters" -> kmeansOracle(4, 2),
+
+    // sums over BIGINT counts CAST back to BIGINT (DuckDB promotes to
+    // HUGEINT — the q175 class the strict gate now catches)
+    "q224_lexical_diversity" ->
+      raw"""WITH tok AS (SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(text),
+               '[^\p{L}\p{N}_]+'), x -> x <> '')) AS token
+           FROM documents),
+         tc AS (SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2),
+         agg AS (SELECT source, count(*) AS types,
+             CAST(sum(n) AS BIGINT) AS tokens,
+             CAST(sum(n * (n - 1)) AS BIGINT) AS rep_pairs
+           FROM tc GROUP BY 1)
+         SELECT source, types, tokens,
+           (1000000 * types) // tokens AS ttr_scaled, rep_pairs,
+           tokens * (tokens - 1) AS tot_pairs,
+           CASE WHEN tokens <= 1 THEN NULL
+                ELSE round(CAST(rep_pairs AS DOUBLE) /
+                  (tokens * (tokens - 1)), 6) END AS simpson
+         FROM agg ORDER BY source""",
 
     // the q199 naive pair replay, then the a<b<c triangle join (edges
     // normalized ascending, so the ordered triple join counts each

@@ -174,4 +174,26 @@ object Selection {
           .otherwise(greatest(col(weightCol).cast("long"), col("__tau"))))
       .drop("__u", "__q", "__g", "__tau", "__rnk")
   }
+
+  /** Over-representation cap (the C4/RefinedWeb "no domain dominates"
+    * rule): keep at most `cap` rows per group, chosen DETERMINISTICALLY by
+    * `(md5(key), key)` order — a content-hash shuffle, so the kept subset
+    * is a stable pseudo-random sample per group, reproducible in any
+    * engine (the q56 md5-threshold convention; no RNG, no seed state).
+    * Returns the input columns plus a 1-based `pick` order within the
+    * group.
+    *
+    * Scale: ranking runs on the [[graft.plans.GroupTopK]] heap — at most
+    * `cap` rows per (group, partition) reach the exchange, so a
+    * 1e9-document domain costs O(cap) shuffle rows, never a per-group
+    * window sort.
+    */
+  def capPerGroup(
+      df: DataFrame, groupCol: String, keyCol: String, cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val hashed = df.withColumn("__h", md5(col(keyCol).cast("string")))
+    graft.plans.GroupTopK(hashed, Seq(groupCol),
+      Seq("__h" -> true, keyCol -> true), cap, "pick")
+      .drop("__h")
+  }
 }

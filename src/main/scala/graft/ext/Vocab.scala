@@ -34,6 +34,43 @@ object Vocab {
     tokenFrequencies(df, textCol).orderBy(col("n").desc, col("token")).limit(k)
   }
 
+  /** Lexical-diversity report per group: type and token counts plus two
+    * division-free diversity statistics —
+    *   - `ttr_scaled = 1e6 * types div tokens` (the type-token ratio as an
+    *     exact integer in parts-per-million; integer `div`, no float),
+    *   - Gini–Simpson numerator/denominator: `rep_pairs = sum n_t*(n_t-1)`
+    *     and `tot_pairs = N*(N-1)` (the probability two random token draws
+    *     repeat a type is `rep_pairs / tot_pairs`; low = diverse,
+    *     high = templated/repetitive), emitted UNDIVIDED so the whole row
+    *     is exact integer arithmetic in any engine, plus the rounded
+    *     `simpson` double computed per-row from the two exact integers.
+    *
+    * The corpus-health cut between per-doc repetition screens (Gopher
+    * rules) and the global vocabulary: a source whose million tokens
+    * reuse 3k types is template spam regardless of per-doc quality.
+    *
+    * Scale: tokenize once, ONE (group, token) count aggregation
+    * (map-side combinable), then an O(groups x types)->O(groups) rollup
+    * that reuses the same hash partitioning. No windows, no collects.
+    */
+  def lexicalDiversity(
+      df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select(col(groupCol), explode(text.tokens(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("types"), sum(col("n")).as("tokens"),
+        sum(col("n") * (col("n") - 1)).as("rep_pairs"))
+      .select(col(groupCol), col("types"), col("tokens"),
+        expr("1000000 * types div tokens").as("ttr_scaled"),
+        col("rep_pairs"),
+        (col("tokens") * (col("tokens") - 1)).as("tot_pairs"),
+        when(col("tokens") <= 1, lit(null).cast("double"))
+          .otherwise(round(col("rep_pairs").cast("double") /
+            (col("tokens") * (col("tokens") - 1)), 6)).as("simpson"))
+  }
+
   /** Global word-`n`-gram frequencies (space-joined token windows) — the LM
     * diagnostic one level above [[tokenFrequencies]] (boilerplate phrase
     * detection, contamination spotting, n-gram LM counts).

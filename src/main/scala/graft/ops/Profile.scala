@@ -328,6 +328,78 @@ object Profile {
       .withColumn("pct_rank", round(percent_rank().over(w), 6))
   }
 
+  /** Exponentially-weighted moving average per series with alpha = 1/2:
+    * `s_1 = x_1; s_t = (x_t + s_(t-1)) / 2` over `(orderCol)` order within
+    * each group. Alpha is FIXED at one half on purpose: halving a double
+    * is an exponent shift (exact), so the only rounding in the recursion
+    * is the single IEEE addition per step — the smoothed series is
+    * bit-reproducible in any engine that replays the same recursion
+    * (arbitrary alphas would compound multiply-rounding into
+    * engine-dependent last ulps). Returns `(groupCols..., orderCol,
+    * valCol, ewma)`.
+    *
+    * Scale: the input here is an already-aggregated series frame (points
+    * per group = days/hours — thousands, not rows of the raw fact table);
+    * the fold runs row-local per group after ONE group exchange via a
+    * sorted collect + running higher-order aggregate, never a per-row
+    * window chain. The heavy lifting (daily totals from 100 TB of raw
+    * events) happens upstream in a map-side-combinable aggregation.
+    */
+  def ewmaHalf(
+      df: DataFrame, groupCols: Seq[String], orderCol: String,
+      valCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val pts = df.where(col(valCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(
+        struct(col(orderCol).as("o"), col(valCol).cast("double").as("x"))))
+        .as("__pts"))
+    // left fold carrying the running ewma: emit (o, x, s) per point; the
+    // accumulator array is the emitted prefix, its last element the state
+    val folded = aggregate(col("__pts"),
+      expr("CAST(array() AS ARRAY<STRUCT<o: " +
+        df.schema(orderCol).dataType.sql + ", x: DOUBLE, s: DOUBLE>>)"),
+      (acc, e) => concat(acc, array(struct(
+        e.getField("o").as("o"), e.getField("x").as("x"),
+        when(size(acc) === 0, e.getField("x"))
+          .otherwise((e.getField("x") + element_at(acc, -1).getField("s")) / 2)
+          .as("s")))))
+    pts.select(groupCols.map(col) :+ explode(folded).as("__e"): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("__e.o").as(orderCol), col("__e.x").as(valCol),
+        col("__e.s").as("ewma")): _*)
+  }
+
+  /** Day-of-week seasonal residual screen: for each `(groupCols, day)`
+    * point, the COUNT-SCALED residual `n_wd * x - sum_wd(x)` against the
+    * series' same-weekday baseline — positive when the point sits above
+    * its weekday mean. Scaling by the weekday count instead of dividing
+    * keeps the arithmetic exact decimal end to end (the q150 long-scaled
+    * moment convention: no mean division, no engine-dependent decimal
+    * quotient). Returns `(groupCols..., day, x, wd, n_wd,
+    * scaled_resid)` with `scaled_resid = n_wd*x - sum_wd` as DOUBLE cast
+    * from the exact decimal.
+    *
+    * Scale: one group-key aggregation for the weekday sums (map-side
+    * combinable, O(groups x 7) rows) broadcast back onto the series —
+    * the fact-table reduction to daily points happens upstream.
+    */
+  def weekdayResiduals(
+      df: DataFrame, groupCols: Seq[String], dayCol: String,
+      valCol: String, scale: Int = 4): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val xd = col(valCol).cast(s"decimal(18,$scale)")
+    val wd = pmod(col(dayCol).cast("long") + 4, lit(7)) // epoch day 0 = Thursday
+    val pts = df.where(col(valCol).isNotNull)
+      .withColumn("wd", wd)
+    val base = pts.groupBy(groupCols.map(col) :+ col("wd"): _*)
+      .agg(count(lit(1)).as("n_wd"), sum(xd).as("__swd"))
+    pts.join(broadcast(base), groupCols :+ "wd")
+      .select(groupCols.map(col) ++ Seq(col(dayCol), col(valCol),
+        col("wd"), col("n_wd"),
+        (col("n_wd") * xd - col("__swd")).cast("double").as("scaled_resid")): _*)
+  }
+
   def quantileTrim(
       df: DataFrame, colName: String, loQ: Double, hiQ: Double): DataFrame = {
     require(0.0 <= loQ && loQ <= hiQ && hiQ <= 1.0, "need 0 <= loQ <= hiQ <= 1")

@@ -169,6 +169,27 @@ class DecontaminateVocabSpec extends AnyFunSuite with SparkSpec {
       (2L, 1L, "rare2"), (2L, 2L, "common"), (3L, 1L, "common")))
   }
 
+  test("lexicalDiversity: exact pair counts, ppm TTR, null simpson at one token") {
+    val docs = Seq(
+      ("g1", "a a b"),        // types 2, tokens 3, rep = 2*1 = 2, tot = 6
+      ("g2", "x"),            // tokens 1 -> simpson null
+      ("g3", "t t t t")       // types 1, tokens 4, rep = 12, tot = 12
+    ).toDF("source", "text")
+    val out = Vocab.lexicalDiversity(docs, "source", "text").orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().toSeq
+    assert(out == Seq(
+      ("g1", 2L, 3L, 666666L, 2L, 6L, Some(0.333333)),
+      ("g2", 1L, 1L, 1000000L, 0L, 0L, None),
+      ("g3", 1L, 4L, 250000L, 12L, 12L, Some(1.0))))
+    // partition-invariant (one combinable aggregation chain)
+    val p9 = Vocab.lexicalDiversity(docs.repartition(9), "source", "text")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().toSeq
+    assert(p9 == out)
+  }
+
   test("shardAssign: duplicate content co-shards, ordinals dense per shard") {
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"),
       (4L, "third")).toDF("doc_id", "text")

@@ -102,4 +102,31 @@ class SelectionSpec extends AnyFunSuite with SparkSpec {
     // est_weight >= w for every sampled row (tau floors the light rows)
     assert(a.forall(r => r.getLong(2) >= r.getLong(1)))
   }
+
+  test("capPerGroup keeps <= cap per group in the md5 order, deterministically") {
+    val docs = (1 to 90).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "g")
+    val capped = Selection.capPerGroup(docs, "g", "id", cap = 7)
+    val got = capped.orderBy("g", "pick").collect().toSeq
+    assert(got.size == 21)
+    // picks are 1..cap per group
+    val byG = got.groupBy(_.getString(1))
+    assert(byG.values.forall(_.map(_.getLong(2)).sorted == (1L to 7L)))
+    // the kept set is exactly the window-function reference on md5 order
+    val ref = docs
+      .withColumn("h", md5(col("id").cast("string")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+          .orderBy(col("h"), col("id"))))
+      .where(col("rn") <= 7)
+      .select(col("id"), col("g"), col("rn").cast("long"))
+      .orderBy("g", "rn").collect().toSeq
+    assert(got.map(r => (r.getLong(0), r.getString(1), r.getLong(2))) ==
+      ref.map(r => (r.getLong(0), r.getString(1), r.getLong(2))))
+    // partition-invariant
+    val again = Selection.capPerGroup(docs.repartition(13), "g", "id", 7)
+      .orderBy("g", "pick").collect().toSeq
+    assert(again.map(_.toSeq) == got.map(_.toSeq))
+    // cap >= group size: everything kept
+    assert(Selection.capPerGroup(docs, "g", "id", 50).count() == 90)
+  }
 }

@@ -147,4 +147,40 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
       .orderBy("g").as[(String, Long, Double, Double, Double)].collect().toSeq
     assert(p13 == out)
   }
+
+  test("ewmaHalf replays the exact halving recursion per group") {
+    val d = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+      ("b", 5L, 4.0), ("b", 9L, 8.0)).toDF("g", "t", "x")
+    val out = Profile.ewmaHalf(d, Seq("g"), "t", "x").orderBy("g", "t")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    // a: 1; (2+1)/2=1.5; (3+1.5)/2=2.25. b: 4; (8+4)/2=6
+    assert(out == Seq(
+      ("a", 1L, 1.0, 1.0), ("a", 2L, 2.0, 1.5), ("a", 3L, 3.0, 2.25),
+      ("b", 5L, 4.0, 4.0), ("b", 9L, 8.0, 6.0)))
+    // null values are dropped before the fold; partition-invariant
+    val withNull = Seq(
+      ("a", 1L, Some(1.0)), ("a", 2L, Some(2.0)), ("a", 3L, Some(3.0)),
+      ("a", 4L, None),
+      ("b", 5L, Some(4.0)), ("b", 9L, Some(8.0))).toDF("g", "t", "x")
+    val p7 = Profile.ewmaHalf(withNull.repartition(7), Seq("g"), "t", "x")
+      .orderBy("g", "t").as[(String, Long, Double, Double)].collect().toSeq
+    assert(p7 == out)
+  }
+
+  test("weekdayResiduals: count-scaled residual vs same-weekday baseline") {
+    // two mondays (epoch days 4, 11 are mondays: (4+4)%7==1) and one
+    // tuesday for group a
+    val d = Seq(
+      ("a", 4L, 10.0), ("a", 11L, 20.0), ("a", 5L, 7.0)).toDF("g", "day", "x")
+    val out = Profile.weekdayResiduals(d, Seq("g"), "day", "x")
+      .orderBy("day")
+      .as[(String, Long, Double, Long, Long, Double)].collect().toSeq
+    // mondays: n=2, sum=30 -> resid(10) = 2*10-30 = -10; resid(20) = +10
+    // tuesday: n=1, sum=7 -> resid = 0
+    assert(out == Seq(
+      ("a", 4L, 10.0, 1L, 2L, -10.0),
+      ("a", 5L, 7.0, 2L, 1L, 0.0),
+      ("a", 11L, 20.0, 1L, 2L, 10.0)))
+  }
 }
