@@ -466,6 +466,25 @@ $fin,
          FROM rep JOIN top USING (cluster) ORDER BY cluster"""
   }
 
+  /** Shared by q220 (batch EWMA) and q225 (streamed monitor): the
+    * recursive CTE replays the exact `(x_t + s_(t-1))/2` halving chain —
+    * division by two is an exponent shift, so both engines round only the
+    * per-step IEEE addition, identically.
+    */
+  private val ewmaOracle: String =
+    """WITH RECURSIVE daily AS (SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         o AS (SELECT event_type, d, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+           FROM daily),
+         r AS (SELECT event_type, d, x, rn, x AS ewma FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.event_type, o.d, o.x, o.rn, (o.x + r.ewma) / 2
+           FROM o JOIN r ON o.event_type = r.event_type AND o.rn = r.rn + 1)
+         SELECT event_type, d, x, ewma FROM r ORDER BY event_type, d"""
+
   /** Shared by q204 (batch CUSUM) and q209 (streamed monitor — the daily
     * decimal totals are additive, so the Complete-mode frame equals batch
     * under any stream cut and one replay gates both).
@@ -2491,6 +2510,58 @@ $fin,
       // sources show high repeat probability regardless of per-doc quality
       graft.ext.Vocab.lexicalDiversity(t(s, d, "documents"), "source", "text")
         .orderBy("source")
+    }),
+
+    "q225_stream_ewma" -> ((s, d) => {
+      // q220 with the log ARRIVING as a stream: daily decimal totals are
+      // additive (Complete mode == batch under any cut), the halving fold
+      // runs on the drained frame in the same sorted order — q220's
+      // oracle gates the streamed monitor verbatim
+      import graft.streaming.CorpusStreams
+      val mx = events(s, d).agg(max(col("event_id"))).head().getLong(0)
+      val staged = CorpusStreams.stageIdSlices(s, s"$d/events.parquet",
+        "event_id", cuts = Seq(mx / 2))
+      val name = s"graft_stream_ewma_${streamCounter.incrementAndGet()}"
+      EventStreams.ewmaStreaming(s, staged, name,
+          Seq("event_type"), "value", shufflePartitions = Some(4))
+        .orderBy("event_type", "d")
+    }),
+
+    "q226_image_shapes" -> ((s, d) => {
+      // corpus-level image geometry report through the REAL codec (q34
+      // PNG round trip): orientation buckets, exact pixel totals, ppm
+      // aspect via integer div — the multimodal curation cut that decides
+      // resize/crop policy; the oracle predicts every dimension from the
+      // source byte length without parsing a PNG
+      val media = Multimodal.encodePngMediaTable(
+        t(s, d, "documents").where(col("text").isNotNull), "doc_id", "text")
+      Multimodal.decodeImages(media)
+        .select(col("media_id"), col("width"), col("height"),
+          when(col("width") > col("height"), lit("wide"))
+            .when(col("width") < col("height"), lit("tall"))
+            .otherwise(lit("square")).as("orientation"),
+          expr("CAST(10000 * width AS BIGINT) div height").as("__ap"))
+        .groupBy(col("orientation"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(col("width").cast("long") * col("height")).as("total_pixels"),
+          min(col("width")).as("min_w"), max(col("width")).as("max_w"),
+          min(col("height")).as("min_h"), max(col("height")).as("max_h"),
+          sum(col("__ap")).as("aspect_sum"))
+        .withColumn("mean_aspect",
+          round(col("aspect_sum").cast("double") / col("n_images"), 6))
+        .orderBy("orientation")
+    }),
+
+    "q227_padding_report" -> ((s, d) => {
+      // dynamic-batching cost model: whitespace token counts -> 64-wide
+      // length buckets -> longest-first batches of 8 padded to their own
+      // max; integer-exact waste accounting per bucket
+      graft.ext.Packing.paddingReport(
+          t(s, d, "documents").where(col("text").isNotNull)
+            .select(col("doc_id"),
+              graft.functions.text.tokenCount(col("text")).as("n_tok")),
+          "n_tok", "doc_id", bucketWidth = 64, batchSize = 8)
+        .orderBy("bucket")
     }),
 
     "q216_dup_triangles" -> ((s, d) => {
@@ -5575,22 +5646,12 @@ $fin,
          SELECT doc_id, source, n_chars, pick FROM r
          WHERE pick <= 10 ORDER BY source, pick""",
 
-    // recursive CTE replays the exact (x_t + s_(t-1))/2 halving chain —
-    // division by two is an exponent shift, so both engines round only
-    // the per-step IEEE addition, identically
-    "q220_ewma_smooth" ->
-      """WITH RECURSIVE daily AS (SELECT event_type,
-             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
-             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
-           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
-         o AS (SELECT event_type, d, x,
-             row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
-           FROM daily),
-         r AS (SELECT event_type, d, x, rn, x AS ewma FROM o WHERE rn = 1
-           UNION ALL
-           SELECT o.event_type, o.d, o.x, o.rn, (o.x + r.ewma) / 2
-           FROM o JOIN r ON o.event_type = r.event_type AND o.rn = r.rn + 1)
-         SELECT event_type, d, x, ewma FROM r ORDER BY event_type, d""",
+    "q220_ewma_smooth" -> ewmaOracle,
+
+    // q220's recursion replayed verbatim: streamed daily totals are
+    // additive, so Complete mode == batch under any cut (the q204/q209
+    // single-oracle convention)
+    "q225_stream_ewma" -> ewmaOracle,
 
     // count-scaled weekday residual: n_wd*x - sum_wd stays exact decimal
     // (no mean division), epoch day 0 is a Thursday hence the +4 shift
@@ -5608,6 +5669,47 @@ $fin,
          FROM p JOIN b USING (event_type, wd) ORDER BY event_type, day""",
 
     "q222_host_pagerank" -> pageRankOracle(5),
+
+    // dims predicted from the source byte length (the q34 contract:
+    // w = n%64+16, h = n%48+16) — a correct decode is implied by the
+    // report matching without the oracle ever parsing a PNG
+    "q226_image_shapes" ->
+      """WITH dims AS (SELECT doc_id,
+             CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS w,
+             CAST(octet_length(encode(text)) % 48 + 16 AS INTEGER) AS h
+           FROM documents WHERE text IS NOT NULL),
+         c AS (SELECT CASE WHEN w > h THEN 'wide' WHEN w < h THEN 'tall'
+               ELSE 'square' END AS orientation, w, h,
+             CAST((10000 * w) // h AS BIGINT) AS ap FROM dims)
+         SELECT orientation, count(*) AS n_images,
+           CAST(sum(CAST(w AS BIGINT) * h) AS BIGINT) AS total_pixels,
+           min(w) AS min_w, max(w) AS max_w,
+           min(h) AS min_h, max(h) AS max_h,
+           CAST(sum(ap) AS BIGINT) AS aspect_sum,
+           round(CAST(sum(ap) AS DOUBLE) / count(*), 6) AS mean_aspect
+         FROM c GROUP BY 1 ORDER BY 1""",
+
+    // the batching replay: 64-wide buckets, longest-first batches of 8,
+    // each padded to its own max; all sums CAST back to BIGINT
+    "q227_padding_report" ->
+      raw"""WITH toks AS (SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+               x -> x <> '')) AS BIGINT) AS n_tok
+           FROM documents WHERE text IS NOT NULL),
+         b AS (SELECT doc_id, n_tok, n_tok // 64 AS bucket,
+             (row_number() OVER (PARTITION BY n_tok // 64
+               ORDER BY n_tok DESC, doc_id) - 1) // 8 AS batch
+           FROM toks),
+         pb AS (SELECT bucket, batch, count(*) AS n, max(n_tok) AS mx,
+             CAST(sum(n_tok) AS BIGINT) AS tot
+           FROM b GROUP BY 1, 2)
+         SELECT bucket, CAST(sum(n) AS BIGINT) AS n_seqs,
+           count(*) AS n_batches,
+           CAST(sum(tot) AS BIGINT) AS total_tokens,
+           CAST(sum(n * mx) AS BIGINT) AS padded_tokens,
+           CAST(sum(n * mx) - sum(tot) AS BIGINT) AS waste_tokens,
+           round(CAST(sum(tot) AS DOUBLE) / sum(n * mx), 6) AS efficiency
+         FROM pb GROUP BY 1 ORDER BY 1""",
 
     "q223_topic_clusters" -> kmeansOracle(4, 2),
 

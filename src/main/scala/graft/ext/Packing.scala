@@ -185,6 +185,52 @@ object Packing {
     * yields an array column ([[graft.functions.text.tokens]] for the
     * shared-oracle one).
     */
+  /** Length-bucketed batching padding report — the dynamic-batching
+    * planner's cost model: sequences land in equal-width length buckets
+    * (`bucket = len div bucketWidth`), each bucket is batched `batchSize`
+    * at a time in deterministic `(len desc, id)` order (longest-first, the
+    * standard padding-minimizing order), and every batch pads to ITS OWN
+    * max. Returns one row per bucket: `(bucket, n_seqs, n_batches,
+    * total_tokens, padded_tokens, waste_tokens, efficiency)` where
+    * `padded_tokens = sum over batches of n_in_batch * batch_max` (the
+    * tokens a training step actually processes) and `efficiency` their
+    * rounded ratio — the number that decides whether bucketing is worth
+    * it vs naive global batching.
+    *
+    * Scale: ONE window exchange on the bucket key (the batch-forming sort
+    * is the operator's semantics — longest-first within bucket), then two
+    * aggregations that reuse the bucket partitioning. All arithmetic is
+    * integer-exact except the final per-row ratio.
+    */
+  def paddingReport(
+      df: DataFrame, lenCol: String, idCol: String,
+      bucketWidth: Int, batchSize: Int): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(batchSize > 0, "batchSize must be positive")
+    val len = col(lenCol).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(col("__len").desc, col(idCol))
+    val batched = df.where(col(lenCol).isNotNull)
+      .select(col(idCol), len.as("__len"))
+      .withColumn("bucket", expr(s"__len div $bucketWidth"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("batch", expr(s"CAST(__rn - 1 AS BIGINT) div $batchSize"))
+    val perBatch = batched
+      .groupBy(col("bucket"), col("batch"))
+      .agg(count(lit(1)).as("__n"), max(col("__len")).as("__mx"),
+        sum(col("__len")).as("__tot"))
+    perBatch.groupBy(col("bucket"))
+      .agg(sum(col("__n")).as("n_seqs"), count(lit(1)).as("n_batches"),
+        sum(col("__tot")).as("total_tokens"),
+        sum(col("__n") * col("__mx")).as("padded_tokens"))
+      .select(col("bucket"), col("n_seqs"), col("n_batches"),
+        col("total_tokens"), col("padded_tokens"),
+        (col("padded_tokens") - col("total_tokens")).as("waste_tokens"),
+        round(col("total_tokens").cast("double") / col("padded_tokens"), 6)
+          .as("efficiency"))
+  }
+
   def slidingChunks(
       df: DataFrame, tokensCol: String, idCols: Seq[String],
       size: Int, stride: Int): DataFrame = {

@@ -765,6 +765,38 @@ object EventStreams {
     graft.ops.Behavior.cusumFromDaily(drainMemorySink(spark, queryName), groupCols)
   }
 
+  /** Streamed EWMA monitor — the [[cusumStreaming]] pattern verbatim: the
+    * decimal daily totals are ONE Complete-mode aggregation (additive,
+    * order-insensitive, so the accumulated frame equals batch wherever
+    * the stream is cut); the alpha=1/2 halving fold then runs on the
+    * drained (group, day) frame, where its recursion order is the same
+    * sorted order batch uses. The batch q220 oracle gates the streamed
+    * monitor verbatim; state is bounded by groups x days.
+    */
+  def ewmaStreaming(
+      spark: SparkSession, stagedDir: String, queryName: String,
+      groupCols: Seq[String], valCol: String,
+      shufflePartitions: Option[Int] = None,
+      rocksdbState: Boolean = false): DataFrame = {
+    val schema = spark.read.parquet(stagedDir).schema
+    val stream = normalizeTs(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir))
+    val daily = graft.ops.Behavior.dailyTotals(stream, groupCols, valCol)
+    withStatePartitions(spark, shufflePartitions, rocksdbState) {
+      val q = daily.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val drained = drainMemorySink(spark, queryName)
+      .select(groupCols.map(col) :+ col("d") :+
+        col("x").cast("double").as("x"): _*)
+    graft.ops.Profile.ewmaHalf(drained, groupCols, "d", "x")
+  }
+
   // NOTE: these must be public — Catalyst's generated (de)serializer code
   // cannot access private nested case classes.
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

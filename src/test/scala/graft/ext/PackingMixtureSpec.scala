@@ -117,6 +117,25 @@ class PackingMixtureSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("paddingReport: longest-first batches pad to their own max, exact waste") {
+    // bucket 0 (len < 10): lens 9,8,5,3 with batchSize 2 ->
+    //   batch 0 = {9,8}: padded 18, tot 17; batch 1 = {5,3}: padded 10, tot 8
+    // bucket 1: lens 12,10 -> one batch: padded 24, tot 22
+    val d = Seq((1L, 5), (2L, 9), (3L, 3), (4L, 8), (5L, 12), (6L, 10))
+      .toDF("id", "len")
+    val out = Packing.paddingReport(d, "len", "id", bucketWidth = 10, batchSize = 2)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 4L, 2L, 25L, 28L, 3L, 0.892857),
+      (1L, 2L, 1L, 22L, 24L, 2L, 0.916667)))
+    // partition invariance: the in-bucket order is a total order
+    val p9 = Packing.paddingReport(d.repartition(9), "len", "id", 10, 2)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(p9 == out)
+  }
+
   test("sampleToMixture hits exact rates for binary-fraction weights") {
     val rows = for (s <- Seq("a", "b"); i <- 1 to 400)
       yield (s, s"$s-doc-$i")
