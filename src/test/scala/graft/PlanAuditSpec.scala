@@ -375,6 +375,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "q199: nested-loop join")
   }
 
+  test("q219: the domain cap ranks on the GroupTopK heap, never a window sort") {
+    val plan = finalPlan("q219_domain_cap")
+    assert(plan.contains("GroupTopK"), s"no heap rank in:\n$plan")
+    assert(!plan.contains("Window"), s"window-sort fallback in:\n$plan")
+  }
+
+  test("q221: the weekday baseline comes back by broadcast; series never re-shuffles") {
+    val plan = finalPlan("q221_weekday_residuals")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"baseline stat join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"stat join fell back to sort-merge:\n$plan")
+  }
+
+  test("q224/q227: diversity and padding reports partial-aggregate; no cartesian") {
+    Seq("q224_lexical_diversity", "q227_padding_report").foreach { q =>
+      val plan = finalPlan(q)
+      assert("HashAggregate".r.findAllIn(plan).size >= 2,
+        s"$q: no map-side combine in:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q: cartesian in:\n$plan")
+    }
+  }
+
   test("q190/q192/q196: event reports aggregate with map-side combine") {
     Seq("q190_cohort_retention", "q192_trend_ols").foreach { q =>
       val plan = finalPlan(q)
