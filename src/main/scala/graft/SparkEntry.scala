@@ -2564,6 +2564,29 @@ $fin,
         .orderBy("bucket")
     }),
 
+    "q228_semantic_decontaminate" -> ((s, d) => {
+      // embedding-space contamination screen (catches the paraphrased
+      // leakage n-gram decontamination q67 cannot): eval slice broadcasts,
+      // corpus scores row-locally, GroupTopK keeps the top eval neighbor,
+      // the flag cuts on the ROUNDED cosine so the threshold is
+      // engine-exact
+      val emb = t(s, d, "embeddings")
+      graft.ext.Decontaminate.semanticHits(
+          emb.where(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+          emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding",
+          tau = 0.9)
+        .orderBy("vec_id")
+    }),
+
+    "q229_dedup_savings" -> ((s, d) => {
+      // the curation run's "what did dedup buy us" card: q70's verified
+      // minhash components + keep-min-id token accounting, rolled up by
+      // cluster size
+      Dedup.savingsCard(fanOut(s, t(s, d, "documents"), "doc_id"),
+          "doc_id", "text", threshold = 0.6)
+        .orderBy("cluster_size")
+    }),
+
     "q216_dup_triangles" -> ((s, d) => {
       // graph-shape diagnostic of the exact near-dup pair graph (the en
       // slice — the full 0.9 graph at sf0.1 holds ~1M edges of template
@@ -5669,6 +5692,61 @@ $fin,
          FROM p JOIN b USING (event_type, wd) ORDER BY event_type, day""",
 
     "q222_host_pagerank" -> pageRankOracle(5),
+
+    // q24's cosine replay restricted to the eval slice; the flag compares
+    // the ROUNDED cosine (both engines round before the cut)
+    "q228_semantic_decontaminate" ->
+      """WITH ev AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS evv
+                     FROM embeddings WHERE vec_id % 10 = 0),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id % 10 <> 0),
+         s AS (SELECT c.vec_id, ev.eval_id,
+                 list_cosine_similarity(cv, evv) AS cr
+               FROM c CROSS JOIN ev),
+         r AS (SELECT vec_id, eval_id, cr, row_number() OVER
+                 (PARTITION BY vec_id ORDER BY cr DESC, eval_id) AS rn
+               FROM s)
+         SELECT vec_id, eval_id, round(cr, 6) AS cosine,
+           round(cr, 6) >= 0.9 AS contaminated
+         FROM r WHERE rn = 1 ORDER BY vec_id""",
+
+    // q70's component CTEs + keep-min-id token accounting rolled up by
+    // cluster size; count sums CAST back to BIGINT (the q175 class)
+    "q229_dedup_savings" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                 CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
+                      ELSE array_to_string(tk[i:i+2], ' ') END AS shingle
+               FROM (SELECT doc_id, tk,
+                       unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i
+                     FROM toks WHERE len(tk) > 0)),
+         sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS ic
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         j AS (SELECT id_l, id_r, CAST(ic AS DOUBLE) / (sa.s + sb.s - ic) AS jac
+               FROM inter JOIN sz sa ON sa.doc_id = id_l
+                          JOIN sz sb ON sb.doc_id = id_r),
+         e AS (SELECT id_l AS a, id_r AS b FROM j WHERE jac >= 0.6
+               UNION SELECT id_r, id_l FROM j WHERE jac >= 0.6),
+         reach(a, b) AS (SELECT a, b FROM e
+               UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+                  FROM reach GROUP BY a),
+         lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+             coalesce(CAST(len(list_filter(regexp_split_to_array(d.text, '\s+'),
+               x -> x <> '')) AS BIGINT), 0) AS n_tok
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         g AS (SELECT component, count(*) AS sz,
+             CAST(sum(n_tok) AS BIGINT) AS tok_total,
+             arg_min(n_tok, doc_id) AS tok_kept
+           FROM lab GROUP BY 1)
+         SELECT sz AS cluster_size, count(*) AS n_clusters,
+           CAST(sum(tok_total) AS BIGINT) AS tokens_total,
+           CAST(sum(tok_kept) AS BIGINT) AS tokens_kept,
+           CAST(sum(tok_total) - sum(tok_kept) AS BIGINT) AS tokens_saved
+         FROM g GROUP BY 1 ORDER BY 1""",
 
     // dims predicted from the source byte length (the q34 contract:
     // w = n%64+16, h = n%48+16) — a correct decode is implied by the

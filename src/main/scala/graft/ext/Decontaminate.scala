@@ -131,6 +131,40 @@ object Decontaminate {
         round((col("n_grams") - col("n_seen")) / col("n_grams"), 6))
   }
 
+  /** SEMANTIC contamination screen — the embedding-space complement of the
+    * n-gram hits: for every corpus vector, its nearest eval-set vector by
+    * cosine and a `contaminated` flag at the ROUNDED-cosine threshold
+    * (rounding first makes the cut engine-exact; the q24 convention orders
+    * candidates on the raw cosine, ties on eval id). Paraphrased leakage
+    * shares no 13-gram but keeps its embedding neighborhood — this is the
+    * screen that catches it. Returns `(idCol, eval_id, cosine,
+    * contaminated)`, one row per corpus vector.
+    *
+    * Scale: the eval set broadcasts (benchmarks are small — the
+    * [[contaminationHits]] assumption); the corpus never shuffles except
+    * the [[graft.plans.GroupTopK]] heap exchange, <= 1 row per (vector,
+    * partition). No all-pairs materialization: the nested-loop scoring is
+    * row-local against the broadcast block.
+    */
+  def semanticHits(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      evalSet: DataFrame, evalIdCol: String, evalVecCol: String,
+      tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, "tau must be in (0, 1]")
+    val ev = broadcast(evalSet.select(col(evalIdCol).as("eval_id"),
+      col(evalVecCol).as("__ev")))
+    val scored = corpus
+      .select(col(idCol), col(vecCol).as("__cv"))
+      .join(ev)
+      .withColumn("__cos", graft.functions.vectors.cosine(col("__cv"), col("__ev")))
+      .select(col(idCol), col("eval_id"), col("__cos"))
+    graft.plans.GroupTopK(scored, Seq(idCol),
+        Seq(("__cos", false), ("eval_id", true)), 1, "__r")
+      .select(col(idCol), col("eval_id"),
+        round(col("__cos"), 6).as("cosine"),
+        (round(col("__cos"), 6) >= tau).as("contaminated"))
+  }
+
   /** Survivors: training documents sharing fewer than `minHits` distinct
     * word-`n`-shingles with the benchmark set (default: any single shared
     * shingle contaminates).

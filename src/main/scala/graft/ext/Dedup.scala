@@ -304,6 +304,44 @@ object Dedup {
     labels
   }
 
+  /** Dedup savings card: the "what did dedup buy us" report — per
+    * duplicate-cluster SIZE, how many clusters, their total tokens, the
+    * tokens the keep-min-id policy retains, and the tokens saved. The
+    * number a curation run publishes next to its data card: size-1 rows
+    * are the untouched singletons (saved = 0), the tail rows are the
+    * template stamps where the budget went.
+    *
+    * `(cluster_size, n_clusters, tokens_total, tokens_kept,
+    * tokens_saved)`; token currency is the whitespace
+    * [[graft.functions.text.tokenCount]] (null text counts 0), the q26
+    * oracle convention. Representative per cluster = the MIN-id member
+    * (the component label itself — `min_by` keeps its token count).
+    *
+    * Scale: [[minhashPairs]] + [[connectedComponents]] do the heavy work
+    * (banded LSH, label propagation — both bounded); the card itself is
+    * two map-side-combinable aggregations over the O(docs) labeled frame.
+    */
+  def savingsCard(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.6): DataFrame = {
+    val cc = connectedComponents(minhashPairs(df, idCol, textCol, threshold))
+    val labeled = df
+      .select(col(idCol),
+        coalesce(graft.functions.text.tokenCount(col(textCol)), lit(0L))
+          .as("__tok"))
+      .join(cc.select(col("id").as(idCol), col("component")), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"),
+        col("__tok"))
+    val perCluster = labeled.groupBy(col("component"))
+      .agg(count(lit(1)).as("sz"), sum(col("__tok")).as("tok_total"),
+        min_by(col("__tok"), col(idCol)).as("tok_kept"))
+    perCluster.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("tok_total")).as("tokens_total"),
+        sum(col("tok_kept")).as("tokens_kept"))
+      .withColumn("tokens_saved", col("tokens_total") - col("tokens_kept"))
+  }
+
   /** Release the storage behind a `localCheckpoint`ed frame (or a pure
     * projection of one). `Dataset.unpersist` cannot do this — it talks to
     * the cache manager, and checkpoints live at the RDD level.

@@ -34,6 +34,25 @@ class DecontaminateVocabSpec extends AnyFunSuite with SparkSpec {
     assert(hits(1L) == 5L)
   }
 
+  test("semanticHits flags the rounded-cosine neighborhood, one row per corpus vector") {
+    val ev = Seq((100L, Array(1.0, 0.0, 0.0)), (101L, Array(0.0, 1.0, 0.0)))
+      .toDF("vec_id", "v")
+    val corpus = Seq(
+      (1L, Array(0.999, 0.01, 0.0)),   // ~eval 100 -> contaminated
+      (2L, Array(0.0, 0.0, 1.0)),      // orthogonal to both -> clean
+      (3L, Array(0.1, 0.99, 0.0))      // ~eval 101 -> contaminated
+    ).toDF("vec_id", "v")
+    val out = Decontaminate.semanticHits(
+        corpus, "vec_id", "v", ev, "vec_id", "v", tau = 0.95)
+      .orderBy("vec_id")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._4)) ==
+      Seq((1L, 100L, true), (2L, 100L, false), (3L, 101L, true)))
+    assert(out.forall(r => r._3 >= -1.0 && r._3 <= 1.0))
+    // every corpus vector reports exactly once, flagged or not
+    assert(out.size == 3)
+  }
+
   test("contaminationSpans reports (doc, example) pairs with span counts and offsets") {
     val docs = Seq(
       (1L, s"two lead tokens $bench trailing words here"),   // bench at offset 3

@@ -524,4 +524,33 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.bucketCapAuditPortable(tiny, "doc_id", "text",
       numHashes = 8, bands = 4, maxBucket = 1).isEmpty)
   }
+
+  test("savingsCard: per-cluster-size token accounting, min-id representative kept") {
+    // docs 1,2,3 are one near-dup cluster (identical long text, 6 tokens
+    // each); 4 and 5 are singletons (distinct texts)
+    val stamp = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, stamp), (2L, stamp), (3L, stamp),
+      (4L, "one completely different document right here tonight"),
+      (5L, "and another unrelated text body entirely again")
+    ).toDF("doc_id", "text")
+    val out = Dedup.savingsCard(docs, "doc_id", "text", threshold = 0.6)
+      .orderBy("cluster_size")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // size 1: docs 4 and 5 (7 tokens each): total 14, kept 14, saved 0
+    // size 3: 18 total, kept 6 (doc 1), saved 12
+    assert(out == Seq(
+      (1L, 2L, 14L, 14L, 0L),
+      (3L, 1L, 18L, 6L, 12L)))
+  }
+
+  test("savingsCard: null text counts zero tokens; all-singleton corpus saves nothing") {
+    val docs = Seq(
+      (1L, "some words here tonight friend"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "other words there yesterday stranger")).toDF("doc_id", "text")
+    val out = Dedup.savingsCard(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 10L, 10L, 0L)))
+  }
 }
