@@ -421,7 +421,7 @@ $its
     * report. (Contract: no cluster empties at this k/iters — the engine
     * keeps a dead cluster's previous centroid, which SQL cannot express.)
     */
-  private def kmeansOracle(k: Int, iters: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int): String = {
     val head =
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv, label
                      FROM embeddings),
@@ -451,7 +451,11 @@ $its
     val fin = assignCte("af", s"c$iters", carryDist = true)
     s"""$head,
 $rounds,
-$fin,
+$fin"""
+  }
+
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    s"""${kmeansCtes(k, iters)},
          rep AS (SELECT c AS cluster, count(*) AS n_members,
              round(CAST(sum(CAST(d AS DECIMAL(18,6))) AS DOUBLE), 6) AS inertia
            FROM af GROUP BY 1),
@@ -464,6 +468,23 @@ $fin,
          SELECT rep.cluster, rep.n_members, rep.inertia, top.top_label,
            round(CAST(top.ln AS DOUBLE) / rep.n_members, 6) AS label_share
          FROM rep JOIN top USING (cluster) ORDER BY cluster"""
+  }
+
+  /** q231 oracle: the same Lloyd CTEs, tailed with per-cluster top-term
+    * cards (documents joined on the aligned vec_id = doc_id, the q69
+    * tokenizer convention).
+    */
+  private def clusterCardsOracle(k: Int, iters: Int, topK: Int): String = {
+    raw"""${kmeansCtes(k, iters)},
+         tok AS (SELECT af.c AS cluster,
+             unnest(list_filter(regexp_split_to_array(lower(d.text),
+               '[^\p{L}\p{N}_]+'), x -> x <> '')) AS token
+           FROM af JOIN documents d ON d.doc_id = af.vec_id),
+         tc AS (SELECT cluster, token, count(*) AS n FROM tok GROUP BY 1, 2),
+         r AS (SELECT cluster, token, n, row_number() OVER
+             (PARTITION BY cluster ORDER BY n DESC, token) AS rnk FROM tc)
+         SELECT cluster, CAST(rnk AS BIGINT) AS rnk, token, n
+         FROM r WHERE rnk <= $topK ORDER BY cluster, rnk"""
   }
 
   /** Shared by q220 (batch EWMA) and q225 (streamed monitor): the
@@ -2585,6 +2606,37 @@ $fin,
       Dedup.savingsCard(fanOut(s, t(s, d, "documents"), "doc_id"),
           "doc_id", "text", threshold = 0.6)
         .orderBy("cluster_size")
+    }),
+
+    "q230_ks_drift" -> ((s, d) => {
+      // continuous-distribution drift (the chi-square test's complement):
+      // exact integer KS distance between click and view value
+      // distributions per user-parity cohort — rank arithmetic only, one
+      // window exchange over the distinct-value frame
+      graft.ops.Profile.ksDrift(
+          events(s, d).withColumn("cohort", pmod(col("user_id"), lit(2))),
+          Seq("cohort"), "event_type", "value", "click", "view")
+        .orderBy("cohort")
+    }),
+
+    "q231_cluster_cards" -> ((s, d) => {
+      // topic cards: the q223 clustering joined back to the corpus text
+      // (vec_id = doc_id by fixture construction) — top-3 tokens per
+      // cluster on the GroupTopK heap; the human-readable face of the
+      // embedding clustering
+      val assign = graft.ext.Clustering.assign(
+        t(s, d, "embeddings"), "vec_id", "embedding", k = 4, iters = 2)
+      val toks = assign.select(col("vec_id").as("doc_id"), col("cluster"))
+        .join(t(s, d, "documents").select(col("doc_id"), col("text")),
+          Seq("doc_id"))
+        .select(col("cluster"),
+          explode(graft.functions.text.tokens(col("text"))).as("token"))
+        .groupBy(col("cluster"), col("token"))
+        .agg(count(lit(1)).as("n"))
+      graft.plans.GroupTopK(toks, Seq("cluster"),
+          Seq(("n", false), ("token", true)), 3, "rnk")
+        .select(col("cluster"), col("rnk"), col("token"), col("n"))
+        .orderBy("cluster", "rnk")
     }),
 
     "q216_dup_triangles" -> ((s, d) => {
@@ -5790,6 +5842,34 @@ $fin,
          FROM pb GROUP BY 1 ORDER BY 1""",
 
     "q223_topic_clusters" -> kmeansOracle(4, 2),
+
+    "q231_cluster_cards" -> clusterCardsOracle(4, 2, 3),
+
+    // window sums of BIGINT promote to HUGEINT in DuckDB — every
+    // emitted integer CASTs back (the q175 class)
+    "q230_ks_drift" ->
+      """WITH s AS (SELECT user_id % 2 AS cohort, value AS v, event_type
+           FROM events
+           WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+         per AS (SELECT cohort, v,
+             count(*) FILTER (WHERE event_type = 'click') AS ca,
+             count(*) FILTER (WHERE event_type = 'view') AS cb
+           FROM s GROUP BY 1, 2),
+         c AS (SELECT cohort, v,
+             sum(ca) OVER (PARTITION BY cohort ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i,
+             sum(cb) OVER (PARTITION BY cohort ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS j,
+             sum(ca) OVER (PARTITION BY cohort) AS n,
+             sum(cb) OVER (PARTITION BY cohort) AS m
+           FROM per)
+         SELECT cohort, CAST(max(n) AS BIGINT) AS n_a,
+           CAST(max(m) AS BIGINT) AS n_b,
+           CAST(max(abs(i * m - j * n)) AS BIGINT) AS d_scaled,
+           CASE WHEN max(n) = 0 OR max(m) = 0 THEN NULL
+                ELSE round(CAST(max(abs(i * m - j * n)) AS DOUBLE) /
+                  (max(n) * max(m)), 6) END AS ks
+         FROM c GROUP BY cohort ORDER BY cohort""",
 
     // sums over BIGINT counts CAST back to BIGINT (DuckDB promotes to
     // HUGEINT — the q175 class the strict gate now catches)

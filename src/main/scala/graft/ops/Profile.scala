@@ -400,6 +400,52 @@ object Profile {
         (col("n_wd") * xd - col("__swd")).cast("double").as("scaled_resid")): _*)
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift between sides `sideA` and
+    * `sideB` of `sideCol`, per group: the max ECDF gap as the EXACT
+    * integer `d_scaled = max |i*m - j*n|` (i, j cumulative counts at each
+    * distinct value; n, m side totals) plus the rounded `ks = d_scaled /
+    * (n*m)`. Rank arithmetic only — no floating ECDFs — so the statistic
+    * is engine-exact; the continuous-distribution complement of the
+    * chi-square drift test (which needs binned categories). Ties follow
+    * the ECDF-jump convention: the gap is evaluated AT each distinct
+    * value with ties fully counted.
+    *
+    * Scale: one (group, value) pre-aggregation shrinks the window input
+    * to distinct values (map-side combinable), then ONE window exchange
+    * on the group key. A global (ungrouped) KS is a total-order statistic
+    * and inherits a single-partition window over the DISTINCT-value
+    * frame — bounded by value cardinality, not row count.
+    */
+  def ksDrift(
+      df: DataFrame, groupCols: Seq[String], sideCol: String,
+      valCol: String, sideA: String, sideB: String): DataFrame = {
+    require(sideA != sideB, "sides must differ")
+    val g = groupCols.map(col)
+    val per = df
+      .where(col(sideCol).isin(sideA, sideB) && col(valCol).isNotNull)
+      .groupBy(g :+ col(valCol).as("__v"): _*)
+      .agg(count(when(col(sideCol) === sideA, 1)).as("__ca"),
+        count(when(col(sideCol) === sideB, 1)).as("__cb"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
+    val cum = per
+      .withColumn("__i", sum(col("__ca")).over(wOrd))
+      .withColumn("__j", sum(col("__cb")).over(wOrd))
+      .withColumn("__n", sum(col("__ca")).over(wAll))
+      .withColumn("__m", sum(col("__cb")).over(wAll))
+    cum.groupBy(g: _*)
+      .agg(max(col("__n")).as("n_a"), max(col("__m")).as("n_b"),
+        max(abs(col("__i") * col("__m") - col("__j") * col("__n")))
+          .as("d_scaled"))
+      .select(g ++ Seq(col("n_a"), col("n_b"), col("d_scaled"),
+        when(col("n_a") === 0 || col("n_b") === 0, lit(null).cast("double"))
+          .otherwise(round(col("d_scaled").cast("double") /
+            (col("n_a") * col("n_b")), 6)).as("ks")): _*)
+  }
+
   def quantileTrim(
       df: DataFrame, colName: String, loQ: Double, hiQ: Double): DataFrame = {
     require(0.0 <= loQ && loQ <= hiQ && hiQ <= 1.0, "need 0 <= loQ <= hiQ <= 1")

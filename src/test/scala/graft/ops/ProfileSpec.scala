@@ -168,6 +168,32 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
     assert(p7 == out)
   }
 
+  test("ksDrift: exact integer KS distance with ties, per group") {
+    val d = Seq(
+      // g1: A = {1, 2}, B = {2, 3} -> D = |F_A - F_B| peaks at 0.5
+      ("g1", "A", 1.0), ("g1", "A", 2.0), ("g1", "B", 2.0), ("g1", "B", 3.0),
+      // g2: identical samples -> D = 0
+      ("g2", "A", 5.0), ("g2", "B", 5.0),
+      // a third side is ignored entirely
+      ("g1", "C", 99.0)).toDF("g", "side", "x")
+    val out = Profile.ksDrift(d, Seq("g"), "side", "x", "A", "B")
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      ("g1", 2L, 2L, 2L, Some(0.5)),
+      ("g2", 1L, 1L, 0L, Some(0.0))))
+    // one-sided group: statistic undefined -> null ks
+    val oneSided = Seq(("g", "A", 1.0), ("g", "A", 2.0)).toDF("g", "side", "x")
+    val os = Profile.ksDrift(oneSided, Seq("g"), "side", "x", "A", "B")
+      .as[(String, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(os == Seq(("g", 2L, 0L, 0L, None)))
+    // partition invariance
+    val p9 = Profile.ksDrift(d.repartition(9), Seq("g"), "side", "x", "A", "B")
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(p9 == out)
+  }
+
   test("weekdayResiduals: count-scaled residual vs same-weekday baseline") {
     // two mondays (epoch days 4, 11 are mondays: (4+4)%7==1) and one
     // tuesday for group a
