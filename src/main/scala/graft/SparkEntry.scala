@@ -487,6 +487,25 @@ $fin"""
          FROM r WHERE rnk <= $topK ORDER BY cluster, rnk"""
   }
 
+  /** Shared by q228 (batch semantic screen) and q232 (streamed, stateless
+    * — Append mode equals batch row-for-row under any cut): q24's cosine
+    * replay restricted to the eval slice, flag on the ROUNDED cosine.
+    */
+  private val semanticScreenOracle: String =
+    """WITH ev AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS evv
+                   FROM embeddings WHERE vec_id % 10 = 0),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id % 10 <> 0),
+         s AS (SELECT c.vec_id, ev.eval_id,
+                 list_cosine_similarity(cv, evv) AS cr
+               FROM c CROSS JOIN ev),
+         r AS (SELECT vec_id, eval_id, cr, row_number() OVER
+                 (PARTITION BY vec_id ORDER BY cr DESC, eval_id) AS rn
+               FROM s)
+         SELECT vec_id, eval_id, round(cr, 6) AS cosine,
+           round(cr, 6) >= 0.9 AS contaminated
+         FROM r WHERE rn = 1 ORDER BY vec_id"""
+
   /** Shared by q220 (batch EWMA) and q225 (streamed monitor): the
     * recursive CTE replays the exact `(x_t + s_(t-1))/2` halving chain —
     * division by two is an exponent shift, so both engines round only the
@@ -2637,6 +2656,35 @@ $fin"""
           Seq(("n", false), ("token", true)), 3, "rnk")
         .select(col("cluster"), col("rnk"), col("token"), col("n"))
         .orderBy("cluster", "rnk")
+    }),
+
+    "q232_stream_semantic_decon" -> ((s, d) => {
+      // q228 with the corpus ARRIVING as a stream: the literal-eval-set
+      // argmin is one row-local expression (no shuffle, no state), so
+      // plain Append mode equals the batch screen row-for-row under any
+      // cut — q228's oracle gates this verbatim
+      import graft.streaming.CorpusStreams
+      val evals = t(s, d, "embeddings").where(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+        .sortBy(_._1)
+      val staged = CorpusStreams.stageIdSlices(s, s"$d/embeddings.parquet",
+        "vec_id", cuts = Seq(250))
+      val name = s"graft_stream_sem_${streamCounter.incrementAndGet()}"
+      CorpusStreams.semanticScreenStreaming(s, staged, "vec_id", "embedding",
+          evals, tau = 0.9, name,
+          corpusFilter = Some(col("vec_id") % 10 =!= 0),
+          shufflePartitions = Some(4))
+        .orderBy("vec_id")
+    }),
+
+    "q233_ab_cuped" -> ((s, d) => {
+      // variance-reduced experiment readout: pre-period value sums as the
+      // CUPED covariate (cutoff = Jan 16), pooled theta from exact
+      // decimal moments, per-variant raw vs adjusted means side by side
+      graft.ops.Behavior.abTestCuped(
+        events(s, d).withColumn("variant", pmod(col("user_id"), lit(2))),
+        "variant", "value", cutoffEpoch = 1705363200L)
     }),
 
     "q216_dup_triangles" -> ((s, d) => {
@@ -5747,20 +5795,56 @@ $fin"""
 
     // q24's cosine replay restricted to the eval slice; the flag compares
     // the ROUNDED cosine (both engines round before the cut)
-    "q228_semantic_decontaminate" ->
-      """WITH ev AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS evv
-                     FROM embeddings WHERE vec_id % 10 = 0),
-         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
-               FROM embeddings WHERE vec_id % 10 <> 0),
-         s AS (SELECT c.vec_id, ev.eval_id,
-                 list_cosine_similarity(cv, evv) AS cr
-               FROM c CROSS JOIN ev),
-         r AS (SELECT vec_id, eval_id, cr, row_number() OVER
-                 (PARTITION BY vec_id ORDER BY cr DESC, eval_id) AS rn
-               FROM s)
-         SELECT vec_id, eval_id, round(cr, 6) AS cosine,
-           round(cr, 6) >= 0.9 AS contaminated
-         FROM r WHERE rn = 1 ORDER BY vec_id""",
+    "q228_semantic_decontaminate" -> semanticScreenOracle,
+
+    // the batch screen's replay verbatim: the streamed screen is
+    // stateless row-local, so Append mode == batch under any cut
+    "q232_stream_semantic_decon" -> semanticScreenOracle,
+
+    // CUPED replay: exact decimal per-user sums and pooled moments, one
+    // double tree for theta/xbar, rounded per-user adjustments summed as
+    // decimals, two-row pivot by variant order
+    "q233_ab_cuped" ->
+      """WITH pu AS (SELECT user_id % 2 AS variant, user_id,
+             sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < 1705363200
+                 THEN CAST(value AS DECIMAL(18,4))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS x,
+             sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= 1705363200
+                 THEN CAST(value AS DECIMAL(18,4))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS y
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(CAST(x * x AS DECIMAL(38,8))) AS sxx,
+             sum(CAST(x * y AS DECIMAL(38,8))) AS sxy
+           FROM pu),
+         s AS (SELECT CASE WHEN n * CAST(sxx AS DOUBLE) -
+                 CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0 THEN 0.0
+               ELSE (n * CAST(sxy AS DOUBLE) -
+                 CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                 (n * CAST(sxx AS DOUBLE) -
+                 CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS theta,
+             CAST(sx AS DOUBLE) / n AS xbar FROM m),
+         adj AS (SELECT variant, x, y,
+             round(CAST(y AS DOUBLE) -
+               s.theta * (CAST(x AS DOUBLE) - s.xbar), 6) AS yadj
+           FROM pu CROSS JOIN s),
+         v AS (SELECT variant, count(*) AS nu,
+             round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS mean_y,
+             round(CAST(sum(CAST(yadj AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 6) AS mean_adj
+           FROM adj GROUP BY 1),
+         o AS (SELECT v.*, row_number() OVER (ORDER BY variant) AS rn FROM v)
+         SELECT
+           max(CASE WHEN rn = 1 THEN CAST(variant AS VARCHAR) END) AS variant_a,
+           max(CASE WHEN rn = 1 THEN nu END) AS n_a,
+           max(CASE WHEN rn = 1 THEN mean_y END) AS mean_y_a,
+           max(CASE WHEN rn = 1 THEN mean_adj END) AS mean_adj_a,
+           max(CASE WHEN rn = 2 THEN CAST(variant AS VARCHAR) END) AS variant_b,
+           max(CASE WHEN rn = 2 THEN nu END) AS n_b,
+           max(CASE WHEN rn = 2 THEN mean_y END) AS mean_y_b,
+           max(CASE WHEN rn = 2 THEN mean_adj END) AS mean_adj_b,
+           (SELECT round(theta, 6) FROM s) AS theta
+         FROM o""",
 
     // q70's component CTEs + keep-min-id token accounting rolled up by
     // cluster size; count sums CAST back to BIGINT (the q175 class)

@@ -165,6 +165,32 @@ object Decontaminate {
         (round(col("__cos"), 6) >= tau).as("contaminated"))
   }
 
+  /** [[semanticHits]] with the eval set as LITERALS: the argmin over eval
+    * vectors is one row-local struct-min expression — no join, no
+    * broadcast exchange, no shuffle AT ALL — so the screen runs unchanged
+    * on a STREAMING frame (stateless append) or inside any per-batch
+    * pipeline. Values are identical to [[semanticHits]]: min of
+    * `struct(-cosine, eval_id)` is exactly "cosine desc, eval id asc".
+    * The eval set must be driver-collectable (benchmarks are small — the
+    * same bound [[semanticHits]]' broadcast already assumes).
+    */
+  def semanticHitsLiteral(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      evalVecs: Seq[(Long, Seq[Double])], tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, "tau must be in (0, 1]")
+    require(evalVecs.nonEmpty, "eval set must be non-empty")
+    val best = array_min(array(evalVecs.map { case (id, v) =>
+      struct(
+        (-graft.functions.vectors.cosine(col(vecCol), typedLit(v))).as("nc"),
+        lit(id).as("eval_id"))
+    }: _*))
+    corpus
+      .withColumn("__best", best)
+      .select(col(idCol), col("__best").getField("eval_id").as("eval_id"),
+        round(-col("__best").getField("nc"), 6).as("cosine"))
+      .withColumn("contaminated", col("cosine") >= tau)
+  }
+
   /** Survivors: training documents sharing fewer than `minHits` distinct
     * word-`n`-shingles with the benchmark set (default: any single shared
     * shingle contaminates).

@@ -322,6 +322,71 @@ object Behavior {
         col("p_diff"), col("z_score"))
   }
 
+  /** CUPED-adjusted experiment readout (Deng, Xu, Kohavi & Walker, WSDM
+    * 2013): per-user pre-period metric `x` (value sum before
+    * `cutoffEpoch`) and post-period metric `y`; the pooled regression
+    * `theta = cov(x,y)/var(x)` de-noises `y` into
+    * `y' = y - theta*(x - xbar)`, and per-variant means of both are
+    * reported side by side — the variance-reduction readout every
+    * experimentation platform runs next to the raw one.
+    *
+    * Numeric contract: the per-user sums and all five pooled moments are
+    * EXACT decimals; `theta`/`xbar` are one fixed double tree over them
+    * (the [[graft.ops.Profile.trendOls]] convention); each user's
+    * adjustment is per-row double math rounded to 6 dp; the per-variant
+    * totals are decimal sums of those rounded values. Every stage
+    * replays verbatim in SQL. Zero pre-period variance degenerates to
+    * `theta = 0` (no adjustment) instead of a divide-by-zero.
+    *
+    * Scale: one user-level aggregation (map-side combinable), one
+    * five-number moment row broadcast back, one variant-level
+    * aggregation, then a bounded two-row pivot (the [[abTest]] shape).
+    */
+  def abTestCuped(
+      events: DataFrame, variantCol: String, valCol: String,
+      cutoffEpoch: Long, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val dec = "decimal(18,4)"
+    val es = unix_timestamp(col(tsCol))
+    val perUser = events.where(col(valCol).isNotNull)
+      .groupBy(col(userCol), col(variantCol).as("variant"))
+      .agg(
+        sum(when(es < cutoffEpoch, col(valCol).cast(dec))
+          .otherwise(lit(0).cast(dec))).as("__x"),
+        sum(when(es >= cutoffEpoch, col(valCol).cast(dec))
+          .otherwise(lit(0).cast(dec))).as("__y"))
+    val m = perUser.agg(count(lit(1)).as("n"),
+      sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+      sum((col("__x") * col("__x")).cast("decimal(38,8)")).as("sxx"),
+      sum((col("__x") * col("__y")).cast("decimal(38,8)")).as("sxy"))
+    def d(c: String) = col(c).cast("double")
+    val n = col("n").cast("double")
+    val varxn = n * d("sxx") - d("sx") * d("sx")
+    val scal = m.select(
+      when(varxn === 0.0, lit(0.0))
+        .otherwise((n * d("sxy") - d("sx") * d("sy")) / varxn).as("__theta"),
+      (d("sx") / n).as("__xbar"))
+    val byVariant = perUser.crossJoin(broadcast(scal))
+      .withColumn("__yadj", round(col("__y").cast("double") -
+        col("__theta") * (col("__x").cast("double") - col("__xbar")), 6))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("nu"),
+        round(sum(col("__y")).cast("double") / count(lit(1)), 6).as("mean_y"),
+        round(sum(col("__yadj").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_adj"),
+        round(max(col("__theta")), 6).as("th"))
+    val two = byVariant.orderBy(col("variant")).collect()
+    require(two.length == 2, s"abTestCuped needs exactly two variants, got ${two.length}")
+    val spark = events.sparkSession
+    import spark.implicits._
+    Seq((two(0).get(0).toString, two(0).getLong(1), two(0).getDouble(2),
+        two(0).getDouble(3),
+        two(1).get(0).toString, two(1).getLong(1), two(1).getDouble(2),
+        two(1).getDouble(3), two(0).getDouble(4)))
+      .toDF("variant_a", "n_a", "mean_y_a", "mean_adj_a",
+        "variant_b", "n_b", "mean_y_b", "mean_adj_b", "theta")
+  }
+
   /** Top onboarding paths: the `topK` most common sequences of each
     * user's FIRST `k` event types (in `(ts, event_id)` order), joined
     * with `" > "` — the "how do users actually start" report. Users with

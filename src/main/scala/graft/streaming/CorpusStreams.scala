@@ -378,4 +378,35 @@ object CorpusStreams {
     }
     EventStreams.drainMemorySink(spark, queryName)
   }
+
+  /** [[graft.ext.Decontaminate.semanticHitsLiteral]] over an ARRIVING
+    * corpus — the deployment shape of the semantic screen ("score each
+    * new crawl shard against the frozen eval set as it lands"). The
+    * operator is STATELESS (one row-local argmin per vector, no shuffle,
+    * no state store), so the stream runs in plain Append mode and the
+    * result equals the batch screen row-for-row under any cut — q228's
+    * oracle gates this path verbatim.
+    */
+  def semanticScreenStreaming(
+      spark: SparkSession, stagedDir: String, idCol: String, vecCol: String,
+      evalVecs: Seq[(Long, Seq[Double])], tau: Double, queryName: String,
+      corpusFilter: Option[org.apache.spark.sql.Column] = None,
+      shufflePartitions: Option[Int] = None): DataFrame = {
+    val schema = spark.read.parquet(stagedDir).schema
+    val stream0 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+    val stream = corpusFilter.map(stream0.where).getOrElse(stream0)
+    val screened = graft.ext.Decontaminate.semanticHitsLiteral(
+      stream, idCol, vecCol, evalVecs, tau)
+    EventStreams.withStatePartitions(spark, shufflePartitions) {
+      val q = screened.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    EventStreams.drainMemorySink(spark, queryName)
+  }
 }

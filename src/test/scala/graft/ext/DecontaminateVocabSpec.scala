@@ -53,6 +53,23 @@ class DecontaminateVocabSpec extends AnyFunSuite with SparkSpec {
     assert(out.size == 3)
   }
 
+  test("semanticHitsLiteral equals the broadcast-join screen row for row") {
+    val rnd = new scala.util.Random(41)
+    def vec() = Array.fill(8)(rnd.nextDouble() - 0.5)
+    val ev = (100L to 104L).map(i => (i, vec())).toDF("vec_id", "v")
+    val corpus = (1L to 40L).map(i => (i, vec())).toDF("vec_id", "v")
+    val evals = ev.select(col("vec_id"), col("v").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    val viaJoin = Decontaminate.semanticHits(
+        corpus, "vec_id", "v", ev, "vec_id", "v", tau = 0.5)
+      .orderBy("vec_id").collect().toSeq
+    val viaLiteral = Decontaminate.semanticHitsLiteral(
+        corpus, "vec_id", "v", evals, tau = 0.5)
+      .orderBy("vec_id").collect().toSeq
+    assert(viaJoin.map(_.toSeq) == viaLiteral.map(_.toSeq))
+    assert(viaJoin.size == 40)
+  }
+
   test("contaminationSpans reports (doc, example) pairs with span counts and offsets") {
     val docs = Seq(
       (1L, s"two lead tokens $bench trailing words here"),   // bench at offset 3

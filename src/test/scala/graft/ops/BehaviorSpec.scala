@@ -212,6 +212,43 @@ class BehaviorSpec extends AnyFunSuite with SparkSpec {
     assert(z == expZ)
   }
 
+  test("abTestCuped: theta from exact moments, adjusted means, degenerate theta=0") {
+    // users 1,3 = variant a; 2,4 = variant b. Pre-period (ts<100): x per
+    // user; post (ts>=100): y. x = (2,4,6,8), y = x + noise(1,-1,1,-1):
+    // perfectly correlated covariate -> theta near 1, adjustment removes
+    // most of the x-driven spread
+    val cut = 100L
+    val rows = Seq(
+      (1L, 1L, 2.0, 10L), (2L, 2L, 4.0, 20L),
+      (3L, 3L, 6.0, 30L), (4L, 4L, 8.0, 40L),
+      (5L, 1L, 3.0, 200L), (6L, 2L, 3.0, 210L),
+      (7L, 3L, 7.0, 220L), (8L, 4L, 7.0, 230L))
+      .map { case (id, u, v, s0) => (id, u, v, ts(s0)) }
+      .toDF("event_id", "user_id", "value", "ts")
+      .withColumn("variant", $"user_id" % 2)
+    val out = Behavior.abTestCuped(rows, "variant", "value", cutoffEpoch = cut)
+      .as[(String, Long, Double, Double, String, Long, Double, Double, Double)]
+      .collect().head
+    val (va, na, mya, maa, vb, nb, myb, myab, theta) = out
+    assert((va, na) == ("0", 2L) && (vb, nb) == ("1", 2L))
+    // replicate exactly: x=(2,4,6,8), y=(3,3,7,7); n=4, sx=20, sy=20,
+    // sxx=120, sxy=116; theta=(4*116-400)/(4*120-400)=64/80=0.8; xbar=5
+    assert(theta == 0.8)
+    // yadj: u1: 3-0.8*(2-5)=5.4; u3: 7-0.8*1=6.2 -> variant 1 (users
+    // 1,3) mean_adj=5.8; u2: 3-0.8*(-1)=3.8; u4: 7-0.8*3=4.6 ->
+    // variant 0 (users 2,4) mean_adj=4.2; raw means 5.0 both
+    assert((mya, myb) == (5.0, 5.0))
+    assert((maa, myab) == (4.2, 5.8))
+    // degenerate: identical pre-period -> var(x)=0 -> theta 0, adj == raw
+    val flat = rows.withColumn("value",
+      when(org.apache.spark.sql.functions.unix_timestamp($"ts") < cut, 1.0)
+        .otherwise($"value"))
+    val o2 = Behavior.abTestCuped(flat, "variant", "value", cutoffEpoch = cut)
+      .as[(String, Long, Double, Double, String, Long, Double, Double, Double)]
+      .collect().head
+    assert(o2._9 == 0.0 && o2._3 == o2._4 && o2._7 == o2._8)
+  }
+
   test("funnel plan: exactly one exchange up to the per-user aggregate") {
     val perUserPlan = Behavior.funnel(ev, Seq("a", "b", "c"))
       .queryExecution.executedPlan.toString
