@@ -2687,6 +2687,26 @@ $fin"""
         "variant", "value", cutoffEpoch = 1705363200L)
     }),
 
+    "q234_gini_features" -> ((s, d) => {
+      // which metadata field predicts English content: log-free Gini
+      // split gain per feature (two-class impurity is one fixed double
+      // tree; per-value terms rounded then decimal-summed)
+      graft.ops.Profile.giniFeatureScores(
+          t(s, d, "documents")
+            .withColumn("len_bucket", expr("n_chars div 500")),
+          Seq("source", "len_bucket"), col("lang") === "en")
+        .orderBy("feature")
+    }),
+
+    "q235_corpus_manifest" -> ((s, d) => {
+      // dataset-versioning fingerprint: 16 hash shards + a chained root
+      // row, all md5-over-strings — two corpora are byte-identical iff
+      // the root digests match
+      graft.ext.Report.manifest(t(s, d, "documents"), "doc_id", "text",
+          shards = 16)
+        .orderBy("shard")
+    }),
+
     "q216_dup_triangles" -> ((s, d) => {
       // graph-shape diagnostic of the exact near-dup pair graph (the en
       // slice — the full 0.9 graph at sf0.1 holds ~1M edges of template
@@ -5792,6 +5812,66 @@ $fin"""
          FROM p JOIN b USING (event_type, wd) ORDER BY event_type, day""",
 
     "q222_host_pagerank" -> pageRankOracle(5),
+
+    // two-class Gini replay: the SAME 1 - p1^2 - p0^2 double tree, terms
+    // rounded then decimal-summed; one CTE block per feature, UNION ALL
+    "q234_gini_features" ->
+      """WITH b AS (SELECT count(*) AS n,
+             count(*) FILTER (WHERE lang = 'en') AS k FROM documents),
+         bg AS (SELECT n, round(1.0 -
+             (CAST(k AS DOUBLE)/n)*(CAST(k AS DOUBLE)/n) -
+             (CAST(n - k AS DOUBLE)/n)*(CAST(n - k AS DOUBLE)/n), 6)
+             AS base FROM b),
+         f1 AS (SELECT CAST(source AS VARCHAR) AS v, count(*) AS nv,
+             count(*) FILTER (WHERE lang = 'en') AS n1
+           FROM documents GROUP BY 1),
+         t1 AS (SELECT bg.n, bg.base,
+             round((CAST(nv AS DOUBLE)/bg.n) * round(1.0 -
+               (CAST(n1 AS DOUBLE)/nv)*(CAST(n1 AS DOUBLE)/nv) -
+               (CAST(nv - n1 AS DOUBLE)/nv)*(CAST(nv - n1 AS DOUBLE)/nv), 6),
+               6) AS term
+           FROM f1 CROSS JOIN bg),
+         w1 AS (SELECT n, base,
+             CAST(sum(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS weighted
+           FROM t1 GROUP BY 1, 2),
+         f2 AS (SELECT CAST(n_chars // 500 AS VARCHAR) AS v, count(*) AS nv,
+             count(*) FILTER (WHERE lang = 'en') AS n1
+           FROM documents GROUP BY 1),
+         t2 AS (SELECT bg.n, bg.base,
+             round((CAST(nv AS DOUBLE)/bg.n) * round(1.0 -
+               (CAST(n1 AS DOUBLE)/nv)*(CAST(n1 AS DOUBLE)/nv) -
+               (CAST(nv - n1 AS DOUBLE)/nv)*(CAST(nv - n1 AS DOUBLE)/nv), 6),
+               6) AS term
+           FROM f2 CROSS JOIN bg),
+         w2 AS (SELECT n, base,
+             CAST(sum(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS weighted
+           FROM t2 GROUP BY 1, 2)
+         SELECT 'source' AS feature, n, base AS base_gini,
+           weighted AS weighted_gini, round(base - weighted, 6) AS gain
+         FROM w1
+         UNION ALL
+         SELECT 'len_bucket', n, base, weighted, round(base - weighted, 6)
+         FROM w2
+         ORDER BY feature""",
+
+    // md5 digest chain: per-doc md5(id:text), shard digest over id-ordered
+    // concat, root (-1) over shard-ordered concat — string_agg replays the
+    // engine's sorted collect exactly
+    "q235_corpus_manifest" ->
+      """WITH dg AS (SELECT doc_id % 16 AS shard, doc_id,
+             md5(CAST(doc_id AS VARCHAR) || ':' || coalesce(text, '')) AS h,
+             coalesce(octet_length(encode(text)), 0) AS b
+           FROM documents),
+         ps AS (SELECT shard, count(*) AS n_docs,
+             CAST(sum(b) AS BIGINT) AS n_bytes,
+             md5(string_agg(h, '' ORDER BY doc_id)) AS digest
+           FROM dg GROUP BY 1)
+         SELECT shard, n_docs, n_bytes, digest FROM ps
+         UNION ALL
+         SELECT CAST(-1 AS BIGINT), CAST(sum(n_docs) AS BIGINT),
+           CAST(sum(n_bytes) AS BIGINT),
+           md5(string_agg(digest, '' ORDER BY shard)) FROM ps
+         ORDER BY shard""",
 
     // q24's cosine replay restricted to the eval slice; the flag compares
     // the ROUNDED cosine (both engines round before the cut)

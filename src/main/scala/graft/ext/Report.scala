@@ -151,4 +151,49 @@ object Report {
       .orderBy(col("chi2_term").desc, col("token"))
       .limit(k)
   }
+
+  /** Corpus content manifest — the dataset-versioning fingerprint a
+    * reproducible training run records next to its data card: documents
+    * hash-shard by `id mod shards`, each shard's digest is
+    * `md5(concat of member digests in id order)`, and a root row
+    * (`shard = -1`) chains the shard digests in shard order. Two corpus
+    * versions are byte-identical iff the roots match; a diff localizes
+    * to the shards whose digests moved. Everything is md5 over strings —
+    * reproducible in any engine, any partitioning.
+    *
+    * Returns `(shard, n_docs, n_bytes, digest)`; null text hashes as the
+    * empty string (id still contributes, so presence changes the digest).
+    *
+    * Scale: per-doc digests are row-local; each shard's ordered
+    * concatenation is ONE group collect bounded by shard size (pick
+    * `shards` so corpus/shards fits an executor — the manifest's natural
+    * granularity is thousands of shards at petabyte scale); the root
+    * reduces |shards| rows.
+    */
+  def manifest(
+      df: DataFrame, idCol: String, textCol: String,
+      shards: Int = 16): DataFrame = {
+    require(shards >= 1, "shards must be positive")
+    val digests = df.select(
+      pmod(col(idCol), lit(shards.toLong)).cast("long").as("shard"),
+      col(idCol).as("__id"),
+      md5(concat(col(idCol).cast("string"), lit(":"),
+        coalesce(col(textCol), lit("")))).as("__dg"),
+      coalesce(octet_length(col(textCol)), lit(0)).cast("long").as("__bytes"))
+    // O(shards) rows, checkpointed so the root row does not replay the
+    // full corpus digest pass a second time
+    val perShard = digests.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__bytes")).as("n_bytes"),
+        md5(concat_ws("", transform(
+          sort_array(collect_list(struct(col("__id"), col("__dg")))),
+          e => e.getField("__dg")))).as("digest"))
+      .localCheckpoint()
+    val root = perShard.groupBy()
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_bytes")).as("n_bytes"),
+        md5(concat_ws("", transform(
+          sort_array(collect_list(struct(col("shard"), col("digest")))),
+          e => e.getField("digest")))).as("digest"))
+      .select(lit(-1L).as("shard"), col("n_docs"), col("n_bytes"), col("digest"))
+    perShard.unionByName(root)
+  }
 }

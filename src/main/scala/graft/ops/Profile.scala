@@ -446,6 +446,52 @@ object Profile {
             (col("n_a") * col("n_b")), 6)).as("ks")): _*)
   }
 
+  /** Gini split scores of categorical features against a BINARY target —
+    * "which metadata field best predicts the quality label": for each
+    * feature, the dataset's base Gini impurity, the feature-conditioned
+    * weighted impurity, and their difference (the gain a single-split
+    * decision stump would achieve). The log-free impurity is chosen over
+    * entropy deliberately: with exactly two classes it is ONE fixed
+    * four-op double tree per row (`1 - p1² - p0²`), bit-reproducible in
+    * any engine, where `ln` is libm-dependent in its last ulp.
+    *
+    * Per-value terms are rounded to 6 dp and summed as exact decimals
+    * (order-free); `gain = round(base - weighted, 6)`. Returns one row
+    * per feature: `(feature, n, base_gini, weighted_gini, gain)`.
+    *
+    * Scale: per feature ONE map-side-combinable (value, target-count)
+    * aggregation — shuffle O(distinct values); the scalar base row
+    * broadcasts. Features are scored independently (a Scala-level union,
+    * |features| is a handful).
+    */
+  def giniFeatureScores(
+      df: DataFrame, features: Seq[String], target: Column): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    def gini2(n1: Column, n: Column): Column = {
+      val p1 = n1.cast("double") / n
+      val p0 = (n - n1).cast("double") / n
+      round(lit(1.0) - p1 * p1 - p0 * p0, 6)
+    }
+    val base = df.agg(count(lit(1)).as("__N"),
+      count(when(target, 1)).as("__K"))
+      .select(col("__N"), gini2(col("__K"), col("__N")).as("__base"))
+    val perFeature = features.map { f =>
+      df.groupBy(col(f).cast("string").as("__v"))
+        .agg(count(lit(1)).as("__nv"), count(when(target, 1)).as("__n1"))
+        .crossJoin(broadcast(base))
+        .select(col("__N"), col("__base"),
+          round((col("__nv").cast("double") / col("__N")) *
+            gini2(col("__n1"), col("__nv")), 6).as("__term"))
+        .groupBy(col("__N"), col("__base"))
+        .agg(sum(col("__term").cast("decimal(18,6)")).cast("double")
+          .as("__weighted"))
+        .select(lit(f).as("feature"), col("__N").as("n"),
+          col("__base").as("base_gini"), col("__weighted").as("weighted_gini"),
+          round(col("__base") - col("__weighted"), 6).as("gain"))
+    }
+    perFeature.reduce(_ unionByName _)
+  }
+
   def quantileTrim(
       df: DataFrame, colName: String, loQ: Double, hiQ: Double): DataFrame = {
     require(0.0 <= loQ && loQ <= hiQ && hiQ <= 1.0, "need 0 <= loQ <= hiQ <= 1")

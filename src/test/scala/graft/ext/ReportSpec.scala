@@ -93,4 +93,35 @@ class ReportSpec extends AnyFunSuite with SparkSpec {
     assert(x == y)
     assert(x.size == 5)
   }
+
+  test("manifest: partition-invariant digests; an edit localizes to its shard + root") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, s"doc number $i body")).toDF("doc_id", "text")
+    val m1 = Report.manifest(docs, "doc_id", "text", shards = 4)
+      .orderBy("shard").collect().toSeq
+    val m2 = Report.manifest(docs.repartition(11), "doc_id", "text", shards = 4)
+      .orderBy("shard").collect().toSeq
+    assert(m1.map(_.toSeq) == m2.map(_.toSeq))
+    assert(m1.size == 5 && m1.last.getLong(0) == -1L
+      || m1.head.getLong(0) == -1L)
+    val byShard = m1.map(r => r.getLong(0) -> r.getString(3)).toMap
+    // edit one doc (id 6 -> shard 2): only shard 2 and the root move
+    val edited = docs.withColumn("text",
+      org.apache.spark.sql.functions.when($"doc_id" === 6L,
+        org.apache.spark.sql.functions.lit("CHANGED")).otherwise($"text"))
+    val m3 = Report.manifest(edited, "doc_id", "text", shards = 4)
+      .orderBy("shard").collect().toSeq
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(m3(2L) != byShard(2L) && m3(-1L) != byShard(-1L))
+    assert(Seq(0L, 1L, 3L).forall(s => m3(s) == byShard(s)))
+    // null text still contributes presence
+    val withNull = docs.withColumn("text",
+      org.apache.spark.sql.functions.when($"doc_id" === 6L,
+        org.apache.spark.sql.functions.lit(null).cast("string"))
+        .otherwise($"text"))
+    val m4 = Report.manifest(withNull, "doc_id", "text", shards = 4)
+      .orderBy("shard").collect().toSeq
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(m4(2L) != byShard(2L) && m4(2L) != m3(2L))
+  }
 }

@@ -194,6 +194,28 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
     assert(p9 == out)
   }
 
+  test("giniFeatureScores: perfect split gains the base, uninformative gains zero") {
+    import org.apache.spark.sql.functions.col
+    // 4 rows, target = label; f_perfect matches the label exactly,
+    // f_noise is constant
+    val d = Seq(
+      ("a", "c", true), ("a", "c", true), ("b", "c", false), ("b", "c", false))
+      .toDF("f_perfect", "f_noise", "y")
+    val out = Profile.giniFeatureScores(d, Seq("f_perfect", "f_noise"), col("y"))
+      .orderBy("feature")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    // base: p = 1/2 -> 1 - .25 - .25 = 0.5
+    assert(out == Seq(
+      ("f_noise", 4L, 0.5, 0.5, 0.0),
+      ("f_perfect", 4L, 0.5, 0.0, 0.5)))
+    // partition invariance (decimal term sums)
+    val p9 = Profile.giniFeatureScores(d.repartition(9),
+        Seq("f_perfect", "f_noise"), col("y"))
+      .orderBy("feature")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(p9 == out)
+  }
+
   test("weekdayResiduals: count-scaled residual vs same-weekday baseline") {
     // two mondays (epoch days 4, 11 are mondays: (4+4)%7==1) and one
     // tuesday for group a
