@@ -487,6 +487,35 @@ $fin"""
          FROM r WHERE rnk <= $topK ORDER BY cluster, rnk"""
   }
 
+  /** Shared by q230 (batch KS drift) and q237 (streamed monitor — the
+    * (cohort, value) side counts are additive, so Complete mode equals
+    * batch under any cut). Window sums of BIGINT promote to HUGEINT in
+    * DuckDB — every emitted integer CASTs back (the q175 class).
+    */
+  private val ksOracle: String =
+    """WITH s AS (SELECT user_id % 2 AS cohort, value AS v, event_type
+           FROM events
+           WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+         per AS (SELECT cohort, v,
+             count(*) FILTER (WHERE event_type = 'click') AS ca,
+             count(*) FILTER (WHERE event_type = 'view') AS cb
+           FROM s GROUP BY 1, 2),
+         c AS (SELECT cohort, v,
+             sum(ca) OVER (PARTITION BY cohort ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i,
+             sum(cb) OVER (PARTITION BY cohort ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS j,
+             sum(ca) OVER (PARTITION BY cohort) AS n,
+             sum(cb) OVER (PARTITION BY cohort) AS m
+           FROM per)
+         SELECT cohort, CAST(max(n) AS BIGINT) AS n_a,
+           CAST(max(m) AS BIGINT) AS n_b,
+           CAST(max(abs(i * m - j * n)) AS BIGINT) AS d_scaled,
+           CASE WHEN max(n) = 0 OR max(m) = 0 THEN NULL
+                ELSE round(CAST(max(abs(i * m - j * n)) AS DOUBLE) /
+                  (max(n) * max(m)), 6) END AS ks
+         FROM c GROUP BY cohort ORDER BY cohort"""
+
   /** Shared by q228 (batch semantic screen) and q232 (streamed, stateless
     * — Append mode equals batch row-for-row under any cut): q24's cosine
     * replay restricted to the eval slice, flag on the ROUNDED cosine.
@@ -2705,6 +2734,32 @@ $fin"""
       graft.ext.Report.manifest(t(s, d, "documents"), "doc_id", "text",
           shards = 16)
         .orderBy("shard")
+    }),
+
+    "q236_boilerplate_prefix" -> ((s, d) => {
+      // template-header detector: per-source longest common prefix via
+      // the LCP(min, max) identity — one min/max aggregation + an
+      // O(prefix) scan of the two extreme strings, never cross-doc
+      graft.ext.Report.boilerplatePrefix(
+          t(s, d, "documents"), "source", "text", maxPrefix = 40)
+        .orderBy("source")
+    }),
+
+    "q237_stream_ks_drift" -> ((s, d) => {
+      // q230 with the log ARRIVING as a stream: per-(cohort, value) side
+      // counts are additive (Complete mode == batch under any cut); the
+      // ECDF-gap scan runs on the drained counts — q230's oracle gates
+      // this verbatim
+      import graft.streaming.CorpusStreams
+      val mx = events(s, d).agg(max(col("event_id"))).head().getLong(0)
+      val staged = CorpusStreams.stageIdSlices(s, s"$d/events.parquet",
+        "event_id", cuts = Seq(mx / 2))
+      val name = s"graft_stream_ks_${streamCounter.incrementAndGet()}"
+      EventStreams.ksDriftStreaming(s, staged, name,
+          Seq("cohort"), "event_type", "value", "click", "view",
+          prep = df => df.withColumn("cohort", pmod(col("user_id"), lit(2))),
+          shufflePartitions = Some(4))
+        .orderBy("cohort")
     }),
 
     "q216_dup_triangles" -> ((s, d) => {
@@ -6009,31 +6064,30 @@ $fin"""
 
     "q231_cluster_cards" -> clusterCardsOracle(4, 2, 3),
 
+    // template-prefix replay: LCP(min, max) identity, position scan over
+    // the two extremes, binary string order in both engines
+    "q236_boilerplate_prefix" ->
+      """WITH ext AS (SELECT source, count(*) AS n_docs,
+             min(text) AS a, max(text) AS b
+           FROM documents WHERE text IS NOT NULL GROUP BY 1),
+         e2 AS (SELECT source, n_docs, a, b,
+             least(length(a), length(b)) AS ml FROM ext),
+         pos AS (SELECT source, a, b,
+             unnest(generate_series(1, ml)) AS k FROM e2 WHERE ml >= 1),
+         fd AS (SELECT source, min(k) AS fd FROM pos
+           WHERE substr(a, k, 1) <> substr(b, k, 1) GROUP BY 1)
+         SELECT e2.source, n_docs,
+           CAST(coalesce(fd - 1, ml) AS BIGINT) AS lcp_len,
+           substr(a, 1, least(coalesce(fd - 1, ml), 40)) AS prefix
+         FROM e2 LEFT JOIN fd USING (source) ORDER BY e2.source""",
+
+    // q230's replay verbatim: streamed side counts are additive, so
+    // Complete mode == batch under any cut
+    "q237_stream_ks_drift" -> ksOracle,
+
     // window sums of BIGINT promote to HUGEINT in DuckDB — every
     // emitted integer CASTs back (the q175 class)
-    "q230_ks_drift" ->
-      """WITH s AS (SELECT user_id % 2 AS cohort, value AS v, event_type
-           FROM events
-           WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
-         per AS (SELECT cohort, v,
-             count(*) FILTER (WHERE event_type = 'click') AS ca,
-             count(*) FILTER (WHERE event_type = 'view') AS cb
-           FROM s GROUP BY 1, 2),
-         c AS (SELECT cohort, v,
-             sum(ca) OVER (PARTITION BY cohort ORDER BY v
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i,
-             sum(cb) OVER (PARTITION BY cohort ORDER BY v
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS j,
-             sum(ca) OVER (PARTITION BY cohort) AS n,
-             sum(cb) OVER (PARTITION BY cohort) AS m
-           FROM per)
-         SELECT cohort, CAST(max(n) AS BIGINT) AS n_a,
-           CAST(max(m) AS BIGINT) AS n_b,
-           CAST(max(abs(i * m - j * n)) AS BIGINT) AS d_scaled,
-           CASE WHEN max(n) = 0 OR max(m) = 0 THEN NULL
-                ELSE round(CAST(max(abs(i * m - j * n)) AS DOUBLE) /
-                  (max(n) * max(m)), 6) END AS ks
-         FROM c GROUP BY cohort ORDER BY cohort""",
+    "q230_ks_drift" -> ksOracle,
 
     // sums over BIGINT counts CAST back to BIGINT (DuckDB promotes to
     // HUGEINT — the q175 class the strict gate now catches)

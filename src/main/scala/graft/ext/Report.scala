@@ -152,6 +152,49 @@ object Report {
       .limit(k)
   }
 
+  /** Per-group boilerplate PREFIX report — the template-header detector:
+    * the longest common prefix of every text in a group equals
+    * `LCP(min(text), max(text))` under lexicographic order (any
+    * difference inside the group surfaces in that extreme pair), so the
+    * whole report is ONE min/max aggregation plus an O(prefix-length)
+    * scan of two strings per group — never a cross-doc comparison.
+    * Returns `(groupCol, n_docs, lcp_len, prefix)` with `prefix` capped
+    * at `maxPrefix` chars. Groups with null-only texts report length 0.
+    *
+    * The position scan is a bounded explode over the two extreme strings
+    * (rows = min(len) per group), chosen over a char-fold lambda because
+    * both engines replay `substr(a, k, 1) <> substr(b, k, 1)` verbatim.
+    */
+  def boilerplatePrefix(
+      df: DataFrame, groupCol: String, textCol: String,
+      maxPrefix: Int = 40): DataFrame = {
+    require(maxPrefix >= 1, "maxPrefix must be positive")
+    // O(groups) rows, checkpointed — it feeds both the position scan and
+    // the final join, and each would otherwise replay the corpus agg
+    val ext = df.where(col(textCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(textCol)).as("__a"), max(col(textCol)).as("__b"))
+      .withColumn("__ml", least(length(col("__a")), length(col("__b"))))
+      .localCheckpoint()
+    // first differing position per group; groups absent here (extremes
+    // agree over the full min-length, or zero-length extremes) fall back
+    // to __ml via the left join
+    val firstDiff = ext
+      .where(col("__ml") >= 1)
+      .select(col(groupCol), col("__a"), col("__b"),
+        explode(sequence(lit(1), col("__ml"))).as("__k"))
+      .where(col("__a").substr(col("__k"), lit(1)) =!=
+        col("__b").substr(col("__k"), lit(1)))
+      .groupBy(col(groupCol))
+      .agg(min(col("__k")).as("__fd"))
+    ext.join(firstDiff, Seq(groupCol), "left")
+      .withColumn("lcp_len",
+        coalesce(col("__fd") - 1, col("__ml")).cast("long"))
+      .select(col(groupCol), col("n_docs"), col("lcp_len"),
+        expr(s"substring(__a, 1, least(lcp_len, $maxPrefix))").as("prefix"))
+  }
+
   /** Corpus content manifest — the dataset-versioning fingerprint a
     * reproducible training run records next to its data card: documents
     * hash-shard by `id mod shards`, each shard's digest is

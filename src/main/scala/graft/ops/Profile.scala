@@ -420,12 +420,27 @@ object Profile {
       df: DataFrame, groupCols: Seq[String], sideCol: String,
       valCol: String, sideA: String, sideB: String): DataFrame = {
     require(sideA != sideB, "sides must differ")
-    val g = groupCols.map(col)
-    val per = df
-      .where(col(sideCol).isin(sideA, sideB) && col(valCol).isNotNull)
-      .groupBy(g :+ col(valCol).as("__v"): _*)
+    ksFromCounts(
+      ksSideCounts(df, groupCols, sideCol, valCol, sideA, sideB), groupCols)
+  }
+
+  /** The distinct-value side counts [[ksDrift]] windows over —
+    * `(groupCols..., __v, __ca, __cb)`. Split out because the counts are
+    * ADDITIVE (a Complete-mode streaming aggregation of them equals the
+    * batch frame under any cut), which makes the KS monitor streamable
+    * with the q204/q209 pattern.
+    */
+  def ksSideCounts(
+      df: DataFrame, groupCols: Seq[String], sideCol: String,
+      valCol: String, sideA: String, sideB: String): DataFrame =
+    df.where(col(sideCol).isin(sideA, sideB) && col(valCol).isNotNull)
+      .groupBy(groupCols.map(col) :+ col(valCol).as("__v"): _*)
       .agg(count(when(col(sideCol) === sideA, 1)).as("__ca"),
         count(when(col(sideCol) === sideB, 1)).as("__cb"))
+
+  /** The ECDF-gap scan over pre-built side counts (see [[ksSideCounts]]). */
+  def ksFromCounts(per: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(g: _*).orderBy(col("__v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

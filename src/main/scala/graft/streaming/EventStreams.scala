@@ -797,6 +797,40 @@ object EventStreams {
     graft.ops.Profile.ewmaHalf(drained, groupCols, "d", "x")
   }
 
+  /** Streamed two-sample KS monitor — the [[cusumStreaming]] pattern over
+    * [[graft.ops.Profile.ksSideCounts]]: per-(group, value) side counts
+    * are additive, so the Complete-mode frame equals batch under any cut
+    * and the ECDF-gap scan runs once on the drained counts. q230's
+    * oracle gates the streamed monitor verbatim; state is bounded by
+    * groups x distinct values (the same bound the batch window pays).
+    * `prep` applies any pre-aggregation derivation (e.g. a cohort
+    * column) to the raw stream.
+    */
+  def ksDriftStreaming(
+      spark: SparkSession, stagedDir: String, queryName: String,
+      groupCols: Seq[String], sideCol: String, valCol: String,
+      sideA: String, sideB: String,
+      prep: DataFrame => DataFrame = identity,
+      shufflePartitions: Option[Int] = None,
+      rocksdbState: Boolean = false): DataFrame = {
+    val schema = spark.read.parquet(stagedDir).schema
+    val stream = prep(normalizeTs(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)))
+    val counts = graft.ops.Profile.ksSideCounts(
+      stream, groupCols, sideCol, valCol, sideA, sideB)
+    withStatePartitions(spark, shufflePartitions, rocksdbState) {
+      val q = counts.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.ops.Profile.ksFromCounts(
+      drainMemorySink(spark, queryName), groupCols)
+  }
+
   // NOTE: these must be public — Catalyst's generated (de)serializer code
   // cannot access private nested case classes.
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -94,6 +94,29 @@ class ReportSpec extends AnyFunSuite with SparkSpec {
     assert(x.size == 5)
   }
 
+  test("boilerplatePrefix: LCP(min,max) identity, null-only groups, cap") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "HEADER: alpha body"), ("s1", "HEADER: beta body"),
+      ("s1", "HEADER: gamma"),
+      ("s2", "no"), ("s2", "overlap"),
+      ("s3", "identical full text"), ("s3", "identical full text"),
+      ("s4", null.asInstanceOf[String]), ("s4", "solo text")
+    ).toDF("source", "text")
+    val out = Report.boilerplatePrefix(docs, "source", "text", maxPrefix = 6)
+      .orderBy("source")
+      .as[(String, Long, Long, String)].collect().toSeq
+    // s1: min="HEADER: alpha...", max="HEADER: gamma" -> LCP "HEADER: "
+    // (8 chars), prefix capped at 6; s2: "no" vs "overlap" -> 0;
+    // s3: identical -> full length 19; s4: the null drops, single doc
+    // -> min==max -> full length
+    assert(out == Seq(
+      ("s1", 3L, 8L, "HEADER"),
+      ("s2", 2L, 0L, ""),
+      ("s3", 2L, 19L, "identi"),
+      ("s4", 1L, 9L, "solo t")))
+  }
+
   test("manifest: partition-invariant digests; an edit localizes to its shard + root") {
     import spark.implicits._
     val docs = (0L until 40L).map(i => (i, s"doc number $i body")).toDF("doc_id", "text")
