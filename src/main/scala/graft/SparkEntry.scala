@@ -2762,6 +2762,41 @@ $fin"""
         .orderBy("cohort")
     }),
 
+    "q238_percentile_gate" -> ((s, d) => {
+      // FineWeb-style per-source length gate: each source drops its own
+      // shortest 20% (ties share a rank, so ties at the cut survive
+      // together); report = survivors per source
+      graft.ops.Profile.percentileGate(
+          t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+          Seq("source"), "n_chars", minPct = 0.2)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("source")
+    }),
+
+    "q239_manifest_diff" -> ((s, d) => {
+      // dataset-version diff through the digest chain: drop shard 5's
+      // docs, edit one doc in shard 10 — the diff must localize to
+      // exactly {5: removed, 10: changed, root: changed}, all else same
+      val docs = t(s, d, "documents")
+      val next = docs.where(col("doc_id") % 16 =!= 5)
+        .withColumn("text", when(col("doc_id") % 16 === 10 &&
+            (col("doc_id") - 10) % 160 === 0,
+          concat(lit("EDITED: "), coalesce(col("text"), lit(""))))
+          .otherwise(col("text")))
+      graft.ext.Report.manifestDiff(docs, next, "doc_id", "text", shards = 16)
+        .orderBy("shard")
+    }),
+
+    "q240_join_skew" -> ((s, d) => {
+      // pre-flight shuffle-join advisor: hottest order keys in lineitem
+      // with exact counts and per-key skew factors vs the uniform share
+      graft.ops.Profile.joinSkewReport(t(s, d, "lineitem"), "l_orderkey",
+          topK = 5)
+        .orderBy("rnk")
+    }),
+
     "q216_dup_triangles" -> ((s, d) => {
       // graph-shape diagnostic of the exact near-dup pair graph (the en
       // slice — the full 0.9 graph at sf0.1 holds ~1M edges of template
@@ -6063,6 +6098,62 @@ $fin"""
     "q223_topic_clusters" -> kmeansOracle(4, 2),
 
     "q231_cluster_cards" -> clusterCardsOracle(4, 2, 3),
+
+    "q238_percentile_gate" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+             percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pr
+           FROM documents WHERE n_chars IS NOT NULL)
+         SELECT source, count(*) AS n_kept, min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+         FROM r WHERE round(pr, 6) >= 0.2
+         GROUP BY source ORDER BY source""",
+
+    // the digest chain replayed on both corpus versions; the diff is a
+    // 17-row full outer join of the two manifests
+    "q239_manifest_diff" ->
+      """WITH dga AS (SELECT doc_id % 16 AS shard, doc_id,
+             md5(CAST(doc_id AS VARCHAR) || ':' || coalesce(text, '')) AS h
+           FROM documents),
+         pa AS (SELECT shard, count(*) AS n_docs,
+             md5(string_agg(h, '' ORDER BY doc_id)) AS dg
+           FROM dga GROUP BY 1),
+         ma AS (SELECT shard, n_docs, dg FROM pa
+           UNION ALL SELECT CAST(-1 AS BIGINT), CAST(sum(n_docs) AS BIGINT),
+             md5(string_agg(dg, '' ORDER BY shard)) FROM pa),
+         nxt AS (SELECT doc_id,
+             CASE WHEN doc_id % 16 = 10 AND (doc_id - 10) % 160 = 0
+                  THEN 'EDITED: ' || coalesce(text, '') ELSE text END AS text
+           FROM documents WHERE doc_id % 16 <> 5),
+         dgb AS (SELECT doc_id % 16 AS shard, doc_id,
+             md5(CAST(doc_id AS VARCHAR) || ':' || coalesce(text, '')) AS h
+           FROM nxt),
+         pb AS (SELECT shard, count(*) AS n_docs,
+             md5(string_agg(h, '' ORDER BY doc_id)) AS dg
+           FROM dgb GROUP BY 1),
+         mb AS (SELECT shard, n_docs, dg FROM pb
+           UNION ALL SELECT CAST(-1 AS BIGINT), CAST(sum(n_docs) AS BIGINT),
+             md5(string_agg(dg, '' ORDER BY shard)) FROM pb)
+         SELECT coalesce(ma.shard, mb.shard) AS shard,
+           coalesce(ma.n_docs, 0) AS n_docs_old,
+           coalesce(mb.n_docs, 0) AS n_docs_new,
+           CASE WHEN ma.dg IS NULL THEN 'added'
+                WHEN mb.dg IS NULL THEN 'removed'
+                WHEN ma.dg = mb.dg THEN 'same' ELSE 'changed' END AS status
+         FROM ma FULL OUTER JOIN mb ON ma.shard = mb.shard
+         ORDER BY shard""",
+
+    "q240_join_skew" ->
+      """WITH c AS (SELECT l_orderkey AS key, count(*) AS n_rows
+           FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+         s AS (SELECT count(*) AS n_keys,
+             CAST(sum(n_rows) AS BIGINT) AS total_rows FROM c),
+         t AS (SELECT key, n_rows,
+             CAST(row_number() OVER (ORDER BY n_rows DESC, key) AS BIGINT)
+               AS rnk
+           FROM c ORDER BY n_rows DESC, key LIMIT 5)
+         SELECT rnk, key, n_rows, n_keys, total_rows,
+           round(CAST(n_rows AS DOUBLE) * n_keys / total_rows, 6) AS skew
+         FROM t CROSS JOIN s ORDER BY rnk""",
 
     // template-prefix replay: LCP(min, max) identity, position scan over
     // the two extremes, binary string order in both engines

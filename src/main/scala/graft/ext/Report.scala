@@ -239,4 +239,29 @@ object Report {
       .select(lit(-1L).as("shard"), col("n_docs"), col("n_bytes"), col("digest"))
     perShard.unionByName(root)
   }
+
+  /** Diff of two corpus [[manifest]]s — "what changed between dataset
+    * versions, and where": per shard (root included), `same` / `changed`
+    * / `added` / `removed`, with both sides' doc counts. The point of
+    * the digest chain: a petabyte diff reads 2 x (shards + 1) rows, and
+    * only the `changed` shards need a row-level investigation.
+    */
+  def manifestDiff(
+      oldDf: DataFrame, newDf: DataFrame, idCol: String, textCol: String,
+      shards: Int = 16): DataFrame = {
+    val a = manifest(oldDf, idCol, textCol, shards)
+      .select(col("shard"), col("n_docs").as("n_docs_old"),
+        col("digest").as("__da"))
+    val b = manifest(newDf, idCol, textCol, shards)
+      .select(col("shard"), col("n_docs").as("n_docs_new"),
+        col("digest").as("__db"))
+    a.join(b, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("n_docs_old"), lit(0L)).as("n_docs_old"),
+        coalesce(col("n_docs_new"), lit(0L)).as("n_docs_new"),
+        when(col("__da").isNull, lit("added"))
+          .when(col("__db").isNull, lit("removed"))
+          .when(col("__da") === col("__db"), lit("same"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

@@ -507,6 +507,58 @@ object Profile {
     perFeature.reduce(_ unionByName _)
   }
 
+  /** Per-group percentile gate — the FineWeb-style "drop each source's
+    * shortest X%" rule: rows whose within-group `percent_rank` of
+    * `valCol` (ties share a rank, the [[percentRankNormalize]] semantics)
+    * is at least `minPct` survive. Rank arithmetic only, one group
+    * exchange; the cut adapts per group, so a verbose source and a terse
+    * one each lose their own bottom tail instead of sharing one global
+    * threshold.
+    */
+  def percentileGate(
+      df: DataFrame, groupCols: Seq[String], valCol: String,
+      minPct: Double): DataFrame = {
+    require(minPct >= 0 && minPct <= 1, "minPct must be in [0, 1]")
+    percentRankNormalize(df, groupCols, valCol)
+      .where(col("pct_rank") >= minPct)
+      .drop("pct_rank")
+  }
+
+  /** Join-key skew pre-flight report — "will this key explode a shuffle
+    * join": the `topK` hottest keys with exact row counts, each row
+    * carrying the global key stats and its own skew factor
+    * `round(n_rows * n_keys / total_rows, 6)` (1.0 = perfectly uniform;
+    * the factor is how many times its uniform share the key holds —
+    * exactly the multiplier that lands on one reducer). Returns
+    * `(rnk, key, n_rows, n_keys, total_rows, skew)`.
+    *
+    * One map-side-combinable count aggregation; the top-k is a
+    * TakeOrdered (no global sort), the two global stats are a second
+    * O(keys) aggregation broadcast onto k rows.
+    */
+  def joinSkewReport(
+      df: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    // O(keys) frame feeding two consumers (global stats + top-k) — the
+    // checkpoint stops the corpus count pass running twice; its size is
+    // the same order the aggregation's shuffle files already hold
+    val counts = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint()
+    val stats = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("n_rows")).as("total_rows"))
+    val top = counts.orderBy(col("n_rows").desc, col("key")).limit(topK)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_rows").desc, col("key"))).cast("long"))
+    top.crossJoin(broadcast(stats))
+      .select(col("rnk"), col("key"), col("n_rows"), col("n_keys"),
+        col("total_rows"),
+        round(col("n_rows").cast("double") * col("n_keys") /
+          col("total_rows"), 6).as("skew"))
+  }
+
   def quantileTrim(
       df: DataFrame, colName: String, loQ: Double, hiQ: Double): DataFrame = {
     require(0.0 <= loQ && loQ <= hiQ && hiQ <= 1.0, "need 0 <= loQ <= hiQ <= 1")

@@ -117,6 +117,26 @@ class ReportSpec extends AnyFunSuite with SparkSpec {
       ("s4", 1L, 9L, "solo t")))
   }
 
+  test("manifestDiff: statuses localize to the touched shards") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // drop shard 1 entirely, edit doc 2 (shard 2), add doc 100 (shard 0)
+    val next = docs.where($"doc_id" % 4 =!= 1)
+      .withColumn("text",
+        org.apache.spark.sql.functions.when($"doc_id" === 2L, "EDIT")
+          .otherwise($"text"))
+      .unionByName(Seq((100L, "new doc")).toDF("doc_id", "text"))
+    val out = Report.manifestDiff(docs, next, "doc_id", "text", shards = 4)
+      .orderBy("shard")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (-1L, 40L, 31L, "changed"),
+      (0L, 10L, 11L, "changed"),
+      (1L, 10L, 0L, "removed"),
+      (2L, 10L, 10L, "changed"),
+      (3L, 10L, 10L, "same")))
+  }
+
   test("manifest: partition-invariant digests; an edit localizes to its shard + root") {
     import spark.implicits._
     val docs = (0L until 40L).map(i => (i, s"doc number $i body")).toDF("doc_id", "text")

@@ -168,6 +168,32 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
     assert(p7 == out)
   }
 
+  test("percentileGate drops each group's own bottom tail; ties at the cut survive") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      ("a", 1L, 10), ("a", 2L, 20), ("a", 3L, 30), ("a", 4L, 40), ("a", 5L, 50),
+      ("b", 6L, 5), ("b", 7L, 5), ("b", 8L, 9)).toDF("g", "id", "len")
+    val out = Profile.percentileGate(d, Seq("g"), "len", minPct = 0.25)
+      .orderBy("id").as[(String, Long, Int)].collect().toSeq
+    // a: ranks 0, .25, .5, .75, 1 -> drops len 10 only;
+    // b: the two len-5 rows SHARE rank 0 (both drop), len 9 keeps
+    assert(out.map(_._2) == Seq(2L, 3L, 4L, 5L, 8L))
+  }
+
+  test("joinSkewReport: exact hot keys, per-key skew vs the uniform share") {
+    import org.apache.spark.sql.functions.col
+    val rows = (Seq.fill(6)("hot") ++ Seq("a", "b", "c")).zipWithIndex
+      .map { case (k, i) => (k, i) }
+    val d = rows.toDF("k", "payload")
+    val out = Profile.joinSkewReport(d, "k", topK = 2)
+      .orderBy("rnk")
+      .as[(Long, String, Long, Long, Long, Double)].collect().toSeq
+    // 4 keys, 9 rows; hot = 6 rows -> skew 6*4/9 = 2.666667; "a" = 1 row
+    assert(out == Seq(
+      (1L, "hot", 6L, 4L, 9L, 2.666667),
+      (2L, "a", 1L, 4L, 9L, 0.444444)))
+  }
+
   test("ksDrift: exact integer KS distance with ties, per group") {
     val d = Seq(
       // g1: A = {1, 2}, B = {2, 3} -> D = |F_A - F_B| peaks at 0.5
