@@ -2797,6 +2797,27 @@ $fin"""
         .orderBy("rnk")
     }),
 
+    "q241_l_diversity" -> ((s, d) => {
+      // the q208 k-anonymity companion: quasi-identifier groups whose
+      // sensitive attribute (an account-balance band) shows fewer than l
+      // distinct values — a k-anonymous group still leaks when most
+      // members share the sensitive value
+      graft.ops.Expectations.lDiversityAudit(
+          t(s, d, "customer").withColumn("bal_band",
+            floor(col("c_acctbal") / 2000).cast("int")),
+          Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 5)
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
+    "q242_fd_violations" -> ((s, d) => {
+      // functional-dependency profiler: does o_custkey determine
+      // o_orderpriority (it should not) — per violating determinant, row
+      // and distinct counts, majority value, rows a repair would rewrite
+      graft.ops.Expectations.fdViolations(t(s, d, "orders"),
+          Seq("o_custkey"), "o_orderpriority")
+        .orderBy("o_custkey")
+    }),
+
     "q216_dup_triangles" -> ((s, d) => {
       // graph-shape diagnostic of the exact near-dup pair graph (the en
       // slice — the full 0.9 graph at sf0.1 holds ~1M edges of template
@@ -6098,6 +6119,30 @@ $fin"""
     "q223_topic_clusters" -> kmeansOracle(4, 2),
 
     "q231_cluster_cards" -> clusterCardsOracle(4, 2, 3),
+
+    "q241_l_diversity" ->
+      """WITH p AS (SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 2000) AS INTEGER) AS bal_band,
+             count(*) AS n
+           FROM customer GROUP BY 1, 2, 3)
+         SELECT c_nationkey, c_mktsegment, CAST(sum(n) AS BIGINT) AS n,
+           count(*) AS n_sensitive
+         FROM p GROUP BY 1, 2 HAVING count(*) < 5
+         ORDER BY c_nationkey, c_mktsegment""",
+
+    "q242_fd_violations" ->
+      """WITH p AS (SELECT o_custkey, o_orderpriority, count(*) AS n
+           FROM orders GROUP BY 1, 2),
+         v AS (SELECT o_custkey, CAST(sum(n) AS BIGINT) AS n_rows,
+             count(*) AS n_rhs
+           FROM p GROUP BY 1 HAVING count(*) > 1),
+         m AS (SELECT o_custkey, o_orderpriority AS majority, n AS maj_n
+           FROM (SELECT p.*, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY n DESC, o_orderpriority) AS r FROM p)
+           WHERE r = 1)
+         SELECT v.o_custkey, v.n_rows, v.n_rhs, m.majority,
+           v.n_rows - m.maj_n AS minority_rows
+         FROM v JOIN m USING (o_custkey) ORDER BY v.o_custkey""",
 
     "q238_percentile_gate" ->
       """WITH r AS (SELECT doc_id, source, n_chars,

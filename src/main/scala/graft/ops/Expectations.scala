@@ -98,4 +98,55 @@ object Expectations {
       .agg(count(lit(1)).as(countCol))
       .where(col(countCol) > 1)
   }
+
+  /** l-diversity audit, the [[kAnonymityAudit]] companion (Machanavajjhala
+    * et al., ICDE 2006): a k-anonymous group still leaks its sensitive
+    * attribute when every member SHARES it — this reports quasi-identifier
+    * groups whose sensitive column holds fewer than `l` DISTINCT values,
+    * with the group size and the distinct count. Release gates should
+    * require both audits empty.
+    *
+    * One (quasi..., sensitive) pre-aggregation then a reaggregation on
+    * the same hash partitioning — exact distinct counts without a
+    * count-distinct expansion.
+    */
+  def lDiversityAudit(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, "l must be at least 2")
+    df.groupBy(quasiCols.map(col) :+ col(sensitiveCol): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__n")).as("n"), count(lit(1)).as("n_sensitive"))
+      .where(col("n_sensitive") < l)
+  }
+
+  /** Functional-dependency violation profile — "does `lhs` determine
+    * `rhs` in this data, and where not": for every `lhs` value bound to
+    * more than one distinct `rhs`, the row count, the distinct-`rhs`
+    * count, the majority `rhs` (ties break on value) and the number of
+    * MINORITY rows (what a repair to the majority would rewrite). The
+    * classic data-quality profiler step before declaring a constraint.
+    *
+    * Two aggregations sharing the lhs hash partitioning plus a
+    * [[graft.plans.GroupTopK]] k=1 majority pick — no self-joins, no
+    * distinct expansion.
+    */
+  def fdViolations(
+      df: DataFrame, lhsCols: Seq[String], rhsCol: String): DataFrame = {
+    require(lhsCols.nonEmpty, "need at least one determinant column")
+    val pairs = df.groupBy(lhsCols.map(col) :+ col(rhsCol): _*)
+      .agg(count(lit(1)).as("__n"))
+    val top = graft.plans.GroupTopK(pairs, lhsCols,
+      Seq(("__n", false), (rhsCol, true)), 1, "__r")
+      .select(lhsCols.map(col) :+ col(rhsCol).as("majority") :+
+        col("__n").as("__maj_n"): _*)
+    pairs.groupBy(lhsCols.map(col): _*)
+      .agg(sum(col("__n")).as("n_rows"), count(lit(1)).as("n_rhs"))
+      .where(col("n_rhs") > 1)
+      .join(top, lhsCols)
+      .select(lhsCols.map(col) ++ Seq(col("n_rows"), col("n_rhs"),
+        col("majority"), (col("n_rows") - col("__maj_n")).as("minority_rows")): _*)
+  }
 }

@@ -90,4 +90,28 @@ class ExpectationsSpec extends AnyFunSuite with SparkSpec {
     assert(Expectations.kAnonymityAudit(d, Seq("country", "seg"), k = 2)
       .count() == 1)
   }
+
+  test("lDiversityAudit flags groups whose sensitive column lacks l distinct values") {
+    // US: sensitive {x, x, y} -> 2 distinct; DE: {x, y, z} -> 3 distinct
+    val d = Seq(("US", "x"), ("US", "x"), ("US", "y"),
+      ("DE", "x"), ("DE", "y"), ("DE", "z")).toDF("country", "diag")
+    val out = Expectations.lDiversityAudit(d, Seq("country"), "diag", l = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("US", 3L, 2L)))
+    assert(Expectations.lDiversityAudit(d, Seq("country"), "diag", l = 2).isEmpty)
+  }
+
+  test("fdViolations: majority/minority accounting; clean FDs report nothing") {
+    val d = Seq((1L, "A"), (1L, "A"), (1L, "B"),
+      (2L, "C"), (2L, "C"),
+      (3L, "D"), (3L, "E")).toDF("k", "v")
+    val out = Expectations.fdViolations(d, Seq("k"), "v")
+      .orderBy("k")
+      .as[(Long, Long, Long, String, Long)].collect().toSeq
+    // k=1: 3 rows, 2 rhs, majority A (2 rows) -> 1 minority row;
+    // k=3: tie D/E (1 each) -> majority D by value order, 1 minority
+    assert(out == Seq((1L, 3L, 2L, "A", 1L), (3L, 2L, 2L, "D", 1L)))
+    val clean = Seq((1L, "A"), (2L, "B")).toDF("k", "v")
+    assert(Expectations.fdViolations(clean, Seq("k"), "v").isEmpty)
+  }
 }
