@@ -398,6 +398,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q228/q240: screens rank on the heap / TakeOrdered — no global window sort") {
+    val sem = finalPlan("q228_semantic_decontaminate")
+    assert(sem.contains("GroupTopK"), s"q228: no heap rank in:\n$sem")
+    assert(sem.contains("BroadcastNestedLoopJoin") || sem.contains("BroadcastHashJoin"),
+      s"q228: eval side must broadcast:\n$sem")
+    val skew = finalPlan("q240_join_skew")
+    assert(skew.contains("TakeOrderedAndProject"),
+      s"q240: top-k must be TakeOrdered, not a global sort:\n$skew")
+  }
+
   test("q190/q192/q196: event reports aggregate with map-side combine") {
     Seq("q190_cohort_retention", "q192_trend_ols").foreach { q =>
       val plan = finalPlan(q)

@@ -242,6 +242,32 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
     assert(p9 == out)
   }
 
+  test("ksDrift properties: ks in [0,1]; invariant under strictly monotone value maps") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map { i =>
+      val side = if (rnd.nextBoolean()) "A" else "B"
+      val v = if (side == "A") rnd.nextInt(40).toDouble
+              else rnd.nextInt(40).toDouble + (i % 3)
+      (s"g${i % 2}", side, v)
+    }
+    val d = rows.toDF("g", "side", "x")
+    val base = Profile.ksDrift(d, Seq("g"), "side", "x", "A", "B")
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Option[Double])].collect().toSeq
+    base.foreach { case (_, na, nb, ds, ks) =>
+      assert(ks.exists(k => k >= 0.0 && k <= 1.0))
+      assert(ds <= na * nb)
+    }
+    // KS is rank arithmetic: any strictly increasing map of the values
+    // (here x -> 3x + 7) leaves the statistic untouched
+    val mapped = Profile.ksDrift(
+        d.withColumn("x", col("x") * 3 + 7), Seq("g"), "side", "x", "A", "B")
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(mapped == base)
+  }
+
   test("weekdayResiduals: count-scaled residual vs same-weekday baseline") {
     // two mondays (epoch days 4, 11 are mondays: (4+4)%7==1) and one
     // tuesday for group a
