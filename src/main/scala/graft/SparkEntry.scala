@@ -2818,6 +2818,53 @@ $fin"""
         .orderBy("o_custkey")
     }),
 
+    "q243_token_dispersion" -> ((s, d) => {
+      // source-boilerplate detector: Fano factor of each token's
+      // per-source counts (zeros never materialized) — bursty tokens
+      // concentrate in few sources, per-doc repetition rules can't see it
+      graft.ext.Vocab.tokenDispersion(t(s, d, "documents"),
+          "source", "text", minTotal = 50)
+        .orderBy("token")
+    }),
+
+    "q244_calibration" -> ((s, d) => {
+      // reliability curve for "length predicts English": exact rank
+      // deciles (ntile, doc_id ties), per-bin positive rates — the
+      // artifact a quality-classifier gate ships with its threshold
+      graft.ops.Profile.calibrationReport(
+          t(s, d, "documents").select(col("doc_id"), col("n_chars"), col("lang")),
+          "n_chars", col("lang") === "en", bins = 10, tieCol = "doc_id")
+        .orderBy("bin")
+    }),
+
+    "q245_split_leakage" -> ((s, d) => {
+      // the q56-vs-q174 measurement: near-dup pairs crossing the split
+      // boundary under content-hash vs cluster-keyed assignment — the
+      // cluster split must show ZERO off-diagonal pairs
+      val docs = fanOut(s, t(s, d, "documents"), "doc_id")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.6)
+        .localCheckpoint() // two audits consume the verified pair set
+      val w = Seq(0.8, 0.1, 0.1)
+      val lbl = Seq("train", "val", "test")
+      val naive = graft.ext.Splits.leakageAudit(pairs, "id_l", "id_r",
+          graft.ext.Splits.byContentHash(t(s, d, "documents"), "text", w, lbl),
+          "doc_id", "split")
+        .withColumn("method", lit("content_hash"))
+      val cc = Dedup.connectedComponents(pairs)
+      val labeled = docs.select(col("doc_id"))
+        .join(cc.select(col("id").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+      val clustered = graft.ext.Splits.leakageAudit(pairs, "id_l", "id_r",
+          graft.ext.Splits.byClusterHash(labeled, "component", w, lbl),
+          "doc_id", "split")
+        .withColumn("method", lit("cluster_hash"))
+      naive.unionByName(clustered)
+        .select(col("method"), col("split_l"), col("split_r"), col("n_pairs"))
+        .orderBy("method", "split_l", "split_r")
+    }),
+
     "q216_dup_triangles" -> ((s, d) => {
       // graph-shape diagnostic of the exact near-dup pair graph (the en
       // slice — the full 0.9 graph at sf0.1 holds ~1M edges of template
@@ -6119,6 +6166,81 @@ $fin"""
     "q223_topic_clusters" -> kmeansOracle(4, 2),
 
     "q231_cluster_cards" -> clusterCardsOracle(4, 2, 3),
+
+    "q243_token_dispersion" ->
+      raw"""WITH tok AS (SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(text),
+               '[^\p{L}\p{N}_]+'), x -> x <> '')) AS token
+           FROM documents),
+         c AS (SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2),
+         sc AS (SELECT count(DISTINCT source) AS s FROM documents
+                WHERE source IS NOT NULL),
+         a AS (SELECT token, CAST(sum(n) AS BIGINT) AS total,
+             count(*) AS n_groups, CAST(sum(n * n) AS BIGINT) AS c2
+           FROM c GROUP BY 1)
+         SELECT token, total, n_groups,
+           round(CAST(c2 AS DOUBLE) / total - CAST(total AS DOUBLE) / s, 6)
+             AS fano
+         FROM a CROSS JOIN sc WHERE total >= 50 ORDER BY token""",
+
+    "q244_calibration" ->
+      """WITH b AS (SELECT n_chars, lang,
+             ntile(10) OVER (ORDER BY n_chars, doc_id) AS bin
+           FROM documents WHERE n_chars IS NOT NULL)
+         SELECT bin, count(*) AS n,
+           count(*) FILTER (WHERE lang = 'en') AS n_pos,
+           min(n_chars) AS score_lo, max(n_chars) AS score_hi,
+           round(CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE)
+             / count(*), 6) AS pos_rate
+         FROM b GROUP BY bin ORDER BY bin""",
+
+    // q70's verified pairs under BOTH split rules: the md5-threshold
+    // constants are q56's (80/10/10 over 2^32), the cluster key is
+    // q174's stringified component
+    "q245_split_leakage" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                 CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
+                      ELSE array_to_string(tk[i:i+2], ' ') END AS shingle
+               FROM (SELECT doc_id, tk,
+                       unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i
+                     FROM toks WHERE len(tk) > 0)),
+         sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS ic
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         j AS (SELECT id_l, id_r, CAST(ic AS DOUBLE) / (sa.s + sb.s - ic) AS jac
+               FROM inter JOIN sz sa ON sa.doc_id = id_l
+                          JOIN sz sb ON sb.doc_id = id_r),
+         p AS (SELECT id_l, id_r FROM j WHERE jac >= 0.6),
+         e AS (SELECT id_l AS a, id_r AS b FROM p
+               UNION SELECT id_r, id_l FROM p),
+         reach(a, b) AS (SELECT a, b FROM e
+               UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+                  FROM reach GROUP BY a),
+         lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+                 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         nsp AS (SELECT doc_id, CASE
+             WHEN CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) < 3435973837 THEN 'train'
+             WHEN CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) < 3865470566 THEN 'val'
+             ELSE 'test' END AS split FROM documents),
+         csp AS (SELECT doc_id, CASE
+             WHEN CAST(concat('0x', substring(md5(CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) < 3435973837 THEN 'train'
+             WHEN CAST(concat('0x', substring(md5(CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) < 3865470566 THEN 'val'
+             ELSE 'test' END AS split FROM lab),
+         n1 AS (SELECT 'content_hash' AS method,
+             least(x.split, y.split) AS split_l,
+             greatest(x.split, y.split) AS split_r, count(*) AS n_pairs
+           FROM p JOIN nsp x ON x.doc_id = p.id_l
+                  JOIN nsp y ON y.doc_id = p.id_r GROUP BY 1, 2, 3),
+         n2 AS (SELECT 'cluster_hash', least(x.split, y.split),
+             greatest(x.split, y.split), count(*)
+           FROM p JOIN csp x ON x.doc_id = p.id_l
+                  JOIN csp y ON y.doc_id = p.id_r GROUP BY 1, 2, 3)
+         SELECT * FROM n1 UNION ALL SELECT * FROM n2
+         ORDER BY method, split_l, split_r""",
 
     "q241_l_diversity" ->
       """WITH p AS (SELECT c_nationkey, c_mktsegment,

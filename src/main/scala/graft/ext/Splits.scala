@@ -69,6 +69,31 @@ object Splits {
     df.withColumn(outCol,
       contentHashSplit(col(clusterCol).cast("string"), weights, labels))
 
+  /** Split-leakage audit — the measurement [[byClusterHash]]'s doc
+    * promises: given a near-duplicate PAIR frame and a per-row split
+    * assignment `(idCol, splitCol)`, count the pairs whose endpoints
+    * landed in DIFFERENT splits (eval content leaking into training
+    * through a near-copy). Returns one row per unordered split pair:
+    * `(split_l, split_r, n_pairs)` with `split_l <= split_r` — the
+    * off-diagonal rows are the leaks, and a cluster-keyed split must
+    * produce none for pairs inside its own clusters.
+    *
+    * Scale: two equi-joins of the pair frame against the O(rows)
+    * assignment plus one small aggregation — never an all-pairs stage
+    * (the pair frame IS the bounded candidate set).
+    */
+  def leakageAudit(
+      pairs: DataFrame, idL: String, idR: String,
+      assign: DataFrame, idCol: String, splitCol: String): DataFrame = {
+    val a = assign.select(col(idCol), col(splitCol))
+    pairs
+      .join(a.select(col(idCol).as(idL), col(splitCol).as("__sl")), Seq(idL))
+      .join(a.select(col(idCol).as(idR), col(splitCol).as("__sr")), Seq(idR))
+      .groupBy(least(col("__sl"), col("__sr")).as("split_l"),
+        greatest(col("__sl"), col("__sr")).as("split_r"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Exactly-`n` deterministic uniform subsample: rank every row by
     * `md5(keyCol)` (tie-broken by `tieCol` for non-unique keys) and keep the
     * first `n` — the fixed-size eval-subset / spot-check primitive. Unlike

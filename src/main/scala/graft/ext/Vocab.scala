@@ -71,6 +71,41 @@ object Vocab {
             (col("tokens") * (col("tokens") - 1)), 6)).as("simpson"))
   }
 
+  /** Token dispersion across a grouping column (source/domain/shard) —
+    * the Fano factor `variance/mean` of each token's per-group counts,
+    * zeros included: ~1 means the token spreads Poisson-like over
+    * groups, large means BURSTY (concentrated in few groups — the
+    * signature of source-specific boilerplate, which the per-doc
+    * repetition rules cannot see). `fano = sum(c²)/T - T/S` (population
+    * variance over all S groups divided by the mean), a per-row double
+    * tree over three exact integers — absent groups contribute nothing
+    * to `sum(c²)`, so zeros are never materialized. Returns tokens with
+    * `total >= minTotal`: `(token, total, n_groups, fano)`.
+    *
+    * Scale: one (group, token) count aggregation, one token-level
+    * reaggregation on the same hash partitioning, one broadcast scalar
+    * (the group count). No windows, no joins over data-sized frames.
+    */
+  def tokenDispersion(
+      df: DataFrame, groupCol: String, textCol: String,
+      minTotal: Long = 50L): DataFrame = {
+    require(minTotal >= 1, "minTotal must be positive")
+    val counts = df
+      .select(col(groupCol).as("__g"), explode(text.tokens(col(textCol))).as("token"))
+      .groupBy(col("__g"), col("token"))
+      .agg(count(lit(1)).as("__c"))
+    val nGroups = df.where(col(groupCol).isNotNull)
+      .agg(countDistinct(col(groupCol)).as("__S"))
+    counts.groupBy(col("token"))
+      .agg(sum(col("__c")).as("total"), count(lit(1)).as("n_groups"),
+        sum(col("__c") * col("__c")).as("__c2"))
+      .where(col("total") >= minTotal)
+      .crossJoin(broadcast(nGroups))
+      .select(col("token"), col("total"), col("n_groups"),
+        round(col("__c2").cast("double") / col("total") -
+          col("total").cast("double") / col("__S"), 6).as("fano"))
+  }
+
   /** Global word-`n`-gram frequencies (space-joined token windows) — the LM
     * diagnostic one level above [[tokenFrequencies]] (boilerplate phrase
     * detection, contamination spotting, n-gram LM counts).

@@ -559,6 +559,36 @@ object Profile {
           col("total_rows"), 6).as("skew"))
   }
 
+  /** Classifier calibration curve — "when the score says top decile,
+    * how often is the label actually positive": rows bin into `bins`
+    * score quantiles (rank-based `ntile` with a tie column, the
+    * [[quantileBins]] discretizer) and each bin reports its size,
+    * positive count and rate, plus the score range. The reliability
+    * artifact every quality-classifier gate ships next to its
+    * threshold choice. Rank arithmetic + exact counts; the only double
+    * is the final per-row rate division, rounded.
+    *
+    * Scale: the exact global ntile is a total-order window (one ranged
+    * sort — the same cost class as [[graft.ext.Selection.budgetSelect]]'s
+    * order, which range-partitions at volume); for approximate bins at
+    * extreme scale, cut on [[graft.ext.Sketches]] quantile estimates
+    * instead and keep this exact form for the audited slice.
+    */
+  def calibrationReport(
+      df: DataFrame, scoreCol: String, label: Column, bins: Int,
+      tieCol: String): DataFrame = {
+    require(bins >= 2, "bins must be at least 2")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol), col(tieCol))
+    df.where(col(scoreCol).isNotNull)
+      .withColumn("bin", ntile(bins).over(w))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), count(when(label, 1)).as("n_pos"),
+        min(col(scoreCol)).as("score_lo"), max(col(scoreCol)).as("score_hi"))
+      .withColumn("pos_rate",
+        round(col("n_pos").cast("double") / col("n"), 6))
+  }
+
   def quantileTrim(
       df: DataFrame, colName: String, loQ: Double, hiQ: Double): DataFrame = {
     require(0.0 <= loQ && loQ <= hiQ && hiQ <= 1.0, "need 0 <= loQ <= hiQ <= 1")

@@ -226,6 +226,24 @@ class DecontaminateVocabSpec extends AnyFunSuite with SparkSpec {
     assert(p9 == out)
   }
 
+  test("tokenDispersion: bursty tokens score high, uniform near zero, zeros implicit") {
+    import org.apache.spark.sql.functions.col
+    // 4 sources; "even" appears 8x in ONE source (bursty); "spread"
+    // appears 2x in each of the 4 (uniform)
+    val docs = Seq(
+      ("s1", ("even " * 8) + ("spread " * 2)),
+      ("s2", "spread spread"), ("s3", "spread spread"), ("s4", "spread spread"))
+      .toDF("source", "text")
+    val out = Vocab.tokenDispersion(docs, "source", "text", minTotal = 8)
+      .orderBy("token")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // even: c=(8,0,0,0): sum c2=64, T=8, S=4 -> 64/8 - 8/4 = 6.0
+    // spread: c=(2,2,2,2): 16/8 - 2 = 0.0
+    assert(out == Seq(("even", 8L, 1L, 6.0), ("spread", 8L, 4L, 0.0)))
+    // minTotal prunes the tail
+    assert(Vocab.tokenDispersion(docs, "source", "text", minTotal = 9).isEmpty)
+  }
+
   test("shardAssign: duplicate content co-shards, ordinals dense per shard") {
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"),
       (4L, "third")).toDF("doc_id", "text")

@@ -86,4 +86,21 @@ class SplitsSpec extends AnyFunSuite with SparkSpec {
     assert(a.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
       "orderBy+limit must plan as per-partition top-n, not a global sort")
   }
+
+  test("leakageAudit: off-diagonal rows are exactly the cross-split pairs") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_l", "id_r")
+    val assign = Seq((1L, "train"), (2L, "test"), (3L, "train"),
+      (4L, "train"), (5L, "val"), (6L, "train")).toDF("doc_id", "split")
+    val out = Splits.leakageAudit(pairs, "id_l", "id_r", assign, "doc_id", "split")
+      .orderBy("split_l", "split_r")
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      ("test", "train", 1L), ("train", "train", 1L), ("train", "val", 1L)))
+    // a constant assignment of the same pairs leaks nothing
+    val safe = assign.withColumn("split",
+      org.apache.spark.sql.functions.lit("train"))
+    val clean = Splits.leakageAudit(pairs, "id_l", "id_r", safe, "doc_id", "split")
+      .as[(String, String, Long)].collect().toSeq
+    assert(clean == Seq(("train", "train", 3L)))
+  }
 }

@@ -242,6 +242,20 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
     assert(p9 == out)
   }
 
+  test("calibrationReport: rank deciles, per-bin positive rates") {
+    import org.apache.spark.sql.functions.col
+    // scores 1..20, label = score > 15: bins of 10 over 20 rows -> 2
+    // rows/bin; positives live in bins 8 (16) .. 10 (19,20)
+    val d = (1 to 20).map(i => (i.toLong, i.toDouble, i > 15)).toDF("id", "s", "y")
+    val out = Profile.calibrationReport(d, "s", col("y"), bins = 10, tieCol = "id")
+      .orderBy("bin")
+      .as[(Int, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out.size == 10 && out.forall(_._2 == 2L))
+    assert(out.map(_._3) == Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 1L, 2L, 2L))
+    assert(out(7) == ((8, 2L, 1L, 15.0, 16.0, 0.5)))
+    assert(out.last == ((10, 2L, 2L, 19.0, 20.0, 1.0)))
+  }
+
   test("ksDrift properties: ks in [0,1]; invariant under strictly monotone value maps") {
     import org.apache.spark.sql.functions.col
     val rnd = new scala.util.Random(7)
