@@ -2865,6 +2865,35 @@ $fin"""
         .orderBy("method", "split_l", "split_r")
     }),
 
+    "q246_filter_agreement" -> ((s, d) => {
+      // which quality screens are redundant vs load-bearing: pairwise
+      // confusion counts for three deterministic gates, all pairs from
+      // ONE corpus aggregation pass
+      val docs = t(s, d, "documents")
+      graft.ops.Expectations.signalAgreement(docs, Seq(
+          "len_ok" -> (col("n_chars") >= 500),
+          "lang_en" -> (col("lang") === "en"),
+          "stop_rich" -> (graft.functions.text
+            .stopwordRatio(col("text")) >= 0.05)))
+        .orderBy("signal_a", "signal_b")
+    }),
+
+    "q247_langid_margin" -> ((s, d) => {
+      // language-ID confidence report: per predicted language, how many
+      // assignments ride on a margin <= 1 stopword hit — the slice the
+      // heuristic ID cannot be trusted on
+      val docs = t(s, d, "documents")
+        .select(graft.functions.text.langId(col("text")).as("lang_pred"),
+          graft.functions.text.langIdMargin(col("text")).as("margin"))
+      docs.groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("margin") <= 1, 1)).as("n_ambiguous"),
+          min(col("margin")).as("min_margin"), max(col("margin")).as("max_margin"))
+        .withColumn("ambiguous_share",
+          round(col("n_ambiguous").cast("double") / col("n_docs"), 6))
+        .orderBy("lang_pred")
+    }),
+
     "q216_dup_triangles" -> ((s, d) => {
       // graph-shape diagnostic of the exact near-dup pair graph (the en
       // slice — the full 0.9 graph at sf0.1 holds ~1M edges of template
@@ -6166,6 +6195,81 @@ $fin"""
     "q223_topic_clusters" -> kmeansOracle(4, 2),
 
     "q231_cluster_cards" -> clusterCardsOracle(4, 2, 3),
+
+    // three deterministic gates; FILTER counts skip null signals exactly
+    // like the engine's count(when(...)); agreement denominators use the
+    // four counters, not count(*)
+    "q246_filter_agreement" ->
+      (raw"""WITH t0 AS (SELECT n_chars, lang,
+             list_distinct(list_filter(regexp_split_to_array(lower(text),
+               '[^\p{L}\p{N}_]+'), x -> x <> '')) AS tk
+           FROM documents),
+         f AS (SELECT n_chars >= 500 AS len_ok, lang = 'en' AS lang_en,
+             (CASE WHEN len(tk) = 0 THEN 0.0
+                   ELSE CAST(len(list_intersect(tk, """ + swList("en") +
+        raw""")) AS DOUBLE) / len(tk) END) >= 0.05 AS stop_rich
+           FROM t0),
+         c AS (SELECT
+             count(*) FILTER (WHERE len_ok AND lang_en) AS bb0,
+             count(*) FILTER (WHERE len_ok AND NOT lang_en) AS ab0,
+             count(*) FILTER (WHERE NOT len_ok AND lang_en) AS ba0,
+             count(*) FILTER (WHERE NOT len_ok AND NOT lang_en) AS nn0,
+             count(*) FILTER (WHERE len_ok AND stop_rich) AS bb1,
+             count(*) FILTER (WHERE len_ok AND NOT stop_rich) AS ab1,
+             count(*) FILTER (WHERE NOT len_ok AND stop_rich) AS ba1,
+             count(*) FILTER (WHERE NOT len_ok AND NOT stop_rich) AS nn1,
+             count(*) FILTER (WHERE lang_en AND stop_rich) AS bb2,
+             count(*) FILTER (WHERE lang_en AND NOT stop_rich) AS ab2,
+             count(*) FILTER (WHERE NOT lang_en AND stop_rich) AS ba2,
+             count(*) FILTER (WHERE NOT lang_en AND NOT stop_rich) AS nn2
+           FROM f)
+         SELECT * FROM (
+           SELECT 'len_ok' AS signal_a, 'lang_en' AS signal_b,
+             bb0 AS n_both, ab0 AS n_only_a, ba0 AS n_only_b,
+             nn0 AS n_neither,
+             round(CAST(bb0 + nn0 AS DOUBLE) / (bb0 + ab0 + ba0 + nn0), 6)
+               AS agreement FROM c
+           UNION ALL
+           SELECT 'len_ok', 'stop_rich', bb1, ab1, ba1, nn1,
+             round(CAST(bb1 + nn1 AS DOUBLE) / (bb1 + ab1 + ba1 + nn1), 6)
+             FROM c
+           UNION ALL
+           SELECT 'lang_en', 'stop_rich', bb2, ab2, ba2, nn2,
+             round(CAST(bb2 + nn2 AS DOUBLE) / (bb2 + ab2 + ba2 + nn2), 6)
+             FROM c)
+         ORDER BY signal_a, signal_b"""),
+
+    // q28's score table + a second-place subtraction; 'und' rule and the
+    // (score DESC, l DESC) tie verbatim
+    "q247_langid_margin" ->
+      raw"""WITH toks AS (SELECT doc_id,
+             list_distinct(list_filter(regexp_split_to_array(lower(text),
+               '[^\p{L}\p{N}_]+'), x -> x <> '')) AS tk
+           FROM documents),
+         s AS (SELECT doc_id, l, len(list_intersect(tk, sw)) AS score
+               FROM toks CROSS JOIN (VALUES
+                 ('de', ['der','die','das','und','ist','von','mit','nicht','ein','eine','als','auch','auf','dem','des','im','zu','den']),
+                 ('en', ['the','and','of','to','in','is','that','it','was','for','with','are','this','not','have','from','they','which']),
+                 ('es', ['el','los','las','una','por','con','para','como','mas','pero','sus','este','esta','entre','cuando','muy','sin','sobre']),
+                 ('fr', ['le','la','les','des','est','dans','pour','que','qui','une','sur','pas','avec','par','sont','mais','nous','aux']),
+                 ('it', ['il','di','che','non','per','con','sono','della','nel','alla','anche','come','questo','gli','dei','delle','essere','più'])
+                 ) AS v(l, sw)),
+         r AS (SELECT doc_id, l, score, row_number() OVER
+                 (PARTITION BY doc_id ORDER BY score DESC, l DESC) AS rn
+               FROM s),
+         top AS (SELECT doc_id,
+             max(CASE WHEN rn = 1 THEN
+               CASE WHEN score <= 0 THEN 'und' ELSE l END END) AS lang_pred,
+             max(CASE WHEN rn = 1 THEN score END) -
+               max(CASE WHEN rn = 2 THEN score END) AS margin
+           FROM r GROUP BY 1)
+         SELECT lang_pred, count(*) AS n_docs,
+           count(*) FILTER (WHERE margin <= 1) AS n_ambiguous,
+           CAST(min(margin) AS INTEGER) AS min_margin,
+           CAST(max(margin) AS INTEGER) AS max_margin,
+           round(CAST(count(*) FILTER (WHERE margin <= 1) AS DOUBLE)
+             / count(*), 6) AS ambiguous_share
+         FROM top GROUP BY 1 ORDER BY 1""",
 
     "q243_token_dispersion" ->
       raw"""WITH tok AS (SELECT source,

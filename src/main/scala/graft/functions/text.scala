@@ -189,6 +189,21 @@ object text {
     when(best.getField("s") <= 0, lit("und")).otherwise(best.getField("l"))
   }
 
+  /** [[langId]]'s confidence margin: best stopword-hit score minus the
+    * runner-up's — 0 means a coin-flip assignment, and a low-margin slice
+    * is where the heuristic ID needs human (or model) review. Same
+    * codegen'd shape as the argmax: a sorted literal-array of the five
+    * scores, no UDF, no shuffle.
+    */
+  def langIdMargin(c: Column): Column = {
+    val toks = array_distinct(tokens(c))
+    val ss = stopwords.keys.toSeq.sorted.map { l =>
+      size(array_intersect(toks, array(stopwords(l).map(lit): _*)))
+    }
+    val sorted = sort_array(array(ss: _*), asc = false)
+    element_at(sorted, 1) - element_at(sorted, 2)
+  }
+
   /** Composite quality score in [0,1]: rewards mid-length documents with
     * word-like structure and penalizes punctuation/digit soup. Weights are
     * arbitrary-but-fixed; the value is only meaningful as a ranking score.

@@ -99,6 +99,48 @@ object Expectations {
       .where(col(countCol) > 1)
   }
 
+  /** Filter-ensemble agreement matrix — "do my quality screens agree,
+    * and where do they fight": for every unordered pair of boolean
+    * signals, the confusion counts (`n_both`, `n_only_a`, `n_only_b`,
+    * `n_neither`) and the rounded agreement rate. Two filters that agree
+    * ~1.0 are redundant; a pair with heavy one-sided counts is where the
+    * ensemble's decisions actually come from — the report that justifies
+    * dropping or keeping each screen.
+    *
+    * Scale: ALL pairs come from ONE aggregation pass — each signal pair's
+    * four counters are conditional counts in the same map-side-combinable
+    * `agg`, so the corpus is scanned once regardless of |signals| (the
+    * signal count is a handful; the 4·C(k,2) counter columns are
+    * driver-side schema, not data).
+    */
+  def signalAgreement(
+      df: DataFrame, signals: Seq[(String, Column)]): DataFrame = {
+    require(signals.size >= 2, "need at least two signals")
+    require(signals.map(_._1).distinct.size == signals.size,
+      "signal names must be unique")
+    val pairs = for {
+      i <- signals.indices; j <- signals.indices if i < j
+    } yield (signals(i), signals(j))
+    val aggs = pairs.zipWithIndex.flatMap { case (((_, a), (_, b)), k) =>
+      Seq(count(when(a && b, 1)).as(s"__bb$k"),
+        count(when(a && !b, 1)).as(s"__ab$k"),
+        count(when(!a && b, 1)).as(s"__ba$k"),
+        count(when(!a && !b, 1)).as(s"__nn$k"))
+    }
+    // ONE materialized row; per-pair projections below must not replay
+    // the corpus aggregation
+    val counted = df.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    val rows = pairs.zipWithIndex.map { case (((na, _), (nb, _)), k) =>
+      counted.select(lit(na).as("signal_a"), lit(nb).as("signal_b"),
+        col(s"__bb$k").as("n_both"), col(s"__ab$k").as("n_only_a"),
+        col(s"__ba$k").as("n_only_b"), col(s"__nn$k").as("n_neither"),
+        round((col(s"__bb$k") + col(s"__nn$k")).cast("double") /
+          (col(s"__bb$k") + col(s"__ab$k") + col(s"__ba$k") + col(s"__nn$k")),
+          6).as("agreement"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+
   /** l-diversity audit, the [[kAnonymityAudit]] companion (Machanavajjhala
     * et al., ICDE 2006): a k-anonymous group still leaks its sensitive
     * attribute when every member SHARES it — this reports quasi-identifier

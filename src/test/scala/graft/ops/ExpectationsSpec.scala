@@ -101,6 +101,26 @@ class ExpectationsSpec extends AnyFunSuite with SparkSpec {
     assert(Expectations.lDiversityAudit(d, Seq("country"), "diag", l = 2).isEmpty)
   }
 
+  test("signalAgreement: one pass, exact confusion counts per signal pair") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val d = Seq((1, true, true), (2, true, false), (3, false, true),
+      (4, false, false), (5, true, true)).toDF("id", "a", "b")
+    val out = Expectations.signalAgreement(d,
+        Seq("sa" -> col("a"), "sb" -> col("b"), "always" -> lit(true)))
+      .orderBy("signal_a", "signal_b")
+      .as[(String, String, Long, Long, Long, Long, Double)].collect().toSeq
+    // (sa, sb): both {1,5}, only-a {2}, only-b {3}, neither {4} -> 3/5
+    assert(out.find(r => r._1 == "sa" && r._2 == "sb").get ==
+      (("sa", "sb", 2L, 1L, 1L, 1L, 0.6)))
+    // (sa, always): agreement = share of sa-true rows
+    assert(out.find(r => r._1 == "sa" && r._2 == "always").get ==
+      (("sa", "always", 3L, 0L, 2L, 0L, 0.6)))
+    assert(out.size == 3)
+    intercept[IllegalArgumentException] {
+      Expectations.signalAgreement(d, Seq("only" -> col("a")))
+    }
+  }
+
   test("fdViolations: majority/minority accounting; clean FDs report nothing") {
     val d = Seq((1L, "A"), (1L, "A"), (1L, "B"),
       (2L, "C"), (2L, "C"),
