@@ -960,9 +960,14 @@ object Dedup {
     // apply the ubiquity cap and the singleton prune on its SIZE, and
     // emit the <= C(maxPostings,2) ordered pairs row-locally from the
     // sorted id array. Join fan-out is bounded exactly as before; the
-    // corpus is scanned once.
+    // corpus is scanned once. collect_SET, not list: the fingerprint
+    // frame is distinct per doc, but duplicate-id input rows would put
+    // the same id twice in a posting list and the strictly-after pair
+    // expansion would then emit (x,x) self-pairs the old self-join's
+    // id_l < id_r predicate filtered — the set keeps the operator robust
+    // to duplicate-id input at zero extra cost (ADVICE r11).
     val postings = fps.groupBy(col("fp"))
-      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .agg(sort_array(collect_set(col(idCol))).as("__ids"))
       .where(size(col("__ids")) >= 2 && size(col("__ids")) <= maxPostings)
     postings
       .select(explode(flatten(transform(col("__ids"), (x, i) =>

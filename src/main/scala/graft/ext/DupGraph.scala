@@ -154,8 +154,17 @@ object DupGraph {
     */
   private def localCensus(
       spark: org.apache.spark.sql.SparkSession, und: DataFrame): DataFrame = {
-    val edges = und.select(col("a").cast("long"), col("b").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // Type-generic like the distributed path and localPageRank: ids are
+    // collected UNTYPED and indexed into dense longs driver-side (a long
+    // cast would null out string ids and NPE — ADVICE r11). The census
+    // emits only counts, never ids, and the triangle/wedge totals are
+    // invariant under any consistent node order, so the arbitrary index
+    // assignment is safe.
+    val rawEdges = und.select(col("a"), col("b"))
+      .collect().map(r => (r.get(0), r.get(1)))
+    val index = scala.collection.mutable.HashMap.empty[Any, Long]
+    def idx(v: Any): Long = index.getOrElseUpdate(v, index.size.toLong)
+    val edges = rawEdges.map { case (a, b) => (idx(a), idx(b)) }
     val deg = scala.collection.mutable.HashMap.empty[Long, Int]
     edges.foreach { case (a, b) =>
       deg.update(a, deg.getOrElse(a, 0) + 1); deg.update(b, deg.getOrElse(b, 0) + 1)

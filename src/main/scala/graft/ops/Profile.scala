@@ -340,10 +340,13 @@ object Profile {
     *
     * Scale: the input here is an already-aggregated series frame (points
     * per group = days/hours — thousands, not rows of the raw fact table);
-    * the fold runs row-local per group after ONE group exchange via a
-    * sorted collect + running higher-order aggregate, never a per-row
-    * window chain. The heavy lifting (daily totals from 100 TB of raw
-    * events) happens upstream in a map-side-combinable aggregation.
+    * the scan runs row-local per group after ONE group exchange via a
+    * sorted collect + the native O(n) prefix-scan expression
+    * ([[graft.expressions.ScanExpressions.ewmaHalfScan]] — the previous
+    * `aggregate`+`concat` fold copied the whole emitted prefix per
+    * element, O(n^2) per group; ADVICE r11), never a per-row window
+    * chain. The heavy lifting (daily totals from 100 TB of raw events)
+    * happens upstream in a map-side-combinable aggregation.
     */
   def ewmaHalf(
       df: DataFrame, groupCols: Seq[String], orderCol: String,
@@ -354,16 +357,15 @@ object Profile {
       .agg(sort_array(collect_list(
         struct(col(orderCol).as("o"), col(valCol).cast("double").as("x"))))
         .as("__pts"))
-    // left fold carrying the running ewma: emit (o, x, s) per point; the
-    // accumulator array is the emitted prefix, its last element the state
-    val folded = aggregate(col("__pts"),
-      expr("CAST(array() AS ARRAY<STRUCT<o: " +
-        df.schema(orderCol).dataType.sql + ", x: DOUBLE, s: DOUBLE>>)"),
-      (acc, e) => concat(acc, array(struct(
-        e.getField("o").as("o"), e.getField("x").as("x"),
-        when(size(acc) === 0, e.getField("x"))
-          .otherwise((e.getField("x") + element_at(acc, -1).getField("s")) / 2)
-          .as("s")))))
+    // the s-series comes from the native scan over the x values (same
+    // IEEE recursion, bit-identical output); zip it back onto the sorted
+    // points positionally
+    val folded = zip_with(
+      col("__pts"),
+      graft.expressions.ScanExpressions.ewmaHalfScan(
+        transform(col("__pts"), e => e.getField("x"))),
+      (p, sv) => struct(p.getField("o").as("o"), p.getField("x").as("x"),
+        sv.as("s")))
     pts.select(groupCols.map(col) :+ explode(folded).as("__e"): _*)
       .select(groupCols.map(col) ++ Seq(
         col("__e.o").as(orderCol), col("__e.x").as(valCol),

@@ -670,14 +670,16 @@ object EventStreams {
     * once the user's stream has advanced `lateHorizonDays` past `w`, the
     * entry is dead weight and is evicted. State per user is then
     * O(windowDays + lateHorizonDays) longs regardless of stream length.
-    * Exactness therefore holds for streams whose per-user out-of-order
+    * Exactness then holds only for streams whose per-user out-of-order
     * arrival is bounded by `lateHorizonDays` days (an event later than
-    * that may re-emit an evicted window as a duplicate); pass a negative
-    * horizon to keep every window — exact for any permutation, but
-    * bounded-replay only.
+    * that may re-emit an evicted window as a duplicate) — so eviction is
+    * OPT-IN (ADVICE r11): the default horizon is negative = keep every
+    * window, preserving the original exact-for-any-permutation contract;
+    * callers with a real arrival-lateness bound pass it explicitly to
+    * buy bounded state.
     */
   def rollingActiveStateful(events: DataFrame, windowDays: Int = 7,
-      lateHorizonDays: Int = 30): DataFrame = {
+      lateHorizonDays: Int = -1): DataFrame = {
     require(windowDays >= 1, "windowDays must be at least 1")
     val spark = events.sparkSession
     import spark.implicits._

@@ -408,6 +408,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"q240: top-k must be TakeOrdered, not a global sort:\n$skew")
   }
 
+  test("q223: Lloyd iteration reads the checkpointed vector frame, not the source scan") {
+    // Clustering.assign materializes the projected (id, vec) frame once
+    // (eager localCheckpoint) — the final assignment plan must read the
+    // checkpoint blocks, never re-scan the parquet source (VERDICT r11
+    // #6: one corpus scan total; each Lloyd round and the seed collect
+    // consume the same materialized frame)
+    // the report consumes its own checkpointed (assign + label) frame, and
+    // assign's final pass consumes the checkpointed vector frame — so the
+    // final plan holds ZERO source scans, where pre-fix the assignment
+    // side re-scanned the parquet (and each Lloyd round an invisible one
+    // per action)
+    val plan = finalPlan("q223_topic_clusters")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0, s"q223: expected no source scan in the final plan, got $scans:\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan Existing"),
+      s"q223: no checkpointed frame in:\n$plan")
+  }
+
   test("q190/q192/q196: event reports aggregate with map-side combine") {
     Seq("q190_cohort_retention", "q192_trend_ols").foreach { q =>
       val plan = finalPlan(q)

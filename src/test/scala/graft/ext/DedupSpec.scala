@@ -94,6 +94,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(cc2.values.toSet == Set(1L))
   }
 
+  test("connectedComponents: iteration cap fails loudly, adequate bound converges") {
+    // a 12-node path needs ~11 label-propagation rounds to pull the far
+    // end down to min-id — a 3-round cap must fail LOUDLY (the house
+    // fail-fast stance: a silently-unconverged labeling would split one
+    // near-dup cluster across the train/test boundary), and the error
+    // must say how to recover
+    val path = (1L until 12L).map(i => (i, i + 1)).toDF("id_l", "id_r")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(path, maxIters = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    assert(e.getMessage.contains("maxIters"))
+    // the same graph under an adequate bound resolves to one component
+    val cc = Dedup.connectedComponents(path, maxIters = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet == Set(1L))
+  }
+
   test("connectedComponents matches a union-find reference on random graphs") {
     val rng = new scala.util.Random(23)
     for (_ <- 1 to 5) {

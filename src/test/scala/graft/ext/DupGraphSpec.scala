@@ -35,6 +35,23 @@ class DupGraphSpec extends AnyFunSuite with SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
   }
 
+  test("non-numeric ids: driver-side and distributed census agree (ADVICE r11)") {
+    // string doc ids (url hashes, uuids) hit the small-graph fast path
+    // too — the old long cast nulled them out and NPE'd; the census must
+    // be type-generic on BOTH paths. K4 on names + a pendant path.
+    val names = Seq("alpha", "beta", "gamma", "delta")
+    val k4 = for (a <- names.indices; b <- (a + 1) until names.size)
+      yield (names(a), names(b))
+    val edges = k4 ++ Seq(("zeta", "eta"), ("eta", "theta"))
+    val df = edges.toDF("id_l", "id_r")
+    val local = DupGraph.triangleCensus(df)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    val dist = DupGraph.triangleCensus(df, localEdgeLimit = -1L)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    assert(local == dist, s"paths disagree on string ids: $local vs $dist")
+    assert((local._1, local._2, local._4) == (7L, 8L, 4L))
+  }
+
   test("oriented count equals brute force on random graphs") {
     val rnd = new Random(17)
     for (trial <- 1 to 5) {

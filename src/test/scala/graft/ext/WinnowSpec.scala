@@ -80,4 +80,24 @@ class WinnowSpec extends AnyFunSuite with SparkSpec {
     // different hash family, same algorithm -> same decisions on this margin
     assert(pairSet(portable = true) == Set((1L, 2L)))
   }
+
+  test("candidate pairs robust to duplicate-id input rows: no self-pairs") {
+    // the same (id, text) row ingested twice (a re-crawled shard, a bad
+    // upstream union) used to yield duplicate posting-list entries and
+    // (x,x) self-pairs from the strictly-after expansion — the posting
+    // SET must make the duplicated corpus behave exactly like the clean one
+    val rnd = new Random(29)
+    def randText(n: Int) =
+      Iterator.fill(n)(if (rnd.nextInt(5) == 0) ' ' else ('a' + rnd.nextInt(26)).toChar).mkString
+    val core = randText(300)
+    val clean = Seq((1L, core), (2L, core + " fresh tail"), (3L, randText(300)))
+    val doubled = clean ++ clean // every row twice
+    def pairs(rows: Seq[(Long, String)]) =
+      Dedup.winnowCandidatePairs(rows.toDF("doc_id", "text"), "doc_id", "text",
+          k = K, w = W, maxPostings = 4, minShared = 8)
+        .select("id_l", "id_r", "shared").as[(Long, Long, Long)].collect().toSet
+    val dup = pairs(doubled)
+    assert(dup.forall { case (l, r, _) => l < r }, s"self/misordered pair in $dup")
+    assert(dup == pairs(clean))
+  }
 }
