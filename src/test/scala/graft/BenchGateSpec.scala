@@ -92,4 +92,20 @@ class BenchGateSpec extends AnyFunSuite {
       assert(25.0 > prior("q36") * 2.5, "a 25s q36 must flag against an 8.40 floor")
     }
   }
+
+  test("floors map (r12+ artifacts) overrides the chosen attempt's draw") {
+    withPinnedDir(Seq("BENCH_r09.json")) { dir =>
+      // r12-shape artifact: "queries" carries the chosen attempt's draw
+      // (q68 contended at 2.04), "floors" the cross-attempt minimum
+      // (0.71) — the prior must take the floor; a failed query (-1 floor)
+      // must not poison the map
+      val r12 =
+        """{"n": 12, "rc": 0, "tail": "...\"queries\":{\"q68\":2.04,\"q999\":0.50},\"floors\":{\"q68\":0.71,\"q999\":-1},\"value\":9.9}"}"""
+      Files.write(new File(dir, "BENCH_r12.json").toPath, r12.getBytes("UTF-8"))
+      val prior = Bench.priorTimes(dir)
+      assert(prior("q68") == 0.71, s"floor must win over the draw: $prior")
+      // q999's floor is -1 (failed all attempts) -> falls back to the draw
+      assert(prior("q999") == 0.50)
+    }
+  }
 }
