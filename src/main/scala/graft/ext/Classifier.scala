@@ -1,0 +1,138 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed quality-classifier TRAINING — the fit side of the
+  * fastText-shape linear filter whose scorer the engine already ships
+  * ([[graft.functions.text.hashedLinearScore]]): hashed unigram features,
+  * a few full-batch gradient rounds of logistic regression, and
+  * integer-quantized weights out that drop straight into the scorer. The
+  * CCNet/DSIR house pattern (fit = bounded model state on the driver,
+  * corpus touched only by map-side-combinable passes; see
+  * [[Dsir.importanceScores]], [[NgramLm]]).
+  *
+  * Feature map: EXACTLY the scorer's — lowercase `[^a-z0-9]+` token
+  * split, bucket = first-8-hex-chars-of-md5 mod `buckets` — so a fitted
+  * `(weights, bias)` pair scores through `hashedLinearScore` with no
+  * re-featurization drift (the fit→filter loop is closed end to end).
+  *
+  * Determinism/oracle contract (the q167 convention): the per-bucket
+  * SUFFICIENT STATISTICS ([[suffStats]]) are exact integer counts and sit
+  * under the SQL oracle; the gradient rounds feed those counts through
+  * the logistic sigmoid — per-DOC libm, not hash-stable across engines —
+  * so the fit itself is spec-asserted (seeded separable fixture,
+  * determinism across partitionings). Inside one engine the fit IS
+  * deterministic: per-doc probabilities are rounded to 6 dp before the
+  * gradient aggregation, gradient sums are exact decimal, and the weight
+  * update quantizes through one HALF_UP rounding — no accumulation-order
+  * dependence anywhere.
+  *
+  * Scale: the corpus is projected once to a narrow (features, label)
+  * frame and localCheckpointed (the Lloyd-iteration pattern —
+  * [[Clustering.assign]]); each gradient round is ONE row-local scoring
+  * projection (weights inlined as an array literal — no join) plus one
+  * map-side-combinable (bucket, residual-sum) aggregation, with exactly
+  * O(buckets) decimals collected to the driver per round. Rounds are a
+  * FIXED count — no data-dependent convergence loop.
+  */
+object Classifier {
+
+  /** The scorer's bucket map: md5-prefix mod `buckets` over lowercase
+    * alnum tokens — one int per token occurrence (multiplicity kept:
+    * the feature value is the in-doc token count, applied via explode).
+    */
+  def tokenBuckets(c: Column, buckets: Int): Column = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val toks = filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+    transform(toks, t =>
+      (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % buckets).cast("int"))
+  }
+
+  /** Per-bucket sufficient statistics of the labeled corpus: occurrence
+    * counts overall and within the positive class, plus per-class doc
+    * counts as two marker rows (bucket -1: negative docs, -2: positive
+    * docs) so ONE frame carries everything the first gradient round (or
+    * a Naive-Bayes fit) consumes. `(bucket, n_occ, n_pos_occ)` — exact
+    * integers, fully SQL-replicable (the oracle surface of the fit).
+    */
+  def suffStats(
+      df: DataFrame, textCol: String, labelCol: String,
+      buckets: Int = 4096): DataFrame = {
+    val base = df.where(col(textCol).isNotNull)
+      .select(tokenBuckets(col(textCol), buckets).as("__f"),
+        col(labelCol).cast("int").as("__y"))
+    val occ = base
+      .select(explode(col("__f")).as("bucket"), col("__y"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_occ"),
+        sum(col("__y")).cast("long").as("n_pos_occ"))
+    val docs = base.groupBy((col("__y") * -1 - 1).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_occ"),
+        sum(col("__y")).cast("long").as("n_pos_occ"))
+    occ.unionByName(docs)
+  }
+
+  /** Fixed-round full-batch logistic regression; returns the quantized
+    * `(weights, bias)` ready for `hashedLinearScore(text, weights, bias)`
+    * — scores are `scale`-scaled logits (threshold at 0 = p > 1/2).
+    *
+    * Per round, with current integer weights w (real weight = w/scale):
+    * z = bias + sum w(b(t)); p = 1/(1+e^(-z/scale)) rounded to 6 dp;
+    * per-bucket gradient g_b = sum_docs (p - y) * count_b(doc) as an
+    * EXACT decimal(20,6) sum; update w_b -= HALF_UP(lr * scale * g_b /
+    * n_docs). The bias follows the same rule with gradient sum(p - y).
+    */
+  def fit(
+      df: DataFrame, textCol: String, labelCol: String,
+      buckets: Int = 4096, rounds: Int = 3, lr: Double = 2.0,
+      scale: Int = 1000): (Array[Int], Long) = {
+    require(rounds >= 1, "rounds must be >= 1")
+    require(lr > 0, "lr must be positive")
+    // narrow (features, label) frame materialized once; every round's two
+    // passes (scoring projection + gradient agg) read the checkpoint
+    val base = df.where(col(textCol).isNotNull)
+      .select(tokenBuckets(col(textCol), buckets).as("__f"),
+        col(labelCol).cast("int").as("__y"))
+      .localCheckpoint()
+    val nDocs = base.count()
+    require(nDocs > 0, "no labeled rows with non-null text")
+    val w = new Array[Long](buckets)
+    var bias = 0L
+    def step(grad: java.math.BigDecimal): Long =
+      // -lr * scale * grad / n, one HALF_UP rounding — deterministic
+      java.math.BigDecimal.valueOf(lr * scale).multiply(grad)
+        .divide(java.math.BigDecimal.valueOf(nDocs), 0, java.math.RoundingMode.HALF_UP)
+        .longValueExact()
+    for (_ <- 1 to rounds) {
+      val z = aggregate(
+        transform(col("__f"), f => element_at(lit(w), f + 1)),
+        lit(bias), (acc, x) => acc + x)
+      val p = lit(1.0) / (lit(1.0) + exp(-z.cast("double") / scale))
+      // 6-dp residual BEFORE aggregation: the only libm value is per-row;
+      // every cross-row sum is exact decimal
+      val resid = round(p - col("__y"), 6).cast("decimal(20,6)")
+      // bias gradient as bucket -1 in the SAME aggregation — one shuffle
+      // per round, not two
+      val grads = base
+        .select(col("__y"), resid.as("__r"),
+          concat(col("__f"), array(lit(-1))).as("__fb"))
+        .select(explode(col("__fb")).as("bucket"), col("__r"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("__r")).as("g"))
+        .collect()
+      grads.foreach { r =>
+        val b = r.getInt(0)
+        val g = r.getDecimal(1)
+        if (b < 0) bias -= step(g) else w(b) -= step(g)
+      }
+    }
+    val wi = new Array[Int](buckets)
+    var i = 0
+    while (i < buckets) {
+      wi(i) = math.max(Int.MinValue.toLong, math.min(Int.MaxValue.toLong, w(i))).toInt
+      i += 1
+    }
+    (wi, bias)
+  }
+}

@@ -60,7 +60,30 @@ object Multimodal {
     */
   def encodePngMediaTable(
       df: DataFrame, idCol: String, textCol: String,
-      batchSize: Int = 64, gradient: Boolean = false): DataFrame = {
+      batchSize: Int = 64, gradient: Boolean = false): DataFrame =
+    encodeImageMediaTable(df, idCol, textCol, batchSize, gradient,
+      codec = "png", mime = "image/png")
+
+  /** JPEG twin of [[encodePngMediaTable]] — the dominant web-crawl image
+    * format (`javax.imageio` ships a JPEG reader/writer offline). Same
+    * deterministic geometry and UNIFORM gray fill; no gradient option:
+    * JPEG's quantized DCT round-trips a constant field exactly (the DC
+    * coefficient is the field; empirically exact for all 256 gray values
+    * under the JDK encoder, spec-gated), but a per-pixel gradient does
+    * not survive lossy coding, so a gradient JPEG could never sit under a
+    * pixel-predicting oracle. Dims/mean-gray remain pure functions of the
+    * source byte length — the q34 differential contract.
+    */
+  def encodeJpegMediaTable(
+      df: DataFrame, idCol: String, textCol: String,
+      batchSize: Int = 64): DataFrame =
+    encodeImageMediaTable(df, idCol, textCol, batchSize, gradient = false,
+      codec = "jpg", mime = "image/jpeg")
+
+  private def encodeImageMediaTable(
+      df: DataFrame, idCol: String, textCol: String,
+      batchSize: Int, gradient: Boolean,
+      codec: String, mime: String): DataFrame = {
     val spark = df.sparkSession
     val src = df.select(col(idCol).cast(LongType).as("media_id"),
       col(textCol).cast(StringType).as("text"))
@@ -87,9 +110,9 @@ object Multimodal {
               y += 1
             }
             val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", bos)
+            javax.imageio.ImageIO.write(img, codec, bos)
             Row(r.getLong(0), bos.toByteArray,
-              Row("image/png", w, h, n.toLong))
+              Row(mime, w, h, n.toLong))
           }
         }
       }

@@ -426,6 +426,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"q223: no checkpointed frame in:\n$plan")
   }
 
+  test("q249: the close-out card reads only checkpointed frames — no source re-scan") {
+    // the gated-corpus chain (window gate + cap heap + decon anti-join)
+    // and the verified pair frame are each materialized once; the three
+    // card sections consume those two frames, so the FINAL plan holds
+    // zero parquet scans and no cartesian — the 100 TB shape is "heavy
+    // chain once, bounded card aggregations after"
+    val plan = finalPlan("q249_curation_close")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0, s"q249: card re-scans a source table ($scans):\n$plan")
+    assert(plan.contains("ExistingRDD"), s"q249: no checkpointed frame in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q249: cartesian in:\n$plan")
+    // card aggregations partial-aggregate before their shuffles
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"q249: no map-side combine in:\n$plan")
+  }
+
   test("q190/q192/q196: event reports aggregate with map-side combine") {
     Seq("q190_cohort_retention", "q192_trend_ols").foreach { q =>
       val plan = finalPlan(q)

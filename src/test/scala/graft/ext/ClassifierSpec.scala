@@ -1,0 +1,101 @@
+package graft.ext
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.functions.text
+
+class ClassifierSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val A = Seq("quasar", "nebula", "photon", "cosmic", "stellar", "galaxy")
+  private val B = Seq("turnip", "carrot", "potato", "radish", "cabbage", "celery")
+
+  /** Seeded separable corpus: positives speak vocabulary A, negatives B. */
+  private def fixture(n: Int = 30, seed: Int = 41) = {
+    val rnd = new Random(seed)
+    def doc(v: Seq[String]) = Iterator.fill(6)(v(rnd.nextInt(v.size))).mkString(" ")
+    val rows = (0 until n).map(i => (i.toLong, doc(A), 1)) ++
+      (0 until n).map(i => ((n + i).toLong, doc(B), 0))
+    rows.toDF("doc_id", "text", "y")
+  }
+
+  /** The scorer's bucket map replicated driver-side: first 8 hex chars of
+    * md5(token) as a long, mod buckets.
+    */
+  private def bucketOf(tok: String, buckets: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(tok.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(8)
+    (java.lang.Long.parseLong(hex, 16) % buckets).toInt
+  }
+
+  test("suffStats: exact per-bucket counts + class-size marker rows") {
+    val df = Seq(
+      (1L, "aa bb aa", 1), (2L, "bb cc", 0), (3L, "aa", 1),
+      (4L, null.asInstanceOf[String], 0) // null text excluded entirely
+    ).toDF("doc_id", "text", "y")
+    val out = Classifier.suffStats(df, "text", "y", buckets = 64)
+      .as[(Int, Long, Long)].collect()
+      .map { case (b, n, p) => b -> ((n, p)) }.toMap
+    val (ba, bb, bc) = (bucketOf("aa", 64), bucketOf("bb", 64), bucketOf("cc", 64))
+    assert(Set(ba, bb, bc).size == 3, "fixture tokens must not collide")
+    assert(out(ba) == ((3L, 3L))) // aa: 3 occurrences, all in positives
+    assert(out(bb) == ((2L, 1L))) // bb: one in doc1 (pos), one in doc2 (neg)
+    assert(out(bc) == ((1L, 0L)))
+    assert(out(-1) == ((1L, 0L))) // negative docs with text: doc2
+    assert(out(-2) == ((2L, 2L))) // positive docs: doc1, doc3
+  }
+
+  test("fit separates a separable corpus and feeds the q128 scorer end-to-end") {
+    val df = fixture()
+    val (w, bias) = Classifier.fit(df, "text", "y", buckets = 4096, rounds = 4)
+    // the fitted weights drop straight into the shipped scorer — the
+    // fit -> filter loop closed with NO re-featurization step between
+    val scored = df.select($"doc_id", $"y",
+        text.hashedLinearScore($"text", w, bias).as("score"))
+      .as[(Long, Int, Long)].collect()
+    assert(scored.length == 60)
+    scored.foreach { case (id, y, s) =>
+      if (y == 1) assert(s > 0, s"positive doc $id scored $s")
+      else assert(s < 0, s"negative doc $id scored $s")
+    }
+    // vocabulary weights moved in opposite directions
+    val wa = A.map(t => w(bucketOf(t, 4096)))
+    val wb = B.map(t => w(bucketOf(t, 4096)))
+    assert(wa.forall(_ > 0) && wb.forall(_ < 0),
+      s"vocab weights must split by class: A=$wa B=$wb")
+  }
+
+  test("fit is deterministic across partitionings (exact-decimal gradients)") {
+    val df = fixture()
+    val (w1, b1) = Classifier.fit(df, "text", "y", buckets = 512, rounds = 3)
+    val (w2, b2) = Classifier.fit(df.repartition(7), "text", "y",
+      buckets = 512, rounds = 3)
+    assert(b1 == b2)
+    assert(w1.toSeq == w2.toSeq,
+      "quantized weights must not depend on partitioning/aggregation order")
+  }
+
+  test("fit reduces logistic loss round over round on the fixture") {
+    val df = fixture(n = 20, seed = 7)
+    def loss(w: Array[Int], bias: Long, scale: Double = 1000.0): Double = {
+      val rows = df.select($"y",
+          text.hashedLinearScore($"text", w, bias).as("s"))
+        .as[(Int, Long)].collect()
+      rows.map { case (y, s) =>
+        val p = 1.0 / (1.0 + math.exp(-s / scale))
+        -(y * math.log(p max 1e-12) + (1 - y) * math.log((1 - p) max 1e-12))
+      }.sum / rows.length
+    }
+    val l0 = loss(new Array[Int](4096), 0L) // ln 2 at the origin
+    val (w2, b2) = Classifier.fit(df, "text", "y", buckets = 4096, rounds = 2)
+    val (w4, b4) = Classifier.fit(df, "text", "y", buckets = 4096, rounds = 4)
+    val l2 = loss(w2, b2)
+    val l4 = loss(w4, b4)
+    assert(l2 < l0, s"2 rounds must beat the origin: $l2 vs $l0")
+    assert(l4 < l2, s"4 rounds must beat 2: $l4 vs $l2")
+  }
+}

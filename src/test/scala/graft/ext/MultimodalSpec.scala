@@ -38,6 +38,46 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(payload.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
   }
 
+  test("JPEG round trip: uniform-gray DC survives the lossy codec for ALL 256 values") {
+    // the q250 oracle predicts mean_gray from the source byte length —
+    // valid only if the JDK JPEG codec round-trips a constant field
+    // exactly for every gray value. 256 texts of lengths 0..255 sweep
+    // every (gray, width, height) combination the formula can produce.
+    val src = (0 until 256).map(i => (i.toLong, "a" * i)).toDF("id", "txt")
+    val out = Multimodal.decodeImages(
+        Multimodal.encodeJpegMediaTable(src, "id", "txt"))
+      .select("media_id", "width", "height", "mean_gray", "meta.n_bytes")
+      .orderBy("media_id")
+      .as[(Long, Int, Int, Long, Long)].collect()
+    assert(out.length == 256)
+    for ((_, w, h, gray, n) <- out) {
+      assert(w == n % 64 + 16 && h == n % 48 + 16)
+      assert(gray == n % 256,
+        s"lossy codec shifted the uniform fill: n=$n decoded mean $gray")
+    }
+    // the payload is a genuine JPEG (SOI marker), not the source text
+    val payload = Multimodal.encodeJpegMediaTable(
+        Seq((1L, "hello world")).toDF("id", "txt"), "id", "txt")
+      .select("payload").head().getAs[Array[Byte]](0)
+    assert(payload.take(2).toSeq == Seq(0xFF.toByte, 0xD8.toByte))
+  }
+
+  test("a CORRUPT jpeg (valid SOI, truncated body) yields nulls, not a failed job") {
+    val good = Multimodal.encodeJpegMediaTable(
+      Seq((1L, "hello world")).toDF("id", "txt"), "id", "txt")
+    val bytes = good.select("payload").head().getAs[Array[Byte]](0)
+    val rows = Seq(
+      (1L, bytes),
+      (2L, bytes.take(bytes.length / 2))) // SOI intact, entropy data cut
+      .toDF("media_id", "payload")
+      .withColumn("meta", org.apache.spark.sql.functions.lit(null)
+        .cast("struct<format:string,width:int,height:int,n_bytes:bigint>"))
+    val out = Multimodal.decodeImages(rows)
+      .select("media_id", "width", "mean_gray").orderBy("media_id").collect()
+    assert(!out(0).isNullAt(1) && !out(0).isNullAt(2), "intact jpeg decodes")
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2), "corrupt jpeg -> nulls")
+  }
+
   test("extractFeatures decodes and samples fixed-dim pixel features") {
     val f1 = Multimodal.extractFeatures(pngMedia, featureDim = 8, batchSize = 2)
       .select("media_id", "features").orderBy("media_id")
