@@ -2910,6 +2910,22 @@ $fin"""
         .orderBy("bucket")
     }),
 
+    "q251_nb_classifier" -> ((s, d) => {
+      // the fully differential-testable TRAINED classifier: multinomial
+      // NB fit on the English label and scored over the same corpus —
+      // weights, prior and scores are all quantized integers (the q134
+      // floor-ln convention), so training AND inference sit under ONE
+      // hash oracle. Completes the classifier family: q128 scores a
+      // GIVEN weight table, q248 oracles the fit's sufficient
+      // statistics, this one trains end to end. fanOut: the md5 feature
+      // pass is the q134-class row-local cost.
+      graft.ext.Classifier.naiveBayesScores(
+          fanOut(s, t(s, d, "documents"), "doc_id")
+            .withColumn("y", (col("lang") === lit("en")).cast("int")),
+          "doc_id", "text", "y", buckets = 4096)
+        .orderBy("doc_id")
+    }),
+
     "q250_jpeg_roundtrip" -> ((s, d) => {
       // q34's differential codec contract on the SECOND image codec —
       // JPEG, the dominant web-crawl format: text -> REAL JPEG bytes
@@ -6281,6 +6297,37 @@ $fin"""
          SELECT bucket, n_occ, n_pos_occ FROM occ
          UNION ALL SELECT bucket, n_occ, n_pos_occ FROM dc
          ORDER BY bucket""",
+
+    // trained NB replayed end to end: per-bucket floor-ln weights, the
+    // same-quantized prior, integer score sums — the q134 floor argument
+    // makes every number engine-exact
+    "q251_nb_classifier" ->
+      raw"""WITH d AS (SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS tk
+           FROM documents WHERE text IS NOT NULL),
+         fx AS (SELECT doc_id, y,
+             CAST(CAST(concat('0x', substring(md5(unnest(tk)), 1, 8)) AS BIGINT)
+               % 4096 AS INTEGER) AS bucket
+           FROM d),
+         cnt AS (SELECT bucket, count(*) AS n, CAST(sum(y) AS BIGINT) AS p
+           FROM fx GROUP BY 1),
+         model AS (SELECT bucket,
+             CAST(floor(1000.0 * ln(CAST(p + 1 AS DOUBLE)
+               / CAST(n - p + 1 AS DOUBLE))) AS BIGINT) AS w
+           FROM cnt),
+         pri AS (SELECT CAST(floor(1000.0 * ln(CAST(sum(y) + 1 AS DOUBLE)
+               / CAST(count(*) - sum(y) + 1 AS DOUBLE))) AS BIGINT) AS bias
+           FROM d),
+         sc AS (SELECT fx.doc_id, CAST(sum(m.w) AS BIGINT) AS s
+           FROM fx JOIN model m USING (bucket) GROUP BY 1),
+         full_sc AS (SELECT d.doc_id,
+             coalesce(sc.s, 0) + (SELECT bias FROM pri) AS score
+           FROM d LEFT JOIN sc USING (doc_id))
+         SELECT doc_id, CAST(score AS BIGINT) AS score,
+           CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS label
+         FROM full_sc ORDER BY doc_id""",
 
     // the q34 contract on the lossy codec: uniform-gray JPEG round-trips
     // the DC coefficient exactly, so dims AND mean-gray stay predictable

@@ -73,6 +73,54 @@ object Classifier {
     occ.unionByName(docs)
   }
 
+  /** Multinomial Naive Bayes, trained AND scored entirely under the hash
+    * oracle: per-bucket quantized log-likelihood ratios
+    * `floor(scale * ln((pos_b+1)/(neg_b+1)))` (the DSIR convention —
+    * q134's floor argument: a 1-ulp ln disagreement cannot flip the
+    * floor) plus the same-quantized class prior as the score's base.
+    * Unlike [[fit]] (whose sigmoid rounds are spec-asserted), every NB
+    * number is an integer a SQL engine reproduces exactly — the fully
+    * differential-testable end of the classifier family; [[fit]] is the
+    * higher-accuracy iterative end.
+    *
+    * Returns `(idCol, score, label)` with `label = keep/drop` at score 0
+    * (the q128 output convention). Docs with no features score the bare
+    * prior.
+    *
+    * Scale: one feature pass for the counts (map-side combinable,
+    * O(buckets) rows collected), one row-local scoring pass with the
+    * model inlined as an array literal — no scoring join; the corpus
+    * feature frame is localCheckpointed once for the two passes.
+    */
+  def naiveBayesScores(
+      df: DataFrame, idCol: String, textCol: String, labelCol: String,
+      buckets: Int = 4096, scale: Int = 1000): DataFrame = {
+    val base = df.where(col(textCol).isNotNull)
+      .select(col(idCol), tokenBuckets(col(textCol), buckets).as("__f"),
+        col(labelCol).cast("int").as("__y"))
+      .localCheckpoint()
+    val stats = base
+      .select(explode(col("__f")).as("bucket"), col("__y"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).cast("long").as("p"))
+      .collect()
+    def qln(num: Long, den: Long): Long =
+      math.floor(scale.toDouble * math.log(num.toDouble / den)).toLong
+    val w = new Array[Long](buckets)
+    stats.foreach { r =>
+      val (b, n, p) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      w(b) = qln(p + 1, n - p + 1)
+    }
+    val totals = base.agg(count(lit(1)).as("n"),
+      sum(col("__y")).cast("long").as("p")).head()
+    val bias = qln(totals.getLong(1) + 1, totals.getLong(0) - totals.getLong(1) + 1)
+    val score = aggregate(
+      transform(col("__f"), f => element_at(lit(w), f + 1)),
+      lit(bias), (acc, x) => acc + x)
+    base.select(col(idCol), score.as("score"),
+      when(score >= 0, lit("keep")).otherwise(lit("drop")).as("label"))
+  }
+
   /** Fixed-round full-batch logistic regression; returns the quantized
     * `(weights, bias)` ready for `hashedLinearScore(text, weights, bias)`
     * — scores are `scale`-scaled logits (threshold at 0 = p > 1/2).

@@ -79,6 +79,36 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec {
       "quantized weights must not depend on partitioning/aggregation order")
   }
 
+  test("naiveBayesScores matches a driver-side reference and separates the fixture") {
+    val df = fixture(n = 15, seed = 13)
+    val out = Classifier.naiveBayesScores(df, "doc_id", "text", "y",
+        buckets = 4096)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    // independent reference: counts + floor-ln weights computed driver-side
+    val docs = df.as[(Long, String, Int)].collect().sortBy(_._1)
+    val toks = docs.map { case (id, t, y) =>
+      (id, t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        .map(bucketOf(_, 4096)), y) }
+    val cnt = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+    toks.foreach { case (_, bs, y) => bs.foreach { b =>
+      val (n, p) = cnt.getOrElse(b, (0L, 0L)); cnt(b) = (n + 1, p + y) } }
+    def qln(num: Long, den: Long) =
+      math.floor(1000.0 * math.log(num.toDouble / den)).toLong
+    val nPos = docs.count(_._3 == 1).toLong
+    val bias = qln(nPos + 1, docs.length - nPos + 1)
+    val expected = toks.map { case (id, bs, _) =>
+      id -> (bias + bs.map { b =>
+        val (n, p) = cnt(b); qln(p + 1, n - p + 1) }.sum) }.toMap
+    out.foreach { case (id, s, lbl) =>
+      assert(s == expected(id), s"doc $id: engine $s vs reference ${expected(id)}")
+      assert(lbl == (if (s >= 0) "keep" else "drop"))
+    }
+    // and the trained model actually separates the two vocabularies
+    val byClass = out.map(r => r._1 -> r._2).toMap
+    docs.foreach { case (id, _, y) =>
+      if (y == 1) assert(byClass(id) > 0) else assert(byClass(id) < 0) }
+  }
+
   test("fit reduces logistic loss round over round on the fixture") {
     val df = fixture(n = 20, seed = 7)
     def loss(w: Array[Int], bias: Long, scale: Double = 1000.0): Double = {
