@@ -520,6 +520,23 @@ $fin"""
     * — Append mode equals batch row-for-row under any cut): q24's cosine
     * replay restricted to the eval slice, flag on the ROUNDED cosine.
     */
+  /** Shared by q128 (batch classifier gate) and q252 (the same scorer
+    * streamed): the deterministic weight-table scorer replayed in SQL.
+    */
+  private val classifierScoreOracle: String =
+    raw"""WITH toks AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         sc AS (SELECT doc_id,
+             CAST(32 + coalesce(list_sum(list_transform(tk, t ->
+               ((CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT) % 4096)
+                 * 2654435761) % 1024 - 512)), 0) AS BIGINT) AS score
+           FROM toks)
+         SELECT doc_id, score,
+           CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS label
+         FROM sc ORDER BY doc_id"""
+
   private val semanticScreenOracle: String =
     """WITH ev AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS evv
                    FROM embeddings WHERE vec_id % 10 = 0),
@@ -2908,6 +2925,23 @@ $fin"""
             .withColumn("y", (col("lang") === lit("en")).cast("int")),
           "text", "y", buckets = 4096)
         .orderBy("bucket")
+    }),
+
+    "q252_stream_classifier" -> ((s, d) => {
+      // q128's quantized classifier gate applied at INGEST time (the
+      // q232 stateless-Append pattern): the scorer is one row-local
+      // codegen'd fold, so the streamed filter equals the batch one
+      // row-for-row under any cut — q128's oracle gates it verbatim. A
+      // Classifier.fit weight table drops into the same call unchanged.
+      import graft.streaming.CorpusStreams
+      val weights = Array.tabulate(4096)(b =>
+        (((b.toLong * 2654435761L) % 1024L) - 512L).toInt)
+      val staged = CorpusStreams.stageIdSlices(s, s"$d/documents.parquet",
+        "doc_id", cuts = Seq(250))
+      val name = s"graft_stream_clf_${streamCounter.incrementAndGet()}"
+      CorpusStreams.classifierScoreStreaming(s, staged, "doc_id", "text",
+          weights, bias = 32L, name, shufflePartitions = Some(4))
+        .orderBy("doc_id")
     }),
 
     "q251_nb_classifier" -> ((s, d) => {
@@ -7510,19 +7544,11 @@ $fin"""
          FROM st s JOIN ex e USING (source) ORDER BY source""",
     // weight formula mirrors the Scala table: w(b) = (b*2654435761) % 1024 - 512
     // over md5-prefix buckets mod 4096; empty token lists coalesce to 0
-    "q128_quality_classifier" ->
-      raw"""WITH toks AS (SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-               x -> x <> '') AS tk
-           FROM documents),
-         sc AS (SELECT doc_id,
-             CAST(32 + coalesce(list_sum(list_transform(tk, t ->
-               ((CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT) % 4096)
-                 * 2654435761) % 1024 - 512)), 0) AS BIGINT) AS score
-           FROM toks)
-         SELECT doc_id, score,
-           CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS label
-         FROM sc ORDER BY doc_id""",
+    "q128_quality_classifier" -> classifierScoreOracle,
+
+    // q128's scorer streamed: row-local stateless fold, Append == batch
+    // under any cut — the batch oracle gates the stream verbatim
+    "q252_stream_classifier" -> classifierScoreOracle,
     // regex constants (tracking params) interpolated from text.canonicalizeUrl's
     // shared patterns; DuckDB regexp_replace needs the explicit 'g' flag where
     // Spark is global by default

@@ -387,6 +387,39 @@ object CorpusStreams {
     * result equals the batch screen row-for-row under any cut — q228's
     * oracle gates this path verbatim.
     */
+  /** Quantized linear classifier at INGEST time: the
+    * [[graft.functions.text.hashedLinearScore]] fold is one row-local
+    * codegen'd expression over the weight table riding in the plan as an
+    * array literal — no shuffle, no state — so plain Append mode equals
+    * the batch filter row-for-row under any stream cut (the
+    * semantic-screen argument). The batch q128 oracle gates the streamed
+    * scorer verbatim. Works with any exported `(bucket -> int)` table:
+    * a [[graft.ext.Classifier.fit]] result drops in unchanged.
+    */
+  def classifierScoreStreaming(
+      spark: SparkSession, stagedDir: String, idCol: String, textCol: String,
+      weights: Array[Int], bias: Long, queryName: String,
+      shufflePartitions: Option[Int] = None): DataFrame = {
+    val schema = spark.read.parquet(stagedDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+    val scored = stream.select(col(idCol),
+        graft.functions.text.hashedLinearScore(col(textCol), weights, bias)
+          .as("score"))
+      .withColumn("label",
+        when(col("score") >= 0, lit("keep")).otherwise(lit("drop")))
+    EventStreams.withStatePartitions(spark, shufflePartitions) {
+      val q = scored.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    EventStreams.drainMemorySink(spark, queryName)
+  }
+
   def semanticScreenStreaming(
       spark: SparkSession, stagedDir: String, idCol: String, vecCol: String,
       evalVecs: Seq[(Long, Seq[Double])], tau: Double, queryName: String,

@@ -102,6 +102,35 @@ class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streamed classifier scores equal the batch scorer for any batch cut") {
+    import graft.functions.text
+    // a FITTED weight table (not the fixed fixture table) drives the
+    // stream — the fit -> ingest-filter loop the operator exists for
+    val labeled = ((1 to 10).map(i => (i.toLong, "quasar nebula photon", 1)) ++
+      (1 to 10).map(i => ((10 + i).toLong, "turnip carrot potato", 0)))
+      .toDF("doc_id", "text", "y")
+    val (w, bias) = graft.ext.Classifier.fit(labeled, "text", "y",
+      buckets = 512, rounds = 3)
+    val target = (10 to 29).map(i =>
+      (i.toLong, if (i % 2 == 0) s"quasar photon x$i" else s"carrot turnip x$i"))
+    val path = writeDocs(target)
+    val batch = target.toDF("doc_id", "text")
+      .select($"doc_id", text.hashedLinearScore($"text", w, bias).as("score"))
+      .withColumn("label", when($"score" >= 0, "keep").otherwise("drop"))
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    for (cuts <- Seq(Seq(15L), Seq(12L, 24L))) {
+      val staged = CorpusStreams.stageIdSlices(spark, path, "doc_id", cuts)
+      val streamed = CorpusStreams.classifierScoreStreaming(spark, staged,
+        "doc_id", "text", w, bias, s"clf_spec_${cuts.mkString("_")}",
+        shufflePartitions = Some(4))
+        .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+      assert(streamed == batch, s"cuts=$cuts")
+    }
+    // and the fitted gate actually separates the two streams of content
+    assert(batch.forall { case (id, _, lbl) =>
+      lbl == (if (id % 2 == 0) "keep" else "drop") })
+  }
+
   test("streamed heavy hitters equal the batch operator across batch cuts") {
     // zipf-ish corpus: token-i appears ~60/i times across the docs
     val words = (1 to 30).flatMap(i => Seq.fill(60 / i)(s"tok$i"))
