@@ -2927,6 +2927,17 @@ $fin"""
         .orderBy("bucket")
     }),
 
+    "q253_anneal_schedule" -> ((s, d) => {
+      // 3-phase annealed data curriculum (natural proportions -> 3/4 ->
+      // sqrt temperature, 10k units each): quarter-restricted alphas
+      // keep every tempered mass a sqrt chain — correctly-rounded IEEE
+      // ops, so the whole schedule sits under the hash oracle where an
+      // arbitrary pow() could not
+      graft.ext.Mixtures.annealSchedule(t(s, d, "documents"), "source",
+          phases = 3, budgetPerPhase = 10000L)
+        .orderBy("phase", "source")
+    }),
+
     "q252_stream_classifier" -> ((s, d) => {
       // q128's quantized classifier gate applied at INGEST time (the
       // q232 stateless-Append pattern): the scorer is one row-local
@@ -7545,6 +7556,27 @@ $fin"""
     // weight formula mirrors the Scala table: w(b) = (b*2654435761) % 1024 - 512
     // over md5-prefix buckets mod 4096; empty token lists coalesce to 0
     "q128_quality_classifier" -> classifierScoreOracle,
+
+    // the q86 sqrt convention extended to the whole quarter family:
+    // n^(3/4) = sqrt(n)*sqrt(sqrt(n)) is correctly-rounded IEEE in both
+    // engines; phase quarters hardcoded = the exact integer interpolation
+    "q253_anneal_schedule" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         ph AS (SELECT 1 AS phase, 4 AS q
+                UNION ALL SELECT 2, 3 UNION ALL SELECT 3, 2),
+         t AS (SELECT phase, q, source, n,
+             CASE q WHEN 4 THEN CAST(n AS DOUBLE)
+                    WHEN 3 THEN sqrt(n) * sqrt(sqrt(n))
+                    WHEN 2 THEN sqrt(n)
+                    ELSE sqrt(sqrt(n)) END AS tv
+           FROM ph CROSS JOIN c),
+         z AS (SELECT phase, CAST(sum(CAST(tv AS DECIMAL(28,6))) AS DOUBLE) AS z
+           FROM t GROUP BY 1)
+         SELECT t.phase, t.q AS alpha_q, t.source, t.n,
+           round(tv / z.z, 6) AS weight,
+           CAST(round(10000 * tv / z.z) AS BIGINT) AS alloc
+         FROM t JOIN z USING (phase)
+         ORDER BY phase, source""",
 
     // q128's scorer streamed: row-local stateless fold, Append == batch
     // under any cut — the batch oracle gates the stream verbatim

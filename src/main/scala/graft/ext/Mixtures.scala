@@ -99,6 +99,70 @@ object Mixtures {
           .cast("long").as("alloc"))
   }
 
+  /** Multi-phase ANNEALED mixture schedule — the data curriculum modern
+    * pretraining runs ship (start near natural proportions, flatten
+    * toward a tempered mix as training anneals; the per-phase reweighting
+    * face of data-curriculum work a la DoReMi and the miniCPM-style decay
+    * recipes): phase `p` of `phases` applies temperature
+    * `alpha_p = quarters_p / 4`, with `quarters_p` the rounded linear
+    * interpolation from `startQuarters` to `endQuarters`, and allocates
+    * `budgetPerPhase` units under that phase's weights.
+    *
+    * Alphas are restricted to QUARTERS (1.0, 0.75, 0.5, 0.25) on
+    * purpose: `n^(q/4)` factors into sqrt chains (`n^(3/4) =
+    * sqrt(n)*sqrt(sqrt(n))`), and IEEE sqrt/multiply are correctly
+    * rounded — so the tempered masses are bit-identical in any engine,
+    * where an arbitrary `pow(n, 0.63)` is libm-dependent and would break
+    * the oracle (the q86 sqrt convention, extended). The phase
+    * interpolation itself is exact integer arithmetic.
+    *
+    * Returns `(phase, alpha_q, sourceCol, n, weight, alloc)` — one row
+    * per (phase, source); `alpha_q` is the quarter count (4 = natural
+    * proportions). Scale: ONE map-side-combinable aggregation for the
+    * per-source masses; each phase is a projection over that O(sources)
+    * frame against its broadcast normalizer — the corpus is scanned
+    * once regardless of `phases`.
+    */
+  def annealSchedule(
+      df: DataFrame, sourceCol: String, phases: Int,
+      budgetPerPhase: Long, startQuarters: Int = 4, endQuarters: Int = 2,
+      mass: Option[Column] = None): DataFrame = {
+    require(phases >= 1, "phases must be positive")
+    require(budgetPerPhase > 0, "budgetPerPhase must be positive")
+    Seq(startQuarters, endQuarters).foreach(q =>
+      require(q >= 1 && q <= 4, "quarters must be in 1..4"))
+    val counts = df.groupBy(col(sourceCol)).agg(
+      mass.fold(count(lit(1)))(m => sum(m.cast("long"))).as("n"))
+      .localCheckpoint() // O(sources); each phase projects from it
+    def tempered(c: Column, q: Int): Column = q match {
+      case 4 => c.cast("double")
+      case 3 => sqrt(c) * sqrt(sqrt(c))
+      case 2 => sqrt(c)
+      case 1 => sqrt(sqrt(c))
+    }
+    val rows = (1 to phases).map { p =>
+      // rounded linear interpolation, exact integer arithmetic:
+      // HALF_UP((start*(phases-p) + end*(p-1)) / (phases-1))
+      val q =
+        if (phases == 1) startQuarters
+        else {
+          val num = startQuarters.toLong * (phases - p) +
+            endQuarters.toLong * (p - 1)
+          val den = phases - 1L
+          ((2 * num + den) / (2 * den)).toInt
+        }
+      val t = tempered(col("n"), q)
+      val z = counts.agg(
+        sum(t.cast("decimal(28,6)")).cast("double").as("__z"))
+      counts.crossJoin(broadcast(z))
+        .select(lit(p).as("phase"), lit(q).as("alpha_q"), col(sourceCol),
+          col("n"), round(t / col("__z"), 6).as("weight"),
+          round(lit(budgetPerPhase) * t / col("__z"), 0)
+            .cast("long").as("alloc"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+
   /** Capped proportional allocation with surplus redistribution — the
     * "waterfill" a data-constrained training run needs (Muennighoff et
     * al. 2023, arXiv:2305.16264: repeating a source beyond ~4 epochs

@@ -162,6 +162,39 @@ class PackingMixtureSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("annealSchedule: quarter interpolation, per-phase budgets, flattening") {
+    val df = (1 to 80).map(i => (i.toLong, if (i <= 64) "big" else "small"))
+      .toDF("id", "source")
+    val out = Mixtures.annealSchedule(df, "source", phases = 5,
+        budgetPerPhase = 1000L, startQuarters = 4, endQuarters = 1)
+      .orderBy("phase", "source")
+      .as[(Int, Int, String, Long, Double, Long)].collect()
+    // rounded linear interpolation 4 -> 1 over 5 phases: 4,3,3,2,1
+    // (p=3 sits at 2.5 -> HALF_UP 3)
+    assert(out.map(_._2).distinct.toSeq == Seq(4, 3, 3, 2, 1).distinct)
+    assert(out.grouped(2).map(_.head._2).toSeq == Seq(4, 3, 3, 2, 1))
+    // each phase's allocations spend ~the phase budget (per-source
+    // rounding can drift by at most #sources/2)
+    out.groupBy(_._1).foreach { case (p, rows) =>
+      val spent = rows.map(_._6).sum
+      assert(math.abs(spent - 1000L) <= rows.length, s"phase $p spent $spent")
+      val w = rows.map(_._5).sum
+      assert(math.abs(w - 1.0) < 1e-4, s"phase $p weights sum $w")
+    }
+    // phase 1 (alpha 1) is proportional: big gets 64/80 of the budget;
+    // the final sqrt-sqrt phase flattens toward small
+    val p1 = out.filter(_._1 == 1).map(r => r._3 -> r._6).toMap
+    assert(p1("big") == 800L && p1("small") == 200L)
+    val p5 = out.filter(_._1 == 5).map(r => r._3 -> r._6).toMap
+    assert(p5("small") > 200L && p5("big") < 800L,
+      s"annealing must flatten the mix: $p5")
+    // phases=1 degenerates to the start temperature
+    val one = Mixtures.annealSchedule(df, "source", phases = 1,
+        budgetPerPhase = 1000L)
+      .select("alpha_q").distinct().as[Int].collect().toSeq
+    assert(one == Seq(4))
+  }
+
   test("temperatureWeights flattens toward low-resource sources") {
     val rows = Seq.fill(900)(("big", "x")) ++ Seq.fill(100)(("small", "y"))
     val df = rows.toDF("source", "text")
