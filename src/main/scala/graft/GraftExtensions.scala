@@ -68,5 +68,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "char_class_stats(s) takes 1 argument")
         GramHashExpressions.CharClassStats(args.head)
       }))
+    // O(n) alpha=1/2 EWMA prefix scan over an array<double> series — the
+    // recursion SQL higher-order functions cannot express without the
+    // O(n^2) concat fold (see graft.ops.Profile.ewmaHalf)
+    ext.injectFunction((FunctionIdentifier("ewma_half_scan"),
+      info("ewma_half_scan",
+        "ewma_half_scan(xs) - prefix EWMA s_t = (x_t + s_(t-1))/2 over a double array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "ewma_half_scan(xs) takes 1 argument")
+        graft.expressions.ScanExpressions.EwmaHalfScan(args.head)
+      }))
   }
 }

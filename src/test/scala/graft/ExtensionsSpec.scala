@@ -13,11 +13,13 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
       SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
              simhash64('hello world') AS sh,
              size(char_ngram_hash_set('abcdefgh', 3)) AS ng,
-             size(word_shingle_hash_set('a b c d', 2)) AS ws""").head()
+             size(word_shingle_hash_set('a b c d', 2)) AS ws,
+             ewma_half_scan(array(4.0D, 2.0D, 5.0D)) AS ew""").head()
     assert(r.getDouble(0) == 1.0)
     assert(r.getLong(1) != 0L)
     assert(r.getInt(2) == 6)
     assert(r.getInt(3) == 3)
+    assert(r.getSeq[Double](4) == Seq(4.0, 3.0, 4.0))
   }
 
   test("column-composition macros resolve in SQL text") {

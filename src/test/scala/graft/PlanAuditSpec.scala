@@ -442,6 +442,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"q249: no map-side combine in:\n$plan")
   }
 
+  test("q248/q251: classifier fit surfaces — map-side combine; NB scoring has no join") {
+    // the suff-stats aggregation must partial-aggregate (the gradient
+    // rounds' shuffle is (bucket, residual) — bounded by buckets after
+    // map-side combine, not by corpus size)
+    val stats = finalPlan("q248_classifier_stats")
+    assert("HashAggregate".r.findAllIn(stats).size >= 2,
+      s"q248: no map-side combine in:\n$stats")
+    // NB scoring inlines the model as an array literal over the
+    // checkpointed feature frame: no scoring join, no source re-scan
+    val nb = finalPlan("q251_nb_classifier")
+    assert(!nb.contains("SortMergeJoin") && !nb.contains("BroadcastHashJoin"),
+      s"q251: scoring must not join the model:\n$nb")
+    assert(!nb.contains("Scan parquet"),
+      s"q251: scoring re-scans the source instead of the checkpoint:\n$nb")
+  }
+
+  test("q253: anneal schedule scans the corpus once; phases project the count frame") {
+    val plan = finalPlan("q253_anneal_schedule")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"q253: phases must reuse the checkpointed counts, got $scans scans:\n$plan")
+    assert(plan.contains("ExistingRDD"), s"q253: no checkpointed frame in:\n$plan")
+    // each phase's normalizer joins back by broadcast (one scalar row)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"q253: normalizer must broadcast:\n$plan")
+  }
+
   test("q190/q192/q196: event reports aggregate with map-side combine") {
     Seq("q190_cohort_retention", "q192_trend_ols").foreach { q =>
       val plan = finalPlan(q)
