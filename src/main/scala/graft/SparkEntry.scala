@@ -520,6 +520,39 @@ $fin"""
     * — Append mode equals batch row-for-row under any cut): q24's cosine
     * replay restricted to the eval slice, flag on the ROUNDED cosine.
     */
+  /** Shared by q251 (one-shot NB train+score) and q254 (the same model
+    * rebuilt from MERGED per-shard sufficient statistics — additive, so
+    * incremental == one-shot is the operator's contract and one oracle
+    * gates both paths).
+    */
+  private val nbClassifierOracle: String =
+    raw"""WITH d AS (SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS tk
+           FROM documents WHERE text IS NOT NULL),
+         fx AS (SELECT doc_id, y,
+             CAST(CAST(concat('0x', substring(md5(unnest(tk)), 1, 8)) AS BIGINT)
+               % 4096 AS INTEGER) AS bucket
+           FROM d),
+         cnt AS (SELECT bucket, count(*) AS n, CAST(sum(y) AS BIGINT) AS p
+           FROM fx GROUP BY 1),
+         model AS (SELECT bucket,
+             CAST(floor(1000.0 * ln(CAST(p + 1 AS DOUBLE)
+               / CAST(n - p + 1 AS DOUBLE))) AS BIGINT) AS w
+           FROM cnt),
+         pri AS (SELECT CAST(floor(1000.0 * ln(CAST(sum(y) + 1 AS DOUBLE)
+               / CAST(count(*) - sum(y) + 1 AS DOUBLE))) AS BIGINT) AS bias
+           FROM d),
+         sc AS (SELECT fx.doc_id, CAST(sum(m.w) AS BIGINT) AS s
+           FROM fx JOIN model m USING (bucket) GROUP BY 1),
+         full_sc AS (SELECT d.doc_id,
+             coalesce(sc.s, 0) + (SELECT bias FROM pri) AS score
+           FROM d LEFT JOIN sc USING (doc_id))
+         SELECT doc_id, CAST(score AS BIGINT) AS score,
+           CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS label
+         FROM full_sc ORDER BY doc_id"""
+
   /** Shared by q128 (batch classifier gate) and q252 (the same scorer
     * streamed): the deterministic weight-table scorer replayed in SQL.
     */
@@ -2925,6 +2958,26 @@ $fin"""
             .withColumn("y", (col("lang") === lit("en")).cast("int")),
           "text", "y", buckets = 4096)
         .orderBy("bucket")
+    }),
+
+    "q254_nb_incremental" -> ((s, d) => {
+      // incremental classifier refresh: the lower and upper corpus
+      // halves contribute their sufficient statistics SEPARATELY (two
+      // ingest shards), the standing table merges them by per-bucket
+      // summation, and the rebuilt model scores the corpus — bit-equal
+      // to q251's one-shot fit because the stats are additive, so q251's
+      // oracle gates the incremental path verbatim (the q144/q120
+      // incremental == one-shot convention applied to model state).
+      import graft.ext.Classifier
+      val docs = fanOut(s, t(s, d, "documents"), "doc_id")
+        .withColumn("y", (col("lang") === lit("en")).cast("int"))
+      val mid = t(s, d, "documents").agg(max(col("doc_id"))).head().getLong(0) / 2
+      val stats = Classifier.mergeSuffStats(
+        Classifier.suffStats(docs.where(col("doc_id") <= mid), "text", "y"),
+        Classifier.suffStats(docs.where(col("doc_id") > mid), "text", "y"))
+      val (w, bias) = Classifier.nbModel(stats)
+      Classifier.naiveBayesScoreWith(docs, "doc_id", "text", w, bias)
+        .orderBy("doc_id")
     }),
 
     "q253_anneal_schedule" -> ((s, d) => {
@@ -6346,33 +6399,11 @@ $fin"""
     // trained NB replayed end to end: per-bucket floor-ln weights, the
     // same-quantized prior, integer score sums — the q134 floor argument
     // makes every number engine-exact
-    "q251_nb_classifier" ->
-      raw"""WITH d AS (SELECT doc_id,
-             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-               x -> x <> '') AS tk
-           FROM documents WHERE text IS NOT NULL),
-         fx AS (SELECT doc_id, y,
-             CAST(CAST(concat('0x', substring(md5(unnest(tk)), 1, 8)) AS BIGINT)
-               % 4096 AS INTEGER) AS bucket
-           FROM d),
-         cnt AS (SELECT bucket, count(*) AS n, CAST(sum(y) AS BIGINT) AS p
-           FROM fx GROUP BY 1),
-         model AS (SELECT bucket,
-             CAST(floor(1000.0 * ln(CAST(p + 1 AS DOUBLE)
-               / CAST(n - p + 1 AS DOUBLE))) AS BIGINT) AS w
-           FROM cnt),
-         pri AS (SELECT CAST(floor(1000.0 * ln(CAST(sum(y) + 1 AS DOUBLE)
-               / CAST(count(*) - sum(y) + 1 AS DOUBLE))) AS BIGINT) AS bias
-           FROM d),
-         sc AS (SELECT fx.doc_id, CAST(sum(m.w) AS BIGINT) AS s
-           FROM fx JOIN model m USING (bucket) GROUP BY 1),
-         full_sc AS (SELECT d.doc_id,
-             coalesce(sc.s, 0) + (SELECT bias FROM pri) AS score
-           FROM d LEFT JOIN sc USING (doc_id))
-         SELECT doc_id, CAST(score AS BIGINT) AS score,
-           CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS label
-         FROM full_sc ORDER BY doc_id""",
+    "q251_nb_classifier" -> nbClassifierOracle,
+
+    // suff-stats are additive, so the merged-increments model IS the
+    // one-shot model — the same oracle gates the incremental path
+    "q254_nb_incremental" -> nbClassifierOracle,
 
     // the q34 contract on the lossy codec: uniform-gray JPEG round-trips
     // the DC coefficient exactly, so dims AND mean-gray stay predictable

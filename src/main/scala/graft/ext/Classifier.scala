@@ -58,10 +58,13 @@ object Classifier {
     */
   def suffStats(
       df: DataFrame, textCol: String, labelCol: String,
-      buckets: Int = 4096): DataFrame = {
-    val base = df.where(col(textCol).isNotNull)
+      buckets: Int = 4096): DataFrame =
+    suffStatsOf(df.where(col(textCol).isNotNull)
       .select(tokenBuckets(col(textCol), buckets).as("__f"),
-        col(labelCol).cast("int").as("__y"))
+        col(labelCol).cast("int").as("__y")))
+
+  /** [[suffStats]] over an already-featurized `(__f, __y)` frame. */
+  private def suffStatsOf(base: DataFrame): DataFrame = {
     val occ = base
       .select(explode(col("__f")).as("bucket"), col("__y"))
       .groupBy(col("bucket"))
@@ -71,6 +74,57 @@ object Classifier {
       .agg(count(lit(1)).as("n_occ"),
         sum(col("__y")).cast("long").as("n_pos_occ"))
     occ.unionByName(docs)
+  }
+
+  /** Sufficient statistics are ADDITIVE — the whole point of publishing
+    * them as the fit's oracle surface: a new shard's stats merge into the
+    * standing table by plain per-bucket summation, and the refreshed
+    * model is EXACTLY the one-shot refit (no approximation, no decay
+    * knob). The incremental-ingest face of the classifier; the q144/q120
+    * incremental == one-shot house convention.
+    */
+  def mergeSuffStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("bucket"))
+      .agg(sum(col("n_occ")).cast("long").as("n_occ"),
+        sum(col("n_pos_occ")).cast("long").as("n_pos_occ"))
+
+  /** Quantized NB model `(weights, bias)` from a stats frame (the
+    * [[suffStats]] shape, marker rows included) — an O(buckets) collect,
+    * the [[Dsir.importanceScores]] model bound.
+    */
+  def nbModel(
+      stats: DataFrame, buckets: Int = 4096,
+      scale: Int = 1000): (Array[Long], Long) = {
+    def qln(num: Long, den: Long): Long =
+      math.floor(scale.toDouble * math.log(num.toDouble / den)).toLong
+    var nPos = 0L
+    var nNeg = 0L
+    val w = new Array[Long](buckets)
+    stats.collect().foreach { r =>
+      val (b, n, p) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      if (b == -2) nPos = n
+      else if (b == -1) nNeg = n
+      else w(b) = qln(p + 1, n - p + 1)
+    }
+    (w, qln(nPos + 1, nNeg + 1))
+  }
+
+  /** Row-local NB scoring with a prepared model: the weight table rides
+    * in the plan as an array literal — no scoring join, no shuffle.
+    * Returns `(idCol, score, label)`; rows with null text are excluded
+    * (they carry no features to score).
+    */
+  def naiveBayesScoreWith(
+      corpus: DataFrame, idCol: String, textCol: String,
+      weights: Array[Long], bias: Long, buckets: Int = 4096): DataFrame = {
+    require(weights.length == buckets, "weight table must have `buckets` entries")
+    val score = aggregate(
+      transform(tokenBuckets(col(textCol), buckets), f =>
+        element_at(lit(weights), f + 1)),
+      lit(bias), (acc, x) => acc + x)
+    corpus.where(col(textCol).isNotNull)
+      .select(col(idCol), score.as("score"),
+        when(score >= 0, lit("keep")).otherwise(lit("drop")).as("label"))
   }
 
   /** Multinomial Naive Bayes, trained AND scored entirely under the hash
@@ -99,21 +153,7 @@ object Classifier {
       .select(col(idCol), tokenBuckets(col(textCol), buckets).as("__f"),
         col(labelCol).cast("int").as("__y"))
       .localCheckpoint()
-    val stats = base
-      .select(explode(col("__f")).as("bucket"), col("__y"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"), sum(col("__y")).cast("long").as("p"))
-      .collect()
-    def qln(num: Long, den: Long): Long =
-      math.floor(scale.toDouble * math.log(num.toDouble / den)).toLong
-    val w = new Array[Long](buckets)
-    stats.foreach { r =>
-      val (b, n, p) = (r.getInt(0), r.getLong(1), r.getLong(2))
-      w(b) = qln(p + 1, n - p + 1)
-    }
-    val totals = base.agg(count(lit(1)).as("n"),
-      sum(col("__y")).cast("long").as("p")).head()
-    val bias = qln(totals.getLong(1) + 1, totals.getLong(0) - totals.getLong(1) + 1)
+    val (w, bias) = nbModel(suffStatsOf(base.drop(idCol)), buckets, scale)
     val score = aggregate(
       transform(col("__f"), f => element_at(lit(w), f + 1)),
       lit(bias), (acc, x) => acc + x)

@@ -109,6 +109,29 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec {
       if (y == 1) assert(byClass(id) > 0) else assert(byClass(id) < 0) }
   }
 
+  test("mergeSuffStats: sharded stats merge to the one-shot stats; model identical") {
+    val df = fixture(n = 12, seed = 19)
+    val full = Classifier.suffStats(df, "text", "y", buckets = 256)
+      .as[(Int, Long, Long)].collect().toSet
+    // 3-way chain: (shard1 + shard2) + shard3
+    val merged = Classifier.mergeSuffStats(
+        Classifier.mergeSuffStats(
+          Classifier.suffStats(df.where($"doc_id" < 8), "text", "y", 256),
+          Classifier.suffStats(
+            df.where($"doc_id" >= 8 && $"doc_id" < 16), "text", "y", 256)),
+        Classifier.suffStats(df.where($"doc_id" >= 16), "text", "y", 256))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == full, "additive stats must merge exactly")
+    // and the rebuilt model equals the one-shot model
+    val (w1, b1) = Classifier.nbModel(
+      Classifier.suffStats(df, "text", "y", 256), buckets = 256)
+    val (w2, b2) = Classifier.nbModel(Classifier.mergeSuffStats(
+      Classifier.suffStats(df.where($"doc_id" % 2 === 0), "text", "y", 256),
+      Classifier.suffStats(df.where($"doc_id" % 2 === 1), "text", "y", 256)),
+      buckets = 256)
+    assert(w1.toSeq == w2.toSeq && b1 == b2)
+  }
+
   test("fit reduces logistic loss round over round on the fixture") {
     val df = fixture(n = 20, seed = 7)
     def loss(w: Array[Int], bias: Long, scale: Double = 1000.0): Double = {
