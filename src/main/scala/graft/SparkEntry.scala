@@ -2960,6 +2960,26 @@ $fin"""
         .orderBy("bucket")
     }),
 
+    "q255_classifier_auc" -> ((s, d) => {
+      // the evaluation leg of the train->score loop: per-source exact
+      // AUC (rank-sum with full tie handling, integer arithmetic) of the
+      // q251 NB score against the label it was trained on. The source
+      // join is co-keyed with the fanOut partitioning; the AUC window
+      // runs over distinct scores only.
+      import graft.ext.Classifier
+      val docs = fanOut(s, t(s, d, "documents"), "doc_id")
+        .withColumn("y", (col("lang") === lit("en")).cast("int"))
+      val (w, bias) = Classifier.nbModel(
+        Classifier.suffStats(docs, "text", "y"))
+      val scored = Classifier.naiveBayesScoreWith(docs, "doc_id", "text",
+          w, bias)
+        .join(docs.select(col("doc_id"), col("source"), col("y")),
+          Seq("doc_id"))
+      graft.ops.Profile.aucExact(scored, Seq("source"), "score",
+          col("y") === 1)
+        .orderBy("source")
+    }),
+
     "q254_nb_incremental" -> ((s, d) => {
       // incremental classifier refresh: the lower and upper corpus
       // halves contribute their sufficient statistics SEPARATELY (two
@@ -6404,6 +6424,50 @@ $fin"""
     // suff-stats are additive, so the merged-increments model IS the
     // one-shot model — the same oracle gates the incremental path
     "q254_nb_incremental" -> nbClassifierOracle,
+
+    // NB score chain + per-source doubled rank sums: ties carry the
+    // doubled average rank (an integer), so u2 and the 6-dp auc are
+    // engine-exact
+    "q255_classifier_auc" ->
+      raw"""WITH d AS (SELECT doc_id, source,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS tk
+           FROM documents WHERE text IS NOT NULL),
+         fx AS (SELECT doc_id, y,
+             CAST(CAST(concat('0x', substring(md5(unnest(tk)), 1, 8)) AS BIGINT)
+               % 4096 AS INTEGER) AS bucket
+           FROM d),
+         cnt AS (SELECT bucket, count(*) AS n, CAST(sum(y) AS BIGINT) AS p
+           FROM fx GROUP BY 1),
+         model AS (SELECT bucket,
+             CAST(floor(1000.0 * ln(CAST(p + 1 AS DOUBLE)
+               / CAST(n - p + 1 AS DOUBLE))) AS BIGINT) AS w
+           FROM cnt),
+         pri AS (SELECT CAST(floor(1000.0 * ln(CAST(sum(y) + 1 AS DOUBLE)
+               / CAST(count(*) - sum(y) + 1 AS DOUBLE))) AS BIGINT) AS bias
+           FROM d),
+         sc AS (SELECT fx.doc_id, CAST(sum(m.w) AS BIGINT) AS s
+           FROM fx JOIN model m USING (bucket) GROUP BY 1),
+         scored AS (SELECT d.doc_id, d.source, d.y,
+             coalesce(sc.s, 0) + (SELECT bias FROM pri) AS score
+           FROM d LEFT JOIN sc USING (doc_id)),
+         per AS (SELECT source, score, count(*) AS c,
+             CAST(sum(y) AS BIGINT) AS yv
+           FROM scored GROUP BY 1, 2),
+         cum AS (SELECT source, score, c, yv,
+             sum(c) OVER (PARTITION BY source ORDER BY score) AS cc
+           FROM per),
+         agg AS (SELECT source, CAST(sum(yv) AS BIGINT) AS n_pos,
+             CAST(sum(c - yv) AS BIGINT) AS n_neg,
+             CAST(sum(yv * (2 * cc - c + 1)) AS BIGINT) AS r2
+           FROM cum GROUP BY 1)
+         SELECT source, n_pos, n_neg,
+           CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+           CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                ELSE round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                  / (2.0 * n_pos * n_neg), 6) END AS auc
+         FROM agg ORDER BY source""",
 
     // the q34 contract on the lossy codec: uniform-gray JPEG round-trips
     // the DC coefficient exactly, so dims AND mean-gray stay predictable

@@ -481,6 +481,53 @@ object Profile {
     * broadcasts. Features are scored independently (a Scala-level union,
     * |features| is a handful).
     */
+  /** Exact two-class AUC per group via the rank-sum (Mann–Whitney U)
+    * statistic with full tie handling — the classifier-quality readout a
+    * curation run publishes next to its filter thresholds. All rank
+    * arithmetic is integer-exact (the [[ksDrift]] convention): for each
+    * distinct score `v` with `c_v` rows (`y_v` of them positive) and
+    * inclusive cumulative count `cc_v`, the doubled positive rank sum is
+    * `r2 = Σ y_v * (2*cc_v - c_v + 1)` (ties take the doubled average
+    * rank, which is that integer), `u2 = r2 - n_pos*(n_pos+1)` is twice
+    * the U statistic, and `auc = u2 / (2*n_pos*n_neg)` rounded to 6 dp —
+    * the only floating step. A single-class group reports null AUC.
+    *
+    * Returns `(groupCols..., n_pos, n_neg, u2, auc)`. `u2` is a long:
+    * past ~3e9 rows per group it would overflow — the same documented
+    * bound the other long-scaled rank statistics carry.
+    *
+    * Scale: one map-side-combinable (group, score) aggregation shrinks
+    * the window input to distinct scores, then ONE window exchange on
+    * the group key; empty `groupCols` degrades to a single-partition
+    * window over the distinct-score frame — bounded by score
+    * cardinality, not rows (the global-KS caveat).
+    */
+  def aucExact(
+      df: DataFrame, groupCols: Seq[String], scoreCol: String,
+      positive: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val per = df.where(col(scoreCol).isNotNull)
+      .groupBy(g :+ col(scoreCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__c"),
+        count(when(positive, 1)).as("__y"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = per.withColumn("__cc", sum(col("__c")).over(wOrd))
+    val agg0 = cum.groupBy(g: _*)
+      .agg(sum(col("__y")).as("n_pos"),
+        sum(col("__c") - col("__y")).as("n_neg"),
+        sum(col("__y") * (lit(2) * col("__cc") - col("__c") + 1)).as("__r2"))
+    val u2 = col("__r2") - col("n_pos") * (col("n_pos") + 1)
+    agg0.select(g ++ Seq(col("n_pos"), col("n_neg"),
+      u2.cast("long").as("u2"),
+      when(col("n_pos") === 0 || col("n_neg") === 0,
+        lit(null).cast("double"))
+        .otherwise(round(u2.cast("double")
+          / (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc")): _*)
+  }
+
   def giniFeatureScores(
       df: DataFrame, features: Seq[String], target: Column): DataFrame = {
     require(features.nonEmpty, "need at least one feature")

@@ -148,6 +148,38 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
     assert(p13 == out)
   }
 
+  test("aucExact: perfect/inverted/tied separations, brute-force parity, null on one class") {
+    // g=a: perfect separation (pos {3,2} > neg {1,0}) -> 1.0
+    // g=b: inverted -> 0.0; g=c: everything tied -> 0.5
+    // g=d: one class only -> null AUC
+    val d = Seq(
+      ("a", 3L, 1), ("a", 2L, 1), ("a", 1L, 0), ("a", 0L, 0),
+      ("b", 0L, 1), ("b", 5L, 0),
+      ("c", 7L, 1), ("c", 7L, 0), ("c", 7L, 1), ("c", 7L, 0),
+      ("d", 1L, 1), ("d", 2L, 1)).toDF("g", "s", "y")
+    val out = Profile.aucExact(d, Seq("g"), "s", $"y" === 1).orderBy("g")
+      .as[(String, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      ("a", 2L, 2L, 8L, Some(1.0)),
+      ("b", 1L, 1L, 0L, Some(0.0)),
+      ("c", 2L, 2L, 4L, Some(0.5)),
+      ("d", 2L, 0L, 0L, None)))
+    // brute-force parity on a seeded tie-heavy random set:
+    // AUC = (#(pos>neg) + 0.5*#(pos==neg)) / (nPos*nNeg)
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 120).map(_ => (rnd.nextInt(8).toLong, rnd.nextInt(2)))
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val expected = BigDecimal(wins) / (2L * pos.size * neg.size)
+    val global = Profile.aucExact(rows.toDF("s", "y"), Nil, "s", $"y" === 1)
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert(global._1 == pos.size && global._2 == neg.size)
+    assert(global._4.contains(expected.setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
   test("ewmaHalf replays the exact halving recursion per group") {
     val d = Seq(
       ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
