@@ -553,6 +553,50 @@ $fin"""
            CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS label
          FROM full_sc ORDER BY doc_id"""
 
+  /** Shared by q255 (batch AUC readout) and q256 (the same monitor over
+    * a streamed corpus): the NB score chain + doubled rank sums.
+    */
+  private val aucOracle: String =
+    raw"""WITH d AS (SELECT doc_id, source,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS tk
+           FROM documents WHERE text IS NOT NULL),
+         fx AS (SELECT doc_id, y,
+             CAST(CAST(concat('0x', substring(md5(unnest(tk)), 1, 8)) AS BIGINT)
+               % 4096 AS INTEGER) AS bucket
+           FROM d),
+         cnt AS (SELECT bucket, count(*) AS n, CAST(sum(y) AS BIGINT) AS p
+           FROM fx GROUP BY 1),
+         model AS (SELECT bucket,
+             CAST(floor(1000.0 * ln(CAST(p + 1 AS DOUBLE)
+               / CAST(n - p + 1 AS DOUBLE))) AS BIGINT) AS w
+           FROM cnt),
+         pri AS (SELECT CAST(floor(1000.0 * ln(CAST(sum(y) + 1 AS DOUBLE)
+               / CAST(count(*) - sum(y) + 1 AS DOUBLE))) AS BIGINT) AS bias
+           FROM d),
+         sc AS (SELECT fx.doc_id, CAST(sum(m.w) AS BIGINT) AS s
+           FROM fx JOIN model m USING (bucket) GROUP BY 1),
+         scored AS (SELECT d.doc_id, d.source, d.y,
+             coalesce(sc.s, 0) + (SELECT bias FROM pri) AS score
+           FROM d LEFT JOIN sc USING (doc_id)),
+         per AS (SELECT source, score, count(*) AS c,
+             CAST(sum(y) AS BIGINT) AS yv
+           FROM scored GROUP BY 1, 2),
+         cum AS (SELECT source, score, c, yv,
+             sum(c) OVER (PARTITION BY source ORDER BY score) AS cc
+           FROM per),
+         agg AS (SELECT source, CAST(sum(yv) AS BIGINT) AS n_pos,
+             CAST(sum(c - yv) AS BIGINT) AS n_neg,
+             CAST(sum(yv * (2 * cc - c + 1)) AS BIGINT) AS r2
+           FROM cum GROUP BY 1)
+         SELECT source, n_pos, n_neg,
+           CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+           CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                ELSE round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                  / (2.0 * n_pos * n_neg), 6) END AS auc
+         FROM agg ORDER BY source"""
+
   /** Shared by q128 (batch classifier gate) and q252 (the same scorer
     * streamed): the deterministic weight-table scorer replayed in SQL.
     */
@@ -2958,6 +3002,28 @@ $fin"""
             .withColumn("y", (col("lang") === lit("en")).cast("int")),
           "text", "y", buckets = 4096)
         .orderBy("bucket")
+    }),
+
+    "q256_stream_classifier_auc" -> ((s, d) => {
+      // q255's quality readout with the corpus ARRIVING as a stream: the
+      // model pre-fits on the batch corpus (a standing model monitoring
+      // live ingest), scoring is the stateless row-local fold, and the
+      // per-(source, score) counts are additive — one Complete-mode
+      // aggregation equals the batch frame under any cut, the rank-sum
+      // scan runs on the drained counts. q255's oracle gates it verbatim.
+      import graft.ext.Classifier
+      import graft.streaming.CorpusStreams
+      val docs = t(s, d, "documents")
+        .withColumn("y", (col("lang") === lit("en")).cast("int"))
+      val (w, bias) = Classifier.nbModel(
+        Classifier.suffStats(docs, "text", "y"))
+      val staged = CorpusStreams.stageIdSlices(s, s"$d/documents.parquet",
+        "doc_id", cuts = Seq(250))
+      val name = s"graft_stream_auc_${streamCounter.incrementAndGet()}"
+      CorpusStreams.classifierAucStreaming(s, staged, "text", w, bias,
+          "source", col("lang") === lit("en"), name,
+          shufflePartitions = Some(4))
+        .orderBy("source")
     }),
 
     "q255_classifier_auc" -> ((s, d) => {
@@ -6425,49 +6491,14 @@ $fin"""
     // one-shot model — the same oracle gates the incremental path
     "q254_nb_incremental" -> nbClassifierOracle,
 
+    // additive (source, score) counts: Complete-mode streaming equals
+    // the batch frame under any cut — one oracle gates both paths
+    "q256_stream_classifier_auc" -> aucOracle,
+
     // NB score chain + per-source doubled rank sums: ties carry the
     // doubled average rank (an integer), so u2 and the 6-dp auc are
     // engine-exact
-    "q255_classifier_auc" ->
-      raw"""WITH d AS (SELECT doc_id, source,
-             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-               x -> x <> '') AS tk
-           FROM documents WHERE text IS NOT NULL),
-         fx AS (SELECT doc_id, y,
-             CAST(CAST(concat('0x', substring(md5(unnest(tk)), 1, 8)) AS BIGINT)
-               % 4096 AS INTEGER) AS bucket
-           FROM d),
-         cnt AS (SELECT bucket, count(*) AS n, CAST(sum(y) AS BIGINT) AS p
-           FROM fx GROUP BY 1),
-         model AS (SELECT bucket,
-             CAST(floor(1000.0 * ln(CAST(p + 1 AS DOUBLE)
-               / CAST(n - p + 1 AS DOUBLE))) AS BIGINT) AS w
-           FROM cnt),
-         pri AS (SELECT CAST(floor(1000.0 * ln(CAST(sum(y) + 1 AS DOUBLE)
-               / CAST(count(*) - sum(y) + 1 AS DOUBLE))) AS BIGINT) AS bias
-           FROM d),
-         sc AS (SELECT fx.doc_id, CAST(sum(m.w) AS BIGINT) AS s
-           FROM fx JOIN model m USING (bucket) GROUP BY 1),
-         scored AS (SELECT d.doc_id, d.source, d.y,
-             coalesce(sc.s, 0) + (SELECT bias FROM pri) AS score
-           FROM d LEFT JOIN sc USING (doc_id)),
-         per AS (SELECT source, score, count(*) AS c,
-             CAST(sum(y) AS BIGINT) AS yv
-           FROM scored GROUP BY 1, 2),
-         cum AS (SELECT source, score, c, yv,
-             sum(c) OVER (PARTITION BY source ORDER BY score) AS cc
-           FROM per),
-         agg AS (SELECT source, CAST(sum(yv) AS BIGINT) AS n_pos,
-             CAST(sum(c - yv) AS BIGINT) AS n_neg,
-             CAST(sum(yv * (2 * cc - c + 1)) AS BIGINT) AS r2
-           FROM cum GROUP BY 1)
-         SELECT source, n_pos, n_neg,
-           CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
-           CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
-                ELSE round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
-                  / (2.0 * n_pos * n_neg), 6) END AS auc
-         FROM agg ORDER BY source""",
+    "q255_classifier_auc" -> aucOracle,
 
     // the q34 contract on the lossy codec: uniform-gray JPEG round-trips
     // the DC coefficient exactly, so dims AND mean-gray stay predictable

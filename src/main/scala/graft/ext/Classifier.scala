@@ -117,14 +117,24 @@ object Classifier {
   def naiveBayesScoreWith(
       corpus: DataFrame, idCol: String, textCol: String,
       weights: Array[Long], bias: Long, buckets: Int = 4096): DataFrame = {
-    require(weights.length == buckets, "weight table must have `buckets` entries")
-    val score = aggregate(
-      transform(tokenBuckets(col(textCol), buckets), f =>
-        element_at(lit(weights), f + 1)),
-      lit(bias), (acc, x) => acc + x)
+    val score = nbScoreColumn(col(textCol), weights, bias, buckets)
     corpus.where(col(textCol).isNotNull)
       .select(col(idCol), score.as("score"),
         when(score >= 0, lit("keep")).otherwise(lit("drop")).as("label"))
+  }
+
+  /** The NB score as a bare Column — for callers that need to keep their
+    * own projection (e.g. the streamed AUC monitor scoring and grouping
+    * in one stateless pass).
+    */
+  def nbScoreColumn(
+      text: Column, weights: Array[Long], bias: Long,
+      buckets: Int = 4096): Column = {
+    require(weights.length == buckets, "weight table must have `buckets` entries")
+    aggregate(
+      transform(tokenBuckets(text, buckets), f =>
+        element_at(lit(weights), f + 1)),
+      lit(bias), (acc, x) => acc + x)
   }
 
   /** Multinomial Naive Bayes, trained AND scored entirely under the hash

@@ -504,12 +504,26 @@ object Profile {
     */
   def aucExact(
       df: DataFrame, groupCols: Seq[String], scoreCol: String,
-      positive: Column): DataFrame = {
-    val g = groupCols.map(col)
-    val per = df.where(col(scoreCol).isNotNull)
-      .groupBy(g :+ col(scoreCol).as("__v"): _*)
+      positive: Column): DataFrame =
+    aucFromCounts(aucCounts(df, groupCols, scoreCol, positive), groupCols)
+
+  /** The distinct-score counts [[aucExact]] windows over —
+    * `(groupCols..., __v, __c, __y)`. Split out because the counts are
+    * ADDITIVE (the [[ksSideCounts]] argument), which makes the AUC
+    * monitor streamable: a Complete-mode aggregation of them equals the
+    * batch frame under any stream cut.
+    */
+  def aucCounts(
+      df: DataFrame, groupCols: Seq[String], scoreCol: String,
+      positive: Column): DataFrame =
+    df.where(col(scoreCol).isNotNull)
+      .groupBy(groupCols.map(col) :+ col(scoreCol).as("__v"): _*)
       .agg(count(lit(1)).as("__c"),
         count(when(positive, 1)).as("__y"))
+
+  /** The rank-sum scan over pre-built score counts (see [[aucCounts]]). */
+  def aucFromCounts(per: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(g: _*).orderBy(col("__v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

@@ -3,7 +3,7 @@ package graft.streaming
 import java.nio.file.{Files, Path, Paths}
 import java.nio.file.attribute.FileTime
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -418,6 +418,43 @@ object CorpusStreams {
       q.awaitTermination()
     }
     EventStreams.drainMemorySink(spark, queryName)
+  }
+
+  /** Streamed classifier-quality monitor — live AUC of a model's scores
+    * against an arriving labeled stream (the "is the filter still
+    * separating" readout of a continuous ingest). Scoring is the
+    * row-local NB fold (model as an array literal); the per-(group,
+    * score) counts are ADDITIVE, so one Complete-mode aggregation equals
+    * the batch count frame under any cut and the rank-sum scan runs once
+    * on the drained counts (the ksDriftStreaming pattern). The batch
+    * q255 oracle gates the monitor verbatim; state is bounded by groups
+    * x distinct scores.
+    */
+  def classifierAucStreaming(
+      spark: SparkSession, stagedDir: String, textCol: String,
+      weights: Array[Long], bias: Long, groupCol: String, positive: Column,
+      queryName: String, buckets: Int = 4096,
+      shufflePartitions: Option[Int] = None): DataFrame = {
+    val schema = spark.read.parquet(stagedDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+    val scored = stream.where(col(textCol).isNotNull)
+      .select(col(groupCol), positive.as("__pos"),
+        graft.ext.Classifier.nbScoreColumn(
+          col(textCol), weights, bias, buckets).as("score"))
+    val counts = graft.ops.Profile.aucCounts(
+      scored, Seq(groupCol), "score", col("__pos"))
+    EventStreams.withStatePartitions(spark, shufflePartitions) {
+      val q = counts.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.ops.Profile.aucFromCounts(
+      EventStreams.drainMemorySink(spark, queryName), Seq(groupCol))
   }
 
   def semanticScreenStreaming(

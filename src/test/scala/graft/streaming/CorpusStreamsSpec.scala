@@ -131,6 +131,39 @@ class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
       lbl == (if (id % 2 == 0) "keep" else "drop") })
   }
 
+  test("streamed AUC monitor equals the batch readout for any batch cut") {
+    import graft.ops.Profile
+    // two groups with opposite separation so the AUC actually varies
+    val rows = (0 until 24).map { i =>
+      val grp = if (i % 2 == 0) "g1" else "g2"
+      val pos = i % 3 == 0
+      val txt = if (pos ^ (grp == "g2")) s"quasar nebula x$i" else s"turnip carrot x$i"
+      (i.toLong, grp, txt, if (pos) 1 else 0)
+    }
+    val df = rows.toDF("doc_id", "grp", "text", "y")
+    val (w, bias) = graft.ext.Classifier.nbModel(
+      graft.ext.Classifier.suffStats(df, "text", "y", buckets = 512),
+      buckets = 512)
+    val scored = df.select($"grp", $"y",
+      graft.ext.Classifier.nbScoreColumn($"text", w, bias, 512).as("score"))
+    val batch = Profile.aucExact(scored, Seq("grp"), "score", $"y" === 1)
+      .orderBy("grp")
+      .as[(String, Long, Long, Long, Option[Double])].collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_auc_spec")
+    dir.toFile.deleteOnExit()
+    df.coalesce(1).write.parquet(s"$dir/docs")
+    for (cuts <- Seq(Seq(9L), Seq(6L, 17L))) {
+      val staged = CorpusStreams.stageIdSlices(spark, s"$dir/docs", "doc_id", cuts)
+      val streamed = CorpusStreams.classifierAucStreaming(spark, staged,
+        "text", w, bias, "grp", $"y" === 1,
+        s"auc_spec_${cuts.mkString("_")}", buckets = 512,
+        shufflePartitions = Some(4))
+        .orderBy("grp")
+        .as[(String, Long, Long, Long, Option[Double])].collect().toSeq
+      assert(streamed == batch, s"cuts=$cuts")
+    }
+  }
+
   test("streamed heavy hitters equal the batch operator across batch cuts") {
     // zipf-ish corpus: token-i appears ~60/i times across the docs
     val words = (1 to 30).flatMap(i => Seq.fill(60 / i)(s"tok$i"))
