@@ -469,6 +469,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"q253: normalizer must broadcast:\n$plan")
   }
 
+  test("q255: AUC windows over distinct scores only; counts partial-aggregate") {
+    val plan = finalPlan("q255_classifier_auc")
+    // the (group, score) count aggregation must map-side combine BEFORE
+    // the window — the window input is distinct scores, not raw rows
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"q255: no map-side combine before the rank window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q255: cartesian in:\n$plan")
+    // scoring never joins the model (array literal)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q255: unexpected nested-loop join:\n$plan")
+  }
+
   test("q190/q192/q196: event reports aggregate with map-side combine") {
     Seq("q190_cohort_retention", "q192_trend_ols").foreach { q =>
       val plan = finalPlan(q)
