@@ -556,7 +556,10 @@ $fin"""
   /** Shared by q255 (batch AUC readout) and q256 (the same monitor over
     * a streamed corpus): the NB score chain + doubled rank sums.
     */
-  private val aucOracle: String =
+  /** The NB score chain through the per-(source, doc) `scored` frame —
+    * the shared WITH-prefix of the q255/q256 AUC and q257 AP oracles.
+    */
+  private val nbScoredCtes: String =
     raw"""WITH d AS (SELECT doc_id, source,
              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
              list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -582,7 +585,9 @@ $fin"""
            FROM d LEFT JOIN sc USING (doc_id)),
          per AS (SELECT source, score, count(*) AS c,
              CAST(sum(y) AS BIGINT) AS yv
-           FROM scored GROUP BY 1, 2),
+           FROM scored GROUP BY 1, 2)"""
+
+  private val aucOracle: String = nbScoredCtes + raw""",
          cum AS (SELECT source, score, c, yv,
              sum(c) OVER (PARTITION BY source ORDER BY score) AS cc
            FROM per),
@@ -595,6 +600,25 @@ $fin"""
            CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
                 ELSE round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
                   / (2.0 * n_pos * n_neg), 6) END AS auc
+         FROM agg ORDER BY source"""
+
+  /** q257: threshold-based average precision over the same scored frame
+    * — exact integer TP/FP cumulatives, 12-dp-rounded per-threshold
+    * terms decimal-summed, 6-dp final division.
+    */
+  private val apOracle: String = nbScoredCtes + raw""",
+         cum AS (SELECT source, score, c, yv,
+             sum(yv) OVER (PARTITION BY source ORDER BY score DESC) AS tp,
+             sum(c) OVER (PARTITION BY source ORDER BY score DESC) AS nn
+           FROM per),
+         agg AS (SELECT source, CAST(sum(yv) AS BIGINT) AS n_pos,
+             CAST(sum(c - yv) AS BIGINT) AS n_neg,
+             sum(CAST(round(CAST(yv AS DOUBLE) * tp / nn, 12)
+               AS DECIMAL(32,12))) AS s
+           FROM cum GROUP BY 1)
+         SELECT source, n_pos, n_neg,
+           CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                ELSE round(CAST(s AS DOUBLE) / n_pos, 6) END AS ap
          FROM agg ORDER BY source"""
 
   /** Shared by q128 (batch classifier gate) and q252 (the same scorer
@@ -3002,6 +3026,25 @@ $fin"""
             .withColumn("y", (col("lang") === lit("en")).cast("int")),
           "text", "y", buckets = 4096)
         .orderBy("bucket")
+    }),
+
+    "q257_classifier_ap" -> ((s, d) => {
+      // the PR-AUC companion to q255 for rare-positive screens:
+      // threshold-based average precision with ties fully counted —
+      // integer TP/FP cumulatives, per-threshold terms one fixed double
+      // tree rounded to 12 dp then decimal-summed (order-free)
+      import graft.ext.Classifier
+      val docs = fanOut(s, t(s, d, "documents"), "doc_id")
+        .withColumn("y", (col("lang") === lit("en")).cast("int"))
+      val (w, bias) = Classifier.nbModel(
+        Classifier.suffStats(docs, "text", "y"))
+      val scored = Classifier.naiveBayesScoreWith(docs, "doc_id", "text",
+          w, bias)
+        .join(docs.select(col("doc_id"), col("source"), col("y")),
+          Seq("doc_id"))
+      graft.ops.Profile.averagePrecision(scored, Seq("source"), "score",
+          col("y") === 1)
+        .orderBy("source")
     }),
 
     "q256_stream_classifier_auc" -> ((s, d) => {
@@ -6494,6 +6537,9 @@ $fin"""
     // additive (source, score) counts: Complete-mode streaming equals
     // the batch frame under any cut — one oracle gates both paths
     "q256_stream_classifier_auc" -> aucOracle,
+
+    // the same scored frame under the PR lens: tie-robust threshold AP
+    "q257_classifier_ap" -> apOracle,
 
     // NB score chain + per-source doubled rank sums: ties carry the
     // doubled average rank (an integer), so u2 and the 6-dp auc are

@@ -521,6 +521,47 @@ object Profile {
       .agg(count(lit(1)).as("__c"),
         count(when(positive, 1)).as("__y"))
 
+  /** Threshold-based average precision (the PR-AUC companion to
+    * [[aucExact]] — the readout that matters when positives are rare,
+    * e.g. a contamination or PII screen): over distinct scores
+    * DESCENDING, `AP = (1/n_pos) * Σ_v ΔTP_v * P_v` with
+    * `P_v = TP_v / (TP_v + FP_v)` evaluated at each threshold with ties
+    * fully counted (the tie-robust definition that needs no
+    * interpolation choice). TP/FP are exact integer cumulative counts;
+    * each per-threshold term is ONE fixed double tree over exact
+    * integers rounded to 12 dp, the terms sum as exact decimals
+    * (order-free — the giniFeatureScores convention), and the final
+    * divide-by-n_pos rounds to 6 dp. Single-class groups report null.
+    *
+    * Returns `(groupCols..., n_pos, n_neg, ap)`. Scale: identical shape
+    * to [[aucExact]] — one map-side-combinable distinct-score
+    * aggregation, one group-keyed window exchange.
+    */
+  def averagePrecision(
+      df: DataFrame, groupCols: Seq[String], scoreCol: String,
+      positive: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val per = aucCounts(df, groupCols, scoreCol, positive)
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__v").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = per
+      .withColumn("__tp", sum(col("__y")).over(wDesc))
+      .withColumn("__n", sum(col("__c")).over(wDesc))
+    val term = round(col("__y").cast("double") * col("__tp") / col("__n"), 12)
+      .cast("decimal(32,12)")
+    cum.groupBy(g: _*)
+      .agg(sum(col("__y")).as("n_pos"),
+        sum(col("__c") - col("__y")).as("n_neg"),
+        sum(term).as("__s"))
+      .select(g ++ Seq(col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0 || col("n_neg") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("__s").cast("double") / col("n_pos"), 6))
+          .as("ap")): _*)
+  }
+
   /** The rank-sum scan over pre-built score counts (see [[aucCounts]]). */
   def aucFromCounts(per: DataFrame, groupCols: Seq[String]): DataFrame = {
     val g = groupCols.map(col)

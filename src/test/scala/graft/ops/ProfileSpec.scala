@@ -180,6 +180,41 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).toDouble))
   }
 
+  test("averagePrecision: perfect=1, prevalence baseline, brute-force parity") {
+    // perfect separation -> AP 1.0; one class -> null
+    val d = Seq(
+      ("a", 3L, 1), ("a", 2L, 1), ("a", 1L, 0), ("a", 0L, 0),
+      ("d", 1L, 1), ("d", 2L, 1)).toDF("g", "s", "y")
+    val out = Profile.averagePrecision(d, Seq("g"), "s", $"y" === 1)
+      .orderBy("g").as[(String, Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq(("a", 2L, 2L, Some(1.0)), ("d", 2L, 0L, None)))
+    // all-tied scores: one threshold, AP = precision there = prevalence
+    val tied = Seq(("c", 7L, 1), ("c", 7L, 0), ("c", 7L, 0), ("c", 7L, 1))
+      .toDF("g", "s", "y")
+    val t = Profile.averagePrecision(tied, Seq("g"), "s", $"y" === 1).head()
+    assert(t.getDouble(3) == 0.5)
+    // brute-force parity on a seeded tie-heavy set: replay the exact
+    // definition (distinct thresholds desc, 12-dp terms, 6-dp finish)
+    val rnd = new scala.util.Random(37)
+    val rows = (1 to 150).map(_ => (rnd.nextInt(9).toLong, rnd.nextInt(2)))
+    val byScore = rows.groupBy(_._1).toSeq.sortBy(-_._1)
+      .map { case (v, rs) => (v, rs.size.toLong, rs.count(_._2 == 1).toLong) }
+    var tp = 0L; var nn = 0L
+    var terms = BigDecimal(0)
+    byScore.foreach { case (_, c, y) =>
+      tp += y; nn += c
+      terms += BigDecimal(y.toDouble * tp / nn)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val nPos = rows.count(_._2 == 1)
+    val expected = BigDecimal(terms.toDouble / nPos)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val global = Profile.averagePrecision(
+        rows.toDF("s", "y"), Nil, "s", $"y" === 1)
+      .as[(Long, Long, Option[Double])].head()
+    assert(global._3.contains(expected))
+  }
+
   test("ewmaHalf replays the exact halving recursion per group") {
     val d = Seq(
       ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
