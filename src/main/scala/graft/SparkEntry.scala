@@ -151,7 +151,11 @@ object SparkEntry {
     * target half's pair stream). Per-doc stats are row-local, so the
     * batch filter and its streamed face assert ONE string.
     */
-  private val lmStatsOracle: String =
+  /** The bigram-model replay through the per-pair join `j` — the shared
+    * WITH-prefix of the q167/q170 stats oracle and the q258 CCNet
+    * bucket oracle.
+    */
+  private val lmChainCtes: String =
     """WITH mid AS (SELECT max(doc_id) // 2 AS m FROM documents
              WHERE text IS NOT NULL),
          rtok AS (SELECT doc_id,
@@ -178,12 +182,40 @@ object SparkEntry {
              coalesce(u.c_uni, 0) AS cu
            FROM tp p
            LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
-           LEFT JOIN uni u ON p.w1 = u.w)
+           LEFT JOIN uni u ON p.w1 = u.w)"""
+
+  private val lmStatsOracle: String = lmChainCtes + """
          SELECT doc_id, count(*) AS n_pairs,
            CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
            CAST(sum(cb) AS BIGINT) AS sum_bi,
            CAST(sum(cu) AS BIGINT) AS sum_uni
          FROM j GROUP BY doc_id ORDER BY doc_id"""
+
+  /** q258: CCNet-style head/middle/tail buckets per language by the
+    * per-doc bigram fit ratio (one IEEE division), percent-rank
+    * thresholds (ties share a bucket — engine-exact where ntile is not),
+    * exact integer per-bucket rollups.
+    */
+  private val ccnetBucketsOracle: String = lmChainCtes + """,
+         stats AS (SELECT doc_id, count(*) AS n_pairs,
+             CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             CAST(sum(cb) AS BIGINT) AS sum_bi
+           FROM j GROUP BY doc_id),
+         withlang AS (SELECT s.doc_id, s.n_pairs, s.n_hit, s.sum_bi, d.lang,
+             CAST(s.sum_bi AS DOUBLE) / s.n_pairs AS fit
+           FROM stats s JOIN documents d USING (doc_id) WHERE s.n_pairs > 0),
+         pr AS (SELECT *, round(percent_rank() OVER
+             (PARTITION BY lang ORDER BY fit), 6) AS prk
+           FROM withlang),
+         b AS (SELECT lang,
+             CAST(least(floor(prk * 3), 2) AS INTEGER) AS bucket,
+             n_pairs, n_hit, sum_bi
+           FROM pr)
+         SELECT lang, bucket, count(*) AS n_docs,
+           CAST(sum(n_pairs) AS BIGINT) AS pairs,
+           CAST(sum(n_hit) AS BIGINT) AS hits,
+           CAST(sum(sum_bi) AS BIGINT) AS bi_total
+         FROM b GROUP BY 1, 2 ORDER BY lang, bucket"""
 
   /** The token-denominated data-card replay, parameterized on the
     * tokenizer's encode CTE (`words`/`fin` contract): ONE body, so the
@@ -3028,6 +3060,33 @@ $fin"""
         .orderBy("bucket")
     }),
 
+    "q258_ccnet_buckets" -> ((s, d) => {
+      // CCNet's perplexity-bucket recipe on the engine's bigram LM: fit
+      // on the lower-id half (the q167 model), score the upper half,
+      // bucket per LANGUAGE into head/middle/tail by the per-doc fit
+      // ratio (one IEEE division — engine-exact sort key), report exact
+      // integer rollups per bucket. rankBuckets uses percent-rank
+      // thresholds, not ntile, so ties share a bucket in any engine.
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val model = graft.ext.NgramLm.fit(
+        fanOut(s, docs.where(col("doc_id") <= mid), "doc_id", parts = 8),
+        "text", maxBigrams = 500)
+      val scored = graft.ext.NgramLm.score(
+          fanOut(s, docs.where(col("doc_id") > mid), "doc_id", parts = 8),
+          "doc_id", "text", model)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .where(col("n_pairs") > 0)
+        .withColumn("fit", col("sum_bi").cast("double") / col("n_pairs"))
+      graft.ops.Profile.rankBuckets(scored, Seq("lang"), "fit", 3)
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_pairs")).cast("long").as("pairs"),
+          sum(col("n_hit")).cast("long").as("hits"),
+          sum(col("sum_bi")).cast("long").as("bi_total"))
+        .orderBy("lang", "bucket")
+    }),
+
     "q257_classifier_ap" -> ((s, d) => {
       // the PR-AUC companion to q255 for rare-positive screens:
       // threshold-based average precision with ties fully counted —
@@ -5849,6 +5908,10 @@ $fin"""
     // top-500 cut (count desc, bigram asc), then exact integer sums over
     // the target half's pair stream
     "q167_ngram_lm" -> lmStatsOracle,
+
+    // the LM chain + per-language percent-rank buckets over the fit
+    // ratio (one IEEE division as the sort key) — ntile would split ties
+    "q258_ccnet_buckets" -> ccnetBucketsOracle,
 
     // per-group replay: count within source, threshold = that source's
     // token mass — the grouped twin of q162's HAVING

@@ -328,6 +328,26 @@ object Profile {
       .withColumn("pct_rank", round(percent_rank().over(w), 6))
   }
 
+  /** Per-group rank buckets (the CCNet head/middle/tail primitive):
+    * bucket `i` of `nBuckets` holds the rows whose 6-dp-rounded
+    * percent rank falls in `[i/n, (i+1)/n)` (top rank clamps into the
+    * last bucket). Chosen over `ntile` DELIBERATELY: ntile splits equal
+    * counts and therefore separates TIED values by arbitrary order —
+    * engine- and partitioning-dependent — while percent-rank thresholds
+    * keep ties together, so the assignment replays exactly in any
+    * engine. Appends `bucket` (int); null `valCol` rows are dropped
+    * (the [[percentRankNormalize]] contract).
+    */
+  def rankBuckets(
+      df: DataFrame, groupCols: Seq[String], valCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, "need at least 2 buckets")
+    percentRankNormalize(df, groupCols, valCol)
+      .withColumn("bucket",
+        least(floor(col("pct_rank") * nBuckets), lit(nBuckets - 1)).cast("int"))
+      .drop("pct_rank")
+  }
+
   /** Exponentially-weighted moving average per series with alpha = 1/2:
     * `s_1 = x_1; s_t = (x_t + s_(t-1)) / 2` over `(orderCol)` order within
     * each group. Alpha is FIXED at one half on purpose: halving a double

@@ -180,6 +180,27 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).toDouble))
   }
 
+  test("rankBuckets: ties share a bucket; all-tied input lands in one bucket") {
+    val d = (Seq.fill(4)(1) ++ Seq.fill(3)(2) ++ Seq.fill(3)(3)).zipWithIndex
+      .map { case (v, i) => ("g", i.toLong, v) }.toDF("g", "id", "v")
+    val out = Profile.rankBuckets(d, Seq("g"), "v", 3)
+      .select("v", "bucket").distinct().as[(Int, Int)].collect().toMap
+    // pct ranks 0, 4/9, 7/9 -> buckets 0, 1, 2; every tie co-assigned
+    assert(out == Map(1 -> 0, 2 -> 1, 3 -> 2))
+    // the ntile contrast: 6 identical values would be SPLIT 2/2/2 by
+    // ntile (arbitrary order inside the tie) — rank thresholds keep them
+    // together, which is what makes the assignment engine-replayable
+    val tied = Seq.fill(6)(("g", 5)).toDF("g", "v")
+    val b = Profile.rankBuckets(tied, Seq("g"), "v", 3)
+      .select("bucket").distinct().as[Int].collect().toSeq
+    assert(b == Seq(0))
+    // top rank (pct 1.0) clamps into the last bucket, never bucket n
+    val asc = (1 to 5).map(i => ("g", i)).toDF("g", "v")
+    val top = Profile.rankBuckets(asc, Seq("g"), "v", 3)
+      .where($"v" === 5).select("bucket").as[Int].head()
+    assert(top == 2)
+  }
+
   test("averagePrecision: perfect=1, prevalence baseline, brute-force parity") {
     // perfect separation -> AP 1.0; one class -> null
     val d = Seq(
