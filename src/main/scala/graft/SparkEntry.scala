@@ -3060,6 +3060,31 @@ $fin"""
         .orderBy("bucket")
     }),
 
+    "q259_ccnet_pipeline" -> ((s, d) => {
+      // the full CCNet multilingual build as ONE declared plan: LM
+      // bucketing (q258) -> drop the worst-fit tail bucket -> sqrt
+      // temperature mixture over the kept per-language TOKEN mass
+      // (q86's convention, mass-denominated) — the "balance languages
+      // after quality filtering" step every multilingual corpus ships.
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val model = graft.ext.NgramLm.fit(
+        fanOut(s, docs.where(col("doc_id") <= mid), "doc_id", parts = 8),
+        "text", maxBigrams = 500)
+      val scored = graft.ext.NgramLm.score(
+          fanOut(s, docs.where(col("doc_id") > mid), "doc_id", parts = 8),
+          "doc_id", "text", model)
+        .join(docs.select(col("doc_id"), col("lang"), col("text")),
+          Seq("doc_id"))
+        .where(col("n_pairs") > 0)
+        .withColumn("fit", col("sum_bi").cast("double") / col("n_pairs"))
+      val kept = graft.ops.Profile.rankBuckets(scored, Seq("lang"), "fit", 3)
+        .where(col("bucket") >= 1) // bucket 0 = worst LM fit = the tail cut
+      graft.ext.Mixtures.temperatureWeights(kept, "lang", alpha = 0.5,
+          budget = 50000L, mass = Some(text.tokenCount(col("text"))))
+        .orderBy("lang")
+    }),
+
     "q258_ccnet_buckets" -> ((s, d) => {
       // CCNet's perplexity-bucket recipe on the engine's bigram LM: fit
       // on the lower-id half (the q167 model), score the upper half,
@@ -5912,6 +5937,30 @@ $fin"""
     // the LM chain + per-language percent-rank buckets over the fit
     // ratio (one IEEE division as the sort key) — ntile would split ties
     "q258_ccnet_buckets" -> ccnetBucketsOracle,
+
+    // the chain + tail-bucket drop + q86's sqrt temperature over the
+    // kept token mass — the full multilingual build in one CTE chain
+    "q259_ccnet_pipeline" -> (lmChainCtes + raw""",
+         stats AS (SELECT doc_id, count(*) AS n_pairs,
+             CAST(sum(cb) AS BIGINT) AS sum_bi
+           FROM j GROUP BY doc_id),
+         withlang AS (SELECT s.doc_id, d.lang, d.text,
+             CAST(s.sum_bi AS DOUBLE) / s.n_pairs AS fit
+           FROM stats s JOIN documents d USING (doc_id) WHERE s.n_pairs > 0),
+         pr AS (SELECT *, round(percent_rank() OVER
+             (PARTITION BY lang ORDER BY fit), 6) AS prk
+           FROM withlang),
+         keepd AS (SELECT lang, text FROM pr
+           WHERE CAST(least(floor(prk * 3), 2) AS INTEGER) >= 1),
+         c AS (SELECT lang,
+             CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+               x -> x <> ''))) AS BIGINT) AS n
+           FROM keepd GROUP BY lang),
+         z AS (SELECT CAST(sum(CAST(sqrt(n) AS DECIMAL(28,6))) AS DOUBLE) AS z
+           FROM c)
+         SELECT lang, n, round(sqrt(n) / z, 6) AS weight,
+           CAST(round(50000 * sqrt(n) / z) AS BIGINT) AS alloc
+         FROM c, z ORDER BY lang"""),
 
     // per-group replay: count within source, threshold = that source's
     // token mass — the grouped twin of q162's HAVING
