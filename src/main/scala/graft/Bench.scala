@@ -86,8 +86,13 @@ object Bench {
       try {
         val txt = new String(
           java.nio.file.Files.readAllBytes(art.toPath), "UTF-8")
-        // floors (present from r12 on) override the chosen attempt's draw
-        parseQueries(txt) ++ parseFloors(txt)
+        // floors (present from r12 on) override the chosen attempt's draw.
+        // BOTH maps drop non-positive entries (-1 = failed) HERE, before
+        // the cross-artifact min: a -1 from the newest artifact would
+        // otherwise win the min and erase a prior an older artifact still
+        // carries — the next round's gate would then miss a real
+        // regression on that query instead of flagging it.
+        parseQueries(txt).filter(_._2 > 0) ++ parseFloors(txt)
       }
       catch { case _: Throwable => Map.empty[String, Double] }
     }

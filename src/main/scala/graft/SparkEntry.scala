@@ -655,16 +655,21 @@ $fin"""
 
   /** Shared by q128 (batch classifier gate) and q252 (the same scorer
     * streamed): the deterministic weight-table scorer replayed in SQL.
+    * Null text scores NULL (Spark's hashedLinearScore propagates the
+    * null through the fold) and the label falls to 'drop' — the CASE
+    * guard keeps the oracle aligned with the engine on that row instead
+    * of fabricating the bare bias.
     */
   private val classifierScoreOracle: String =
-    raw"""WITH toks AS (SELECT doc_id,
+    raw"""WITH toks AS (SELECT doc_id, text,
              list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                x -> x <> '') AS tk
            FROM documents),
          sc AS (SELECT doc_id,
-             CAST(32 + coalesce(list_sum(list_transform(tk, t ->
-               ((CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT) % 4096)
-                 * 2654435761) % 1024 - 512)), 0) AS BIGINT) AS score
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE CAST(32 + coalesce(list_sum(list_transform(tk, t ->
+                    ((CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT) % 4096)
+                      * 2654435761) % 1024 - 512)), 0) AS BIGINT) END AS score
            FROM toks)
          SELECT doc_id, score,
            CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS label
@@ -3122,10 +3127,9 @@ $fin"""
         .withColumn("y", (col("lang") === lit("en")).cast("int"))
       val (w, bias) = Classifier.nbModel(
         Classifier.suffStats(docs, "text", "y"))
-      val scored = Classifier.naiveBayesScoreWith(docs, "doc_id", "text",
-          w, bias)
-        .join(docs.select(col("doc_id"), col("source"), col("y")),
-          Seq("doc_id"))
+      val scored = docs.where(col("text").isNotNull)
+        .select(col("source"), col("y"),
+          Classifier.nbScoreColumn(col("text"), w, bias).as("score"))
       graft.ops.Profile.averagePrecision(scored, Seq("source"), "score",
           col("y") === 1)
         .orderBy("source")
@@ -3164,10 +3168,12 @@ $fin"""
         .withColumn("y", (col("lang") === lit("en")).cast("int"))
       val (w, bias) = Classifier.nbModel(
         Classifier.suffStats(docs, "text", "y"))
-      val scored = Classifier.naiveBayesScoreWith(docs, "doc_id", "text",
-          w, bias)
-        .join(docs.select(col("doc_id"), col("source"), col("y")),
-          Seq("doc_id"))
+      // score + label columns in ONE projection (nbScoreColumn) — a
+      // naiveBayesScoreWith + join-back would re-scan and re-shuffle the
+      // corpus purely to reattach source/y
+      val scored = docs.where(col("text").isNotNull)
+        .select(col("source"), col("y"),
+          Classifier.nbScoreColumn(col("text"), w, bias).as("score"))
       graft.ops.Profile.aucExact(scored, Seq("source"), "score",
           col("y") === 1)
         .orderBy("source")

@@ -61,7 +61,16 @@ object Classifier {
       buckets: Int = 4096): DataFrame =
     suffStatsOf(df.where(col(textCol).isNotNull)
       .select(tokenBuckets(col(textCol), buckets).as("__f"),
-        col(labelCol).cast("int").as("__y")))
+        labelInt(col(labelCol))))
+
+  /** Label contract shared by every fit/score path: NULL labels count as
+    * NEGATIVE — exactly what the oracles' `CASE WHEN lang = 'en' THEN 1
+    * ELSE 0 END` computes when the predicate is null. Without the
+    * coalesce, a null-label row would group into a NULL marker bucket
+    * (NPE in [[nbModel]]) and silently vanish from [[fit]]'s gradient.
+    */
+  private def labelInt(label: Column): Column =
+    coalesce(label.cast("int"), lit(0)).as("__y")
 
   /** [[suffStats]] over an already-featurized `(__f, __y)` frame. */
   private def suffStatsOf(base: DataFrame): DataFrame = {
@@ -161,7 +170,7 @@ object Classifier {
       buckets: Int = 4096, scale: Int = 1000): DataFrame = {
     val base = df.where(col(textCol).isNotNull)
       .select(col(idCol), tokenBuckets(col(textCol), buckets).as("__f"),
-        col(labelCol).cast("int").as("__y"))
+        labelInt(col(labelCol)))
       .localCheckpoint()
     val (w, bias) = nbModel(suffStatsOf(base.drop(idCol)), buckets, scale)
     val score = aggregate(
@@ -191,7 +200,7 @@ object Classifier {
     // passes (scoring projection + gradient agg) read the checkpoint
     val base = df.where(col(textCol).isNotNull)
       .select(tokenBuckets(col(textCol), buckets).as("__f"),
-        col(labelCol).cast("int").as("__y"))
+        labelInt(col(labelCol)))
       .localCheckpoint()
     val nDocs = base.count()
     require(nDocs > 0, "no labeled rows with non-null text")

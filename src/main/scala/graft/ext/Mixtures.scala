@@ -90,13 +90,25 @@ object Mixtures {
     // map-side-combinable aggregation
     val counts = df.groupBy(col(sourceCol)).agg(
       mass.fold(count(lit(1)))(m => sum(m.cast("long"))).as("n"))
+    temperedAllocation(counts, sourceCol, tempered(col("n")), budget)
+  }
+
+  /** The weight/alloc projection shared by [[temperatureWeights]] and
+    * every [[annealSchedule]] phase — ONE body, so the oracle-critical
+    * normalizer/rounding formulas (exact decimal z sum, 6-dp weight,
+    * 0-dp long alloc) cannot drift between the two operators. `leading`
+    * prepends literal columns (the schedule's phase/alpha_q).
+    */
+  private def temperedAllocation(
+      counts: DataFrame, sourceCol: String, tempered: Column,
+      budget: Long, leading: Seq[Column] = Nil): DataFrame = {
     val z = counts.agg(
-      sum(tempered(col("n")).cast("decimal(28,6)")).cast("double").as("__z"))
+      sum(tempered.cast("decimal(28,6)")).cast("double").as("__z"))
     counts.crossJoin(broadcast(z))
-      .select(col(sourceCol), col("n"),
-        round(tempered(col("n")) / col("__z"), 6).as("weight"),
-        round(lit(budget) * tempered(col("n")) / col("__z"), 0)
-          .cast("long").as("alloc"))
+      .select(leading ++ Seq(col(sourceCol), col("n"),
+        round(tempered / col("__z"), 6).as("weight"),
+        round(lit(budget) * tempered / col("__z"), 0)
+          .cast("long").as("alloc")): _*)
   }
 
   /** Multi-phase ANNEALED mixture schedule — the data curriculum modern
@@ -151,14 +163,8 @@ object Mixtures {
           val den = phases - 1L
           ((2 * num + den) / (2 * den)).toInt
         }
-      val t = tempered(col("n"), q)
-      val z = counts.agg(
-        sum(t.cast("decimal(28,6)")).cast("double").as("__z"))
-      counts.crossJoin(broadcast(z))
-        .select(lit(p).as("phase"), lit(q).as("alpha_q"), col(sourceCol),
-          col("n"), round(t / col("__z"), 6).as("weight"),
-          round(lit(budgetPerPhase) * t / col("__z"), 0)
-            .cast("long").as("alloc"))
+      temperedAllocation(counts, sourceCol, tempered(col("n"), q),
+        budgetPerPhase, Seq(lit(p).as("phase"), lit(q).as("alpha_q")))
     }
     rows.reduce(_ unionByName _)
   }

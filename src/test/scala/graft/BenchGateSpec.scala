@@ -108,4 +108,18 @@ class BenchGateSpec extends AnyFunSuite {
       assert(prior("q999") == 0.50)
     }
   }
+
+  test("a -1 failed-query draw cannot erase an older artifact's prior") {
+    withPinnedDir(Seq("BENCH_r09.json")) { dir =>
+      // r12 claims q12 failed every attempt (-1 in BOTH maps); r09 still
+      // carries q12 at 0.23 — the prior must survive, not vanish through
+      // min(0.23, -1) -> filtered out
+      val r12 =
+        """{"n": 12, "rc": 0, "tail": "...\"queries\":{\"q12\":-1.00},\"floors\":{\"q12\":-1},\"value\":9.9}"}"""
+      Files.write(new File(dir, "BENCH_r12.json").toPath, r12.getBytes("UTF-8"))
+      val prior = Bench.priorTimes(dir)
+      assert(prior.get("q12").contains(0.23),
+        s"failed draw erased the r09 prior: ${prior.get("q12")}")
+    }
+  }
 }

@@ -40,6 +40,23 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(desc.contains("cosine_similarity(a, b)"), s"usage missing in:\n$desc")
   }
 
+  test("ewma_half_scan rejects wrong element types and null elements loudly") {
+    // array<int> must fail ANALYSIS (reading int slots as doubles would
+    // return garbage silently), not produce garbage
+    val te = intercept[Exception] {
+      spark.sql("SELECT ewma_half_scan(array(1, 2, 3))").head()
+    }
+    assert(te.getMessage.contains("ARRAY<DOUBLE>"), te.getMessage)
+    // a null ELEMENT has no recursion state — loud failure, no fabrication
+    val ne = intercept[Exception] {
+      spark.sql(
+        "SELECT ewma_half_scan(array(1.0D, CAST(NULL AS DOUBLE)))").head()
+    }
+    assert(ne.getMessage.contains("null element") ||
+      Option(ne.getCause).exists(_.getMessage.contains("null element")),
+      s"unexpected error: ${ne.getMessage}")
+  }
+
   test("non-literal n is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT char_ngram_hash_set('abc', length('xy'))").head()

@@ -34,19 +34,27 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec {
 
   test("suffStats: exact per-bucket counts + class-size marker rows") {
     val df = Seq(
-      (1L, "aa bb aa", 1), (2L, "bb cc", 0), (3L, "aa", 1),
-      (4L, null.asInstanceOf[String], 0) // null text excluded entirely
+      (1L, "aa bb aa", Some(1)), (2L, "bb cc", Some(0)), (3L, "aa", Some(1)),
+      (4L, null.asInstanceOf[String], Some(0)), // null text excluded entirely
+      (5L, "dd", None) // NULL label counts as negative (the oracle's CASE)
     ).toDF("doc_id", "text", "y")
     val out = Classifier.suffStats(df, "text", "y", buckets = 64)
       .as[(Int, Long, Long)].collect()
       .map { case (b, n, p) => b -> ((n, p)) }.toMap
-    val (ba, bb, bc) = (bucketOf("aa", 64), bucketOf("bb", 64), bucketOf("cc", 64))
-    assert(Set(ba, bb, bc).size == 3, "fixture tokens must not collide")
+    val (ba, bb, bc, bd) = (bucketOf("aa", 64), bucketOf("bb", 64),
+      bucketOf("cc", 64), bucketOf("dd", 64))
+    assert(Set(ba, bb, bc, bd).size == 4, "fixture tokens must not collide")
     assert(out(ba) == ((3L, 3L))) // aa: 3 occurrences, all in positives
     assert(out(bb) == ((2L, 1L))) // bb: one in doc1 (pos), one in doc2 (neg)
     assert(out(bc) == ((1L, 0L)))
-    assert(out(-1) == ((1L, 0L))) // negative docs with text: doc2
+    assert(out(bd) == ((1L, 0L))) // null-label doc5 lands in the negatives
+    assert(out(-1) == ((2L, 0L))) // negative docs with text: doc2, doc5
     assert(out(-2) == ((2L, 2L))) // positive docs: doc1, doc3
+    assert(out.keySet.forall(_ >= -2), "no NULL/stray marker bucket may appear")
+    // and the model build survives the null-label corpus (no NPE)
+    val (_, bias) = Classifier.nbModel(
+      Classifier.suffStats(df, "text", "y", buckets = 64), buckets = 64)
+    assert(bias == math.floor(1000.0 * math.log(3.0 / 3.0)).toLong)
   }
 
   test("fit separates a separable corpus and feeds the q128 scorer end-to-end") {
