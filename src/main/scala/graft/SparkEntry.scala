@@ -3065,6 +3065,19 @@ $fin"""
         .orderBy("bucket")
     }),
 
+    "q260_embedding_covariance" -> ((s, d) => {
+      // the PCA/whitening groundwork and degenerate-dim diagnostic:
+      // exact upper-triangle covariance of the embedding matrix from
+      // decimal moment sums (no mean subtraction — the sums formulation
+      // keeps every cross-row quantity exact; the single rounded double
+      // division is the only floating step). Pair products are emitted
+      // row-locally (no self-join); the shuffle carries O(d²) rows per
+      // partition.
+      graft.ext.Embeddings.covarianceReport(
+          t(s, d, "embeddings"), "embedding", dim = 64)
+        .orderBy("i", "j")
+    }),
+
     "q259_ccnet_pipeline" -> ((s, d) => {
       // the full CCNet multilingual build as ONE declared plan: LM
       // bucketing (q258) -> drop the worst-fit tail bucket -> sqrt
@@ -5943,6 +5956,31 @@ $fin"""
     // the LM chain + per-language percent-rank buckets over the fit
     // ratio (one IEEE division as the sort key) — ntile would split ties
     "q258_ccnet_buckets" -> ccnetBucketsOracle,
+
+    // exact decimal moment sums (per-row double products cast once),
+    // fixed double tree for cov — both engines run the identical IEEE ops
+    "q260_embedding_covariance" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE embedding IS NOT NULL),
+         x AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS i,
+             CAST(round(e[i], 6) AS DECIMAL(18,6)) AS xi
+           FROM (SELECT vec_id, e, unnest(generate_series(1, len(e))) AS i
+                 FROM v)),
+         m1 AS (SELECT i, count(*) AS n, sum(xi) AS sx
+           FROM x GROUP BY i),
+         m2 AS (SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS sxy
+           FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+           GROUP BY 1, 2)
+         SELECT m2.i, m2.j, CAST(ma.n AS BIGINT) AS n,
+           CAST(ma.sx AS DOUBLE) AS sx,
+           CAST(mb.sx AS DOUBLE) AS sy,
+           CAST(m2.sxy AS DOUBLE) AS sxy,
+           round((CAST(ma.n AS DOUBLE) * CAST(m2.sxy AS DOUBLE)
+             - CAST(ma.sx AS DOUBLE) * CAST(mb.sx AS DOUBLE))
+             / (CAST(ma.n AS DOUBLE) * CAST(ma.n AS DOUBLE)), 6) AS cov
+         FROM m2 JOIN m1 ma ON m2.i = ma.i
+                 JOIN m1 mb ON m2.j = mb.i
+         ORDER BY m2.i, m2.j""",
 
     // the chain + tail-bucket drop + q86's sqrt temperature over the
     // kept token mass — the full multilingual build in one CTE chain

@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding-matrix statistics — the PCA/whitening groundwork under the
+  * engine's exactness contract: the covariance of an embedding column
+  * computed from EXACT decimal moment sums, so the matrix (the input to
+  * any eigen/whitening step, and the diagnostic that catches collapsed or
+  * degenerate embedding dims before they poison SemDedup/clustering) is
+  * reproducible bit-for-bit in any engine.
+  */
+object Embeddings {
+
+  /** Upper-triangle covariance report of `vecCol` (dimension `dim`):
+    * one row per dim pair `i <= j` with exact decimal moment sums over
+    * the 6-dp-QUANTIZED coordinates and `cov = (n*Σxy - Σx*Σy) / n²` —
+    * the sums-formulation needs no mean subtraction, so every cross-row
+    * quantity is an exact decimal and the single double division
+    * (rounded to 6 dp) is the only floating step. Diagonal rows are the
+    * per-dim variances: a near-zero entry is a dead dim.
+    *
+    * Quantization is LOAD-BEARING for portability, not a shortcut: a
+    * raw double cast to a high-scale decimal rounds differently across
+    * engines (Spark converts via the shortest decimal representation,
+    * DuckDB via the exact binary expansion — they disagree in the last
+    * digit on float-derived values), while `round(x, 6)` lands both
+    * engines on the same 6-dp decimal, whose products and sums are then
+    * exact — the rounded-cosine convention applied to moments.
+    *
+    * Returns `(i, j, n, sx, sy, sxy, cov)` with the sums cast to double
+    * for the report (they are exact decimals underneath).
+    *
+    * Scale: the d(d+1)/2 pair products are emitted ROW-LOCALLY (one
+    * nested transform per row, no self-join) and aggregated map-side —
+    * the shuffle carries O(d²) rows per partition, not per document;
+    * the O(n·d²) multiply work is inherent to covariance. Rows with
+    * null vectors are excluded; a wrong-length vector fails loudly (a
+    * silent truncation would zero-bias the tail dims).
+    */
+  def covarianceReport(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, "dim must be positive")
+    val vecs = df.select(transform(col(vecCol).cast("array<double>"),
+        x => round(x, 6).cast("decimal(18,6)")).as("__v"))
+      .where(col("__v").isNotNull)
+      .localCheckpoint() // feeds the two moment passes once
+    val bad = vecs.where(size(col("__v")) =!= dim).limit(1).count()
+    require(bad == 0,
+      s"covarianceReport: vector with length != $dim present — mixed " +
+        "embedding models? (silent truncation would bias the tail dims)")
+    // first moments: one posexplode aggregation, d rows out
+    val m1 = vecs.select(posexplode(col("__v")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    // second moments: row-local upper-triangle pair products (exact
+    // decimal x decimal) -> one map-side-combinable (i, j) aggregation,
+    // d(d+1)/2 rows out
+    val pairs = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+      transform(sequence(i, lit(dim - 1)), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col("__v"), i + 1) * element_at(col("__v"), j + 1))
+            .as("xy")))))
+    val m2 = vecs.select(explode(pairs).as("__p"))
+      .select(col("__p.i").as("i"), col("__p.j").as("j"), col("__p.xy"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xy")).as("sxy"))
+    // both moment frames are O(d²) — broadcast joins onto the pair frame
+    // final arithmetic in ONE fixed double tree over the exact decimal
+    // sums (decimal x decimal would hit engine-specific result-scale
+    // rules; decimal -> double casts and the IEEE tree are deterministic
+    // everywhere)
+    val (nD, sxD, syD, sxyD) = (col("n").cast("double"),
+      col("sx").cast("double"), col("sy").cast("double"),
+      col("sxy").cast("double"))
+    m2.join(broadcast(m1.select(col("i"), col("n"), col("sx"))), Seq("i"))
+      .join(broadcast(m1.select(col("i").as("j"), col("sx").as("sy"))), Seq("j"))
+      .select(col("i"), col("j"), col("n"),
+        sxD.as("sx"), syD.as("sy"), sxyD.as("sxy"),
+        round((nD * sxyD - sxD * syD) / (nD * nD), 6).as("cov"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("covarianceReport matches a driver-side reference on quantized coords") {
+    val rnd = new scala.util.Random(43)
+    val dim = 5
+    val rows = (1L to 40L).map(i =>
+      (i, Seq.fill(dim)((rnd.nextDouble() * 4 - 2).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Embeddings.covarianceReport(df, "embedding", dim)
+      .orderBy("i", "j")
+      .select("i", "j", "n", "cov")
+      .as[(Int, Int, Long, Double)].collect().toSeq
+    assert(out.size == dim * (dim + 1) / 2)
+    // reference over the SAME 6-dp quantization, exact BigDecimal sums
+    def q(x: Float) = BigDecimal(x.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val m = rows.map(_._2.map(q))
+    val n = rows.size
+    for ((i, j, nn, cov) <- out) {
+      assert(nn == n)
+      val sx = m.map(_(i)).sum
+      val sy = m.map(_(j)).sum
+      val sxy = m.map(v => v(i) * v(j)).sum
+      val expected = BigDecimal(
+        (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) / (n.toDouble * n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(cov == expected, s"($i,$j): $cov vs $expected")
+    }
+    // diagonal entries are variances: non-negative
+    assert(out.filter(r => r._1 == r._2).forall(_._4 >= 0.0))
+  }
+
+  test("null vectors are excluded; a wrong-length vector fails loudly") {
+    val ok = Seq((1L, Some(Seq(1.0f, 2.0f))), (2L, None),
+      (3L, Some(Seq(0.5f, -1.0f)))).toDF("vec_id", "embedding")
+    val n = Embeddings.covarianceReport(ok, "embedding", 2)
+      .select("n").distinct().as[Long].head()
+    assert(n == 2, "null vec must not count")
+    val mixed = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Embeddings.covarianceReport(mixed, "embedding", 2).collect()
+    }
+    assert(e.getMessage.contains("length != 2"))
+  }
+}
