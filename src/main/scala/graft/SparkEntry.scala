@@ -588,6 +588,32 @@ $fin"""
   /** Shared by q255 (batch AUC readout) and q256 (the same monitor over
     * a streamed corpus): the NB score chain + doubled rank sums.
     */
+  /** The quantized-coordinate covariance chain through the `cv` CTE —
+    * shared by q260 (the report) and q261 (the power-iteration spectral
+    * step over the same matrix).
+    */
+  private val covCtes: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE embedding IS NOT NULL),
+         x AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS i,
+             CAST(round(e[i], 6) AS DECIMAL(18,6)) AS xi
+           FROM (SELECT vec_id, e, unnest(generate_series(1, len(e))) AS i
+                 FROM v)),
+         m1 AS (SELECT i, count(*) AS n, sum(xi) AS sx
+           FROM x GROUP BY i),
+         m2 AS (SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS sxy
+           FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+           GROUP BY 1, 2),
+         cv AS (SELECT m2.i, m2.j, CAST(ma.n AS BIGINT) AS n,
+             CAST(ma.sx AS DOUBLE) AS sx,
+             CAST(mb.sx AS DOUBLE) AS sy,
+             CAST(m2.sxy AS DOUBLE) AS sxy,
+             round((CAST(ma.n AS DOUBLE) * CAST(m2.sxy AS DOUBLE)
+               - CAST(ma.sx AS DOUBLE) * CAST(mb.sx AS DOUBLE))
+               / (CAST(ma.n AS DOUBLE) * CAST(ma.n AS DOUBLE)), 6) AS cov
+           FROM m2 JOIN m1 ma ON m2.i = ma.i
+                   JOIN m1 mb ON m2.j = mb.i)"""
+
   /** The NB score chain through the per-(source, doc) `scored` frame —
     * the shared WITH-prefix of the q255/q256 AUC and q257 AP oracles.
     */
@@ -3063,6 +3089,20 @@ $fin"""
             .withColumn("y", (col("lang") === lit("en")).cast("int")),
           "text", "y", buckets = 4096)
         .orderBy("bucket")
+    }),
+
+    "q261_top_component" -> ((s, d) => {
+      // the dominant embedding direction via 3 oracle-replayable power
+      // rounds over the q260 matrix: exact decimal mat-vec products,
+      // per-round max-normalization (one double division, re-quantized
+      // to 6 dp) — the q222 PageRank iterate convention applied to the
+      // spectral step. Unnormalized on purpose: the unit norm is the
+      // libm sqrt the oracle contract stops before.
+      graft.ext.Embeddings.topComponent(
+          graft.ext.Embeddings.covarianceReport(
+            t(s, d, "embeddings"), "embedding", dim = 64),
+          dim = 64, iters = 3)
+        .orderBy("i")
     }),
 
     "q260_embedding_covariance" -> ((s, d) => {
@@ -5959,28 +5999,35 @@ $fin"""
 
     // exact decimal moment sums (per-row double products cast once),
     // fixed double tree for cov — both engines run the identical IEEE ops
-    "q260_embedding_covariance" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-           FROM embeddings WHERE embedding IS NOT NULL),
-         x AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS i,
-             CAST(round(e[i], 6) AS DECIMAL(18,6)) AS xi
-           FROM (SELECT vec_id, e, unnest(generate_series(1, len(e))) AS i
-                 FROM v)),
-         m1 AS (SELECT i, count(*) AS n, sum(xi) AS sx
-           FROM x GROUP BY i),
-         m2 AS (SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS sxy
-           FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
-           GROUP BY 1, 2)
-         SELECT m2.i, m2.j, CAST(ma.n AS BIGINT) AS n,
-           CAST(ma.sx AS DOUBLE) AS sx,
-           CAST(mb.sx AS DOUBLE) AS sy,
-           CAST(m2.sxy AS DOUBLE) AS sxy,
-           round((CAST(ma.n AS DOUBLE) * CAST(m2.sxy AS DOUBLE)
-             - CAST(ma.sx AS DOUBLE) * CAST(mb.sx AS DOUBLE))
-             / (CAST(ma.n AS DOUBLE) * CAST(ma.n AS DOUBLE)), 6) AS cov
-         FROM m2 JOIN m1 ma ON m2.i = ma.i
-                 JOIN m1 mb ON m2.j = mb.i
-         ORDER BY m2.i, m2.j""",
+    "q260_embedding_covariance" -> (covCtes + """
+         SELECT i, j, n, sx, sy, sxy, cov FROM cv ORDER BY i, j"""),
+
+    // the covariance chain + 3 unrolled power-iteration rounds: decimal
+    // matrix-vector products are exact (scales sized to stay under
+    // DuckDB's precision-38 cap), per-round max-normalization divides in
+    // double and re-quantizes to 6 dp — the q222 PageRank iterate
+    // convention applied to the spectral step
+    "q261_top_component" -> (covCtes + """,
+         M AS (SELECT i, j, CAST(cov AS DECIMAL(18,6)) AS c FROM cv
+               UNION ALL
+               SELECT j, i, CAST(cov AS DECIMAL(18,6)) FROM cv WHERE i <> j),
+         v0 AS (SELECT DISTINCT i, CAST(1.0 AS DECIMAL(18,6)) AS v FROM M),
+         w1 AS (SELECT m.i, sum(m.c * v0.v) AS w
+           FROM M m JOIN v0 ON m.j = v0.i GROUP BY m.i),
+         x1 AS (SELECT max(abs(w)) AS mx FROM w1),
+         v1 AS (SELECT i, CAST(round(CAST(w AS DOUBLE) / CAST(mx AS DOUBLE), 6)
+             AS DECIMAL(18,6)) AS v FROM w1, x1),
+         w2 AS (SELECT m.i, sum(m.c * v1.v) AS w
+           FROM M m JOIN v1 ON m.j = v1.i GROUP BY m.i),
+         x2 AS (SELECT max(abs(w)) AS mx FROM w2),
+         v2 AS (SELECT i, CAST(round(CAST(w AS DOUBLE) / CAST(mx AS DOUBLE), 6)
+             AS DECIMAL(18,6)) AS v FROM w2, x2),
+         w3 AS (SELECT m.i, sum(m.c * v2.v) AS w
+           FROM M m JOIN v2 ON m.j = v2.i GROUP BY m.i),
+         x3 AS (SELECT max(abs(w)) AS mx FROM w3),
+         v3 AS (SELECT i, CAST(round(CAST(w AS DOUBLE) / CAST(mx AS DOUBLE), 6)
+             AS DECIMAL(18,6)) AS v FROM w3, x3)
+         SELECT i, CAST(v AS DOUBLE) AS loading FROM v3 ORDER BY i"""),
 
     // the chain + tail-bucket drop + q86's sqrt temperature over the
     // kept token mass — the full multilingual build in one CTE chain

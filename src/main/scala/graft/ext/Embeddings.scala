@@ -78,4 +78,51 @@ object Embeddings {
         sxD.as("sx"), syD.as("sy"), sxyD.as("sxy"),
         round((nD * sxyD - sxD * syD) / (nD * nD), 6).as("cov"))
   }
+
+  /** Dominant principal direction of a [[covarianceReport]] frame via
+    * `iters` FIXED power-iteration rounds — the oracle-replayable
+    * spectral step (the q222 PageRank iterate convention): every
+    * matrix-vector product is exact decimal arithmetic over the 6-dp
+    * covariance entries and 6-dp iterate components, each round
+    * max-normalizes with ONE double division and re-quantizes to 6 dp.
+    * Starting vector is all-ones (deterministic sign). Returns
+    * `(i, loading)` — the UNNORMALIZED direction (max |component| = 1);
+    * consumers needing a unit vector divide by its norm (libm sqrt,
+    * which is exactly why the contract stops here).
+    *
+    * Scale: the covariance frame is O(d²) — collected to the driver
+    * like every model-sized frame (the Ivf/Pq codebook bound); the
+    * iteration is O(iters·d²) driver work, microseconds at embedding
+    * dims. Fails loudly on an all-zero matrix (no direction exists).
+    */
+  def topComponent(
+      cov: DataFrame, dim: Int, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val spark = cov.sparkSession
+    val c = Array.ofDim[java.math.BigDecimal](dim, dim)
+    val zero = java.math.BigDecimal.ZERO
+    for (i <- 0 until dim; j <- 0 until dim) c(i)(j) = zero
+    cov.select(col("i"), col("j"), col("cov")).collect().foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      // valueOf(double) = shortest decimal representation = the exact
+      // 6-dp value round(.., 6) produced (the localPageRank convention)
+      val v = java.math.BigDecimal.valueOf(r.getDouble(2))
+      c(i)(j) = v; c(j)(i) = v
+    }
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+    var v = Array.fill(dim)(java.math.BigDecimal.ONE)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim) { i =>
+        (0 until dim).foldLeft(zero)((acc, j) => acc.add(c(i)(j).multiply(v(j))))
+      }
+      val mx = w.map(_.abs).max
+      require(mx.signum != 0,
+        "topComponent: zero covariance matrix — no principal direction")
+      v = w.map(x => r6(x.doubleValue() / mx.doubleValue()))
+    }
+    import spark.implicits._
+    v.zipWithIndex.map { case (x, i) => (i, x.doubleValue()) }
+      .toSeq.toDF("i", "loading")
+  }
 }

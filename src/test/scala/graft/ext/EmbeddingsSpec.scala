@@ -37,6 +37,30 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter(r => r._1 == r._2).forall(_._4 >= 0.0))
   }
 
+  test("topComponent recovers known dominant directions; zero matrix fails loudly") {
+    // diagonal matrix, dim 2 dominant: loading -> e_2 (max-normalized)
+    val diag = Seq((0, 0, 5.0), (1, 1, 2.0), (2, 2, 9.0), (0, 1, 0.0),
+      (0, 2, 0.0), (1, 2, 0.0)).toDF("i", "j", "cov")
+    val d = Embeddings.topComponent(diag, dim = 3, iters = 5)
+      .orderBy("i").as[(Int, Double)].collect().map(_._2)
+    assert(d(2) == 1.0 && math.abs(d(0)) < 0.1 && math.abs(d(1)) < 0.15,
+      d.toSeq.toString)
+    // rank-1 matrix u*u^T with u = (1, 2, -2): one round suffices; the
+    // max-normalized loading is u / max|u| = (0.5, 1, -1) exactly
+    val u = Seq(1.0, 2.0, -2.0)
+    val r1 = (for (i <- 0 until 3; j <- i until 3)
+      yield (i, j, u(i) * u(j))).toDF("i", "j", "cov")
+    val l = Embeddings.topComponent(r1, dim = 3, iters = 3)
+      .orderBy("i").as[(Int, Double)].collect().map(_._2).toSeq
+    assert(l == Seq(0.5, 1.0, -1.0), l.toString)
+    // all-zero covariance has no direction: loud failure
+    val z = Seq((0, 0, 0.0), (0, 1, 0.0), (1, 1, 0.0)).toDF("i", "j", "cov")
+    val e = intercept[IllegalArgumentException] {
+      Embeddings.topComponent(z, dim = 2)
+    }
+    assert(e.getMessage.contains("zero covariance"))
+  }
+
   test("null vectors are excluded; a wrong-length vector fails loudly") {
     val ok = Seq((1L, Some(Seq(1.0f, 2.0f))), (2L, None),
       (3L, Some(Seq(0.5f, -1.0f)))).toDF("vec_id", "embedding")
