@@ -3091,6 +3091,21 @@ $fin"""
         .orderBy("bucket")
     }),
 
+    "q262_pca_projection" -> ((s, d) => {
+      // the PCA loop closed: every embedding's coordinate along the
+      // q261 dominant direction — 6-dp coordinates times 6-dp loadings
+      // summed as exact decimals, so the per-doc projection sits under
+      // the hash oracle end to end (matrix -> direction -> projection)
+      val loadings = graft.ext.Embeddings.topComponent(
+          graft.ext.Embeddings.covarianceReport(
+            t(s, d, "embeddings"), "embedding", dim = 64),
+          dim = 64, iters = 3)
+        .orderBy("i").collect().map(_.getDouble(1)).toSeq
+      graft.ext.Embeddings.projectOnto(
+          t(s, d, "embeddings"), "vec_id", "embedding", loadings)
+        .orderBy("vec_id")
+    }),
+
     "q261_top_component" -> ((s, d) => {
       // the dominant embedding direction via 3 oracle-replayable power
       // rounds over the q260 matrix: exact decimal mat-vec products,
@@ -6028,6 +6043,33 @@ $fin"""
          v3 AS (SELECT i, CAST(round(CAST(w AS DOUBLE) / CAST(mx AS DOUBLE), 6)
              AS DECIMAL(18,6)) AS v FROM w3, x3)
          SELECT i, CAST(v AS DOUBLE) AS loading FROM v3 ORDER BY i"""),
+
+    // the full chain once more + the per-doc exact decimal dot product
+    // with the round-3 iterate — matrix -> direction -> projection under
+    // one oracle
+    "q262_pca_projection" -> (covCtes + """,
+         M AS (SELECT i, j, CAST(cov AS DECIMAL(18,6)) AS c FROM cv
+               UNION ALL
+               SELECT j, i, CAST(cov AS DECIMAL(18,6)) FROM cv WHERE i <> j),
+         v0 AS (SELECT DISTINCT i, CAST(1.0 AS DECIMAL(18,6)) AS v FROM M),
+         w1 AS (SELECT m.i, sum(m.c * v0.v) AS w
+           FROM M m JOIN v0 ON m.j = v0.i GROUP BY m.i),
+         x1 AS (SELECT max(abs(w)) AS mx FROM w1),
+         v1 AS (SELECT i, CAST(round(CAST(w AS DOUBLE) / CAST(mx AS DOUBLE), 6)
+             AS DECIMAL(18,6)) AS v FROM w1, x1),
+         w2 AS (SELECT m.i, sum(m.c * v1.v) AS w
+           FROM M m JOIN v1 ON m.j = v1.i GROUP BY m.i),
+         x2 AS (SELECT max(abs(w)) AS mx FROM w2),
+         v2 AS (SELECT i, CAST(round(CAST(w AS DOUBLE) / CAST(mx AS DOUBLE), 6)
+             AS DECIMAL(18,6)) AS v FROM w2, x2),
+         w3 AS (SELECT m.i, sum(m.c * v2.v) AS w
+           FROM M m JOIN v2 ON m.j = v2.i GROUP BY m.i),
+         x3 AS (SELECT max(abs(w)) AS mx FROM w3),
+         v3 AS (SELECT i, CAST(round(CAST(w AS DOUBLE) / CAST(mx AS DOUBLE), 6)
+             AS DECIMAL(18,6)) AS v FROM w3, x3)
+         SELECT x.vec_id, CAST(sum(x.xi * v3.v) AS DOUBLE) AS proj
+         FROM x JOIN v3 USING (i)
+         GROUP BY x.vec_id ORDER BY x.vec_id"""),
 
     // the chain + tail-bucket drop + q86's sqrt temperature over the
     // kept token mass — the full multilingual build in one CTE chain

@@ -79,6 +79,36 @@ object Embeddings {
         round((nD * sxyD - sxD * syD) / (nD * nD), 6).as("cov"))
   }
 
+  /** Row-local projection of every embedding onto a fixed direction —
+    * the per-document coordinate along a [[topComponent]] axis (the
+    * "outlier along the dominant direction" readout, and the 1-D
+    * whitening step). Exact by construction: 6-dp-quantized coordinates
+    * times the 6-dp loading literals, summed as one fixed decimal
+    * expression tree (decimal addition is exact, so the tree equals any
+    * SQL engine's aggregate over the same products). Returns
+    * `(idCol, proj)` with `proj` the exact decimal cast to double;
+    * null vectors are excluded.
+    */
+  def projectOnto(
+      df: DataFrame, idCol: String, vecCol: String,
+      loadings: Seq[Double]): DataFrame = {
+    require(loadings.nonEmpty, "empty direction")
+    val v = col(vecCol).cast("array<double>")
+    // each partial sum is pinned back to decimal(28,12): Spark's decimal
+    // ADD grows precision per step, and a 64-term tree blows past the
+    // 38 cap where allowPrecisionLoss silently truncates the scale (a
+    // 6-dp result was observed); the re-cast is exact at these
+    // magnitudes (|term| < 1e6) and keeps every step full-scale
+    val terms = loadings.zipWithIndex.map { case (l, i) =>
+      (round(element_at(v, i + 1), 6).cast("decimal(18,6)") *
+        lit(l).cast("decimal(18,6)")).cast("decimal(28,12)")
+    }
+    df.where(v.isNotNull)
+      .select(col(idCol),
+        terms.reduce((a, b) => (a + b).cast("decimal(28,12)"))
+          .cast("double").as("proj"))
+  }
+
   /** Dominant principal direction of a [[covarianceReport]] frame via
     * `iters` FIXED power-iteration rounds — the oracle-replayable
     * spectral step (the q222 PageRank iterate convention): every

@@ -61,6 +61,24 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("zero covariance"))
   }
 
+  test("projectOnto: exact decimal dot product with quantized coordinates") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, -1.0f)),
+      (2L, Seq(0.5f, 0.25f, 4.0f))).toDF("vec_id", "embedding")
+    val out = Embeddings.projectOnto(df, "vec_id", "embedding",
+        Seq(0.5, 1.0, -1.0))
+      .orderBy("vec_id").as[(Long, Double)].collect().toSeq
+    // doc1: 0.5*0.5 + 2*1 + (-1)*(-1) = 3.25; doc2: 0.25 + 0.25 - 4 = -3.5
+    assert(out == Seq((1L, 3.25), (2L, -3.5)), out.toString)
+    // a 64-term sum must NOT lose scale to decimal-precision clamping:
+    // 64 equal terms of 0.000001 * 1.0 sum to exactly 0.000064
+    val wide = Seq((1L, Seq.fill(64)(0.000001f))).toDF("vec_id", "embedding")
+    val p = Embeddings.projectOnto(wide, "vec_id", "embedding",
+        Seq.fill(64)(1.0))
+      .as[(Long, Double)].head()._2
+    assert(p == 0.000064, s"scale lost in the wide sum: $p")
+  }
+
   test("null vectors are excluded; a wrong-length vector fails loudly") {
     val ok = Seq((1L, Some(Seq(1.0f, 2.0f))), (2L, None),
       (3L, Some(Seq(0.5f, -1.0f)))).toDF("vec_id", "embedding")
