@@ -68,8 +68,8 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
     val out = Embeddings.projectOnto(df, "vec_id", "embedding",
         Seq(0.5, 1.0, -1.0))
       .orderBy("vec_id").as[(Long, Double)].collect().toSeq
-    // doc1: 0.5*0.5 + 2*1 + (-1)*(-1) = 3.25; doc2: 0.25 + 0.25 - 4 = -3.5
-    assert(out == Seq((1L, 3.25), (2L, -3.5)), out.toString)
+    // doc1: 1*0.5 + 2*1 + (-1)*(-1) = 3.5; doc2: 0.25 + 0.25 - 4 = -3.5
+    assert(out == Seq((1L, 3.5), (2L, -3.5)), out.toString)
     // a 64-term sum must NOT lose scale to decimal-precision clamping:
     // 64 equal terms of 0.000001 * 1.0 sum to exactly 0.000064
     val wide = Seq((1L, Seq.fill(64)(0.000001f))).toDF("vec_id", "embedding")
