@@ -614,6 +614,27 @@ $fin"""
            FROM m2 JOIN m1 ma ON m2.i = ma.i
                    JOIN m1 mb ON m2.j = mb.i)"""
 
+  /** The SQ8 quantization chain through the per-(vec, dim) `cd` code
+    * frame — shared by q263 (the fidelity report) and q264 (the
+    * integer-dot ANN): 6-dp coordinates, exact decimal per-dim ranges,
+    * one double division + `floor(r + 0.5)` per code (identical IEEE ops
+    * in both engines — the `Sq8.codes` contract).
+    */
+  private val sq8Ctes: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE embedding IS NOT NULL),
+         x AS (SELECT vec_id, i,
+             CAST(round(e[i], 6) AS DECIMAL(18,6)) AS xq
+           FROM (SELECT vec_id, e, unnest(generate_series(1, len(e))) AS i
+                 FROM v)),
+         rg AS (SELECT i, min(xq) AS lo, max(xq) AS hi FROM x GROUP BY i),
+         cd AS (SELECT vec_id, x.i, xq, lo, hi,
+             CASE WHEN hi = lo THEN 0
+                  ELSE LEAST(255, GREATEST(0,
+                    CAST(floor(CAST((xq - lo) * 255 AS DOUBLE)
+                      / CAST(hi - lo AS DOUBLE) + 0.5) AS INTEGER))) END AS code
+           FROM x JOIN rg USING (i))"""
+
   /** The NB score chain through the per-(source, doc) `scored` frame —
     * the shared WITH-prefix of the q255/q256 AUC and q257 AP oracles.
     */
@@ -3089,6 +3110,29 @@ $fin"""
             .withColumn("y", (col("lang") === lit("en")).cast("int")),
           "text", "y", buckets = 4096)
         .orderBy("bucket")
+    }),
+
+    "q263_sq8_report" -> ((s, d) => {
+      // SQ8 scalar quantization fidelity card: per-dim corpus ranges ->
+      // one byte per coordinate -> per-doc code stats (integer-exact) +
+      // reconstruction error as an exact decimal sum — the first rung of
+      // the quantization ladder (4x memory vs float32), under the strict
+      // hash oracle
+      graft.ext.Sq8.quantizeReport(
+          t(s, d, "embeddings"), "vec_id", "embedding", dim = 64)
+        .orderBy("vec_id")
+    }),
+
+    "q264_sq8_ann" -> ((s, d) => {
+      // SQ8 ANN: corpus and probes quantized against the CORPUS ranges,
+      // candidates scored by the INTEGER dot product of code arrays on
+      // the GroupTopK heap — the engine's first ANN path whose end-to-end
+      // top-k is hash-oracled (integer scores leave no rounding
+      // convention to disagree on)
+      val emb = t(s, d, "embeddings")
+      graft.ext.Sq8.topK(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", "vec_id", dim = 64, k = 5)
+        .orderBy("query_id", "rank")
     }),
 
     "q262_pca_projection" -> ((s, d) => {
@@ -6016,6 +6060,38 @@ $fin"""
     // fixed double tree for cov — both engines run the identical IEEE ops
     "q260_embedding_covariance" -> (covCtes + """
          SELECT i, j, n, sx, sy, sxy, cov FROM cv ORDER BY i, j"""),
+
+    // the SQ8 chain + per-doc rollup: integer code stats and the exact
+    // decimal |x - round(dequant, 6)| sum — order-free, engine-exact
+    "q263_sq8_report" -> (sq8Ctes + """,
+         er AS (SELECT vec_id, code,
+             abs(xq - CAST(round(CASE WHEN hi = lo THEN CAST(lo AS DOUBLE)
+                 ELSE CAST(lo AS DOUBLE) + CAST(code AS DOUBLE) / 255.0
+                   * CAST(hi - lo AS DOUBLE) END, 6)
+               AS DECIMAL(18,6))) AS err
+           FROM cd)
+         SELECT vec_id, CAST(sum(code) AS BIGINT) AS sum_code,
+           CAST(min(code) AS INTEGER) AS min_code,
+           CAST(max(code) AS INTEGER) AS max_code,
+           CAST(sum(err) AS DOUBLE) AS recon_err
+         FROM er GROUP BY vec_id ORDER BY vec_id"""),
+
+    // the SQ8 chain + integer dot products over code arrays and a
+    // row_number top-k — ranking is tie-broken on (score desc, id asc),
+    // a total order over integers: hash-exact ANN
+    "q264_sq8_ann" -> (sq8Ctes + """,
+         q AS (SELECT vec_id AS query_id, i, code AS qc FROM cd
+               WHERE vec_id < 10),
+         s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+             CAST(sum(CAST(q.qc AS BIGINT) * c.code) AS BIGINT) AS score
+           FROM cd c JOIN q ON c.i = q.i AND c.vec_id <> q.query_id
+           GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+           FROM s)
+         SELECT query_id, neighbor_id, score, rank FROM r
+         WHERE rank <= 5 ORDER BY query_id, rank"""),
 
     // the covariance chain + 3 unrolled power-iteration rounds: decimal
     // matrix-vector products are exact (scales sized to stay under

@@ -1,0 +1,162 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SQ8 scalar quantization of an embedding column — the third ANN memory
+  * tier beside IVF (`Ivf.scala`) and PQ (`Pq.scala`): each coordinate is
+  * mapped to one byte against per-dimension corpus min/max ranges, cutting
+  * vector storage 4× (float32) / 8× (float64) while keeping per-dimension
+  * resolution (PQ shares codebooks across dims; SQ8 keeps dims independent,
+  * the standard first rung of the FAISS-style quantization ladder).
+  *
+  * Everything here sits under the STRICT hash oracle — unlike float-cosine
+  * ANN (q24's score ties on doubles, q25/q51's recall specs), the SQ8
+  * search scores are INTEGER dot products over integer codes, so ranking,
+  * ties, and totals are engine-exact with no rounding convention at all:
+  * the first ANN path in the engine whose end-to-end top-k is
+  * differentially tested, not recall-tested.
+  *
+  * Determinism of the quantizer itself follows the covariance convention
+  * (`Embeddings.covarianceReport`): coordinates are 6-dp-quantized
+  * decimals, ranges are exact decimal min/max, `(x - lo) * 255` is exact
+  * decimal arithmetic, and the single floating step per coordinate is one
+  * double division + `floor(r + 0.5)` — identical IEEE ops in any engine
+  * (floor of a double is exact; HALF_UP via `+ 0.5` avoids engine-specific
+  * `round(double)` tie handling).
+  *
+  * Scale: ranges are an O(dim) frame collected to the driver (the
+  * Ivf/Pq/Classifier model bound) and inlined as array literals — corpus
+  * and query quantization are row-local projections with NO join; the
+  * search is a broadcast nested-loop against the bounded probe set feeding
+  * the GroupTopK heap, so the corpus never shuffles.
+  */
+object Sq8 {
+
+  private val Lo = "__sq8_lo"
+  private val Hi = "__sq8_hi"
+
+  /** Per-dimension corpus ranges `(i, lo, hi)` over the 6-dp-quantized
+    * coordinates, 0-based dims, exact `decimal(18,6)` bounds. Null vectors
+    * are excluded; a wrong-length vector fails loudly (the
+    * `covarianceReport` contract — silent truncation would leave tail dims
+    * with degenerate ranges).
+    */
+  def dimRanges(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, "dim must be positive")
+    val vecs = df.select(transform(col(vecCol).cast("array<double>"),
+        x => round(x, 6).cast("decimal(18,6)")).as("__v"))
+      .where(col("__v").isNotNull)
+    val bad = vecs.where(size(col("__v")) =!= dim).limit(1).count()
+    require(bad == 0,
+      s"Sq8.dimRanges: vector with length != $dim present — mixed " +
+        "embedding models? (a truncated vector would fake a degenerate dim)")
+    vecs.select(posexplode(col("__v")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+  }
+
+  /** Collected [[dimRanges]] as `(lo, hi)` decimal arrays in dim order —
+    * the O(dim) model collect, inlined downstream as literals.
+    */
+  def collectRanges(df: DataFrame, vecCol: String, dim: Int)
+      : (Seq[java.math.BigDecimal], Seq[java.math.BigDecimal]) = {
+    val rows = dimRanges(df, vecCol, dim).orderBy("i").collect()
+    require(rows.length == dim, s"Sq8.collectRanges: ${rows.length} dims " +
+      s"materialized, expected $dim — empty corpus?")
+    (rows.map(_.getDecimal(1).stripTrailingZeros.setScale(6)).toSeq,
+      rows.map(_.getDecimal(2).stripTrailingZeros.setScale(6)).toSeq)
+  }
+
+  /** Row-local byte-code array for `vecCol` against range literals:
+    * `code_i = clamp(floor((x_i - lo_i) * 255 / (hi_i - lo_i) + 0.5), 0,
+    * 255)`; a degenerate dim (`hi == lo`) codes 0. Clamping makes the
+    * quantizer total for out-of-range probes (queries quantized against
+    * corpus ranges). Codes are `array<int>` (byte semantics, int storage —
+    * the arithmetic downstream is long anyway).
+    */
+  def codes(vecCol: Column,
+      lo: Seq[java.math.BigDecimal], hi: Seq[java.math.BigDecimal]): Column = {
+    require(lo.nonEmpty && lo.size == hi.size, "range literals misaligned")
+    val loLit = array(lo.map(l => lit(l).cast("decimal(18,6)")): _*)
+    val hiLit = array(hi.map(h => lit(h).cast("decimal(18,6)")): _*)
+    val v = vecCol.cast("array<double>")
+    transform(sequence(lit(0), lit(lo.size - 1)), i => {
+      val x = round(element_at(v, i + 1), 6).cast("decimal(18,6)")
+      val l = element_at(loLit, i + 1)
+      val h = element_at(hiLit, i + 1)
+      when(h === l, lit(0)).otherwise(
+        least(lit(255), greatest(lit(0),
+          floor(((x - l) * lit(255)).cast("double") /
+            (h - l).cast("double") + lit(0.5)).cast("int"))))
+    })
+  }
+
+  /** Per-document quantization report (the SQ8 fidelity card):
+    * `(idCol, sum_code, min_code, max_code, recon_err)` where the code
+    * stats are integer-exact and `recon_err` is the EXACT decimal sum of
+    * per-dim `|x_i - round(dequant_i, 6)|` (dequant = `lo + code/255 *
+    * range`, one fixed double tree) cast to double — order-free, so the
+    * report hash-matches any engine. A corpus whose recon_err is large on
+    * many rows is telling you SQ8's per-dim resolution is not enough and
+    * the PQ tier is the right one.
+    */
+  def quantizeReport(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame = {
+    val (lo, hi) = collectRanges(df, vecCol, dim)
+    val loLit = array(lo.map(l => lit(l).cast("decimal(18,6)")): _*)
+    val hiLit = array(hi.map(h => lit(h).cast("decimal(18,6)")): _*)
+    val v = col(vecCol).cast("array<double>")
+    val cs = codes(col(vecCol), lo, hi).as("__c")
+    val withCodes = df.where(v.isNotNull)
+      .select(col(idCol), v.as("__v"), cs)
+    // per-dim |x - dequant| as exact decimals; the accumulator is pinned
+    // back to decimal(28,6) per step (the projectOnto precision-cap rule)
+    val errs = transform(sequence(lit(0), lit(dim - 1)), i => {
+      val x = round(element_at(col("__v"), i + 1), 6).cast("decimal(18,6)")
+      val l = element_at(loLit, i + 1)
+      val h = element_at(hiLit, i + 1)
+      val c = element_at(col("__c"), i + 1)
+      val deq = when(h === l, l.cast("double")).otherwise(
+        l.cast("double") + c.cast("double") / lit(255.0) * (h - l).cast("double"))
+      abs(x - round(deq, 6).cast("decimal(18,6)"))
+    })
+    withCodes.select(col(idCol),
+      aggregate(col("__c"), lit(0L), (acc, e) => acc + e).as("sum_code"),
+      array_min(col("__c")).as("min_code"),
+      array_max(col("__c")).as("max_code"),
+      aggregate(errs, lit(java.math.BigDecimal.ZERO).cast("decimal(28,6)"),
+        (acc, e) => (acc + e).cast("decimal(28,6)"))
+        .cast("double").as("recon_err"))
+  }
+
+  /** SQ8 ANN top-k: quantize corpus AND probes against the CORPUS ranges,
+    * score candidates by the integer dot product of their code arrays,
+    * rank `(score desc, neighbor asc)` on the GroupTopK heap. Integer
+    * scores make the whole search hash-oracle-exact. The probe side is
+    * broadcast (the `bruteForceTopK` contract: corpus huge, probe set
+    * bounded); the corpus streams once with no shuffle before the heap's
+    * ≤k-rows-per-(query, partition) exchange.
+    */
+  def topK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String, dim: Int,
+      k: Int = 10, excludeSelf: Boolean = true): DataFrame = {
+    val (lo, hi) = collectRanges(corpus, vecCol, dim)
+    val c = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"),
+        codes(col(vecCol), lo, hi).as("__cc"))
+    val q = broadcast(queries.where(col(vecCol).isNotNull)
+      .select(col(queryIdCol).as("query_id"),
+        codes(col(vecCol), lo, hi).as("__qc")))
+    val scored = c.join(q)
+      .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("score",
+        aggregate(zip_with(col("__qc"), col("__cc"),
+          (a, b) => (a * b).cast("long")), lit(0L), (acc, e) => acc + e))
+    graft.plans.GroupTopK(scored, Seq("query_id"),
+        Seq(("score", false), ("neighbor_id", true)), k, rankName = "rank")
+      .select(col("query_id"), col("neighbor_id"), col("score"),
+        col("rank").cast("int").as("rank"))
+  }
+}

@@ -481,6 +481,36 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"q255: unexpected nested-loop join:\n$plan")
   }
 
+  test("q264: SQ8 ANN never shuffles the corpus; probes broadcast onto the heap") {
+    val plan = finalPlan("q264_sq8_ann")
+    // probe codes ride a broadcast nested-loop (bounded probe set); the
+    // corpus-side exchange is the GroupTopK heap's <=k-rows-per-partition
+    // exchange, never a corpus-wide hash repartition
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"q264: probe side must broadcast:\n$plan")
+    assert(plan.contains("GroupTopK"), s"q264: heap operator missing:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"q264: corpus-shuffling join in:\n$plan")
+  }
+
+  test("q263: SQ8 report projects row-locally — no join, no agg, one sort") {
+    // the range pass is a separate bounded job at construction time
+    // (collectRanges); the REPORT plan itself must be scan -> row-local
+    // projection -> output sort, with the ranges inlined as literals
+    val plan = finalPlan("q263_sq8_report")
+    assert(!plan.contains("Join"), s"q263: unexpected join (ranges must " +
+      s"inline as literals):\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"q263: report must be row-local, found aggregation:\n$plan")
+    // the dim-ranges job itself map-side combines
+    val rg = graft.ext.Sq8.dimRanges(
+      spark.read.parquet(s"$sf/embeddings.parquet"), "embedding", 64)
+    rg.collect()
+    val rgPlan = rg.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(rgPlan).size >= 2,
+      s"q263: range pass must map-side combine:\n$rgPlan")
+  }
+
   test("q190/q192/q196: event reports aggregate with map-side combine") {
     Seq("q190_cohort_retention", "q192_trend_ols").foreach { q =>
       val plan = finalPlan(q)

@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class Sq8Spec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def q6(x: Double) = BigDecimal(x)
+    .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+
+  // driver-side reference of the exact quantizer contract
+  private def refCode(x: Double, lo: BigDecimal, hi: BigDecimal): Int =
+    if (hi == lo) 0
+    else {
+      val r = ((q6(x) - lo) * 255).toDouble / (hi - lo).toDouble + 0.5
+      math.min(255, math.max(0, math.floor(r).toInt))
+    }
+
+  test("codes match the driver-side reference; degenerate dim codes 0") {
+    val rnd = new scala.util.Random(7)
+    val dim = 4
+    // dim 3 constant -> degenerate range
+    val rows = (1L to 30L).map(i =>
+      (i, Seq(rnd.nextDouble() * 4 - 2, rnd.nextDouble() * 100,
+        rnd.nextDouble() * 0.001, 0.75).map(_.toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val (lo, hi) = Sq8.collectRanges(df, "embedding", dim)
+    val loB = lo.map(BigDecimal(_)); val hiB = hi.map(BigDecimal(_))
+    // ranges are the exact 6-dp min/max
+    for (d <- 0 until dim) {
+      val xs = rows.map(r => q6(r._2(d).toDouble))
+      assert(loB(d) == xs.min && hiB(d) == xs.max, s"dim $d range")
+    }
+    val out = df.select($"vec_id",
+        Sq8.codes($"embedding", lo, hi).as("c"))
+      .orderBy("vec_id").as[(Long, Seq[Int])].collect()
+    for (((id, cs), r) <- out.zip(rows)) {
+      assert(id == r._1)
+      val exp = (0 until dim).map(d => refCode(r._2(d).toDouble, loB(d), hiB(d)))
+      assert(cs == exp, s"row $id: $cs vs $exp")
+    }
+    // the constant dim codes 0 everywhere
+    assert(out.forall(_._2(3) == 0))
+    // extremes hit the rails: min coord -> 0, max coord -> 255 on dim 0
+    val c0 = out.map(_._2(0))
+    assert(c0.min == 0 && c0.max == 255)
+  }
+
+  test("out-of-range probe coordinates clamp to [0, 255]") {
+    val corpus = Seq((1L, Seq(0.0f, 1.0f)), (2L, Seq(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val (lo, hi) = Sq8.collectRanges(corpus, "embedding", 2)
+    val probe = Seq((9L, Seq(-5.0f, 10.0f))).toDF("vec_id", "embedding")
+    val cs = probe.select(Sq8.codes($"embedding", lo, hi).as("c"))
+      .as[Seq[Int]].head()
+    assert(cs == Seq(0, 255), cs.toString)
+  }
+
+  test("quantizeReport recon_err matches an exact decimal reference") {
+    val rnd = new scala.util.Random(11)
+    val dim = 3
+    val rows = (1L to 25L).map(i =>
+      (i, Seq.fill(dim)((rnd.nextDouble() * 6 - 3).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val (lo, hi) = Sq8.collectRanges(df, "embedding", dim)
+    val loB = lo.map(BigDecimal(_)); val hiB = hi.map(BigDecimal(_))
+    val out = Sq8.quantizeReport(df, "vec_id", "embedding", dim)
+      .orderBy("vec_id")
+      .as[(Long, Long, Int, Int, Double)].collect()
+    assert(out.length == rows.length)
+    for (((id, sum, mn, mx, err), r) <- out.zip(rows)) {
+      val codes = (0 until dim).map(d => refCode(r._2(d).toDouble, loB(d), hiB(d)))
+      assert(sum == codes.map(_.toLong).sum && mn == codes.min && mx == codes.max)
+      val expErr = (0 until dim).map { d =>
+        val deq = if (hiB(d) == loB(d)) loB(d).toDouble
+          else loB(d).toDouble + codes(d).toDouble / 255.0 * (hiB(d) - loB(d)).toDouble
+        (q6(r._2(d).toDouble) - q6(deq)).abs
+      }.sum.toDouble
+      assert(err == expErr, s"row $id: $err vs $expErr")
+    }
+  }
+
+  test("topK equals a driver-side integer-dot brute force, ties on id asc") {
+    val rnd = new scala.util.Random(5)
+    val dim = 6
+    val rows = (1L to 60L).map(i =>
+      (i, Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val df = rows.toDF("vec_id", "embedding").repartition(7)
+    val (lo, hi) = Sq8.collectRanges(df, "embedding", dim)
+    val loB = lo.map(BigDecimal(_)); val hiB = hi.map(BigDecimal(_))
+    val codeOf: Map[Long, Seq[Int]] = rows.map { case (id, v) =>
+      id -> (0 until dim).map(d => refCode(v(d).toDouble, loB(d), hiB(d)))
+    }.toMap
+    val k = 4
+    val queries = df.where($"vec_id" <= 5L)
+    val out = Sq8.topK(df, queries, "vec_id", "embedding", "vec_id",
+        dim = dim, k = k)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect()
+    for (qid <- 1L to 5L) {
+      val qc = codeOf(qid)
+      val exp = rows.map(_._1).filter(_ != qid)
+        .map(nid => (nid, codeOf(nid).zip(qc).map { case (a, b) => a.toLong * b }.sum))
+        .sortBy { case (nid, s) => (-s, nid) }.take(k)
+      val got = out.filter(_._1 == qid).map(r => (r._2, r._3)).toSeq
+      assert(got == exp, s"query $qid: $got vs $exp")
+    }
+  }
+
+  test("wrong-length vector fails loudly; empty corpus fails collectRanges") {
+    val bad = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Sq8.dimRanges(bad, "embedding", 2).collect()
+    }
+    assert(e.getMessage.contains("length"))
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Sq8.collectRanges(empty, "embedding", 2)
+    }
+  }
+}
