@@ -3112,6 +3112,20 @@ $fin"""
         .orderBy("bucket")
     }),
 
+    "q265_chi2_features" -> ((s, d) => {
+      // chi-square feature screen over RAW tokens: which words predict
+      // the label (the readable companion to the hashed fits q248/q251 —
+      // a bucket map hides which vocabulary carries signal). Eight
+      // integer contingency cells per token, one fixed double tree,
+      // ranks on the unrounded statistic (the q24 convention): the whole
+      // top-50 is hash-oracled.
+      graft.ext.Classifier.chiSquareTokens(
+          t(s, d, "documents")
+            .withColumn("y", (col("lang") === lit("en")).cast("int")),
+          "text", "y", k = 50, minDf = 5)
+        .orderBy("rank")
+    }),
+
     "q263_sq8_report" -> ((s, d) => {
       // SQ8 scalar quantization fidelity card: per-dim corpus ranges ->
       // one byte per coordinate -> per-doc code stats (integer-exact) +
@@ -6060,6 +6074,39 @@ $fin"""
     // fixed double tree for cov — both engines run the identical IEEE ops
     "q260_embedding_covariance" -> (covCtes + """
          SELECT i, j, n, sx, sy, sxy, cov FROM cv ORDER BY i, j"""),
+
+    // eight integer cells per token, the identical left-associated double
+    // tree on both engines, ranks on the unrounded statistic
+    "q265_chi2_features" ->
+      raw"""WITH base AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             list_distinct(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS tk
+           FROM documents WHERE text IS NOT NULL),
+         cls AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS np FROM base),
+         cnt AS (SELECT tok AS token, count(*) AS df_t,
+             CAST(sum(y) AS BIGINT) AS pos_t
+           FROM (SELECT unnest(tk) AS tok, y FROM base) GROUP BY 1),
+         f AS (SELECT token, df_t, pos_t FROM cnt, cls
+           WHERE df_t >= 5 AND df_t <= n - 5),
+         x AS (SELECT token, df_t, pos_t,
+             CAST(pos_t AS DOUBLE) AS a,
+             CAST(df_t - pos_t AS DOUBLE) AS b,
+             CAST(np AS DOUBLE) - CAST(pos_t AS DOUBLE) AS c,
+             CAST(n - np AS DOUBLE) - CAST(df_t - pos_t AS DOUBLE) AS d,
+             CAST(n AS DOUBLE) AS nd, CAST(np AS DOUBLE) AS npd,
+             CAST(n - np AS DOUBLE) AS nnd
+           FROM f, cls),
+         ch AS (SELECT token, df_t, pos_t,
+             nd * (a * d - b * c) * (a * d - b * c)
+               / ((a + b) * (c + d) * npd * nnd) AS chi2raw
+           FROM x),
+         r AS (SELECT token, df_t, pos_t, round(chi2raw, 6) AS chi2,
+             CAST(row_number() OVER (ORDER BY chi2raw DESC, token)
+               AS INTEGER) AS rank
+           FROM ch)
+         SELECT rank, token, CAST(df_t AS BIGINT) AS df_t, pos_t, chi2
+         FROM r WHERE rank <= 50 ORDER BY rank""",
 
     // the SQ8 chain + per-doc rollup: integer code stats and the exact
     // decimal |x - round(dequant, 6)| sum — order-free, engine-exact

@@ -242,4 +242,59 @@ object Classifier {
     }
     (wi, bias)
   }
+
+  /** Chi-square feature selection over RAW tokens (doc-level presence) —
+    * which vocabulary is actually predictive of the label, the standard
+    * screen run BEFORE committing to a hashed-feature fit (a bucket map
+    * hides which words carry signal; this names them). Per token the 2×2
+    * contingency `(in-doc × class)` yields
+    * `chi² = N·(AD − BC)² / ((A+B)(C+D)(A+C)(B+D))` — all eight cells are
+    * exact integer counts, the statistic is ONE fixed double tree over
+    * them, so the ranking (unrounded chi² desc, token asc — the q24
+    * rank-on-raw convention) is engine-exact and the whole top-k sits
+    * under the hash oracle.
+    *
+    * Tokens outside `[minDf, N − minDf]` doc frequency are screened out:
+    * below is noise, above has a vanishing `C+D` margin (a token in every
+    * doc divides by zero). Fails loudly on a single-class corpus (no
+    * contingency exists).
+    *
+    * Scale: one distinct-token explode + map-side-combinable count per
+    * token, then `orderBy(...).limit(k)` — Spark plans TakeOrdered (a
+    * per-partition heap + driver merge of k rows), never a global sort;
+    * the rank window runs over the k collected survivors only.
+    */
+  def chiSquareTokens(
+      df: DataFrame, textCol: String, labelCol: String,
+      k: Int = 50, minDf: Int = 5): DataFrame = {
+    require(k >= 1 && minDf >= 1, "k and minDf must be positive")
+    val base = df.where(col(textCol).isNotNull)
+      .select(array_distinct(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+        t => t =!= "")).as("__tk"), labelInt(col(labelCol)))
+    // class sizes: one O(1) collect (the model-scalar bound)
+    val cls = base.agg(count(lit(1)).as("n"),
+      sum(col("__y")).cast("long").as("np")).head()
+    val (n, nPos) = (cls.getLong(0), cls.getLong(1))
+    require(nPos > 0 && nPos < n,
+      s"chiSquareTokens: single-class corpus (n=$n, positives=$nPos) — " +
+        "no contingency to test")
+    val counts = base.select(explode(col("__tk")).as("token"), col("__y"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df_t"), sum(col("__y")).cast("long").as("pos_t"))
+      .where(col("df_t") >= minDf && col("df_t") <= n - minDf)
+    val (a, b) = (col("pos_t").cast("double"),
+      (col("df_t") - col("pos_t")).cast("double"))
+    val (c, dd) = (lit(nPos).cast("double") - a,
+      lit(n - nPos).cast("double") - b)
+    val num = lit(n).cast("double") * (a * dd - b * c) * (a * dd - b * c)
+    val den = (a + b) * (c + dd) * lit(nPos).cast("double") *
+      lit(n - nPos).cast("double")
+    val scored = counts.withColumn("__chi2", num / den)
+      .orderBy(col("__chi2").desc, col("token")).limit(k)
+    scored.select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__chi2").desc, col("token"))).as("rank"),
+        col("token"), col("df_t"), col("pos_t"),
+        round(col("__chi2"), 6).as("chi2"))
+  }
 }

@@ -159,4 +159,45 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec {
     assert(l2 < l0, s"2 rounds must beat the origin: $l2 vs $l0")
     assert(l4 < l2, s"4 rounds must beat 2: $l4 vs $l2")
   }
+
+  test("chiSquareTokens matches a driver-side reference; screens df bounds") {
+    // 8 pos + 8 neg; 'alpha' pure-positive, 'beta' pure-negative,
+    // 'common' in every doc (screened: df = N), 'rare' once (screened:
+    // df < minDf), 'mid' mixed
+    val rows =
+      (1L to 8L).map(i => (i, "alpha common " + (if (i <= 5) "mid" else ""), 1)) ++
+      (9L to 16L).map(i => (i, "beta common " + (if (i <= 11) "mid" else "") +
+        (if (i == 9L) " rare" else ""), 0))
+    val df = rows.toDF("doc_id", "text", "y").repartition(5)
+    val out = Classifier.chiSquareTokens(df, "text", "y", k = 10, minDf = 2)
+      .orderBy("rank")
+      .as[(Int, String, Long, Long, Double)].collect()
+    val toks = out.map(_._2).toSeq
+    assert(!toks.contains("common") && !toks.contains("rare"), toks.toString)
+    assert(toks.take(2).toSet == Set("alpha", "beta"), toks.toString)
+    // driver-side chi2 reference on the exact same tree
+    val n = 16.0; val np = 8.0; val nn = 8.0
+    def chi2(a: Double, b: Double): Double = {
+      val c = np - a; val d = nn - b
+      n * (a * d - b * c) * (a * d - b * c) / ((a + b) * (c + d) * np * nn)
+    }
+    val byTok = out.map(r => r._2 -> r).toMap
+    // alpha: in all 8 positives, 0 negatives
+    assert(byTok("alpha")._3 == 8L && byTok("alpha")._4 == 8L)
+    assert(byTok("alpha")._5 ==
+      BigDecimal(chi2(8, 0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // mid: 5 of 8 positives, 3 of 8 negatives
+    assert(byTok("mid")._3 == 8L && byTok("mid")._4 == 5L)
+    assert(byTok("mid")._5 ==
+      BigDecimal(chi2(5, 3)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // ties break token-asc: alpha and beta have identical chi2
+    assert(byTok("alpha")._5 == byTok("beta")._5)
+    assert(toks.take(2) == Seq("alpha", "beta"))
+    // single-class corpus fails loudly
+    val oneClass = Seq((1L, "a b", 1), (2L, "b c", 1)).toDF("doc_id", "text", "y")
+    val e = intercept[IllegalArgumentException] {
+      Classifier.chiSquareTokens(oneClass, "text", "y")
+    }
+    assert(e.getMessage.contains("single-class"))
+  }
 }
