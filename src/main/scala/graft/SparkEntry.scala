@@ -3112,6 +3112,23 @@ $fin"""
         .orderBy("bucket")
     }),
 
+    "q266_containment_pairs" -> ((s, d) => {
+      // asymmetric subsumption screen: every 5th document donates its
+      // first 40 tokens as a planted standalone "quote" row, and the
+      // EXACT containment join (prefix-filtered on the part side, zero
+      // false negatives) finds each quote inside its host — pairs whose
+      // jaccard column sits far below any resemblance-dedup threshold:
+      // precisely what q199/q21-style dedup cannot see
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val excerpts = docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(graft.functions.text.tokens(col("text")), 1, 40), " ")
+            .as("text"))
+      Dedup.containmentPairs(fanOut(s, docs.unionByName(excerpts), "doc_id"),
+          "doc_id", "text", tau = 0.8)
+        .orderBy("id_part", "id_whole")
+    }),
+
     "q265_chi2_features" -> ((s, d) => {
       // chi-square feature screen over RAW tokens: which words predict
       // the label (the readable companion to the hashed fits q248/q251 —
@@ -6074,6 +6091,46 @@ $fin"""
     // fixed double tree for cov — both engines run the identical IEEE ops
     "q260_embedding_covariance" -> (covCtes + """
          SELECT i, j, n, sx, sy, sxy, cov FROM cv ORDER BY i, j"""),
+
+    // the q199 shingle chain over the planted-excerpt union, then the
+    // NAIVE ordered-pair enumeration (every pair sharing a shingle) —
+    // the zero-false-negative oracle the prefix-filtered engine plan
+    // must reproduce exactly
+    "q266_containment_pairs" ->
+      raw"""WITH uni AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000,
+             array_to_string(list_slice(list_filter(
+               regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> ''), 1, 40), ' ')
+           FROM documents WHERE doc_id % 5 = 0),
+         tk AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '') AS arr
+           FROM uni WHERE text IS NOT NULL),
+         shl AS (SELECT doc_id, CASE WHEN len(arr) < 3
+             THEN [array_to_string(arr, ' ')]
+             ELSE list_transform(generate_series(1, len(arr) - 2),
+               i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]) END AS sh
+           FROM tk),
+         tok AS (SELECT DISTINCT doc_id,
+             CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) AS token
+           FROM (SELECT doc_id, unnest(sh) AS g FROM shl)),
+         sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_part, b.doc_id AS id_whole,
+             count(*) AS ic
+           FROM tok a JOIN tok b ON a.token = b.token
+             AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2),
+         c AS (SELECT id_part, id_whole, sa.s AS szp, ic,
+             CAST(ic AS DOUBLE) / sa.s AS cont,
+             CAST(ic AS DOUBLE) / (sa.s + sb.s - ic) AS jac
+           FROM inter JOIN sz sa ON sa.doc_id = id_part
+                      JOIN sz sb ON sb.doc_id = id_whole)
+         SELECT id_part, id_whole, CAST(szp AS BIGINT) AS sz_part,
+           CAST(ic AS BIGINT) AS overlap,
+           round(cont, 6) AS containment, round(jac, 6) AS jaccard
+         FROM c WHERE cont >= 0.8 ORDER BY id_part, id_whole""",
 
     // eight integer cells per token, the identical left-associated double
     // tree on both engines, ranks on the unrounded statistic

@@ -776,19 +776,29 @@ object Dedup {
     * before verification; verification is row-local `array_intersect`
     * over the two token arrays carried by equi-joins.
     */
-  def allPairsJaccard(
-      df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.6, shingleK: Int = 3): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
-    require(shingleK >= 1, "shingleK must be at least 1")
-    // set elements are shingleK-word shingles, not bare tokens: a small
-    // vocabulary makes every token common (prefix filtering needs RARE
-    // elements to exist), while shingles stay diverse on any corpus —
-    // the same reason minhash ([[wordShingleSets]]) shingles. Fewer than
-    // shingleK tokens -> one whole-document shingle. Window build is the
-    // codegen-safe explode(sequence)+slice+concat_ws shape
-    // ([[graft.ext.Vocab.ngramFrequencies]]) — a transform() lambda here
-    // runs interpreted and dominates the whole join.
+  /** Portable hashed shingle SETS `(doc, toks sorted array<long>)` — the
+    * shared front end of [[allPairsJaccard]] and [[containmentPairs]].
+    *
+    * Set elements are shingleK-word shingles, not bare tokens: a small
+    * vocabulary makes every token common (prefix filtering needs RARE
+    * elements to exist), while shingles stay diverse on any corpus —
+    * the same reason minhash ([[wordShingleSets]]) shingles. Fewer than
+    * shingleK tokens -> one whole-document shingle. Window build is the
+    * codegen-safe explode(sequence)+slice+concat_ws shape
+    * ([[graft.ext.Vocab.ngramFrequencies]]) — a transform() lambda here
+    * runs interpreted and dominates the whole join.
+    *
+    * Shingle strings are heavy join keys and heavy array payloads; the
+    * portable 60-bit md5 hash shrinks every downstream shuffle, sort and
+    * intersect to longs. The ORACLE applies the same hash, so parity is
+    * exact by construction (a collision would merge the same elements on
+    * both sides); collision odds at 2^60 are ~|shingles|^2 / 2^61.
+    * collect_set dedups map-side INSIDE the one per-doc aggregation —
+    * no separate distinct pass; sort_array(long) gives the deterministic
+    * set representation downstream groupBys key on.
+    */
+  private def portableShingleSets(
+      df: DataFrame, idCol: String, textCol: String, shingleK: Int): DataFrame = {
     val base = df.where(col(textCol).isNotNull)
       .select(col(idCol).as("doc"), text.tokens(col(textCol)).as("__toks"))
     val shingled = base.where(size(col("__toks")) >= shingleK)
@@ -798,19 +808,19 @@ object Dedup {
         slice(col("__toks"), col("__st") + 1, lit(shingleK))).as("token"))
     val shorts = base.where(size(col("__toks")) < shingleK)
       .select(col("doc"), array_join(col("__toks"), " ").as("token"))
-    // shingle strings are heavy join keys and heavy array payloads; the
-    // portable 60-bit md5 hash shrinks every downstream shuffle, sort and
-    // intersect to longs. The ORACLE applies the same hash, so parity is
-    // exact by construction (a collision would merge the same elements on
-    // both sides); collision odds at 2^60 are ~|shingles|^2 / 2^61.
-    // collect_set dedups map-side INSIDE the one per-doc aggregation —
-    // no separate distinct pass; sort_array(long) gives the deterministic
-    // set representation the cluster groupBy keys on
-    val docs = shingled.unionByName(shorts)
+    shingled.unionByName(shorts)
       .select(col("doc"),
         conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("token"))
       .groupBy(col("doc"))
       .agg(sort_array(collect_set(col("token"))).as("toks"))
+  }
+
+  def allPairsJaccard(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.6, shingleK: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    require(shingleK >= 1, "shingleK must be at least 1")
+    val docs = portableShingleSets(df, idCol, textCol, shingleK)
     // COLLAPSE identical token sets before any pair work: template-stamped
     // corpora put hundreds of documents on one token set, and a cluster of
     // size s would inject s^2 copies of the same rare tokens into the
@@ -879,6 +889,74 @@ object Dedup {
     within.unionByName(
       cross.select(col("id_l"), col("id_r"), col("jaccard")))
       .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** EXACT shingle-CONTAINMENT join: ordered pairs where at least `tau` of
+    * the PART document's shingle set sits inside the WHOLE document —
+    * `c(A→B) = |A∩B| / |A|`. The asymmetric complement to
+    * [[allPairsJaccard]]: a quote, an excerpt, or a page fully embedded in
+    * a larger one has containment ≈ 1 while its Jaccard vanishes as the
+    * host grows, so resemblance dedup never sees it. The emitted
+    * `jaccard` column makes the gap visible (`jaccard < tau` rows are
+    * exactly what resemblance-threshold dedup missed).
+    *
+    * Zero false negatives by prefix filtering on the PART side only: if
+    * `c(A→B) >= tau`, A has at most `floor((1-tau)|A|)` shingles outside
+    * B, so among A's `floor((1-tau)|A|) + 1` rarest shingles at least one
+    * is shared — joining that prefix against the FULL postings of the
+    * corpus finds every qualifying pair (the containment variant of the
+    * Bayardo prefix argument; no length prune applies because B may be
+    * arbitrarily larger). Rarest-first prefixes keep fan-out small;
+    * verification is row-local `array_intersect` on candidate pairs.
+    *
+    * Returns `(id_part, id_whole, sz_part, overlap, containment,
+    * jaccard)`; high `tau` keeps prefixes short — the operator is meant
+    * for the 0.8+ subsumption regime.
+    */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      tau: Double = 0.9, shingleK: Int = 3): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
+    require(shingleK >= 1, "shingleK must be at least 1")
+    // feeds postings, df counts, prefixes and both verify sides — one
+    // materialization (the allPairsJaccard cluster-frame precedent)
+    val docs = portableShingleSets(df, idCol, textCol, shingleK)
+      .localCheckpoint()
+    val postings = docs.select(col("doc"), explode(col("toks")).as("token"))
+    val dfreq = postings.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    // rarest-first ordering, then the part-side prefix of
+    // floor((1-tau)|A|) + 1 lowest-df shingles
+    val prefix = postings.join(dfreq, Seq("token"))
+      .groupBy(col("doc"))
+      .agg(transform(array_sort(collect_list(struct(col("__df"), col("token")))),
+        e => e.getField("token")).as("otoks"))
+      .select(col("doc").as("dl"),
+        // + 2, not + 1: the exact bound is floor_exact((1-tau)|A|) + 1,
+        // but (1.0 - tau) * |A| in double can land 1 ulp BELOW the exact
+        // product at integer boundaries (1.0 - 0.9 = 0.0999…98, times 30
+        // = 2.999…96, floor 2 where the exact floor is 3) — one extra
+        // prefix token absorbs the drift and keeps zero-false-negative
+        // against the oracle's naive all-pairs enumeration
+        explode(slice(col("otoks"), lit(1),
+          (floor(lit(1.0 - tau) * size(col("otoks"))) + 2).cast("int")))
+          .as("token"))
+    val cand = prefix
+      .join(postings.select(col("token"), col("doc").as("dr")), Seq("token"))
+      .where(col("dl") =!= col("dr"))
+      .select(col("dl"), col("dr")).distinct()
+    val side = docs.select(col("doc"), col("toks"))
+    cand
+      .join(side.select(col("doc").as("dl"), col("toks").as("__tl")), Seq("dl"))
+      .join(side.select(col("doc").as("dr"), col("toks").as("__tr")), Seq("dr"))
+      .withColumn("__ic", size(array_intersect(col("__tl"), col("__tr"))))
+      .withColumn("__cont", col("__ic").cast("double") / size(col("__tl")))
+      .where(col("__cont") >= tau)
+      .select(col("dl").as("id_part"), col("dr").as("id_whole"),
+        size(col("__tl")).cast("long").as("sz_part"),
+        col("__ic").cast("long").as("overlap"),
+        round(col("__cont"), 6).as("containment"),
+        round(col("__ic").cast("double") /
+          (size(col("__tl")) + size(col("__tr")) - col("__ic")), 6).as("jaccard"))
   }
 
   /** Winnowing fingerprints per document (Schleimer, Wilkerson & Aiken,

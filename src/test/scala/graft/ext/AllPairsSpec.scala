@@ -60,4 +60,62 @@ class AllPairsSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(out == Seq((1L, 2L, 1.0))) // same 2-token doc -> same single shingle
   }
+
+  test("containmentPairs finds quotes resemblance misses; directions asymmetric") {
+    // doc 10 is a 4-word quote fully inside the 12-word doc 1; their
+    // jaccard (4/12) is far below tau, so allPairsJaccard at 0.8 must NOT
+    // pair them while containment at 0.8 MUST
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (10L, "c d e f"),
+      (20L, "c d e f x"), // 4 of 5 words inside doc 1: cont 0.8 exactly
+      (30L, "p q r s"))   // disjoint
+    val df = docs.toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df, "doc_id", "text",
+        tau = 0.8, shingleK = 1)
+      .orderBy("id_part", "id_whole")
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    // (10,20)/(20,10): the two quotes also contain each other (4/4, 4/5)
+    assert(out.map(r => (r._1, r._2)) ==
+      Seq((10L, 1L), (10L, 20L), (20L, 1L), (20L, 10L)))
+    val q = out.head
+    assert(q._3 == 4L && q._4 == 4L && q._5 == 1.0) // full containment
+    assert(q._6 == BigDecimal(4.0 / 12)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val byPair = out.map(r => (r._1, r._2) -> r).toMap
+    val p = byPair((20L, 1L))
+    assert(p._5 == 0.8 && p._4 == 4L) // 4 of 5 words inside the host
+    // resemblance at the same threshold sees nothing
+    assert(jacPairs(docs, 0.8).isEmpty)
+  }
+
+  test("containment prefix filter is complete vs brute force on random corpora") {
+    val rnd = new scala.util.Random(17)
+    val vocab = ('a' to 'z').map(_.toString)
+    // hosts of 10-16 words; every third doc an embedded 3-5 word excerpt
+    val hosts = (1L to 60L).map { id =>
+      val r = new scala.util.Random(id)
+      (id, r.shuffle(vocab).take(10 + r.nextInt(7)).mkString(" "))
+    }
+    val quotes = hosts.filter(_._1 % 3 == 0).map { case (id, t) =>
+      val w = t.split(" ")
+      (id + 1000L, w.slice(1, 1 + 3 + rnd.nextInt(3)).mkString(" "))
+    }
+    val all = hosts ++ quotes
+    val df = all.toDF("doc_id", "text")
+    val fast = Dedup.containmentPairs(df, "doc_id", "text",
+        tau = 0.8, shingleK = 1)
+      .select("id_part", "id_whole").as[(Long, Long)].collect().toSet
+    val sets = all.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSet }.toMap
+    // iterate over Seq, not the Map: a for over a Map yielding pairs
+    // builds a Map and silently keeps one (a, b) per part id
+    val brute = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+      if a != b && sa.nonEmpty
+      if sa.intersect(sb).size.toDouble / sa.size >= 0.8
+    } yield (a, b)).toSet
+    assert(fast == brute, s"missing=${brute -- fast} extra=${fast -- brute}")
+    assert(brute.nonEmpty)
+  }
 }
