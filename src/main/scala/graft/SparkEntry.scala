@@ -610,7 +610,8 @@ $fin"""
              CAST(m2.sxy AS DOUBLE) AS sxy,
              round((CAST(ma.n AS DOUBLE) * CAST(m2.sxy AS DOUBLE)
                - CAST(ma.sx AS DOUBLE) * CAST(mb.sx AS DOUBLE))
-               / (CAST(ma.n AS DOUBLE) * CAST(ma.n AS DOUBLE)), 6) AS cov
+               / (CAST(ma.n AS DOUBLE) * CAST(ma.n AS DOUBLE)), 6)
+               + 0 AS cov
            FROM m2 JOIN m1 ma ON m2.i = ma.i
                    JOIN m1 mb ON m2.j = mb.i)"""
 
@@ -779,7 +780,7 @@ $fin"""
          r AS (SELECT *, row_number() OVER (PARTITION BY event_type
              ORDER BY abs(s) DESC, d) AS rn FROM sc)
          SELECT event_type, CAST(n AS BIGINT) AS n_days, d AS change_day,
-           round(s, 6) AS s_at_change, round(mean, 6) AS daily_mean
+           round(s, 6) + 0 AS s_at_change, round(mean, 6) AS daily_mean
          FROM r WHERE rn = 1 ORDER BY event_type"""
 
   /** Shared by q201 (batch sliding-window distinct) and q206 (stateful
@@ -7461,10 +7462,10 @@ $fin"""
            FROM w)
          SELECT variant_a, n_a, conv_a, round(pa, 6) AS p_a,
            variant_b, n_b, conv_b, round(pb, 6) AS p_b,
-           round(pa - pb, 6) AS p_diff,
+           round(pa - pb, 6) + 0 AS p_diff,
            CASE WHEN pp * (1.0 - pp) = 0 THEN NULL
              ELSE round((pa - pb) / sqrt(pp * (1.0 - pp) *
-               (1.0 / n_a + 1.0 / n_b)), 6) END AS z_score
+               (1.0 / n_a + 1.0 / n_b)), 6) + 0 END AS z_score
          FROM t""",
 
     // q30's session CTE aggregated to (session, n, start day), then the

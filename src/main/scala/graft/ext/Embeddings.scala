@@ -76,7 +76,11 @@ object Embeddings {
       .join(broadcast(m1.select(col("i").as("j"), col("sx").as("sy"))), Seq("j"))
       .select(col("i"), col("j"), col("n"),
         sxD.as("sx"), syD.as("sy"), sxyD.as("sxy"),
-        round((nD * sxyD - sxD * syD) / (nD * nD), 6).as("cov"))
+        // + 0.0 normalizes IEEE signed zero: Spark's round() (BigDecimal
+        // HALF_UP) yields +0.0 where DuckDB's round keeps -0.0 on a tiny
+        // negative covariance — `-0.0 + 0.0 = +0.0` lands both engines on
+        // the same rendered value (round-12 q260; oracle adds `+ 0` too)
+        (round((nD * sxyD - sxD * syD) / (nD * nD), 6) + lit(0.0)).as("cov"))
   }
 
   /** Row-local projection of every embedding onto a fixed direction —

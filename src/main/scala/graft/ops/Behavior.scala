@@ -266,7 +266,9 @@ object Behavior {
         .orderBy(abs(col("__s")).desc, col("d"))))
     ranked.where(col("__rn") === 1)
       .select(g ++ Seq(col("__n").as("n_days"), col("d").as("change_day"),
-        round(col("__s"), 6).as("s_at_change"),
+        // + 0.0 normalizes signed zero (flat series -> tiny negative S
+        // rounds to -0.0 in DuckDB, +0.0 here; the q260 convention)
+        (round(col("__s"), 6) + lit(0.0)).as("s_at_change"),
         round(col("__mean"), 6).as("daily_mean")): _*)
   }
 
@@ -307,7 +309,10 @@ object Behavior {
       .withColumn("p_b", col("conv_b").cast("double") / col("n_b"))
       .withColumn("__p",
         (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b")))
-      .withColumn("p_diff", round(col("p_a") - col("p_b"), 6))
+      // + 0.0 normalizes signed zero on the two sign-capable readouts
+      // (near-equal conversion rates round to -0.0 in DuckDB, +0.0 in
+      // Spark's BigDecimal HALF_UP round; the q260 convention)
+      .withColumn("p_diff", round(col("p_a") - col("p_b"), 6) + lit(0.0))
       // degenerate experiment (pooled p of 0 or 1): the z statistic is
       // undefined — report null rather than divide by a zero sqrt (which
       // ANSI mode correctly refuses to do silently)
@@ -316,7 +321,8 @@ object Behavior {
           lit(null).cast("double"))
           .otherwise(round((col("p_a") - col("p_b")) /
             sqrt(col("__p") * (lit(1.0) - col("__p")) *
-              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6)))
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6) +
+            lit(0.0)))
       .select(col("variant_a"), col("n_a"), col("conv_a"), round(col("p_a"), 6).as("p_a"),
         col("variant_b"), col("n_b"), col("conv_b"), round(col("p_b"), 6).as("p_b"),
         col("p_diff"), col("z_score"))

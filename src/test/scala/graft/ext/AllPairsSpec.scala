@@ -85,8 +85,10 @@ class AllPairsSpec extends AnyFunSuite with SparkSpec {
     val byPair = out.map(r => (r._1, r._2) -> r).toMap
     val p = byPair((20L, 1L))
     assert(p._5 == 0.8 && p._4 == 4L) // 4 of 5 words inside the host
-    // resemblance at the same threshold sees nothing
-    assert(jacPairs(docs, 0.8).isEmpty)
+    // resemblance at the same threshold sees only the mutual-quote tie
+    // (jaccard(10, 20) = 4/5 = 0.8, inclusive) — NEVER the quote-in-host
+    // pair (10, 1), which is the signal containment exists to add
+    assert(jacPairs(docs, 0.8) == Seq((10L, 20L, 0.8)))
   }
 
   test("containment prefix filter is complete vs brute force on random corpora") {

@@ -70,6 +70,10 @@ def cell_eq(a, b):
             return False
         if math.isnan(a) and math.isnan(b):
             return True
+        if a == b == 0.0:
+            # IEEE says -0.0 == 0.0, but the driver hashes the rendered
+            # value and "-0.0" != "0.0" (q260 round 12): require same sign
+            return math.copysign(1.0, a) == math.copysign(1.0, b)
         return a == b  # engineered for bit parity; exact compare
     return a == b
 
