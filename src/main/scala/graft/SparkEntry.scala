@@ -667,6 +667,32 @@ $fin"""
              CAST(sum(y) AS BIGINT) AS yv
            FROM scored GROUP BY 1, 2)"""
 
+  /** q256: the streamed monitor bins scores into clamped fixed-width
+    * buckets BEFORE aggregation (state = groups x 801 bins, constant in
+    * the corpus's score spread — CorpusStreams.clampedScoreBucket), so
+    * its oracle replays the same bin then the identical rank-sum chain:
+    * the binned mid-rank AUC.
+    */
+  private val aucBucketedOracle: String = nbScoredCtes + raw""",
+         perb AS (SELECT source,
+             LEAST(GREATEST(CAST(floor(CAST(score AS DOUBLE) / 250.0)
+               AS BIGINT), -400), 400) AS b,
+             CAST(sum(c) AS BIGINT) AS c, CAST(sum(yv) AS BIGINT) AS yv
+           FROM per GROUP BY 1, 2),
+         cum AS (SELECT source, b, c, yv,
+             sum(c) OVER (PARTITION BY source ORDER BY b) AS cc
+           FROM perb),
+         agg AS (SELECT source, CAST(sum(yv) AS BIGINT) AS n_pos,
+             CAST(sum(c - yv) AS BIGINT) AS n_neg,
+             CAST(sum(yv * (2 * cc - c + 1)) AS BIGINT) AS r2
+           FROM cum GROUP BY 1)
+         SELECT source, n_pos, n_neg,
+           CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+           CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                ELSE round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                  / (2.0 * n_pos * n_neg), 6) END AS auc
+         FROM agg ORDER BY source"""
+
   private val aucOracle: String = nbScoredCtes + raw""",
          cum AS (SELECT source, score, c, yv,
              sum(c) OVER (PARTITION BY source ORDER BY score) AS cc
@@ -3282,10 +3308,13 @@ $fin"""
     "q256_stream_classifier_auc" -> ((s, d) => {
       // q255's quality readout with the corpus ARRIVING as a stream: the
       // model pre-fits on the batch corpus (a standing model monitoring
-      // live ingest), scoring is the stateless row-local fold, and the
-      // per-(source, score) counts are additive — one Complete-mode
-      // aggregation equals the batch frame under any cut, the rank-sum
-      // scan runs on the drained counts. q255's oracle gates it verbatim.
+      // live ingest), scoring is the stateless row-local fold, scores
+      // bin into clamped fixed-width buckets BEFORE aggregation (state =
+      // groups x 801 bins, constant in score spread — not groups x
+      // distinct scores), and the per-(source, bin) counts are additive
+      // — one Complete-mode aggregation equals the batch frame under any
+      // cut, the rank-sum scan runs on the drained counts. The oracle
+      // replays the same bin: the binned mid-rank AUC.
       import graft.ext.Classifier
       import graft.streaming.CorpusStreams
       val docs = t(s, d, "documents")
@@ -6962,7 +6991,7 @@ $fin"""
 
     // additive (source, score) counts: Complete-mode streaming equals
     // the batch frame under any cut — one oracle gates both paths
-    "q256_stream_classifier_auc" -> aucOracle,
+    "q256_stream_classifier_auc" -> aucBucketedOracle,
 
     // the same scored frame under the PR lens: tie-robust threshold AP
     "q257_classifier_ap" -> apOracle,

@@ -420,28 +420,52 @@ object CorpusStreams {
     EventStreams.drainMemorySink(spark, queryName)
   }
 
+  /** Row-local clamped fixed-width score bin — the state key of the
+    * streamed AUC monitor. `floor(score / width)` saturated into
+    * `[-maxAbsBucket, maxAbsBucket]`, so the bin count is a CONSTANT
+    * `2*maxAbsBucket + 1` per group no matter how the corpus's score
+    * spread grows (NB score cardinality scales with document-length
+    * spread — unbounded in the corpus). The double division + floor is
+    * one IEEE op pair, identical in any engine (scores are integers far
+    * below 2^52), so an oracle replays the bin exactly.
+    */
+  def clampedScoreBucket(score: Column, width: Long, maxAbsBucket: Int): Column = {
+    require(width >= 1, "bin width must be positive")
+    require(maxAbsBucket >= 1, "need at least one bucket each side")
+    least(greatest(floor(score.cast("double") / lit(width.toDouble)),
+      lit(-maxAbsBucket.toLong)), lit(maxAbsBucket.toLong))
+  }
+
   /** Streamed classifier-quality monitor — live AUC of a model's scores
     * against an arriving labeled stream (the "is the filter still
     * separating" readout of a continuous ingest). Scoring is the
-    * row-local NB fold (model as an array literal); the per-(group,
-    * score) counts are ADDITIVE, so one Complete-mode aggregation equals
-    * the batch count frame under any cut and the rank-sum scan runs once
-    * on the drained counts (the ksDriftStreaming pattern). The batch
-    * q255 oracle gates the monitor verbatim; state is bounded by groups
-    * x distinct scores.
+    * row-local NB fold (model as an array literal); scores are then
+    * binned by [[clampedScoreBucket]] BEFORE aggregation, so the
+    * Complete-mode state is groups x (2*maxAbsBucket + 1) — a constant,
+    * unlike the raw distinct-score count which grows with the corpus's
+    * document-length spread. The per-(group, bin) counts are ADDITIVE,
+    * so the streamed frame equals the batch count frame under any cut
+    * and the rank-sum scan runs once on the drained counts (the
+    * ksDriftStreaming pattern). The readout is the BINNED mid-rank AUC
+    * (Wilcoxon over bin indices, ties fully counted) — the deliberate
+    * exactness-for-bounded-state trade of a monitor; the batch
+    * equivalent is `aucExact` over the same binned score, which is what
+    * the q256 oracle replays.
     */
   def classifierAucStreaming(
       spark: SparkSession, stagedDir: String, textCol: String,
       weights: Array[Long], bias: Long, groupCol: String, positive: Column,
       queryName: String, buckets: Int = 4096,
+      scoreBinWidth: Long = 250L, maxAbsBucket: Int = 400,
       shufflePartitions: Option[Int] = None): DataFrame = {
     val schema = spark.read.parquet(stagedDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stagedDir)
     val scored = stream.where(col(textCol).isNotNull)
       .select(col(groupCol), positive.as("__pos"),
-        graft.ext.Classifier.nbScoreColumn(
-          col(textCol), weights, bias, buckets).as("score"))
+        clampedScoreBucket(graft.ext.Classifier.nbScoreColumn(
+          col(textCol), weights, bias, buckets),
+          scoreBinWidth, maxAbsBucket).as("score"))
     val counts = graft.ops.Profile.aucCounts(
       scored, Seq(groupCol), "score", col("__pos"))
     EventStreams.withStatePartitions(spark, shufflePartitions) {

@@ -144,8 +144,12 @@ class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
     val (w, bias) = graft.ext.Classifier.nbModel(
       graft.ext.Classifier.suffStats(df, "text", "y", buckets = 512),
       buckets = 512)
+    // the monitor's contract: binned mid-rank AUC — the batch comparator
+    // applies the SAME clamped bin to the scored frame, then aucExact
     val scored = df.select($"grp", $"y",
-      graft.ext.Classifier.nbScoreColumn($"text", w, bias, 512).as("score"))
+      CorpusStreams.clampedScoreBucket(
+        graft.ext.Classifier.nbScoreColumn($"text", w, bias, 512),
+        width = 250L, maxAbsBucket = 400).as("score"))
     val batch = Profile.aucExact(scored, Seq("grp"), "score", $"y" === 1)
       .orderBy("grp")
       .as[(String, Long, Long, Long, Option[Double])].collect().toSeq
@@ -162,6 +166,35 @@ class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
         .as[(String, Long, Long, Long, Option[Double])].collect().toSeq
       assert(streamed == batch, s"cuts=$cuts")
     }
+  }
+
+  test("AUC monitor state is bounded by bins, not by score spread") {
+    import graft.ops.Profile
+    // scores spanning six orders of magnitude, every one distinct: the
+    // raw distinct-score state would be n rows; the clamped bin keeps it
+    // at <= 2*maxAbs + 1 per group no matter the spread
+    val wild = (0 until 500).map { i =>
+      val s = (if (i % 2 == 0) 1L else -1L) * (i.toLong * i * i * 17 + i)
+      (if (i % 3 == 0) "a" else "b", s, i % 2 == 0)
+    }.toDF("grp", "score", "pos")
+    val binned = wild.select($"grp",
+      CorpusStreams.clampedScoreBucket($"score", width = 250L,
+        maxAbsBucket = 400).as("score"), $"pos")
+    val state = Profile.aucCounts(binned, Seq("grp"), "score", $"pos")
+    val perGroup = state.groupBy("grp").count()
+      .as[(String, Long)].collect().toMap
+    assert(wild.select("score").distinct().count() == 500) // spread is real
+    assert(perGroup.values.forall(_ <= 801L),
+      s"state rows per group exceeded the 2*400+1 bin bound: $perGroup")
+    // saturation: scores beyond +-(400*250) clamp to the edge bins
+    val edges = binned.agg(min($"score"), max($"score"))
+      .as[(Long, Long)].collect().head
+    assert(edges == ((-400L, 400L)))
+    // and the binned AUC still ranks a separable corpus correctly
+    val auc = Profile.aucFromCounts(state, Seq("grp"))
+      .where($"grp" === "a").select($"auc").as[Option[Double]]
+      .collect().head
+    assert(auc.exists(a => a > 0.5)) // positives got the positive scores
   }
 
   test("streamed heavy hitters equal the batch operator across batch cuts") {
