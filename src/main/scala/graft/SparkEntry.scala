@@ -1019,6 +1019,190 @@ $fin"""
        FROM enc GROUP BY word)"""
   }
 
+  /** The q249/q267 close-out replay, parameterized on the token currency
+    * of the `lab` CTE: the whitespace count (q249) or the recursive BPE
+    * encode chain's per-doc piece count (q267, the q156 bpeEncCte reused
+    * verbatim — ONE encode definition across card + budgets + close-out).
+    */
+  private def curationCloseOracle(bpe: Boolean): String = {
+    val tokCtes =
+      if (bpe)
+        bpeEncCte + raw""",
+         ntok AS (SELECT w.doc_id, sum(f.nt) AS s
+           FROM words w JOIN fin f USING (word) GROUP BY w.doc_id),
+         """
+      else ""
+    val labCte =
+      if (bpe)
+        raw"""lab AS (SELECT c.doc_id,
+             coalesce(cp.component, c.doc_id) AS component,
+             CAST(coalesce(n.s, 0) AS BIGINT) AS n_tok
+           FROM cleaned c LEFT JOIN comp cp ON c.doc_id = cp.doc_id
+                          LEFT JOIN ntok n ON c.doc_id = n.doc_id)"""
+      else
+        raw"""lab AS (SELECT c.doc_id,
+             coalesce(cp.component, c.doc_id) AS component,
+             CAST(len(list_filter(regexp_split_to_array(c.text, '\s+'),
+               x -> x <> '')) AS BIGINT) AS n_tok
+           FROM cleaned c LEFT JOIN comp cp ON c.doc_id = cp.doc_id)"""
+    raw"""WITH RECURSIVE $tokCtes
+         pr AS (SELECT doc_id, source, n_chars, text,
+             percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pr
+           FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+         gated AS (SELECT doc_id, source, text FROM pr
+           WHERE round(pr, 6) >= 0.2),
+         capped AS (SELECT doc_id, source, text FROM (
+             SELECT doc_id, source, text,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             FROM gated) WHERE rk <= 40),
+         ev AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS evv
+           FROM embeddings WHERE vec_id % 10 = 0),
+         cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvv
+           FROM embeddings WHERE vec_id % 10 <> 0),
+         contam AS (SELECT DISTINCT vec_id FROM cv CROSS JOIN ev
+           WHERE round(list_cosine_similarity(cvv, evv), 6) >= 0.9),
+         cleaned AS (SELECT doc_id, source, text FROM capped
+           WHERE doc_id % 10 <> 0
+             AND doc_id NOT IN (SELECT vec_id FROM contam)),
+         toks AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM cleaned),
+         sh AS (SELECT DISTINCT doc_id,
+                 CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
+                      ELSE array_to_string(tk[i:i+2], ' ') END AS shingle
+               FROM (SELECT doc_id, tk,
+                       unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i
+                     FROM toks WHERE len(tk) > 0)),
+         sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS ic
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         j AS (SELECT id_l, id_r, CAST(ic AS DOUBLE) / (sa.s + sb.s - ic) AS jac
+               FROM inter JOIN sz sa ON sa.doc_id = id_l
+                          JOIN sz sb ON sb.doc_id = id_r),
+         pairs2 AS (SELECT id_l, id_r FROM j WHERE jac >= 0.6),
+         e AS (SELECT id_l AS a, id_r AS b FROM pairs2
+               UNION SELECT id_r, id_l FROM pairs2),
+         reach(a, b) AS (SELECT a, b FROM e
+               UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+                  FROM reach GROUP BY a),
+         $labCte,
+         asg AS (SELECT doc_id, component, n_tok, CASE
+             WHEN CAST(concat('0x', substring(md5(CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) < 3435973837 THEN 'train'
+             WHEN CAST(concat('0x', substring(md5(CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) < 3865470566 THEN 'val'
+             ELSE 'test' END AS split
+           FROM lab),
+         split_rows AS (SELECT 'split' AS section, split AS key_a,
+             CAST(NULL AS VARCHAR) AS key_b, count(*) AS n_rows,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(NULL AS BIGINT) AS n_extra
+           FROM asg GROUP BY 2),
+         leak AS (SELECT 'leakage' AS section,
+             least(al.split, ar.split) AS key_a,
+             greatest(al.split, ar.split) AS key_b, count(*) AS n_rows,
+             CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS n_extra
+           FROM pairs2 p JOIN asg al ON p.id_l = al.doc_id
+                         JOIN asg ar ON p.id_r = ar.doc_id
+           GROUP BY 2, 3),
+         cl AS (SELECT component, count(*) AS csz,
+             CAST(sum(n_tok) AS BIGINT) AS tok_total,
+             arg_min(n_tok, doc_id) AS tok_kept
+           FROM asg GROUP BY 1),
+         sav AS (SELECT 'savings' AS section, CAST(csz AS VARCHAR) AS key_a,
+             CAST(NULL AS VARCHAR) AS key_b, count(*) AS n_rows,
+             CAST(sum(tok_total) AS BIGINT) AS n_tokens,
+             CAST(sum(tok_kept) AS BIGINT) AS n_extra
+           FROM cl GROUP BY 2)
+         SELECT section, key_a, key_b, n_rows, n_tokens, n_extra
+         FROM split_rows
+         UNION ALL SELECT section, key_a, key_b, n_rows, n_tokens, n_extra FROM leak
+         UNION ALL SELECT section, key_a, key_b, n_rows, n_tokens, n_extra FROM sav
+         ORDER BY section, key_a, key_b NULLS FIRST"""
+  }
+
+  /** The q249/q267 composed curation close-out, parameterized on the
+    * token currency (the q156/q171 pluggable-counter contract applied to
+    * the close-out card). The round-11 curation layer composed as ONE
+    * declared plan (the q90/q140 convention): per-source percentile
+    * length gate (q238) -> domain cap (q219) -> eval holdout + semantic
+    * decontamination (q228) -> near-dup-cluster-keyed split (q174) ->
+    * close-out card = per-split totals + the q245 leakage audit + the
+    * q229 savings rollup, three sections in one frame. The gated-corpus
+    * chain and the pair machinery are each materialized ONCE
+    * (localCheckpoint, the q245 pattern — the survivor frame feeds the
+    * pair join, the label join and three card sections); the final card
+    * plan reads ONLY the two checkpointed frames: zero source re-scans,
+    * plan-locked in PlanAuditSpec.
+    */
+  private def curationCloseCard(
+      s: SparkSession, d: String,
+      nTokOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
+    import graft.ext.{Decontaminate, Dedup, Selection, Splits}
+    val docs = fanOut(s, t(s, d, "documents"), "doc_id")
+      .where(col("text").isNotNull)
+    // 1) each source drops its own shortest 20% (ties survive together)
+    val gated = graft.ops.Profile.percentileGate(
+      docs.select(col("doc_id"), col("source"), col("n_chars"), col("text")),
+      Seq("source"), "n_chars", minPct = 0.2)
+    // 2) <= 40 docs per source in deterministic (md5(id), id) order —
+    // the GroupTopK heap reuses the gate's source partitioning
+    val capped = Selection.capPerGroup(gated, "source", "doc_id", cap = 40)
+      .drop("pick")
+    // 3) hold out the eval slice (doc_id%10==0, the q228 geometry) and
+    // drop survivors whose embedding cosines >= 0.9 against it
+    val emb = t(s, d, "embeddings")
+    val contaminated = Decontaminate.semanticHits(
+        emb.where(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+        emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding",
+        tau = 0.9)
+      .where(col("contaminated")).select(col("vec_id").as("doc_id"))
+    val cleaned = capped.where(col("doc_id") % 10 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // 4) verified minhash pairs -> components -> cluster-keyed split
+    val pairs = Dedup.minhashPairs(cleaned, "doc_id", "text",
+      threshold = 0.6).localCheckpoint()
+    val cc = Dedup.connectedComponents(pairs)
+    val assigned = Splits.byClusterHash(
+        cleaned.select(col("doc_id"), col("source"), col("text"))
+          .join(cc.select(col("id").as("doc_id"), col("component")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"),
+            nTokOf(col("text")).as("n_tok")),
+        "component", Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+      .localCheckpoint()
+    // 5) the card: split totals + leakage matrix + savings rollup
+    val nullS = lit(null).cast("string")
+    val nullL = lit(null).cast("long")
+    val splitRows = assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_tok")).cast("long").as("n_tokens"))
+      .select(lit("split").as("section"), col("split").as("key_a"),
+        nullS.as("key_b"), col("n_rows"), col("n_tokens"),
+        nullL.as("n_extra"))
+    val leakRows = Splits.leakageAudit(pairs, "id_l", "id_r",
+        assigned, "doc_id", "split")
+      .select(lit("leakage").as("section"), col("split_l").as("key_a"),
+        col("split_r").as("key_b"), col("n_pairs").as("n_rows"),
+        nullL.as("n_tokens"), nullL.as("n_extra"))
+    val savingsRows = assigned.groupBy(col("component"))
+      .agg(count(lit(1)).as("sz"),
+        sum(col("n_tok")).cast("long").as("tok_total"),
+        min_by(col("n_tok"), col("doc_id")).cast("long").as("tok_kept"))
+      .groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("tok_total")).cast("long").as("n_tokens"),
+        sum(col("tok_kept")).cast("long").as("n_extra"))
+      .select(lit("savings").as("section"),
+        col("sz").cast("string").as("key_a"), nullS.as("key_b"),
+        col("n_rows"), col("n_tokens"), col("n_extra"))
+    splitRows.unionByName(leakRows).unionByName(savingsRows)
+      .orderBy("section", "key_a", "key_b")
+  }
+
   /** Flagship query on sf=0.001 (multi-join star-schema aggregation). */
   def entry(spark: SparkSession): DataFrame =
     queries("q04_region_revenue")(spark, "/root/testdata/sf0.001")
@@ -3434,81 +3618,18 @@ $fin"""
         .orderBy("media_id")
     }),
 
-    "q249_curation_close" -> ((s, d) => {
-      // the round-11 curation layer composed as ONE declared plan (the
-      // q90/q140 convention): per-source percentile length gate (q238) ->
-      // domain cap (q219) -> eval holdout + semantic decontamination
-      // (q228) -> near-dup-cluster-keyed split (q174) -> close-out card =
-      // per-split totals + the q245 leakage audit + the q229 savings
-      // rollup, three sections in one frame. The gated-corpus chain and
-      // the pair machinery are each materialized ONCE (localCheckpoint,
-      // the q245 pattern — the survivor frame feeds the pair join, the
-      // label join and three card sections); the final card plan reads
-      // ONLY the two checkpointed frames: zero source re-scans,
-      // plan-locked in PlanAuditSpec.
-      import graft.ext.{Selection, Splits}
-      val docs = fanOut(s, t(s, d, "documents"), "doc_id")
-        .where(col("text").isNotNull)
-      // 1) each source drops its own shortest 20% (ties survive together)
-      val gated = graft.ops.Profile.percentileGate(
-        docs.select(col("doc_id"), col("source"), col("n_chars"), col("text")),
-        Seq("source"), "n_chars", minPct = 0.2)
-      // 2) <= 40 docs per source in deterministic (md5(id), id) order —
-      // the GroupTopK heap reuses the gate's source partitioning
-      val capped = Selection.capPerGroup(gated, "source", "doc_id", cap = 40)
-        .drop("pick")
-      // 3) hold out the eval slice (doc_id%10==0, the q228 geometry) and
-      // drop survivors whose embedding cosines >= 0.9 against it
-      val emb = t(s, d, "embeddings")
-      val contaminated = Decontaminate.semanticHits(
-          emb.where(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
-          emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding",
-          tau = 0.9)
-        .where(col("contaminated")).select(col("vec_id").as("doc_id"))
-      val cleaned = capped.where(col("doc_id") % 10 =!= 0)
-        .join(contaminated, Seq("doc_id"), "left_anti")
-        .localCheckpoint()
-      // 4) verified minhash pairs -> components -> cluster-keyed split
-      val pairs = Dedup.minhashPairs(cleaned, "doc_id", "text",
-        threshold = 0.6).localCheckpoint()
-      val cc = Dedup.connectedComponents(pairs)
-      val assigned = Splits.byClusterHash(
-          cleaned.select(col("doc_id"), col("source"), col("text"))
-            .join(cc.select(col("id").as("doc_id"), col("component")),
-              Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              coalesce(col("component"), col("doc_id")).as("component"),
-              text.tokenCount(col("text")).as("n_tok")),
-          "component", Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
-        .localCheckpoint()
-      // 5) the card: split totals + leakage matrix + savings rollup
-      val nullS = lit(null).cast("string")
-      val nullL = lit(null).cast("long")
-      val splitRows = assigned.groupBy(col("split"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("n_tok")).cast("long").as("n_tokens"))
-        .select(lit("split").as("section"), col("split").as("key_a"),
-          nullS.as("key_b"), col("n_rows"), col("n_tokens"),
-          nullL.as("n_extra"))
-      val leakRows = Splits.leakageAudit(pairs, "id_l", "id_r",
-          assigned, "doc_id", "split")
-        .select(lit("leakage").as("section"), col("split_l").as("key_a"),
-          col("split_r").as("key_b"), col("n_pairs").as("n_rows"),
-          nullL.as("n_tokens"), nullL.as("n_extra"))
-      val savingsRows = assigned.groupBy(col("component"))
-        .agg(count(lit(1)).as("sz"),
-          sum(col("n_tok")).cast("long").as("tok_total"),
-          min_by(col("n_tok"), col("doc_id")).cast("long").as("tok_kept"))
-        .groupBy(col("sz"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("tok_total")).cast("long").as("n_tokens"),
-          sum(col("tok_kept")).cast("long").as("n_extra"))
-        .select(lit("savings").as("section"),
-          col("sz").cast("string").as("key_a"), nullS.as("key_b"),
-          col("n_rows"), col("n_tokens"), col("n_extra"))
-      splitRows.unionByName(leakRows).unionByName(savingsRows)
-        .orderBy("section", "key_a", "key_b")
-    }),
+    "q249_curation_close" -> ((s, d) =>
+      curationCloseCard(s, d, c => text.tokenCount(c))),
+
+    "q267_curation_close_bpe" -> ((s, d) =>
+      // the q249 close-out with the token currency SWAPPED to
+      // tokenizer-exact BPE (the q156/q171 pluggable-counter contract
+      // applied to the composed card): a curator allocating by training
+      // tokens reads the split totals and dedup savings in the currency
+      // the run actually spends. Same gates, same split, same plan shape
+      // — one native counter expression replaces the whitespace count.
+      curationCloseCard(s, d,
+        c => text.bpeTokenCount(c, bpeMerges).cast("long"))),
 
     "q216_dup_triangles" -> ((s, d) => {
       // graph-shape diagnostic of the exact near-dup pair graph (the en
@@ -7015,84 +7136,12 @@ $fin"""
 
     // the composed CTE chain of the q238/q219/q228/q174/q245/q229
     // oracles — every stage fragment individually proven by its own query
-    "q249_curation_close" ->
-      raw"""WITH RECURSIVE pr AS (SELECT doc_id, source, n_chars, text,
-             percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pr
-           FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
-         gated AS (SELECT doc_id, source, text FROM pr
-           WHERE round(pr, 6) >= 0.2),
-         capped AS (SELECT doc_id, source, text FROM (
-             SELECT doc_id, source, text,
-               row_number() OVER (PARTITION BY source
-                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-             FROM gated) WHERE rk <= 40),
-         ev AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS evv
-           FROM embeddings WHERE vec_id % 10 = 0),
-         cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvv
-           FROM embeddings WHERE vec_id % 10 <> 0),
-         contam AS (SELECT DISTINCT vec_id FROM cv CROSS JOIN ev
-           WHERE round(list_cosine_similarity(cvv, evv), 6) >= 0.9),
-         cleaned AS (SELECT doc_id, source, text FROM capped
-           WHERE doc_id % 10 <> 0
-             AND doc_id NOT IN (SELECT vec_id FROM contam)),
-         toks AS (SELECT doc_id,
-             regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM cleaned),
-         sh AS (SELECT DISTINCT doc_id,
-                 CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
-                      ELSE array_to_string(tk[i:i+2], ' ') END AS shingle
-               FROM (SELECT doc_id, tk,
-                       unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i
-                     FROM toks WHERE len(tk) > 0)),
-         sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
-         inter AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS ic
-                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-         j AS (SELECT id_l, id_r, CAST(ic AS DOUBLE) / (sa.s + sb.s - ic) AS jac
-               FROM inter JOIN sz sa ON sa.doc_id = id_l
-                          JOIN sz sb ON sb.doc_id = id_r),
-         pairs2 AS (SELECT id_l, id_r FROM j WHERE jac >= 0.6),
-         e AS (SELECT id_l AS a, id_r AS b FROM pairs2
-               UNION SELECT id_r, id_l FROM pairs2),
-         reach(a, b) AS (SELECT a, b FROM e
-               UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
-         comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
-                  FROM reach GROUP BY a),
-         lab AS (SELECT c.doc_id,
-             coalesce(cp.component, c.doc_id) AS component,
-             CAST(len(list_filter(regexp_split_to_array(c.text, '\s+'),
-               x -> x <> '')) AS BIGINT) AS n_tok
-           FROM cleaned c LEFT JOIN comp cp ON c.doc_id = cp.doc_id),
-         asg AS (SELECT doc_id, component, n_tok, CASE
-             WHEN CAST(concat('0x', substring(md5(CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) < 3435973837 THEN 'train'
-             WHEN CAST(concat('0x', substring(md5(CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) < 3865470566 THEN 'val'
-             ELSE 'test' END AS split
-           FROM lab),
-         split_rows AS (SELECT 'split' AS section, split AS key_a,
-             CAST(NULL AS VARCHAR) AS key_b, count(*) AS n_rows,
-             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-             CAST(NULL AS BIGINT) AS n_extra
-           FROM asg GROUP BY 2),
-         leak AS (SELECT 'leakage' AS section,
-             least(al.split, ar.split) AS key_a,
-             greatest(al.split, ar.split) AS key_b, count(*) AS n_rows,
-             CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS n_extra
-           FROM pairs2 p JOIN asg al ON p.id_l = al.doc_id
-                         JOIN asg ar ON p.id_r = ar.doc_id
-           GROUP BY 2, 3),
-         cl AS (SELECT component, count(*) AS csz,
-             CAST(sum(n_tok) AS BIGINT) AS tok_total,
-             arg_min(n_tok, doc_id) AS tok_kept
-           FROM asg GROUP BY 1),
-         sav AS (SELECT 'savings' AS section, CAST(csz AS VARCHAR) AS key_a,
-             CAST(NULL AS VARCHAR) AS key_b, count(*) AS n_rows,
-             CAST(sum(tok_total) AS BIGINT) AS n_tokens,
-             CAST(sum(tok_kept) AS BIGINT) AS n_extra
-           FROM cl GROUP BY 2)
-         SELECT section, key_a, key_b, n_rows, n_tokens, n_extra
-         FROM split_rows
-         UNION ALL SELECT section, key_a, key_b, n_rows, n_tokens, n_extra FROM leak
-         UNION ALL SELECT section, key_a, key_b, n_rows, n_tokens, n_extra FROM sav
-         ORDER BY section, key_a, key_b NULLS FIRST""",
+    "q249_curation_close" -> curationCloseOracle(bpe = false),
+
+    // the same chained close-out replay with the `lab` token currency
+    // swapped to the recursive BPE encode CTE (the q156 convention) —
+    // split totals and savings in training-run tokens
+    "q267_curation_close_bpe" -> curationCloseOracle(bpe = true),
 
     // dims predicted from the source byte length (the q34 contract:
     // w = n%64+16, h = n%48+16) — a correct decode is implied by the

@@ -312,10 +312,13 @@ object Dedup {
     * template stamps where the budget went.
     *
     * `(cluster_size, n_clusters, tokens_total, tokens_kept,
-    * tokens_saved)`; token currency is the whitespace
+    * tokens_saved)`; token currency defaults to the whitespace
     * [[graft.functions.text.tokenCount]] (null text counts 0), the q26
-    * oracle convention. Representative per cluster = the MIN-id member
-    * (the component label itself — `min_by` keeps its token count).
+    * oracle convention — pass `tokenCounter` to spend the card in the
+    * training run's own currency instead (e.g. a BPE/WordPiece count,
+    * the q156/q171 pluggable-counter contract). Representative per
+    * cluster = the MIN-id member (the component label itself — `min_by`
+    * keeps its token count).
     *
     * Scale: [[minhashPairs]] + [[connectedComponents]] do the heavy work
     * (banded LSH, label propagation — both bounded); the card itself is
@@ -323,12 +326,14 @@ object Dedup {
     */
   def savingsCard(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6,
+      tokenCounter: Option[Column] = None): DataFrame = {
     val cc = connectedComponents(minhashPairs(df, idCol, textCol, threshold))
+    val counter = tokenCounter
+      .getOrElse(graft.functions.text.tokenCount(col(textCol)))
     val labeled = df
       .select(col(idCol),
-        coalesce(graft.functions.text.tokenCount(col(textCol)), lit(0L))
-          .as("__tok"))
+        coalesce(counter.cast("long"), lit(0L)).as("__tok"))
       .join(cc.select(col("id").as(idCol), col("component")), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"),
         col("__tok"))

@@ -571,4 +571,23 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(out == Seq((1L, 3L, 10L, 10L, 0L)))
   }
+
+  test("savingsCard: pluggable token counter swaps the card's currency") {
+    // same clusters as the accounting spec, counted in characters instead
+    // of whitespace tokens — the q156 pluggable-counter contract extended
+    // to the savings card; cluster structure must be unchanged
+    val stamp = "alpha beta gamma delta epsilon zeta" // 35 chars
+    val docs = Seq(
+      (1L, stamp), (2L, stamp), (3L, stamp),
+      (4L, "one completely different document right here tonight"), // 52
+      (5L, "and another unrelated text body entirely again")        // 46
+    ).toDF("doc_id", "text")
+    val out = Dedup.savingsCard(docs, "doc_id", "text", threshold = 0.6,
+        tokenCounter = Some(length(col("text"))))
+      .orderBy("cluster_size")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 98L, 98L, 0L),        // 52 + 46 chars, both kept
+      (3L, 1L, 105L, 35L, 70L)))     // 3 x 35 chars, one stamp kept
+  }
 }
