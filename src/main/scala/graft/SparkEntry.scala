@@ -4500,6 +4500,22 @@ $fin"""
         .orderBy("event_id")
     }),
 
+    "q268_embedding_jsonl_roundtrip" -> ((s, d) => {
+      // vector ingest interchange: the embeddings table through JSONL and
+      // back under the explicit array<float> schema — the gate external
+      // embedding dumps enter through. Losslessness is proven per
+      // COMPONENT: the round-tripped vector explodes to (vec_id, i, x)
+      // with the float cast to double (exact widening), and the oracle is
+      // the SOURCE parquet exploded the same way — one flipped bit in any
+      // of the 32k floats breaks the hash
+      val emb = t(s, d, "embeddings")
+      graft.io.TextTables.embeddingJsonlRoundTrip(emb,
+          graft.io.TextTables.scratchDir("emb_rt", d))
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i"), col("x").cast("double").as("x"))
+        .orderBy("vec_id", "i")
+    }),
+
     "q97_jsonl_roundtrip" -> ((s, d) => {
       // events (timestamps + doubles) through JSON Lines and back;
       // double round-trips via shortest-repr, timestamp via ISO-8601
@@ -8618,6 +8634,16 @@ $fin"""
     "q97_jsonl_roundtrip" ->
       """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
          user_id, event_type, value FROM events ORDER BY event_id""",
+    // the oracle is the SOURCE table exploded per component (float ->
+    // double widening is exact in both engines), so any bit lost in the
+    // JSONL round trip breaks the hash
+    "q268_embedding_jsonl_roundtrip" ->
+      """SELECT vec_id, CAST(i - 1 AS INTEGER) AS i,
+           CAST(e[i] AS DOUBLE) AS x
+         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 unnest(generate_series(1, len(embedding))) AS i
+               FROM embeddings)
+         ORDER BY vec_id, i""",
     "q136_orc_roundtrip" ->
       """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
          user_id, event_type, value FROM events ORDER BY event_id""",

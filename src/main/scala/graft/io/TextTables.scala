@@ -66,6 +66,64 @@ object TextTables {
     df.sparkSession.read.schema(df.schema).orc(path)
   }
 
+  /** The explicit schema an external embedding dump enters under:
+    * `(idCol bigint, vecCol array<float>)` — float32 on purpose (the
+    * storage format embedding pipelines actually ship; doubling the
+    * width on ingest would double 100 TB of vector bytes for no
+    * information gain).
+    */
+  def embeddingSchema(
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField(idCol, LongType),
+      StructField(vecCol, ArrayType(FloatType))))
+  }
+
+  /** Read an external embedding dump in JSONL form (`{"vec_id": 7,
+    * "embedding": [0.1, ...]}` per line) under the explicit
+    * [[embeddingSchema]] — the entry gate for embedding dumps produced
+    * outside the engine. Float32 components survive EXACTLY: JSON
+    * numbers written as shortest-round-trip decimals (Java
+    * `Float.toString` guarantees re-parse identity) parse back to the
+    * identical float bits, so the JSONL face is lossless for vectors,
+    * unlike CSV (no array encoding) — the q96/q97 contract extended to
+    * the vector column.
+    *
+    * Corrupt rows degrade to null, never fail the job (the multimodal
+    * corrupt-input convention): a malformed JSON line nulls the whole
+    * row (PERMISSIVE), a non-numeric array element nulls the vector,
+    * and with `dim` set, a wrong-length vector nulls too (a silently
+    * truncated dump must not feed half a vector to a cosine).
+    */
+  def readEmbeddingJsonl(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.schema(embeddingSchema(idCol, vecCol)).json(path)
+    dim match {
+      case Some(k) => raw.withColumn(vecCol,
+        when(size(col(vecCol)) === k, col(vecCol)))
+      case None => raw
+    }
+  }
+
+  /** Write an embedding frame as JSONL and read it back under the
+    * explicit schema — the lossless-dump proof for the vector column
+    * (the [[jsonlRoundTrip]] contract with [[readEmbeddingJsonl]] as the
+    * read side, so the round trip exercises the exact code path an
+    * external dump enters through).
+    */
+  def embeddingJsonlRoundTrip(
+      df: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    df.select(df.col(idCol), df.col(vecCol))
+      .write.mode("overwrite").json(path)
+    readEmbeddingJsonl(df.sparkSession, path, idCol, vecCol)
+  }
+
   /** Deterministic scratch dir for a round-trip artifact, keyed by the
     * source dir so scale factors never alias. `salt` folds extra identity
     * into the key — e.g. the source file's (size, mtime) for consumers that

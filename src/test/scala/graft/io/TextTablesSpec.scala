@@ -85,4 +85,48 @@ class TextTablesSpec extends AnyFunSuite with SparkSpec {
     assert(a == TextTables.scratchDir("x", "/data/sf0.1"))
     assert(a != TextTables.scratchDir("x", "/data/sf0.01"))
   }
+
+  test("embedding JSONL round trip is float32-bit-exact including null vector") {
+    // adversarial floats: denormal, ulp-separated pair, negative zero,
+    // extremes — shortest-repr decimals must re-parse to identical bits
+    val vecs = Seq(
+      (1L, Seq(0.1f, -0.2f, 1e-40f, 3.4028235e38f)),
+      (2L, Seq(1.0000001f, 1.0000002f, -0.0f, 1.1754944e-38f)),
+      (3L, null.asInstanceOf[Seq[Float]])
+    ).toDF("vec_id", "embedding")
+    val back = TextTables.embeddingJsonlRoundTrip(vecs, tmp("emb_rt"))
+      .orderBy("vec_id")
+      .as[(Long, Option[Seq[Float]])].collect().toSeq
+    val exp = vecs.orderBy("vec_id")
+      .as[(Long, Option[Seq[Float]])].collect().toSeq
+    // compare raw BITS: -0.0f == 0.0f under ==, so value equality is too
+    // weak for a losslessness claim
+    def bits(r: Seq[(Long, Option[Seq[Float]])]) =
+      r.map { case (id, v) =>
+        (id, v.map(_.map(java.lang.Float.floatToRawIntBits))) }
+    assert(bits(back) == bits(exp))
+  }
+
+  test("embedding JSONL corrupt rows degrade to null, never fail the read") {
+    val dir = tmp("emb_corrupt")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/dump.jsonl"),
+      Seq(
+        """{"vec_id": 1, "embedding": [0.5, -0.25]}""",
+        """this line is not json at all {{{""",
+        """{"vec_id": 3, "embedding": ["abc", 1.0]}""",
+        """{"vec_id": 4, "embedding": [0.125]}"""
+      ).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // wrong-length guard on: vec 4 (dim 1 of 2) nulls too
+    val got = TextTables.readEmbeddingJsonl(spark, dir, dim = Some(2))
+      .orderBy("vec_id")
+      .as[(Option[Long], Option[Seq[Float]])].collect().toSeq
+    assert(got.length == 4) // every input line accounted for
+    // clean row intact (Spark ASC sorts the malformed row's null id first)
+    assert(got.contains((Some(1L), Some(Seq(0.5f, -0.25f)))))
+    // the three corrupt shapes (malformed line, non-numeric element,
+    // wrong length) all surface as null vectors
+    assert(got.count(_._2.isEmpty) == 3)
+    assert(got.count(_._1.isEmpty) == 1) // only the malformed line lost its id
+  }
 }
