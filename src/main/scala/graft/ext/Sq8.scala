@@ -143,6 +143,15 @@ object Sq8 {
       idCol: String, vecCol: String, queryIdCol: String, dim: Int,
       k: Int = 10, excludeSelf: Boolean = true): DataFrame = {
     val (lo, hi) = collectRanges(corpus, vecCol, dim)
+    // probe-side length guard (corpus side is validated inside
+    // collectRanges): a short probe would null its element_at lookups,
+    // null the integer dot and silently mis-rank — fail loudly instead,
+    // the dimRanges contract applied to BOTH join sides
+    val badQ = queries.where(col(vecCol).isNotNull)
+      .where(size(col(vecCol)) =!= dim).limit(1).count()
+    require(badQ == 0,
+      s"Sq8.topK: probe vector with length != $dim present — mixed " +
+        "embedding models? (a null dot product would silently mis-rank)")
     val c = corpus.where(col(vecCol).isNotNull)
       .select(col(idCol).as("neighbor_id"),
         codes(col(vecCol), lo, hi).as("__cc"))

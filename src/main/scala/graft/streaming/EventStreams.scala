@@ -677,6 +677,13 @@ object EventStreams {
     * window, preserving the original exact-for-any-permutation contract;
     * callers with a real arrival-lateness bound pass it explicitly to
     * buy bounded state.
+    *
+    * ==Behavior change (round 12)==
+    * The default FLIPPED from `lateHorizonDays = 30` (bounded state,
+    * eviction on) to `-1` (exact, UNBOUNDED per-user state growth on
+    * long streams). A long-running caller that relied on the old default
+    * for memory safety must now pass its lateness bound explicitly —
+    * silence here means exactness-by-default, not bounded-by-default.
     */
   def rollingActiveStateful(events: DataFrame, windowDays: Int = 7,
       lateHorizonDays: Int = -1): DataFrame = {

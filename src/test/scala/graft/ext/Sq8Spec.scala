@@ -120,4 +120,15 @@ class Sq8Spec extends AnyFunSuite with SparkSpec {
       Sq8.collectRanges(empty, "embedding", 2)
     }
   }
+
+  test("topK fails loudly on a wrong-length PROBE vector") {
+    // corpus is clean; the probe side is the one collectRanges never sees
+    val corpus = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val probes = Seq((10L, Seq(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Sq8.topK(corpus, probes, "vec_id", "embedding", "vec_id", dim = 2)
+    }
+    assert(e.getMessage.contains("probe"))
+  }
 }
