@@ -1019,12 +1019,16 @@ $fin"""
        FROM enc GROUP BY word)"""
   }
 
-  /** The q249/q267 close-out replay, parameterized on the token currency
-    * of the `lab` CTE: the whitespace count (q249) or the recursive BPE
-    * encode chain's per-doc piece count (q267, the q156 bpeEncCte reused
-    * verbatim — ONE encode definition across card + budgets + close-out).
+  /** The q249/q267/q269 close-out replay, parameterized on the token
+    * currency of the `lab` CTE — the whitespace count (q249) or the
+    * recursive BPE encode chain's per-doc piece count (q267, the q156
+    * bpeEncCte reused verbatim — ONE encode definition across card +
+    * budgets + close-out) — and on the optional containment screen
+    * (q269: the q266 naive-enumeration containment replay as a drop
+    * stage between decontamination and dedup).
     */
-  private def curationCloseOracle(bpe: Boolean): String = {
+  private def curationCloseOracle(
+      bpe: Boolean, containment: Boolean = false): String = {
     val tokCtes =
       if (bpe)
         bpeEncCte + raw""",
@@ -1037,14 +1041,45 @@ $fin"""
         raw"""lab AS (SELECT c.doc_id,
              coalesce(cp.component, c.doc_id) AS component,
              CAST(coalesce(n.s, 0) AS BIGINT) AS n_tok
-           FROM cleaned c LEFT JOIN comp cp ON c.doc_id = cp.doc_id
-                          LEFT JOIN ntok n ON c.doc_id = n.doc_id)"""
+           FROM surv c LEFT JOIN comp cp ON c.doc_id = cp.doc_id
+                       LEFT JOIN ntok n ON c.doc_id = n.doc_id)"""
       else
         raw"""lab AS (SELECT c.doc_id,
              coalesce(cp.component, c.doc_id) AS component,
              CAST(len(list_filter(regexp_split_to_array(c.text, '\s+'),
                x -> x <> '')) AS BIGINT) AS n_tok
-           FROM cleaned c LEFT JOIN comp cp ON c.doc_id = cp.doc_id)"""
+           FROM surv c LEFT JOIN comp cp ON c.doc_id = cp.doc_id)"""
+    // q269: the q266 naive containment enumeration over the cleaned
+    // frame (text.tokens split + 3-gram shingles + the portable md5
+    // token hash), then the subsumption drop — contained in a strictly
+    // larger doc, or in an equal-sized one with a smaller id. Off: surv
+    // is cleaned verbatim.
+    val survCtes =
+      if (containment)
+        raw"""ctk AS (SELECT doc_id, list_filter(
+               regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '') AS arr
+             FROM cleaned WHERE text IS NOT NULL),
+         cshl AS (SELECT doc_id, CASE WHEN len(arr) < 3
+             THEN [array_to_string(arr, ' ')]
+             ELSE list_transform(generate_series(1, len(arr) - 2),
+               i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]) END AS sh
+           FROM ctk),
+         ctok AS (SELECT DISTINCT doc_id,
+             CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) AS token
+           FROM (SELECT doc_id, unnest(sh) AS g FROM cshl)),
+         csz AS (SELECT doc_id, count(*) AS s FROM ctok GROUP BY 1),
+         cinter AS (SELECT a.doc_id AS pa, b.doc_id AS pb, count(*) AS ic
+           FROM ctok a JOIN ctok b ON a.token = b.token
+             AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2),
+         cdrop AS (SELECT DISTINCT pa AS doc_id FROM cinter
+           JOIN csz sa ON sa.doc_id = pa JOIN csz sb ON sb.doc_id = pb
+           WHERE CAST(ic AS DOUBLE) / sa.s >= 0.8
+             AND (sa.s < sb.s OR (sa.s = sb.s AND pa > pb))),
+         surv AS (SELECT doc_id, source, text FROM cleaned
+           WHERE doc_id NOT IN (SELECT doc_id FROM cdrop)),"""
+      else "surv AS (SELECT doc_id, source, text FROM cleaned),"
     raw"""WITH RECURSIVE $tokCtes
          pr AS (SELECT doc_id, source, n_chars, text,
              percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pr
@@ -1065,8 +1100,9 @@ $fin"""
          cleaned AS (SELECT doc_id, source, text FROM capped
            WHERE doc_id % 10 <> 0
              AND doc_id NOT IN (SELECT vec_id FROM contam)),
+         $survCtes
          toks AS (SELECT doc_id,
-             regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM cleaned),
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM surv),
          sh AS (SELECT DISTINCT doc_id,
                  CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
                       ELSE array_to_string(tk[i:i+2], ' ') END AS shingle
@@ -1137,7 +1173,8 @@ $fin"""
     */
   private def curationCloseCard(
       s: SparkSession, d: String,
-      nTokOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      nTokOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      containmentTau: Option[Double] = None)
       : DataFrame = {
     import graft.ext.{Decontaminate, Dedup, Selection, Splits}
     val docs = fanOut(s, t(s, d, "documents"), "doc_id")
@@ -1158,9 +1195,18 @@ $fin"""
         emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding",
         tau = 0.9)
       .where(col("contaminated")).select(col("vec_id").as("doc_id"))
-    val cleaned = capped.where(col("doc_id") % 10 =!= 0)
+    val cleaned0 = capped.where(col("doc_id") % 10 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
       .localCheckpoint()
+    // 3b) optional containment screen (q269): drop quote-in-host docs —
+    // the one dedup signal resemblance misses; runs on the capped
+    // survivor frame, so the prefix-filtered pair stage is bounded
+    val cleaned = containmentTau match {
+      case Some(tau) => Dedup.containmentDedup(
+          cleaned0, "doc_id", "text", tau = tau, shingleK = 3)
+        .localCheckpoint()
+      case None => cleaned0
+    }
     // 4) verified minhash pairs -> components -> cluster-keyed split
     val pairs = Dedup.minhashPairs(cleaned, "doc_id", "text",
       threshold = 0.6).localCheckpoint()
@@ -3630,6 +3676,15 @@ $fin"""
       // — one native counter expression replaces the whitespace count.
       curationCloseCard(s, d,
         c => text.bpeTokenCount(c, bpeMerges).cast("long"))),
+
+    "q269_curation_close_contained" -> ((s, d) =>
+      // the q249 close-out with the optional containment screen ON:
+      // quote-in-host subsumption (the q266 asymmetric signal) drops
+      // contained docs between the decontamination and dedup stages —
+      // the one dedup signal the composed pipeline didn't consume. Card
+      // sections, split policy and plan shape unchanged.
+      curationCloseCard(s, d, c => text.tokenCount(c),
+        containmentTau = Some(0.8))),
 
     "q216_dup_triangles" -> ((s, d) => {
       // graph-shape diagnostic of the exact near-dup pair graph (the en
@@ -7158,6 +7213,12 @@ $fin"""
     // swapped to the recursive BPE encode CTE (the q156 convention) —
     // split totals and savings in training-run tokens
     "q267_curation_close_bpe" -> curationCloseOracle(bpe = true),
+
+    // the close-out with the q266 containment screen folded in as a drop
+    // stage: the naive zero-false-negative enumeration the engine's
+    // prefix-filtered containmentDedup must reproduce inside the chain
+    "q269_curation_close_contained" ->
+      curationCloseOracle(bpe = false, containment = true),
 
     // dims predicted from the source byte length (the q34 contract:
     // w = n%64+16, h = n%48+16) — a correct decode is implied by the

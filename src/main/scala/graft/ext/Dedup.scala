@@ -964,6 +964,35 @@ object Dedup {
           (size(col("__tl")) + size(col("__tr")) - col("__ic")), 6).as("jaccard"))
   }
 
+  /** Quote-in-host subsumption dedup over [[containmentPairs]]: drop
+    * every doc whose shingle set is contained (>= `tau`) in a STRICTLY
+    * LARGER doc's, and among mutually-contained equals keep the min id —
+    * the asymmetric signal resemblance dedup misses (a 4-shingle quote
+    * inside a 40-shingle host has Jaccard 0.1 but containment 1.0).
+    * Deterministic: a doc's fate depends only on the pair frame, never
+    * on another drop (chains A⊆B⊆C drop A and B, keep C — a quote of a
+    * quote still sits in the host).
+    *
+    * Scale: the pair stage is the prefix-filtered [[containmentPairs]]
+    * (zero-false-negative, never all-pairs); the size frame is one more
+    * shingle pass over `df` — acceptable where this runs (post-gate
+    * capped corpora; fold the sizes into the pair output if a raw-corpus
+    * caller ever appears).
+    */
+  def containmentDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      tau: Double = 0.9, shingleK: Int = 3): DataFrame = {
+    val pairs = containmentPairs(df, idCol, textCol, tau, shingleK)
+    val sizes = portableShingleSets(df, idCol, textCol, shingleK)
+      .select(col("doc").as("id_whole"),
+        size(col("toks")).cast("long").as("__szw"))
+    val drop = pairs.join(sizes, Seq("id_whole"))
+      .where(col("sz_part") < col("__szw") ||
+        (col("sz_part") === col("__szw") && col("id_part") > col("id_whole")))
+      .select(col("id_part").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Winnowing fingerprints per document (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — MOSS): distinct window-min char-gram hashes over the
     * whitespace-normalized text. Two documents sharing any substring of

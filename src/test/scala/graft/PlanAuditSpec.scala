@@ -432,14 +432,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // card sections consume those two frames, so the FINAL plan holds
     // zero parquet scans and no cartesian — the 100 TB shape is "heavy
     // chain once, bounded card aggregations after"
-    val plan = finalPlan("q249_curation_close")
-    val scans = "Scan parquet".r.findAllIn(plan).size
-    assert(scans == 0, s"q249: card re-scans a source table ($scans):\n$plan")
-    assert(plan.contains("ExistingRDD"), s"q249: no checkpointed frame in:\n$plan")
-    assert(!plan.contains("CartesianProduct"), s"q249: cartesian in:\n$plan")
-    // card aggregations partial-aggregate before their shuffles
-    assert("HashAggregate".r.findAllIn(plan).size >= 2,
-      s"q249: no map-side combine in:\n$plan")
+    for (q <- Seq("q249_curation_close", "q269_curation_close_contained")) {
+      val plan = finalPlan(q)
+      val scans = "Scan parquet".r.findAllIn(plan).size
+      assert(scans == 0, s"$q: card re-scans a source table ($scans):\n$plan")
+      assert(plan.contains("ExistingRDD"), s"$q: no checkpointed frame in:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q: cartesian in:\n$plan")
+      // card aggregations partial-aggregate before their shuffles
+      assert("HashAggregate".r.findAllIn(plan).size >= 2,
+        s"$q: no map-side combine in:\n$plan")
+    }
   }
 
   test("q248/q251: classifier fit surfaces — map-side combine; NB scoring has no join") {

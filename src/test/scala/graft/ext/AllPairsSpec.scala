@@ -91,6 +91,19 @@ class AllPairsSpec extends AnyFunSuite with SparkSpec {
     assert(jacPairs(docs, 0.8) == Seq((10L, 20L, 0.8)))
   }
 
+  test("containmentDedup drops quotes and keeps hosts; equals keep min id") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"), // host: survives
+      (10L, "c d e f"),                // quote in 1 -> dropped
+      (20L, "c d e f"),                // identical to 10: both quotes drop
+      (30L, "p q r s"),                // disjoint singleton: survives
+      (40L, "p q r s"))                // identical to 30: keep min id 30
+    val out = Dedup.containmentDedup(docs.toDF("doc_id", "text"),
+        "doc_id", "text", tau = 0.8, shingleK = 1)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(out == Seq(1L, 30L))
+  }
+
   test("containment prefix filter is complete vs brute force on random corpora") {
     val rnd = new scala.util.Random(17)
     val vocab = ('a' to 'z').map(_.toString)
