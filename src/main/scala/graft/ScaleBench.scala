@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve harness (dev tooling, like Verify/Bench): measure the
+  * heaviest dedup / graph / pipeline operators at sf0.1 and at a
+  * synthetic 10x corpus ("sf1"), so sub-quadratic growth is a
+  * MEASUREMENT, not an assertion from plan shape.
+  *
+  * The sf1 corpus is 10 ISOMORPHIC replicas of the sf0.1 documents and
+  * embeddings tables:
+  *   - replica `r` suffixes every token with a replica letter
+  *     (`spark` -> `sparkc`), so per-doc token/shingle counts and the
+  *     intra-replica near-dup structure are EXACTLY those of sf0.1
+  *     while cross-replica shingles are disjoint — the pair graph is 10
+  *     disjoint copies of the sf0.1 pair graph;
+  *   - replica `r` rotates embedding coordinates by `r` positions (an
+  *     isometry: intra-replica cosines identical, cross-replica cosines
+  *     decorrelate like random vectors).
+  *
+  * Corpus size and pair structure therefore both scale exactly 10x: a
+  * bucketed / prefix-filtered / window-equi-joined engine should grow
+  * ~linearly in wall time (ratio ~10 on a fixed box, less where the box
+  * was underutilized at sf0.1), while an all-pairs engine would grow
+  * 100x. Ratios are reported per query; anything super-linear beyond
+  * shuffle constants is a scaling bug to diagnose.
+  *
+  * Usage: `runMain graft.ScaleBench /root/testdata/sf0.1 /tmp/graft_sf1`
+  * — builds the sf1 dir once (skip if present), times each heavy query
+  * at both scales (min of `attempts` runs, noop sink — the Bench
+  * convention), prints one JSON line per query plus a summary line.
+  */
+object ScaleBench {
+
+  /** The heavy operators the round-12 verdict asked to curve: minhash
+    * pair generation, the connected-components family, the
+    * exact-substring family, exact AllPairs, the triangle census, and
+    * the composed close-out.
+    */
+  private val HeavyQueries = Seq(
+    "q21_dedup_minhash",
+    "q70_dedup_components",
+    "q139_dedup_keep_best",
+    "q229_dedup_savings",
+    "q107_exact_substring",
+    "q116_exact_substring_apply",
+    "q120_substring_dedup_incr",
+    "q199_allpairs_jaccard",
+    "q216_dup_triangles",
+    "q249_curation_close")
+
+  private val Replicas = 10
+
+  /** Build the 10x corpus: isomorphic token-suffixed document replicas
+    * and coordinate-rotated embedding replicas. Id offsets are multiples
+    * of 1e8 (≡ 0 mod 10), preserving the id%5 / id%10 slice geometry the
+    * queries key on.
+    */
+  def buildScaled(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    val done = new java.io.File(s"$outDir/_SCALE_OK")
+    if (done.exists()) return
+    new java.io.File(outDir).mkdirs()
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val scaledDocs = (0 until Replicas).map { r =>
+      val tag = ('a' + r).toChar.toString
+      docs.select(
+        (col("doc_id") + lit(r.toLong * 100000000L)).as("doc_id"),
+        // one replacement per token: "$1" + letter is unambiguous where
+        // a digit suffix would parse as part of the group number
+        regexp_replace(col("text"), "([\\p{L}\\p{N}_]+)", "$1" + tag)
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+    scaledDocs.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val scaledEmb = (0 until Replicas).map { r =>
+      emb.select(
+        (col("vec_id") + lit(r.toLong * 100000000L)).as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => element_at(col("embedding"), ((i + lit(r)) % dim) + 1))
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+    scaledEmb.repartition(8).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
+    java.nio.file.Files.writeString(done.toPath, "ok")
+  }
+
+  private def timeOnce(spark: SparkSession, name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args(0)
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val attempts = if (args.length > 2) args(2).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = GraftSession.local(cpus.toInt, "graft-scalebench")
+    buildScaled(spark, srcDir, outDir)
+    val nSmall = spark.read.parquet(s"$srcDir/documents.parquet").count()
+    val nBig = spark.read.parquet(s"$outDir/documents.parquet").count()
+    val rows = HeavyQueries.map { name =>
+      val small = (1 to attempts).map(_ => timeOnce(spark, name, srcDir)).min
+      val big = (1 to attempts).map(_ => timeOnce(spark, name, outDir)).min
+      val ratio = big / small
+      println(f"""{"query":"$name","sf01_sec":$small%.3f,"sf1_sec":$big%.3f,"ratio":$ratio%.2f}""")
+      (name, small, big, ratio)
+    }
+    val s = rows.map(r => f""""${r._1}":[${r._2}%.3f,${r._3}%.3f,${r._4}%.2f]""")
+      .mkString(",")
+    println(s"""{"metric":"scale_curve","rows_small":$nSmall,"rows_big":$nBig,"queries":{$s}}""")
+    spark.stop()
+  }
+}
