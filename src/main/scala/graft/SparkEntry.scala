@@ -760,7 +760,7 @@ $fin"""
          r AS (SELECT vec_id, eval_id, cr, row_number() OVER
                  (PARTITION BY vec_id ORDER BY cr DESC, eval_id) AS rn
                FROM s)
-         SELECT vec_id, eval_id, round(cr, 6) AS cosine,
+         SELECT vec_id, eval_id, round(cr, 6) + 0 AS cosine,
            round(cr, 6) >= 0.9 AS contaminated
          FROM r WHERE rn = 1 ORDER BY vec_id"""
 
@@ -1825,7 +1825,8 @@ $fin"""
       t(s, d, "embeddings").createOrReplaceTempView("embeddings_v")
       s.sql("""
         SELECT a.vec_id AS id_l, b.vec_id AS id_r,
-               round(cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+               round(cosine_similarity(a.embedding, b.embedding), 6) + 0
+                 AS cosine
         FROM embeddings_v a JOIN embeddings_v b ON a.vec_id + 1 = b.vec_id
         ORDER BY id_l""")
     }),
@@ -2702,7 +2703,7 @@ $fin"""
       graft.ops.Profile.correlationMatrix(t(s, d, "lineitem"),
           Seq("l_returnflag"),
           Seq("l_quantity", "l_extendedprice", "l_discount"))
-        .withColumn("corr", round(col("corr"), 6))
+        .withColumn("corr", round(col("corr"), 6) + lit(0.0))
         .orderBy("l_returnflag", "col_x", "col_y")
     }),
 
@@ -2909,7 +2910,7 @@ $fin"""
       graft.plans.GroupTopK(scored, Seq("label"),
           Seq(("cos_raw", true), ("vec_id", true)), k = 5, rankName = "rnk")
         .select(col("label"), col("rnk").cast("int").as("rnk"), col("vec_id"),
-          round(col("cos_raw"), 6).as("cosine"))
+          (round(col("cos_raw"), 6) + lit(0.0)).as("cosine"))
         .orderBy("label", "rnk")
     }),
 
@@ -5151,7 +5152,7 @@ $fin"""
          s AS (SELECT query_id, neighbor_id,
                  list_cosine_similarity(qv, cv) AS cos_raw
                FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
-         r AS (SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+         r AS (SELECT query_id, neighbor_id, round(cos_raw, 6) + 0 AS cosine,
                  CAST(row_number() OVER (PARTITION BY query_id
                    ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
                FROM s)
@@ -5265,7 +5266,8 @@ $fin"""
     "q54_sql_native_fn" ->
       """SELECT a.vec_id AS id_l, b.vec_id AS id_r,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+                                        CAST(b.embedding AS DOUBLE[])), 6) + 0
+             AS cosine
          FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
          ORDER BY id_l""",
     "q65_repetition" ->
@@ -6129,7 +6131,7 @@ $fin"""
            CAST(sum(dw * dd) FILTER (WHERE e IS NOT NULL AND dd IS NOT NULL) AS DOUBLE) AS syy_ed,
            CAST(sum(ew * dd) FILTER (WHERE e IS NOT NULL AND dd IS NOT NULL) AS DOUBLE) AS sxy_ed
          FROM r GROUP BY l_returnflag)
-         SELECT l_returnflag, col_x, col_y, n, round(corr, 6) AS corr FROM (
+         SELECT l_returnflag, col_x, col_y, n, round(corr, 6) + 0 AS corr FROM (
            SELECT l_returnflag, 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n_qe AS n,
              CASE WHEN sqrt((CAST(n_qe AS DOUBLE) * sxx_qe - sx_qe * sx_qe) *
                             (CAST(n_qe AS DOUBLE) * syy_qe - sy_qe * sy_qe)) > 0
@@ -7034,7 +7036,7 @@ $fin"""
              CAST(sum(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS weighted
            FROM t2 GROUP BY 1, 2)
          SELECT 'source' AS feature, n, base AS base_gini,
-           weighted AS weighted_gini, round(base - weighted, 6) AS gain
+           weighted AS weighted_gini, round(base - weighted, 6) + 0 AS gain
          FROM w1
          UNION ALL
          SELECT 'len_bucket', n, base, weighted, round(base - weighted, 6)
@@ -7096,9 +7098,9 @@ $fin"""
                s.theta * (CAST(x AS DOUBLE) - s.xbar), 6) AS yadj
            FROM pu CROSS JOIN s),
          v AS (SELECT variant, count(*) AS nu,
-             round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS mean_y,
+             round(CAST(sum(y) AS DOUBLE) / count(*), 6) + 0 AS mean_y,
              round(CAST(sum(CAST(yadj AS DECIMAL(18,6))) AS DOUBLE)
-               / count(*), 6) AS mean_adj
+               / count(*), 6) + 0 AS mean_adj
            FROM adj GROUP BY 1),
          o AS (SELECT v.*, row_number() OVER (ORDER BY variant) AS rn FROM v)
          SELECT
@@ -7110,7 +7112,7 @@ $fin"""
            max(CASE WHEN rn = 2 THEN nu END) AS n_b,
            max(CASE WHEN rn = 2 THEN mean_y END) AS mean_y_b,
            max(CASE WHEN rn = 2 THEN mean_adj END) AS mean_adj_b,
-           (SELECT round(theta, 6) FROM s) AS theta
+           (SELECT round(theta, 6) + 0 FROM s) AS theta
          FROM o""",
 
     // q70's component CTEs + keep-min-id token accounting rolled up by
@@ -7353,7 +7355,7 @@ $fin"""
            FROM c GROUP BY 1)
          SELECT token, total, n_groups,
            round(CAST(c2 AS DOUBLE) / total - CAST(total AS DOUBLE) / s, 6)
-             AS fano
+             + 0 AS fano
          FROM a CROSS JOIN sc WHERE total >= 50 ORDER BY token""",
 
     "q244_calibration" ->
@@ -7745,7 +7747,7 @@ $fin"""
          r AS (SELECT label, vec_id, cos_raw,
              CAST(row_number() OVER (PARTITION BY label
                ORDER BY cos_raw, vec_id) AS INT) AS rnk FROM sc)
-         SELECT label, rnk, vec_id, round(cos_raw, 6) AS cosine
+         SELECT label, rnk, vec_id, round(cos_raw, 6) + 0 AS cosine
          FROM r WHERE rnk <= 5 ORDER BY label, rnk""",
 
     // full KMV replay: per-side bottom-64 of the md5 32-bit prefix,
@@ -7920,8 +7922,8 @@ $fin"""
              (nd * sxxd - sxd * sxd) AS varxn,
              (nd * syyd - syd * syd) AS varyn FROM dd)
          SELECT event_type, n,
-           round(covn / varxn, 6) AS slope,
-           round((syd - (covn / varxn) * sxd) / nd, 6) AS intercept,
+           round(covn / varxn, 6) + 0 AS slope,
+           round((syd - (covn / varxn) * sxd) / nd, 6) + 0 AS intercept,
            round((covn * covn) / (varxn * varyn), 6) AS r2
          FROM f ORDER BY event_type""",
 
@@ -7942,8 +7944,8 @@ $fin"""
          m AS (SELECT dim, CAST(sa AS DOUBLE) / na AS ma,
              CAST(sb AS DOUBLE) / nb AS mb
            FROM a JOIN b USING (dim))
-         SELECT CAST(dim AS INT) AS dim, round(ma, 6) AS mean_a,
-           round(mb, 6) AS mean_b, round((ma - mb) * (ma - mb), 6) AS d2
+         SELECT CAST(dim AS INT) AS dim, round(ma, 6) + 0 AS mean_a,
+           round(mb, 6) + 0 AS mean_b, round((ma - mb) * (ma - mb), 6) AS d2
          FROM m ORDER BY dim""",
 
     // unigram + bigram branches unioned, two-level count replay, double
@@ -8562,7 +8564,7 @@ $fin"""
            FROM cand
            JOIN e eq ON eq.vec_id = query_id
            JOIN e ec ON ec.vec_id = neighbor_id),
-         r AS (SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+         r AS (SELECT query_id, neighbor_id, round(cos_raw, 6) + 0 AS cosine,
              CAST(row_number() OVER (PARTITION BY query_id
                ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
            FROM s)
@@ -8686,7 +8688,7 @@ $fin"""
            FROM cand
            JOIN e eq ON eq.vec_id = query_id
            JOIN e ec ON ec.vec_id = neighbor_id),
-         r AS (SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+         r AS (SELECT query_id, neighbor_id, round(cos_raw, 6) + 0 AS cosine,
              CAST(row_number() OVER (PARTITION BY query_id
                ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
            FROM sc)

@@ -161,7 +161,9 @@ object Decontaminate {
     graft.plans.GroupTopK(scored, Seq(idCol),
         Seq(("__cos", false), ("eval_id", true)), 1, "__r")
       .select(col(idCol), col("eval_id"),
-        round(col("__cos"), 6).as("cosine"),
+        // + 0.0 normalizes signed zero on the emitted cosine (the best
+        // match of an unrelated vector can sit at -0.0; q260 convention)
+        (round(col("__cos"), 6) + lit(0.0)).as("cosine"),
         (round(col("__cos"), 6) >= tau).as("contaminated"))
   }
 
@@ -187,7 +189,7 @@ object Decontaminate {
     corpus
       .withColumn("__best", best)
       .select(col(idCol), col("__best").getField("eval_id").as("eval_id"),
-        round(-col("__best").getField("nc"), 6).as("cosine"))
+        (round(-col("__best").getField("nc"), 6) + lit(0.0)).as("cosine"))
       .withColumn("contaminated", col("cosine") >= tau)
   }
 

@@ -201,7 +201,8 @@ object Ivf {
     graft.plans.GroupTopK(cand, Seq("query_id"),
         Seq(("cosine", false), ("neighbor_id", true)), k, rankName = "rank")
       .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"),
+        // + 0.0 normalizes signed zero (the cosineTopKRank convention)
+        (round(col("cosine"), 6) + lit(0.0)).as("cosine"),
         col("rank").cast("int").as("rank"))
   }
 }

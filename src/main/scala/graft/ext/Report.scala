@@ -115,7 +115,10 @@ object Report {
     val mb = col("__s_b").cast("double") / col("__n_b")
     sums(sliceA, "a").join(sums(sliceB, "b"), Seq("dim"))
       .select(col("dim"),
-        round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+        // + 0.0: per-dim embedding means sit near zero by construction
+        // — a tiny negative rounds to -0.0 in DuckDB (q260 convention)
+        (round(ma, 6) + lit(0.0)).as("mean_a"),
+        (round(mb, 6) + lit(0.0)).as("mean_b"),
         round((ma - mb) * (ma - mb), 6).as("d2"))
   }
 

@@ -40,7 +40,9 @@ object Similarity {
     graft.plans.GroupTopK(scored, Seq("query_id"),
         Seq(("cosine", false), ("neighbor_id", true)), k, rankName = "rank")
       .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"),
+        // + 0.0 normalizes signed zero: a near-orthogonal tiny-negative
+        // cosine rounds to -0.0 in DuckDB, +0.0 in Spark (q260 convention)
+        (round(col("cosine"), 6) + lit(0.0)).as("cosine"),
         col("rank").cast("int").as("rank"))
 
   def bruteForceTopK(

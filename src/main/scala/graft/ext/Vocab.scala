@@ -102,8 +102,10 @@ object Vocab {
       .where(col("total") >= minTotal)
       .crossJoin(broadcast(nGroups))
       .select(col("token"), col("total"), col("n_groups"),
-        round(col("__c2").cast("double") / col("total") -
-          col("total").cast("double") / col("__S"), 6).as("fano"))
+        // + 0.0 normalizes signed zero (a token whose dispersion sits
+        // exactly at the Poisson line; the q260 convention)
+        (round(col("__c2").cast("double") / col("total") -
+          col("total").cast("double") / col("__S"), 6) + lit(0.0)).as("fano"))
   }
 
   /** Global word-`n`-gram frequencies (space-joined token windows) — the LM

@@ -377,10 +377,13 @@ object Behavior {
         col("__theta") * (col("__x").cast("double") - col("__xbar")), 6))
       .groupBy(col("variant"))
       .agg(count(lit(1)).as("nu"),
-        round(sum(col("__y")).cast("double") / count(lit(1)), 6).as("mean_y"),
-        round(sum(col("__yadj").cast("decimal(18,6)")).cast("double") /
-          count(lit(1)), 6).as("mean_adj"),
-        round(max(col("__theta")), 6).as("th"))
+        // + 0.0 on every sign-capable rounded readout (generic valCol
+        // can be negative; theta near zero for an uncorrelated covariate)
+        (round(sum(col("__y")).cast("double") / count(lit(1)), 6) +
+          lit(0.0)).as("mean_y"),
+        (round(sum(col("__yadj").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6) + lit(0.0)).as("mean_adj"),
+        (round(max(col("__theta")), 6) + lit(0.0)).as("th"))
     val two = byVariant.orderBy(col("variant")).collect()
     require(two.length == 2, s"abTestCuped needs exactly two variants, got ${two.length}")
     val spark = events.sparkSession

@@ -281,8 +281,10 @@ object Profile {
     val varyn = n * d("__syy") - d("__sy") * d("__sy")
     val slope = covn / varxn
     g.select(groupCols.map(col) ++ Seq(col("n"),
-      round(slope, 6).as("slope"),
-      round((d("__sy") - slope * d("__sx")) / n, 6).as("intercept"),
+      // + 0.0 normalizes signed zero on the sign-capable readouts
+      // (near-zero slope/intercept; the q260 convention)
+      (round(slope, 6) + lit(0.0)).as("slope"),
+      (round((d("__sy") - slope * d("__sx")) / n, 6) + lit(0.0)).as("intercept"),
       round((covn * covn) / (varxn * varyn), 6).as("r2")): _*)
   }
 
@@ -626,7 +628,8 @@ object Profile {
           .as("__weighted"))
         .select(lit(f).as("feature"), col("__N").as("n"),
           col("__base").as("base_gini"), col("__weighted").as("weighted_gini"),
-          round(col("__base") - col("__weighted"), 6).as("gain"))
+          // + 0.0: a zero-gain feature lands -0.0 in DuckDB otherwise
+          (round(col("__base") - col("__weighted"), 6) + lit(0.0)).as("gain"))
     }
     perFeature.reduce(_ unionByName _)
   }
