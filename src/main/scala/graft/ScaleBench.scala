@@ -50,19 +50,19 @@ object ScaleBench {
     "q216_dup_triangles",
     "q249_curation_close")
 
-  private val Replicas = 10
-
-  /** Build the 10x corpus: isomorphic token-suffixed document replicas
-    * and coordinate-rotated embedding replicas. Id offsets are multiples
-    * of 1e8 (≡ 0 mod 10), preserving the id%5 / id%10 slice geometry the
-    * queries key on.
+  /** Build the `replicas`x corpus: isomorphic token-suffixed document
+    * replicas and coordinate-rotated embedding replicas. Id offsets are
+    * multiples of 1e8 (≡ 0 mod 10), preserving the id%5 / id%10 slice
+    * geometry the queries key on.
     */
-  def buildScaled(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+  def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
+      replicas: Int = 10): Unit = {
+    require(replicas >= 2 && replicas <= 26, "replicas in [2, 26] (letter tags)")
     val done = new java.io.File(s"$outDir/_SCALE_OK")
     if (done.exists()) return
     new java.io.File(outDir).mkdirs()
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
-    val scaledDocs = (0 until Replicas).map { r =>
+    val scaledDocs = (0 until replicas).map { r =>
       val tag = ('a' + r).toChar.toString
       docs.select(
         (col("doc_id") + lit(r.toLong * 100000000L)).as("doc_id"),
@@ -76,7 +76,7 @@ object ScaleBench {
       .parquet(s"$outDir/documents.parquet")
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
-    val scaledEmb = (0 until Replicas).map { r =>
+    val scaledEmb = (0 until replicas).map { r =>
       emb.select(
         (col("vec_id") + lit(r.toLong * 100000000L)).as("vec_id"),
         transform(sequence(lit(0), lit(dim - 1)),
@@ -100,10 +100,11 @@ object ScaleBench {
     val srcDir = args(0)
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val attempts = if (args.length > 2) args(2).toInt else 2
+    val replicas = if (args.length > 3) args(3).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = GraftSession.local(cpus.toInt, "graft-scalebench")
-    buildScaled(spark, srcDir, outDir)
+    buildScaled(spark, srcDir, outDir, replicas)
     val nSmall = spark.read.parquet(s"$srcDir/documents.parquet").count()
     val nBig = spark.read.parquet(s"$outDir/documents.parquet").count()
     val rows = HeavyQueries.map { name =>
