@@ -993,6 +993,73 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Precomputed containment state of a standing corpus: the hashed
+    * shingle-set frame [[containmentPairs]] builds internally — compute
+    * once per corpus, persist (parquet), and probe every increment
+    * against it (the [[MinhashState]] contract applied to the
+    * containment signal).
+    */
+  final case class ContainmentState(sets: DataFrame)
+
+  /** Build (or rebuild) the containment state for a standing corpus. */
+  def containmentState(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3): ContainmentState =
+    ContainmentState(portableShingleSets(df, idCol, textCol, shingleK))
+
+  /** Containment probe of an ARRIVING batch against a standing corpus —
+    * the ingest face of [[containmentPairs]]: emit `(id_in, id_host,
+    * sz_in, overlap, containment)` for every incoming doc whose shingle
+    * set is contained (>= `tau`) in a corpus doc's ("is this new doc a
+    * quote of something we already hold"). The corpus is never
+    * re-shingled: its sets come from the persisted state.
+    *
+    * Zero-false-negative prefix filter, probe-side: incoming tokens
+    * order rarest-first by the STANDING corpus's document frequency
+    * (absent tokens df 0, sorted first — they generate no candidates,
+    * and the pigeonhole still holds: a host containing >= ceil(tau*|A|)
+    * of A's tokens must contain one of any floor((1-tau)*|A|)+1-subset,
+    * and a contained token is by definition present in the corpus, so
+    * the postings join finds it; the +2 slack absorbs the double-floor
+    * ulp, the [[containmentPairs]] bound). Candidates are verified with
+    * one exact intersection — never all-pairs.
+    */
+  def containmentProbe(
+      incoming: DataFrame, state: ContainmentState,
+      idCol: String, textCol: String,
+      tau: Double = 0.9, shingleK: Int = 3): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
+    val inc = portableShingleSets(incoming, idCol, textCol, shingleK)
+      .localCheckpoint() // feeds the prefix pass and the verify side once
+    val hosts = state.sets.select(col("doc").as("host"), col("toks"))
+      .localCheckpoint() // feeds postings, df and the verify side once
+    val postings = hosts.select(col("host"), explode(col("toks")).as("token"))
+    val dfreq = postings.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    val prefix = inc.select(col("doc"), explode(col("toks")).as("token"))
+      .join(dfreq, Seq("token"), "left")
+      .na.fill(0L, Seq("__df"))
+      .groupBy(col("doc"))
+      .agg(transform(array_sort(collect_list(struct(col("__df"), col("token")))),
+        e => e.getField("token")).as("otoks"))
+      .select(col("doc").as("din"),
+        explode(slice(col("otoks"), lit(1),
+          (floor(lit(1.0 - tau) * size(col("otoks"))) + 2).cast("int")))
+          .as("token"))
+    val cand = prefix.join(postings, Seq("token"))
+      .where(col("din") =!= col("host"))
+      .select(col("din"), col("host")).distinct()
+    cand
+      .join(inc.select(col("doc").as("din"), col("toks").as("__ti")), Seq("din"))
+      .join(hosts.select(col("host"), col("toks").as("__th")), Seq("host"))
+      .withColumn("__ic", size(array_intersect(col("__ti"), col("__th"))))
+      .withColumn("__cont", col("__ic").cast("double") / size(col("__ti")))
+      .where(col("__cont") >= tau)
+      .select(col("din").as("id_in"), col("host").as("id_host"),
+        size(col("__ti")).cast("long").as("sz_in"),
+        col("__ic").cast("long").as("overlap"),
+        round(col("__cont"), 6).as("containment"))
+  }
+
   /** Winnowing fingerprints per document (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — MOSS): distinct window-min char-gram hashes over the
     * whitespace-normalized text. Two documents sharing any substring of

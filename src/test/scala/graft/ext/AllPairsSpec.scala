@@ -104,6 +104,43 @@ class AllPairsSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq(1L, 30L))
   }
 
+  test("containmentProbe finds incoming quotes of standing docs; complete vs brute force") {
+    val rnd = new scala.util.Random(23)
+    val vocab = ('a' to 'z').map(_.toString)
+    val standing = (1L to 50L).map { id =>
+      val r = new scala.util.Random(id)
+      (id, r.shuffle(vocab).take(10 + r.nextInt(7)).mkString(" "))
+    }
+    // every fourth standing doc spawns an incoming 3-5 word excerpt;
+    // plus some unrelated incoming docs that must match nothing
+    val quotes = standing.filter(_._1 % 4 == 0).map { case (id, t) =>
+      val w = t.split(" ")
+      (id + 1000L, w.slice(2, 2 + 3 + rnd.nextInt(3)).mkString(" "))
+    }
+    val fresh = (2000L to 2010L).map { id =>
+      val r = new scala.util.Random(id * 31)
+      (id, r.shuffle(vocab).take(8).map(_ * 2).mkString(" ")) // doubled letters: disjoint vocab
+    }
+    val incoming = (quotes ++ fresh).toDF("doc_id", "text")
+    val state = Dedup.containmentState(standing.toDF("doc_id", "text"),
+      "doc_id", "text", shingleK = 1)
+    val fast = Dedup.containmentProbe(incoming, state, "doc_id", "text",
+        tau = 0.8, shingleK = 1)
+      .select("id_in", "id_host").as[(Long, Long)].collect().toSet
+    // brute force over word sets: every (incoming, standing) pair with
+    // |I ∩ S| / |I| >= 0.8
+    val sSets = standing.map { case (id, t) => id -> t.split(" ").toSet }
+    val iSets = (quotes ++ fresh).map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).toSet }
+    val brute = (for {
+      (ii, is) <- iSets; (si, ss) <- sSets
+      if is.nonEmpty && (is.intersect(ss).size.toDouble / is.size) >= 0.8
+    } yield (ii, si)).toSet
+    assert(fast == brute, s"missing=${brute -- fast} extra=${fast -- brute}")
+    assert(brute.nonEmpty) // the fixture must actually plant quotes
+    // no unrelated incoming doc may match anything
+    assert(fast.forall(_._1 < 2000L))
+  }
+
   test("containment prefix filter is complete vs brute force on random corpora") {
     val rnd = new scala.util.Random(17)
     val vocab = ('a' to 'z').map(_.toString)
