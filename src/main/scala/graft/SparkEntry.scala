@@ -1019,6 +1019,61 @@ $fin"""
        FROM enc GROUP BY word)"""
   }
 
+  /** Shared q270/q271 oracle: the naive incoming-x-standing containment
+    * enumeration (every cross pair sharing a shingle, cont = ic/|in|) —
+    * the q266 zero-false-negative oracle split across two frames. ONE
+    * string, so the batch probe and its streamed twin can never assert
+    * different things (per-doc results are row-local given the frozen
+    * state, so streamed == batch under any cut).
+    */
+  private val containmentProbeOracle: String =
+    raw"""WITH stand AS (SELECT doc_id, text FROM documents
+             WHERE doc_id % 5 <> 0 AND text IS NOT NULL),
+         inc AS (SELECT doc_id, text FROM documents
+             WHERE doc_id % 5 = 0 AND text IS NOT NULL
+           UNION ALL
+           SELECT doc_id + 1000000,
+             array_to_string(list_slice(list_filter(
+               regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> ''), 1, 40), ' ')
+           FROM documents
+           WHERE doc_id % 5 <> 0 AND doc_id % 10 = 1 AND text IS NOT NULL),
+         tks AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '') AS arr
+           FROM stand),
+         tki AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '') AS arr
+           FROM inc),
+         shs AS (SELECT doc_id, CASE WHEN len(arr) < 3
+             THEN [array_to_string(arr, ' ')]
+             ELSE list_transform(generate_series(1, len(arr) - 2),
+               i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]) END AS sh
+           FROM tks),
+         shi AS (SELECT doc_id, CASE WHEN len(arr) < 3
+             THEN [array_to_string(arr, ' ')]
+             ELSE list_transform(generate_series(1, len(arr) - 2),
+               i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]) END AS sh
+           FROM tki),
+         tok_s AS (SELECT DISTINCT doc_id,
+             CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) AS token
+           FROM (SELECT doc_id, unnest(sh) AS g FROM shs)),
+         tok_i AS (SELECT DISTINCT doc_id,
+             CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) AS token
+           FROM (SELECT doc_id, unnest(sh) AS g FROM shi)),
+         szi AS (SELECT doc_id, count(*) AS s FROM tok_i GROUP BY 1),
+         inter AS (SELECT i.doc_id AS id_in, h.doc_id AS id_host,
+             count(*) AS ic
+           FROM tok_i i JOIN tok_s h ON i.token = h.token
+           GROUP BY 1, 2),
+         c AS (SELECT id_in, id_host, szi.s AS szin, ic,
+             CAST(ic AS DOUBLE) / szi.s AS cont
+           FROM inter JOIN szi ON szi.doc_id = id_in)
+         SELECT id_in, id_host, CAST(szin AS BIGINT) AS sz_in,
+           CAST(ic AS BIGINT) AS overlap, round(cont, 6) AS containment
+         FROM c WHERE cont >= 0.8 ORDER BY id_in, id_host"""
+
   /** The q249/q267/q269 close-out replay, parameterized on the token
     * currency of the `lab` CTE — the whitespace count (q249) or the
     * recursive BPE encode chain's per-doc piece count (q267, the q156
@@ -3708,6 +3763,32 @@ $fin"""
         .orderBy("id_in", "id_host")
     }),
 
+    "q271_stream_containment_probe" -> ((s, d) => {
+      // q270 with the batch ARRIVING as a stream: the standing state is
+      // frozen, each micro-batch probes independently (a doc's result is
+      // row-local given the state), so the streamed frame equals the
+      // batch probe under any cut and q270's oracle gates it verbatim
+      import graft.streaming.CorpusStreams
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+      val standing = docs.where(col("doc_id") % 5 =!= 0)
+      val incoming = docs.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(standing.where(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            array_join(slice(text.tokens(col("text")), 1, 40), " ").as("text")))
+      val staged = graft.io.TextTables.scratchDir("contain_in", d)
+      incoming.repartition(2).write.mode("overwrite").parquet(staged)
+      // checkpoint the corpus sets ONCE so per-batch probes re-read the
+      // materialized frame instead of re-shingling the corpus
+      val state = Dedup.ContainmentState(
+        Dedup.containmentState(standing, "doc_id", "text", shingleK = 3)
+          .sets.localCheckpoint(true))
+      val name = s"graft_stream_contain_${streamCounter.incrementAndGet()}"
+      CorpusStreams.containmentProbeStreaming(s, staged, "doc_id", "text",
+          state, tau = 0.8, shingleK = 3, name, shufflePartitions = Some(4))
+        .orderBy("id_in", "id_host")
+    }),
+
     "q216_dup_triangles" -> ((s, d) => {
       // graph-shape diagnostic of the exact near-dup pair graph (the en
       // slice — the full 0.9 graph at sf0.1 holds ~1M edges of template
@@ -6380,53 +6461,11 @@ $fin"""
     // the naive incoming-x-standing enumeration (every cross pair
     // sharing a shingle) the prefix-filtered probe must reproduce —
     // the q266 zero-false-negative oracle split across two frames
-    "q270_containment_probe" ->
-      raw"""WITH stand AS (SELECT doc_id, text FROM documents
-             WHERE doc_id % 5 <> 0 AND text IS NOT NULL),
-         inc AS (SELECT doc_id, text FROM documents
-             WHERE doc_id % 5 = 0 AND text IS NOT NULL
-           UNION ALL
-           SELECT doc_id + 1000000,
-             array_to_string(list_slice(list_filter(
-               regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
-               x -> x <> ''), 1, 40), ' ')
-           FROM documents
-           WHERE doc_id % 5 <> 0 AND doc_id % 10 = 1 AND text IS NOT NULL),
-         tks AS (SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
-               x -> x <> '') AS arr
-           FROM stand),
-         tki AS (SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
-               x -> x <> '') AS arr
-           FROM inc),
-         shs AS (SELECT doc_id, CASE WHEN len(arr) < 3
-             THEN [array_to_string(arr, ' ')]
-             ELSE list_transform(generate_series(1, len(arr) - 2),
-               i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]) END AS sh
-           FROM tks),
-         shi AS (SELECT doc_id, CASE WHEN len(arr) < 3
-             THEN [array_to_string(arr, ' ')]
-             ELSE list_transform(generate_series(1, len(arr) - 2),
-               i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]) END AS sh
-           FROM tki),
-         tok_s AS (SELECT DISTINCT doc_id,
-             CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) AS token
-           FROM (SELECT doc_id, unnest(sh) AS g FROM shs)),
-         tok_i AS (SELECT DISTINCT doc_id,
-             CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) AS token
-           FROM (SELECT doc_id, unnest(sh) AS g FROM shi)),
-         szi AS (SELECT doc_id, count(*) AS s FROM tok_i GROUP BY 1),
-         inter AS (SELECT i.doc_id AS id_in, h.doc_id AS id_host,
-             count(*) AS ic
-           FROM tok_i i JOIN tok_s h ON i.token = h.token
-           GROUP BY 1, 2),
-         c AS (SELECT id_in, id_host, szi.s AS szin, ic,
-             CAST(ic AS DOUBLE) / szi.s AS cont
-           FROM inter JOIN szi ON szi.doc_id = id_in)
-         SELECT id_in, id_host, CAST(szin AS BIGINT) AS sz_in,
-           CAST(ic AS BIGINT) AS overlap, round(cont, 6) AS containment
-         FROM c WHERE cont >= 0.8 ORDER BY id_in, id_host""",
+    "q270_containment_probe" -> containmentProbeOracle,
+
+    // per-doc probe results are row-local given the frozen state, so the
+    // streamed twin equals batch under any cut — ONE oracle gates both
+    "q271_stream_containment_probe" -> containmentProbeOracle,
 
     // eight integer cells per token, the identical left-associated double
     // tree on both engines, ranks on the unrounded statistic

@@ -1007,6 +1007,51 @@ object Dedup {
       shingleK: Int = 3): ContainmentState =
     ContainmentState(portableShingleSets(df, idCol, textCol, shingleK))
 
+  /** The parameters a persisted [[ContainmentState]] was built with —
+    * shingle sets from different `shingleK` never intersect correctly,
+    * so a resume MUST match (the [[MinhashParams]] manifest contract).
+    */
+  final case class ContainmentParams(shingleK: Int) {
+    def encoded: String = s"shingleK=$shingleK"
+  }
+
+  /** Persist a [[ContainmentState]] (crash-safe manifest-last, the
+    * [[saveMinhashState]] contract: safe to save into the directory the
+    * state was loaded from).
+    */
+  def saveContainmentState(
+      state: ContainmentState, dir: String, params: ContainmentParams): Unit = {
+    val sets = state.sets.localCheckpoint(true)
+    val manifest = new java.io.File(dir, stateManifest)
+    manifest.delete()
+    sets.write.mode("overwrite").parquet(s"$dir/sets")
+    java.nio.file.Files.write(manifest.toPath,
+      params.encoded.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load a [[ContainmentState]] written by [[saveContainmentState]];
+    * None when no complete state exists, loud failure on a parameter
+    * mismatch.
+    */
+  def loadContainmentState(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      expect: ContainmentParams): Option[ContainmentState] = {
+    val manifest = new java.io.File(dir, stateManifest)
+    val ok = manifest.exists() &&
+      new java.io.File(s"$dir/sets", "_SUCCESS").exists()
+    if (!ok) None
+    else {
+      val stored = new String(
+        java.nio.file.Files.readAllBytes(manifest.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      require(stored == expect.encoded,
+        s"containment state at $dir was built with [$stored] but this run " +
+          s"uses [${expect.encoded}] — shingles would never match; rebuild " +
+          "the state or pass the original parameters")
+      Some(ContainmentState(spark.read.parquet(s"$dir/sets")))
+    }
+  }
+
   /** Containment probe of an ARRIVING batch against a standing corpus —
     * the ingest face of [[containmentPairs]]: emit `(id_in, id_host,
     * sz_in, overlap, containment)` for every incoming doc whose shingle

@@ -178,6 +178,47 @@ object CorpusStreams {
     spark.read.parquet(sink)
   }
 
+  /** Streaming face of [[graft.ext.Dedup.containmentProbe]]: probe each
+    * arriving micro-batch against a FROZEN standing-corpus containment
+    * state inside `foreachBatch` (a doc's probe result depends only on
+    * its own shingle set and the static state — no cross-batch state, the
+    * lmScoreStreaming argument), appending hits to a parquet sink
+    * executor-side. Batch-boundary invariant by construction, so the
+    * batch q270 oracle gates this path verbatim. The ingest-time
+    * quote-screen shape: build the corpus state once, screen every
+    * arriving crawl batch against it.
+    */
+  def containmentProbeStreaming(
+      spark: SparkSession, stagedDir: String, idCol: String, textCol: String,
+      state: graft.ext.Dedup.ContainmentState,
+      tau: Double, shingleK: Int, queryName: String,
+      sinkDir: Option[String] = None,
+      shufflePartitions: Option[Int] = None): DataFrame = {
+    val schema = spark.read.parquet(stagedDir).schema
+    val sink = sinkDir.getOrElse {
+      val d = Files.createTempDirectory("graft_containment_hits")
+      d.toFile.deleteOnExit()
+      d.toString
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+    EventStreams.withStatePartitions(spark, shufflePartitions) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val b = batch.persist()
+          try graft.ext.Dedup.containmentProbe(b.toDF(), state, idCol,
+              textCol, tau, shingleK)
+            .write.mode("append").parquet(sink)
+          finally b.unpersist()
+        }
+        .trigger(Trigger.AvailableNow())
+        .queryName(queryName)
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(sink)
+  }
+
   /** Streaming face of [[graft.ext.NgramLm.score]]: score each arriving
     * micro-batch of documents against a FROZEN reference model inside
     * `foreachBatch` (a document's pairs are wholly contained in its row,

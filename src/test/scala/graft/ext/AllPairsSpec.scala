@@ -141,6 +141,56 @@ class AllPairsSpec extends AnyFunSuite with SparkSpec {
     assert(fast.forall(_._1 < 2000L))
   }
 
+  test("containment state round-trips through disk; param mismatch fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cstate").toString
+    val standing = Seq((1L, "a b c d e f"), (2L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val st = Dedup.containmentState(standing, "doc_id", "text", shingleK = 1)
+    Dedup.saveContainmentState(st, dir, Dedup.ContainmentParams(1))
+    val loaded = Dedup.loadContainmentState(
+      spark, dir, Dedup.ContainmentParams(1)).get
+    val incoming = Seq((10L, "a b c d e")).toDF("doc_id", "text")
+    def probe(s: Dedup.ContainmentState) =
+      Dedup.containmentProbe(incoming, s, "doc_id", "text",
+          tau = 0.8, shingleK = 1)
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val fresh = probe(st)
+    assert(fresh == Seq((10L, 1L, 5L, 5L, 1.0))) // 5-of-5 words in doc 1
+    assert(probe(loaded) == fresh)
+    intercept[IllegalArgumentException] {
+      Dedup.loadContainmentState(spark, dir, Dedup.ContainmentParams(3))
+    }
+    assert(Dedup.loadContainmentState(spark,
+      "/tmp/graft_no_such_cstate", Dedup.ContainmentParams(1)).isEmpty)
+  }
+
+  test("streamed containment probe equals the batch probe across batch cuts") {
+    val standing = (1L to 20L).map { id =>
+      val r = new scala.util.Random(id * 7)
+      (id, r.shuffle(('a' to 'z').map(_.toString)).take(12).mkString(" "))
+    }
+    val quotes = standing.filter(_._1 % 3 == 0).map { case (id, t) =>
+      (id + 100L, t.split(" ").slice(1, 6).mkString(" ")) }
+    val state = Dedup.ContainmentState(
+      Dedup.containmentState(standing.toDF("doc_id", "text"),
+        "doc_id", "text", shingleK = 1).sets.localCheckpoint(true))
+    val incoming = quotes.toDF("doc_id", "text")
+    val batch = Dedup.containmentProbe(incoming, state, "doc_id", "text",
+        tau = 0.8, shingleK = 1)
+      .orderBy("id_in", "id_host")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(batch.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cprobe_in")
+    dir.toFile.deleteOnExit()
+    incoming.repartition(3).write.parquet(s"$dir/in") // 3 micro-batches
+    val streamed = graft.streaming.CorpusStreams.containmentProbeStreaming(
+        spark, s"$dir/in", "doc_id", "text", state,
+        tau = 0.8, shingleK = 1, "cprobe_spec", shufflePartitions = Some(4))
+      .orderBy("id_in", "id_host")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("containment prefix filter is complete vs brute force on random corpora") {
     val rnd = new scala.util.Random(17)
     val vocab = ('a' to 'z').map(_.toString)
