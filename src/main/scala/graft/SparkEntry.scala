@@ -1019,6 +1019,26 @@ $fin"""
        FROM enc GROUP BY word)"""
   }
 
+  /** Shared q24/q272 oracle: exact brute-force cosine top-5 over the
+    * source embeddings — q272 runs the SAME ANN over vectors that
+    * entered through the JSONL ingest gate, so one string gates both
+    * (any ingest loss breaks the ranking hash).
+    */
+  private val annBruteOracle: String =
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+         s AS (SELECT query_id, neighbor_id,
+                 list_cosine_similarity(qv, cv) AS cos_raw
+               FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         r AS (SELECT query_id, neighbor_id, round(cos_raw, 6) + 0 AS cosine,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+               FROM s)
+         SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+         ORDER BY query_id, rank"""
+
   /** Shared q270/q271 oracle: the naive incoming-x-standing containment
     * enumeration (every cross pair sharing a shingle, cont = ic/|in|) —
     * the q266 zero-false-negative oracle split across two frames. ONE
@@ -1753,6 +1773,21 @@ $fin"""
 
     "q24_knn_bruteforce" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", queryIdCol = "vec_id", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q272_ingested_ann" -> ((s, d) => {
+      // the interchange -> ANN loop closed: embeddings enter through the
+      // JSONL ingest gate (q268's lossless float32 contract, wrong-length
+      // guard ON) and feed the exact brute-force top-k unchanged — the
+      // oracle is q24's replay over the SOURCE parquet, so any ingest
+      // loss would break the ranking hash
+      val staged = graft.io.TextTables.scratchDir("emb_ann_in", d)
+      t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        .write.mode("overwrite").json(staged)
+      val emb = graft.io.TextTables.readEmbeddingJsonl(s, staged, dim = Some(64))
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
         idCol = "vec_id", vecCol = "embedding", queryIdCol = "vec_id", k = 5)
         .orderBy("query_id", "rank")
@@ -5246,20 +5281,11 @@ $fin"""
     // list_cosine_similarity on DOUBLE[] accumulates in double like the
     // native CosineSimilarity expression; ranks use the UNROUNDED score on
     // both sides, output rounds to 6dp (Similarity.bruteForceTopK contract).
-    "q24_knn_bruteforce" ->
-      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-                    FROM embeddings WHERE vec_id < 10),
-         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-               FROM embeddings),
-         s AS (SELECT query_id, neighbor_id,
-                 list_cosine_similarity(qv, cv) AS cos_raw
-               FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
-         r AS (SELECT query_id, neighbor_id, round(cos_raw, 6) + 0 AS cosine,
-                 CAST(row_number() OVER (PARTITION BY query_id
-                   ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
-               FROM s)
-         SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
-         ORDER BY query_id, rank""",
+    // q272 shares this replay verbatim: the JSONL ingest gate is
+    // lossless (q268), so the ANN ranking over ingested vectors must
+    // hash-equal the ranking over the source parquet
+    "q24_knn_bruteforce" -> annBruteOracle,
+    "q272_ingested_ann" -> annBruteOracle,
     "q27_text_quality" ->
       """WITH base AS (SELECT doc_id,
              len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tok,

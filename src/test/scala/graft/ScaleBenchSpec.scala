@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScaleBenchSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("buildScaled replicas are isomorphic: token counts, near-dup structure, vector geometry") {
+    val dir = Files.createTempDirectory("graft_scale_spec")
+    dir.toFile.deleteOnExit()
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "en", "s0", 22L),
+      (2L, "alpha beta gamma delta", "en", "s0", 22L), // exact dup of 1
+      (3L, "completely different words over here", "de", "s1", 36L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$dir/src/documents.parquet")
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.6f, 0.8f, 0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    emb.write.parquet(s"$dir/src/embeddings.parquet")
+    ScaleBench.buildScaled(spark, s"$dir/src", s"$dir/out", replicas = 3)
+
+    val big = spark.read.parquet(s"$dir/out/documents.parquet")
+    assert(big.count() == 9) // 3 replicas x 3 docs
+    // per-doc token counts preserved (the isomorphism the curves rely on)
+    val tokCounts = big.select(size(graft.functions.text.tokens($"text")))
+      .as[Int].collect().toSeq
+    assert(tokCounts.count(_ == 4) == 6 && tokCounts.count(_ == 5) == 3)
+    // intra-replica near-dup structure preserved, cross-replica disjoint:
+    // exactly one exact-dup pair per replica, none across
+    val texts = big.select($"doc_id", $"text").as[(Long, String)].collect()
+    val byText = texts.groupBy(_._2).values.filter(_.length > 1).toSeq
+    assert(byText.length == 3 && byText.forall(_.length == 2))
+    assert(byText.forall { g =>
+      g.map(_._1 / 100000000L).distinct.length == 1 // same replica
+    })
+    // embeddings: rotation is an isometry — norms and intra-replica dot
+    // products preserved exactly (float components merely permuted)
+    val bigEmb = spark.read.parquet(s"$dir/out/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .toMap
+    assert(bigEmb.size == 6)
+    for (r <- 0 until 3) {
+      val off = r.toLong * 100000000L
+      val (a, b) = (bigEmb(off + 1L), bigEmb(off + 2L))
+      assert(a.sortBy(identity) == Seq(0.0f, 0.0f, 0.0f, 1.0f))
+      // dot(1, 2) = 0.6 in every replica (pairwise geometry intact)
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot - 0.6f) < 1e-6)
+    }
+    // distinct replicas really are rotated differently (decorrelation)
+    assert(bigEmb(1L) != bigEmb(100000001L))
+  }
+}
