@@ -527,4 +527,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!mad.contains("SortMergeJoin"),
       s"q196: a stat join fell back to sort-merge:\n$mad")
   }
+
+  test("q270: containment probe reads checkpointed sets — no re-shingle, no cartesian") {
+    // both shingle-set frames are materialized once (eager localCheckpoint
+    // inside containmentProbe); the prefix/candidate/verify chain reads
+    // ONLY those frames, so the final plan holds zero source scans —
+    // the standing corpus is never re-shingled per probe (the
+    // incremental-dedup contract applied to containment)
+    val plan = finalPlan("q270_containment_probe")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0, s"q270: probe re-scans a source table ($scans):\n$plan")
+    assert(plan.contains("ExistingRDD"), s"q270: no checkpointed frame in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q270: cartesian in:\n$plan")
+  }
+
+  test("q272: ingested ANN keeps the brute-force shape — probe side broadcasts") {
+    // the JSONL ingest gate must not change the ANN plan: queries
+    // broadcast onto the corpus (nested-loop over the bounded probe set),
+    // the corpus side never shuffles before the GroupTopK heap
+    val plan = finalPlan("q272_ingested_ann")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"q272: probe side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q272: ANN fell back to sort-merge:\n$plan")
+  }
 }
