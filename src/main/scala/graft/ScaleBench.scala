@@ -48,7 +48,10 @@ object ScaleBench {
     "q120_substring_dedup_incr",
     "q199_allpairs_jaccard",
     "q216_dup_triangles",
-    "q249_curation_close")
+    "q249_curation_close",
+    "q266_containment_pairs",
+    "q269_curation_close_contained",
+    "q270_containment_probe")
 
   /** Build the `replicas`x corpus: isomorphic token-suffixed document
     * replicas and coordinate-rotated embedding replicas. Id offsets are
@@ -101,13 +104,18 @@ object ScaleBench {
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val attempts = if (args.length > 2) args(2).toInt else 2
     val replicas = if (args.length > 3) args(3).toInt else 10
+    // further args restrict the battery (the Bench partial-run contract)
+    val only = args.drop(4).toSet
+    val unknown = only.diff(HeavyQueries.toSet)
+    require(unknown.isEmpty, s"not heavy-battery queries: ${unknown.mkString(", ")}")
+    val battery = if (only.isEmpty) HeavyQueries else HeavyQueries.filter(only)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = GraftSession.local(cpus.toInt, "graft-scalebench")
     buildScaled(spark, srcDir, outDir, replicas)
     val nSmall = spark.read.parquet(s"$srcDir/documents.parquet").count()
     val nBig = spark.read.parquet(s"$outDir/documents.parquet").count()
-    val rows = HeavyQueries.map { name =>
+    val rows = battery.map { name =>
       val small = (1 to attempts).map(_ => timeOnce(spark, name, srcDir)).min
       val big = (1 to attempts).map(_ => timeOnce(spark, name, outDir)).min
       val ratio = big / small

@@ -191,6 +191,24 @@ class AllPairsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch)
   }
 
+  test("containmentProbe degenerate inputs: empty batch, empty corpus, null text") {
+    val standing = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val state = Dedup.containmentState(standing, "doc_id", "text", shingleK = 1)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.containmentProbe(empty, state, "doc_id", "text",
+      tau = 0.8, shingleK = 1).isEmpty)
+    val emptyState = Dedup.containmentState(empty, "doc_id", "text", shingleK = 1)
+    val incoming = Seq((10L, "a b c d e"), (11L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(Dedup.containmentProbe(incoming, emptyState, "doc_id", "text",
+      tau = 0.8, shingleK = 1).isEmpty)
+    // null-text incoming rows are excluded, not crashed on
+    val out = Dedup.containmentProbe(incoming, state, "doc_id", "text",
+        tau = 0.8, shingleK = 1)
+      .select("id_in").as[Long].collect().toSeq
+    assert(out == Seq(10L))
+  }
+
   test("containment prefix filter is complete vs brute force on random corpora") {
     val rnd = new scala.util.Random(17)
     val vocab = ('a' to 'z').map(_.toString)
