@@ -92,4 +92,35 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("length != 2"))
   }
+
+  test("GramMoments buffer merges are partition-order free; nulls fail loudly") {
+    import graft.expressions.GramMoments
+    import org.apache.spark.sql.functions.{col, transform}
+    val rows = (1 to 97).map(i =>
+      Seq(BigDecimal(i) / 100, BigDecimal(-i * 3) / 100, BigDecimal(7 - i) / 50))
+    def moments(parts: Int) = rows.toDF("v")
+      .repartition(parts)
+      .select(transform(col("v"), x => x.cast("decimal(18,6)")).as("v"))
+      .agg(GramMoments.gramMoments(col("v"), 3).as("m"))
+      .select(col("m.n"), col("m.sx"), col("m.sxy"))
+      .as[(Long, Seq[BigDecimal], Seq[BigDecimal])].collect().head
+    val one = moments(1)
+    // cross-partition merge (and its serde round trip) must be exact:
+    // decimal sums are order-free, so any partitioning yields ONE answer
+    assert(moments(7) == one && moments(32) == one)
+    assert(one._1 == 97L && one._2.length == 3 && one._3.length == 6)
+    // reference: driver-side exact sums
+    val xs = rows.map(_.map(_.setScale(6)))
+    assert(one._2 == (0 until 3).map(i => xs.map(_(i)).sum.setScale(6)))
+    val expSxy = for (i <- 0 until 3; j <- i until 3)
+      yield xs.map(r => r(i) * r(j)).sum.setScale(12)
+    assert(one._3 == expSxy)
+    // a null coordinate must fail, not silently bias the moments
+    val withNull = Seq(Seq[String]("1.0", null))
+      .toDF("v").select(col("v").cast("array<decimal(18,6)>").as("v"))
+    val e = intercept[org.apache.spark.SparkException] {
+      withNull.agg(GramMoments.gramMoments(col("v"), 2)).collect()
+    }
+    assert(e.getMessage.contains("null coordinate"))
+  }
 }
