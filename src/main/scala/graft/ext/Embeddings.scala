@@ -104,17 +104,23 @@ object Embeddings {
     require(loadings.nonEmpty, "empty direction")
     val v = col(vecCol).cast("array<double>")
     // each partial sum is pinned back to decimal(28,12): Spark's decimal
-    // ADD grows precision per step, and a 64-term tree blows past the
+    // ADD grows precision per step, and a 64-term fold blows past the
     // 38 cap where allowPrecisionLoss silently truncates the scale (a
     // 6-dp result was observed); the re-cast is exact at these
-    // magnitudes (|term| < 1e6) and keeps every step full-scale
-    val terms = loadings.zipWithIndex.map { case (l, i) =>
-      (round(element_at(v, i + 1), 6).cast("decimal(18,6)") *
-        lit(l).cast("decimal(18,6)")).cast("decimal(28,12)")
-    }
+    // magnitudes (|term| < 1e6) and keeps every step full-scale.
+    // Shape: zip_with + aggregate (a LOOP over the loading literals),
+    // not a d-deep nested expression tree — the tree form generated a
+    // 64-level method that took janino seconds to compile per plan; the
+    // fold is the same left-associated exact arithmetic (a leading
+    // 0 + t1 add is exact) in O(1) expression depth
+    val loadLit = array(loadings.map(l => lit(l).cast("decimal(18,6)")): _*)
+    val terms = zip_with(
+      transform(v, x => round(x, 6).cast("decimal(18,6)")), loadLit,
+      (x, l) => (x * l).cast("decimal(28,12)"))
     df.where(v.isNotNull)
       .select(col(idCol),
-        terms.reduce((a, b) => (a + b).cast("decimal(28,12)"))
+        aggregate(terms, lit(java.math.BigDecimal.ZERO).cast("decimal(28,12)"),
+          (acc, t) => (acc + t).cast("decimal(28,12)"))
           .cast("double").as("proj"))
   }
 
