@@ -61,8 +61,15 @@ object ScaleBench {
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       replicas: Int = 10): Unit = {
     require(replicas >= 2 && replicas <= 26, "replicas in [2, 26] (letter tags)")
+    // the marker records the replica count (the MinhashParams manifest
+    // contract): a rerun with a different replicas value must rebuild,
+    // not silently reuse a differently-scaled corpus
     val done = new java.io.File(s"$outDir/_SCALE_OK")
-    if (done.exists()) return
+    val stamp = s"replicas=$replicas"
+    if (done.exists() &&
+      new String(java.nio.file.Files.readAllBytes(done.toPath),
+        java.nio.charset.StandardCharsets.UTF_8) == stamp) return
+    done.delete() // stale or absent: rebuild, marker-last
     new java.io.File(outDir).mkdirs()
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val scaledDocs = (0 until replicas).map { r =>
@@ -89,7 +96,7 @@ object ScaleBench {
     }.reduce(_ unionByName _)
     scaledEmb.repartition(8).write.mode("overwrite")
       .parquet(s"$outDir/embeddings.parquet")
-    java.nio.file.Files.writeString(done.toPath, "ok")
+    java.nio.file.Files.writeString(done.toPath, stamp)
   }
 
   private def timeOnce(spark: SparkSession, name: String, dir: String): Double = {

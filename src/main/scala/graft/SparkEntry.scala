@@ -3792,7 +3792,10 @@ $fin"""
         .unionByName(standing.where(col("doc_id") % 10 === 1)
           .select((col("doc_id") + 1000000L).as("doc_id"),
             array_join(slice(text.tokens(col("text")), 1, 40), " ").as("text")))
-      val state = Dedup.containmentState(standing, "doc_id", "text", shingleK = 3)
+      // checkpointed state: one shingle pass + one df aggregation total,
+      // shared by the prefix, candidate and verify consumers
+      val state = Dedup.containmentStateCheckpointed(
+        standing, "doc_id", "text", shingleK = 3)
       Dedup.containmentProbe(incoming, state, "doc_id", "text",
           tau = 0.8, shingleK = 3)
         .orderBy("id_in", "id_host")
@@ -3813,11 +3816,10 @@ $fin"""
             array_join(slice(text.tokens(col("text")), 1, 40), " ").as("text")))
       val staged = graft.io.TextTables.scratchDir("contain_in", d)
       incoming.repartition(2).write.mode("overwrite").parquet(staged)
-      // checkpoint the corpus sets ONCE so per-batch probes re-read the
-      // materialized frame instead of re-shingling the corpus
-      val state = Dedup.ContainmentState(
-        Dedup.containmentState(standing, "doc_id", "text", shingleK = 3)
-          .sets.localCheckpoint(true))
+      // checkpointed state: the corpus sets AND df materialize once; every
+      // micro-batch probe re-reads the frames instead of re-shingling
+      val state = Dedup.containmentStateCheckpointed(
+        standing, "doc_id", "text", shingleK = 3)
       val name = s"graft_stream_contain_${streamCounter.incrementAndGet()}"
       CorpusStreams.containmentProbeStreaming(s, staged, "doc_id", "text",
           state, tau = 0.8, shingleK = 3, name, shufflePartitions = Some(4))
@@ -6474,13 +6476,13 @@ $fin"""
            FROM tok a JOIN tok b ON a.token = b.token
              AND a.doc_id <> b.doc_id
            GROUP BY 1, 2),
-         c AS (SELECT id_part, id_whole, sa.s AS szp, ic,
+         c AS (SELECT id_part, id_whole, sa.s AS szp, sb.s AS szw, ic,
              CAST(ic AS DOUBLE) / sa.s AS cont,
              CAST(ic AS DOUBLE) / (sa.s + sb.s - ic) AS jac
            FROM inter JOIN sz sa ON sa.doc_id = id_part
                       JOIN sz sb ON sb.doc_id = id_whole)
          SELECT id_part, id_whole, CAST(szp AS BIGINT) AS sz_part,
-           CAST(ic AS BIGINT) AS overlap,
+           CAST(szw AS BIGINT) AS sz_whole, CAST(ic AS BIGINT) AS overlap,
            round(cont, 6) AS containment, round(jac, 6) AS jaccard
          FROM c WHERE cont >= 0.8 ORDER BY id_part, id_whole""",
 
@@ -7176,7 +7178,7 @@ $fin"""
            weighted AS weighted_gini, round(base - weighted, 6) + 0 AS gain
          FROM w1
          UNION ALL
-         SELECT 'len_bucket', n, base, weighted, round(base - weighted, 6)
+         SELECT 'len_bucket', n, base, weighted, round(base - weighted, 6) + 0
          FROM w2
          ORDER BY feature""",
 

@@ -958,6 +958,9 @@ object Dedup {
       .where(col("__cont") >= tau)
       .select(col("dl").as("id_part"), col("dr").as("id_whole"),
         size(col("__tl")).cast("long").as("sz_part"),
+        // the whole side's size rides out for free (the verify join holds
+        // both sets) so subsumption policies never re-shingle the corpus
+        size(col("__tr")).cast("long").as("sz_whole"),
         col("__ic").cast("long").as("overlap"),
         round(col("__cont"), 6).as("containment"),
         round(col("__ic").cast("double") /
@@ -974,38 +977,58 @@ object Dedup {
     * quote still sits in the host).
     *
     * Scale: the pair stage is the prefix-filtered [[containmentPairs]]
-    * (zero-false-negative, never all-pairs); the size frame is one more
-    * shingle pass over `df` — acceptable where this runs (post-gate
-    * capped corpora; fold the sizes into the pair output if a raw-corpus
-    * caller ever appears).
+    * (zero-false-negative, never all-pairs); the subsumption policy runs
+    * on the pair frame alone — `sz_whole` rides in it, so no second
+    * shingle pass over the corpus.
     */
   def containmentDedup(
       df: DataFrame, idCol: String, textCol: String,
       tau: Double = 0.9, shingleK: Int = 3): DataFrame = {
-    val pairs = containmentPairs(df, idCol, textCol, tau, shingleK)
-    val sizes = portableShingleSets(df, idCol, textCol, shingleK)
-      .select(col("doc").as("id_whole"),
-        size(col("toks")).cast("long").as("__szw"))
-    val drop = pairs.join(sizes, Seq("id_whole"))
-      .where(col("sz_part") < col("__szw") ||
-        (col("sz_part") === col("__szw") && col("id_part") > col("id_whole")))
+    // sz_whole rides in the pair frame — no second shingle pass
+    val drop = containmentPairs(df, idCol, textCol, tau, shingleK)
+      .where(col("sz_part") < col("sz_whole") ||
+        (col("sz_part") === col("sz_whole") && col("id_part") > col("id_whole")))
       .select(col("id_part").as(idCol)).distinct()
     df.join(drop, Seq(idCol), "left_anti")
   }
 
   /** Precomputed containment state of a standing corpus: the hashed
-    * shingle-set frame [[containmentPairs]] builds internally — compute
-    * once per corpus, persist (parquet), and probe every increment
-    * against it (the [[MinhashState]] contract applied to the
-    * containment signal).
+    * shingle-set frame [[containmentPairs]] builds internally PLUS the
+    * corpus-wide token document frequencies the probe prefix orders by
+    * — both corpus-sized artifacts, computed once per corpus, persisted
+    * (parquet), and probed against per increment (the [[MinhashState]]
+    * contract applied to the containment signal). The df frame lives in
+    * the state ON PURPOSE: it is batch-invariant, and recomputing it per
+    * probe would re-aggregate the whole corpus inside every micro-batch
+    * of a streaming screen.
     */
-  final case class ContainmentState(sets: DataFrame)
+  final case class ContainmentState(sets: DataFrame, dfreq: DataFrame)
+
+  private def dfreqOf(sets: DataFrame): DataFrame =
+    sets.select(explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("__df"))
 
   /** Build (or rebuild) the containment state for a standing corpus. */
   def containmentState(
       df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3): ContainmentState =
-    ContainmentState(portableShingleSets(df, idCol, textCol, shingleK))
+      shingleK: Int = 3): ContainmentState = {
+    val sets = portableShingleSets(df, idCol, textCol, shingleK)
+    ContainmentState(sets, dfreqOf(sets))
+  }
+
+  /** [[containmentState]] with both frames eagerly checkpointed and the
+    * df frame DERIVED from the already-checkpointed sets — exactly one
+    * shingle pass over the corpus no matter how many probes consume the
+    * state afterwards (the [[minhashStateCheckpointed]] argument; a lazy
+    * state would re-shingle the corpus per probe action).
+    */
+  def containmentStateCheckpointed(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3): ContainmentState = {
+    val sets = portableShingleSets(df, idCol, textCol, shingleK)
+      .localCheckpoint(true)
+    ContainmentState(sets, dfreqOf(sets).localCheckpoint(true))
+  }
 
   /** The parameters a persisted [[ContainmentState]] was built with —
     * shingle sets from different `shingleK` never intersect correctly,
@@ -1022,9 +1045,11 @@ object Dedup {
   def saveContainmentState(
       state: ContainmentState, dir: String, params: ContainmentParams): Unit = {
     val sets = state.sets.localCheckpoint(true)
+    val dfreq = state.dfreq.localCheckpoint(true)
     val manifest = new java.io.File(dir, stateManifest)
     manifest.delete()
     sets.write.mode("overwrite").parquet(s"$dir/sets")
+    dfreq.write.mode("overwrite").parquet(s"$dir/dfreq")
     java.nio.file.Files.write(manifest.toPath,
       params.encoded.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
@@ -1037,8 +1062,8 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       expect: ContainmentParams): Option[ContainmentState] = {
     val manifest = new java.io.File(dir, stateManifest)
-    val ok = manifest.exists() &&
-      new java.io.File(s"$dir/sets", "_SUCCESS").exists()
+    val ok = manifest.exists() && Seq("sets", "dfreq").forall(p =>
+      new java.io.File(s"$dir/$p", "_SUCCESS").exists())
     if (!ok) None
     else {
       val stored = new String(
@@ -1048,7 +1073,8 @@ object Dedup {
         s"containment state at $dir was built with [$stored] but this run " +
           s"uses [${expect.encoded}] — shingles would never match; rebuild " +
           "the state or pass the original parameters")
-      Some(ContainmentState(spark.read.parquet(s"$dir/sets")))
+      Some(ContainmentState(spark.read.parquet(s"$dir/sets"),
+        spark.read.parquet(s"$dir/dfreq")))
     }
   }
 
@@ -1076,12 +1102,14 @@ object Dedup {
     require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
     val inc = portableShingleSets(incoming, idCol, textCol, shingleK)
       .localCheckpoint() // feeds the prefix pass and the verify side once
+    // corpus-sized frames come FROM THE STATE as built: per-call work is
+    // batch-sized only — a streaming screen must never re-checkpoint the
+    // corpus sets or re-aggregate corpus-wide df per micro-batch (pass a
+    // containmentStateCheckpointed / loaded state)
     val hosts = state.sets.select(col("doc").as("host"), col("toks"))
-      .localCheckpoint() // feeds postings, df and the verify side once
     val postings = hosts.select(col("host"), explode(col("toks")).as("token"))
-    val dfreq = postings.groupBy(col("token")).agg(count(lit(1)).as("__df"))
     val prefix = inc.select(col("doc"), explode(col("toks")).as("token"))
-      .join(dfreq, Seq("token"), "left")
+      .join(state.dfreq, Seq("token"), "left")
       .na.fill(0L, Seq("__df"))
       .groupBy(col("doc"))
       .agg(transform(array_sort(collect_list(struct(col("__df"), col("token")))),

@@ -103,6 +103,14 @@ object Embeddings {
       loadings: Seq[Double]): DataFrame = {
     require(loadings.nonEmpty, "empty direction")
     val v = col(vecCol).cast("array<double>")
+    // loud length guard (the covarianceReport contract): zip_with pads a
+    // short vector with nulls, which would null the fold and silently
+    // emit proj = null instead of failing on a mixed-model corpus
+    val bad = df.where(v.isNotNull && size(v) =!= loadings.length)
+      .limit(1).count()
+    require(bad == 0,
+      s"projectOnto: vector with length != ${loadings.length} present — " +
+        "mixed embedding models? (a null projection would silently drop)")
     // each partial sum is pinned back to decimal(28,12): Spark's decimal
     // ADD grows precision per step, and a 64-term fold blows past the
     // 38 cap where allowPrecisionLoss silently truncates the scale (a

@@ -74,17 +74,18 @@ class AllPairsSpec extends AnyFunSuite with SparkSpec {
     val out = Dedup.containmentPairs(df, "doc_id", "text",
         tau = 0.8, shingleK = 1)
       .orderBy("id_part", "id_whole")
-      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().toSeq
     // (10,20)/(20,10): the two quotes also contain each other (4/4, 4/5)
     assert(out.map(r => (r._1, r._2)) ==
       Seq((10L, 1L), (10L, 20L), (20L, 1L), (20L, 10L)))
     val q = out.head
-    assert(q._3 == 4L && q._4 == 4L && q._5 == 1.0) // full containment
-    assert(q._6 == BigDecimal(4.0 / 12)
+    // (sz_part, sz_whole, overlap, containment): 4-word quote in 12-word host
+    assert(q._3 == 4L && q._4 == 12L && q._5 == 4L && q._6 == 1.0)
+    assert(q._7 == BigDecimal(4.0 / 12)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     val byPair = out.map(r => (r._1, r._2) -> r).toMap
     val p = byPair((20L, 1L))
-    assert(p._5 == 0.8 && p._4 == 4L) // 4 of 5 words inside the host
+    assert(p._6 == 0.8 && p._5 == 4L) // 4 of 5 words inside the host
     // resemblance at the same threshold sees only the mutual-quote tie
     // (jaccard(10, 20) = 4/5 = 0.8, inclusive) — NEVER the quote-in-host
     // pair (10, 1), which is the signal containment exists to add
@@ -171,9 +172,8 @@ class AllPairsSpec extends AnyFunSuite with SparkSpec {
     }
     val quotes = standing.filter(_._1 % 3 == 0).map { case (id, t) =>
       (id + 100L, t.split(" ").slice(1, 6).mkString(" ")) }
-    val state = Dedup.ContainmentState(
-      Dedup.containmentState(standing.toDF("doc_id", "text"),
-        "doc_id", "text", shingleK = 1).sets.localCheckpoint(true))
+    val state = Dedup.containmentStateCheckpointed(
+      standing.toDF("doc_id", "text"), "doc_id", "text", shingleK = 1)
     val incoming = quotes.toDF("doc_id", "text")
     val batch = Dedup.containmentProbe(incoming, state, "doc_id", "text",
         tau = 0.8, shingleK = 1)
