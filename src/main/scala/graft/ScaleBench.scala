@@ -51,7 +51,8 @@ object ScaleBench {
     "q249_curation_close",
     "q266_containment_pairs",
     "q269_curation_close_contained",
-    "q270_containment_probe")
+    "q270_containment_probe",
+    "q260_embedding_covariance")
 
   /** Build the `replicas`x corpus: isomorphic token-suffixed document
     * replicas and coordinate-rotated embedding replicas. Id offsets are
