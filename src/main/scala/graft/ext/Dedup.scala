@@ -918,6 +918,36 @@ object Dedup {
     * jaccard)`; high `tau` keeps prefixes short — the operator is meant
     * for the 0.8+ subsumption regime.
     */
+  /** Rarest-first containment prefix of each part-side shingle set —
+    * `(doc, token)` rows of the `floor((1-tau)|A|) + 2` lowest-df tokens
+    * per doc, the zero-false-negative candidate generator SHARED by
+    * [[containmentPairs]] (df = the self-corpus) and [[containmentProbe]]
+    * (df = the standing corpus): one implementation, so a correction to
+    * the bound or the ordering can never land in only one of them.
+    *
+    * + 2, not + 1: the exact bound is floor_exact((1-tau)|A|) + 1, but
+    * (1.0 - tau) * |A| in double can land 1 ulp BELOW the exact product
+    * at integer boundaries (1.0 - 0.9 = 0.0999…98, times 30 = 2.999…96,
+    * floor 2 where the exact floor is 3) — one extra prefix token
+    * absorbs the drift and keeps zero-false-negative against the naive
+    * all-pairs oracle. Tokens ABSENT from `dfreq` join left-null, fill
+    * to df 0 and sort first; they generate no candidates, which is safe:
+    * the pigeonhole witness is host-present by definition, so it has
+    * df >= 1 and survives in the prefix behind at most the absent ones.
+    */
+  private def containmentPrefix(
+      partSets: DataFrame, dfreq: DataFrame, tau: Double): DataFrame =
+    partSets.select(col("doc"), explode(col("toks")).as("token"))
+      .join(dfreq, Seq("token"), "left")
+      .na.fill(0L, Seq("__df"))
+      .groupBy(col("doc"))
+      .agg(transform(array_sort(collect_list(struct(col("__df"), col("token")))),
+        e => e.getField("token")).as("otoks"))
+      .select(col("doc"),
+        explode(slice(col("otoks"), lit(1),
+          (floor(lit(1.0 - tau) * size(col("otoks"))) + 2).cast("int")))
+          .as("token"))
+
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
       tau: Double = 0.9, shingleK: Int = 3): DataFrame = {
@@ -929,22 +959,9 @@ object Dedup {
       .localCheckpoint()
     val postings = docs.select(col("doc"), explode(col("toks")).as("token"))
     val dfreq = postings.groupBy(col("token")).agg(count(lit(1)).as("__df"))
-    // rarest-first ordering, then the part-side prefix of
-    // floor((1-tau)|A|) + 1 lowest-df shingles
-    val prefix = postings.join(dfreq, Seq("token"))
-      .groupBy(col("doc"))
-      .agg(transform(array_sort(collect_list(struct(col("__df"), col("token")))),
-        e => e.getField("token")).as("otoks"))
-      .select(col("doc").as("dl"),
-        // + 2, not + 1: the exact bound is floor_exact((1-tau)|A|) + 1,
-        // but (1.0 - tau) * |A| in double can land 1 ulp BELOW the exact
-        // product at integer boundaries (1.0 - 0.9 = 0.0999…98, times 30
-        // = 2.999…96, floor 2 where the exact floor is 3) — one extra
-        // prefix token absorbs the drift and keeps zero-false-negative
-        // against the oracle's naive all-pairs enumeration
-        explode(slice(col("otoks"), lit(1),
-          (floor(lit(1.0 - tau) * size(col("otoks"))) + 2).cast("int")))
-          .as("token"))
+    // shared rarest-first prefix (see containmentPrefix for the bound)
+    val prefix = containmentPrefix(docs, dfreq, tau)
+      .select(col("doc").as("dl"), col("token"))
     val cand = prefix
       .join(postings.select(col("token"), col("doc").as("dr")), Seq("token"))
       .where(col("dl") =!= col("dr"))
@@ -1108,16 +1125,10 @@ object Dedup {
     // containmentStateCheckpointed / loaded state)
     val hosts = state.sets.select(col("doc").as("host"), col("toks"))
     val postings = hosts.select(col("host"), explode(col("toks")).as("token"))
-    val prefix = inc.select(col("doc"), explode(col("toks")).as("token"))
-      .join(state.dfreq, Seq("token"), "left")
-      .na.fill(0L, Seq("__df"))
-      .groupBy(col("doc"))
-      .agg(transform(array_sort(collect_list(struct(col("__df"), col("token")))),
-        e => e.getField("token")).as("otoks"))
-      .select(col("doc").as("din"),
-        explode(slice(col("otoks"), lit(1),
-          (floor(lit(1.0 - tau) * size(col("otoks"))) + 2).cast("int")))
-          .as("token"))
+    // shared rarest-first prefix against the STANDING df (see
+    // containmentPrefix for the bound and the absent-token argument)
+    val prefix = containmentPrefix(inc, state.dfreq, tau)
+      .select(col("doc").as("din"), col("token"))
     val cand = prefix.join(postings, Seq("token"))
       .where(col("din") =!= col("host"))
       .select(col("din"), col("host")).distinct()

@@ -102,15 +102,21 @@ object Embeddings {
       df: DataFrame, idCol: String, vecCol: String,
       loadings: Seq[Double]): DataFrame = {
     require(loadings.nonEmpty, "empty direction")
-    val v = col(vecCol).cast("array<double>")
-    // loud length guard (the covarianceReport contract): zip_with pads a
-    // short vector with nulls, which would null the fold and silently
-    // emit proj = null instead of failing on a mixed-model corpus
-    val bad = df.where(v.isNotNull && size(v) =!= loadings.length)
-      .limit(1).count()
-    require(bad == 0,
-      s"projectOnto: vector with length != ${loadings.length} present — " +
-        "mixed embedding models? (a null projection would silently drop)")
+    val v0 = col(vecCol).cast("array<double>")
+    // loud length guard IN THE ROW PATH (zip_with pads a short vector
+    // with nulls, which would null the fold and silently emit proj =
+    // null on a mixed-model corpus): raise_error costs no extra action,
+    // where a count-based pre-check would recompute the whole upstream
+    // plan once per call just to validate it
+    // the null-vector WHERE below runs on v0, and this guard fires only
+    // for present vectors (a null size would route to otherwise and
+    // raise on the excluded rows)
+    val v = when(size(v0) === lit(loadings.length), v0)
+      .otherwise(raise_error(concat(
+        lit("projectOnto: vector with length "), size(v0).cast("string"),
+        lit(s" != ${loadings.length} — mixed embedding models? " +
+          "(a null projection would silently drop)")))
+        .cast("array<double>"))
     // each partial sum is pinned back to decimal(28,12): Spark's decimal
     // ADD grows precision per step, and a 64-term fold blows past the
     // 38 cap where allowPrecisionLoss silently truncates the scale (a
@@ -125,7 +131,7 @@ object Embeddings {
     val terms = zip_with(
       transform(v, x => round(x, 6).cast("decimal(18,6)")), loadLit,
       (x, l) => (x * l).cast("decimal(28,12)"))
-    df.where(v.isNotNull)
+    df.where(v0.isNotNull)
       .select(col(idCol),
         aggregate(terms, lit(java.math.BigDecimal.ZERO).cast("decimal(28,12)"),
           (acc, t) => (acc + t).cast("decimal(28,12)"))

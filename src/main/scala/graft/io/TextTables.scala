@@ -103,10 +103,17 @@ object TextTables {
       dim: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val raw = spark.read.schema(embeddingSchema(idCol, vecCol)).json(path)
+    // an EXPLICIT JSON null element is schema-valid under array<float>
+    // (containsNull), so it would slip past a size-only guard and feed a
+    // null coordinate to downstream dots/cosines (silent mis-ranking) —
+    // null the whole vector, the same fate as a non-numeric element
+    val noNullElems = when(
+      !exists(col(vecCol), e => e.isNull), col(vecCol))
+    val cleaned = raw.withColumn(vecCol, noNullElems)
     dim match {
-      case Some(k) => raw.withColumn(vecCol,
+      case Some(k) => cleaned.withColumn(vecCol,
         when(size(col(vecCol)) === k, col(vecCol)))
-      case None => raw
+      case None => cleaned
     }
   }
 

@@ -93,6 +93,23 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("length != 2"))
   }
 
+  test("projectOnto fails loudly on a wrong-length vector, excludes nulls quietly") {
+    val ok = Seq((1L, Seq(0.5f, 0.25f)), (2L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    // the null vector is excluded without tripping the row-path guard
+    val out = Embeddings.projectOnto(ok, "vec_id", "embedding", Seq(1.0, 2.0))
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 1.0)))
+    val mixed = Seq((1L, Seq(0.5f, 0.25f)), (3L, Seq(0.5f)))
+      .toDF("vec_id", "embedding")
+    // raise_error surfaces as USER_RAISED_EXCEPTION (the concrete class
+    // is not accessible from test scope; the message is the contract)
+    val e = intercept[Exception] {
+      Embeddings.projectOnto(mixed, "vec_id", "embedding", Seq(1.0, 2.0)).collect()
+    }
+    assert(e.getMessage.contains("mixed embedding models"))
+  }
+
   test("GramMoments buffer merges are partition-order free; nulls fail loudly") {
     import graft.expressions.GramMoments
     import org.apache.spark.sql.functions.{col, transform}

@@ -115,18 +115,21 @@ class TextTablesSpec extends AnyFunSuite with SparkSpec {
         """{"vec_id": 1, "embedding": [0.5, -0.25]}""",
         """this line is not json at all {{{""",
         """{"vec_id": 3, "embedding": ["abc", 1.0]}""",
-        """{"vec_id": 4, "embedding": [0.125]}"""
+        """{"vec_id": 4, "embedding": [0.125]}""",
+        """{"vec_id": 5, "embedding": [null, 0.5]}"""
       ).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // wrong-length guard on: vec 4 (dim 1 of 2) nulls too
     val got = TextTables.readEmbeddingJsonl(spark, dir, dim = Some(2))
       .orderBy("vec_id")
       .as[(Option[Long], Option[Seq[Float]])].collect().toSeq
-    assert(got.length == 4) // every input line accounted for
+    assert(got.length == 5) // every input line accounted for
     // clean row intact (Spark ASC sorts the malformed row's null id first)
     assert(got.contains((Some(1L), Some(Seq(0.5f, -0.25f)))))
-    // the three corrupt shapes (malformed line, non-numeric element,
-    // wrong length) all surface as null vectors
-    assert(got.count(_._2.isEmpty) == 3)
+    // the four corrupt shapes (malformed line, non-numeric element,
+    // wrong length, EXPLICIT null element — schema-valid, so a
+    // size-only guard would let it feed a null dot product) all
+    // surface as null vectors
+    assert(got.count(_._2.isEmpty) == 4)
     assert(got.count(_._1.isEmpty) == 1) // only the malformed line lost its id
   }
 }
