@@ -1039,6 +1039,63 @@ $fin"""
          SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
          ORDER BY query_id, rank"""
 
+  /** The q229/q273 savings-card replay, parameterized on the `lab` token
+    * currency — whitespace count (q229) or the recursive BPE encode
+    * chain's per-doc piece count (q273, bpeEncCte reused verbatim).
+    */
+  private def dedupSavingsOracle(bpe: Boolean): String = {
+    val tokCtes =
+      if (bpe)
+        bpeEncCte + raw""",
+         ntok AS (SELECT w.doc_id, sum(f.nt) AS s
+           FROM words w JOIN fin f USING (word) GROUP BY w.doc_id),
+         """
+      else ""
+    val labCte =
+      if (bpe)
+        raw"""lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+             CAST(coalesce(n.s, 0) AS BIGINT) AS n_tok
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+                            LEFT JOIN ntok n ON d.doc_id = n.doc_id)"""
+      else
+        raw"""lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+             coalesce(CAST(len(list_filter(regexp_split_to_array(d.text, '\s+'),
+               x -> x <> '')) AS BIGINT), 0) AS n_tok
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)"""
+    raw"""WITH RECURSIVE $tokCtes
+         toks AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                 CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
+                      ELSE array_to_string(tk[i:i+2], ' ') END AS shingle
+               FROM (SELECT doc_id, tk,
+                       unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i
+                     FROM toks WHERE len(tk) > 0)),
+         sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS ic
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         j AS (SELECT id_l, id_r, CAST(ic AS DOUBLE) / (sa.s + sb.s - ic) AS jac
+               FROM inter JOIN sz sa ON sa.doc_id = id_l
+                          JOIN sz sb ON sb.doc_id = id_r),
+         e AS (SELECT id_l AS a, id_r AS b FROM j WHERE jac >= 0.6
+               UNION SELECT id_r, id_l FROM j WHERE jac >= 0.6),
+         reach(a, b) AS (SELECT a, b FROM e
+               UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+                  FROM reach GROUP BY a),
+         $labCte,
+         g AS (SELECT component, count(*) AS sz,
+             CAST(sum(n_tok) AS BIGINT) AS tok_total,
+             arg_min(n_tok, doc_id) AS tok_kept
+           FROM lab GROUP BY 1)
+         SELECT sz AS cluster_size, count(*) AS n_clusters,
+           CAST(sum(tok_total) AS BIGINT) AS tokens_total,
+           CAST(sum(tok_kept) AS BIGINT) AS tokens_kept,
+           CAST(sum(tok_total) - sum(tok_kept) AS BIGINT) AS tokens_saved
+         FROM g GROUP BY 1 ORDER BY 1"""
+  }
+
   /** Shared q270/q271 oracle: the naive incoming-x-standing containment
     * enumeration (every cross pair sharing a shingle, cont = ic/|in|) —
     * the q266 zero-false-negative oracle split across two frames. ONE
@@ -3203,6 +3260,18 @@ $fin"""
       // cluster size
       Dedup.savingsCard(fanOut(s, t(s, d, "documents"), "doc_id"),
           "doc_id", "text", threshold = 0.6)
+        .orderBy("cluster_size")
+    }),
+
+    "q273_dedup_savings_bpe" -> ((s, d) => {
+      // the q229 card in the training run's own currency — the
+      // pluggable-counter contract wired through savingsCard: same
+      // clusters and keep-min-id policy, token columns denominated in
+      // tokenizer-exact BPE pieces (one native counter expression in the
+      // labeled projection, no new shuffle)
+      Dedup.savingsCard(fanOut(s, t(s, d, "documents"), "doc_id"),
+          "doc_id", "text", threshold = 0.6,
+          tokenCounter = Some(text.bpeTokenCount(col("text"), bpeMerges)))
         .orderBy("cluster_size")
     }),
 
@@ -7256,41 +7325,11 @@ $fin"""
 
     // q70's component CTEs + keep-min-id token accounting rolled up by
     // cluster size; count sums CAST back to BIGINT (the q175 class)
-    "q229_dedup_savings" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id,
-             regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
-         sh AS (SELECT DISTINCT doc_id,
-                 CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
-                      ELSE array_to_string(tk[i:i+2], ' ') END AS shingle
-               FROM (SELECT doc_id, tk,
-                       unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i
-                     FROM toks WHERE len(tk) > 0)),
-         sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
-         inter AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS ic
-                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-         j AS (SELECT id_l, id_r, CAST(ic AS DOUBLE) / (sa.s + sb.s - ic) AS jac
-               FROM inter JOIN sz sa ON sa.doc_id = id_l
-                          JOIN sz sb ON sb.doc_id = id_r),
-         e AS (SELECT id_l AS a, id_r AS b FROM j WHERE jac >= 0.6
-               UNION SELECT id_r, id_l FROM j WHERE jac >= 0.6),
-         reach(a, b) AS (SELECT a, b FROM e
-               UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
-         comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
-                  FROM reach GROUP BY a),
-         lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
-             coalesce(CAST(len(list_filter(regexp_split_to_array(d.text, '\s+'),
-               x -> x <> '')) AS BIGINT), 0) AS n_tok
-           FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
-         g AS (SELECT component, count(*) AS sz,
-             CAST(sum(n_tok) AS BIGINT) AS tok_total,
-             arg_min(n_tok, doc_id) AS tok_kept
-           FROM lab GROUP BY 1)
-         SELECT sz AS cluster_size, count(*) AS n_clusters,
-           CAST(sum(tok_total) AS BIGINT) AS tokens_total,
-           CAST(sum(tok_kept) AS BIGINT) AS tokens_kept,
-           CAST(sum(tok_total) - sum(tok_kept) AS BIGINT) AS tokens_saved
-         FROM g GROUP BY 1 ORDER BY 1""",
+    "q229_dedup_savings" -> dedupSavingsOracle(bpe = false),
+
+    // the same cluster replay with the lab token currency swapped to the
+    // recursive BPE encode (bpeEncCte reused — ONE encode definition)
+    "q273_dedup_savings_bpe" -> dedupSavingsOracle(bpe = true),
 
     // the fit's oracle surface: per-bucket occurrence counts (the md5
     // bucket map of q128's scorer) + the two class-size marker rows;
