@@ -93,7 +93,15 @@ object ScaleBench {
     scaledDocs.repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/documents.parquet")
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
-    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    // dim from the first PRESENT vector, with a descriptive failure — a
+    // bare first() would throw an opaque NPE/NoSuchElement on a null or
+    // absent first row
+    val dimRow = emb.where(col("embedding").isNotNull)
+      .select(size(col("embedding"))).limit(1).collect()
+    require(dimRow.nonEmpty,
+      s"$srcDir/embeddings.parquet has no non-null embedding vectors — " +
+        "cannot infer the rotation dimension for the scaled corpus")
+    val dim = dimRow(0).getInt(0)
     val scaledEmb = (0 until replicas).map { r =>
       emb.select(
         (col("vec_id") + lit(r.toLong * 100000000L)).as("vec_id"),

@@ -48,7 +48,13 @@ case class GramMoments(
   // dataType would throw; every consumer runs post-analysis
   private lazy val elemType: DecimalType = child.dataType match {
     case ArrayType(d: DecimalType, _) => d
-    case _ => DecimalType(18, 6) // checkInputDataTypes rejects before use
+    // checkInputDataTypes rejects non-decimal-array children during
+    // analysis, so this is unreachable in any analyzed plan — throw
+    // rather than return a plausible wrong type that would misread
+    // buffers if the aggregate were ever constructed bypassing analysis
+    case other => throw new IllegalStateException(
+      s"GramMomentsAgg over non-array<decimal> child type $other — " +
+        "construction bypassed analysis? (checkInputDataTypes rejects this)")
   }
   private lazy val inScale: Int = elemType.scale
 

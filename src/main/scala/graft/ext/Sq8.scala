@@ -143,21 +143,26 @@ object Sq8 {
       idCol: String, vecCol: String, queryIdCol: String, dim: Int,
       k: Int = 10, excludeSelf: Boolean = true): DataFrame = {
     val (lo, hi) = collectRanges(corpus, vecCol, dim)
-    // probe-side length guard (corpus side is validated inside
-    // collectRanges): a short probe would null its element_at lookups,
-    // null the integer dot and silently mis-rank — fail loudly instead,
-    // the dimRanges contract applied to BOTH join sides
-    val badQ = queries.where(col(vecCol).isNotNull)
-      .where(size(col(vecCol)) =!= dim).limit(1).count()
-    require(badQ == 0,
-      s"Sq8.topK: probe vector with length != $dim present — mixed " +
-        "embedding models? (a null dot product would silently mis-rank)")
+    // probe-side length guard IN THE ROW PATH (corpus side is validated
+    // inside collectRanges): a short probe would null its element_at
+    // lookups, null the integer dot and silently mis-rank. raise_error
+    // costs no extra action, where a count-based pre-check would
+    // re-execute the whole queries plan once per call just to validate
+    // it (the projectOnto guard pattern). The isNotNull WHERE runs
+    // upstream, so the guard fires only for present vectors.
+    val qd = col(vecCol).cast("array<double>")
+    val qGuard = when(size(qd) === lit(dim), qd)
+      .otherwise(raise_error(concat(
+        lit("Sq8.topK: probe vector with length "), size(qd).cast("string"),
+        lit(s" != $dim — mixed embedding models? " +
+          "(a null dot product would silently mis-rank)")))
+        .cast("array<double>"))
     val c = corpus.where(col(vecCol).isNotNull)
       .select(col(idCol).as("neighbor_id"),
         codes(col(vecCol), lo, hi).as("__cc"))
     val q = broadcast(queries.where(col(vecCol).isNotNull)
       .select(col(queryIdCol).as("query_id"),
-        codes(col(vecCol), lo, hi).as("__qc")))
+        codes(qGuard, lo, hi).as("__qc")))
     val scored = c.join(q)
       .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .withColumn("score",

@@ -187,6 +187,14 @@ object CorpusStreams {
     * batch q270 oracle gates this path verbatim. The ingest-time
     * quote-screen shape: build the corpus state once, screen every
     * arriving crawl batch against it.
+    *
+    * Sink retention: with `sinkDir = None` each CALL allocates a fresh
+    * temp directory removed only at JVM exit (`deleteOnExit`) — correct
+    * for the one-shot gate/spec shape, but a long-lived session invoking
+    * the screen repeatedly accumulates hit files on disk. A production
+    * ingest loop should pass an explicit `sinkDir` it owns (the results
+    * APPEND across calls there — the durable quote-screen ledger) and
+    * manage its lifecycle like any other staged artifact.
     */
   def containmentProbeStreaming(
       spark: SparkSession, stagedDir: String, idCol: String, textCol: String,

@@ -122,13 +122,18 @@ class Sq8Spec extends AnyFunSuite with SparkSpec {
   }
 
   test("topK fails loudly on a wrong-length PROBE vector") {
-    // corpus is clean; the probe side is the one collectRanges never sees
+    // corpus is clean; the probe side is the one collectRanges never sees.
+    // The guard is a raise_error in the ROW PATH (a count-based pre-check
+    // would re-execute the probe plan per call), so the failure surfaces
+    // at action time as USER_RAISED_EXCEPTION — the message is the
+    // contract (the projectOnto spec convention).
     val corpus = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 1.0f)))
       .toDF("vec_id", "embedding")
     val probes = Seq((10L, Seq(1.0f))).toDF("vec_id", "embedding")
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Exception] {
       Sq8.topK(corpus, probes, "vec_id", "embedding", "vec_id", dim = 2)
+        .collect()
     }
-    assert(e.getMessage.contains("probe"))
+    assert(e.getMessage.contains("probe vector with length"))
   }
 }
