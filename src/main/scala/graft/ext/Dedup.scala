@@ -802,7 +802,7 @@ object Dedup {
     * no separate distinct pass; sort_array(long) gives the deterministic
     * set representation downstream groupBys key on.
     */
-  private def portableShingleSets(
+  private[graft] def portableShingleSets(
       df: DataFrame, idCol: String, textCol: String, shingleK: Int): DataFrame = {
     val base = df.where(col(textCol).isNotNull)
       .select(col(idCol).as("doc"), text.tokens(col(textCol)).as("__toks"))
@@ -935,7 +935,7 @@ object Dedup {
     * the pigeonhole witness is host-present by definition, so it has
     * df >= 1 and survives in the prefix behind at most the absent ones.
     */
-  private def containmentPrefix(
+  private[graft] def containmentPrefix(
       partSets: DataFrame, dfreq: DataFrame, tau: Double): DataFrame =
     partSets.select(col("doc"), explode(col("toks")).as("token"))
       .join(dfreq, Seq("token"), "left")
@@ -947,6 +947,24 @@ object Dedup {
         explode(slice(col("otoks"), lit(1),
           (floor(lit(1.0 - tau) * size(col("otoks"))) + 2).cast("int")))
           .as("token"))
+
+  /** Verify-stage shuffle width from the MATERIALIZED candidate count
+    * (the [[graft.ext.DupGraph.triangleCensus]] sizing convention,
+    * applied upward): each verify row carries TWO shingle arrays of
+    * ~`avgSetSize` longs, so at a fixed session width a 25x corpus
+    * drives 25x intersect payload into the same buckets and spills —
+    * the measured q266 10x->25x super-linear segment. Width targets
+    * ~32 MB of array payload per partition, never below the session's
+    * parallelism (a small corpus keeps today's plan), with a sanity
+    * ceiling far above any real candidate frame's need.
+    */
+  private[graft] def verifyPartitionsFor(
+      nCand: Long, avgSetSize: Double, defaultParallelism: Int): Int = {
+    val bytesPerCand = 2.0 * 8.0 * math.max(avgSetSize, 0.0) + 48.0
+    val target = 32.0 * 1024 * 1024
+    math.min(16384L, math.max(defaultParallelism.toLong,
+      math.ceil(nCand * bytesPerCand / target).toLong)).toInt
+  }
 
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -962,14 +980,39 @@ object Dedup {
     // shared rarest-first prefix (see containmentPrefix for the bound)
     val prefix = containmentPrefix(docs, dfreq, tau)
       .select(col("doc").as("dl"), col("token"))
+    // the candidate frame is the natural barrier between generation and
+    // verification: materialize it (id pairs only — orders smaller than
+    // the corpus) so its COUNT can size the verify-stage shuffles; the
+    // count is free on the checkpointed frame
     val cand = prefix
       .join(postings.select(col("token"), col("doc").as("dr")), Seq("token"))
       .where(col("dl") =!= col("dr"))
       .select(col("dl"), col("dr")).distinct()
+      .localCheckpoint()
+    val nCand = cand.count()
+    val spark = df.sparkSession
+    val verifyParts =
+      if (nCand == 0) spark.sparkContext.defaultParallelism
+      else {
+        // avg shingle-set size rides on the already-checkpointed docs
+        // frame — one cheap agg, no corpus recompute
+        val avgSz = Option(docs.agg(avg(size(col("toks")))).head().get(0))
+          .map(_.asInstanceOf[Number].doubleValue).getOrElse(0.0)
+        verifyPartitionsFor(nCand, avgSz, spark.sparkContext.defaultParallelism)
+      }
+    // explicit co-partitioned repartitions on each verify join: both
+    // sides land on HashPartitioning(key, verifyParts), so the joins
+    // add NO further exchange — same shuffle count as the bare plan,
+    // width scaled to the candidate payload instead of the fixed
+    // session default (AQE can only coalesce, never widen, a uniform
+    // non-skewed spill)
     val side = docs.select(col("doc"), col("toks"))
-    cand
-      .join(side.select(col("doc").as("dl"), col("toks").as("__tl")), Seq("dl"))
-      .join(side.select(col("doc").as("dr"), col("toks").as("__tr")), Seq("dr"))
+    cand.repartition(verifyParts, col("dl"))
+      .join(side.select(col("doc").as("dl"), col("toks").as("__tl"))
+        .repartition(verifyParts, col("dl")), Seq("dl"))
+      .repartition(verifyParts, col("dr"))
+      .join(side.select(col("doc").as("dr"), col("toks").as("__tr"))
+        .repartition(verifyParts, col("dr")), Seq("dr"))
       .withColumn("__ic", size(array_intersect(col("__tl"), col("__tr"))))
       .withColumn("__cont", col("__ic").cast("double") / size(col("__tl")))
       .where(col("__cont") >= tau)

@@ -238,4 +238,20 @@ class AllPairsSpec extends AnyFunSuite with SparkSpec {
     assert(fast == brute, s"missing=${brute -- fast} extra=${fast -- brute}")
     assert(brute.nonEmpty)
   }
+
+  test("verify-stage width scales with candidate payload, floors at parallelism") {
+    // small candidate frames keep the session width (today's plan)
+    assert(Dedup.verifyPartitionsFor(0L, 100.0, 32) == 32)
+    assert(Dedup.verifyPartitionsFor(10000L, 100.0, 32) == 32)
+    // 1M candidates x ~400-token sets = ~6.4 GB of intersect payload:
+    // must widen well past 32 so no bucket spills (~32 MB target each)
+    val wide = Dedup.verifyPartitionsFor(1000000L, 400.0, 32)
+    assert(wide > 32 && wide <= 16384, s"got $wide")
+    assert(wide >= (1000000.0 * (2 * 8 * 400.0) / (32 << 20)).toInt)
+    // monotone in candidates and payload; sanity ceiling holds
+    assert(Dedup.verifyPartitionsFor(2000000L, 400.0, 32) >= wide)
+    assert(Dedup.verifyPartitionsFor(Long.MaxValue / 1024, 4000.0, 32) == 16384)
+    // degenerate avg (empty/odd stats) never underflows the floor
+    assert(Dedup.verifyPartitionsFor(5L, -1.0, 32) == 32)
+  }
 }
