@@ -3275,6 +3275,41 @@ $fin"""
         .orderBy("cluster_size")
     }),
 
+    "q274_containment_cap_audit" -> ((s, d) => {
+      // the q266 join's ubiquity-cap telemetry under a FULL hash oracle
+      // (the q155/q159 convention): every prefix token a maxDf cap would
+      // drop, with corpus df and part-side reach — df * n_prefix_docs
+      // bounds the fan-out the cap saves on a skewed corpus, and a pair
+      // can be lost only if every shared prefix token appears here.
+      // maxDf=1 surfaces every SHARED prefix token, so the audit's
+      // arithmetic is exercised on the q266 fixture's real hot spots
+      // (production caps at df in the thousands; the telemetry shape is
+      // what's gated)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val excerpts = docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(graft.functions.text.tokens(col("text")), 1, 40), " ")
+            .as("text"))
+      Dedup.containmentCapAudit(fanOut(s, docs.unionByName(excerpts), "doc_id"),
+          "doc_id", "text", tau = 0.8, shingleK = 3, maxDf = 1)
+        .orderBy("token")
+    }),
+
+    "q275_allpairs_cap_audit" -> ((s, d) => {
+      // the same cap telemetry on the AllPairs (q199) prefix join, where
+      // df is SET-level (identical template docs collapse before the df
+      // build, so a 10k-copy template cannot make its tokens look
+      // common): capped tokens with set-level df and distinct-set reach
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val excerpts = docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(graft.functions.text.tokens(col("text")), 1, 40), " ")
+            .as("text"))
+      Dedup.allPairsCapAudit(fanOut(s, docs.unionByName(excerpts), "doc_id"),
+          "doc_id", "text", threshold = 0.6, shingleK = 3, maxDf = 1)
+        .orderBy("token")
+    }),
+
     "q230_ks_drift" -> ((s, d) => {
       // continuous-distribution drift (the chi-square test's complement):
       // exact integer KS distance between click and view value
@@ -7330,6 +7365,87 @@ $fin"""
     // the same cluster replay with the lab token currency swapped to the
     // recursive BPE encode (bpeEncCte reused — ONE encode definition)
     "q273_dedup_savings_bpe" -> dedupSavingsOracle(bpe = true),
+
+    // replay shingle->md5 hash->doc-level df->rarest-first prefix slice
+    // (floor((1-tau)*|set|)+2, the engine's double arithmetic verbatim)
+    // and the df > maxDf cut — the audit is fully SQL-rebuildable
+    "q274_containment_cap_audit" ->
+      raw"""WITH uni AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000,
+             array_to_string(list_slice(list_filter(
+               regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> ''), 1, 40), ' ')
+           FROM documents WHERE doc_id % 5 = 0),
+         tk AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '') AS arr
+           FROM uni WHERE text IS NOT NULL),
+         shl AS (SELECT doc_id, CASE WHEN len(arr) < 3
+             THEN [array_to_string(arr, ' ')]
+             ELSE list_transform(generate_series(1, len(arr) - 2),
+               i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]) END AS sh
+           FROM tk),
+         tok AS (SELECT DISTINCT doc_id,
+             CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) AS token
+           FROM (SELECT doc_id, unnest(sh) AS g FROM shl)),
+         dfq AS (SELECT token, count(*) AS dfv FROM tok GROUP BY 1),
+         sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY 1),
+         ord AS (SELECT t.doc_id, t.token, d.dfv,
+             row_number() OVER (PARTITION BY t.doc_id
+               ORDER BY d.dfv, t.token) AS rn,
+             z.s
+           FROM tok t JOIN dfq d USING (token) JOIN sz z USING (doc_id)),
+         -- DOUBLE subtraction on purpose: DuckDB parses 1.0 - 0.8 as
+         -- exact DECIMAL 0.2, but the engine's prefix bound is the IEEE
+         -- double 0.19999...96 whose floor drops one at s % 5 == 0 —
+         -- the +2 slack the engine documents; replay the same arithmetic
+         pref AS (SELECT doc_id, token, dfv FROM ord
+           WHERE rn <= CAST(floor(
+             (CAST(1.0 AS DOUBLE) - CAST(0.8 AS DOUBLE)) * s) + 2 AS INT))
+         SELECT token, CAST(dfv AS BIGINT) AS df,
+           count(*) AS n_prefix_docs
+         FROM pref WHERE dfv > 1 GROUP BY 1, 2 ORDER BY token""",
+
+    // same cut over SET-level df: identical token sets collapse to one
+    // rep (min doc id) before the df build and the |X|-ceil(t|X|)+1
+    // prefix slice — the engine's cluster-collapse replayed in SQL
+    "q275_allpairs_cap_audit" ->
+      raw"""WITH uni AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000,
+             array_to_string(list_slice(list_filter(
+               regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> ''), 1, 40), ' ')
+           FROM documents WHERE doc_id % 5 = 0),
+         tk AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '') AS arr
+           FROM uni WHERE text IS NOT NULL),
+         shl AS (SELECT doc_id, CASE WHEN len(arr) < 3
+             THEN [array_to_string(arr, ' ')]
+             ELSE list_transform(generate_series(1, len(arr) - 2),
+               i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]) END AS sh
+           FROM tk),
+         tok AS (SELECT DISTINCT doc_id,
+             CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) AS token
+           FROM (SELECT doc_id, unnest(sh) AS g FROM shl)),
+         sets AS (SELECT doc_id, list(token ORDER BY token) AS arr
+           FROM tok GROUP BY 1),
+         cl AS (SELECT arr, min(doc_id) AS rep, len(arr) AS sz,
+             CAST(len(arr) - ceil(0.6 * len(arr)) + 1 AS INT) AS pl
+           FROM sets GROUP BY arr),
+         rt AS (SELECT rep, pl, unnest(arr) AS token FROM cl),
+         dfq AS (SELECT token, count(*) AS dfv FROM rt GROUP BY 1),
+         ord AS (SELECT r.rep, r.token, d.dfv,
+             row_number() OVER (PARTITION BY r.rep
+               ORDER BY d.dfv, r.token) AS rn,
+             r.pl
+           FROM rt r JOIN dfq d USING (token)),
+         pref AS (SELECT rep, token, dfv FROM ord WHERE rn <= pl)
+         SELECT token, CAST(dfv AS BIGINT) AS df,
+           count(*) AS n_prefix_sets
+         FROM pref WHERE dfv > 1 GROUP BY 1, 2 ORDER BY token""",
 
     // the fit's oracle surface: per-bucket occurrence counts (the md5
     // bucket map of q128's scorer) + the two class-size marker rows;

@@ -820,56 +820,104 @@ object Dedup {
       .agg(sort_array(collect_set(col("token"))).as("toks"))
   }
 
-  def allPairsJaccard(
+  /** Distinct-set cluster frame shared by [[allPairsJaccard]] and
+    * [[allPairsCapAudit]].
+    *
+    * COLLAPSE identical token sets before any pair work: template-stamped
+    * corpora put hundreds of documents on one token set, and a cluster of
+    * size s would inject s^2 copies of the same rare tokens into the
+    * prefix join. Grouping by the set makes each ONE row in candidate
+    * generation — the cluster quadratic survives only where it is the
+    * contract: enumerating the output pairs. Members sorted for ordered
+    * expansion.
+    *
+    * Many downstream branches consume this frame (within-pairs, df
+    * build, ordering, both verify sides); without materialization each
+    * re-runs the whole corpus scan+shingle+collect pipeline — measured
+    * 1.5x the query. localCheckpoint keeps it distributed (one block
+    * per partition, |distinct sets| rows — the collapsed frame, not
+    * the corpus) and is dropped by the ContextCleaner with the plan.
+    */
+  private def allPairsClusters(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.6, shingleK: Int = 3): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
-    require(shingleK >= 1, "shingleK must be at least 1")
-    val docs = portableShingleSets(df, idCol, textCol, shingleK)
-    // COLLAPSE identical token sets before any pair work: template-stamped
-    // corpora put hundreds of documents on one token set, and a cluster of
-    // size s would inject s^2 copies of the same rare tokens into the
-    // prefix join. Grouping by the set makes each ONE row in candidate
-    // generation — the cluster quadratic survives only where it is the
-    // contract: enumerating the output pairs. Members sorted for ordered
-    // expansion.
-    val clusters = docs.groupBy(col("toks"))
+      threshold: Double, shingleK: Int): DataFrame =
+    portableShingleSets(df, idCol, textCol, shingleK)
+      .groupBy(col("toks"))
       .agg(sort_array(collect_list(col("doc"))).as("members"))
       .select(col("toks"), col("members"),
         col("members").getItem(0).as("rep"), size(col("toks")).as("sz"),
         (size(col("toks")) - ceil(lit(threshold) * size(col("toks"))) + 1)
           .cast("int").as("__pl"))
-      // six downstream branches consume this frame (within-pairs, df
-      // build, ordering, both verify sides); without materialization each
-      // re-runs the whole corpus scan+shingle+collect pipeline — measured
-      // 1.5x the query. localCheckpoint keeps it distributed (one block
-      // per partition, |distinct sets| rows — the collapsed frame, not
-      // the corpus) and is dropped by the ContextCleaner with the plan.
       .localCheckpoint()
+
+  /** Per-set rarest-first prefix rows `(rep, sz, token, __df)` over the
+    * cluster frame — the AllPairs candidate generator, df attached so
+    * the ubiquity cap and its audit key on it without a second join.
+    *
+    * Element frequencies and the rarest-first prefix ordering are
+    * computed over DISTINCT SETS (reps), not documents — set-level df is
+    * what prefix selectivity needs (a 10k-doc template cluster must not
+    * make its tokens look common), and the frame is |reps| x |set| rows,
+    * tiny next to the corpus (AQE broadcasts the df attach on its own —
+    * an explicit hint here defeats ReusedExchange across the branches
+    * that share the cluster frame, recomputing the whole upstream).
+    */
+  private def allPairsPrefix(clusters: DataFrame): DataFrame = {
+    val repTok = clusters.select(col("rep"), col("sz"), explode(col("toks")).as("token"))
+    val dfreq = repTok.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    val ordered = repTok.join(dfreq, Seq("token"))
+      .groupBy(col("rep"))
+      .agg(array_sort(collect_list(struct(col("__df"), col("token"))))
+        .as("ost"))
+    clusters.select(col("rep"), col("sz"), col("__pl"))
+      .join(ordered, Seq("rep"))
+      .select(col("rep"), col("sz"),
+        explode(slice(col("ost"), lit(1), col("__pl"))).as("st"))
+      .select(col("rep"), col("sz"),
+        col("st.token").as("token"), col("st.__df").as("__df"))
+  }
+
+  /** Ubiquity-cap telemetry for [[allPairsJaccard]] — the q155/q159
+    * cap-audit convention on the AllPairs prefix join: the prefix rows a
+    * `maxDf` cap would drop, one row per capped token with its SET-level
+    * document frequency and how many distinct-set prefixes carried it
+    * (`df * n_prefix_sets` bounds the candidate fan-out the cap saves).
+    * A qualifying pair is lost only when every shared prefix token
+    * appears here — the loud report the capped join's recall trade rests
+    * on. Returns `(token, df, n_prefix_sets)`; empty when nothing caps.
+    */
+  def allPairsCapAudit(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.6, shingleK: Int = 3,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    require(maxDf >= 1, "maxDf must be at least 1")
+    require(shingleK >= 1, "shingleK must be at least 1")
+    allPairsPrefix(allPairsClusters(df, idCol, textCol, threshold, shingleK))
+      .where(col("__df") > maxDf)
+      .groupBy(col("token"), col("__df"))
+      .agg(count(lit(1)).as("n_prefix_sets"))
+      .select(col("token"), col("__df").as("df"), col("n_prefix_sets"))
+  }
+
+  def allPairsJaccard(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.6, shingleK: Int = 3,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    require(maxDf >= 1, "maxDf must be at least 1")
+    require(shingleK >= 1, "shingleK must be at least 1")
+    val clusters = allPairsClusters(df, idCol, textCol, threshold, shingleK)
     // within-cluster pairs: identical sets, jaccard exactly 1.0
     val within = clusters.where(size(col("members")) >= 2)
       .select(explode(col("members")).as("id_l"), col("members"))
       .select(col("id_l"), explode(col("members")).as("id_r"))
       .where(col("id_l") < col("id_r"))
       .select(col("id_l"), col("id_r"), lit(1.0).as("jaccard"))
-    // element frequencies and the rarest-first prefix ordering are
-    // computed over DISTINCT SETS (reps), not documents — set-level df is
-    // what prefix selectivity needs (a 10k-doc template cluster must not
-    // make its tokens look common), and the frame is |reps| x |set| rows,
-    // tiny next to the corpus (AQE broadcasts the df attach on its own —
-    // an explicit hint here defeats ReusedExchange across the branches
-    // that share the cluster frame, recomputing the whole upstream)
-    val repTok = clusters.select(col("rep"), col("sz"), explode(col("toks")).as("token"))
-    val dfreq = repTok.groupBy(col("token")).agg(count(lit(1)).as("__df"))
-    val ordered = repTok.join(dfreq, Seq("token"))
-      .groupBy(col("rep"))
-      .agg(transform(array_sort(collect_list(struct(col("__df"), col("token")))),
-        e => e.getField("token")).as("otoks"))
-    // cross-cluster: AllPairs prefix filtering over one row per DISTINCT set
-    val prefix = clusters.select(col("rep"), col("sz"), col("__pl"))
-      .join(ordered, Seq("rep"))
-      .select(col("rep"), col("sz"),
-        explode(slice(col("otoks"), lit(1), col("__pl"))).as("token"))
+    // cross-cluster: AllPairs prefix filtering over one row per DISTINCT
+    // set; the ubiquity cap (capPrefix — default off, the containment
+    // convention) bounds per-token fan-out on skewed corpora
+    val prefix = capPrefix(allPairsPrefix(clusters), maxDf)
     val cand = prefix.select(col("token"), col("rep").as("rl"), col("sz").as("__szl"))
       .join(prefix.select(col("token"), col("rep").as("rr"), col("sz").as("__szr")),
         Seq("token"))
@@ -941,12 +989,15 @@ object Dedup {
       .join(dfreq, Seq("token"), "left")
       .na.fill(0L, Seq("__df"))
       .groupBy(col("doc"))
-      .agg(transform(array_sort(collect_list(struct(col("__df"), col("token")))),
-        e => e.getField("token")).as("otoks"))
+      .agg(array_sort(collect_list(struct(col("__df"), col("token"))))
+        .as("ost"))
       .select(col("doc"),
-        explode(slice(col("otoks"), lit(1),
-          (floor(lit(1.0 - tau) * size(col("otoks"))) + 2).cast("int")))
-          .as("token"))
+        explode(slice(col("ost"), lit(1),
+          (floor(lit(1.0 - tau) * size(col("ost"))) + 2).cast("int")))
+          .as("st"))
+      // df rides out with each prefix token so the ubiquity cap and its
+      // audit can key on it without a second dfreq join
+      .select(col("doc"), col("st.token").as("token"), col("st.__df").as("__df"))
 
   /** Verify-stage shuffle width from the MATERIALIZED candidate count
     * (the [[graft.ext.DupGraph.triangleCensus]] sizing convention,
@@ -966,10 +1017,28 @@ object Dedup {
       math.ceil(nCand * bytesPerCand / target).toLong)).toInt
   }
 
+  /** Cap a prefix frame at `maxDf` document frequency: prefix tokens
+    * more ubiquitous than the cap generate NO candidates. This is the
+    * skew guard the [[winnowCandidatePairs]] `maxPostings` convention
+    * prescribes for the containment family: a stopword/boilerplate-heavy
+    * part document whose RAREST shingles are still corpus-frequent
+    * otherwise fans each prefix token out against df-sized postings — a
+    * skewed corpus turns that into the join's hot spot. Capping trades
+    * the zero-false-negative guarantee for bounded fan-out: a qualifying
+    * pair is lost only when EVERY shared prefix token is capped, and
+    * [[containmentCapAudit]] surfaces exactly those tokens (df + reach)
+    * so the trade is loudly reported, never silent. `Long.MaxValue`
+    * (the default) keeps today's exact plan untouched.
+    */
+  private def capPrefix(prefix: DataFrame, maxDf: Long): DataFrame =
+    if (maxDf == Long.MaxValue) prefix else prefix.where(col("__df") <= maxDf)
+
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
-      tau: Double = 0.9, shingleK: Int = 3): DataFrame = {
+      tau: Double = 0.9, shingleK: Int = 3,
+      maxDf: Long = Long.MaxValue): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
+    require(maxDf >= 1, "maxDf must be at least 1")
     require(shingleK >= 1, "shingleK must be at least 1")
     // feeds postings, df counts, prefixes and both verify sides — one
     // materialization (the allPairsJaccard cluster-frame precedent)
@@ -977,8 +1046,10 @@ object Dedup {
       .localCheckpoint()
     val postings = docs.select(col("doc"), explode(col("toks")).as("token"))
     val dfreq = postings.groupBy(col("token")).agg(count(lit(1)).as("__df"))
-    // shared rarest-first prefix (see containmentPrefix for the bound)
-    val prefix = containmentPrefix(docs, dfreq, tau)
+    // shared rarest-first prefix (see containmentPrefix for the bound);
+    // the ubiquity cap (see capPrefix) bounds per-token fan-out on
+    // skewed corpora — default off, zero-false-negative preserved
+    val prefix = capPrefix(containmentPrefix(docs, dfreq, tau), maxDf)
       .select(col("doc").as("dl"), col("token"))
     // the candidate frame is the natural barrier between generation and
     // verification: materialize it (id pairs only — orders smaller than
@@ -1050,6 +1121,36 @@ object Dedup {
         (col("sz_part") === col("sz_whole") && col("id_part") > col("id_whole")))
       .select(col("id_part").as(idCol)).distinct()
     df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** Ubiquity-cap telemetry for [[containmentPairs]] — the q155/q159
+    * cap-audit convention on the containment prefix join: the prefix
+    * tokens a `maxDf` cap would drop, one row per capped token with its
+    * corpus document frequency and how many part-side prefixes carried
+    * it (`df * n_prefix_docs` bounds the candidate fan-out the cap
+    * saves). A qualifying pair is lost only when EVERY shared prefix
+    * token appears here, so the audit is the loud report the capped
+    * join's recall trade rests on — surfaced as data, never silently
+    * filtered away. Returns `(token, df, n_prefix_docs)`; empty when
+    * nothing caps.
+    */
+  def containmentCapAudit(
+      df: DataFrame, idCol: String, textCol: String,
+      tau: Double = 0.9, shingleK: Int = 3,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
+    require(maxDf >= 1, "maxDf must be at least 1")
+    require(shingleK >= 1, "shingleK must be at least 1")
+    // two consumers (dfreq + prefix) — materialize once, the
+    // containmentPairs convention
+    val docs = portableShingleSets(df, idCol, textCol, shingleK)
+      .localCheckpoint()
+    val dfreq = dfreqOf(docs)
+    containmentPrefix(docs, dfreq, tau)
+      .where(col("__df") > maxDf)
+      .groupBy(col("token"), col("__df"))
+      .agg(count(lit(1)).as("n_prefix_docs"))
+      .select(col("token"), col("__df").as("df"), col("n_prefix_docs"))
   }
 
   /** Precomputed containment state of a standing corpus: the hashed
@@ -1158,8 +1259,10 @@ object Dedup {
   def containmentProbe(
       incoming: DataFrame, state: ContainmentState,
       idCol: String, textCol: String,
-      tau: Double = 0.9, shingleK: Int = 3): DataFrame = {
+      tau: Double = 0.9, shingleK: Int = 3,
+      maxDf: Long = Long.MaxValue): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
+    require(maxDf >= 1, "maxDf must be at least 1")
     val inc = portableShingleSets(incoming, idCol, textCol, shingleK)
       .localCheckpoint() // feeds the prefix pass and the verify side once
     // corpus-sized frames come FROM THE STATE as built: per-call work is
@@ -1169,8 +1272,9 @@ object Dedup {
     val hosts = state.sets.select(col("doc").as("host"), col("toks"))
     val postings = hosts.select(col("host"), explode(col("toks")).as("token"))
     // shared rarest-first prefix against the STANDING df (see
-    // containmentPrefix for the bound and the absent-token argument)
-    val prefix = containmentPrefix(inc, state.dfreq, tau)
+    // containmentPrefix for the bound and the absent-token argument);
+    // same ubiquity cap as the batch face (capPrefix — default off)
+    val prefix = capPrefix(containmentPrefix(inc, state.dfreq, tau), maxDf)
       .select(col("doc").as("din"), col("token"))
     val cand = prefix.join(postings, Seq("token"))
       .where(col("din") =!= col("host"))

@@ -201,7 +201,8 @@ object CorpusStreams {
       state: graft.ext.Dedup.ContainmentState,
       tau: Double, shingleK: Int, queryName: String,
       sinkDir: Option[String] = None,
-      shufflePartitions: Option[Int] = None): DataFrame = {
+      shufflePartitions: Option[Int] = None,
+      maxDf: Long = Long.MaxValue): DataFrame = {
     val schema = spark.read.parquet(stagedDir).schema
     val sink = sinkDir.getOrElse {
       val d = Files.createTempDirectory("graft_containment_hits")
@@ -215,7 +216,7 @@ object CorpusStreams {
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           val b = batch.persist()
           try graft.ext.Dedup.containmentProbe(b.toDF(), state, idCol,
-              textCol, tau, shingleK)
+              textCol, tau, shingleK, maxDf)
             .write.mode("append").parquet(sink)
           finally b.unpersist()
         }

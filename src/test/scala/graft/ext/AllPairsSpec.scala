@@ -239,6 +239,68 @@ class AllPairsSpec extends AnyFunSuite with SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("containment ubiquity cap is loud: audit names every capped prefix token") {
+    // a 2-word boilerplate part sits inside three hosts; its entire
+    // prefix (floor(0.2*2)+2 = 2 tokens) is corpus-frequent
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta delta"),
+      (3L, "alpha beta epsilon"), (4L, "alpha beta")
+    ).toDF("doc_id", "text")
+    val open = Dedup.containmentPairs(df, "doc_id", "text",
+      tau = 0.8, shingleK = 1)
+      .select("id_part", "id_whole").as[(Long, Long)].collect().toSet
+    // uncapped: the part (4) is contained in every host
+    assert(Set((4L, 1L), (4L, 2L), (4L, 3L)).subsetOf(open))
+    // maxDf = 2: alpha/beta (df 4) cap out of candidate generation —
+    // every pair whose ONLY shared prefix tokens are capped disappears
+    val capped = Dedup.containmentPairs(df, "doc_id", "text",
+      tau = 0.8, shingleK = 1, maxDf = 2)
+      .select("id_part", "id_whole").as[(Long, Long)].collect().toSet
+    assert(capped.intersect(Set((4L, 1L), (4L, 2L), (4L, 3L))).isEmpty)
+    assert(capped.subsetOf(open), "cap can only remove pairs, never invent")
+    // the audit surfaces exactly the capped tokens with df + reach: the
+    // lost pairs are explainable from it (loudly reported, not silent)
+    val audit = Dedup.containmentCapAudit(df, "doc_id", "text",
+      tau = 0.8, shingleK = 1, maxDf = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(audit.length == 2, s"expected alpha+beta capped, got ${audit.toSeq}")
+    // the 3-token hosts carry gamma/delta/epsilon (df 1) plus ONE of
+    // alpha/beta in their 2-token prefixes (hash order picks which);
+    // the part's prefix holds both — so reach totals 2 + 3 and df is 4
+    assert(audit.forall { case (_, dfv, n) => dfv == 4 && n >= 1 })
+    assert(audit.map(_._3).sum == 5, s"got ${audit.toSeq}")
+    // default = no cap: identical results and an empty audit
+    assert(Dedup.containmentCapAudit(df, "doc_id", "text",
+      tau = 0.8, shingleK = 1).isEmpty)
+  }
+
+  test("allpairs ubiquity cap: cross-cluster pairs on capped witnesses drop, audit explains") {
+    val df = Seq(
+      (1L, "e a b c d"), (2L, "f a b c d"),
+      // an identical-set cluster: within-pairs must survive any cap
+      (3L, "x y z"), (4L, "x y z")
+    ).toDF("doc_id", "text")
+    val open = Dedup.allPairsJaccard(df, "doc_id", "text",
+      threshold = 0.6, shingleK = 1)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(open == Set((1L, 2L), (3L, 4L)))
+    // set-level df: a,b,c,d = 2; prefixes are the 3 rarest of 5 tokens
+    // ({e,a,b} and {f,a,b}) — capping df>1 drops both shared witnesses
+    val capped = Dedup.allPairsJaccard(df, "doc_id", "text",
+      threshold = 0.6, shingleK = 1, maxDf = 1)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(capped == Set((3L, 4L)),
+      "cross pair must drop with its witnesses; within-cluster pair survives")
+    val audit = Dedup.allPairsCapAudit(df, "doc_id", "text",
+      threshold = 0.6, shingleK = 1, maxDf = 1)
+      .as[(Long, Long, Long)].collect()
+    // a and b sit in both prefixes (c, d are never prefix tokens here)
+    assert(audit.length == 2, s"got ${audit.toSeq}")
+    assert(audit.forall { case (_, dfv, n) => dfv == 2 && n == 2 })
+    assert(Dedup.allPairsCapAudit(df, "doc_id", "text",
+      threshold = 0.6, shingleK = 1).isEmpty)
+  }
+
   test("verify-stage width scales with candidate payload, floors at parallelism") {
     // small candidate frames keep the session width (today's plan)
     assert(Dedup.verifyPartitionsFor(0L, 100.0, 32) == 32)
