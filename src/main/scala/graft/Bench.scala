@@ -5,8 +5,18 @@ object Bench {
     * contaminated (the repo's documented noise threshold): the canary's plan
     * never changes mid-run, so only external load can stretch it.
     */
-  private val NoiseThreshold = 3.0
+  private val NoiseThreshold = 2.5
   private val MaxAttempts = 3
+  /** Every run makes at least two attempts (r13 verdict #4): a single
+    * draw cannot distinguish contention from regression (the retry gate
+    * only sees the canary, which a between-canaries burst evades), and
+    * the floors map is only a min over INDEPENDENT draws when there are
+    * at least two. The second battery also runs fully JIT-warm, which is
+    * the regime the per-query floors are meant to measure (a cold
+    * single-query partial pays ~2-5x first-run codegen: q193 measured
+    * 7.9 s cold, 1.0-1.5 s warm on a quiet box).
+    */
+  private val MinAttempts = 2
 
   /** Per-query inflation flag vs the previous round's artifact: a query
     * above this multiple of its prior time is either a real regression or
@@ -57,6 +67,27 @@ object Bench {
   private[graft] def parseFloors(txt: String): Map[String, Double] =
     parseFlatMap(txt, "floors").filter(_._2 > 0) // -1 = query failed every attempt
 
+  /** Full-battery artifacts since round 14 carry the per-query floors as
+    * a positional csv (`"queries_csv":"1.42,0.33,..."`, position i =
+    * query number i+1) so all ~275 entries fit the consumer's 2000-char
+    * stdout tail — the flat JSON map form is ~3.3k chars and lost its
+    * head to truncation (BENCH_r13 `parsed: null`, 154/273 entries).
+    * Decode back to the short-key shape ("q01".."q275"); -1 markers
+    * (query failed every attempt) drop via the caller's positive filter.
+    */
+  private[graft] def parseQueriesCsv(txt: String): Map[String, Double] = {
+    val un = txt.replace("\\\"", "\"")
+    val m = java.util.regex.Pattern
+      .compile("\"queries_csv\"\\s*:\\s*\"([^\"]*)").matcher(un)
+    if (!m.find()) Map.empty
+    else m.group(1).split(',').zipWithIndex.flatMap { case (v, i) =>
+      val n = i + 1
+      val key = if (n < 10) s"q0$n" else s"q$n"
+      try Some(key -> v.trim.toDouble)
+      catch { case _: NumberFormatException => None }
+    }.toMap
+  }
+
   private def parseFlatMap(txt: String, key: String): Map[String, Double] = {
     val un = txt.replace("\\\"", "\"")
     val m = java.util.regex.Pattern.compile("\"" + key + "\"\\s*:\\s*\\{").matcher(un)
@@ -92,7 +123,8 @@ object Bench {
         // otherwise win the min and erase a prior an older artifact still
         // carries — the next round's gate would then miss a real
         // regression on that query instead of flagging it.
-        parseQueries(txt).filter(_._2 > 0) ++ parseFloors(txt)
+        parseQueries(txt).filter(_._2 > 0) ++ parseFloors(txt) ++
+          parseQueriesCsv(txt).filter(_._2 > 0)
       }
       catch { case _: Throwable => Map.empty[String, Double] }
     }
@@ -179,12 +211,15 @@ object Bench {
     // means the canary itself failed — a code problem retries cannot fix.
     val attempts = scala.collection.mutable.ArrayBuffer(runBattery())
     def suspect(a: Attempt) = a.loadVariance > NoiseThreshold || a.inflated.nonEmpty
-    while (attempts.size < MaxAttempts && suspect(attempts.last)) {
+    while (attempts.size < MinAttempts ||
+      (attempts.size < MaxAttempts && suspect(attempts.last))) {
       val a = attempts.last
-      System.err.println(f"[bench] attempt ${attempts.size} suspect: " +
+      System.err.println(f"[bench] attempt ${attempts.size}: " +
         f"load_variance ${a.loadVariance}%.2f (gate $NoiseThreshold), " +
         s"inflated vs prior round: [${a.inflated.mkString(",")}] " +
-        f"(total ${a.total}%.1f s) — retrying")
+        f"(total ${a.total}%.1f s) — " +
+        (if (attempts.size < MinAttempts) "second attempt is mandatory"
+        else "suspect, retrying"))
       attempts += runBattery()
     }
     // fewest cross-artifact flags wins; loadVariance breaks ties (a real
@@ -229,23 +264,39 @@ object Bench {
     // FLOOR values; the chosen attempt's raw draws live in the attempt
     // logs on stderr. priorTimes parses "queries" and "floors" alike, so
     // both old artifacts (two maps) and new ones (one) feed the gate.
-    val qs = chosen.results.map { case (k, _) =>
-      val short = k.takeWhile(_ != '_')
-      s"\"" + short + "\":" + f(floors.getOrElse(k, -1.0))
-    }.mkString("{", ",", "}")
+    val perQuery: String =
+      if (only.nonEmpty)
+        // partial dev runs name a handful of queries — the flat map fits
+        // the tail and keeps names readable
+        "\"queries\":" + chosen.results.map { case (k, _) =>
+          val short = k.takeWhile(_ != '_')
+          "\"" + short + "\":" + f(floors.getOrElse(k, -1.0))
+        }.mkString("{", ",", "}")
+      else {
+        // FULL battery: positional floors csv, position i = query i+1
+        // (numbering is contiguous q1..qN) — ~5.3 chars/entry where the
+        // map form's ~12 overflowed the consumer's 2000-char tail and
+        // clipped the line head (BENCH_r13 parsed null). -1 = failed.
+        val nums = chosen.results.map { case (k, _) =>
+          k.takeWhile(_ != '_').drop(1).toInt -> k }
+        val arr = Array.fill(nums.map(_._1).max)(-1.0)
+        nums.foreach { case (n, k) => arr(n - 1) = floors.getOrElse(k, -1.0) }
+        "\"queries_csv_spec\":\"q1..qN floors sec; -1=failed\"," +
+          "\"queries_csv\":\"" + arr.map(v => f(v).toString).mkString(",") + "\""
+      }
     val attemptVars = attempts.map(a => f(a.loadVariance)).mkString("[", ",", "]")
     val inflatedJson = floorInflated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val partial = if (only.nonEmpty) "\"partial\":true," else ""
     // Key ORDER is load-bearing: the driver's artifact keeps only the LAST
-    // ~2000 chars of stdout, and a 218-entry queries map alone is >2500
-    // chars — BENCH_r10 lost total/load_variance/inflated to head-side
-    // truncation (round-10 verdict, "What's missing" #2). The bulky maps
-    // therefore goes FIRST — "queries" (per-query FLOORS across attempts,
-    // what the judge should compare) — and the compact headline fields
-    // (value/load_variance/attempt/inflated) go LAST, so the tail capture
-    // always retains the self-describing summary whatever the map's size.
-    // "inflated" carries the FLOOR-keyed flags.
-    println(s"""{"metric":"total","unit":"sec",$partial"sf":"$sfDir","queries":$qs,"value":${f(chosen.total)},"canary_first":${f(chosen.canaryFirst)},"canary_last":${f(chosen.canaryLast)},"load_variance":${f(chosen.loadVariance)},"attempt":${attempts.indexOf(chosen) + 1},"attempt_variances":$attemptVars,"inflated":$inflatedJson}""")
+    // ~2000 chars of stdout — BENCH_r10 lost total/load_variance/inflated
+    // to head-side truncation (round-10 verdict, "What's missing" #2).
+    // The bulky per-query block (floors csv for full runs, map for
+    // partials — what the judge should compare) goes FIRST and the
+    // compact headline fields (value/load_variance/attempt/inflated) go
+    // LAST, so the tail capture always retains the self-describing
+    // summary whatever the battery size. "inflated" carries the
+    // FLOOR-keyed flags.
+    println(s"""{"metric":"total","unit":"sec",$partial"sf":"$sfDir",$perQuery,"value":${f(chosen.total)},"canary_first":${f(chosen.canaryFirst)},"canary_last":${f(chosen.canaryLast)},"load_variance":${f(chosen.loadVariance)},"attempt":${attempts.indexOf(chosen) + 1},"attempt_variances":$attemptVars,"inflated":$inflatedJson}""")
     spark.stop()
   }
 }

@@ -122,4 +122,26 @@ class BenchGateSpec extends AnyFunSuite {
         s"failed draw erased the r09 prior: ${prior.get("q12")}")
     }
   }
+
+  test("positional queries_csv (r14+ artifacts) decodes and feeds the gate") {
+    // r14-shape artifact: the per-query floors ride a positional csv
+    // (position i = query i+1, zero-padded short keys under 10, -1 =
+    // failed every attempt) so all ~275 entries fit the 2000-char tail
+    val txt =
+      """{"n": 14, "rc": 0, "tail": "...\"queries_csv_spec\":\"q1..qN floors sec; -1=failed\",\"queries_csv\":\"1.42,0.33,-1.00,12.05\",\"value\":9.9}"}"""
+    val qs = Bench.parseQueriesCsv(txt)
+    assert(qs("q01") == 1.42 && qs("q02") == 0.33 && qs("q04") == 12.05)
+    assert(qs("q03") == -1.0, "decoder keeps the marker; priorTimes filters it")
+    withPinnedDir(Seq("BENCH_r09.json")) { dir =>
+      // q12 csv floor 0.11 must beat r09's 0.23 map entry; the -1 in
+      // position 3 must not erase r09's q03 prior (if any) nor appear
+      java.nio.file.Files.write(new File(dir, "BENCH_r14.json").toPath,
+        ("""{"n": 14, "rc": 0, "tail": "...\"queries_csv\":\"""" +
+          (1 to 12).map(i => if (i == 12) "0.11" else if (i == 3) "-1.00" else "9.99")
+            .mkString(",") + """\",\"value\":9.9}"}""").getBytes("UTF-8"))
+      val prior = Bench.priorTimes(dir)
+      assert(prior("q12") == 0.11, s"csv floor must win: ${prior.get("q12")}")
+      assert(!prior.get("q03").exists(_ < 0), "failed marker must not leak")
+    }
+  }
 }
