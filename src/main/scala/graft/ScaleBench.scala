@@ -59,35 +59,69 @@ object ScaleBench {
     "q266_containment_pairs",
     "q269_curation_close_contained",
     "q270_containment_probe",
-    "q260_embedding_covariance")
+    "q260_embedding_covariance",
+    // round 14: the cap telemetry and the capped join (the skew-defense
+    // pair — on the skewed corpus the open q266 measures the hazard,
+    // these two measure the guard)
+    "q274_containment_cap_audit",
+    "q276_containment_capped")
 
   /** Build the `replicas`x corpus: isomorphic token-suffixed document
     * replicas and coordinate-rotated embedding replicas. Id offsets are
     * multiples of 1e8 (≡ 0 mod 10), preserving the id%5 / id%10 slice
     * geometry the queries key on.
+    *
+    * `skewFrac > 0` additionally REPLACES that fraction of documents
+    * (`doc_id % 10 < skewFrac * 10`) with pure-boilerplate windows: 50
+    * consecutive words of one of ten 500-word circular templates, the
+    * template and offset both functions of the BASE doc id and the
+    * words NOT replica-suffixed — so boilerplate shingle df spans
+    * replicas and grows linearly with scale while each skewed doc's
+    * RAREST prefix shingles are still corpus-frequent (window shingles
+    * sit in ~50 windows x docs-per-offset documents). This is the
+    * stopword-heavy fan-out hazard the prefix joins' `maxDf` cap
+    * guards: candidate generation grows ~quadratically with scale on
+    * the uncapped path (per-doc fan-out itself scales with df), and the
+    * overlapping windows also plant a REAL near-dup structure whose
+    * true pair count grows with the square of docs-per-offset — read
+    * skew curves against both effects, not the isomorphic ~linear rule.
     */
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
-      replicas: Int = 10): Unit = {
+      replicas: Int = 10, skewFrac: Double = 0.0): Unit = {
     require(replicas >= 2 && replicas <= 26, "replicas in [2, 26] (letter tags)")
+    require(skewFrac >= 0.0 && skewFrac <= 1.0, "skewFrac in [0, 1]")
     // the marker records the replica count AND the source dir (the
     // MinhashParams manifest contract): a rerun with a different scale
     // or source must rebuild, not silently reuse a stale corpus
     val done = new java.io.File(s"$outDir/_SCALE_OK")
-    val stamp = s"replicas=$replicas;src=$srcDir"
+    val stamp = s"replicas=$replicas;src=$srcDir;skew=$skewFrac"
     if (done.exists() &&
       new String(java.nio.file.Files.readAllBytes(done.toPath),
         java.nio.charset.StandardCharsets.UTF_8) == stamp) return
     done.delete() // stale or absent: rebuild, marker-last
     new java.io.File(outDir).mkdirs()
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    // boilerplate window over the circular template: template id and
+    // offset derive from the BASE doc id (stable across replicas — the
+    // id offset is ≡ 0 mod 1000), words deliberately unsuffixed
+    val tpl = pmod(floor(col("doc_id") / 10).cast("long"), lit(10L))
+    val off = pmod(floor(col("doc_id") / 100).cast("long"), lit(500L))
+    val skewText = array_join(
+      transform(sequence(lit(0L), lit(49L)),
+        j => concat(lit("skw"), tpl.cast("string"), lit("w"),
+          pmod(off + j, lit(500L)).cast("string"))), " ")
+    val skewCut = math.round(skewFrac * 10).toInt
     val scaledDocs = (0 until replicas).map { r =>
       val tag = ('a' + r).toChar.toString
-      docs.select(
-        (col("doc_id") + lit(r.toLong * 100000000L)).as("doc_id"),
+      val suffixed =
         // one replacement per token: "$1" + letter is unambiguous where
         // a digit suffix would parse as part of the group number
         regexp_replace(col("text"), "([\\p{L}\\p{N}_]+)", "$1" + tag)
-          .as("text"),
+      docs.select(
+        (col("doc_id") + lit(r.toLong * 100000000L)).as("doc_id"),
+        (if (skewCut == 0) suffixed
+        else when(pmod(col("doc_id"), lit(10L)) < skewCut, skewText)
+          .otherwise(suffixed)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
     scaledDocs.repartition(32).write.mode("overwrite")
@@ -127,15 +161,21 @@ object ScaleBench {
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val attempts = if (args.length > 2) args(2).toInt else 2
     val replicas = if (args.length > 3) args(3).toInt else 10
-    // further args restrict the battery (the Bench partial-run contract)
-    val only = args.drop(4).toSet
+    // further args restrict the battery (the Bench partial-run contract);
+    // `skew=0.1` switches the scaled corpus to the boilerplate-skewed
+    // variant (see buildScaled — pick a distinct outDir per skew setting)
+    val extra = args.drop(4)
+    val skewFrac = extra.collectFirst {
+      case a if a.startsWith("skew=") => a.stripPrefix("skew=").toDouble
+    }.getOrElse(0.0)
+    val only = extra.filterNot(_.startsWith("skew=")).toSet
     val unknown = only.diff(HeavyQueries.toSet)
     require(unknown.isEmpty, s"not heavy-battery queries: ${unknown.mkString(", ")}")
     val battery = if (only.isEmpty) HeavyQueries else HeavyQueries.filter(only)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = GraftSession.local(cpus.toInt, "graft-scalebench")
-    buildScaled(spark, srcDir, outDir, replicas)
+    buildScaled(spark, srcDir, outDir, replicas, skewFrac)
     val nSmall = spark.read.parquet(s"$srcDir/documents.parquet").count()
     val nBig = spark.read.parquet(s"$outDir/documents.parquet").count()
     val rows = battery.map { name =>

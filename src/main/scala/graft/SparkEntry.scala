@@ -3295,6 +3295,25 @@ $fin"""
         .orderBy("token")
     }),
 
+    "q276_containment_capped" -> ((s, d) => {
+      // the q266 join with the ubiquity cap ON (maxDf = 3): candidate
+      // generation is DEFINED as the capped prefix join — a pair whose
+      // every shared prefix token is more ubiquitous than the cap is out
+      // of contract (q274 is its loud report). On this fixture the
+      // planted quote->host shingles have df 2, so the entire quote
+      // screen survives the cap while corpus-frequent witnesses stop
+      // generating candidates — the skew-defense configuration, under
+      // the same full hash oracle as the open join
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val excerpts = docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(graft.functions.text.tokens(col("text")), 1, 40), " ")
+            .as("text"))
+      Dedup.containmentPairs(fanOut(s, docs.unionByName(excerpts), "doc_id"),
+          "doc_id", "text", tau = 0.8, shingleK = 3, maxDf = 3)
+        .orderBy("id_part", "id_whole")
+    }),
+
     "q275_allpairs_cap_audit" -> ((s, d) => {
       // the same cap telemetry on the AllPairs (q199) prefix join, where
       // df is SET-level (identical template docs collapse before the df
@@ -7406,6 +7425,60 @@ $fin"""
          SELECT token, CAST(dfv AS BIGINT) AS df,
            count(*) AS n_prefix_docs
          FROM pref WHERE dfv > 1 GROUP BY 1, 2 ORDER BY token""",
+
+    // the capped join itself: candidates come ONLY from prefix tokens at
+    // df <= 3 (the q274 prefix replay + the cap cut), then the exact
+    // intersect verify — the engine's capped contract end to end
+    "q276_containment_capped" ->
+      raw"""WITH uni AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000,
+             array_to_string(list_slice(list_filter(
+               regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> ''), 1, 40), ' ')
+           FROM documents WHERE doc_id % 5 = 0),
+         tk AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '') AS arr
+           FROM uni WHERE text IS NOT NULL),
+         shl AS (SELECT doc_id, CASE WHEN len(arr) < 3
+             THEN [array_to_string(arr, ' ')]
+             ELSE list_transform(generate_series(1, len(arr) - 2),
+               i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]) END AS sh
+           FROM tk),
+         tok AS (SELECT DISTINCT doc_id,
+             CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) AS token
+           FROM (SELECT doc_id, unnest(sh) AS g FROM shl)),
+         dfq AS (SELECT token, count(*) AS dfv FROM tok GROUP BY 1),
+         sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY 1),
+         ord AS (SELECT t.doc_id, t.token, d.dfv,
+             row_number() OVER (PARTITION BY t.doc_id
+               ORDER BY d.dfv, t.token) AS rn,
+             z.s
+           FROM tok t JOIN dfq d USING (token) JOIN sz z USING (doc_id)),
+         pref AS (SELECT doc_id, token, dfv FROM ord
+           WHERE rn <= CAST(floor(
+             (CAST(1.0 AS DOUBLE) - CAST(0.8 AS DOUBLE)) * s) + 2 AS INT)),
+         cand AS (SELECT DISTINCT p.doc_id AS id_part, q.doc_id AS id_whole
+           FROM pref p JOIN tok q ON p.token = q.token
+             AND p.doc_id <> q.doc_id
+           WHERE p.dfv <= 3),
+         inter AS (SELECT a.doc_id AS id_part, b.doc_id AS id_whole,
+             count(*) AS ic
+           FROM tok a JOIN tok b ON a.token = b.token
+             AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2),
+         c AS (SELECT n.id_part, n.id_whole, sa.s AS szp, sb.s AS szw, i.ic,
+             CAST(i.ic AS DOUBLE) / sa.s AS cont,
+             CAST(i.ic AS DOUBLE) / (sa.s + sb.s - i.ic) AS jac
+           FROM cand n
+           JOIN inter i ON i.id_part = n.id_part AND i.id_whole = n.id_whole
+           JOIN sz sa ON sa.doc_id = n.id_part
+           JOIN sz sb ON sb.doc_id = n.id_whole)
+         SELECT id_part, id_whole, CAST(szp AS BIGINT) AS sz_part,
+           CAST(szw AS BIGINT) AS sz_whole, CAST(ic AS BIGINT) AS overlap,
+           round(cont, 6) AS containment, round(jac, 6) AS jaccard
+         FROM c WHERE cont >= 0.8 ORDER BY id_part, id_whole""",
 
     // same cut over SET-level df: identical token sets collapse to one
     // rep (min doc id) before the df build and the |X|-ceil(t|X|)+1
