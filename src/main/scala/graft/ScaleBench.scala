@@ -64,7 +64,18 @@ object ScaleBench {
     // pair — on the skewed corpus the open q266 measures the hazard,
     // these two measure the guard)
     "q274_containment_cap_audit",
-    "q276_containment_capped")
+    "q276_containment_capped",
+    // round 14: the families whose 100 TB claims previously rested on
+    // plan shape alone (r13 verdict #6) — ANN rankers across the memory
+    // tiers, the SCD2/CDC delta paths, and the end-to-end classifier fit
+    "q24_knn_bruteforce",
+    "q98_knn_lsh_portable",
+    "q118_knn_ivf_portable",
+    "q168_knn_pq",
+    "q264_sq8_ann",
+    "q144_scd2_incremental",
+    "q91_cdc_merge",
+    "q251_nb_classifier")
 
   /** Build the `replicas`x corpus: isomorphic token-suffixed document
     * replicas and coordinate-rotated embedding replicas. Id offsets are
@@ -146,6 +157,19 @@ object ScaleBench {
     }.reduce(_ unionByName _)
     scaledEmb.repartition(8).write.mode("overwrite")
       .parquet(s"$outDir/embeddings.parquet")
+    // orders feed the SCD2/CDC delta paths (q144/q91): the id offset is
+    // a multiple of lcm(7, 10, 20) = 140, so every key-mod slice the
+    // changelog fixtures key on (% 7 snapshots, % 10 / % 20 update
+    // generations) keeps EXACTLY its sf0.1 proportions per replica —
+    // history size, delta size and touched-key ratio all scale by
+    // `replicas` and nothing else
+    val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+    val scaledOrd = (0 until replicas).map { r =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(r.toLong * 100000040L))
+        .withColumn("o_custkey", col("o_custkey") + lit(r.toLong * 100000040L))
+    }.reduce(_ unionByName _)
+    scaledOrd.repartition(16).write.mode("overwrite")
+      .parquet(s"$outDir/orders.parquet")
     java.nio.file.Files.writeString(done.toPath, stamp)
   }
 
