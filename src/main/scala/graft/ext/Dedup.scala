@@ -1162,8 +1162,50 @@ object Dedup {
     * the state ON PURPOSE: it is batch-invariant, and recomputing it per
     * probe would re-aggregate the whole corpus inside every micro-batch
     * of a streaming screen.
+    *
+    * MAINTENANCE CONTRACT (appends): [[appendContainmentState]] grows
+    * `sets` per batch WITHOUT touching `dfreq`. A stale df frame can
+    * only degrade prefix ORDERING (which tokens count as "rarest", so
+    * candidate fan-out — a perf dial), NEVER completeness: the
+    * pigeonhole bound behind [[containmentPrefix]] holds for ANY total
+    * order of a part's tokens, and a token absent from a stale dfreq
+    * sorts first (df 0) while its postings join still finds every host
+    * that carries it — [[AllPairsSpec]] proves probe-result EQUALITY
+    * between a stale-df appended state and a fresh rebuild. The one
+    * df-SEMANTIC consumer is the optional `maxDf` cap: capped results
+    * are defined against the df frame IN the state, so a cap user
+    * should bound drift via `refreshDfreqAbove`. `staleDocs` counts
+    * documents appended since `dfreq` was last built and persists with
+    * the state.
     */
-  final case class ContainmentState(sets: DataFrame, dfreq: DataFrame)
+  final case class ContainmentState(
+      sets: DataFrame, dfreq: DataFrame, staleDocs: Long = 0L)
+
+  /** Append an arriving batch to a standing [[ContainmentState]] — the
+    * O(batch + union) ingest step of the containment screen. `dfreq` is
+    * reused as-is (stale df is a perf dial, never a correctness one —
+    * see the state's maintenance contract) until cumulative appended
+    * docs exceed `refreshDfreqAbove` of the corpus, at which point the
+    * df frame is rebuilt from the unioned sets in one corpus pass and
+    * the drift counter resets. Pass `refreshDfreqAbove = 0` to force a
+    * rebuild every append, `Double.MaxValue` to never rebuild. The
+    * returned sets frame is checkpointed (append chains must not stack
+    * union lineage over the corpus).
+    */
+  def appendContainmentState(
+      state: ContainmentState, incoming: DataFrame,
+      idCol: String, textCol: String, shingleK: Int = 3,
+      refreshDfreqAbove: Double = 0.2): ContainmentState = {
+    require(refreshDfreqAbove >= 0.0, "refreshDfreqAbove must be >= 0")
+    val inc = portableShingleSets(incoming, idCol, textCol, shingleK)
+    val sets = state.sets.unionByName(inc).localCheckpoint(true)
+    val nTotal = sets.count()
+    val nInc = inc.count()
+    val stale = state.staleDocs + nInc
+    if (nTotal > 0 && stale.toDouble / nTotal > refreshDfreqAbove)
+      ContainmentState(sets, dfreqOf(sets).localCheckpoint(true), 0L)
+    else ContainmentState(sets, state.dfreq, stale)
+  }
 
   private def dfreqOf(sets: DataFrame): DataFrame =
     sets.select(explode(col("toks")).as("token"))
@@ -1211,6 +1253,10 @@ object Dedup {
     manifest.delete()
     sets.write.mode("overwrite").parquet(s"$dir/sets")
     dfreq.write.mode("overwrite").parquet(s"$dir/dfreq")
+    // drift counter rides beside the frames (not in the manifest — the
+    // manifest is the parameter-equality gate and staleness varies)
+    java.nio.file.Files.write(new java.io.File(dir, "stale").toPath,
+      state.staleDocs.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.write(manifest.toPath,
       params.encoded.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
@@ -1234,8 +1280,14 @@ object Dedup {
         s"containment state at $dir was built with [$stored] but this run " +
           s"uses [${expect.encoded}] — shingles would never match; rebuild " +
           "the state or pass the original parameters")
+      val staleFile = new java.io.File(dir, "stale")
+      val stale =
+        if (staleFile.exists())
+          new String(java.nio.file.Files.readAllBytes(staleFile.toPath),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        else 0L
       Some(ContainmentState(spark.read.parquet(s"$dir/sets"),
-        spark.read.parquet(s"$dir/dfreq")))
+        spark.read.parquet(s"$dir/dfreq"), stale))
     }
   }
 

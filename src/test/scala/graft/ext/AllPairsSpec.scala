@@ -165,6 +165,50 @@ class AllPairsSpec extends AnyFunSuite with SparkSpec {
       "/tmp/graft_no_such_cstate", Dedup.ContainmentParams(1)).isEmpty)
   }
 
+  test("appended state: stale df never changes probe RESULTS; drift refresh triggers") {
+    val standing = Seq((1L, "a b c d e f"), (2L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val st0 = Dedup.containmentStateCheckpointed(standing, "doc_id", "text",
+      shingleK = 1)
+    // append a host whose vocabulary is ENTIRELY absent from the stale
+    // dfreq (worst case for ordering: every token sorts at df 0), below
+    // the refresh threshold so dfreq stays stale
+    val batch = Seq((3L, "x y z w v u")).toDF("doc_id", "text")
+    val appended = Dedup.appendContainmentState(st0, batch,
+      "doc_id", "text", shingleK = 1, refreshDfreqAbove = 0.9)
+    assert(appended.staleDocs == 1L)
+    assert(appended.dfreq.count() == st0.dfreq.count(), "dfreq must be reused")
+    // the maintenance contract's proof obligation: results against the
+    // stale-df state EQUAL results against a fresh rebuild — ordering
+    // is a fan-out dial, the pigeonhole bound holds under any order
+    val fresh = Dedup.containmentStateCheckpointed(
+      standing.unionByName(Seq((3L, "x y z w v u")).toDF("doc_id", "text")),
+      "doc_id", "text", shingleK = 1)
+    val incoming = Seq((10L, "x y z w v"), (11L, "a b c d e"))
+      .toDF("doc_id", "text")
+    def probe(s: Dedup.ContainmentState) =
+      Dedup.containmentProbe(incoming, s, "doc_id", "text",
+          tau = 0.8, shingleK = 1)
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val got = probe(appended)
+    assert(got == probe(fresh), "stale df changed probe results")
+    assert(got == Set((10L, 3L, 5L, 5L, 1.0), (11L, 1L, 5L, 5L, 1.0)),
+      s"probe must find quotes of BOTH original and appended hosts: $got")
+    // a second append crosses the 0.9 drift threshold (2 stale / 8
+    // docs... push with a bigger batch): dfreq rebuilds and resets
+    val big = (20L to 40L).map(i => (i, s"m$i n$i")).toDF("doc_id", "text")
+    val refreshed = Dedup.appendContainmentState(appended, big,
+      "doc_id", "text", shingleK = 1, refreshDfreqAbove = 0.9)
+    assert(refreshed.staleDocs == 0L, "drift past threshold must rebuild")
+    assert(refreshed.dfreq.count() > st0.dfreq.count())
+    // staleDocs persists through disk round-trips
+    val dir = java.nio.file.Files.createTempDirectory("graft_cstate_app").toString
+    Dedup.saveContainmentState(appended, dir, Dedup.ContainmentParams(1))
+    val loaded = Dedup.loadContainmentState(
+      spark, dir, Dedup.ContainmentParams(1)).get
+    assert(loaded.staleDocs == 1L)
+  }
+
   test("streamed containment probe equals the batch probe across batch cuts") {
     val standing = (1L to 20L).map { id =>
       val r = new scala.util.Random(id * 7)
