@@ -3295,6 +3295,20 @@ $fin"""
         .orderBy("token")
     }),
 
+    "q277_feature_moments" -> ((s, d) => {
+      // the full per-group moment matrix (cov + corr, diagonal included)
+      // in ONE fixed-buffer GramMoments pass — the q260 aggregate
+      // promoted to arbitrary named feature columns: the exchange
+      // carries one buffer per (group, partition) whatever the width,
+      // where the q150 pair-explode path writes d(d-1)/2 structs per
+      // row. Listwise-complete (documented); exact decimal sums under
+      // the same hash oracle discipline as q150/q260
+      graft.ops.Profile.featureMomentsMatrix(t(s, d, "lineitem"),
+          Seq("l_returnflag"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("l_returnflag", "col_x", "col_y")
+    }),
+
     "q276_containment_capped" -> ((s, d) => {
       // the q266 join with the ubiquity cap ON (maxDf = 3): candidate
       // generation is DEFINED as the capped prefix join — a pair whose
@@ -7425,6 +7439,66 @@ $fin"""
          SELECT token, CAST(dfv AS BIGINT) AS df,
            count(*) AS n_prefix_docs
          FROM pref WHERE dfv > 1 GROUP BY 1, 2 ORDER BY token""",
+
+    // exact decimal moments (one widened operand -> hugeint products,
+    // the q150 trick), the identical double tree, 6-dp round + signed-
+    // zero normalize; listwise-complete WHERE mirrors the engine
+    "q277_feature_moments" ->
+      raw"""WITH r AS (SELECT l_returnflag,
+             CAST(l_quantity AS DECIMAL(18,4)) AS v0,
+             CAST(l_extendedprice AS DECIMAL(18,4)) AS v1,
+             CAST(l_discount AS DECIMAL(18,4)) AS v2,
+             CAST(CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(19,4)) AS w0,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(19,4)) AS w1,
+             CAST(CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(19,4)) AS w2
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+             AND l_discount IS NOT NULL),
+         g AS (SELECT l_returnflag, count(*) AS n,
+             sum(v0) AS sx0, sum(v1) AS sx1, sum(v2) AS sx2,
+             sum(w0 * v0) AS s00, sum(w0 * v1) AS s01, sum(w0 * v2) AS s02,
+             sum(w1 * v1) AS s11, sum(w1 * v2) AS s12, sum(w2 * v2) AS s22
+           FROM r GROUP BY 1),
+         p AS (
+           SELECT l_returnflag, 'l_quantity' AS col_x, 'l_quantity' AS col_y,
+             n, CAST(sx0 AS DOUBLE) sxd, CAST(sx0 AS DOUBLE) syd,
+             CAST(s00 AS DOUBLE) sxyd, CAST(s00 AS DOUBLE) sxxd,
+             CAST(s00 AS DOUBLE) syyd FROM g
+           UNION ALL
+           SELECT l_returnflag, 'l_quantity', 'l_extendedprice',
+             n, CAST(sx0 AS DOUBLE), CAST(sx1 AS DOUBLE),
+             CAST(s01 AS DOUBLE), CAST(s00 AS DOUBLE), CAST(s11 AS DOUBLE)
+           FROM g
+           UNION ALL
+           SELECT l_returnflag, 'l_quantity', 'l_discount',
+             n, CAST(sx0 AS DOUBLE), CAST(sx2 AS DOUBLE),
+             CAST(s02 AS DOUBLE), CAST(s00 AS DOUBLE), CAST(s22 AS DOUBLE)
+           FROM g
+           UNION ALL
+           SELECT l_returnflag, 'l_extendedprice', 'l_extendedprice',
+             n, CAST(sx1 AS DOUBLE), CAST(sx1 AS DOUBLE),
+             CAST(s11 AS DOUBLE), CAST(s11 AS DOUBLE), CAST(s11 AS DOUBLE)
+           FROM g
+           UNION ALL
+           SELECT l_returnflag, 'l_extendedprice', 'l_discount',
+             n, CAST(sx1 AS DOUBLE), CAST(sx2 AS DOUBLE),
+             CAST(s12 AS DOUBLE), CAST(s11 AS DOUBLE), CAST(s22 AS DOUBLE)
+           FROM g
+           UNION ALL
+           SELECT l_returnflag, 'l_discount', 'l_discount',
+             n, CAST(sx2 AS DOUBLE), CAST(sx2 AS DOUBLE),
+             CAST(s22 AS DOUBLE), CAST(s22 AS DOUBLE), CAST(s22 AS DOUBLE)
+           FROM g)
+         SELECT l_returnflag, col_x, col_y, n,
+           round((CAST(n AS DOUBLE) * sxyd - sxd * syd) /
+             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) + 0 AS cov,
+           CASE WHEN sqrt((CAST(n AS DOUBLE) * sxxd - sxd * sxd) *
+               (CAST(n AS DOUBLE) * syyd - syd * syd)) > 0
+             THEN round((CAST(n AS DOUBLE) * sxyd - sxd * syd) /
+               sqrt((CAST(n AS DOUBLE) * sxxd - sxd * sxd) *
+                 (CAST(n AS DOUBLE) * syyd - syd * syd)), 6) + 0
+           END AS corr
+         FROM p ORDER BY l_returnflag, col_x, col_y""",
 
     // the capped join itself: candidates come ONLY from prefix tokens at
     // df <= 3 (the q274 prefix replay + the cap cut), then the exact

@@ -727,4 +727,87 @@ object Profile {
       .where(c >= col("__lo") && c <= col("__hi"))
       .drop("__lo", "__hi")
   }
+
+  /** Full per-group moment MATRIX over arbitrary named feature columns in
+    * ONE fixed-buffer aggregation pass — [[graft.expressions.GramMoments]]
+    * promoted from the embedding-covariance internals (q260) to a public
+    * feature-matrix operator: the value columns assemble into a
+    * `decimal(18,sumScale)` vector per row and every `n / sx_i / sxy_ij`
+    * moment accumulates in a single mergeable buffer per group, so the
+    * exchange carries ONE fixed-size buffer per (group, partition)
+    * whatever `d` is. [[correlationMatrix]]'s pair-explode formulation
+    * writes d(d-1)/2 structs per input row into the shuffle — fine at
+    * d = 3, the dominant cost at feature-report widths (d = 20 → 190
+    * structs/row); this is the same-fixed-buffer scale path, measured
+    * ~flat on the q260 battery (25x rows → 1.3x wall).
+    *
+    * Semantics: LISTWISE-complete — a row contributes either all
+    * features or none (any-null rows are excluded before the pass),
+    * the standard covariance-matrix contract and the price of one
+    * shared `n` per group. [[correlationMatrix]] remains the
+    * pairwise-complete production pair path; on null-free columns the
+    * two agree exactly. A value outside `decimal(18,sumScale)` casts to
+    * null and fails loudly inside the aggregate (a silent skip would
+    * bias every moment it touches).
+    *
+    * Returns one row per group and ordered feature pair `i <= j`:
+    * `(groupCols..., col_x, col_y, n, cov, corr)` — `cov` the population
+    * covariance `(n·sxy − sx·sy)/n²`, `corr` Pearson (null when either
+    * variance is zero), both derived from the exact decimal sums in one
+    * fixed IEEE double tree, 6-dp-rounded with signed-zero normalized
+    * (the covarianceReport conventions).
+    */
+  def featureMomentsMatrix(
+      df: DataFrame, groupCols: Seq[String], valueCols: Seq[String],
+      sumScale: Int = 4): DataFrame = {
+    require(valueCols.nonEmpty, "need at least one value column")
+    valueCols.foreach(c =>
+      require(df.columns.contains(c), s"column $c not found"))
+    val d = valueCols.size
+    val complete = valueCols.map(col(_).isNotNull).reduce(_ && _)
+    val vec = array(valueCols.map(c =>
+      col(c).cast(s"decimal(18,$sumScale)")): _*)
+    val m = df.where(complete)
+      .select(groupCols.map(col) :+ vec.as("__v"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.expressions.GramMoments.gramMoments(col("__v"), d).as("__m"))
+      .where(col("__m.n") > 0)
+    // fan each group's single moment row out to its d(d+1)/2 pairs; the
+    // row-major upper-triangle index of (i, j) is i*d - i(i-1)/2 + (j-i)
+    // (the covarianceReport identity; i(i-1) is even, the halving exact)
+    val pairIdx = explode(flatten(transform(sequence(lit(0), lit(d - 1)), i =>
+      transform(sequence(i, lit(d - 1)), j =>
+        struct(i.as("i"), j.as("j"))))))
+    def triOf(i: Column, j: Column): Column =
+      ((i * lit(d) - (i * (i - 1)) / 2 + (j - i)) + 1).cast("int")
+    val nameArr = array(valueCols.map(lit(_)): _*)
+    val base = m
+      .select(groupCols.map(col) ++ Seq(col("__m"), pairIdx.as("__p")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("__p.i").as("__i"), col("__p.j").as("__j"),
+        col("__m.n").as("n"),
+        col("__m.sx").as("__sxa"), col("__m.sxy").as("__sxya")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        element_at(nameArr, col("__i") + 1).as("col_x"),
+        element_at(nameArr, col("__j") + 1).as("col_y"),
+        col("n"),
+        element_at(col("__sxa"), col("__i") + 1).as("__sx"),
+        element_at(col("__sxa"), col("__j") + 1).as("__sy"),
+        element_at(col("__sxya"), triOf(col("__i"), col("__j"))).as("__sxy"),
+        element_at(col("__sxya"), triOf(col("__i"), col("__i"))).as("__sxx"),
+        element_at(col("__sxya"), triOf(col("__j"), col("__j"))).as("__syy")): _*)
+    // one fixed IEEE double tree over the exact decimal sums (the
+    // decimal -> double casts are correctly rounded in Spark; emitting
+    // only the 6-dp-rounded derived stats keeps the oracle exact)
+    val (nD, sxD, syD) = (col("n").cast("double"),
+      col("__sx").cast("double"), col("__sy").cast("double"))
+    val (sxyD, sxxD, syyD) = (col("__sxy").cast("double"),
+      col("__sxx").cast("double"), col("__syy").cast("double"))
+    val covn = nD * sxyD - sxD * syD
+    val den = sqrt((nD * sxxD - sxD * sxD) * (nD * syyD - syD * syD))
+    base.select(groupCols.map(col) ++ Seq(
+      col("col_x"), col("col_y"), col("n"),
+      (round(covn / (nD * nD), 6) + lit(0.0)).as("cov"),
+      when(den > 0.0, round(covn / den, 6) + lit(0.0)).as("corr")): _*)
+  }
 }

@@ -385,4 +385,43 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
       ("a", 5L, 7.0, 2L, 1L, 0.0),
       ("a", 11L, 20.0, 1L, 2L, 10.0)))
   }
+
+  test("featureMomentsMatrix: agrees with correlationMatrix, listwise, order-free") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = (1 to 40).map(i => (i.toDouble, 2.0 * i, -i.toDouble))
+    val d = rows.toDF("x", "y", "z")
+    val got = Profile.featureMomentsMatrix(d, Nil, Seq("x", "y", "z"))
+      .collect().map(r =>
+        (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3), Option(r.get(4))))).toMap
+    // diagonal: cov = population variance, corr = 1
+    assert(got(("x", "x"))._3.get == 1.0)
+    assert(got(("x", "y")) == ((40L, got(("x", "x"))._2 * 2, Some(1.0))))
+    assert(got(("x", "z"))._3.get == -1.0)
+    // null-free data: corr agrees exactly with the pairwise path
+    val pw = Profile.correlationMatrix(d, Nil, Seq("x", "y", "z"))
+      .collect().map(r =>
+        (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    pw.foreach { case (k, v) => assert(got(k)._3.get == v, s"pair $k") }
+    // LISTWISE: one null z row removes that row from EVERY pair (the
+    // documented divergence from correlationMatrix's pairwise contract)
+    val dn = (rows.map { case (x, y, z) => (x, y, Option(z)) } :+
+      ((99.0, 1.0, None: Option[Double]))).toDF("x", "y", "z")
+    val ln = Profile.featureMomentsMatrix(dn, Nil, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(ln.values.toSet == Set(40L), s"any-null row must drop everywhere: $ln")
+    // bit-stable across partitionings (the mergeable-buffer claim)
+    def run(parts: Int) =
+      Profile.featureMomentsMatrix(d.repartition(parts),
+        Nil, Seq("x", "y", "z")).orderBy("col_x", "col_y")
+        .collect().map(r => (r.get(3), Option(r.get(4)))).toSeq
+    assert(run(1) == run(13))
+    // grouped face: per-group n rides the same single buffer
+    val g = Profile.featureMomentsMatrix(
+      d.withColumn("grp", col("x") > 20.0), Seq("grp"), Seq("x", "y"))
+      .where(col("col_x") === "x" && col("col_y") === "y")
+      .collect().map(r => r.getBoolean(0) -> r.getLong(3)).toMap
+    assert(g == Map(true -> 20L, false -> 20L))
+  }
 }
