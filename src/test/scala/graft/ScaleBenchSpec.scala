@@ -22,7 +22,22 @@ class ScaleBenchSpec extends AnyFunSuite with SparkSpec {
       (2L, Seq(0.6f, 0.8f, 0.0f, 0.0f), 1))
       .toDF("vec_id", "embedding", "label")
     emb.write.parquet(s"$dir/src/embeddings.parquet")
+    val ord = Seq((7L, 70L, "O", 10.5, new java.sql.Timestamp(0L), "1-URGENT"),
+      (8L, 71L, "F", 20.5, new java.sql.Timestamp(0L), "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    ord.write.parquet(s"$dir/src/orders.parquet")
     ScaleBench.buildScaled(spark, s"$dir/src", s"$dir/out", replicas = 3)
+
+    // orders replicate with key-mod geometry intact: the id offset is a
+    // multiple of lcm(7,10,20), so % 7 / % 10 / % 20 slices per replica
+    // equal the source's (the SCD2/CDC changelog fixtures key on them)
+    val bigOrd = spark.read.parquet(s"$dir/out/orders.parquet")
+      .select($"o_orderkey").as[Long].collect().toSeq
+    assert(bigOrd.length == 6)
+    assert(bigOrd.count(_ % 7 == 0) == 3) // key 7's replicas all stay % 7 == 0
+    assert(bigOrd.count(_ % 7 != 0) == 3)
+    assert(bigOrd.distinct.length == 6)
 
     val big = spark.read.parquet(s"$dir/out/documents.parquet")
     assert(big.count() == 9) // 3 replicas x 3 docs
