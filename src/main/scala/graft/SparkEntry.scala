@@ -1096,6 +1096,51 @@ $fin"""
          FROM g GROUP BY 1 ORDER BY 1"""
   }
 
+  /** Shared q278/q279 oracle: the naive incoming-x-standing Jaccard
+    * enumeration the prefix-filtered resemblance probe must reproduce.
+    * ONE string for batch + streamed twin (the containmentProbeOracle
+    * argument); the truncation slice is INTEGER arithmetic on both
+    * sides.
+    */
+  private val resemblanceProbeOracle: String =
+    raw"""WITH base AS (
+         SELECT doc_id, text, 0 AS side FROM documents WHERE doc_id % 3 <> 0
+         UNION ALL
+         SELECT doc_id, text, 1 FROM documents WHERE doc_id % 3 = 0
+         UNION ALL
+         SELECT doc_id + 2000000,
+           array_to_string(list_slice(arr, 1, (9 * len(arr)) // 10), ' '), 1
+         FROM (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '') AS arr
+           FROM documents WHERE doc_id % 3 = 1 AND text IS NOT NULL)),
+       tk AS (SELECT doc_id, side,
+           list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+             x -> x <> '') AS arr
+         FROM base WHERE text IS NOT NULL),
+       shl AS (SELECT doc_id, side, CASE WHEN len(arr) < 3
+           THEN [array_to_string(arr, ' ')]
+           ELSE list_transform(generate_series(1, len(arr) - 2),
+             i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]) END AS sh
+         FROM tk),
+       tok AS (SELECT DISTINCT doc_id, side,
+           CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) AS token
+         FROM (SELECT doc_id, side, unnest(sh) AS g FROM shl)),
+       sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY 1),
+       inter AS (SELECT a.doc_id AS id_in, b.doc_id AS id_host,
+           count(*) AS ic
+         FROM tok a JOIN tok b ON a.token = b.token
+           AND a.side = 1 AND b.side = 0
+         GROUP BY 1, 2),
+       c AS (SELECT id_in, id_host, si.s AS szi, sh.s AS szh, ic,
+           CAST(ic AS DOUBLE) / (si.s + sh.s - ic) AS jac
+         FROM inter JOIN sz si ON si.doc_id = id_in
+                    JOIN sz sh ON sh.doc_id = id_host)
+       SELECT id_in, id_host, CAST(szi AS BIGINT) AS sz_in,
+         CAST(szh AS BIGINT) AS sz_host, CAST(ic AS BIGINT) AS overlap,
+         round(jac, 6) AS jaccard
+       FROM c WHERE jac >= 0.6 ORDER BY id_in, id_host"""
+
   /** Shared q270/q271 oracle: the naive incoming-x-standing containment
     * enumeration (every cross pair sharing a shingle, cont = ic/|in|) —
     * the q266 zero-false-negative oracle split across two frames. ONE
@@ -3293,6 +3338,57 @@ $fin"""
       Dedup.containmentCapAudit(fanOut(s, docs.unionByName(excerpts), "doc_id"),
           "doc_id", "text", tau = 0.8, shingleK = 3, maxDf = 1)
         .orderBy("token")
+    }),
+
+    "q278_resemblance_probe" -> ((s, d) => {
+      // EXACT-Jaccard ingest screen against a PRECOMPUTED standing-
+      // corpus state — the resemblance face of q270 and the no-recall-
+      // curve complement of the minhash screen: sets, df and the
+      // Bayardo host prefixes all come from the state (threshold rides
+      // IN it, so a probe can never run mismatched). Incoming = the
+      // %3==0 slice plus 90%-token truncations of standing docs (each
+      // a planted near-copy of its source); the oracle replays the
+      // naive incoming x standing enumeration the prefix join must
+      // reproduce exactly
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val standing = docs.where(col("doc_id") % 3 =!= 0)
+      val toks = graft.functions.text.tokens(col("text"))
+      val trunc = docs.where(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(toks, lit(1), ((size(toks) * 9) / 10).cast("int")), " ")
+            .as("text"))
+      val incoming = docs.where(col("doc_id") % 3 === 0).unionByName(trunc)
+      val state = Dedup.resemblanceStateCheckpointed(
+        fanOut(s, standing, "doc_id"), "doc_id", "text",
+        threshold = 0.6, shingleK = 3)
+      Dedup.jaccardProbe(fanOut(s, incoming, "doc_id"), state,
+          "doc_id", "text")
+        .orderBy("id_in", "id_host")
+    }),
+
+    "q279_stream_resemblance_probe" -> ((s, d) => {
+      // q278 with the batch ARRIVING as a stream: the standing state
+      // (sets + df + host prefixes) is frozen, each micro-batch probes
+      // independently (a doc's result is row-local given the state), so
+      // the streamed frame equals the batch probe under any cut and
+      // q278's oracle gates it verbatim
+      import graft.streaming.CorpusStreams
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val standing = docs.where(col("doc_id") % 3 =!= 0)
+      val toks = graft.functions.text.tokens(col("text"))
+      val trunc = docs.where(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(toks, lit(1), ((size(toks) * 9) / 10).cast("int")), " ")
+            .as("text"))
+      val incoming = docs.where(col("doc_id") % 3 === 0).unionByName(trunc)
+      val staged = graft.io.TextTables.scratchDir("resemb_in", d)
+      incoming.repartition(2).write.mode("overwrite").parquet(staged)
+      val state = Dedup.resemblanceStateCheckpointed(
+        standing, "doc_id", "text", threshold = 0.6, shingleK = 3)
+      val name = s"graft_stream_resemb_${streamCounter.incrementAndGet()}"
+      CorpusStreams.resemblanceProbeStreaming(s, staged, "doc_id", "text",
+          state, name, shufflePartitions = Some(4))
+        .orderBy("id_in", "id_host")
     }),
 
     "q277_feature_moments" -> ((s, d) => {
@@ -7439,6 +7535,15 @@ $fin"""
          SELECT token, CAST(dfv AS BIGINT) AS df,
            count(*) AS n_prefix_docs
          FROM pref WHERE dfv > 1 GROUP BY 1, 2 ORDER BY token""",
+
+    // per-doc probe results are row-local given the frozen state, so
+    // the streamed twin equals batch under any cut — ONE naive oracle
+    // gates both (the q270/q271 convention)
+    "q279_stream_resemblance_probe" -> resemblanceProbeOracle,
+
+    // the naive incoming x standing Jaccard enumeration the prefix-
+    // filtered probe must reproduce (the q270 oracle convention)
+    "q278_resemblance_probe" -> resemblanceProbeOracle,
 
     // exact decimal moments (one widened operand -> hugeint products,
     // the q150 trick), the identical double tree, 6-dp round + signed-

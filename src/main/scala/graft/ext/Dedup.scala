@@ -1062,8 +1062,12 @@ object Dedup {
       .localCheckpoint()
     val nCand = cand.count()
     val spark = df.sparkSession
+    // below ~200k candidates even kilobyte-payload rows fit the session
+    // width with room to spare — skip the sizing agg entirely (it is
+    // cheap on the checkpointed frame, but a sub-second query should
+    // not pay an extra action for a question whose answer is known)
     val verifyParts =
-      if (nCand == 0) spark.sparkContext.defaultParallelism
+      if (nCand <= 200000L) spark.sparkContext.defaultParallelism
       else {
         // avg shingle-set size rides on the already-checkpointed docs
         // frame — one cheap agg, no corpus recompute
@@ -1341,6 +1345,180 @@ object Dedup {
         size(col("__ti")).cast("long").as("sz_in"),
         col("__ic").cast("long").as("overlap"),
         round(col("__cont"), 6).as("containment"))
+  }
+
+  /** Per-doc rarest-first JACCARD prefix rows `(doc, sz, token, __df)` —
+    * the symmetric (Bayardo) prefix of length `|X| - ceil(t|X|) + 1`,
+    * ordered by (df, token) against the supplied df frame (absent
+    * tokens df 0, sorted first). The completeness lemma needs ONE total
+    * order shared by both join sides; [[jaccardProbe]] orders both the
+    * standing prefixes (built here at state time) and the incoming
+    * prefixes (built here per batch) by the SAME standing df, so the
+    * globally smallest shared token of any qualifying pair sits inside
+    * both prefixes — the q199 argument, probe-shaped.
+    */
+  private def jaccardPrefix(
+      sets: DataFrame, dfreq: DataFrame, threshold: Double): DataFrame =
+    sets.select(col("doc"), size(col("toks")).as("sz"),
+        explode(col("toks")).as("token"))
+      .join(dfreq, Seq("token"), "left")
+      .na.fill(0L, Seq("__df"))
+      .groupBy(col("doc"), col("sz"))
+      .agg(array_sort(collect_list(struct(col("__df"), col("token"))))
+        .as("ost"))
+      .select(col("doc"), col("sz"),
+        explode(slice(col("ost"), lit(1),
+          (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")))
+          .as("st"))
+      .select(col("doc"), col("sz"),
+        col("st.token").as("token"), col("st.__df").as("__df"))
+
+  /** Precomputed EXACT-resemblance state of a standing corpus — the
+    * third leg of the incremental screen triangle beside
+    * [[MinhashState]] (approximate, banded recall) and
+    * [[ContainmentState]] (asymmetric quote-in-host): shingle sets,
+    * corpus df, AND the per-host Bayardo prefix at a FIXED threshold,
+    * all computed once and persisted. The prefix lives in the state
+    * because the symmetric filter needs prefixes on BOTH join sides —
+    * rebuilding host prefixes per probe would re-aggregate the corpus
+    * inside every micro-batch. `threshold`/`shingleK` ride in the state
+    * so a probe can never run with mismatched parameters.
+    */
+  final case class ResemblanceState(
+      sets: DataFrame, dfreq: DataFrame, prefix: DataFrame,
+      threshold: Double, shingleK: Int)
+
+  /** Build the resemblance state; see [[resemblanceStateCheckpointed]]
+    * for the probe-loop variant.
+    */
+  def resemblanceState(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.6, shingleK: Int = 3): ResemblanceState = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    require(shingleK >= 1, "shingleK must be at least 1")
+    val sets = portableShingleSets(df, idCol, textCol, shingleK)
+    val dfreq = dfreqOf(sets)
+    ResemblanceState(sets, dfreq,
+      jaccardPrefix(sets, dfreq, threshold), threshold, shingleK)
+  }
+
+  /** [[resemblanceState]] with every corpus-sized frame eagerly
+    * checkpointed and derived frames built FROM the checkpointed sets —
+    * exactly one shingle pass over the corpus no matter how many probes
+    * consume the state (the [[containmentStateCheckpointed]] argument).
+    */
+  def resemblanceStateCheckpointed(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.6, shingleK: Int = 3): ResemblanceState = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    require(shingleK >= 1, "shingleK must be at least 1")
+    val sets = portableShingleSets(df, idCol, textCol, shingleK)
+      .localCheckpoint(true)
+    val dfreq = dfreqOf(sets).localCheckpoint(true)
+    ResemblanceState(sets, dfreq,
+      jaccardPrefix(sets, dfreq, threshold).localCheckpoint(true),
+      threshold, shingleK)
+  }
+
+  /** Parameters a persisted [[ResemblanceState]] was built with — the
+    * prefix is only complete AT its build threshold, so a resume MUST
+    * match (the [[ContainmentParams]] manifest contract).
+    */
+  final case class ResemblanceParams(threshold: Double, shingleK: Int) {
+    def encoded: String = s"threshold=$threshold;shingleK=$shingleK"
+  }
+
+  /** Persist a [[ResemblanceState]] (crash-safe manifest-last). */
+  def saveResemblanceState(
+      state: ResemblanceState, dir: String): Unit = {
+    val manifest = new java.io.File(dir, stateManifest)
+    manifest.delete()
+    state.sets.localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$dir/sets")
+    state.dfreq.localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$dir/dfreq")
+    state.prefix.localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$dir/prefix")
+    java.nio.file.Files.write(manifest.toPath,
+      ResemblanceParams(state.threshold, state.shingleK).encoded
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load a [[ResemblanceState]] written by [[saveResemblanceState]];
+    * None when no complete state exists, loud failure on a parameter
+    * mismatch.
+    */
+  def loadResemblanceState(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      expect: ResemblanceParams): Option[ResemblanceState] = {
+    val manifest = new java.io.File(dir, stateManifest)
+    val ok = manifest.exists() && Seq("sets", "dfreq", "prefix").forall(p =>
+      new java.io.File(s"$dir/$p", "_SUCCESS").exists())
+    if (!ok) None
+    else {
+      val stored = new String(
+        java.nio.file.Files.readAllBytes(manifest.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      require(stored == expect.encoded,
+        s"resemblance state at $dir was built with [$stored] but this run " +
+          s"uses [${expect.encoded}] — the prefix is only complete at its " +
+          "build threshold; rebuild the state or pass the original parameters")
+      Some(ResemblanceState(spark.read.parquet(s"$dir/sets"),
+        spark.read.parquet(s"$dir/dfreq"),
+        spark.read.parquet(s"$dir/prefix"),
+        expect.threshold, expect.shingleK))
+    }
+  }
+
+  /** EXACT-Jaccard probe of an ARRIVING batch against a standing corpus
+    * — the resemblance face of [[containmentProbe]]: emit `(id_in,
+    * id_host, sz_in, sz_host, overlap, jaccard)` for every incoming doc
+    * whose token-Jaccard with a corpus doc reaches the state's build
+    * threshold ("is this new doc a near-copy of something we already
+    * hold", with no banding recall curve — the complement to the
+    * MinhashState screen). The corpus is never re-shingled or
+    * re-prefixed: sets, df AND host prefixes come from the state;
+    * per-call work is batch-sized plus the prefix equi-join.
+    *
+    * Zero false negatives: both prefixes order by the SAME standing df
+    * (see [[jaccardPrefix]]), so the globally smallest shared token of
+    * a qualifying pair sits in both — the symmetric length prune
+    * (`t|A| <= |B| <= |A|/t`) cuts candidates before the row-local
+    * intersect verify. `maxDf` (default off) is the [[containmentPairs]]
+    * ubiquity cap applied to BOTH prefix sides; the recall trade is the
+    * cap-audit contract (a lost pair has every shared prefix token
+    * above the cap).
+    */
+  def jaccardProbe(
+      incoming: DataFrame, state: ResemblanceState,
+      idCol: String, textCol: String,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    require(maxDf >= 1, "maxDf must be at least 1")
+    val inc = portableShingleSets(incoming, idCol, textCol, state.shingleK)
+      .localCheckpoint() // feeds the prefix pass and the verify side once
+    val incPrefix = capPrefix(
+      jaccardPrefix(inc, state.dfreq, state.threshold), maxDf)
+      .select(col("doc").as("din"), col("sz").as("__szi"), col("token"))
+    val hostPrefix = capPrefix(state.prefix, maxDf)
+      .select(col("doc").as("host"), col("sz").as("__szh"), col("token"))
+    val cand = incPrefix.join(hostPrefix, Seq("token"))
+      .where(col("din") =!= col("host") &&
+        lit(state.threshold) * col("__szi") <= col("__szh") &&
+        lit(state.threshold) * col("__szh") <= col("__szi"))
+      .select(col("din"), col("host")).distinct()
+    cand
+      .join(inc.select(col("doc").as("din"), col("toks").as("__ti")), Seq("din"))
+      .join(state.sets.select(col("doc").as("host"), col("toks").as("__th")),
+        Seq("host"))
+      .withColumn("__ic", size(array_intersect(col("__ti"), col("__th"))))
+      .withColumn("__jac", col("__ic").cast("double") /
+        (size(col("__ti")) + size(col("__th")) - col("__ic")))
+      .where(col("__jac") >= state.threshold)
+      .select(col("din").as("id_in"), col("host").as("id_host"),
+        size(col("__ti")).cast("long").as("sz_in"),
+        size(col("__th")).cast("long").as("sz_host"),
+        col("__ic").cast("long").as("overlap"),
+        round(col("__jac"), 6).as("jaccard"))
   }
 
   /** Winnowing fingerprints per document (Schleimer, Wilkerson & Aiken,

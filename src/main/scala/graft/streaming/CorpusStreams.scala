@@ -228,6 +228,50 @@ object CorpusStreams {
     spark.read.parquet(sink)
   }
 
+  /** Streaming face of [[graft.ext.Dedup.jaccardProbe]]: probe each
+    * arriving micro-batch against a FROZEN standing-corpus resemblance
+    * state inside `foreachBatch` (a doc's probe result depends only on
+    * its own shingle set and the static state — no cross-batch state,
+    * the containmentProbeStreaming argument), appending hits to a
+    * parquet sink executor-side. Batch-boundary invariant by
+    * construction, so the batch q278 oracle gates this path verbatim.
+    * The ingest-time near-copy screen with NO banding recall curve:
+    * build the corpus state once, screen every arriving crawl batch.
+    * Sink retention follows the containmentProbeStreaming contract
+    * (pass an owned `sinkDir` in a long-lived ingest loop).
+    */
+  def resemblanceProbeStreaming(
+      spark: SparkSession, stagedDir: String, idCol: String, textCol: String,
+      state: graft.ext.Dedup.ResemblanceState,
+      queryName: String,
+      sinkDir: Option[String] = None,
+      shufflePartitions: Option[Int] = None,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    val schema = spark.read.parquet(stagedDir).schema
+    val sink = sinkDir.getOrElse {
+      val d = Files.createTempDirectory("graft_resemblance_hits")
+      d.toFile.deleteOnExit()
+      d.toString
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+    EventStreams.withStatePartitions(spark, shufflePartitions) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val b = batch.persist()
+          try graft.ext.Dedup.jaccardProbe(b.toDF(), state, idCol,
+              textCol, maxDf)
+            .write.mode("append").parquet(sink)
+          finally b.unpersist()
+        }
+        .trigger(Trigger.AvailableNow())
+        .queryName(queryName)
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(sink)
+  }
+
   /** Streaming face of [[graft.ext.NgramLm.score]]: score each arriving
     * micro-batch of documents against a FROZEN reference model inside
     * `foreachBatch` (a document's pairs are wholly contained in its row,

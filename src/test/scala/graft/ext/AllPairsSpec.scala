@@ -209,6 +209,44 @@ class AllPairsSpec extends AnyFunSuite with SparkSpec {
     assert(loaded.staleDocs == 1L)
   }
 
+  test("jaccardProbe: complete vs brute force; state round-trips; params ride in state") {
+    val rnd = new scala.util.Random(42)
+    val vocab = (1 to 25).map(i => s"w$i")
+    def doc(id: Long) =
+      (id, Seq.fill(5 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    val standing = (1L to 30L).map(doc).toDF("doc_id", "text")
+    val incoming = (101L to 125L).map(doc).toDF("doc_id", "text")
+    val st = Dedup.resemblanceStateCheckpointed(standing, "doc_id", "text",
+      threshold = 0.5, shingleK = 1)
+    def pairs(s: Dedup.ResemblanceState) =
+      Dedup.jaccardProbe(incoming, s, "doc_id", "text")
+        .select("id_in", "id_host").as[(Long, Long)].collect().toSet
+    val fast = pairs(st)
+    val sets = (standing.as[(Long, String)].collect() ++
+      incoming.as[(Long, String)].collect())
+      .map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).toSet }.toMap
+    val brute = (for {
+      i <- 101L to 125L; h <- 1L to 30L
+      inter = sets(i).intersect(sets(h)).size
+      if inter.toDouble / (sets(i).size + sets(h).size - inter) >= 0.5
+    } yield (i, h)).toSet
+    assert(fast == brute, s"missing=${brute -- fast} extra=${fast -- brute}")
+    assert(brute.nonEmpty, "fixture must exercise real matches")
+    // disk round-trip: identical results; param mismatch fails loudly
+    val dir = java.nio.file.Files.createTempDirectory("graft_rstate").toString
+    Dedup.saveResemblanceState(st, dir)
+    val loaded = Dedup.loadResemblanceState(
+      spark, dir, Dedup.ResemblanceParams(0.5, 1)).get
+    assert(loaded.threshold == 0.5 && loaded.shingleK == 1)
+    assert(pairs(loaded) == fast)
+    intercept[IllegalArgumentException] {
+      Dedup.loadResemblanceState(spark, dir, Dedup.ResemblanceParams(0.6, 1))
+    }
+    assert(Dedup.loadResemblanceState(spark,
+      "/tmp/graft_no_such_rstate", Dedup.ResemblanceParams(0.5, 1)).isEmpty)
+  }
+
   test("streamed containment probe equals the batch probe across batch cuts") {
     val standing = (1L to 20L).map { id =>
       val r = new scala.util.Random(id * 7)
