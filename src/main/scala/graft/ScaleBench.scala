@@ -133,7 +133,15 @@ object ScaleBench {
         (if (skewCut == 0) suffixed
         else when(pmod(col("doc_id"), lit(10L)) < skewCut, skewText)
           .otherwise(suffixed)).as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        col("lang"), col("source"),
+        // a REPLACED doc's metadata must describe its new text (a
+        // 20k-char n_chars on a 400-char boilerplate row would skew any
+        // size-weighted reading of the skew corpus); suffixed rows keep
+        // the source value — the isomorphism the curves key on
+        (if (skewCut == 0) col("n_chars")
+        else when(pmod(col("doc_id"), lit(10L)) < skewCut,
+          length(skewText).cast("long")).otherwise(col("n_chars")))
+          .as("n_chars"))
     }.reduce(_ unionByName _)
     scaledDocs.repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/documents.parquet")

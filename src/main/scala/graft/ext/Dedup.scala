@@ -1062,18 +1062,29 @@ object Dedup {
       .localCheckpoint()
     val nCand = cand.count()
     val spark = df.sparkSession
+    // the width "today's plan" would use: the session shuffle width,
+    // never below the core count — flooring on defaultParallelism alone
+    // could NARROW the verify joins below the pre-sizing plan on a
+    // library session (Spark's default 200 shuffle partitions over 8
+    // cores) and reintroduce the very spill this sizing removes
+    val sessionWidth = math.max(spark.sparkContext.defaultParallelism,
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
     // below ~200k candidates even kilobyte-payload rows fit the session
     // width with room to spare — skip the sizing agg entirely (it is
     // cheap on the checkpointed frame, but a sub-second query should
     // not pay an extra action for a question whose answer is known)
     val verifyParts =
-      if (nCand <= 200000L) spark.sparkContext.defaultParallelism
+      if (nCand <= 200000L) sessionWidth
       else {
         // avg shingle-set size rides on the already-checkpointed docs
-        // frame — one cheap agg, no corpus recompute
+        // frame — one cheap agg, no corpus recompute. Candidates skew
+        // toward LARGE documents, so the corpus average understates the
+        // verify payload on mixed corpora; the 32 MB/partition target is
+        // itself several times below the spill threshold, which absorbs
+        // that bias
         val avgSz = Option(docs.agg(avg(size(col("toks")))).head().get(0))
           .map(_.asInstanceOf[Number].doubleValue).getOrElse(0.0)
-        verifyPartitionsFor(nCand, avgSz, spark.sparkContext.defaultParallelism)
+        verifyPartitionsFor(nCand, avgSz, sessionWidth)
       }
     // explicit co-partitioned repartitions on each verify join: both
     // sides land on HashPartitioning(key, verifyParts), so the joins
@@ -1201,7 +1212,12 @@ object Dedup {
       idCol: String, textCol: String, shingleK: Int = 3,
       refreshDfreqAbove: Double = 0.2): ContainmentState = {
     require(refreshDfreqAbove >= 0.0, "refreshDfreqAbove must be >= 0")
+    // checkpoint the BATCH first: the union materialization and the
+    // batch count below both read the stored blocks — without this the
+    // incoming shingle pipeline (scan + tokenize + md5 + groupBy) would
+    // execute twice per append
     val inc = portableShingleSets(incoming, idCol, textCol, shingleK)
+      .localCheckpoint(true)
     val sets = state.sets.unionByName(inc).localCheckpoint(true)
     val nTotal = sets.count()
     val nInc = inc.count()
