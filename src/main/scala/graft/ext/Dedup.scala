@@ -1069,12 +1069,13 @@ object Dedup {
     // cores) and reintroduce the very spill this sizing removes
     val sessionWidth = math.max(spark.sparkContext.defaultParallelism,
       spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
-    // below ~200k candidates even kilobyte-payload rows fit the session
-    // width with room to spare — skip the sizing agg entirely (it is
-    // cheap on the checkpointed frame, but a sub-second query should
-    // not pay an extra action for a question whose answer is known)
+    // up to ~16k candidates per session-width partition even
+    // conservatively-large (2 KB) payload rows land on the 32 MB target
+    // — skip the sizing agg entirely there (it is cheap on the
+    // checkpointed frame, but a short query should not pay an extra
+    // action for a question whose answer is known)
     val verifyParts =
-      if (nCand <= 200000L) sessionWidth
+      if (nCand <= 16384L * sessionWidth) sessionWidth
       else {
         // avg shingle-set size rides on the already-checkpointed docs
         // frame — one cheap agg, no corpus recompute. Candidates skew
