@@ -75,7 +75,10 @@ object ScaleBench {
     "q264_sq8_ann",
     "q144_scd2_incremental",
     "q91_cdc_merge",
-    "q251_nb_classifier")
+    "q251_nb_classifier",
+    // round 14: the exact-resemblance ingest probe (state build + probe
+    // both scale with the fixture)
+    "q278_resemblance_probe")
 
   /** Build the `replicas`x corpus: isomorphic token-suffixed document
     * replicas and coordinate-rotated embedding replicas. Id offsets are
