@@ -1403,7 +1403,48 @@ object Dedup {
     */
   final case class ResemblanceState(
       sets: DataFrame, dfreq: DataFrame, prefix: DataFrame,
-      threshold: Double, shingleK: Int)
+      threshold: Double, shingleK: Int, staleDocs: Long = 0L)
+
+  /** Append an arriving batch of HOSTS to a standing
+    * [[ResemblanceState]] — the ingest step of the exact-resemblance
+    * screen. Unlike the containment state (where df is a pure perf
+    * dial), the symmetric Bayardo filter is only complete when BOTH
+    * prefix sides share ONE total token order — so `dfreq` stays
+    * FROZEN as the ordering authority and the new hosts' prefixes are
+    * built UNDER IT (batch-sized work; a host prefix built under
+    * drifted df mixed with old-order prefixes could miss pairs).
+    * Incoming probes also order by the state df, so every pair — old
+    * host, appended host — sees one consistent order and the
+    * completeness lemma holds. Past `refreshDfreqAbove` cumulative
+    * appended fraction the WHOLE state rebuilds (sets-derived df and
+    * all prefixes together — never mixed orders) and the drift counter
+    * resets; stale df until then can only degrade prefix selectivity
+    * (fan-out), the containment-state argument.
+    */
+  def appendResemblanceState(
+      state: ResemblanceState, incoming: DataFrame,
+      idCol: String, textCol: String,
+      refreshDfreqAbove: Double = 0.2): ResemblanceState = {
+    require(refreshDfreqAbove >= 0.0, "refreshDfreqAbove must be >= 0")
+    // batch checkpoints first: union, prefix build and count all read
+    // the stored blocks (the appendContainmentState argument)
+    val inc = portableShingleSets(incoming, idCol, textCol, state.shingleK)
+      .localCheckpoint(true)
+    val sets = state.sets.unionByName(inc).localCheckpoint(true)
+    val nTotal = sets.count()
+    val stale = state.staleDocs + inc.count()
+    if (nTotal > 0 && stale.toDouble / nTotal > refreshDfreqAbove) {
+      val dfreq = dfreqOf(sets).localCheckpoint(true)
+      ResemblanceState(sets, dfreq,
+        jaccardPrefix(sets, dfreq, state.threshold).localCheckpoint(true),
+        state.threshold, state.shingleK, 0L)
+    } else
+      ResemblanceState(sets, state.dfreq,
+        state.prefix.unionByName(
+          jaccardPrefix(inc, state.dfreq, state.threshold))
+          .localCheckpoint(true),
+        state.threshold, state.shingleK, stale)
+  }
 
   /** Build the resemblance state; see [[resemblanceStateCheckpointed]]
     * for the probe-loop variant.
@@ -1456,6 +1497,10 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$dir/dfreq")
     state.prefix.localCheckpoint(true)
       .write.mode("overwrite").parquet(s"$dir/prefix")
+    // drift counter beside the frames (not in the manifest — the
+    // manifest is the parameter-equality gate and staleness varies)
+    java.nio.file.Files.write(new java.io.File(dir, "stale").toPath,
+      state.staleDocs.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.write(manifest.toPath,
       ResemblanceParams(state.threshold, state.shingleK).encoded
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1480,10 +1525,16 @@ object Dedup {
         s"resemblance state at $dir was built with [$stored] but this run " +
           s"uses [${expect.encoded}] — the prefix is only complete at its " +
           "build threshold; rebuild the state or pass the original parameters")
+      val staleFile = new java.io.File(dir, "stale")
+      val stale =
+        if (staleFile.exists())
+          new String(java.nio.file.Files.readAllBytes(staleFile.toPath),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        else 0L
       Some(ResemblanceState(spark.read.parquet(s"$dir/sets"),
         spark.read.parquet(s"$dir/dfreq"),
         spark.read.parquet(s"$dir/prefix"),
-        expect.threshold, expect.shingleK))
+        expect.threshold, expect.shingleK, stale))
     }
   }
 

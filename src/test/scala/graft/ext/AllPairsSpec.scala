@@ -247,6 +247,54 @@ class AllPairsSpec extends AnyFunSuite with SparkSpec {
       "/tmp/graft_no_such_rstate", Dedup.ResemblanceParams(0.5, 1)).isEmpty)
   }
 
+  test("appended resemblance state: frozen-order prefixes stay complete vs brute force") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 20).map(i => s"w$i")
+    def doc(id: Long) =
+      (id, Seq.fill(5 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    val standing = (1L to 20L).map(doc)
+    // appended hosts introduce NEW vocabulary too (absent from the
+    // frozen df — worst case for the frozen ordering)
+    val appended = (51L to 65L).map(doc) ++
+      Seq((66L, "zz1 zz2 zz3 zz4"), (67L, "zz1 zz2 zz3 zz5"))
+    val incoming = (101L to 115L).map(doc) ++
+      Seq((116L, "zz1 zz2 zz3 zz4"))
+    val st0 = Dedup.resemblanceStateCheckpointed(
+      standing.toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.5, shingleK = 1)
+    // below the refresh threshold: df frozen, new-host prefixes built
+    // UNDER it (one shared order for every pair)
+    val st1 = Dedup.appendResemblanceState(st0,
+      appended.toDF("doc_id", "text"), "doc_id", "text",
+      refreshDfreqAbove = 0.95)
+    assert(st1.staleDocs == appended.size.toLong)
+    assert(st1.dfreq.count() == st0.dfreq.count(), "df must stay frozen")
+    val fast = Dedup.jaccardProbe(incoming.toDF("doc_id", "text"), st1,
+        "doc_id", "text")
+      .select("id_in", "id_host").as[(Long, Long)].collect().toSet
+    val sets = (standing ++ appended ++ incoming)
+      .map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).toSet }.toMap
+    val brute = (for {
+      (i, _) <- incoming; (h, _) <- standing ++ appended
+      inter = sets(i).intersect(sets(h)).size
+      if inter.toDouble / (sets(i).size + sets(h).size - inter) >= 0.5
+    } yield (i, h)).toSet
+    assert(fast == brute, s"missing=${brute -- fast} extra=${fast -- brute}")
+    assert(brute.exists(_._2 >= 51L), "fixture must match an APPENDED host")
+    // past the threshold everything rebuilds together — never mixed orders
+    val st2 = Dedup.appendResemblanceState(st1,
+      Seq((200L, "q1 q2 q3")).toDF("doc_id", "text"), "doc_id", "text",
+      refreshDfreqAbove = 0.1)
+    assert(st2.staleDocs == 0L)
+    assert(st2.dfreq.count() > st0.dfreq.count())
+    // drift counter survives the disk round-trip
+    val dir = java.nio.file.Files.createTempDirectory("graft_rstate_app").toString
+    Dedup.saveResemblanceState(st1, dir)
+    assert(Dedup.loadResemblanceState(spark, dir,
+      Dedup.ResemblanceParams(0.5, 1)).get.staleDocs == appended.size.toLong)
+  }
+
   test("streamed containment probe equals the batch probe across batch cuts") {
     val standing = (1L to 20L).map { id =>
       val r = new scala.util.Random(id * 7)
