@@ -78,7 +78,14 @@ object ScaleBench {
     "q251_nb_classifier",
     // round 14: the exact-resemblance ingest probe (state build + probe
     // both scale with the fixture)
-    "q278_resemblance_probe")
+    "q278_resemblance_probe",
+    // round 14: the streamed state-bounded paths — their 100 TB claim
+    // is that state stays CONSTANT-per-group while data scales (clamped
+    // AUC bins; frozen probe states), so a ~flat per-row curve is the
+    // design's signature
+    "q271_stream_containment_probe",
+    "q279_stream_resemblance_probe",
+    "q256_stream_classifier_auc")
 
   /** Build the `replicas`x corpus: isomorphic token-suffixed document
     * replicas and coordinate-rotated embedding replicas. Id offsets are
