@@ -3340,6 +3340,21 @@ $fin"""
         .orderBy("token")
     }),
 
+    "q280_allpairs_capped" -> ((s, d) => {
+      // q199's exact self-join with the ubiquity cap ON (set-df cap 2,
+      // threshold 0.6): cross-cluster candidates come only from prefix
+      // tokens carried by at most two distinct sets — boilerplate-
+      // frequent witnesses stop generating candidates (q275 is their
+      // loud report), identical-set clusters are untouched (they
+      // collapse before the df build and never enter the prefix join).
+      // The oracle replays cluster collapse, capped per-set prefixes,
+      // the symmetric length prune and the exact verify end to end —
+      // the capped contract's q276 twin on the symmetric join
+      Dedup.allPairsJaccard(fanOut(s, t(s, d, "documents"), "doc_id"),
+          "doc_id", "text", threshold = 0.6, shingleK = 3, maxDf = 2)
+        .orderBy("id_l", "id_r")
+    }),
+
     "q278_resemblance_probe" -> ((s, d) => {
       // EXACT-Jaccard ingest screen against a PRECOMPUTED standing-
       // corpus state — the resemblance face of q270 and the no-recall-
@@ -7540,6 +7555,62 @@ $fin"""
     // the streamed twin equals batch under any cut — ONE naive oracle
     // gates both (the q270/q271 convention)
     "q279_stream_resemblance_probe" -> resemblanceProbeOracle,
+
+    // full replay of the CAPPED AllPairs contract: cluster collapse,
+    // per-set rarest-first prefixes cut at df <= 2, the symmetric
+    // length prune (decimal 0.6 here equals the engine's double prune
+    // exactly — integers are representable, so the boundary cases
+    // round identically), exact verify, then member expansion +
+    // within-cluster 1.0 pairs
+    "q280_allpairs_capped" ->
+      raw"""WITH tk AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '') AS arr
+           FROM documents WHERE text IS NOT NULL),
+         shl AS (SELECT doc_id, CASE WHEN len(arr) < 3
+             THEN [array_to_string(arr, ' ')]
+             ELSE list_transform(generate_series(1, len(arr) - 2),
+               i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]) END AS sh
+           FROM tk),
+         tok AS (SELECT DISTINCT doc_id,
+             CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) AS token
+           FROM (SELECT doc_id, unnest(sh) AS g FROM shl)),
+         sets AS (SELECT doc_id, list(token ORDER BY token) AS arr
+           FROM tok GROUP BY 1),
+         cl AS (SELECT arr, min(doc_id) AS rep, len(arr) AS sz,
+             CAST(len(arr) - ceil(0.6 * len(arr)) + 1 AS INT) AS pl
+           FROM sets GROUP BY arr),
+         mem AS (SELECT cl.rep, s.doc_id FROM cl
+           JOIN sets s ON s.arr = cl.arr),
+         rt AS (SELECT rep, sz, pl, unnest(arr) AS token FROM cl),
+         dfq AS (SELECT token, count(*) AS dfv FROM rt GROUP BY 1),
+         ord AS (SELECT r.rep, r.sz, r.pl, r.token, d.dfv,
+             row_number() OVER (PARTITION BY r.rep
+               ORDER BY d.dfv, r.token) AS rn
+           FROM rt r JOIN dfq d USING (token)),
+         pref AS (SELECT rep, sz, token FROM ord
+           WHERE rn <= pl AND dfv <= 2),
+         cand AS (SELECT DISTINCT a.rep AS rl, b.rep AS rr
+           FROM pref a JOIN pref b ON a.token = b.token AND a.rep < b.rep
+             AND 0.6 * a.sz <= b.sz AND 0.6 * b.sz <= a.sz),
+         ric AS (SELECT c.rl, c.rr, count(*) AS ic
+           FROM cand c
+           JOIN rt a ON a.rep = c.rl
+           JOIN rt b ON b.rep = c.rr AND a.token = b.token
+           GROUP BY 1, 2),
+         rjac AS (SELECT rl, rr,
+             CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic) AS jac
+           FROM ric JOIN cl sa ON sa.rep = rl JOIN cl sb ON sb.rep = rr),
+         crossp AS (SELECT least(ma.doc_id, mb.doc_id) AS id_l,
+             greatest(ma.doc_id, mb.doc_id) AS id_r, jac
+           FROM rjac JOIN mem ma ON ma.rep = rl JOIN mem mb ON mb.rep = rr
+           WHERE jac >= 0.6),
+         within AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, 1.0 AS jac
+           FROM mem a JOIN mem b ON a.rep = b.rep AND a.doc_id < b.doc_id)
+         SELECT id_l, id_r, round(jac, 6) AS jaccard FROM crossp
+         UNION ALL
+         SELECT id_l, id_r, round(jac, 6) FROM within
+         ORDER BY id_l, id_r""",
 
     // the naive incoming x standing Jaccard enumeration the prefix-
     // filtered probe must reproduce (the q270 oracle convention)
