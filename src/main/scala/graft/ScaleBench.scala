@@ -111,6 +111,11 @@ object ScaleBench {
       replicas: Int = 10, skewFrac: Double = 0.0): Unit = {
     require(replicas >= 2 && replicas <= 26, "replicas in [2, 26] (letter tags)")
     require(skewFrac >= 0.0 && skewFrac <= 1.0, "skewFrac in [0, 1]")
+    // the skew cut keys on doc_id % 10, so only tenths are expressible —
+    // fail loudly rather than silently quantize (skew=0.04 would build
+    // an UNSKEWED corpus stamped as skewed)
+    require(skewFrac * 10 == math.round(skewFrac * 10).toDouble,
+      s"skewFrac must be a multiple of 0.1 (the cut keys on doc_id % 10); got $skewFrac")
     // the marker records the replica count AND the source dir (the
     // MinhashParams manifest contract): a rerun with a different scale
     // or source must rebuild, not silently reuse a stale corpus

@@ -1069,20 +1069,19 @@ object Dedup {
     // cores) and reintroduce the very spill this sizing removes
     val sessionWidth = math.max(spark.sparkContext.defaultParallelism,
       spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
-    // up to ~16k candidates per session-width partition even
-    // conservatively-large (2 KB) payload rows land on the 32 MB target
-    // — skip the sizing agg entirely there (it is cheap on the
-    // checkpointed frame, but a short query should not pay an extra
-    // action for a question whose answer is known)
+    // avg shingle-set size rides on the already-checkpointed docs frame
+    // — one cheap agg, no corpus recompute, and it runs UNCONDITIONALLY:
+    // a candidate-count-only skip branch needs a bytes-per-row guess,
+    // and any fixed guess understates some corpus (400-token sets are
+    // ~6.4 KB/row — 3x a "conservative" 2 KB). verifyPartitionsFor
+    // floors at the session width, so sizing can only widen. Candidates
+    // skew toward LARGE documents, so the corpus average understates
+    // the verify payload on mixed corpora; the 32 MB/partition target
+    // is itself several times below the spill threshold, which absorbs
+    // that bias.
     val verifyParts =
-      if (nCand <= 16384L * sessionWidth) sessionWidth
+      if (nCand == 0) sessionWidth
       else {
-        // avg shingle-set size rides on the already-checkpointed docs
-        // frame — one cheap agg, no corpus recompute. Candidates skew
-        // toward LARGE documents, so the corpus average understates the
-        // verify payload on mixed corpora; the 32 MB/partition target is
-        // itself several times below the spill threshold, which absorbs
-        // that bias
         val avgSz = Option(docs.agg(avg(size(col("toks")))).head().get(0))
           .map(_.asInstanceOf[Number].doubleValue).getOrElse(0.0)
         verifyPartitionsFor(nCand, avgSz, sessionWidth)
