@@ -552,4 +552,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"q272: ANN fell back to sort-merge:\n$plan")
   }
+
+  test("q266/q276/q278: prefix-filtered joins never plan a cartesian product") {
+    // the entire containment/resemblance family generates candidates by
+    // TOKEN equi-join (prefix x postings) and verifies row-locally —
+    // a cartesian anywhere is the all-pairs design these operators exist
+    // to avoid. (The verify exchanges' WIDTH is runtime-sized from the
+    // candidate count, so it is asserted by ScaleBench curves, not here.)
+    Seq("q266_containment_pairs", "q276_containment_capped",
+      "q278_resemblance_probe").foreach { q =>
+      val plan = finalPlan(q)
+      assert(!plan.contains("CartesianProduct"),
+        s"$q planned a cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q planned a nested-loop join:\n$plan")
+    }
+  }
+
+  test("q277: the moment matrix is single-scan — one hash exchange like q150") {
+    // ALL d(d+1)/2 moments ride ONE GramMoments buffer through ONE
+    // groupBy exchange; the pair fan-out is a row-local explode of the
+    // single aggregated row per group
+    val full = finalPlan("q277_feature_moments")
+    val plan = full.split("== Initial Plan ==").head
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"q277 must have exactly one hash exchange, found $hashExchanges:\n$full")
+    assert(!plan.contains("Union"),
+      s"q277 must not union per-pair branches:\n$full")
+  }
 }
