@@ -431,6 +431,64 @@ class AllPairsSpec extends AnyFunSuite with SparkSpec {
       threshold = 0.6, shingleK = 1).isEmpty)
   }
 
+  test("capped containment contract (randomized): lost pairs are EXACTLY the all-witnesses-capped ones") {
+    // the cap's semantic contract as an iff, on a random corpus with
+    // deliberate hot tokens: a qualifying pair survives the cap IF AND
+    // ONLY IF some shared prefix token of its part side is at or under
+    // maxDf. Prefixes and df come from the ENGINE's own shared
+    // generator (containmentPrefix), so the property gates the real
+    // candidate logic, not a spec-side reimplementation.
+    val rnd = new scala.util.Random(11)
+    val hot = (1 to 4).map(i => s"hot$i")
+    val cold = (1 to 80).map(i => s"c$i")
+    // cold base docs + their 80%-truncations (contained pairs on RARE
+    // witnesses — must survive the cap) + pure-hot boilerplate docs
+    // (contained pairs whose every witness is corpus-hot — must be lost)
+    val base = (1L to 24L).map { id =>
+      (id, Seq.fill(5 + rnd.nextInt(5))(cold(rnd.nextInt(cold.size))))
+    }
+    val truncs = base.collect { case (id, ws) if id % 2 == 1 =>
+      (id + 100L, ws.take(math.max(2, (ws.length * 4) / 5)))
+    }
+    val hots = (31L to 42L).map { id =>
+      (id, Seq.fill(2 + rnd.nextInt(3))(hot(rnd.nextInt(hot.size))))
+    }
+    val df = (base ++ truncs ++ hots)
+      .map { case (id, ws) => (id, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val tau = 0.7
+    val maxDf = 3L
+    def pairs(cap: Long) =
+      Dedup.containmentPairs(df, "doc_id", "text", tau = tau,
+        shingleK = 1, maxDf = cap)
+        .select("id_part", "id_whole").as[(Long, Long)].collect().toSet
+    val open = pairs(Long.MaxValue)
+    val capped = pairs(maxDf)
+    assert(capped.subsetOf(open), "cap can only remove pairs")
+    assert((open -- capped).nonEmpty, "fixture must LOSE pairs to the cap")
+    assert(capped.nonEmpty, "fixture must KEEP pairs under the cap")
+    // engine-side prefixes with df attached, via the shared generator
+    val sets = Dedup.portableShingleSets(df, "doc_id", "text", 1)
+      .as[(Long, Seq[Long])].collect().toMap.view.mapValues(_.toSet).toMap
+    val dfreq = sets.values.toSeq.flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val setsDF = Dedup.portableShingleSets(df, "doc_id", "text", 1)
+    val dfreqDF = setsDF.sparkSession.createDataFrame(
+      dfreq.toSeq.map { case (t, n) => (t, n) }).toDF("token", "__df")
+    val prefix = Dedup.containmentPrefix(setsDF, dfreqDF, tau)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toSeq).toMap
+    for ((a, b) <- open) {
+      val witnesses = prefix(a).filter { case (t, _) => sets(b).contains(t) }
+      assert(witnesses.nonEmpty,
+        s"open pair ($a,$b) has no shared prefix token — prefix filter broken")
+      val survives = witnesses.exists { case (_, d) => d <= maxDf }
+      assert(survives == capped.contains((a, b)),
+        s"pair ($a,$b): witnesses=$witnesses survive=$survives " +
+          s"capped=${capped.contains((a, b))}")
+    }
+  }
+
   test("verify-stage width scales with candidate payload, floors at parallelism") {
     // small candidate frames keep the session width (today's plan)
     assert(Dedup.verifyPartitionsFor(0L, 100.0, 32) == 32)
