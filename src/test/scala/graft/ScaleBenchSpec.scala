@@ -70,4 +70,41 @@ class ScaleBenchSpec extends AnyFunSuite with SparkSpec {
     // distinct replicas really are rotated differently (decorrelation)
     assert(bigEmb(1L) != bigEmb(100000001L))
   }
+
+  test("skewed build replaces the doc_id%10 slice with boilerplate, metadata consistent") {
+    val dir = Files.createTempDirectory("graft_scale_skew_spec")
+    dir.toFile.deleteOnExit()
+    val docs = (1L to 30L).map(id => (id, s"alpha$id beta$id gamma$id", "en", "s0", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$dir/src/documents.parquet")
+    Seq((1L, Seq(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/src/embeddings.parquet")
+    Seq((7L, 70L, "O", 10.5, new java.sql.Timestamp(0L), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/src/orders.parquet")
+    ScaleBench.buildScaled(spark, s"$dir/src", s"$dir/out",
+      replicas = 2, skewFrac = 0.2)
+    val out = spark.read.parquet(s"$dir/out/documents.parquet")
+      .select($"doc_id", $"text", $"n_chars")
+      .as[(Long, String, Long)].collect()
+    // doc_id % 10 in {0, 1} -> boilerplate (skw-prefixed window, words
+    // NOT replica-suffixed so df spans replicas); others keep suffixes
+    val (skewed, normal) = out.partition(_._1 % 10 < 2)
+    assert(skewed.nonEmpty && normal.nonEmpty)
+    assert(skewed.forall(_._2.startsWith("skw")), s"got ${skewed.take(2).toSeq}")
+    // replaced rows' metadata must describe the NEW text
+    assert(skewed.forall { case (_, t, n) => n == t.length.toLong },
+      "skewed n_chars must equal the boilerplate text length")
+    assert(normal.forall { case (_, t, n) => !t.startsWith("skw") && n == 30L })
+    // same BASE doc across replicas gets the SAME boilerplate (df x2)
+    val byBase = skewed.groupBy(_._1 % 100000000L).values
+    assert(byBase.exists(_.length == 2))
+    assert(byBase.forall(g => g.map(_._2).distinct.length == 1))
+    // non-tenth skew fractions fail loudly, never silently quantize
+    intercept[IllegalArgumentException] {
+      ScaleBench.buildScaled(spark, s"$dir/src", s"$dir/out2",
+        replicas = 2, skewFrac = 0.04)
+    }
+  }
 }
