@@ -77,10 +77,22 @@ object Bench {
     */
   private[graft] def parseQueriesCsv(txt: String): Map[String, Double] = {
     val un = txt.replace("\\\"", "\"")
-    val m = java.util.regex.Pattern
+    // Only trust the TRAILING csv element when the capture reaches the
+    // closing quote: a 2000-char tail clipped mid-number turns a 12.05
+    // floor into "1" -> 1.0, seeding a falsely-low prior that flags a
+    // spurious ~12x inflation next round and permanently wins the
+    // cross-artifact min. A clipped head/middle element fails toDouble
+    // and drops on its own; only the LAST element can truncate into a
+    // different valid number.
+    val closed = java.util.regex.Pattern
+      .compile("\"queries_csv\"\\s*:\\s*\"([^\"]*)\"").matcher(un)
+    val open = java.util.regex.Pattern
       .compile("\"queries_csv\"\\s*:\\s*\"([^\"]*)").matcher(un)
-    if (!m.find()) Map.empty
-    else m.group(1).split(',').zipWithIndex.flatMap { case (v, i) =>
+    val parts: Array[String] =
+      if (closed.find()) closed.group(1).split(',')
+      else if (open.find()) open.group(1).split(',').dropRight(1)
+      else Array.empty
+    parts.zipWithIndex.flatMap { case (v, i) =>
       val n = i + 1
       val key = if (n < 10) s"q0$n" else s"q$n"
       try Some(key -> v.trim.toDouble)

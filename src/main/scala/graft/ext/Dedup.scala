@@ -1206,17 +1206,26 @@ object Dedup {
     * rebuild every append, `Double.MaxValue` to never rebuild. The
     * returned sets frame is checkpointed (append chains must not stack
     * union lineage over the corpus).
+    *
+    * RETRY-SAFE: doc ids already in the state are dropped from the
+    * batch before the union, so re-appending the same batch (a retried
+    * ingest step) is a no-op — without the guard a replay silently
+    * duplicated `sets` rows, doubling probe hits, `nTotal`, and every
+    * refreshed df count. The anti-join keys on the batch-sized side;
+    * its cost is one id-column pass over the standing sets, already
+    * paid by the union materialization in the same job.
     */
   def appendContainmentState(
       state: ContainmentState, incoming: DataFrame,
       idCol: String, textCol: String, shingleK: Int = 3,
       refreshDfreqAbove: Double = 0.2): ContainmentState = {
     require(refreshDfreqAbove >= 0.0, "refreshDfreqAbove must be >= 0")
-    // checkpoint the BATCH first: the union materialization and the
-    // batch count below both read the stored blocks — without this the
-    // incoming shingle pipeline (scan + tokenize + md5 + groupBy) would
-    // execute twice per append
+    // checkpoint the BATCH (post-guard) first: the union materialization
+    // and the batch count below both read the stored blocks — without
+    // this the incoming shingle pipeline (scan + tokenize + md5 +
+    // groupBy + anti-join) would execute twice per append
     val inc = portableShingleSets(incoming, idCol, textCol, shingleK)
+      .join(state.sets.select(col("doc")), Seq("doc"), "left_anti")
       .localCheckpoint(true)
     val sets = state.sets.unionByName(inc).localCheckpoint(true)
     val nTotal = sets.count()
@@ -1419,15 +1428,22 @@ object Dedup {
     * all prefixes together — never mixed orders) and the drift counter
     * resets; stale df until then can only degrade prefix selectivity
     * (fan-out), the containment-state argument.
+    *
+    * RETRY-SAFE: doc ids already in the state drop from the batch
+    * before the union (the [[appendContainmentState]] guard) — here a
+    * replayed batch would ALSO duplicate prefix rows, double-counting
+    * every candidate the duplicated host generates.
     */
   def appendResemblanceState(
       state: ResemblanceState, incoming: DataFrame,
       idCol: String, textCol: String,
       refreshDfreqAbove: Double = 0.2): ResemblanceState = {
     require(refreshDfreqAbove >= 0.0, "refreshDfreqAbove must be >= 0")
-    // batch checkpoints first: union, prefix build and count all read
-    // the stored blocks (the appendContainmentState argument)
+    // batch checkpoints (post-guard) first: union, prefix build and
+    // count all read the stored blocks (the appendContainmentState
+    // argument)
     val inc = portableShingleSets(incoming, idCol, textCol, state.shingleK)
+      .join(state.sets.select(col("doc")), Seq("doc"), "left_anti")
       .localCheckpoint(true)
     val sets = state.sets.unionByName(inc).localCheckpoint(true)
     val nTotal = sets.count()

@@ -761,7 +761,11 @@ object Profile {
       df: DataFrame, groupCols: Seq[String], valueCols: Seq[String],
       sumScale: Int = 4): DataFrame = {
     require(valueCols.nonEmpty, "need at least one value column")
-    valueCols.foreach(c =>
+    // a duplicated value column would SILENTLY yield a degenerate gram
+    // matrix (corr 1.0 rows for the duplicate pair) — fail loudly instead
+    require(valueCols.distinct.size == valueCols.size,
+      s"valueCols must be distinct, got: ${valueCols.mkString(", ")}")
+    (groupCols ++ valueCols).foreach(c =>
       require(df.columns.contains(c), s"column $c not found"))
     val d = valueCols.size
     val complete = valueCols.map(col(_).isNotNull).reduce(_ && _)

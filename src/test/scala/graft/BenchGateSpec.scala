@@ -144,4 +144,22 @@ class BenchGateSpec extends AnyFunSuite {
       assert(!prior.get("q03").exists(_ < 0), "failed marker must not leak")
     }
   }
+
+  test("a tail-clipped queries_csv drops its final element, not just non-numbers") {
+    // the 2000-char stdout tail can clip the csv MID-NUMBER before the
+    // closing quote: a 12.05 floor truncated to "1" decodes as a valid
+    // 1.0, seeding a falsely-low prior (spurious ~12x inflation flag next
+    // round, permanent cross-artifact-min winner). Without the closing
+    // quote the last element is untrustworthy even when it parses.
+    val clipped =
+      """{"n": 15, "rc": 0, "tail": "...\"queries_csv\":\"1.42,0.33,1"""
+    val qs = Bench.parseQueriesCsv(clipped)
+    assert(qs == Map("q01" -> 1.42, "q02" -> 0.33),
+      s"clipped trailing element must drop: $qs")
+    // a COMPLETE capture (closing quote present) keeps every element —
+    // the guard must not cost the genuine last query its floor
+    val whole =
+      """{"n": 15, "rc": 0, "tail": "...\"queries_csv\":\"1.42,0.33,12.05\",\"value\":9.9}"}"""
+    assert(Bench.parseQueriesCsv(whole)("q03") == 12.05)
+  }
 }

@@ -194,6 +194,15 @@ class AllPairsSpec extends AnyFunSuite with SparkSpec {
     assert(got == probe(fresh), "stale df changed probe results")
     assert(got == Set((10L, 3L, 5L, 5L, 1.0), (11L, 1L, 5L, 5L, 1.0)),
       s"probe must find quotes of BOTH original and appended hosts: $got")
+    // RETRY-SAFE: replaying the same batch (a retried ingest step) is a
+    // no-op — no duplicated sets rows (which would double probe hits and
+    // every refreshed df count), no drift-counter bump
+    val replayed = Dedup.appendContainmentState(appended, batch,
+      "doc_id", "text", shingleK = 1, refreshDfreqAbove = 0.9)
+    assert(replayed.sets.count() == appended.sets.count(),
+      "replayed batch duplicated sets rows")
+    assert(replayed.staleDocs == 1L)
+    assert(probe(replayed) == got)
     // a second append crosses the 0.9 drift threshold (2 stale / 8
     // docs... push with a bigger batch): dfreq rebuilds and resets
     val big = (20L to 40L).map(i => (i, s"m$i n$i")).toDF("doc_id", "text")
@@ -282,6 +291,16 @@ class AllPairsSpec extends AnyFunSuite with SparkSpec {
     } yield (i, h)).toSet
     assert(fast == brute, s"missing=${brute -- fast} extra=${fast -- brute}")
     assert(brute.exists(_._2 >= 51L), "fixture must match an APPENDED host")
+    // RETRY-SAFE: a replayed batch must not duplicate sets OR prefix rows
+    // (duplicated host prefixes double-count every candidate they touch)
+    val st1r = Dedup.appendResemblanceState(st1,
+      appended.toDF("doc_id", "text"), "doc_id", "text",
+      refreshDfreqAbove = 0.95)
+    assert(st1r.sets.count() == st1.sets.count(),
+      "replayed batch duplicated sets rows")
+    assert(st1r.prefix.count() == st1.prefix.count(),
+      "replayed batch duplicated prefix rows")
+    assert(st1r.staleDocs == st1.staleDocs)
     // past the threshold everything rebuilds together — never mixed orders
     val st2 = Dedup.appendResemblanceState(st1,
       Seq((200L, "q1 q2 q3")).toDF("doc_id", "text"), "doc_id", "text",

@@ -423,5 +423,14 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
       .where(col("col_x") === "x" && col("col_y") === "y")
       .collect().map(r => r.getBoolean(0) -> r.getLong(3)).toMap
     assert(g == Map(true -> 20L, false -> 20L))
+    // input validation fails LOUDLY, not degenerately: a duplicated value
+    // column would otherwise yield a silent corr-1.0 gram row, and a
+    // missing group column an opaque analysis error deep in the plan
+    intercept[IllegalArgumentException] {
+      Profile.featureMomentsMatrix(d, Nil, Seq("x", "y", "x"))
+    }
+    intercept[IllegalArgumentException] {
+      Profile.featureMomentsMatrix(d, Seq("no_such_grp"), Seq("x", "y"))
+    }
   }
 }
