@@ -47,6 +47,30 @@ object SparkEntry {
       if (parts > 0) parts
       else s.conf.get("spark.sql.shuffle.partitions", "32").toInt, col(key))
 
+  /** 26 BMP Han ideographs standing in for a-z in the derived CJK
+    * fixture — interpolated into BOTH the q281/q282 queries and their
+    * oracle SQL so the mapping can never drift (the stopwordList
+    * convention).
+    */
+  private val hanAlphabet = "一二三四五六七八九十百千万东南西北中大小上下左右天地"
+
+  /** Deterministic mixed-script corpus for the CJK-routing queries
+    * (q281/q282): even doc_ids become unspaced-Han twins of their token
+    * stream (letters translated onto [[hanAlphabet]], whitespace
+    * stripped — real unsegmented-script shape: no word boundaries
+    * survive), odd doc_ids stay Latin. Derived from `documents` inside
+    * the query AND its oracle, so the planted near-duplicate structure
+    * of the fixture carries over to the Han half verbatim.
+    */
+  private def cjkCorpus(s: SparkSession, d: String): DataFrame =
+    fanOut(s, t(s, d, "documents"), "doc_id")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          translate(regexp_replace(lower(col("text")), "\\s+", ""),
+            "abcdefghijklmnopqrstuvwxyz", hanAlphabet))
+          .otherwise(col("text")).as("text"))
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
     * nanos-since-epoch long (`spark.sql.legacy.parquet.nanosAsLong=true`,
     * set in Verify/Bench sessions). Normalize to a microsecond TimestampType
@@ -3338,6 +3362,37 @@ $fin"""
       Dedup.containmentCapAudit(fanOut(s, docs.unionByName(excerpts), "doc_id"),
           "doc_id", "text", tau = 0.8, shingleK = 3, maxDf = 1)
         .orderBy("token")
+    }),
+
+    "q281_cjk_dedup" -> ((s, d) => {
+      // script-aware near-dup dedup on a mixed-script corpus: even
+      // doc_ids become UNSPACED Han twins of their token streams (the
+      // cjkCorpus derivation), odd stay Latin. The whitespace tokenizer
+      // collapses each Han doc to ONE token, so word-shingle dedup is
+      // blind to their planted near-duplicates; the router detects
+      // unspaced scripts per doc (unspacedRatio > 0.3) and shingles
+      // them as code-point 5-grams instead — word 3-shingles otherwise.
+      // Same AllPairs engine (cluster collapse, set-df Bayardo prefix,
+      // exact verify) either way; the oracle replays detection, BOTH
+      // gram paths, the portable md5 hashing and the verify end to end
+      Dedup.scriptAwareJaccardPairs(cjkCorpus(s, d), "doc_id", "text",
+          threshold = 0.8)
+        .orderBy("id_l", "id_r")
+    }),
+
+    "q282_cjk_token_budget" -> ((s, d) => {
+      // script-aware token accounting over the q281 corpus, hash-checked
+      // per document: the routing detector (unspaced share of non-ws
+      // code points), the unspaced count, and the segmentation-aware
+      // token count — a Han doc's token budget is its ideograph count,
+      // not the whitespace tokenizer's "1"
+      val c = col("text")
+      cjkCorpus(s, d).select(col("doc_id"),
+          (graft.functions.text.unspacedRatio(c) > 0.3).as("routed"),
+          graft.functions.text.unspacedCount(c).cast("long").as("n_unspaced"),
+          graft.functions.text.segTokenCount(c).cast("long")
+            .as("n_seg_tokens"))
+        .orderBy("doc_id")
     }),
 
     "q280_allpairs_capped" -> ((s, d) => {
@@ -7555,6 +7610,77 @@ $fin"""
     // the streamed twin equals batch under any cut — ONE naive oracle
     // gates both (the q270/q271 convention)
     "q279_stream_resemblance_probe" -> resemblanceProbeOracle,
+
+    // full replay of script-aware routing: the derived mixed corpus,
+    // the unspaced-share detector, BOTH gram paths (code-point 5-grams
+    // of ws-stripped text vs word 3-shingles), the portable md5-prefix
+    // hashing, and the naive pair join + exact Jaccard at 0.8. The
+    // detector regex only needs the base Han block: the derivation
+    // introduces exactly [[hanAlphabet]]
+    "q281_cjk_dedup" ->
+      raw"""WITH corpus AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+             THEN translate(regexp_replace(lower(text), '\s+', '', 'g'),
+               'abcdefghijklmnopqrstuvwxyz', '$hanAlphabet')
+             ELSE text END AS text
+           FROM documents WHERE text IS NOT NULL),
+         rt AS (SELECT doc_id, text,
+             length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS n_un,
+             length(regexp_replace(text, '\s', '', 'g')) AS n_nonws
+           FROM corpus),
+         g AS (
+           SELECT doc_id, CASE WHEN length(norm) <= 5 THEN norm
+               ELSE substring(norm, i, 5) END AS gram
+           FROM (SELECT doc_id, norm,
+                   unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS i
+                 FROM (SELECT doc_id,
+                         regexp_replace(lower(text), '\s+', '', 'g') AS norm
+                       FROM rt
+                       WHERE n_nonws > 0 AND CAST(n_un AS DOUBLE) / n_nonws > 0.3))
+           UNION ALL
+           SELECT doc_id, g AS gram FROM (
+             SELECT doc_id, unnest(CASE WHEN len(arr) < 3
+                 THEN [array_to_string(arr, ' ')]
+                 ELSE list_transform(generate_series(1, len(arr) - 2),
+                   i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]) END) AS g
+             FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+                       x -> x <> '') AS arr
+                   FROM rt
+                   WHERE NOT (n_nonws > 0 AND CAST(n_un AS DOUBLE) / n_nonws > 0.3)))),
+         tok AS (SELECT DISTINCT doc_id,
+             CAST(concat('0x', substring(md5(gram), 1, 15)) AS BIGINT) AS token
+           FROM g),
+         sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS ic
+           FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         j AS (SELECT id_l, id_r, CAST(ic AS DOUBLE) / (sa.s + sb.s - ic) AS jac
+           FROM inter JOIN sz sa ON sa.doc_id = id_l
+                      JOIN sz sb ON sb.doc_id = id_r)
+         SELECT id_l, id_r, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8
+         ORDER BY id_l, id_r""",
+
+    // the detector and the segmentation-aware count replayed per doc:
+    // unspaced share over non-ws chars, and seg tokens via the
+    // surround-each-ideograph-with-spaces trick (each unspaced code
+    // point its own token, other non-ws runs one each)
+    "q282_cjk_token_budget" ->
+      raw"""WITH corpus AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+             THEN translate(regexp_replace(lower(text), '\s+', '', 'g'),
+               'abcdefghijklmnopqrstuvwxyz', '$hanAlphabet')
+             ELSE text END AS text
+           FROM documents WHERE text IS NOT NULL)
+         SELECT doc_id,
+           CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN FALSE
+                ELSE CAST(length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g'))
+                       AS DOUBLE)
+                     / length(regexp_replace(text, '\s', '', 'g')) > 0.3 END AS routed,
+           CAST(length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g'))
+             AS BIGINT) AS n_unspaced,
+           CAST(len(list_filter(regexp_split_to_array(
+               regexp_replace(text, '([\x{4E00}-\x{9FFF}])', ' \1 ', 'g'), '\s+'),
+               x -> x <> '')) AS BIGINT) AS n_seg_tokens
+         FROM corpus ORDER BY doc_id""",
 
     // full replay of the CAPPED AllPairs contract: cluster collapse,
     // per-set rarest-first prefixes cut at df <= 2, the symmetric

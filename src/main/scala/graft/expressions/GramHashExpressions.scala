@@ -193,7 +193,8 @@ object GramHashExpressions {
   case class CharClassStats(child: Expression) extends UnaryExpression {
     override def dataType: DataType = org.apache.spark.sql.types.StructType(
       Seq("n_chars", "n_tokens", "n_nonws", "n_punct", "n_digit", "n_upper",
-        "n_subwords").map(f => org.apache.spark.sql.types.StructField(
+        "n_subwords", "n_unspaced", "n_seg_tokens")
+        .map(f => org.apache.spark.sql.types.StructField(
         f, org.apache.spark.sql.types.IntegerType, nullable = false)))
     override def prettyName: String = "char_class_stats"
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

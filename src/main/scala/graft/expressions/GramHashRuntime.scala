@@ -262,6 +262,27 @@ object GramHashRuntime {
       t == Character.OTHER_NUMBER
   }
 
+  /** Code points of scripts written WITHOUT word-separating whitespace —
+    * the scripts where a whitespace tokenizer collapses a whole document
+    * into one "token". Blocks (not exhaustive Unicode script data, but
+    * the high-coverage set real crawl corpora carry): Han (unified +
+    * extension A, compatibility, and the astral extensions B-),
+    * Hiragana, Katakana (+ phonetic extensions), Thai, Lao, Khmer,
+    * Myanmar. Hangul is EXCLUDED: Korean is space-segmented. CJK
+    * punctuation/symbol blocks are excluded too — they separate, not
+    * carry, content.
+    */
+  @inline private[expressions] def isUnspacedScript(cp: Int): Boolean =
+    (cp >= 0x4E00 && cp <= 0x9FFF) || // CJK Unified Ideographs
+      (cp >= 0x3400 && cp <= 0x4DBF) || // CJK Extension A
+      (cp >= 0x3040 && cp <= 0x30FF) || // Hiragana + Katakana
+      (cp >= 0x31F0 && cp <= 0x31FF) || // Katakana Phonetic Extensions
+      (cp >= 0x0E00 && cp <= 0x0EFF) || // Thai + Lao
+      (cp >= 0x1000 && cp <= 0x109F) || // Myanmar
+      (cp >= 0x1780 && cp <= 0x17FF) || // Khmer
+      (cp >= 0xF900 && cp <= 0xFAFF) || // CJK Compatibility Ideographs
+      (cp >= 0x20000 && cp <= 0x2FFFF) // CJK Extensions B+ (astral)
+
   /** One code-point pass over a string computing every char-class count the
     * text-quality signals need — replaces five separate regex passes
     * (punct/digit/upper `regexp_replace` diffs, whitespace `split`, and the
@@ -274,15 +295,25 @@ object GramHashRuntime {
     * `n_upper` `[A-Z]`; `n_subwords` `\p{L}+|\p{N}+|[^\p{L}\p{N} ]` matches
     * after whitespace collapse — each class definition is exactly the Java
     * regex the composable formulation used, asserted by parity tests.
+    *
+    * Script-awareness fields (round 15): `n_unspaced` code points in
+    * unsegmented scripts ([[isUnspacedScript]]); `n_seg_tokens` the
+    * SEGMENTATION-AWARE token count — each unspaced-script code point is
+    * its own token and maximal runs of other non-whitespace characters
+    * are one token, so "hello 世界" counts 3 where the whitespace count
+    * says 2 and a fully unspaced document counts its content instead of
+    * collapsing to 1. Equals `n_tokens` exactly when `n_unspaced` is 0.
     */
   def charClassStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val b = s.getBytes
     var i = 0
     var nChars = 0; var nTokens = 0; var nNonWs = 0
     var nPunct = 0; var nDigit = 0; var nUpper = 0; var nSub = 0
+    var nUnspaced = 0; var nSeg = 0
     // token / subword run states: 0 = none/separator, 1 = letter run,
     // 2 = number run (an "other" char both counts itself and breaks runs)
     var inToken = false
+    var inSegRun = false
     var runState = 0
     while (i < b.length) {
       var cp = b(i) & 0xFF
@@ -299,7 +330,7 @@ object GramHashRuntime {
         width = 4
       }
       nChars += 1
-      if (isAsciiWs(cp)) { inToken = false; runState = 0 }
+      if (isAsciiWs(cp)) { inToken = false; inSegRun = false; runState = 0 }
       else {
         nNonWs += 1
         if (!inToken) { nTokens += 1; inToken = true }
@@ -308,6 +339,11 @@ object GramHashRuntime {
           if (cp >= '0' && cp <= '9') nDigit += 1
           if (cp >= 'A' && cp <= 'Z') nUpper += 1
         }
+        if (isUnspacedScript(cp)) {
+          nUnspaced += 1
+          nSeg += 1 // each unspaced-script code point is its own token
+          inSegRun = false // ...and breaks any surrounding spaced run
+        } else if (!inSegRun) { nSeg += 1; inSegRun = true }
         if (Character.isLetter(cp)) {
           if (runState != 1) { nSub += 1; runState = 1 }
         } else if (isUnicodeNumber(cp)) {
@@ -317,6 +353,7 @@ object GramHashRuntime {
       i += width
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](nChars, nTokens, nNonWs, nPunct, nDigit, nUpper, nSub))
+      Array[Any](nChars, nTokens, nNonWs, nPunct, nDigit, nUpper, nSub,
+        nUnspaced, nSeg))
   }
 }

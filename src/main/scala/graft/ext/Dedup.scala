@@ -820,6 +820,53 @@ object Dedup {
       .agg(sort_array(collect_set(col("token"))).as("toks"))
   }
 
+  /** [[portableShingleSets]] with per-document SCRIPT ROUTING: documents
+    * whose [[graft.functions.text.unspacedRatio]] exceeds `routeAbove`
+    * shingle as code-point `charN`-grams of their whitespace-stripped
+    * lowercase text (whole string when shorter — the one-gram degenerate,
+    * mirroring the word path's short-doc single shingle); the rest take
+    * the word-`wordK` path unchanged. Whitespace is STRIPPED, not
+    * collapsed, on the routed path: spacing in unsegmented scripts is
+    * typographic noise (a CJK doc pasted with stray spaces must hash like
+    * its unspaced twin). Same md5-prefix long hashing as the word path,
+    * so routed and unrouted sets share one representation and every
+    * downstream consumer (clusters, df, prefixes, verify) is
+    * script-oblivious. Both branches stay explode + codegen'd scalar ops
+    * — no higher-order-function lambdas (the portableShingleSets
+    * argument).
+    */
+  private[graft] def scriptAwareShingleSets(
+      df: DataFrame, idCol: String, textCol: String,
+      wordK: Int, charN: Int, routeAbove: Double): DataFrame = {
+    val base = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"), col(textCol).as("__txt"),
+        (graft.functions.text.unspacedRatio(col(textCol)) > routeAbove)
+          .as("__routed"))
+    val sp = base.where(!col("__routed"))
+      .select(col("doc"), graft.functions.text.tokens(col("__txt")).as("__toks"))
+    val spShingled = sp.where(size(col("__toks")) >= wordK)
+      .select(col("doc"), col("__toks"),
+        explode(sequence(lit(0), size(col("__toks")) - wordK)).as("__st"))
+      .select(col("doc"), concat_ws(" ",
+        slice(col("__toks"), col("__st") + 1, lit(wordK))).as("token"))
+    val spShorts = sp.where(size(col("__toks")) < wordK)
+      .select(col("doc"), array_join(col("__toks"), " ").as("token"))
+    val un = base.where(col("__routed"))
+      .select(col("doc"),
+        regexp_replace(lower(col("__txt")), "\\s+", "").as("__norm"))
+    val unGrams = un
+      .select(col("doc"), col("__norm"),
+        explode(sequence(lit(1),
+          greatest(length(col("__norm")) - (charN - 1), lit(1)))).as("__st"))
+      .select(col("doc"),
+        col("__norm").substr(col("__st"), lit(charN)).as("token"))
+    spShingled.unionByName(spShorts).unionByName(unGrams)
+      .select(col("doc"),
+        conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("token"))
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_set(col("token"))).as("toks"))
+  }
+
   /** Distinct-set cluster frame shared by [[allPairsJaccard]] and
     * [[allPairsCapAudit]].
     *
@@ -841,7 +888,15 @@ object Dedup {
   private def allPairsClusters(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleK: Int): DataFrame =
-    portableShingleSets(df, idCol, textCol, shingleK)
+    clustersOfSets(portableShingleSets(df, idCol, textCol, shingleK), threshold)
+
+  /** [[allPairsClusters]] over a PREBUILT `(doc, toks)` sets frame — the
+    * seam that lets alternative shingling front-ends (script-aware
+    * routing, precomputed states) reuse the identical-set collapse and
+    * everything downstream of it.
+    */
+  private def clustersOfSets(sets: DataFrame, threshold: Double): DataFrame =
+    sets
       .groupBy(col("toks"))
       .agg(sort_array(collect_list(col("doc"))).as("members"))
       .select(col("toks"), col("members"),
@@ -907,7 +962,49 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     require(maxDf >= 1, "maxDf must be at least 1")
     require(shingleK >= 1, "shingleK must be at least 1")
-    val clusters = allPairsClusters(df, idCol, textCol, threshold, shingleK)
+    allPairsOnClusters(
+      allPairsClusters(df, idCol, textCol, threshold, shingleK),
+      threshold, maxDf)
+  }
+
+  /** SCRIPT-AWARE exact all-pairs Jaccard: per-document routing between
+    * word-`wordK`-shingles (spaced scripts) and code-point `charN`-grams
+    * over whitespace-stripped lowercase text (unsegmented scripts —
+    * detection via [[graft.functions.text.unspacedRatio]] `> routeAbove`).
+    * The whitespace tokenizer glues an unspaced ideograph run into ONE
+    * token, so word-shingle dedup sees every CJK/Thai/Khmer document as a
+    * single-shingle set and near-duplicates become invisible; char-grams
+    * restore them. On a pure spaced-script corpus results EQUAL
+    * [[allPairsJaccard]] at the same `wordK` (routing never fires).
+    * Cross-script pairs share no grams by construction (word shingles
+    * carry spaces, stripped char grams cannot) — a document and its
+    * translation are different content, not near-duplicates. Same
+    * AllPairs machinery downstream: identical-set collapse, set-level df,
+    * Bayardo prefix filter, ubiquity cap, exact row-local verify.
+    */
+  def scriptAwareJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.6, wordK: Int = 3, charN: Int = 5,
+      routeAbove: Double = 0.3, maxDf: Long = Long.MaxValue): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    require(maxDf >= 1, "maxDf must be at least 1")
+    require(wordK >= 1, "wordK must be at least 1")
+    require(charN >= 1, "charN must be at least 1")
+    require(routeAbove > 0.0 && routeAbove < 1.0,
+      "routeAbove must be in (0, 1) — 0 routes blank docs, 1 never routes")
+    allPairsOnClusters(
+      clustersOfSets(
+        scriptAwareShingleSets(df, idCol, textCol, wordK, charN, routeAbove),
+        threshold),
+      threshold, maxDf)
+  }
+
+  /** The AllPairs pair engine over a prebuilt cluster frame — shared by
+    * [[allPairsJaccard]] and [[scriptAwareJaccardPairs]] so the prefix
+    * bound, the cap and the verify can never diverge between them.
+    */
+  private def allPairsOnClusters(
+      clusters: DataFrame, threshold: Double, maxDf: Long): DataFrame = {
     // within-cluster pairs: identical sets, jaccard exactly 1.0
     val within = clusters.where(size(col("members")) >= 2)
       .select(explode(col("members")).as("id_l"), col("members"))

@@ -47,6 +47,37 @@ object text {
   /** Whitespace token count (0 for empty/blank). */
   def tokenCount(c: Column): Column = textStats(c).getField("n_tokens")
 
+  /** Count of code points in scripts written WITHOUT word-separating
+    * whitespace (Han, Hiragana, Katakana, Thai, Lao, Khmer, Myanmar — see
+    * [[graft.expressions.GramHashRuntime.isUnspacedScript]]). A document
+    * heavy in these scripts collapses to near-one "token" under every
+    * whitespace tokenizer; this count is the routing signal.
+    */
+  def unspacedCount(c: Column): Column = textStats(c).getField("n_unspaced")
+
+  /** Fraction of non-whitespace code points in unsegmented scripts — the
+    * script-routing detector (0.0 on empty/blank text; null on null). A
+    * pure-ASCII document scores 0, a pure-Han one ~1; mixed documents
+    * score their unspaced share, so any routing threshold in (0, 1)
+    * leaves spaced-script text on the word path.
+    */
+  def unspacedRatio(c: Column): Column = {
+    val s = textStats(c)
+    when(s.getField("n_nonws") === 0, lit(0.0))
+      .otherwise(s.getField("n_unspaced").cast("double") /
+        s.getField("n_nonws"))
+  }
+
+  /** SEGMENTATION-AWARE token count: each unspaced-script code point is
+    * one token, maximal runs of other non-whitespace characters are one
+    * token. Equals [[tokenCount]] exactly on spaced-script text; on
+    * unsegmented text it counts content where the whitespace count says 1
+    * — the honest denominator for token-budget and quality math on
+    * multilingual crawl data. ("hello 世界" -> 3; a 500-ideograph
+    * paragraph -> 500, not 1.)
+    */
+  def segTokenCount(c: Column): Column = textStats(c).getField("n_seg_tokens")
+
   /** Tokenizer-EXACT token array: greedy BPE encode under a frozen merge
     * list (native expression, [[graft.expressions.BpeRuntime]] contract).
     * Learn merges with [[graft.ext.Bpe.learnMerges]]. Where [[tokenCount]]
@@ -441,6 +472,55 @@ object text {
     greatest(stopwords.keys.toSeq.sorted.map(stopwordHits(c, _)): _*)
       .cast("long").as("stop_hits"),
     maxTokenRatio(c).as("max_share"))
+
+  /** SCRIPT-AWARE [[gopherSignals]]: documents whose [[unspacedRatio]]
+    * exceeds `routeAbove` get signals that measure content instead of
+    * whitespace-tokenizer artifacts — same struct shape, so
+    * [[gopherReasonsOf]] applies unchanged. On spaced-script text every
+    * field is IDENTICAL to [[gopherSignals]] (the routing predicate is
+    * false), so the variant is a drop-in upgrade for mixed corpora.
+    *
+    * Routed-document divergences (each a whitespace-count artifact fix):
+    *   - `n_tok`: [[segTokenCount]] — a 500-ideograph paragraph counts
+    *     500, where the whitespace count's 1 trips the min-tokens rule
+    *     on documents with the MOST content.
+    *   - `avg_len`: non-ws chars / seg tokens — ~1 for ideographic text
+    *     by construction. Callers MUST script-adjust `minAvgLen` (the
+    *     [2.5, 9] word-shape band is a Latin-script prior, meaningless
+    *     for scripts where one code point is a word).
+    *   - `max_share`: duplicate byte-`charN`-gram share
+    *     (`1 - distinct grams / total grams`) — the whitespace
+    *     tokenizer sees one giant token (share 1.0, everything flagged
+    *     repetitive); gram-duplication measures actual repetition, same
+    *     [0,1] higher-is-worse direction.
+    *   - `stop_hits` is computed but the shipped inventories are
+    *     European: routed docs generally score 0 — callers filtering
+    *     multilingual corpora should drop rule 8 or extend
+    *     [[stopwords]].
+    */
+  def gopherSignalsAware(
+      c: Column, routeAbove: Double = 0.3, charN: Int = 5): Column = {
+    val s = textStats(c)
+    val routed = unspacedRatio(c) > routeAbove
+    val norm = regexp_replace(lower(c), "\\s+", "")
+    // byte count, not code points: charNgramHashSet windows BYTES, and a
+    // char-based denominator undercounts multibyte text (distinct grams
+    // would exceed "total" and the share go negative)
+    val totalGrams = greatest(octet_length(norm) - (charN - 1), lit(1))
+    val dupGramShare = lit(1.0) -
+      size(graft.expressions.GramHashExpressions.charNgramHashSet(norm, charN))
+        .cast("double") / totalGrams
+    struct(
+      when(routed, s.getField("n_seg_tokens").cast("long"))
+        .otherwise(tokenCount(c).cast("long")).as("n_tok"),
+      when(routed, ratioOf(s.getField("n_nonws"), s.getField("n_seg_tokens")))
+        .otherwise(avgTokenLen(c)).as("avg_len"),
+      digitRatio(c).as("dig_r"),
+      greatest(stopwords.keys.toSeq.sorted.map(stopwordHits(c, _)): _*)
+        .cast("long").as("stop_hits"),
+      when(routed, round(dupGramShare, 6)).otherwise(maxTokenRatio(c))
+        .as("max_share"))
+  }
 
   /** Gopher-style document-quality rule bitmask (the document filters of
     * Rae et al. 2021, adapted to unpunctuated multilingual corpora: the

@@ -37,14 +37,18 @@ class CodegenSpec extends AnyFunSuite with SparkSpec {
 
   test("char-class stats compile under strict whole-stage codegen") {
     withStrictCodegen {
-      val df = Seq("The quick brown fox, 42 times!", "", " \t ").toDF("t")
+      val df = Seq("The quick brown fox, 42 times!", "", " \t ",
+        "hello 世界 world").toDF("t")
       val out = df.select(GramHashExpressions.charClassStats(col("t")).as("s"))
         .select(col("s.n_tokens"), col("s.n_punct"), col("s.n_digit"),
-          col("s.n_upper"), col("s.n_subwords")).collect()
+          col("s.n_upper"), col("s.n_subwords"), col("s.n_unspaced"),
+          col("s.n_seg_tokens")).collect()
       assert(out(0).getInt(0) == 6 && out(0).getInt(1) == 2)
       assert(out(0).getInt(2) == 2 && out(0).getInt(3) == 1)
-      assert(out(1).toSeq == Seq(0, 0, 0, 0, 0))
-      assert(out(2).toSeq == Seq(0, 0, 0, 0, 0))
+      assert(out(0).getInt(5) == 0 && out(0).getInt(6) == 6)
+      assert(out(1).toSeq == Seq(0, 0, 0, 0, 0, 0, 0))
+      assert(out(2).toSeq == Seq(0, 0, 0, 0, 0, 0, 0))
+      assert(out(3).getInt(5) == 2 && out(3).getInt(6) == 4)
     }
   }
 

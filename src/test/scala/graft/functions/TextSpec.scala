@@ -210,6 +210,87 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("script awareness: unspaced counts, seg tokens, routing ratio") {
+    def triple(s: String): (Int, Int, Double) = {
+      val r = Seq(s).toDF("t").select(
+        text.unspacedCount(col("t")).as("u"),
+        text.segTokenCount(col("t")).as("g"),
+        text.unspacedRatio(col("t")).as("r")).head()
+      (r.getInt(0), r.getInt(1), r.getDouble(2))
+    }
+    // spaced scripts: unspaced 0, seg tokens == whitespace tokens, ratio 0
+    assert(triple("hello world") == ((0, 2, 0.0)))
+    assert(triple("") == ((0, 0, 0.0)))
+    assert(triple("  \t ") == ((0, 0, 0.0)))
+    // pure Han paragraph: every code point its own token, ratio 1
+    assert(triple("春眠不覚暁処処聞啼鳥") == ((10, 10, 1.0)))
+    // mixed doc: CJK chars break and count between latin words
+    assert(triple("hello 世界 world") == ((2, 4, 2.0 / 12)))
+    // run-internal mixing: abc|世|界|def = 4 seg tokens from 1 ws token
+    val m = triple("abc世界def")
+    assert(m._1 == 2 && m._2 == 4)
+    // Thai (block includes its combining vowels) routes; Hangul does NOT
+    // (Korean is space-segmented — it must stay on the word path)
+    assert(triple("สวัสดีครับ")._3 == 1.0)
+    assert(triple("안녕하세요") == ((0, 1, 0.0)))
+    // astral Han (CJK Extension B, 4-byte UTF-8): decoded, not mangled
+    val ext = "𠀀" * 3 // U+20000 three times
+    assert(triple(ext) == ((3, 3, 1.0)))
+    // ASCII punctuation between ideographs is its own spaced-run token
+    assert(triple("你好,世界") == ((4, 5, 4.0 / 5)))
+    // seg tokens == whitespace tokens on EVERY unspaced-free doc
+    val tricky = Seq("ab-cd 12x 'quote'!", "MiXeD CASE 42 Upper",
+      "naïve café über", "num1num 123abc ...", "x" * 500, "a b\t")
+    tricky.foreach { s =>
+      val r = Seq(s).toDF("t").select(
+        text.tokenCount(col("t")).as("a"),
+        text.segTokenCount(col("t")).as("b")).head()
+      assert(r.getInt(0) == r.getInt(1), s"seg != ws tokens for $s")
+    }
+  }
+
+  test("gopher on CJK: aware signals count content where plain ones collapse") {
+    // a content-rich unspaced doc: 40 distinct-ish ideographs
+    val han = "春眠不覚暁処処聞啼鳥夜来風雨声花落知多少床前明月光疑是地上霜挙頭望明月低頭思故郷"
+    val plain = Seq(han).toDF("t")
+      .select(text.gopherSignals(col("t")).as("s")).select(
+        col("s.n_tok"), col("s.max_share")).head()
+    // the whitespace tokenizer's artifact: ONE token owning 100% share —
+    // the doc with the most content reads as both too-short and repetitive
+    assert(plain.getLong(0) == 1L && plain.getDouble(1) == 1.0)
+    val aware = Seq(han).toDF("t")
+      .select(text.gopherSignalsAware(col("t")).as("s")).select(
+        col("s.n_tok"), col("s.avg_len"), col("s.max_share")).head()
+    assert(aware.getLong(0) == han.length.toLong, "seg tokens must count content")
+    assert(aware.getDouble(1) == 1.0, "one non-ws char per seg token")
+    assert(aware.getDouble(2) < 0.5, s"varied text must not read repetitive: $aware")
+    // under script-adjusted thresholds the aware signals PASS the doc the
+    // plain ones reject (stopword rule dropped: inventories are European)
+    val reasons = Seq(han).toDF("t").select(
+      text.gopherReasonsOf(text.gopherSignalsAware(col("t")),
+        minTokens = 20, minAvgLen = 0.5, maxAvgLen = 10.0,
+        minStopwords = 0).as("r"),
+      text.gopherReasonsOf(text.gopherSignals(col("t")),
+        minTokens = 20, minAvgLen = 0.5, maxAvgLen = 10.0,
+        minStopwords = 0).as("p")).head()
+    assert(reasons.getLong(0) == 0L, s"aware must pass: bits ${reasons.getLong(0)}")
+    assert((reasons.getLong(1) & 1L) == 1L, "plain trips the min-tokens rule")
+    // an actually-repetitive CJK doc still trips the repetition rule
+    val rep = Seq("好" * 120).toDF("t")
+      .select(text.gopherSignalsAware(col("t")).as("s"))
+      .select(col("s.max_share")).head().getDouble(0)
+    assert(rep > 0.9, s"byte-gram duplication must expose repetition: $rep")
+    // spaced-script text: aware == plain, field for field (drop-in claim)
+    val docs = Seq("The quick brown fox jumps over the lazy dog",
+      "ab-cd 12x 'quote'!", "naïve café über 123", "", "x" * 80)
+    docs.foreach { s =>
+      val r = Seq(s).toDF("t").select(
+        text.gopherSignals(col("t")).as("p"),
+        text.gopherSignalsAware(col("t")).as("a")).head()
+      assert(r.get(0) == r.get(1), s"aware diverged on spaced text: $s")
+    }
+  }
+
   test("gopherReasons sets the violated-rule bits") {
     // 30 English filler tokens: passes every rule
     val good = (Seq.fill(6)("the and of that with") ).mkString(" ")
