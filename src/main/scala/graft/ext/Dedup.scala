@@ -1265,6 +1265,108 @@ object Dedup {
       .select(col("token"), col("__df").as("df"), col("n_prefix_docs"))
   }
 
+  /** ONE-row candidate-mass report over a `(doc, token, __df)` prefix
+    * frame — the shared kernel of the pre-flight advisors: each prefix
+    * row joins every posting of its token, so the open prefix join
+    * materializes AT MOST `sum(__df)` candidate rows (an upper bound:
+    * self-matches and the post-join distinct only shrink it, and it is
+    * EXACT for the generation stage, which is where a skewed corpus
+    * melts — the q266-on-skew measurement). Columns: `prefix_rows`,
+    * `candidates_est`, `n_prefix_tokens`, then the hottest token by mass
+    * (`hot_token`, `hot_df`, `hot_mass` = df x prefix occurrences; ties
+    * broken by token value, deterministic), and `advise_cap` =
+    * `candidates_est > maxCandidates`. Two bounded aggregations over
+    * the prefix frame — NO join runs.
+    */
+  private def prefixMassReport(
+      prefix: DataFrame, maxCandidates: Long): DataFrame = {
+    val perTok = prefix.groupBy(col("token"))
+      .agg(count(lit(1)).as("__np"), first(col("__df")).as("__dfv"))
+      .withColumn("__mass", col("__np") * col("__dfv"))
+      .localCheckpoint() // feeds the total AND the argmax — one agg pass
+    val tot = perTok.agg(
+      coalesce(sum(col("__np")), lit(0L)).as("prefix_rows"),
+      coalesce(sum(col("__mass")), lit(0L)).as("candidates_est"),
+      count(lit(1)).as("n_prefix_tokens"))
+    val hot = perTok
+      .orderBy(col("__mass").desc, col("token").desc).limit(1)
+      .select(col("token").as("hot_token"), col("__dfv").as("hot_df"),
+        col("__mass").as("hot_mass"))
+    // left join: an empty corpus yields one all-zero row with null hots
+    // rather than zero rows (a report must always report)
+    tot.join(hot, lit(true), "left")
+      .withColumn("advise_cap", col("candidates_est") > maxCandidates)
+  }
+
+  /** PRE-FLIGHT advisor for the open containment self-join (the q240
+    * join-skew-advisor convention applied to the screen family): bound
+    * the candidate mass the [[containmentPairs]] prefix join would
+    * materialize BEFORE running it — on a boilerplate-skewed corpus the
+    * open join's candidate generation grows ~quadratically (the measured
+    * 24.8x wall at 10x skewed data) and the time to discover that must
+    * not be the melted join itself. One shingle pass + two bounded
+    * aggregations; see [[prefixMassReport]] for the columns and the
+    * bound's tightness. When `advise_cap` is true, the remedies are the
+    * `maxDf` ubiquity cap on [[containmentPairs]] and its loud
+    * [[containmentCapAudit]] recall report.
+    */
+  def containmentJoinAdvisor(
+      df: DataFrame, idCol: String, textCol: String,
+      tau: Double = 0.9, shingleK: Int = 3,
+      maxCandidates: Long = 100000000L): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
+    require(shingleK >= 1, "shingleK must be at least 1")
+    require(maxCandidates >= 1, "maxCandidates must be at least 1")
+    val docs = portableShingleSets(df, idCol, textCol, shingleK)
+      .localCheckpoint() // dfreq + prefix, the containmentCapAudit shape
+    prefixMassReport(
+      containmentPrefix(docs, dfreqOf(docs), tau), maxCandidates)
+  }
+
+  /** [[containmentJoinAdvisor]] for the PROBE face: the mass the
+    * incoming batch's prefix would fan out against the STANDING state's
+    * postings (df from the state — batch-sized work plus one bounded
+    * agg, the [[containmentProbe]] cost model without the join).
+    */
+  def containmentProbeAdvisor(
+      incoming: DataFrame, state: ContainmentState,
+      idCol: String, textCol: String,
+      tau: Double = 0.9, shingleK: Int = 3,
+      maxCandidates: Long = 100000000L): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
+    require(shingleK >= 1, "shingleK must be at least 1")
+    require(maxCandidates >= 1, "maxCandidates must be at least 1")
+    val inc = portableShingleSets(incoming, idCol, textCol, shingleK)
+    prefixMassReport(
+      containmentPrefix(inc, state.dfreq, tau), maxCandidates)
+  }
+
+  /** Imperative pre-flight gate over [[containmentJoinAdvisor]]: runs
+    * the (cheap, join-free) report, WARNS on stderr when the estimated
+    * candidate mass exceeds `maxCandidates` — pointing at the `maxDf`
+    * cap and the cap audit — and, with `failAbove = true`, throws
+    * instead so a pipeline stops BEFORE the melted join burns the
+    * cluster. Returns the report row either way for logging/telemetry.
+    */
+  def preflightContainmentJoin(
+      df: DataFrame, idCol: String, textCol: String,
+      tau: Double = 0.9, shingleK: Int = 3,
+      maxCandidates: Long = 100000000L,
+      failAbove: Boolean = false): org.apache.spark.sql.Row = {
+    val row = containmentJoinAdvisor(df, idCol, textCol, tau, shingleK,
+      maxCandidates).head()
+    if (row.getAs[Boolean]("advise_cap")) {
+      val msg = s"containment join pre-flight: estimated candidate mass " +
+        s"${row.getAs[Long]("candidates_est")} exceeds $maxCandidates " +
+        s"(hottest token df ${row.getAs[Any]("hot_df")}) — run " +
+        "containmentPairs with a maxDf ubiquity cap and review " +
+        "containmentCapAudit for the recall trade"
+      if (failAbove) throw new IllegalStateException(msg)
+      System.err.println(s"[graft] WARN $msg")
+    }
+    row
+  }
+
   /** Precomputed containment state of a standing corpus: the hashed
     * shingle-set frame [[containmentPairs]] builds internally PLUS the
     * corpus-wide token document frequencies the probe prefix orders by
@@ -1454,11 +1556,22 @@ object Dedup {
     // same ubiquity cap as the batch face (capPrefix — default off)
     val prefix = capPrefix(containmentPrefix(inc, state.dfreq, tau), maxDf)
       .select(col("doc").as("din"), col("token"))
-    val cand = prefix.join(postings, Seq("token"))
+    // BROADCAST the batch-derived sides: the corpus-sized state frames
+    // (postings, host sets) must only ever be SCANNED per probe, never
+    // shuffled — without the hints Spark plans sort-merge joins that
+    // exchange the whole standing corpus per batch, and the probe wall
+    // grows super-linearly in corpus size at fixed width (ProbeBench
+    // measured 4.9x time on 2.5x corpus; with the hints the probe is
+    // one map-side pass over the state). Sizes are probe-contract
+    // bounded: the prefix is ~(1-tau)|set|+2 tokens per incoming doc,
+    // the verify side candidates x one batch shingle array — a skewed
+    // corpus inflating candidates is exactly what `maxDf` caps.
+    val cand = broadcast(prefix).join(postings, Seq("token"))
       .where(col("din") =!= col("host"))
       .select(col("din"), col("host")).distinct()
     cand
       .join(inc.select(col("doc").as("din"), col("toks").as("__ti")), Seq("din"))
+      .hint("broadcast")
       .join(hosts.select(col("host"), col("toks").as("__th")), Seq("host"))
       .withColumn("__ic", size(array_intersect(col("__ti"), col("__th"))))
       .withColumn("__cont", col("__ic").cast("double") / size(col("__ti")))
@@ -1681,13 +1794,18 @@ object Dedup {
       .select(col("doc").as("din"), col("sz").as("__szi"), col("token"))
     val hostPrefix = capPrefix(state.prefix, maxDf)
       .select(col("doc").as("host"), col("sz").as("__szh"), col("token"))
-    val cand = incPrefix.join(hostPrefix, Seq("token"))
+    // batch sides BROADCAST, state frames only scanned — the
+    // containmentProbe argument (measured there: without the hints the
+    // corpus-sized prefix/sets frames shuffle per probe and the wall
+    // grows super-linearly in corpus size)
+    val cand = broadcast(incPrefix).join(hostPrefix, Seq("token"))
       .where(col("din") =!= col("host") &&
         lit(state.threshold) * col("__szi") <= col("__szh") &&
         lit(state.threshold) * col("__szh") <= col("__szi"))
       .select(col("din"), col("host")).distinct()
     cand
       .join(inc.select(col("doc").as("din"), col("toks").as("__ti")), Seq("din"))
+      .hint("broadcast")
       .join(state.sets.select(col("doc").as("host"), col("toks").as("__th")),
         Seq("host"))
       .withColumn("__ic", size(array_intersect(col("__ti"), col("__th"))))
