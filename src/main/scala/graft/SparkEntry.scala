@@ -3364,6 +3364,24 @@ $fin"""
         .orderBy("token")
     }),
 
+    "q283_containment_advisor" -> ((s, d) => {
+      // PRE-FLIGHT candidate-mass advisor for the open containment join
+      // (the q240 join-skew-advisor convention on the screen family):
+      // bound the q266-shape join's candidate mass from the df frame in
+      // two bounded aggregations BEFORE any join runs — on a
+      // boilerplate-skewed corpus the open join melts (measured 24.8x
+      // wall at 10x skewed), and the time to learn that must not be the
+      // melted join itself. Two bounds exercise both verdicts: the
+      // tight one advises the maxDf cap (+ the q274 audit), the loose
+      // one clears the corpus
+      val docs = fanOut(s, t(s, d, "documents"), "doc_id")
+      Seq(1000L -> "tight", 1000000L -> "loose").map { case (b, lbl) =>
+        Dedup.containmentJoinAdvisor(docs, "doc_id", "text",
+            tau = 0.9, shingleK = 3, maxCandidates = b)
+          .withColumn("bound", lit(lbl))
+      }.reduce(_ unionByName _).orderBy("bound")
+    }),
+
     "q281_cjk_dedup" -> ((s, d) => {
       // script-aware near-dup dedup on a mixed-script corpus: even
       // doc_ids become UNSPACED Han twins of their token streams (the
@@ -7610,6 +7628,50 @@ $fin"""
     // the streamed twin equals batch under any cut — ONE naive oracle
     // gates both (the q270/q271 convention)
     "q279_stream_resemblance_probe" -> resemblanceProbeOracle,
+
+    // full replay of the advisor's cost model: shingle sets, df, the
+    // q274 prefix construction (same double-subtraction floor bound),
+    // then per-token mass (prefix occurrences x df), totals and the
+    // deterministic hottest token (mass desc, token desc) against two
+    // bounds — candidate mass is sum over prefix rows of df, the upper
+    // bound of what the open join would materialize
+    "q283_containment_advisor" ->
+      raw"""WITH tk AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '') AS arr
+           FROM documents WHERE text IS NOT NULL),
+         shl AS (SELECT doc_id, CASE WHEN len(arr) < 3
+             THEN [array_to_string(arr, ' ')]
+             ELSE list_transform(generate_series(1, len(arr) - 2),
+               i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]) END AS sh
+           FROM tk),
+         tok AS (SELECT DISTINCT doc_id,
+             CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) AS token
+           FROM (SELECT doc_id, unnest(sh) AS g FROM shl)),
+         dfq AS (SELECT token, count(*) AS dfv FROM tok GROUP BY 1),
+         sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY 1),
+         ord AS (SELECT t.doc_id, t.token, d.dfv,
+             row_number() OVER (PARTITION BY t.doc_id
+               ORDER BY d.dfv, t.token) AS rn,
+             z.s
+           FROM tok t JOIN dfq d USING (token) JOIN sz z USING (doc_id)),
+         pref AS (SELECT doc_id, token, dfv FROM ord
+           WHERE rn <= CAST(floor(
+             (CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE)) * s) + 2 AS INT)),
+         pt AS (SELECT token, count(*) AS np, min(dfv) AS dfv,
+             count(*) * min(dfv) AS mass
+           FROM pref GROUP BY token),
+         tot AS (SELECT CAST(coalesce(sum(np), 0) AS BIGINT) AS prefix_rows,
+             CAST(coalesce(sum(mass), 0) AS BIGINT) AS candidates_est,
+             count(*) AS n_prefix_tokens FROM pt),
+         hot AS (SELECT token AS hot_token, CAST(dfv AS BIGINT) AS hot_df,
+             CAST(mass AS BIGINT) AS hot_mass
+           FROM pt ORDER BY mass DESC, token DESC LIMIT 1),
+         b AS (SELECT * FROM (VALUES (1000, 'tight'), (1000000, 'loose'))
+           AS v(bnd, bound))
+         SELECT prefix_rows, candidates_est, n_prefix_tokens, hot_token,
+           hot_df, hot_mass, candidates_est > bnd AS advise_cap, bound
+         FROM tot, hot, b ORDER BY bound""",
 
     // full replay of script-aware routing: the derived mixed corpus,
     // the unspaced-share detector, BOTH gram paths (code-point 5-grams

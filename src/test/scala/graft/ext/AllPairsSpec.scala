@@ -462,6 +462,77 @@ class AllPairsSpec extends AnyFunSuite with SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("containment advisor: mass equals brute force; skew triggers; preflight gates") {
+    // brute-force replication of the cost model, md5-long hashing included
+    def h(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def report(docs: Seq[(Long, String)], tau: Double): (Long, Long, Long) = {
+      val sets = docs.map { case (id, s) =>
+        id -> s.toLowerCase.split("[^\\p{L}\\p{N}_]+").filter(_.nonEmpty)
+          .map(h).toSet }.toMap
+      val df = sets.values.flatten.groupBy(identity).map { case (t, o) =>
+        t -> o.size.toLong }
+      val prefixRows = sets.values.toSeq.flatMap { st =>
+        val pl = math.floor((1.0 - tau) * st.size).toInt + 2
+        st.toSeq.map(t => (df(t), t)).sorted.take(pl)
+      }
+      (prefixRows.size.toLong, prefixRows.map(_._1).sum,
+        prefixRows.map(_._2).distinct.size.toLong)
+    }
+    val rnd = new scala.util.Random(23)
+    val vocab = (1 to 40).map(i => s"w$i")
+    val docs = (1L to 50L).map { id =>
+      (id, Seq.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")) }
+    val (wantRows, wantMass, wantToks) = report(docs, 0.7)
+    val row = Dedup.containmentJoinAdvisor(docs.toDF("doc_id", "text"),
+      "doc_id", "text", tau = 0.7, shingleK = 1, maxCandidates = wantMass).head()
+    assert(row.getAs[Long]("prefix_rows") == wantRows)
+    assert(row.getAs[Long]("candidates_est") == wantMass)
+    assert(row.getAs[Long]("n_prefix_tokens") == wantToks)
+    assert(!row.getAs[Boolean]("advise_cap"), "est == bound must not advise")
+    // the estimate UPPER-BOUNDS the open join's materialized candidates
+    val actual = Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+      "doc_id", "text", tau = 0.7, shingleK = 1).count()
+    assert(wantMass >= actual, s"est $wantMass < real pair count $actual")
+    // boilerplate skew: 30 docs sharing one template -> every prefix
+    // token is corpus-frequent and the mass explodes past the bound the
+    // varied corpus cleared by 10x
+    val skewed = docs ++ (100L to 129L).map(i =>
+      (i, "tpl1 tpl2 tpl3 tpl4 tpl5 tpl6 tpl7 tpl8"))
+    val sk = Dedup.containmentJoinAdvisor(skewed.toDF("doc_id", "text"),
+      "doc_id", "text", tau = 0.7, shingleK = 1,
+      maxCandidates = wantMass * 2).head()
+    assert(sk.getAs[Boolean]("advise_cap"),
+      s"skewed corpus must trigger: ${sk.getAs[Long]("candidates_est")}")
+    assert(sk.getAs[Long]("hot_df") >= 30L,
+      "the hottest token must be the boilerplate one")
+    // imperative gate: failAbove throws with the remediation pointer;
+    // the permissive form returns the row (and only warns)
+    val ex = intercept[IllegalStateException] {
+      Dedup.preflightContainmentJoin(skewed.toDF("doc_id", "text"),
+        "doc_id", "text", tau = 0.7, shingleK = 1,
+        maxCandidates = wantMass * 2, failAbove = true)
+    }
+    assert(ex.getMessage.contains("maxDf") &&
+      ex.getMessage.contains("containmentCapAudit"))
+    val ok = Dedup.preflightContainmentJoin(skewed.toDF("doc_id", "text"),
+      "doc_id", "text", tau = 0.7, shingleK = 1, maxCandidates = wantMass * 2)
+    assert(ok.getAs[Boolean]("advise_cap"))
+    // probe face: mass of an incoming batch against a standing state
+    val st = Dedup.containmentStateCheckpointed(
+      docs.toDF("doc_id", "text"), "doc_id", "text", shingleK = 1)
+    val pr = Dedup.containmentProbeAdvisor(
+      skewed.toDF("doc_id", "text").where(col("doc_id") >= 100L), st,
+      "doc_id", "text", tau = 0.7, shingleK = 1, maxCandidates = 1L).head()
+    // template tokens are ABSENT from the standing df -> df 0, zero mass
+    assert(pr.getAs[Long]("candidates_est") == 0L,
+      "absent tokens generate no candidates and no mass")
+  }
+
   test("containment ubiquity cap is loud: audit names every capped prefix token") {
     // a 2-word boilerplate part sits inside three hosts; its entire
     // prefix (floor(0.2*2)+2 = 2 tokens) is corpus-frequent
