@@ -14,6 +14,17 @@ object GraftSession {
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // VOLUME-ADAPTIVE shuffle width: plan every exchange at 8x the
+      // session width and let AQE coalesce DOWN by measured size
+      // (advisory 64 MB/partition). A fixed width is wrong in both
+      // directions at once — 25x the corpus through the same 32 buckets
+      // spills (the q281 iso curve measured 44x wall on 25x data before
+      // this; the shingle-pipeline groupBys were the hot stages), while
+      // tiny shuffles over-parallelize. Explicit repartition(n, col)
+      // calls (the verify-sizing paths) are untouched: AQE only
+      // coalesces its own initial widths.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (shufflePartitions * 8).toString)
       // native functions callable from SQL strings (see GraftExtensions)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       // events-style parquet TIMESTAMP(NANOS) columns read as nanos-longs;

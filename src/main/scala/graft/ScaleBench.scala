@@ -85,7 +85,24 @@ object ScaleBench {
     // design's signature
     "q271_stream_containment_probe",
     "q279_stream_resemblance_probe",
-    "q256_stream_classifier_auc")
+    "q256_stream_classifier_auc",
+    // round 15: script-aware routing (the CJK dedup face of AllPairs),
+    // the persisted-state probe (production ingest shape — see
+    // ProbeBench for the probe-ONLY curves), and the pre-flight
+    // candidate-mass advisor (must stay cheap at any scale: that is
+    // its entire point)
+    // CAVEAT q281: the token-suffix replica construction is NOT
+    // char-gram-isomorphic — replicas share every interior gram window
+    // (only token-tail windows differ), so char-gram df grows with
+    // scale and the OPEN script-aware join's candidate mass is
+    // super-linear BY FIXTURE GEOMETRY (measured 36-44x at 25x), the
+    // q249 caveat applied to grams. Read q281 against q286 (the capped
+    // twin, the production shape for gram-common corpora), not the
+    // isomorphic ~linear rule.
+    "q281_cjk_dedup",
+    "q286_cjk_dedup_capped",
+    "q284_resemblance_probe_persisted",
+    "q283_containment_advisor")
 
   /** Build the `replicas`x corpus: isomorphic token-suffixed document
     * replicas and coordinate-rotated embedding replicas. Id offsets are

@@ -3392,8 +3392,12 @@ $fin"""
       // state-provenance-invariant.
       val (standing, incoming) = resemblanceSlices(s, d)
       val params = Dedup.ResemblanceParams(0.6, 3)
+      // salt carries a prefix-format version: a persisted prefix built
+      // under the pre-slack pl formula must not be served to a post-slack
+      // probe (results would silently depend on state vintage)
       val stateDir = graft.io.TextTables.scratchDir("resemb_state", d,
-        graft.io.TextTables.sourceFingerprint(s"$d/documents.parquet"))
+        graft.io.TextTables.sourceFingerprint(s"$d/documents.parquet")
+          + ";pl=flr2")
       new java.io.File(stateDir).mkdirs()
       val state = Dedup.loadResemblanceState(s, stateDir, params).getOrElse {
         Dedup.saveResemblanceState(
@@ -3417,8 +3421,12 @@ $fin"""
       val staged = graft.io.TextTables.scratchDir("resemb_in_p", d)
       incoming.repartition(2).write.mode("overwrite").parquet(staged)
       val params = Dedup.ResemblanceParams(0.6, 3)
+      // salt carries a prefix-format version: a persisted prefix built
+      // under the pre-slack pl formula must not be served to a post-slack
+      // probe (results would silently depend on state vintage)
       val stateDir = graft.io.TextTables.scratchDir("resemb_state", d,
-        graft.io.TextTables.sourceFingerprint(s"$d/documents.parquet"))
+        graft.io.TextTables.sourceFingerprint(s"$d/documents.parquet")
+          + ";pl=flr2")
       new java.io.File(stateDir).mkdirs()
       val state = Dedup.loadResemblanceState(s, stateDir, params).getOrElse {
         Dedup.saveResemblanceState(
@@ -3430,6 +3438,23 @@ $fin"""
       CorpusStreams.resemblanceProbeStreaming(s, staged, "doc_id", "text",
           state, name, shufflePartitions = Some(4))
         .orderBy("id_in", "id_host")
+    }),
+
+    "q286_cjk_dedup_capped" -> ((s, d) => {
+      // q281 under the ubiquity cap (set-level df <= 25) — the
+      // production shape for THIS corpus geometry: a 26-letter alphabet
+      // squeezed through char-5-grams makes grams corpus-common (sf0.01
+      // Han half: avg doc-df ~9, max ~200; and on ScaleBench replicas
+      // gram df GROWS with scale because token-suffix replicas share
+      // interior windows), so the open join's candidate mass is
+      // super-linear by construction. The cap bounds per-token fan-out;
+      // at this threshold the planted near-dups ride on rare grams and
+      // every q281 pair survives (the oracle proves it: full replay of
+      // routing + cluster collapse + CAPPED prefixes + symmetric prune
+      // + exact verify + member expansion, the q280 convention)
+      Dedup.scriptAwareJaccardPairs(cjkCorpus(s, d), "doc_id", "text",
+          threshold = 0.8, maxDf = 25)
+        .orderBy("id_l", "id_r")
     }),
 
     "q283_containment_advisor" -> ((s, d) => {
@@ -7781,6 +7806,83 @@ $fin"""
          SELECT id_l, id_r, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8
          ORDER BY id_l, id_r""",
 
+    // q281's capped twin: the routed gram build (both paths, q281's
+    // CTEs), then the q280 capped-AllPairs replay over it — distinct-set
+    // collapse, set-level df, capped rarest-first prefixes at the
+    // engine's floor((1-t)sz)+2 double arithmetic, symmetric length
+    // prune, exact verify, member expansion + within-cluster 1.0 pairs
+    "q286_cjk_dedup_capped" ->
+      raw"""WITH corpus AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+             THEN translate(regexp_replace(lower(text), '\s+', '', 'g'),
+               'abcdefghijklmnopqrstuvwxyz', '$hanAlphabet')
+             ELSE text END AS text
+           FROM documents WHERE text IS NOT NULL),
+         rt0 AS (SELECT doc_id, text,
+             length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS n_un,
+             length(regexp_replace(text, '\s', '', 'g')) AS n_nonws
+           FROM corpus),
+         g AS (
+           SELECT doc_id, CASE WHEN length(norm) <= 5 THEN norm
+               ELSE substring(norm, i, 5) END AS gram
+           FROM (SELECT doc_id, norm,
+                   unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS i
+                 FROM (SELECT doc_id,
+                         regexp_replace(lower(text), '\s+', '', 'g') AS norm
+                       FROM rt0
+                       WHERE n_nonws > 0 AND CAST(n_un AS DOUBLE) / n_nonws > 0.3))
+           UNION ALL
+           SELECT doc_id, gg AS gram FROM (
+             SELECT doc_id, unnest(CASE WHEN len(arr) < 3
+                 THEN [array_to_string(arr, ' ')]
+                 ELSE list_transform(generate_series(1, len(arr) - 2),
+                   i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]) END) AS gg
+             FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+                       x -> x <> '') AS arr
+                   FROM rt0
+                   WHERE NOT (n_nonws > 0 AND CAST(n_un AS DOUBLE) / n_nonws > 0.3)))),
+         tok AS (SELECT DISTINCT doc_id,
+             CAST(concat('0x', substring(md5(gram), 1, 15)) AS BIGINT) AS token
+           FROM g),
+         sets AS (SELECT doc_id, list(token ORDER BY token) AS arr
+           FROM tok GROUP BY 1),
+         cl AS (SELECT arr, min(doc_id) AS rep, len(arr) AS sz,
+             CAST(floor((CAST(1.0 AS DOUBLE) - CAST(0.8 AS DOUBLE))
+               * len(arr)) + 2 AS INT) AS pl
+           FROM sets GROUP BY arr),
+         mem AS (SELECT cl.rep, s.doc_id FROM cl JOIN sets s ON s.arr = cl.arr),
+         rt AS (SELECT rep, sz, pl, unnest(arr) AS token FROM cl),
+         dfq AS (SELECT token, count(*) AS dfv FROM rt GROUP BY 1),
+         ordd AS (SELECT r.rep, r.sz, r.pl, r.token, d.dfv,
+             row_number() OVER (PARTITION BY r.rep
+               ORDER BY d.dfv, r.token) AS rn
+           FROM rt r JOIN dfq d USING (token)),
+         pref AS (SELECT rep, sz, token FROM ordd
+           WHERE rn <= pl AND dfv <= 25),
+         cand AS (SELECT DISTINCT a.rep AS rl, b.rep AS rr
+           FROM pref a JOIN pref b ON a.token = b.token AND a.rep < b.rep
+           WHERE 0.8 * a.sz <= b.sz AND 0.8 * b.sz <= a.sz),
+         ver AS (SELECT rl, rr,
+             len(list_intersect(ca.arr, cb.arr)) AS ic, ca.sz AS sa, cb.sz AS sb
+           FROM (SELECT c.rl, c.rr, cl.arr, cl.sz
+                 FROM cand c JOIN cl ON cl.rep = c.rl) ca
+           JOIN (SELECT c2.rl AS rl2, c2.rr AS rr2, cl.arr, cl.sz
+                 FROM cand c2 JOIN cl ON cl.rep = c2.rr) cb
+             ON ca.rl = cb.rl2 AND ca.rr = cb.rr2),
+         cross_p AS (SELECT ma.doc_id AS a, mb.doc_id AS b,
+             CAST(ic AS DOUBLE) / (sa + sb - ic) AS jac
+           FROM ver JOIN mem ma ON ma.rep = ver.rl
+                    JOIN mem mb ON mb.rep = ver.rr
+           WHERE CAST(ic AS DOUBLE) / (sa + sb - ic) >= 0.8),
+         within_p AS (SELECT m1.doc_id AS a, m2.doc_id AS b, 1.0 AS jac
+           FROM mem m1 JOIN mem m2
+             ON m1.rep = m2.rep AND m1.doc_id < m2.doc_id)
+         SELECT least(a, b) AS id_l, greatest(a, b) AS id_r,
+           round(jac, 6) AS jaccard
+         FROM (SELECT a, b, jac FROM cross_p
+               UNION ALL SELECT a, b, jac FROM within_p)
+         ORDER BY id_l, id_r""",
+
     // the detector and the segmentation-aware count replayed per doc:
     // unspaced share over non-ws chars, and seg tokens via the
     // surround-each-ideograph-with-spaces trick (each unspaced code
@@ -7825,7 +7927,8 @@ $fin"""
          sets AS (SELECT doc_id, list(token ORDER BY token) AS arr
            FROM tok GROUP BY 1),
          cl AS (SELECT arr, min(doc_id) AS rep, len(arr) AS sz,
-             CAST(len(arr) - ceil(0.6 * len(arr)) + 1 AS INT) AS pl
+             CAST(floor((CAST(1.0 AS DOUBLE) - CAST(0.6 AS DOUBLE))
+               * len(arr)) + 2 AS INT) AS pl
            FROM sets GROUP BY arr),
          mem AS (SELECT cl.rep, s.doc_id FROM cl
            JOIN sets s ON s.arr = cl.arr),
@@ -8003,7 +8106,8 @@ $fin"""
          sets AS (SELECT doc_id, list(token ORDER BY token) AS arr
            FROM tok GROUP BY 1),
          cl AS (SELECT arr, min(doc_id) AS rep, len(arr) AS sz,
-             CAST(len(arr) - ceil(0.6 * len(arr)) + 1 AS INT) AS pl
+             CAST(floor((CAST(1.0 AS DOUBLE) - CAST(0.6 AS DOUBLE))
+               * len(arr)) + 2 AS INT) AS pl
            FROM sets GROUP BY arr),
          rt AS (SELECT rep, pl, unnest(arr) AS token FROM cl),
          dfq AS (SELECT token, count(*) AS dfv FROM rt GROUP BY 1),

@@ -901,7 +901,13 @@ object Dedup {
       .agg(sort_array(collect_list(col("doc"))).as("members"))
       .select(col("toks"), col("members"),
         col("members").getItem(0).as("rep"), size(col("toks")).as("sz"),
-        (size(col("toks")) - ceil(lit(threshold) * size(col("toks"))) + 1)
+        // floor((1-t)|X|) + 2, NOT |X| - ceil(t|X|) + 1: the two agree in
+        // exact arithmetic (+1 slack), but double 0.8/0.9 round UP, so at
+        // integral t|X| the ceil form lands one BELOW the exact bound and
+        // the prefix can miss a boundary witness — the containmentPrefix
+        // +2 rationale, applied to the symmetric face (round 15; the ceil
+        // form shipped without slack since q199)
+        (floor(lit(1.0 - threshold) * size(col("toks"))) + 2)
           .cast("int").as("__pl"))
       .localCheckpoint()
 
@@ -1022,12 +1028,33 @@ object Dedup {
         lit(threshold) * col("__szl") <= col("__szr") &&
         lit(threshold) * col("__szr") <= col("__szl"))
       .select(col("rl"), col("rr")).distinct()
+      // materialized so its COUNT can size the verify shuffles — the
+      // containmentPairs verifyPartitionsFor convention, which this face
+      // lacked until the q281 25x curve went super-linear (44x wall on
+      // 25x data): char-gram shingle sets are ~5x the word-shingle
+      // payload, and at a fixed session width the verify joins drive
+      // 25x intersect bytes into the same buckets and spill
+      .localCheckpoint()
+    val nCand = cand.count()
+    val spark = clusters.sparkSession
+    val sessionWidth = math.max(spark.sparkContext.defaultParallelism,
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    val verifyParts =
+      if (nCand == 0) sessionWidth
+      else {
+        val avgSz = Option(clusters.agg(avg(size(col("toks")))).head().get(0))
+          .map(_.asInstanceOf[Number].doubleValue).getOrElse(0.0)
+        verifyPartitionsFor(nCand, avgSz, sessionWidth)
+      }
     val side = clusters.select(col("rep"), col("toks"), col("members"))
-    val cross = cand
+    val cross = cand.repartition(verifyParts, col("rl"))
       .join(side.select(col("rep").as("rl"), col("toks").as("__tl"),
-        col("members").as("__ml")), Seq("rl"))
+        col("members").as("__ml")).repartition(verifyParts, col("rl")),
+        Seq("rl"))
+      .repartition(verifyParts, col("rr"))
       .join(side.select(col("rep").as("rr"), col("toks").as("__tr"),
-        col("members").as("__mr")), Seq("rr"))
+        col("members").as("__mr")).repartition(verifyParts, col("rr")),
+        Seq("rr"))
       .withColumn("__ic", size(array_intersect(col("__tl"), col("__tr"))))
       .withColumn("__jac", col("__ic").cast("double") /
         (size(col("__tl")) + size(col("__tr")) - col("__ic")))
@@ -1554,24 +1581,40 @@ object Dedup {
     // shared rarest-first prefix against the STANDING df (see
     // containmentPrefix for the bound and the absent-token argument);
     // same ubiquity cap as the batch face (capPrefix — default off)
+    // checkpointed: the size-gate stats and the candidate join both read
+    // it, and the prefix pipeline (explode + df join + sort-agg) must
+    // not run twice per probe
     val prefix = capPrefix(containmentPrefix(inc, state.dfreq, tau), maxDf)
-      .select(col("doc").as("din"), col("token"))
-    // BROADCAST the batch-derived sides: the corpus-sized state frames
-    // (postings, host sets) must only ever be SCANNED per probe, never
-    // shuffled — without the hints Spark plans sort-merge joins that
-    // exchange the whole standing corpus per batch, and the probe wall
-    // grows super-linearly in corpus size at fixed width (ProbeBench
-    // measured 4.9x time on 2.5x corpus; with the hints the probe is
-    // one map-side pass over the state). Sizes are probe-contract
-    // bounded: the prefix is ~(1-tau)|set|+2 tokens per incoming doc,
-    // the verify side candidates x one batch shingle array — a skewed
-    // corpus inflating candidates is exactly what `maxDf` caps.
-    val cand = broadcast(prefix).join(postings, Seq("token"))
+      .select(col("doc").as("din"), col("token"), col("__df"))
+      .localCheckpoint()
+    // BROADCAST the batch-derived sides when they are MEASURED small:
+    // the corpus-sized state frames (postings, host sets) should only
+    // ever be SCANNED per probe, never shuffled — without the hints
+    // Spark plans sort-merge joins that exchange the whole standing
+    // corpus per batch, and the probe wall grows super-linearly in
+    // corpus size at fixed width (ProbeBench measured 4.9x time on 2.5x
+    // corpus; with the hints the fixed-increment probe curve is flat).
+    // The gate is the advisor's own cost model evaluated on the frames
+    // in hand (prefix rows for the prefix side, sum-of-df x batch array
+    // bytes for the verify side): an UNCONDITIONAL hint OOMs the driver
+    // the moment a caller probes a corpus-sized batch (q284 at 25x did,
+    // at ~41k incoming docs), and over the byte budget the plan safely
+    // reverts to sort-merge.
+    val stats = prefix.agg(count(lit(1)), coalesce(sum(col("__df")), lit(0L)))
+      .head()
+    val avgSz = Option(inc.agg(avg(size(col("toks")))).head().get(0))
+      .map(_.asInstanceOf[Number].doubleValue).getOrElse(0.0)
+    val budget = 256L * 1024 * 1024
+    val bcast = stats.getLong(0) * 48 <= budget &&
+      (stats.getLong(1) * (avgSz * 8 + 48)).toLong <= budget
+    val prefixJoin = prefix.select(col("din"), col("token"))
+    val cand = (if (bcast) broadcast(prefixJoin) else prefixJoin)
+      .join(postings, Seq("token"))
       .where(col("din") =!= col("host"))
       .select(col("din"), col("host")).distinct()
-    cand
+    val enriched = cand
       .join(inc.select(col("doc").as("din"), col("toks").as("__ti")), Seq("din"))
-      .hint("broadcast")
+    (if (bcast) enriched.hint("broadcast") else enriched)
       .join(hosts.select(col("host"), col("toks").as("__th")), Seq("host"))
       .withColumn("__ic", size(array_intersect(col("__ti"), col("__th"))))
       .withColumn("__cont", col("__ic").cast("double") / size(col("__ti")))
@@ -1602,8 +1645,11 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("__df"), col("token"))))
         .as("ost"))
       .select(col("doc"), col("sz"),
+        // floor((1-t)sz) + 2 — the clustersOfSets/containmentPrefix ulp
+        // slack; the ceil form can cut one below the exact bound where
+        // double t rounds up (t = 0.8, 0.9) and t*sz is integral
         explode(slice(col("ost"), lit(1),
-          (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")))
+          (floor(lit(1.0 - threshold) * col("sz")) + 2).cast("int")))
           .as("st"))
       .select(col("doc"), col("sz"),
         col("st.token").as("token"), col("st.__df").as("__df"))
@@ -1789,23 +1835,39 @@ object Dedup {
     require(maxDf >= 1, "maxDf must be at least 1")
     val inc = portableShingleSets(incoming, idCol, textCol, state.shingleK)
       .localCheckpoint() // feeds the prefix pass and the verify side once
+    // checkpointed: the size-gate stats and the candidate join both
+    // consume it (the containmentProbe argument)
     val incPrefix = capPrefix(
       jaccardPrefix(inc, state.dfreq, state.threshold), maxDf)
-      .select(col("doc").as("din"), col("sz").as("__szi"), col("token"))
+      .select(col("doc").as("din"), col("sz").as("__szi"), col("token"),
+        col("__df"))
+      .localCheckpoint()
     val hostPrefix = capPrefix(state.prefix, maxDf)
       .select(col("doc").as("host"), col("sz").as("__szh"), col("token"))
-    // batch sides BROADCAST, state frames only scanned — the
-    // containmentProbe argument (measured there: without the hints the
-    // corpus-sized prefix/sets frames shuffle per probe and the wall
-    // grows super-linearly in corpus size)
-    val cand = broadcast(incPrefix).join(hostPrefix, Seq("token"))
+    // batch sides BROADCAST when MEASURED small, state frames only
+    // scanned — see containmentProbe for the full argument: without the
+    // hints the corpus-sized prefix/sets frames shuffle per probe (the
+    // wall grows super-linearly in corpus size); with UNCONDITIONAL
+    // hints a corpus-sized batch OOMs the driver. The gate is the
+    // advisor cost model on the frames in hand; over budget the plan
+    // reverts to sort-merge.
+    val stats = incPrefix
+      .agg(count(lit(1)), coalesce(sum(col("__df")), lit(0L))).head()
+    val avgSz = Option(inc.agg(avg(size(col("toks")))).head().get(0))
+      .map(_.asInstanceOf[Number].doubleValue).getOrElse(0.0)
+    val budget = 256L * 1024 * 1024
+    val bcast = stats.getLong(0) * 56 <= budget &&
+      (stats.getLong(1) * (avgSz * 8 + 48)).toLong <= budget
+    val incJoin = incPrefix.select(col("din"), col("__szi"), col("token"))
+    val cand = (if (bcast) broadcast(incJoin) else incJoin)
+      .join(hostPrefix, Seq("token"))
       .where(col("din") =!= col("host") &&
         lit(state.threshold) * col("__szi") <= col("__szh") &&
         lit(state.threshold) * col("__szh") <= col("__szi"))
       .select(col("din"), col("host")).distinct()
-    cand
+    val enriched = cand
       .join(inc.select(col("doc").as("din"), col("toks").as("__ti")), Seq("din"))
-      .hint("broadcast")
+    (if (bcast) enriched.hint("broadcast") else enriched)
       .join(state.sets.select(col("doc").as("host"), col("toks").as("__th")),
         Seq("host"))
       .withColumn("__ic", size(array_intersect(col("__ti"), col("__th"))))

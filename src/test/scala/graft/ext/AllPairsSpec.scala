@@ -578,8 +578,9 @@ class AllPairsSpec extends AnyFunSuite with SparkSpec {
       threshold = 0.6, shingleK = 1)
       .select("id_l", "id_r").as[(Long, Long)].collect().toSet
     assert(open == Set((1L, 2L), (3L, 4L)))
-    // set-level df: a,b,c,d = 2; prefixes are the 3 rarest of 5 tokens
-    // ({e,a,b} and {f,a,b}) — capping df>1 drops both shared witnesses
+    // set-level df: a,b,c,d = 2; prefixes are the 4 rarest of 5 tokens
+    // (floor((1-0.6)*5)+2 = 4: the unique e/f plus three of {a,b,c,d} by
+    // hash order) — capping df>1 drops every shared witness either way
     val capped = Dedup.allPairsJaccard(df, "doc_id", "text",
       threshold = 0.6, shingleK = 1, maxDf = 1)
       .select("id_l", "id_r").as[(Long, Long)].collect().toSet
@@ -588,8 +589,8 @@ class AllPairsSpec extends AnyFunSuite with SparkSpec {
     val audit = Dedup.allPairsCapAudit(df, "doc_id", "text",
       threshold = 0.6, shingleK = 1, maxDf = 1)
       .as[(Long, Long, Long)].collect()
-    // a and b sit in both prefixes (c, d are never prefix tokens here)
-    assert(audit.length == 2, s"got ${audit.toSeq}")
+    // the three shared df-2 prefix tokens sit in BOTH prefixes
+    assert(audit.length == 3, s"got ${audit.toSeq}")
     assert(audit.forall { case (_, dfv, n) => dfv == 2 && n == 2 })
     assert(Dedup.allPairsCapAudit(df, "doc_id", "text",
       threshold = 0.6, shingleK = 1).isEmpty)
