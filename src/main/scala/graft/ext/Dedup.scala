@@ -1115,13 +1115,15 @@ object Dedup {
       .groupBy(col("doc"))
       .agg(array_sort(collect_list(struct(col("__df"), col("token"))))
         .as("ost"))
-      .select(col("doc"),
+      .select(col("doc"), size(col("ost")).as("sz"),
         explode(slice(col("ost"), lit(1),
           (floor(lit(1.0 - tau) * size(col("ost"))) + 2).cast("int")))
           .as("st"))
       // df rides out with each prefix token so the ubiquity cap and its
-      // audit can key on it without a second dfreq join
-      .select(col("doc"), col("st.token").as("token"), col("st.__df").as("__df"))
+      // audit can key on it without a second dfreq join; sz rides out so
+      // the probe's broadcast-budget gate needs no second action
+      .select(col("doc"), col("sz"),
+        col("st.token").as("token"), col("st.__df").as("__df"))
 
   /** Verify-stage shuffle width from the MATERIALIZED candidate count
     * (the [[graft.ext.DupGraph.triangleCensus]] sizing convention,
@@ -1585,7 +1587,7 @@ object Dedup {
     // it, and the prefix pipeline (explode + df join + sort-agg) must
     // not run twice per probe
     val prefix = capPrefix(containmentPrefix(inc, state.dfreq, tau), maxDf)
-      .select(col("doc").as("din"), col("token"), col("__df"))
+      .select(col("doc").as("din"), col("sz"), col("token"), col("__df"))
       .localCheckpoint()
     // BROADCAST the batch-derived sides when they are MEASURED small:
     // the corpus-sized state frames (postings, host sets) should only
@@ -1600,10 +1602,13 @@ object Dedup {
     // the moment a caller probes a corpus-sized batch (q284 at 25x did,
     // at ~41k incoming docs), and over the byte budget the plan safely
     // reverts to sort-merge.
-    val stats = prefix.agg(count(lit(1)), coalesce(sum(col("__df")), lit(0L)))
-      .head()
-    val avgSz = Option(inc.agg(avg(size(col("toks")))).head().get(0))
-      .map(_.asInstanceOf[Number].doubleValue).getOrElse(0.0)
+    // ONE action on the checkpointed frame: row count, candidate mass,
+    // and the batch's avg set size (prefix-row-weighted — candidates
+    // come proportionally from prefix rows, so the weighting is the
+    // conservative one for a byte budget)
+    val stats = prefix.agg(count(lit(1)), coalesce(sum(col("__df")), lit(0L)),
+      coalesce(avg(col("sz")), lit(0.0))).head()
+    val avgSz = stats.getDouble(2)
     val budget = 256L * 1024 * 1024
     val bcast = stats.getLong(0) * 48 <= budget &&
       (stats.getLong(1) * (avgSz * 8 + 48)).toLong <= budget
@@ -1851,10 +1856,12 @@ object Dedup {
     // hints a corpus-sized batch OOMs the driver. The gate is the
     // advisor cost model on the frames in hand; over budget the plan
     // reverts to sort-merge.
-    val stats = incPrefix
-      .agg(count(lit(1)), coalesce(sum(col("__df")), lit(0L))).head()
-    val avgSz = Option(inc.agg(avg(size(col("toks")))).head().get(0))
-      .map(_.asInstanceOf[Number].doubleValue).getOrElse(0.0)
+    // one action (the containmentProbe stats shape): count, mass, and
+    // the prefix-row-weighted batch set size
+    val stats = incPrefix.agg(count(lit(1)),
+      coalesce(sum(col("__df")), lit(0L)),
+      coalesce(avg(col("__szi")), lit(0.0))).head()
+    val avgSz = stats.getDouble(2)
     val budget = 256L * 1024 * 1024
     val bcast = stats.getLong(0) * 56 <= budget &&
       (stats.getLong(1) * (avgSz * 8 + 48)).toLong <= budget

@@ -641,6 +641,7 @@ class AllPairsSpec extends AnyFunSuite with SparkSpec {
     val dfreqDF = setsDF.sparkSession.createDataFrame(
       dfreq.toSeq.map { case (t, n) => (t, n) }).toDF("token", "__df")
     val prefix = Dedup.containmentPrefix(setsDF, dfreqDF, tau)
+      .select("doc", "token", "__df") // sz rides for the probe gate only
       .as[(Long, Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toSeq).toMap
     for ((a, b) <- open) {
