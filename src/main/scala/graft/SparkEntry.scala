@@ -3440,6 +3440,20 @@ $fin"""
         .orderBy("id_in", "id_host")
     }),
 
+    "q287_langid_aware" -> ((s, d) => {
+      // script-aware language ID over the q281 mixed corpus: unspaced
+      // docs identify by SCRIPT (the Han half reads "zh" — every one of
+      // them scored "und" under the stopword heuristic, whose
+      // inventories are European), spaced docs fall through to the q28
+      // stopword argmax bit-identically. Kana/Thai/Lao/Khmer/Myanmar
+      // rules are spec-covered (the fixture carries no such scripts;
+      // the oracle replays the routing and would hash-mismatch any
+      // non-"zh" leak)
+      cjkCorpus(s, d).select(col("doc_id"),
+          graft.functions.text.langIdAware(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
     "q286_cjk_dedup_capped" -> ((s, d) => {
       // q281 under the ubiquity cap (set-level df <= 25) — the
       // production shape for THIS corpus geometry: a 26-letter alphabet
@@ -7805,6 +7819,47 @@ $fin"""
                       JOIN sz sb ON sb.doc_id = id_r)
          SELECT id_l, id_r, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8
          ORDER BY id_l, id_r""",
+
+    // routing replay + per-branch ID: routed docs are 'zh' here because
+    // Han is the ONLY unspaced script the corpus derivation introduces
+    // (the detector itself is hash-gated by q282; a Spark-side script
+    // misclassification would mismatch); spaced docs replay the q28
+    // stopword argmax verbatim
+    "q287_langid_aware" ->
+      raw"""WITH corpus AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+             THEN translate(regexp_replace(lower(text), '\s+', '', 'g'),
+               'abcdefghijklmnopqrstuvwxyz', '$hanAlphabet')
+             ELSE text END AS text
+           FROM documents WHERE text IS NOT NULL),
+         r AS (SELECT doc_id, text,
+             CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0
+                  THEN FALSE
+                  ELSE CAST(length(regexp_replace(text,
+                         '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS DOUBLE)
+                       / length(regexp_replace(text, '\s', '', 'g')) > 0.3
+             END AS routed
+           FROM corpus),
+         toks AS (SELECT doc_id,
+             list_distinct(list_filter(
+               regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '')) AS tk
+           FROM r WHERE NOT routed),
+         s AS (SELECT doc_id, l, len(list_intersect(tk, sw)) AS score
+               FROM toks CROSS JOIN (VALUES
+                 ('de', ${swList("de")}),
+                 ('en', ${swList("en")}),
+                 ('es', ${swList("es")}),
+                 ('fr', ${swList("fr")}),
+                 ('it', ${swList("it")})
+                 ) AS v(l, sw)),
+         best AS (SELECT doc_id, l, score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, l DESC) AS rn FROM s)
+         SELECT doc_id, 'zh' AS lang_pred FROM r WHERE routed
+         UNION ALL
+         SELECT doc_id, CASE WHEN score <= 0 THEN 'und' ELSE l END AS lang_pred
+         FROM best WHERE rn = 1
+         ORDER BY doc_id""",
 
     // q281's capped twin: the routed gram build (both paths, q281's
     // CTEs), then the q280 capped-AllPairs replay over it — distinct-set

@@ -214,6 +214,33 @@ object GramHashExpressions {
       copy(child = newChild)
   }
 
+  /** Per-unspaced-script code-point counts (see
+    * [[GramHashRuntime.scriptCounts]]) — the script-aware language-ID
+    * signal.
+    */
+  case class ScriptCounts(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(
+      Seq("n_han", "n_kana", "n_thai", "n_lao", "n_khmer", "n_myanmar")
+        .map(f => org.apache.spark.sql.types.StructField(
+          f, org.apache.spark.sql.types.IntegerType, nullable = false)))
+    override def prettyName: String = "script_counts"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == org.apache.spark.sql.types.StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a STRING column, got ${child.dataType.simpleString}")
+
+    override def nullSafeEval(input: Any): Any =
+      GramHashRuntime.scriptCounts(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.GramHashRuntime.scriptCounts($c);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Unigram+bigram bucket ids (multiset, document order) for hashed-
     * feature models — see [[GramHashRuntime.ngramFeatureBuckets]].
     */
@@ -284,4 +311,7 @@ object GramHashExpressions {
 
   def charClassStats(c: Column): Column =
     ColumnBridge.column(CharClassStats(ColumnBridge.expression(c)))
+
+  def scriptCounts(c: Column): Column =
+    ColumnBridge.column(ScriptCounts(ColumnBridge.expression(c)))
 }

@@ -283,6 +283,47 @@ object GramHashRuntime {
       (cp >= 0xF900 && cp <= 0xFAFF) || // CJK Compatibility Ideographs
       (cp >= 0x20000 && cp <= 0x2FFFF) // CJK Extensions B+ (astral)
 
+  /** One code-point pass computing per-script counts for the unspaced
+    * scripts [[isUnspacedScript]] routes on — the signal behind
+    * script-aware language ID: Kana is uniquely Japanese (Han alone
+    * reads Chinese), and Thai/Lao/Khmer/Myanmar are one-script-one-
+    * language to this heuristic's precision. Fields (all `int`):
+    * `n_han`, `n_kana`, `n_thai`, `n_lao`, `n_khmer`, `n_myanmar`.
+    */
+  def scriptCounts(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = s.getBytes
+    var i = 0
+    var han = 0; var kana = 0; var thai = 0
+    var lao = 0; var khmer = 0; var myanmar = 0
+    while (i < b.length) {
+      var cp = b(i) & 0xFF
+      var width = 1
+      if (cp < 0x80) ()
+      else if ((cp & 0xE0) == 0xC0 && i + 1 < b.length) {
+        cp = ((cp & 0x1F) << 6) | (b(i + 1) & 0x3F); width = 2
+      } else if ((cp & 0xF0) == 0xE0 && i + 2 < b.length) {
+        cp = ((cp & 0x0F) << 12) | ((b(i + 1) & 0x3F) << 6) | (b(i + 2) & 0x3F)
+        width = 3
+      } else if ((cp & 0xF8) == 0xF0 && i + 3 < b.length) {
+        cp = ((cp & 0x07) << 18) | ((b(i + 1) & 0x3F) << 12) |
+          ((b(i + 2) & 0x3F) << 6) | (b(i + 3) & 0x3F)
+        width = 4
+      }
+      if ((cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
+        (cp >= 0xF900 && cp <= 0xFAFF) || (cp >= 0x20000 && cp <= 0x2FFFF))
+        han += 1
+      else if ((cp >= 0x3040 && cp <= 0x30FF) || (cp >= 0x31F0 && cp <= 0x31FF))
+        kana += 1
+      else if (cp >= 0x0E00 && cp <= 0x0E7F) thai += 1
+      else if (cp >= 0x0E80 && cp <= 0x0EFF) lao += 1
+      else if (cp >= 0x1780 && cp <= 0x17FF) khmer += 1
+      else if (cp >= 0x1000 && cp <= 0x109F) myanmar += 1
+      i += width
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](han, kana, thai, lao, khmer, myanmar))
+  }
+
   /** One code-point pass over a string computing every char-class count the
     * text-quality signals need — replaces five separate regex passes
     * (punct/digit/upper `regexp_replace` diffs, whitespace `split`, and the

@@ -220,6 +220,35 @@ object text {
     when(best.getField("s") <= 0, lit("und")).otherwise(best.getField("l"))
   }
 
+  /** SCRIPT-AWARE [[langId]]: documents whose [[unspacedRatio]] exceeds
+    * `routeAbove` are identified by SCRIPT instead of by stopwords (the
+    * inventories are European — every CJK/Thai/Khmer document scored
+    * "und" before this, r14 verdict #1's language-ID face). Heuristic
+    * rules, deterministic: any Kana present -> "ja" (Kana is uniquely
+    * Japanese; Japanese text mixes Kanji + Kana), else the dominant
+    * unspaced script by code-point count with ties broken by the fixed
+    * rule order — Han -> "zh", Thai -> "th", Lao -> "lo", Khmer -> "km",
+    * Myanmar -> "my". Spaced-script text falls through to [[langId]]
+    * unchanged, so the variant is a drop-in upgrade. (Korean needs no
+    * script rule here: Hangul is spaced, and distinguishing it is a
+    * stopword-inventory question, not a routing one.)
+    */
+  def langIdAware(c: Column, routeAbove: Double = 0.3): Column = {
+    val s = graft.expressions.GramHashExpressions.scriptCounts(c)
+    val scripted =
+      when(s.getField("n_kana") > 0, "ja")
+        .otherwise(
+          // dominant script by count; ties resolve in this fixed order
+          array_max(array(
+            struct(s.getField("n_han").as("n"), lit(6).as("o"), lit("zh").as("l")),
+            struct(s.getField("n_thai").as("n"), lit(5).as("o"), lit("th").as("l")),
+            struct(s.getField("n_lao").as("n"), lit(4).as("o"), lit("lo").as("l")),
+            struct(s.getField("n_khmer").as("n"), lit(3).as("o"), lit("km").as("l")),
+            struct(s.getField("n_myanmar").as("n"), lit(2).as("o"), lit("my").as("l"))))
+            .getField("l"))
+    when(unspacedRatio(c) > routeAbove, scripted).otherwise(langId(c))
+  }
+
   /** [[langId]]'s confidence margin: best stopword-hit score minus the
     * runner-up's — 0 means a coin-flip assignment, and a low-margin slice
     * is where the heuristic ID needs human (or model) review. Same

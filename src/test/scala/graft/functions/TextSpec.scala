@@ -291,6 +291,30 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("langIdAware: script rules on unspaced text, stopword fallback elsewhere") {
+    def lid(s: String) = one[String](text.langIdAware(col("t")), s)
+    // every one of these scored "und" under the stopword heuristic
+    assert(one[String](text.langId(col("t")), "春眠不覚暁処処聞啼鳥") == "und")
+    assert(lid("春眠不覚暁処処聞啼鳥") == "zh", "pure Han reads Chinese")
+    // ANY Kana makes it Japanese — Japanese text mixes Kanji and Kana,
+    // and Kana appears in no other language
+    assert(lid("国境の長いトンネルを抜けると雪国であった") == "ja")
+    assert(lid("カタカナだけのテキスト") == "ja")
+    assert(lid("สวัสดีครับยินดีต้อนรับ") == "th")
+    assert(lid("សួស្តីពិភពលោក") == "km")
+    assert(lid("ສະບາຍດີໂລກກວ້າງ") == "lo")
+    assert(lid("မင်္ဂလာပါကမ္ဘာလောက") == "my")
+    // spaced-script text: EXACTLY langId (drop-in claim), incl. und + Hangul
+    Seq("the cat is in the house and it was not there",
+      "der Hund ist nicht mit der Katze und auch nicht im Haus",
+      "zzz qqq xxx", "안녕하세요 만나서 반갑습니다", "").foreach { s =>
+      assert(lid(s) == one[String](text.langId(col("t")), s),
+        s"aware diverged on spaced text: $s")
+    }
+    // mixed doc below the routing threshold stays on the stopword path
+    assert(lid("the cat is in the house and it was not there 中") == "en")
+  }
+
   test("gopherReasons sets the violated-rule bits") {
     // 30 English filler tokens: passes every rule
     val good = (Seq.fill(6)("the and of that with") ).mkString(" ")
