@@ -3440,6 +3440,18 @@ $fin"""
         .orderBy("id_in", "id_host")
     }),
 
+    "q288_cjk_dedup_minhash" -> ((s, d) => {
+      // the APPROXIMATE screen made script-aware: MinHash+LSH dedup with
+      // per-doc CharGramRouting over the q281 corpus — the incremental
+      // production dedup path (q21/q64/q71) was CJK-blind before
+      // routing existed (a Han doc = ONE word shingle). Oracle = exact
+      // routed-gram Jaccard keep-first survivors (the q21 convention:
+      // banding recall must hold on the fixture's high-similarity dups)
+      Dedup.minhashDedup(cjkCorpus(s, d), "doc_id", "text",
+          threshold = 0.7, route = Some(Dedup.CharGramRouting()))
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     "q287_langid_aware" -> ((s, d) => {
       // script-aware language ID over the q281 mixed corpus: unspaced
       // docs identify by SCRIPT (the Han half reads "zh" — every one of
@@ -7819,6 +7831,51 @@ $fin"""
                       JOIN sz sb ON sb.doc_id = id_r)
          SELECT id_l, id_r, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8
          ORDER BY id_l, id_r""",
+
+    // exact routed-gram Jaccard keep-first: q281's routed gram CTEs,
+    // naive pair join at >= 0.7, drop every doc with an earlier-id
+    // verified near-dup (canonical-min-id), survivors ordered. Gates
+    // the LSH screen end to end: banding recall, routed verify, drop
+    "q288_cjk_dedup_minhash" ->
+      raw"""WITH corpus AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+             THEN translate(regexp_replace(lower(text), '\s+', '', 'g'),
+               'abcdefghijklmnopqrstuvwxyz', '$hanAlphabet')
+             ELSE text END AS text
+           FROM documents WHERE text IS NOT NULL),
+         rt AS (SELECT doc_id, text,
+             length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS n_un,
+             length(regexp_replace(text, '\s', '', 'g')) AS n_nonws
+           FROM corpus),
+         g AS (
+           SELECT doc_id, CASE WHEN length(norm) <= 5 THEN norm
+               ELSE substring(norm, i, 5) END AS gram
+           FROM (SELECT doc_id, norm,
+                   unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS i
+                 FROM (SELECT doc_id,
+                         regexp_replace(lower(text), '\s+', '', 'g') AS norm
+                       FROM rt
+                       WHERE n_nonws > 0 AND CAST(n_un AS DOUBLE) / n_nonws > 0.3))
+           UNION ALL
+           SELECT doc_id, gg AS gram FROM (
+             SELECT doc_id, unnest(CASE WHEN len(arr) = 0 THEN []
+                 WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+                 ELSE list_transform(generate_series(1, len(arr) - 2),
+                   i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]) END) AS gg
+             FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+                   FROM rt
+                   WHERE NOT (n_nonws > 0 AND CAST(n_un AS DOUBLE) / n_nonws > 0.3)))),
+         tok AS (SELECT DISTINCT doc_id, gram FROM g),
+         sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS ic
+           FROM tok a JOIN tok b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         dup AS (SELECT DISTINCT id_r FROM inter
+           JOIN sz sa ON sa.doc_id = id_l JOIN sz sb ON sb.doc_id = id_r
+           WHERE CAST(ic AS DOUBLE) / (sa.s + sb.s - ic) >= 0.7)
+         SELECT doc_id FROM corpus
+         WHERE doc_id NOT IN (SELECT id_r FROM dup)
+         ORDER BY doc_id""",
 
     // routing replay + per-branch ID: routed docs are 'zh' here because
     // Han is the ONLY unspaced script the corpus derivation introduces

@@ -52,6 +52,72 @@ object Dedup {
       graft.expressions.GramHashExpressions.charNgramHashSet(
         regexp_replace(lower(trim(col(textCol))), "\\s+", " "), n).as("sh"))
 
+  /** Optional per-document CHAR-GRAM ROUTING for the shingle front-ends
+    * (the [[scriptAwareJaccardPairs]] contract packaged as a parameter
+    * every screen accepts): documents whose
+    * [[graft.functions.text.unspacedRatio]] exceeds `routeAbove` shingle
+    * as `charN`-grams of their whitespace-STRIPPED lowercase text —
+    * word shingling collapses an unsegmented-script document into one
+    * token, making its near-duplicates invisible to every screen. The
+    * routing rides in each persisted state's parameter manifest
+    * (`encoded` — empty for the word-only default, so existing stored
+    * states keep loading) because routed and unrouted gram sets never
+    * intersect correctly.
+    */
+  final case class CharGramRouting(charN: Int = 5, routeAbove: Double = 0.3) {
+    require(charN >= 1, "charN must be at least 1")
+    require(routeAbove > 0.0 && routeAbove < 1.0,
+      "routeAbove must be in (0, 1) — 0 routes blank docs, 1 never routes")
+    def encoded: String = s";charN=$charN;routeAbove=$routeAbove"
+  }
+
+  /** [[wordShingleSets]] with optional routing — the minhash face's set
+    * representation. The word branch keeps the native xxhash64 path; the
+    * routed branch uses CODE-POINT `charN`-grams under the portable md5
+    * hashing (the [[scriptAwareShingleSets]] char branch) — the native
+    * charNgramHashSet windows BYTES, which no SQL oracle can replay on
+    * multibyte text (and 5 bytes is only ~1.7 ideographs). The two hash
+    * families never collide meaningfully, and a routed doc can never be
+    * a near-duplicate of an unrouted one anyway (no shared grams), so
+    * signatures, banding and verify stay representation-oblivious.
+    */
+  private def shingleHashSets(
+      df: DataFrame, idCol: String, textCol: String, k: Int,
+      route: Option[CharGramRouting]): DataFrame =
+    route.fold(wordShingleSets(df, idCol, textCol, k)) { r =>
+      val routed =
+        graft.functions.text.unspacedRatio(col(textCol)) > r.routeAbove
+      val word = df.where(col(textCol).isNotNull && !routed)
+        .select(col(idCol), graft.expressions.GramHashExpressions
+          .wordShingleHashSet(col(textCol), k).as("sh"))
+      val un = df.where(col(textCol).isNotNull && routed)
+        .select(col(idCol),
+          regexp_replace(lower(col(textCol)), "\\s+", "").as("__norm"))
+      val unSets = un
+        .select(col(idCol), col("__norm"),
+          explode(sequence(lit(1),
+            greatest(length(col("__norm")) - (r.charN - 1), lit(1))))
+            .as("__st"))
+        .select(col(idCol),
+          col("__norm").substr(col("__st"), lit(r.charN)).as("__g"))
+        .select(col(idCol),
+          conv(substring(md5(col("__g")), 1, 15), 16, 10).cast("long")
+            .as("__g"))
+        .groupBy(col(idCol))
+        .agg(sort_array(collect_set(col("__g"))).as("sh"))
+      word.unionByName(unSets)
+    }
+
+  /** [[portableShingleSets]] with optional routing — the md5-portable
+    * (oracle-replayable) set representation of the containment and
+    * resemblance screens.
+    */
+  private def portableSets(
+      df: DataFrame, idCol: String, textCol: String, k: Int,
+      route: Option[CharGramRouting]): DataFrame =
+    route.fold(portableShingleSets(df, idCol, textCol, k))(r =>
+      scriptAwareShingleSets(df, idCol, textCol, k, r.charN, r.routeAbove))
+
   /** MinHash signatures: `(idCol, sig array<long>)`.
     *
     * All `numHashes` permutation minima are computed in ONE native-
@@ -228,8 +294,9 @@ object Dedup {
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
-      shingleK: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val sets = wordShingleSets(df, idCol, textCol, shingleK)
+      shingleK: Int = 3, maxBucket: Int = 1000,
+      route: Option[CharGramRouting] = None): DataFrame = {
+    val sets = shingleHashSets(df, idCol, textCol, shingleK, route)
     val sig = signatureOf(sets, idCol, numHashes)
     val cand = bucketPairs(bandBuckets(sig, idCol, numHashes, bands), idCol, maxBucket)
     verifyJaccard(cand, sets, idCol, threshold)
@@ -370,8 +437,10 @@ object Dedup {
   def minhashDedup(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
-      shingleK: Int = 3, transitive: Boolean = false): DataFrame = {
-    val pairs = minhashPairs(df, idCol, textCol, threshold, numHashes, bands, shingleK)
+      shingleK: Int = 3, transitive: Boolean = false,
+      route: Option[CharGramRouting] = None): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, threshold, numHashes,
+      bands, shingleK, route = route)
     val drop =
       if (transitive)
         connectedComponents(pairs).where(col("id") =!= col("component"))
@@ -391,8 +460,9 @@ object Dedup {
   def minhashState(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
-      maxBucket: Int = 1000): MinhashState = {
-    val sets = wordShingleSets(df, idCol, textCol, shingleK)
+      maxBucket: Int = 1000,
+      route: Option[CharGramRouting] = None): MinhashState = {
+    val sets = shingleHashSets(df, idCol, textCol, shingleK, route)
     val buckets = dropOversizedBuckets(
       bandBuckets(signatureOf(sets, idCol, numHashes), idCol, numHashes, bands),
       maxBucket)
@@ -411,8 +481,9 @@ object Dedup {
   def minhashStateCheckpointed(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
-      maxBucket: Int = 1000): MinhashState = {
-    val sets = wordShingleSets(df, idCol, textCol, shingleK)
+      maxBucket: Int = 1000,
+      route: Option[CharGramRouting] = None): MinhashState = {
+    val sets = shingleHashSets(df, idCol, textCol, shingleK, route)
       .localCheckpoint(true)
     val buckets = dropOversizedBuckets(
       bandBuckets(signatureOf(sets, idCol, numHashes), idCol, numHashes, bands),
@@ -451,8 +522,12 @@ object Dedup {
     * so a resume MUST run with the same values — the manifest makes a
     * mismatch fail fast instead of silently passing every duplicate.
     */
-  final case class MinhashParams(numHashes: Int, bands: Int, shingleK: Int) {
-    def encoded: String = s"numHashes=$numHashes;bands=$bands;shingleK=$shingleK"
+  final case class MinhashParams(numHashes: Int, bands: Int, shingleK: Int,
+      route: Option[CharGramRouting] = None) {
+    // the route suffix is empty for the word-only default, so states
+    // persisted before routing existed keep loading
+    def encoded: String = s"numHashes=$numHashes;bands=$bands;shingleK=$shingleK" +
+      route.map(_.encoded).getOrElse("")
   }
 
   private val stateManifest = "_GRAFT_STATE"
@@ -514,9 +589,10 @@ object Dedup {
   def minhashDedupAgainst(
       incoming: DataFrame, corpusState: MinhashState, idCol: String,
       textCol: String, threshold: Double, numHashes: Int, bands: Int,
-      shingleK: Int, maxBucket: Int): DataFrame = {
+      shingleK: Int, maxBucket: Int,
+      route: Option[CharGramRouting]): DataFrame = {
     val inc = minhashState(incoming, idCol, textCol, numHashes, bands,
-      shingleK, maxBucket)
+      shingleK, maxBucket, route)
     val candCross = inc.buckets.select(col("band"), col("bh"), col(idCol).as("id_l"))
       .join(corpusState.buckets.select(col("band"), col("bh"), col(idCol).as("id_r")),
         Seq("band", "bh"))
@@ -534,10 +610,12 @@ object Dedup {
   def minhashDedupAgainst(
       incoming: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
-      shingleK: Int = 3, maxBucket: Int = 1000): DataFrame =
+      shingleK: Int = 3, maxBucket: Int = 1000,
+      route: Option[CharGramRouting] = None): DataFrame =
     minhashDedupAgainst(incoming,
-      minhashState(corpus, idCol, textCol, numHashes, bands, shingleK, maxBucket),
-      idCol, textCol, threshold, numHashes, bands, shingleK, maxBucket)
+      minhashState(corpus, idCol, textCol, numHashes, bands, shingleK,
+        maxBucket, route),
+      idCol, textCol, threshold, numHashes, bands, shingleK, maxBucket, route)
 
   /** Exact-substring overlap pairs — the exact-match counterpart of
     * [[minhashPairs]] (the dedup mode of Lee et al. 2021, "Deduplicating
@@ -1162,13 +1240,14 @@ object Dedup {
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
       tau: Double = 0.9, shingleK: Int = 3,
-      maxDf: Long = Long.MaxValue): DataFrame = {
+      maxDf: Long = Long.MaxValue,
+      route: Option[CharGramRouting] = None): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
     require(maxDf >= 1, "maxDf must be at least 1")
     require(shingleK >= 1, "shingleK must be at least 1")
     // feeds postings, df counts, prefixes and both verify sides — one
     // materialization (the allPairsJaccard cluster-frame precedent)
-    val docs = portableShingleSets(df, idCol, textCol, shingleK)
+    val docs = portableSets(df, idCol, textCol, shingleK, route)
       .localCheckpoint()
     val postings = docs.select(col("doc"), explode(col("toks")).as("token"))
     val dfreq = postings.groupBy(col("token")).agg(count(lit(1)).as("__df"))
@@ -1278,13 +1357,14 @@ object Dedup {
   def containmentCapAudit(
       df: DataFrame, idCol: String, textCol: String,
       tau: Double = 0.9, shingleK: Int = 3,
-      maxDf: Long = Long.MaxValue): DataFrame = {
+      maxDf: Long = Long.MaxValue,
+      route: Option[CharGramRouting] = None): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
     require(maxDf >= 1, "maxDf must be at least 1")
     require(shingleK >= 1, "shingleK must be at least 1")
     // two consumers (dfreq + prefix) — materialize once, the
     // containmentPairs convention
-    val docs = portableShingleSets(df, idCol, textCol, shingleK)
+    val docs = portableSets(df, idCol, textCol, shingleK, route)
       .localCheckpoint()
     val dfreq = dfreqOf(docs)
     containmentPrefix(docs, dfreq, tau)
@@ -1342,11 +1422,12 @@ object Dedup {
   def containmentJoinAdvisor(
       df: DataFrame, idCol: String, textCol: String,
       tau: Double = 0.9, shingleK: Int = 3,
-      maxCandidates: Long = 100000000L): DataFrame = {
+      maxCandidates: Long = 100000000L,
+      route: Option[CharGramRouting] = None): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
     require(shingleK >= 1, "shingleK must be at least 1")
     require(maxCandidates >= 1, "maxCandidates must be at least 1")
-    val docs = portableShingleSets(df, idCol, textCol, shingleK)
+    val docs = portableSets(df, idCol, textCol, shingleK, route)
       .localCheckpoint() // dfreq + prefix, the containmentCapAudit shape
     prefixMassReport(
       containmentPrefix(docs, dfreqOf(docs), tau), maxCandidates)
@@ -1361,11 +1442,12 @@ object Dedup {
       incoming: DataFrame, state: ContainmentState,
       idCol: String, textCol: String,
       tau: Double = 0.9, shingleK: Int = 3,
-      maxCandidates: Long = 100000000L): DataFrame = {
+      maxCandidates: Long = 100000000L,
+      route: Option[CharGramRouting] = None): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
     require(shingleK >= 1, "shingleK must be at least 1")
     require(maxCandidates >= 1, "maxCandidates must be at least 1")
-    val inc = portableShingleSets(incoming, idCol, textCol, shingleK)
+    val inc = portableSets(incoming, idCol, textCol, shingleK, route)
     prefixMassReport(
       containmentPrefix(inc, state.dfreq, tau), maxCandidates)
   }
@@ -1446,13 +1528,14 @@ object Dedup {
   def appendContainmentState(
       state: ContainmentState, incoming: DataFrame,
       idCol: String, textCol: String, shingleK: Int = 3,
-      refreshDfreqAbove: Double = 0.2): ContainmentState = {
+      refreshDfreqAbove: Double = 0.2,
+      route: Option[CharGramRouting] = None): ContainmentState = {
     require(refreshDfreqAbove >= 0.0, "refreshDfreqAbove must be >= 0")
     // checkpoint the BATCH (post-guard) first: the union materialization
     // and the batch count below both read the stored blocks — without
     // this the incoming shingle pipeline (scan + tokenize + md5 +
     // groupBy + anti-join) would execute twice per append
-    val inc = portableShingleSets(incoming, idCol, textCol, shingleK)
+    val inc = portableSets(incoming, idCol, textCol, shingleK, route)
       .join(state.sets.select(col("doc")), Seq("doc"), "left_anti")
       .localCheckpoint(true)
     val sets = state.sets.unionByName(inc).localCheckpoint(true)
@@ -1471,8 +1554,9 @@ object Dedup {
   /** Build (or rebuild) the containment state for a standing corpus. */
   def containmentState(
       df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3): ContainmentState = {
-    val sets = portableShingleSets(df, idCol, textCol, shingleK)
+      shingleK: Int = 3,
+      route: Option[CharGramRouting] = None): ContainmentState = {
+    val sets = portableSets(df, idCol, textCol, shingleK, route)
     ContainmentState(sets, dfreqOf(sets))
   }
 
@@ -1484,8 +1568,9 @@ object Dedup {
     */
   def containmentStateCheckpointed(
       df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3): ContainmentState = {
-    val sets = portableShingleSets(df, idCol, textCol, shingleK)
+      shingleK: Int = 3,
+      route: Option[CharGramRouting] = None): ContainmentState = {
+    val sets = portableSets(df, idCol, textCol, shingleK, route)
       .localCheckpoint(true)
     ContainmentState(sets, dfreqOf(sets).localCheckpoint(true))
   }
@@ -1494,7 +1579,8 @@ object Dedup {
     * shingle sets from different `shingleK` never intersect correctly,
     * so a resume MUST match (the [[MinhashParams]] manifest contract).
     */
-  final case class ContainmentParams(shingleK: Int) {
+  final case class ContainmentParams(shingleK: Int,
+      route: Option[CharGramRouting] = None) {
     def encoded: String = s"shingleK=$shingleK"
   }
 
@@ -1569,10 +1655,11 @@ object Dedup {
       incoming: DataFrame, state: ContainmentState,
       idCol: String, textCol: String,
       tau: Double = 0.9, shingleK: Int = 3,
-      maxDf: Long = Long.MaxValue): DataFrame = {
+      maxDf: Long = Long.MaxValue,
+      route: Option[CharGramRouting] = None): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
     require(maxDf >= 1, "maxDf must be at least 1")
-    val inc = portableShingleSets(incoming, idCol, textCol, shingleK)
+    val inc = portableSets(incoming, idCol, textCol, shingleK, route)
       .localCheckpoint() // feeds the prefix pass and the verify side once
     // corpus-sized frames come FROM THE STATE as built: per-call work is
     // batch-sized only — a streaming screen must never re-checkpoint the
@@ -1672,7 +1759,8 @@ object Dedup {
     */
   final case class ResemblanceState(
       sets: DataFrame, dfreq: DataFrame, prefix: DataFrame,
-      threshold: Double, shingleK: Int, staleDocs: Long = 0L)
+      threshold: Double, shingleK: Int, staleDocs: Long = 0L,
+      route: Option[CharGramRouting] = None)
 
   /** Append an arriving batch of HOSTS to a standing
     * [[ResemblanceState]] — the ingest step of the exact-resemblance
@@ -1703,7 +1791,8 @@ object Dedup {
     // batch checkpoints (post-guard) first: union, prefix build and
     // count all read the stored blocks (the appendContainmentState
     // argument)
-    val inc = portableShingleSets(incoming, idCol, textCol, state.shingleK)
+    val inc = portableSets(incoming, idCol, textCol, state.shingleK,
+        state.route)
       .join(state.sets.select(col("doc")), Seq("doc"), "left_anti")
       .localCheckpoint(true)
     val sets = state.sets.unionByName(inc).localCheckpoint(true)
@@ -1713,13 +1802,13 @@ object Dedup {
       val dfreq = dfreqOf(sets).localCheckpoint(true)
       ResemblanceState(sets, dfreq,
         jaccardPrefix(sets, dfreq, state.threshold).localCheckpoint(true),
-        state.threshold, state.shingleK, 0L)
+        state.threshold, state.shingleK, 0L, state.route)
     } else
       ResemblanceState(sets, state.dfreq,
         state.prefix.unionByName(
           jaccardPrefix(inc, state.dfreq, state.threshold))
           .localCheckpoint(true),
-        state.threshold, state.shingleK, stale)
+        state.threshold, state.shingleK, stale, state.route)
   }
 
   /** Build the resemblance state; see [[resemblanceStateCheckpointed]]
@@ -1727,13 +1816,15 @@ object Dedup {
     */
   def resemblanceState(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.6, shingleK: Int = 3): ResemblanceState = {
+      threshold: Double = 0.6, shingleK: Int = 3,
+      route: Option[CharGramRouting] = None): ResemblanceState = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     require(shingleK >= 1, "shingleK must be at least 1")
-    val sets = portableShingleSets(df, idCol, textCol, shingleK)
+    val sets = portableSets(df, idCol, textCol, shingleK, route)
     val dfreq = dfreqOf(sets)
     ResemblanceState(sets, dfreq,
-      jaccardPrefix(sets, dfreq, threshold), threshold, shingleK)
+      jaccardPrefix(sets, dfreq, threshold), threshold, shingleK,
+      route = route)
   }
 
   /** [[resemblanceState]] with every corpus-sized frame eagerly
@@ -1743,23 +1834,28 @@ object Dedup {
     */
   def resemblanceStateCheckpointed(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.6, shingleK: Int = 3): ResemblanceState = {
+      threshold: Double = 0.6, shingleK: Int = 3,
+      route: Option[CharGramRouting] = None): ResemblanceState = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     require(shingleK >= 1, "shingleK must be at least 1")
-    val sets = portableShingleSets(df, idCol, textCol, shingleK)
+    val sets = portableSets(df, idCol, textCol, shingleK, route)
       .localCheckpoint(true)
     val dfreq = dfreqOf(sets).localCheckpoint(true)
     ResemblanceState(sets, dfreq,
       jaccardPrefix(sets, dfreq, threshold).localCheckpoint(true),
-      threshold, shingleK)
+      threshold, shingleK, route = route)
   }
 
   /** Parameters a persisted [[ResemblanceState]] was built with — the
     * prefix is only complete AT its build threshold, so a resume MUST
     * match (the [[ContainmentParams]] manifest contract).
     */
-  final case class ResemblanceParams(threshold: Double, shingleK: Int) {
-    def encoded: String = s"threshold=$threshold;shingleK=$shingleK"
+  final case class ResemblanceParams(threshold: Double, shingleK: Int,
+      route: Option[CharGramRouting] = None) {
+    // empty route suffix for the word-only default: pre-routing states
+    // keep loading
+    def encoded: String = s"threshold=$threshold;shingleK=$shingleK" +
+      route.map(_.encoded).getOrElse("")
   }
 
   /** Persist a [[ResemblanceState]] (crash-safe manifest-last). */
@@ -1778,7 +1874,7 @@ object Dedup {
     java.nio.file.Files.write(new java.io.File(dir, "stale").toPath,
       state.staleDocs.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.write(manifest.toPath,
-      ResemblanceParams(state.threshold, state.shingleK).encoded
+      ResemblanceParams(state.threshold, state.shingleK, state.route).encoded
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
@@ -1810,7 +1906,7 @@ object Dedup {
       Some(ResemblanceState(spark.read.parquet(s"$dir/sets"),
         spark.read.parquet(s"$dir/dfreq"),
         spark.read.parquet(s"$dir/prefix"),
-        expect.threshold, expect.shingleK, stale))
+        expect.threshold, expect.shingleK, stale, expect.route))
     }
   }
 
@@ -1838,7 +1934,11 @@ object Dedup {
       idCol: String, textCol: String,
       maxDf: Long = Long.MaxValue): DataFrame = {
     require(maxDf >= 1, "maxDf must be at least 1")
-    val inc = portableShingleSets(incoming, idCol, textCol, state.shingleK)
+    // incoming shingles under the STATE's routing — routed and unrouted
+    // gram sets never intersect correctly, so the choice is a state
+    // parameter, not a call-site one
+    val inc = portableSets(incoming, idCol, textCol, state.shingleK,
+        state.route)
       .localCheckpoint() // feeds the prefix pass and the verify side once
     // checkpointed: the size-gate stats and the candidate join both
     // consume it (the containmentProbe argument)

@@ -41,6 +41,63 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!kept.contains(4L))
   }
 
+  test("CharGramRouting makes every screen see CJK near-dups") {
+    val poem = "春眠不覚暁処処聞啼鳥夜来風雨声花落知多少床前明月光疑是地上霜"
+    val cjk = Seq(
+      (1L, poem),
+      (2L, poem.updated(5, '見')),                // near-dup of 1
+      (3L, poem.take(12) + " " + poem.drop(12)),  // stray-space twin of 1
+      (4L, "国境の長いトンネルを抜けると雪国であった夜の底が白くなった宿屋は静かだった"),
+      (5L, base), (6L, base.replace("green", "blue"))) // spaced pair rides along
+      .toDF("doc_id", "text")
+    val route = Some(Dedup.CharGramRouting())
+    // minhash screen: blind without routing, sees the CJK dups with it
+    val blind = Dedup.minhashDedup(cjk, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(Set(1L, 2L, 3L).subsetOf(blind),
+      s"word shingles must NOT collapse the CJK docs (1 token each): $blind")
+    val routed = Dedup.minhashDedup(cjk, "doc_id", "text", threshold = 0.5,
+      route = route).select("doc_id").as[Long].collect().toSet
+    assert(routed == Set(1L, 4L, 5L),
+      s"routed screen must drop 2,3 (near-dups of 1) and 6 (of 5): $routed")
+    // resemblance state: route rides IN the state — the probe shingles
+    // incoming under it, a persisted round-trip keeps it, a mismatched
+    // expectation fails loudly
+    val standing = cjk.where(col("doc_id") <= 4)
+    val st = Dedup.resemblanceStateCheckpointed(standing, "doc_id", "text",
+      threshold = 0.5, shingleK = 3, route = route)
+    val incoming = Seq((10L, poem.updated(2, '亦')), (11L, base))
+      .toDF("doc_id", "text")
+    val hits = Dedup.jaccardProbe(incoming, st, "doc_id", "text")
+      .select("id_in", "id_host").as[(Long, Long)].collect().toSet
+    assert(hits.contains((10L, 1L)), s"routed probe must find the Han host: $hits")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rroute").toString
+    Dedup.saveResemblanceState(st, dir)
+    val loaded = Dedup.loadResemblanceState(spark, dir,
+      Dedup.ResemblanceParams(0.5, 3, route)).get
+    assert(loaded.route == route)
+    assert(Dedup.jaccardProbe(incoming, loaded, "doc_id", "text")
+      .select("id_in", "id_host").as[(Long, Long)].collect().toSet == hits)
+    intercept[IllegalArgumentException] { // unrouted expectation: loud
+      Dedup.loadResemblanceState(spark, dir, Dedup.ResemblanceParams(0.5, 3))
+    }
+    // containment probe: a Han QUOTE of a standing Han host
+    val cst = Dedup.containmentStateCheckpointed(standing, "doc_id", "text",
+      shingleK = 3, route = route)
+    val quote = Seq((20L, poem.take(14))).toDF("doc_id", "text")
+    val chits = Dedup.containmentProbe(quote, cst, "doc_id", "text",
+        tau = 0.8, shingleK = 3, route = route)
+      .select("id_in", "id_host").as[(Long, Long)].collect().toSet
+    // host 3 is the stray-space twin of host 1 — whitespace strips away
+    // on the routed path, so the quote is contained in BOTH
+    assert(chits == Set((20L, 1L), (20L, 3L)),
+      s"routed containment must see the quote in both twins: $chits")
+    // word-only results are UNCHANGED by the routing machinery existing
+    val plain = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(plain == Set(1L, 3L))
+  }
+
   test("incremental dedup: corpus wins, intra-batch keeps min id") {
     val corpus = Seq((1L, base)).toDF("doc_id", "text")
     val incoming = Seq(
@@ -76,7 +133,7 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .getOrElse(fail("saved state not loadable"))
     val viaLoaded = Dedup.minhashDedupAgainst(incoming, loaded, "doc_id",
       "text", threshold = 0.5, numHashes = 64, bands = 16, shingleK = 3,
-      maxBucket = 1000)
+      maxBucket = 1000, route = None)
       .select("doc_id").as[Long].collect().toSet
     assert(viaLoaded == inline && inline == Set(3L))
   }
