@@ -101,6 +101,10 @@ object ScaleBench {
     // isomorphic ~linear rule.
     "q281_cjk_dedup",
     "q286_cjk_dedup_capped",
+    // the routed APPROXIMATE screen: maxBucket bounds per-bucket pair
+    // fan-out, so unlike the open q281 the gram-common replica geometry
+    // should stay sub-linear here
+    "q288_cjk_dedup_minhash",
     "q284_resemblance_probe_persisted",
     "q283_containment_advisor")
 
