@@ -71,10 +71,12 @@ object OperatorIndex {
     val defRe = """^\s*(?:override )?(?:private\S* )?def (\w+)[\[(:]""".r
     walk(srcRoot).flatMap { f =>
       val rel = f.getPath.replaceFirst("^.*?src/main/scala/", "src/main/scala/")
-      scala.io.Source.fromFile(f, "UTF-8").getLines().zipWithIndex.flatMap {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().zipWithIndex.flatMap {
         case (line, i) => defRe.findFirstMatchIn(line).map(m =>
           (m.group(1), (rel, i + 1)))
       }.toList
+      finally src.close()
     }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
   }
 
@@ -109,9 +111,14 @@ object OperatorIndex {
         case o =>
           val m = o.split('.').last
           val hits = sites.getOrElse(m, Nil)
-          val objFile = o.split('.').dropRight(1).lastOption.map(_.capitalize)
+          // case-INSENSITIVE file match: the function bags are lowercase
+          // objects in lowercase files (text.scala), where capitalize
+          // could never match and the alphabetically-first definition
+          // (a different object's) won the citation
+          val objFile = o.split('.').dropRight(1).lastOption.map(_.toLowerCase)
           hits.sortBy { case (f, _) =>
-            (if (objFile.exists(of => f.endsWith(s"$of.scala"))) 0 else 1, f)
+            (if (objFile.exists(of =>
+              f.toLowerCase.endsWith(s"/$of.scala"))) 0 else 1, f)
           }.headOption.map { case (f, l) => s"$f:$l" }
             .getOrElse("src/main/scala/graft/SparkEntry.scala")
       }
@@ -145,9 +152,9 @@ object OperatorIndex {
   }
 
   def generate(repoRoot: String): String = {
-    val src = scala.io.Source.fromFile(
+    val f = scala.io.Source.fromFile(
       s"$repoRoot/src/main/scala/graft/SparkEntry.scala", "UTF-8")
-      .getLines().toSeq
+    val src = try f.getLines().toSeq finally f.close()
     render(entries(src, new java.io.File(s"$repoRoot/src/main/scala")),
       SparkEntry.queries.keySet)
   }

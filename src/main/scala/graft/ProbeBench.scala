@@ -48,14 +48,18 @@ object ProbeBench {
   private val JacT = 0.6 // resemblance state/build threshold
   private val K = 3 // shingleK everywhere (the q270/q278 value)
 
-  /** Fixed increment: the replica-a `% 3 == 0` slice, ids offset +9e8 so
-    * every incoming doc differs in id from its standing twin (the probe
-    * must do the verify work, not skip on id equality).
+  /** Fixed increment: the replica-a `% 3 == 0` slice, ids offset PAST
+    * the largest possible replica offset (26 x 1e8 — buildScaled caps
+    * replicas at 26) so an incoming id can never equal ANY standing id:
+    * a +9e8 offset collided with replica 9's id space, and the probes'
+    * `din =!= host` guard would silently drop same-id hosts (benign on
+    * token-suffixed iso replicas, a real hit-count distortion on skewed
+    * builds where boilerplate spans replicas).
     */
   private def increment(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
       .where(col("doc_id") < 100000000L && col("doc_id") % 3 === 0)
-      .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + 2600000000L).as("doc_id"), col("text"))
 
   private def time[A](body: => A): (Double, A) = {
     val t0 = System.nanoTime()
@@ -64,6 +68,19 @@ object ProbeBench {
   }
 
   private def drain(df: DataFrame): Long = df.count()
+
+  /** A mismatched versioned manifest (e.g. /tmp states persisted by an
+    * older build before the prefix-formula bump) must REBUILD here — the
+    * library's fail-loudly contract is for production resumes; a dev
+    * harness meeting its own stale scratch is the expected case.
+    */
+  private def tryLoad[A](load: => Option[A]): Option[A] =
+    try load catch {
+      case e: IllegalArgumentException =>
+        System.err.println(
+          s"[probebench] stale state manifest, rebuilding: ${e.getMessage.takeWhile(_ != '\n')}")
+        None
+    }
 
   /** Load-or-build each persisted screen state for `dir`'s documents. */
   private def states(spark: SparkSession, dir: String, stateRoot: String)
@@ -77,7 +94,8 @@ object ProbeBench {
     new java.io.File(cDir).mkdirs(); new java.io.File(rDir).mkdirs()
     new java.io.File(mDir).mkdirs()
     var builds = Map.empty[String, Double]
-    val c = Dedup.loadContainmentState(spark, cDir, Dedup.ContainmentParams(K))
+    val c = tryLoad(
+      Dedup.loadContainmentState(spark, cDir, Dedup.ContainmentParams(K)))
       .getOrElse {
         val (sec, st) = time {
           val s = Dedup.containmentStateCheckpointed(docs, "doc_id", "text", K)
@@ -86,8 +104,8 @@ object ProbeBench {
         builds += ("containment" -> sec)
         Dedup.loadContainmentState(spark, cDir, Dedup.ContainmentParams(K)).get
       }
-    val r = Dedup.loadResemblanceState(spark, rDir,
-        Dedup.ResemblanceParams(JacT, K))
+    val r = tryLoad(Dedup.loadResemblanceState(spark, rDir,
+        Dedup.ResemblanceParams(JacT, K)))
       .getOrElse {
         val (sec, _) = time {
           val s = Dedup.resemblanceStateCheckpointed(
@@ -99,7 +117,7 @@ object ProbeBench {
           Dedup.ResemblanceParams(JacT, K)).get
       }
     val mp = Dedup.MinhashParams(64, 16, K)
-    val m = Dedup.loadMinhashState(spark, mDir, mp).getOrElse {
+    val m = tryLoad(Dedup.loadMinhashState(spark, mDir, mp)).getOrElse {
       val (sec, _) = time {
         val s = Dedup.minhashStateCheckpointed(docs, "doc_id", "text",
           64, 16, K, 1000)

@@ -3392,12 +3392,12 @@ $fin"""
       // state-provenance-invariant.
       val (standing, incoming) = resemblanceSlices(s, d)
       val params = Dedup.ResemblanceParams(0.6, 3)
-      // salt carries a prefix-format version: a persisted prefix built
-      // under the pre-slack pl formula must not be served to a post-slack
-      // probe (results would silently depend on state vintage)
+      // salt carries params.encoded (which versions the prefix formula):
+      // any parameter OR format change relocates the scratch dir, so a
+      // stale-vintage state is never even visible to the loader
       val stateDir = graft.io.TextTables.scratchDir("resemb_state", d,
         graft.io.TextTables.sourceFingerprint(s"$d/documents.parquet")
-          + ";pl=flr2")
+          + ";" + params.encoded)
       new java.io.File(stateDir).mkdirs()
       val state = Dedup.loadResemblanceState(s, stateDir, params).getOrElse {
         Dedup.saveResemblanceState(
@@ -3421,12 +3421,12 @@ $fin"""
       val staged = graft.io.TextTables.scratchDir("resemb_in_p", d)
       incoming.repartition(2).write.mode("overwrite").parquet(staged)
       val params = Dedup.ResemblanceParams(0.6, 3)
-      // salt carries a prefix-format version: a persisted prefix built
-      // under the pre-slack pl formula must not be served to a post-slack
-      // probe (results would silently depend on state vintage)
+      // salt carries params.encoded (which versions the prefix formula):
+      // any parameter OR format change relocates the scratch dir, so a
+      // stale-vintage state is never even visible to the loader
       val stateDir = graft.io.TextTables.scratchDir("resemb_state", d,
         graft.io.TextTables.sourceFingerprint(s"$d/documents.parquet")
-          + ";pl=flr2")
+          + ";" + params.encoded)
       new java.io.File(stateDir).mkdirs()
       val state = Dedup.loadResemblanceState(s, stateDir, params).getOrElse {
         Dedup.saveResemblanceState(
@@ -3494,9 +3494,15 @@ $fin"""
       // tight one advises the maxDf cap (+ the q274 audit), the loose
       // one clears the corpus
       val docs = fanOut(s, t(s, d, "documents"), "doc_id")
+      // ONE advisor pass (its whole point is to be cheap); both bound
+      // verdicts derive from the single one-row report — the oracle's
+      // CROSS JOIN over VALUES shape. Checkpointed so the union's two
+      // branches read the row instead of re-running the corpus pass.
+      val rep = Dedup.containmentJoinAdvisor(docs, "doc_id", "text",
+          tau = 0.9, shingleK = 3)
+        .drop("advise_cap").localCheckpoint()
       Seq(1000L -> "tight", 1000000L -> "loose").map { case (b, lbl) =>
-        Dedup.containmentJoinAdvisor(docs, "doc_id", "text",
-            tau = 0.9, shingleK = 3, maxCandidates = b)
+        rep.withColumn("advise_cap", col("candidates_est") > b)
           .withColumn("bound", lit(lbl))
       }.reduce(_ unionByName _).orderBy("bound")
     }),

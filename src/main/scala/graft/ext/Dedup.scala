@@ -90,23 +90,33 @@ object Dedup {
       val word = df.where(col(textCol).isNotNull && !routed)
         .select(col(idCol), graft.expressions.GramHashExpressions
           .wordShingleHashSet(col(textCol), k).as("sh"))
-      val un = df.where(col(textCol).isNotNull && routed)
-        .select(col(idCol),
-          regexp_replace(lower(col(textCol)), "\\s+", "").as("__norm"))
-      val unSets = un
-        .select(col(idCol), col("__norm"),
-          explode(sequence(lit(1),
-            greatest(length(col("__norm")) - (r.charN - 1), lit(1))))
-            .as("__st"))
-        .select(col(idCol),
-          col("__norm").substr(col("__st"), lit(r.charN)).as("__g"))
-        .select(col(idCol),
-          conv(substring(md5(col("__g")), 1, 15), 16, 10).cast("long")
-            .as("__g"))
-        .groupBy(col(idCol))
-        .agg(sort_array(collect_set(col("__g"))).as("sh"))
+      val unSets = charGramHashRows(
+          df.where(col(textCol).isNotNull && routed), idCol, textCol, r.charN)
+        .groupBy(col("doc"))
+        .agg(sort_array(collect_set(col("token"))).as("sh"))
+        .withColumnRenamed("doc", idCol)
       word.unionByName(unSets)
     }
+
+  /** `(doc, gram-hash long)` rows of the ROUTED char path — code-point
+    * `charN`-grams over whitespace-STRIPPED lowercase text under the
+    * portable md5 hashing. ONE implementation shared by the minhash and
+    * portable faces so the routing contract (normalization, window,
+    * hash) the q281/q286/q288 oracles replay can never diverge between
+    * screens.
+    */
+  private def charGramHashRows(
+      df: DataFrame, idCol: String, textCol: String, charN: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+        regexp_replace(lower(col(textCol)), "\\s+", "").as("__norm"))
+      .select(col("doc"), col("__norm"),
+        explode(sequence(lit(1),
+          greatest(length(col("__norm")) - (charN - 1), lit(1)))).as("__st"))
+      .select(col("doc"),
+        col("__norm").substr(col("__st"), lit(charN)).as("__g"))
+      .select(col("doc"),
+        conv(substring(md5(col("__g")), 1, 15), 16, 10).cast("long")
+          .as("token"))
 
   /** [[portableShingleSets]] with optional routing — the md5-portable
     * (oracle-replayable) set representation of the containment and
@@ -929,18 +939,13 @@ object Dedup {
         slice(col("__toks"), col("__st") + 1, lit(wordK))).as("token"))
     val spShorts = sp.where(size(col("__toks")) < wordK)
       .select(col("doc"), array_join(col("__toks"), " ").as("token"))
-    val un = base.where(col("__routed"))
-      .select(col("doc"),
-        regexp_replace(lower(col("__txt")), "\\s+", "").as("__norm"))
-    val unGrams = un
-      .select(col("doc"), col("__norm"),
-        explode(sequence(lit(1),
-          greatest(length(col("__norm")) - (charN - 1), lit(1)))).as("__st"))
-      .select(col("doc"),
-        col("__norm").substr(col("__st"), lit(charN)).as("token"))
-    spShingled.unionByName(spShorts).unionByName(unGrams)
+    val unGrams = charGramHashRows(
+      base.where(col("__routed")).select(col("doc"), col("__txt")),
+      "doc", "__txt", charN)
+    spShingled.unionByName(spShorts)
       .select(col("doc"),
         conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("token"))
+      .unionByName(unGrams)
       .groupBy(col("doc"))
       .agg(sort_array(collect_set(col("token"))).as("toks"))
   }
@@ -1581,7 +1586,12 @@ object Dedup {
     */
   final case class ContainmentParams(shingleK: Int,
       route: Option[CharGramRouting] = None) {
-    def encoded: String = s"shingleK=$shingleK"
+    // empty route suffix for the word-only default: pre-routing states
+    // keep loading (the MinhashParams convention) — without the suffix a
+    // routed state served to a word-shingled probe would silently pass
+    // every duplicate (the gram sets never intersect)
+    def encoded: String = s"shingleK=$shingleK" +
+      route.map(_.encoded).getOrElse("")
   }
 
   /** Persist a [[ContainmentState]] (crash-safe manifest-last, the
@@ -1853,8 +1863,12 @@ object Dedup {
   final case class ResemblanceParams(threshold: Double, shingleK: Int,
       route: Option[CharGramRouting] = None) {
     // empty route suffix for the word-only default: pre-routing states
-    // keep loading
-    def encoded: String = s"threshold=$threshold;shingleK=$shingleK" +
+    // keep loading. The `pl=flr2` token versions the PREFIX FORMULA
+    // (floor((1-t)sz)+2, round 15): the state persists host prefixes,
+    // and one built under the old sz-ceil(t*sz)+1 bound can sit one
+    // token SHORT of the exact Bayardo bound — loading it must fail
+    // loudly (rebuild), not silently keep missing boundary pairs.
+    def encoded: String = s"threshold=$threshold;shingleK=$shingleK;pl=flr2" +
       route.map(_.encoded).getOrElse("")
   }
 

@@ -84,6 +84,16 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     // containment probe: a Han QUOTE of a standing Han host
     val cst = Dedup.containmentStateCheckpointed(standing, "doc_id", "text",
       shingleK = 3, route = route)
+    // a routed containment state served to an UNROUTED expectation must
+    // fail loudly at load (the gram sets would never intersect and every
+    // duplicate would silently pass)
+    val cdir = java.nio.file.Files.createTempDirectory("graft_croute").toString
+    Dedup.saveContainmentState(cst, cdir, Dedup.ContainmentParams(3, route))
+    intercept[IllegalArgumentException] {
+      Dedup.loadContainmentState(spark, cdir, Dedup.ContainmentParams(3))
+    }
+    assert(Dedup.loadContainmentState(spark, cdir,
+      Dedup.ContainmentParams(3, route)).isDefined)
     val quote = Seq((20L, poem.take(14))).toDF("doc_id", "text")
     val chits = Dedup.containmentProbe(quote, cst, "doc_id", "text",
         tau = 0.8, shingleK = 3, route = route)
