@@ -60,8 +60,8 @@ class AllPairsSpec extends AnyFunSuite with SparkSpec {
       (1L, poem),
       (2L, poem.updated(3, '見')),                  // one-char edit
       (3L, poem.take(10) + " " + poem.drop(10)),    // stray space twin of 1
-      (4L, "国境の長いトンネルを抜けると雪国であった夜の底が白くなった"),
-      (5L, "国境の長いトンネルを抜けると雪国でした夜の底が白くなった"),
+      (4L, "合成された日本語の試験文書であり漢字と仮名が混在している本文"),
+      (5L, "合成された日本語の試験文章であり漢字と仮名が混在している本文"),
       (6L, "全然違う内容の文書でありどの文とも重複しない独自の本文である"),
       (7L, "the quick brown fox jumps over the lazy dog again and again"),
       (8L, "the quick brown fox jumps over the lazy dog again and again!"),

@@ -47,7 +47,7 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       (1L, poem),
       (2L, poem.updated(5, '見')),                // near-dup of 1
       (3L, poem.take(12) + " " + poem.drop(12)),  // stray-space twin of 1
-      (4L, "国境の長いトンネルを抜けると雪国であった夜の底が白くなった宿屋は静かだった"),
+      (4L, "合成された日本語の試験文書であり漢字と仮名が混在している独自の本文である"),
       (5L, base), (6L, base.replace("green", "blue"))) // spaced pair rides along
       .toDF("doc_id", "text")
     val route = Some(Dedup.CharGramRouting())

@@ -298,7 +298,7 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(lid("春眠不覚暁処処聞啼鳥") == "zh", "pure Han reads Chinese")
     // ANY Kana makes it Japanese — Japanese text mixes Kanji and Kana,
     // and Kana appears in no other language
-    assert(lid("国境の長いトンネルを抜けると雪国であった") == "ja")
+    assert(lid("合成された日本語の文章で漢字と仮名が混在する") == "ja")
     assert(lid("カタカナだけのテキスト") == "ja")
     assert(lid("สวัสดีครับยินดีต้อนรับ") == "th")
     assert(lid("សួស្តីពិភពលោក") == "km")
