@@ -88,9 +88,14 @@ object Bench {
       .compile("\"queries_csv\"\\s*:\\s*\"([^\"]*)\"").matcher(un)
     val open = java.util.regex.Pattern
       .compile("\"queries_csv\"\\s*:\\s*\"([^\"]*)").matcher(un)
+    // split with limit -1 in the clipped-tail fallback: the default limit
+    // strips trailing empty strings, so a clip landing exactly after a
+    // comma would make dropRight(1) discard the last fully-intact element
+    // instead of the empty fragment (ADVICE r15 — conservative direction,
+    // but one complete floor lost)
     val parts: Array[String] =
       if (closed.find()) closed.group(1).split(',')
-      else if (open.find()) open.group(1).split(',').dropRight(1)
+      else if (open.find()) open.group(1).split(",", -1).dropRight(1)
       else Array.empty
     parts.zipWithIndex.flatMap { case (v, i) =>
       val n = i + 1
@@ -118,6 +123,17 @@ object Bench {
         }
       }.toMap
     }
+  }
+
+  /** Chosen-attempt policy: index of the MIN-load-variance attempt (first
+    * on ties — earlier attempts are otherwise equivalent); a negative
+    * variance means the canary itself failed, so it is chosen only when
+    * every attempt's canary failed. The headline `value` should be the
+    * quietest battery the box produced, not the least-flagged one.
+    */
+  private[graft] def chooseAttemptIdx(loadVariances: Seq[Double]): Int = {
+    val keyed = loadVariances.map(v => if (v < 0) Double.MaxValue else v)
+    keyed.indexOf(keyed.min)
   }
 
   private[graft] def priorTimes(dir: java.io.File = new java.io.File(".")): Map[String, Double] = {
@@ -234,10 +250,12 @@ object Bench {
         else "suspect, retrying"))
       attempts += runBattery()
     }
-    // fewest cross-artifact flags wins; loadVariance breaks ties (a real
-    // regression flags every attempt equally and the annotation survives)
-    val chosen = attempts.minBy(a =>
-      (a.inflated.size, if (a.loadVariance < 0) Double.MaxValue else a.loadVariance))
+    // MIN-load-variance attempt wins (round-16 verdict #3): per-attempt
+    // inflation flags are contention artifacts — the judged list keys off
+    // FLOORS below, and a real regression flags every attempt's floors
+    // equally — while keying on them first let r15 pick a 506 s attempt
+    // (lv 3.58) over a 448 s one (lv 2.38), a 13%-pessimistic headline
+    val chosen = attempts(chooseAttemptIdx(attempts.map(_.loadVariance).toSeq))
     attempts.zipWithIndex.foreach { case (a, i) =>
       System.err.println(f"[bench] attempt ${i + 1}: total ${a.total}%.2f s, load_variance ${a.loadVariance}%.2f" +
         (if (a eq chosen) " (chosen)" else ""))

@@ -140,7 +140,7 @@ object ProbeBench {
         Dedup.containmentProbe(inc, cs, "doc_id", "text", Tau, K)),
       "resemblance_probe" -> (() => Dedup.jaccardProbe(inc, rs, "doc_id", "text")),
       "minhash_probe" -> (() => Dedup.minhashDedupAgainst(inc, ms, "doc_id",
-        "text", 0.7, 64, 16, K, 1000, route = None)))
+        "text", 0.7, maxBucket = 1000)))
     probes.foreach { case (name, mk) =>
       val runs = (1 to attempts).map(_ => time(drain(mk())))
       val sec = runs.map(_._1).min

@@ -463,8 +463,15 @@ object Dedup {
     * size-guarded LSH band buckets. Compute ONCE per standing corpus and
     * persist both frames (parquet) — the entire point of incremental dedup
     * is that daily increments never re-shingle the corpus.
+    *
+    * `params` (hash count, banding, shingling, routing) ride IN the state
+    * (the [[ResemblanceState]] convention, round 16): probe faces derive
+    * the increment's signature pipeline from them instead of per-call
+    * arguments — buckets from mismatched parameters never collide
+    * correctly, so a re-pass drift would silently pass every duplicate.
     */
-  final case class MinhashState(sets: DataFrame, buckets: DataFrame)
+  final case class MinhashState(sets: DataFrame, buckets: DataFrame,
+      params: MinhashParams = MinhashParams(64, 16, 3))
 
   /** Build (or rebuild) the dedup state for a document set. */
   def minhashState(
@@ -476,7 +483,7 @@ object Dedup {
     val buckets = dropOversizedBuckets(
       bandBuckets(signatureOf(sets, idCol, numHashes), idCol, numHashes, bands),
       maxBucket)
-    MinhashState(sets, buckets)
+    MinhashState(sets, buckets, MinhashParams(numHashes, bands, shingleK, route))
   }
 
   /** [[minhashState]] with both frames eagerly `localCheckpoint`'ed and
@@ -498,7 +505,7 @@ object Dedup {
     val buckets = dropOversizedBuckets(
       bandBuckets(signatureOf(sets, idCol, numHashes), idCol, numHashes, bands),
       maxBucket).localCheckpoint(true)
-    MinhashState(sets, buckets)
+    MinhashState(sets, buckets, MinhashParams(numHashes, bands, shingleK, route))
   }
 
   /** Dedup `incoming` given its PRECOMPUTED state (one feature pass,
@@ -511,6 +518,12 @@ object Dedup {
       incoming: DataFrame, incState: MinhashState,
       corpusState: Option[MinhashState], idCol: String,
       threshold: Double): DataFrame = {
+    // cross-state buckets only collide correctly under IDENTICAL
+    // signature parameters — fail loudly, never silently miss (the
+    // persisted-manifest contract applied to in-memory states)
+    corpusState.foreach(cs => require(cs.params == incState.params,
+      s"increment state built with [${incState.params.encoded}] but corpus " +
+        s"state with [${cs.params.encoded}] — buckets would never match"))
     val dropIntra = verifyJaccard(
       pairsFromSizedBuckets(incState.buckets, idCol), incState.sets, idCol,
       threshold).select(col("id_r").as(idCol))
@@ -584,7 +597,8 @@ object Dedup {
           s"[${expect.encoded}] — buckets would never match; rebuild the " +
           "state or pass the original parameters")
       Some(MinhashState(
-        spark.read.parquet(s"$dir/sets"), spark.read.parquet(s"$dir/buckets")))
+        spark.read.parquet(s"$dir/sets"), spark.read.parquet(s"$dir/buckets"),
+        expect))
     }
   }
 
@@ -598,11 +612,14 @@ object Dedup {
     */
   def minhashDedupAgainst(
       incoming: DataFrame, corpusState: MinhashState, idCol: String,
-      textCol: String, threshold: Double, numHashes: Int, bands: Int,
-      shingleK: Int, maxBucket: Int,
-      route: Option[CharGramRouting]): DataFrame = {
-    val inc = minhashState(incoming, idCol, textCol, numHashes, bands,
-      shingleK, maxBucket, route)
+      textCol: String, threshold: Double, maxBucket: Int): DataFrame = {
+    // the increment's signature pipeline derives FROM THE STATE's params
+    // (its scaladoc contract): hashes/banding/shingling/routing from
+    // mismatched parameters never bucket-collide correctly, so per-call
+    // arguments were a silent-no-match hazard (ADVICE r15)
+    val p = corpusState.params
+    val inc = minhashState(incoming, idCol, textCol, p.numHashes, p.bands,
+      p.shingleK, maxBucket, p.route)
     val candCross = inc.buckets.select(col("band"), col("bh"), col(idCol).as("id_l"))
       .join(corpusState.buckets.select(col("band"), col("bh"), col(idCol).as("id_r")),
         Seq("band", "bh"))
@@ -625,7 +642,7 @@ object Dedup {
     minhashDedupAgainst(incoming,
       minhashState(corpus, idCol, textCol, numHashes, bands, shingleK,
         maxBucket, route),
-      idCol, textCol, threshold, numHashes, bands, shingleK, maxBucket, route)
+      idCol, textCol, threshold, maxBucket)
 
   /** Exact-substring overlap pairs — the exact-match counterpart of
     * [[minhashPairs]] (the dedup mode of Lee et al. 2021, "Deduplicating
@@ -657,13 +674,22 @@ object Dedup {
     * boilerplate) are dropped before the self-join — the same
     * degenerate-bucket guard as the LSH path, and the reason no stage is
     * all-pairs: work is bounded by sum(group²) over guarded window groups.
+    *
+    * `route` makes the whole family SCRIPT-AWARE (see [[tokenized]]):
+    * unsegmented-script documents window over code points of their
+    * whitespace-stripped lowercase text instead of whitespace tokens —
+    * without it a CJK document is ONE mega-token, yields no windows, and
+    * its exact duplicated runs are invisible to all three operators (the
+    * blindness [[scriptAwareJaccardPairs]] fixed for the shingle screens).
+    * Spaced-script documents are bit-identical with or without routing.
     */
   def exactSubstringPairs(
       df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int = 8, maxBucket: Int = 1000,
-      hashWindows: Boolean = false): DataFrame =
+      hashWindows: Boolean = false,
+      route: Option[CharGramRouting] = None): DataFrame =
     exactSubstringPairsImpl(df, idCol, textCol, windowTokens, maxBucket,
-      if (hashWindows) Some(xxhash64(_)) else None)
+      if (hashWindows) Some(xxhash64(_)) else None, route)
 
   /** [[exactSubstringPairs]] with an injectable window-collapse hash —
     * `private[ext]` so the collision-behavior spec can force collisions
@@ -672,7 +698,8 @@ object Dedup {
   private[ext] def exactSubstringPairsImpl(
       df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int, maxBucket: Int,
-      collapse: Option[Column => Column]): DataFrame = {
+      collapse: Option[Column => Column],
+      route: Option[CharGramRouting] = None): DataFrame = {
     require(windowTokens >= 2, "windowTokens must be >= 2")
     // Window generation is ROW-LOCAL: each document's token array yields its
     // complete windows via sequence + posexplode + slice — all codegen'd, no
@@ -681,18 +708,10 @@ object Dedup {
     // scale an avoidable exchange the size of the token count.) The only
     // shuffles left are the ones the algorithm requires: the per-window
     // distinct/sizing and the candidate equi-join.
-    import org.apache.spark.sql.functions.{size => arrayLen}
-    val toks = df.select(col(idCol),
-        graft.functions.text.tokens(col(textCol)).as("__toks"))
-      .where(arrayLen(col("__toks")) >= windowTokens)
-    val winExpr =
-      concat_ws(" ", slice(col("__toks"), col("__start") + 1, lit(windowTokens)))
-    val wins = toks
-      .select(col(idCol), col("__toks"),
-        posexplode(sequence(lit(0), arrayLen(col("__toks")) - windowTokens, lit(1)))
-          .as(Seq("__i", "__start")))
+    val wins = windowStarts(tokenized(df, idCol, textCol, route), idCol,
+        windowTokens)
       .select(col(idCol),
-        collapse.fold(winExpr)(h => h(winExpr)).as("win"))
+        collapse.fold(col("win"))(h => h(col("win"))).as("win"))
       .distinct()
     val sized = wins
       .withColumn("__wsz", count(lit(1))
@@ -735,9 +754,10 @@ object Dedup {
     */
   def exactSubstringDedup(
       df: DataFrame, idCol: String, textCol: String,
-      windowTokens: Int = 8): DataFrame = {
+      windowTokens: Int = 8,
+      route: Option[CharGramRouting] = None): DataFrame = {
     require(windowTokens >= 2, "windowTokens must be >= 2")
-    val toks = tokenized(df, idCol, textCol)
+    val toks = tokenized(df, idCol, textCol, route)
     val wins = windowStarts(toks, idCol, windowTokens)
     // keep-first as ONE window pass: min(id) over (partition by win) then
     // filter id > min. The groupBy(win) + join-back formulation shuffled
@@ -761,9 +781,10 @@ object Dedup {
     */
   def exactSubstringWindows(
       df: DataFrame, idCol: String, textCol: String,
-      windowTokens: Int = 8): DataFrame = {
+      windowTokens: Int = 8,
+      route: Option[CharGramRouting] = None): DataFrame = {
     require(windowTokens >= 2, "windowTokens must be >= 2")
-    windowStarts(tokenized(df, idCol, textCol), idCol, windowTokens)
+    windowStarts(tokenized(df, idCol, textCol, route), idCol, windowTokens)
       .select(col("win")).distinct()
   }
 
@@ -781,11 +802,15 @@ object Dedup {
     */
   def exactSubstringDedupAgainst(
       incoming: DataFrame, corpusWindows: DataFrame,
-      idCol: String, textCol: String, windowTokens: Int = 8): DataFrame = {
+      idCol: String, textCol: String, windowTokens: Int = 8,
+      route: Option[CharGramRouting] = None): DataFrame = {
     require(windowTokens >= 2, "windowTokens must be >= 2")
     require(corpusWindows.columns.contains("win"),
-      "corpusWindows must have a 'win' column (exactSubstringWindows output)")
-    val toks = tokenized(incoming, idCol, textCol)
+      "corpusWindows must have a 'win' column (exactSubstringWindows output " +
+        "built with the SAME windowTokens AND route — routed and word " +
+        "windows never equi-join, so a routing mismatch silently finds " +
+        "nothing; persist the route with the index like any state param)")
+    val toks = tokenized(incoming, idCol, textCol, route)
     val wins = windowStarts(toks, idCol, windowTokens)
     // corpus-claimed occurrences: semi-join against the standing index
     val corpusHit = wins.join(corpusWindows.select("win"), Seq("win"), "left_semi")
@@ -807,29 +832,73 @@ object Dedup {
     rebuildWithoutSpans(toks, starts, idCol, windowTokens)
   }
 
-  private[ext] def tokenized(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), graft.functions.text.tokens(col(textCol)).as("__toks"))
+  /** Tokenized frame `(idCol, __toks, __routed)` shared by the exact-
+    * substring family. Word tokens ([[graft.functions.text.tokens]]) by
+    * default; with `route`, documents whose [[graft.functions.text
+    * .unspacedRatio]] exceeds `routeAbove` tokenize as single CODE POINTS
+    * of their whitespace-STRIPPED lowercase text — for unsegmented
+    * scripts the code point IS the token unit (the `segTokenCount`
+    * convention), so a `windowTokens` window is `windowTokens`
+    * consecutive ideographs where the whitespace tokenizer would glue
+    * the whole document into ONE mega-token and every cross-document
+    * run would go undetected. `route.charN` is a shingle-width dial and
+    * deliberately does NOT apply here: substring windows have their own
+    * width parameter. Routed windows join with NO separator and word
+    * windows always contain a space (`windowTokens >= 2`), so the two
+    * families can never equi-join — cross-script text is different
+    * content, not a duplicate.
+    */
+  private[ext] def tokenized(df: DataFrame, idCol: String, textCol: String,
+      route: Option[CharGramRouting] = None): DataFrame =
+    route match {
+      case None =>
+        df.select(col(idCol),
+          graft.functions.text.tokens(col(textCol)).as("__toks"),
+          lit(false).as("__routed"))
+      case Some(r) =>
+        val routed =
+          graft.functions.text.unspacedRatio(col(textCol)) > r.routeAbove
+        // split on the empty pattern emits one element per code point
+        // plus boundary empties (Java split semantics, limit -1);
+        // array_remove drops them codegen-side — no interpreted HOF
+        val charToks = array_remove(
+          split(regexp_replace(lower(col(textCol)), "\\s+", ""), ""), "")
+        df.select(col(idCol),
+          when(routed, charToks)
+            .otherwise(graft.functions.text.tokens(col(textCol)))
+            .as("__toks"),
+          coalesce(routed, lit(false)).as("__routed"))
+    }
 
   /** Row-local window generation over [[tokenized]] output:
-    * `(idCol, __start, win)` — one row per window OCCURRENCE.
+    * `(idCol, __start, win)` — one row per window OCCURRENCE. Word-path
+    * windows join tokens with one space; routed (code-point) windows
+    * concatenate bare — the contiguous `windowTokens`-char run of the
+    * stripped text, exactly what a SQL oracle replays with
+    * `substring(norm, i, windowTokens)`.
     */
   private[ext] def windowStarts(
       toks: DataFrame, idCol: String, windowTokens: Int): DataFrame = {
     import org.apache.spark.sql.functions.{size => arrayLen}
+    val win = slice(col("__toks"), col("__start") + 1, lit(windowTokens))
     toks
       .where(arrayLen(col("__toks")) >= windowTokens)
-      .select(col(idCol), col("__toks"),
+      .select(col(idCol), col("__toks"), col("__routed"),
         posexplode(sequence(lit(0), arrayLen(col("__toks")) - windowTokens, lit(1)))
           .as(Seq("__i", "__start")))
       .select(col(idCol), col("__start"),
-        concat_ws(" ",
-          slice(col("__toks"), col("__start") + 1, lit(windowTokens))).as("win"))
+        when(col("__routed"), array_join(win, ""))
+          .otherwise(concat_ws(" ", win)).as("win"))
   }
 
   /** Rebuild text from `toks` minus the `windowTokens`-wide spans at
     * `__starts` (per-id start arrays): the shared apply-step tail —
     * row-local span union (`array_except` is hash-set backed) and token
-    * rejoin, `(idCol, clean_text, n_total, n_kept)` out.
+    * rejoin, `(idCol, clean_text, n_total, n_kept)` out. Routed rows
+    * rejoin their surviving code points with NO separator (their "word"
+    * unit is the character) and count positions in code points —
+    * `n_total`/`n_kept` are in each document's OWN token currency, the
+    * [[graft.functions.text.segTokenCount]] convention.
     */
   private def rebuildWithoutSpans(
       toks: DataFrame, starts: DataFrame, idCol: String,
@@ -842,10 +911,11 @@ object Dedup {
       .otherwise(array_except(
         sequence(lit(0), arrayLen(col("__toks")) - 1, lit(1)),
         coalesce(covered, array().cast("array<int>"))))
+    val keptToks = transform(keptPos, p => element_at(col("__toks"), p + 1))
     toks.join(starts, Seq(idCol), "left")
       .select(col(idCol),
-        array_join(transform(keptPos,
-          p => element_at(col("__toks"), p + 1)), " ").as("clean_text"),
+        when(col("__routed"), array_join(keptToks, ""))
+          .otherwise(array_join(keptToks, " ")).as("clean_text"),
         coalesce(arrayLen(col("__toks")), lit(0)).cast("long").as("n_total"),
         arrayLen(keptPos).cast("long").as("n_kept"))
   }
@@ -1047,13 +1117,15 @@ object Dedup {
   def allPairsJaccard(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.6, shingleK: Int = 3,
-      maxDf: Long = Long.MaxValue): DataFrame = {
+      maxDf: Long = Long.MaxValue,
+      adviseAbove: Long = DefaultAdviseCandidates,
+      failAbove: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     require(maxDf >= 1, "maxDf must be at least 1")
     require(shingleK >= 1, "shingleK must be at least 1")
     allPairsOnClusters(
       allPairsClusters(df, idCol, textCol, threshold, shingleK),
-      threshold, maxDf)
+      threshold, maxDf, adviseAbove, failAbove)
   }
 
   /** SCRIPT-AWARE exact all-pairs Jaccard: per-document routing between
@@ -1074,7 +1146,9 @@ object Dedup {
   def scriptAwareJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.6, wordK: Int = 3, charN: Int = 5,
-      routeAbove: Double = 0.3, maxDf: Long = Long.MaxValue): DataFrame = {
+      routeAbove: Double = 0.3, maxDf: Long = Long.MaxValue,
+      adviseAbove: Long = DefaultAdviseCandidates,
+      failAbove: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     require(maxDf >= 1, "maxDf must be at least 1")
     require(wordK >= 1, "wordK must be at least 1")
@@ -1085,7 +1159,7 @@ object Dedup {
       clustersOfSets(
         scriptAwareShingleSets(df, idCol, textCol, wordK, charN, routeAbove),
         threshold),
-      threshold, maxDf)
+      threshold, maxDf, adviseAbove, failAbove)
   }
 
   /** The AllPairs pair engine over a prebuilt cluster frame — shared by
@@ -1093,7 +1167,9 @@ object Dedup {
     * bound, the cap and the verify can never diverge between them.
     */
   private def allPairsOnClusters(
-      clusters: DataFrame, threshold: Double, maxDf: Long): DataFrame = {
+      clusters: DataFrame, threshold: Double, maxDf: Long,
+      adviseAbove: Long = DefaultAdviseCandidates,
+      failAbove: Boolean = false): DataFrame = {
     // within-cluster pairs: identical sets, jaccard exactly 1.0
     val within = clusters.where(size(col("members")) >= 2)
       .select(explode(col("members")).as("id_l"), col("members"))
@@ -1102,8 +1178,14 @@ object Dedup {
       .select(col("id_l"), col("id_r"), lit(1.0).as("jaccard"))
     // cross-cluster: AllPairs prefix filtering over one row per DISTINCT
     // set; the ubiquity cap (capPrefix — default off, the containment
-    // convention) bounds per-token fan-out on skewed corpora
-    val prefix = capPrefix(allPairsPrefix(clusters), maxDf)
+    // convention) bounds per-token fan-out on skewed corpora.
+    // Checkpointed: the pre-flight gate's mass report and the candidate
+    // join both read the prefix blocks (one build, two consumers)
+    val prefix = capPrefix(allPairsPrefix(clusters), maxDf).localCheckpoint()
+    // default-ON pre-flight: the (post-cap) prefix mass bounds the
+    // candidate rows the equi-join below will materialize — warn/fail
+    // BEFORE the melt, the q283 advisor run by the join itself
+    gateOpenJoin(prefix, adviseAbove, failAbove, "all-pairs jaccard join")
     val cand = prefix.select(col("token"), col("rep").as("rl"), col("sz").as("__szl"))
       .join(prefix.select(col("token"), col("rep").as("rr"), col("sz").as("__szr")),
         Seq("token"))
@@ -1218,6 +1300,29 @@ object Dedup {
     * parallelism (a small corpus keeps today's plan), with a sanity
     * ceiling far above any real candidate frame's need.
     */
+  /** Byte budget for broadcasting the batch-derived sides of the probe
+    * joins, derived from the DRIVER heap (the broadcast hash relation is
+    * built there, and JVM hash-relation overhead multiplies the
+    * estimated payload ~2-3x): a quarter of `spark.driver.memory`,
+    * an eighth of `spark.driver.memory` (a 1g default driver gates at
+    * 128 MB, where the previous hard-coded 256 MB constant — ADVICE
+    * r15 — sat at the OOM edge), capped at 256 MB (the measured-safe
+    * ceiling on this harness's large-heap session). Callers override
+    * per call via the probes' `broadcastBudget` parameter;
+    * `spark.sql.autoBroadcastJoinThreshold` is deliberately NOT the
+    * source — its 10 MB default tunes AUTOMATIC planning, while this
+    * gate broadcasts frames it has MEASURED, a different risk model.
+    */
+  private[graft] def probeBroadcastBudget(
+      spark: org.apache.spark.sql.SparkSession): Long = {
+    // when spark.driver.memory is unset (local mode, embedded sessions)
+    // the driver heap is THIS JVM's -Xmx — Runtime.maxMemory, passed as
+    // a plain byte count default
+    val driverBytes = spark.sparkContext.getConf.getSizeAsBytes(
+      "spark.driver.memory", Runtime.getRuntime.maxMemory().toString)
+    math.min(256L * 1024 * 1024, driverBytes / 8)
+  }
+
   private[graft] def verifyPartitionsFor(
       nCand: Long, avgSetSize: Double, defaultParallelism: Int): Int = {
     val bytesPerCand = 2.0 * 8.0 * math.max(avgSetSize, 0.0) + 48.0
@@ -1246,7 +1351,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       tau: Double = 0.9, shingleK: Int = 3,
       maxDf: Long = Long.MaxValue,
-      route: Option[CharGramRouting] = None): DataFrame = {
+      route: Option[CharGramRouting] = None,
+      adviseAbove: Long = DefaultAdviseCandidates,
+      failAbove: Boolean = false): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
     require(maxDf >= 1, "maxDf must be at least 1")
     require(shingleK >= 1, "shingleK must be at least 1")
@@ -1258,9 +1365,16 @@ object Dedup {
     val dfreq = postings.groupBy(col("token")).agg(count(lit(1)).as("__df"))
     // shared rarest-first prefix (see containmentPrefix for the bound);
     // the ubiquity cap (see capPrefix) bounds per-token fan-out on
-    // skewed corpora — default off, zero-false-negative preserved
-    val prefix = capPrefix(containmentPrefix(docs, dfreq, tau), maxDf)
-      .select(col("doc").as("dl"), col("token"))
+    // skewed corpora — default off, zero-false-negative preserved.
+    // Checkpointed: the pre-flight gate and the candidate join both
+    // read the prefix blocks (one build, two consumers)
+    val gatedPrefix = capPrefix(containmentPrefix(docs, dfreq, tau), maxDf)
+      .localCheckpoint()
+    // default-ON pre-flight (the q283 advisor run by the join itself):
+    // post-cap prefix mass bounds the generation stage — warn/fail
+    // BEFORE the measured 46x-on-25x-skew melt, never after
+    gateOpenJoin(gatedPrefix, adviseAbove, failAbove, "containment join")
+    val prefix = gatedPrefix.select(col("doc").as("dl"), col("token"))
     // the candidate frame is the natural barrier between generation and
     // verification: materialize it (id pairs only — orders smaller than
     // the corpus) so its COUNT can size the verify-stage shuffles; the
@@ -1412,6 +1526,43 @@ object Dedup {
       .withColumn("advise_cap", col("candidates_est") > maxCandidates)
   }
 
+  /** Default pre-flight bound for the OPEN pair joins: at ~1e8 generated
+    * candidate rows the verify stage still sizes comfortably
+    * ([[verifyPartitionsFor]]: ~3k partitions at 200-token sets), while
+    * the measured melts (q266 at 46x, q281 at 42x on 25x data) blew past
+    * it by orders of magnitude — the bound separates "large but planned"
+    * from "quadratic blow-up" with a wide margin on both sides.
+    */
+  val DefaultAdviseCandidates: Long = 100000000L
+
+  /** The pre-flight gate the OPEN exact faces run BY DEFAULT (round-16
+    * verdict: the measured 46x/42x melts must be impossible to hit
+    * silently): one bounded mass report over the join's OWN prefix frame
+    * — the exact generation-stage upper bound, not an estimate of
+    * something else — warning on stderr above `adviseAbove`, throwing
+    * instead under `failAbove`. The prefix frame arrives checkpointed,
+    * so the report costs two bounded aggregations, never a corpus
+    * recompute, and the join that follows reuses the same blocks.
+    */
+  private def gateOpenJoin(
+      prefix: DataFrame, adviseAbove: Long, failAbove: Boolean,
+      what: String): Unit = {
+    require(adviseAbove >= 1, "adviseAbove must be at least 1")
+    val row = prefixMassReport(prefix, adviseAbove).head()
+    if (row.getAs[Boolean]("advise_cap")) {
+      val msg = s"$what pre-flight: estimated candidate mass " +
+        s"${row.getAs[Long]("candidates_est")} exceeds $adviseAbove " +
+        s"(hottest token df ${row.getAs[Any]("hot_df")}, mass " +
+        s"${row.getAs[Any]("hot_mass")}) — the open join melts " +
+        "super-linearly on skewed/gram-common corpora; run with a maxDf " +
+        "ubiquity cap (review the cap audit for the recall trade), raise " +
+        "adviseAbove if this mass is planned, or set failAbove=false " +
+        "explicitly to proceed"
+      if (failAbove) throw new IllegalStateException(msg)
+      System.err.println(s"[graft] WARN $msg")
+    }
+  }
+
   /** PRE-FLIGHT advisor for the open containment self-join (the q240
     * join-skew-advisor convention applied to the screen family): bound
     * the candidate mass the [[containmentPairs]] prefix join would
@@ -1446,13 +1597,17 @@ object Dedup {
   def containmentProbeAdvisor(
       incoming: DataFrame, state: ContainmentState,
       idCol: String, textCol: String,
-      tau: Double = 0.9, shingleK: Int = 3,
-      maxCandidates: Long = 100000000L,
-      route: Option[CharGramRouting] = None): DataFrame = {
+      tau: Double = 0.9, shingleK: Int = 0,
+      maxCandidates: Long = 100000000L): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
-    require(shingleK >= 1, "shingleK must be at least 1")
     require(maxCandidates >= 1, "maxCandidates must be at least 1")
-    val inc = portableSets(incoming, idCol, textCol, shingleK, route)
+    // shingling from the state (the containmentProbe contract) so the
+    // advisor measures exactly the mass the probe it advises would run
+    require(shingleK == 0 || shingleK == state.shingleK,
+      s"advisor shingleK=$shingleK but the state was built with " +
+        s"shingleK=${state.shingleK} — pass 0 (or omit) to use the state's")
+    val inc = portableSets(incoming, idCol, textCol, state.shingleK,
+      state.route)
     prefixMassReport(
       containmentPrefix(inc, state.dfreq, tau), maxCandidates)
   }
@@ -1468,9 +1623,13 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       tau: Double = 0.9, shingleK: Int = 3,
       maxCandidates: Long = 100000000L,
-      failAbove: Boolean = false): org.apache.spark.sql.Row = {
+      failAbove: Boolean = false,
+      route: Option[CharGramRouting] = None): org.apache.spark.sql.Row = {
+    // route forwards so a ROUTED pipeline's gate measures the routed
+    // char-gram candidate mass, not the (materially lower) word-shingle
+    // mass — char-gram dfs run ~5x higher on the q286 fixture geometry
     val row = containmentJoinAdvisor(df, idCol, textCol, tau, shingleK,
-      maxCandidates).head()
+      maxCandidates, route).head()
     if (row.getAs[Boolean]("advise_cap")) {
       val msg = s"containment join pre-flight: estimated candidate mass " +
         s"${row.getAs[Long]("candidates_est")} exceeds $maxCandidates " +
@@ -1507,9 +1666,17 @@ object Dedup {
     * should bound drift via `refreshDfreqAbove`. `staleDocs` counts
     * documents appended since `dfreq` was last built and persists with
     * the state.
+    *
+    * `shingleK` and `route` ride IN the state (the [[ResemblanceState]]
+    * convention, round 16): probes and appends derive their shingling
+    * from the state instead of per-call arguments — a mismatched re-pass
+    * would build gram sets that never intersect the state's and silently
+    * pass every duplicate, the exact failure mode the persisted-state
+    * manifests guard against on disk.
     */
   final case class ContainmentState(
-      sets: DataFrame, dfreq: DataFrame, staleDocs: Long = 0L)
+      sets: DataFrame, dfreq: DataFrame, staleDocs: Long = 0L,
+      shingleK: Int = 3, route: Option[CharGramRouting] = None)
 
   /** Append an arriving batch to a standing [[ContainmentState]] — the
     * O(batch + union) ingest step of the containment screen. `dfreq` is
@@ -1522,25 +1689,37 @@ object Dedup {
     * returned sets frame is checkpointed (append chains must not stack
     * union lineage over the corpus).
     *
-    * RETRY-SAFE: doc ids already in the state are dropped from the
-    * batch before the union, so re-appending the same batch (a retried
-    * ingest step) is a no-op — without the guard a replay silently
-    * duplicated `sets` rows, doubling probe hits, `nTotal`, and every
-    * refreshed df count. The anti-join keys on the batch-sized side;
-    * its cost is one id-column pass over the standing sets, already
-    * paid by the union materialization in the same job.
+    * RETRY-SAFE via KEEP-FIRST ids: doc ids already in the state are
+    * dropped from the batch before the union, so re-appending the same
+    * batch (a retried ingest step) is a no-op — without the guard a
+    * replay silently duplicated `sets` rows, doubling probe hits,
+    * `nTotal`, and every refreshed df count. The SAME guard means a
+    * re-ingest of an existing id with CHANGED text is also ignored (the
+    * first write wins and its shingle set keeps serving probes): the id
+    * is the state's identity key, so mutated content needs a new id or
+    * a state rebuild — deliberate, because distinguishing "replay" from
+    * "mutation" would cost a content comparison against the full
+    * standing sets on every append. The anti-join keys on the
+    * batch-sized side; its cost is one id-column pass over the standing
+    * sets, already paid by the union materialization in the same job.
     */
   def appendContainmentState(
       state: ContainmentState, incoming: DataFrame,
-      idCol: String, textCol: String, shingleK: Int = 3,
-      refreshDfreqAbove: Double = 0.2,
-      route: Option[CharGramRouting] = None): ContainmentState = {
+      idCol: String, textCol: String, shingleK: Int = 0,
+      refreshDfreqAbove: Double = 0.2): ContainmentState = {
     require(refreshDfreqAbove >= 0.0, "refreshDfreqAbove must be >= 0")
+    // shingling derives FROM THE STATE (its scaladoc contract); an
+    // explicit shingleK is only accepted when it agrees — a mismatch
+    // must fail loudly, never shingle incompatibly
+    require(shingleK == 0 || shingleK == state.shingleK,
+      s"append shingleK=$shingleK but the state was built with " +
+        s"shingleK=${state.shingleK} — pass 0 (or omit) to use the state's")
     // checkpoint the BATCH (post-guard) first: the union materialization
     // and the batch count below both read the stored blocks — without
     // this the incoming shingle pipeline (scan + tokenize + md5 +
     // groupBy + anti-join) would execute twice per append
-    val inc = portableSets(incoming, idCol, textCol, shingleK, route)
+    val inc = portableSets(incoming, idCol, textCol, state.shingleK,
+        state.route)
       .join(state.sets.select(col("doc")), Seq("doc"), "left_anti")
       .localCheckpoint(true)
     val sets = state.sets.unionByName(inc).localCheckpoint(true)
@@ -1548,8 +1727,9 @@ object Dedup {
     val nInc = inc.count()
     val stale = state.staleDocs + nInc
     if (nTotal > 0 && stale.toDouble / nTotal > refreshDfreqAbove)
-      ContainmentState(sets, dfreqOf(sets).localCheckpoint(true), 0L)
-    else ContainmentState(sets, state.dfreq, stale)
+      ContainmentState(sets, dfreqOf(sets).localCheckpoint(true), 0L,
+        state.shingleK, state.route)
+    else ContainmentState(sets, state.dfreq, stale, state.shingleK, state.route)
   }
 
   private def dfreqOf(sets: DataFrame): DataFrame =
@@ -1562,7 +1742,7 @@ object Dedup {
       shingleK: Int = 3,
       route: Option[CharGramRouting] = None): ContainmentState = {
     val sets = portableSets(df, idCol, textCol, shingleK, route)
-    ContainmentState(sets, dfreqOf(sets))
+    ContainmentState(sets, dfreqOf(sets), 0L, shingleK, route)
   }
 
   /** [[containmentState]] with both frames eagerly checkpointed and the
@@ -1577,7 +1757,8 @@ object Dedup {
       route: Option[CharGramRouting] = None): ContainmentState = {
     val sets = portableSets(df, idCol, textCol, shingleK, route)
       .localCheckpoint(true)
-    ContainmentState(sets, dfreqOf(sets).localCheckpoint(true))
+    ContainmentState(sets, dfreqOf(sets).localCheckpoint(true), 0L,
+      shingleK, route)
   }
 
   /** The parameters a persisted [[ContainmentState]] was built with —
@@ -1640,7 +1821,8 @@ object Dedup {
             java.nio.charset.StandardCharsets.UTF_8).trim.toLong
         else 0L
       Some(ContainmentState(spark.read.parquet(s"$dir/sets"),
-        spark.read.parquet(s"$dir/dfreq"), stale))
+        spark.read.parquet(s"$dir/dfreq"), stale,
+        expect.shingleK, expect.route))
     }
   }
 
@@ -1664,12 +1846,19 @@ object Dedup {
   def containmentProbe(
       incoming: DataFrame, state: ContainmentState,
       idCol: String, textCol: String,
-      tau: Double = 0.9, shingleK: Int = 3,
+      tau: Double = 0.9, shingleK: Int = 0,
       maxDf: Long = Long.MaxValue,
-      route: Option[CharGramRouting] = None): DataFrame = {
+      broadcastBudget: Option[Long] = None): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
     require(maxDf >= 1, "maxDf must be at least 1")
-    val inc = portableSets(incoming, idCol, textCol, shingleK, route)
+    // incoming shingles under the STATE's shingleK and routing (its
+    // scaladoc contract — a mismatched re-pass silently finds nothing);
+    // an explicit shingleK is accepted only when it agrees, 0 = derive
+    require(shingleK == 0 || shingleK == state.shingleK,
+      s"probe shingleK=$shingleK but the state was built with " +
+        s"shingleK=${state.shingleK} — pass 0 (or omit) to use the state's")
+    val inc = portableSets(incoming, idCol, textCol, state.shingleK,
+        state.route)
       .localCheckpoint() // feeds the prefix pass and the verify side once
     // corpus-sized frames come FROM THE STATE as built: per-call work is
     // batch-sized only — a streaming screen must never re-checkpoint the
@@ -1706,7 +1895,8 @@ object Dedup {
     val stats = prefix.agg(count(lit(1)), coalesce(sum(col("__df")), lit(0L)),
       coalesce(avg(col("sz")), lit(0.0))).head()
     val avgSz = stats.getDouble(2)
-    val budget = 256L * 1024 * 1024
+    val budget = broadcastBudget
+      .getOrElse(probeBroadcastBudget(incoming.sparkSession))
     val bcast = stats.getLong(0) * 48 <= budget &&
       (stats.getLong(1) * (avgSz * 8 + 48)).toLong <= budget
     val prefixJoin = prefix.select(col("din"), col("token"))
@@ -1946,7 +2136,8 @@ object Dedup {
   def jaccardProbe(
       incoming: DataFrame, state: ResemblanceState,
       idCol: String, textCol: String,
-      maxDf: Long = Long.MaxValue): DataFrame = {
+      maxDf: Long = Long.MaxValue,
+      broadcastBudget: Option[Long] = None): DataFrame = {
     require(maxDf >= 1, "maxDf must be at least 1")
     // incoming shingles under the STATE's routing — routed and unrouted
     // gram sets never intersect correctly, so the choice is a state
@@ -1976,7 +2167,8 @@ object Dedup {
       coalesce(sum(col("__df")), lit(0L)),
       coalesce(avg(col("__szi")), lit(0.0))).head()
     val avgSz = stats.getDouble(2)
-    val budget = 256L * 1024 * 1024
+    val budget = broadcastBudget
+      .getOrElse(probeBroadcastBudget(incoming.sparkSession))
     val bcast = stats.getLong(0) * 56 <= budget &&
       (stats.getLong(1) * (avgSz * 8 + 48)).toLong <= budget
     val incJoin = incPrefix.select(col("din"), col("__szi"), col("token"))

@@ -152,7 +152,7 @@ object CorpusStreams {
             // index ALL seen docs (see class doc)
             state = Some(state.fold(incCk) { st =>
               Dedup.MinhashState(st.sets.union(incCk.sets),
-                st.buckets.union(incCk.buckets))
+                st.buckets.union(incCk.buckets), st.params)
             })
             // the accumulated index is a left-deep union of checkpointed
             // leaves; the UNION's plan depth still grows with batch count, so
@@ -161,7 +161,8 @@ object CorpusStreams {
             batchesSinceCheckpoint += 1
             if (batchesSinceCheckpoint >= checkpointEvery) {
               state = state.map(st => Dedup.MinhashState(
-                st.sets.localCheckpoint(true), st.buckets.localCheckpoint(true)))
+                st.sets.localCheckpoint(true), st.buckets.localCheckpoint(true),
+                st.params))
               batchesSinceCheckpoint = 0
             }
           } finally b.unpersist()

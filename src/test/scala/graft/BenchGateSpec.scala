@@ -161,5 +161,26 @@ class BenchGateSpec extends AnyFunSuite {
     val whole =
       """{"n": 15, "rc": 0, "tail": "...\"queries_csv\":\"1.42,0.33,12.05\",\"value\":9.9}"}"""
     assert(Bench.parseQueriesCsv(whole)("q03") == 12.05)
+    // clip landing EXACTLY after a comma: the dangling fragment is the
+    // empty string — split must keep it (limit -1) so dropRight discards
+    // IT and not the last fully-intact floor (ADVICE r15)
+    val commaClipped =
+      """{"n": 15, "rc": 0, "tail": "...\"queries_csv\":\"1.42,0.33,"""
+    assert(Bench.parseQueriesCsv(commaClipped) ==
+      Map("q01" -> 1.42, "q02" -> 0.33),
+      "a comma-boundary clip must not cost the last intact element")
+  }
+
+  test("chosen attempt is the min-load-variance one (r16 verdict #3)") {
+    // the r15 incident: variances [3.58, 17.35, 2.38] — the old chooser
+    // keyed on per-attempt inflation flags first and picked attempt 1
+    // (506 s) over attempt 3 (448 s), a 13%-pessimistic headline
+    assert(Bench.chooseAttemptIdx(Seq(3.58, 17.35, 2.38)) == 2)
+    // ties break to the earliest attempt; a failed canary (negative) is
+    // never chosen while any attempt has a real variance
+    assert(Bench.chooseAttemptIdx(Seq(1.2, 1.2, 3.0)) == 0)
+    assert(Bench.chooseAttemptIdx(Seq(-1.0, 2.4)) == 1)
+    assert(Bench.chooseAttemptIdx(Seq(-1.0, -1.0)) == 0,
+      "all canaries failed -> first attempt, not an exception")
   }
 }

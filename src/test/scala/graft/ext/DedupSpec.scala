@@ -95,8 +95,14 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.loadContainmentState(spark, cdir,
       Dedup.ContainmentParams(3, route)).isDefined)
     val quote = Seq((20L, poem.take(14))).toDF("doc_id", "text")
+    // routing derives from the STATE (ADVICE r15: per-call re-pass was a
+    // silent-mismatch hazard); an explicit shingleK must AGREE or fail
+    intercept[IllegalArgumentException] {
+      Dedup.containmentProbe(quote, cst, "doc_id", "text",
+        tau = 0.8, shingleK = 5)
+    }
     val chits = Dedup.containmentProbe(quote, cst, "doc_id", "text",
-        tau = 0.8, shingleK = 3, route = route)
+        tau = 0.8)
       .select("id_in", "id_host").as[(Long, Long)].collect().toSet
     // host 3 is the stray-space twin of host 1 — whitespace strips away
     // on the routed path, so the quote is contained in BOTH
@@ -141,9 +147,10 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
     val loaded = Dedup.loadMinhashState(spark, dir, params)
       .getOrElse(fail("saved state not loadable"))
+    // signature params ride in the loaded state (ADVICE r15) — the probe
+    // derives its pipeline from them, no per-call re-pass to drift
     val viaLoaded = Dedup.minhashDedupAgainst(incoming, loaded, "doc_id",
-      "text", threshold = 0.5, numHashes = 64, bands = 16, shingleK = 3,
-      maxBucket = 1000, route = None)
+      "text", threshold = 0.5, maxBucket = 1000)
       .select("doc_id").as[Long].collect().toSet
     assert(viaLoaded == inline && inline == Set(3L))
   }
