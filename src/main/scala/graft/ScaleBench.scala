@@ -106,7 +106,16 @@ object ScaleBench {
     // should stay sub-linear here
     "q288_cjk_dedup_minhash",
     "q284_resemblance_probe_persisted",
-    "q283_containment_advisor")
+    "q283_containment_advisor",
+    // round 16: routed exact-substring (q107's CJK-blindness closed) —
+    // window-equi-join with the maxBucket guard, so boilerplate skew
+    // should collapse by content like the word face; the gram-common
+    // replica caveat (q281) does NOT apply here (exact windows, not
+    // char-gram dfs: token-suffix replicas share NO 12-token word
+    // window, and Han twins of suffixed tokens share only interior
+    // char runs — expect between-iso-and-q281 growth, read against
+    // the q107 row)
+    "q289_cjk_substring")
 
   /** Build the `replicas`x corpus: isomorphic token-suffixed document
     * replicas and coordinate-rotated embedding replicas. Id offsets are

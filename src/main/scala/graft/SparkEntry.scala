@@ -3452,6 +3452,36 @@ $fin"""
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    "q289_cjk_substring" -> ((s, d) => {
+      // exact-substring pairs made script-aware (round-16 verdict #1 —
+      // the last CJK-blind screen): the whitespace tokenizer glues each
+      // unspaced doc into ONE mega-token, so the word path yields NO
+      // windows for the Han half of the q281 corpus and its duplicated
+      // runs were invisible to q107. Routing windows unspaced docs over
+      // 12 consecutive CODE POINTS of their stripped lowercase text (the
+      // segTokenCount unit) — routed windows carry no space, word
+      // windows always do, so the families never cross-join. Oracle
+      // replays detection, BOTH window paths, the size guard and the
+      // pair join
+      Dedup.exactSubstringPairs(cjkCorpus(s, d), "doc_id", "text",
+          windowTokens = 12, route = Some(Dedup.CharGramRouting()))
+        .orderBy("id_l", "id_r")
+    }),
+
+    "q290_cjk_substring_apply" -> ((s, d) => {
+      // the APPLY step under routing: keep-first window claims span BOTH
+      // token units (min doc id over the unified window table), higher
+      // ids lose every covered position, and routed docs rebuild by
+      // rejoining surviving code points with NO separator —
+      // n_total/n_kept count each doc's OWN token currency (words vs
+      // code points, the q282 budget convention)
+      Dedup.exactSubstringDedup(cjkCorpus(s, d), "doc_id", "text",
+          windowTokens = 12, route = Some(Dedup.CharGramRouting()))
+        .select(col("doc_id"), md5(col("clean_text")).as("h"),
+          col("n_total"), col("n_kept"))
+        .orderBy("doc_id")
+    }),
+
     "q287_langid_aware" -> ((s, d) => {
       // script-aware language ID over the q281 mixed corpus: unspaced
       // docs identify by SCRIPT (the Han half reads "zh" — every one of
@@ -7882,6 +7912,113 @@ $fin"""
          SELECT doc_id FROM corpus
          WHERE doc_id NOT IN (SELECT id_r FROM dup)
          ORDER BY doc_id""",
+
+    // full replay of routed exact-substring pairs: the q281 corpus +
+    // detector CTEs, then per branch the window build — routed docs as
+    // 12-code-point substrings of their ws-stripped lowered text, word
+    // docs as the q107 12-token windows — one distinct window table,
+    // the <= 1000 size guard, and the pair join with shared-window counts
+    "q289_cjk_substring" ->
+      raw"""WITH corpus AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+             THEN translate(regexp_replace(lower(text), '\s+', '', 'g'),
+               'abcdefghijklmnopqrstuvwxyz', '$hanAlphabet')
+             ELSE text END AS text
+           FROM documents WHERE text IS NOT NULL),
+         rt AS (SELECT doc_id, text,
+             length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS n_un,
+             length(regexp_replace(text, '\s', '', 'g')) AS n_nonws
+           FROM corpus),
+         w AS (
+           SELECT DISTINCT doc_id, substring(norm, i, 12) AS win
+           FROM (SELECT doc_id, norm,
+                   unnest(generate_series(1, length(norm) - 11)) AS i
+                 FROM (SELECT doc_id,
+                         regexp_replace(lower(text), '\s+', '', 'g') AS norm
+                       FROM rt
+                       WHERE n_nonws > 0 AND CAST(n_un AS DOUBLE) / n_nonws > 0.3))
+           UNION ALL
+           SELECT DISTINCT doc_id, array_to_string(t[i:i+11], ' ') AS win
+           FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - 11)) AS i
+                 FROM (SELECT doc_id,
+                         list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+                           x -> x <> '') AS t
+                       FROM rt
+                       WHERE NOT (n_nonws > 0 AND CAST(n_un AS DOUBLE) / n_nonws > 0.3)))),
+         sized AS (SELECT doc_id, win FROM
+             (SELECT doc_id, win, count(*) OVER (PARTITION BY win) AS c FROM w)
+           WHERE c <= 1000)
+         SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS n_windows
+         FROM sized a JOIN sized b ON a.win = b.win AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the routed APPLY replay: unified (doc, pos, unit, routed) token
+    // table (words vs code points), keep-first window claims over the
+    // union window table (min doc id), covered positions removed from
+    // higher ids, and the rebuild per branch — words rejoin with ' ',
+    // code points with '' — hashed; n_total/n_kept in each doc's own
+    // token currency
+    "q290_cjk_substring_apply" ->
+      raw"""WITH corpus AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+             THEN translate(regexp_replace(lower(text), '\s+', '', 'g'),
+               'abcdefghijklmnopqrstuvwxyz', '$hanAlphabet')
+             ELSE text END AS text
+           FROM documents WHERE text IS NOT NULL),
+         rt AS (SELECT doc_id, text,
+             CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0
+               THEN FALSE
+               ELSE CAST(length(regexp_replace(text,
+                      '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS DOUBLE)
+                    / length(regexp_replace(text, '\s', '', 'g')) > 0.3
+             END AS routed
+           FROM corpus),
+         tokw AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+               x -> x <> '') AS t
+           FROM rt WHERE NOT routed),
+         tokc AS (SELECT doc_id,
+             regexp_replace(lower(text), '\s+', '', 'g') AS norm
+           FROM rt WHERE routed),
+         pos AS (
+           SELECT doc_id, p, t[p] AS tok, FALSE AS routed
+           FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t))) AS p FROM tokw)
+           UNION ALL
+           SELECT doc_id, p, substring(norm, p, 1) AS tok, TRUE AS routed
+           FROM (SELECT doc_id, norm,
+                   unnest(generate_series(1, length(norm))) AS p FROM tokc)),
+         w AS (
+           SELECT doc_id, i, array_to_string(t[i:i+11], ' ') AS win
+           FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - 11)) AS i FROM tokw)
+           UNION ALL
+           SELECT doc_id, i, substring(norm, i, 12) AS win
+           FROM (SELECT doc_id, norm,
+                   unnest(generate_series(1, length(norm) - 11)) AS i FROM tokc)),
+         keeper AS (SELECT win, min(doc_id) AS k FROM w GROUP BY 1),
+         dup AS (SELECT w.doc_id, w.i FROM w
+                 JOIN keeper ON w.win = keeper.win WHERE w.doc_id > keeper.k),
+         cov AS (SELECT DISTINCT doc_id,
+                   unnest(generate_series(i, i + 11)) AS p FROM dup),
+         kept AS (SELECT pos.doc_id, pos.p, pos.tok, pos.routed
+                  FROM pos LEFT JOIN cov
+                    ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+                  WHERE cov.p IS NULL),
+         agg AS (
+           SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+                  count(*) AS nk
+           FROM kept WHERE NOT routed GROUP BY doc_id
+           UNION ALL
+           SELECT doc_id, string_agg(tok, '' ORDER BY p) AS clean_text,
+                  count(*) AS nk
+           FROM kept WHERE routed GROUP BY doc_id),
+         tot AS (SELECT doc_id, count(*) AS nt FROM pos GROUP BY doc_id)
+         SELECT rt.doc_id, md5(coalesce(agg.clean_text, '')) AS h,
+           CAST(coalesce(tot.nt, 0) AS BIGINT) AS n_total,
+           CAST(coalesce(agg.nk, 0) AS BIGINT) AS n_kept
+         FROM rt LEFT JOIN tot ON rt.doc_id = tot.doc_id
+                  LEFT JOIN agg ON rt.doc_id = agg.doc_id
+         ORDER BY rt.doc_id""",
 
     // routing replay + per-branch ID: routed docs are 'zh' here because
     // Han is the ONLY unspaced script the corpus derivation introduces

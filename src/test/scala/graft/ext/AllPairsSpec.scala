@@ -533,6 +533,52 @@ class AllPairsSpec extends AnyFunSuite with SparkSpec {
       "absent tokens generate no candidates and no mass")
   }
 
+  test("open pair joins run the advisor pre-flight by default (r16 verdict #2)") {
+    // skewed corpus: 30 template stamps + varied filler — the shape whose
+    // OPEN joins measured 46x/42x wall on 25x data (SURVEY skew table)
+    val rnd = new scala.util.Random(61)
+    val vocab = (1 to 40).map(i => s"w$i")
+    val varied = (1L to 20L).map { id =>
+      (id, Seq.fill(8 + rnd.nextInt(4))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")) }
+    // templates VARY one trailing token so the identical-set collapse
+    // can't fold them into one cluster row (AllPairs set-level df must
+    // see 30 distinct sets sharing the hot tokens)
+    val skewed = varied ++ (100L to 129L).map(i =>
+      (i, s"tpl1 tpl2 tpl3 tpl4 tpl5 tpl6 tpl7 tail$i")).toSeq
+    val df = skewed.toDF("doc_id", "text")
+    // failAbove under a tiny bound: all three open faces stop BEFORE the
+    // join, naming the cap remedy
+    def mustThrow(f: => Any): Unit = {
+      val ex = intercept[IllegalStateException](f)
+      assert(ex.getMessage.contains("maxDf") &&
+        ex.getMessage.contains("candidate mass"), ex.getMessage)
+    }
+    mustThrow(Dedup.containmentPairs(df, "doc_id", "text", tau = 0.7,
+      shingleK = 1, adviseAbove = 10L, failAbove = true).count())
+    mustThrow(Dedup.allPairsJaccard(df, "doc_id", "text", threshold = 0.6,
+      shingleK = 1, adviseAbove = 10L, failAbove = true).count())
+    mustThrow(Dedup.scriptAwareJaccardPairs(df, "doc_id", "text",
+      threshold = 0.6, wordK = 1, adviseAbove = 10L, failAbove = true).count())
+    // the default (warn-only) gate changes NO results: identical frames
+    // with the gate effectively off (adviseAbove = MaxValue)
+    def pairs(adv: Long): Set[(Long, Long)] =
+      Dedup.allPairsJaccard(df, "doc_id", "text", threshold = 0.6,
+          shingleK = 1, adviseAbove = adv)
+        .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(pairs(10L) == pairs(Long.MaxValue) && pairs(10L).nonEmpty,
+      "warn-only gate must not change results")
+    def cpairs(adv: Long): Set[(Long, Long)] =
+      Dedup.containmentPairs(df, "doc_id", "text", tau = 0.7, shingleK = 1,
+          adviseAbove = adv)
+        .select("id_part", "id_whole").as[(Long, Long)].collect().toSet
+    assert(cpairs(10L) == cpairs(Long.MaxValue) && cpairs(10L).nonEmpty)
+    // the gate measures the POST-CAP prefix: a capped run whose mass sits
+    // under the bound passes failAbove even on the skewed corpus
+    Dedup.containmentPairs(df, "doc_id", "text", tau = 0.7, shingleK = 1,
+      maxDf = 2, adviseAbove = 200L, failAbove = true).count()
+  }
+
   test("containment ubiquity cap is loud: audit names every capped prefix token") {
     // a 2-word boilerplate part sits inside three hosts; its entire
     // prefix (floor(0.2*2)+2 = 2 tokens) is corpus-frequent

@@ -370,6 +370,60 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(out(4L)._2 == "nothing shared with anyone here" && out(4L)._4 == 5)
   }
 
+  test("routed exact-substring: word path blind on CJK, routed path finds and cleans") {
+    val run = "春眠不覚暁処処聞啼鳥夜来風雨声" // 15 ideographs
+    val d = Seq(
+      (1L, run + "花落知多少"),   // claims the run (min id)
+      (2L, "床前明月光" + run),   // shares it — 8 char-8-windows
+      (3L, "合成された日本語の試験文書であり漢字と仮名が混在している"), // disjoint CJK
+      (4L, base),                              // spaced pair rides along:
+      (5L, base + " extra tail words here")    // shares every base window
+    ).toDF("doc_id", "text")
+    val route = Some(Dedup.CharGramRouting())
+    // word path: each CJK doc is ONE whitespace token -> no windows ->
+    // the duplicated run is invisible (the q107 blindness)
+    val blind = Dedup.exactSubstringPairs(d, "doc_id", "text",
+        windowTokens = 8)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(!blind.contains((1L, 2L)), s"word path can't see char runs: $blind")
+    assert(blind.contains((4L, 5L)), "word pair must be found either way")
+    // routed: 8-code-point windows find the shared 15-char run (8 distinct
+    // windows), nothing pairs with the disjoint doc, word pair unchanged
+    val routedPairs = Dedup.exactSubstringPairs(d, "doc_id", "text",
+        windowTokens = 8, route = route)
+      .select("id_l", "id_r", "n_windows")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(routedPairs.get((1L, 2L)).contains(8L),
+      s"15-char shared run = 8 distinct 8-windows: $routedPairs")
+    assert(!routedPairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    val wordCount = Dedup.exactSubstringPairs(d, "doc_id", "text",
+        windowTokens = 8)
+      .where(col("id_l") === 4L && col("id_r") === 5L)
+      .select("n_windows").as[Long].head()
+    assert(routedPairs.get((4L, 5L)).contains(wordCount),
+      "spaced-script pair counts must be bit-unchanged under routing")
+    // APPLY: doc 1 (min id) claims the run and keeps everything; doc 2
+    // loses exactly the covered code points and rejoins with NO separator
+    val out = Dedup.exactSubstringDedup(d, "doc_id", "text",
+        windowTokens = 8, route = route)
+      .select("doc_id", "clean_text", "n_total", "n_kept")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == run + "花落知多少" && out(1L)._3 == out(1L)._4)
+    assert(out(2L)._2 == "床前明月光" && out(2L)._3 == 20 && out(2L)._4 == 5,
+      s"doc 2 must keep only its unique prefix: ${out(2L)}")
+    // n_total counts each doc's OWN token unit: code points when routed
+    assert(out(3L)._3 == 28 && out(3L)._4 == 28)
+    // incremental face: the standing index built WITH the route cleans
+    // an arriving routed batch identically to the one-shot
+    val idx = Dedup.exactSubstringWindows(d.where(col("doc_id") === 1L),
+      "doc_id", "text", windowTokens = 8, route = route)
+    val incr = Dedup.exactSubstringDedupAgainst(
+        d.where(col("doc_id") === 2L), idx, "doc_id", "text",
+        windowTokens = 8, route = route)
+      .select("clean_text").as[String].head()
+    assert(incr == "床前明月光", s"incremental routed clean diverged: $incr")
+  }
+
   test("exactSubstringDedupAgainst: incremental chain equals the one-shot run") {
     // three arrival slices with ascending ids; each batch cleans against
     // the windows of everything before it, and the index unions forward —
