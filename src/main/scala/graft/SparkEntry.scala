@@ -2762,7 +2762,10 @@ $fin"""
       val name = s"graft_stream_kmv_${streamCounter.incrementAndGet()}"
       EventStreams.distinctEstimateStreaming(s, s"$d/events.parquet",
           "event_type", "user_id", name, k = 16,
-          shufflePartitions = Some(8))
+          shufflePartitions = Some(8),
+          // declared bound LIVE in the battery (r16 verdict #5): state is
+          // |event_type| rows of k longs — generous headroom, loud breach
+          maxStateRows = 1000L)
         .orderBy("event_type")
     }),
 
@@ -3607,13 +3610,28 @@ $fin"""
       // (sets + df + host prefixes) is frozen, each micro-batch probes
       // independently (a doc's result is row-local given the state), so
       // the streamed frame equals the batch probe under any cut and
-      // q278's oracle gates it verbatim
+      // q278's oracle gates it verbatim. The state comes from the q285
+      // scratch-persisted convention (round-16 verdict #6: rebuilding +
+      // checkpointing the three corpus frames per invocation was the
+      // battery's 6.5-7.3 s tail — the build is a ONCE-per-corpus cost
+      // by the state's own contract, and the fresh-build composition
+      // stays covered by q278's in-query build and CorpusStreamsSpec);
+      // same salt as q285, so the two probes share one on-disk state
       import graft.streaming.CorpusStreams
       val (standing, incoming) = resemblanceSlices(s, d)
       val staged = graft.io.TextTables.scratchDir("resemb_in", d)
       incoming.repartition(2).write.mode("overwrite").parquet(staged)
-      val state = Dedup.resemblanceStateCheckpointed(
-        standing, "doc_id", "text", threshold = 0.6, shingleK = 3)
+      val params = Dedup.ResemblanceParams(0.6, 3)
+      val stateDir = graft.io.TextTables.scratchDir("resemb_state", d,
+        graft.io.TextTables.sourceFingerprint(s"$d/documents.parquet")
+          + ";" + params.encoded)
+      new java.io.File(stateDir).mkdirs()
+      val state = Dedup.loadResemblanceState(s, stateDir, params).getOrElse {
+        Dedup.saveResemblanceState(
+          Dedup.resemblanceStateCheckpointed(standing, "doc_id", "text",
+            threshold = 0.6, shingleK = 3), stateDir)
+        Dedup.loadResemblanceState(s, stateDir, params).get
+      }
       val name = s"graft_stream_resemb_${streamCounter.incrementAndGet()}"
       CorpusStreams.resemblanceProbeStreaming(s, staged, "doc_id", "text",
           state, name, shufflePartitions = Some(4))
@@ -4109,7 +4127,9 @@ $fin"""
       val name = s"graft_stream_auc_${streamCounter.incrementAndGet()}"
       CorpusStreams.classifierAucStreaming(s, staged, "text", w, bias,
           "source", col("lang") === lit("en"), name,
-          shufflePartitions = Some(4))
+          shufflePartitions = Some(4),
+          // declared bound live: |sources| x 801 bins x 2 label counts
+          maxStateRows = 100000L)
         .orderBy("source")
     }),
 
@@ -4614,7 +4634,9 @@ $fin"""
         "event_id", cuts = Seq(mid))
       val name = s"graft_stream_hll_${streamCounter.incrementAndGet()}"
       CorpusStreams.hllRegistersStreaming(s, staged, "event_type", "user_id",
-          name, p = 6, shufflePartitions = Some(8))
+          name, p = 6, shufflePartitions = Some(8),
+          // declared bound live: |event_type| x 2^6 register rows
+          maxStateRows = 10000L)
         .orderBy("event_type", "register")
     }),
 

@@ -14,6 +14,8 @@ import org.apache.spark.sql.types.{DoubleType, StructType}
   * Divergence (documented): the reference errors on a leading null
   * (`zoo::na.locf` drops it, then lengths mismatch). We define leading nulls
   * to REMAIN null (the `ignoreNulls` convention) — strictly more total.
+  * `strict = true` restores reference parity: a leading null raises (at
+  * action time — Spark is lazy where R is eager), per round-16 verdict #7.
   *
   * Scale design — this is the one reference operator that needs a total row
   * order, and a naive `Window.orderBy(ord)` collapses the whole table onto
@@ -46,13 +48,21 @@ object NaLocfPlusOne {
     * @param valueCol  numeric column to gap-fill (cast to double)
     * @param outCol    name of the appended filled column
     * @param partitions range-partition count (0 = spark.sql.shuffle.partitions)
+    * @param strict    reference-parity mode (round-16 verdict #7): raise on
+    *                  a LEADING null like `naLOCFPlusone` does
+    *                  (`R/utils.R:51` — `zoo::na.locf` drops it and the
+    *                  lengths mismatch) instead of the default
+    *                  keep-it-null divergence. The error surfaces at
+    *                  ACTION time (executor-side), not at plan time —
+    *                  Spark is lazy where R is eager.
     */
   def apply(
       df: DataFrame,
       orderCol: String,
       valueCol: String,
       outCol: String = "filled",
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0,
+      strict: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val n =
       if (partitions > 0) partitions
@@ -103,7 +113,13 @@ object NaLocfPlusOne {
         val filled: java.lang.Double =
           if (r.isNullAt(vIdx)) {
             run += 1
-            if (has) java.lang.Double.valueOf(last + run) else null
+            if (has) java.lang.Double.valueOf(last + run)
+            else if (strict) throw new IllegalStateException(
+              s"leading null in '$valueCol' under strict=true — the " +
+                "reference errors here (zoo::na.locf drops it and the " +
+                "lengths mismatch, R/utils.R:51); default strict=false " +
+                "keeps leading nulls null")
+            else null
           } else {
             last = r.getDouble(vIdx); has = true; run = 0
             java.lang.Double.valueOf(last)
@@ -130,7 +146,8 @@ object NaLocfPlusOne {
       groupCols: Seq[String],
       orderCol: String,
       valueCol: String,
-      outCol: String = "filled"): DataFrame = {
+      outCol: String = "filled",
+      strict: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -138,7 +155,19 @@ object NaLocfPlusOne {
     val ix = sum(when(v.isNull, 1L).otherwise(0L)).over(w)
     val locf = last(v, ignoreNulls = true).over(w)
     val cm = max(when(v.isNotNull, ix).otherwise(0L)).over(w)
-    df.withColumn(outCol, when(v.isNotNull, v).otherwise(locf + (ix - cm)))
+    // strict reference parity (see apply): a null with no prior non-null
+    // in ITS GROUP is a leading null — raise in-plan (raise_error rides
+    // the same projection, so the check is free) instead of keeping null
+    val onLeading =
+      if (strict) raise_error(concat(lit(
+        s"leading null in '$valueCol' under strict=true (group "),
+        concat_ws(",", groupCols.map(c => col(c).cast("string")): _*),
+        lit(") — the reference errors here, R/utils.R:51"))).cast(DoubleType)
+      else lit(null).cast(DoubleType)
+    df.withColumn(outCol,
+      when(v.isNotNull, v)
+        .when(locf.isNull, onLeading)
+        .otherwise(locf + (ix - cm)))
   }
 
   /** Linear-interpolation gap fill per group — the time-series sibling of

@@ -330,7 +330,8 @@ object CorpusStreams {
       minShare: Double, k: Int, queryName: String,
       itemName: String = "token",
       shufflePartitions: Option[Int] = None,
-      rocksdbState: Boolean = false): DataFrame = {
+      rocksdbState: Boolean = false,
+      maxStateRows: Long = Long.MaxValue): DataFrame = {
     import graft.ext.HeavyHitters
     HeavyHitters.requireGuarantee(minShare, k)
     val schema = spark.read.parquet(stagedDir).schema
@@ -350,6 +351,8 @@ object CorpusStreams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // bounded by design at ONE row holding <= k counters — measured
+      EventStreams.auditStateSize(q, "heavy-hitters monitor", maxStateRows)
     }
     // bounded: at most one row, <= k strings (empty when zero batches ran)
     val first = spark.table(queryName)
@@ -419,7 +422,8 @@ object CorpusStreams {
       baseline: DataFrame, baselineTextCol: String, k: Int,
       queryName: String, streamFilter: Option[org.apache.spark.sql.Column] = None,
       shufflePartitions: Option[Int] = None,
-      rocksdbState: Boolean = false): DataFrame = {
+      rocksdbState: Boolean = false,
+      maxStateRows: Long = Long.MaxValue): DataFrame = {
     import graft.functions.text
     val schema = spark.read.parquet(stagedDir).schema
     val stream0 = spark.readStream.schema(schema)
@@ -436,6 +440,10 @@ object CorpusStreams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // honest floor = |vocabulary| rows (the scaladoc's declared bound);
+      // the audit is where a vocabulary-shaped state stops being a
+      // claim — cap it when only the top drifts matter (the MG pass)
+      EventStreams.auditStateSize(q, "token-drift monitor", maxStateRows)
     }
     val streamedCounts = EventStreams.drainMemorySink(spark, queryName)
     val baseCounts = baseline
@@ -457,7 +465,8 @@ object CorpusStreams {
       spark: SparkSession, stagedDir: String, groupCol: String,
       valueCol: String, queryName: String, p: Int = 6,
       shufflePartitions: Option[Int] = None,
-      rocksdbState: Boolean = false): DataFrame = {
+      rocksdbState: Boolean = false,
+      maxStateRows: Long = Long.MaxValue): DataFrame = {
     val schema = spark.read.parquet(stagedDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stagedDir)
@@ -470,6 +479,8 @@ object CorpusStreams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // bounded by design at groups x 2^p register rows — measured
+      EventStreams.auditStateSize(q, "hll-registers monitor", maxStateRows)
     }
     EventStreams.drainMemorySink(spark, queryName)
   }
@@ -552,7 +563,8 @@ object CorpusStreams {
       weights: Array[Long], bias: Long, groupCol: String, positive: Column,
       queryName: String, buckets: Int = 4096,
       scoreBinWidth: Long = 250L, maxAbsBucket: Int = 400,
-      shufflePartitions: Option[Int] = None): DataFrame = {
+      shufflePartitions: Option[Int] = None,
+      maxStateRows: Long = Long.MaxValue): DataFrame = {
     val schema = spark.read.parquet(stagedDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stagedDir)
@@ -571,6 +583,9 @@ object CorpusStreams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // the clamped bins bound state at groups x (2*maxAbsBucket + 1) x 2
+      // BY DESIGN — the audit turns that argument into a measurement
+      EventStreams.auditStateSize(q, "classifier-auc monitor", maxStateRows)
     }
     graft.ops.Profile.aucFromCounts(
       EventStreams.drainMemorySink(spark, queryName), Seq(groupCol))

@@ -100,6 +100,41 @@ object EventStreams {
     }
   }
 
+  /** LOUD state-store telemetry for the Complete-mode monitors (round-16
+    * verdict #5): the scaladocs ARGUE each monitor's state is bounded by
+    * design (clamped bins, MG candidates, sketch registers, |groups|
+    * rows); this reads the finished query's progress history and REPORTS
+    * the measured maximum — total state rows and state-store bytes
+    * across micro-batches — on stderr, the `maxBucket` telemetry
+    * convention applied to streaming state. With `maxStateRows` set the
+    * audit becomes a cap: a monitor whose key space turns out to grow
+    * with the corpus (exactly what the bounded designs exist to prevent)
+    * fails loudly instead of silently eating the state store. Rows are
+    * the cap currency because they are deterministic per fixture; bytes
+    * are provider-dependent and reported for sizing only.
+    */
+  private[streaming] def auditStateSize(
+      q: org.apache.spark.sql.streaming.StreamingQuery, what: String,
+      maxStateRows: Long): Unit = {
+    require(maxStateRows >= 1, "maxStateRows must be at least 1")
+    val per = q.recentProgress.toSeq
+      .filter(_.stateOperators.nonEmpty)
+      .map(p => (p.stateOperators.map(_.numRowsTotal).sum,
+        p.stateOperators.map(_.memoryUsedBytes).sum))
+    if (per.nonEmpty) {
+      val (rows, bytes) = per.maxBy(_._1)
+      System.err.println(f"[graft] state audit $what: max $rows state " +
+        f"rows, ~$bytes state bytes over ${per.size} committed batches" +
+        (if (maxStateRows != Long.MaxValue) s" (cap $maxStateRows rows)"
+        else ""))
+      if (rows > maxStateRows) throw new IllegalStateException(
+        s"$what streaming state grew to $rows rows — above the declared " +
+          s"bound $maxStateRows, so the monitor's key space is growing " +
+          "with the corpus; bound it (clamped score bins, MG candidates, " +
+          "sketch registers) or raise maxStateRows if this size is planned")
+    }
+  }
+
   /** Drain a finished memory-sink table into a local DataFrame and DROP the
     * sink's temp view. The memory sink already holds its rows on the driver;
     * draining adds nothing, but dropping the view releases them when the
@@ -193,7 +228,8 @@ object EventStreams {
       spark: SparkSession, eventsPath: String, groupCol: String,
       valueCol: String, queryName: String, k: Int = 16,
       shufflePartitions: Option[Int] = None,
-      rocksdbState: Boolean = false): DataFrame = {
+      rocksdbState: Boolean = false,
+      maxStateRows: Long = Long.MaxValue): DataFrame = {
     import graft.ext.Sketches
     val schema = spark.read.parquet(eventsPath).schema
     val stream = normalizeTs(
@@ -210,6 +246,8 @@ object EventStreams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // bounded by design at |groups| rows of k longs — measured + capped
+      auditStateSize(q, "distinct-estimate monitor", maxStateRows)
     }
     drainMemorySink(spark, queryName)
       .withColumn("n_est", Sketches.kmvEstimate(k))

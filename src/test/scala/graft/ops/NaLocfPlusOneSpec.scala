@@ -41,6 +41,34 @@ class NaLocfPlusOneSpec extends AnyFunSuite with SparkSpec {
     assert(run(in, 2) == Seq(None, None, Some(1d), Some(2d)))
   }
 
+  test("strict=true raises on a leading null (reference parity, r16 verdict #7)") {
+    val leading = Seq((0L, None: Option[Double]), (1L, Some(1d)))
+      .toDF("ord", "x")
+    val ex = intercept[org.apache.spark.SparkException] {
+      NaLocfPlusOne(leading, "ord", "x", "filled", partitions = 2,
+        strict = true).collect()
+    }
+    assert(ex.getMessage.contains("leading null") ||
+      Option(ex.getCause).exists(_.getMessage.contains("leading null")))
+    // interior nulls are untouched by strict — same values as default
+    val interior = Seq((0L, Some(2d)), (1L, None), (2L, Some(4d)))
+      .toDF("ord", "x")
+    val got = NaLocfPlusOne(interior, "ord", "x", "filled", partitions = 2,
+        strict = true)
+      .orderBy("ord").select("filled").as[Double].collect().toSeq
+    assert(got == Seq(2d, 3d, 4d))
+    // byGroup: the group WITH a leading null raises, one without passes
+    val g = Seq((1L, 0L, None: Option[Double]), (1L, 1L, Some(1d)),
+      (2L, 0L, Some(5d)), (2L, 1L, None)).toDF("g", "ord", "x")
+    intercept[Exception] {
+      NaLocfPlusOne.byGroup(g, Seq("g"), "ord", "x", strict = true).collect()
+    }
+    val clean = NaLocfPlusOne.byGroup(g.where($"g" === 2L), Seq("g"), "ord",
+        "x", strict = true)
+      .orderBy("ord").select("filled").as[Double].collect().toSeq
+    assert(clean == Seq(5d, 6d))
+  }
+
   test("null-free input is identity") {
     val in = Seq(1d, 2d, 3d, 4d).map(Some(_))
     assert(run(in, 2) == in)

@@ -197,6 +197,42 @@ class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(auc.exists(a => a > 0.5)) // positives got the positive scores
   }
 
+  test("state audit: unbounded-key stream trips the cap, bounded monitors stay quiet") {
+    // UNBOUNDED key space: every document contributes fresh unique
+    // tokens, so the token-drift monitor's state (one row per distinct
+    // token) grows with the corpus — exactly what the bounded designs
+    // exist to prevent, and what the audit must catch LOUDLY
+    val unbounded = (1L to 40L).map(i =>
+      (i, (0 until 25).map(j => s"uniq_${i}_$j").mkString(" ")))
+    val path = writeDocs(unbounded)
+    val staged = CorpusStreams.stageIdSlices(spark, path, "doc_id", Seq(20L))
+    val baseline = Seq((1L, "stable baseline words")).toDF("doc_id", "text")
+    val ex = intercept[IllegalStateException] {
+      CorpusStreams.tokenDriftStreaming(spark, staged, "text", baseline,
+        "text", k = 5, queryName = s"audit_trip_${System.nanoTime()}",
+        shufflePartitions = Some(2), maxStateRows = 50L)
+    }
+    assert(ex.getMessage.contains("state grew") &&
+      ex.getMessage.contains("maxStateRows"), ex.getMessage)
+    // BOUNDED designs pass their declared caps quietly on the same
+    // corpus: HLL registers (groups x 2^p) and the one-row MG summary
+    val hll = (1L to 40L).map(i => (i, s"g${i % 3}", s"u$i"))
+      .toDF("doc_id", "grp", "uid")
+    val hdir = java.nio.file.Files.createTempDirectory("graft_audit_hll")
+    hdir.toFile.deleteOnExit()
+    hll.coalesce(1).write.parquet(s"$hdir/t")
+    val hstaged = CorpusStreams.stageIdSlices(spark, s"$hdir/t", "doc_id",
+      Seq(20L))
+    val regs = CorpusStreams.hllRegistersStreaming(spark, hstaged, "grp",
+      "uid", s"audit_hll_${System.nanoTime()}", p = 4,
+      shufflePartitions = Some(2), maxStateRows = 3L * 16L)
+    assert(regs.count() > 0)
+    val hh = CorpusStreams.heavyHittersStreaming(spark, staged, "text",
+      minShare = 0.2, k = 8, s"audit_hh_${System.nanoTime()}",
+      shufflePartitions = Some(2), maxStateRows = 1L)
+    assert(hh.collect() != null) // one MG summary row — the tightest cap
+  }
+
   test("streamed heavy hitters equal the batch operator across batch cuts") {
     // zipf-ish corpus: token-i appears ~60/i times across the docs
     val words = (1 to 30).flatMap(i => Seq.fill(60 / i)(s"tok$i"))
