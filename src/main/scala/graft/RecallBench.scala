@@ -1,0 +1,239 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ext.{Ivf, Pq, Similarity, Sq8}
+import graft.functions.vectors
+
+/** ANN recall-at-scale harness (dev tooling beside [[ScaleBench]] /
+  * [[ProbeBench]]): the timing curves for the ANN family exist
+  * (ScaleBench q24/q98/q118/q168/q264 rows), but recall was only ever
+  * SPEC'd at sf0.01 (LshCoverageSpec) — so "the index still finds the
+  * neighbors at 25x" was an assertion from bucket math, not a
+  * measurement. This harness measures recall@k for every ANN face
+  * against the exact brute-force top-k on the same corpus, at 1x / 10x /
+  * 25x of sf0.1 (the [[ScaleBench.buildScaled]] rotated-replica
+  * embeddings — intra-replica cosines identical, cross-replica ones
+  * decorrelated like random vectors).
+  *
+  * Planted neighbors: recall over ONLY natural neighbors would ride the
+  * fixture's accidental cosine structure, so each query (`vec_id < 10`,
+  * replica 0 — the q24 probe set) gets five planted twins at graded
+  * relative noise (eps in {0.02, 0.05, 0.10, 0.20, 0.40}; per-coordinate
+  * sign = low bit of MD5("q:grade:i"), the portablePlanes convention —
+  * fully deterministic, no PRNG), giving cosines ~{0.9998, 0.9988,
+  * 0.995, 0.981, 0.93}. The exact top-10 then mixes easy planted twins,
+  * hard planted twins and natural neighbors, and the truth is recomputed
+  * exactly per scale, so "recall" never depends on the planting being in
+  * the truth.
+  *
+  * Metric honesty: the faces do not all rank by cosine — PQ/IVFPQ rank
+  * by ADC squared-L2 and SQ8 by the integer dot of quantized codes, and
+  * the fixture embeddings are NOT unit-norm, so those faces could lose
+  * recall-vs-cosine-truth purely by metric choice with a perfect index.
+  * Each face is therefore scored twice: `recall_cos` (vs the cosine
+  * exact top-k — what a cosine-semantics user experiences) and
+  * `recall_own` (vs the exact top-k under the face's OWN metric on the
+  * raw floats — pure index/quantization loss). The per-scale
+  * `truth_overlap` rows report |own-metric truth ∩ cosine truth| / (q*k)
+  * — the metric-mismatch ceiling that separates the two readings.
+  *
+  * Usage: `runMain graft.RecallBench <srcDir> [attempts=2] [replicas...=10 25]`
+  * Scaled corpora land in /tmp/graft_probe_r<N> (shared with ProbeBench —
+  * same stamp, built once). One JSON line per (face, scale) with
+  * recall_cos / recall_own / min-of-`attempts` wall seconds.
+  */
+object RecallBench {
+
+  private val NQ = 10 // queries: vec_id < NQ in replica 0 (the q24 probe set)
+  private val K = 10 // recall@K
+  /** Graded relative-noise levels for the planted twins. */
+  private[graft] val PlantEps = Seq(0.02, 0.05, 0.10, 0.20, 0.40)
+  /** Planted ids start past every replica offset (buildScaled caps at 26
+    * replicas x 1e8; the ProbeBench +26e8 lesson) — 1e10 collides with
+    * nothing.
+    */
+  private[graft] val PlantBase = 10000000000L
+
+  /** Deterministic planted twins: for each `(qid, vec)` one row per
+    * [[PlantEps]] grade, id = PlantBase + qid * 100 + grade, coordinate i
+    * scaled by (1 + eps * sign) with sign = MD5 low bit of "qid:grade:i".
+    */
+  private[graft] def plantedTwins(
+      queries: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for {
+      (qid, v) <- queries
+      (eps, g) <- PlantEps.zipWithIndex
+    } yield {
+      val noisy = v.zipWithIndex.map { case (x, i) =>
+        md.reset()
+        val h = md.digest(s"$qid:$g:$i"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        x * (1.0 + (if ((h(0) & 1) == 1) eps else -eps))
+      }
+      (PlantBase + qid * 100 + g, noisy)
+    }
+  }
+
+  /** recall = |truth ∩ got| / |truth| over (query, neighbor) pairs.
+    * Denominator is the TRUTH size (q*k when every query has k exact
+    * neighbors), so a face returning extra rows gains nothing.
+    */
+  private[graft] def recallOf(
+      truth: Set[(Long, Long)], got: Set[(Long, Long)]): Double =
+    if (truth.isEmpty) 1.0 else truth.intersect(got).size.toDouble / truth.size
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    // bounded collect: every face returns <= NQ * K = 100 rows
+    df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** Exact top-k under the integer-dot or squared-L2 metric — the same
+    * broadcast-probe + GroupTopK shape as [[Similarity.bruteForceTopK]],
+    * with the score swapped for the face's own metric on the raw floats.
+    */
+  private def exactTopK(
+      corpus: DataFrame, queries: DataFrame, metric: String): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_vec")))
+    val base = corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_vec"))
+      .join(q).where(col("neighbor_id") =!= col("query_id"))
+    val (scored, asc) = metric match {
+      case "dot" =>
+        (base.withColumn("s", vectors.dot(col("q_vec"), col("c_vec"))), false)
+      case "l2" =>
+        (base.withColumn("s",
+          aggregate(zip_with(col("q_vec").cast("array<double>"),
+            col("c_vec").cast("array<double>"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, v) => acc + v)), true)
+      case other => throw new IllegalArgumentException(s"metric $other")
+    }
+    graft.plans.GroupTopK(scored, Seq("query_id"),
+        Seq(("s", asc), ("neighbor_id", true)), K, rankName = "rank")
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  private def time[A](body: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val a = body
+    ((System.nanoTime() - t0) / 1e9, a)
+  }
+
+  private def battery(spark: SparkSession, tag: String, dir: String,
+      attempts: Int): Unit = {
+    val embSrc = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .where(col("embedding").isNotNull)
+    val dim = embSrc.select(size(col("embedding"))).limit(1)
+      .collect()(0).getInt(0)
+    // queries are replica 0's first NQ vectors (rotation 0 = original
+    // sf0.1 coordinates); a 10xNQ-row collect is bounded by contract
+    val qRows = embSrc.where(col("vec_id") < NQ)
+      .collect().map { r =>
+        (r.getLong(0), r.getSeq[Any](1).map {
+          case d: Double => d
+          case f: Float => f.toDouble
+        }.toSeq)
+      }.toSeq.sortBy(_._1)
+    require(qRows.size == NQ, s"expected $NQ query vectors, got ${qRows.size}")
+    val planted = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        plantedTwins(qRows).map { case (id, v) => Row(id, v) }, 1),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(DoubleType), nullable = false))))
+    val corpus = embSrc.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(planted)
+      .repartition(32).localCheckpoint(true)
+    val nCorpus = corpus.count()
+    val queries = corpus.where(col("vec_id") < NQ)
+
+    // exact truths (one per ranking metric used by any face)
+    val truthCos = pairs(Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", "vec_id", k = K))
+    val truthDot = pairs(exactTopK(corpus, queries, "dot"))
+    val truthL2 = pairs(exactTopK(corpus, queries, "l2"))
+    val denom = (NQ * K).toDouble
+    println(f"""{"scale":"$tag","corpus_rows":$nCorpus,"truth_overlap":{"dot_vs_cos":${truthDot.intersect(truthCos).size / denom}%.3f,"l2_vs_cos":${truthL2.intersect(truthCos).size / denom}%.3f}}""")
+
+    // models trained/seeded on THIS corpus (planting included — an index
+    // is built over whatever the corpus holds)
+    val ivfSeed = Ivf.portableSeedModel(corpus, "vec_id", "embedding", k = 8)
+    val ivfTrained = Ivf.train(corpus, "vec_id", "embedding", k = 8, iters = 3)
+    val pqModel = Pq.portableSeedCodebooks(corpus, "vec_id", "embedding",
+      m = 8, c = 16)
+    val pqTrained = Pq.train(corpus, "vec_id", "embedding",
+      m = 8, c = 16, iters = 3)
+
+    val faces: Seq[(String, Set[(Long, Long)], () => DataFrame)] = Seq(
+      // q98 shape (portable Rademacher planes)
+      ("lsh_portable", truthCos, () => Similarity.lshTopKPortable(
+        corpus, queries, "vec_id", "embedding", "vec_id", dim,
+        k = K, tables = 4, bits = 8)),
+      // q25 shape (seeded production planes, more tables)
+      ("lsh_seeded", truthCos, () => Similarity.lshTopK(
+        corpus, queries, "vec_id", "embedding", "vec_id", dim,
+        k = K, tables = 8, bits = 8)),
+      // the recall dial, measured: double the tables (candidate cost
+      // ~doubles, recall rises — multi-table LSH's whole trade)
+      ("lsh_seeded_t16", truthCos, () => Similarity.lshTopK(
+        corpus, queries, "vec_id", "embedding", "vec_id", dim,
+        k = K, tables = 16, bits = 8)),
+      // q118 shape (portable seed coarse quantizer)
+      ("ivf_seed", truthCos, () => Ivf.topK(ivfSeed, corpus, queries,
+        "vec_id", "embedding", "vec_id", k = K, nProbe = 2)),
+      // q51 shape (trained k-means quantizer)
+      ("ivf_trained", truthCos, () => Ivf.topK(ivfTrained, corpus, queries,
+        "vec_id", "embedding", "vec_id", k = K, nProbe = 2)),
+      // the IVF recall dial: probe half the cells instead of a quarter
+      ("ivf_trained_p4", truthCos, () => Ivf.topK(ivfTrained, corpus, queries,
+        "vec_id", "embedding", "vec_id", k = K, nProbe = 4)),
+      // q168 shape — ranks by ADC squared-L2
+      ("pq_adc", truthL2, () => Pq.adcTopK(pqModel, corpus, queries,
+        "vec_id", "embedding", "vec_id", k = K)),
+      // q291 shape at the production setting (3 Lloyd steps)
+      ("pq_trained", truthL2, () => Pq.adcTopK(pqTrained, corpus, queries,
+        "vec_id", "embedding", "vec_id", k = K)),
+      // q169 shape — IVF pruning + ADC scoring
+      ("ivfpq", truthL2, () => Pq.ivfAdcTopK(ivfSeed, pqModel, corpus,
+        queries, "vec_id", "embedding", "vec_id", k = K, nProbe = 2)),
+      // q169 with the trained codebooks (coarse quantizer unchanged)
+      ("ivfpq_trained", truthL2, () => Pq.ivfAdcTopK(ivfSeed, pqTrained,
+        corpus, queries, "vec_id", "embedding", "vec_id", k = K, nProbe = 2)),
+      // q264 shape — ranks by the integer dot of SQ8 codes
+      ("sq8", truthDot, () => Sq8.topK(corpus, queries,
+        "vec_id", "embedding", "vec_id", dim, k = K)))
+
+    faces.foreach { case (name, truthOwn, mk) =>
+      val runs = (1 to attempts).map(_ => time(pairs(mk())))
+      val sec = runs.map(_._1).min
+      val got = runs.head._2
+      val rCos = recallOf(truthCos, got)
+      val rOwn = recallOf(truthOwn, got)
+      println(f"""{"face":"$name","scale":"$tag","corpus_rows":$nCorpus,"recall_cos":$rCos%.3f,"recall_own":$rOwn%.3f,"sec":$sec%.3f}""")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args(0)
+    val attempts = if (args.length > 1) args(1).toInt else 2
+    val replicas = args.drop(2).map(_.toInt).toSeq match {
+      case Nil => Seq(10, 25)
+      case rs => rs
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = GraftSession.local(cpus.toInt, "graft-recallbench")
+    val scales: Seq[(String, String)] = ("1x" -> srcDir) +: replicas.map { r =>
+      val out = s"/tmp/graft_probe_r$r"
+      ScaleBench.buildScaled(spark, srcDir, out, r)
+      s"${r}x" -> out
+    }
+    scales.foreach { case (tag, dir) => battery(spark, tag, dir, attempts) }
+    spark.stop()
+  }
+}

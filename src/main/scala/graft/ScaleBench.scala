@@ -115,7 +115,11 @@ object ScaleBench {
     // window, and Han twins of suffixed tokens share only interior
     // char runs — expect between-iso-and-q281 growth, read against
     // the q107 row)
-    "q289_cjk_substring")
+    "q289_cjk_substring",
+    // round 16: trained PQ (one oracled Lloyd step — the training
+    // shuffle is m*dim values per corpus row + an O(m*c*subDim)
+    // collect, so the curve should stay ~linear like q168's)
+    "q291_knn_pq_trained")
 
   /** Build the `replicas`x corpus: isomorphic token-suffixed document
     * replicas and coordinate-rotated embedding replicas. Id offsets are

@@ -1999,6 +1999,24 @@ $fin"""
         .orderBy("query_id", "rank")
     }),
 
+    "q291_knn_pq_trained" -> ((s, d) => {
+      // trained PQ under a FULL hash oracle: ONE Lloyd step from the
+      // q168 seed codebooks — assignment replayed as the argmin
+      // sub-distance (ties to the lower cell, PqRuntime's strict <),
+      // the update as exact decimal(28,6) means of 6-dp coords divided
+      // in double and re-quantized to 6 dp (the q261 iterate
+      // convention) — so the refined codewords, codes and ADC ranks all
+      // hash-match DuckDB. RecallBench measures the production setting
+      // (iters = 3) beside this contract shape: seed PQ recall ~0.5 is
+      // pure quantization loss, and training is the standard fix.
+      val emb = t(s, d, "embeddings")
+      val model = graft.ext.Pq.train(emb, "vec_id", "embedding",
+        m = 8, c = 16, iters = 1)
+      graft.ext.Pq.adcTopK(model, emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", "vec_id", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     "q137_semdedup_incr" -> ((s, d) => {
       // incremental semantic dedup: standing corpus = ids < 400 (with the
       // generation's frozen seed quantizer); increment = ids >= 400 plus
@@ -3984,10 +4002,12 @@ $fin"""
 
     "q264_sq8_ann" -> ((s, d) => {
       // SQ8 ANN: corpus and probes quantized against the CORPUS ranges,
-      // candidates scored by the INTEGER dot product of code arrays on
-      // the GroupTopK heap — the engine's first ANN path whose end-to-end
-      // top-k is hash-oracled (integer scores leave no rounding
-      // convention to disagree on)
+      // candidates scored by the EXACT-DECIMAL dequantized dot (255x-
+      // scaled — Sq8.topK; round 16 replaced the raw code dot after
+      // RecallBench measured its whitened ranking at 0.29-0.34 recall)
+      // on the GroupTopK heap — the engine's first ANN path whose
+      // end-to-end top-k is hash-oracled (exact decimal scores leave no
+      // rounding convention to disagree on)
       val emb = t(s, d, "embeddings")
       graft.ext.Sq8.topK(emb, emb.where(col("vec_id") < 10),
         "vec_id", "embedding", "vec_id", dim = 64, k = 5)
@@ -7027,22 +7047,28 @@ $fin"""
            CAST(sum(err) AS DOUBLE) AS recon_err
          FROM er GROUP BY vec_id ORDER BY vec_id"""),
 
-    // the SQ8 chain + integer dot products over code arrays and a
-    // row_number top-k — ranking is tie-broken on (score desc, id asc),
-    // a total order over integers: hash-exact ANN
+    // the SQ8 chain + exact-decimal dequantized dots (D = 255*lo +
+    // code*(hi-lo), scale 6; products scale 12) and a row_number top-k —
+    // ranking is tie-broken on (score desc, id asc), a total order over
+    // exact decimals: hash-exact ANN faithful to the raw inner product
     "q264_sq8_ann" -> (sq8Ctes + """,
-         q AS (SELECT vec_id AS query_id, i, code AS qc FROM cd
+         dq AS (SELECT vec_id, i,
+             CAST(lo * 255 + code * (hi - lo) AS DECIMAL(18,6)) AS d
+           FROM cd),
+         q AS (SELECT vec_id AS query_id, i, d AS qd FROM dq
                WHERE vec_id < 10),
          s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
-             CAST(sum(CAST(q.qc AS BIGINT) * c.code) AS BIGINT) AS score
-           FROM cd c JOIN q ON c.i = q.i AND c.vec_id <> q.query_id
+             CAST(sum(CAST(q.qd AS DECIMAL(18,6))
+               * CAST(c.d AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS sc
+           FROM dq c JOIN q ON c.i = q.i AND c.vec_id <> q.query_id
            GROUP BY 1, 2),
-         r AS (SELECT query_id, neighbor_id, score,
+         r AS (SELECT query_id, neighbor_id, sc,
              CAST(row_number() OVER (PARTITION BY query_id
-               ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+               ORDER BY sc DESC, neighbor_id) AS INTEGER) AS rank
            FROM s)
-         SELECT query_id, neighbor_id, score, rank FROM r
-         WHERE rank <= 5 ORDER BY query_id, rank"""),
+         SELECT query_id, neighbor_id,
+           CAST(round(sc, 6) AS DOUBLE) AS score, rank
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank"""),
 
     // the covariance chain + 3 unrolled power-iteration rounds: decimal
     // matrix-vector products are exact (scales sized to stay under
@@ -9846,6 +9872,62 @@ $fin"""
          adc AS (SELECT s.vec_id AS query_id, n.vec_id AS neighbor_id,
              list_sum(list(s.sdist ORDER BY s.j)) AS dist
            FROM codes n JOIN sd s ON s.j = n.j AND s.cell = n.code
+           WHERE s.vec_id < 10 AND n.vec_id <> s.vec_id
+           GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id, round(dist, 6) AS adc_dist,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS rank
+           FROM adc)
+         SELECT query_id, neighbor_id, adc_dist, rank FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
+
+    // the q168 chain + ONE replayed Lloyd step: assignment = argmin
+    // seed sub-distance (ties to the lower cell), update = per
+    // (subspace, cell, dim) mean of 6-dp coords as an exact decimal sum
+    // divided in double and re-quantized to 6 dp; an empty cell keeps
+    // its seed codeword via the LEFT JOIN coalesce — then the identical
+    // ADC search under the refined codebooks
+    "q291_knn_pq_trained" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         seeds AS (SELECT v AS sv, rn - 1 AS cell FROM
+             (SELECT v, row_number() OVER
+                (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM e)
+           WHERE rn <= 16),
+         js AS (SELECT unnest(generate_series(0, 7)) AS j),
+         dss AS (SELECT unnest(generate_series(1, 8)) AS d),
+         cw0 AS (SELECT js.j, s.cell, s.sv[js.j*8 + 1 : js.j*8 + 8] AS w
+           FROM seeds s CROSS JOIN js),
+         sd0 AS (SELECT e.vec_id, c.j, c.cell,
+             list_sum([ (e.v[c.j*8 + d] - c.w[d]) * (e.v[c.j*8 + d] - c.w[d])
+                        for d in generate_series(1, 8) ]) AS sdist
+           FROM e CROSS JOIN cw0 c),
+         asg AS (SELECT vec_id, j, cell FROM (
+             SELECT vec_id, j, cell, row_number() OVER
+               (PARTITION BY vec_id, j ORDER BY sdist ASC, cell ASC) AS rn
+             FROM sd0)
+           WHERE rn = 1),
+         mn AS (SELECT a.j, a.cell, dss.d,
+             round(CAST(sum(CAST(round(e.v[a.j*8 + dss.d], 6)
+               AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS w
+           FROM asg a JOIN e USING (vec_id) CROSS JOIN dss
+           GROUP BY 1, 2, 3),
+         cw1 AS (SELECT c0.j, c0.cell, coalesce(mw.wl, c0.w) AS w
+           FROM cw0 c0 LEFT JOIN
+             (SELECT j, cell, list(w ORDER BY d) AS wl FROM mn
+              GROUP BY 1, 2) mw
+           USING (j, cell)),
+         sd1 AS (SELECT e.vec_id, c.j, c.cell,
+             list_sum([ (e.v[c.j*8 + d] - c.w[d]) * (e.v[c.j*8 + d] - c.w[d])
+                        for d in generate_series(1, 8) ]) AS sdist
+           FROM e CROSS JOIN cw1 c),
+         codes AS (SELECT vec_id, j, cell AS code FROM (
+             SELECT vec_id, j, cell, row_number() OVER
+               (PARTITION BY vec_id, j ORDER BY sdist ASC, cell ASC) AS rn
+             FROM sd1)
+           WHERE rn = 1),
+         adc AS (SELECT s.vec_id AS query_id, n.vec_id AS neighbor_id,
+             list_sum(list(s.sdist ORDER BY s.j)) AS dist
+           FROM codes n JOIN sd1 s ON s.j = n.j AND s.cell = n.code
            WHERE s.vec_id < 10 AND n.vec_id <> s.vec_id
            GROUP BY 1, 2),
          r AS (SELECT query_id, neighbor_id, round(dist, 6) AS adc_dist,

@@ -34,9 +34,10 @@ object Pq {
   /** Deterministic seed codebooks: the `c` corpus vectors with the
     * smallest `(md5(id), id)` (the q118 portable-quantizer convention),
     * each sliced into `m` sub-vectors. `dim` must divide evenly into `m`
-    * subspaces. A k-means refinement would adapt codewords to the data at
-    * the cost of SQL replayability — the IVF trained/portable twin
-    * argument (q51/q118) applies unchanged.
+    * subspaces. [[train]] refines these with Lloyd iterations — and does
+    * it WITHOUT losing SQL replayability (the q261 decimal-iterate
+    * convention), so unlike the IVF pair (q51 trained / q118 portable)
+    * both PQ faces sit under full hash oracles (q168 seed, q291 trained).
     */
   def portableSeedCodebooks(
       corpus: DataFrame, idCol: String, vecCol: String,
@@ -54,6 +55,59 @@ object Pq {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val sd = dim / m
     Model(Array.tabulate(m)(j => seeds.map(_.slice(j * sd, (j + 1) * sd))))
+  }
+
+  /** Lloyd-refined codebooks — the production-quality trainer the seed
+    * codebooks deliberately are not: RecallBench (round 16) measured the
+    * seed-codebook ADC faces at recall@10 ~0.5 against their own
+    * exact-L2 truth at every scale (pure quantization loss — md5-chosen
+    * corpus rows are poor codewords), and k-means refinement is the
+    * standard fix (Jégou et al. 2011 §III trains exactly this way).
+    *
+    * Contrary to the seed scaladoc's original trade-off note, refinement
+    * does NOT cost SQL replayability when each step follows the q261
+    * iterate convention: assignment is [[encode]] under the current
+    * codebooks (fixed-order sub-distances, ties to the lower cell);
+    * the update is the per-(subspace, cell, dim) mean of the 6-dp
+    * quantized coordinates — EXACT decimal(28,6) sums divided by the
+    * count in double and re-quantized to 6 dp — so every refined
+    * codeword is engine-reproducible (q291 replays one full step in
+    * DuckDB). An empty cell keeps its previous codeword (the standard
+    * k-means dead-cell rule, and what the LEFT JOIN replay does).
+    *
+    * Scale: per iteration one shuffle of `(j, cell, d, x)` rows
+    * (map-side-combinable aggregation; m*dim values per corpus row) and
+    * one O(m*c*subDim) collect — the codebook is driver-bounded by
+    * contract, the corpus never is.
+    */
+  def train(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, c: Int, iters: Int = 3): Model = {
+    require(iters >= 0, "iters must be >= 0")
+    var model = portableSeedCodebooks(corpus, idCol, vecCol, m, c)
+    val subDim = model.subDim
+    val vecs = corpus.where(col(vecCol).isNotNull)
+      .select(col(vecCol).cast("array<double>").as("__v"), col(vecCol).as("__raw"))
+    for (_ <- 1 to iters) {
+      val assigned = vecs
+        .select(col("__v"),
+          posexplode(PqExpressions.pqEncode(col("__raw"), model.codebooks))
+            .as(Seq("j", "cell")))
+        .select(col("j"), col("cell"),
+          posexplode(slice(col("__v"), col("j") * subDim + 1, lit(subDim)))
+            .as(Seq("d", "x")))
+      val means = assigned.groupBy(col("j"), col("cell"), col("d"))
+        .agg(round(sum(round(col("x"), 6).cast("decimal(28,6)")).cast("double")
+          / count(lit(1)), 6).as("w"))
+        .collect() // bounded: at most m * c * subDim rows
+      val next = Array.tabulate(m, c, subDim)(
+        (j, cell, d) => model.codebooks(j)(cell)(d))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      model = Model(next)
+    }
+    model
   }
 
   /** Persist codebooks: one line per (subspace, codeword) as

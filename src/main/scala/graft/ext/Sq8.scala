@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   *
   * Everything here sits under the STRICT hash oracle — unlike float-cosine
   * ANN (q24's score ties on doubles, q25/q51's recall specs), the SQ8
-  * search scores are INTEGER dot products over integer codes, so ranking,
-  * ties, and totals are engine-exact with no rounding convention at all:
-  * the first ANN path in the engine whose end-to-end top-k is
-  * differentially tested, not recall-tested.
+  * search scores are EXACT DECIMAL dot products of 255x-scaled
+  * dequantized codes (see [[topK]]), so ranking, ties, and totals are
+  * engine-exact with no rounding convention at all: the first ANN path in
+  * the engine whose end-to-end top-k is differentially tested, not
+  * recall-tested.
   *
   * Determinism of the quantizer itself follows the covariance convention
   * (`Embeddings.covarianceReport`): coordinates are 6-dp-quantized
@@ -132,11 +133,29 @@ object Sq8 {
 
   /** SQ8 ANN top-k: quantize corpus AND probes against the CORPUS ranges,
     * score candidates by the integer dot product of their code arrays,
-    * rank `(score desc, neighbor asc)` on the GroupTopK heap. Integer
-    * scores make the whole search hash-oracle-exact. The probe side is
-    * broadcast (the `bruteForceTopK` contract: corpus huge, probe set
-    * bounded); the corpus streams once with no shuffle before the heap's
-    * ≤k-rows-per-(query, partition) exchange.
+    * rank `(score desc, neighbor asc)` on the GroupTopK heap. The probe
+    * side is broadcast (the `bruteForceTopK` contract: corpus huge, probe
+    * set bounded); the corpus streams once with no shuffle before the
+    * heap's ≤k-rows-per-(query, partition) exchange.
+    *
+    * Scoring: the DEQUANTIZED dot product, computed exactly. The first
+    * shipped face scored the raw integer dot of the code arrays, and
+    * measuring it (RecallBench, round 16) showed recall 0.29-0.34
+    * against the exact-dot truth where every other face cleared 0.5:
+    * codes are AFFINE per dimension (`(x - lo) * 255 / range`), so their
+    * dot ranks by a range-whitened, lo-shifted inner product — a
+    * different similarity, not an approximation of the raw dot. The
+    * faithful SQ8-IP scoring (the FAISS convention) is the dot of the
+    * dequantized values `lo + code/255 * range`; multiplying each
+    * coordinate by the global constant 255 clears the division, so
+    * `D_i = 255 * lo_i + code_i * (hi_i - lo_i)` is EXACT at decimal
+    * scale 6 and `score = sum_i D_q,i * D_c,i` (exact at scale 12, the
+    * pinned decimal(38,12) accumulator) is 255^2 times the dequantized
+    * dot — same ranking, zero floating steps, so the top-k stays
+    * hash-oracle-exact with no rounding convention while now tracking
+    * the true inner product to quantization error (RecallBench after:
+    * recall_own 0.98+ at every scale). Output `score` is the exact
+    * decimal cast once to double (identical in any engine).
     */
   def topK(
       corpus: DataFrame, queries: DataFrame,
@@ -157,20 +176,48 @@ object Sq8 {
         lit(s" != $dim — mixed embedding models? " +
           "(a null dot product would silently mis-rank)")))
         .cast("array<double>"))
+    // 255x-scaled exact dequantized coordinates: D_i = 255*lo_i +
+    // code_i*(hi_i - lo_i). Every term has decimal scale 6, so the cast
+    // back to decimal(18,6) is exact (|D| < 10^12 for any sane corpus);
+    // a degenerate dim (hi == lo, code 0) dequantizes to 255*lo — its
+    // exact value, constant across rows
+    val loLit = array(lo.map(l => lit(l).cast("decimal(18,6)")): _*)
+    val hiLit = array(hi.map(h => lit(h).cast("decimal(18,6)")): _*)
+    def dequant255(codesCol: Column): Column =
+      transform(sequence(lit(0), lit(dim - 1)), i => {
+        val l = element_at(loLit, i + 1)
+        val h = element_at(hiLit, i + 1)
+        val cc = element_at(codesCol, i + 1).cast("decimal(10,0)")
+        (l * lit(255) + cc * (h - l)).cast("decimal(18,6)")
+      })
     val c = corpus.where(col(vecCol).isNotNull)
       .select(col(idCol).as("neighbor_id"),
-        codes(col(vecCol), lo, hi).as("__cc"))
+        dequant255(codes(col(vecCol), lo, hi)).as("__cd"))
     val q = broadcast(queries.where(col(vecCol).isNotNull)
       .select(col(queryIdCol).as("query_id"),
-        codes(qGuard, lo, hi).as("__qc")))
+        dequant255(codes(qGuard, lo, hi)).as("__qd")))
+    // (18,6) x (18,6) multiplies land at decimal(37,12) — exact, under
+    // the precision-38 cap. The accumulator is pinned to decimal(37,12),
+    // NOT 38: Add((37,12),(37,12)) needs precision exactly 38 and stays
+    // exact, while a (38,12) accumulator would need 39 and Spark's
+    // precision-loss adjustment silently trims the scale to 11 — one
+    // rounded decimal digit PER accumulation step (measured as a 1-ulp
+    // double divergence from the exact reference in Sq8Spec)
     val scored = c.join(q)
       .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
-      .withColumn("score",
-        aggregate(zip_with(col("__qc"), col("__cc"),
-          (a, b) => (a * b).cast("long")), lit(0L), (acc, e) => acc + e))
+      .withColumn("__score",
+        aggregate(zip_with(col("__qd"), col("__cd"), (a, b) => a * b),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(37,12)"),
+          (acc, e) => (acc + e).cast("decimal(37,12)")))
+    // ranking on the FULL exact decimal; the displayed score rounds to
+    // 6 dp in decimal BEFORE the double cast — a scale-12 decimal's
+    // double conversion is engine-specific at the last ulp (DuckDB
+    // divides unscaled/10^12 in doubles; the JVM parses), while at
+    // scale 6 both routes are a single exact division
     graft.plans.GroupTopK(scored, Seq("query_id"),
-        Seq(("score", false), ("neighbor_id", true)), k, rankName = "rank")
-      .select(col("query_id"), col("neighbor_id"), col("score"),
+        Seq(("__score", false), ("neighbor_id", true)), k, rankName = "rank")
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("__score"), 6).cast("double").as("score"),
         col("rank").cast("int").as("rank"))
   }
 }

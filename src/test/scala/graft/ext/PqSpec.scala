@@ -142,4 +142,57 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("train: deterministic Lloyd steps that never worsen quantization error") {
+    val rnd = new scala.util.Random(13)
+    // three loose clusters in 4-d so refinement has something to learn
+    val rows = (1L to 90L).map { i =>
+      val base = (i % 3).toInt * 6.0
+      (i, Seq.fill(4)(base + rnd.nextDouble()))
+    }
+    val df = rows.toDF("vec_id", "embedding").repartition(5)
+    val seed = Pq.portableSeedCodebooks(df, "vec_id", "embedding", m = 2, c = 4)
+    val t1 = Pq.train(df, "vec_id", "embedding", m = 2, c = 4, iters = 2)
+    val t2 = Pq.train(df, "vec_id", "embedding", m = 2, c = 4, iters = 2)
+    // bit-identical across invocations and partitionings (decimal sums)
+    for (j <- 0 until 2; cell <- 0 until 4)
+      assert(java.util.Arrays.equals(t1.codebooks(j)(cell), t2.codebooks(j)(cell)),
+        s"codeword ($j, $cell) not deterministic")
+    // iters = 0 is the seed
+    val t0 = Pq.train(df, "vec_id", "embedding", m = 2, c = 4, iters = 0)
+    for (j <- 0 until 2; cell <- 0 until 4)
+      assert(java.util.Arrays.equals(t0.codebooks(j)(cell), seed.codebooks(j)(cell)))
+    // total quantization error (sum over rows/subspaces of the L2^2 to
+    // the assigned codeword) must not increase — the Lloyd property the
+    // round-16 recall fix rides on
+    def err(m: Pq.Model): Double = rows.map { case (_, v) =>
+      (0 until m.m).map { j =>
+        val sub = v.slice(j * m.subDim, (j + 1) * m.subDim)
+        m.codebooks(j).map(w =>
+          w.zip(sub).map { case (a, b) => (a - b) * (a - b) }.sum).min
+      }.sum
+    }.sum
+    assert(err(t1) <= err(seed) + 1e-9,
+      s"training worsened quantization: ${err(t1)} > ${err(seed)}")
+    assert(err(t1) < err(seed) * 0.9,
+      "clustered fixture should improve materially")
+  }
+
+  test("train: an empty cell keeps its previous codeword") {
+    // two IDENTICAL vectors both become seeds (c = corpus size), ties
+    // assign to the LOWER cell, so the higher twin's cell gets no rows
+    // and must retain its seed codeword verbatim
+    val rows = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(5.0, 5.0)),
+      (3L, Seq(9.0, 1.0)), (4L, Seq(9.0, 1.0)))
+    val df = rows.toDF("vec_id", "embedding")
+    val seed = Pq.portableSeedCodebooks(df, "vec_id", "embedding", m = 1, c = 4)
+    val trained = Pq.train(df, "vec_id", "embedding", m = 1, c = 4, iters = 1)
+    val dupCells = (0 until 4).filter(cell =>
+      seed.codebooks(0)(cell).toSeq == Seq(9.0, 1.0))
+    assert(dupCells.size == 2, s"expected twin seeds, got $dupCells")
+    val emptied = dupCells.max
+    assert(trained.codebooks(0)(emptied).toSeq == Seq(9.0, 1.0),
+      "empty cell must keep its previous codeword")
+  }
 }

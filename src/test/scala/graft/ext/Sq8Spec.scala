@@ -82,7 +82,7 @@ class Sq8Spec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("topK equals a driver-side integer-dot brute force, ties on id asc") {
+  test("topK equals a driver-side dequantized-dot brute force, ties on id asc") {
     val rnd = new scala.util.Random(5)
     val dim = 6
     val rows = (1L to 60L).map(i =>
@@ -90,23 +90,45 @@ class Sq8Spec extends AnyFunSuite with SparkSpec {
     val df = rows.toDF("vec_id", "embedding").repartition(7)
     val (lo, hi) = Sq8.collectRanges(df, "embedding", dim)
     val loB = lo.map(BigDecimal(_)); val hiB = hi.map(BigDecimal(_))
-    val codeOf: Map[Long, Seq[Int]] = rows.map { case (id, v) =>
-      id -> (0 until dim).map(d => refCode(v(d).toDouble, loB(d), hiB(d)))
+    // 255x-scaled exact dequant: D_d = 255*lo_d + code_d*(hi_d - lo_d)
+    val deqOf: Map[Long, Seq[BigDecimal]] = rows.map { case (id, v) =>
+      id -> (0 until dim).map { d =>
+        val c = refCode(v(d).toDouble, loB(d), hiB(d))
+        loB(d) * 255 + c * (hiB(d) - loB(d))
+      }
     }.toMap
     val k = 4
     val queries = df.where($"vec_id" <= 5L)
     val out = Sq8.topK(df, queries, "vec_id", "embedding", "vec_id",
         dim = dim, k = k)
       .orderBy("query_id", "rank")
-      .as[(Long, Long, Long, Int)].collect()
+      .as[(Long, Long, Double, Int)].collect()
     for (qid <- 1L to 5L) {
-      val qc = codeOf(qid)
+      val qd = deqOf(qid)
       val exp = rows.map(_._1).filter(_ != qid)
-        .map(nid => (nid, codeOf(nid).zip(qc).map { case (a, b) => a.toLong * b }.sum))
+        .map(nid => (nid, deqOf(nid).zip(qd)
+          .map { case (a, b) => a * b }.sum))
         .sortBy { case (nid, s) => (-s, nid) }.take(k)
       val got = out.filter(_._1 == qid).map(r => (r._2, r._3)).toSeq
-      assert(got == exp, s"query $qid: $got vs $exp")
+      // displayed score = 6-dp HALF_UP round of the exact decimal (the
+      // cross-engine-safe double conversion); ranking used full scale
+      assert(got == exp.map { case (nid, s) =>
+        (nid, s.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) },
+        s"query $qid: $got vs $exp")
     }
+    // faithfulness (the reason for the round-16 rewrite): the quantized
+    // ranking's top-k tracks the exact RAW-dot top-k on this smooth
+    // fixture — the affine code dot it replaced measured 0.29-0.34 here
+    val rawTop: Map[Long, Set[Long]] = (1L to 5L).map { qid =>
+      val qv = rows.find(_._1 == qid).get._2.map(_.toDouble)
+      qid -> rows.filter(_._1 != qid)
+        .map(r => (r._1, r._2.map(_.toDouble).zip(qv).map(t => t._1 * t._2).sum))
+        .sortBy { case (nid, s) => (-s, nid) }.take(k).map(_._1).toSet
+    }.toMap
+    val hits = (1L to 5L).map(qid =>
+      out.filter(_._1 == qid).map(_._2).count(rawTop(qid))).sum
+    assert(hits >= (5 * k * 0.9).toInt,
+      s"dequantized ranking lost the raw-dot top-k: $hits / ${5 * k}")
   }
 
   test("wrong-length vector fails loudly; empty corpus fails collectRanges") {
