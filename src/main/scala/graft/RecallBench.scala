@@ -204,6 +204,16 @@ object RecallBench {
       // q169 with the trained codebooks (coarse quantizer unchanged)
       ("ivfpq_trained", truthL2, () => Pq.ivfAdcTopK(ivfSeed, pqTrained,
         corpus, queries, "vec_id", "embedding", "vec_id", k = K, nProbe = 2)),
+      // q292 shape — ADC shortlist + exact cosine re-rank (the remedy
+      // for the ADC quantization ceiling; scored vs the COSINE truth
+      // because the re-rank metric is cosine)
+      ("pq_rerank", truthCos, () => Pq.adcRerankTopK(pqModel, corpus,
+        queries, "vec_id", "embedding", "vec_id", k = K, shortlist = 10 * K)),
+      // the shortlist dial: rerank recall is bounded by shortlist
+      // coverage of the ADC error shell, so a FIXED shortlist dilutes
+      // as the corpus grows — 100x k measures the dial's other end
+      ("pq_rerank_s1k", truthCos, () => Pq.adcRerankTopK(pqModel, corpus,
+        queries, "vec_id", "embedding", "vec_id", k = K, shortlist = 100 * K)),
       // q264 shape — ranks by the integer dot of SQ8 codes
       ("sq8", truthDot, () => Sq8.topK(corpus, queries,
         "vec_id", "embedding", "vec_id", dim, k = K)))

@@ -118,8 +118,11 @@ object ScaleBench {
     "q289_cjk_substring",
     // round 16: trained PQ (one oracled Lloyd step — the training
     // shuffle is m*dim values per corpus row + an O(m*c*subDim)
-    // collect, so the curve should stay ~linear like q168's)
-    "q291_knn_pq_trained")
+    // collect, so the curve should stay ~linear like q168's) and the
+    // ADC-shortlist + exact-re-rank face (two corpus streams, both
+    // broadcast-probed — ~linear, recall measured in RecallBench)
+    "q291_knn_pq_trained",
+    "q292_knn_pq_rerank")
 
   /** Build the `replicas`x corpus: isomorphic token-suffixed document
     * replicas and coordinate-rotated embedding replicas. Id offsets are

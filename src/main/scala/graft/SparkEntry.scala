@@ -2017,6 +2017,23 @@ $fin"""
         .orderBy("query_id", "rank")
     }),
 
+    "q292_knn_pq_rerank" -> ((s, d) => {
+      // ADC shortlist + exact cosine re-rank, fully hash-oracled: the
+      // RecallBench finding is that ADC recall (~0.5 at c=16) is a
+      // quantization ceiling Lloyd training cannot buy back (q291
+      // moved it ~+0.02) — the production remedy over-retrieves by ADC
+      // (10x k, code-only scans) and re-ranks just the shortlist with
+      // exact cosine on raw floats (measured 0.94-0.99, scale-flat).
+      // Both stages replay: q168's ADC chain cut at rank <= 50, then
+      // the q24 cosine convention over the shortlist join.
+      val emb = t(s, d, "embeddings")
+      val model = graft.ext.Pq.portableSeedCodebooks(emb, "vec_id",
+        "embedding", m = 8, c = 16)
+      graft.ext.Pq.adcRerankTopK(model, emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", "vec_id", k = 5, shortlist = 50)
+        .orderBy("query_id", "rank")
+    }),
+
     "q137_semdedup_incr" -> ((s, d) => {
       // incremental semantic dedup: standing corpus = ids < 400 (with the
       // generation's frozen seed quantizer); increment = ids >= 400 plus
@@ -9879,6 +9896,48 @@ $fin"""
                ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS rank
            FROM adc)
          SELECT query_id, neighbor_id, adc_dist, rank FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
+
+    // the q168 ADC chain cut at the 50-deep shortlist, then the q24
+    // cosine convention re-ranks raw vectors of shortlist rows only
+    "q292_knn_pq_rerank" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         seeds AS (SELECT v AS sv, rn - 1 AS cell FROM
+             (SELECT v, row_number() OVER
+                (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM e)
+           WHERE rn <= 16),
+         js AS (SELECT unnest(generate_series(0, 7)) AS j),
+         cw AS (SELECT js.j, s.cell, s.sv[js.j*8 + 1 : js.j*8 + 8] AS w
+           FROM seeds s CROSS JOIN js),
+         sd AS (SELECT e.vec_id, c.j, c.cell,
+             list_sum([ (e.v[c.j*8 + d] - c.w[d]) * (e.v[c.j*8 + d] - c.w[d])
+                        for d in generate_series(1, 8) ]) AS sdist
+           FROM e CROSS JOIN cw c),
+         codes AS (SELECT vec_id, j, cell AS code FROM (
+             SELECT vec_id, j, cell, row_number() OVER
+               (PARTITION BY vec_id, j ORDER BY sdist ASC, cell ASC) AS rn
+             FROM sd)
+           WHERE rn = 1),
+         adc AS (SELECT s.vec_id AS query_id, n.vec_id AS neighbor_id,
+             list_sum(list(s.sdist ORDER BY s.j)) AS dist
+           FROM codes n JOIN sd s ON s.j = n.j AND s.cell = n.code
+           WHERE s.vec_id < 10 AND n.vec_id <> s.vec_id
+           GROUP BY 1, 2),
+         shortr AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id, row_number() OVER
+               (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rn
+             FROM adc)
+           WHERE rn <= 50),
+         qv AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id < 10),
+         rs AS (SELECT s.query_id, s.neighbor_id,
+             list_cosine_similarity(q.qvec, c.v) AS cos_raw
+           FROM shortr s JOIN e c ON c.vec_id = s.neighbor_id
+           JOIN qv q USING (query_id)),
+         rr AS (SELECT query_id, neighbor_id, round(cos_raw, 6) + 0 AS cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+           FROM rs)
+         SELECT query_id, neighbor_id, cosine, rank FROM rr WHERE rank <= 5
          ORDER BY query_id, rank""",
 
     // the q168 chain + ONE replayed Lloyd step: assignment = argmin

@@ -129,6 +129,31 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Exact 128-bit dot of two scale-6 unscaled long arrays, typed
+    * decimal(38,12) — the SQ8 scoring kernel. The equivalent
+    * `aggregate(zip_with(...))` over decimal arrays evaluates one
+    * interpreted lambda per element; this is one static call inside
+    * WholeStageCodegen with identical exact values (Sq8Spec pins both
+    * against a BigDecimal reference).
+    */
+  case class ScaledDotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DecimalType(38, 12)
+    override def prettyName: String = "scaled_dot_product"
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      VectorRuntime.scaledDotDecimal(
+        l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.expressions.VectorRuntime.scaledDotDecimal($a, $b);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   def int8Quantize(vec: Column): Column =
     ColumnBridge.column(Int8Quantize(ColumnBridge.expression(vec)))
 
@@ -139,6 +164,10 @@ object VectorExpressions {
   def cosineSimilarity(a: Column, b: Column): Column =
     ColumnBridge.column(
       CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def scaledDotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      ScaledDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def hyperplaneSignBucket(vec: Column, planes: Array[Array[Double]]): Column =
     ColumnBridge.column(

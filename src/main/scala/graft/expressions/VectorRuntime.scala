@@ -115,4 +115,45 @@ object VectorRuntime {
     val order = sims.indices.sortBy(i => (-sims(i), i)).take(nProbe)
     new GenericArrayData(order.map(Int.box).toArray[Any])
   }
+
+  /** EXACT dot product of two long arrays holding scale-6 unscaled
+    * decimal values, returned as decimal(38,12): per-element products are
+    * full signed 128-bit (`Math.multiplyHigh` high word + wrapping low
+    * word) accumulated with an unsigned low-word carry, so no precision
+    * is lost at any magnitude the caller's bound admits — the SQ8
+    * scoring hot loop (Sq8.topK guards |value| driver-side so the sum
+    * stays under both 2^127 and decimal(38,12)'s 10^26). One primitive
+    * loop + a single BigInteger materialization per call, vs the
+    * interpreted per-element decimal lambda it replaced (measured ~10x
+    * on the RecallBench 25x corpus).
+    */
+  def scaledDotDecimal(l: ArrayData, r: ArrayData)
+      : org.apache.spark.sql.types.Decimal = {
+    val n = l.numElements()
+    requireSameDim("scaled_dot_product", n, r.numElements())
+    var hi = 0L
+    var lo = 0L
+    var i = 0
+    while (i < n) {
+      val x = l.getLong(i)
+      val y = r.getLong(i)
+      val ph = Math.multiplyHigh(x, y)
+      val pl = x * y
+      val nl = lo + pl
+      // unsigned carry out of the low word (Hacker's Delight 2-13)
+      val carry = ((lo & pl) | ((lo | pl) & ~nl)) >>> 63
+      hi += ph + carry
+      lo = nl
+      i += 1
+    }
+    val bytes = new Array[Byte](16)
+    var j = 0
+    while (j < 8) {
+      bytes(j) = (hi >>> (56 - 8 * j)).toByte
+      bytes(j + 8) = (lo >>> (56 - 8 * j)).toByte
+      j += 1
+    }
+    org.apache.spark.sql.types.Decimal(
+      new java.math.BigDecimal(new java.math.BigInteger(bytes), 12), 38, 12)
+  }
 }

@@ -76,21 +76,33 @@ object Sq8 {
     * corpus ranges). Codes are `array<int>` (byte semantics, int storage —
     * the arithmetic downstream is long anyway).
     */
+  /** The per-element quantizer body shared by [[codes]] and the fused
+    * dequant in [[topK]]: nesting `element_at(codes(...), i)` inside
+    * another transform's lambda would RE-EVALUATE the whole codes array
+    * once per consuming element (Catalyst common-subexpression
+    * elimination does not cross lambda bodies — measured as a 64x
+    * per-row blowup, 45 s vs ~3 s on the 25x RecallBench corpus), so
+    * consumers fuse this one-element body into their own lambda instead.
+    */
+  private def codeAt(v: Column, i: Column,
+      loLit: Column, hiLit: Column): Column = {
+    val x = round(element_at(v, i + 1), 6).cast("decimal(18,6)")
+    val l = element_at(loLit, i + 1)
+    val h = element_at(hiLit, i + 1)
+    when(h === l, lit(0)).otherwise(
+      least(lit(255), greatest(lit(0),
+        floor(((x - l) * lit(255)).cast("double") /
+          (h - l).cast("double") + lit(0.5)).cast("int"))))
+  }
+
   def codes(vecCol: Column,
       lo: Seq[java.math.BigDecimal], hi: Seq[java.math.BigDecimal]): Column = {
     require(lo.nonEmpty && lo.size == hi.size, "range literals misaligned")
     val loLit = array(lo.map(l => lit(l).cast("decimal(18,6)")): _*)
     val hiLit = array(hi.map(h => lit(h).cast("decimal(18,6)")): _*)
     val v = vecCol.cast("array<double>")
-    transform(sequence(lit(0), lit(lo.size - 1)), i => {
-      val x = round(element_at(v, i + 1), 6).cast("decimal(18,6)")
-      val l = element_at(loLit, i + 1)
-      val h = element_at(hiLit, i + 1)
-      when(h === l, lit(0)).otherwise(
-        least(lit(255), greatest(lit(0),
-          floor(((x - l) * lit(255)).cast("double") /
-            (h - l).cast("double") + lit(0.5)).cast("int"))))
-    })
+    transform(sequence(lit(0), lit(lo.size - 1)),
+      i => codeAt(v, i, loLit, hiLit))
   }
 
   /** Per-document quantization report (the SQ8 fidelity card):
@@ -149,13 +161,16 @@ object Sq8 {
     * dequantized values `lo + code/255 * range`; multiplying each
     * coordinate by the global constant 255 clears the division, so
     * `D_i = 255 * lo_i + code_i * (hi_i - lo_i)` is EXACT at decimal
-    * scale 6 and `score = sum_i D_q,i * D_c,i` (exact at scale 12, the
-    * pinned decimal(38,12) accumulator) is 255^2 times the dequantized
-    * dot — same ranking, zero floating steps, so the top-k stays
-    * hash-oracle-exact with no rounding convention while now tracking
-    * the true inner product to quantization error (RecallBench after:
-    * recall_own 0.98+ at every scale). Output `score` is the exact
-    * decimal cast once to double (identical in any engine).
+    * scale 6 and `score = sum_i D_q,i * D_c,i` (exact at scale 12) is
+    * 255^2 times the dequantized dot — same ranking, zero floating
+    * steps, so the top-k stays hash-oracle-exact with no rounding
+    * convention while now tracking the true inner product to
+    * quantization error (RecallBench after: recall_own 0.98+ at every
+    * scale). The hot loop is the native 128-bit
+    * [[graft.expressions.VectorExpressions.ScaledDotProduct]] over
+    * unscaled-long dequants (driver-guarded magnitude bounds), and the
+    * displayed `score` is the exact decimal rounded to 6 dp then cast
+    * once to double (identical in any engine).
     */
   def topK(
       corpus: DataFrame, queries: DataFrame,
@@ -177,38 +192,53 @@ object Sq8 {
           "(a null dot product would silently mis-rank)")))
         .cast("array<double>"))
     // 255x-scaled exact dequantized coordinates: D_i = 255*lo_i +
-    // code_i*(hi_i - lo_i). Every term has decimal scale 6, so the cast
-    // back to decimal(18,6) is exact (|D| < 10^12 for any sane corpus);
-    // a degenerate dim (hi == lo, code 0) dequantizes to 255*lo — its
-    // exact value, constant across rows
-    val loLit = array(lo.map(l => lit(l).cast("decimal(18,6)")): _*)
-    val hiLit = array(hi.map(h => lit(h).cast("decimal(18,6)")): _*)
-    def dequant255(codesCol: Column): Column =
-      transform(sequence(lit(0), lit(dim - 1)), i => {
-        val l = element_at(loLit, i + 1)
-        val h = element_at(hiLit, i + 1)
-        val cc = element_at(codesCol, i + 1).cast("decimal(10,0)")
-        (l * lit(255) + cc * (h - l)).cast("decimal(18,6)")
-      })
+    // code_i*(hi_i - lo_i). Every term has decimal scale 6, so the
+    // UNSCALED value (D_i * 10^6) is an exact integer and rides as a
+    // plain long; a degenerate dim (hi == lo, code 0) dequantizes to
+    // 255*lo — its exact value, constant across rows. The scoring loop
+    // is then the native 128-bit ScaledDotProduct expression (one
+    // static call inside WholeStageCodegen) instead of an interpreted
+    // per-element decimal lambda — identical exact decimal(38,12)
+    // values, measured ~10x cheaper per candidate.
+    val maxAbs = (lo ++ hi).map(_.abs.doubleValue).max
+    val dBound = 255.0 * (maxAbs + 1e-6) * 1e6 // max |unscaled D_i|
+    // the long lane and the decimal(38,12) output must both hold the
+    // worst case: |D_unscaled| < 2^63 and dim * D^2 < 10^38 (the sum's
+    // unscaled bound). Any real embedding corpus sits orders of
+    // magnitude inside both; fail loudly rather than wrap.
+    require(dBound < 3.0e18,
+      f"Sq8.topK: corpus range magnitude $maxAbs%.3g overflows the " +
+        "64-bit dequantized lane — rescale the embeddings")
+    require(dim * dBound * dBound < 0.9e38,
+      f"Sq8.topK: dim=$dim with range magnitude $maxAbs%.3g overflows " +
+        "the decimal(38,12) score — rescale the embeddings")
+    // unscaled-long range literals (value * 10^6, exact by scale-6
+    // construction): the dequant output stays in long arithmetic — no
+    // decimal precision rules in the pair path at all. The per-element
+    // CODE is fused into the same lambda (codeAt): a nested
+    // element_at(codes(...), i) would re-evaluate the full codes array
+    // per element (see codeAt's scaladoc for the measured 64x blowup).
+    val loDec = array(lo.map(l => lit(l).cast("decimal(18,6)")): _*)
+    val hiDec = array(hi.map(h => lit(h).cast("decimal(18,6)")): _*)
+    val loU = array(lo.map(l =>
+      lit(l.scaleByPowerOfTen(6).longValueExact)): _*)
+    val rngU = array(lo.zip(hi).map { case (l, h) =>
+      lit(h.subtract(l).scaleByPowerOfTen(6).longValueExact) }: _*)
+    def dequant255(v: Column): Column =
+      transform(sequence(lit(0), lit(dim - 1)), i =>
+        lit(255L) * element_at(loU, i + 1) +
+          codeAt(v, i, loDec, hiDec).cast("long") * element_at(rngU, i + 1))
     val c = corpus.where(col(vecCol).isNotNull)
       .select(col(idCol).as("neighbor_id"),
-        dequant255(codes(col(vecCol), lo, hi)).as("__cd"))
+        dequant255(col(vecCol).cast("array<double>")).as("__cd"))
     val q = broadcast(queries.where(col(vecCol).isNotNull)
       .select(col(queryIdCol).as("query_id"),
-        dequant255(codes(qGuard, lo, hi)).as("__qd")))
-    // (18,6) x (18,6) multiplies land at decimal(37,12) — exact, under
-    // the precision-38 cap. The accumulator is pinned to decimal(37,12),
-    // NOT 38: Add((37,12),(37,12)) needs precision exactly 38 and stays
-    // exact, while a (38,12) accumulator would need 39 and Spark's
-    // precision-loss adjustment silently trims the scale to 11 — one
-    // rounded decimal digit PER accumulation step (measured as a 1-ulp
-    // double divergence from the exact reference in Sq8Spec)
+        dequant255(qGuard).as("__qd")))
     val scored = c.join(q)
       .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .withColumn("__score",
-        aggregate(zip_with(col("__qd"), col("__cd"), (a, b) => a * b),
-          lit(java.math.BigDecimal.ZERO).cast("decimal(37,12)"),
-          (acc, e) => (acc + e).cast("decimal(37,12)")))
+        graft.expressions.VectorExpressions.scaledDotProduct(
+          col("__qd"), col("__cd")))
     // ranking on the FULL exact decimal; the displayed score rounds to
     // 6 dp in decimal BEFORE the double cast — a scale-12 decimal's
     // double conversion is engine-specific at the last ulp (DuckDB

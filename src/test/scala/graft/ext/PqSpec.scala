@@ -178,6 +178,35 @@ class PqSpec extends AnyFunSuite with SparkSpec {
       "clustered fixture should improve materially")
   }
 
+  test("adcRerankTopK: full-corpus shortlist equals exact brute force") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1L to 40L).map(i => (i, Seq.fill(8)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("vec_id", "embedding").repartition(3)
+    val seed = Pq.portableSeedCodebooks(df, "vec_id", "embedding", m = 2, c = 4)
+    val queries = df.where($"vec_id" <= 3L)
+    // shortlist >= corpus - 1 makes the re-rank a full exact search, so
+    // the output must EQUAL bruteForceTopK row for row — the drop-in
+    // contract the scaladoc claims
+    val got = Pq.adcRerankTopK(seed, df, queries, "vec_id", "embedding",
+        "vec_id", k = 4, shortlist = 39)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding",
+        "vec_id", k = 4)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got == exact)
+    // and a thin shortlist still returns exactly k well-formed rows
+    val thin = Pq.adcRerankTopK(seed, df, queries, "vec_id", "embedding",
+        "vec_id", k = 2, shortlist = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(thin.length == 3 * 2 && thin.map(_._4).forall(r => r == 1 || r == 2))
+    intercept[IllegalArgumentException] {
+      Pq.adcRerankTopK(seed, df, queries, "vec_id", "embedding", "vec_id",
+        k = 5, shortlist = 4)
+    }
+  }
+
   test("train: an empty cell keeps its previous codeword") {
     // two IDENTICAL vectors both become seeds (c = corpus size), ties
     // assign to the LOWER cell, so the higher twin's cell gets no rows

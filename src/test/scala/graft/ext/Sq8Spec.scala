@@ -131,6 +131,27 @@ class Sq8Spec extends AnyFunSuite with SparkSpec {
       s"dequantized ranking lost the raw-dot top-k: $hits / ${5 * k}")
   }
 
+  test("scaledDotDecimal kernel is exact at 128-bit product magnitudes") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(97)
+    def arr(a: Array[Long]) = new GenericArrayData(a.map(Long.box).toArray[Any])
+    for (trial <- 1 to 50) {
+      val n = 1 + rnd.nextInt(32)
+      // magnitudes up to 1e18: single products overflow a long by ~15
+      // orders of magnitude, so only a correct 128-bit path can pass
+      val a = Array.fill(n)(rnd.nextLong() % 1000000000000000000L)
+      val b = Array.fill(n)(rnd.nextLong() % 1000000000000000000L)
+      val ref = a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      val got = graft.expressions.VectorRuntime.scaledDotDecimal(arr(a), arr(b))
+      assert(got.toJavaBigDecimal.unscaledValue() == ref.bigInteger &&
+        got.toJavaBigDecimal.scale() == 12, s"trial $trial: $got vs $ref")
+    }
+    intercept[IllegalArgumentException] {
+      graft.expressions.VectorRuntime.scaledDotDecimal(
+        arr(Array(1L, 2L)), arr(Array(1L)))
+    }
+  }
+
   test("wrong-length vector fails loudly; empty corpus fails collectRanges") {
     val bad = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {
