@@ -1889,7 +1889,7 @@ $fin"""
       val idx = Dedup.exactSubstringWindows(docs.where(col("doc_id") <= mid),
         "doc_id", "text", windowTokens = 12)
       Dedup.exactSubstringDedupAgainst(docs.where(col("doc_id") > mid), idx,
-          "doc_id", "text", windowTokens = 12)
+          "doc_id", "text")
         .select(col("doc_id"), md5(col("clean_text")).as("h"),
           col("n_total"), col("n_kept"))
         .orderBy("doc_id")

@@ -469,9 +469,13 @@ object Dedup {
     * the increment's signature pipeline from them instead of per-call
     * arguments — buckets from mismatched parameters never collide
     * correctly, so a re-pass drift would silently pass every duplicate.
+    * No default: a state whose frames were built under other parameters
+    * must be LABELED with those parameters, or every probe that trusts
+    * the label inherits the silent-no-match failure the label exists to
+    * kill (round-16 self-review).
     */
   final case class MinhashState(sets: DataFrame, buckets: DataFrame,
-      params: MinhashParams = MinhashParams(64, 16, 3))
+      params: MinhashParams)
 
   /** Build (or rebuild) the dedup state for a document set. */
   def minhashState(
@@ -773,19 +777,46 @@ object Dedup {
     rebuildWithoutSpans(toks, starts, idCol, windowTokens)
   }
 
+  /** Standing exact-substring index: the distinct corpus windows PLUS
+    * the parameters that produced them — the state-carried-params
+    * convention (round-16 self-review: a routed index probed with word
+    * windows, or an 8-token index probed at 12, never equi-joins and
+    * silently finds NOTHING; carrying the params in the index turns the
+    * drift into a derived pipeline instead of a per-call argument).
+    * [[union]] merges increment indexes and fails loudly on a mismatch.
+    * Persist `windows` like any table (parquet) and reconstruct with the
+    * SAME params — the probe derives its windowing from the index.
+    */
+  final case class SubstringIndex(
+      windows: DataFrame, windowTokens: Int,
+      route: Option[CharGramRouting]) {
+    require(windows.columns.contains("win"),
+      "index frame must have a 'win' column (exactSubstringWindows output)")
+    def union(other: SubstringIndex): SubstringIndex = {
+      require(windowTokens == other.windowTokens && route == other.route,
+        s"substring index params differ (windowTokens $windowTokens vs " +
+          s"${other.windowTokens}, route $route vs ${other.route}) — " +
+          "their windows never equi-join; rebuild under one scheme")
+      SubstringIndex(windows.union(other.windows).distinct(),
+        windowTokens, route)
+    }
+  }
+
   /** The standing-corpus window index for [[exactSubstringDedupAgainst]]:
-    * the distinct `windowTokens`-token windows of `df` as one `win` string
-    * column. Persist it like any table (parquet) and union new batches'
-    * windows in — the corpus is never re-tokenized on later increments
-    * (the substring analog of [[minhashState]]).
+    * the distinct `windowTokens`-token windows of `df`, carried WITH the
+    * parameters that built them. Union new batches' windows in via
+    * [[SubstringIndex.union]] — the corpus is never re-tokenized on
+    * later increments (the substring analog of [[minhashState]]).
     */
   def exactSubstringWindows(
       df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int = 8,
-      route: Option[CharGramRouting] = None): DataFrame = {
+      route: Option[CharGramRouting] = None): SubstringIndex = {
     require(windowTokens >= 2, "windowTokens must be >= 2")
-    windowStarts(tokenized(df, idCol, textCol, route), idCol, windowTokens)
-      .select(col("win")).distinct()
+    SubstringIndex(
+      windowStarts(tokenized(df, idCol, textCol, route), idCol, windowTokens)
+        .select(col("win")).distinct(),
+      windowTokens, route)
   }
 
   /** Incremental APPLY: clean an incoming batch against a STANDING corpus —
@@ -801,16 +832,15 @@ object Dedup {
     * [[exactSubstringDedup]].
     */
   def exactSubstringDedupAgainst(
-      incoming: DataFrame, corpusWindows: DataFrame,
-      idCol: String, textCol: String, windowTokens: Int = 8,
-      route: Option[CharGramRouting] = None): DataFrame = {
-    require(windowTokens >= 2, "windowTokens must be >= 2")
-    require(corpusWindows.columns.contains("win"),
-      "corpusWindows must have a 'win' column (exactSubstringWindows output " +
-        "built with the SAME windowTokens AND route — routed and word " +
-        "windows never equi-join, so a routing mismatch silently finds " +
-        "nothing; persist the route with the index like any state param)")
-    val toks = tokenized(incoming, idCol, textCol, route)
+      incoming: DataFrame, index: SubstringIndex,
+      idCol: String, textCol: String): DataFrame = {
+    // windowing and routing DERIVE from the index (the state-carried
+    // params convention): a per-call argument here was the one remaining
+    // silent-drift hole after round 16 moved the three shingle states to
+    // carried params — mismatched windows simply never equi-join
+    val windowTokens = index.windowTokens
+    val corpusWindows = index.windows
+    val toks = tokenized(incoming, idCol, textCol, index.route)
     val wins = windowStarts(toks, idCol, windowTokens)
     // corpus-claimed occurrences: semi-join against the standing index
     val corpusHit = wins.join(corpusWindows.select("win"), Seq("win"), "left_semi")
@@ -1185,7 +1215,8 @@ object Dedup {
     // default-ON pre-flight: the (post-cap) prefix mass bounds the
     // candidate rows the equi-join below will materialize — warn/fail
     // BEFORE the melt, the q283 advisor run by the join itself
-    gateOpenJoin(prefix, adviseAbove, failAbove, "all-pairs jaccard join")
+    gateOpenJoin(prefix, adviseAbove, failAbove, "all-pairs jaccard join",
+      selfJoin = true)
     val cand = prefix.select(col("token"), col("rep").as("rl"), col("sz").as("__szl"))
       .join(prefix.select(col("token"), col("rep").as("rr"), col("sz").as("__szr")),
         Seq("token"))
@@ -1303,8 +1334,8 @@ object Dedup {
   /** Byte budget for broadcasting the batch-derived sides of the probe
     * joins, derived from the DRIVER heap (the broadcast hash relation is
     * built there, and JVM hash-relation overhead multiplies the
-    * estimated payload ~2-3x): a quarter of `spark.driver.memory`,
-    * an eighth of `spark.driver.memory` (a 1g default driver gates at
+    * estimated payload ~2-3x): an eighth of `spark.driver.memory` (a
+    * 1g default driver gates at
     * 128 MB, where the previous hard-coded 256 MB constant — ADVICE
     * r15 — sat at the OOM edge), capped at 256 MB (the measured-safe
     * ceiling on this harness's large-heap session). Callers override
@@ -1506,11 +1537,21 @@ object Dedup {
     * `candidates_est > maxCandidates`. Two bounded aggregations over
     * the prefix frame — NO join runs.
     */
-  private def prefixMassReport(
-      prefix: DataFrame, maxCandidates: Long): DataFrame = {
+  private[graft] def prefixMassReport(
+      prefix: DataFrame, maxCandidates: Long,
+      selfJoin: Boolean = false): DataFrame = {
+    // per-token generation bound depends on the JOIN SHAPE (round-16
+    // self-review): containment joins prefix x POSTINGS — exactly
+    // np * df rows per token — while the AllPairs faces join the prefix
+    // to ITSELF, whose bound is np^2; np <= df, so using np * df there
+    // over-gates a corpus whose hot tokens are common in sets but rare
+    // in prefixes (boilerplate kept out of prefixes by set size), and
+    // failAbove would abort a perfectly bounded run
     val perTok = prefix.groupBy(col("token"))
       .agg(count(lit(1)).as("__np"), first(col("__df")).as("__dfv"))
-      .withColumn("__mass", col("__np") * col("__dfv"))
+      .withColumn("__mass",
+        if (selfJoin) col("__np") * col("__np")
+        else col("__np") * col("__dfv"))
       .localCheckpoint() // feeds the total AND the argmax — one agg pass
     val tot = perTok.agg(
       coalesce(sum(col("__np")), lit(0L)).as("prefix_rows"),
@@ -1546,9 +1587,9 @@ object Dedup {
     */
   private def gateOpenJoin(
       prefix: DataFrame, adviseAbove: Long, failAbove: Boolean,
-      what: String): Unit = {
+      what: String, selfJoin: Boolean = false): Unit = {
     require(adviseAbove >= 1, "adviseAbove must be at least 1")
-    val row = prefixMassReport(prefix, adviseAbove).head()
+    val row = prefixMassReport(prefix, adviseAbove, selfJoin).head()
     if (row.getAs[Boolean]("advise_cap")) {
       val msg = s"$what pre-flight: estimated candidate mass " +
         s"${row.getAs[Long]("candidates_est")} exceeds $adviseAbove " +
@@ -1672,11 +1713,13 @@ object Dedup {
     * from the state instead of per-call arguments — a mismatched re-pass
     * would build gram sets that never intersect the state's and silently
     * pass every duplicate, the exact failure mode the persisted-state
-    * manifests guard against on disk.
+    * manifests guard against on disk. `shingleK`/`route` carry no
+    * defaults for the [[MinhashState]] reason: frames built elsewhere
+    * must be labeled with their true parameters.
     */
   final case class ContainmentState(
-      sets: DataFrame, dfreq: DataFrame, staleDocs: Long = 0L,
-      shingleK: Int = 3, route: Option[CharGramRouting] = None)
+      sets: DataFrame, dfreq: DataFrame, staleDocs: Long,
+      shingleK: Int, route: Option[CharGramRouting])
 
   /** Append an arriving batch to a standing [[ContainmentState]] — the
     * O(batch + union) ingest step of the containment screen. `dfreq` is

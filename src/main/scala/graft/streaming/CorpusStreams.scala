@@ -352,7 +352,8 @@ object CorpusStreams {
         .start()
       q.awaitTermination()
       // bounded by design at ONE row holding <= k counters — measured
-      EventStreams.auditStateSize(q, "heavy-hitters monitor", maxStateRows)
+      EventStreams.auditStateSizeOrDrop(spark, q, "heavy-hitters monitor",
+        maxStateRows, queryName)
     }
     // bounded: at most one row, <= k strings (empty when zero batches ran)
     val first = spark.table(queryName)
@@ -443,7 +444,8 @@ object CorpusStreams {
       // honest floor = |vocabulary| rows (the scaladoc's declared bound);
       // the audit is where a vocabulary-shaped state stops being a
       // claim — cap it when only the top drifts matter (the MG pass)
-      EventStreams.auditStateSize(q, "token-drift monitor", maxStateRows)
+      EventStreams.auditStateSizeOrDrop(spark, q, "token-drift monitor",
+        maxStateRows, queryName)
     }
     val streamedCounts = EventStreams.drainMemorySink(spark, queryName)
     val baseCounts = baseline
@@ -480,7 +482,8 @@ object CorpusStreams {
         .start()
       q.awaitTermination()
       // bounded by design at groups x 2^p register rows — measured
-      EventStreams.auditStateSize(q, "hll-registers monitor", maxStateRows)
+      EventStreams.auditStateSizeOrDrop(spark, q, "hll-registers monitor",
+        maxStateRows, queryName)
     }
     EventStreams.drainMemorySink(spark, queryName)
   }
@@ -585,7 +588,8 @@ object CorpusStreams {
       q.awaitTermination()
       // the clamped bins bound state at groups x (2*maxAbsBucket + 1) x 2
       // BY DESIGN — the audit turns that argument into a measurement
-      EventStreams.auditStateSize(q, "classifier-auc monitor", maxStateRows)
+      EventStreams.auditStateSizeOrDrop(spark, q, "classifier-auc monitor",
+        maxStateRows, queryName)
     }
     graft.ops.Profile.aucFromCounts(
       EventStreams.drainMemorySink(spark, queryName), Seq(groupCol))

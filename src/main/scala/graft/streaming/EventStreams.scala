@@ -135,6 +135,25 @@ object EventStreams {
     }
   }
 
+  /** [[auditStateSize]] with guaranteed sink release on breach: the cap
+    * throwing must not LEAK the Complete-mode memory sink's driver-held
+    * rows (round-16 self-review — every monitor audits BEFORE its
+    * drain, so a breached cap would leave the temp view registered for
+    * the session's lifetime, pinning the full streamed aggregate on the
+    * driver across repeated breached runs). The view is dropped before
+    * the breach propagates; the success path leaves it for the drain.
+    */
+  private[streaming] def auditStateSizeOrDrop(
+      spark: SparkSession, q: org.apache.spark.sql.streaming.StreamingQuery,
+      what: String, maxStateRows: Long, queryName: String): Unit =
+    try auditStateSize(q, what, maxStateRows)
+    catch {
+      case e: IllegalStateException =>
+        try spark.catalog.dropTempView(queryName)
+        catch { case _: Exception => () } // release is best-effort
+        throw e
+    }
+
   /** Drain a finished memory-sink table into a local DataFrame and DROP the
     * sink's temp view. The memory sink already holds its rows on the driver;
     * draining adds nothing, but dropping the view releases them when the
@@ -247,7 +266,7 @@ object EventStreams {
         .start()
       q.awaitTermination()
       // bounded by design at |groups| rows of k longs — measured + capped
-      auditStateSize(q, "distinct-estimate monitor", maxStateRows)
+      auditStateSizeOrDrop(spark, q, "distinct-estimate monitor", maxStateRows, queryName)
     }
     drainMemorySink(spark, queryName)
       .withColumn("n_est", Sketches.kmvEstimate(k))

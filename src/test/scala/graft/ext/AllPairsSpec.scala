@@ -716,4 +716,20 @@ class AllPairsSpec extends AnyFunSuite with SparkSpec {
     // degenerate avg (empty/odd stats) never underflows the floor
     assert(Dedup.verifyPartitionsFor(5L, -1.0, 32) == 32)
   }
+
+  test("prefixMassReport: self-join bound is np^2, postings bound is np*df") {
+    // a boilerplate-shaped token: COMMON in sets (df = 100) but kept in
+    // few prefixes (np = 3). The containment join generates np*df = 300
+    // rows for it; the AllPairs SELF-join only np^2 = 9 — gating the
+    // self-join on np*df would abort a perfectly bounded run (round-16
+    // self-review)
+    val prefix = Seq.fill(3)(("A", 100L)).toDF("token", "__df")
+    val post = Dedup.prefixMassReport(prefix, maxCandidates = 1L).head()
+    assert(post.getAs[Long]("candidates_est") == 300L)
+    assert(post.getAs[Boolean]("advise_cap"))
+    val self = Dedup.prefixMassReport(prefix, maxCandidates = 100L,
+      selfJoin = true).head()
+    assert(self.getAs[Long]("candidates_est") == 9L)
+    assert(!self.getAs[Boolean]("advise_cap"))
+  }
 }

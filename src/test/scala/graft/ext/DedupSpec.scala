@@ -417,9 +417,9 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     // an arriving routed batch identically to the one-shot
     val idx = Dedup.exactSubstringWindows(d.where(col("doc_id") === 1L),
       "doc_id", "text", windowTokens = 8, route = route)
+    // the probe derives windowing AND routing from the index itself
     val incr = Dedup.exactSubstringDedupAgainst(
-        d.where(col("doc_id") === 2L), idx, "doc_id", "text",
-        windowTokens = 8, route = route)
+        d.where(col("doc_id") === 2L), idx, "doc_id", "text")
       .select("clean_text").as[String].head()
     assert(incr == "床前明月光", s"incremental routed clean diverged: $incr")
   }
@@ -443,13 +443,17 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     var idx = Dedup.exactSubstringWindows(slices.head, "doc_id", "text", k)
     for (batch <- slices.tail) {
       val cleaned = Dedup.exactSubstringDedupAgainst(batch, idx,
-          "doc_id", "text", windowTokens = k)
+          "doc_id", "text")
         .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
       cleaned.foreach { case (id, txt) =>
         assert(txt == oneShot(id), s"doc $id diverged from one-shot")
       }
       idx = idx.union(Dedup.exactSubstringWindows(batch, "doc_id", "text", k))
-        .distinct()
+    }
+    // a mismatched-params union fails loudly instead of silently
+    // producing an index whose windows never equi-join
+    intercept[IllegalArgumentException] {
+      idx.union(Dedup.exactSubstringWindows(slices.head, "doc_id", "text", k + 1))
     }
     // the first slice is the founding corpus: one-shot must keep it intact
     // only where intra-slice duplication says so — cross-check via direct run

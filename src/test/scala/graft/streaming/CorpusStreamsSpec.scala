@@ -207,13 +207,19 @@ class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
     val path = writeDocs(unbounded)
     val staged = CorpusStreams.stageIdSlices(spark, path, "doc_id", Seq(20L))
     val baseline = Seq((1L, "stable baseline words")).toDF("doc_id", "text")
+    val tripName = s"audit_trip_${System.nanoTime()}"
     val ex = intercept[IllegalStateException] {
       CorpusStreams.tokenDriftStreaming(spark, staged, "text", baseline,
-        "text", k = 5, queryName = s"audit_trip_${System.nanoTime()}",
+        "text", k = 5, queryName = tripName,
         shufflePartitions = Some(2), maxStateRows = 50L)
     }
     assert(ex.getMessage.contains("state grew") &&
       ex.getMessage.contains("maxStateRows"), ex.getMessage)
+    // the breach must RELEASE the memory sink (round-16 self-review:
+    // the audit runs before the drain, so throwing without dropping the
+    // temp view would pin the streamed aggregate on the driver forever)
+    assert(!spark.catalog.tableExists(tripName),
+      s"breached monitor leaked its memory sink view $tripName")
     // BOUNDED designs pass their declared caps quietly on the same
     // corpus: HLL registers (groups x 2^p) and the one-row MG summary
     val hll = (1L to 40L).map(i => (i, s"g${i % 3}", s"u$i"))
