@@ -1849,6 +1849,18 @@ $fin"""
         .orderBy("doc_id")
     }),
 
+    "q293_soft_dedup" -> ((s, d) => {
+      // SOFT dedup: every document kept, weighted 1/|near-dup cluster| —
+      // the sampling-time alternative to dropping (a weighted sampler
+      // sees each cluster contribute ~one document-equivalent while
+      // intra-cluster variety survives). Same clusters as q70 by
+      // construction (shared pair + component machinery), so the oracle
+      // is q70's chain + one count + one division
+      Dedup.softDedupWeights(fanOut(s, t(s, d, "documents"), "doc_id"),
+          "doc_id", "text", threshold = 0.6)
+        .orderBy("doc_id")
+    }),
+
     "q23_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccardPairs(fanOut(s, t(s, d, "documents"), "doc_id"),
           "doc_id", "text", n = 5, threshold = 0.8)
@@ -6555,6 +6567,38 @@ $fin"""
          SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
          ORDER BY d.doc_id""",
+    // q70's component CTEs + per-component size and the 1/size weight
+    "q293_soft_dedup" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                 CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
+                      ELSE array_to_string(tk[i:i+2], ' ') END AS shingle
+               FROM (SELECT doc_id, tk,
+                       unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i
+                     FROM toks WHERE len(tk) > 0)),
+         sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS ic
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         j AS (SELECT id_l, id_r, CAST(ic AS DOUBLE) / (sa.s + sb.s - ic) AS jac
+               FROM inter JOIN sz sa ON sa.doc_id = id_l
+                          JOIN sz sb ON sb.doc_id = id_r),
+         e AS (SELECT id_l AS a, id_r AS b FROM j WHERE jac >= 0.6
+               UNION SELECT id_r, id_l FROM j WHERE jac >= 0.6),
+         reach(a, b) AS (SELECT a, b FROM e
+               UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+                  FROM reach GROUP BY a),
+         lbl AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+                 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         cnt AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+                 FROM lbl GROUP BY 1)
+         SELECT l.doc_id, l.component, c.cluster_size,
+           round(1.0 / c.cluster_size, 6) AS weight
+         FROM lbl l JOIN cnt c USING (component)
+         ORDER BY l.doc_id""",
+
     // q70's component CTEs + per-component keep-longest representative
     "q139_dedup_keep_best" ->
       raw"""WITH RECURSIVE toks AS (SELECT doc_id,

@@ -333,6 +333,43 @@ object Dedup {
       threshold: Double): DataFrame =
     verifyJaccard(cand, sets, sets, idCol, threshold)
 
+  /** SOFT dedup: keep EVERY document and emit a suppression weight
+    * `1 / |near-dup cluster|` instead of dropping — the sampling-time
+    * alternative to hard dedup: a downstream sampler that multiplies
+    * selection probability (or a trainer that multiplies loss) by the
+    * weight sees each cluster contribute ~one document-equivalent in
+    * expectation, while intra-cluster VARIETY (the reason not to drop)
+    * survives. Composes [[minhashPairs]] + [[connectedComponents]]
+    * unchanged — same LSH banding, caps and exact verify as the hard
+    * path — so hard and soft dedup agree on what a cluster IS.
+    * Singletons weigh 1.0. Output: `(idCol, component, cluster_size,
+    * weight)` with weight = round(1/size, 6) (one double division of
+    * exact longs — engine-identical, the oracle replays it).
+    *
+    * Scale shape: the pair stage is the guarded LSH path; the weight
+    * stage adds one count per component (map-side combinable) and one
+    * component-keyed join — both cluster-frame-sized, never corpus
+    * all-pairs.
+    */
+  def softDedupWeights(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
+      shingleK: Int = 3, maxBucket: Int = 1000,
+      route: Option[CharGramRouting] = None): DataFrame = {
+    val cc = connectedComponents(minhashPairs(df, idCol, textCol,
+      threshold, numHashes, bands, shingleK, maxBucket, route))
+    val labeled = df.select(col(idCol))
+      .join(cc.select(col("id").as(idCol), col("component")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"))
+    val sizes = labeled.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, Seq("component"))
+      .select(col(idCol), col("component"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+  }
+
   /** Connected components over an undirected near-dup pair list: returns
     * `(id, component)` where `component` is the minimum id reachable through
     * any chain of pairs. Iterative min-label propagation — each round is one

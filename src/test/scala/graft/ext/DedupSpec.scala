@@ -722,4 +722,26 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       (1L, 2L, 98L, 98L, 0L),        // 52 + 46 chars, both kept
       (3L, 1L, 105L, 35L, 70L)))     // 3 x 35 chars, one stamp kept
   }
+
+  test("softDedupWeights: every doc kept, weight = 1/cluster size") {
+    // docs 1-3 share one shingle set (2 exact, 1 case-variant — tokens
+    // lowercase, so jaccard is exactly 1.0 and the LSH collision is
+    // structural, not probabilistic); 4 and 5 are singletons
+    val d = Seq(
+      (1L, "alpha bravo charlie delta echo"),
+      (2L, "alpha bravo charlie delta echo"),
+      (3L, "Alpha BRAVO charlie delta echo"),
+      (4L, "totally different words here now"),
+      (5L, "unrelated content again entirely")).toDF("doc_id", "text")
+    val w = Dedup.softDedupWeights(d, "doc_id", "text", threshold = 0.6)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(w.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L)) // nothing dropped
+    val cluster = w.filter(_._2 == 1L)
+    assert(cluster.map(_._1).toSet == Set(1L, 2L, 3L))
+    assert(cluster.forall(r => r._3 == 3L && r._4 == 0.333333))
+    assert(w.filter(_._1 >= 4L).forall(r =>
+      r._2 == r._1 && r._3 == 1L && r._4 == 1.0))
+    // cluster-equivalents: weights sum to the number of clusters
+    assert(math.abs(w.map(_._4).sum - 3.0) < 1e-5)
+  }
 }
