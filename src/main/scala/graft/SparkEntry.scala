@@ -3399,6 +3399,25 @@ $fin"""
         .orderBy("cluster_size")
     }),
 
+    "q294_soft_savings" -> ((s, d) => {
+      // the q229 savings card's SOFT sibling: per-source raw token mass
+      // beside the dedup-CORRECTED mass a weighted sampler sees (each
+      // doc contributes tokens * its q293 1/cluster-size weight). Hard
+      // dedup reports what dropping buys; this reports the effective
+      // corpus size when nothing is dropped. Weighted sums are
+      // decimal-routed (the dsum convention)
+      val docs = fanOut(s, t(s, d, "documents"), "doc_id")
+      val w = Dedup.softDedupWeights(docs, "doc_id", "text", threshold = 0.6)
+      docs.select(col("doc_id"), col("source"),
+          text.tokenCount(col("text")).as("__nt"))
+        .join(w.select(col("doc_id"), col("weight")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(sum(col("__nt")).as("raw_tokens"),
+          sum((col("__nt") * col("weight")).cast("decimal(18,6)"))
+            .cast("double").as("effective_tokens"))
+        .orderBy("source")
+    }),
+
     "q273_dedup_savings_bpe" -> ((s, d) => {
       // the q229 card in the training run's own currency — the
       // pluggable-counter contract wired through savingsCard: same
@@ -6598,6 +6617,46 @@ $fin"""
            round(1.0 / c.cluster_size, 6) AS weight
          FROM lbl l JOIN cnt c USING (component)
          ORDER BY l.doc_id""",
+
+    // the q293 weight chain + whitespace token mass, rolled up by source
+    // with the decimal-routed weighted sum
+    "q294_soft_savings" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                 CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
+                      ELSE array_to_string(tk[i:i+2], ' ') END AS shingle
+               FROM (SELECT doc_id, tk,
+                       unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i
+                     FROM toks WHERE len(tk) > 0)),
+         sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS ic
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         j AS (SELECT id_l, id_r, CAST(ic AS DOUBLE) / (sa.s + sb.s - ic) AS jac
+               FROM inter JOIN sz sa ON sa.doc_id = id_l
+                          JOIN sz sb ON sb.doc_id = id_r),
+         e AS (SELECT id_l AS a, id_r AS b FROM j WHERE jac >= 0.6
+               UNION SELECT id_r, id_l FROM j WHERE jac >= 0.6),
+         reach(a, b) AS (SELECT a, b FROM e
+               UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+                  FROM reach GROUP BY a),
+         lbl AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+                 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         cnt AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+                 FROM lbl GROUP BY 1),
+         wt AS (SELECT l.doc_id, round(1.0 / c.cluster_size, 6) AS weight
+                FROM lbl l JOIN cnt c USING (component)),
+         tok AS (SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+               x -> x <> '')) AS BIGINT) AS nt
+           FROM documents)
+         SELECT t.source, CAST(sum(t.nt) AS BIGINT) AS raw_tokens,
+           CAST(sum(CAST(t.nt * w.weight AS DECIMAL(18,6))) AS DOUBLE)
+             AS effective_tokens
+         FROM tok t JOIN wt w USING (doc_id)
+         GROUP BY 1 ORDER BY t.source""",
 
     // q70's component CTEs + per-component keep-longest representative
     "q139_dedup_keep_best" ->

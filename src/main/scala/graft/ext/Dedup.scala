@@ -839,6 +839,49 @@ object Dedup {
     }
   }
 
+  /** Persist a [[SubstringIndex]]: windows as parquet, parameters as the
+    * loud-equality manifest (the [[saveContainmentState]] convention —
+    * completing the persisted-state family: all four screens now carry
+    * their build parameters to disk and fail loudly on a mismatched
+    * resume instead of silently finding nothing).
+    */
+  def saveSubstringIndex(index: SubstringIndex, dir: String): Unit = {
+    val windows = index.windows.localCheckpoint(true)
+    val manifest = new java.io.File(dir, stateManifest)
+    manifest.delete()
+    windows.write.mode("overwrite").parquet(s"$dir/windows")
+    val encoded = s"windowTokens=${index.windowTokens}" +
+      index.route.map(_.encoded).getOrElse("")
+    java.nio.file.Files.write(manifest.toPath,
+      encoded.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load a [[SubstringIndex]] written by [[saveSubstringIndex]]; None
+    * when no complete index exists, loud failure on a parameter mismatch.
+    */
+  def loadSubstringIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      windowTokens: Int,
+      route: Option[CharGramRouting] = None): Option[SubstringIndex] = {
+    val manifest = new java.io.File(dir, stateManifest)
+    val ok = manifest.exists() &&
+      new java.io.File(s"$dir/windows", "_SUCCESS").exists()
+    if (!ok) None
+    else {
+      val stored = new String(
+        java.nio.file.Files.readAllBytes(manifest.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val expect = s"windowTokens=$windowTokens" +
+        route.map(_.encoded).getOrElse("")
+      require(stored == expect,
+        s"substring index at $dir was built with [$stored] but this run " +
+          s"uses [$expect] — windows would never equi-join; rebuild the " +
+          "index or pass the original parameters")
+      Some(SubstringIndex(spark.read.parquet(s"$dir/windows"),
+        windowTokens, route))
+    }
+  }
+
   /** The standing-corpus window index for [[exactSubstringDedupAgainst]]:
     * the distinct `windowTokens`-token windows of `df`, carried WITH the
     * parameters that built them. Union new batches' windows in via

@@ -455,6 +455,23 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] {
       idx.union(Dedup.exactSubstringWindows(slices.head, "doc_id", "text", k + 1))
     }
+    // persisted round trip carries the params (the four-screen state
+    // family convention): identical probe results, loud mismatch at load.
+    // The persisted index holds the FIRST TWO slices only — cleaning a
+    // batch against an index containing its own windows removes all text
+    val idxPrior = Dedup.exactSubstringWindows(slices(0), "doc_id", "text", k)
+      .union(Dedup.exactSubstringWindows(slices(1), "doc_id", "text", k))
+    val dir = java.nio.file.Files.createTempDirectory("graft_subidx").toString
+    Dedup.saveSubstringIndex(idxPrior, dir)
+    intercept[IllegalArgumentException] {
+      Dedup.loadSubstringIndex(spark, dir, k + 1)
+    }
+    val loaded = Dedup.loadSubstringIndex(spark, dir, k)
+      .getOrElse(fail("saved substring index not loadable"))
+    val viaLoaded = Dedup.exactSubstringDedupAgainst(slices.last, loaded,
+        "doc_id", "text")
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    viaLoaded.foreach { case (id, txt) => assert(txt == oneShot(id)) }
     // the first slice is the founding corpus: one-shot must keep it intact
     // only where intra-slice duplication says so — cross-check via direct run
     val firstClean = Dedup.exactSubstringDedup(slices.head, "doc_id", "text", k)
