@@ -122,7 +122,12 @@ object ScaleBench {
     // ADC-shortlist + exact-re-rank face (two corpus streams, both
     // broadcast-probed — ~linear, recall measured in RecallBench)
     "q291_knn_pq_trained",
-    "q292_knn_pq_rerank")
+    "q292_knn_pq_rerank",
+    // round 16: soft dedup (q70's component machinery + one count per
+    // component and one component-keyed join — the curve should track
+    // q70's, never exceed it by more than the weight stage's joins)
+    "q293_soft_dedup",
+    "q294_soft_savings")
 
   /** Build the `replicas`x corpus: isomorphic token-suffixed document
     * replicas and coordinate-rotated embedding replicas. Id offsets are
