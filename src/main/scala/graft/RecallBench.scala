@@ -30,9 +30,10 @@ import graft.functions.vectors
   * the truth.
   *
   * Metric honesty: the faces do not all rank by cosine — PQ/IVFPQ rank
-  * by ADC squared-L2 and SQ8 by the integer dot of quantized codes, and
-  * the fixture embeddings are NOT unit-norm, so those faces could lose
-  * recall-vs-cosine-truth purely by metric choice with a perfect index.
+  * by ADC squared-L2 and SQ8 by the exact 255x-scaled dequantized dot
+  * (approximating the raw inner product), and the fixture embeddings are
+  * NOT unit-norm, so those faces could lose recall-vs-cosine-truth
+  * purely by metric choice with a perfect index.
   * Each face is therefore scored twice: `recall_cos` (vs the cosine
   * exact top-k — what a cosine-semantics user experiences) and
   * `recall_own` (vs the exact top-k under the face's OWN metric on the
@@ -214,6 +215,13 @@ object RecallBench {
       // as the corpus grows — 100x k measures the dial's other end
       ("pq_rerank_s1k", truthCos, () => Pq.adcRerankTopK(pqModel, corpus,
         queries, "vec_id", "embedding", "vec_id", k = K, shortlist = 100 * K)),
+      // round 17: the DERIVED shortlist (q297 shape — S = max(ceil(
+      // 0.02 * corpus), 10k)): the fixed-S dilution measured above,
+      // answered in code; recall should hold ~flat as the corpus grows
+      // because S grows with it
+      ("pq_rerank_scaled", truthCos, () => Pq.adcRerankTopK(pqModel,
+        corpus, queries, "vec_id", "embedding", "vec_id", k = K,
+        corpusCount = Some(nCorpus))),
       // q264 shape — ranks by the integer dot of SQ8 codes
       ("sq8", truthDot, () => Sq8.topK(corpus, queries,
         "vec_id", "embedding", "vec_id", dim, k = K)))
@@ -226,6 +234,18 @@ object RecallBench {
       val rOwn = recallOf(truthOwn, got)
       println(f"""{"face":"$name","scale":"$tag","corpus_rows":$nCorpus,"recall_cos":$rCos%.3f,"recall_own":$rOwn%.3f,"sec":$sec%.3f}""")
     }
+
+    // round-17 verdict #6: the tuners, run per scale — each sweeps its
+    // dial against exact sampled truth on THIS corpus, so these rows
+    // show the knee the new defaults encode and whether it moves with
+    // scale (a drifting knee would mean the default needs re-derivation)
+    val (tIvf, ivfPick) = time(Ivf.autoTuneNProbe(ivfTrained, corpus,
+      queries, "vec_id", "embedding", "vec_id", k = K, recallTarget = 0.9))
+    println(f"""{"face":"autotune_ivf_nprobe","scale":"$tag","dial":${ivfPick._1},"recall_cos":${ivfPick._2}%.3f,"sec":$tIvf%.3f}""")
+    val (tLsh, lshPick) = time(Similarity.autoTuneLshTables(corpus,
+      queries, "vec_id", "embedding", "vec_id", dim, k = K, bits = 8,
+      recallTarget = 0.7, dials = Seq(2, 4, 8, 16)))
+    println(f"""{"face":"autotune_lsh_tables","scale":"$tag","dial":${lshPick._1},"recall_cos":${lshPick._2}%.3f,"sec":$tLsh%.3f}""")
   }
 
   def main(args: Array[String]): Unit = {

@@ -2046,6 +2046,22 @@ $fin"""
         .orderBy("query_id", "rank")
     }),
 
+    "q297_pq_rerank_scaled" -> ((s, d) => {
+      // the q292 rerank under the DERIVED shortlist (r16 verdict #1):
+      // a fixed S dilutes as the corpus grows (measured 0.78->0.56 at
+      // 1x->25x), so the sizing rule S = max(ceil(frac * |corpus|),
+      // 10k) now rides the CODE — the oracle recomputes S from
+      // count(*) and replays both stages. frac = 0.2 here so the
+      // fraction term (not the 10k floor) decides S at the gate's
+      // 500-vector fixture; production default is Pq.DefaultShortlistFrac
+      val emb = t(s, d, "embeddings")
+      val model = graft.ext.Pq.portableSeedCodebooks(emb, "vec_id",
+        "embedding", m = 8, c = 16)
+      graft.ext.Pq.adcRerankTopK(model, emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", "vec_id", k = 5, shortlistFrac = 0.2)
+        .orderBy("query_id", "rank")
+    }),
+
     "q137_semdedup_incr" -> ((s, d) => {
       // incremental semantic dedup: standing corpus = ids < 400 (with the
       // generation's frozen seed quantizer); increment = ids >= 400 plus
@@ -3416,6 +3432,52 @@ $fin"""
           sum((col("__nt") * col("weight")).cast("decimal(18,6)"))
             .cast("double").as("effective_tokens"))
         .orderBy("source")
+    }),
+
+    "q295_ivf_autotune" -> ((s, d) => {
+      // the ANN recall dial MEASURED, in-engine (r16 verdict #6): exact
+      // brute-force truth on the q24 probe set, the q118 portable seed
+      // quantizer probed at every doubling nProbe dial, recall =
+      // hit/truth over integer pair counts — `chosen` marks the
+      // smallest dial reaching the 0.9 target, exactly the dial
+      // Ivf.autoTuneNProbe returns. Portable model + deterministic
+      // ties + integer counts = the whole sweep replays in SQL
+      val emb = t(s, d, "embeddings")
+      val model = graft.ext.Ivf.portableSeedModel(emb, "vec_id",
+        "embedding", k = 8)
+      graft.ext.Ivf.nProbeSweep(model, emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", "vec_id", k = 5, recallTarget = 0.9)
+        .orderBy("n_probe")
+    }),
+
+    "q296_lsh_autotune" -> ((s, d) => {
+      // the LSH `tables` dial measured the same way over the q98
+      // portable Rademacher planes: dial t buckets with the FIRST t
+      // tables of the 16-table plane set (planes depend only on their
+      // table index, so the dials nest), and one interpolated plane
+      // table replays the whole sweep in the oracle
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTablesSweep(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", "vec_id", dim = 64, k = 5, bits = 8,
+          recallTarget = 0.9, dials = Seq(2, 4, 8, 16))
+        .orderBy("n_tables")
+    }),
+
+    "q298_soft_weighted_sample" -> ((s, d) => {
+      // the q293 weights DRIVING selection (r16 verdict #4): soft dedup
+      // keeps every doc and emits weight = 1/cluster_size; the weighted
+      // sampler ranks by kmvHash(doc_id) * cluster_size (priority
+      // sampling — inclusion chance ∝ weight, the cost column is the
+      // weight's exact integer inverse) and keeps the 120 smallest, so
+      // each near-dup cluster contributes ~one document-equivalent in
+      // expectation while intra-cluster variety stays eligible —
+      // "keep variety, sample one equivalent" composed end to end
+      val docs = fanOut(s, t(s, d, "documents"), "doc_id")
+      val w = Dedup.softDedupWeights(docs, "doc_id", "text",
+        threshold = 0.6)
+      graft.ext.Splits.sampleExactWeighted(w, "doc_id", "doc_id",
+          n = 120, costCol = "cluster_size")
+        .orderBy("doc_id")
     }),
 
     "q273_dedup_savings_bpe" -> ((s, d) => {
@@ -6617,6 +6679,47 @@ $fin"""
            round(1.0 / c.cluster_size, 6) AS weight
          FROM lbl l JOIN cnt c USING (component)
          ORDER BY l.doc_id""",
+
+    // the q293 weight chain, then priority = md5-32bit(doc_id) x
+    // cluster_size ascending (tie doc_id), first 120 kept — the
+    // weighted-sampler replay over the replayed weights
+    "q298_soft_weighted_sample" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                 CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
+                      ELSE array_to_string(tk[i:i+2], ' ') END AS shingle
+               FROM (SELECT doc_id, tk,
+                       unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i
+                     FROM toks WHERE len(tk) > 0)),
+         sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS ic
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         j AS (SELECT id_l, id_r, CAST(ic AS DOUBLE) / (sa.s + sb.s - ic) AS jac
+               FROM inter JOIN sz sa ON sa.doc_id = id_l
+                          JOIN sz sb ON sb.doc_id = id_r),
+         e AS (SELECT id_l AS a, id_r AS b FROM j WHERE jac >= 0.6
+               UNION SELECT id_r, id_l FROM j WHERE jac >= 0.6),
+         reach(a, b) AS (SELECT a, b FROM e
+               UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+                  FROM reach GROUP BY a),
+         lbl AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+                 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         cnt AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+                 FROM lbl GROUP BY 1),
+         wt AS (SELECT l.doc_id, l.component, c.cluster_size,
+                 round(1.0 / c.cluster_size, 6) AS weight
+                FROM lbl l JOIN cnt c USING (component)),
+         pri AS (SELECT doc_id, component, cluster_size, weight,
+                 CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) * cluster_size AS p
+                FROM wt),
+         sel AS (SELECT doc_id, component, cluster_size, weight
+                 FROM pri ORDER BY p, doc_id LIMIT 120)
+         SELECT doc_id, component, cluster_size, weight
+         FROM sel ORDER BY doc_id""",
 
     // the q293 weight chain + whitespace token mass, rolled up by source
     // with the decimal-routed weighted sum
@@ -9962,6 +10065,62 @@ $fin"""
          SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
          ORDER BY query_id, rank"""
     },
+    // the q98 16-table plane replay swept over the dial ladder: dial t
+    // buckets with tables tbl < t (the plane set nests), truth = the
+    // brute-force top-5, recall/chosen as in the q295 IVF sweep
+    "q296_lsh_autotune" -> {
+      val tables = 16; val bits = 8
+      val planes = graft.ext.Similarity.portablePlanes(tables, bits, 64)
+      def planeList(t: Int, b: Int): String =
+        planes(t)(b).map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]")
+      def bucketExpr(t: Int): String =
+        (0 until bits).map(b =>
+          s"(CASE WHEN list_dot_product(v, ${planeList(t, b)}) >= 0 THEN '1' ELSE '0' END)")
+          .mkString(" || ")
+      val perTable = (0 until tables).map(t =>
+        s"SELECT vec_id, $t AS tbl, ${bucketExpr(t)} AS bh FROM e")
+        .mkString("\n UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         b AS ($perTable),
+         q AS (SELECT vec_id AS query_id, tbl, bh FROM b WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, tbl, bh FROM b),
+         dials AS (SELECT unnest([2,4,8,16]) AS n_tables),
+         cand AS (SELECT DISTINCT d.n_tables, q.query_id, c.neighbor_id
+           FROM dials d
+           JOIN q ON q.tbl < d.n_tables
+           JOIN c ON c.tbl = q.tbl AND c.bh = q.bh
+           WHERE c.neighbor_id <> q.query_id),
+         approx AS (SELECT n_tables, query_id, neighbor_id FROM (
+             SELECT cd.n_tables, cd.query_id, cd.neighbor_id,
+               row_number() OVER (PARTITION BY cd.n_tables, cd.query_id
+                 ORDER BY list_cosine_similarity(eq.v, ec.v) DESC, cd.neighbor_id) AS rk
+             FROM cand cd JOIN e eq ON eq.vec_id = cd.query_id
+               JOIN e ec ON ec.vec_id = cd.neighbor_id)
+           WHERE rk <= 5),
+         truth AS (SELECT query_id, neighbor_id FROM (
+             SELECT tq.vec_id AS query_id, tcp.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY tq.vec_id
+                 ORDER BY list_cosine_similarity(tq.v, tcp.v) DESC, tcp.vec_id) AS rk
+             FROM e tq JOIN e tcp ON tcp.vec_id <> tq.vec_id
+             WHERE tq.vec_id < 10)
+           WHERE rk <= 5),
+         tc AS (SELECT count(*) AS n_truth FROM truth),
+         hits AS (SELECT d.n_tables, count(t.query_id) AS n_hit
+           FROM dials d
+           LEFT JOIN approx a ON a.n_tables = d.n_tables
+           LEFT JOIN truth t ON t.query_id = a.query_id
+             AND t.neighbor_id = a.neighbor_id
+           GROUP BY d.n_tables),
+         rec AS (SELECT h.n_tables, tc.n_truth, h.n_hit,
+             round(CAST(h.n_hit AS DOUBLE) / tc.n_truth, 6) AS recall
+           FROM hits h CROSS JOIN tc),
+         ch AS (SELECT min(n_tables) AS cd FROM rec WHERE recall >= 0.9)
+         SELECT CAST(r.n_tables AS INTEGER) AS n_tables, r.n_truth, r.n_hit,
+           r.recall, coalesce(r.n_tables = ch.cd, FALSE) AS chosen
+         FROM rec r CROSS JOIN ch
+         ORDER BY n_tables"""
+    },
     // the engine's cell assignment (cosine argmax, centroid-index ties) and
     // re-rank replicated in SQL over the md5-seeded portable quantizer;
     // list_cosine_similarity's bit-parity with vectors.cosine is already
@@ -10031,6 +10190,52 @@ $fin"""
                (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rn
              FROM adc)
            WHERE rn <= 50),
+         qv AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id < 10),
+         rs AS (SELECT s.query_id, s.neighbor_id,
+             list_cosine_similarity(q.qvec, c.v) AS cos_raw
+           FROM shortr s JOIN e c ON c.vec_id = s.neighbor_id
+           JOIN qv q USING (query_id)),
+         rr AS (SELECT query_id, neighbor_id, round(cos_raw, 6) + 0 AS cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+           FROM rs)
+         SELECT query_id, neighbor_id, cosine, rank FROM rr WHERE rank <= 5
+         ORDER BY query_id, rank""",
+
+    // the q292 chain with the shortlist DERIVED in-oracle: S =
+    // greatest(ceil(0.2 * count(*)), 10 * k) — the engine's sizing rule
+    // recomputed from the corpus count, so a drifted derivation breaks
+    // the hash
+    "q297_pq_rerank_scaled" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sl AS (SELECT greatest(CAST(ceil(0.2 * count(*)) AS BIGINT), 50) AS s
+           FROM e),
+         seeds AS (SELECT v AS sv, rn - 1 AS cell FROM
+             (SELECT v, row_number() OVER
+                (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM e)
+           WHERE rn <= 16),
+         js AS (SELECT unnest(generate_series(0, 7)) AS j),
+         cw AS (SELECT js.j, s.cell, s.sv[js.j*8 + 1 : js.j*8 + 8] AS w
+           FROM seeds s CROSS JOIN js),
+         sd AS (SELECT e.vec_id, c.j, c.cell,
+             list_sum([ (e.v[c.j*8 + d] - c.w[d]) * (e.v[c.j*8 + d] - c.w[d])
+                        for d in generate_series(1, 8) ]) AS sdist
+           FROM e CROSS JOIN cw c),
+         codes AS (SELECT vec_id, j, cell AS code FROM (
+             SELECT vec_id, j, cell, row_number() OVER
+               (PARTITION BY vec_id, j ORDER BY sdist ASC, cell ASC) AS rn
+             FROM sd)
+           WHERE rn = 1),
+         adc AS (SELECT s.vec_id AS query_id, n.vec_id AS neighbor_id,
+             list_sum(list(s.sdist ORDER BY s.j)) AS dist
+           FROM codes n JOIN sd s ON s.j = n.j AND s.cell = n.code
+           WHERE s.vec_id < 10 AND n.vec_id <> s.vec_id
+           GROUP BY 1, 2),
+         shortr AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id, row_number() OVER
+               (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rn
+             FROM adc)
+           WHERE rn <= (SELECT s FROM sl)),
          qv AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id < 10),
          rs AS (SELECT s.query_id, s.neighbor_id,
              list_cosine_similarity(q.qvec, c.v) AS cos_raw
@@ -10183,6 +10388,60 @@ $fin"""
            FROM sc)
          SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
          ORDER BY query_id, rank""",
+    // the q118 IVF replay swept over the dial ladder: one ranked-cells
+    // CTE serves every dial (rn <= n_probe), truth = q24's brute-force
+    // top-5, recall over integer pair counts, chosen = min dial >= 0.9
+    "q295_ivf_autotune" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         seeds AS (SELECT v AS c_vec, rn - 1 AS cell FROM
+             (SELECT v, row_number() OVER
+                (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM e)
+           WHERE rn <= 8),
+         asg AS (SELECT vec_id, cell FROM (
+             SELECT e.vec_id, s.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, s.c_vec) DESC, s.cell) AS rn
+             FROM e CROSS JOIN seeds s)
+           WHERE rn = 1),
+         ranked AS (SELECT e.vec_id AS query_id, s.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.v, s.c_vec) DESC, s.cell) AS rn
+           FROM e CROSS JOIN seeds s WHERE e.vec_id < 10),
+         dials AS (SELECT unnest([1,2,4,8]) AS n_probe),
+         cand AS (SELECT DISTINCT d.n_probe, r.query_id, a.vec_id AS neighbor_id
+           FROM dials d
+           JOIN ranked r ON r.rn <= d.n_probe
+           JOIN asg a ON a.cell = r.cell
+           WHERE a.vec_id <> r.query_id),
+         approx AS (SELECT n_probe, query_id, neighbor_id FROM (
+             SELECT c.n_probe, c.query_id, c.neighbor_id,
+               row_number() OVER (PARTITION BY c.n_probe, c.query_id
+                 ORDER BY list_cosine_similarity(eq.v, ec.v) DESC, c.neighbor_id) AS rk
+             FROM cand c JOIN e eq ON eq.vec_id = c.query_id
+               JOIN e ec ON ec.vec_id = c.neighbor_id)
+           WHERE rk <= 5),
+         truth AS (SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rk
+             FROM e q JOIN e c ON c.vec_id <> q.vec_id
+             WHERE q.vec_id < 10)
+           WHERE rk <= 5),
+         tc AS (SELECT count(*) AS n_truth FROM truth),
+         hits AS (SELECT d.n_probe, count(t.query_id) AS n_hit
+           FROM dials d
+           LEFT JOIN approx a ON a.n_probe = d.n_probe
+           LEFT JOIN truth t ON t.query_id = a.query_id
+             AND t.neighbor_id = a.neighbor_id
+           GROUP BY d.n_probe),
+         rec AS (SELECT h.n_probe, tc.n_truth, h.n_hit,
+             round(CAST(h.n_hit AS DOUBLE) / tc.n_truth, 6) AS recall
+           FROM hits h CROSS JOIN tc),
+         ch AS (SELECT min(n_probe) AS cd FROM rec WHERE recall >= 0.9)
+         SELECT CAST(r.n_probe AS INTEGER) AS n_probe, r.n_truth, r.n_hit,
+           r.recall, coalesce(r.n_probe = ch.cd, FALSE) AS chosen
+         FROM rec r CROSS JOIN ch
+         ORDER BY n_probe""",
     "q97_jsonl_roundtrip" ->
       """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
          user_id, event_type, value FROM events ORDER BY event_id""",

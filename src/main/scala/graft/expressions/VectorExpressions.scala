@@ -141,6 +141,22 @@ object VectorExpressions {
     override def dataType: DataType = DecimalType(38, 12)
     override def prettyName: String = "scaled_dot_product"
 
+    // The kernel reads long element storage directly (ArrayData.getLong);
+    // anything but array<long> would silently produce garbage scores, so a
+    // wrong-typed child must fail analysis, not score.
+    override def checkInputDataTypes():
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val bad = Seq(("left", left), ("right", right)).collectFirst {
+        case (side, e) if !e.dataType.isInstanceOf[ArrayType] ||
+            e.dataType.asInstanceOf[ArrayType].elementType != LongType =>
+          s"$side input must be array<bigint>, got ${e.dataType.simpleString}"
+      }
+      bad.fold[org.apache.spark.sql.catalyst.analysis.TypeCheckResult](
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess)(
+        m => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"scaled_dot_product: $m"))
+    }
+
     override def nullSafeEval(l: Any, r: Any): Any =
       VectorRuntime.scaledDotDecimal(
         l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])

@@ -358,11 +358,15 @@ object Dedup {
       route: Option[CharGramRouting] = None): DataFrame = {
     val cc = connectedComponents(minhashPairs(df, idCol, textCol,
       threshold, numHashes, bands, shingleK, maxBucket, route))
+    // labeled feeds BOTH sizes and the final join — checkpoint it so the
+    // corpus scan + component join run once per action, not twice (the
+    // single-evaluation claim in the scale-shape note above).
     val labeled = df.select(col(idCol))
       .join(cc.select(col("id").as(idCol), col("component")),
         Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("component"), col(idCol)).as("component"))
+      .localCheckpoint()
     val sizes = labeled.groupBy(col("component"))
       .agg(count(lit(1)).as("cluster_size"))
     labeled.join(sizes, Seq("component"))
@@ -596,6 +600,74 @@ object Dedup {
 
   private val stateManifest = "_GRAFT_STATE"
 
+  /** The ONE manifest codec behind all four persisted dedup states
+    * (minhash / containment / resemblance / substring). Each screen used
+    * to hand-roll the same delete-write-commit + exists + loud-equality
+    * sequence; the contract lives here once:
+    *
+    *  - crash-safe manifest-LAST save: the manifest (carrying the build
+    *    params) is deleted BEFORE the frame writes and committed only
+    *    after ALL succeed, so a crash mid-save leaves no manifest and a
+    *    torn state is never served;
+    *  - completeness = manifest present AND a `_SUCCESS` marker under
+    *    every part directory;
+    *  - loud parameter equality on load: a state built under different
+    *    params would silently find NOTHING (buckets/shingles/windows
+    *    from different schemes never join) — the gate turns that into
+    *    an immediate error naming both sides.
+    *
+    * The optional `stale` drift counter rides BESIDE the frames, not in
+    * the manifest — the manifest is the parameter-equality gate and
+    * staleness varies per save.
+    */
+  private[ext] object StateManifest {
+    private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+    /** Crash-safe save: invalidate, run `writeFrames`, commit params. */
+    def save(dir: String, encoded: String)(writeFrames: => Unit): Unit = {
+      val manifest = new java.io.File(dir, stateManifest)
+      manifest.delete() // invalidate any previous state before touching it
+      writeFrames
+      java.nio.file.Files.write(manifest.toPath, encoded.getBytes(Utf8))
+    }
+
+    /** True when a complete state exists at `dir` (manifest + every
+      * part's `_SUCCESS`) — a partial or torn save reads as absent.
+      */
+    def complete(dir: String, parts: Seq[String]): Boolean =
+      new java.io.File(dir, stateManifest).exists() && parts.forall(p =>
+        new java.io.File(s"$dir/$p", "_SUCCESS").exists())
+
+    /** Loud parameter-equality gate: fails with both sides named when the
+      * stored params differ from `expect`; `consequence` says what the
+      * silent failure WOULD have been (the reason the gate exists).
+      */
+    def check(dir: String, kind: String, expect: String,
+        consequence: String): Unit = {
+      val stored = new String(
+        java.nio.file.Files.readAllBytes(
+          new java.io.File(dir, stateManifest).toPath), Utf8)
+      require(stored == expect,
+        s"$kind at $dir was built with [$stored] but this run uses " +
+          s"[$expect] — $consequence; rebuild the state or pass the " +
+          "original parameters")
+    }
+
+    /** Drift counter beside the frames (missing reads as 0 — states
+      * persisted before the counter existed keep loading).
+      */
+    def saveStale(dir: String, staleDocs: Long): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, "stale").toPath,
+        staleDocs.toString.getBytes(Utf8))
+
+    def loadStale(dir: String): Long = {
+      val f = new java.io.File(dir, "stale")
+      if (f.exists())
+        new String(java.nio.file.Files.readAllBytes(f.toPath), Utf8).trim.toLong
+      else 0L
+    }
+  }
+
   /** Persist a [[MinhashState]] to `dir` (parquet `sets/` + `buckets/`) —
     * the between-runs half of the incremental-dedup contract. Both frames
     * are localCheckpoint'ed first, so saving into the SAME directory the
@@ -609,12 +681,10 @@ object Dedup {
       state: MinhashState, dir: String, params: MinhashParams): Unit = {
     val sets = state.sets.localCheckpoint(true)
     val buckets = state.buckets.localCheckpoint(true)
-    val manifest = new java.io.File(dir, stateManifest)
-    manifest.delete() // invalidate any previous state before touching it
-    sets.write.mode("overwrite").parquet(s"$dir/sets")
-    buckets.write.mode("overwrite").parquet(s"$dir/buckets")
-    java.nio.file.Files.write(manifest.toPath,
-      params.encoded.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    StateManifest.save(dir, params.encoded) {
+      sets.write.mode("overwrite").parquet(s"$dir/sets")
+      buckets.write.mode("overwrite").parquet(s"$dir/buckets")
+    }
   }
 
   /** Load a [[MinhashState]] previously written by [[saveMinhashState]].
@@ -625,18 +695,10 @@ object Dedup {
   def loadMinhashState(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       expect: MinhashParams): Option[MinhashState] = {
-    val manifest = new java.io.File(dir, stateManifest)
-    val ok = manifest.exists() && Seq("sets", "buckets").forall(p =>
-      new java.io.File(s"$dir/$p", "_SUCCESS").exists())
-    if (!ok) None
+    if (!StateManifest.complete(dir, Seq("sets", "buckets"))) None
     else {
-      val stored = new String(
-        java.nio.file.Files.readAllBytes(manifest.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
-      require(stored == expect.encoded,
-        s"minhash state at $dir was built with [$stored] but this run uses " +
-          s"[${expect.encoded}] — buckets would never match; rebuild the " +
-          "state or pass the original parameters")
+      StateManifest.check(dir, "minhash state", expect.encoded,
+        "buckets would never match")
       Some(MinhashState(
         spark.read.parquet(s"$dir/sets"), spark.read.parquet(s"$dir/buckets"),
         expect))
@@ -847,14 +909,18 @@ object Dedup {
     */
   def saveSubstringIndex(index: SubstringIndex, dir: String): Unit = {
     val windows = index.windows.localCheckpoint(true)
-    val manifest = new java.io.File(dir, stateManifest)
-    manifest.delete()
-    windows.write.mode("overwrite").parquet(s"$dir/windows")
-    val encoded = s"windowTokens=${index.windowTokens}" +
-      index.route.map(_.encoded).getOrElse("")
-    java.nio.file.Files.write(manifest.toPath,
-      encoded.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    StateManifest.save(dir, substringEncoded(index.windowTokens, index.route)) {
+      windows.write.mode("overwrite").parquet(s"$dir/windows")
+    }
   }
+
+  /** The substring index's manifest encoding — its `MinhashParams.encoded`
+    * analog (the index's params live on [[SubstringIndex]] itself, so the
+    * encoding is a function, not a params case class).
+    */
+  private def substringEncoded(
+      windowTokens: Int, route: Option[CharGramRouting]): String =
+    s"windowTokens=$windowTokens" + route.map(_.encoded).getOrElse("")
 
   /** Load a [[SubstringIndex]] written by [[saveSubstringIndex]]; None
     * when no complete index exists, loud failure on a parameter mismatch.
@@ -863,20 +929,11 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       windowTokens: Int,
       route: Option[CharGramRouting] = None): Option[SubstringIndex] = {
-    val manifest = new java.io.File(dir, stateManifest)
-    val ok = manifest.exists() &&
-      new java.io.File(s"$dir/windows", "_SUCCESS").exists()
-    if (!ok) None
+    if (!StateManifest.complete(dir, Seq("windows"))) None
     else {
-      val stored = new String(
-        java.nio.file.Files.readAllBytes(manifest.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val expect = s"windowTokens=$windowTokens" +
-        route.map(_.encoded).getOrElse("")
-      require(stored == expect,
-        s"substring index at $dir was built with [$stored] but this run " +
-          s"uses [$expect] — windows would never equi-join; rebuild the " +
-          "index or pass the original parameters")
+      StateManifest.check(dir, "substring index",
+        substringEncoded(windowTokens, route),
+        "windows would never equi-join")
       Some(SubstringIndex(spark.read.parquet(s"$dir/windows"),
         windowTokens, route))
     }
@@ -1656,14 +1713,29 @@ object Dedup {
     */
   val DefaultAdviseCandidates: Long = 100000000L
 
+  /** The unconditional ceiling over [[DefaultAdviseCandidates]]-class
+    * gates: at `adviseAbove x 50` the gate THROWS regardless of
+    * `failAbove` (round-16 verdict: a warning is the right default at
+    * the advisory bound, but at 100x an unattended pipeline must not be
+    * able to ride a stderr line into a measured-46x-class melt — 50x
+    * the advisory mass is no longer "large but planned", it is the
+    * quadratic blow-up the gate exists to stop). A run that genuinely
+    * plans that mass states it by raising `adviseAbove` (which raises
+    * the ceiling with it) — there is deliberately NO flag that disables
+    * the ceiling at a given bound.
+    */
+  val HardFailMultiple: Long = 50L
+
   /** The pre-flight gate the OPEN exact faces run BY DEFAULT (round-16
     * verdict: the measured 46x/42x melts must be impossible to hit
     * silently): one bounded mass report over the join's OWN prefix frame
     * — the exact generation-stage upper bound, not an estimate of
     * something else — warning on stderr above `adviseAbove`, throwing
-    * instead under `failAbove`. The prefix frame arrives checkpointed,
-    * so the report costs two bounded aggregations, never a corpus
-    * recompute, and the join that follows reuses the same blocks.
+    * instead under `failAbove`, and throwing UNCONDITIONALLY above
+    * `adviseAbove x` [[HardFailMultiple]] (the round-17 hard ceiling).
+    * The prefix frame arrives checkpointed, so the report costs two
+    * bounded aggregations, never a corpus recompute, and the join that
+    * follows reuses the same blocks.
     */
   private def gateOpenJoin(
       prefix: DataFrame, adviseAbove: Long, failAbove: Boolean,
@@ -1671,14 +1743,29 @@ object Dedup {
     require(adviseAbove >= 1, "adviseAbove must be at least 1")
     val row = prefixMassReport(prefix, adviseAbove, selfJoin).head()
     if (row.getAs[Boolean]("advise_cap")) {
+      val est = row.getAs[Long]("candidates_est")
+      // saturating: a near-Long.MaxValue adviseAbove must not overflow
+      // the ceiling into a small (or negative) number
+      val ceiling =
+        if (adviseAbove > Long.MaxValue / HardFailMultiple) Long.MaxValue
+        else adviseAbove * HardFailMultiple
       val msg = s"$what pre-flight: estimated candidate mass " +
-        s"${row.getAs[Long]("candidates_est")} exceeds $adviseAbove " +
+        s"$est exceeds $adviseAbove " +
         s"(hottest token df ${row.getAs[Any]("hot_df")}, mass " +
         s"${row.getAs[Any]("hot_mass")}) — the open join melts " +
         "super-linearly on skewed/gram-common corpora; run with a maxDf " +
         "ubiquity cap (review the cap audit for the recall trade), raise " +
         "adviseAbove if this mass is planned, or set failAbove=false " +
         "explicitly to proceed"
+      if (est > ceiling) throw new IllegalStateException(
+        s"$what pre-flight HARD CEILING: estimated candidate mass $est " +
+          s"exceeds ${HardFailMultiple}x the advisory bound $adviseAbove " +
+          s"(hottest token df ${row.getAs[Any]("hot_df")}, mass " +
+          s"${row.getAs[Any]("hot_mass")}) — this is the quadratic " +
+          "blow-up class, not a plannable overage, and it fails " +
+          "regardless of failAbove; cap with maxDf (see the cap audit " +
+          "for the recall trade) or raise adviseAbove to state the " +
+          "planned mass explicitly")
       if (failAbove) throw new IllegalStateException(msg)
       System.err.println(s"[graft] WARN $msg")
     }
@@ -1906,16 +1993,11 @@ object Dedup {
       state: ContainmentState, dir: String, params: ContainmentParams): Unit = {
     val sets = state.sets.localCheckpoint(true)
     val dfreq = state.dfreq.localCheckpoint(true)
-    val manifest = new java.io.File(dir, stateManifest)
-    manifest.delete()
-    sets.write.mode("overwrite").parquet(s"$dir/sets")
-    dfreq.write.mode("overwrite").parquet(s"$dir/dfreq")
-    // drift counter rides beside the frames (not in the manifest — the
-    // manifest is the parameter-equality gate and staleness varies)
-    java.nio.file.Files.write(new java.io.File(dir, "stale").toPath,
-      state.staleDocs.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.write(manifest.toPath,
-      params.encoded.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    StateManifest.save(dir, params.encoded) {
+      sets.write.mode("overwrite").parquet(s"$dir/sets")
+      dfreq.write.mode("overwrite").parquet(s"$dir/dfreq")
+      StateManifest.saveStale(dir, state.staleDocs)
+    }
   }
 
   /** Load a [[ContainmentState]] written by [[saveContainmentState]];
@@ -1925,26 +2007,12 @@ object Dedup {
   def loadContainmentState(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       expect: ContainmentParams): Option[ContainmentState] = {
-    val manifest = new java.io.File(dir, stateManifest)
-    val ok = manifest.exists() && Seq("sets", "dfreq").forall(p =>
-      new java.io.File(s"$dir/$p", "_SUCCESS").exists())
-    if (!ok) None
+    if (!StateManifest.complete(dir, Seq("sets", "dfreq"))) None
     else {
-      val stored = new String(
-        java.nio.file.Files.readAllBytes(manifest.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
-      require(stored == expect.encoded,
-        s"containment state at $dir was built with [$stored] but this run " +
-          s"uses [${expect.encoded}] — shingles would never match; rebuild " +
-          "the state or pass the original parameters")
-      val staleFile = new java.io.File(dir, "stale")
-      val stale =
-        if (staleFile.exists())
-          new String(java.nio.file.Files.readAllBytes(staleFile.toPath),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-        else 0L
+      StateManifest.check(dir, "containment state", expect.encoded,
+        "shingles would never match")
       Some(ContainmentState(spark.read.parquet(s"$dir/sets"),
-        spark.read.parquet(s"$dir/dfreq"), stale,
+        spark.read.parquet(s"$dir/dfreq"), StateManifest.loadStale(dir),
         expect.shingleK, expect.route))
     }
   }
@@ -2188,21 +2256,17 @@ object Dedup {
   /** Persist a [[ResemblanceState]] (crash-safe manifest-last). */
   def saveResemblanceState(
       state: ResemblanceState, dir: String): Unit = {
-    val manifest = new java.io.File(dir, stateManifest)
-    manifest.delete()
-    state.sets.localCheckpoint(true)
-      .write.mode("overwrite").parquet(s"$dir/sets")
-    state.dfreq.localCheckpoint(true)
-      .write.mode("overwrite").parquet(s"$dir/dfreq")
-    state.prefix.localCheckpoint(true)
-      .write.mode("overwrite").parquet(s"$dir/prefix")
-    // drift counter beside the frames (not in the manifest — the
-    // manifest is the parameter-equality gate and staleness varies)
-    java.nio.file.Files.write(new java.io.File(dir, "stale").toPath,
-      state.staleDocs.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.write(manifest.toPath,
+    val encoded =
       ResemblanceParams(state.threshold, state.shingleK, state.route).encoded
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    StateManifest.save(dir, encoded) {
+      state.sets.localCheckpoint(true)
+        .write.mode("overwrite").parquet(s"$dir/sets")
+      state.dfreq.localCheckpoint(true)
+        .write.mode("overwrite").parquet(s"$dir/dfreq")
+      state.prefix.localCheckpoint(true)
+        .write.mode("overwrite").parquet(s"$dir/prefix")
+      StateManifest.saveStale(dir, state.staleDocs)
+    }
   }
 
   /** Load a [[ResemblanceState]] written by [[saveResemblanceState]];
@@ -2212,28 +2276,15 @@ object Dedup {
   def loadResemblanceState(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       expect: ResemblanceParams): Option[ResemblanceState] = {
-    val manifest = new java.io.File(dir, stateManifest)
-    val ok = manifest.exists() && Seq("sets", "dfreq", "prefix").forall(p =>
-      new java.io.File(s"$dir/$p", "_SUCCESS").exists())
-    if (!ok) None
+    if (!StateManifest.complete(dir, Seq("sets", "dfreq", "prefix"))) None
     else {
-      val stored = new String(
-        java.nio.file.Files.readAllBytes(manifest.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
-      require(stored == expect.encoded,
-        s"resemblance state at $dir was built with [$stored] but this run " +
-          s"uses [${expect.encoded}] — the prefix is only complete at its " +
-          "build threshold; rebuild the state or pass the original parameters")
-      val staleFile = new java.io.File(dir, "stale")
-      val stale =
-        if (staleFile.exists())
-          new String(java.nio.file.Files.readAllBytes(staleFile.toPath),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-        else 0L
+      StateManifest.check(dir, "resemblance state", expect.encoded,
+        "the prefix is only complete at its build threshold")
       Some(ResemblanceState(spark.read.parquet(s"$dir/sets"),
         spark.read.parquet(s"$dir/dfreq"),
         spark.read.parquet(s"$dir/prefix"),
-        expect.threshold, expect.shingleK, stale, expect.route))
+        expect.threshold, expect.shingleK, StateManifest.loadStale(dir),
+        expect.route))
     }
   }
 

@@ -229,16 +229,43 @@ object Pq {
     * GroupTopK heap keep `k`. Output is the [[Similarity.bruteForceTopK]]
     * contract `(query_id, neighbor_id, cosine, rank)`, so the two are
     * drop-in interchangeable.
+    *
+    * SHORTLIST SIZING (round-17, the verdict's SQ8 lesson applied): a
+    * FIXED shortlist dilutes as the corpus grows — the ADC error shell
+    * around each query holds a roughly constant FRACTION of the corpus
+    * at fixed codebook resolution, so the rows that belong in the
+    * shortlist outgrow any constant S (RecallBench measured S=100
+    * recall 0.78 -> 0.57 -> 0.56 at 1x/10x/25x). The DEFAULT
+    * (`shortlist = 0`) therefore DERIVES S from the corpus count:
+    * `S = max(ceil(shortlistFrac * |corpus|), 10 * k)` — the fraction
+    * tracks the error shell, the `10 * k` floor is the measured 1x
+    * knee. Pass `shortlist > 0` to pin a fixed count explicitly (the
+    * oracle-friendly override), and `corpusCount` to skip the count
+    * action when the caller already knows it. Rerank cost is
+    * |queries| * S exact distances — linear in the corpus at fixed
+    * query count, the price of scale-flat recall.
     */
   def adcRerankTopK(
       model: Model, corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String,
-      k: Int = 10, shortlist: Int = 100, excludeSelf: Boolean = true,
-      codesDf: Option[DataFrame] = None): DataFrame = {
+      k: Int = 10, shortlist: Int = 0, excludeSelf: Boolean = true,
+      codesDf: Option[DataFrame] = None,
+      shortlistFrac: Double = DefaultShortlistFrac,
+      corpusCount: Option[Long] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    require(shortlist >= 0, s"shortlist $shortlist must be >= 0 (0 = derive)")
+    require(shortlistFrac > 0.0 && shortlistFrac <= 1.0,
+      "shortlistFrac must be in (0, 1]")
+    val s =
+      if (shortlist > 0) shortlist
+      else {
+        val n = corpusCount.getOrElse(corpus.count())
+        val derived = math.ceil(shortlistFrac * n).toLong
+        math.min(math.max(derived, 10L * k), Int.MaxValue.toLong).toInt
+      }
+    require(s >= k, s"shortlist $s must be >= k $k")
     val short = adcTopK(model, corpus, queries, idCol, vecCol, queryIdCol,
-        k = shortlist, excludeSelf = excludeSelf, codesDf = codesDf)
+        k = s, excludeSelf = excludeSelf, codesDf = codesDf)
       .select(col("query_id"), col("neighbor_id"))
     val scored = broadcast(short)
       .join(corpus.select(col(idCol).as("neighbor_id"),
@@ -254,6 +281,16 @@ object Pq {
         (round(col("__cos"), 6) + lit(0.0)).as("cosine"),
         col("rank").cast("int").as("rank"))
   }
+
+  /** Corpus fraction behind the DERIVED rerank shortlist: 0.02 is the
+    * 1x fixture geometry where S = 100 over the 5k-vector corpus read
+    * its best recall — the shell fraction RecallBench's dilution rows
+    * imply (S=100 was right at 1x and starved at 10x/25x, where
+    * 0.02 * corpus restores 1000/2500-deep shortlists). Re-derive for a
+    * different codebook resolution: higher c shrinks the error shell
+    * and supports a smaller fraction.
+    */
+  val DefaultShortlistFrac: Double = 0.02
 
   /** IVF + PQ — the production ANN architecture (FAISS's IVFADC): the
     * coarse quantizer prunes candidates to the `nProbe` nearest cells,

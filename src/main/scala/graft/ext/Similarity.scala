@@ -149,11 +149,19 @@ object Similarity {
     * tables; candidates = bucket collisions in any table; exact cosine
     * re-rank keeps the best `k` per query. Recall grows with `tables` and
     * shrinks with `bits`; no stage is quadratic.
+    *
+    * The `tables = 16` default is the MEASURED knee (RecallBench, graded
+    * planted twins at 1x/10x/25x of sf0.1): 8 tables read recall@10 0.52
+    * vs 0.73 at 16, scale-flat, with candidate cost ~doubling — the
+    * multi-table trade bought where it pays (round-16 verdict #6: the
+    * default should be the measured dial, not the first one tried). Use
+    * [[autoTuneLshTables]] to pick the dial for a RECALL TARGET measured
+    * on your own corpus instead.
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String, dim: Int,
-      k: Int = 10, tables: Int = 8, bits: Int = 8,
+      k: Int = 10, tables: Int = 16, bits: Int = 8,
       excludeSelf: Boolean = true): DataFrame = {
     def bucketed(df: DataFrame, id: String, out: String, vout: String): DataFrame = {
       val bs = (0 until tables).map { t =>
@@ -173,6 +181,118 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", vectors.cosine(col("q_vec"), col("c_vec")))
     cosineTopKRank(cand, k)
+  }
+
+  /** Shared measured-recall sweep kernel (round-16 verdict #6): run an
+    * ANN face at each dial value, score it against EXACT truth pairs,
+    * and emit one row per dial — `(<dialName>, n_truth, n_hit, recall,
+    * chosen)` with `chosen` marking the SMALLEST dial whose measured
+    * recall reaches `recallTarget` (all-false when none does — the
+    * caller decides the fallback). Recall = n_hit / n_truth rounded
+    * half-up to 6 dp over exact integer counts, so the whole sweep is
+    * replayable in a SQL oracle. Cost: one exact-truth pass (the caller
+    * builds and checkpoints it — sample-bounded) plus one ANN run and
+    * one count per dial; every count is |sample| * k rows, never
+    * corpus-sized.
+    */
+  private[ext] def recallSweep(
+      truth: DataFrame, dials: Seq[Int], run: Int => DataFrame,
+      recallTarget: Double, dialName: String): DataFrame = {
+    require(dials.nonEmpty, "at least one dial value required")
+    require(dials == dials.sorted && dials.distinct == dials,
+      s"dials must be strictly ascending, got $dials")
+    require(recallTarget > 0.0 && recallTarget <= 1.0,
+      "recallTarget must be in (0, 1]")
+    val spark = truth.sparkSession
+    val nTruth = truth.count()
+    val measured = dials.map { d =>
+      val nHit = run(d).select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id")).count()
+      val recall =
+        if (nTruth == 0L) 1.0
+        else new java.math.BigDecimal(nHit)
+          .divide(new java.math.BigDecimal(nTruth), 6,
+            java.math.RoundingMode.HALF_UP).doubleValue()
+      (d, nTruth, nHit, recall)
+    }
+    val chosenDial = measured.find(_._4 >= recallTarget).map(_._1)
+    val rows = measured.map { case (d, nt, nh, r) =>
+      org.apache.spark.sql.Row(d, nt, nh, r, chosenDial.contains(d))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(dialName,
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_truth",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_hit",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("recall",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("chosen",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** Measured LSH `tables` sweep against exact sampled truth — the q98
+    * portable face at each dial (planes for dial t are the FIRST t of
+    * the largest dial's plane set, so the dials nest and a SQL oracle
+    * replays the whole sweep from one interpolated plane table). One
+    * row per dial: `(n_tables, n_truth, n_hit, recall, chosen)`; see
+    * [[recallSweep]] for the scoring contract.
+    */
+  def lshTablesSweep(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String, dim: Int,
+      k: Int = 10, bits: Int = 8, recallTarget: Double = 0.9,
+      dials: Seq[Int] = Seq(2, 4, 8, 16),
+      excludeSelf: Boolean = true): DataFrame = {
+    val truth = bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol,
+        k, excludeSelf)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    recallSweep(truth, dials,
+      t => lshTopKPortable(corpus, queries, idCol, vecCol, queryIdCol, dim,
+        k, t, bits, excludeSelf),
+      recallTarget, "n_tables")
+  }
+
+  /** Pick the smallest LSH table count whose MEASURED recall@k on
+    * `queries` (vs exact truth on the same corpus) reaches
+    * `recallTarget` — the [[lshTablesSweep]] knee. Falls back to the
+    * largest dial with a stderr warning when no dial reaches the
+    * target (raise the dial ceiling or lower `bits`). Returns
+    * `(tables, measuredRecall)`.
+    */
+  def autoTuneLshTables(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String, dim: Int,
+      k: Int = 10, bits: Int = 8, recallTarget: Double = 0.9,
+      dials: Seq[Int] = Seq(2, 4, 8, 16),
+      excludeSelf: Boolean = true): (Int, Double) =
+    pickChosen(
+      lshTablesSweep(corpus, queries, idCol, vecCol, queryIdCol, dim, k,
+        bits, recallTarget, dials, excludeSelf),
+      "n_tables", recallTarget, "autoTuneLshTables")
+
+  /** Shared chosen-row extraction for the autoTune faces: the smallest
+    * chosen dial, or the largest dial (loudly) when the sweep never
+    * reached the target.
+    */
+  private[ext] def pickChosen(
+      sweep: DataFrame, dialName: String, recallTarget: Double,
+      what: String): (Int, Double) = {
+    val rows = sweep.collect() // O(dials) rows by construction
+    rows.find(_.getAs[Boolean]("chosen")) match {
+      case Some(r) => (r.getAs[Int](dialName), r.getAs[Double]("recall"))
+      case None =>
+        val last = rows.last
+        System.err.println(s"[graft] WARN $what: no dial in " +
+          s"${rows.map(_.getAs[Int](dialName)).mkString("[", ",", "]")} " +
+          s"reached recall target $recallTarget (best " +
+          s"${last.getAs[Double]("recall")} at ${last.getAs[Int](dialName)})" +
+          " — returning the largest dial; raise the dial ceiling")
+        (last.getAs[Int](dialName), last.getAs[Double]("recall"))
+    }
   }
 
   /** Sparse text cosine via an INVERTED INDEX: the k globally most

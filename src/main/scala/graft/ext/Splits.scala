@@ -111,6 +111,36 @@ object Splits {
       .drop("__h")
   }
 
+  /** Exactly-`n` deterministic WEIGHTED subsample — the consumer the
+    * soft-dedup weights needed (round-16 verdict #4): rank every row by
+    * `priority = kmvHash(keyCol) * costCol` (the md5 32-bit prefix as
+    * the uniform, priority sampling in the Duffield–Lund–Thorup shape)
+    * and keep the `n` smallest. A row's inclusion chance is ∝ 1/cost,
+    * so with `costCol` = the near-dup `cluster_size` from
+    * [[graft.ext.Dedup.softDedupWeights]] (whose `weight` is exactly
+    * 1/cost) each duplicate cluster contributes ~ONE document-
+    * equivalent to the sample in expectation while every intra-cluster
+    * variant stays eligible — "keep variety, sample one equivalent"
+    * executed end to end. Cost rides as the exact INTEGER inverse of
+    * the weight (never the rounded double), and the priority is one
+    * exact decimal(38,0) product — hash-identical in any engine, no
+    * RNG, stable across runs and partitionings.
+    *
+    * Scale: same `TakeOrderedAndProject` shape as [[sampleExact]] —
+    * per-partition top-n heaps merged on one reducer holding n rows.
+    */
+  def sampleExactWeighted(
+      df: DataFrame, keyCol: String, tieCol: String, n: Int,
+      costCol: String): DataFrame = {
+    require(n > 0, "n must be positive")
+    df.withColumn("__p",
+        conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+          .cast("decimal(20,0)") * col(costCol).cast("decimal(18,0)"))
+      .orderBy(col("__p"), col(tieCol))
+      .limit(n)
+      .drop("__p")
+  }
+
   /** Deterministic shard assignment for corpus writing: `shard` = first 32
     * bits of `md5(keyCol)` mod `nShards` (duplicate content co-shards, the
     * assignment survives re-ingests and engine changes), plus a dense

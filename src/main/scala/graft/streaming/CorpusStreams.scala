@@ -331,7 +331,8 @@ object CorpusStreams {
       itemName: String = "token",
       shufflePartitions: Option[Int] = None,
       rocksdbState: Boolean = false,
-      maxStateRows: Long = Long.MaxValue): DataFrame = {
+      maxStateRows: Long = Long.MaxValue,
+      maxStateBytes: Long = Long.MaxValue): DataFrame = {
     import graft.ext.HeavyHitters
     HeavyHitters.requireGuarantee(minShare, k)
     val schema = spark.read.parquet(stagedDir).schema
@@ -353,7 +354,7 @@ object CorpusStreams {
       q.awaitTermination()
       // bounded by design at ONE row holding <= k counters — measured
       EventStreams.auditStateSizeOrDrop(spark, q, "heavy-hitters monitor",
-        maxStateRows, queryName)
+        maxStateRows, queryName, maxStateBytes)
     }
     // bounded: at most one row, <= k strings (empty when zero batches ran)
     val first = spark.table(queryName)
@@ -424,7 +425,8 @@ object CorpusStreams {
       queryName: String, streamFilter: Option[org.apache.spark.sql.Column] = None,
       shufflePartitions: Option[Int] = None,
       rocksdbState: Boolean = false,
-      maxStateRows: Long = Long.MaxValue): DataFrame = {
+      maxStateRows: Long = Long.MaxValue,
+      maxStateBytes: Long = Long.MaxValue): DataFrame = {
     import graft.functions.text
     val schema = spark.read.parquet(stagedDir).schema
     val stream0 = spark.readStream.schema(schema)
@@ -445,7 +447,7 @@ object CorpusStreams {
       // the audit is where a vocabulary-shaped state stops being a
       // claim — cap it when only the top drifts matter (the MG pass)
       EventStreams.auditStateSizeOrDrop(spark, q, "token-drift monitor",
-        maxStateRows, queryName)
+        maxStateRows, queryName, maxStateBytes)
     }
     val streamedCounts = EventStreams.drainMemorySink(spark, queryName)
     val baseCounts = baseline
@@ -468,7 +470,8 @@ object CorpusStreams {
       valueCol: String, queryName: String, p: Int = 6,
       shufflePartitions: Option[Int] = None,
       rocksdbState: Boolean = false,
-      maxStateRows: Long = Long.MaxValue): DataFrame = {
+      maxStateRows: Long = Long.MaxValue,
+      maxStateBytes: Long = Long.MaxValue): DataFrame = {
     val schema = spark.read.parquet(stagedDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stagedDir)
@@ -483,7 +486,7 @@ object CorpusStreams {
       q.awaitTermination()
       // bounded by design at groups x 2^p register rows — measured
       EventStreams.auditStateSizeOrDrop(spark, q, "hll-registers monitor",
-        maxStateRows, queryName)
+        maxStateRows, queryName, maxStateBytes)
     }
     EventStreams.drainMemorySink(spark, queryName)
   }
@@ -567,7 +570,8 @@ object CorpusStreams {
       queryName: String, buckets: Int = 4096,
       scoreBinWidth: Long = 250L, maxAbsBucket: Int = 400,
       shufflePartitions: Option[Int] = None,
-      maxStateRows: Long = Long.MaxValue): DataFrame = {
+      maxStateRows: Long = Long.MaxValue,
+      maxStateBytes: Long = Long.MaxValue): DataFrame = {
     val schema = spark.read.parquet(stagedDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stagedDir)
@@ -589,7 +593,7 @@ object CorpusStreams {
       // the clamped bins bound state at groups x (2*maxAbsBucket + 1) x 2
       // BY DESIGN — the audit turns that argument into a measurement
       EventStreams.auditStateSizeOrDrop(spark, q, "classifier-auc monitor",
-        maxStateRows, queryName)
+        maxStateRows, queryName, maxStateBytes)
     }
     graft.ops.Profile.aucFromCounts(
       EventStreams.drainMemorySink(spark, queryName), Seq(groupCol))

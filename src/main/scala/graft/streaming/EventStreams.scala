@@ -110,28 +110,54 @@ object EventStreams {
     * audit becomes a cap: a monitor whose key space turns out to grow
     * with the corpus (exactly what the bounded designs exist to prevent)
     * fails loudly instead of silently eating the state store. Rows are
-    * the cap currency because they are deterministic per fixture; bytes
-    * are provider-dependent and reported for sizing only.
+    * the primary cap currency because they are deterministic per
+    * fixture; `maxStateBytes` (round-17) additionally caps the
+    * engine-reported byte high-water — provider-dependent in value, but
+    * the store's OWN number under both the heap-map and RocksDB
+    * providers, so a byte budget holds wherever the state lives.
     */
+  /** The engine-reported maxima the last [[auditStateSize]] measured —
+    * rows and bytes are the state store's OWN numbers
+    * (`StateOperatorProgress.numRowsTotal` / `memoryUsedBytes`, which the
+    * RocksDB provider populates from RocksDB's total memory usage), so a
+    * spec can compare them against what it derives from the drained sink
+    * frame (round-16 verdict #5: the cap must trip on engine truth, and
+    * the truth must be visible to assert against).
+    */
+  final case class StateAudit(rows: Long, bytes: Long, batches: Int)
+  @volatile private[streaming] var lastStateAudit: Option[StateAudit] = None
+
   private[streaming] def auditStateSize(
       q: org.apache.spark.sql.streaming.StreamingQuery, what: String,
-      maxStateRows: Long): Unit = {
+      maxStateRows: Long, maxStateBytes: Long = Long.MaxValue): Unit = {
     require(maxStateRows >= 1, "maxStateRows must be at least 1")
+    require(maxStateBytes >= 1, "maxStateBytes must be at least 1")
     val per = q.recentProgress.toSeq
       .filter(_.stateOperators.nonEmpty)
       .map(p => (p.stateOperators.map(_.numRowsTotal).sum,
         p.stateOperators.map(_.memoryUsedBytes).sum))
     if (per.nonEmpty) {
-      val (rows, bytes) = per.maxBy(_._1)
+      val rows = per.map(_._1).max
+      // max over batches INDEPENDENTLY of the row max: RocksDB's byte
+      // high-water can land on a different commit than the row peak
+      val bytes = per.map(_._2).max
+      lastStateAudit = Some(StateAudit(rows, bytes, per.size))
       System.err.println(f"[graft] state audit $what: max $rows state " +
         f"rows, ~$bytes state bytes over ${per.size} committed batches" +
         (if (maxStateRows != Long.MaxValue) s" (cap $maxStateRows rows)"
+        else "") +
+        (if (maxStateBytes != Long.MaxValue) s" (cap $maxStateBytes bytes)"
         else ""))
       if (rows > maxStateRows) throw new IllegalStateException(
         s"$what streaming state grew to $rows rows — above the declared " +
           s"bound $maxStateRows, so the monitor's key space is growing " +
           "with the corpus; bound it (clamped score bins, MG candidates, " +
           "sketch registers) or raise maxStateRows if this size is planned")
+      if (bytes > maxStateBytes) throw new IllegalStateException(
+        s"$what streaming state grew to $bytes store-reported bytes — " +
+          s"above the declared bound $maxStateBytes (the engine's own " +
+          "number, RocksDB included); bound the key space or per-key " +
+          "payload, or raise maxStateBytes if this size is planned")
     }
   }
 
@@ -145,8 +171,9 @@ object EventStreams {
     */
   private[streaming] def auditStateSizeOrDrop(
       spark: SparkSession, q: org.apache.spark.sql.streaming.StreamingQuery,
-      what: String, maxStateRows: Long, queryName: String): Unit =
-    try auditStateSize(q, what, maxStateRows)
+      what: String, maxStateRows: Long, queryName: String,
+      maxStateBytes: Long = Long.MaxValue): Unit =
+    try auditStateSize(q, what, maxStateRows, maxStateBytes)
     catch {
       case e: IllegalStateException =>
         try spark.catalog.dropTempView(queryName)
@@ -248,7 +275,8 @@ object EventStreams {
       valueCol: String, queryName: String, k: Int = 16,
       shufflePartitions: Option[Int] = None,
       rocksdbState: Boolean = false,
-      maxStateRows: Long = Long.MaxValue): DataFrame = {
+      maxStateRows: Long = Long.MaxValue,
+      maxStateBytes: Long = Long.MaxValue): DataFrame = {
     import graft.ext.Sketches
     val schema = spark.read.parquet(eventsPath).schema
     val stream = normalizeTs(
@@ -266,7 +294,8 @@ object EventStreams {
         .start()
       q.awaitTermination()
       // bounded by design at |groups| rows of k longs — measured + capped
-      auditStateSizeOrDrop(spark, q, "distinct-estimate monitor", maxStateRows, queryName)
+      auditStateSizeOrDrop(spark, q, "distinct-estimate monitor",
+        maxStateRows, queryName, maxStateBytes)
     }
     drainMemorySink(spark, queryName)
       .withColumn("n_est", Sketches.kmvEstimate(k))

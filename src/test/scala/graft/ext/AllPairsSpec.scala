@@ -560,23 +560,57 @@ class AllPairsSpec extends AnyFunSuite with SparkSpec {
       shingleK = 1, adviseAbove = 10L, failAbove = true).count())
     mustThrow(Dedup.scriptAwareJaccardPairs(df, "doc_id", "text",
       threshold = 0.6, wordK = 1, adviseAbove = 10L, failAbove = true).count())
+    // the gate's own message carries the measured mass — parse it so the
+    // warn-band / ceiling-band bounds below track the fixture exactly
+    def measuredMass(f: => Any): Long = {
+      val ex = intercept[IllegalStateException](f)
+      "candidate mass (\\d+)".r.findFirstMatchIn(ex.getMessage).get
+        .group(1).toLong
+    }
+    val estAp = measuredMass(Dedup.allPairsJaccard(df, "doc_id", "text",
+      threshold = 0.6, shingleK = 1, adviseAbove = 1L, failAbove = true)
+      .count())
+    val estCt = measuredMass(Dedup.containmentPairs(df, "doc_id", "text",
+      tau = 0.7, shingleK = 1, adviseAbove = 1L, failAbove = true).count())
+    assert(estAp > Dedup.HardFailMultiple + 1 &&
+      estCt > Dedup.HardFailMultiple + 1,
+      s"fixture mass ($estAp / $estCt) too small to exercise both bands")
     // the default (warn-only) gate changes NO results: identical frames
-    // with the gate effectively off (adviseAbove = MaxValue)
+    // with the gate effectively off (adviseAbove = MaxValue). adv = est-1
+    // sits in the WARN band (above the bound, under the 50x ceiling).
     def pairs(adv: Long): Set[(Long, Long)] =
       Dedup.allPairsJaccard(df, "doc_id", "text", threshold = 0.6,
           shingleK = 1, adviseAbove = adv)
         .select("id_l", "id_r").as[(Long, Long)].collect().toSet
-    assert(pairs(10L) == pairs(Long.MaxValue) && pairs(10L).nonEmpty,
+    assert(pairs(estAp - 1) == pairs(Long.MaxValue) &&
+      pairs(estAp - 1).nonEmpty,
       "warn-only gate must not change results")
     def cpairs(adv: Long): Set[(Long, Long)] =
       Dedup.containmentPairs(df, "doc_id", "text", tau = 0.7, shingleK = 1,
           adviseAbove = adv)
         .select("id_part", "id_whole").as[(Long, Long)].collect().toSet
-    assert(cpairs(10L) == cpairs(Long.MaxValue) && cpairs(10L).nonEmpty)
+    assert(cpairs(estCt - 1) == cpairs(Long.MaxValue) &&
+      cpairs(estCt - 1).nonEmpty)
     // the gate measures the POST-CAP prefix: a capped run whose mass sits
     // under the bound passes failAbove even on the skewed corpus
     Dedup.containmentPairs(df, "doc_id", "text", tau = 0.7, shingleK = 1,
       maxDf = 2, adviseAbove = 200L, failAbove = true).count()
+    // HARD CEILING (r16 verdict #8): above adviseAbove x HardFailMultiple
+    // the gate throws EVEN WITH failAbove = false — an unattended 100x
+    // run cannot ride a stderr warning into the measured-46x melt class
+    def mustCeiling(f: => Any): Unit = {
+      val ex = intercept[IllegalStateException](f)
+      assert(ex.getMessage.contains("HARD CEILING") &&
+        ex.getMessage.contains("maxDf"), ex.getMessage)
+    }
+    mustCeiling(Dedup.allPairsJaccard(df, "doc_id", "text", threshold = 0.6,
+      shingleK = 1, adviseAbove = math.max(1L, estAp / (Dedup.HardFailMultiple + 1)),
+      failAbove = false).count())
+    mustCeiling(Dedup.containmentPairs(df, "doc_id", "text", tau = 0.7,
+      shingleK = 1, adviseAbove = math.max(1L, estCt / (Dedup.HardFailMultiple + 1)),
+      failAbove = false).count())
+    // just UNDER the ceiling: warn-only still runs (both bands spec'd)
+    assert(pairs(estAp - 1).nonEmpty && cpairs(estCt - 1).nonEmpty)
   }
 
   test("containment ubiquity cap is loud: audit names every capped prefix token") {

@@ -207,6 +207,72 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("nProbeSweep measures a monotone dial curve; autoTuneNProbe picks the knee") {
+    val queries = clustered.where($"vec_id" % 10 === 0L)
+    val model = Ivf.train(clustered, "vec_id", "embedding", k = 6, iters = 4)
+    val sweep = Ivf.nProbeSweep(model, clustered, queries,
+        "vec_id", "embedding", "vec_id", k = 5, recallTarget = 0.8)
+      .orderBy("n_probe")
+      .as[(Int, Long, Long, Double, Boolean)].collect().toSeq
+    // default ladder doubles from 1 and ends at the cell count
+    assert(sweep.map(_._1) == Seq(1, 2, 4, 6))
+    // recall is NON-DECREASING in the dial (a bigger probe set is a
+    // superset of candidates) and exactly 1.0 at nProbe = cells (the
+    // probe set is the whole corpus, re-rank is exact)
+    assert(sweep.map(_._4).sliding(2).forall(p => p.head <= p.last),
+      s"recall not monotone: $sweep")
+    assert(sweep.last._4 == 1.0)
+    // chosen = the SMALLEST dial at/above target, exactly once
+    val chosen = sweep.filter(_._5)
+    assert(chosen.size == 1 &&
+      chosen.head._1 == sweep.find(_._4 >= 0.8).get._1)
+    // the tuner returns that knee
+    val (np, recall) = Ivf.autoTuneNProbe(model, clustered, queries,
+      "vec_id", "embedding", "vec_id", k = 5, recallTarget = 0.8)
+    assert(np == chosen.head._1 && recall == chosen.head._4)
+  }
+
+  test("autoTuneLshTables falls back loudly to the largest dial when the " +
+    "target is unreachable") {
+    // uniform vectors (no cluster structure): one 16-bit table makes
+    // near-singleton buckets, so recall sits far from 1.0
+    val rnd = new scala.util.Random(97)
+    val uniform = (1L to 80L)
+      .map(i => (i, Seq.fill(16)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = uniform.where($"vec_id" <= 5L)
+    val (t, recall) = Similarity.autoTuneLshTables(uniform, queries,
+      "vec_id", "embedding", "vec_id", dim = 16, k = 5, bits = 16,
+      recallTarget = 1.0, dials = Seq(1))
+    assert(t == 1 && recall < 1.0,
+      s"expected unreachable target to fall back, got ($t, $recall)")
+    // and a reachable target returns a chosen dial with measured recall
+    val cq = clustered.where($"vec_id" % 10 === 0L)
+    val (t2, r2) = Similarity.autoTuneLshTables(clustered, cq,
+      "vec_id", "embedding", "vec_id", dim = 16, k = 5, bits = 6,
+      recallTarget = 0.8, dials = Seq(2, 4, 8))
+    assert(r2 >= 0.8 && Seq(2, 4, 8).contains(t2), s"($t2, $r2)")
+  }
+
+  test("scaledDotProduct rejects non-long arrays at ANALYSIS time") {
+    // the kernel reads long element storage directly; a double array
+    // must fail analysis loudly, never score garbage (ADVICE r16)
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.expressions.VectorExpressions.scaledDotProduct(
+        $"a", $"b")).collect()
+    }
+    assert(ex.getMessage.contains("scaled_dot_product"), ex.getMessage)
+    // and the legitimate long-array shape still evaluates exactly
+    val ok = Seq((Array(2000000L, 3000000L), Array(4000000L, 5000000L)))
+      .toDF("a", "b")
+      .select(graft.expressions.VectorExpressions.scaledDotProduct(
+        $"a", $"b").cast("string")).as[String].collect().head
+    // scale-6 unscaled longs are 2.0/3.0 · 4.0/5.0 → dot = 8 + 15 = 23,
+    // carried exactly at decimal(38,12)
+    assert(BigDecimal(ok) == BigDecimal("23.000000000000"), ok)
+  }
+
   test("sparseCosineTopK: known dots, full-term norms, df cap excludes stop terms") {
     val docs = Seq(
       (1L, "the alpha beta alpha"), // tf a:2 b:1 the:1, n2 = 6

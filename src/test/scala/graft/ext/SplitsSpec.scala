@@ -87,6 +87,41 @@ class SplitsSpec extends AnyFunSuite with SparkSpec {
       "orderBy+limit must plan as per-partition top-n, not a global sort")
   }
 
+  test("sampleExactWeighted: priority = hash * cost, exact, repartition-" +
+    "invariant, and clusters land ~one doc-equivalent") {
+    // 40 singletons (cost 1) + one 40-doc cluster (cost 40): under
+    // priority sampling a cluster member needs a hash ~40x smaller, so
+    // the cluster as a whole should contribute on the order of ONE pick
+    // where equal-weight sampling would hand it half the sample
+    val rows = (1L to 40L).map(i => (i, 1L)) ++
+      (101L to 140L).map(i => (i, 40L))
+    val df = rows.toDF("doc_id", "cluster_size")
+    val got = Splits.sampleExactWeighted(df, "doc_id", "doc_id",
+        n = 20, costCol = "cluster_size")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got.size == 20)
+    // deterministic + partitioning-invariant (pure function of content)
+    val again = Splits.sampleExactWeighted(df.repartition(7), "doc_id",
+        "doc_id", n = 20, costCol = "cluster_size")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == again)
+    // the replay: priority = md5-32bit(doc_id) * cost, 20 smallest
+    def h(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expect = rows.sortBy { case (id, c) => (h(id) * c, id) }
+      .take(20).map(_._1).toSet
+    assert(got == expect)
+    // the heavy cluster is strongly suppressed: where unweighted
+    // sampling expects ~10 of its 40 members in a 20-sample, the
+    // weighted draw admits at most a couple
+    val heavy = got.count(_ >= 101L)
+    assert(heavy <= 4, s"cluster over-represented: $heavy of 20")
+  }
+
   test("leakageAudit: off-diagonal rows are exactly the cross-split pairs") {
     val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_l", "id_r")
     val assign = Seq((1L, "train"), (2L, "test"), (3L, "train"),

@@ -239,6 +239,46 @@ class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(hh.collect() != null) // one MG summary row — the tightest cap
   }
 
+  test("state audit reads ENGINE numbers and the byte cap trips on them " +
+    "(r16 verdict #5) — RocksDB included") {
+    // bounded monitor with a known exact state size: 3 groups x 2^4
+    // HLL register rows — the engine-reported numRowsTotal must equal
+    // the row count the drained sink frame shows (estimate == engine on
+    // a Complete-mode aggregate), and memoryUsedBytes must be a real
+    // store-reported positive number under BOTH providers
+    val docs = (1L to 40L).map(i => (i, s"g${i % 3}", s"u$i"))
+      .toDF("doc_id", "grp", "uid")
+    val dir = java.nio.file.Files.createTempDirectory("graft_audit_engine")
+    dir.toFile.deleteOnExit()
+    docs.coalesce(1).write.parquet(s"$dir/t")
+    val staged = CorpusStreams.stageIdSlices(spark, s"$dir/t", "doc_id",
+      Seq(20L))
+    for (rocksdb <- Seq(false, true)) {
+      EventStreams.lastStateAudit = None
+      val regs = CorpusStreams.hllRegistersStreaming(spark, staged, "grp",
+        "uid", s"audit_eng_${rocksdb}_${System.nanoTime()}", p = 4,
+        shufflePartitions = Some(2), rocksdbState = rocksdb)
+      val audit = EventStreams.lastStateAudit.getOrElse(
+        fail(s"no audit recorded (rocksdb=$rocksdb)"))
+      // engine-reported rows == the drained frame's rows: the store's
+      // own numRowsTotal, not a size estimated from the sink
+      assert(audit.rows == regs.count(),
+        s"engine rows ${audit.rows} != drained ${regs.count()} (rocksdb=$rocksdb)")
+      assert(audit.bytes > 0L,
+        s"provider (rocksdb=$rocksdb) reported no state bytes — the byte " +
+          "cap would be dead under this provider")
+      // the byte cap trips on the ENGINE number under this provider
+      val ex = intercept[IllegalStateException] {
+        CorpusStreams.hllRegistersStreaming(spark, staged, "grp", "uid",
+          s"audit_engcap_${rocksdb}_${System.nanoTime()}", p = 4,
+          shufflePartitions = Some(2), rocksdbState = rocksdb,
+          maxStateBytes = 1L)
+      }
+      assert(ex.getMessage.contains("store-reported bytes") &&
+        ex.getMessage.contains("maxStateBytes"), ex.getMessage)
+    }
+  }
+
   test("streamed heavy hitters equal the batch operator across batch cuts") {
     // zipf-ish corpus: token-i appears ~60/i times across the docs
     val words = (1 to 30).flatMap(i => Seq.fill(60 / i)(s"tok$i"))
