@@ -49,17 +49,19 @@ object ProbeBench {
   private val K = 3 // shingleK everywhere (the q270/q278 value)
 
   /** Fixed increment: the replica-a `% 3 == 0` slice, ids offset PAST
-    * the largest possible replica offset (26 x 1e8 — buildScaled caps
-    * replicas at 26) so an incoming id can never equal ANY standing id:
-    * a +9e8 offset collided with replica 9's id space, and the probes'
-    * `din =!= host` guard would silently drop same-id hosts (benign on
-    * token-suffixed iso replicas, a real hit-count distortion on skewed
-    * builds where boilerplate spans replicas).
+    * the largest possible replica offset (100 x 1e8 — buildScaled's
+    * round-17 ceiling) so an incoming id can never equal ANY standing
+    * id: a +9e8 offset collided with replica 9's id space, and the
+    * probes' `din =!= host` guard would silently drop same-id hosts
+    * (benign on token-suffixed iso replicas, a real hit-count
+    * distortion on skewed builds where boilerplate spans replicas).
+    * 1e10 = RecallBench.PlantBase, but those ids live in the
+    * embeddings table — disjoint keyspaces, no collision.
     */
   private def increment(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
       .where(col("doc_id") < 100000000L && col("doc_id") % 3 === 0)
-      .select((col("doc_id") + 2600000000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + 10000000000L).as("doc_id"), col("text"))
 
   private def time[A](body: => A): (Double, A) = {
     val t0 = System.nanoTime()

@@ -52,9 +52,9 @@ object RecallBench {
   private val K = 10 // recall@K
   /** Graded relative-noise levels for the planted twins. */
   private[graft] val PlantEps = Seq(0.02, 0.05, 0.10, 0.20, 0.40)
-  /** Planted ids start past every replica offset (buildScaled caps at 26
-    * replicas x 1e8; the ProbeBench +26e8 lesson) — 1e10 collides with
-    * nothing.
+  /** Planted ids start past every replica offset (buildScaled caps at
+    * 100 replicas x 1e8, max standing id < 1e10; the ProbeBench lesson)
+    * — 1e10 collides with nothing in the embeddings keyspace.
     */
   private[graft] val PlantBase = 10000000000L
 

@@ -151,7 +151,12 @@ object ScaleBench {
     */
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       replicas: Int = 10, skewFrac: Double = 0.0): Unit = {
-    require(replicas >= 2 && replicas <= 26, "replicas in [2, 26] (letter tags)")
+    // 100 ceiling: doc/vec id offsets stay strictly below RecallBench's
+    // PlantBase (1e10) and ProbeBench's increment offset; tag scheme
+    // switches to uniform two-letter suffixes above 26 replicas (all
+    // replicas get SAME-LENGTH suffixes, so token statistics stay
+    // isomorphic across the whole corpus at any tier)
+    require(replicas >= 2 && replicas <= 100, "replicas in [2, 100]")
     require(skewFrac >= 0.0 && skewFrac <= 1.0, "skewFrac in [0, 1]")
     // the skew cut keys on doc_id % 10, so only tenths are expressible —
     // fail loudly rather than silently quantize (skew=0.04 would build
@@ -180,7 +185,9 @@ object ScaleBench {
           pmod(off + j, lit(500L)).cast("string"))), " ")
     val skewCut = math.round(skewFrac * 10).toInt
     val scaledDocs = (0 until replicas).map { r =>
-      val tag = ('a' + r).toChar.toString
+      val tag =
+        if (replicas <= 26) ('a' + r).toChar.toString
+        else "" + ('a' + r / 26).toChar + ('a' + r % 26).toChar
       val suffixed =
         // one replacement per token: "$1" + letter is unambiguous where
         // a digit suffix would parse as part of the group number
@@ -212,12 +219,28 @@ object ScaleBench {
       s"$srcDir/embeddings.parquet has no non-null embedding vectors — " +
         "cannot infer the rotation dimension for the scaled corpus")
     val dim = dimRow(0).getInt(0)
+    // rotation alone collides past `dim` replicas (rotation r ≡ r % dim
+    // — replica dim+k would carry IDENTICAL vectors to replica k,
+    // planting cross-replica exact dups the ANN curves would then
+    // partly measure); compose with a global negation for the second
+    // wrap — still an isometry (intra-replica cosines exact), and v vs
+    // -v is maximally DISSIMILAR under cosine, so cross-replica
+    // structure stays decorrelated up to 2*dim replicas
+    require(replicas <= 2 * dim,
+      s"replicas=$replicas exceeds 2*dim=${2 * dim} — the rotate+negate " +
+        "isometry family is exhausted; a third wrap would plant exact dups")
+    val elemType = emb.schema("embedding").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
     val scaledEmb = (0 until replicas).map { r =>
+      val negate = (r / dim) % 2 == 1
       emb.select(
         (col("vec_id") + lit(r.toLong * 100000000L)).as("vec_id"),
-        transform(sequence(lit(0), lit(dim - 1)),
-          i => element_at(col("embedding"), ((i + lit(r)) % dim) + 1))
-          .as("embedding"),
+        transform(sequence(lit(0), lit(dim - 1)), i => {
+          val rot = element_at(col("embedding"), ((i + lit(r)) % dim) + 1)
+          // cast back: the -1 multiply would otherwise widen float
+          // elements to double and silently change the table schema
+          if (negate) (rot * lit(-1)).cast(elemType) else rot
+        }).as("embedding"),
         col("label"))
     }.reduce(_ unionByName _)
     scaledEmb.repartition(8).write.mode("overwrite")

@@ -10153,7 +10153,7 @@ $fin"""
            FROM codes n JOIN sd s ON s.j = n.j AND s.cell = n.code
            WHERE s.vec_id < 10 AND n.vec_id <> s.vec_id
            GROUP BY 1, 2),
-         r AS (SELECT query_id, neighbor_id, round(dist, 6) AS adc_dist,
+         r AS (SELECT query_id, neighbor_id, floor(dist * 1e6 + 0.5) / 1e6 AS adc_dist,
              CAST(row_number() OVER (PARTITION BY query_id
                ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS rank
            FROM adc)
@@ -10274,8 +10274,8 @@ $fin"""
              FROM sd0)
            WHERE rn = 1),
          mn AS (SELECT a.j, a.cell, dss.d,
-             round(CAST(sum(CAST(round(e.v[a.j*8 + dss.d], 6)
-               AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS w
+             floor(CAST(sum(CAST(floor(e.v[a.j*8 + dss.d] * 1e6 + 0.5) / 1e6
+               AS DECIMAL(28,6))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS w
            FROM asg a JOIN e USING (vec_id) CROSS JOIN dss
            GROUP BY 1, 2, 3),
          cw1 AS (SELECT c0.j, c0.cell, coalesce(mw.wl, c0.w) AS w
@@ -10297,7 +10297,7 @@ $fin"""
            FROM codes n JOIN sd1 s ON s.j = n.j AND s.cell = n.code
            WHERE s.vec_id < 10 AND n.vec_id <> s.vec_id
            GROUP BY 1, 2),
-         r AS (SELECT query_id, neighbor_id, round(dist, 6) AS adc_dist,
+         r AS (SELECT query_id, neighbor_id, floor(dist * 1e6 + 0.5) / 1e6 AS adc_dist,
              CAST(row_number() OVER (PARTITION BY query_id
                ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS rank
            FROM adc)
@@ -10349,7 +10349,7 @@ $fin"""
            JOIN codes n ON n.vec_id = c.neighbor_id
            JOIN sd s ON s.vec_id = c.query_id AND s.j = n.j AND s.cell = n.code
            GROUP BY 1, 2),
-         r AS (SELECT query_id, neighbor_id, round(dist, 6) AS adc_dist,
+         r AS (SELECT query_id, neighbor_id, floor(dist * 1e6 + 0.5) / 1e6 AS adc_dist,
              CAST(row_number() OVER (PARTITION BY query_id
                ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS rank
            FROM adc)

@@ -96,9 +96,20 @@ object Pq {
         .select(col("j"), col("cell"),
           posexplode(slice(col("__v"), col("j") * subDim + 1, lit(subDim)))
             .as(Seq("d", "x")))
+      // 6-dp quantization via floor(x*1e6 + 0.5)/1e6 rather than
+      // round(x, 6): Spark rounds the exact decimal expansion while
+      // DuckDB rounds the FLOAT product, and on an exact .5 product the
+      // two disagree by 1e-6 — a codeword off by 1e-6 then shifts ADC
+      // dists by ~1e-7 and flips their display rounding (the q291
+      // sf0.001 gate hit, round 17). The floor form is the same IEEE
+      // ops in either engine; for negative values it is half-toward-
+      // +inf rather than half-away — a CONVENTION both sides share,
+      // which is all the oracle contract needs
+      def q6(e: org.apache.spark.sql.Column) =
+        floor(e * lit(1e6) + lit(0.5)) / lit(1e6)
       val means = assigned.groupBy(col("j"), col("cell"), col("d"))
-        .agg(round(sum(round(col("x"), 6).cast("decimal(28,6)")).cast("double")
-          / count(lit(1)), 6).as("w"))
+        .agg(q6(sum(q6(col("x")).cast("decimal(28,6)")).cast("double")
+          / count(lit(1))).as("w"))
         .collect() // bounded: at most m * c * subDim rows
       val next = Array.tabulate(m, c, subDim)(
         (j, cell, d) => model.codebooks(j)(cell)(d))
@@ -209,7 +220,16 @@ object Pq {
     graft.plans.GroupTopK(scored, Seq("query_id"),
         Seq(("__dist", true), ("neighbor_id", true)), k, rankName = "rank")
       .select(col("query_id"), col("neighbor_id"),
-        round(col("__dist"), 6).as("adc_dist"), col("rank").cast("int").as("rank"))
+        // display rounding via floor(x*1e6 + 0.5)/1e6, NOT round(x, 6):
+        // the dist doubles are bit-identical cross-engine, but Spark
+        // rounds the exact decimal expansion (HALF_UP on BigDecimal)
+        // while DuckDB rounds the FLOAT product x*1e6 — when that
+        // product lands exactly on .5 the two disagree by 1e-6 (hit at
+        // the sf0.001 gate, round 17). The floor form is the same three
+        // IEEE ops in either engine, so it cannot diverge; dist >= 0
+        // (a sum of squares), so floor(+0.5) IS half-up here
+        (floor(col("__dist") * lit(1e6) + lit(0.5)) / lit(1e6)).as("adc_dist"),
+        col("rank").cast("int").as("rank"))
 
   /** ADC shortlist + exact re-rank — the production remedy for ADC's
     * quantization ceiling. RecallBench (round 16) measured the ADC faces

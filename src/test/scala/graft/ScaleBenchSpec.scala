@@ -71,6 +71,68 @@ class ScaleBenchSpec extends AnyFunSuite with SparkSpec {
     assert(bigEmb(1L) != bigEmb(100000001L))
   }
 
+  test("100x tier: two-letter tags past 26 replicas, rotate+negate isometry past dim") {
+    val dir = Files.createTempDirectory("graft_scale_100x_spec")
+    dir.toFile.deleteOnExit()
+    Seq((1L, "alpha beta", "en", "s0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/src/documents.parquet")
+    // dim=2 so the rotation family is exhausted at 2 replicas and the
+    // negate wrap (replicas 3-4) is reachable in a tiny fixture
+    Seq((1L, Seq(1.0f, 0.5f), 0)).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/src/embeddings.parquet")
+    Seq((7L, 70L, "O", 10.5, new java.sql.Timestamp(0L), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/src/orders.parquet")
+    // past 2*dim the isometry family is exhausted: fail loudly
+    intercept[IllegalArgumentException] {
+      ScaleBench.buildScaled(spark, s"$dir/src", s"$dir/out_bad", replicas = 5)
+    }
+    intercept[IllegalArgumentException] {
+      ScaleBench.buildScaled(spark, s"$dir/src", s"$dir/out_bad2", replicas = 101)
+    }
+    ScaleBench.buildScaled(spark, s"$dir/src", s"$dir/out", replicas = 4)
+    val emb = spark.read.parquet(s"$dir/out/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    assert(emb.size == 4)
+    // no two replicas carry identical vectors (the collision the
+    // negate composition prevents), every replica is an isometry
+    assert(emb.values.toSeq.distinct.length == 4)
+    assert(emb.values.forall(v => math.abs(
+      v.map(x => x * x).sum - 1.25f) < 1e-6))
+    // second wrap = global negation of the same-rotation replica
+    assert(emb(200000001L) == emb(1L).map(-_))
+    assert(emb(300000001L) == emb(100000001L).map(-_))
+
+    // 27 replicas (a 2-dim source can't host that rotation family; use a
+    // separate docs-focused source with a wide embedding)
+    val dir2 = Files.createTempDirectory("graft_scale_27_spec")
+    dir2.toFile.deleteOnExit()
+    Seq((1L, "alpha beta", "en", "s0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir2/src/documents.parquet")
+    Seq((1L, (0 until 32).map(i => if (i == 0) 1.0f else 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir2/src/embeddings.parquet")
+    Seq((7L, 70L, "O", 10.5, new java.sql.Timestamp(0L), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir2/src/orders.parquet")
+    ScaleBench.buildScaled(spark, s"$dir2/src", s"$dir2/out", replicas = 27)
+    val texts = spark.read.parquet(s"$dir2/out/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    assert(texts.length == 27)
+    // uniform two-letter suffixes: every token grows by EXACTLY 2 chars
+    // in every replica (isomorphic token stats), all replicas disjoint
+    assert(texts.forall { case (_, t) =>
+      t.split(" ").toSeq.map(_.length) == Seq(7, 6) })
+    assert(texts.map(_._2).distinct.length == 27)
+    // replica 26 wraps to the second letter block: "alphaba"
+    val r26 = texts.find(_._1 == 26L * 100000000L + 1L).get._2
+    assert(r26 == "alphaba betaba", s"got $r26")
+  }
+
   test("skewed build replaces the doc_id%10 slice with boilerplate, metadata consistent") {
     val dir = Files.createTempDirectory("graft_scale_skew_spec")
     dir.toFile.deleteOnExit()
