@@ -246,6 +246,14 @@ object RecallBench {
       queries, "vec_id", "embedding", "vec_id", dim, k = K, bits = 8,
       recallTarget = 0.7, dials = Seq(2, 4, 8, 16)))
     println(f"""{"face":"autotune_lsh_tables","scale":"$tag","dial":${lshPick._1},"recall_cos":${lshPick._2}%.3f,"sec":$tLsh%.3f}""")
+    // the SEEDED family tuned separately (round-17 review finding: a
+    // dial measured on the portable Rademacher planes does not transfer
+    // to lshTopK's seeded planes — this row is the one lshTopK's
+    // tables=16 default must be read against)
+    val (tLshS, lshPickS) = time(Similarity.autoTuneLshTables(corpus,
+      queries, "vec_id", "embedding", "vec_id", dim, k = K, bits = 8,
+      recallTarget = 0.7, dials = Seq(2, 4, 8, 16), portable = false))
+    println(f"""{"face":"autotune_lsh_tables_seeded","scale":"$tag","dial":${lshPickS._1},"recall_cos":${lshPickS._2}%.3f,"sec":$tLshS%.3f}""")
   }
 
   def main(args: Array[String]): Unit = {

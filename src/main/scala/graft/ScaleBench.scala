@@ -127,7 +127,12 @@ object ScaleBench {
     // component and one component-keyed join — the curve should track
     // q70's, never exceed it by more than the weight stage's joins)
     "q293_soft_dedup",
-    "q294_soft_savings")
+    "q294_soft_savings",
+    // round 17: the persisted IVF-PQ index probe (the ANN family's
+    // q284 — first battery invocation builds + persists the index,
+    // floors measure load + broadcast probe; the encode pass is linear
+    // and the probe touches nProbe/nCells of the codes)
+    "q299_ann_index_probe")
 
   /** Build the `replicas`x corpus: isomorphic token-suffixed document
     * replicas and coordinate-rotated embedding replicas. Id offsets are
@@ -308,13 +313,16 @@ object ScaleBench {
         case Right(b) =>
           val ratio = b / small
           println(f"""{"query":"$name","sf01_sec":$small%.3f,"sf1_sec":$b%.3f,"ratio":$ratio%.2f}""")
-          (name, f""""$name":[$small%.3f,$b%.3f,$ratio%.2f]""")
-        case Left(_) =>
+          f""""$name":[$small%.3f,$b%.3f,$ratio%.2f]"""
+        case Left(msg) =>
+          // the gate's first line goes to stderr (it may contain JSON-
+          // hostile characters), the artifact row just records the fact
+          System.err.println(s"[scalebench] $name gated: $msg")
           println(f"""{"query":"$name","sf01_sec":$small%.3f,"gated_hard_ceiling":true}""")
-          (name, f""""$name":[$small%.3f,"gated","gated"]""")
+          f""""$name":[$small%.3f,"gated","gated"]"""
       }
     }
-    val s = rows.map(_._2).mkString(",")
+    val s = rows.mkString(",")
     println(s"""{"metric":"scale_curve","rows_small":$nSmall,"rows_big":$nBig,"queries":{$s}}""")
     spark.stop()
   }

@@ -2062,6 +2062,65 @@ $fin"""
         .orderBy("query_id", "rank")
     }),
 
+    "q299_ann_index_probe" -> ((s, d) => {
+      // the persisted IVF-PQ index probed by an increment — the ANN
+      // family's q284 (round 17): the standing corpus is encoded ONCE
+      // (cell id + PQ codes, ~9 bytes/vector instead of 256 float
+      // bytes) and persisted with its frozen models under the same
+      // loud StateManifest contract as the four dedup states; the
+      // query pays state LOAD + a broadcast probe join on the probed
+      // cells only. Oracle = the q169 IVFADC composition over the
+      // standing slice with incoming probes — results are
+      // state-provenance-invariant (the q284 convention).
+      val emb = t(s, d, "embeddings")
+      val standing = emb.where(col("vec_id") % 5 =!= 2)
+      val incoming = emb.where(col("vec_id") % 5 === 2)
+      val params = graft.ext.AnnIndex.Params(nCells = 8, m = 8, c = 16)
+      val stateDir = graft.io.TextTables.scratchDir("ann_index", d,
+        graft.io.TextTables.sourceFingerprint(s"$d/embeddings.parquet")
+          + ";" + params.encoded)
+      new java.io.File(stateDir).mkdirs()
+      val state = graft.ext.AnnIndex.load(s, stateDir, params).getOrElse {
+        val coarse = graft.ext.Ivf.portableSeedModel(standing, "vec_id",
+          "embedding", k = 8)
+        val pqm = graft.ext.Pq.portableSeedCodebooks(standing, "vec_id",
+          "embedding", m = 8, c = 16)
+        graft.ext.AnnIndex.save(s,
+          graft.ext.AnnIndex.build(standing, "vec_id", "embedding",
+            coarse, pqm), stateDir, params)
+        graft.ext.AnnIndex.load(s, stateDir, params).get
+      }
+      graft.ext.AnnIndex.probe(state, incoming, "embedding", "vec_id",
+          k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q300_ann_index_append" -> ((s, d) => {
+      // incremental index maintenance under FROZEN models (round 17):
+      // the index is built from the base 80% of the standing corpus,
+      // the remaining fifth is APPENDED — encoded under the base's
+      // centroids and codebooks, the freeze-on-persist contract — and
+      // the increment probes the combined index. The oracle encodes
+      // base and appended rows with the SAME base-seeded formulas, so
+      // append-then-probe replays exactly like rebuild-then-probe
+      // (provenance invariance, spec'd in AnnIndexSpec).
+      val emb = t(s, d, "embeddings")
+      val standing = emb.where(col("vec_id") % 5 =!= 2)
+      val incoming = emb.where(col("vec_id") % 5 === 2)
+      val base = standing.where(col("vec_id") % 25 < 20)
+      val rest = standing.where(col("vec_id") % 25 >= 20)
+      val coarse = graft.ext.Ivf.portableSeedModel(base, "vec_id",
+        "embedding", k = 8)
+      val pqm = graft.ext.Pq.portableSeedCodebooks(base, "vec_id",
+        "embedding", m = 8, c = 16)
+      val idx = graft.ext.AnnIndex.append(
+        graft.ext.AnnIndex.build(base, "vec_id", "embedding", coarse, pqm),
+        rest, "vec_id", "embedding")
+      graft.ext.AnnIndex.probe(idx, incoming, "embedding", "vec_id",
+          k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     "q137_semdedup_incr" -> ((s, d) => {
       // incremental semantic dedup: standing corpus = ids < 400 (with the
       // generation's frozen seed quantizer); increment = ids >= 400 plus
@@ -10342,6 +10401,116 @@ $fin"""
              SELECT vec_id, j, cell, row_number() OVER
                (PARTITION BY vec_id, j ORDER BY sdist ASC, cell ASC) AS rn
              FROM sd)
+           WHERE rn = 1),
+         adc AS (SELECT c.query_id, c.neighbor_id,
+             list_sum(list(s.sdist ORDER BY s.j)) AS dist
+           FROM cand c
+           JOIN codes n ON n.vec_id = c.neighbor_id
+           JOIN sd s ON s.vec_id = c.query_id AND s.j = n.j AND s.cell = n.code
+           GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id, floor(dist * 1e6 + 0.5) / 1e6 AS adc_dist,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS rank
+           FROM adc)
+         SELECT query_id, neighbor_id, adc_dist, rank FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
+
+    // the q169 IVFADC CTEs over the standing/incoming split: models and
+    // index codes derive from the STANDING slice only, probes from the
+    // incoming slice — the persisted state never appears (provenance
+    // invariance, the q284 oracle convention)
+    "q299_ann_index_probe" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         st AS (SELECT * FROM e WHERE vec_id % 5 <> 2),
+         inc AS (SELECT * FROM e WHERE vec_id % 5 = 2),
+         ivfseeds AS (SELECT v AS c_vec, rn - 1 AS icell FROM
+             (SELECT v, row_number() OVER
+                (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM st)
+           WHERE rn <= 8),
+         asg AS (SELECT vec_id, icell FROM (
+             SELECT st.vec_id, s.icell,
+               row_number() OVER (PARTITION BY st.vec_id
+                 ORDER BY list_cosine_similarity(st.v, s.c_vec) DESC, s.icell) AS rn
+             FROM st CROSS JOIN ivfseeds s)
+           WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, icell FROM (
+             SELECT inc.vec_id, s.icell,
+               row_number() OVER (PARTITION BY inc.vec_id
+                 ORDER BY list_cosine_similarity(inc.v, s.c_vec) DESC, s.icell) AS rn
+             FROM inc CROSS JOIN ivfseeds s)
+           WHERE rn <= 2),
+         cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+           FROM probes p JOIN asg a ON p.icell = a.icell),
+         pqseeds AS (SELECT v AS sv, rn - 1 AS cell FROM
+             (SELECT v, row_number() OVER
+                (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM st)
+           WHERE rn <= 16),
+         js AS (SELECT unnest(generate_series(0, 7)) AS j),
+         cw AS (SELECT js.j, s.cell, s.sv[js.j*8 + 1 : js.j*8 + 8] AS w
+           FROM pqseeds s CROSS JOIN js),
+         sd AS (SELECT e.vec_id, c.j, c.cell,
+             list_sum([ (e.v[c.j*8 + d] - c.w[d]) * (e.v[c.j*8 + d] - c.w[d])
+                        for d in generate_series(1, 8) ]) AS sdist
+           FROM e CROSS JOIN cw c),
+         codes AS (SELECT vec_id, j, cell AS code FROM (
+             SELECT vec_id, j, cell, row_number() OVER
+               (PARTITION BY vec_id, j ORDER BY sdist ASC, cell ASC) AS rn
+             FROM sd WHERE vec_id % 5 <> 2)
+           WHERE rn = 1),
+         adc AS (SELECT c.query_id, c.neighbor_id,
+             list_sum(list(s.sdist ORDER BY s.j)) AS dist
+           FROM cand c
+           JOIN codes n ON n.vec_id = c.neighbor_id
+           JOIN sd s ON s.vec_id = c.query_id AND s.j = n.j AND s.cell = n.code
+           GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id, floor(dist * 1e6 + 0.5) / 1e6 AS adc_dist,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS rank
+           FROM adc)
+         SELECT query_id, neighbor_id, adc_dist, rank FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
+
+    // q299's CTEs with models seeded from the BASE 80% only: appended
+    // rows (the standing fifth) encode under the SAME base formulas —
+    // append-then-probe replays exactly like rebuild-then-probe
+    "q300_ann_index_append" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         st AS (SELECT * FROM e WHERE vec_id % 5 <> 2),
+         base AS (SELECT * FROM st WHERE vec_id % 25 < 20),
+         inc AS (SELECT * FROM e WHERE vec_id % 5 = 2),
+         ivfseeds AS (SELECT v AS c_vec, rn - 1 AS icell FROM
+             (SELECT v, row_number() OVER
+                (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM base)
+           WHERE rn <= 8),
+         asg AS (SELECT vec_id, icell FROM (
+             SELECT st.vec_id, s.icell,
+               row_number() OVER (PARTITION BY st.vec_id
+                 ORDER BY list_cosine_similarity(st.v, s.c_vec) DESC, s.icell) AS rn
+             FROM st CROSS JOIN ivfseeds s)
+           WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, icell FROM (
+             SELECT inc.vec_id, s.icell,
+               row_number() OVER (PARTITION BY inc.vec_id
+                 ORDER BY list_cosine_similarity(inc.v, s.c_vec) DESC, s.icell) AS rn
+             FROM inc CROSS JOIN ivfseeds s)
+           WHERE rn <= 2),
+         cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+           FROM probes p JOIN asg a ON p.icell = a.icell),
+         pqseeds AS (SELECT v AS sv, rn - 1 AS cell FROM
+             (SELECT v, row_number() OVER
+                (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM base)
+           WHERE rn <= 16),
+         js AS (SELECT unnest(generate_series(0, 7)) AS j),
+         cw AS (SELECT js.j, s.cell, s.sv[js.j*8 + 1 : js.j*8 + 8] AS w
+           FROM pqseeds s CROSS JOIN js),
+         sd AS (SELECT e.vec_id, c.j, c.cell,
+             list_sum([ (e.v[c.j*8 + d] - c.w[d]) * (e.v[c.j*8 + d] - c.w[d])
+                        for d in generate_series(1, 8) ]) AS sdist
+           FROM e CROSS JOIN cw c),
+         codes AS (SELECT vec_id, j, cell AS code FROM (
+             SELECT vec_id, j, cell, row_number() OVER
+               (PARTITION BY vec_id, j ORDER BY sdist ASC, cell ASC) AS rn
+             FROM sd WHERE vec_id % 5 <> 2)
            WHERE rn = 1),
          adc AS (SELECT c.query_id, c.neighbor_id,
              list_sum(list(s.sdist ORDER BY s.j)) AS dist

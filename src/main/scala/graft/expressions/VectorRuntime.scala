@@ -135,6 +135,15 @@ object VectorRuntime {
     var lo = 0L
     var i = 0
     while (i < n) {
+      // getLong on a null slot reads undefined element storage — a
+      // silently-garbage score. The SQ8 pipelines never produce null
+      // elements, but the Column API is public; fail loudly like the
+      // dim-mismatch guard (the type check can't require
+      // containsNull=false — dequant255's output is marked nullable)
+      if (l.isNullAt(i) || r.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"scaled_dot_product: null element at index $i — " +
+            "both arrays must be fully non-null")
       val x = l.getLong(i)
       val y = r.getLong(i)
       val ph = Math.multiplyHigh(x, y)

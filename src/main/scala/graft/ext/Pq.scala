@@ -329,19 +329,43 @@ object Pq {
   def ivfAdcTopK(
       coarse: Ivf.Model, pq: Model, corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String,
-      k: Int = 10, nProbe: Int = 2, excludeSelf: Boolean = true): DataFrame = {
+      k: Int = 10, nProbe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    // nProbe = 4 matches Ivf.topK's measured-knee default (RecallBench:
+    // 0.90 vs 0.76-0.82 at nProbe=2, scale-flat) — the two faces share
+    // the same coarse quantizer, so they share the dial (a round-17
+    // review finding: this one stayed at 2 when Ivf.topK moved)
     require(k >= 1, "k must be >= 1")
     require(nProbe >= 1, "nProbe must be >= 1")
-    val cells = corpus.select(col(idCol).as("neighbor_id"),
-      element_at(VectorExpressions.nearestCentroids(
-        col(vecCol), coarse.centroids, 1), 1).as("__cell"),
-      PqExpressions.pqEncode(col(vecCol), pq.codebooks).as("__codes"))
+    ivfAdcProbe(coarse, pq,
+      AnnIndex.encode(corpus, idCol, vecCol, coarse, pq),
+      queries, vecCol, queryIdCol, k, nProbe, excludeSelf)
+  }
+
+  /** [[ivfAdcTopK]]'s probe half against a PRE-ENCODED candidate frame
+    * (`(vec_id, cell, codes)` — [[AnnIndex.encode]]'s schema): the
+    * production ingest shape encodes the corpus ONCE per generation and
+    * persists the codes ([[AnnIndex]]), so a query pays only the
+    * broadcast probe join — the corpus-side `nearestCentroids` +
+    * `pqEncode` pass that [[ivfAdcTopK]] runs per call vanishes.
+    * Identical results to [[ivfAdcTopK]] over the frame's source corpus
+    * (AnnIndexSpec pins it); `excludeSelf` defaults FALSE here because
+    * the ingest shape probes an increment whose ids are disjoint from
+    * the standing index.
+    */
+  def ivfAdcProbe(
+      coarse: Ivf.Model, pq: Model, cells: DataFrame, queries: DataFrame,
+      vecCol: String, queryIdCol: String,
+      k: Int = 10, nProbe: Int = 4, excludeSelf: Boolean = false): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(nProbe >= 1, "nProbe must be >= 1")
     val q = broadcast(queries.select(
       col(queryIdCol).as("query_id"),
       PqExpressions.pqDistTable(col(vecCol), pq.codebooks).as("__dtab"),
       explode(VectorExpressions.nearestCentroids(
         col(vecCol), coarse.centroids, nProbe)).as("__cell")))
     val scored = cells
+      .select(col("vec_id").as("neighbor_id"), col("cell").as("__cell"),
+        col("codes").as("__codes"))
       .join(q, "__cell")
       .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .withColumn("__dist",

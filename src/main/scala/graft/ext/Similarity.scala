@@ -155,8 +155,10 @@ object Similarity {
     * vs 0.73 at 16, scale-flat, with candidate cost ~doubling — the
     * multi-table trade bought where it pays (round-16 verdict #6: the
     * default should be the measured dial, not the first one tried). Use
-    * [[autoTuneLshTables]] to pick the dial for a RECALL TARGET measured
-    * on your own corpus instead.
+    * [[autoTuneLshTables]] with `portable = false` to pick the dial for
+    * a RECALL TARGET measured on your own corpus — that flag sweeps
+    * THIS seeded family; the default portable sweep measures the q98
+    * Rademacher face, whose dial does not transfer here.
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
@@ -205,12 +207,19 @@ object Similarity {
       "recallTarget must be in (0, 1]")
     val spark = truth.sparkSession
     val nTruth = truth.count()
+    // an empty truth set gives the sweep no signal — "recall 1.0,
+    // choose the smallest dial" would be a confident answer measured
+    // against nothing (and the SQL replays would divide by zero where
+    // the engine silently special-cased). Loud, like every other gate.
+    require(nTruth > 0L,
+      "recallSweep: exact truth set is empty — the sample queries have " +
+        "no true neighbors to measure against (empty query sample, or " +
+        "excludeSelf removed every candidate); widen the sample")
     val measured = dials.map { d =>
       val nHit = run(d).select(col("query_id"), col("neighbor_id"))
         .join(truth, Seq("query_id", "neighbor_id")).count()
       val recall =
-        if (nTruth == 0L) 1.0
-        else new java.math.BigDecimal(nHit)
+        new java.math.BigDecimal(nHit)
           .divide(new java.math.BigDecimal(nTruth), 6,
             java.math.RoundingMode.HALF_UP).doubleValue()
       (d, nTruth, nHit, recall)
@@ -234,11 +243,20 @@ object Similarity {
       java.util.Arrays.asList(rows: _*), schema)
   }
 
-  /** Measured LSH `tables` sweep against exact sampled truth — the q98
-    * portable face at each dial (planes for dial t are the FIRST t of
-    * the largest dial's plane set, so the dials nest and a SQL oracle
-    * replays the whole sweep from one interpolated plane table). One
-    * row per dial: `(n_tables, n_truth, n_hit, recall, chosen)`; see
+  /** Measured LSH `tables` sweep against exact sampled truth. `portable
+    * = true` (default) sweeps the q98 portable Rademacher face at each
+    * dial (planes for dial t are the FIRST t of the largest dial's
+    * plane set, so the dials nest and a SQL oracle replays the whole
+    * sweep from one interpolated plane table — the q296 contract);
+    * `portable = false` sweeps [[lshTopK]]'s seeded-plane family
+    * instead. THE SWEPT FACE MUST BE THE FACE YOU DEPLOY: the two
+    * families hash differently, so a dial measured on one does not
+    * transfer to the other (a round-17 review finding — the tuner
+    * previously measured only the portable face while advertising
+    * itself as lshTopK's dial-picker). The seeded sweep is measured
+    * the same way but is not SQL-replayable (its planes live in the
+    * native expression, not an interpolatable table). One row per
+    * dial: `(n_tables, n_truth, n_hit, recall, chosen)`; see
     * [[recallSweep]] for the scoring contract.
     */
   def lshTablesSweep(
@@ -246,19 +264,26 @@ object Similarity {
       idCol: String, vecCol: String, queryIdCol: String, dim: Int,
       k: Int = 10, bits: Int = 8, recallTarget: Double = 0.9,
       dials: Seq[Int] = Seq(2, 4, 8, 16),
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, portable: Boolean = true): DataFrame = {
     val truth = bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol,
         k, excludeSelf)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint()
     recallSweep(truth, dials,
-      t => lshTopKPortable(corpus, queries, idCol, vecCol, queryIdCol, dim,
-        k, t, bits, excludeSelf),
+      t =>
+        if (portable)
+          lshTopKPortable(corpus, queries, idCol, vecCol, queryIdCol, dim,
+            k, t, bits, excludeSelf)
+        else
+          lshTopK(corpus, queries, idCol, vecCol, queryIdCol, dim,
+            k, t, bits, excludeSelf),
       recallTarget, "n_tables")
   }
 
   /** Pick the smallest LSH table count whose MEASURED recall@k on
     * `queries` (vs exact truth on the same corpus) reaches
-    * `recallTarget` — the [[lshTablesSweep]] knee. Falls back to the
+    * `recallTarget` — the [[lshTablesSweep]] knee. Pass `portable =
+    * false` to tune [[lshTopK]]'s seeded family (the dial only
+    * transfers to the face it was measured on). Falls back to the
     * largest dial with a stderr warning when no dial reaches the
     * target (raise the dial ceiling or lower `bits`). Returns
     * `(tables, measuredRecall)`.
@@ -268,10 +293,10 @@ object Similarity {
       idCol: String, vecCol: String, queryIdCol: String, dim: Int,
       k: Int = 10, bits: Int = 8, recallTarget: Double = 0.9,
       dials: Seq[Int] = Seq(2, 4, 8, 16),
-      excludeSelf: Boolean = true): (Int, Double) =
+      excludeSelf: Boolean = true, portable: Boolean = true): (Int, Double) =
     pickChosen(
       lshTablesSweep(corpus, queries, idCol, vecCol, queryIdCol, dim, k,
-        bits, recallTarget, dials, excludeSelf),
+        bits, recallTarget, dials, excludeSelf, portable),
       "n_tables", recallTarget, "autoTuneLshTables")
 
   /** Shared chosen-row extraction for the autoTune faces: the smallest

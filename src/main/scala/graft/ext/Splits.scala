@@ -133,9 +133,22 @@ object Splits {
       df: DataFrame, keyCol: String, tieCol: String, n: Int,
       costCol: String): DataFrame = {
     require(n > 0, "n must be positive")
-    df.withColumn("__p",
+    // a null key hashes to a null priority (Spark sorts nulls FIRST
+    // ascending — the row would silently occupy a sample slot in every
+    // draw) and a null/zero/negative cost breaks the inclusion-chance
+    // ∝ 1/cost contract the same silent way; raise in-plan like the
+    // IncrementalAgg delta guard
+    val cost = col(costCol).cast("decimal(18,0)")
+    val guarded = when(col(keyCol).isNull.or(cost.isNull).or(cost <= 0),
+      raise_error(concat(
+        lit(s"sampleExactWeighted: NULL $keyCol or non-positive " +
+          s"$costCol — priority sampling needs a hashable key and a " +
+          s"strictly positive cost; got $costCol="),
+        coalesce(cost.cast("string"), lit("NULL")))))
+      .otherwise(
         conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
-          .cast("decimal(20,0)") * col(costCol).cast("decimal(18,0)"))
+          .cast("decimal(20,0)") * cost)
+    df.withColumn("__p", guarded)
       .orderBy(col("__p"), col(tieCol))
       .limit(n)
       .drop("__p")

@@ -124,7 +124,12 @@ object EventStreams {
     * frame (round-16 verdict #5: the cap must trip on engine truth, and
     * the truth must be visible to assert against).
     */
-  final case class StateAudit(rows: Long, bytes: Long, batches: Int)
+  final case class StateAudit(what: String, rows: Long, bytes: Long,
+      batches: Int)
+  // a single slot, deliberately: the audit runs after a monitor's query
+  // FINISHES (never concurrently within a session), and `what` stamps
+  // which monitor the numbers belong to so a reader can detect a stale
+  // or misattributed record instead of silently trusting it
   @volatile private[streaming] var lastStateAudit: Option[StateAudit] = None
 
   private[streaming] def auditStateSize(
@@ -141,7 +146,7 @@ object EventStreams {
       // max over batches INDEPENDENTLY of the row max: RocksDB's byte
       // high-water can land on a different commit than the row peak
       val bytes = per.map(_._2).max
-      lastStateAudit = Some(StateAudit(rows, bytes, per.size))
+      lastStateAudit = Some(StateAudit(what, rows, bytes, per.size))
       System.err.println(f"[graft] state audit $what: max $rows state " +
         f"rows, ~$bytes state bytes over ${per.size} committed batches" +
         (if (maxStateRows != Long.MaxValue) s" (cap $maxStateRows rows)"

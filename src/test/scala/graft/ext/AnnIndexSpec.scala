@@ -1,0 +1,97 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class AnnIndexSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // 4-dim corpus, m=2 subspaces; deterministic spread so coarse cells
+  // and PQ codes are exercised without ties
+  private def corpus(n: Int, idOffset: Long = 0L) =
+    (0 until n).map { i =>
+      (idOffset + i.toLong,
+        Seq(1.0 + i % 5, 2.0 + (i * 3) % 7, 3.0 + (i * 5) % 11, 1.0 + i % 3))
+    }.toDF("vec_id", "embedding")
+
+  private def models(df: org.apache.spark.sql.DataFrame) = (
+    Ivf.portableSeedModel(df, "vec_id", "embedding", k = 4),
+    Pq.portableSeedCodebooks(df, "vec_id", "embedding", m = 2, c = 4))
+
+  test("probe over a built index equals ivfAdcTopK over the source corpus") {
+    val c = corpus(40)
+    val q = corpus(6, idOffset = 1000L)
+    val (coarse, pq) = models(c)
+    val viaIndex = AnnIndex.probe(AnnIndex.build(c, "vec_id", "embedding",
+        coarse, pq), q, "embedding", "vec_id", k = 3, nProbe = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val direct = Pq.ivfAdcTopK(coarse, pq, c, q, "vec_id", "embedding",
+        "vec_id", k = 3, nProbe = 2, excludeSelf = false)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(viaIndex == direct)
+    assert(viaIndex.nonEmpty)
+  }
+
+  test("save/load round trip: bit-identical models and codes, probe unchanged") {
+    val dir = Files.createTempDirectory("graft_ann_index_spec").toString
+    val c = corpus(40)
+    val q = corpus(5, idOffset = 1000L)
+    val (coarse, pq) = models(c)
+    val params = AnnIndex.Params(nCells = 4, m = 2, c = 4)
+    val built = AnnIndex.build(c, "vec_id", "embedding", coarse, pq)
+    AnnIndex.save(spark, built, dir, params)
+    val loaded = AnnIndex.load(spark, dir, params).getOrElse(fail("no state"))
+    assert(loaded.coarse.centroids.map(_.toSeq).toSeq ==
+      coarse.centroids.map(_.toSeq).toSeq)
+    assert(loaded.pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    def run(st: AnnIndex.State) =
+      AnnIndex.probe(st, q, "embedding", "vec_id", k = 3, nProbe = 2)
+        .as[(Long, Long, Double, Int)].collect().toSet
+    assert(run(loaded) == run(built))
+  }
+
+  test("mismatched params fail loudly; missing/torn state reads as absent") {
+    val dir = Files.createTempDirectory("graft_ann_index_mm").toString
+    val c = corpus(40)
+    val (coarse, pq) = models(c)
+    val params = AnnIndex.Params(nCells = 4, m = 2, c = 4)
+    assert(AnnIndex.load(spark, dir, params).isEmpty) // nothing there yet
+    AnnIndex.save(spark, AnnIndex.build(c, "vec_id", "embedding", coarse, pq),
+      dir, params)
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.load(spark, dir, AnnIndex.Params(nCells = 4, m = 2, c = 8))
+    }
+    assert(ex.getMessage.contains("mis-rank"), ex.getMessage)
+    // save refuses a manifest that does not describe the state
+    val ex2 = intercept[IllegalArgumentException] {
+      AnnIndex.save(spark, AnnIndex.build(c, "vec_id", "embedding", coarse,
+        pq), dir, AnnIndex.Params(nCells = 8, m = 2, c = 4))
+    }
+    assert(ex2.getMessage.contains("state the truth"), ex2.getMessage)
+    // a torn save (manifest gone mid-write) is never served
+    new java.io.File(dir, "_GRAFT_STATE").delete()
+    assert(AnnIndex.load(spark, dir, params).isEmpty)
+  }
+
+  test("append under frozen models: probe equals rebuild over the union") {
+    val base = corpus(32)
+    val extra = corpus(8, idOffset = 500L)
+    val q = corpus(5, idOffset = 1000L)
+    val (coarse, pq) = models(base) // models frozen on the BASE
+    val appended = AnnIndex.append(
+      AnnIndex.build(base, "vec_id", "embedding", coarse, pq),
+      extra, "vec_id", "embedding")
+    val rebuilt = AnnIndex.build(base.unionByName(extra), "vec_id",
+      "embedding", coarse, pq)
+    def run(st: AnnIndex.State) =
+      AnnIndex.probe(st, q, "embedding", "vec_id", k = 3, nProbe = 2)
+        .as[(Long, Long, Double, Int)].collect().toSet
+    assert(run(appended) == run(rebuilt))
+    assert(appended.codes.count() == 40L)
+  }
+}

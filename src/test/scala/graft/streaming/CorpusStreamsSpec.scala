@@ -260,6 +260,9 @@ class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
         shufflePartitions = Some(2), rocksdbState = rocksdb)
       val audit = EventStreams.lastStateAudit.getOrElse(
         fail(s"no audit recorded (rocksdb=$rocksdb)"))
+      // the record is stamped with its monitor — a stale record from
+      // another monitor can't be silently read as this one's
+      assert(audit.what == "hll-registers monitor", audit.what)
       // engine-reported rows == the drained frame's rows: the store's
       // own numRowsTotal, not a size estimated from the sink
       assert(audit.rows == regs.count(),
