@@ -222,7 +222,8 @@ object RecallBench {
       ("pq_rerank_scaled", truthCos, () => Pq.adcRerankTopK(pqModel,
         corpus, queries, "vec_id", "embedding", "vec_id", k = K,
         corpusCount = Some(nCorpus))),
-      // q264 shape — ranks by the integer dot of SQ8 codes
+      // q264 shape — ranks by the exact 255x-scaled dequantized dot
+      // (approximating the raw inner product; scored vs the dot truth)
       ("sq8", truthDot, () => Sq8.topK(corpus, queries,
         "vec_id", "embedding", "vec_id", dim, k = K)))
 
@@ -242,9 +243,18 @@ object RecallBench {
     val (tIvf, ivfPick) = time(Ivf.autoTuneNProbe(ivfTrained, corpus,
       queries, "vec_id", "embedding", "vec_id", k = K, recallTarget = 0.9))
     println(f"""{"face":"autotune_ivf_nprobe","scale":"$tag","dial":${ivfPick._1},"recall_cos":${ivfPick._2}%.3f,"sec":$tIvf%.3f}""")
+    // the sweeps' dominant cost is their internal brute-force truth
+    // pass — inject the exact cosine truth ALREADY computed above (same
+    // corpus/queries/k/excludeSelf), so tuning two plane families costs
+    // zero extra exact passes (review finding, round 17)
+    val lshTruth = {
+      import spark.implicits._
+      truthCos.toSeq.toDF("query_id", "neighbor_id")
+    }
     val (tLsh, lshPick) = time(Similarity.autoTuneLshTables(corpus,
       queries, "vec_id", "embedding", "vec_id", dim, k = K, bits = 8,
-      recallTarget = 0.7, dials = Seq(2, 4, 8, 16)))
+      recallTarget = 0.7, dials = Seq(2, 4, 8, 16),
+      exactTruth = Some(lshTruth)))
     println(f"""{"face":"autotune_lsh_tables","scale":"$tag","dial":${lshPick._1},"recall_cos":${lshPick._2}%.3f,"sec":$tLsh%.3f}""")
     // the SEEDED family tuned separately (round-17 review finding: a
     // dial measured on the portable Rademacher planes does not transfer
@@ -252,7 +262,8 @@ object RecallBench {
     // tables=16 default must be read against)
     val (tLshS, lshPickS) = time(Similarity.autoTuneLshTables(corpus,
       queries, "vec_id", "embedding", "vec_id", dim, k = K, bits = 8,
-      recallTarget = 0.7, dials = Seq(2, 4, 8, 16), portable = false))
+      recallTarget = 0.7, dials = Seq(2, 4, 8, 16), portable = false,
+      exactTruth = Some(lshTruth)))
     println(f"""{"face":"autotune_lsh_tables_seeded","scale":"$tag","dial":${lshPickS._1},"recall_cos":${lshPickS._2}%.3f,"sec":$tLshS%.3f}""")
   }
 

@@ -2087,8 +2087,14 @@ $fin"""
           "embedding", m = 8, c = 16)
         graft.ext.AnnIndex.save(s,
           graft.ext.AnnIndex.build(standing, "vec_id", "embedding",
-            coarse, pqm), stateDir, params)
-        graft.ext.AnnIndex.load(s, stateDir, params).get
+            coarse, pqm), stateDir)
+        graft.ext.AnnIndex.load(s, stateDir, params).getOrElse(
+          // a bare .get would die as "None.get" AFTER paying the full
+          // encode+persist — name the dir and the likely cause instead
+          throw new IllegalStateException(
+            s"ann index at $stateDir did not read back complete right " +
+              "after save — check that parquet writes produce _SUCCESS " +
+              "markers (mapreduce.fileoutputcommitter.marksuccessfuljobs)"))
       }
       graft.ext.AnnIndex.probe(state, incoming, "embedding", "vec_id",
           k = 5, nProbe = 2)

@@ -96,21 +96,39 @@ object AnnIndex {
     * — `java.lang.Double.toString` round-trips bit-identically), all
     * inside the [[Dedup.StateManifest]] crash-safe window (manifest
     * deleted first, recreated only after every part lands — a torn save
-    * is never served). The codes frame is localCheckpoint'ed first so
-    * saving into the directory the state was LOADED from is safe.
+    * is never served). The manifest params DERIVE from the state, so
+    * the manifest cannot state anything but the truth (a review pass
+    * removed the caller-supplied params this require'd against). The
+    * codes frame is localCheckpoint'ed first so saving into the
+    * directory the state was LOADED from is safe.
+    *
+    * `dir` is LOCAL-FILESYSTEM scratch, like the four dedup state dirs:
+    * the shared manifest codec is `java.io.File`-based, so although the
+    * model writers go through the Hadoop FileSystem API, a remote
+    * `hdfs://`/`s3://` dir would persist models the loader's local
+    * existence checks can never see (state silently rebuilt every run).
+    * Fail loudly instead of that.
     */
-  def save(spark: SparkSession, state: State, dir: String,
-      params: Params): Unit = {
-    require(params == state.params,
-      s"AnnIndex.save: params $params do not describe the state " +
-        s"(${state.params}) — the manifest must state the truth")
+  def save(spark: SparkSession, state: State, dir: String): Unit = {
+    requireLocalDir(dir)
     val codes = state.codes.localCheckpoint(true)
-    Dedup.StateManifest.save(dir, params.encoded) {
+    Dedup.StateManifest.save(dir, state.params.encoded) {
       codes.write.mode("overwrite").parquet(s"$dir/codes")
       Ivf.saveModel(spark, state.coarse, s"$dir/centroids.txt")
       Pq.saveCodebooks(spark, state.pq, s"$dir/codebooks.txt")
     }
   }
+
+  /** The manifest codec only sees the local filesystem (see [[save]]):
+    * a URI-schemed dir would split the state across two filesystems and
+    * read as forever-absent — the silent re-encode-every-run failure
+    * this guard turns into an error.
+    */
+  private def requireLocalDir(dir: String): Unit =
+    require(!dir.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*"),
+      s"AnnIndex state dir must be a local path (got $dir): the state " +
+        "manifest codec is local-filesystem based — stage the index " +
+        "locally, or sync the directory to remote storage as files")
 
   /** Load a state previously written by [[save]]: None when no complete
     * state exists (manifest + codes `_SUCCESS` + both model files);
@@ -120,6 +138,7 @@ object AnnIndex {
     */
   def load(spark: SparkSession, dir: String, expect: Params)
       : Option[State] = {
+    requireLocalDir(dir)
     val modelFiles = Seq("centroids.txt", "codebooks.txt")
       .forall(f => new java.io.File(dir, f).exists())
     if (!Dedup.StateManifest.complete(dir, Seq("codes")) || !modelFiles) None

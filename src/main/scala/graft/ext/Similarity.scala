@@ -264,10 +264,16 @@ object Similarity {
       idCol: String, vecCol: String, queryIdCol: String, dim: Int,
       k: Int = 10, bits: Int = 8, recallTarget: Double = 0.9,
       dials: Seq[Int] = Seq(2, 4, 8, 16),
-      excludeSelf: Boolean = true, portable: Boolean = true): DataFrame = {
-    val truth = bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol,
-        k, excludeSelf)
-      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      excludeSelf: Boolean = true, portable: Boolean = true,
+      exactTruth: Option[DataFrame] = None): DataFrame = {
+    // `exactTruth` injects a precomputed `(query_id, neighbor_id)` exact
+    // top-k frame — the sweep's dominant cost is this brute-force pass,
+    // so a caller tuning BOTH plane families over the same corpus
+    // (RecallBench) should pay it once, not per family
+    val truth = exactTruth.getOrElse(
+      bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol,
+          k, excludeSelf)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint())
     recallSweep(truth, dials,
       t =>
         if (portable)
@@ -293,10 +299,11 @@ object Similarity {
       idCol: String, vecCol: String, queryIdCol: String, dim: Int,
       k: Int = 10, bits: Int = 8, recallTarget: Double = 0.9,
       dials: Seq[Int] = Seq(2, 4, 8, 16),
-      excludeSelf: Boolean = true, portable: Boolean = true): (Int, Double) =
+      excludeSelf: Boolean = true, portable: Boolean = true,
+      exactTruth: Option[DataFrame] = None): (Int, Double) =
     pickChosen(
       lshTablesSweep(corpus, queries, idCol, vecCol, queryIdCol, dim, k,
-        bits, recallTarget, dials, excludeSelf, portable),
+        bits, recallTarget, dials, excludeSelf, portable, exactTruth),
       "n_tables", recallTarget, "autoTuneLshTables")
 
   /** Shared chosen-row extraction for the autoTune faces: the smallest

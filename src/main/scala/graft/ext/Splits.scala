@@ -135,16 +135,22 @@ object Splits {
     require(n > 0, "n must be positive")
     // a null key hashes to a null priority (Spark sorts nulls FIRST
     // ascending — the row would silently occupy a sample slot in every
-    // draw) and a null/zero/negative cost breaks the inclusion-chance
-    // ∝ 1/cost contract the same silent way; raise in-plan like the
-    // IncrementalAgg delta guard
-    val cost = col(costCol).cast("decimal(18,0)")
-    val guarded = when(col(keyCol).isNull.or(cost.isNull).or(cost <= 0),
+    // draw) and a null/non-positive/fractional cost breaks the
+    // inclusion-chance ∝ 1/cost contract the same silent way (the
+    // priority formula rounds the cost to decimal(18,0), so 0.4 would
+    // silently become 0 and 1.9 would become 2); raise in-plan like
+    // the IncrementalAgg delta guard, testing the ORIGINAL value —
+    // guarding the rounded one would mislabel 0.4 as "non-positive"
+    val raw = col(costCol)
+    val cost = raw.cast("decimal(18,0)")
+    val guarded = when(
+      col(keyCol).isNull.or(raw.isNull).or(cost.isNull).or(raw <= 0)
+        .or(raw.cast("decimal(28,10)") =!= cost.cast("decimal(28,10)")),
       raise_error(concat(
-        lit(s"sampleExactWeighted: NULL $keyCol or non-positive " +
-          s"$costCol — priority sampling needs a hashable key and a " +
-          s"strictly positive cost; got $costCol="),
-        coalesce(cost.cast("string"), lit("NULL")))))
+        lit(s"sampleExactWeighted: NULL $keyCol, or $costCol not a " +
+          s"strictly positive integer — priority sampling needs a " +
+          s"hashable key and an exact integer cost; got $costCol="),
+        coalesce(raw.cast("string"), lit("NULL")))))
       .otherwise(
         conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
           .cast("decimal(20,0)") * cost)

@@ -144,7 +144,8 @@ object Sq8 {
   }
 
   /** SQ8 ANN top-k: quantize corpus AND probes against the CORPUS ranges,
-    * score candidates by the integer dot product of their code arrays,
+    * score candidates by the EXACT 255x-scaled dequantized dot (see the
+    * Scoring paragraph — the raw code dot measurably mis-ranks),
     * rank `(score desc, neighbor asc)` on the GroupTopK heap. The probe
     * side is broadcast (the `bruteForceTopK` contract: corpus huge, probe
     * set bounded); the corpus streams once with no shuffle before the

@@ -43,7 +43,7 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     val (coarse, pq) = models(c)
     val params = AnnIndex.Params(nCells = 4, m = 2, c = 4)
     val built = AnnIndex.build(c, "vec_id", "embedding", coarse, pq)
-    AnnIndex.save(spark, built, dir, params)
+    AnnIndex.save(spark, built, dir)
     val loaded = AnnIndex.load(spark, dir, params).getOrElse(fail("no state"))
     assert(loaded.coarse.centroids.map(_.toSeq).toSeq ==
       coarse.centroids.map(_.toSeq).toSeq)
@@ -62,17 +62,20 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     val params = AnnIndex.Params(nCells = 4, m = 2, c = 4)
     assert(AnnIndex.load(spark, dir, params).isEmpty) // nothing there yet
     AnnIndex.save(spark, AnnIndex.build(c, "vec_id", "embedding", coarse, pq),
-      dir, params)
+      dir)
     val ex = intercept[IllegalArgumentException] {
       AnnIndex.load(spark, dir, AnnIndex.Params(nCells = 4, m = 2, c = 8))
     }
     assert(ex.getMessage.contains("mis-rank"), ex.getMessage)
-    // save refuses a manifest that does not describe the state
+    // a remote-schemed state dir fails loudly instead of silently
+    // splitting the state across filesystems (load would then read
+    // forever-absent and re-encode every run)
     val ex2 = intercept[IllegalArgumentException] {
       AnnIndex.save(spark, AnnIndex.build(c, "vec_id", "embedding", coarse,
-        pq), dir, AnnIndex.Params(nCells = 8, m = 2, c = 4))
+        pq), "hdfs://nn/graft_ann")
     }
-    assert(ex2.getMessage.contains("state the truth"), ex2.getMessage)
+    assert(ex2.getMessage.contains("local path"), ex2.getMessage)
+    assert(AnnIndex.load(spark, dir, params).isDefined) // state intact
     // a torn save (manifest gone mid-write) is never served
     new java.io.File(dir, "_GRAFT_STATE").delete()
     assert(AnnIndex.load(spark, dir, params).isEmpty)
