@@ -84,6 +84,15 @@ object AnnIndex {
     * the persisted codes — the query side (dist tables + probed cells)
     * broadcasts, the codes side streams, and only rows in probed cells
     * are scored. `(query_id, neighbor_id, adc_dist, rank)`.
+    *
+    * Cost shape: ~`|queries| * |corpus| * nProbe / nCells` ADC
+    * scorings. Size `nCells` to the corpus when BUILDING the index —
+    * the standard dial is `nCells ≈ sqrt(|corpus|)` (FAISS IVF
+    * guidance), which holds per-probe cost at `O(sqrt(N) * nProbe)`;
+    * a cell count frozen while the corpus grows 100x degrades toward a
+    * scan (measured: the q299 gate fixture deliberately freezes
+    * nCells=8 for oracle replay, and its ScaleBench curve grows with
+    * corpus x probe-slice — fixture geometry, not the plan).
     */
   def probe(state: State, queries: DataFrame, vecCol: String,
       queryIdCol: String, k: Int = 10, nProbe: Int = 4,
