@@ -47,6 +47,21 @@ object SparkEntry {
       if (parts > 0) parts
       else s.conf.get("spark.sql.shuffle.partitions", "32").toInt, col(key))
 
+  /** Deterministic multi-segment corpus for the corpus-level segment-dedup
+    * queries (q301/q302): the fixture documents are single-segment and
+    * fully distinct, so cross-document duplicate structure is synthesized
+    * from doc fields — a per-source footer segment (shared by all docs of
+    * that source) and a global newsletter segment on every 5th doc. The
+    * oracle SQL rebuilds the identical text with string concatenation, so
+    * both engines dedup the same corpus.
+    */
+  private def synthSegmentedDocs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").where(col("text").isNotNull)
+      .withColumn("text",
+        concat(col("text"), lit(". shared footer for "), col("source"),
+          when(col("doc_id") % 5 === 0,
+            lit(". subscribe to our newsletter today")).otherwise(lit(""))))
+
   /** 26 BMP Han ideographs standing in for a-z in the derived CJK
     * fixture — interpolated into BOTH the q281/q282 queries and their
     * oracle SQL so the mapping can never drift (the stopwordList
@@ -767,6 +782,42 @@ $fin"""
            CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
                 ELSE round(CAST(s AS DOUBLE) / n_pos, 6) END AS ap
          FROM agg ORDER BY source"""
+
+  /** Shared by q301 (batch corpus-level segment dedup) and q303 (the same
+    * screen with the corpus ARRIVING as id-ordered slices — streamed
+    * keep-first equals one-shot keep-first by the
+    * paragraphDedupStreaming batch-boundary argument): the synth text is
+    * rebuilt with the same concatenation as synthSegmentedDocs; seg_ord
+    * indexes the RAW split (empty segments filtered after ordinal
+    * assignment, matching posexplode-then-filter); winner = row_number 1
+    * over the md5-of-normalized-segment partition ordered by
+    * (doc_id, seg_ord), exactly Dedup.paragraphDedup's min(struct)
+    * convention.
+    */
+  private val paragraphDedupOracle: String =
+    raw"""WITH b AS (SELECT doc_id,
+             text || '. shared footer for ' || source ||
+             (CASE WHEN doc_id % 5 = 0
+                   THEN '. subscribe to our newsletter today' ELSE '' END)
+               AS text
+           FROM documents WHERE text IS NOT NULL),
+         sp AS (SELECT doc_id, regexp_split_to_array(text, '\. ') AS sg FROM b),
+         e AS (SELECT doc_id, i - 1 AS seg_ord, sg[i] AS seg
+           FROM (SELECT doc_id, sg,
+               unnest(generate_series(1, len(sg))) AS i FROM sp)
+           WHERE sg[i] <> ''),
+         w AS (SELECT doc_id, seg_ord, seg,
+             row_number() OVER (PARTITION BY md5(lower(trim(seg)))
+               ORDER BY doc_id, seg_ord) AS rn
+           FROM e),
+         a AS (SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             coalesce(array_to_string(
+               list(seg ORDER BY seg_ord) FILTER (WHERE rn = 1), '. '), '')
+               AS clean_text
+           FROM w GROUP BY doc_id)
+         SELECT doc_id, clean_text, n_total, n_kept FROM a ORDER BY doc_id"""
 
   /** Shared by q128 (batch classifier gate) and q252 (the same scorer
     * streamed): the deterministic weight-table scorer replayed in SQL.
@@ -2125,6 +2176,52 @@ $fin"""
       graft.ext.AnnIndex.probe(idx, incoming, "embedding", "vec_id",
           k = 5, nProbe = 2)
         .orderBy("query_id", "rank")
+    }),
+
+    "q301_paragraph_dedup" -> ((s, d) => {
+      // corpus-level paragraph dedup (CCNet crawl convention, round 17):
+      // the fixture corpus is single-segment and fully distinct, so the
+      // cross-document structure is synthesized deterministically — every
+      // doc gains a per-source footer (duplicated across its ~50
+      // same-source docs) and every 5th doc a global newsletter line
+      // (~100 copies). Keep-first must retain exactly one copy of each
+      // footer (at that source's min doc_id) and one newsletter line (doc
+      // 0), while every unique body survives untouched.
+      Dedup.paragraphDedup(synthSegmentedDocs(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "q302_boilerplate_filter" -> ((s, d) => {
+      // the q301 screen in remove-frequent-lines mode: a segment whose
+      // corpus frequency exceeds 3 drops EVERYWHERE (even its first
+      // occurrence) — the boilerplate filter that strips site footers and
+      // cookie banners a keep-first dedup would still leak once per
+      // cluster. On the q301 fixture both planted lines exceed the
+      // threshold, so every doc must come back as exactly its unique body.
+      Dedup.paragraphDedup(synthSegmentedDocs(s, d), "doc_id", "text",
+          dropAboveCount = Some(3L))
+        .orderBy("doc_id")
+    }),
+
+    "q303_stream_paragraph_dedup" -> ((s, d) => {
+      // q301 with the corpus ARRIVING as id-ordered slices: each
+      // micro-batch screens against the accumulated seen-hash state plus
+      // its own intra-batch keep-first, so the streamed sink equals the
+      // one-shot screen and q301's oracle gates this path verbatim. The
+      // slice cuts land mid-source (sources interleave by doc_id % n, so
+      // every batch holds segments whose first occurrence was an earlier
+      // batch) — the cross-batch state path is genuinely exercised.
+      import graft.streaming.CorpusStreams
+      val synth = synthSegmentedDocs(s, d)
+      val staged = graft.io.TextTables.scratchDir("seg_dedup_in", d)
+      synth.coalesce(1).write.mode("overwrite").parquet(staged)
+      val maxId = synth.agg(max(col("doc_id"))).head.getLong(0)
+      val slices = CorpusStreams.stageIdSlices(s, staged, "doc_id",
+        Seq(maxId / 4 + 1, maxId / 2 + 1, 3 * maxId / 4 + 1))
+      val name = s"graft_stream_segdedup_${streamCounter.incrementAndGet()}"
+      CorpusStreams.paragraphDedupStreaming(s, slices, "doc_id", "text", name,
+          shufflePartitions = Some(4))
+        .orderBy("doc_id")
     }),
 
     "q137_semdedup_incr" -> ((s, d) => {
@@ -10475,6 +10572,41 @@ $fin"""
            FROM adc)
          SELECT query_id, neighbor_id, adc_dist, rank FROM r WHERE rank <= 5
          ORDER BY query_id, rank""",
+
+    // corpus-level keep-first paragraph dedup (shared with the q303
+    // streamed twin — see paragraphDedupOracle's scaladoc)
+    "q301_paragraph_dedup" -> paragraphDedupOracle,
+    "q303_stream_paragraph_dedup" -> paragraphDedupOracle,
+
+    // q301 in remove-frequent-lines mode: keep requires BOTH first
+    // occurrence AND corpus frequency <= 3, so the planted footer (~50
+    // copies) and newsletter (~100) vanish entirely
+    "q302_boilerplate_filter" ->
+      raw"""WITH b AS (SELECT doc_id,
+             text || '. shared footer for ' || source ||
+             (CASE WHEN doc_id % 5 = 0
+                   THEN '. subscribe to our newsletter today' ELSE '' END)
+               AS text
+           FROM documents WHERE text IS NOT NULL),
+         sp AS (SELECT doc_id, regexp_split_to_array(text, '\. ') AS sg FROM b),
+         e AS (SELECT doc_id, i - 1 AS seg_ord, sg[i] AS seg
+           FROM (SELECT doc_id, sg,
+               unnest(generate_series(1, len(sg))) AS i FROM sp)
+           WHERE sg[i] <> ''),
+         w AS (SELECT doc_id, seg_ord, seg,
+             (row_number() OVER (PARTITION BY md5(lower(trim(seg)))
+                ORDER BY doc_id, seg_ord) = 1
+              AND count(*) OVER (PARTITION BY md5(lower(trim(seg)))) <= 3)
+               AS keep
+           FROM e),
+         a AS (SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             coalesce(array_to_string(
+               list(seg ORDER BY seg_ord) FILTER (WHERE keep), '. '), '')
+               AS clean_text
+           FROM w GROUP BY doc_id)
+         SELECT doc_id, clean_text, n_total, n_kept FROM a ORDER BY doc_id""",
 
     // q299's CTEs with models seeded from the BASE 80% only: appended
     // rows (the standing fifth) encode under the SAME base formulas —

@@ -32,6 +32,112 @@ object Dedup {
     df.groupBy(cols.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
+  /** Corpus-level paragraph dedup — the CCNet crawl convention: documents
+    * split into delimiter-bounded segments (paragraphs/sentences on
+    * `sepPattern`), each segment deduplicated ACROSS the whole corpus by a
+    * hash of its normalized form (`md5(lower(trim(seg)))`), surviving
+    * segments reassembled per document in original order. Keep policy is
+    * first-occurrence: the copy at the globally smallest
+    * `(idCol, seg_ord)` survives, every later copy drops. With
+    * `dropAboveCount = Some(t)` even the first occurrence drops when the
+    * segment's corpus frequency exceeds `t` — the "remove frequent lines"
+    * boilerplate filter (site footers, cookie banners, nav chrome).
+    *
+    * Placement in the family: [[segmentDedup]] (q85) is the
+    * drop-EVERY-occurrence screen over fixed-width word chunks (C4's
+    * repeated-window rule for unpunctuated text); this one keys on the
+    * document's own delimiter structure and KEEPS one canonical copy —
+    * CCNet's paragraph rule, where shared boilerplate should survive
+    * exactly once in the corpus rather than vanish. The row-local
+    * [[graft.functions.text.dedupSegments]] (intra-doc, q131) and
+    * [[graft.functions.text.filterShortSegments]] (per-line rule, q133)
+    * are codegen'd projections; this one genuinely needs the corpus.
+    *
+    * Output: one row per input document with non-null text —
+    * `(idCol, clean_text, n_total, n_kept)`. Documents whose every
+    * segment dropped stay in the output with `clean_text = ""` and
+    * `n_kept = 0` so the accounting is complete; filter `n_kept > 0`
+    * downstream for the CCNet drop-empty-docs behavior.
+    *
+    * Scale shape (100 TB): the corpus streams through the explode twice —
+    * once into the per-hash `min`/`count` aggregation, once into the
+    * winner join — the [[segmentDedup]] trade: the single-scan window
+    * formulation (`row_number` over the hash partition) sorts each hash
+    * group in ONE task, so a footer occurring 10^9 times melts a single
+    * reducer, while the aggregate is map-side combinable and collapses
+    * that key in the map phase. Three equi-key shuffles total (agg on
+    * seg_h, join on seg_h, reassembly on idCol), never all-pairs; the
+    * winner join's skewed keys AQE splits (the winner side is one row per
+    * hash). Keys shuffled are 32-char md5 hex, not arbitrary-length
+    * paragraphs.
+    *
+    * `priorSeenHashes` (a frame with a `seg_h` column, see
+    * [[paragraphHashes]]) makes the screen incremental: hashes already seen
+    * in earlier increments drop at every occurrence, so applying
+    * id-ordered increments in order reproduces the one-shot keep-first
+    * result exactly — the streaming face
+    * [[graft.streaming.CorpusStreams.paragraphDedupStreaming]] builds on
+    * this.
+    */
+  def paragraphDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      sepPattern: String = "\\. ", joinSep: String = ". ",
+      dropAboveCount: Option[Long] = None,
+      priorSeenHashes: Option[DataFrame] = None): DataFrame = {
+    // posexplode BEFORE the empty-segment filter: seg_ord is the position
+    // in the raw split so the keep-first order is stable under any
+    // empty-producing separator runs.
+    val segs = paragraphHashes(df, idCol, textCol, sepPattern)
+    val winners = segs.groupBy(col("seg_h")).agg(
+      min(struct(col(idCol), col("seg_ord"))).as("first_occ"),
+      count(lit(1)).as("occ"))
+    val freqGuard =
+      dropAboveCount.map(t => col("occ") <= t).getOrElse(lit(true))
+    // incremental ingest (the streaming face): a hash already present in
+    // the prior-seen set drops at EVERY occurrence — keep-first then
+    // means first in the whole arrival order when increments are applied
+    // in order. Left join + null marker (not an anti-join) so n_total
+    // still counts the dropped segments.
+    val withPrior = priorSeenHashes match {
+      case Some(prior) => segs.join(
+          prior.select(col("seg_h")).distinct().withColumn("prior", lit(true)),
+          Seq("seg_h"), "left")
+      case None => segs.withColumn("prior", lit(null).cast("boolean"))
+    }
+    val flagged = withPrior.join(winners, Seq("seg_h"))
+      .withColumn("keep",
+        (struct(col(idCol), col("seg_ord")) === col("first_occ")) &&
+          freqGuard && col("prior").isNull)
+    flagged.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_total"),
+      sum(col("keep").cast("long")).as("n_kept"),
+      // collect_list skips the nulls the un-kept rows produce; array_sort
+      // on the (seg_ord, seg) struct restores document order.
+      array_join(
+        transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("seg_ord"), col("seg"))))),
+          x => x.getField("seg")),
+        joinSep).as("clean_text"))
+      .select(col(idCol), col("clean_text"), col("n_total"), col("n_kept"))
+  }
+
+  /** The exploded, normalized-and-hashed segment frame [[paragraphDedup]]
+    * dedups over: `(idCol, seg_ord, seg, seg_h)` with `seg_h =
+    * md5(lower(trim(seg)))`, ordinals from the RAW split (empty segments
+    * filtered after ordinal assignment). Exposed so the incremental
+    * ingest path can accumulate the seen-hash set with the exact hash
+    * convention the dedup applies.
+    */
+  def paragraphHashes(
+      df: DataFrame, idCol: String, textCol: String,
+      sepPattern: String = "\\. "): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol), sepPattern)).as(Seq("seg_ord", "seg")))
+      .where(col("seg") =!= "")
+      .withColumn("seg_h", md5(lower(trim(col("seg")))))
+
   /** All shingle/gram sets are sorted distinct long arrays produced by the
     * native expressions in [[graft.expressions.GramHashExpressions]] — the
     * interpreted higher-order-function formulation (`transform` + `substr` +
@@ -936,6 +1042,38 @@ object Dedup {
         "windows would never equi-join")
       Some(SubstringIndex(spark.read.parquet(s"$dir/windows"),
         windowTokens, route))
+    }
+  }
+
+  /** Persist a paragraph-dedup seen-hash state (the `priorSeenHashes` frame
+    * [[paragraphDedup]] screens against): the distinct `seg_h` values as
+    * parquet, the split pattern as the loud-equality manifest — the FIFTH
+    * member of the persisted-screen family (minhash / containment /
+    * resemblance / substring / segment), on the same crash-safe codec.
+    * A state built under a different `sepPattern` would hash different
+    * segment boundaries and silently pass every duplicate; the manifest
+    * turns that into an immediate error.
+    */
+  def saveParagraphState(
+      seenHashes: DataFrame, dir: String, sepPattern: String = "\\. "): Unit = {
+    val hashes = seenHashes.select(col("seg_h")).distinct().localCheckpoint(true)
+    StateManifest.save(dir, s"sepPattern=$sepPattern") {
+      hashes.write.mode("overwrite").parquet(s"$dir/hashes")
+    }
+  }
+
+  /** Load a seen-hash state written by [[saveParagraphState]]; None when no
+    * complete state exists, loud failure on a split-pattern mismatch.
+    */
+  def loadParagraphState(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      sepPattern: String = "\\. "): Option[DataFrame] = {
+    if (!StateManifest.complete(dir, Seq("hashes"))) None
+    else {
+      StateManifest.check(dir, "paragraph-dedup state",
+        s"sepPattern=$sepPattern",
+        "differently-bounded segments would all read as fresh")
+      Some(spark.read.parquet(s"$dir/hashes"))
     }
   }
 

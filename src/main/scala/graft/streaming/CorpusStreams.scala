@@ -179,6 +179,91 @@ object CorpusStreams {
     spark.read.parquet(sink)
   }
 
+  /** Streaming face of [[graft.ext.Dedup.paragraphDedup]] (keep-first mode):
+    * each arriving micro-batch screens its segments against the seen-hash
+    * set accumulated from earlier batches PLUS its own intra-batch
+    * keep-first, appends per-doc results `(idCol, clean_text, n_total,
+    * n_kept)` to a parquet sink executor-side, and folds the batch's
+    * distinct segment hashes into the state. With id-ordered staged
+    * slices the global first occurrence of a segment is in the earliest
+    * batch that contains it, and within that batch intra-batch keep-first
+    * picks the same `(id, seg_ord)` minimum as the one-shot screen — so
+    * the streamed sink equals the batch [[graft.ext.Dedup.paragraphDedup]]
+    * verbatim and the batch oracle gates this path (the
+    * corpusDedupStreaming batch-boundary-invariance argument, here exact
+    * rather than canonical because segment identity is an exact hash).
+    *
+    * The remove-frequent-lines mode (`dropAboveCount`) is deliberately
+    * NOT offered here: corpus frequency is a global count a prefix of the
+    * stream cannot know, so a streamed variant would silently keep early
+    * copies of a line that later turns out to be boilerplate. Run that
+    * mode as a batch pass over the accumulated corpus.
+    *
+    * State is the distinct-`seg_h` frame — bounded by distinct segments
+    * seen, not documents; localCheckpoint'ed leaves keep lineage flat and
+    * a `distinct()` collapse every `checkpointEvery` batches keeps the
+    * union tree shallow. With `stateDir` the seen-hash set loads before
+    * the run and persists after it under the shared loud-manifest codec
+    * ([[graft.ext.Dedup.saveParagraphState]]) — two separate invocations
+    * over consecutive increments equal the one-shot screen, the
+    * restartable-ingest contract the other persisted screens carry. Same
+    * sink-retention contract as [[containmentProbeStreaming]]: pass
+    * `sinkDir` for a durable ledger.
+    */
+  def paragraphDedupStreaming(
+      spark: SparkSession, stagedDir: String, idCol: String, textCol: String,
+      queryName: String,
+      sepPattern: String = "\\. ", joinSep: String = ". ",
+      checkpointEvery: Int = 8, sinkDir: Option[String] = None,
+      shufflePartitions: Option[Int] = None,
+      stateDir: Option[String] = None): DataFrame = {
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
+    val schema = spark.read.parquet(stagedDir).schema
+    val stateLock = new Object
+    var seen: Option[DataFrame] = stateLock.synchronized {
+      stateDir.flatMap(Dedup.loadParagraphState(spark, _, sepPattern))
+    }
+    var batchesSinceCollapse = 0
+    val sink = sinkDir.getOrElse {
+      val d = Files.createTempDirectory("graft_segment_dedup")
+      d.toFile.deleteOnExit()
+      d.toString
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+    EventStreams.withStatePartitions(spark, shufflePartitions) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          val b = batch.persist()
+          try stateLock.synchronized {
+            Dedup.paragraphDedup(b.toDF(), idCol, textCol, sepPattern,
+                joinSep, dropAboveCount = None, priorSeenHashes = seen)
+              .write.mode("append").parquet(sink)
+            // eager checkpoint: the batch frame is only valid inside this
+            // callback, and the state must outlive it
+            val newHashes = Dedup.paragraphHashes(b.toDF(), idCol, textCol,
+              sepPattern).select(col("seg_h")).distinct().localCheckpoint()
+            var merged = seen.fold(newHashes)(_.unionByName(newHashes))
+            batchesSinceCollapse += 1
+            if (batchesSinceCollapse >= checkpointEvery) {
+              merged = merged.distinct().localCheckpoint()
+              batchesSinceCollapse = 0
+            }
+            seen = Some(merged)
+          } finally b.unpersist()
+        }
+        .trigger(Trigger.AvailableNow())
+        .queryName(queryName)
+        .start()
+      q.awaitTermination()
+    }
+    stateLock.synchronized {
+      for (dir <- stateDir; st <- seen)
+        Dedup.saveParagraphState(st, dir, sepPattern)
+    }
+    spark.read.parquet(sink)
+  }
+
   /** Streaming face of [[graft.ext.Dedup.containmentProbe]]: probe each
     * arriving micro-batch against a FROZEN standing-corpus containment
     * state inside `foreachBatch` (a doc's probe result depends only on

@@ -761,4 +761,66 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     // cluster-equivalents: weights sum to the number of clusters
     assert(math.abs(w.map(_._4).sum - 3.0) < 1e-5)
   }
+
+  test("paragraphDedup: keep-first across documents, reassembly in order") {
+    val d = Seq(
+      (1L, "unique one. shared footer. another unique"),
+      (2L, "unique two. shared footer"),
+      (3L, "Shared Footer. unique three")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(d, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      // doc 1 owns the first occurrence of the footer
+      (1L, "unique one. shared footer. another unique", 3L, 3L),
+      (2L, "unique two", 2L, 1L),
+      // normalization: "Shared Footer" collides with "shared footer"
+      (3L, "unique three", 2L, 1L)))
+  }
+
+  test("paragraphDedup: all-dropped doc stays with empty text and n_kept 0") {
+    val d = Seq(
+      (1L, "only segment"),
+      (2L, "only segment"),
+      (3L, "only segment. only segment")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(d, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "only segment", 1L, 1L),
+      (2L, "", 1L, 0L),
+      (3L, "", 2L, 0L)))
+  }
+
+  test("paragraphDedup: dropAboveCount removes frequent lines everywhere") {
+    val d = Seq(
+      (1L, "body a. cookie banner"),
+      (2L, "body b. cookie banner"),
+      (3L, "body c. cookie banner"),
+      (4L, "body d. twice line"),
+      (5L, "body e. twice line")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(d, "doc_id", "text",
+        dropAboveCount = Some(2L))
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      // 3 copies > 2: the banner drops even at its first occurrence
+      (1L, "body a", 2L, 1L),
+      (2L, "body b", 2L, 1L),
+      (3L, "body c", 2L, 1L),
+      // exactly 2 copies <= 2: keep-first applies as usual
+      (4L, "body d. twice line", 2L, 2L),
+      (5L, "body e", 2L, 1L)))
+  }
+
+  test("paragraphDedup: empty segments from separator runs don't shift order") {
+    // "a. . b" splits to ("a", "", "b") — the empty segment is filtered
+    // but ordinals stay raw, so reassembly order and keep-first order
+    // both survive
+    val d = Seq(
+      (1L, "alpha. . beta"),
+      (2L, "beta. alpha")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(d, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "alpha. beta", 2L, 2L),
+      (2L, "", 2L, 0L)))
+  }
 }

@@ -47,6 +47,69 @@ class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
         "DROPPED doc B from the previous batch and must still be dropped")
   }
 
+  test("streamed paragraph dedup equals the one-shot keep-first screen " +
+      "across a boundary-straddling duplicate") {
+    // the shared footer's first occurrence is doc 1 (batch 1); docs 3 and
+    // 4 arrive in batch 2 and must drop it through the cross-batch state,
+    // while doc 3's unique body survives. Doc 4 is all-duplicates and
+    // must come back empty with the accounting intact.
+    val rows = Seq(
+      (1L, "unique one. shared footer"),
+      (2L, "unique two. shared footer"),
+      (3L, "unique three. shared footer"),
+      (4L, "shared footer. unique two"))
+    val batch = Dedup.paragraphDedup(rows.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(batch == Seq(
+      (1L, "unique one. shared footer", 2L, 2L),
+      (2L, "unique two", 2L, 1L),
+      (3L, "unique three", 2L, 1L),
+      (4L, "", 2L, 0L)),
+      s"precondition: one-shot keep-first shape, got $batch")
+    val staged = CorpusStreams.stageIdSlices(spark, writeDocs(rows),
+      "doc_id", cuts = Seq(3L))
+    val streamed = CorpusStreams.paragraphDedupStreaming(spark, staged,
+        "doc_id", "text", "graft_spec_segdedup")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(streamed == batch,
+      "streamed keep-first must equal the one-shot screen: batch 2's " +
+        "footer copies pair with state from batch 1")
+  }
+
+  test("paragraph dedup stateDir resume: two separate runs equal the " +
+      "one-shot screen, and a sepPattern mismatch is loud") {
+    val rows = Seq(
+      (1L, "unique one. shared footer"),
+      (2L, "unique two. shared footer"),
+      (3L, "shared footer. unique three"))
+    val oneShot = Dedup.paragraphDedup(rows.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_seg_state").toString
+    // run 1 ingests {1,2}; run 2 is a NEW invocation ingesting {3} that
+    // must see run 1's footer only through the persisted state
+    val run1 = CorpusStreams.paragraphDedupStreaming(spark,
+      CorpusStreams.stageIdSlices(spark, writeDocs(rows.take(2)),
+        "doc_id", Seq(2L)),
+      "doc_id", "text", "graft_spec_seg_r1", stateDir = Some(stateDir))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val run2 = CorpusStreams.paragraphDedupStreaming(spark,
+      CorpusStreams.stageIdSlices(spark, writeDocs(rows.drop(2)),
+        "doc_id", Seq.empty),
+      "doc_id", "text", "graft_spec_seg_r2", stateDir = Some(stateDir))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert((run1 ++ run2).sortBy(_._1) == oneShot,
+      "resumed ingest must equal the one-shot keep-first screen")
+    // loud mismatch: a different split pattern must fail, not silently
+    // treat every seen segment as fresh
+    val err = intercept[IllegalArgumentException] {
+      Dedup.loadParagraphState(spark, stateDir, sepPattern = "\n")
+    }
+    assert(err.getMessage.contains("paragraph-dedup state"))
+  }
+
   test("stateDir resume: two separate runs equal the one-shot dedup (restartable ingest)") {
     val rows = Seq((1L, docA), (2L, docB), (3L, docC),
       (4L, "an entirely unrelated document about storage engines and " +
