@@ -58,6 +58,79 @@ object Similarity {
     cosineTopKRank(scored, k)
   }
 
+  /** Hard-negative mining for retrieval / contrastive training: for every
+    * query, the `k` MOST similar corpus rows that are NOT labeled
+    * positives — the negatives that actually move a contrastive loss
+    * (random negatives are trivially separable; the informative ones sit
+    * just below the positives in similarity). Exclusions, in order:
+    *  - self (`neighbor_id == query_id`);
+    *  - every `(query_id, pos_id)` pair in `positives` (broadcast
+    *    anti-join — the label set is bounded like the query set);
+    *  - any candidate with cosine >= `excludeAbove`: the standard
+    *    false-negative guard — a corpus row THAT similar to the query is
+    *    far more likely an unlabeled positive (near-dup of the labeled
+    *    one) than a hard negative, and training against it teaches the
+    *    model to push true matches apart.
+    *
+    * Exact face: scores the full corpus per query (the [[bruteForceTopK]]
+    * broadcast contract — corpus never shuffles, queries bounded). At
+    * index scale, probe [[AnnIndex]] for a shortlist and rerank exactly,
+    * then apply the same exclusions; the exact face is the oracle.
+    * Output: `(query_id, neighbor_id, cosine, rank)`, cosine rounded to
+    * 6 (the shared ANN display convention).
+    */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame, positives: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      posIdCol: String = "pos_id",
+      k: Int = 10, excludeAbove: Double = 0.95): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("q_vec")))
+    val pos = broadcast(positives.select(col(queryIdCol).as("query_id"),
+      col(posIdCol).as("neighbor_id")).distinct())
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .join(q) // broadcast nested loop; corpus never shuffles
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", vectors.cosine(col("q_vec"), col("c_vec")))
+      .where(col("cosine") < excludeAbove)
+      .join(pos, Seq("query_id", "neighbor_id"), "left_anti")
+    cosineTopKRank(scored, k)
+  }
+
+  /** [[hardNegatives]] over an ANN shortlist instead of the full corpus —
+    * the index-scale mining shape: probe [[AnnIndex]] (or any candidate
+    * generator) for `(query_id, neighbor_id)` candidates, fetch the
+    * candidate vectors by one broadcast equi-join (the corpus never
+    * shuffles and never streams past the queries), rerank EXACTLY by
+    * cosine, then apply the same three exclusions as the exact face.
+    * Recall is the shortlist's (size it like the ADC rerank shell —
+    * [[Pq.DefaultShortlistFrac]]); everything after the shortlist is
+    * exact, so a labeled positive inside the shortlist is excluded with
+    * certainty, never by approximation.
+    */
+  def hardNegativesShortlisted(
+      corpus: DataFrame, queries: DataFrame, positives: DataFrame,
+      shortlist: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      posIdCol: String = "pos_id",
+      k: Int = 10, excludeAbove: Double = 0.95): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("q_vec")))
+    val pos = broadcast(positives.select(col(queryIdCol).as("query_id"),
+      col(posIdCol).as("neighbor_id")).distinct())
+    val scored = broadcast(
+        shortlist.select(col("query_id"), col("neighbor_id")).distinct())
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("c_vec")), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", vectors.cosine(col("q_vec"), col("c_vec")))
+      .where(col("cosine") < excludeAbove)
+      .join(pos, Seq("query_id", "neighbor_id"), "left_anti")
+    cosineTopKRank(scored, k)
+  }
+
   /** Exact per-group mean embedding (class centroids / topic vectors),
     * flat shape `(groupCols..., dim, mean_v)` with 1-based dims. Per-dim
     * sums route through DECIMAL (the repo-wide `dsum` convention), so group

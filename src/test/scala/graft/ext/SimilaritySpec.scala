@@ -19,6 +19,57 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     rows.toDF("vec_id", "embedding", "cluster")
   }
 
+  test("hardNegatives: positives and near-positives excluded, hardest " +
+      "remaining candidates ranked first") {
+    // query 0; 1 = labeled positive (near-identical); 2 = unlabeled
+    // near-positive above the margin (must drop); 3/4 = genuinely hard
+    // negatives (same direction, clearly below margin); 5 = easy negative
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.999f, 0.01f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.05f, 0.0f, 0.0f)),
+      (3L, Seq(0.8f, 0.6f, 0.0f, 0.0f)),
+      (4L, Seq(0.7f, 0.7f, 0.1f, 0.0f)),
+      (5L, Seq(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val queries = rows.where($"vec_id" === 0L)
+    val positives = Seq((0L, 1L)).toDF("vec_id", "pos_id")
+    val out = Similarity.hardNegatives(rows, queries, positives,
+        "vec_id", "embedding", "vec_id", k = 3, excludeAbove = 0.95)
+      .orderBy("rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(out.map(_._2) == Seq(3L, 4L, 5L),
+      s"expected hard negatives 3,4 then easy 5 — got $out")
+    assert(out.map(_._4) == Seq(1, 2, 3))
+    // cosines strictly descending and all below the margin
+    assert(out.map(_._3) == out.map(_._3).sorted.reverse)
+    assert(out.forall(_._3 < 0.95))
+  }
+
+  test("hardNegativesShortlisted: exact rerank + exclusions over the " +
+      "candidate set only") {
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.999f, 0.01f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.05f, 0.0f, 0.0f)),
+      (3L, Seq(0.8f, 0.6f, 0.0f, 0.0f)),
+      (4L, Seq(0.7f, 0.7f, 0.1f, 0.0f)),
+      (5L, Seq(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val queries = rows.where($"vec_id" === 0L)
+    val positives = Seq((0L, 1L)).toDF("vec_id", "pos_id")
+    // the shortlist misses 4 (a better negative than 5): recall is the
+    // shortlist's, so 4 must NOT appear; 1 (positive, shortlisted) and
+    // 2 (margin) must both drop
+    val shortlist = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 5L))
+      .toDF("query_id", "neighbor_id")
+    val out = Similarity.hardNegativesShortlisted(rows, queries, positives,
+        shortlist, "vec_id", "embedding", "vec_id", k = 3,
+        excludeAbove = 0.95)
+      .orderBy("rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(out.map(_._2) == Seq(3L, 5L), s"got $out")
+    assert(out.map(_._4) == Seq(1, 2))
+  }
+
   test("meanVectors: exact per-group dimension means, 1-based dims") {
     val df = Seq(
       ("a", Seq(1.0f, 3.0f)), ("a", Seq(3.0f, 5.0f)), ("b", Seq(10.0f, 0.0f)))
