@@ -137,7 +137,12 @@ object ScaleBench {
     // q284 — first battery invocation builds + persists the index,
     // floors measure load + broadcast probe; the encode pass is linear
     // and the probe touches nProbe/nCells of the codes)
-    "q299_ann_index_probe")
+    "q299_ann_index_probe",
+    // round 17: indexed hard-negative mining — the q299 probe at
+    // shortlist depth + a broadcast exact rerank; expect the q299 class
+    // (read its 100x row against the same fixture-geometry caveat: the
+    // query slice scales with the corpus while nCells stays frozen)
+    "q305_hard_negatives_indexed")
 
   /** Build the `replicas`x corpus: isomorphic token-suffixed document
     * replicas and coordinate-rotated embedding replicas. Id offsets are
