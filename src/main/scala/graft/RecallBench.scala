@@ -265,6 +265,50 @@ object RecallBench {
       recallTarget = 0.7, dials = Seq(2, 4, 8, 16), portable = false,
       exactTruth = Some(lshTruth)))
     println(f"""{"face":"autotune_lsh_tables_seeded","scale":"$tag","dial":${lshPickS._1},"recall_cos":${lshPickS._2}%.3f,"sec":$tLshS%.3f}""")
+
+    // round 17: the mining faces — recall of the INDEXED hard-negative
+    // list (q305 shape: IVF-PQ probe shortlist at S=10K, exact rerank,
+    // exclusions) against the EXACT mining list (q304 shape) on the
+    // same corpus. Positives = each query's true top-1, the q304
+    // convention, so the exclusion is live in both lists; everything
+    // after the shortlist is exact, so the gap IS shortlist coverage.
+    val positives = Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", "vec_id", k = 1)
+      .select(col("query_id").as("vec_id"), col("neighbor_id").as("pos_id"))
+      .localCheckpoint(true)
+    val truthMine = pairs(Similarity.hardNegatives(corpus, queries,
+      positives, "vec_id", "embedding", "vec_id", k = K))
+    val annIdx = graft.ext.AnnIndex.build(corpus, "vec_id", "embedding",
+      ivfSeed, pqModel)
+    // the dilution contrast pair (the pq_rerank / pq_rerank_scaled
+    // convention): a FIXED shortlist at nProbe=2 measured 0.42 -> 0.21
+    // as the corpus grew 1x -> 25x, which is why q305 ships the derived
+    // size + knee nProbe — both measured here every scale
+    def mineRow(name: String, idx: graft.ext.AnnIndex.State, s: Int,
+        nProbe: Int): Unit = {
+      val runs = (1 to attempts).map(_ => time(pairs(
+        Similarity.hardNegativesShortlisted(corpus, queries, positives,
+          graft.ext.AnnIndex.probe(idx, queries, "embedding", "vec_id",
+            k = s, nProbe = nProbe)
+            .select(col("query_id"), col("neighbor_id")),
+          "vec_id", "embedding", "vec_id", k = K))))
+      val r = recallOf(truthMine, runs.head._2)
+      println(f"""{"face":"$name","scale":"$tag","corpus_rows":$nCorpus,"shortlist":$s,"n_probe":$nProbe,"recall_vs_exact_mining":$r%.3f,"sec":${runs.map(_._1).min}%.3f}""")
+    }
+    val sDerived = Similarity.miningShortlistSize(nCorpus, K)
+    mineRow("mining_indexed_s100", annIdx, 10 * K, nProbe = 2)
+    mineRow("mining_indexed_scaled", annIdx, sDerived, nProbe = 4)
+    // the remaining gap to 1.0 is the SEED index's pruning+quantization
+    // loss, not the mining tail's — the trained-models row isolates it
+    // (mining truth sits at similarity ranks 2..K+1, a wider shell than
+    // the top-K the other faces chase)
+    val idxTrained = graft.ext.AnnIndex.build(corpus, "vec_id", "embedding",
+      ivfTrained, pqTrained)
+    mineRow("mining_indexed_trained", idxTrained, sDerived, nProbe = 4)
+    // nProbe = nCells: NO cell pruning, so this row is pure
+    // ADC-shortlist loss — the gap between it and the p4 row is what
+    // probing half the cells costs the mining shell
+    mineRow("mining_indexed_trained_p8", idxTrained, sDerived, nProbe = 8)
   }
 
   def main(args: Array[String]): Unit = {

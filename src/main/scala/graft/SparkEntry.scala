@@ -2182,17 +2182,22 @@ $fin"""
 
     "q305_hard_negatives_indexed" -> ((s, d) => {
       // hard-negative mining at index scale (round 17): the q299
-      // persisted IVF-PQ index supplies a 50-deep ADC shortlist per
-      // query, the shortlist reranks EXACTLY by cosine, and the q304
-      // exclusions apply — labeled positive = the query's true top-1
-      // over the standing corpus (recomputed in SQL), 0.95 margin for
-      // unlabeled near-positives. The oracle replays the whole chain:
-      // q299's probe CTEs at rank<=50, then the exact rerank.
+      // persisted IVF-PQ index supplies the ADC shortlist per query —
+      // DERIVED size (miningShortlistSize: max(10k, ceil(0.02 N)) — a
+      // fixed S measured 0.42 -> 0.21 recall-vs-exact at 1x -> 25x) and
+      // the measured-knee nProbe = 4 — the shortlist reranks EXACTLY by
+      // cosine, and the q304 exclusions apply: labeled positive = the
+      // query's true top-1 over the standing corpus (recomputed in SQL),
+      // 0.95 margin for unlabeled near-positives. The oracle replays the
+      // whole chain with the same derived cutoff.
       val emb = t(s, d, "embeddings")
       val standing = emb.where(col("vec_id") % 5 =!= 2)
       val queries = emb.where(col("vec_id") % 5 === 2 && col("vec_id") < 50)
-      val shortlist = graft.ext.AnnIndex.probe(standingAnnIndex(s, d),
-          queries, "embedding", "vec_id", k = 50, nProbe = 2)
+      val state = standingAnnIndex(s, d)
+      val shortS = Similarity.miningShortlistSize(
+        state.codes.count(), k = 5)
+      val shortlist = graft.ext.AnnIndex.probe(state,
+          queries, "embedding", "vec_id", k = shortS, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"))
       val positives = Similarity.bruteForceTopK(standing, queries,
           idCol = "vec_id", vecCol = "embedding", queryIdCol = "vec_id",
@@ -10653,12 +10658,16 @@ $fin"""
          SELECT query_id, neighbor_id, adc_dist, rank FROM r WHERE rank <= 5
          ORDER BY query_id, rank""",
 
-    // q299's probe CTEs cut at a 50-deep shortlist, then the q304 mining
-    // tail: exact cosine rerank, true-top-1 positive exclusion, 0.95
-    // margin — the whole indexed mining chain in one replay
+    // q299's probe CTEs at the DERIVED shortlist depth (the q297
+    // convention: greatest(10k, ceil(0.02 N)) computed in SQL) and the
+    // knee nProbe = 4, then the q304 mining tail: exact cosine rerank,
+    // true-top-1 positive exclusion, 0.95 margin — the whole indexed
+    // mining chain in one replay
     "q305_hard_negatives_indexed" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          st AS (SELECT * FROM e WHERE vec_id % 5 <> 2),
+         sl AS (SELECT greatest(CAST(ceil(0.02 * count(*)) AS BIGINT), 50) AS s
+           FROM st),
          inc AS (SELECT * FROM e WHERE vec_id % 5 = 2 AND vec_id < 50),
          ivfseeds AS (SELECT v AS c_vec, rn - 1 AS icell FROM
              (SELECT v, row_number() OVER
@@ -10675,7 +10684,7 @@ $fin"""
                row_number() OVER (PARTITION BY inc.vec_id
                  ORDER BY list_cosine_similarity(inc.v, s.c_vec) DESC, s.icell) AS rn
              FROM inc CROSS JOIN ivfseeds s)
-           WHERE rn <= 2),
+           WHERE rn <= 4),
          cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
            FROM probes p JOIN asg a ON p.icell = a.icell),
          pqseeds AS (SELECT v AS sv, rn - 1 AS cell FROM
@@ -10704,7 +10713,7 @@ $fin"""
              (SELECT query_id, neighbor_id, row_number() OVER
                 (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rnk
               FROM adc)
-           WHERE rnk <= 50),
+           WHERE rnk <= (SELECT s FROM sl)),
          p AS (SELECT query_id, neighbor_id AS pos_id FROM
              (SELECT i.vec_id AS query_id, s2.vec_id AS neighbor_id,
                 row_number() OVER (PARTITION BY i.vec_id

@@ -104,11 +104,38 @@ object Similarity {
     * candidate vectors by one broadcast equi-join (the corpus never
     * shuffles and never streams past the queries), rerank EXACTLY by
     * cosine, then apply the same three exclusions as the exact face.
-    * Recall is the shortlist's (size it like the ADC rerank shell —
-    * [[Pq.DefaultShortlistFrac]]); everything after the shortlist is
-    * exact, so a labeled positive inside the shortlist is excluded with
-    * certainty, never by approximation.
+    * Recall is the shortlist's (size it with [[miningShortlistSize]] —
+    * q305 does); everything after the shortlist is exact, so a labeled
+    * positive inside the shortlist is excluded with certainty, never by
+    * approximation.
+    *
+    * Measured (RecallBench mining rows, 25x corpus, recall vs the exact
+    * mining list — note the mining shell sits at similarity ranks
+    * 2..k+1, wider than the top-k the other ANN faces chase): fixed
+    * S=100 / seed models / nProbe 2 = 0.21; derived S / nProbe 4 = 0.46;
+    * + TRAINED models = 0.59 (scale-flat 0.58-0.59 at 1x/10x/25x);
+    * + probe all cells = 0.65 (the remaining gap is ADC-shortlist loss
+    * at the 2% shell, not pruning). Index quality is the recall dial;
+    * [[hardNegatives]] is the full-recall exact face when the probe set
+    * is bounded.
     */
+  /** Shortlist size for index-backed mining — [[Pq.DefaultShortlistFrac]]'s
+    * shell rule applied to the mining probe, encoded in code because the
+    * dilution is MEASURED (RecallBench `mining_indexed` fixed S = 100:
+    * recall-vs-exact-mining 0.42 at 1x falling to 0.21 at 25x; the
+    * derived size holds the curve flat): S = max(10k, ceil(frac * N)),
+    * capped at Int.MaxValue — exactly [[Pq.adcRerankTopK]]'s derivation,
+    * so the two rerank families share one sizing story.
+    */
+  def miningShortlistSize(corpusCount: Long, k: Int,
+      frac: Double = Pq.DefaultShortlistFrac): Int = {
+    require(k >= 1, "k must be >= 1")
+    require(corpusCount >= 0, "corpusCount must be >= 0")
+    require(frac > 0.0 && frac <= 1.0, "frac must be in (0, 1]")
+    math.min(math.max(math.ceil(frac * corpusCount).toLong, 10L * k),
+      Int.MaxValue.toLong).toInt
+  }
+
   def hardNegativesShortlisted(
       corpus: DataFrame, queries: DataFrame, positives: DataFrame,
       shortlist: DataFrame,
