@@ -2180,6 +2180,48 @@ $fin"""
         .orderBy("query_id", "rank")
     }),
 
+    "q306_retrieval_triplets" -> ((s, d) => {
+      // the retrieval-training close-out (round 17, the q249 composition
+      // convention): corpus hygiene (row-local length gate) -> embedding
+      // join -> SUPERVISED positives (the query's min-id same-label row;
+      // the fixture's label column is the relevance signal) -> hard
+      // negatives with the WHOLE label class off-limits (q304's
+      // exclusion machinery fed the class pairs, not one pair) ->
+      // (anchor, positive, negative) triplets with the per-triplet
+      // margin a contrastive loss would see. Margins subtract the two
+      // ROUNDED cosines so both engines subtract identical doubles.
+      val docs = t(s, d, "documents")
+        .where(col("text").isNotNull && col("n_chars") >= 50)
+      val corpus = t(s, d, "embeddings")
+        .join(docs.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val queries = corpus.where(col("vec_id") < 10)
+      val sameLabel = broadcast(queries.select(col("vec_id"), col("label")))
+        .join(corpus.select(col("vec_id").as("pos_id"), col("label")),
+          Seq("label"))
+        .where(col("pos_id") =!= col("vec_id"))
+        .select(col("vec_id"), col("pos_id"))
+      val positives = sameLabel.groupBy(col("vec_id"))
+        .agg(min(col("pos_id")).as("pos_id"))
+      val negs = Similarity.hardNegatives(corpus, queries, sameLabel,
+        idCol = "vec_id", vecCol = "embedding", queryIdCol = "vec_id",
+        k = 3, excludeAbove = 0.95)
+      val posScored = positives
+        .join(queries.select(col("vec_id"), col("embedding").as("q_vec")),
+          Seq("vec_id"))
+        .join(corpus.select(col("vec_id").as("pos_id"),
+          col("embedding").as("p_vec")), Seq("pos_id"))
+        .select(col("vec_id").as("query_id"), col("pos_id"),
+          (round(vectors.cosine(col("q_vec"), col("p_vec")), 6) + lit(0.0))
+            .as("pos_cos"))
+      negs.join(posScored, Seq("query_id"))
+        .select(col("query_id"), col("pos_id"),
+          col("neighbor_id").as("neg_id"), col("rank"),
+          col("pos_cos"), col("cosine").as("neg_cos"),
+          (col("pos_cos") - col("cosine")).as("margin"))
+        .orderBy("query_id", "rank")
+    }),
+
     "q305_hard_negatives_indexed" -> ((s, d) => {
       // hard-negative mining at index scale (round 17): the q299
       // persisted IVF-PQ index supplies the ADC shortlist per query —
@@ -10733,6 +10775,40 @@ $fin"""
                ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
            FROM ex WHERE cos_raw < 0.95)
          SELECT query_id, neighbor_id, cosine, rank FROM rr WHERE rank <= 5
+         ORDER BY query_id, rank""",
+
+    // the triplet builder's full replay: hygiene gate, same-label
+    // positive/exclusion set, q304's margin+anti-join tail, margins
+    // subtracted from the two rounded cosines
+    "q306_retrieval_triplets" ->
+      """WITH d AS (SELECT doc_id FROM documents
+               WHERE text IS NOT NULL AND n_chars >= 50),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings JOIN d ON vec_id = doc_id),
+         q AS (SELECT vec_id AS query_id, v AS qv, label AS qlab
+               FROM e WHERE vec_id < 10),
+         sl AS (SELECT q.query_id, e.vec_id AS pos_id
+               FROM q JOIN e ON e.label = q.qlab AND e.vec_id <> q.query_id),
+         pos AS (SELECT query_id, min(pos_id) AS pos_id FROM sl GROUP BY 1),
+         s AS (SELECT query_id, e.vec_id AS neighbor_id,
+                 list_cosine_similarity(qv, e.v) AS cos_raw
+               FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         f AS (SELECT s.query_id, s.neighbor_id, s.cos_raw FROM s
+               LEFT JOIN sl ON sl.query_id = s.query_id
+                           AND sl.pos_id = s.neighbor_id
+               WHERE sl.pos_id IS NULL AND s.cos_raw < 0.95),
+         r AS (SELECT query_id, neighbor_id AS neg_id,
+                 round(cos_raw, 6) + 0 AS neg_cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+               FROM f),
+         pc AS (SELECT q.query_id, pos.pos_id,
+                 round(list_cosine_similarity(q.qv, pe.v), 6) + 0 AS pos_cos
+               FROM q JOIN pos USING (query_id)
+                      JOIN e pe ON pe.vec_id = pos.pos_id)
+         SELECT r.query_id, pc.pos_id, r.neg_id, r.rank,
+           pc.pos_cos, r.neg_cos, pc.pos_cos - r.neg_cos AS margin
+         FROM r JOIN pc USING (query_id) WHERE r.rank <= 3
          ORDER BY query_id, rank""",
 
     // corpus-level keep-first paragraph dedup (shared with the q303

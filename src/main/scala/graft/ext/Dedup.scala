@@ -77,13 +77,20 @@ object Dedup {
     * id-ordered increments in order reproduces the one-shot keep-first
     * result exactly — the streaming face
     * [[graft.streaming.CorpusStreams.paragraphDedupStreaming]] builds on
-    * this.
+    * this. `dropAboveCount` counts occurrences in THIS frame only — an
+    * increment cannot know a segment's historical corpus frequency, so
+    * combining the two gives per-increment (not corpus-global) frequency
+    * semantics; run the boilerplate mode as a batch pass over the
+    * accumulated corpus instead.
     */
   def paragraphDedup(
       df: DataFrame, idCol: String, textCol: String,
       sepPattern: String = "\\. ", joinSep: String = ". ",
       dropAboveCount: Option[Long] = None,
       priorSeenHashes: Option[DataFrame] = None): DataFrame = {
+    require(!Seq("seg", "seg_ord", "seg_h", "first_occ", "occ", "keep",
+        "prior", "n_total", "n_kept", "clean_text").contains(idCol),
+      s"idCol '$idCol' collides with a working column of this operator")
     // posexplode BEFORE the empty-segment filter: seg_ord is the position
     // in the raw split so the keep-first order is stable under any
     // empty-producing separator runs.
