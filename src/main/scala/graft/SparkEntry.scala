@@ -850,6 +850,63 @@ $fin"""
            FROM w GROUP BY doc_id)
          SELECT doc_id, clean_text, n_total, n_kept FROM a ORDER BY doc_id"""
 
+  /** Shared by q299 (persisted-index batch probe) and q307 (the same
+    * probe with the increment ARRIVING as a stream — row-local given the
+    * frozen state, so streamed == batch under any cut): the q169 IVFADC
+    * CTEs over the standing/incoming split, models and codes from the
+    * STANDING slice only (provenance invariance, the q284 convention).
+    */
+  private val annIndexProbeOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         st AS (SELECT * FROM e WHERE vec_id % 5 <> 2),
+         inc AS (SELECT * FROM e WHERE vec_id % 5 = 2),
+         ivfseeds AS (SELECT v AS c_vec, rn - 1 AS icell FROM
+             (SELECT v, row_number() OVER
+                (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM st)
+           WHERE rn <= 8),
+         asg AS (SELECT vec_id, icell FROM (
+             SELECT st.vec_id, s.icell,
+               row_number() OVER (PARTITION BY st.vec_id
+                 ORDER BY list_cosine_similarity(st.v, s.c_vec) DESC, s.icell) AS rn
+             FROM st CROSS JOIN ivfseeds s)
+           WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, icell FROM (
+             SELECT inc.vec_id, s.icell,
+               row_number() OVER (PARTITION BY inc.vec_id
+                 ORDER BY list_cosine_similarity(inc.v, s.c_vec) DESC, s.icell) AS rn
+             FROM inc CROSS JOIN ivfseeds s)
+           WHERE rn <= 2),
+         cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+           FROM probes p JOIN asg a ON p.icell = a.icell),
+         pqseeds AS (SELECT v AS sv, rn - 1 AS cell FROM
+             (SELECT v, row_number() OVER
+                (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM st)
+           WHERE rn <= 16),
+         js AS (SELECT unnest(generate_series(0, 7)) AS j),
+         cw AS (SELECT js.j, s.cell, s.sv[js.j*8 + 1 : js.j*8 + 8] AS w
+           FROM pqseeds s CROSS JOIN js),
+         sd AS (SELECT e.vec_id, c.j, c.cell,
+             list_sum([ (e.v[c.j*8 + d] - c.w[d]) * (e.v[c.j*8 + d] - c.w[d])
+                        for d in generate_series(1, 8) ]) AS sdist
+           FROM e CROSS JOIN cw c),
+         codes AS (SELECT vec_id, j, cell AS code FROM (
+             SELECT vec_id, j, cell, row_number() OVER
+               (PARTITION BY vec_id, j ORDER BY sdist ASC, cell ASC) AS rn
+             FROM sd WHERE vec_id % 5 <> 2)
+           WHERE rn = 1),
+         adc AS (SELECT c.query_id, c.neighbor_id,
+             list_sum(list(s.sdist ORDER BY s.j)) AS dist
+           FROM cand c
+           JOIN codes n ON n.vec_id = c.neighbor_id
+           JOIN sd s ON s.vec_id = c.query_id AND s.j = n.j AND s.cell = n.code
+           GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id, floor(dist * 1e6 + 0.5) / 1e6 AS adc_dist,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS rank
+           FROM adc)
+         SELECT query_id, neighbor_id, adc_dist, rank FROM r WHERE rank <= 5
+         ORDER BY query_id, rank"""
+
   /** Shared by q128 (batch classifier gate) and q252 (the same scorer
     * streamed): the deterministic weight-table scorer replayed in SQL.
     * Null text scores NULL (Spark's hashedLinearScore propagates the
@@ -2177,6 +2234,28 @@ $fin"""
       val incoming = emb.where(col("vec_id") % 5 === 2)
       graft.ext.AnnIndex.probe(standingAnnIndex(s, d), incoming,
           "embedding", "vec_id", k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q307_stream_ann_probe" -> ((s, d) => {
+      // q299 with the increment ARRIVING as a stream: the persisted
+      // index is frozen, each micro-batch probes independently (a
+      // query's top-k is row-local given the state), so the streamed
+      // sink equals the batch probe under any cut and q299's oracle
+      // gates this path verbatim — the ANN family's q271/q279
+      import graft.streaming.CorpusStreams
+      val emb = t(s, d, "embeddings")
+      val incoming = emb.where(col("vec_id") % 5 === 2)
+        .select(col("vec_id"), col("embedding"))
+      val staged = graft.io.TextTables.scratchDir("ann_probe_in", d)
+      incoming.coalesce(1).write.mode("overwrite").parquet(staged)
+      val maxId = incoming.agg(max(col("vec_id"))).head.getLong(0)
+      val slices = CorpusStreams.stageIdSlices(s, staged, "vec_id",
+        Seq(maxId / 3 + 1, 2 * maxId / 3 + 1))
+      val name = s"graft_stream_annprobe_${streamCounter.incrementAndGet()}"
+      CorpusStreams.annProbeStreaming(s, slices, "vec_id", "embedding",
+          standingAnnIndex(s, d), name, k = 5, nProbe = 2,
+          shufflePartitions = Some(4))
         .orderBy("query_id", "rank")
     }),
 
@@ -10648,57 +10727,12 @@ $fin"""
     // the q169 IVFADC CTEs over the standing/incoming split: models and
     // index codes derive from the STANDING slice only, probes from the
     // incoming slice — the persisted state never appears (provenance
-    // invariance, the q284 oracle convention)
-    "q299_ann_index_probe" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         st AS (SELECT * FROM e WHERE vec_id % 5 <> 2),
-         inc AS (SELECT * FROM e WHERE vec_id % 5 = 2),
-         ivfseeds AS (SELECT v AS c_vec, rn - 1 AS icell FROM
-             (SELECT v, row_number() OVER
-                (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM st)
-           WHERE rn <= 8),
-         asg AS (SELECT vec_id, icell FROM (
-             SELECT st.vec_id, s.icell,
-               row_number() OVER (PARTITION BY st.vec_id
-                 ORDER BY list_cosine_similarity(st.v, s.c_vec) DESC, s.icell) AS rn
-             FROM st CROSS JOIN ivfseeds s)
-           WHERE rn = 1),
-         probes AS (SELECT vec_id AS query_id, icell FROM (
-             SELECT inc.vec_id, s.icell,
-               row_number() OVER (PARTITION BY inc.vec_id
-                 ORDER BY list_cosine_similarity(inc.v, s.c_vec) DESC, s.icell) AS rn
-             FROM inc CROSS JOIN ivfseeds s)
-           WHERE rn <= 2),
-         cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
-           FROM probes p JOIN asg a ON p.icell = a.icell),
-         pqseeds AS (SELECT v AS sv, rn - 1 AS cell FROM
-             (SELECT v, row_number() OVER
-                (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM st)
-           WHERE rn <= 16),
-         js AS (SELECT unnest(generate_series(0, 7)) AS j),
-         cw AS (SELECT js.j, s.cell, s.sv[js.j*8 + 1 : js.j*8 + 8] AS w
-           FROM pqseeds s CROSS JOIN js),
-         sd AS (SELECT e.vec_id, c.j, c.cell,
-             list_sum([ (e.v[c.j*8 + d] - c.w[d]) * (e.v[c.j*8 + d] - c.w[d])
-                        for d in generate_series(1, 8) ]) AS sdist
-           FROM e CROSS JOIN cw c),
-         codes AS (SELECT vec_id, j, cell AS code FROM (
-             SELECT vec_id, j, cell, row_number() OVER
-               (PARTITION BY vec_id, j ORDER BY sdist ASC, cell ASC) AS rn
-             FROM sd WHERE vec_id % 5 <> 2)
-           WHERE rn = 1),
-         adc AS (SELECT c.query_id, c.neighbor_id,
-             list_sum(list(s.sdist ORDER BY s.j)) AS dist
-           FROM cand c
-           JOIN codes n ON n.vec_id = c.neighbor_id
-           JOIN sd s ON s.vec_id = c.query_id AND s.j = n.j AND s.cell = n.code
-           GROUP BY 1, 2),
-         r AS (SELECT query_id, neighbor_id, floor(dist * 1e6 + 0.5) / 1e6 AS adc_dist,
-             CAST(row_number() OVER (PARTITION BY query_id
-               ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS rank
-           FROM adc)
-         SELECT query_id, neighbor_id, adc_dist, rank FROM r WHERE rank <= 5
-         ORDER BY query_id, rank""",
+    // invariance, the q284 oracle convention). Shared with q307 (the
+    // same probe with the increment ARRIVING as a stream: a query's
+    // top-k is row-local given the frozen state, so the streamed sink
+    // equals the batch probe under any cut).
+    "q299_ann_index_probe" -> annIndexProbeOracle,
+    "q307_stream_ann_probe" -> annIndexProbeOracle,
 
     // q299's probe CTEs at the DERIVED shortlist depth (the q297
     // convention: greatest(10k, ceil(0.02 N)) computed in SQL) and the

@@ -264,6 +264,49 @@ object CorpusStreams {
     spark.read.parquet(sink)
   }
 
+  /** Streaming face of [[graft.ext.AnnIndex.probe]]: probe each arriving
+    * micro-batch of vectors against a FROZEN persisted-index state inside
+    * `foreachBatch` (a query's top-k depends only on its own vector and
+    * the static index — no cross-batch state, the
+    * [[containmentProbeStreaming]] argument), appending ranked neighbors
+    * to a parquet sink executor-side. Batch-boundary invariant by
+    * construction, so the batch q299 oracle gates the streamed q307
+    * verbatim. The ingest-time retrieval/semantic-screen shape: encode
+    * the standing corpus once, probe every arriving batch against it.
+    * Sink retention follows the [[containmentProbeStreaming]] contract
+    * (pass an owned `sinkDir` in a long-lived ingest loop).
+    */
+  def annProbeStreaming(
+      spark: SparkSession, stagedDir: String, idCol: String, vecCol: String,
+      state: graft.ext.AnnIndex.State, queryName: String,
+      k: Int = 10, nProbe: Int = 4,
+      sinkDir: Option[String] = None,
+      shufflePartitions: Option[Int] = None): DataFrame = {
+    val schema = spark.read.parquet(stagedDir).schema
+    val sink = sinkDir.getOrElse {
+      val d = Files.createTempDirectory("graft_ann_hits")
+      d.toFile.deleteOnExit()
+      d.toString
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+    EventStreams.withStatePartitions(spark, shufflePartitions) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          val b = batch.persist()
+          try graft.ext.AnnIndex.probe(state, b.toDF(), vecCol, idCol,
+              k = k, nProbe = nProbe)
+            .write.mode("append").parquet(sink)
+          finally b.unpersist()
+        }
+        .trigger(Trigger.AvailableNow())
+        .queryName(queryName)
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(sink)
+  }
+
   /** Streaming face of [[graft.ext.Dedup.containmentProbe]]: probe each
     * arriving micro-batch against a FROZEN standing-corpus containment
     * state inside `foreachBatch` (a doc's probe result depends only on

@@ -110,6 +110,36 @@ class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage.contains("paragraph-dedup state"))
   }
 
+  test("streamed ANN probe equals the batch probe for any batch cut") {
+    import graft.ext.{AnnIndex, Ivf, Pq}
+    val corpus = (0 until 40).map { i =>
+      (i.toLong,
+        Seq(1.0 + i % 5, 2.0 + (i * 3) % 7, 3.0 + (i * 5) % 11, 1.0 + i % 3))
+    }.toDF("vec_id", "embedding")
+    val queries = (0 until 6).map { i =>
+      (1000L + i,
+        Seq(1.5 + i % 4, 2.5 + (i * 2) % 5, 3.5 + (i * 7) % 9, 1.5 + i % 2))
+    }
+    val idx = AnnIndex.build(corpus, "vec_id", "embedding",
+      Ivf.portableSeedModel(corpus, "vec_id", "embedding", k = 4),
+      Pq.portableSeedCodebooks(corpus, "vec_id", "embedding", m = 2, c = 4))
+    val batch = AnnIndex.probe(idx, queries.toDF("vec_id", "embedding"),
+        "embedding", "vec_id", k = 3, nProbe = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val qDir = java.nio.file.Files.createTempDirectory("graft_cs_ann")
+    qDir.toFile.deleteOnExit()
+    val qPath = s"$qDir/queries"
+    queries.toDF("vec_id", "embedding").coalesce(1).write.parquet(qPath)
+    val staged = CorpusStreams.stageIdSlices(spark, qPath, "vec_id",
+      cuts = Seq(1002L, 1004L))
+    val streamed = CorpusStreams.annProbeStreaming(spark, staged,
+        "vec_id", "embedding", idx, "graft_spec_annprobe", k = 3, nProbe = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(batch.nonEmpty && streamed == batch,
+      "streamed probe must equal the batch probe: the state is frozen " +
+        "and each query's top-k is row-local")
+  }
+
   test("stateDir resume: two separate runs equal the one-shot dedup (restartable ingest)") {
     val rows = Seq((1L, docA), (2L, docB), (3L, docC),
       (4L, "an entirely unrelated document about storage engines and " +
