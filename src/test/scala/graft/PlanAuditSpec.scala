@@ -569,6 +569,40 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q301: paragraph dedup is equi-joins + partial aggs — never " +
+      "all-pairs, winners combine map-side") {
+    val plan = finalPlan("q301_paragraph_dedup")
+    assert(!plan.contains("CartesianProduct"),
+      s"q301 planned a cartesian product:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q301 planned a nested-loop join:\n$plan")
+    // the per-hash min/count stats must partial-aggregate before their
+    // exchange — this is the skew defense (a 10^9-copy footer collapses
+    // in the map phase), not just a perf nicety
+    assert(plan.contains("HashAggregate"),
+      s"q301 winners agg not hash-aggregated:\n$plan")
+    assert("partial_min|partial_count|HashAggregate\\(keys=\\[seg_h".r
+        .findFirstIn(plan).isDefined ||
+      plan.contains("Partial"),
+      s"q301 winners agg not partial before the exchange:\n$plan")
+  }
+
+  test("q304/q305: mining corpus never shuffles — probe set, positives " +
+      "and shortlist all broadcast") {
+    Seq("q304_hard_negatives", "q305_hard_negatives_indexed").foreach { q =>
+      val plan = finalPlan(q)
+      assert(!plan.contains("CartesianProduct"),
+        s"$q planned a cartesian product:\n$plan")
+      assert(plan.contains("BroadcastExchange"),
+        s"$q lost its broadcast probe/exclusion sides:\n$plan")
+      // the anti-join of labeled positives must stay broadcast — a
+      // shuffled anti-join would move the whole scored corpus
+      assert(plan.contains("BroadcastHashJoin") &&
+        plan.contains("LeftAnti"),
+        s"$q positive exclusion is not a broadcast anti join:\n$plan")
+    }
+  }
+
   test("q277: the moment matrix is single-scan — one hash exchange like q150") {
     // ALL d(d+1)/2 moments ride ONE GramMoments buffer through ONE
     // groupBy exchange; the pair fan-out is a row-local explode of the
