@@ -26,7 +26,9 @@ object OperatorIndex {
   // the qualified alternative.
   private val opCall =
     ("""(?:graft\.functions\.|\b)(text|vectors)\.(\w+)\(|""" +
-      """((?:graft\.)?(?:[a-z][a-z0-9]*\.)*[A-Z][A-Za-z0-9]*)\.([a-z]\w*)\(""").r
+      // (?<![\w.]) left boundary: without it "sameLabel.groupBy(" parses
+      // as a phantom operator "Label.groupBy" (round-17 review finding)
+      """(?<![\w.])((?:graft\.)?(?:[a-z][a-z0-9]*\.)*[A-Z][A-Za-z0-9]*)\.([a-z]\w*)\(""").r
 
   /** Strip a query block's leading `//` comment run into one purpose
     * line (first sentence, capped).

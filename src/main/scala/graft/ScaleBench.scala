@@ -128,12 +128,12 @@ object ScaleBench {
     // q70's, never exceed it by more than the weight stage's joins)
     "q293_soft_dedup",
     "q294_soft_savings",
-    // round 17: the persisted IVF-PQ index probe (the ANN family's
-    // round 17: corpus-level segment dedup — two equi-key shuffles of the
-    // exploded segment frame; the synthesized footers replicate with the
-    // corpus, so expected growth is ~linear-in-segments with the
+    // round 17: corpus-level paragraph dedup — two equi-key shuffles of
+    // the exploded segment frame; the synthesized footers replicate with
+    // the corpus, so expected growth is ~linear-in-segments with the
     // frequency skew absorbed map-side (min/count partial agg)
     "q301_paragraph_dedup",
+    // round 17: the persisted IVF-PQ index probe (the ANN family's
     // q284 — first battery invocation builds + persists the index,
     // floors measure load + broadcast probe; the encode pass is linear
     // and the probe touches nProbe/nCells of the codes)

@@ -848,7 +848,9 @@ $fin"""
                list(seg ORDER BY seg_ord) FILTER (WHERE rn = 1), '. '), '')
                AS clean_text
            FROM w GROUP BY doc_id)
-         SELECT doc_id, clean_text, n_total, n_kept FROM a ORDER BY doc_id"""
+         SELECT b.doc_id, coalesce(a.clean_text, '') AS clean_text,
+           coalesce(a.n_total, 0) AS n_total, coalesce(a.n_kept, 0) AS n_kept
+         FROM b LEFT JOIN a ON a.doc_id = b.doc_id ORDER BY b.doc_id"""
 
   /** Shared by q299 (persisted-index batch probe) and q307 (the same
     * probe with the increment ARRIVING as a stream — row-local given the
@@ -10878,7 +10880,9 @@ $fin"""
                list(seg ORDER BY seg_ord) FILTER (WHERE keep), '. '), '')
                AS clean_text
            FROM w GROUP BY doc_id)
-         SELECT doc_id, clean_text, n_total, n_kept FROM a ORDER BY doc_id""",
+         SELECT b.doc_id, coalesce(a.clean_text, '') AS clean_text,
+           coalesce(a.n_total, 0) AS n_total, coalesce(a.n_kept, 0) AS n_kept
+         FROM b LEFT JOIN a ON a.doc_id = b.doc_id ORDER BY b.doc_id""",
 
     // q299's CTEs with models seeded from the BASE 80% only: appended
     // rows (the standing fifth) encode under the SAME base formulas —

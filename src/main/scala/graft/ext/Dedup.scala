@@ -115,7 +115,7 @@ object Dedup {
       .withColumn("keep",
         (struct(col(idCol), col("seg_ord")) === col("first_occ")) &&
           freqGuard && col("prior").isNull)
-    flagged.groupBy(col(idCol)).agg(
+    val perDoc = flagged.groupBy(col(idCol)).agg(
       count(lit(1)).as("n_total"),
       sum(col("keep").cast("long")).as("n_kept"),
       // collect_list skips the nulls the un-kept rows produce; array_sort
@@ -126,7 +126,17 @@ object Dedup {
             struct(col("seg_ord"), col("seg"))))),
           x => x.getField("seg")),
         joinSep).as("clean_text"))
-      .select(col(idCol), col("clean_text"), col("n_total"), col("n_kept"))
+    // complete accounting (round-17 review finding): a doc whose text
+    // splits into ONLY empty segments (e.g. ". ") has no rows in `segs`
+    // at all — restore it from the input id set so every non-null-text
+    // document appears in the output, as the contract above promises.
+    // One doc-id-sized left join, co-partitioned with the reassembly.
+    df.where(col(textCol).isNotNull).select(col(idCol)).distinct()
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_total"), lit(0L)).as("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
   /** The exploded, normalized-and-hashed segment frame [[paragraphDedup]]

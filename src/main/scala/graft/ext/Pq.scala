@@ -278,11 +278,10 @@ object Pq {
       "shortlistFrac must be in (0, 1]")
     val s =
       if (shortlist > 0) shortlist
-      else {
-        val n = corpusCount.getOrElse(corpus.count())
-        val derived = math.ceil(shortlistFrac * n).toLong
-        math.min(math.max(derived, 10L * k), Int.MaxValue.toLong).toInt
-      }
+      // ONE sizing rule for both rerank families (q297 and q305) — a
+      // round-17 review finding had it duplicated here and in mining
+      else Similarity.miningShortlistSize(
+        corpusCount.getOrElse(corpus.count()), k, shortlistFrac)
     require(s >= k, s"shortlist $s must be >= k $k")
     val short = adcTopK(model, corpus, queries, idCol, vecCol, queryIdCol,
         k = s, excludeSelf = excludeSelf, codesDf = codesDf)

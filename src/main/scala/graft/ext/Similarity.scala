@@ -119,23 +119,6 @@ object Similarity {
     * [[hardNegatives]] is the full-recall exact face when the probe set
     * is bounded.
     */
-  /** Shortlist size for index-backed mining — [[Pq.DefaultShortlistFrac]]'s
-    * shell rule applied to the mining probe, encoded in code because the
-    * dilution is MEASURED (RecallBench `mining_indexed` fixed S = 100:
-    * recall-vs-exact-mining 0.42 at 1x falling to 0.21 at 25x; the
-    * derived size holds the curve flat): S = max(10k, ceil(frac * N)),
-    * capped at Int.MaxValue — exactly [[Pq.adcRerankTopK]]'s derivation,
-    * so the two rerank families share one sizing story.
-    */
-  def miningShortlistSize(corpusCount: Long, k: Int,
-      frac: Double = Pq.DefaultShortlistFrac): Int = {
-    require(k >= 1, "k must be >= 1")
-    require(corpusCount >= 0, "corpusCount must be >= 0")
-    require(frac > 0.0 && frac <= 1.0, "frac must be in (0, 1]")
-    math.min(math.max(math.ceil(frac * corpusCount).toLong, 10L * k),
-      Int.MaxValue.toLong).toInt
-  }
-
   def hardNegativesShortlisted(
       corpus: DataFrame, queries: DataFrame, positives: DataFrame,
       shortlist: DataFrame,
@@ -156,6 +139,25 @@ object Similarity {
       .where(col("cosine") < excludeAbove)
       .join(pos, Seq("query_id", "neighbor_id"), "left_anti")
     cosineTopKRank(scored, k)
+  }
+
+  /** THE shortlist sizing rule for both rerank families —
+    * [[Pq.adcRerankTopK]] (q297) delegates here and the mining probe
+    * (q305) calls it directly, so there is exactly one copy of
+    * S = max(10k, ceil(frac * N)) capped at Int.MaxValue. Encoded in code
+    * because the dilution is MEASURED (RecallBench: fixed S = 100 read
+    * recall-vs-exact-mining 0.42 at 1x falling to 0.21 at 25x, and ADC
+    * rerank 0.78 -> 0.56 the round before; the derived size holds both
+    * curves flat). `frac` defaults to [[Pq.DefaultShortlistFrac]]'s
+    * measured shell fraction.
+    */
+  def miningShortlistSize(corpusCount: Long, k: Int,
+      frac: Double = Pq.DefaultShortlistFrac): Int = {
+    require(k >= 1, "k must be >= 1")
+    require(corpusCount >= 0, "corpusCount must be >= 0")
+    require(frac > 0.0 && frac <= 1.0, "frac must be in (0, 1]")
+    math.min(math.max(math.ceil(frac * corpusCount).toLong, 10L * k),
+      Int.MaxValue.toLong).toInt
   }
 
   /** Exact per-group mean embedding (class centroids / topic vectors),

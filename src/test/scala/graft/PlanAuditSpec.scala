@@ -576,15 +576,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"q301 planned a cartesian product:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"q301 planned a nested-loop join:\n$plan")
-    // the per-hash min/count stats must partial-aggregate before their
-    // exchange — this is the skew defense (a 10^9-copy footer collapses
-    // in the map phase), not just a perf nicety
-    assert(plan.contains("HashAggregate"),
-      s"q301 winners agg not hash-aggregated:\n$plan")
-    assert("partial_min|partial_count|HashAggregate\\(keys=\\[seg_h".r
-        .findFirstIn(plan).isDefined ||
-      plan.contains("Partial"),
-      s"q301 winners agg not partial before the exchange:\n$plan")
+    // the per-hash winner stats must partial-aggregate before their
+    // seg_h exchange — this is the skew defense (a 10^9-copy footer
+    // collapses in the map phase). min(struct) buffers plan as
+    // SortAggregate; the load-bearing token is the PARTIAL min — if a
+    // regression dropped map-side combine, partial_min vanishes from
+    // the plan entirely. (No loose "HashAggregate"/"Partial" substring
+    // fallbacks: a first draft of this test passed vacuously on the
+    // unrelated per-doc ObjectHashAggregate — round-17 review finding.)
+    assert(plan.contains("partial_min(struct(doc_id"),
+      s"q301 winners min is not map-side partial:\n$plan")
+    assert("SortAggregate\\(key=\\[seg_h".r.findFirstIn(plan).isDefined,
+      s"q301 winners agg not keyed on the segment hash:\n$plan")
   }
 
   test("q304/q305: mining corpus never shuffles — probe set, positives " +

@@ -810,6 +810,20 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       (5L, "body e", 2L, 1L)))
   }
 
+  test("paragraphDedup: a doc whose text is ONLY separators still appears " +
+      "with empty text and zero counts (complete accounting)") {
+    val d = Seq(
+      (1L, "real content"),
+      (2L, ". "),
+      (3L, "")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(d, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "real content", 1L, 1L),
+      (2L, "", 0L, 0L),
+      (3L, "", 0L, 0L)))
+  }
+
   test("paragraphDedup: empty segments from separator runs don't shift order") {
     // "a. . b" splits to ("a", "", "b") — the empty segment is filtered
     // but ordinals stay raw, so reassembly order and keep-first order
