@@ -100,6 +100,19 @@ object SparkEntry {
     */
   private val hanAlphabet = "一二三四五六七八九十百千万东南西北中大小上下左右天地"
 
+  /** a-z -> [[hanAlphabet]] for Scala-side constants (q308's planted Han
+    * footer/newsletter lines): the SAME mapping `translate` applies in
+    * both engines, precomputed once so the literal is interpolated into
+    * the query AND its oracle (the stopwordList convention).
+    */
+  private def toHan(latin: String): String = latin.map { ch =>
+    val i = "abcdefghijklmnopqrstuvwxyz".indexOf(ch.toInt)
+    if (i >= 0) hanAlphabet(i) else ch
+  }.mkString
+
+  private val hanFooterPrefix = toHan("sharedfooterfor")
+  private val hanNewsletter = toHan("subscribetonewslettertoday")
+
   /** Deterministic mixed-script corpus for the CJK-routing queries
     * (q281/q282): even doc_ids become unspaced-Han twins of their token
     * stream (letters translated onto [[hanAlphabet]], whitespace
@@ -2259,6 +2272,32 @@ $fin"""
           standingAnnIndex(s, d), name, k = 5, nProbe = 2,
           shufflePartitions = Some(4))
         .orderBy("query_id", "rank")
+    }),
+
+    "q308_cjk_paragraph_dedup" -> ((s, d) => {
+      // q301 on an unsegmented-script corpus: paragraph boundaries are
+      // the ideographic full stop. Segment identity is an exact hash of
+      // the delimiter-bounded span, so the screen needs only the right
+      // sepPattern — NO gram routing (contrast q286/q288, where
+      // SIMILARITY needs script-aware shingles; exact paragraph dedup is
+      // script-agnostic once the split matches the script's delimiter).
+      // Han per-source footers and a global Han newsletter line plant
+      // the cross-doc structure on the Han twins of the even docs.
+      val base = t(s, d, "documents")
+        .where(col("text").isNotNull && col("doc_id") % 2 === 0)
+        .select(col("doc_id"),
+          concat(
+            translate(regexp_replace(lower(col("text")), "\\s+", ""),
+              "abcdefghijklmnopqrstuvwxyz", hanAlphabet),
+            lit("。" + hanFooterPrefix),
+            translate(col("source"),
+              "abcdefghijklmnopqrstuvwxyz", hanAlphabet),
+            when(col("doc_id") % 10 === 0,
+              lit("。" + hanNewsletter)).otherwise(lit("")))
+            .as("text"))
+      Dedup.paragraphDedup(base, "doc_id", "text",
+          sepPattern = "。", joinSep = "。")
+        .orderBy("doc_id")
     }),
 
     "q306_retrieval_triplets" -> ((s, d) => {
@@ -10812,6 +10851,38 @@ $fin"""
            FROM ex WHERE cos_raw < 0.95)
          SELECT query_id, neighbor_id, cosine, rank FROM rr WHERE rank <= 5
          ORDER BY query_id, rank""",
+
+    // the q301 replay with the Han derivation (q281's corpus CTE form)
+    // and the ideographic separator; md5 runs over the same UTF-8 bytes
+    // in both engines, lower/trim are no-ops on Han
+    "q308_cjk_paragraph_dedup" ->
+      raw"""WITH b AS (SELECT doc_id,
+             translate(regexp_replace(lower(text), '\s+', '', 'g'),
+               'abcdefghijklmnopqrstuvwxyz', '$hanAlphabet')
+             || '。$hanFooterPrefix'
+             || translate(source, 'abcdefghijklmnopqrstuvwxyz', '$hanAlphabet')
+             || (CASE WHEN doc_id % 10 = 0
+                      THEN '。$hanNewsletter' ELSE '' END) AS text
+           FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+         sp AS (SELECT doc_id, regexp_split_to_array(text, '。') AS sg FROM b),
+         e AS (SELECT doc_id, i - 1 AS seg_ord, sg[i] AS seg
+           FROM (SELECT doc_id, sg,
+               unnest(generate_series(1, len(sg))) AS i FROM sp)
+           WHERE sg[i] <> ''),
+         w AS (SELECT doc_id, seg_ord, seg,
+             row_number() OVER (PARTITION BY md5(lower(trim(seg)))
+               ORDER BY doc_id, seg_ord) AS rn
+           FROM e),
+         a AS (SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             coalesce(array_to_string(
+               list(seg ORDER BY seg_ord) FILTER (WHERE rn = 1), '。'), '')
+               AS clean_text
+           FROM w GROUP BY doc_id)
+         SELECT b.doc_id, coalesce(a.clean_text, '') AS clean_text,
+           coalesce(a.n_total, 0) AS n_total, coalesce(a.n_kept, 0) AS n_kept
+         FROM b LEFT JOIN a ON a.doc_id = b.doc_id ORDER BY b.doc_id""",
 
     // the triplet builder's full replay: hygiene gate, same-label
     // positive/exclusion set, q304's margin+anti-join tail, margins
