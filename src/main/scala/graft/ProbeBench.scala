@@ -87,14 +87,15 @@ object ProbeBench {
   /** Load-or-build each persisted screen state for `dir`'s documents. */
   private def states(spark: SparkSession, dir: String, stateRoot: String)
       : (Dedup.ContainmentState, Dedup.ResemblanceState, Dedup.MinhashState,
-        Map[String, Double]) = {
+        DataFrame, Map[String, Double]) = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val cDir = s"$stateRoot/containment"
     val rDir = s"$stateRoot/resemblance"
     val mDir = s"$stateRoot/minhash"
+    val pDir = s"$stateRoot/paragraph"
     new java.io.File(cDir).mkdirs(); new java.io.File(rDir).mkdirs()
-    new java.io.File(mDir).mkdirs()
+    new java.io.File(mDir).mkdirs(); new java.io.File(pDir).mkdirs()
     var builds = Map.empty[String, Double]
     val c = tryLoad(
       Dedup.loadContainmentState(spark, cDir, Dedup.ContainmentParams(K)))
@@ -128,12 +129,24 @@ object ProbeBench {
       builds += ("minhash" -> sec)
       Dedup.loadMinhashState(spark, mDir, mp).get
     }
-    (c, r, m, builds)
+    // the fifth persisted screen (round 17): the corpus-level paragraph
+    // seen-hash set — build is one explode + distinct, probe is the
+    // keep-first screen of the increment against the standing hashes
+    val p = tryLoad(Dedup.loadParagraphState(spark, pDir)).getOrElse {
+      val (sec, _) = time {
+        val seen = Dedup.paragraphHashes(docs, "doc_id", "text")
+          .select(col("seg_h")).distinct().localCheckpoint(true)
+        Dedup.saveParagraphState(seen, pDir)
+      }
+      builds += ("paragraph" -> sec)
+      Dedup.loadParagraphState(spark, pDir).get
+    }
+    (c, r, m, p, builds)
   }
 
   private def probeBattery(spark: SparkSession, dir: String,
       stateRoot: String, attempts: Int): Unit = {
-    val (cs, rs, ms, builds) = states(spark, dir, stateRoot)
+    val (cs, rs, ms, ps, builds) = states(spark, dir, stateRoot)
     val inc = increment(spark, dir).localCheckpoint(true)
     val nInc = inc.count()
     val nCorpus = spark.read.parquet(s"$dir/documents.parquet").count()
@@ -142,7 +155,12 @@ object ProbeBench {
         Dedup.containmentProbe(inc, cs, "doc_id", "text", Tau, K)),
       "resemblance_probe" -> (() => Dedup.jaccardProbe(inc, rs, "doc_id", "text")),
       "minhash_probe" -> (() => Dedup.minhashDedupAgainst(inc, ms, "doc_id",
-        "text", 0.7, maxBucket = 1000)))
+        "text", 0.7, maxBucket = 1000)),
+      // hits = increment docs with at least one segment already standing
+      "paragraph_probe" -> (() =>
+        Dedup.paragraphDedup(inc, "doc_id", "text",
+            priorSeenHashes = Some(ps))
+          .where(col("n_kept") < col("n_total"))))
     probes.foreach { case (name, mk) =>
       val runs = (1 to attempts).map(_ => time(drain(mk())))
       val sec = runs.map(_._1).min

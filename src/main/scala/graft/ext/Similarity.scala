@@ -109,13 +109,16 @@ object Similarity {
     * positive inside the shortlist is excluded with certainty, never by
     * approximation.
     *
-    * Measured (RecallBench mining rows, 25x corpus, recall vs the exact
-    * mining list — note the mining shell sits at similarity ranks
-    * 2..k+1, wider than the top-k the other ANN faces chase): fixed
-    * S=100 / seed models / nProbe 2 = 0.21; derived S / nProbe 4 = 0.46;
-    * + TRAINED models = 0.59 (scale-flat 0.58-0.59 at 1x/10x/25x);
-    * + probe all cells = 0.65 (the remaining gap is ADC-shortlist loss
-    * at the 2% shell, not pruning). Index quality is the recall dial;
+    * Measured (RecallBench mining rows, recall vs the exact mining list
+    * — note the mining shell sits at similarity ranks 2..k+1, wider than
+    * the top-k the other ANN faces chase). At 25x: fixed S=100 / seed
+    * models / nProbe 2 = 0.21; derived S / nProbe 4 = 0.46; + TRAINED
+    * models = 0.59; + probe all cells = 0.65 (the remaining gap is
+    * ADC-shortlist loss at the 2% shell, not pruning). At 100x (200k
+    * vectors) the contrast sharpens: fixed S collapses to 0.16 while
+    * derived+trained RISES to 0.75 (the 2% shell deepens with the
+    * corpus) — derived sizing + a trained quantizer are the
+    * scale-robust setting. Index quality is the recall dial;
     * [[hardNegatives]] is the full-recall exact face when the probe set
     * is bounded.
     */
