@@ -2300,6 +2300,33 @@ $fin"""
         .orderBy("doc_id")
     }),
 
+    "q309_mining_autotune" -> ((s, d) => {
+      // the mining-shortlist dial MEASURED in-engine (the q296 tuner
+      // convention applied to q305): ONE probe of the persisted index at
+      // the deepest dial, shallower dials = prefix cuts of its rank
+      // column (the shortlist nests), each dial's mined list scored
+      // against the EXACT q304 mining truth on the same corpus. The
+      // derived base S anchors the dial ladder (1x/2x/4x), so this face
+      // measures exactly the knee miningShortlistSize's frac encodes.
+      val emb = t(s, d, "embeddings")
+      val standing = emb.where(col("vec_id") % 5 =!= 2)
+      val queries = emb.where(col("vec_id") % 5 === 2 && col("vec_id") < 50)
+      val state = standingAnnIndex(s, d)
+      val sBase = Similarity.miningShortlistSize(state.codes.count(), k = 5)
+      val dials = Seq(sBase, 2 * sBase, 4 * sBase)
+      val ranked = graft.ext.AnnIndex.probe(state, queries, "embedding",
+          "vec_id", k = 4 * sBase, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val positives = Similarity.bruteForceTopK(standing, queries,
+          idCol = "vec_id", vecCol = "embedding", queryIdCol = "vec_id",
+          k = 1)
+        .select(col("query_id").as("vec_id"), col("neighbor_id").as("pos_id"))
+      Similarity.miningShortlistSweep(standing, queries, positives, ranked,
+          idCol = "vec_id", vecCol = "embedding", queryIdCol = "vec_id",
+          k = 5, recallTarget = 0.7, dials = dials)
+        .orderBy("shortlist_s")
+    }),
+
     "q306_retrieval_triplets" -> ((s, d) => {
       // the retrieval-training close-out (round 17, the q249 composition
       // convention): corpus hygiene (row-local length gate) -> embedding
@@ -10851,6 +10878,112 @@ $fin"""
            FROM ex WHERE cos_raw < 0.95)
          SELECT query_id, neighbor_id, cosine, rank FROM rr WHERE rank <= 5
          ORDER BY query_id, rank""",
+
+    // the q305 probe chain ranked once, then the sweep: dials are
+    // multiples of the derived S (prefix cuts of ONE ADC ranking — the
+    // q296 nesting convention), each dial's mined list reranked exactly
+    // with the q304 exclusions and scored against the exact mining
+    // truth; recall = n_hit/n_truth through DECIMAL (n_truth = 50, so
+    // the quotient terminates within 6 places in both engines)
+    "q309_mining_autotune" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         st AS (SELECT * FROM e WHERE vec_id % 5 <> 2),
+         sl AS (SELECT greatest(CAST(ceil(0.02 * count(*)) AS BIGINT), 50) AS s
+           FROM st),
+         inc AS (SELECT * FROM e WHERE vec_id % 5 = 2 AND vec_id < 50),
+         ivfseeds AS (SELECT v AS c_vec, rn - 1 AS icell FROM
+             (SELECT v, row_number() OVER
+                (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM st)
+           WHERE rn <= 8),
+         asg AS (SELECT vec_id, icell FROM (
+             SELECT st.vec_id, s.icell,
+               row_number() OVER (PARTITION BY st.vec_id
+                 ORDER BY list_cosine_similarity(st.v, s.c_vec) DESC, s.icell) AS rn
+             FROM st CROSS JOIN ivfseeds s)
+           WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, icell FROM (
+             SELECT inc.vec_id, s.icell,
+               row_number() OVER (PARTITION BY inc.vec_id
+                 ORDER BY list_cosine_similarity(inc.v, s.c_vec) DESC, s.icell) AS rn
+             FROM inc CROSS JOIN ivfseeds s)
+           WHERE rn <= 4),
+         cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+           FROM probes p JOIN asg a ON p.icell = a.icell),
+         pqseeds AS (SELECT v AS sv, rn - 1 AS cell FROM
+             (SELECT v, row_number() OVER
+                (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM st)
+           WHERE rn <= 16),
+         js AS (SELECT unnest(generate_series(0, 7)) AS j),
+         cw AS (SELECT js.j, s.cell, s.sv[js.j*8 + 1 : js.j*8 + 8] AS w
+           FROM pqseeds s CROSS JOIN js),
+         sd AS (SELECT e.vec_id, c.j, c.cell,
+             list_sum([ (e.v[c.j*8 + d] - c.w[d]) * (e.v[c.j*8 + d] - c.w[d])
+                        for d in generate_series(1, 8) ]) AS sdist
+           FROM e CROSS JOIN cw c),
+         codes AS (SELECT vec_id, j, cell AS code FROM (
+             SELECT vec_id, j, cell, row_number() OVER
+               (PARTITION BY vec_id, j ORDER BY sdist ASC, cell ASC) AS rn
+             FROM sd WHERE vec_id % 5 <> 2)
+           WHERE rn = 1),
+         adc AS (SELECT c.query_id, c.neighbor_id,
+             list_sum(list(s.sdist ORDER BY s.j)) AS dist
+           FROM cand c
+           JOIN codes n ON n.vec_id = c.neighbor_id
+           JOIN sd s ON s.vec_id = c.query_id AND s.j = n.j AND s.cell = n.code
+           GROUP BY 1, 2),
+         ranked AS (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY dist ASC, neighbor_id ASC) AS rnk
+           FROM adc),
+         dials AS (SELECT (SELECT s FROM sl) * m AS ds
+           FROM (SELECT unnest([1, 2, 4]) AS m)),
+         sfull AS (SELECT i.vec_id AS query_id, s2.vec_id AS neighbor_id,
+             list_cosine_similarity(i.v, s2.v) AS cos_raw
+           FROM inc i CROSS JOIN st s2),
+         p AS (SELECT query_id, neighbor_id AS pos_id FROM
+             (SELECT query_id, neighbor_id, row_number() OVER
+                (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rn
+              FROM sfull)
+           WHERE rn = 1),
+         truthm AS (SELECT query_id, neighbor_id FROM
+             (SELECT f.query_id, f.neighbor_id, row_number() OVER
+                (PARTITION BY f.query_id
+                 ORDER BY f.cos_raw DESC, f.neighbor_id) AS rn
+              FROM (SELECT sfull.* FROM sfull
+                    LEFT JOIN p ON p.query_id = sfull.query_id
+                               AND p.pos_id = sfull.neighbor_id
+                    WHERE p.pos_id IS NULL AND cos_raw < 0.95) f)
+           WHERE rn <= 5),
+         minedd AS (SELECT ds, query_id, neighbor_id FROM
+             (SELECT d.ds, r2.query_id, r2.neighbor_id,
+                row_number() OVER (PARTITION BY d.ds, r2.query_id
+                  ORDER BY r2.cos_raw DESC, r2.neighbor_id) AS rn
+              FROM (SELECT rk.query_id, rk.neighbor_id, rk.rnk, sf.cos_raw
+                    FROM ranked rk
+                    JOIN sfull sf ON sf.query_id = rk.query_id
+                                 AND sf.neighbor_id = rk.neighbor_id
+                    LEFT JOIN p ON p.query_id = rk.query_id
+                               AND p.pos_id = rk.neighbor_id
+                    WHERE p.pos_id IS NULL AND sf.cos_raw < 0.95) r2
+              JOIN dials d ON r2.rnk <= d.ds)
+           WHERE rn <= 5),
+         nt AS (SELECT count(*) AS n_truth FROM truthm),
+         hitsj AS (SELECT m.ds, count(*) AS n_hit FROM minedd m
+           JOIN truthm t ON t.query_id = m.query_id
+                        AND t.neighbor_id = m.neighbor_id
+           GROUP BY 1),
+         res AS (SELECT d.ds, coalesce(h.n_hit, 0) AS n_hit
+           FROM dials d LEFT JOIN hitsj h ON h.ds = d.ds),
+         ch AS (SELECT min(ds) AS c FROM res, nt
+           WHERE CAST(CAST(n_hit AS DECIMAL(18,6)) / nt.n_truth AS DOUBLE)
+             >= 0.7)
+         SELECT CAST(r.ds AS INTEGER) AS shortlist_s,
+           CAST(nt.n_truth AS BIGINT) AS n_truth,
+           CAST(r.n_hit AS BIGINT) AS n_hit,
+           CAST(CAST(r.n_hit AS DECIMAL(18,6)) / nt.n_truth AS DOUBLE)
+             AS recall,
+           coalesce(r.ds = (SELECT c FROM ch), false) AS chosen
+         FROM res r, nt ORDER BY shortlist_s""",
 
     // the q301 replay with the Han derivation (q281's corpus CTE form)
     // and the ideographic separator; md5 runs over the same UTF-8 bytes

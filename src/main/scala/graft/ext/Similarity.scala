@@ -144,6 +144,54 @@ object Similarity {
     cosineTopKRank(scored, k)
   }
 
+  /** Measured mining-shortlist sweep (the [[lshTablesSweep]] convention
+    * applied to [[hardNegativesShortlisted]]): dial = absolute shortlist
+    * depth, each dial evaluated against the EXACT mining list on the
+    * same corpus/positives/margin. `rankedShortlist` is ONE probe of the
+    * index at the DEEPEST dial carrying its `rank` column — shallower
+    * dials are prefix cuts of it (the shortlist nests like the q296
+    * plane tables), so the whole sweep replays in SQL from one ADC
+    * ranking and the engine pays one probe, not one per dial.
+    */
+  def miningShortlistSweep(
+      corpus: DataFrame, queries: DataFrame, positives: DataFrame,
+      rankedShortlist: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      posIdCol: String = "pos_id",
+      k: Int = 10, excludeAbove: Double = 0.95,
+      recallTarget: Double = 0.9,
+      dials: Seq[Int] = Seq.empty): DataFrame = {
+    require(dials.nonEmpty, "pass the shortlist depths to sweep")
+    val truth = hardNegatives(corpus, queries, positives, idCol, vecCol,
+        queryIdCol, posIdCol, k, excludeAbove)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    recallSweep(truth, dials, s =>
+      hardNegativesShortlisted(corpus, queries, positives,
+        rankedShortlist.where(col("rank") <= s), idCol, vecCol,
+        queryIdCol, posIdCol, k, excludeAbove),
+      recallTarget, "shortlist_s")
+  }
+
+  /** Pick the smallest shortlist depth whose MEASURED mining recall
+    * reaches `recallTarget` — the [[miningShortlistSweep]] knee; falls
+    * back loudly to the deepest dial when none reaches it. Returns
+    * `(shortlistS, measuredRecall)`. Run it on a bounded query sample;
+    * the exact-truth pass scans the corpus once per sweep.
+    */
+  def autoTuneMiningShortlist(
+      corpus: DataFrame, queries: DataFrame, positives: DataFrame,
+      rankedShortlist: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      posIdCol: String = "pos_id",
+      k: Int = 10, excludeAbove: Double = 0.95,
+      recallTarget: Double = 0.9,
+      dials: Seq[Int] = Seq.empty): (Int, Double) =
+    pickChosen(
+      miningShortlistSweep(corpus, queries, positives, rankedShortlist,
+        idCol, vecCol, queryIdCol, posIdCol, k, excludeAbove,
+        recallTarget, dials),
+      "shortlist_s", recallTarget, "autoTuneMiningShortlist")
+
   /** THE shortlist sizing rule for both rerank families —
     * [[Pq.adcRerankTopK]] (q297) delegates here and the mining probe
     * (q305) calls it directly, so there is exactly one copy of

@@ -70,6 +70,35 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_._4) == Seq(1, 2))
   }
 
+  test("miningShortlistSweep: dials are prefix cuts of one ranked " +
+      "shortlist; chosen = smallest dial reaching the target") {
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.999f, 0.01f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.05f, 0.0f, 0.0f)),
+      (3L, Seq(0.8f, 0.6f, 0.0f, 0.0f)),
+      (4L, Seq(0.7f, 0.7f, 0.1f, 0.0f)),
+      (5L, Seq(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val queries = rows.where($"vec_id" === 0L)
+    val positives = Seq((0L, 1L)).toDF("vec_id", "pos_id")
+    // exact mining truth at k=2 is {3, 4}; the ranked shortlist puts 4
+    // LAST, so the shallow dial can only recall 3
+    val ranked = Seq((0L, 2L, 1), (0L, 3L, 2), (0L, 5L, 3), (0L, 4L, 4))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.miningShortlistSweep(rows, queries, positives,
+        ranked, "vec_id", "embedding", "vec_id", k = 2,
+        recallTarget = 0.9, dials = Seq(2, 4))
+      .orderBy("shortlist_s")
+      .as[(Int, Long, Long, Double, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (2, 2L, 1L, 0.5, false),
+      (4, 2L, 2L, 1.0, true)))
+    val (dial, recall) = Similarity.autoTuneMiningShortlist(rows, queries,
+      positives, ranked, "vec_id", "embedding", "vec_id", k = 2,
+      recallTarget = 0.9, dials = Seq(2, 4))
+    assert(dial == 4 && recall == 1.0)
+  }
+
   test("meanVectors: exact per-group dimension means, 1-based dims") {
     val df = Seq(
       ("a", Seq(1.0f, 3.0f)), ("a", Seq(3.0f, 5.0f)), ("b", Seq(10.0f, 0.0f)))
