@@ -2300,6 +2300,53 @@ $fin"""
         .orderBy("doc_id")
     }),
 
+    "q310_hybrid_rrf" -> ((s, d) => {
+      // hybrid retrieval: the q182 BM25 ranking fused with a DENSE
+      // ranking whose query vector comes from pseudo-relevance feedback
+      // — the per-dim DECIMAL SUM of the BM25 top-3 docs' embeddings
+      // (sum, not mean: cosine is scale-invariant, and skipping the
+      // division keeps the vector engine-exact with no non-terminating
+      // quotient). Reciprocal-rank fusion (1/(60+rank), 6dp, decimal-
+      // summed) composes the incomparable BM25/cosine scales with no
+      // calibration. Text queries have no embeddings, which is exactly
+      // the situation PRF exists for.
+      val docs = fanOut(s, t(s, d, "documents"), "doc_id")
+        .where(col("text").isNotNull)
+      val stats = docs
+        .agg(count(lit(1)), sum(size(text.tokens(col("text"))).cast("long")))
+        .head()
+      val qdf = s.createDataFrame(bm25Queries).toDF("query_id", "qtext")
+      // feeds BOTH the PRF vector and the fusion — evaluate once
+      val bm25 = graft.ext.Vocab.bm25Search(docs, "doc_id", "text", qdf,
+          "query_id", "qtext", stats.getLong(0), stats.getLong(1), k = 10)
+        .localCheckpoint()
+      val emb = t(s, d, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val prf = bm25.where(col("rnk") <= 3)
+        .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+          Seq("doc_id"))
+        .select(col("query_id"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("query_id"), col("dim"))
+        .agg(sum(col("v").cast("decimal(18,8)")).cast("double").as("sv"))
+        .groupBy(col("query_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("sv")))),
+          x => x.getField("sv")).as("embedding"))
+      // distinct id spaces (query 1..3 vs doc 0..N): excludeSelf would
+      // silently drop doc_id == query_id — the bruteForceTopK caveat
+      val dense = Similarity.bruteForceTopK(emb, prf, idCol = "vec_id",
+        vecCol = "embedding", queryIdCol = "query_id", k = 10,
+        excludeSelf = false)
+      Similarity.rrfFuse(Seq(
+          bm25.select(col("query_id"), col("doc_id"),
+            col("rnk").as("rank")),
+          dense.select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank"))),
+          k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "q309_mining_autotune" -> ((s, d) => {
       // the mining-shortlist dial MEASURED in-engine (the q296 tuner
       // convention applied to q305): ONE probe of the persisted index at
@@ -10878,6 +10925,73 @@ $fin"""
            FROM ex WHERE cos_raw < 0.95)
          SELECT query_id, neighbor_id, cosine, rank FROM rr WHERE rank <= 5
          ORDER BY query_id, rank""",
+
+    // q182's BM25 CTEs verbatim, then the hybrid tail: PRF query vector
+    // = per-dim DECIMAL sum of the bm25-top-3 embeddings (no division —
+    // cosine is scale-invariant), dense rank by list_cosine_similarity,
+    // RRF contributions rounded to 6dp and decimal-summed. No 1/(60+r)
+    // lands on a rounding half-boundary: the only terminating value is
+    // 1/64, exact at 6 places
+    "q310_hybrid_rrf" ->
+      raw"""WITH d0 AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+             x -> x <> '') AS arr
+         FROM documents WHERE text IS NOT NULL),
+        st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(len(arr)) AS DOUBLE) AS dls FROM d0),
+        tok AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS dl,
+            unnest(arr) AS token FROM d0),
+        tf AS (SELECT doc_id, token, dl, count(*) AS tf
+          FROM tok GROUP BY 1, 2, 3),
+        qq AS (SELECT * FROM (VALUES $bm25QueriesLit) AS t(query_id, qtext)),
+        qt AS (SELECT DISTINCT query_id,
+            unnest(list_filter(regexp_split_to_array(lower(qtext), '[^\p{L}\p{N}_]+'),
+              x -> x <> '')) AS token
+          FROM qq),
+        dfq AS (SELECT token, count(*) AS df FROM tf
+          WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY 1),
+        sc AS (SELECT qt.query_id, tf.doc_id,
+            CAST(round((st.n + 1.0) / (dfq.df + 0.5) *
+              (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 +
+                0.75 * tf.dl * st.n / st.dls))), 6) AS DECIMAL(18,6)) AS ts
+          FROM qt JOIN tf USING (token) JOIN dfq USING (token) CROSS JOIN st),
+        tot AS (SELECT query_id, doc_id, CAST(sum(ts) AS DOUBLE) AS score
+          FROM sc GROUP BY 1, 2),
+        r AS (SELECT query_id, doc_id, score,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS rnk
+          FROM tot),
+        top3 AS (SELECT query_id, doc_id FROM r WHERE rnk <= 3),
+        ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+        pd AS (SELECT t.query_id, dims.dim,
+            CAST(sum(CAST(e.v[dims.dim] AS DECIMAL(18,8))) AS DOUBLE) AS sv
+          FROM top3 t JOIN ev e ON e.vec_id = t.doc_id CROSS JOIN dims
+          GROUP BY 1, 2),
+        qv AS (SELECT query_id, list(sv ORDER BY dim) AS qvec
+          FROM pd GROUP BY 1),
+        dsc AS (SELECT q.query_id, e.vec_id AS doc_id,
+            list_cosine_similarity(q.qvec, e.v) AS cs
+          FROM qv q CROSS JOIN ev e),
+        dr AS (SELECT query_id, doc_id, row_number() OVER
+            (PARTITION BY query_id ORDER BY cs DESC, doc_id) AS drk
+          FROM dsc),
+        c AS (SELECT query_id, doc_id,
+            CAST(round(1.0 / (60 + rnk), 6) AS DECIMAL(18,6)) AS c
+          FROM r WHERE rnk <= 10
+          UNION ALL
+          SELECT query_id, doc_id,
+            CAST(round(1.0 / (60 + drk), 6) AS DECIMAL(18,6)) AS c
+          FROM dr WHERE drk <= 10),
+        f AS (SELECT query_id, doc_id, CAST(sum(c) AS DOUBLE) AS rrf_score
+          FROM c GROUP BY 1, 2),
+        fr AS (SELECT query_id, doc_id, rrf_score, row_number() OVER
+            (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+          FROM f)
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_score,
+          CAST(rank AS INTEGER) AS rank
+        FROM fr WHERE rank <= 10 ORDER BY query_id, rank""",
 
     // the q305 probe chain ranked once, then the sweep: dials are
     // multiples of the derived S (prefix cuts of ONE ADC ranking — the

@@ -192,6 +192,39 @@ object Similarity {
         recallTarget, dials),
       "shortlist_s", recallTarget, "autoTuneMiningShortlist")
 
+  /** Reciprocal-rank fusion of per-query rankings — the standard hybrid-
+    * retrieval combiner (BM25 + dense is the classic pair): fused
+    * score(q, d) = sum over rankings of 1/(k0 + rank_r(q, d)), absent
+    * docs contributing nothing. Fusing RANKS makes incomparable score
+    * scales (BM25 mass vs cosine vs ADC distance) composable with no
+    * calibration, and k0 (=60, the published default) damps the head so
+    * one ranking's top hit cannot dominate alone.
+    *
+    * Each input frame carries `(query_id, doc_id, rank)`. Per-row
+    * contributions are IEEE doubles rounded to 6dp and DECIMAL-summed
+    * (the bm25Search term-score convention), so fused scores are
+    * bit-reproducible at any parallelism and SQL-replayable. Ranking on
+    * the [[graft.plans.GroupTopK]] heap; (score desc, doc_id asc) is a
+    * total order. Scale shape: one union of k-bounded ranking frames +
+    * one (query, doc)-keyed partial-agg shuffle — never corpus-sized.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 10, k0: Int = 60)
+      : DataFrame = {
+    require(rankings.nonEmpty, "at least one ranking required")
+    require(k >= 1, "k must be >= 1")
+    require(k0 >= 1, "k0 must be >= 1")
+    val contribs = rankings.map(_.select(col("query_id"), col("doc_id"),
+        round(lit(1.0) / (lit(k0) + col("rank").cast("double")), 6)
+          .cast("decimal(18,6)").as("__c")))
+      .reduce(_.unionByName(_))
+    val fused = contribs.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__c")).cast("double").as("rrf_score"))
+    graft.plans.GroupTopK(fused, Seq("query_id"),
+        Seq("rrf_score" -> false, "doc_id" -> true), k, rankName = "rank")
+      .select(col("query_id"), col("doc_id"), col("rrf_score"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** THE shortlist sizing rule for both rerank families —
     * [[Pq.adcRerankTopK]] (q297) delegates here and the mining probe
     * (q305) calls it directly, so there is exactly one copy of

@@ -99,6 +99,21 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(dial == 4 && recall == 1.0)
   }
 
+  test("rrfFuse: both-list docs outrank single-list heads; absent docs " +
+      "contribute nothing") {
+    // doc 10 is rank 2 in BOTH lists (1/62 + 1/62 ~ 0.032258);
+    // docs 11/12 are the single-list heads (1/61 ~ 0.016393 each)
+    val a = Seq((1L, 11L, 1), (1L, 10L, 2)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 12L, 1), (1L, 10L, 2)).toDF("query_id", "doc_id", "rank")
+    val out = Similarity.rrfFuse(Seq(a, b), k = 3)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect().toSeq
+    assert(out.map(_._2) == Seq(10L, 11L, 12L),
+      s"consensus doc must win, ties break by doc_id: $out")
+    assert(out.head._3 == 0.032258 * 1.0) // 2 * round(1/62, 6)
+    assert(out(1)._3 == 0.016393 && out(2)._3 == 0.016393)
+    assert(out.map(_._4) == Seq(1, 2, 3))
+  }
+
   test("meanVectors: exact per-group dimension means, 1-based dims") {
     val df = Seq(
       ("a", Seq(1.0f, 3.0f)), ("a", Seq(3.0f, 5.0f)), ("b", Seq(10.0f, 0.0f)))
