@@ -606,6 +606,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q310: hybrid fusion never plans a cartesian; the dense PRF probe " +
+      "broadcasts onto the corpus") {
+    val plan = finalPlan("q310_hybrid_rrf")
+    assert(!plan.contains("CartesianProduct"),
+      s"q310 planned a cartesian product:\n$plan")
+    // the 3-row PRF query frame must broadcast (the bruteForceTopK
+    // contract) — a shuffled nested loop here would move the corpus
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"q310 dense probe lost its broadcast:\n$plan")
+    // RRF's (query, doc) score sum partial-aggregates before its exchange
+    assert(plan.contains("partial_sum(__c"),
+      s"q310 fusion sum not map-side partial:\n$plan")
+  }
+
   test("q277: the moment matrix is single-scan — one hash exchange like q150") {
     // ALL d(d+1)/2 moments ride ONE GramMoments buffer through ONE
     // groupBy exchange; the pair fan-out is a row-local explode of the
