@@ -70,19 +70,20 @@ object SparkEntry {
   private def standingAnnIndex(
       s: SparkSession, d: String): graft.ext.AnnIndex.State = {
     val standing = t(s, d, "embeddings").where(col("vec_id") % 5 =!= 2)
-    val params = graft.ext.AnnIndex.Params(nCells = 8, m = 8, c = 16)
+    // nCells DERIVED from the standing count (AnnIndex.derivedNCells,
+    // round-18 verdict #1): the oracles replay the same derivation as
+    // `greatest(4, ceil(sqrt(count(*))))` over the standing slice, so
+    // the gate geometry now scales exactly like production's.
+    val nCells = graft.ext.AnnIndex.derivedNCells(standing.count())
+    val params = graft.ext.AnnIndex.Params(nCells = nCells, m = 8, c = 16)
     val stateDir = graft.io.TextTables.scratchDir("ann_index", d,
       graft.io.TextTables.sourceFingerprint(s"$d/embeddings.parquet")
         + ";" + params.encoded)
     new java.io.File(stateDir).mkdirs()
     graft.ext.AnnIndex.load(s, stateDir, params).getOrElse {
-      val coarse = graft.ext.Ivf.portableSeedModel(standing, "vec_id",
-        "embedding", k = 8)
-      val pqm = graft.ext.Pq.portableSeedCodebooks(standing, "vec_id",
-        "embedding", m = 8, c = 16)
       graft.ext.AnnIndex.save(s,
-        graft.ext.AnnIndex.build(standing, "vec_id", "embedding",
-          coarse, pqm), stateDir)
+        graft.ext.AnnIndex.buildPortable(standing, "vec_id", "embedding",
+          m = 8, c = 16, nCells = Some(nCells)), stateDir)
       graft.ext.AnnIndex.load(s, stateDir, params).getOrElse(
         // a bare .get would die as "None.get" AFTER paying the full
         // encode+persist — name the dir and the likely cause instead
@@ -875,10 +876,12 @@ $fin"""
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          st AS (SELECT * FROM e WHERE vec_id % 5 <> 2),
          inc AS (SELECT * FROM e WHERE vec_id % 5 = 2),
+         nc AS (SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
+           FROM st),
          ivfseeds AS (SELECT v AS c_vec, rn - 1 AS icell FROM
              (SELECT v, row_number() OVER
                 (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM st)
-           WHERE rn <= 8),
+           WHERE rn <= (SELECT k FROM nc)),
          asg AS (SELECT vec_id, icell FROM (
              SELECT st.vec_id, s.icell,
                row_number() OVER (PARTITION BY st.vec_id
@@ -10860,10 +10863,12 @@ $fin"""
          sl AS (SELECT greatest(CAST(ceil(0.02 * count(*)) AS BIGINT), 50) AS s
            FROM st),
          inc AS (SELECT * FROM e WHERE vec_id % 5 = 2 AND vec_id < 50),
+         nc AS (SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
+           FROM st),
          ivfseeds AS (SELECT v AS c_vec, rn - 1 AS icell FROM
              (SELECT v, row_number() OVER
                 (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM st)
-           WHERE rn <= 8),
+           WHERE rn <= (SELECT k FROM nc)),
          asg AS (SELECT vec_id, icell FROM (
              SELECT st.vec_id, s.icell,
                row_number() OVER (PARTITION BY st.vec_id
@@ -11005,10 +11010,12 @@ $fin"""
          sl AS (SELECT greatest(CAST(ceil(0.02 * count(*)) AS BIGINT), 50) AS s
            FROM st),
          inc AS (SELECT * FROM e WHERE vec_id % 5 = 2 AND vec_id < 50),
+         nc AS (SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
+           FROM st),
          ivfseeds AS (SELECT v AS c_vec, rn - 1 AS icell FROM
              (SELECT v, row_number() OVER
                 (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM st)
-           WHERE rn <= 8),
+           WHERE rn <= (SELECT k FROM nc)),
          asg AS (SELECT vec_id, icell FROM (
              SELECT st.vec_id, s.icell,
                row_number() OVER (PARTITION BY st.vec_id

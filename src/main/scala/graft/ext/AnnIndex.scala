@@ -67,6 +67,59 @@ object AnnIndex {
       coarse: Ivf.Model, pq: Pq.Model): State =
     State(coarse, pq, encode(corpus, idCol, vecCol, coarse, pq))
 
+  /** Derived default cell count for a corpus of `n` vectors:
+    * `max(floor, ⌈√n⌉)` — the FAISS IVF sizing rule (nlist ≈ √N holds
+    * per-probe candidate mass at `O(√N · nProbe)` instead of the
+    * toward-a-scan degradation of a frozen cell count; Jégou et al.
+    * 2011 §V uses the same order). Encoded HERE rather than in probe's
+    * scaladoc (the r16 SQ8 / fixed-S lesson: measured scale rules live
+    * in code) — round 17's q299 fixture froze nCells=8 while ScaleBench
+    * grew the corpus 100× and the probe degraded 64× BY GEOMETRY; under
+    * this derivation the same 100× grows nCells 10× and the probed
+    * slice stays ~√N.
+    *
+    * The floor keeps tiny replay fixtures meaningful (at least a few
+    * cells to probe); the derivation is exact-integer so an oracle can
+    * replay it as `greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT))`.
+    */
+  def derivedNCells(n: Long, floor: Int = 4): Int = {
+    require(n >= 0, "corpus count must be >= 0")
+    math.max(floor, math.ceil(math.sqrt(n.toDouble)).toInt)
+  }
+
+  /** Build a portable-seeded index SIZED TO THE CORPUS: one count scan,
+    * nCells = [[derivedNCells]] unless explicitly overridden (oracle
+    * replay fixtures that must freeze geometry across scales pass
+    * `Some(k)`; production callers pass None and cannot accidentally
+    * freeze a cell count while the corpus grows). Seed models keep the
+    * md5-portable convention so the whole index replays in SQL.
+    */
+  def buildPortable(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, c: Int, nCells: Option[Int] = None): State = {
+    val base = corpus.where(col(vecCol).isNotNull)
+    val k = nCells.getOrElse(derivedNCells(base.count()))
+    build(base, idCol, vecCol,
+      Ivf.portableSeedModel(base, idCol, vecCol, k),
+      Pq.portableSeedCodebooks(base, idCol, vecCol, m, c))
+  }
+
+  /** Build a TRAINED index sized to the corpus: Lloyd-refined coarse
+    * quantizer ([[Ivf.train]]) and PQ codebooks ([[Pq.train]]) with the
+    * same derived-nCells default as [[buildPortable]] — the production
+    * build path (RecallBench: trained models lift recall@10 from ~0.5
+    * to ≥0.9 at matched probe cost).
+    */
+  def buildTrained(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, c: Int, nCells: Option[Int] = None,
+      coarseIters: Int = 5, pqIters: Int = 3,
+      maxTrainRows: Long = 1000000L): State = {
+    val base = corpus.where(col(vecCol).isNotNull)
+    val k = nCells.getOrElse(derivedNCells(base.count()))
+    build(base, idCol, vecCol,
+      Ivf.train(base, idCol, vecCol, k, coarseIters, maxTrainRows),
+      Pq.train(base, idCol, vecCol, m, c, pqIters))
+  }
+
   /** Append an increment under the state's FROZEN models: encode the new
     * vectors and union their codes on — centroids and codebooks are
     * untouched, so standing codes stay valid and [[probe]] results are
@@ -86,13 +139,12 @@ object AnnIndex {
     * are scored. `(query_id, neighbor_id, adc_dist, rank)`.
     *
     * Cost shape: ~`|queries| * |corpus| * nProbe / nCells` ADC
-    * scorings. Size `nCells` to the corpus when BUILDING the index —
-    * the standard dial is `nCells ≈ sqrt(|corpus|)` (FAISS IVF
-    * guidance), which holds per-probe cost at `O(sqrt(N) * nProbe)`;
-    * a cell count frozen while the corpus grows 100x degrades toward a
-    * scan (measured: the q299 gate fixture deliberately freezes
-    * nCells=8 for oracle replay, and its ScaleBench curve grows with
-    * corpus x probe-slice — fixture geometry, not the plan).
+    * scorings. The `nCells ≈ √N` sizing that keeps this at
+    * `O(√N · nProbe)` is CODE, not guidance: [[derivedNCells]] is the
+    * default for [[buildPortable]]/[[buildTrained]], so only an
+    * explicit override can freeze a cell count while the corpus grows
+    * (round 17 measured that degradation at 64× under a frozen
+    * nCells=8 fixture across a 100× corpus).
     */
   def probe(state: State, queries: DataFrame, vecCol: String,
       queryIdCol: String, k: Int = 10, nProbe: Int = 4,

@@ -97,4 +97,36 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(run(appended) == run(rebuilt))
     assert(appended.codes.count() == 40L)
   }
+
+  test("derivedNCells: ceil(sqrt(n)) with the replay floor, 100x corpus -> 10x cells") {
+    assert(AnnIndex.derivedNCells(0L) == 4) // floor
+    assert(AnnIndex.derivedNCells(16L) == 4)
+    assert(AnnIndex.derivedNCells(17L) == 5)
+    assert(AnnIndex.derivedNCells(400L) == 20)
+    // the scale property the q299 fixture froze away: cells track sqrt(N),
+    // so a 100x corpus probes a ~sqrt(100)=10x-finer partition, not the
+    // same 8 cells
+    assert(AnnIndex.derivedNCells(40000L) == 200)
+    assert(AnnIndex.derivedNCells(1L, floor = 1) == 1)
+  }
+
+  test("buildPortable: derived default sizes to the corpus; explicit override wins") {
+    val c = corpus(40) // ceil(sqrt(40)) = 7
+    val derived = AnnIndex.buildPortable(c, "vec_id", "embedding", m = 2, c = 4)
+    assert(derived.params == AnnIndex.Params(nCells = 7, m = 2, c = 4))
+    val frozen = AnnIndex.buildPortable(c, "vec_id", "embedding", m = 2,
+      c = 4, nCells = Some(4))
+    assert(frozen.params == AnnIndex.Params(nCells = 4, m = 2, c = 4))
+    // the derived build IS the explicit build at the derived k — one
+    // code path, no second encode convention
+    val q = corpus(5, idOffset = 1000L)
+    val (coarseK7, pq) = (
+      Ivf.portableSeedModel(c, "vec_id", "embedding", k = 7),
+      Pq.portableSeedCodebooks(c, "vec_id", "embedding", m = 2, c = 4))
+    def run(st: AnnIndex.State) =
+      AnnIndex.probe(st, q, "embedding", "vec_id", k = 3, nProbe = 2)
+        .as[(Long, Long, Double, Int)].collect().toSet
+    assert(run(derived) ==
+      run(AnnIndex.build(c, "vec_id", "embedding", coarseK7, pq)))
+  }
 }
