@@ -2350,6 +2350,61 @@ $fin"""
         .orderBy("query_id", "rank")
     }),
 
+    "q311_hybrid_indexed" -> ((s, d) => {
+      // q310's hybrid retrieval with the dense side served by the
+      // PERSISTED index (round 18): corpus = the STANDING slice on BOTH
+      // rankings (the production situation — the index IS the corpus),
+      // the PRF query vector probes the standing IVF-PQ index at the
+      // q305 derived shortlist depth with the measured-knee nProbe = 4,
+      // the ADC shortlist reranks EXACTLY by cosine
+      // (Similarity.shortlistRerankTopK), and RRF fuses that ranking
+      // with BM25 — hybrid retrieval inherits the index's flat probe
+      // wall (ProbeBench) instead of q310's corpus-sized brute-force
+      // stream. Self-exclusion stays OFF: retrieval query ids (1..3)
+      // live in a different id space than doc ids (the q310 caveat).
+      val docs = fanOut(s, t(s, d, "documents"), "doc_id")
+        .where(col("text").isNotNull && col("doc_id") % 5 =!= 2)
+      val stats = docs
+        .agg(count(lit(1)), sum(size(text.tokens(col("text"))).cast("long")))
+        .head()
+      val qdf = s.createDataFrame(bm25Queries).toDF("query_id", "qtext")
+      val bm25 = graft.ext.Vocab.bm25Search(docs, "doc_id", "text", qdf,
+          "query_id", "qtext", stats.getLong(0), stats.getLong(1), k = 10)
+        .localCheckpoint()
+      val emb = t(s, d, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      // PRF vector: per-dim DECIMAL sum of the BM25 top-3 docs'
+      // embeddings (q310's engine-exact construction; the top-3 docs
+      // are standing docs, so the full-table join binds the same rows)
+      val prf = bm25.where(col("rnk") <= 3)
+        .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+          Seq("doc_id"))
+        .select(col("query_id"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("query_id"), col("dim"))
+        .agg(sum(col("v").cast("decimal(18,8)")).cast("double").as("sv"))
+        .groupBy(col("query_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("sv")))),
+          x => x.getField("sv")).as("embedding"))
+      val state = standingAnnIndex(s, d)
+      val shortS = Similarity.miningShortlistSize(state.codes.count(), k = 10)
+      val shortlist = graft.ext.AnnIndex.probe(state, prf, "embedding",
+          "query_id", k = shortS, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val dense = Similarity.shortlistRerankTopK(
+        emb.where(col("vec_id") % 5 =!= 2), prf, shortlist,
+        idCol = "vec_id", vecCol = "embedding", queryIdCol = "query_id",
+        k = 10)
+      Similarity.rrfFuse(Seq(
+          bm25.select(col("query_id"), col("doc_id"),
+            col("rnk").as("rank")),
+          dense.select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank"))),
+          k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "q309_mining_autotune" -> ((s, d) => {
       // the mining-shortlist dial MEASURED in-engine (the q296 tuner
       // convention applied to q305): ONE probe of the persisted index at
@@ -10979,6 +11034,128 @@ $fin"""
         dsc AS (SELECT q.query_id, e.vec_id AS doc_id,
             list_cosine_similarity(q.qvec, e.v) AS cs
           FROM qv q CROSS JOIN ev e),
+        dr AS (SELECT query_id, doc_id, row_number() OVER
+            (PARTITION BY query_id ORDER BY cs DESC, doc_id) AS drk
+          FROM dsc),
+        c AS (SELECT query_id, doc_id,
+            CAST(round(1.0 / (60 + rnk), 6) AS DECIMAL(18,6)) AS c
+          FROM r WHERE rnk <= 10
+          UNION ALL
+          SELECT query_id, doc_id,
+            CAST(round(1.0 / (60 + drk), 6) AS DECIMAL(18,6)) AS c
+          FROM dr WHERE drk <= 10),
+        f AS (SELECT query_id, doc_id, CAST(sum(c) AS DOUBLE) AS rrf_score
+          FROM c GROUP BY 1, 2),
+        fr AS (SELECT query_id, doc_id, rrf_score, row_number() OVER
+            (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+          FROM f)
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_score,
+          CAST(rank AS INTEGER) AS rank
+        FROM fr WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // q310's BM25 + PRF CTEs restricted to the standing slice, then the
+    // q299/q305 index chain (derived nCells + derived shortlist depth,
+    // nProbe 4) probed BY THE PRF VECTOR, exact cosine rerank of the ADC
+    // shortlist, and the same RRF tail
+    "q311_hybrid_indexed" ->
+      raw"""WITH d0 AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+             x -> x <> '') AS arr
+         FROM documents WHERE text IS NOT NULL AND doc_id % 5 <> 2),
+        st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(len(arr)) AS DOUBLE) AS dls FROM d0),
+        tok AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS dl,
+            unnest(arr) AS token FROM d0),
+        tf AS (SELECT doc_id, token, dl, count(*) AS tf
+          FROM tok GROUP BY 1, 2, 3),
+        qq AS (SELECT * FROM (VALUES $bm25QueriesLit) AS t(query_id, qtext)),
+        qt AS (SELECT DISTINCT query_id,
+            unnest(list_filter(regexp_split_to_array(lower(qtext), '[^\p{L}\p{N}_]+'),
+              x -> x <> '')) AS token
+          FROM qq),
+        dfq AS (SELECT token, count(*) AS df FROM tf
+          WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY 1),
+        sc AS (SELECT qt.query_id, tf.doc_id,
+            CAST(round((st.n + 1.0) / (dfq.df + 0.5) *
+              (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 +
+                0.75 * tf.dl * st.n / st.dls))), 6) AS DECIMAL(18,6)) AS ts
+          FROM qt JOIN tf USING (token) JOIN dfq USING (token) CROSS JOIN st),
+        tot AS (SELECT query_id, doc_id, CAST(sum(ts) AS DOUBLE) AS score
+          FROM sc GROUP BY 1, 2),
+        r AS (SELECT query_id, doc_id, score,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS rnk
+          FROM tot),
+        top3 AS (SELECT query_id, doc_id FROM r WHERE rnk <= 3),
+        ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        se AS (SELECT * FROM ev WHERE vec_id % 5 <> 2),
+        dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+        pd AS (SELECT t.query_id, dims.dim,
+            CAST(sum(CAST(e.v[dims.dim] AS DECIMAL(18,8))) AS DOUBLE) AS sv
+          FROM top3 t JOIN ev e ON e.vec_id = t.doc_id CROSS JOIN dims
+          GROUP BY 1, 2),
+        qv AS (SELECT query_id, list(sv ORDER BY dim) AS qvec
+          FROM pd GROUP BY 1),
+        nc AS (SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
+          FROM se),
+        slsz AS (SELECT greatest(CAST(ceil(0.02 * count(*)) AS BIGINT), 100) AS s
+          FROM se),
+        ivfseeds AS (SELECT v AS c_vec, rn - 1 AS icell FROM
+            (SELECT v, row_number() OVER
+               (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM se)
+          WHERE rn <= (SELECT k FROM nc)),
+        asg AS (SELECT vec_id, icell FROM (
+            SELECT se.vec_id, s.icell,
+              row_number() OVER (PARTITION BY se.vec_id
+                ORDER BY list_cosine_similarity(se.v, s.c_vec) DESC, s.icell) AS rn
+            FROM se CROSS JOIN ivfseeds s)
+          WHERE rn = 1),
+        probes AS (SELECT query_id, icell FROM (
+            SELECT q.query_id, s.icell,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY list_cosine_similarity(q.qvec, s.c_vec) DESC, s.icell) AS rn
+            FROM qv q CROSS JOIN ivfseeds s)
+          WHERE rn <= 4),
+        cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+          FROM probes p JOIN asg a ON p.icell = a.icell),
+        pqseeds AS (SELECT v AS sv2, rn - 1 AS cell FROM
+            (SELECT v, row_number() OVER
+               (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM se)
+          WHERE rn <= 16),
+        js AS (SELECT unnest(generate_series(0, 7)) AS j),
+        cw AS (SELECT js.j, s.cell, s.sv2[js.j*8 + 1 : js.j*8 + 8] AS w
+          FROM pqseeds s CROSS JOIN js),
+        sdc AS (SELECT se.vec_id, c.j, c.cell,
+            list_sum([ (se.v[c.j*8 + d] - c.w[d]) * (se.v[c.j*8 + d] - c.w[d])
+                       for d in generate_series(1, 8) ]) AS sdist
+          FROM se CROSS JOIN cw c),
+        codes AS (SELECT vec_id, j, cell AS code FROM (
+            SELECT vec_id, j, cell, row_number() OVER
+              (PARTITION BY vec_id, j ORDER BY sdist ASC, cell ASC) AS rn
+            FROM sdc)
+          WHERE rn = 1),
+        sdq AS (SELECT q.query_id, c.j, c.cell,
+            list_sum([ (q.qvec[c.j*8 + d] - c.w[d]) * (q.qvec[c.j*8 + d] - c.w[d])
+                       for d in generate_series(1, 8) ]) AS sdist
+          FROM qv q CROSS JOIN cw c),
+        adc AS (SELECT c.query_id, c.neighbor_id,
+            list_sum(list(s.sdist ORDER BY s.j)) AS dist
+          FROM cand c
+          JOIN codes n ON n.vec_id = c.neighbor_id
+          JOIN sdq s ON s.query_id = c.query_id AND s.j = n.j
+                    AND s.cell = n.code
+          GROUP BY 1, 2),
+        short AS (SELECT query_id, neighbor_id FROM
+            (SELECT query_id, neighbor_id, row_number() OVER
+               (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rnk
+             FROM adc)
+          WHERE rnk <= (SELECT s FROM slsz)),
+        dsc AS (SELECT sh.query_id, sh.neighbor_id AS doc_id,
+            list_cosine_similarity(q.qvec, se.v) AS cs
+          FROM short sh
+          JOIN qv q ON q.query_id = sh.query_id
+          JOIN se ON se.vec_id = sh.neighbor_id),
         dr AS (SELECT query_id, doc_id, row_number() OVER
             (PARTITION BY query_id ORDER BY cs DESC, doc_id) AS drk
           FROM dsc),

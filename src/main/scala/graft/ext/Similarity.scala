@@ -128,20 +128,56 @@ object Similarity {
       idCol: String, vecCol: String, queryIdCol: String,
       posIdCol: String = "pos_id",
       k: Int = 10, excludeAbove: Double = 0.95): DataFrame = {
-    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
-      col(vecCol).as("q_vec")))
     val pos = broadcast(positives.select(col(queryIdCol).as("query_id"),
       col(posIdCol).as("neighbor_id")).distinct())
-    val scored = broadcast(
-        shortlist.select(col("query_id"), col("neighbor_id")).distinct())
-      .join(corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).as("c_vec")), Seq("neighbor_id"))
-      .join(q, Seq("query_id"))
+    val scored = shortlistScored(corpus, queries, shortlist, idCol, vecCol,
+        queryIdCol)
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", vectors.cosine(col("q_vec"), col("c_vec")))
       .where(col("cosine") < excludeAbove)
       .join(pos, Seq("query_id", "neighbor_id"), "left_anti")
     cosineTopKRank(scored, k)
+  }
+
+  /** The shared shortlist fetch+score stage of both shortlist faces:
+    * candidate vectors arrive by ONE broadcast equi-join on the
+    * (bounded: |queries| x S) candidate pairs — the corpus never
+    * shuffles and never streams past the queries — and every candidate
+    * is scored EXACTLY. `(query_id, neighbor_id, cosine)`, unrounded.
+    */
+  private def shortlistScored(
+      corpus: DataFrame, queries: DataFrame, shortlist: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("q_vec")))
+    broadcast(shortlist.select(col("query_id"), col("neighbor_id")).distinct())
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("c_vec")), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("cosine", vectors.cosine(col("q_vec"), col("c_vec")))
+      .drop("q_vec", "c_vec")
+  }
+
+  /** Exact cosine rerank of an ANN shortlist — the RETRIEVAL face of
+    * [[hardNegativesShortlisted]]: no positive anti-join, no
+    * near-positive margin, and self-exclusion OFF by default (retrieval
+    * query ids usually live in a different id space than doc ids, the
+    * [[bruteForceTopK]] excludeSelf caveat). Everything after the
+    * shortlist is exact, so the result equals [[bruteForceTopK]]
+    * whenever the shortlist contains the true top-k — recall is the
+    * SHORTLIST's (size it with [[miningShortlistSize]]); the wall is
+    * the index probe's, not the corpus scan's. Output
+    * `(query_id, neighbor_id, cosine, rank)`, the shared ANN display
+    * convention.
+    */
+  def shortlistRerankTopK(
+      corpus: DataFrame, queries: DataFrame, shortlist: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      k: Int = 10, excludeSelf: Boolean = false): DataFrame = {
+    val scored = shortlistScored(corpus, queries, shortlist, idCol, vecCol,
+      queryIdCol)
+    cosineTopKRank(
+      if (excludeSelf) scored.where(col("neighbor_id") =!= col("query_id"))
+      else scored, k)
   }
 
   /** Measured mining-shortlist sweep (the [[lshTablesSweep]] convention

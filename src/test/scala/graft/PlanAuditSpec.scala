@@ -621,6 +621,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"q310 fusion sum not map-side partial:\n$plan")
   }
 
+  test("q311: indexed hybrid keeps the q305 shape — no cartesian, " +
+      "shortlist and PRF probe broadcast, fusion sum partial") {
+    val plan = finalPlan("q311_hybrid_indexed")
+    assert(!plan.contains("CartesianProduct"),
+      s"q311 planned a cartesian product:\n$plan")
+    // the dense side is probe + rerank: the candidate pairs and the PRF
+    // query frame broadcast onto the corpus codes/vectors — a shuffled
+    // join would move the standing corpus per query
+    assert(plan.contains("BroadcastExchange"),
+      s"q311 lost its broadcast probe/shortlist sides:\n$plan")
+    assert(plan.contains("partial_sum(__c"),
+      s"q311 fusion sum not map-side partial:\n$plan")
+  }
+
   test("q277: the moment matrix is single-scan — one hash exchange like q150") {
     // ALL d(d+1)/2 moments ride ONE GramMoments buffer through ONE
     // groupBy exchange; the pair fan-out is a row-local explode of the

@@ -70,6 +70,38 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_._4) == Seq(1, 2))
   }
 
+  test("shortlistRerankTopK: equals bruteForceTopK on a full shortlist; " +
+      "recall is the shortlist's; excludeSelf off by default") {
+    val corpus = clustered
+    val queries = clustered.where($"vec_id" < 3L)
+    val full = corpus.select($"vec_id".as("neighbor_id"))
+      .crossJoin(queries.select($"vec_id".as("query_id")))
+    val rerank = Similarity.shortlistRerankTopK(corpus, queries, full,
+        "vec_id", "embedding", "vec_id", k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val brute = Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", "vec_id", k = 5, excludeSelf = false)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rerank == brute)
+    // self appears at rank 1 (cosine 1.0) — the retrieval default keeps it
+    assert(rerank.exists { case (q, n, _, r) => q == n && r == 1 })
+    // a shortlist that misses the true #2 cannot return it: recall is
+    // the shortlist's, everything after it exact
+    val q0 = brute.filter(_._1 == 0L).toSeq.sortBy(_._4).map(_._2)
+    val missing = q0(1)
+    val cut = full.where(!($"query_id" === 0L &&
+      $"neighbor_id" === missing))
+    val out = Similarity.shortlistRerankTopK(corpus, queries, cut,
+        "vec_id", "embedding", "vec_id", k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(!out.exists(x => x._1 == 0L && x._2 == missing))
+    // and the self-exclusion switch drops (q == n) everywhere
+    val noSelf = Similarity.shortlistRerankTopK(corpus, queries, full,
+        "vec_id", "embedding", "vec_id", k = 5, excludeSelf = true)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(noSelf.nonEmpty && !noSelf.exists(x => x._1 == x._2))
+  }
+
   test("miningShortlistSweep: dials are prefix cuts of one ranked " +
       "shortlist; chosen = smallest dial reaching the target") {
     val rows = Seq(
