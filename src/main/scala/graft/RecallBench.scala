@@ -285,15 +285,19 @@ object RecallBench {
     // as the corpus grew 1x -> 25x, which is why q305 ships the derived
     // size + knee nProbe — both measured here every scale
     def mineRow(name: String, idx: graft.ext.AnnIndex.State, s: Int,
-        nProbe: Int): Unit = {
+        nProbe: Int, widen: Int = 0): Unit = {
       val runs = (1 to attempts).map(_ => time(pairs(
         Similarity.hardNegativesShortlisted(corpus, queries, positives,
-          graft.ext.AnnIndex.probe(idx, queries, "embedding", "vec_id",
-            k = s, nProbe = nProbe)
+          (if (widen > 0)
+            graft.ext.AnnIndex.probeRefined(idx, queries, "embedding",
+              "vec_id", k = s, nProbe = nProbe, widen = widen)
+          else
+            graft.ext.AnnIndex.probe(idx, queries, "embedding", "vec_id",
+              k = s, nProbe = nProbe))
             .select(col("query_id"), col("neighbor_id")),
           "vec_id", "embedding", "vec_id", k = K))))
       val r = recallOf(truthMine, runs.head._2)
-      println(f"""{"face":"$name","scale":"$tag","corpus_rows":$nCorpus,"shortlist":$s,"n_probe":$nProbe,"recall_vs_exact_mining":$r%.3f,"sec":${runs.map(_._1).min}%.3f}""")
+      println(f"""{"face":"$name","scale":"$tag","corpus_rows":$nCorpus,"shortlist":$s,"n_probe":$nProbe,"widen":$widen,"recall_vs_exact_mining":$r%.3f,"sec":${runs.map(_._1).min}%.3f}""")
     }
     val sDerived = Similarity.miningShortlistSize(nCorpus, K)
     mineRow("mining_indexed_s100", annIdx, 10 * K, nProbe = 2)
@@ -309,6 +313,18 @@ object RecallBench {
     // ADC-shortlist loss — the gap between it and the p4 row is what
     // probing half the cells costs the mining shell
     mineRow("mining_indexed_trained_p8", idxTrained, sDerived, nProbe = 8)
+    // round 18 (verdict #6): the SQ8 refine tier between ADC and the
+    // exact rerank — ADC cut widened 4x/8x, re-scored against persisted
+    // SQ8 codes (the 0.96-scale-flat kernel), cut back to the SAME
+    // derived S before the exact stage: the residual these rows chase
+    // is pure ADC-shortlist quantization loss, and the exact stage's
+    // cost is UNCHANGED (matched-cost contract)
+    val idxTrainedR = graft.ext.AnnIndex.withRefine(idxTrained, corpus,
+      "vec_id", "embedding", dim)
+    mineRow("mining_refined_trained", idxTrainedR, sDerived, nProbe = 4,
+      widen = 4)
+    mineRow("mining_refined_trained_w8", idxTrainedR, sDerived, nProbe = 4,
+      widen = 8)
   }
 
   def main(args: Array[String]): Unit = {

@@ -75,7 +75,11 @@ object SparkEntry {
     // `greatest(4, ceil(sqrt(count(*))))` over the standing slice, so
     // the gate geometry now scales exactly like production's.
     val nCells = graft.ext.AnnIndex.derivedNCells(standing.count())
-    val params = graft.ext.AnnIndex.Params(nCells = nCells, m = 8, c = 16)
+    // refine tier always on (round 18): ~64 byte-codes/vector beside the
+    // 8 PQ codes — q299/q305/q307/q309/q311 probe the ADC face
+    // unchanged; q312 exercises probeRefined over the same state
+    val params = graft.ext.AnnIndex.Params(nCells = nCells, m = 8, c = 16,
+      refineDim = 64)
     val stateDir = graft.io.TextTables.scratchDir("ann_index", d,
       graft.io.TextTables.sourceFingerprint(s"$d/embeddings.parquet")
         + ";" + params.encoded)
@@ -83,7 +87,7 @@ object SparkEntry {
     graft.ext.AnnIndex.load(s, stateDir, params).getOrElse {
       graft.ext.AnnIndex.save(s,
         graft.ext.AnnIndex.buildPortable(standing, "vec_id", "embedding",
-          m = 8, c = 16, nCells = Some(nCells)), stateDir)
+          m = 8, c = 16, nCells = Some(nCells), refineDim = 64), stateDir)
       graft.ext.AnnIndex.load(s, stateDir, params).getOrElse(
         // a bare .get would die as "None.get" AFTER paying the full
         // encode+persist — name the dir and the likely cause instead
@@ -2492,6 +2496,36 @@ $fin"""
         state.codes.count(), k = 5)
       val shortlist = graft.ext.AnnIndex.probe(state,
           queries, "embedding", "vec_id", k = shortS, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val positives = Similarity.bruteForceTopK(standing, queries,
+          idCol = "vec_id", vecCol = "embedding", queryIdCol = "vec_id",
+          k = 1)
+        .select(col("query_id").as("vec_id"), col("neighbor_id").as("pos_id"))
+      Similarity.hardNegativesShortlisted(standing, queries, positives,
+          shortlist, idCol = "vec_id", vecCol = "embedding",
+          queryIdCol = "vec_id", k = 5, excludeAbove = 0.95)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q312_hard_negatives_refined" -> ((s, d) => {
+      // q305 with the SQ8 refine tier between ADC and the exact rerank
+      // (round-18 verdict #6, the FAISS IndexRefine architecture): the
+      // ADC cut is taken 4x deeper, those candidates re-score against
+      // the index's persisted SQ8 codes (exact-decimal scaled dot, the
+      // q264 kernel — measured 0.96 recall scale-flat where the ADC
+      // shortlist's mining residual read 0.75 at 100x), and the top S BY
+      // SQ8 SCORE feed the same exact rerank + exclusions. The exact
+      // stage's cost is UNCHANGED (same derived S) — the refine spends
+      // ~dim bytes/candidate on the widened slice to choose S better.
+      val emb = t(s, d, "embeddings")
+      val standing = emb.where(col("vec_id") % 5 =!= 2)
+      val queries = emb.where(col("vec_id") % 5 === 2 && col("vec_id") < 50)
+      val state = standingAnnIndex(s, d)
+      val shortS = Similarity.miningShortlistSize(
+        state.codes.count(), k = 5)
+      val shortlist = graft.ext.AnnIndex.probeRefined(state,
+          queries, "embedding", "vec_id", k = shortS, nProbe = 4,
+          widen = 4)
         .select(col("query_id"), col("neighbor_id"))
       val positives = Similarity.bruteForceTopK(standing, queries,
           idCol = "vec_id", vecCol = "embedding", queryIdCol = "vec_id",
@@ -10965,6 +10999,119 @@ $fin"""
                 (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rnk
               FROM adc)
            WHERE rnk <= (SELECT s FROM sl)),
+         p AS (SELECT query_id, neighbor_id AS pos_id FROM
+             (SELECT i.vec_id AS query_id, s2.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY i.vec_id
+                  ORDER BY list_cosine_similarity(i.v, s2.v) DESC, s2.vec_id) AS rn
+              FROM inc i CROSS JOIN st s2)
+           WHERE rn = 1),
+         ex AS (SELECT sh.query_id, sh.neighbor_id,
+             list_cosine_similarity(i.v, s2.v) AS cos_raw
+           FROM short sh
+           JOIN inc i ON i.vec_id = sh.query_id
+           JOIN st s2 ON s2.vec_id = sh.neighbor_id
+           LEFT JOIN p ON p.query_id = sh.query_id
+                      AND p.pos_id = sh.neighbor_id
+           WHERE p.pos_id IS NULL),
+         rr AS (SELECT query_id, neighbor_id, round(cos_raw, 6) + 0 AS cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+           FROM ex WHERE cos_raw < 0.95)
+         SELECT query_id, neighbor_id, cosine, rank FROM rr WHERE rank <= 5
+         ORDER BY query_id, rank""",
+
+    // q305's chain with the SQ8 refine stage spliced between the ADC cut
+    // and the exact rerank: ADC ranked 4x deeper, re-scored by the q264
+    // exact-decimal dequantized dot under ranges fitted on the STANDING
+    // slice (the refine tier's own corpus), cut back to the derived S by
+    // (sq8 score DESC, neighbor ASC), then the identical exact tail
+    "q312_hard_negatives_refined" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         st AS (SELECT * FROM e WHERE vec_id % 5 <> 2),
+         sl AS (SELECT greatest(CAST(ceil(0.02 * count(*)) AS BIGINT), 50) AS s
+           FROM st),
+         inc AS (SELECT * FROM e WHERE vec_id % 5 = 2 AND vec_id < 50),
+         nc AS (SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
+           FROM st),
+         ivfseeds AS (SELECT v AS c_vec, rn - 1 AS icell FROM
+             (SELECT v, row_number() OVER
+                (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM st)
+           WHERE rn <= (SELECT k FROM nc)),
+         asg AS (SELECT vec_id, icell FROM (
+             SELECT st.vec_id, s.icell,
+               row_number() OVER (PARTITION BY st.vec_id
+                 ORDER BY list_cosine_similarity(st.v, s.c_vec) DESC, s.icell) AS rn
+             FROM st CROSS JOIN ivfseeds s)
+           WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, icell FROM (
+             SELECT inc.vec_id, s.icell,
+               row_number() OVER (PARTITION BY inc.vec_id
+                 ORDER BY list_cosine_similarity(inc.v, s.c_vec) DESC, s.icell) AS rn
+             FROM inc CROSS JOIN ivfseeds s)
+           WHERE rn <= 4),
+         cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+           FROM probes p JOIN asg a ON p.icell = a.icell),
+         pqseeds AS (SELECT v AS sv, rn - 1 AS cell FROM
+             (SELECT v, row_number() OVER
+                (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM st)
+           WHERE rn <= 16),
+         js AS (SELECT unnest(generate_series(0, 7)) AS j),
+         cw AS (SELECT js.j, s.cell, s.sv[js.j*8 + 1 : js.j*8 + 8] AS w
+           FROM pqseeds s CROSS JOIN js),
+         sd AS (SELECT e.vec_id, c.j, c.cell,
+             list_sum([ (e.v[c.j*8 + d] - c.w[d]) * (e.v[c.j*8 + d] - c.w[d])
+                        for d in generate_series(1, 8) ]) AS sdist
+           FROM e CROSS JOIN cw c),
+         codes AS (SELECT vec_id, j, cell AS code FROM (
+             SELECT vec_id, j, cell, row_number() OVER
+               (PARTITION BY vec_id, j ORDER BY sdist ASC, cell ASC) AS rn
+             FROM sd WHERE vec_id % 5 <> 2)
+           WHERE rn = 1),
+         adc AS (SELECT c.query_id, c.neighbor_id,
+             list_sum(list(s.sdist ORDER BY s.j)) AS dist
+           FROM cand c
+           JOIN codes n ON n.vec_id = c.neighbor_id
+           JOIN sd s ON s.vec_id = c.query_id AND s.j = n.j AND s.cell = n.code
+           GROUP BY 1, 2),
+         wide AS (SELECT query_id, neighbor_id FROM
+             (SELECT query_id, neighbor_id, row_number() OVER
+                (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rnk
+              FROM adc)
+           WHERE rnk <= 4 * (SELECT s FROM sl)),
+         sx AS (SELECT vec_id, i,
+             CAST(round(v[i], 6) AS DECIMAL(18,6)) AS xq
+           FROM (SELECT vec_id, v, unnest(generate_series(1, 64)) AS i
+                 FROM st)),
+         rg AS (SELECT i, min(xq) AS lo, max(xq) AS hi FROM sx GROUP BY i),
+         dqc AS (SELECT vec_id, sx.i,
+             CAST(lo * 255 + (CASE WHEN hi = lo THEN 0
+                  ELSE LEAST(255, GREATEST(0,
+                    CAST(floor(CAST((xq - lo) * 255 AS DOUBLE)
+                      / CAST(hi - lo AS DOUBLE) + 0.5) AS INTEGER))) END)
+               * (hi - lo) AS DECIMAL(18,6)) AS dd
+           FROM sx JOIN rg USING (i)),
+         qx AS (SELECT vec_id, i,
+             CAST(round(v[i], 6) AS DECIMAL(18,6)) AS xq
+           FROM (SELECT vec_id, v, unnest(generate_series(1, 64)) AS i
+                 FROM inc)),
+         dqq AS (SELECT vec_id AS query_id, qx.i,
+             CAST(lo * 255 + (CASE WHEN hi = lo THEN 0
+                  ELSE LEAST(255, GREATEST(0,
+                    CAST(floor(CAST((xq - lo) * 255 AS DOUBLE)
+                      / CAST(hi - lo AS DOUBLE) + 0.5) AS INTEGER))) END)
+               * (hi - lo) AS DECIMAL(18,6)) AS qd
+           FROM qx JOIN rg USING (i)),
+         sqs AS (SELECT w.query_id, w.neighbor_id,
+             CAST(sum(q.qd * c.dd) AS DECIMAL(38,12)) AS sc
+           FROM wide w
+           JOIN dqq q ON q.query_id = w.query_id
+           JOIN dqc c ON c.vec_id = w.neighbor_id AND c.i = q.i
+           GROUP BY 1, 2),
+         short AS (SELECT query_id, neighbor_id FROM
+             (SELECT query_id, neighbor_id, row_number() OVER
+                (PARTITION BY query_id ORDER BY sc DESC, neighbor_id ASC) AS rnk2
+              FROM sqs)
+           WHERE rnk2 <= (SELECT s FROM sl)),
          p AS (SELECT query_id, neighbor_id AS pos_id FROM
              (SELECT i.vec_id AS query_id, s2.vec_id AS neighbor_id,
                 row_number() OVER (PARTITION BY i.vec_id

@@ -34,19 +34,42 @@ object AnnIndex {
   /** Build parameters, persisted in the manifest: a resume under ANY
     * different geometry must fail loudly (codes under c=16 read as
     * garbage distances under c=32 — silently wrong ranks, the exact
-    * failure class the dedup manifests exist to prevent).
+    * failure class the dedup manifests exist to prevent). `refineDim`
+    * = 0 means no SQ8 refine tier; > 0 is the embedding dim of the
+    * persisted refine codes.
     */
-  final case class Params(nCells: Int, m: Int, c: Int) {
+  final case class Params(nCells: Int, m: Int, c: Int, refineDim: Int = 0) {
     require(nCells >= 1 && m >= 1 && c >= 1, "nCells, m, c must be >= 1")
-    def encoded: String = s"nCells=$nCells;m=$m;c=$c"
+    require(refineDim >= 0, "refineDim must be >= 0")
+    def encoded: String = s"nCells=$nCells;m=$m;c=$c;refine=$refineDim"
   }
 
-  /** A standing index: frozen coarse centroids, frozen PQ codebooks, and
-    * the encoded corpus `codes` frame `(vec_id, cell, codes)`.
+  /** The optional SQ8 refine tier riding in the index: frozen
+    * per-dimension ranges (the [[Sq8]] quantizer model — exact decimals,
+    * text-persisted like centroids) and per-vector byte codes
+    * `(vec_id, rcodes)` — ~dim bytes/vector beside PQ's ~m, still 4×
+    * under float32. [[probeRefined]] re-scores a WIDENED ADC shortlist
+    * against these codes before the caller's exact stage: the FAISS
+    * refine architecture (IndexRefine over IVFADC), measured here
+    * because the mining shell's residual at 100× was ADC quantization
+    * in the shortlist cut, while the SQ8 kernel reads 0.96 scale-flat.
     */
-  final case class State(coarse: Ivf.Model, pq: Pq.Model, codes: DataFrame) {
+  final case class Refine(
+      lo: Seq[java.math.BigDecimal], hi: Seq[java.math.BigDecimal],
+      codes: DataFrame) {
+    require(lo.nonEmpty && lo.size == hi.size, "refine ranges misaligned")
+    def dim: Int = lo.size
+  }
+
+  /** A standing index: frozen coarse centroids, frozen PQ codebooks, the
+    * encoded corpus `codes` frame `(vec_id, cell, codes)`, and the
+    * optional SQ8 [[Refine]] tier.
+    */
+  final case class State(coarse: Ivf.Model, pq: Pq.Model, codes: DataFrame,
+      refine: Option[Refine] = None) {
     def params: Params =
-      Params(coarse.centroids.length, pq.m, pq.c)
+      Params(coarse.centroids.length, pq.m, pq.c,
+        refine.map(_.dim).getOrElse(0))
   }
 
   /** Encode a corpus under FROZEN models: `(vec_id, cell, codes)` — one
@@ -87,20 +110,48 @@ object AnnIndex {
     math.max(floor, math.ceil(math.sqrt(n.toDouble)).toInt)
   }
 
+  /** SQ8 refine codes for `corpus` under FROZEN ranges — the refine
+    * tier's [[encode]]: one row-local projection, no shuffle.
+    */
+  private def encodeRefine(corpus: DataFrame, idCol: String, vecCol: String,
+      lo: Seq[java.math.BigDecimal], hi: Seq[java.math.BigDecimal])
+      : DataFrame =
+    corpus.where(col(vecCol).isNotNull).select(col(idCol).as("vec_id"),
+      Sq8.codes(col(vecCol), lo, hi).as("rcodes"))
+
+  /** Attach an SQ8 refine tier to a built state: ranges fitted on
+    * `corpus` — which MUST be the state's own corpus (codes and refine
+    * codes must describe the same vectors; there is no cross-check, the
+    * vec_ids simply would not join) — and codes encoded under them.
+    * `refineDim = 0` returns the state unchanged.
+    */
+  def withRefine(state: State, corpus: DataFrame, idCol: String,
+      vecCol: String, refineDim: Int): State =
+    if (refineDim == 0) state
+    else {
+      val (lo, hi) = Sq8.collectRanges(corpus, vecCol, refineDim)
+      state.copy(refine = Some(Refine(lo, hi,
+        encodeRefine(corpus, idCol, vecCol, lo, hi))))
+    }
+
   /** Build a portable-seeded index SIZED TO THE CORPUS: one count scan,
     * nCells = [[derivedNCells]] unless explicitly overridden (oracle
     * replay fixtures that must freeze geometry across scales pass
     * `Some(k)`; production callers pass None and cannot accidentally
     * freeze a cell count while the corpus grows). Seed models keep the
     * md5-portable convention so the whole index replays in SQL.
+    * `refineDim > 0` adds the SQ8 [[Refine]] tier (pass the embedding
+    * dim).
     */
   def buildPortable(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, c: Int, nCells: Option[Int] = None): State = {
+      m: Int, c: Int, nCells: Option[Int] = None,
+      refineDim: Int = 0): State = {
     val base = corpus.where(col(vecCol).isNotNull)
     val k = nCells.getOrElse(derivedNCells(base.count()))
-    build(base, idCol, vecCol,
+    withRefine(build(base, idCol, vecCol,
       Ivf.portableSeedModel(base, idCol, vecCol, k),
-      Pq.portableSeedCodebooks(base, idCol, vecCol, m, c))
+      Pq.portableSeedCodebooks(base, idCol, vecCol, m, c)),
+      base, idCol, vecCol, refineDim)
   }
 
   /** Build a TRAINED index sized to the corpus: Lloyd-refined coarse
@@ -112,12 +163,13 @@ object AnnIndex {
   def buildTrained(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, c: Int, nCells: Option[Int] = None,
       coarseIters: Int = 5, pqIters: Int = 3,
-      maxTrainRows: Long = 1000000L): State = {
+      maxTrainRows: Long = 1000000L, refineDim: Int = 0): State = {
     val base = corpus.where(col(vecCol).isNotNull)
     val k = nCells.getOrElse(derivedNCells(base.count()))
-    build(base, idCol, vecCol,
+    withRefine(build(base, idCol, vecCol,
       Ivf.train(base, idCol, vecCol, k, coarseIters, maxTrainRows),
-      Pq.train(base, idCol, vecCol, m, c, pqIters))
+      Pq.train(base, idCol, vecCol, m, c, pqIters)),
+      base, idCol, vecCol, refineDim)
   }
 
   /** Append an increment under the state's FROZEN models: encode the new
@@ -130,8 +182,14 @@ object AnnIndex {
     */
   def append(state: State, increment: DataFrame, idCol: String,
       vecCol: String): State =
-    state.copy(codes = state.codes.unionByName(
-      encode(increment, idCol, vecCol, state.coarse, state.pq)))
+    state.copy(
+      codes = state.codes.unionByName(
+        encode(increment, idCol, vecCol, state.coarse, state.pq)),
+      // refine codes under the state's FROZEN ranges, like everything
+      // else (an out-of-range increment coordinate clamps — the Sq8
+      // quantizer is total by construction)
+      refine = state.refine.map(r => r.copy(codes = r.codes.unionByName(
+        encodeRefine(increment, idCol, vecCol, r.lo, r.hi)))))
 
   /** Probe the standing index with `queries`: [[Pq.ivfAdcProbe]] over
     * the persisted codes — the query side (dist tables + probed cells)
@@ -151,6 +209,63 @@ object AnnIndex {
       excludeSelf: Boolean = false): DataFrame =
     Pq.ivfAdcProbe(state.coarse, state.pq, state.codes, queries,
       vecCol, queryIdCol, k, nProbe, excludeSelf)
+
+  /** [[probe]] with the SQ8 refine stage between ADC and the cut: the
+    * ADC ranking is taken `widen`× deeper, those candidates re-score
+    * against the persisted refine codes (exact-decimal scaled dot — the
+    * [[Sq8.topK]] kernel, measured 0.96 recall scale-flat where ADC
+    * reads ~0.75 at the mining shell), and the top `k` BY SQ8 SCORE are
+    * returned. The widened ADC stage costs nothing extra in scoring
+    * (the probe already scores every candidate in probed cells; only
+    * the cut deepens); the refine stage touches `widen·k` rows of
+    * ~dim-byte codes per query — never the float corpus. Downstream
+    * exact reranks (mining, retrieval) stay at depth `k`, so the
+    * refine either lifts shortlist coverage at matched exact-stage
+    * cost or RecallBench records the negative result.
+    *
+    * Output `(query_id, neighbor_id, sq8_score, rank)`; `sq8_score` is
+    * the exact decimal rounded to 6 dp (the Sq8 display convention), so
+    * the whole stage replays in SQL.
+    */
+  def probeRefined(state: State, queries: DataFrame, vecCol: String,
+      queryIdCol: String, k: Int = 10, nProbe: Int = 4,
+      widen: Int = 4, excludeSelf: Boolean = false): DataFrame = {
+    val r = state.refine.getOrElse(throw new IllegalArgumentException(
+      "probeRefined needs an index built with refineDim > 0 — this " +
+        "state has no SQ8 refine tier (probe() is the unrefined face)"))
+    require(widen >= 1, "widen must be >= 1")
+    require(k.toLong * widen <= Int.MaxValue, "widen * k overflows")
+    Sq8.requireScoreBounds(r.lo, r.hi, r.dim, "AnnIndex.probeRefined")
+    val pairs = probe(state, queries, vecCol, queryIdCol, k * widen,
+      nProbe, excludeSelf).select(col("query_id"), col("neighbor_id"))
+    // probe-side length guard in the row path (the Sq8.topK contract: a
+    // short probe would null its element_at lookups and silently
+    // mis-rank)
+    val qd = col(vecCol).cast("array<double>")
+    val qGuard = when(size(qd) === lit(r.dim), qd)
+      .otherwise(raise_error(concat(
+        lit("AnnIndex.probeRefined: probe vector with length "),
+        size(qd).cast("string"),
+        lit(s" != ${r.dim} — mixed embedding models?")))
+        .cast("array<double>"))
+    val q = broadcast(queries.where(col(vecCol).isNotNull)
+      .select(col(queryIdCol).as("query_id"),
+        Sq8.dequant255FromVec(qGuard, r.lo, r.hi).as("__qd")))
+    val scored = broadcast(pairs)
+      .join(r.codes.select(col("vec_id").as("neighbor_id"),
+        Sq8.dequant255FromCodes(col("rcodes"), r.lo, r.hi).as("__cd")),
+        Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("__score",
+        graft.expressions.VectorExpressions.scaledDotProduct(
+          col("__qd"), col("__cd")))
+    graft.plans.GroupTopK(scored, Seq("query_id"),
+        Seq(("__score", false), ("neighbor_id", true)), k,
+        rankName = "rank")
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("__score"), 6).cast("double").as("sq8_score"),
+        col("rank").cast("int").as("rank"))
+  }
 
   /** Persist: codes as parquet, models as the exact-text formats their
     * own save/load pairs use ([[Ivf.saveModel]] / [[Pq.saveCodebooks]]
@@ -173,10 +288,22 @@ object AnnIndex {
   def save(spark: SparkSession, state: State, dir: String): Unit = {
     requireLocalDir(dir)
     val codes = state.codes.localCheckpoint(true)
+    val refineCk = state.refine.map(r =>
+      r.copy(codes = r.codes.localCheckpoint(true)))
     Dedup.StateManifest.save(dir, state.params.encoded) {
       codes.write.mode("overwrite").parquet(s"$dir/codes")
       Ivf.saveModel(spark, state.coarse, s"$dir/centroids.txt")
       Pq.saveCodebooks(spark, state.pq, s"$dir/codebooks.txt")
+      refineCk.foreach { r =>
+        r.codes.write.mode("overwrite").parquet(s"$dir/refine_codes")
+        // two lines, lo then hi, exact toPlainString decimals — the
+        // saveModel text convention for the Sq8 range model
+        java.nio.file.Files.write(
+          new java.io.File(dir, "refine_ranges.txt").toPath,
+          (r.lo.map(_.toPlainString).mkString(",") + "\n" +
+            r.hi.map(_.toPlainString).mkString(",") + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
     }
   }
 
@@ -200,18 +327,35 @@ object AnnIndex {
   def load(spark: SparkSession, dir: String, expect: Params)
       : Option[State] = {
     requireLocalDir(dir)
-    val modelFiles = Seq("centroids.txt", "codebooks.txt")
+    val withR = expect.refineDim > 0
+    val modelFiles = (Seq("centroids.txt", "codebooks.txt") ++
+        (if (withR) Seq("refine_ranges.txt") else Nil))
       .forall(f => new java.io.File(dir, f).exists())
-    if (!Dedup.StateManifest.complete(dir, Seq("codes")) || !modelFiles) None
+    val parts = "codes" +: (if (withR) Seq("refine_codes") else Nil)
+    if (!Dedup.StateManifest.complete(dir, parts) || !modelFiles) None
     else {
       Dedup.StateManifest.check(dir, "ann index", expect.encoded,
         "codes are only comparable under the models that produced them " +
           "— probing with a different geometry silently mis-ranks " +
           "every candidate")
+      val refine =
+        if (!withR) None
+        else {
+          val lines = new String(java.nio.file.Files.readAllBytes(
+            new java.io.File(dir, "refine_ranges.txt").toPath),
+            java.nio.charset.StandardCharsets.UTF_8)
+            .split("\n").filter(_.nonEmpty)
+          require(lines.length == 2,
+            s"refine_ranges.txt at $dir: expected 2 lines, got ${lines.length}")
+          def parse(s: String) =
+            s.split(",").map(new java.math.BigDecimal(_)).toSeq
+          Some(Refine(parse(lines(0)), parse(lines(1)),
+            spark.read.parquet(s"$dir/refine_codes")))
+        }
       val st = State(
         Ivf.loadModel(spark, s"$dir/centroids.txt"),
         Pq.loadCodebooks(spark, s"$dir/codebooks.txt"),
-        spark.read.parquet(s"$dir/codes"))
+        spark.read.parquet(s"$dir/codes"), refine)
       require(st.params == expect,
         s"ann index at $dir: loaded model shapes ${st.params} disagree " +
           s"with the manifest $expect — the state files are inconsistent")

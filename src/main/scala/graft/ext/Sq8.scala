@@ -105,6 +105,62 @@ object Sq8 {
       i => codeAt(v, i, loLit, hiLit))
   }
 
+  /** The [[topK]] magnitude guards, shared with the refine lane
+    * ([[graft.ext.AnnIndex.probeRefined]]): the unscaled dequant must fit
+    * the long lane and the dim-summed square must fit decimal(38,12).
+    */
+  private[ext] def requireScoreBounds(
+      lo: Seq[java.math.BigDecimal], hi: Seq[java.math.BigDecimal],
+      dim: Int, where: String): Unit = {
+    val maxAbs = (lo ++ hi).map(_.abs.doubleValue).max
+    val dBound = 255.0 * (maxAbs + 1e-6) * 1e6
+    require(dBound < 3.0e18,
+      f"$where: corpus range magnitude $maxAbs%.3g overflows the " +
+        "64-bit dequantized lane — rescale the embeddings")
+    require(dim * dBound * dBound < 0.9e38,
+      f"$where: dim=$dim with range magnitude $maxAbs%.3g overflows " +
+        "the decimal(38,12) score — rescale the embeddings")
+  }
+
+  /** 255x-scaled exact dequantized long lane from PERSISTED codes
+    * (`array<int>`, [[codes]] output): `D_i = 255*lo_i + code_i*rng_i`
+    * over the unscaled (×10^6) long range literals — bit-identical to
+    * the fused quantize+dequant lane in [[topK]] for any vector whose
+    * codes these are, so a score between a persisted-code side and a
+    * fresh-vector side is EXACTLY the score [[topK]] would produce.
+    * Caller must have checked [[requireScoreBounds]].
+    */
+  def dequant255FromCodes(codesCol: Column,
+      lo: Seq[java.math.BigDecimal], hi: Seq[java.math.BigDecimal]): Column = {
+    require(lo.nonEmpty && lo.size == hi.size, "range literals misaligned")
+    val loU = array(lo.map(l =>
+      lit(l.scaleByPowerOfTen(6).longValueExact)): _*)
+    val rngU = array(lo.zip(hi).map { case (l, h) =>
+      lit(h.subtract(l).scaleByPowerOfTen(6).longValueExact) }: _*)
+    transform(sequence(lit(0), lit(lo.size - 1)), i =>
+      lit(255L) * element_at(loU, i + 1) +
+        element_at(codesCol, i + 1).cast("long") * element_at(rngU, i + 1))
+  }
+
+  /** The fused quantize+dequant long lane for a FRESH vector column under
+    * the corpus ranges — [[topK]]'s query-side lane, exposed for the
+    * refine stage (probe vectors score against persisted corpus codes).
+    */
+  def dequant255FromVec(vecCol: Column,
+      lo: Seq[java.math.BigDecimal], hi: Seq[java.math.BigDecimal]): Column = {
+    require(lo.nonEmpty && lo.size == hi.size, "range literals misaligned")
+    val loDec = array(lo.map(l => lit(l).cast("decimal(18,6)")): _*)
+    val hiDec = array(hi.map(h => lit(h).cast("decimal(18,6)")): _*)
+    val loU = array(lo.map(l =>
+      lit(l.scaleByPowerOfTen(6).longValueExact)): _*)
+    val rngU = array(lo.zip(hi).map { case (l, h) =>
+      lit(h.subtract(l).scaleByPowerOfTen(6).longValueExact) }: _*)
+    val v = vecCol.cast("array<double>")
+    transform(sequence(lit(0), lit(lo.size - 1)), i =>
+      lit(255L) * element_at(loU, i + 1) +
+        codeAt(v, i, loDec, hiDec).cast("long") * element_at(rngU, i + 1))
+  }
+
   /** Per-document quantization report (the SQ8 fidelity card):
     * `(idCol, sum_code, min_code, max_code, recon_err)` where the code
     * stats are integer-exact and `recon_err` is the EXACT decimal sum of
@@ -201,34 +257,15 @@ object Sq8 {
     // static call inside WholeStageCodegen) instead of an interpreted
     // per-element decimal lambda — identical exact decimal(38,12)
     // values, measured ~10x cheaper per candidate.
-    val maxAbs = (lo ++ hi).map(_.abs.doubleValue).max
-    val dBound = 255.0 * (maxAbs + 1e-6) * 1e6 // max |unscaled D_i|
     // the long lane and the decimal(38,12) output must both hold the
     // worst case: |D_unscaled| < 2^63 and dim * D^2 < 10^38 (the sum's
     // unscaled bound). Any real embedding corpus sits orders of
-    // magnitude inside both; fail loudly rather than wrap.
-    require(dBound < 3.0e18,
-      f"Sq8.topK: corpus range magnitude $maxAbs%.3g overflows the " +
-        "64-bit dequantized lane — rescale the embeddings")
-    require(dim * dBound * dBound < 0.9e38,
-      f"Sq8.topK: dim=$dim with range magnitude $maxAbs%.3g overflows " +
-        "the decimal(38,12) score — rescale the embeddings")
-    // unscaled-long range literals (value * 10^6, exact by scale-6
-    // construction): the dequant output stays in long arithmetic — no
-    // decimal precision rules in the pair path at all. The per-element
-    // CODE is fused into the same lambda (codeAt): a nested
-    // element_at(codes(...), i) would re-evaluate the full codes array
-    // per element (see codeAt's scaladoc for the measured 64x blowup).
-    val loDec = array(lo.map(l => lit(l).cast("decimal(18,6)")): _*)
-    val hiDec = array(hi.map(h => lit(h).cast("decimal(18,6)")): _*)
-    val loU = array(lo.map(l =>
-      lit(l.scaleByPowerOfTen(6).longValueExact)): _*)
-    val rngU = array(lo.zip(hi).map { case (l, h) =>
-      lit(h.subtract(l).scaleByPowerOfTen(6).longValueExact) }: _*)
-    def dequant255(v: Column): Column =
-      transform(sequence(lit(0), lit(dim - 1)), i =>
-        lit(255L) * element_at(loU, i + 1) +
-          codeAt(v, i, loDec, hiDec).cast("long") * element_at(rngU, i + 1))
+    // magnitude inside both; fail loudly rather than wrap. The fused
+    // quantize+dequant lane is the shared [[dequant255FromVec]] (the
+    // per-element CODE stays inside one lambda — see codeAt's scaladoc
+    // for the measured 64x blowup a nested codes() would pay).
+    requireScoreBounds(lo, hi, dim, "Sq8.topK")
+    def dequant255(v: Column): Column = dequant255FromVec(v, lo, hi)
     val c = corpus.where(col(vecCol).isNotNull)
       .select(col(idCol).as("neighbor_id"),
         dequant255(col(vecCol).cast("array<double>")).as("__cd"))

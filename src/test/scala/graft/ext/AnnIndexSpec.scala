@@ -98,6 +98,58 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(appended.codes.count() == 40L)
   }
 
+  test("probeRefined: the SQ8 cut over all probed candidates equals Sq8.topK; " +
+      "refine tier survives save/load and append") {
+    val c = corpus(40)
+    val q = corpus(5, idOffset = 1000L)
+    val st = AnnIndex.buildPortable(c, "vec_id", "embedding", m = 2, c = 4,
+      nCells = Some(4), refineDim = 4)
+    assert(st.params == AnnIndex.Params(4, 2, 4, refineDim = 4))
+    // nProbe = nCells and widen covering the corpus: every row is an ADC
+    // candidate and survives the widened cut, so the refine stage ranks
+    // the WHOLE corpus — which must equal the Sq8 kernel's own top-k
+    // (same ranges, same exact-decimal scaled dot, same tie order)
+    def refined(s: AnnIndex.State) =
+      AnnIndex.probeRefined(s, q, "embedding", "vec_id", k = 3,
+          nProbe = 4, widen = 40)
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val viaSq8 = Sq8.topK(c, q, "vec_id", "embedding", "vec_id", dim = 4,
+        k = 3, excludeSelf = false)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(refined(st) == viaSq8)
+    // narrow widen: output is still k deep, drawn from the ADC top-(w*k)
+    val narrow = AnnIndex.probeRefined(st, q, "embedding", "vec_id",
+        k = 3, nProbe = 2, widen = 2)
+      .groupBy("query_id").count().as[(Long, Long)].collect()
+    assert(narrow.nonEmpty && narrow.forall(_._2 <= 3))
+    // save/load: ranges + codes round-trip exactly; append under frozen
+    // ranges equals rebuild over the union (provenance invariance,
+    // refine tier included)
+    val dir = Files.createTempDirectory("graft_ann_refine_spec").toString
+    AnnIndex.save(spark, st, dir)
+    val loaded = AnnIndex.load(spark, dir, st.params)
+      .getOrElse(fail("no refined state read back"))
+    assert(loaded.refine.get.lo == st.refine.get.lo)
+    assert(loaded.refine.get.hi == st.refine.get.hi)
+    assert(refined(loaded) == refined(st))
+    // an unrefined expectation against a refined dir fails loudly (the
+    // geometry-mismatch contract), not silently-without-refine
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.load(spark, dir, st.params.copy(refineDim = 0))
+    }
+    assert(ex.getMessage.contains("mis-rank"), ex.getMessage)
+    val extra = corpus(8, idOffset = 500L)
+    val appended = AnnIndex.append(st, extra, "vec_id", "embedding")
+    assert(appended.refine.get.codes.count() == 48L)
+    val rebuilt = st.copy(
+      codes = AnnIndex.build(c.unionByName(extra), "vec_id", "embedding",
+        st.coarse, st.pq).codes,
+      refine = st.refine.map(r => r.copy(codes =
+        c.unionByName(extra).select(col("vec_id"),
+          Sq8.codes(col("embedding"), r.lo, r.hi).as("rcodes")))))
+    assert(refined(appended) == refined(rebuilt))
+  }
+
   test("derivedNCells: ceil(sqrt(n)) with the replay floor, 100x corpus -> 10x cells") {
     assert(AnnIndex.derivedNCells(0L) == 4) // floor
     assert(AnnIndex.derivedNCells(16L) == 4)
