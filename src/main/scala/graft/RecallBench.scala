@@ -240,17 +240,19 @@ object RecallBench {
     // dial against exact sampled truth on THIS corpus, so these rows
     // show the knee the new defaults encode and whether it moves with
     // scale (a drifting knee would mean the default needs re-derivation)
-    val (tIvf, ivfPick) = time(Ivf.autoTuneNProbe(ivfTrained, corpus,
-      queries, "vec_id", "embedding", "vec_id", k = K, recallTarget = 0.9))
-    println(f"""{"face":"autotune_ivf_nprobe","scale":"$tag","dial":${ivfPick._1},"recall_cos":${ivfPick._2}%.3f,"sec":$tIvf%.3f}""")
     // the sweeps' dominant cost is their internal brute-force truth
     // pass — inject the exact cosine truth ALREADY computed above (same
-    // corpus/queries/k/excludeSelf), so tuning two plane families costs
-    // zero extra exact passes (review finding, round 17)
+    // corpus/queries/k/excludeSelf) into EVERY cosine-truth tuner, so
+    // tuning three families costs zero extra exact passes (round-17
+    // review finding, extended to the nProbe tuner in round 18)
     val lshTruth = {
       import spark.implicits._
       truthCos.toSeq.toDF("query_id", "neighbor_id")
     }
+    val (tIvf, ivfPick) = time(Ivf.autoTuneNProbe(ivfTrained, corpus,
+      queries, "vec_id", "embedding", "vec_id", k = K, recallTarget = 0.9,
+      exactTruth = Some(lshTruth)))
+    println(f"""{"face":"autotune_ivf_nprobe","scale":"$tag","dial":${ivfPick._1},"recall_cos":${ivfPick._2}%.3f,"sec":$tIvf%.3f}""")
     val (tLsh, lshPick) = time(Similarity.autoTuneLshTables(corpus,
       queries, "vec_id", "embedding", "vec_id", dim, k = K, bits = 8,
       recallTarget = 0.7, dials = Seq(2, 4, 8, 16),

@@ -79,9 +79,10 @@ object Dedup {
     * [[graft.streaming.CorpusStreams.paragraphDedupStreaming]] builds on
     * this. `dropAboveCount` counts occurrences in THIS frame only — an
     * increment cannot know a segment's historical corpus frequency, so
-    * combining the two gives per-increment (not corpus-global) frequency
-    * semantics; run the boilerplate mode as a batch pass over the
-    * accumulated corpus instead.
+    * combining the two is REJECTED (round-18 guard): per-increment
+    * counts would silently keep early copies of a line that later turns
+    * out to be corpus-wide boilerplate. Run the boilerplate mode as a
+    * batch pass over the accumulated corpus instead.
     */
   def paragraphDedup(
       df: DataFrame, idCol: String, textCol: String,
@@ -91,6 +92,14 @@ object Dedup {
     require(!Seq("seg", "seg_ord", "seg_h", "first_occ", "occ", "keep",
         "prior", "n_total", "n_kept", "clean_text").contains(idCol),
       s"idCol '$idCol' collides with a working column of this operator")
+    require(dropAboveCount.isEmpty || priorSeenHashes.isEmpty,
+      "dropAboveCount with priorSeenHashes applies PER-INCREMENT " +
+        "frequency semantics: occ counts only this frame, so a segment " +
+        "that is boilerplate across the corpus but rare in each " +
+        "increment silently survives every increment — run the " +
+        "remove-frequent-lines mode as a batch pass over the " +
+        "accumulated corpus (the paragraphDedupStreaming scaladoc " +
+        "contract, now enforced)")
     // posexplode BEFORE the empty-segment filter: seg_ord is the position
     // in the raw split so the keep-first order is stable under any
     // empty-producing separator runs.

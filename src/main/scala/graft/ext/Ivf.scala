@@ -236,16 +236,17 @@ object Ivf {
       model: Model, corpus: DataFrame, sampleQueries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String,
       k: Int = 10, recallTarget: Double = 0.9,
-      dials: Seq[Int] = Nil, excludeSelf: Boolean = true): DataFrame = {
+      dials: Seq[Int] = Nil, excludeSelf: Boolean = true,
+      exactTruth: Option[DataFrame] = None): DataFrame = {
     val nc = model.centroids.length
     val ds =
       if (dials.nonEmpty) dials
       else (Iterator.iterate(1)(_ * 2).takeWhile(_ < nc).toSeq :+ nc).distinct
     require(ds.forall(d => d >= 1 && d <= nc),
       s"every dial must be in [1, $nc] (the cell count), got $ds")
-    val truth = Similarity.bruteForceTopK(corpus, sampleQueries, idCol,
-        vecCol, queryIdCol, k, excludeSelf)
-      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val truth = Similarity.sweepTruth(exactTruth)(
+      Similarity.bruteForceTopK(corpus, sampleQueries, idCol,
+        vecCol, queryIdCol, k, excludeSelf))
     Similarity.recallSweep(truth, ds,
       np => topK(model, corpus, sampleQueries, idCol, vecCol, queryIdCol,
         k, np, excludeSelf),
@@ -263,9 +264,10 @@ object Ivf {
       model: Model, corpus: DataFrame, sampleQueries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String,
       k: Int = 10, recallTarget: Double = 0.9,
-      dials: Seq[Int] = Nil, excludeSelf: Boolean = true): (Int, Double) =
+      dials: Seq[Int] = Nil, excludeSelf: Boolean = true,
+      exactTruth: Option[DataFrame] = None): (Int, Double) =
     Similarity.pickChosen(
       nProbeSweep(model, corpus, sampleQueries, idCol, vecCol, queryIdCol,
-        k, recallTarget, dials, excludeSelf),
+        k, recallTarget, dials, excludeSelf, exactTruth),
       "n_probe", recallTarget, "autoTuneNProbe")
 }

@@ -196,11 +196,12 @@ object Similarity {
       posIdCol: String = "pos_id",
       k: Int = 10, excludeAbove: Double = 0.95,
       recallTarget: Double = 0.9,
-      dials: Seq[Int] = Seq.empty): DataFrame = {
+      dials: Seq[Int] = Seq.empty,
+      exactTruth: Option[DataFrame] = None): DataFrame = {
     require(dials.nonEmpty, "pass the shortlist depths to sweep")
-    val truth = hardNegatives(corpus, queries, positives, idCol, vecCol,
-        queryIdCol, posIdCol, k, excludeAbove)
-      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val truth = sweepTruth(exactTruth)(
+      hardNegatives(corpus, queries, positives, idCol, vecCol,
+        queryIdCol, posIdCol, k, excludeAbove))
     recallSweep(truth, dials, s =>
       hardNegativesShortlisted(corpus, queries, positives,
         rankedShortlist.where(col("rank") <= s), idCol, vecCol,
@@ -221,11 +222,12 @@ object Similarity {
       posIdCol: String = "pos_id",
       k: Int = 10, excludeAbove: Double = 0.95,
       recallTarget: Double = 0.9,
-      dials: Seq[Int] = Seq.empty): (Int, Double) =
+      dials: Seq[Int] = Seq.empty,
+      exactTruth: Option[DataFrame] = None): (Int, Double) =
     pickChosen(
       miningShortlistSweep(corpus, queries, positives, rankedShortlist,
         idCol, vecCol, queryIdCol, posIdCol, k, excludeAbove,
-        recallTarget, dials),
+        recallTarget, dials, exactTruth),
       "shortlist_s", recallTarget, "autoTuneMiningShortlist")
 
   /** Reciprocal-rank fusion of per-query rankings — the standard hybrid-
@@ -419,6 +421,18 @@ object Similarity {
     * one count per dial; every count is |sample| * k rows, never
     * corpus-sized.
     */
+  /** The sweep-truth rule shared by ALL dial sweeps (nProbe, LSH
+    * tables, mining shortlist): an injected precomputed
+    * `(query_id, neighbor_id)` exact frame wins — the sweeps' dominant
+    * cost is their exact truth pass, so a caller tuning several
+    * families over one corpus (RecallBench) pays it once — otherwise
+    * the family's own exact face runs once and pins its result.
+    */
+  private[ext] def sweepTruth(inject: Option[DataFrame])
+      (exact: => DataFrame): DataFrame =
+    inject.getOrElse(
+      exact.select(col("query_id"), col("neighbor_id")).localCheckpoint())
+
   private[ext] def recallSweep(
       truth: DataFrame, dials: Seq[Int], run: Int => DataFrame,
       recallTarget: Double, dialName: String): DataFrame = {
@@ -492,10 +506,9 @@ object Similarity {
     // top-k frame — the sweep's dominant cost is this brute-force pass,
     // so a caller tuning BOTH plane families over the same corpus
     // (RecallBench) should pay it once, not per family
-    val truth = exactTruth.getOrElse(
+    val truth = sweepTruth(exactTruth)(
       bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol,
-          k, excludeSelf)
-        .select(col("query_id"), col("neighbor_id")).localCheckpoint())
+        k, excludeSelf))
     recallSweep(truth, dials,
       t =>
         if (portable)

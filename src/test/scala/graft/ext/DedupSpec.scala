@@ -810,6 +810,22 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       (5L, "body e", 2L, 1L)))
   }
 
+  test("paragraphDedup: dropAboveCount with priorSeenHashes is rejected " +
+      "loudly (per-increment frequency would silently keep boilerplate)") {
+    val d = Seq((1L, "body a. cookie banner")).toDF("doc_id", "text")
+    val prior = Seq("00" * 16).toDF("seg_h")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.paragraphDedup(d, "doc_id", "text",
+        dropAboveCount = Some(2L), priorSeenHashes = Some(prior))
+    }
+    assert(ex.getMessage.contains("PER-INCREMENT"), ex.getMessage)
+    // each mode alone stays valid
+    assert(Dedup.paragraphDedup(d, "doc_id", "text",
+      dropAboveCount = Some(2L)).count() == 1L)
+    assert(Dedup.paragraphDedup(d, "doc_id", "text",
+      priorSeenHashes = Some(prior)).count() == 1L)
+  }
+
   test("paragraphDedup: a doc whose text is ONLY separators still appears " +
       "with empty text and zero counts (complete accounting)") {
     val d = Seq(
