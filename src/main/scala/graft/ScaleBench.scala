@@ -140,9 +140,28 @@ object ScaleBench {
     "q299_ann_index_probe",
     // round 17: indexed hard-negative mining — the q299 probe at
     // shortlist depth + a broadcast exact rerank; expect the q299 class
-    // (read its 100x row against the same fixture-geometry caveat: the
-    // query slice scales with the corpus while nCells stays frozen)
-    "q305_hard_negatives_indexed")
+    // (round 18: nCells now DERIVES from the corpus count, so the
+    // r17 frozen-cells caveat no longer applies — the probed slice is
+    // ~sqrt(N) and these curves should flatten toward the ProbeBench
+    // story; the query slice still scales with the corpus by fixture)
+    "q305_hard_negatives_indexed",
+    // round 18: the composed faces that shipped without scale rows
+    // (r17 verdict #5) — triplets (bounded query set, broadcast mining
+    // contract), the mining tuner (one probe at the deepest dial + an
+    // in-contract exact truth pass over the fixture queries), and both
+    // hybrid retrieval faces (BM25 posting-bounded + PRF; q310 dense =
+    // brute-force broadcast stream, q311 dense = indexed shortlist +
+    // exact rerank — the contrast pair: q311 should hold its lead as
+    // the corpus grows)
+    "q306_retrieval_triplets",
+    "q309_mining_autotune",
+    "q310_hybrid_rrf",
+    "q311_hybrid_indexed",
+    // round 18: the SQ8-refined mining face — q305 + the refine
+    // re-score on the widened ADC cut; the extra stage touches
+    // widen*S code rows per query, so the curve should track q305's
+    // with a bounded constant on top
+    "q312_hard_negatives_refined")
 
   /** Build the `replicas`x corpus: isomorphic token-suffixed document
     * replicas and coordinate-rotated embedding replicas. Id offsets are
