@@ -321,12 +321,26 @@ object RecallBench {
     // derived S before the exact stage: the residual these rows chase
     // is pure ADC-shortlist quantization loss, and the exact stage's
     // cost is UNCHANGED (matched-cost contract)
-    val idxTrainedR = graft.ext.AnnIndex.withRefine(idxTrained, corpus,
-      "vec_id", "embedding", dim)
+    // refine codes CHECKPOINTED: the production index loads them as
+    // persisted parquet (q312's standingAnnIndex path), so re-encoding
+    // the corpus per timed run would charge the probe a build cost —
+    // the measured wall must be load + re-score, like ProbeBench's
+    val idxTrainedR = {
+      val st = graft.ext.AnnIndex.withRefine(idxTrained, corpus,
+        "vec_id", "embedding", dim)
+      st.copy(refine = st.refine.map(r =>
+        r.copy(codes = r.codes.localCheckpoint(true))))
+    }
     mineRow("mining_refined_trained", idxTrainedR, sDerived, nProbe = 4,
       widen = 4)
     mineRow("mining_refined_trained_w8", idxTrainedR, sDerived, nProbe = 4,
       widen = 8)
+    // widen saturated at 0.84 with nProbe 4 (w4 == w8 at 100x): the
+    // residual is the PRUNED candidate pool, not the SQ8 cut — this row
+    // removes pruning entirely (nProbe = nCells) to read the refine
+    // tier's own ceiling on the full in-cell pool
+    mineRow("mining_refined_trained_p8", idxTrainedR, sDerived, nProbe = 8,
+      widen = 4)
   }
 
   def main(args: Array[String]): Unit = {
