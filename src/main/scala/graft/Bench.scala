@@ -33,7 +33,27 @@ object Bench {
   private case class Attempt(
       results: Seq[(String, Double)],
       canaryFirst: Double, canaryLast: Double,
-      loadVariance: Double, total: Double, inflated: Seq[String])
+      loadVariance: Double, total: Double, inflated: Seq[String],
+      hostLoadMin: Double, hostLoadMax: Double)
+
+  /** 1-minute host load average sampled beside each canary run, emitted
+    * as `host_load_min`/`host_load_max` so a high canary ratio is
+    * DECIDABLE after the fact: the round-18 battery of record read
+    * lv 3.7–4.3 on a box top(1) showed 94% idle — mid-battery canary
+    * spread there came from in-JVM churn (GC debt and executor-pool
+    * drain inherited from the adjacent heavy query, plus mid-run JIT
+    * speedups that stretch max/min from BELOW), not arriving host load.
+    * With the host samples in the artifact, lv-high + host-low reads
+    * "internal churn, floors stand"; lv-high + host-high reads
+    * "contaminated, rerun" — previously both looked identical and every
+    * r17/r18 full battery was written off as suspect. -1 if unreadable
+    * (non-Linux).
+    */
+  private def hostLoad1m(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split("\\s+").head.toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
 
   /** Per-query PRIOR FLOOR (short qNN keys): the minimum time each query
     * achieved across the newest three BENCH_r*.json artifacts in the
@@ -203,14 +223,19 @@ object Bench {
     val prior = priorTimes()
     def runBattery(): Attempt = {
       val canaries = scala.collection.mutable.ArrayBuffer(timed("q12_scalar_funcs"))
+      val hostLoads = scala.collection.mutable.ArrayBuffer(hostLoad1m())
       val battery =
         if (only.isEmpty) SparkEntry.queries
         else SparkEntry.queries.view.filterKeys(only).toMap
       val results = battery.zipWithIndex.map { case ((name, _), i) =>
-        if (i > 0 && i % 20 == 0) canaries += timed("q12_scalar_funcs")
+        if (i > 0 && i % 20 == 0) {
+          canaries += timed("q12_scalar_funcs")
+          hostLoads += hostLoad1m()
+        }
         name -> timed(name)
       }.toSeq
       canaries += timed("q12_scalar_funcs")
+      hostLoads += hostLoad1m()
       val valid = canaries.filter(_ > 0)
       val loadVar =
         if (valid.nonEmpty && valid.size == canaries.size) valid.max / valid.min
@@ -229,7 +254,10 @@ object Bench {
             case _ => None
           }
       }.flatten
-      Attempt(results, canaries.head, canaries.last, loadVar, total, inflated)
+      val validLoads = hostLoads.filter(_ >= 0)
+      Attempt(results, canaries.head, canaries.last, loadVar, total, inflated,
+        if (validLoads.nonEmpty) validLoads.min else -1.0,
+        if (validLoads.nonEmpty) validLoads.max else -1.0)
     }
     // Contaminated-attempt retry: a poisoned measurement must never become
     // the round's artifact just because it ran first. Re-run the battery
@@ -257,7 +285,7 @@ object Bench {
     // (lv 3.58) over a 448 s one (lv 2.38), a 13%-pessimistic headline
     val chosen = attempts(chooseAttemptIdx(attempts.map(_.loadVariance).toSeq))
     attempts.zipWithIndex.foreach { case (a, i) =>
-      System.err.println(f"[bench] attempt ${i + 1}: total ${a.total}%.2f s, load_variance ${a.loadVariance}%.2f" +
+      System.err.println(f"[bench] attempt ${i + 1}: total ${a.total}%.2f s, load_variance ${a.loadVariance}%.2f, host_load [${a.hostLoadMin}%.2f, ${a.hostLoadMax}%.2f]" +
         (if (a eq chosen) " (chosen)" else ""))
     }
     // Per-query FLOORS across every attempt run: on a box with chronic
@@ -326,7 +354,7 @@ object Bench {
     // LAST, so the tail capture always retains the self-describing
     // summary whatever the battery size. "inflated" carries the
     // FLOOR-keyed flags.
-    println(s"""{"metric":"total","unit":"sec",$partial"sf":"$sfDir",$perQuery,"value":${f(chosen.total)},"canary_first":${f(chosen.canaryFirst)},"canary_last":${f(chosen.canaryLast)},"load_variance":${f(chosen.loadVariance)},"attempt":${attempts.indexOf(chosen) + 1},"attempt_variances":$attemptVars,"inflated":$inflatedJson}""")
+    println(s"""{"metric":"total","unit":"sec",$partial"sf":"$sfDir",$perQuery,"value":${f(chosen.total)},"canary_first":${f(chosen.canaryFirst)},"canary_last":${f(chosen.canaryLast)},"load_variance":${f(chosen.loadVariance)},"host_load_min":${f(chosen.hostLoadMin)},"host_load_max":${f(chosen.hostLoadMax)},"attempt":${attempts.indexOf(chosen) + 1},"attempt_variances":$attemptVars,"inflated":$inflatedJson}""")
     spark.stop()
   }
 }

@@ -2537,6 +2537,32 @@ $fin"""
         .orderBy("query_id", "rank")
     }),
 
+    "q313_stream_refined_probe" -> ((s, d) => {
+      // q307 with the refine tier engaged: each arriving micro-batch
+      // probes the FROZEN persisted index through probeRefined (ADC 4x
+      // deeper, SQ8 re-score against the persisted byte codes, cut back
+      // to k — the q312 chain minus the mining tail). The refine stage
+      // reads only the state's persisted codes, so it is exactly as
+      // row-local as the plain probe and streamed == batch under any
+      // cut; the oracle replays the batch refined-probe chain verbatim.
+      // Completes the ingest-screen symmetry: q299:q307 :: refined
+      // probe : THIS.
+      import graft.streaming.CorpusStreams
+      val emb = t(s, d, "embeddings")
+      val incoming = emb.where(col("vec_id") % 5 === 2)
+        .select(col("vec_id"), col("embedding"))
+      val staged = graft.io.TextTables.scratchDir("ann_rprobe_in", d)
+      incoming.coalesce(1).write.mode("overwrite").parquet(staged)
+      val maxId = incoming.agg(max(col("vec_id"))).head.getLong(0)
+      val slices = CorpusStreams.stageIdSlices(s, staged, "vec_id",
+        Seq(maxId / 3 + 1, 2 * maxId / 3 + 1))
+      val name = s"graft_stream_rannprobe_${streamCounter.incrementAndGet()}"
+      CorpusStreams.annProbeStreaming(s, slices, "vec_id", "embedding",
+          standingAnnIndex(s, d), name, k = 5, nProbe = 4,
+          shufflePartitions = Some(4), refineWiden = Some(4))
+        .orderBy("query_id", "rank")
+    }),
+
     "q300_ann_index_append" -> ((s, d) => {
       // incremental index maintenance under FROZEN models (round 17):
       // the index is built from the base 80% of the standing corpus,
@@ -11131,6 +11157,99 @@ $fin"""
                ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
            FROM ex WHERE cos_raw < 0.95)
          SELECT query_id, neighbor_id, cosine, rank FROM rr WHERE rank <= 5
+         ORDER BY query_id, rank""",
+
+    // q312's refined-probe CTEs with the FULL incoming slice and no
+    // mining tail: the ADC ranking 4x deeper than k=5, SQ8 re-score
+    // against the persisted refine codes, cut back to 5 BY SQ8 SCORE —
+    // gating the STREAMED q313 verbatim (batch-boundary invariance, the
+    // q299/q307 argument: the refine reads only frozen persisted state)
+    "q313_stream_refined_probe" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         st AS (SELECT * FROM e WHERE vec_id % 5 <> 2),
+         inc AS (SELECT * FROM e WHERE vec_id % 5 = 2),
+         nc AS (SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
+           FROM st),
+         ivfseeds AS (SELECT v AS c_vec, rn - 1 AS icell FROM
+             (SELECT v, row_number() OVER
+                (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM st)
+           WHERE rn <= (SELECT k FROM nc)),
+         asg AS (SELECT vec_id, icell FROM (
+             SELECT st.vec_id, s.icell,
+               row_number() OVER (PARTITION BY st.vec_id
+                 ORDER BY list_cosine_similarity(st.v, s.c_vec) DESC, s.icell) AS rn
+             FROM st CROSS JOIN ivfseeds s)
+           WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, icell FROM (
+             SELECT inc.vec_id, s.icell,
+               row_number() OVER (PARTITION BY inc.vec_id
+                 ORDER BY list_cosine_similarity(inc.v, s.c_vec) DESC, s.icell) AS rn
+             FROM inc CROSS JOIN ivfseeds s)
+           WHERE rn <= 4),
+         cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+           FROM probes p JOIN asg a ON p.icell = a.icell),
+         pqseeds AS (SELECT v AS sv, rn - 1 AS cell FROM
+             (SELECT v, row_number() OVER
+                (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM st)
+           WHERE rn <= 16),
+         js AS (SELECT unnest(generate_series(0, 7)) AS j),
+         cw AS (SELECT js.j, s.cell, s.sv[js.j*8 + 1 : js.j*8 + 8] AS w
+           FROM pqseeds s CROSS JOIN js),
+         sd AS (SELECT e.vec_id, c.j, c.cell,
+             list_sum([ (e.v[c.j*8 + d] - c.w[d]) * (e.v[c.j*8 + d] - c.w[d])
+                        for d in generate_series(1, 8) ]) AS sdist
+           FROM e CROSS JOIN cw c),
+         codes AS (SELECT vec_id, j, cell AS code FROM (
+             SELECT vec_id, j, cell, row_number() OVER
+               (PARTITION BY vec_id, j ORDER BY sdist ASC, cell ASC) AS rn
+             FROM sd WHERE vec_id % 5 <> 2)
+           WHERE rn = 1),
+         adc AS (SELECT c.query_id, c.neighbor_id,
+             list_sum(list(s.sdist ORDER BY s.j)) AS dist
+           FROM cand c
+           JOIN codes n ON n.vec_id = c.neighbor_id
+           JOIN sd s ON s.vec_id = c.query_id AND s.j = n.j AND s.cell = n.code
+           GROUP BY 1, 2),
+         wide AS (SELECT query_id, neighbor_id FROM
+             (SELECT query_id, neighbor_id, row_number() OVER
+                (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rnk
+              FROM adc)
+           WHERE rnk <= 20),
+         sx AS (SELECT vec_id, i,
+             CAST(round(v[i], 6) AS DECIMAL(18,6)) AS xq
+           FROM (SELECT vec_id, v, unnest(generate_series(1, 64)) AS i
+                 FROM st)),
+         rg AS (SELECT i, min(xq) AS lo, max(xq) AS hi FROM sx GROUP BY i),
+         dqc AS (SELECT vec_id, sx.i,
+             CAST(lo * 255 + (CASE WHEN hi = lo THEN 0
+                  ELSE LEAST(255, GREATEST(0,
+                    CAST(floor(CAST((xq - lo) * 255 AS DOUBLE)
+                      / CAST(hi - lo AS DOUBLE) + 0.5) AS INTEGER))) END)
+               * (hi - lo) AS DECIMAL(18,6)) AS dd
+           FROM sx JOIN rg USING (i)),
+         qx AS (SELECT vec_id, i,
+             CAST(round(v[i], 6) AS DECIMAL(18,6)) AS xq
+           FROM (SELECT vec_id, v, unnest(generate_series(1, 64)) AS i
+                 FROM inc)),
+         dqq AS (SELECT vec_id AS query_id, qx.i,
+             CAST(lo * 255 + (CASE WHEN hi = lo THEN 0
+                  ELSE LEAST(255, GREATEST(0,
+                    CAST(floor(CAST((xq - lo) * 255 AS DOUBLE)
+                      / CAST(hi - lo AS DOUBLE) + 0.5) AS INTEGER))) END)
+               * (hi - lo) AS DECIMAL(18,6)) AS qd
+           FROM qx JOIN rg USING (i)),
+         sqs AS (SELECT w.query_id, w.neighbor_id,
+             CAST(sum(q.qd * c.dd) AS DECIMAL(38,12)) AS sc
+           FROM wide w
+           JOIN dqq q ON q.query_id = w.query_id
+           JOIN dqc c ON c.vec_id = w.neighbor_id AND c.i = q.i
+           GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id,
+             CAST(round(sc, 6) AS DOUBLE) + 0 AS sq8_score,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY sc DESC, neighbor_id ASC) AS INTEGER) AS rank
+           FROM sqs)
+         SELECT query_id, neighbor_id, sq8_score, rank FROM r WHERE rank <= 5
          ORDER BY query_id, rank""",
 
     // q182's BM25 CTEs verbatim, then the hybrid tail: PRF query vector

@@ -275,13 +275,31 @@ object CorpusStreams {
     * the standing corpus once, probe every arriving batch against it.
     * Sink retention follows the [[containmentProbeStreaming]] contract
     * (pass an owned `sinkDir` in a long-lived ingest loop).
+    *
+    * `refineWiden = Some(w)` routes each batch through
+    * [[graft.ext.AnnIndex.probeRefined]] instead (the SQ8 refine stage
+    * between ADC and the cut, widen = w) — the refine re-scores against
+    * the state's PERSISTED codes, so it is exactly as row-local as the
+    * plain probe and the batch-boundary invariance argument carries
+    * over unchanged (q312's batch oracle chain gates the streamed q313
+    * the way q299's gates q307). Requires a state built with
+    * `refineDim > 0`; [[graft.ext.AnnIndex.probeRefined]] rejects loudly
+    * otherwise — BEFORE the stream starts, so a misconfigured ingest
+    * fails at wiring time, not per-batch.
     */
   def annProbeStreaming(
       spark: SparkSession, stagedDir: String, idCol: String, vecCol: String,
       state: graft.ext.AnnIndex.State, queryName: String,
       k: Int = 10, nProbe: Int = 4,
       sinkDir: Option[String] = None,
-      shufflePartitions: Option[Int] = None): DataFrame = {
+      shufflePartitions: Option[Int] = None,
+      refineWiden: Option[Int] = None): DataFrame = {
+    refineWiden.foreach { w =>
+      require(w >= 1, "annProbeStreaming: refineWiden must be >= 1")
+      require(state.refine.nonEmpty,
+        "annProbeStreaming: refineWiden needs an index built with " +
+          "refineDim > 0 — this state has no SQ8 refine tier")
+    }
     val schema = spark.read.parquet(stagedDir).schema
     val sink = sinkDir.getOrElse {
       val d = Files.createTempDirectory("graft_ann_hits")
@@ -294,10 +312,15 @@ object CorpusStreams {
       val q = stream.writeStream
         .foreachBatch { (batch: Dataset[Row], _: Long) =>
           val b = batch.persist()
-          try graft.ext.AnnIndex.probe(state, b.toDF(), vecCol, idCol,
-              k = k, nProbe = nProbe)
-            .write.mode("append").parquet(sink)
-          finally b.unpersist()
+          try {
+            val hits = refineWiden match {
+              case Some(w) => graft.ext.AnnIndex.probeRefined(state,
+                b.toDF(), vecCol, idCol, k = k, nProbe = nProbe, widen = w)
+              case None => graft.ext.AnnIndex.probe(state, b.toDF(),
+                vecCol, idCol, k = k, nProbe = nProbe)
+            }
+            hits.write.mode("append").parquet(sink)
+          } finally b.unpersist()
         }
         .trigger(Trigger.AvailableNow())
         .queryName(queryName)

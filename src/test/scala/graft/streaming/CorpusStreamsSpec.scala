@@ -138,6 +138,31 @@ class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(batch.nonEmpty && streamed == batch,
       "streamed probe must equal the batch probe: the state is frozen " +
         "and each query's top-k is row-local")
+
+    // refined face: same invariance argument — the SQ8 refine stage reads
+    // only the state's persisted codes, so streamed == batch verbatim
+    val ridx = AnnIndex.withRefine(idx, corpus, "vec_id", "embedding",
+      refineDim = 4)
+    val rbatch = AnnIndex.probeRefined(ridx,
+        queries.toDF("vec_id", "embedding"), "embedding", "vec_id",
+        k = 3, nProbe = 2, widen = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val rstreamed = CorpusStreams.annProbeStreaming(spark, staged,
+        "vec_id", "embedding", ridx, "graft_spec_rannprobe", k = 3,
+        nProbe = 2, refineWiden = Some(2))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rbatch.nonEmpty && rstreamed == rbatch,
+      "streamed REFINED probe must equal the batch probeRefined: the " +
+        "refine tier is frozen persisted state, as row-local as the probe")
+    // a refine-less state must fail at WIRING time (before any stream
+    // machinery starts), not per-batch
+    val err = intercept[IllegalArgumentException] {
+      CorpusStreams.annProbeStreaming(spark, staged, "vec_id", "embedding",
+        idx, "graft_spec_rannprobe_bad", k = 3, nProbe = 2,
+        refineWiden = Some(2))
+    }
+    assert(err.getMessage.contains("refine"),
+      s"wiring-time guard must name the missing refine tier: $err")
   }
 
   test("stateDir resume: two separate runs equal the one-shot dedup (restartable ingest)") {
