@@ -48,6 +48,11 @@ object Bench {
     * "contaminated, rerun" — previously both looked identical and every
     * r17/r18 full battery was written off as suspect. -1 if unreadable
     * (non-Linux).
+    *
+    * Reading convention: loadavg counts the bench's OWN Spark threads —
+    * a local[32] battery on an otherwise idle box reads ~2–5 (measured,
+    * round-18 record run). So "host-low" means ≈ that self-load
+    * baseline; genuine contamination shows up well above it.
     */
   private def hostLoad1m(): Double =
     try {
