@@ -161,7 +161,13 @@ object ScaleBench {
     // re-score on the widened ADC cut; the extra stage touches
     // widen*S code rows per query, so the curve should track q305's
     // with a bounded constant on top
-    "q312_hard_negatives_refined")
+    "q312_hard_negatives_refined",
+    // round 18: the streamed refined probe — q307's micro-batch
+    // machinery over probeRefined; the refine reads widen*k persisted
+    // code rows per query, so the curve should track the flat streamed
+    // probe wall plus the bounded refine constant (the q312 story under
+    // the streaming-harness class price)
+    "q313_stream_refined_probe")
 
   /** Build the `replicas`x corpus: isomorphic token-suffixed document
     * replicas and coordinate-rotated embedding replicas. Id offsets are

@@ -110,6 +110,41 @@ object AnnIndex {
     math.max(floor, math.ceil(math.sqrt(n.toDouble)).toInt)
   }
 
+  /** How far the index's geometry has drifted from the derived sizing:
+    * `√N / nCells`, where N is the number of encoded vectors the index
+    * now holds. 1.0 (±rounding) right after a derived-sizing build; it
+    * GROWS as [[append]] accumulates increments under the frozen cell
+    * count, and it is exactly the per-probe candidate-mass multiplier
+    * vs a freshly-derived index (probe cost ~ N·nProbe/nCells =
+    * drift · √N·nProbe). The round-17 fixture that froze nCells=8 under
+    * a 100×-grown corpus sat at drift ≈ 56 and measured a 64× probe
+    * wall — the advisory threshold below (4×) is two doublings of data
+    * under frozen geometry, the point where a rebuild (re-derive cells,
+    * re-encode) repays its cost in probe walls. Costs one count scan of
+    * the codes frame; [[save]] computes it for free off the checkpoint
+    * it already pays for and warns on stderr past the threshold —
+    * append-only maintenance stays legitimate, but a drifted index can
+    * no longer persist silently.
+    */
+  def sizingDrift(state: State): Double =
+    sizingDriftOf(state.codes.count(), state.coarse.centroids.length)
+
+  /** Advisory threshold: drift past 4 (= corpus 16× the cell count's
+    * design size) warns at persist time.
+    */
+  private[ext] val SizingDriftWarnAt = 4.0
+
+  private[ext] def sizingDriftOf(n: Long, nCells: Int): Double =
+    math.sqrt(n.toDouble) / nCells
+
+  private def warnOnSizingDrift(drift: Double, where: String): Unit =
+    if (drift > SizingDriftWarnAt) System.err.println(
+      f"[graft] AnnIndex.$where: sizing drift $drift%.1f — the corpus " +
+        f"has outgrown the frozen cell count by ${drift * drift}%.0f×; " +
+        "probe walls scale with drift (measured 64× at drift ≈ 56). " +
+        "Rebuild with derived sizing (buildPortable/buildTrained) to " +
+        "restore the √N probe contract")
+
   /** SQ8 refine codes for `corpus` under FROZEN ranges — the refine
     * tier's [[encode]]: one row-local projection, no shuffle.
     */
@@ -298,6 +333,8 @@ object AnnIndex {
   def save(spark: SparkSession, state: State, dir: String): Unit = {
     requireLocalDir(dir)
     val codes = state.codes.localCheckpoint(true)
+    warnOnSizingDrift(sizingDriftOf(codes.count(),
+      state.coarse.centroids.length), s"save($dir)")
     val refineCk = state.refine.map(r =>
       r.copy(codes = r.codes.localCheckpoint(true)))
     Dedup.StateManifest.save(dir, state.params.encoded) {

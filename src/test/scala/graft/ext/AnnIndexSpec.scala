@@ -181,4 +181,23 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(run(derived) ==
       run(AnnIndex.build(c, "vec_id", "embedding", coarseK7, pq)))
   }
+
+  test("sizingDrift: ~1 after a derived build, grows as sqrt(N)/nCells under append") {
+    val c = corpus(36) // derived nCells = 6, drift = sqrt(36)/6 = 1.0
+    val built = AnnIndex.buildPortable(c, "vec_id", "embedding", m = 2, c = 4)
+    assert(math.abs(AnnIndex.sizingDrift(built) - 1.0) < 1e-9)
+    // 16x the data under the frozen cell count = two doublings = the
+    // advisory threshold: drift sqrt(576)/6 = 4.0 exactly
+    val grown = (1 to 15).foldLeft(built) { (st, i) =>
+      AnnIndex.append(st, corpus(36, idOffset = 10000L * i),
+        "vec_id", "embedding")
+    }
+    assert(math.abs(AnnIndex.sizingDrift(grown) - 4.0) < 1e-9)
+    // the drifted index still probes correctly (append semantics are
+    // untouched — the advisory is about COST, not correctness)
+    val q = corpus(3, idOffset = 999000L)
+    val hits = AnnIndex.probe(grown, q, "embedding", "vec_id", k = 3,
+      nProbe = 2).count()
+    assert(hits == 9L)
+  }
 }
