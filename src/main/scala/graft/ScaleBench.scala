@@ -301,10 +301,28 @@ object ScaleBench {
     java.nio.file.Files.writeString(done.toPath, stamp)
   }
 
-  private def timeOnce(spark: SparkSession, name: String, dir: String): Double = {
+  /** `tag` is the replica-0 token suffix of the corpus at `dir` (empty
+    * for the unsuffixed source): the hybrid-retrieval faces query by
+    * FIXED text, and buildScaled suffixes every token of every replica,
+    * so the queries must be suffixed into the scaled corpus's token
+    * space or the scale row times an empty pipeline — zero BM25 hits,
+    * empty PRF, no dense probe (the round-18 review finding that
+    * invalidated the first recorded q310/q311 curves). Suffixed query
+    * statistics stay isomorphic: each replica's postings are disjoint
+    * by tag, so df/tf of the suffixed terms equal the source run's.
+    */
+  private def timeOnce(spark: SparkSession, name: String, dir: String,
+      tag: String = ""): Double = {
     val t0 = System.nanoTime()
-    SparkEntry.queries(name)(spark, dir)
-      .write.format("noop").mode("overwrite").save()
+    val df = name match {
+      case "q310_hybrid_rrf" if tag.nonEmpty =>
+        SparkEntry.hybridRrf(spark, dir, SparkEntry.bm25QueriesSuffixed(tag))
+      case "q311_hybrid_indexed" if tag.nonEmpty =>
+        SparkEntry.hybridIndexed(spark, dir,
+          SparkEntry.bm25QueriesSuffixed(tag))
+      case _ => SparkEntry.queries(name)(spark, dir)
+    }
+    df.write.format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -330,6 +348,9 @@ object ScaleBench {
     buildScaled(spark, srcDir, outDir, replicas, skewFrac)
     val nSmall = spark.read.parquet(s"$srcDir/documents.parquet").count()
     val nBig = spark.read.parquet(s"$outDir/documents.parquet").count()
+    // replica-0's token tag under buildScaled's scheme: single letters
+    // up to 26 replicas, uniform two-letter suffixes above
+    val tag0 = if (replicas <= 26) "a" else "aa"
     val rows = battery.map { name =>
       val small = (1 to attempts).map(_ => timeOnce(spark, name, srcDir)).min
       // the OPEN exact faces gate on candidate mass and, past the
@@ -338,7 +359,8 @@ object ScaleBench {
       // guard firing where the r15 skew runs measured 46x walls), so
       // record it as a gated row instead of crashing the battery
       val big = try {
-        Right((1 to attempts).map(_ => timeOnce(spark, name, outDir)).min)
+        Right((1 to attempts).map(_ =>
+          timeOnce(spark, name, outDir, tag = tag0)).min)
       } catch {
         case e: IllegalStateException
             if e.getMessage != null && e.getMessage.contains("HARD CEILING") =>

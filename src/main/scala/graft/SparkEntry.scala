@@ -68,23 +68,44 @@ object SparkEntry {
     * later call — the production ingest shape shared by both faces.
     */
   private def standingAnnIndex(
-      s: SparkSession, d: String): graft.ext.AnnIndex.State = {
+      s: SparkSession, d: String): graft.ext.AnnIndex.State =
+    standingAnnIndexWithCount(s, d)._1
+
+  /** Per-JVM memo of (standing index, standing count) keyed by the
+    * source fingerprint: every probe-family query used to pay a
+    * filtered count scan of the embeddings table just to re-derive
+    * nCells for the scratch key, plus (q309/q311/q312) a second count
+    * of the codes parquet for the shortlist size — cost charged to the
+    * probe walls the benchmarks measure (round-18 review finding). The
+    * fingerprint in the key keeps the memo exactly as fresh as the
+    * scratch-dir contract it feeds.
+    */
+  private val standingIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (graft.ext.AnnIndex.State, Long)]()
+
+  private def standingAnnIndexWithCount(
+      s: SparkSession, d: String): (graft.ext.AnnIndex.State, Long) = {
+    val fp = graft.io.TextTables.sourceFingerprint(s"$d/embeddings.parquet")
+    val memoKey = s"$d;$fp"
+    val hit = standingIndexMemo.get(memoKey)
+    if (hit != null) return hit
     val standing = t(s, d, "embeddings").where(col("vec_id") % 5 =!= 2)
+    val standingN = standing.count()
     // nCells DERIVED from the standing count (AnnIndex.derivedNCells,
     // round-18 verdict #1): the oracles replay the same derivation as
     // `greatest(4, ceil(sqrt(count(*))))` over the standing slice, so
     // the gate geometry now scales exactly like production's.
-    val nCells = graft.ext.AnnIndex.derivedNCells(standing.count())
+    val nCells = graft.ext.AnnIndex.derivedNCells(standingN)
     // refine tier always on (round 18): ~64 byte-codes/vector beside the
     // 8 PQ codes — q299/q305/q307/q309/q311 probe the ADC face
     // unchanged; q312 exercises probeRefined over the same state
     val params = graft.ext.AnnIndex.Params(nCells = nCells, m = 8, c = 16,
       refineDim = 64)
     val stateDir = graft.io.TextTables.scratchDir("ann_index", d,
-      graft.io.TextTables.sourceFingerprint(s"$d/embeddings.parquet")
-        + ";" + params.encoded)
+      fp + ";" + params.encoded)
     new java.io.File(stateDir).mkdirs()
-    graft.ext.AnnIndex.load(s, stateDir, params).getOrElse {
+    val state = graft.ext.AnnIndex.load(s, stateDir, params).getOrElse {
       graft.ext.AnnIndex.save(s,
         graft.ext.AnnIndex.buildPortable(standing, "vec_id", "embedding",
           m = 8, c = 16, nCells = Some(nCells), refineDim = 64), stateDir)
@@ -96,6 +117,9 @@ object SparkEntry {
             "after save — check that parquet writes produce _SUCCESS " +
             "markers (mapreduce.fileoutputcommitter.marksuccessfuljobs)"))
     }
+    val out = (state, standingN)
+    standingIndexMemo.put(memoKey, out)
+    out
   }
 
   /** 26 BMP Han ideographs standing in for a-z in the derived CJK
@@ -1113,6 +1137,122 @@ $fin"""
 
   private val bm25QueriesLit: String = bm25Queries
     .map { case (i, q) => s"($i, '$q')" }.mkString(", ")
+
+  /** [[bm25Queries]] with every token replica-suffixed by `tag` — the
+    * SAME regexp ScaleBench.buildScaled applies to the corpus text, so
+    * a scale run queries the scaled corpus in ITS token space. Without
+    * this the fixed query text matches zero postings on a suffixed
+    * corpus and a "hybrid retrieval at 100×" row times an empty
+    * pipeline (round-18 review finding).
+    */
+  private[graft] def bm25QueriesSuffixed(tag: String): Seq[(Long, String)] =
+    if (tag.isEmpty) bm25Queries
+    else bm25Queries.map { case (i, q) =>
+      (i, q.replaceAll("([\\p{L}\\p{N}_]+)", "$1" + tag))
+    }
+
+  /** q310's engine body with the query set injected (the gate entry
+    * passes [[bm25Queries]]; ScaleBench passes the replica-suffixed
+    * set): the q182 BM25 ranking fused with a DENSE ranking whose query
+    * vector comes from pseudo-relevance feedback — the per-dim DECIMAL
+    * SUM of the BM25 top-3 docs' embeddings (sum, not mean: cosine is
+    * scale-invariant, and skipping the division keeps the vector
+    * engine-exact with no non-terminating quotient). Reciprocal-rank
+    * fusion (1/(60+rank), 6dp, decimal-summed) composes the
+    * incomparable BM25/cosine scales with no calibration. Text queries
+    * have no embeddings, which is exactly the situation PRF exists for.
+    */
+  private[graft] def hybridRrf(s: SparkSession, d: String,
+      queries: Seq[(Long, String)]): DataFrame = {
+    val docs = fanOut(s, t(s, d, "documents"), "doc_id")
+      .where(col("text").isNotNull)
+    val stats = docs
+      .agg(count(lit(1)), sum(size(text.tokens(col("text"))).cast("long")))
+      .head()
+    val qdf = s.createDataFrame(queries).toDF("query_id", "qtext")
+    // feeds BOTH the PRF vector and the fusion — evaluate once
+    val bm25 = graft.ext.Vocab.bm25Search(docs, "doc_id", "text", qdf,
+        "query_id", "qtext", stats.getLong(0), stats.getLong(1), k = 10)
+      .localCheckpoint()
+    val emb = t(s, d, "embeddings").select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val prf = prfVector(bm25, emb)
+    // distinct id spaces (query 1..3 vs doc 0..N): excludeSelf would
+    // silently drop doc_id == query_id — the bruteForceTopK caveat
+    val dense = Similarity.bruteForceTopK(emb, prf, idCol = "vec_id",
+      vecCol = "embedding", queryIdCol = "query_id", k = 10,
+      excludeSelf = false)
+    Similarity.rrfFuse(Seq(
+        bm25.select(col("query_id"), col("doc_id"),
+          col("rnk").as("rank")),
+        dense.select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))),
+        k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** The PRF query vector shared by both hybrid faces: per-dim DECIMAL
+    * sum of the BM25 top-3 docs' embeddings (engine-exact; the join
+    * binds whichever slice `emb` carries).
+    */
+  private def prfVector(bm25: DataFrame, emb: DataFrame): DataFrame =
+    bm25.where(col("rnk") <= 3)
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+      .select(col("query_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("query_id"), col("dim"))
+      .agg(sum(col("v").cast("decimal(18,8)")).cast("double").as("sv"))
+      .groupBy(col("query_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("sv")))),
+        x => x.getField("sv")).as("embedding"))
+
+  /** q311's engine body with the query set injected: q310's hybrid
+    * retrieval with the dense side served by the PERSISTED index —
+    * corpus = the STANDING slice on BOTH rankings (the production
+    * situation — the index IS the corpus), the PRF query vector probes
+    * the standing IVF-PQ index at the q305 derived shortlist depth with
+    * the measured-knee nProbe = 4, the ADC shortlist reranks EXACTLY by
+    * cosine ([[Similarity.shortlistRerankTopK]]), and RRF fuses that
+    * ranking with BM25 — hybrid retrieval inherits the index's flat
+    * probe wall (ProbeBench) instead of q310's corpus-sized brute-force
+    * stream. Self-exclusion stays OFF: retrieval query ids (1..3) live
+    * in a different id space than doc ids (the q310 caveat).
+    */
+  private[graft] def hybridIndexed(s: SparkSession, d: String,
+      queries: Seq[(Long, String)]): DataFrame = {
+    val docs = fanOut(s, t(s, d, "documents"), "doc_id")
+      .where(col("text").isNotNull && col("doc_id") % 5 =!= 2)
+    val stats = docs
+      .agg(count(lit(1)), sum(size(text.tokens(col("text"))).cast("long")))
+      .head()
+    val qdf = s.createDataFrame(queries).toDF("query_id", "qtext")
+    val bm25 = graft.ext.Vocab.bm25Search(docs, "doc_id", "text", qdf,
+        "query_id", "qtext", stats.getLong(0), stats.getLong(1), k = 10)
+      .localCheckpoint()
+    val emb = t(s, d, "embeddings").select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    // PRF vector over the full table: the top-3 docs are standing docs,
+    // so the join binds the same rows either way
+    val prf = prfVector(bm25, emb)
+    val (state, standingN) = standingAnnIndexWithCount(s, d)
+    val shortS = Similarity.miningShortlistSize(standingN, k = 10)
+    val shortlist = graft.ext.AnnIndex.probe(state, prf, "embedding",
+        "query_id", k = shortS, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"))
+    val dense = Similarity.shortlistRerankTopK(
+      emb.where(col("vec_id") % 5 =!= 2), prf, shortlist,
+      idCol = "vec_id", vecCol = "embedding", queryIdCol = "query_id",
+      k = 10)
+    Similarity.rrfFuse(Seq(
+        bm25.select(col("query_id"), col("doc_id"),
+          col("rnk").as("rank")),
+        dense.select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))),
+        k = 10)
+      .orderBy("query_id", "rank")
+  }
 
   /** q180's frozen mixture weights (source -> integer weight, lowest
     * terms): the four weight classes 1..4 over the 20 sources, lcm 12 —
@@ -2307,107 +2447,9 @@ $fin"""
         .orderBy("doc_id")
     }),
 
-    "q310_hybrid_rrf" -> ((s, d) => {
-      // hybrid retrieval: the q182 BM25 ranking fused with a DENSE
-      // ranking whose query vector comes from pseudo-relevance feedback
-      // — the per-dim DECIMAL SUM of the BM25 top-3 docs' embeddings
-      // (sum, not mean: cosine is scale-invariant, and skipping the
-      // division keeps the vector engine-exact with no non-terminating
-      // quotient). Reciprocal-rank fusion (1/(60+rank), 6dp, decimal-
-      // summed) composes the incomparable BM25/cosine scales with no
-      // calibration. Text queries have no embeddings, which is exactly
-      // the situation PRF exists for.
-      val docs = fanOut(s, t(s, d, "documents"), "doc_id")
-        .where(col("text").isNotNull)
-      val stats = docs
-        .agg(count(lit(1)), sum(size(text.tokens(col("text"))).cast("long")))
-        .head()
-      val qdf = s.createDataFrame(bm25Queries).toDF("query_id", "qtext")
-      // feeds BOTH the PRF vector and the fusion — evaluate once
-      val bm25 = graft.ext.Vocab.bm25Search(docs, "doc_id", "text", qdf,
-          "query_id", "qtext", stats.getLong(0), stats.getLong(1), k = 10)
-        .localCheckpoint()
-      val emb = t(s, d, "embeddings").select(col("vec_id"),
-        col("embedding").cast("array<double>").as("embedding"))
-      val prf = bm25.where(col("rnk") <= 3)
-        .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
-          Seq("doc_id"))
-        .select(col("query_id"),
-          posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy(col("query_id"), col("dim"))
-        .agg(sum(col("v").cast("decimal(18,8)")).cast("double").as("sv"))
-        .groupBy(col("query_id"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("dim"), col("sv")))),
-          x => x.getField("sv")).as("embedding"))
-      // distinct id spaces (query 1..3 vs doc 0..N): excludeSelf would
-      // silently drop doc_id == query_id — the bruteForceTopK caveat
-      val dense = Similarity.bruteForceTopK(emb, prf, idCol = "vec_id",
-        vecCol = "embedding", queryIdCol = "query_id", k = 10,
-        excludeSelf = false)
-      Similarity.rrfFuse(Seq(
-          bm25.select(col("query_id"), col("doc_id"),
-            col("rnk").as("rank")),
-          dense.select(col("query_id"), col("neighbor_id").as("doc_id"),
-            col("rank"))),
-          k = 10)
-        .orderBy("query_id", "rank")
-    }),
+    "q310_hybrid_rrf" -> ((s, d) => hybridRrf(s, d, bm25Queries)),
 
-    "q311_hybrid_indexed" -> ((s, d) => {
-      // q310's hybrid retrieval with the dense side served by the
-      // PERSISTED index (round 18): corpus = the STANDING slice on BOTH
-      // rankings (the production situation — the index IS the corpus),
-      // the PRF query vector probes the standing IVF-PQ index at the
-      // q305 derived shortlist depth with the measured-knee nProbe = 4,
-      // the ADC shortlist reranks EXACTLY by cosine
-      // (Similarity.shortlistRerankTopK), and RRF fuses that ranking
-      // with BM25 — hybrid retrieval inherits the index's flat probe
-      // wall (ProbeBench) instead of q310's corpus-sized brute-force
-      // stream. Self-exclusion stays OFF: retrieval query ids (1..3)
-      // live in a different id space than doc ids (the q310 caveat).
-      val docs = fanOut(s, t(s, d, "documents"), "doc_id")
-        .where(col("text").isNotNull && col("doc_id") % 5 =!= 2)
-      val stats = docs
-        .agg(count(lit(1)), sum(size(text.tokens(col("text"))).cast("long")))
-        .head()
-      val qdf = s.createDataFrame(bm25Queries).toDF("query_id", "qtext")
-      val bm25 = graft.ext.Vocab.bm25Search(docs, "doc_id", "text", qdf,
-          "query_id", "qtext", stats.getLong(0), stats.getLong(1), k = 10)
-        .localCheckpoint()
-      val emb = t(s, d, "embeddings").select(col("vec_id"),
-        col("embedding").cast("array<double>").as("embedding"))
-      // PRF vector: per-dim DECIMAL sum of the BM25 top-3 docs'
-      // embeddings (q310's engine-exact construction; the top-3 docs
-      // are standing docs, so the full-table join binds the same rows)
-      val prf = bm25.where(col("rnk") <= 3)
-        .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
-          Seq("doc_id"))
-        .select(col("query_id"),
-          posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy(col("query_id"), col("dim"))
-        .agg(sum(col("v").cast("decimal(18,8)")).cast("double").as("sv"))
-        .groupBy(col("query_id"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("dim"), col("sv")))),
-          x => x.getField("sv")).as("embedding"))
-      val state = standingAnnIndex(s, d)
-      val shortS = Similarity.miningShortlistSize(state.codes.count(), k = 10)
-      val shortlist = graft.ext.AnnIndex.probe(state, prf, "embedding",
-          "query_id", k = shortS, nProbe = 4)
-        .select(col("query_id"), col("neighbor_id"))
-      val dense = Similarity.shortlistRerankTopK(
-        emb.where(col("vec_id") % 5 =!= 2), prf, shortlist,
-        idCol = "vec_id", vecCol = "embedding", queryIdCol = "query_id",
-        k = 10)
-      Similarity.rrfFuse(Seq(
-          bm25.select(col("query_id"), col("doc_id"),
-            col("rnk").as("rank")),
-          dense.select(col("query_id"), col("neighbor_id").as("doc_id"),
-            col("rank"))),
-          k = 10)
-        .orderBy("query_id", "rank")
-    }),
+    "q311_hybrid_indexed" -> ((s, d) => hybridIndexed(s, d, bm25Queries)),
 
     "q309_mining_autotune" -> ((s, d) => {
       // the mining-shortlist dial MEASURED in-engine (the q296 tuner
@@ -2420,8 +2462,8 @@ $fin"""
       val emb = t(s, d, "embeddings")
       val standing = emb.where(col("vec_id") % 5 =!= 2)
       val queries = emb.where(col("vec_id") % 5 === 2 && col("vec_id") < 50)
-      val state = standingAnnIndex(s, d)
-      val sBase = Similarity.miningShortlistSize(state.codes.count(), k = 5)
+      val (state, standingN) = standingAnnIndexWithCount(s, d)
+      val sBase = Similarity.miningShortlistSize(standingN, k = 5)
       val dials = Seq(sBase, 2 * sBase, 4 * sBase)
       val ranked = graft.ext.AnnIndex.probe(state, queries, "embedding",
           "vec_id", k = 4 * sBase, nProbe = 4)
@@ -2491,9 +2533,8 @@ $fin"""
       val emb = t(s, d, "embeddings")
       val standing = emb.where(col("vec_id") % 5 =!= 2)
       val queries = emb.where(col("vec_id") % 5 === 2 && col("vec_id") < 50)
-      val state = standingAnnIndex(s, d)
-      val shortS = Similarity.miningShortlistSize(
-        state.codes.count(), k = 5)
+      val (state, standingN) = standingAnnIndexWithCount(s, d)
+      val shortS = Similarity.miningShortlistSize(standingN, k = 5)
       val shortlist = graft.ext.AnnIndex.probe(state,
           queries, "embedding", "vec_id", k = shortS, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"))
@@ -2520,9 +2561,8 @@ $fin"""
       val emb = t(s, d, "embeddings")
       val standing = emb.where(col("vec_id") % 5 =!= 2)
       val queries = emb.where(col("vec_id") % 5 === 2 && col("vec_id") < 50)
-      val state = standingAnnIndex(s, d)
-      val shortS = Similarity.miningShortlistSize(
-        state.codes.count(), k = 5)
+      val (state, standingN) = standingAnnIndexWithCount(s, d)
+      val shortS = Similarity.miningShortlistSize(standingN, k = 5)
       val shortlist = graft.ext.AnnIndex.probeRefined(state,
           queries, "embedding", "vec_id", k = shortS, nProbe = 4,
           widen = 4)

@@ -188,6 +188,11 @@ object Similarity {
     * dials are prefix cuts of it (the shortlist nests like the q296
     * plane tables), so the whole sweep replays in SQL from one ADC
     * ranking and the engine pays one probe, not one per dial.
+    *
+    * `exactTruth`, when injected, must be the MINING list
+    * ([[hardNegatives]]: positive-anti-joined, margin-excluded) — NOT
+    * plain cosine top-k, which is the truth family of the nProbe/LSH
+    * sweeps (see [[sweepTruth]]).
     */
   def miningShortlistSweep(
       corpus: DataFrame, queries: DataFrame, positives: DataFrame,
@@ -409,6 +414,26 @@ object Similarity {
     cosineTopKRank(cand, k)
   }
 
+  /** The sweep-truth rule shared by ALL dial sweeps (nProbe, LSH
+    * tables, mining shortlist): an injected precomputed
+    * `(query_id, neighbor_id)` exact frame wins — the sweeps' dominant
+    * cost is their exact truth pass, so a caller tuning several
+    * families over one corpus (RecallBench) pays it once — otherwise
+    * the family's own exact face runs once and pins its result.
+    *
+    * The injected frame must be the SAME truth family the sweep's own
+    * exact face would compute: plain brute-force cosine top-k for the
+    * nProbe/LSH sweeps, but the MINING list (positive-anti-joined,
+    * margin-excluded [[hardNegatives]]) for the mining-shortlist sweep
+    * — injecting cosine top-k there scores dials against the wrong
+    * target and pickChosen returns a plausible-looking wrong dial with
+    * no error.
+    */
+  private[ext] def sweepTruth(inject: Option[DataFrame])
+      (exact: => DataFrame): DataFrame =
+    inject.getOrElse(
+      exact.select(col("query_id"), col("neighbor_id")).localCheckpoint())
+
   /** Shared measured-recall sweep kernel (round-16 verdict #6): run an
     * ANN face at each dial value, score it against EXACT truth pairs,
     * and emit one row per dial — `(<dialName>, n_truth, n_hit, recall,
@@ -421,18 +446,6 @@ object Similarity {
     * one count per dial; every count is |sample| * k rows, never
     * corpus-sized.
     */
-  /** The sweep-truth rule shared by ALL dial sweeps (nProbe, LSH
-    * tables, mining shortlist): an injected precomputed
-    * `(query_id, neighbor_id)` exact frame wins — the sweeps' dominant
-    * cost is their exact truth pass, so a caller tuning several
-    * families over one corpus (RecallBench) pays it once — otherwise
-    * the family's own exact face runs once and pins its result.
-    */
-  private[ext] def sweepTruth(inject: Option[DataFrame])
-      (exact: => DataFrame): DataFrame =
-    inject.getOrElse(
-      exact.select(col("query_id"), col("neighbor_id")).localCheckpoint())
-
   private[ext] def recallSweep(
       truth: DataFrame, dials: Seq[Int], run: Int => DataFrame,
       recallTarget: Double, dialName: String): DataFrame = {
