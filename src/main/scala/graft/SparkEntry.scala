@@ -2447,9 +2447,21 @@ $fin"""
         .orderBy("doc_id")
     }),
 
-    "q310_hybrid_rrf" -> ((s, d) => hybridRrf(s, d, bm25Queries)),
+    "q310_hybrid_rrf" -> ((s, d) => {
+      // hybrid retrieval: the q182 BM25 ranking fused via RRF with a
+      // dense ranking whose query vector comes from pseudo-relevance
+      // feedback — engine body extracted to hybridRrf so ScaleBench can
+      // inject replica-suffixed queries (see its scaladoc)
+      SparkEntry.hybridRrf(s, d, bm25Queries)
+    }),
 
-    "q311_hybrid_indexed" -> ((s, d) => hybridIndexed(s, d, bm25Queries)),
+    "q311_hybrid_indexed" -> ((s, d) => {
+      // q310's hybrid retrieval with the dense side served by the
+      // PERSISTED IVF-PQ index (probe at the derived shortlist depth,
+      // exact cosine rerank) — engine body extracted to hybridIndexed
+      // so ScaleBench can inject replica-suffixed queries
+      SparkEntry.hybridIndexed(s, d, bm25Queries)
+    }),
 
     "q309_mining_autotune" -> ((s, d) => {
       // the mining-shortlist dial MEASURED in-engine (the q296 tuner
