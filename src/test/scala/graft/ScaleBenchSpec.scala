@@ -169,4 +169,21 @@ class ScaleBenchSpec extends AnyFunSuite with SparkSpec {
         replicas = 2, skewFrac = 0.04)
     }
   }
+
+  test("bm25QueriesSuffixed applies exactly buildScaled's token suffix rule") {
+    // parity lock: the suffixed query text must equal running
+    // buildScaled's own regexp_replace over the query strings — if the
+    // two regexes drift, scale rows quietly time an empty retrieval
+    // pipeline again (the round-18 review finding)
+    val qs = SparkEntry.bm25QueriesSuffixed("")
+    val viaSpark = qs.map(_._2).toDF("qtext")
+      .select(regexp_replace(col("qtext"), "([\\p{L}\\p{N}_]+)", "$1a"))
+      .as[String].collect().toSeq
+    assert(SparkEntry.bm25QueriesSuffixed("a").map(_._2) == viaSpark)
+    // and the suffixed terms must actually hit a suffixed corpus: every
+    // token ends with the tag
+    assert(SparkEntry.bm25QueriesSuffixed("aa").map(_._2)
+      .forall(_.split(" ").forall(_.endsWith("aa"))))
+    assert(qs == SparkEntry.bm25QueriesSuffixed(""), "empty tag = identity")
+  }
 }
