@@ -40,6 +40,22 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
 
+  /** The ONE definition of the replica token-suffix scheme (round-18
+    * review: three hand-copied instances of the regex/tag rule meant
+    * the parity spec compared two copies of whatever drifted and the
+    * scale rows could silently revert to timing an empty retrieval
+    * pipeline). `TokenPattern` is the regexp_replace pattern buildScaled
+    * applies to corpus text AND bm25QueriesSuffixed applies to query
+    * text; [[replicaTag]] is the per-replica suffix: single letters up
+    * to 26 replicas, uniform two-letter suffixes above (same-length
+    * tags keep token statistics isomorphic across the corpus).
+    */
+  private[graft] val TokenPattern = "([\\p{L}\\p{N}_]+)"
+
+  private[graft] def replicaTag(r: Int, replicas: Int): String =
+    if (replicas <= 26) ('a' + r).toChar.toString
+    else "" + ('a' + r / 26).toChar + ('a' + r % 26).toChar
+
   /** The heavy operators the round-12 verdict asked to curve: minhash
     * pair generation, the connected-components family, the
     * exact-substring family, exact AllPairs, the triangle census, and
@@ -225,13 +241,11 @@ object ScaleBench {
           pmod(off + j, lit(500L)).cast("string"))), " ")
     val skewCut = math.round(skewFrac * 10).toInt
     val scaledDocs = (0 until replicas).map { r =>
-      val tag =
-        if (replicas <= 26) ('a' + r).toChar.toString
-        else "" + ('a' + r / 26).toChar + ('a' + r % 26).toChar
+      val tag = replicaTag(r, replicas)
       val suffixed =
         // one replacement per token: "$1" + letter is unambiguous where
         // a digit suffix would parse as part of the group number
-        regexp_replace(col("text"), "([\\p{L}\\p{N}_]+)", "$1" + tag)
+        regexp_replace(col("text"), TokenPattern, "$1" + tag)
       docs.select(
         (col("doc_id") + lit(r.toLong * 100000000L)).as("doc_id"),
         (if (skewCut == 0) suffixed
@@ -348,9 +362,9 @@ object ScaleBench {
     buildScaled(spark, srcDir, outDir, replicas, skewFrac)
     val nSmall = spark.read.parquet(s"$srcDir/documents.parquet").count()
     val nBig = spark.read.parquet(s"$outDir/documents.parquet").count()
-    // replica-0's token tag under buildScaled's scheme: single letters
-    // up to 26 replicas, uniform two-letter suffixes above
-    val tag0 = if (replicas <= 26) "a" else "aa"
+    // replica-0's token tag under buildScaled's scheme — the shared
+    // definition, not a copy
+    val tag0 = replicaTag(0, replicas)
     val rows = battery.map { name =>
       val small = (1 to attempts).map(_ => timeOnce(spark, name, srcDir)).min
       // the OPEN exact faces gate on candidate mass and, past the

@@ -71,25 +71,35 @@ object SparkEntry {
       s: SparkSession, d: String): graft.ext.AnnIndex.State =
     standingAnnIndexWithCount(s, d)._1
 
-  /** Per-JVM memo of (standing index, standing count) keyed by the
-    * source fingerprint: every probe-family query used to pay a
-    * filtered count scan of the embeddings table just to re-derive
-    * nCells for the scratch key, plus (q309/q311/q312) a second count
-    * of the codes parquet for the shortlist size — cost charged to the
-    * probe walls the benchmarks measure (round-18 review finding). The
-    * fingerprint in the key keeps the memo exactly as fresh as the
-    * scratch-dir contract it feeds.
+  /** Per-JVM memo of the standing-index GEOMETRY — (params, stateDir,
+    * standing count) keyed by the source fingerprint: every probe-family
+    * query used to pay a filtered count scan of the embeddings table
+    * just to re-derive nCells for the scratch key, plus (q309/q311/q312)
+    * a second count of the codes parquet for the shortlist size — cost
+    * charged to the probe walls the benchmarks measure (round-18 review
+    * finding). Only the COUNTS are memoized; every hit re-runs
+    * [[graft.ext.AnnIndex.load]] (small-file reads, zero Spark jobs), so
+    * a cleaned scratch dir rebuilds and the returned frames always bind
+    * to the CALLER's session — memoizing the State itself would hand a
+    * later caller DataFrames over deleted parquet or a stopped session
+    * (the second round-18 review pass).
     */
   private val standingIndexMemo =
     new java.util.concurrent.ConcurrentHashMap[
-      String, (graft.ext.AnnIndex.State, Long)]()
+      String, (graft.ext.AnnIndex.Params, String, Long)]()
 
   private def standingAnnIndexWithCount(
       s: SparkSession, d: String): (graft.ext.AnnIndex.State, Long) = {
     val fp = graft.io.TextTables.sourceFingerprint(s"$d/embeddings.parquet")
     val memoKey = s"$d;$fp"
     val hit = standingIndexMemo.get(memoKey)
-    if (hit != null) return hit
+    if (hit != null) {
+      val (params, dir, n) = hit
+      graft.ext.AnnIndex.load(s, dir, params) match {
+        case Some(state) => return (state, n)
+        case None => standingIndexMemo.remove(memoKey) // scratch cleaned
+      }
+    }
     val standing = t(s, d, "embeddings").where(col("vec_id") % 5 =!= 2)
     val standingN = standing.count()
     // nCells DERIVED from the standing count (AnnIndex.derivedNCells,
@@ -117,9 +127,8 @@ object SparkEntry {
             "after save — check that parquet writes produce _SUCCESS " +
             "markers (mapreduce.fileoutputcommitter.marksuccessfuljobs)"))
     }
-    val out = (state, standingN)
-    standingIndexMemo.put(memoKey, out)
-    out
+    standingIndexMemo.put(memoKey, (params, stateDir, standingN))
+    (state, standingN)
   }
 
   /** 26 BMP Han ideographs standing in for a-z in the derived CJK
@@ -1148,7 +1157,7 @@ $fin"""
   private[graft] def bm25QueriesSuffixed(tag: String): Seq[(Long, String)] =
     if (tag.isEmpty) bm25Queries
     else bm25Queries.map { case (i, q) =>
-      (i, q.replaceAll("([\\p{L}\\p{N}_]+)", "$1" + tag))
+      (i, q.replaceAll(ScaleBench.TokenPattern, "$1" + tag))
     }
 
   /** q310's engine body with the query set injected (the gate entry
@@ -1174,6 +1183,11 @@ $fin"""
     val bm25 = graft.ext.Vocab.bm25Search(docs, "doc_id", "text", qdf,
         "query_id", "qtext", stats.getLong(0), stats.getLong(1), k = 10)
       .localCheckpoint()
+    require(!bm25.isEmpty,
+      "hybrid retrieval: zero BM25 hits for every query — the corpus " +
+        "and query token spaces do not match (a replica-suffixed scale " +
+        "corpus needs bm25QueriesSuffixed; an unguarded mismatch here " +
+        "once produced scale rows that timed an empty pipeline)")
     val emb = t(s, d, "embeddings").select(col("vec_id"),
       col("embedding").cast("array<double>").as("embedding"))
     val prf = prfVector(bm25, emb)
@@ -1231,6 +1245,11 @@ $fin"""
     val bm25 = graft.ext.Vocab.bm25Search(docs, "doc_id", "text", qdf,
         "query_id", "qtext", stats.getLong(0), stats.getLong(1), k = 10)
       .localCheckpoint()
+    require(!bm25.isEmpty,
+      "hybrid retrieval: zero BM25 hits for every query — the corpus " +
+        "and query token spaces do not match (a replica-suffixed scale " +
+        "corpus needs bm25QueriesSuffixed; an unguarded mismatch here " +
+        "once produced scale rows that timed an empty pipeline)")
     val emb = t(s, d, "embeddings").select(col("vec_id"),
       col("embedding").cast("array<double>").as("embedding"))
     // PRF vector over the full table: the top-3 docs are standing docs,

@@ -171,19 +171,29 @@ class ScaleBenchSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("bm25QueriesSuffixed applies exactly buildScaled's token suffix rule") {
-    // parity lock: the suffixed query text must equal running
-    // buildScaled's own regexp_replace over the query strings — if the
-    // two regexes drift, scale rows quietly time an empty retrieval
-    // pipeline again (the round-18 review finding)
+    // parity lock: the suffixed query text must equal running Spark's
+    // regexp_replace with the SHARED ScaleBench.TokenPattern over the
+    // query strings (buildScaled's exact corpus-side transform) — the
+    // residual drift risk after sharing the pattern constant is
+    // Java-replaceAll vs Spark-regexp_replace semantics, which is what
+    // this locks. A drift here means scale rows quietly time an empty
+    // retrieval pipeline again (the round-18 review finding).
     val qs = SparkEntry.bm25QueriesSuffixed("")
     val viaSpark = qs.map(_._2).toDF("qtext")
-      .select(regexp_replace(col("qtext"), "([\\p{L}\\p{N}_]+)", "$1a"))
+      .select(regexp_replace(col("qtext"), ScaleBench.TokenPattern, "$1a"))
       .as[String].collect().toSeq
     assert(SparkEntry.bm25QueriesSuffixed("a").map(_._2) == viaSpark)
+    assert(SparkEntry.bm25QueriesSuffixed("a").map(_._2) != qs.map(_._2),
+      "suffixing must actually change the query text")
     // and the suffixed terms must actually hit a suffixed corpus: every
     // token ends with the tag
     assert(SparkEntry.bm25QueriesSuffixed("aa").map(_._2)
       .forall(_.split(" ").forall(_.endsWith("aa"))))
-    assert(qs == SparkEntry.bm25QueriesSuffixed(""), "empty tag = identity")
+    // the shared tag rule: single letters to 26 replicas, uniform
+    // two-letter tags above (same-length = isomorphic token stats)
+    assert(ScaleBench.replicaTag(0, 10) == "a")
+    assert(ScaleBench.replicaTag(2, 26) == "c")
+    assert(ScaleBench.replicaTag(0, 100) == "aa")
+    assert(ScaleBench.replicaTag(27, 100) == "bb")
   }
 }
