@@ -2142,11 +2142,10 @@ $fin"""
         t(s, d, "documents").where(col("text").isNotNull), "doc_id")
       val cc = Dedup.connectedComponents(
         Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.6))
-      val labeled = docs
-        .select(col("doc_id"), text.tokenCount(col("text")).cast("long").as("n_tok"))
-        .join(cc.select(col("id").as("doc_id"), col("component")), Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tok"),
-          coalesce(col("component"), col("doc_id")).as("component"))
+      val labeled = Dedup.labelComponents(
+        docs.select(col("doc_id"),
+          text.tokenCount(col("text")).cast("long").as("n_tok")),
+        cc, "doc_id")
       val sizes = labeled.groupBy(col("component"))
         .agg(count(lit(1)).as("n_members"))
       Ops.topKPerGroup(labeled, Seq("component"),
@@ -2162,10 +2161,8 @@ $fin"""
       val docs = fanOut(s, t(s, d, "documents"), "doc_id")
       val cc = Dedup.connectedComponents(
         Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.6))
-      docs.select(col("doc_id"))
-        .join(cc.select(col("id").as("doc_id"), col("component")), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("component"), col("doc_id")).as("component"))
+      Dedup.labelComponents(docs.select(col("doc_id")), cc, "doc_id")
+        .select(col("doc_id"), col("component"))
         .orderBy("doc_id")
     }),
 
@@ -4653,11 +4650,8 @@ $fin"""
           "doc_id", "split")
         .withColumn("method", lit("content_hash"))
       val cc = Dedup.connectedComponents(pairs)
-      val labeled = docs.select(col("doc_id"))
-        .join(cc.select(col("id").as("doc_id"), col("component")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("component"), col("doc_id")).as("component"))
+      val labeled = Dedup.labelComponents(docs.select(col("doc_id")),
+        cc, "doc_id")
       val clustered = graft.ext.Splits.leakageAudit(pairs, "id_l", "id_r",
           graft.ext.Splits.byClusterHash(labeled, "component", w, lbl),
           "doc_id", "split")
@@ -5476,11 +5470,8 @@ $fin"""
       val docs = fanOut(s, t(s, d, "documents"), "doc_id")
       val cc = Dedup.connectedComponents(
         Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.6))
-      val labeled = docs.select(col("doc_id"))
-        .join(cc.select(col("id").as("doc_id"), col("component")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("component"), col("doc_id")).as("component"))
+      val labeled = Dedup.labelComponents(docs.select(col("doc_id")),
+        cc, "doc_id")
       graft.ext.Splits.byClusterHash(labeled, "component",
           weights = Seq(0.8, 0.1, 0.1), labels = Seq("train", "val", "test"))
         .orderBy("doc_id")

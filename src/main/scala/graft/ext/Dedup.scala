@@ -493,17 +493,46 @@ object Dedup {
     // labeled feeds BOTH sizes and the final join — checkpoint it so the
     // corpus scan + component join run once per action, not twice (the
     // single-evaluation claim in the scale-shape note above).
-    val labeled = df.select(col(idCol))
-      .join(cc.select(col("id").as(idCol), col("component")),
-        Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("component"), col(idCol)).as("component"))
+    val labeled = labelComponents(df.select(col(idCol)), cc, idCol)
       .localCheckpoint()
     val sizes = labeled.groupBy(col("component"))
       .agg(count(lit(1)).as("cluster_size"))
     labeled.join(sizes, Seq("component"))
       .select(col(idCol), col("component"), col("cluster_size"),
         round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+  }
+
+  /** Session shuffle width — "today's plan" width, never below the core
+    * count (see the verify-sizing rationale at the containmentPairs call
+    * site, the original inline home of this expression).
+    */
+  private[graft] def sessionWidth(
+      spark: org.apache.spark.sql.SparkSession): Int =
+    math.max(spark.sparkContext.defaultParallelism,
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+
+  /** Label every row of `df` with its near-dup component from a
+    * [[connectedComponents]] frame (rows absent from any pair label
+    * themselves) — the label-join tail shared by the component consumers
+    * (soft dedup, savings card, cluster splits, keep-best policies).
+    *
+    * Both sides are explicitly co-pinned to the session width: the corpus
+    * side usually arrives user-repartitioned (the fanOut convention), and
+    * joining a user-partitioned side against an AQE-planned side makes
+    * Spark bump BOTH sides to AQE's initialPartitionNum (8x the session
+    * width here) with partition coalescing defeated — measured 256-task
+    * join stages over ~70 KB label frames across this family (optimization
+    * round 18; guide §2.4's shared-exchange rule applied). The pinned
+    * exchanges carry ids and the label column only, so the pin is cheap at
+    * every scale and the join runs at "today's plan" width.
+    */
+  private[graft] def labelComponents(
+      df: DataFrame, cc: DataFrame, idCol: String): DataFrame = {
+    val w = sessionWidth(df.sparkSession)
+    df.repartition(w, col(idCol))
+      .join(cc.select(col("id").as(idCol), col("component"))
+        .repartition(w, col(idCol)), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
   }
 
   /** Connected components over an undirected near-dup pair list: returns
@@ -581,12 +610,9 @@ object Dedup {
     val cc = connectedComponents(minhashPairs(df, idCol, textCol, threshold))
     val counter = tokenCounter
       .getOrElse(graft.functions.text.tokenCount(col(textCol)))
-    val labeled = df
-      .select(col(idCol),
-        coalesce(counter.cast("long"), lit(0L)).as("__tok"))
-      .join(cc.select(col("id").as(idCol), col("component")), Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"),
-        col("__tok"))
+    val labeled = labelComponents(
+      df.select(col(idCol),
+        coalesce(counter.cast("long"), lit(0L)).as("__tok")), cc, idCol)
     val perCluster = labeled.groupBy(col("component"))
       .agg(count(lit(1)).as("sz"), sum(col("__tok")).as("tok_total"),
         min_by(col("__tok"), col(idCol)).as("tok_kept"))
@@ -1534,14 +1560,13 @@ object Dedup {
       .localCheckpoint()
     val nCand = cand.count()
     val spark = clusters.sparkSession
-    val sessionWidth = math.max(spark.sparkContext.defaultParallelism,
-      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    val width = sessionWidth(spark)
     val verifyParts =
-      if (nCand == 0) sessionWidth
+      if (nCand == 0) width
       else {
         val avgSz = Option(clusters.agg(avg(size(col("toks")))).head().get(0))
           .map(_.asInstanceOf[Number].doubleValue).getOrElse(0.0)
-        verifyPartitionsFor(nCand, avgSz, sessionWidth)
+        verifyPartitionsFor(nCand, avgSz, width)
       }
     val side = clusters.select(col("rep"), col("toks"), col("members"))
     val cross = cand.repartition(verifyParts, col("rl"))
@@ -1723,8 +1748,7 @@ object Dedup {
     // could NARROW the verify joins below the pre-sizing plan on a
     // library session (Spark's default 200 shuffle partitions over 8
     // cores) and reintroduce the very spill this sizing removes
-    val sessionWidth = math.max(spark.sparkContext.defaultParallelism,
-      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    val width = sessionWidth(spark)
     // avg shingle-set size rides on the already-checkpointed docs frame
     // — one cheap agg, no corpus recompute, and it runs UNCONDITIONALLY:
     // a candidate-count-only skip branch needs a bytes-per-row guess,
@@ -1736,11 +1760,11 @@ object Dedup {
     // is itself several times below the spill threshold, which absorbs
     // that bias.
     val verifyParts =
-      if (nCand == 0) sessionWidth
+      if (nCand == 0) width
       else {
         val avgSz = Option(docs.agg(avg(size(col("toks")))).head().get(0))
           .map(_.asInstanceOf[Number].doubleValue).getOrElse(0.0)
-        verifyPartitionsFor(nCand, avgSz, sessionWidth)
+        verifyPartitionsFor(nCand, avgSz, width)
       }
     // explicit co-partitioned repartitions on each verify join: both
     // sides land on HashPartitioning(key, verifyParts), so the joins
