@@ -1,0 +1,77 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+/** Native intersection-size for the engine's SORTED DISTINCT `array<long>`
+  * shingle sets (the representation every set producer in this repo emits —
+  * [[GramHashExpressions]] and the md5-portable builders alike).
+  *
+  * Why: the exact-verify stages of the dedup family compute
+  * `size(array_intersect(a, b))` per candidate pair, and Spark's
+  * `array_intersect` builds a per-row hash set of boxed elements before the
+  * size is even taken — measured ~25 s of executor CPU per verify pass on a
+  * 5k-doc char-gram corpus (optimization round 18). On sorted distinct
+  * arrays the same count is one primitive two-pointer merge, no
+  * allocation, no boxing, whole-stage-codegen friendly (guide §4: prefer
+  * tight JVM kernels in the hot path).
+  *
+  * CONTRACT: both inputs must be sorted ascending with distinct elements —
+  * the count silently undercounts otherwise. |union| follows as
+  * `size(a) + size(b) - intersect` for distinct inputs, which is how the
+  * verify stages derive Jaccard without materializing the union.
+  */
+object SortedIntersect {
+
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "sorted_intersect_count"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Integer.valueOf(SortedIntersectRuntime.count(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.expressions.SortedIntersectRuntime.count($a, $b);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** `|a ∩ b|` of two sorted distinct long arrays as an Int column; null
+    * when either side is null (the `size(array_intersect(...))` verify
+    * sites always sit behind inner joins that guarantee non-null sets).
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** Interpreted/codegen-shared kernel (the [[GramHashRuntime]] convention:
+  * one static primitive-array implementation, so the two paths cannot
+  * drift).
+  */
+object SortedIntersectRuntime {
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}

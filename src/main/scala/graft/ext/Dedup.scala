@@ -454,9 +454,15 @@ object Dedup {
     cand
       .join(setsL.select(col(idCol).as("id_l"), col("sh").as("sh_l")), Seq("id_l"))
       .join(setsR.select(col(idCol).as("id_r"), col("sh").as("sh_r")), Seq("id_r"))
+      // native two-pointer intersect over the sorted distinct hash sets;
+      // |union| = |l| + |r| - |∩| for distinct arrays, so the division
+      // sees the same exact integers as size(array_union(...)) did
+      .withColumn("__ic",
+        graft.expressions.SortedIntersect.sortedIntersectCount(
+          col("sh_l"), col("sh_r")))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
-          size(array_union(col("sh_l"), col("sh_r"))))
+        col("__ic").cast("double") /
+          (size(col("sh_l")) + size(col("sh_r")) - col("__ic")))
       .where(col("jaccard") >= threshold)
       .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
 
@@ -1561,23 +1567,48 @@ object Dedup {
     val nCand = cand.count()
     val spark = clusters.sparkSession
     val width = sessionWidth(spark)
+    // ONE stats action on the checkpointed cluster frame: row count and
+    // the average toks/members widths size both the verify shuffle width
+    // and the broadcast gate below
+    val cstats = clusters.agg(count(lit(1)),
+      coalesce(avg(size(col("toks"))), lit(0.0)),
+      coalesce(avg(size(col("members"))), lit(0.0))).head()
+    val (nSets, avgSz, avgMembers) =
+      (cstats.getLong(0), cstats.getDouble(1), cstats.getDouble(2))
     val verifyParts =
-      if (nCand == 0) width
-      else {
-        val avgSz = Option(clusters.agg(avg(size(col("toks")))).head().get(0))
-          .map(_.asInstanceOf[Number].doubleValue).getOrElse(0.0)
-        verifyPartitionsFor(nCand, avgSz, width)
-      }
+      if (nCand == 0) width else verifyPartitionsFor(nCand, avgSz, width)
     val side = clusters.select(col("rep"), col("toks"), col("members"))
-    val cross = cand.repartition(verifyParts, col("rl"))
-      .join(side.select(col("rep").as("rl"), col("toks").as("__tl"),
-        col("members").as("__ml")).repartition(verifyParts, col("rl")),
-        Seq("rl"))
-      .repartition(verifyParts, col("rr"))
-      .join(side.select(col("rep").as("rr"), col("toks").as("__tr"),
-        col("members").as("__mr")).repartition(verifyParts, col("rr")),
-        Seq("rr"))
-      .withColumn("__ic", size(array_intersect(col("__tl"), col("__tr"))))
+    val sideL = side.select(col("rep").as("rl"), col("toks").as("__tl"),
+      col("members").as("__ml"))
+    val sideR = side.select(col("rep").as("rr"), col("toks").as("__tr"),
+      col("members").as("__mr"))
+    // MEASURED broadcast gate on the verify joins (the probe-face
+    // convention, probeBroadcastBudget): the sized sort-merge chain below
+    // re-shuffles every candidate row WITH its attached shingle array
+    // between the two joins — measured 450 MB shuffled and ~60 s of
+    // executor time for a 5k-doc corpus whose distinct-set side is 20 MB
+    // (guide §8's move-payloads-once rule). When the side frame fits the
+    // driver-derived budget, broadcast it into BOTH joins: the only
+    // exchange left is the candidate id-pair spread, and each shingle
+    // array crosses the wire once per executor instead of once per
+    // candidate. Over budget (a corpus-sized side) the sized chain stands.
+    val sideBytes = (nSets * (avgSz * 8 + avgMembers * 8 + 64)).toLong
+    val bcastVerify = nCand > 0 &&
+      sideBytes <= probeBroadcastBudget(spark)
+    val joined =
+      if (bcastVerify)
+        // keyless spread of the checkpointed id-pair frame: round-robin
+        // balances the intersect work even when one rep is hot
+        cand.repartition(verifyParts)
+          .join(broadcast(sideL), Seq("rl"))
+          .join(broadcast(sideR), Seq("rr"))
+      else
+        cand.repartition(verifyParts, col("rl"))
+          .join(sideL.repartition(verifyParts, col("rl")), Seq("rl"))
+          .repartition(verifyParts, col("rr"))
+          .join(sideR.repartition(verifyParts, col("rr")), Seq("rr"))
+    val cross = joined
+      .withColumn("__ic", graft.expressions.SortedIntersect.sortedIntersectCount(col("__tl"), col("__tr")))
       .withColumn("__jac", col("__ic").cast("double") /
         (size(col("__tl")) + size(col("__tr")) - col("__ic")))
       .where(col("__jac") >= threshold)
@@ -1749,37 +1780,49 @@ object Dedup {
     // library session (Spark's default 200 shuffle partitions over 8
     // cores) and reintroduce the very spill this sizing removes
     val width = sessionWidth(spark)
-    // avg shingle-set size rides on the already-checkpointed docs frame
-    // — one cheap agg, no corpus recompute, and it runs UNCONDITIONALLY:
-    // a candidate-count-only skip branch needs a bytes-per-row guess,
-    // and any fixed guess understates some corpus (400-token sets are
-    // ~6.4 KB/row — 3x a "conservative" 2 KB). verifyPartitionsFor
-    // floors at the session width, so sizing can only widen. Candidates
-    // skew toward LARGE documents, so the corpus average understates
-    // the verify payload on mixed corpora; the 32 MB/partition target
-    // is itself several times below the spill threshold, which absorbs
-    // that bias.
+    // count + avg shingle-set size ride on the already-checkpointed docs
+    // frame — one cheap agg, no corpus recompute, and it runs
+    // UNCONDITIONALLY: a candidate-count-only skip branch needs a
+    // bytes-per-row guess, and any fixed guess understates some corpus
+    // (400-token sets are ~6.4 KB/row — 3x a "conservative" 2 KB).
+    // verifyPartitionsFor floors at the session width, so sizing can only
+    // widen. Candidates skew toward LARGE documents, so the corpus
+    // average understates the verify payload on mixed corpora; the
+    // 32 MB/partition target is itself several times below the spill
+    // threshold, which absorbs that bias.
+    val dstats = docs.agg(count(lit(1)),
+      coalesce(avg(size(col("toks"))), lit(0.0))).head()
+    val (nDocs, avgSz) = (dstats.getLong(0), dstats.getDouble(1))
     val verifyParts =
-      if (nCand == 0) width
-      else {
-        val avgSz = Option(docs.agg(avg(size(col("toks")))).head().get(0))
-          .map(_.asInstanceOf[Number].doubleValue).getOrElse(0.0)
-        verifyPartitionsFor(nCand, avgSz, width)
-      }
-    // explicit co-partitioned repartitions on each verify join: both
-    // sides land on HashPartitioning(key, verifyParts), so the joins
-    // add NO further exchange — same shuffle count as the bare plan,
-    // width scaled to the candidate payload instead of the fixed
-    // session default (AQE can only coalesce, never widen, a uniform
-    // non-skewed spill)
+      if (nCand == 0) width else verifyPartitionsFor(nCand, avgSz, width)
     val side = docs.select(col("doc"), col("toks"))
-    cand.repartition(verifyParts, col("dl"))
-      .join(side.select(col("doc").as("dl"), col("toks").as("__tl"))
-        .repartition(verifyParts, col("dl")), Seq("dl"))
-      .repartition(verifyParts, col("dr"))
-      .join(side.select(col("doc").as("dr"), col("toks").as("__tr"))
-        .repartition(verifyParts, col("dr")), Seq("dr"))
-      .withColumn("__ic", size(array_intersect(col("__tl"), col("__tr"))))
+    val sideL = side.select(col("doc").as("dl"), col("toks").as("__tl"))
+    val sideR = side.select(col("doc").as("dr"), col("toks").as("__tr"))
+    // MEASURED broadcast gate on the verify joins (see allPairsOnClusters
+    // for the full argument): the sized sort-merge chain re-shuffles every
+    // candidate row with its attached part-side array between the two
+    // joins (measured 162 MB shuffled for a 6k-doc corpus); under the
+    // driver-derived budget both joins broadcast the sets side and the
+    // only exchange left is the candidate id-pair spread. Over budget the
+    // explicit co-partitioned chain stands: both sides land on
+    // HashPartitioning(key, verifyParts), so the joins add NO further
+    // exchange — same shuffle count as the bare plan, width scaled to the
+    // candidate payload instead of the fixed session default (AQE can
+    // only coalesce, never widen, a uniform non-skewed spill).
+    val sideBytes = (nDocs * (avgSz * 8 + 64)).toLong
+    val bcastVerify = nCand > 0 && sideBytes <= probeBroadcastBudget(spark)
+    val joined =
+      if (bcastVerify)
+        cand.repartition(verifyParts)
+          .join(broadcast(sideL), Seq("dl"))
+          .join(broadcast(sideR), Seq("dr"))
+      else
+        cand.repartition(verifyParts, col("dl"))
+          .join(sideL.repartition(verifyParts, col("dl")), Seq("dl"))
+          .repartition(verifyParts, col("dr"))
+          .join(sideR.repartition(verifyParts, col("dr")), Seq("dr"))
+    joined
+      .withColumn("__ic", graft.expressions.SortedIntersect.sortedIntersectCount(col("__tl"), col("__tr")))
       .withColumn("__cont", col("__ic").cast("double") / size(col("__tl")))
       .where(col("__cont") >= tau)
       .select(col("dl").as("id_part"), col("dr").as("id_whole"),
@@ -2279,15 +2322,29 @@ object Dedup {
     val bcast = stats.getLong(0) * 48 <= budget &&
       (stats.getLong(1) * (avgSz * 8 + 48)).toLong <= budget
     val prefixJoin = prefix.select(col("din"), col("token"))
-    val cand = (if (bcast) broadcast(prefixJoin) else prefixJoin)
+    val cand0 = (if (bcast) broadcast(prefixJoin) else prefixJoin)
       .join(postings, Seq("token"))
       .where(col("din") =!= col("host"))
       .select(col("din"), col("host")).distinct()
+    // broadcast-mode verify parallelism: see jaccardProbe — without the
+    // candidate-bounded host spread, the intersects run inside the
+    // standing-sets scan stage at the state's parquet split count
+    // (single-task on a small/few-file state).
+    val cand = if (bcast) cand0.localCheckpoint() else cand0
+    val hostSets = hosts.select(col("host"), col("toks").as("__th"))
+    val hostSide =
+      if (bcast) {
+        val w = verifyPartitionsFor(cand.count(), avgSz,
+          sessionWidth(incoming.sparkSession))
+        hostSets.join(broadcast(cand.select(col("host")).distinct()),
+            Seq("host"))
+          .repartition(w)
+      } else hostSets
     val enriched = cand
       .join(inc.select(col("doc").as("din"), col("toks").as("__ti")), Seq("din"))
     (if (bcast) enriched.hint("broadcast") else enriched)
-      .join(hosts.select(col("host"), col("toks").as("__th")), Seq("host"))
-      .withColumn("__ic", size(array_intersect(col("__ti"), col("__th"))))
+      .join(hostSide, Seq("host"))
+      .withColumn("__ic", graft.expressions.SortedIntersect.sortedIntersectCount(col("__ti"), col("__th")))
       .withColumn("__cont", col("__ic").cast("double") / size(col("__ti")))
       .where(col("__cont") >= tau)
       .select(col("din").as("id_in"), col("host").as("id_host"),
@@ -2534,18 +2591,39 @@ object Dedup {
     val bcast = stats.getLong(0) * 56 <= budget &&
       (stats.getLong(1) * (avgSz * 8 + 48)).toLong <= budget
     val incJoin = incPrefix.select(col("din"), col("__szi"), col("token"))
-    val cand = (if (bcast) broadcast(incJoin) else incJoin)
+    val cand0 = (if (bcast) broadcast(incJoin) else incJoin)
       .join(hostPrefix, Seq("token"))
       .where(col("din") =!= col("host") &&
         lit(state.threshold) * col("__szi") <= col("__szh") &&
         lit(state.threshold) * col("__szh") <= col("__szi"))
       .select(col("din"), col("host")).distinct()
+    // in broadcast mode the exact-verify intersects would otherwise run
+    // INSIDE the standing-sets scan stage (the broadcast join streams the
+    // corpus side), whose parallelism is the parquet split count — a
+    // small/few-file standing state serializes the entire verify onto one
+    // task (measured 3.7 s single-task stages on a 32-core session).
+    // Checkpoint the candidate id pairs, semi-filter the corpus sets to
+    // the candidate hosts (the corpus is still only SCANNED — the filter
+    // side is a broadcast of candidate ids), and spread that
+    // candidate-bounded host frame to the verify width: the intersects
+    // run at the sized width whatever the state's file geometry, and the
+    // only new exchange carries the matched hosts' arrays once.
+    val cand = if (bcast) cand0.localCheckpoint() else cand0
+    val hostSets = state.sets
+      .select(col("doc").as("host"), col("toks").as("__th"))
+    val hostSide =
+      if (bcast) {
+        val w = verifyPartitionsFor(cand.count(), avgSz,
+          sessionWidth(incoming.sparkSession))
+        hostSets.join(broadcast(cand.select(col("host")).distinct()),
+            Seq("host"))
+          .repartition(w)
+      } else hostSets
     val enriched = cand
       .join(inc.select(col("doc").as("din"), col("toks").as("__ti")), Seq("din"))
     (if (bcast) enriched.hint("broadcast") else enriched)
-      .join(state.sets.select(col("doc").as("host"), col("toks").as("__th")),
-        Seq("host"))
-      .withColumn("__ic", size(array_intersect(col("__ti"), col("__th"))))
+      .join(hostSide, Seq("host"))
+      .withColumn("__ic", graft.expressions.SortedIntersect.sortedIntersectCount(col("__ti"), col("__th")))
       .withColumn("__jac", col("__ic").cast("double") /
         (size(col("__ti")) + size(col("__th")) - col("__ic")))
       .where(col("__jac") >= state.threshold)
