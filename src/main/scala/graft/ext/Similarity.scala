@@ -331,40 +331,58 @@ object Similarity {
     * bucket key = the bit string. This makes an LSH ANN query verifiable by
     * a differential SQL oracle, not just recall-tested.
     */
+  /** Dim guard shared by the LSH faces: fail fast on a mismatch —
+    * zip_with null-pads, a null dot product makes every bucket bit "0",
+    * and the LSH silently degenerates into a full queries x corpus
+    * candidate set (an O(n*q) blowup, not an error). Samples a NON-NULL
+    * vector from each side (size(NULL) is NULL — reading it would NPE
+    * inside the guard instead of raising the intended message).
+    */
+  private def requireDim(
+      df: DataFrame, vecCol: String, dim: Int, side: String): Unit = {
+    val s = df.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
+    require(s.isEmpty || s(0).getInt(0) == dim,
+      s"lshTopKPortable: dim=$dim but $side $vecCol has ${s(0).getInt(0)} elements")
+  }
+
+  /** `(out, vout, tbl, bh)` bucket rows of the PORTABLE Rademacher family
+    * — one row per (vector, table). Shared by [[lshTopKPortable]] and the
+    * [[lshTablesSweep]] single-probe path, so the swept candidate sets
+    * can never drift from the deployed face's.
+    */
+  private def portableBucketed(
+      df: DataFrame, id: String, vecCol: String, out: String, vout: String,
+      tables: Int, bits: Int, dim: Int): DataFrame = {
+    val planes = portablePlanes(tables, bits, dim)
+    // the native sign-bucket kernel computes the SAME sequential
+    // left-to-right double dot product and the same `>= 0.0` sign rule as
+    // the portable contract (see the lshTopKPortable scaladoc), and the
+    // packed-long bucket is a bijection of the bit string — candidate
+    // sets are bit-identical while the 128-dot-per-row projection leaves
+    // the interpreted zip_with/aggregate path (measured 1.4 s of
+    // single-core CPU for a 2k x 16-table probe; guide §4)
+    val bs = (0 until tables).map(t =>
+      struct(lit(t).as("tbl"),
+        graft.expressions.VectorExpressions
+          .hyperplaneSignBucket(col(vecCol), planes(t)).as("bh")))
+    df.select(col(id).as(out), col(vecCol).as(vout),
+      explode(array(bs: _*)).as("bb"))
+      .select(col(out), col(vout), col("bb.tbl").as("tbl"), col("bb.bh").as("bh"))
+  }
+
   def lshTopKPortable(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String, dim: Int,
       k: Int = 10, tables: Int = 4, bits: Int = 8,
       excludeSelf: Boolean = true): DataFrame = {
-    // fail fast on a dim mismatch: zip_with null-pads, a null dot product
-    // makes every bucket bit "0", and the LSH silently degenerates into a
-    // full queries x corpus candidate set — an O(n*q) blowup, not an error
-    // sample a NON-NULL vector from each side (size(NULL) is NULL — reading
-    // it would NPE inside the guard instead of raising the intended message)
-    def sampledDim(df: DataFrame, side: String): Unit = {
-      val s = df.where(col(vecCol).isNotNull)
-        .select(size(col(vecCol))).limit(1).collect()
-      require(s.isEmpty || s(0).getInt(0) == dim,
-        s"lshTopKPortable: dim=$dim but $side $vecCol has ${s(0).getInt(0)} elements")
-    }
-    sampledDim(corpus, "corpus")
+    requireDim(corpus, vecCol, dim, "corpus")
     // the queries side degenerates the same way — guard both
-    sampledDim(queries, "queries")
-    val planes = portablePlanes(tables, bits, dim)
-    def bucketOf(t: Int): org.apache.spark.sql.Column =
-      concat((0 until bits).map { b =>
-        when(vectors.dot(col(vecCol), typedLit(planes(t)(b).toSeq)) >= 0.0,
-          lit("1")).otherwise(lit("0"))
-      }: _*)
-    def bucketed(df: DataFrame, id: String, out: String, vout: String): DataFrame = {
-      val bs = (0 until tables).map(t =>
-        struct(lit(t).as("tbl"), bucketOf(t).as("bh")))
-      df.select(col(id).as(out), col(vecCol).as(vout),
-        explode(array(bs: _*)).as("bb"))
-        .select(col(out), col(vout), col("bb.tbl").as("tbl"), col("bb.bh").as("bh"))
-    }
-    val c = bucketed(corpus, idCol, "neighbor_id", "c_vec")
-    val q = bucketed(queries, queryIdCol, "query_id", "q_vec")
+    requireDim(queries, vecCol, dim, "queries")
+    val c = portableBucketed(corpus, idCol, vecCol, "neighbor_id", "c_vec",
+      tables, bits, dim)
+    val q = portableBucketed(queries, queryIdCol, vecCol, "query_id", "q_vec",
+      tables, bits, dim)
     val cand = c.join(q, Seq("tbl", "bh"))
       .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select("query_id", "q_vec", "neighbor_id", "c_vec")
@@ -389,23 +407,33 @@ object Similarity {
     * THIS seeded family; the default portable sweep measures the q98
     * Rademacher face, whose dial does not transfer here.
     */
+  /** `(out, vout, tbl, bh)` bucket rows of the SEEDED hyperplane family —
+    * the [[portableBucketed]] twin for [[lshTopK]]; each table's seed
+    * depends only on its index, so dial-t buckets are the first t tables
+    * of any larger dial (the sweep-nesting property).
+    */
+  private def seededBucketed(
+      df: DataFrame, id: String, vecCol: String, out: String, vout: String,
+      tables: Int, bits: Int, dim: Int): DataFrame = {
+    val bs = (0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        vectors.hyperplaneBucket(col(vecCol), dim, bits,
+          seed = 0x51_7C_C1_B7_27_22_0A_95L + t).as("bh"))
+    }
+    df.select(col(id).as(out), col(vecCol).as(vout),
+      explode(array(bs: _*)).as("bb"))
+      .select(col(out), col(vout), col("bb.tbl").as("tbl"), col("bb.bh").as("bh"))
+  }
+
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String, dim: Int,
       k: Int = 10, tables: Int = 16, bits: Int = 8,
       excludeSelf: Boolean = true): DataFrame = {
-    def bucketed(df: DataFrame, id: String, out: String, vout: String): DataFrame = {
-      val bs = (0 until tables).map { t =>
-        struct(lit(t).as("tbl"),
-          vectors.hyperplaneBucket(col(vecCol), dim, bits,
-            seed = 0x51_7C_C1_B7_27_22_0A_95L + t).as("bh"))
-      }
-      df.select(col(id).as(out), col(vecCol).as(vout),
-        explode(array(bs: _*)).as("bb"))
-        .select(col(out), col(vout), col("bb.tbl").as("tbl"), col("bb.bh").as("bh"))
-    }
-    val c = bucketed(corpus, idCol, "neighbor_id", "c_vec")
-    val q = bucketed(queries, queryIdCol, "query_id", "q_vec")
+    val c = seededBucketed(corpus, idCol, vecCol, "neighbor_id", "c_vec",
+      tables, bits, dim)
+    val q = seededBucketed(queries, queryIdCol, vecCol, "query_id", "q_vec",
+      tables, bits, dim)
     val cand = c.join(q, Seq("tbl", "bh"))
       .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select("query_id", "q_vec", "neighbor_id", "c_vec")
@@ -522,14 +550,35 @@ object Similarity {
     val truth = sweepTruth(exactTruth)(
       bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol,
         k, excludeSelf))
+    // ONE probe at the deepest dial serves every dial (the nesting both
+    // plane families guarantee: a table's planes depend only on its
+    // index, so dial-t candidates are exactly the pairs whose FIRST
+    // colliding table is < t). Re-running the full bucket-join pipeline
+    // per dial re-paid the probe AND re-planned a growing expression
+    // tree each time — measured ~4 s of driver planning plus
+    // 0.3/0.5/0.7/1.5 s probe stages for the 2/4/8/16 battery sweep
+    // where one probe + three filters now suffice. The collision frame
+    // is checkpointed: dials' rank/score passes must not re-run it.
+    requireDim(corpus, vecCol, dim, "corpus")
+    requireDim(queries, vecCol, dim, "queries")
+    val maxDial = dials.max
+    def buckets(df: DataFrame, id: String, out: String, vout: String) =
+      if (portable)
+        portableBucketed(df, id, vecCol, out, vout, maxDial, bits, dim)
+      else
+        seededBucketed(df, id, vecCol, out, vout, maxDial, bits, dim)
+    val c = buckets(corpus, idCol, "neighbor_id", "c_vec")
+    val q = buckets(queries, queryIdCol, "query_id", "q_vec")
+    val collisions = c.join(q, Seq("tbl", "bh"))
+      .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(min(col("tbl")).as("__tbl"),
+        first(col("q_vec")).as("q_vec"), first(col("c_vec")).as("c_vec"))
+      .withColumn("cosine", vectors.cosine(col("q_vec"), col("c_vec")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("__tbl"))
+      .localCheckpoint()
     recallSweep(truth, dials,
-      t =>
-        if (portable)
-          lshTopKPortable(corpus, queries, idCol, vecCol, queryIdCol, dim,
-            k, t, bits, excludeSelf)
-        else
-          lshTopK(corpus, queries, idCol, vecCol, queryIdCol, dim,
-            k, t, bits, excludeSelf),
+      t => cosineTopKRank(collisions.where(col("__tbl") < t), k),
       recallTarget, "n_tables")
   }
 

@@ -381,6 +381,40 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(r2 >= 0.8 && Seq(2, 4, 8).contains(t2), s"($t2, $r2)")
   }
 
+  test("lshTablesSweep single-probe dial cuts equal re-running each face " +
+    "at its dial (both plane families)") {
+    // the sweep now probes ONCE at the deepest dial and derives dial t as
+    // the min-collision-table < t cut; this must be row-identical to the
+    // deployed faces run per dial, or the tuner measures a different
+    // query than the one deployed
+    val queries = clustered.where($"vec_id" % 10 === 0L)
+    val dials = Seq(2, 4, 8)
+    for (portable <- Seq(true, false)) {
+      val truth = Similarity.bruteForceTopK(clustered, queries,
+        "vec_id", "embedding", "vec_id", k = 5)
+        .select("query_id", "neighbor_id")
+      val sweep = Similarity.lshTablesSweep(clustered, queries,
+          "vec_id", "embedding", "vec_id", dim = 16, k = 5, bits = 6,
+          recallTarget = 0.8, dials = dials, portable = portable,
+          exactTruth = Some(truth))
+        .orderBy("n_tables")
+        .as[(Int, Long, Long, Double, Boolean)].collect().toSeq
+      val ref = dials.map { t =>
+        val face =
+          if (portable)
+            Similarity.lshTopKPortable(clustered, queries, "vec_id",
+              "embedding", "vec_id", dim = 16, k = 5, tables = t, bits = 6)
+          else
+            Similarity.lshTopK(clustered, queries, "vec_id",
+              "embedding", "vec_id", dim = 16, k = 5, tables = t, bits = 6)
+        face.select("query_id", "neighbor_id")
+          .join(truth, Seq("query_id", "neighbor_id")).count()
+      }
+      assert(sweep.map(_._3) == ref,
+        s"portable=$portable: sweep hits ${sweep.map(_._3)} != per-dial faces $ref")
+    }
+  }
+
   test("scaledDotProduct rejects non-long arrays at ANALYSIS time") {
     // the kernel reads long element storage directly; a double array
     // must fail analysis loudly, never score garbage (ADVICE r16)
