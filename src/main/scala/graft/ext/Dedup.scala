@@ -2322,28 +2322,16 @@ object Dedup {
     val bcast = stats.getLong(0) * 48 <= budget &&
       (stats.getLong(1) * (avgSz * 8 + 48)).toLong <= budget
     val prefixJoin = prefix.select(col("din"), col("token"))
-    val cand0 = (if (bcast) broadcast(prefixJoin) else prefixJoin)
+    val cand = (if (bcast) broadcast(prefixJoin) else prefixJoin)
       .join(postings, Seq("token"))
       .where(col("din") =!= col("host"))
       .select(col("din"), col("host")).distinct()
-    // broadcast-mode verify parallelism: see jaccardProbe — without the
-    // candidate-bounded host spread, the intersects run inside the
-    // standing-sets scan stage at the state's parquet split count
-    // (single-task on a small/few-file state).
-    val cand = if (bcast) cand0.localCheckpoint() else cand0
-    val hostSets = hosts.select(col("host"), col("toks").as("__th"))
-    val hostSide =
-      if (bcast) {
-        val w = verifyPartitionsFor(cand.count(), avgSz,
-          sessionWidth(incoming.sparkSession))
-        hostSets.join(broadcast(cand.select(col("host")).distinct()),
-            Seq("host"))
-          .repartition(w)
-      } else hostSets
+    // single-split scan-stage verify is fine here — see the jaccardProbe
+    // note on the native intersect kernel vs the reverted host spread
     val enriched = cand
       .join(inc.select(col("doc").as("din"), col("toks").as("__ti")), Seq("din"))
     (if (bcast) enriched.hint("broadcast") else enriched)
-      .join(hostSide, Seq("host"))
+      .join(hosts.select(col("host"), col("toks").as("__th")), Seq("host"))
       .withColumn("__ic", graft.expressions.SortedIntersect.sortedIntersectCount(col("__ti"), col("__th")))
       .withColumn("__cont", col("__ic").cast("double") / size(col("__ti")))
       .where(col("__cont") >= tau)
@@ -2591,38 +2579,24 @@ object Dedup {
     val bcast = stats.getLong(0) * 56 <= budget &&
       (stats.getLong(1) * (avgSz * 8 + 48)).toLong <= budget
     val incJoin = incPrefix.select(col("din"), col("__szi"), col("token"))
-    val cand0 = (if (bcast) broadcast(incJoin) else incJoin)
+    val cand = (if (bcast) broadcast(incJoin) else incJoin)
       .join(hostPrefix, Seq("token"))
       .where(col("din") =!= col("host") &&
         lit(state.threshold) * col("__szi") <= col("__szh") &&
         lit(state.threshold) * col("__szh") <= col("__szi"))
       .select(col("din"), col("host")).distinct()
-    // in broadcast mode the exact-verify intersects would otherwise run
-    // INSIDE the standing-sets scan stage (the broadcast join streams the
-    // corpus side), whose parallelism is the parquet split count — a
-    // small/few-file standing state serializes the entire verify onto one
-    // task (measured 3.7 s single-task stages on a 32-core session).
-    // Checkpoint the candidate id pairs, semi-filter the corpus sets to
-    // the candidate hosts (the corpus is still only SCANNED — the filter
-    // side is a broadcast of candidate ids), and spread that
-    // candidate-bounded host frame to the verify width: the intersects
-    // run at the sized width whatever the state's file geometry, and the
-    // only new exchange carries the matched hosts' arrays once.
-    val cand = if (bcast) cand0.localCheckpoint() else cand0
-    val hostSets = state.sets
-      .select(col("doc").as("host"), col("toks").as("__th"))
-    val hostSide =
-      if (bcast) {
-        val w = verifyPartitionsFor(cand.count(), avgSz,
-          sessionWidth(incoming.sparkSession))
-        hostSets.join(broadcast(cand.select(col("host")).distinct()),
-            Seq("host"))
-          .repartition(w)
-      } else hostSets
+    // broadcast mode streams the STANDING sets scan through the verify
+    // join, so the intersects run at the state's parquet split count —
+    // fine now that the verify kernel is the native two-pointer
+    // sorted_intersect_count (a round-18 spread of the intersects to the
+    // sized verify width was measured a net loss once the kernel landed:
+    // its extra candidate checkpoint/count/semi-join actions cost more
+    // per micro-batch than the now-cheap single-split verify)
     val enriched = cand
       .join(inc.select(col("doc").as("din"), col("toks").as("__ti")), Seq("din"))
     (if (bcast) enriched.hint("broadcast") else enriched)
-      .join(hostSide, Seq("host"))
+      .join(state.sets.select(col("doc").as("host"), col("toks").as("__th")),
+        Seq("host"))
       .withColumn("__ic", graft.expressions.SortedIntersect.sortedIntersectCount(col("__ti"), col("__th")))
       .withColumn("__jac", col("__ic").cast("double") /
         (size(col("__ti")) + size(col("__th")) - col("__ic")))
