@@ -222,33 +222,20 @@ object Dedup {
       val word = df.where(col(textCol).isNotNull && !routed)
         .select(col(idCol), graft.expressions.GramHashExpressions
           .wordShingleHashSet(col(textCol), k).as("sh"))
-      val unSets = charGramHashRows(
-          df.where(col(textCol).isNotNull && routed), idCol, textCol, r.charN)
-        .groupBy(col("doc"))
-        .agg(sort_array(collect_set(col("token"))).as("sh"))
-        .withColumnRenamed("doc", idCol)
+      val unSets = df.where(col(textCol).isNotNull && routed)
+        .select(col(idCol), graft.expressions.PortableGram
+          .portableCharGramSet(col(textCol), r.charN).as("sh"))
       word.unionByName(unSets)
     }
 
-  /** `(doc, gram-hash long)` rows of the ROUTED char path — code-point
-    * `charN`-grams over whitespace-STRIPPED lowercase text under the
-    * portable md5 hashing. ONE implementation shared by the minhash and
-    * portable faces so the routing contract (normalization, window,
-    * hash) the q281/q286/q288 oracles replay can never diverge between
-    * screens.
-    */
-  private def charGramHashRows(
-      df: DataFrame, idCol: String, textCol: String, charN: Int): DataFrame =
-    df.select(col(idCol).as("doc"),
-        regexp_replace(lower(col(textCol)), "\\s+", "").as("__norm"))
-      .select(col("doc"), col("__norm"),
-        explode(sequence(lit(1),
-          greatest(length(col("__norm")) - (charN - 1), lit(1)))).as("__st"))
-      .select(col("doc"),
-        col("__norm").substr(col("__st"), lit(charN)).as("__g"))
-      .select(col("doc"),
-        conv(substring(md5(col("__g")), 1, 15), 16, 10).cast("long")
-          .as("token"))
+  // The routed char path (code-point charN-grams over whitespace-stripped
+  // lowercase text, md5-prefix hashing) lives in ONE native expression —
+  // graft.expressions.PortableGram.portableCharGramSet — shared by the
+  // minhash and portable faces, so the routing contract (normalization,
+  // window, hash) the q281/q286/q288 oracles replay can never diverge
+  // between screens. Differential parity with the previous composable
+  // formulation (explode(sequence) + substr + md5 + conv) is locked by
+  // PortableGramSpec.
 
   /** [[portableShingleSets]] with optional routing — the md5-portable
     * (oracle-replayable) set representation of the containment and
@@ -1324,22 +1311,18 @@ object Dedup {
     * set representation downstream groupBys key on.
     */
   private[graft] def portableShingleSets(
-      df: DataFrame, idCol: String, textCol: String, shingleK: Int): DataFrame = {
-    val base = df.where(col(textCol).isNotNull)
-      .select(col(idCol).as("doc"), text.tokens(col(textCol)).as("__toks"))
-    val shingled = base.where(size(col("__toks")) >= shingleK)
-      .select(col("doc"), col("__toks"),
-        explode(sequence(lit(0), size(col("__toks")) - shingleK)).as("__st"))
-      .select(col("doc"), concat_ws(" ",
-        slice(col("__toks"), col("__st") + 1, lit(shingleK))).as("token"))
-    val shorts = base.where(size(col("__toks")) < shingleK)
-      .select(col("doc"), array_join(col("__toks"), " ").as("token"))
-    shingled.unionByName(shorts)
-      .select(col("doc"),
-        conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("token"))
-      .groupBy(col("doc"))
-      .agg(sort_array(collect_set(col("token"))).as("toks"))
-  }
+      df: DataFrame, idCol: String, textCol: String, shingleK: Int): DataFrame =
+    // tokenization stays the SQL text.tokens column (so boundaries cannot
+    // drift from the oracles); the window + md5-prefix + distinct + sort
+    // pipeline runs in one native pass per document — the composable
+    // explode + concat_ws + md5 + collect_set form shuffled a row per
+    // gram and measured 23 s run / 14 s CPU just to shingle the 5k-doc
+    // CJK corpus (optimization round 18; differential parity locked by
+    // PortableGramSpec)
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"), graft.expressions.PortableGram
+        .portableWordShingleSet(text.tokens(col(textCol)), shingleK)
+        .as("toks"))
 
   /** [[portableShingleSets]] with per-document SCRIPT ROUTING: documents
     * whose [[graft.functions.text.unspacedRatio]] exceeds `routeAbove`
@@ -1363,24 +1346,17 @@ object Dedup {
       .select(col(idCol).as("doc"), col(textCol).as("__txt"),
         (graft.functions.text.unspacedRatio(col(textCol)) > routeAbove)
           .as("__routed"))
+    // each document takes exactly one branch, and each branch builds the
+    // per-doc sorted distinct set natively (see portableShingleSets) —
+    // no per-gram rows, no collect_set exchange
     val sp = base.where(!col("__routed"))
-      .select(col("doc"), graft.functions.text.tokens(col("__txt")).as("__toks"))
-    val spShingled = sp.where(size(col("__toks")) >= wordK)
-      .select(col("doc"), col("__toks"),
-        explode(sequence(lit(0), size(col("__toks")) - wordK)).as("__st"))
-      .select(col("doc"), concat_ws(" ",
-        slice(col("__toks"), col("__st") + 1, lit(wordK))).as("token"))
-    val spShorts = sp.where(size(col("__toks")) < wordK)
-      .select(col("doc"), array_join(col("__toks"), " ").as("token"))
-    val unGrams = charGramHashRows(
-      base.where(col("__routed")).select(col("doc"), col("__txt")),
-      "doc", "__txt", charN)
-    spShingled.unionByName(spShorts)
-      .select(col("doc"),
-        conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("token"))
-      .unionByName(unGrams)
-      .groupBy(col("doc"))
-      .agg(sort_array(collect_set(col("token"))).as("toks"))
+      .select(col("doc"), graft.expressions.PortableGram
+        .portableWordShingleSet(
+          graft.functions.text.tokens(col("__txt")), wordK).as("toks"))
+    val un = base.where(col("__routed"))
+      .select(col("doc"), graft.expressions.PortableGram
+        .portableCharGramSet(col("__txt"), charN).as("toks"))
+    sp.unionByName(un)
   }
 
   /** Distinct-set cluster frame shared by [[allPairsJaccard]] and
