@@ -2128,7 +2128,8 @@ $fin"""
       val staged = CorpusStreams.stageIdSlices(s, s"$d/documents.parquet",
         "doc_id", cuts = Seq(mid))
       CorpusStreams.corpusDedupStreaming(s, staged, "doc_id", "text",
-        threshold = 0.6, shufflePartitions = Some(8))
+        threshold = 0.6, shufflePartitions = Some(8),
+        batchAdaptive = Some(false))
         .orderBy("doc_id")
     }),
 
@@ -2433,7 +2434,7 @@ $fin"""
       val name = s"graft_stream_annprobe_${streamCounter.incrementAndGet()}"
       CorpusStreams.annProbeStreaming(s, slices, "vec_id", "embedding",
           standingAnnIndex(s, d), name, k = 5, nProbe = 2,
-          shufflePartitions = Some(4))
+          shufflePartitions = Some(4), batchAdaptive = Some(false))
         .orderBy("query_id", "rank")
     }),
 
@@ -2627,7 +2628,8 @@ $fin"""
       val name = s"graft_stream_rannprobe_${streamCounter.incrementAndGet()}"
       CorpusStreams.annProbeStreaming(s, slices, "vec_id", "embedding",
           standingAnnIndex(s, d), name, k = 5, nProbe = 4,
-          shufflePartitions = Some(4), refineWiden = Some(4))
+          shufflePartitions = Some(4), refineWiden = Some(4),
+          batchAdaptive = Some(false))
         .orderBy("query_id", "rank")
     }),
 
@@ -2699,7 +2701,7 @@ $fin"""
         Seq(maxId / 4 + 1, maxId / 2 + 1, 3 * maxId / 4 + 1))
       val name = s"graft_stream_segdedup_${streamCounter.incrementAndGet()}"
       CorpusStreams.paragraphDedupStreaming(s, slices, "doc_id", "text", name,
-          shufflePartitions = Some(4))
+          shufflePartitions = Some(4), batchAdaptive = Some(false))
         .orderBy("doc_id")
     }),
 
@@ -3294,7 +3296,8 @@ $fin"""
       import graft.streaming.{CardStreams, CorpusStreams}
       val staged = CorpusStreams.stageIdSlices(s, s"$d/documents.parquet",
         "doc_id", Seq(150L, 300L))
-      CardStreams.streamingDataCard(s, staged, shufflePartitions = Some(8))
+      CardStreams.streamingDataCard(s, staged, shufflePartitions = Some(8),
+          batchAdaptive = Some(false))
         .orderBy("source")
     }),
 
@@ -3545,7 +3548,7 @@ $fin"""
       val staged = CorpusStreams.stageIdSlices(s, hiPath, "doc_id",
         cuts = Seq(cut))
       CorpusStreams.lmScoreStreaming(s, staged, "doc_id", "text", model,
-          shufflePartitions = Some(8))
+          shufflePartitions = Some(8), batchAdaptive = Some(false))
         .select("doc_id", "n_pairs", "n_hit", "sum_bi", "sum_uni")
         .orderBy("doc_id")
     }),
@@ -4208,7 +4211,8 @@ $fin"""
       }
       val name = s"graft_stream_resemb_p_${streamCounter.incrementAndGet()}"
       CorpusStreams.resemblanceProbeStreaming(s, staged, "doc_id", "text",
-          state, name, shufflePartitions = Some(4))
+          state, name, shufflePartitions = Some(4),
+          batchAdaptive = Some(false))
         .orderBy("id_in", "id_host")
     }),
 
@@ -4403,7 +4407,8 @@ $fin"""
       }
       val name = s"graft_stream_resemb_${streamCounter.incrementAndGet()}"
       CorpusStreams.resemblanceProbeStreaming(s, staged, "doc_id", "text",
-          state, name, shufflePartitions = Some(4))
+          state, name, shufflePartitions = Some(4),
+          batchAdaptive = Some(false))
         .orderBy("id_in", "id_host")
     }),
 
@@ -5072,7 +5077,8 @@ $fin"""
         standing, "doc_id", "text", shingleK = 3)
       val name = s"graft_stream_contain_${streamCounter.incrementAndGet()}"
       CorpusStreams.containmentProbeStreaming(s, staged, "doc_id", "text",
-          state, tau = 0.8, shingleK = 3, name, shufflePartitions = Some(4))
+          state, tau = 0.8, shingleK = 3, name, shufflePartitions = Some(4),
+          batchAdaptive = Some(false))
         .orderBy("id_in", "id_host")
     }),
 
@@ -5308,7 +5314,8 @@ $fin"""
         "doc_id", cuts = Seq(mid))
       CorpusStreams.noveltyScoresStreaming(s, staged, "doc_id", "text",
           reference = docs.where(col("doc_id") % 10 === 0),
-          refTextCol = "text", n = 8, shufflePartitions = Some(8))
+          refTextCol = "text", n = 8, shufflePartitions = Some(8),
+          batchAdaptive = Some(false))
         .where(col("doc_id") % 10 =!= 0)
         .orderBy("doc_id")
     }),
@@ -6064,7 +6071,8 @@ $fin"""
       val staged = CorpusStreams.stageIdSlices(s, s"$d/orders.parquet",
         "o_orderkey", Seq(mid / 3, 2 * mid / 3))
       MaterializedAgg.streamingRefresh(s, staged,
-          Seq("o_orderpriority"), "o_totalprice", shufflePartitions = Some(8))
+          Seq("o_orderpriority"), "o_totalprice", shufflePartitions = Some(8),
+          batchAdaptive = Some(false))
         .orderBy("o_orderpriority")
     }),
 
@@ -6168,7 +6176,7 @@ $fin"""
           Rule("known_type",
             col("event_type").isin("click", "view", "purchase", "signup")),
           Rule("user_present", col("user_id").isNotNull)),
-        shufflePartitions = Some(8))
+        shufflePartitions = Some(8), batchAdaptive = Some(false))
       gate.quarantine.select(col("event_id"),
           concat_ws(",", col("violations")).as("violations"))
         .orderBy("event_id")

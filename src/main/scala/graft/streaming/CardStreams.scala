@@ -115,7 +115,8 @@ object CardStreams {
       minStopwords: Int = 1,
       shufflePartitions: Option[Int] = None,
       rocksdbState: Boolean = false,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      batchAdaptive: Option[Boolean] = None): DataFrame = {
     val schema = spark.read.parquet(stagedDir).schema
     def cardOf(df: DataFrame): DataFrame = df
       .groupBy(col(groupCol))
@@ -133,7 +134,8 @@ object CardStreams {
       .map(loadCardState(spark, _)).getOrElse((None, -1L))
     var state: Option[DataFrame] = loaded
     var lastApplied: Long = loadedBatch
-    EventStreams.withStatePartitions(spark, shufflePartitions, rocksdbState) {
+    EventStreams.withStatePartitions(spark, shufflePartitions, rocksdbState,
+        batchAdaptive) {
       val writer = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(stagedDir)
         .writeStream

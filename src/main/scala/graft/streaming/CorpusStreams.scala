@@ -50,25 +50,41 @@ object CorpusStreams {
     val df = spark.read.parquet(path)
     val bounds = (Long.MinValue +: cuts).zip(cuts :+ Long.MaxValue)
     val base = System.currentTimeMillis()
-    bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
-      val tmp = dir.resolve(s"w$i")
-      df.where(col(idCol) >= lo && col(idCol) < hi)
-        .coalesce(1).write.parquet(tmp.toString)
-      val part = {
-        val listing = Files.list(tmp)
-        try {
-          import scala.jdk.CollectionConverters._
-          listing.iterator().asScala
-            .find(_.getFileName.toString.endsWith(".parquet"))
-            .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp"))
-        } finally listing.close()
+    // the slice writes are INDEPENDENT one-task jobs over the same source;
+    // run sequentially each pays full scheduling latency while 31 cores
+    // idle — submit them from a small pool so they overlap (guide §2.6).
+    // Determinism is untouched: each slice's content depends only on its
+    // bounds, targets are distinct paths, and the replay-ordering
+    // mod-times are assigned by INDEX, not by completion order.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, bounds.size))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val writes = bounds.zipWithIndex.map { case ((lo, hi), i) =>
+        scala.concurrent.Future {
+          val tmp = dir.resolve(s"w$i")
+          df.where(col(idCol) >= lo && col(idCol) < hi)
+            .coalesce(1).write.parquet(tmp.toString)
+          val part = {
+            val listing = Files.list(tmp)
+            try {
+              import scala.jdk.CollectionConverters._
+              listing.iterator().asScala
+                .find(_.getFileName.toString.endsWith(".parquet"))
+                .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp"))
+            } finally listing.close()
+          }
+          val target = dir.resolve(f"batch_$i%04d.parquet")
+          Files.move(part, target)
+          deleteRecursively(tmp)
+          Files.setLastModifiedTime(target, FileTime.fromMillis(base + i * 2000L))
+          target.toFile.deleteOnExit()
+        }
       }
-      val target = dir.resolve(f"batch_$i%04d.parquet")
-      Files.move(part, target)
-      deleteRecursively(tmp)
-      Files.setLastModifiedTime(target, FileTime.fromMillis(base + i * 2000L))
-      target.toFile.deleteOnExit()
-    }
+      writes.foreach(scala.concurrent.Await.result(_,
+        scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
     dir.toString
   }
 
@@ -113,7 +129,8 @@ object CorpusStreams {
       shufflePartitions: Option[Int] = None,
       stateDir: Option[String] = None,
       rocksdbState: Boolean = false,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      batchAdaptive: Option[Boolean] = None): DataFrame = {
     require(checkpointEvery > 0, "checkpointEvery must be positive")
     val schema = spark.read.parquet(stagedDir).schema
     val params = Dedup.MinhashParams(numHashes, bands, shingleK)
@@ -133,7 +150,8 @@ object CorpusStreams {
     }
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stagedDir)
-    EventStreams.withStatePartitions(spark, shufflePartitions, rocksdbState) {
+    EventStreams.withStatePartitions(spark, shufflePartitions, rocksdbState,
+        batchAdaptive) {
       val q = stream.writeStream
         .foreachBatch { (batch: Dataset[Row], _: Long) =>
           val b = batch.persist()
@@ -216,7 +234,8 @@ object CorpusStreams {
       sepPattern: String = "\\. ", joinSep: String = ". ",
       checkpointEvery: Int = 8, sinkDir: Option[String] = None,
       shufflePartitions: Option[Int] = None,
-      stateDir: Option[String] = None): DataFrame = {
+      stateDir: Option[String] = None,
+      batchAdaptive: Option[Boolean] = None): DataFrame = {
     require(checkpointEvery > 0, "checkpointEvery must be positive")
     val schema = spark.read.parquet(stagedDir).schema
     val stateLock = new Object
@@ -231,7 +250,8 @@ object CorpusStreams {
     }
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stagedDir)
-    EventStreams.withStatePartitions(spark, shufflePartitions) {
+    EventStreams.withStatePartitions(spark, shufflePartitions,
+        adaptive = batchAdaptive) {
       val q = stream.writeStream
         .foreachBatch { (batch: Dataset[Row], _: Long) =>
           val b = batch.persist()
@@ -293,7 +313,8 @@ object CorpusStreams {
       k: Int = 10, nProbe: Int = 4,
       sinkDir: Option[String] = None,
       shufflePartitions: Option[Int] = None,
-      refineWiden: Option[Int] = None): DataFrame = {
+      refineWiden: Option[Int] = None,
+      batchAdaptive: Option[Boolean] = None): DataFrame = {
     refineWiden.foreach { w =>
       require(w >= 1, "annProbeStreaming: refineWiden must be >= 1")
       require(state.refine.nonEmpty,
@@ -308,7 +329,8 @@ object CorpusStreams {
     }
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stagedDir)
-    EventStreams.withStatePartitions(spark, shufflePartitions) {
+    EventStreams.withStatePartitions(spark, shufflePartitions,
+        adaptive = batchAdaptive) {
       val q = stream.writeStream
         .foreachBatch { (batch: Dataset[Row], _: Long) =>
           val b = batch.persist()
@@ -354,7 +376,8 @@ object CorpusStreams {
       tau: Double, shingleK: Int, queryName: String,
       sinkDir: Option[String] = None,
       shufflePartitions: Option[Int] = None,
-      maxDf: Long = Long.MaxValue): DataFrame = {
+      maxDf: Long = Long.MaxValue,
+      batchAdaptive: Option[Boolean] = None): DataFrame = {
     val schema = spark.read.parquet(stagedDir).schema
     val sink = sinkDir.getOrElse {
       val d = Files.createTempDirectory("graft_containment_hits")
@@ -363,7 +386,8 @@ object CorpusStreams {
     }
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stagedDir)
-    EventStreams.withStatePartitions(spark, shufflePartitions) {
+    EventStreams.withStatePartitions(spark, shufflePartitions,
+        adaptive = batchAdaptive) {
       val q = stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           val b = batch.persist()
@@ -398,7 +422,8 @@ object CorpusStreams {
       queryName: String,
       sinkDir: Option[String] = None,
       shufflePartitions: Option[Int] = None,
-      maxDf: Long = Long.MaxValue): DataFrame = {
+      maxDf: Long = Long.MaxValue,
+      batchAdaptive: Option[Boolean] = None): DataFrame = {
     val schema = spark.read.parquet(stagedDir).schema
     val sink = sinkDir.getOrElse {
       val d = Files.createTempDirectory("graft_resemblance_hits")
@@ -407,7 +432,8 @@ object CorpusStreams {
     }
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stagedDir)
-    EventStreams.withStatePartitions(spark, shufflePartitions) {
+    EventStreams.withStatePartitions(spark, shufflePartitions,
+        adaptive = batchAdaptive) {
       val q = stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           val b = batch.persist()
@@ -440,7 +466,8 @@ object CorpusStreams {
       spark: SparkSession, stagedDir: String, idCol: String, textCol: String,
       model: graft.ext.NgramLm.BigramModel,
       sinkDir: Option[String] = None,
-      shufflePartitions: Option[Int] = None): DataFrame = {
+      shufflePartitions: Option[Int] = None,
+      batchAdaptive: Option[Boolean] = None): DataFrame = {
     val schema = spark.read.parquet(stagedDir).schema
     val sink = sinkDir.getOrElse {
       val d = Files.createTempDirectory("graft_lm_scores")
@@ -449,7 +476,8 @@ object CorpusStreams {
     }
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stagedDir)
-    EventStreams.withStatePartitions(spark, shufflePartitions) {
+    EventStreams.withStatePartitions(spark, shufflePartitions,
+        adaptive = batchAdaptive) {
       val q = stream.writeStream
         .foreachBatch { (batch: Dataset[Row], _: Long) =>
           graft.ext.NgramLm.score(batch.toDF(), idCol, textCol, model)
@@ -534,7 +562,8 @@ object CorpusStreams {
       spark: SparkSession, stagedDir: String, idCol: String, textCol: String,
       reference: DataFrame, refTextCol: String, n: Int = 13,
       sinkDir: Option[String] = None,
-      shufflePartitions: Option[Int] = None): DataFrame = {
+      shufflePartitions: Option[Int] = None,
+      batchAdaptive: Option[Boolean] = None): DataFrame = {
     val schema = spark.read.parquet(stagedDir).schema
     val sink = sinkDir.getOrElse {
       val d = Files.createTempDirectory("graft_novelty_scores")
@@ -543,7 +572,8 @@ object CorpusStreams {
     }
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stagedDir)
-    EventStreams.withStatePartitions(spark, shufflePartitions) {
+    EventStreams.withStatePartitions(spark, shufflePartitions,
+        adaptive = batchAdaptive) {
       val q = stream.writeStream
         .foreachBatch { (batch: Dataset[Row], _: Long) =>
           graft.ext.Decontaminate.noveltyScores(

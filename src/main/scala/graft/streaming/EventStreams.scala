@@ -79,11 +79,26 @@ object EventStreams {
     * Provider choice never affects results — only where state bytes
     * live — and the streaming specs assert streamed == batch under both
     * providers.
+    *
+    * `adaptive = Some(false)` disables AQE for batch jobs started inside
+    * `body` — the foreachBatch micro-batch bodies (optimization round 19).
+    * AQE executes one job PER QUERY STAGE with a driver re-plan between
+    * stages; over increment-sized frames every stage coalesces to a
+    * handful of tasks anyway, so the adaptive machinery is pure per-batch
+    * driver overhead (measured ~20% of the streamed dedup/probe walls —
+    * ~14 one-task stages per batch at ~70 ms of submit/re-plan each,
+    * ~0.05 s of task time). Plan-only: results are unaffected, and the
+    * stateful streaming plans themselves never use AQE (Spark disables it
+    * there). Like `n`, this encodes a caller's knowledge that increments
+    * are BOUNDED — a deployment streaming TB-sized micro-batches should
+    * leave it on, for the same reason it would raise `n`.
     */
   private[streaming] def withStatePartitions[T](
-      spark: SparkSession, n: Option[Int], rocksdb: Boolean = false)(body: => T): T = {
+      spark: SparkSession, n: Option[Int], rocksdb: Boolean = false,
+      adaptive: Option[Boolean] = None)(body: => T): T = {
     val confs =
       n.map("spark.sql.shuffle.partitions" -> _.toString).toSeq ++
+        adaptive.map("spark.sql.adaptive.enabled" -> _.toString).toSeq ++
         (if (rocksdb)
           Seq("spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider,
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"

@@ -28,7 +28,8 @@ object MaterializedAgg {
       nCol: String = "n", sumCol: String = "sum_value",
       scale: Int = 4,
       shufflePartitions: Option[Int] = None,
-      rocksdbState: Boolean = false): DataFrame = {
+      rocksdbState: Boolean = false,
+      batchAdaptive: Option[Boolean] = None): DataFrame = {
     val schema = spark.read.parquet(stagedDir).schema
     // written from the micro-batch thread, read from the caller thread after
     // awaitTermination — synchronized explicitly rather than relying on the
@@ -37,7 +38,8 @@ object MaterializedAgg {
     var state: Option[DataFrame] = None
     // bounding partitions here shrinks the per-batch groups-sized shuffle
     // AND the localCheckpoint'ed state materialization (tasks per batch)
-    EventStreams.withStatePartitions(spark, shufflePartitions, rocksdbState) {
+    EventStreams.withStatePartitions(spark, shufflePartitions, rocksdbState,
+        batchAdaptive) {
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(stagedDir)
         .writeStream

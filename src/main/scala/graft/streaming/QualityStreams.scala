@@ -63,7 +63,8 @@ object QualityStreams {
       rocksdbState: Boolean = false,
       passDir: Option[String] = None,
       quarantineDir: Option[String] = None,
-      checkpointDir: Option[String] = None): GateResult = {
+      checkpointDir: Option[String] = None,
+      batchAdaptive: Option[Boolean] = None): GateResult = {
     val schema = spark.read.parquet(stagedDir).schema
     def sink(prefix: String): String = {
       val d = Files.createTempDirectory(prefix)
@@ -89,7 +90,8 @@ object QualityStreams {
     rules.foreach(r => ruleCounts(r.name) = 0L)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stagedDir)
-    EventStreams.withStatePartitions(spark, shufflePartitions, rocksdbState) {
+    EventStreams.withStatePartitions(spark, shufflePartitions, rocksdbState,
+        batchAdaptive) {
       val writer = stream.writeStream
         .foreachBatch { (batch: Dataset[Row], _: Long) =>
           val b = batch.persist()
