@@ -45,6 +45,19 @@ object PortableGram {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "portable_word_shingle_set"
 
+    // ADVICE r18: applied to anything but array<string> the kernel would
+    // read raw Unsafe storage and hash garbage — fail analysis instead
+    override def checkInputDataTypes():
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"portable_word_shingle_set: input must be array<string>, " +
+              s"got ${other.simpleString}")
+      }
+
     override def nullSafeEval(input: Any): Any =
       PortableGramRuntime.wordShingleSet(input.asInstanceOf[ArrayData], k)
 
@@ -66,6 +79,17 @@ object PortableGram {
     require(n >= 1, "n must be at least 1")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "portable_char_gram_set"
+
+    override def checkInputDataTypes():
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"portable_char_gram_set: input must be string, " +
+              s"got ${other.simpleString}")
+      }
 
     override def nullSafeEval(input: Any): Any =
       PortableGramRuntime.charGramSet(input.asInstanceOf[UTF8String], n)
@@ -121,28 +145,34 @@ object PortableGramRuntime {
   def wordShingleSet(tokens: ArrayData, k: Int): ArrayData = {
     val n = tokens.numElements()
     val md = digests.get()
+    // null elements are SKIPPED exactly like the concat_ws formulation
+    // this kernel replaced (ADVICE r18: the first version NPE'd on them —
+    // a drift on any containsNull=true caller); window COUNT still comes
+    // from the raw positions, matching the composed slice windows
+    def updateWindow(from: Int, until: Int): Unit = {
+      var first = true
+      var j = from
+      while (j < until) {
+        if (!tokens.isNullAt(j)) {
+          if (!first) md.update(Space)
+          md.update(tokens.getUTF8String(j).getBytes)
+          first = false
+        }
+        j += 1
+      }
+    }
     if (n < k) {
       // one whole-document shingle: tokens joined by " " (empty string
       // for zero tokens) — md5 of the joined bytes
       md.reset()
-      var i = 0
-      while (i < n) {
-        if (i > 0) md.update(Space)
-        md.update(tokens.getUTF8String(i).getBytes)
-        i += 1
-      }
+      updateWindow(0, n)
       new GenericArrayData(Array(digest60(md)))
     } else {
       val hashes = new Array[Long](n - k + 1)
       var s = 0
       while (s <= n - k) {
         md.reset()
-        var j = s
-        while (j < s + k) {
-          if (j > s) md.update(Space)
-          md.update(tokens.getUTF8String(j).getBytes)
-          j += 1
-        }
+        updateWindow(s, s + k)
         hashes(s) = digest60(md)
         s += 1
       }

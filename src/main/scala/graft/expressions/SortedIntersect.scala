@@ -32,6 +32,23 @@ object SortedIntersect {
     override def dataType: DataType = IntegerType
     override def prettyName: String = "sorted_intersect_count"
 
+    // ADVICE r18: without this, a non-array<long> child reads raw Unsafe
+    // storage via getLong and silently returns garbage counts — the
+    // ScaledDotProduct bug class; fail analysis instead
+    override def checkInputDataTypes():
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val bad = Seq(("left", left), ("right", right)).collectFirst {
+        case (side, e) if !e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+            e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+              .elementType != org.apache.spark.sql.types.LongType =>
+          s"$side input must be array<bigint>, got ${e.dataType.simpleString}"
+      }
+      bad.fold[org.apache.spark.sql.catalyst.analysis.TypeCheckResult](
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess)(
+        m => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"sorted_intersect_count: $m"))
+    }
+
     override def nullSafeEval(a: Any, b: Any): Any =
       Integer.valueOf(SortedIntersectRuntime.count(
         a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))

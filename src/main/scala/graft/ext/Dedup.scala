@@ -1568,7 +1568,13 @@ object Dedup {
     // exchange left is the candidate id-pair spread, and each shingle
     // array crosses the wire once per executor instead of once per
     // candidate. Over budget (a corpus-sized side) the sized chain stands.
-    val sideBytes = (nSets * (avgSz * 8 + avgMembers * 8 + 64)).toLong
+    // ADVICE r18: the plan broadcasts the side frame TWICE (sideL and
+    // sideR are both hinted below), so the gate compares BOTH copies
+    // against the budget; member ids may be strings (24 B/element covers
+    // a short UTF8String where longs need 8), and the hashed-relation
+    // build overhead is already priced into probeBroadcastBudget's /8
+    // heap derivation.
+    val sideBytes = 2L * (nSets * (avgSz * 8 + avgMembers * 24 + 64)).toLong
     val bcastVerify = nCand > 0 &&
       sideBytes <= probeBroadcastBudget(spark)
     val joined =
@@ -1785,7 +1791,9 @@ object Dedup {
     // exchange — same shuffle count as the bare plan, width scaled to the
     // candidate payload instead of the fixed session default (AQE can
     // only coalesce, never widen, a uniform non-skewed spill).
-    val sideBytes = (nDocs * (avgSz * 8 + 64)).toLong
+    // both verify joins broadcast a copy of the side (ADVICE r18) — gate
+    // on the two copies together
+    val sideBytes = 2L * (nDocs * (avgSz * 8 + 64)).toLong
     val bcastVerify = nCand > 0 && sideBytes <= probeBroadcastBudget(spark)
     val joined =
       if (bcastVerify)

@@ -342,8 +342,11 @@ object Similarity {
       df: DataFrame, vecCol: String, dim: Int, side: String): Unit = {
     val s = df.where(col(vecCol).isNotNull)
       .select(size(col(vecCol))).limit(1).collect()
+    // "lsh:" not a face name — the guard is shared by lshTopKPortable,
+    // lshTopK and lshTablesSweep (both plane families; ADVICE r18: the
+    // old hard-coded prefix misreported seeded-family mismatches)
     require(s.isEmpty || s(0).getInt(0) == dim,
-      s"lshTopKPortable: dim=$dim but $side $vecCol has ${s(0).getInt(0)} elements")
+      s"lsh: dim=$dim but $side $vecCol has ${s(0).getInt(0)} elements")
   }
 
   /** `(out, vout, tbl, bh)` bucket rows of the PORTABLE Rademacher family
