@@ -397,12 +397,15 @@ object AnnIndex {
           def parse(s: String) =
             s.split(",").map(new java.math.BigDecimal(_)).toSeq
           Some(Refine(parse(lines(0)), parse(lines(1)),
-            spark.read.parquet(s"$dir/refine_codes")))
+            // byte-gated widen-into-cache (the Dedup.loadStateFrame
+            // rationale): small persisted codes are one parquet split,
+            // serializing every probe's ADC/refine scan onto one task
+            Dedup.loadStateFrame(spark, s"$dir/refine_codes")))
         }
       val st = State(
         Ivf.loadModel(spark, s"$dir/centroids.txt"),
         Pq.loadCodebooks(spark, s"$dir/codebooks.txt"),
-        spark.read.parquet(s"$dir/codes"), refine)
+        Dedup.loadStateFrame(spark, s"$dir/codes"), refine)
       require(st.params == expect,
         s"ann index at $dir: loaded model shapes ${st.params} disagree " +
           s"with the manifest $expect — the state files are inconsistent")

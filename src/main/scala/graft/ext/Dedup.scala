@@ -1693,6 +1693,44 @@ object Dedup {
     math.min(256L * 1024 * 1024, driverBytes / 8)
   }
 
+  /** Load one persisted standing-state parquet, WIDENED into cached
+    * blocks when the files are small (optimization round 19). A state
+    * saved from a small corpus lands in ONE parquet split, so every probe
+    * stage that streams it — the broadcast-mode verify and candidate
+    * joins — runs on ONE task no matter the session width (q284's
+    * post-kernel wall was three ~0.75 s single-task verify jobs). Round
+    * 18 tried widening the SAVED files and measured a net loss on the
+    * STREAMED probes (per-micro-batch many-file scan scheduling);
+    * widening the LOADED frame instead pays one bounded repartition +
+    * materialization at load time and gives every later action — and
+    * every micro-batch of a streamed probe — process-local parallel
+    * cached reads, with the parquet never re-scanned per batch at all.
+    *
+    * The gate is the on-disk byte size from a driver-side listing (no
+    * Spark job): above [[probeBroadcastBudget]] the frame loads as-is —
+    * a corpus-sized state is already many splits, and the repartition
+    * would be a pointless corpus shuffle. Width ≈ one cached partition
+    * per 2 MB of file bytes (compressed parquet expands ~2-4x in cache;
+    * the verify kernels are CPU-dense per byte), capped at the session
+    * width so a streamed probe's per-batch task count stays bounded.
+    */
+  private[graft] def loadStateFrame(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case _: Throwable => Long.MaxValue }
+    if (bytes > probeBroadcastBudget(spark)) df
+    else {
+      val w = math.min(sessionWidth(spark).toLong,
+        bytes / (64L * 1024) + 1).toInt
+      df.repartition(w).localCheckpoint(true)
+    }
+  }
+
   private[graft] def verifyPartitionsFor(
       nCand: Long, avgSetSize: Double, defaultParallelism: Int): Int = {
     val bytesPerCand = 2.0 * 8.0 * math.max(avgSetSize, 0.0) + 48.0
@@ -2226,8 +2264,8 @@ object Dedup {
     else {
       StateManifest.check(dir, "containment state", expect.encoded,
         "shingles would never match")
-      Some(ContainmentState(spark.read.parquet(s"$dir/sets"),
-        spark.read.parquet(s"$dir/dfreq"), StateManifest.loadStale(dir),
+      Some(ContainmentState(loadStateFrame(spark, s"$dir/sets"),
+        loadStateFrame(spark, s"$dir/dfreq"), StateManifest.loadStale(dir),
         expect.shingleK, expect.route))
     }
   }
@@ -2497,9 +2535,9 @@ object Dedup {
     else {
       StateManifest.check(dir, "resemblance state", expect.encoded,
         "the prefix is only complete at its build threshold")
-      Some(ResemblanceState(spark.read.parquet(s"$dir/sets"),
-        spark.read.parquet(s"$dir/dfreq"),
-        spark.read.parquet(s"$dir/prefix"),
+      Some(ResemblanceState(loadStateFrame(spark, s"$dir/sets"),
+        loadStateFrame(spark, s"$dir/dfreq"),
+        loadStateFrame(spark, s"$dir/prefix"),
         expect.threshold, expect.shingleK, StateManifest.loadStale(dir),
         expect.route))
     }
