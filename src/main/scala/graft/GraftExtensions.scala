@@ -68,6 +68,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "char_class_stats(s) takes 1 argument")
         GramHashExpressions.CharClassStats(args.head)
       }))
+    // the native word tokenizer underlies text.tokens, so SQL macro
+    // bodies generated from composed signals (quality_score, lang_id)
+    // reference it — same registration rationale as char_class_stats
+    ext.injectFunction((FunctionIdentifier("native_tokens"),
+      info("native_tokens",
+        "native_tokens(s) - lower-cased [\\p{L}\\p{N}_]+ word tokens"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "native_tokens(s) takes 1 argument")
+        graft.expressions.Tokens.NativeTokens(args.head)
+      }))
     // O(n) alpha=1/2 EWMA prefix scan over an array<double> series — the
     // recursion SQL higher-order functions cannot express without the
     // O(n^2) concat fold (see graft.ops.Profile.ewmaHalf)

@@ -25,10 +25,24 @@ object text {
     * Word chars are `\p{L}\p{N}_` (Unicode letters/digits), not Java's
     * ASCII-only `\w` — "über" is one token, not "ber". The explicit class is
     * also RE2-compatible, so differential oracles match byte-for-byte.
+    *
+    * Production path is the native one-pass kernel
+    * ([[graft.expressions.Tokens]]) — the composable
+    * `array_remove(split(lower(c), "[^\\p{L}\\p{N}_]+"), "")` form paid
+    * the Java regex engine per document (one 27 s-CPU stage of the BM25/
+    * hybrid faces; optimization round 19, guide §4). Byte parity with
+    * the composed form is locked by `TokensSpec` (shared lowercase
+    * kernel, code-point category classes) and by every tokens-consuming
+    * SQL oracle, which still replays the regex formulation.
     */
   def tokens(c: Column): Column =
-    // array_remove instead of a filter() lambda: the higher-order function
-    // runs interpreted, array_remove stays inside whole-stage codegen
+    graft.expressions.Tokens.nativeTokens(c)
+
+  /** The composable regex formulation [[tokens]] replaced — kept as the
+    * differential-test oracle (`TokensSpec` asserts byte equality on
+    * every edge family plus random unicode).
+    */
+  private[graft] def tokensComposed(c: Column): Column =
     array_remove(split(lower(c), "[^\\p{L}\\p{N}_]+"), "")
 
   /** One-pass char-class statistics struct (`n_chars`, `n_tokens`,
