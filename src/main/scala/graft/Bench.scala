@@ -359,7 +359,10 @@ object Bench {
     // LAST, so the tail capture always retains the self-describing
     // summary whatever the battery size. "inflated" carries the
     // FLOOR-keyed flags.
-    println(s"""{"metric":"total","unit":"sec",$partial"sf":"$sfDir",$perQuery,"value":${f(chosen.total)},"canary_first":${f(chosen.canaryFirst)},"canary_last":${f(chosen.canaryLast)},"load_variance":${f(chosen.loadVariance)},"host_load_min":${f(chosen.hostLoadMin)},"host_load_max":${f(chosen.hostLoadMax)},"attempt":${attempts.indexOf(chosen) + 1},"attempt_variances":$attemptVars,"inflated":$inflatedJson}""")
+    // "n_queries" sits in the guaranteed-tail region (round-18 verdict #9):
+    // the positional csv is only self-describing when the consumer can
+    // verify how many entries it should carry without counting commas.
+    println(s"""{"metric":"total","unit":"sec",$partial"sf":"$sfDir",$perQuery,"value":${f(chosen.total)},"canary_first":${f(chosen.canaryFirst)},"canary_last":${f(chosen.canaryLast)},"load_variance":${f(chosen.loadVariance)},"host_load_min":${f(chosen.hostLoadMin)},"host_load_max":${f(chosen.hostLoadMax)},"attempt":${attempts.indexOf(chosen) + 1},"attempt_variances":$attemptVars,"inflated":$inflatedJson,"n_queries":${chosen.results.size}}""")
     spark.stop()
   }
 }
